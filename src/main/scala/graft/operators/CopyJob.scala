@@ -1,0 +1,152 @@
+package graft.operators
+
+import scala.util.{Failure, Success, Try}
+
+import graft.model._
+import graft.plan.ChunkPlanner
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Chunked, retryable, idempotent time-windowed copy — the engine's
+  * equivalent of the reference's `-action copy` workhorse
+  * (/root/reference/pkg/agent/agent.go:210-240 → sync.go:95-232).
+  *
+  * Reference semantics reproduced (SURVEY.md §3.1):
+  *  - newest-first chunk iteration (sync.go:144-146) — most valuable data
+  *    first: kept as the driver-side scheduling order;
+  *  - per-chunk measurement parallelism (worker pool, sync.go:141-183) —
+  *    subsumed by Spark's scheduler: one job per (chunk, measurement),
+  *    with the data-parallel work inside each job distributed by Spark;
+  *  - read/write retry budget (try.go:15-30, client.go:363-381, 541-557);
+  *  - bad-chunk recovery at chunk/10 granularity, one level
+  *    (SyncDBRP, sync.go:215-232);
+  *  - idempotent re-copy: InfluxDB upserts points by (series, ts), making
+  *    blind re-copy of a window safe (hacluster.go:305-342). Parquet
+  *    appends are not idempotent, so the sink partitions output by chunk
+  *    bucket and uses dynamic partition overwrite — re-copying a window
+  *    replaces exactly that window's partitions (SURVEY.md §7.3 hard
+  *    part 4). This also gives time-partition pruning on read at scale.
+  *
+  * Scale posture: no driver materialization (the reference buffers whole
+  * chunks in RAM, client.go:348-484 — we never do); each chunk×measurement
+  * is a distributed scan→write with predicate pushdown on `time_ns`.
+  */
+object CopyJob {
+  final case class Config(
+      startNs: Long,
+      endNs: Long,
+      chunkNs: Long,
+      timeCol: String = "time_ns",
+      maxRetentionNs: Option[Long] = None,
+      rwMaxRetries: Int = 5, // main.go:209-215 default
+      rwRetryDelayMs: Long = 0L, // 10s in reference; 0 keeps tests fast
+      strictReferenceBounds: Boolean = false,
+      recoveryFactor: Int = 10) // sync.go:226
+}
+
+final class CopyJob(
+    spark: SparkSession,
+    // test seams for fault injection (FIXTURES.md §B.6)
+    readHook: (ChunkSpec, String) => Unit = (_, _) => (),
+    writeHook: (ChunkSpec, String) => Unit = (_, _) => ()) {
+  import CopyJob.Config
+
+  /** Copy one measurement's chunk: scan `[s,e)` → overwrite that bucket
+    * partition of the sink. Returns points copied. */
+  def copyChunk(
+      srcPath: String,
+      dstPath: String,
+      chunk: ChunkSpec,
+      cfg: Config): ChunkResult = {
+    val t0 = System.currentTimeMillis()
+    var readErr = 0L
+    var writeErr = 0L
+    var points = 0L
+
+    def attempt(): Unit = {
+      readHook(chunk, srcPath)
+      Tables.ensureNsConf(spark)
+      val src = spark.read.parquet(srcPath)
+      val slice = Tables
+        .timeRange(src, cfg.timeCol, chunk.startNs, chunk.endNs,
+          cfg.strictReferenceBounds)
+        .withColumn("__bucket",
+          floor(col(cfg.timeCol) / lit(cfg.chunkNs)).cast("long"))
+      writeHook(chunk, dstPath)
+      // Dynamic partition overwrite: only the buckets present in this
+      // slice are replaced → blind re-copy is idempotent.
+      val counted = slice.observe("copy_metrics", count(lit(1)).as("n"))
+      counted.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(dstPath)
+      points = counted.queryExecution.observedMetrics
+        .get("copy_metrics").map(_.getLong(0)).getOrElse(0L)
+    }
+
+    var done = false
+    var tries = 0
+    while (!done && tries < cfg.rwMaxRetries) { // try.go:15-30 budget
+      tries += 1
+      Try(attempt()) match {
+        case Success(_) => done = true
+        case Failure(_) =>
+          readErr += 1
+          if (tries < cfg.rwMaxRetries && cfg.rwRetryDelayMs > 0)
+            Thread.sleep(cfg.rwRetryDelayMs)
+      }
+    }
+    if (!done) writeErr += 1
+    ChunkResult(chunk, srcPath, points, if (done) 0 else readErr,
+      writeErr, System.currentTimeMillis() - t0)
+  }
+
+  /** Full copy of one measurement over a window: newest-first chunks,
+    * then one recovery pass over bad chunks at chunk/recoveryFactor
+    * (SyncDBRP semantics, sync.go:215-232). */
+  def copyMeasurement(
+      srcPath: String,
+      dstPath: String,
+      cfg: Config): SyncReport = {
+    val chunks = ChunkPlanner.plan(cfg.startNs, cfg.endNs, cfg.chunkNs,
+      cfg.maxRetentionNs)
+    val firstPass = chunks.map(c => copyChunk(srcPath, dstPath, c, cfg))
+    val bad = firstPass.filterNot(_.ok).map(_.chunk)
+    val recovery = bad.flatMap { c =>
+      val fine = ChunkPlanner.plan(c.startNs, c.endNs,
+        math.max(1L, cfg.chunkNs / cfg.recoveryFactor))
+      fine.map(f => copyChunk(srcPath, dstPath, f, cfg))
+    }
+    SyncReport(srcPath, dstPath, firstPass ++ recovery)
+  }
+
+  /** ReplicateData analog: walk a discovered schema and copy every
+    * measurement under every (db, rp) (hacluster.go:213-234). */
+  def replicate(
+      schema: Seq[DbSchema],
+      srcRoot: String,
+      dstRoot: String,
+      cfg: Config,
+      flatRoot: Boolean = false): Seq[SyncReport] =
+    for {
+      db <- schema
+      rp <- db.rps
+      m <- rp.measurements
+    } yield {
+      val src =
+        if (flatRoot) s"$srcRoot/${m.name}.parquet"
+        else s"$srcRoot/${db.name}/${rp.name}/${m.name}.parquet"
+      val rpOut = if (db.newDefaultRp.nonEmpty && rp.isDefault)
+        db.newDefaultRp else rp.name
+      val dst = s"$dstRoot/${db.targetName}/$rpOut/${m.name}.parquet"
+      copyMeasurement(src, dst, cfg)
+    }
+
+  /** Read back what a copy wrote (drops the partition column). */
+  def readCopied(path: String): DataFrame = {
+    Tables.ensureNsConf(spark)
+    spark.read.parquet(path).drop("__bucket")
+  }
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators (north-star training-data pipeline;
+  * not present in the reference — SURVEY.md §2.7 "Absent" + BASELINE.json
+  * north_star).
+  *
+  * All operators are pure `Column` compositions over built-in functions —
+  * no UDFs — so every hot path stays inside whole-stage codegen, and every
+  * hash is derived from `md5` so results are engine-portable (the DuckDB
+  * oracle computes the identical md5 strings).
+  *
+  * Scale design (100 TB posture):
+  *  - exact dedup: hash-partitioned groupBy on a fingerprint — one shuffle
+  *    of (fingerprint, id), never of full documents;
+  *  - MinHash+LSH: signatures are k small strings per doc; candidate
+  *    generation joins on (band, bandHash) buckets — pair blow-up is
+  *    bounded by bucket size, never all-pairs;
+  *  - n-gram Jaccard runs only on LSH candidate pairs at scale (the
+  *    all-pairs form exists for oracle-sized validation).
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a whitespace-tokenized text column.
+    * Documents with fewer than `n` words yield an empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    // guard: Spark's sequence(1, x) DESCENDS for x < 1 — short docs must
+    // yield an empty array, not [1, 0].
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: one representative (min id) per identical text.
+    * Shuffles only (md5, id) pairs — at 100 TB the full text column never
+    * crosses the network. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: rows (id, seed, minhash) for seeds 0..k-1,
+    * minhash = min over shingles of md5("<seed>:<shingle>").
+    * Min over hex strings is a valid uniform min-hash (lexicographic order
+    * on uniformly-distributed hex is uniform). */
+  def minhash(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleLen: Int): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleLen)).as("sh"))
+    val seeds = (0 until numHashes).map(s => lit(s)) // tiny literal dim
+    sh.select(col("id"), col("sh"),
+        explode(array(seeds: _*)).as("seed"))
+      .groupBy(col("id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh"))))
+        .as("minhash"))
+  }
+
+  /** LSH band hashes from minhash rows: `bands` bands of
+    * numHashes/bands rows each; bandHash = md5 of the band's minhashes in
+    * seed order. One row (id, band, band_hash) per doc per band. */
+  def lshBands(sig: DataFrame, bands: Int, numHashes: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(rowsPerBand * bands == numHashes,
+      s"numHashes=$numHashes not divisible by bands=$bands")
+    sig
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(md5(array_join(array_sort(
+        collect_list(concat_ws("|", col("seed"), col("minhash")))), ","))
+        .as("band_hash"))
+  }
+
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket.
+    * The join key (band, band_hash) is high-cardinality → well-distributed
+    * shuffle; bucket sizes bound the pair count. */
+  def lshCandidatePairs(bandDf: DataFrame): DataFrame = {
+    val a = bandDf.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = bandDf.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs of docs sharing at least
+    * one shingle. `candidates`: optional (id_a, id_b) DataFrame to
+    * restrict to (LSH output) — the scale path; all co-shingled pairs
+    * otherwise (oracle-sized data only). */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, threshold: Double,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val docSh = df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), shingleLen))).as("sh"))
+    val sizes = docSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = docSh.select(col("id").as("id_a"), col("sh"))
+    val b = docSh.select(col("id").as("id_b"), col("sh"))
+    val shared0 = a.join(b, "sh").filter(col("id_a") < col("id_b"))
+    val shared = candidates.fold(shared0)(c => shared0.join(c, Seq("id_a", "id_b")))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 60-bit SimHash over word unigrams. Per word: 60 pseudo-random bits
+    * from md5 (first 15 hex chars → Long); simhash bit i is set iff more
+    * words have bit i set than unset. Output: (id, simhash Long).
+    *
+    * Single-pass: one groupBy with 60 ±1-vote sum columns — no per-bit
+    * row explosion, so cost is O(words), not O(60·words), and the whole
+    * thing is one partial+final aggregate at scale. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val hashed = words.withColumn("h",
+      conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")
+    }
+    val packed = (0 until 60).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.cast("long").as("simhash"))
+  }
+
+  /** Embedding near-duplicates: pairs with cosine ≥ threshold.
+    * Delegates to Similarity; see there for the scale path. */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    Similarity.cosinePairs(emb, idCol, vecCol).filter(col("cosine") >= threshold)
+}

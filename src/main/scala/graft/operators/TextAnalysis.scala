@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines (north-star;
+  * absent in the reference — BASELINE.json north_star).
+  *
+  * All pure built-in `Column` compositions (codegen'd, engine-portable).
+  * Per-row arithmetic (single IEEE ops) is bit-deterministic across
+  * engines; only multi-row aggregates need rounding at oracle time.
+  */
+object TextAnalysis {
+
+  private def words(text: Column): Column = split(text, " ")
+
+  /** Quality metrics: word count, char length, average word length,
+    * distinct-word ratio (lexical diversity), stopword ratio. */
+  def quality(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String]): DataFrame = {
+    val w = words(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(w, x => array_contains(stopArr, x)))
+    df.select(
+      col(idCol).as("id"),
+      size(w).cast("long").as("n_words"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      (length(col(textCol)).cast("double") / size(w)).as("avg_token_len"),
+      (size(array_distinct(w)).cast("double") / size(w)).as("distinct_ratio"),
+      (nStop.cast("double") / size(w)).as("stopword_ratio"))
+  }
+
+  /** Heuristic language ID: marker-word hit counts per language, argmax
+    * with lexicographic tie-break. `markers`: lang → marker words. */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+      markers: Map[String, Seq[String]]): DataFrame = {
+    val w = words(col(textCol))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val arr = array(ms.map(lit): _*)
+      struct(size(filter(w, x => array_contains(arr, x))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax via struct ordering: (score, lang) — ties on score go to the
+    // lexicographically-greatest lang, deterministically.
+    val best = greatest(scored: _*)
+    df.select(col(idCol).as("id"),
+      best.getField("lang").as("pred_lang"),
+      best.getField("score").as("score"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (ceil(len(word)/4) pieces per word — the common ~4-chars-per-token
+    * heuristic), both exact integers. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    df.select(
+      col(idCol).as("id"),
+      size(w).cast("long").as("ws_tokens"),
+      aggregate(w, lit(0L), (acc, x) => acc + floor((length(x) + lit(3)) / lit(4)))
+        .as("bpe_tokens"))
+  }
+
+  /** Document fingerprints: content hash, 64-bit prefix, and an
+    * order-independent bag-of-words hash (md5 of the sorted word list) —
+    * catches word-order-shuffled duplicates. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      md5(col(textCol)).as("content_md5"),
+      substring(md5(col(textCol)), 1, 16).as("fp64"),
+      md5(array_join(array_sort(words(col(textCol))), " ")).as("bag_md5"))
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.catalog.Catalog
+import graft.operators.CopyJob
+import graft.plan.ChunkPlanner
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity queries: the syncflux operator inventory from
+  * SURVEY.md §2.1/§2.2/§2.4/§2.8 re-expressed Spark-first over the
+  * `events` measurement (ns-precision time-series table).
+  *
+  * Time columns: Spark reads the ns parquet timestamps as Long ns epochs
+  * (authoritative, lossless); DuckDB truncates the same column to µs —
+  * so oracle-compared outputs carry `time_us = ts div 1000`, which both
+  * engines agree on exactly. Filters still push down on the raw ns Long.
+  */
+object ParityQueries {
+
+  // copy window: [2024-01-05, 2024-01-20) over the ~month of events data
+  final val StartNs = 1704412800000000000L
+  final val EndNs   = 1705708800000000000L
+  final val DayNs   = 86400000000000L
+  final val HourNs  = 3600000000000L
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  private val evProj = Seq(
+    col("event_id"), expr("ts div 1000").as("time_us"), col("user_id"),
+    col("event_type"), col("value"), col("props"))
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // S5/P2: the main data scan — time-range full scan with the
+    // reference's doubly-exclusive bounds (sync.go:162).
+    "s5_timerange_scan" -> QueryDef(
+      (s, dir) => ev(s, dir)
+        .where(col("ts") > lit(StartNs) && col("ts") < lit(EndNs))
+        .select(evProj: _*),
+      Some(s"""SELECT event_id, epoch_us(ts) AS time_us, user_id,
+               event_type, value, props FROM events
+               WHERE epoch_ns(ts) > $StartNs AND epoch_ns(ts) < $EndNs"""
+        .replaceAll("\\s+", " "))),
+
+    // Chunk planner tiling: union of newest-first [start,end) day chunks
+    // must equal the whole half-open window (lossless default plan;
+    // sync.go:118-146 semantics minus the boundary-loss bug).
+    "s5_chunked_union" -> QueryDef(
+      (s, dir) => {
+        val chunks = ChunkPlanner.plan(StartNs, EndNs, DayNs)
+        chunks.map { c =>
+          Tables.timeRange(ev(s, dir), "ts", c.startNs, c.endNs)
+            .select(evProj: _*)
+        }.reduce(_ unionAll _)
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS time_us, user_id,
+               event_type, value, props FROM events
+               WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs"""
+        .replaceAll("\\s+", " "))),
+
+    // End-to-end copy: chunked scan → partitioned sink, run TWICE to
+    // prove blind re-copy idempotence (dynamic partition overwrite ≅
+    // InfluxDB point upsert; SURVEY.md §7.3 hard part 4).
+    "sync_copy_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val job = new CopyJob(s)
+        val cfg = CopyJob.Config(StartNs, EndNs, chunkNs = 2 * DayNs,
+          timeCol = "ts")
+        val dst = s"/tmp/graft_copy_rt_${math.abs(dir.hashCode)}"
+        job.copyMeasurement(s"$dir/events.parquet", dst, cfg)
+        job.copyMeasurement(s"$dir/events.parquet", dst, cfg) // idempotent
+        job.readCopied(dst).select(evProj: _*)
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS time_us, user_id,
+               event_type, value, props FROM events
+               WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs"""
+        .replaceAll("\\s+", " "))),
+
+    // A1/A2: GROUP BY * series grouping + per-series point/value rollups
+    // (tags are ordinary columns in our row schema; sync.go:162).
+    "a1_series_groupby" -> QueryDef(
+      (s, dir) => ev(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_points"),
+          round(sum(col("value")), 2).as("sum_value"),
+          expr("min(ts div 1000)").as("min_time_us"),
+          expr("max(ts div 1000)").as("max_time_us")),
+      Some("""SELECT event_type, user_id, count(*)::BIGINT AS n_points,
+              round(sum(value),2) AS sum_value,
+              min(epoch_us(ts)) AS min_time_us,
+              max(epoch_us(ts)) AS max_time_us
+              FROM events GROUP BY event_type, user_id"""
+        .replaceAll("\\s+", " "))),
+
+    // A2: per-chunk point counts (the chunk loop's totalpoints metric,
+    // sync.go:148,170,185) as an hourly-bucket count.
+    "a2_chunk_counts" -> QueryDef(
+      (s, dir) => ev(s, dir)
+        .groupBy(expr(s"ts div $HourNs").as("bucket"))
+        .agg(count(lit(1)).as("n")),
+      Some(s"""SELECT epoch_ns(ts)//$HourNs AS bucket,
+               count(*)::BIGINT AS n FROM events GROUP BY 1"""
+        .replaceAll("\\s+", " "))),
+
+    // F3: JSON value coercion by declared type (client.go:430-459 analog
+    // on the props payload).
+    "f3_json_extract" -> QueryDef(
+      (s, dir) => ev(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")),
+      Some("""SELECT event_id,
+              json_extract_string(props,'$.k')::BIGINT AS k FROM events"""
+        .replaceAll("\\s+", " "))),
+
+    // F1/F2: ns-epoch ↔ calendar conversions (UnixNano2Time analog,
+    // client.go:312-327) — derived µs timestamp drives calendar funcs.
+    "f1_time_parts" -> QueryDef(
+      (s, dir) => {
+        val t = timestamp_micros(expr("ts div 1000"))
+        ev(s, dir).select(
+          col("event_id"),
+          expr("ts div 1000").as("time_us"),
+          year(t).cast("long").as("y"),
+          month(t).cast("long").as("m"),
+          dayofmonth(t).cast("long").as("dom"),
+          hour(t).cast("long").as("h"),
+          date_trunc("DAY", t).cast("date").as("d"))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS time_us,
+              year(ts)::BIGINT AS y, month(ts)::BIGINT AS m,
+              day(ts)::BIGINT AS dom, hour(ts)::BIGINT AS h,
+              date_trunc('day', ts)::DATE AS d FROM events"""
+        .replaceAll("\\s+", " "))),
+
+    // S1-S4/P3: catalog discovery with regex filtering (GetSchema,
+    // hacluster.go:75-162). Driver-side catalog → small DataFrame; not
+    // SQL-expressible over the data tables → rows-only check.
+    "catalog_schema" -> QueryDef(
+      (s, dir) => {
+        val cat = new Catalog(s)
+        val schema = cat.getSchema(dir, measRegex = ".*")
+        val rows = for {
+          db <- schema; rp <- db.rps; m <- rp.measurements
+          f <- m.fields.values.toSeq.sortBy(_.name)
+        } yield (db.name, rp.name, m.name, f.name, f.ftype.name)
+        import s.implicits._
+        rows.toDF("db", "rp", "measurement", "field", "ftype")
+      },
+      None))
+}

@@ -1,0 +1,273 @@
+package graft.queries
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents` / `embeddings`
+  * (north-star; BASELINE.json north_star): dedup (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding near-dup), similarity search
+  * (brute-force + LSH-bucketed ANN), text analysis (quality, lang-ID,
+  * token counts, fingerprints), and multimodal binary-column plumbing.
+  *
+  * Oracle parity trick: every hash is md5 over identical strings, so the
+  * DuckDB oracle reproduces signatures/buckets bit-for-bit; floating
+  * similarity uses `list_reduce` left-folds matching Spark's `aggregate`
+  * fold order, with ranking on values rounded to 1e-6.
+  */
+object PipelineQueries {
+
+  final val Stopwords = Seq("the", "a", "data", "key", "value")
+  final val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "fast"),
+    "de" -> Seq("group", "hash"),
+    "es" -> Seq("data", "table"),
+    "fr" -> Seq("merge", "sort"),
+    "zh" -> Seq("big", "small"))
+  final val JaccardThreshold = 0.5
+  final val MinhashK = 8
+  final val ShingleLen = 3
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // shared oracle CTE fragments (DuckDB)
+  private val WordsCte =
+    "words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents)"
+  private val ShingleCte = // 3-word shingles, one row per (doc, pos)
+    s"""shingle AS (SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(w)-${ShingleLen - 1}),
+        i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s FROM words)"""
+  private val SigCte = // MinHash signature rows (doc_id, seed, minhash)
+    s"""sig AS (SELECT shingle.doc_id AS id, seeds.seed AS seed,
+        min(md5(seeds.seed::VARCHAR||':'||shingle.s)) AS minhash
+        FROM shingle, (SELECT unnest(generate_series(0,${MinhashK - 1})) AS seed) seeds
+        GROUP BY 1, 2)"""
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // exact dedup by content hash.
+    "dedup_exact" -> QueryDef(
+      (s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text"),
+      Some("""SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+        count(*)::BIGINT AS n_copies FROM documents GROUP BY text"""
+        .replaceAll("\\s+", " "))),
+
+    // MinHash signatures (k=8 seeds, word 3-gram shingles).
+    "dedup_minhash_sig" -> QueryDef(
+      (s, dir) => Dedup
+        .minhash(docs(s, dir), "doc_id", "text", MinhashK, ShingleLen)
+        .select(col("id"), col("seed").cast("long").as("seed"),
+          col("minhash")),
+      Some(s"""WITH $WordsCte, $ShingleCte
+        SELECT shingle.doc_id AS id, seeds.seed::BIGINT AS seed,
+        min(md5(seeds.seed::VARCHAR||':'||shingle.s)) AS minhash
+        FROM shingle,
+        (SELECT unnest(generate_series(0,${MinhashK - 1})) AS seed) seeds
+        GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
+    // LSH candidate pairs (4 bands × 2 rows).
+    "dedup_lsh_pairs" -> QueryDef(
+      (s, dir) => {
+        val sig = Dedup.minhash(docs(s, dir), "doc_id", "text",
+          MinhashK, ShingleLen)
+        Dedup.lshCandidatePairs(Dedup.lshBands(sig, 4, MinhashK))
+      },
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte,
+        band AS (SELECT id, seed//2 AS band,
+          md5(string_agg(seed::VARCHAR||'|'||minhash, ','
+            ORDER BY seed::VARCHAR||'|'||minhash)) AS band_hash
+          FROM sig GROUP BY id, seed//2)
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band a
+        JOIN band b ON a.band=b.band AND a.band_hash=b.band_hash
+          AND a.id < b.id""".replaceAll("\\s+", " "))),
+
+    // exact n-gram Jaccard over co-shingled pairs (all-pairs form here;
+    // the scale path feeds LSH candidates into the same operator).
+    "dedup_jaccard_pairs" -> QueryDef(
+      (s, dir) => Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
+        ShingleLen, JaccardThreshold),
+      Some(s"""WITH $WordsCte, $ShingleCte,
+        dsh AS (SELECT DISTINCT doc_id, s FROM shingle),
+        sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM dsh GROUP BY 1),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          count(*)::BIGINT AS n_shared FROM dsh a
+          JOIN dsh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          n_shared/(x.n_sh + y.n_sh - n_shared) AS jaccard FROM pr
+        JOIN sz x ON pr.id_a=x.doc_id JOIN sz y ON pr.id_b=y.doc_id
+        WHERE n_shared/(x.n_sh + y.n_sh - n_shared) >= $JaccardThreshold"""
+        .replaceAll("\\s+", " "))),
+
+    // 60-bit SimHash fingerprints.
+    "dedup_simhash" -> QueryDef(
+      (s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text"),
+      Some {
+        val votes = (0 until 60)
+          .map(b => s"sum(((h>>$b)&1)*2-1) AS v$b").mkString(", ")
+        val packed = (0 until 60)
+          .map(b => s"CASE WHEN v$b>0 THEN ${1L << b} ELSE 0 END")
+          .mkString("(", " + ", ")")
+        s"""WITH wd AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+          FROM documents),
+          h AS (SELECT doc_id, ('0x'||substr(md5(w),1,15))::BIGINT AS h
+          FROM wd),
+          v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+          SELECT doc_id AS id, $packed::BIGINT AS simhash FROM v"""
+          .replaceAll("\\s+", " ")
+      }),
+
+    // embedding near-duplicate pairs (cosine ≥ 0.95); list_reduce fold
+    // matches Spark's aggregate() fold order exactly.
+    "dedup_embedding_neardup" -> QueryDef(
+      (s, dir) => Dedup
+        .embeddingNearDup(emb(s, dir), "vec_id", "embedding", 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6)
+          .as("cosine_r")),
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_reduce(list_transform(generate_series(1,64),
+            i -> a.v[i]*b.v[i]), (x,y) -> x+y) /
+          (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y)) *
+           sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y)))
+          AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, round(cosine,6) AS cosine_r FROM p
+        WHERE cosine >= 0.95""".replaceAll("\\s+", " "))),
+
+    // brute-force cosine top-5 for query vectors vec_id < 16.
+    "ann_bruteforce_topk" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 16), e,
+          "vec_id", "embedding", 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine_r"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 16),
+        s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_transform(generate_series(1,64),
+            i -> q.qv[i]*c.v[i]), (x,y) -> x+y) /
+          (sqrt(list_reduce(list_transform(q.qv, x -> x*x), (x,y) -> x+y)) *
+           sqrt(list_reduce(list_transform(c.v, x -> x*x), (x,y) -> x+y)))
+          AS cos
+        FROM q, v c WHERE c.vec_id != q.qid)
+        SELECT query_id, rank, neighbor_id, cosine_r FROM (
+          SELECT query_id, neighbor_id, round(cos,6) AS cosine_r,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY round(cos,6) DESC, neighbor_id) AS rank FROM s)
+        WHERE rank <= 5""".replaceAll("\\s+", " "))),
+
+    // LSH-bucketed ANN (sign-random-projection) — approximate by design,
+    // so rows-only check; recall vs brute force is asserted in ScalaTest.
+    "ann_lsh_topk" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.lshTopK(e.filter(col("vec_id") < 16), e,
+          "vec_id", "embedding", k = 5, dim = 64,
+          numPlanes = 8, numTables = 2)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine_r"))
+      },
+      None),
+
+    // text quality metrics.
+    "text_quality" -> QueryDef(
+      (s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text",
+        Stopwords),
+      Some(s"""WITH $WordsCte,
+        t AS (SELECT d.doc_id, d.text, words.w FROM documents d
+              JOIN words ON d.doc_id=words.doc_id)
+        SELECT doc_id AS id, len(w)::BIGINT AS n_words,
+        length(text)::BIGINT AS n_chars,
+        length(text)/len(w) AS avg_token_len,
+        len(list_distinct(w))/len(w) AS distinct_ratio,
+        len(list_filter(w, x -> list_contains(
+          [${Stopwords.map("'" + _ + "'").mkString(",")}], x)))/len(w)
+          AS stopword_ratio FROM t""".replaceAll("\\s+", " "))),
+
+    // heuristic language ID (marker-word argmax, deterministic ties).
+    "text_langid" -> QueryDef(
+      (s, dir) => TextAnalysis
+        .langId(docs(s, dir), "doc_id", "text", LangMarkers)
+        .select(col("id"), col("pred_lang"), col("score").cast("long")
+          .as("score")),
+      Some {
+        val langs = LangMarkers.keys.toSeq.sorted
+        val scoreCols = langs.map { l =>
+          val ms = LangMarkers(l).map("'" + _ + "'").mkString(",")
+          s"len(list_filter(w, x -> list_contains([$ms], x)))::BIGINT AS s_$l"
+        }.mkString(", ")
+        val langList = langs.map("'" + _ + "'").mkString(",")
+        val scoreList = langs.map(l => s"s_$l").mkString(",")
+        s"""WITH $WordsCte,
+          s AS (SELECT doc_id, $scoreCols FROM words),
+          u AS (SELECT doc_id, unnest([$langList]) AS lang,
+            unnest([$scoreList]) AS score FROM s),
+          r AS (SELECT doc_id, lang, score, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+            FROM u)
+          SELECT doc_id AS id, lang AS pred_lang, score FROM r
+          WHERE rn = 1""".replaceAll("\\s+", " ")
+      }),
+
+    // token counting (whitespace + 4-chars-per-token BPE-ish estimate).
+    "text_tokens" -> QueryDef(
+      (s, dir) => TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text"),
+      Some(s"""WITH $WordsCte
+        SELECT doc_id AS id, len(w)::BIGINT AS ws_tokens,
+        list_sum(list_transform(w, x -> (length(x)+3)//4))::BIGINT
+          AS bpe_tokens FROM words""".replaceAll("\\s+", " "))),
+
+    // document fingerprints (content / 64-bit prefix / bag-of-words).
+    "text_fingerprint" -> QueryDef(
+      (s, dir) => TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text"),
+      Some("""SELECT doc_id AS id, md5(text) AS content_md5,
+        substr(md5(text),1,16) AS fp64,
+        md5(array_to_string(list_sort(string_split(text,' ')), ' '))
+          AS bag_md5 FROM documents""".replaceAll("\\s+", " "))),
+
+    // multimodal: metadata/describe pass over binary payloads.
+    "mm_describe" -> QueryDef(
+      (s, dir) => Multimodal.describe(Multimodal.fromBinary(
+          docs(s, dir), "doc_id", col("text").cast("binary"), "image"))
+        .select(col("asset_id"), col("media_type"),
+          col("payload_bytes").cast("long").as("payload_bytes"),
+          col("payload_md5"), col("codec")),
+      Some("""SELECT doc_id AS asset_id, 'image' AS media_type,
+        strlen(text)::BIGINT AS payload_bytes, md5(text) AS payload_md5,
+        'stub' AS codec FROM documents""".replaceAll("\\s+", " "))),
+
+    // multimodal: STUB decode → deterministic fake features, exploded to
+    // (asset_id, i, feature) rows.
+    "mm_decode_features" -> QueryDef(
+      (s, dir) => Multimodal.decodeStub(Multimodal.fromBinary(
+          docs(s, dir), "doc_id", col("text").cast("binary"), "image"), 4)
+        .select(col("asset_id"), posexplode(col("features")))
+        .select(col("asset_id"), col("pos").cast("long").as("i"),
+          col("col").as("feature")),
+      Some("""SELECT asset_id, i::BIGINT AS i,
+        (('0x'||substr(md5(hx||i::VARCHAR),1,8))::BIGINT
+          / 4294967296.0)::FLOAT AS feature
+        FROM (SELECT doc_id AS asset_id, hex(text::BLOB) AS hx,
+          unnest(generate_series(0,3)) AS i FROM documents)"""
+        .replaceAll("\\s+", " "))),
+
+    // multimodal: frame-sampling row-explosion plumbing (STUB codec).
+    "mm_sample_frames" -> QueryDef(
+      (s, dir) => Multimodal.sampleFrames(Multimodal.fromBinary(
+          docs(s, dir), "doc_id", col("text").cast("binary"), "video"), 3)
+        .select(col("asset_id"), col("frame_no").cast("long")
+          .as("frame_no"), col("frame_key")),
+      Some("""SELECT asset_id, frame_no::BIGINT AS frame_no,
+        asset_id::VARCHAR||'#'||frame_no::VARCHAR AS frame_key
+        FROM (SELECT doc_id AS asset_id,
+          unnest(generate_series(0,2)) AS frame_no FROM documents)"""
+        .replaceAll("\\s+", " "))))
+}

@@ -1,0 +1,311 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational engine surface: joins / aggregations / windows / sorts /
+  * set ops / scalar functions — the categories SURVEY.md §2.3-§2.8 marks
+  * "absent in the reference, required engine surface" (north star).
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension joins broadcast the small side explicitly (`broadcast()`),
+  *    so the fact table never shuffles for them;
+  *  - aggregates are plain `groupBy().agg` → Catalyst plans partial
+  *    (map-side) + final aggregation automatically;
+  *  - top-k = orderBy+limit → Spark's TakeOrderedAndProject (no global
+  *    sort materialization);
+  *  - windows partition by high-cardinality keys (custkey/user_id), so
+  *    state per partition stays small.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // TPC-H Q1-style pricing summary: wide aggregate with partial/final
+    // split; sum_qty exact (integral doubles), money sums rounded.
+    "q1_pricing_summary" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        sum(l_quantity)::BIGINT AS sum_qty,
+        round(sum(l_extendedprice),2) AS sum_base_price,
+        round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        sum(l_quantity)/count(*) AS avg_qty,
+        round(avg(l_extendedprice),4) AS avg_price,
+        round(avg(l_discount),6) AS avg_disc,
+        count(*)::BIGINT AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""".replaceAll("\\s+", " "))),
+
+    // Q3-style: 3-way join → grouped revenue → deterministic top-10.
+    "q3_topk_revenue" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1997-06-30").cast("timestamp"))
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1997-06-30").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .select(col("o_orderkey"), col("o_orderdate").cast("date")
+            .as("o_orderdate"), col("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o.o_orderkey, o.o_orderdate::DATE AS o_orderdate,
+        round(sum(l.l_extendedprice*(1-l.l_discount)),2) AS revenue
+        FROM customer c JOIN orders o ON c.c_custkey=o.o_custkey
+        JOIN lineitem l ON l.l_orderkey=o.o_orderkey
+        WHERE c.c_mktsegment='BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+        GROUP BY 1,2 ORDER BY revenue DESC, o.o_orderkey LIMIT 10"""
+        .replaceAll("\\s+", " "))),
+
+    // Q5-style: 5-way join, all dimensions broadcast.
+    "q5_nation_revenue" -> QueryDef(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val su = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"), count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name,
+        round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        count(*)::BIGINT AS n_items
+        FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        JOIN customer ON o_custkey=c_custkey
+        JOIN supplier ON l_suppkey=s_suppkey
+        JOIN nation ON s_nationkey=n_nationkey
+        JOIN region ON n_regionkey=r_regionkey
+        WHERE r_name='ASIA' GROUP BY n_name""".replaceAll("\\s+", " "))),
+
+    // Q6-style: pushed-down filter + single-row aggregate.
+    "q6_filtered_revenue" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.04, 0.06)
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue")),
+      Some("""SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24"""
+        .replaceAll("\\s+", " "))),
+
+    // left-semi join (EXISTS).
+    "join_semi" -> QueryDef(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS(SELECT 1 FROM orders
+        WHERE o_custkey=c_custkey AND o_orderstatus='P')"""
+        .replaceAll("\\s+", " "))),
+
+    // left-anti join (NOT EXISTS).
+    "join_anti" -> QueryDef(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS(SELECT 1 FROM orders
+        WHERE o_custkey=c_custkey AND o_orderstatus='P')"""
+        .replaceAll("\\s+", " "))),
+
+    // broadcast dimension join + aggregate.
+    "join_broadcast_part" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price")),
+      Some("""SELECT p_brand, sum(l_quantity)::BIGINT AS sum_qty,
+        count(*)::BIGINT AS n, round(sum(l_extendedprice),2) AS sum_price
+        FROM lineitem JOIN part ON l_partkey=p_partkey GROUP BY p_brand"""
+        .replaceAll("\\s+", " "))),
+
+    // ranking window: top-3 orders per customer, deterministic ties.
+    "win_rank_orders" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+            col("o_totalprice"))
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        WHERE rn <= 3""".replaceAll("\\s+", " "))),
+
+    // frame window: running total per customer.
+    "win_running_total" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum(col("o_totalprice")).over(w), 2).as("running"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running
+        FROM orders""".replaceAll("\\s+", " "))),
+
+    // analytic window: per-user inter-event gaps (lag).
+    "win_lag_gap" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("time_us"), col("event_id"))
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("time_us"))
+          .withColumn("gap_us", col("time_us") - lag(col("time_us"), 1).over(w))
+          .select(col("user_id"), col("event_id"), col("gap_us"))
+      },
+      Some("""SELECT user_id, event_id,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        ORDER BY epoch_us(ts), event_id) AS gap_us FROM events"""
+        .replaceAll("\\s+", " "))),
+
+    // set operations.
+    "setop_union" -> QueryDef(
+      (s, dir) => t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .union(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+        .distinct(),
+      Some("""SELECT c_custkey AS custkey FROM customer
+        WHERE c_mktsegment='BUILDING'
+        UNION SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderstatus='F'""".replaceAll("\\s+", " "))),
+
+    "setop_except" -> QueryDef(
+      (s, dir) => t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey"))),
+      Some("""SELECT c_custkey AS custkey FROM customer
+        EXCEPT SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderstatus='O'""".replaceAll("\\s+", " "))),
+
+    "setop_intersect" -> QueryDef(
+      (s, dir) => t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .intersect(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey"))),
+      Some("""SELECT c_custkey AS custkey FROM customer
+        WHERE c_mktsegment='BUILDING'
+        INTERSECT SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderstatus='F'""".replaceAll("\\s+", " "))),
+
+    // grouped stats incl. exact distinct count.
+    "agg_stats" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          round(avg(col("o_totalprice")), 2).as("avg_price")),
+      Some("""SELECT o_orderpriority, count(*)::BIGINT AS n,
+        count(DISTINCT o_custkey)::BIGINT AS n_cust,
+        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        round(avg(o_totalprice),2) AS avg_price
+        FROM orders GROUP BY o_orderpriority""".replaceAll("\\s+", " "))),
+
+    // grouping sets via ROLLUP (NULL-marked subtotal rows).
+    "agg_rollup" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        sum(l_quantity)::BIGINT AS sum_qty FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+        .replaceAll("\\s+", " "))),
+
+    // approximate distinct (HLL) — implementation-specific values, so
+    // rows-only check; exactness is covered by agg_stats.
+    "agg_approx_distinct" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
+      None),
+
+    // scalar string functions.
+    "scalar_string" -> QueryDef(
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("pfx"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        expr("replace(p_type, ' ', '_')").as("type_u")),
+      Some("""SELECT p_partkey, upper(substr(p_name,1,8)) AS pfx,
+        length(p_name)::BIGINT AS name_len,
+        p_brand||':'||p_type AS brand_type,
+        replace(p_type,' ','_') AS type_u FROM part"""
+        .replaceAll("\\s+", " "))),
+
+    // scalar math functions (single-op-per-row: bit-deterministic).
+    "scalar_math" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        abs(col("l_quantity") - 25).as("absq"),
+        floor(col("l_extendedprice")).cast("long").as("fl"),
+        ceil(col("l_extendedprice")).cast("long").as("ce"),
+        (col("l_orderkey") % 7).as("m7"),
+        round(col("l_discount") * 100).as("d100")),
+      Some("""SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        abs(l_quantity-25) AS absq, floor(l_extendedprice)::BIGINT AS fl,
+        ceil(l_extendedprice)::BIGINT AS ce, l_orderkey % 7 AS m7,
+        round(l_discount*100) AS d100 FROM lineitem"""
+        .replaceAll("\\s+", " "))))
+}

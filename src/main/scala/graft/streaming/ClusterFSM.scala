@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import graft.model._
+
+/** HA supervisor state machine — the `hamonitor` control plane
+  * (/root/reference/pkg/agent/hacluster.go:259-390 `SuperVisor` /
+  * `checkCluster`).
+  *
+  * Pure-transition core (`step`) so probe traces can drive it in tests
+  * (FIXTURES.md §B.5); a thin runner wires it to real probes and to the
+  * CopyJob backfill. Unlike the reference, whose FSM state dies with the
+  * process, callers can persist `FsmState` (checkpointing — a deliberate
+  * improvement, SURVEY.md §7.3 hard part 6).
+  *
+  * Transitions (hacluster.go:266-370):
+  *   OK                ─ slave down ─▶ CHECK_SLAVE_DOWN  (284-295)
+  *   CHECK_SLAVE_DOWN  ─ still down ─▶ (hold)            (297-303)
+  *   CHECK_SLAVE_DOWN  ─ slave up   ─▶ RECOVERING        (305-342)
+  *       with recovery window [slaveLastOkNs − checkIntervalNs, nowNs]
+  *       (window math hacluster.go:310,321 — the one-interval overlap
+  *        guards against boundary loss; InfluxDB-style idempotent
+  *        upsert/our partition-overwrite sink makes it safe)
+  *   RECOVERING        ─ backfill done ─▶ OK, numRecovers++ (337-341)
+  */
+object ClusterFSM {
+
+  final case class FsmState(
+      state: ClusterState,
+      masterLastOkNs: Long,
+      slaveLastOkNs: Long,
+      numRecovers: Long,
+      lastRecoverDurationNs: Long)
+
+  final case class RecoveryWindow(startNs: Long, endNs: Long)
+
+  def initial(nowNs: Long): FsmState =
+    FsmState(ClusterState.Ok, nowNs, nowNs, 0L, 0L)
+
+  /** One supervisor evaluation (period = min-sync-interval, 20s default,
+    * conf/sample.syncflux.toml:67). Returns the new state and, on the
+    * down→up edge, the backfill window to replicate. */
+  def step(
+      st: FsmState,
+      nowNs: Long,
+      masterUp: Boolean,
+      slaveUp: Boolean,
+      checkIntervalNs: Long): (FsmState, Option[RecoveryWindow]) = {
+    val mOk = if (masterUp) nowNs else st.masterLastOkNs
+    val sOk = if (slaveUp) nowNs else st.slaveLastOkNs
+    st.state match {
+      case ClusterState.Ok =>
+        if (!slaveUp)
+          (st.copy(state = ClusterState.CheckSlaveDown,
+            masterLastOkNs = mOk), None)
+        else (st.copy(masterLastOkNs = mOk, slaveLastOkNs = sOk), None)
+
+      case ClusterState.CheckSlaveDown =>
+        if (slaveUp) {
+          // recovery window = [lastOK − checkInterval, now]
+          // (hacluster.go:310,321)
+          val w = RecoveryWindow(st.slaveLastOkNs - checkIntervalNs, nowNs)
+          (st.copy(state = ClusterState.Recovering, masterLastOkNs = mOk),
+            Some(w))
+        } else (st.copy(masterLastOkNs = mOk), None)
+
+      case ClusterState.Recovering =>
+        // runner calls recoveryDone() when the backfill batch finishes
+        (st.copy(masterLastOkNs = mOk, slaveLastOkNs = sOk), None)
+    }
+  }
+
+  /** Backfill completion → OK, counters updated (hacluster.go:337-341). */
+  def recoveryDone(st: FsmState, nowNs: Long, durationNs: Long): FsmState =
+    st.copy(state = ClusterState.Ok, slaveLastOkNs = nowNs,
+      numRecovers = st.numRecovers + 1, lastRecoverDurationNs = durationNs)
+
+  def toStatus(st: FsmState, masterUp: Boolean, slaveUp: Boolean)
+      : ClusterStatus = {
+    val name = st.state match {
+      case ClusterState.Ok             => "OK"
+      case ClusterState.CheckSlaveDown => "CHECK_SLAVE_DOWN"
+      case ClusterState.Recovering     => "RECOVERING"
+    }
+    ClusterStatus(name, st.numRecovers, st.lastRecoverDurationNs,
+      masterUp, st.masterLastOkNs, slaveUp, st.slaveLastOkNs)
+  }
+}
+
+/** Driver-side monitor runner: periodic probes (check-interval, 10s
+  * default) + supervisor loop + backfill trigger. The Spark scheduler
+  * runs the backfill itself; probing is control-plane-only, matching
+  * `StartMonitor` (/root/reference/pkg/agent/influxmonitor.go:163-187).
+  */
+final class HAMonitor(
+    masterProbe: () => Boolean,
+    slaveProbe: () => Boolean,
+    checkIntervalNs: Long,
+    backfill: ClusterFSM.RecoveryWindow => Unit,
+    nowNs: () => Long = () => System.nanoTime()) {
+
+  private val ref = new AtomicReference(ClusterFSM.initial(nowNs()))
+
+  def state: ClusterFSM.FsmState = ref.get()
+
+  /** One supervisor tick; runs backfill synchronously on the recovery
+    * edge (the reference also blocks its supervisor goroutine during
+    * ReplicateData, hacluster.go:333). */
+  def tick(): ClusterFSM.FsmState = {
+    val (mUp, sUp) = (masterProbe(), slaveProbe())
+    val t = nowNs()
+    val (next, win) = ClusterFSM.step(ref.get(), t, mUp, sUp, checkIntervalNs)
+    val after = win match {
+      case Some(w) =>
+        val t0 = nowNs()
+        backfill(w)
+        ClusterFSM.recoveryDone(next, nowNs(), nowNs() - t0)
+      case None => next
+    }
+    ref.set(after)
+    after
+  }
+
+  def status: ClusterStatus =
+    ClusterFSM.toStatus(ref.get(), masterProbe(), slaveProbe())
+}
