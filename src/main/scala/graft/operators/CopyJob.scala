@@ -71,19 +71,27 @@ final class CopyJob(
       val slice = Tables
         .timeRange(src, cfg.timeCol, chunk.startNs, chunk.endNs,
           cfg.strictReferenceBounds)
-        .withColumn("__bucket",
-          floor(col(cfg.timeCol) / lit(cfg.chunkNs)).cast("long"))
+        // partition key = the chunk's [start,end) span, NOT a ts-derived
+        // bucket: recovery re-runs a window at chunk/10 granularity, and
+        // every (re-)write of a chunk must replace exactly that chunk's
+        // partition and nothing else. After a successful write, stale
+        // partitions strictly contained in this span (left by an earlier
+        // finer-grained recovery) are dropped — their rows are a subset
+        // of what was just written.
+        .withColumn("__bucket", lit(s"${chunk.startNs}_${chunk.endNs}"))
       writeHook(chunk, dstPath)
       // Dynamic partition overwrite: only the buckets present in this
-      // slice are replaced → blind re-copy is idempotent.
-      val counted = slice.observe("copy_metrics", count(lit(1)).as("n"))
-      counted.write
+      // slice are replaced → blind re-copy is idempotent. Point count
+      // rides the write via Observation (no second scan; the metric is
+      // collected from the write's own execution).
+      val obs = org.apache.spark.sql.Observation()
+      slice.observe(obs, count(lit(1)).as("n")).write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket")
         .parquet(dstPath)
-      points = counted.queryExecution.observedMetrics
-        .get("copy_metrics").map(_.getLong(0)).getOrElse(0L)
+      points = obs.get("n").asInstanceOf[Long]
+      dropContainedStalePartitions(dstPath, chunk)
     }
 
     var done = false
@@ -101,6 +109,33 @@ final class CopyJob(
     if (!done) writeErr += 1
     ChunkResult(chunk, srcPath, points, if (done) 0 else readErr,
       writeErr, System.currentTimeMillis() - t0)
+  }
+
+  /** Remove partitions whose span is strictly contained in the chunk just
+    * written — leftovers of a finer-grained recovery pass that the new
+    * coarse write fully supersedes. Runs only after a successful write,
+    * so a failure never loses data (matching the safety of InfluxDB's
+    * never-deleting upsert). */
+  private def dropContainedStalePartitions(
+      dstPath: String, chunk: ChunkSpec): Unit = {
+    val dir = new java.io.File(dstPath)
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+    parts.foreach { f =>
+      f.getName.stripPrefix("__bucket=").split('_') match {
+        case Array(s, e) =>
+          val (ps, pe) = (s.toLong, e.toLong)
+          val contained = ps >= chunk.startNs && pe <= chunk.endNs
+          val identical = ps == chunk.startNs && pe == chunk.endNs
+          if (contained && !identical) deleteRecursively(f)
+        case _ => ()
+      }
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Full copy of one measurement over a window: newest-first chunks,

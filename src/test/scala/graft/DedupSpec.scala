@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("shingles: n-grams, short docs yield empty (not descending seq)") {
+    val out = df((1L, "a b c d"), (2L, "a b"), (3L, "a"))
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L).isEmpty)
+    assert(out(3L).isEmpty)
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(
+      df((5L, "x y z"), (3L, "x y z"), (7L, "other words")),
+      "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2)
+    val dup = out.find(_._2 == 3L).get
+    assert(dup._3 == 2L)
+  }
+
+  test("minhash: identical docs get identical signatures; k rows each") {
+    val sig = Dedup.minhash(
+      df((1L, "the quick brown fox jumps high"),
+        (2L, "the quick brown fox jumps high"),
+        (3L, "completely different words here now ok")),
+      "doc_id", "text", 4, 3)
+    val rows = sig.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.count(_._1 == 1L) == 4)
+    val s1 = rows.filter(_._1 == 1L).map(r => r._2 -> r._3).toMap
+    val s2 = rows.filter(_._1 == 2L).map(r => r._2 -> r._3).toMap
+    val s3 = rows.filter(_._1 == 3L).map(r => r._2 -> r._3).toMap
+    assert(s1 == s2)
+    assert(s1 != s3)
+  }
+
+  test("LSH bands route identical docs to the same buckets → pair found") {
+    val d = df((1L, "the quick brown fox jumps high"),
+      (2L, "the quick brown fox jumps high"),
+      (3L, "completely different words here now ok"))
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBands(Dedup.minhash(d, "doc_id", "text", 4, 3), 2, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("jaccard: identical docs score 1.0; threshold filters strangers") {
+    val d = df((1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "z y x w v u"))
+    val out = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: equal for identical text, long-valued, stable") {
+    val out = Dedup.simhash(
+      df((1L, "spark scan filter join"), (2L, "spark scan filter join"),
+        (3L, "utterly unrelated content stream")),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    assert(out(1L) >= 0L) // 60-bit → always non-negative
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1; orthogonal is 0") {
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f), 1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f), 2L, Seq(0.0f, 3.0f)))
+      .toDF("id_a", "va", "id_b", "vb")
+    val out = d.select(Similarity.cosine(
+      Similarity.asDouble($"va"), Similarity.asDouble($"vb")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+  }
+
+  test("brute-force top-k: ranks are 1..k, no self-matches, sorted") {
+    val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
+    val out = Similarity.bruteForceTopK(
+      e.filter($"vec_id" < 4), e, "vec_id", "embedding", 3).collect()
+    assert(out.length == 4 * 3)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+      assert(rows.forall(_.getLong(2) != q))
+      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.sliding(2).forall { case Array(a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN achieves reasonable recall@5 vs brute force") {
+    val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
+    val q = e.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(q, e, "vec_id", "embedding",
+      k = 5, dim = 64, numPlanes = 6, numTables = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@5 = $recall") // approximate by design
+  }
+}

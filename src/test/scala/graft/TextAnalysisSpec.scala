@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  val d = Seq((1L, "the quick the fox"), (2L, "aa bb cc dd"))
+    .toDF("doc_id", "text")
+
+  test("quality metrics: counts, ratios") {
+    val out = TextAnalysis.quality(d, "doc_id", "text", Seq("the"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+    val (nw, nc, distinct, stop) = out(1L)
+    assert(nw == 4 && nc == 17)
+    assert(distinct == 0.75) // {the, quick, fox} / 4
+    assert(stop == 0.5)
+  }
+
+  test("langId: marker argmax with deterministic ties") {
+    val markers = Map("en" -> Seq("the"), "xx" -> Seq("zz"))
+    val out = TextAnalysis.langId(d, "doc_id", "text", markers)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    assert(out(1L) == ("en", 2))
+    assert(out(2L) == ("xx", 0)) // 0-0 tie → lexicographically greatest
+  }
+
+  test("token counts: whitespace + ceil(len/4) subwords") {
+    val out = TextAnalysis.tokenCounts(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == (4L, 1L + 2L + 1L + 1L)) // the,quick,the,fox → 1+2+1+1
+    assert(out(2L) == (4L, 4L))
+  }
+
+  test("fingerprint: bag hash is word-order independent") {
+    val d2 = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprint(d2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(3)))
+      .toMap
+    assert(out(1L)._1 != out(2L)._1) // content hashes differ
+    assert(out(1L)._2 == out(2L)._2) // bag hashes agree
+    assert(out(1L)._2 != out(3L)._2)
+  }
+
+  test("multimodal: describe + stub decode produce fixed-width features") {
+    val assets = Multimodal.fromBinary(d, "doc_id",
+      col("text").cast("binary"), "image")
+    assert(assets.schema.fieldNames.toSeq ==
+      Seq("asset_id", "media_type", "payload", "meta"))
+    val desc = Multimodal.describe(assets).collect()
+    assert(desc.forall(_.getAs[String]("codec") == "stub"))
+    val feats = Multimodal.decodeStub(assets, 8).collect()
+    assert(feats.forall(_.getSeq[Float](2).length == 8))
+    val frames = Multimodal.sampleFrames(Multimodal.fromBinary(d, "doc_id",
+      col("text").cast("binary"), "video"), 2).collect()
+    assert(frames.length == 4)
+  }
+}
