@@ -42,7 +42,8 @@ object CopyJob {
       rwMaxRetries: Int = 5, // main.go:209-215 default
       rwRetryDelayMs: Long = 0L, // 10s in reference; 0 keeps tests fast
       strictReferenceBounds: Boolean = false,
-      recoveryFactor: Int = 10) // sync.go:226
+      recoveryFactor: Int = 10, // sync.go:226
+      numWorkers: Int = 4) // num-workers, conf/sample.syncflux.toml:125
 }
 
 final class CopyJob(
@@ -147,14 +148,34 @@ final class CopyJob(
       cfg: Config): SyncReport = {
     val chunks = ChunkPlanner.plan(cfg.startNs, cfg.endNs, cfg.chunkNs,
       cfg.maxRetentionNs)
-    val firstPass = chunks.map(c => copyChunk(srcPath, dstPath, c, cfg))
+    // newest-first submission over a bounded worker pool — the Spark
+    // scheduler interleaves the per-chunk jobs, replacing the reference's
+    // per-chunk workerpool (sync.go:141-183). Chunks write disjoint
+    // partitions, so concurrent commits don't conflict.
+    val firstPass = inParallel(cfg.numWorkers, chunks)(
+      c => copyChunk(srcPath, dstPath, c, cfg))
     val bad = firstPass.filterNot(_.ok).map(_.chunk)
     val recovery = bad.flatMap { c =>
       val fine = ChunkPlanner.plan(c.startNs, c.endNs,
         math.max(1L, cfg.chunkNs / cfg.recoveryFactor))
-      fine.map(f => copyChunk(srcPath, dstPath, f, cfg))
+      inParallel(cfg.numWorkers, fine)(
+        f => copyChunk(srcPath, dstPath, f, cfg))
     }
     SyncReport(srcPath, dstPath, firstPass ++ recovery)
+  }
+
+  private def inParallel[A, B](workers: Int, items: Seq[A])(f: A => B)
+      : Seq[B] = {
+    if (items.size <= 1 || workers <= 1) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(workers, items.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = items.map { a =>
+        new java.util.concurrent.Callable[B] { def call(): B = f(a) }
+      }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
   }
 
   /** ReplicateData analog: walk a discovered schema and copy every

@@ -46,18 +46,24 @@ object Dedup {
   /** MinHash signatures: rows (id, seed, minhash) for seeds 0..k-1,
     * minhash = min over shingles of md5("<seed>:<shingle>").
     * Min over hex strings is a valid uniform min-hash (lexicographic order
-    * on uniformly-distributed hex is uniform). */
+    * on uniformly-distributed hex is uniform).
+    *
+    * Single-pass: one groupBy over the shingle rows with k min-aggregate
+    * columns, then a tiny unpivot — no k-way row explosion, so the
+    * shuffle carries |shingles| rows instead of k·|shingles| and the agg
+    * is map-side-combined. */
   def minhash(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleLen: Int): DataFrame = {
     val sh = df
       .select(col(idCol).as("id"),
         explode(shingles(col(textCol), shingleLen)).as("sh"))
-    val seeds = (0 until numHashes).map(s => lit(s)) // tiny literal dim
-    sh.select(col("id"), col("sh"),
-        explode(array(seeds: _*)).as("seed"))
-      .groupBy(col("id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh"))))
-        .as("minhash"))
+    val mins = (0 until numHashes).map { s =>
+      min(md5(concat_ws(":", lit(s), col("sh")))).as(s"m$s")
+    }
+    val packed = sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    val kv = (0 until numHashes).flatMap(s => Seq(lit(s), col(s"m$s")))
+    packed.select(col("id"),
+      explode(map(kv: _*)).as(Seq("seed", "minhash")))
   }
 
   /** LSH band hashes from minhash rows: `bands` bands of
