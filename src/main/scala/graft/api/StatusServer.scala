@@ -31,15 +31,28 @@ final class StatusServer(
     os.write(bytes); os.close()
   }
 
+  /** JSON string escape: backslash, quote, and all control chars — server
+    * names and state strings are caller-supplied, so interpolating them
+    * raw could emit invalid JSON. */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def healthJson(s: ClusterStatus): String =
-    s"""{"ClusterState":"${s.clusterState}",""" +
+    s"""{"ClusterState":${jstr(s.clusterState)},""" +
       s""""ClusterNumRecovers":${s.clusterNumRecovers},""" +
       s""""ClusterLastRecoverDuration":${s.clusterLastRecoverDurationNs},""" +
       s""""MID":{"Active":${s.masterState},"LastOK":${s.masterLastOkNs}},""" +
       s""""SID":{"Active":${s.slaveState},"LastOK":${s.slaveLastOkNs}}}"""
 
   def queryActiveJson(names: Seq[(String, Boolean)]): String =
-    names.collect { case (n, true) => "\"" + n + "\"" }
+    names.collect { case (n, true) => jstr(n) }
       .mkString("[", ",", "]")
 
   def start(): Unit = {

@@ -1,9 +1,9 @@
 package graft.catalog
 
-import java.io.File
-
 import graft.model._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 
 /** Catalog discovery with regex filtering and rename rewrite.
@@ -21,27 +21,43 @@ import org.apache.spark.sql.types._
   * `root/<db>/<rp>/<measurement>.parquet`; a flat `root/<m>.parquet`
   * layout (the driver's TESTDATA) surfaces as db="default", rp="autogen".
   * Fields come from the Parquet footer schema instead of SHOW FIELD KEYS.
+  *
+  * All directory walking goes through the Hadoop FileSystem API resolved
+  * from the session's Hadoop conf, so discovery works against any storage
+  * URI (local/HDFS/S3A) — a prerequisite of the 100 TB posture.
   */
 final class Catalog(spark: SparkSession) {
+
+  private def fsFor(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
 
   /** SHOW DATABASES analog (client.go:158-183). */
   def databases(root: String): Seq[String] = {
     val subdirs = listDirs(root)
-    val dbs = if (subdirs.nonEmpty) subdirs.map(_.getName) else Seq("default")
+    val dbs = if (subdirs.nonEmpty) subdirs else Seq("default")
     dbs.filter(_ != "_internal").sorted // _internal exclusion client.go:169-171
   }
 
   /** SHOW MEASUREMENTS analog: parquet tables under a (db, rp) dir, or the
     * flat root (client.go:271-310). */
-  def measurements(dir: String): Seq[String] =
-    Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(_.getName.stripSuffix(".parquet"))
-      .sorted.toSeq
+  def measurements(dir: String): Seq[String] = {
+    val (fs, p) = fsFor(dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .sorted
+  }
 
   /** SHOW FIELD KEYS analog: Parquet footer schema → FieldSch map, using
-    * the inverse of the §1.2 type mapping. */
+    * the inverse of the §1.2 type mapping. Sets the ns-as-long session
+    * conf first so schema discovery over ns-timestamp tables is
+    * order-independent (doesn't rely on a prior Tables.load call). */
   def fields(path: String): Map[String, FieldSch] = {
+    Tables.ensureNsConf(spark)
     val schema = spark.read.parquet(path).schema
     schema.fields.map { f =>
       val ft = f.dataType match {
@@ -85,7 +101,7 @@ final class Catalog(spark: SparkSession) {
         databases(root)
           .filter(d => dbRe.findFirstIn(d).isDefined) // hacluster.go:85-99
           .flatMap { db =>
-            val rpDirs = listDirs(s"$root/$db").map(_.getName)
+            val rpDirs = listDirs(s"$root/$db")
               .filter(rp => rpRe.findFirstIn(rp).isDefined) // hacluster.go:108-121
               .sorted
             val rps = rpDirs.map { rp =>
@@ -107,7 +123,12 @@ final class Catalog(spark: SparkSession) {
     }
   }
 
-  private def listDirs(path: String): Seq[File] =
-    Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).sortBy(_.getName).toSeq
+  private def listDirs(path: String): Seq[String] = {
+    val (fs, p) = fsFor(path)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .sorted
+  }
 }

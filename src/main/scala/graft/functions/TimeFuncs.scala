@@ -54,6 +54,10 @@ object TimeFuncs {
     val re = "([0-9]+(?:\\.[0-9]+)?)(ns|us|µs|ms|s|m|h|d|w)".r
     val matches = re.findAllMatchIn(t).toSeq
     require(matches.nonEmpty, s"unparseable duration: $s")
+    // the units must tile the whole string — Go's time.ParseDuration
+    // rejects garbage between or around components ("5hxx3m" is an error)
+    require(matches.map(_.matched).mkString == t,
+      s"unparseable duration: $s")
     matches.map { m =>
       val v = m.group(1).toDouble
       val unit = m.group(2) match {

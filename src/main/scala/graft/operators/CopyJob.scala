@@ -5,6 +5,7 @@ import scala.util.{Failure, Success, Try}
 import graft.model._
 import graft.plan.ChunkPlanner
 import graft.sources.Tables
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -53,23 +54,48 @@ final class CopyJob(
     writeHook: (ChunkSpec, String) => Unit = (_, _) => ()) {
   import CopyJob.Config
 
+  /** Retry one phase within the reference's budget (try.go:15-30, applied
+    * independently to the read and the write path — client.go:363-381 and
+    * 541-557). Returns (result if any attempt succeeded, error count —
+    * the attempts burned iff the whole budget exhausted, matching the
+    * reference's per-phase ChunkReport error counters). */
+  private def retryPhase[A](cfg: Config)(body: => A): (Option[A], Long) = {
+    var tries = 0
+    var out: Option[A] = None
+    while (out.isEmpty && tries < cfg.rwMaxRetries) {
+      tries += 1
+      Try(body) match {
+        case Success(a) => out = Some(a)
+        case Failure(_) =>
+          if (tries < cfg.rwMaxRetries && cfg.rwRetryDelayMs > 0)
+            Thread.sleep(cfg.rwRetryDelayMs)
+      }
+    }
+    (out, if (out.isEmpty) tries.toLong else 0L)
+  }
+
   /** Copy one measurement's chunk: scan `[s,e)` → overwrite that bucket
-    * partition of the sink. Returns points copied. */
+    * partition of the sink. Read and write phases carry separate retry
+    * budgets and separate error counters, mirroring the reference's
+    * independent ReadDB / WriteDB retries (client.go:363-381, 541-557;
+    * counted into ChunkReport at sync.go:151-153,166,175). The scan is
+    * lazy, so the *driver-side* read work (footer/schema resolution, slice
+    * construction) is the read phase; the distributed scan executes fused
+    * into the write job and any runtime failure there counts as a write
+    * failure — the price of not buffering chunks in driver RAM like the
+    * reference does (client.go:348-484). */
   def copyChunk(
       srcPath: String,
       dstPath: String,
       chunk: ChunkSpec,
       cfg: Config): ChunkResult = {
     val t0 = System.currentTimeMillis()
-    var readErr = 0L
-    var writeErr = 0L
-    var points = 0L
 
-    def attempt(): Unit = {
+    def readPhase(): DataFrame = {
       readHook(chunk, srcPath)
       Tables.ensureNsConf(spark)
       val src = spark.read.parquet(srcPath)
-      val slice = Tables
+      Tables
         .timeRange(src, cfg.timeCol, chunk.startNs, chunk.endNs,
           cfg.strictReferenceBounds)
         // partition key = the chunk's [start,end) span, NOT a ts-derived
@@ -80,6 +106,9 @@ final class CopyJob(
         // finer-grained recovery) are dropped — their rows are a subset
         // of what was just written.
         .withColumn("__bucket", lit(s"${chunk.startNs}_${chunk.endNs}"))
+    }
+
+    def writePhase(slice: DataFrame): Long = {
       writeHook(chunk, dstPath)
       // Dynamic partition overwrite: only the buckets present in this
       // slice are replaced → blind re-copy is idempotent. Point count
@@ -91,52 +120,43 @@ final class CopyJob(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket")
         .parquet(dstPath)
-      points = obs.get("n").asInstanceOf[Long]
       dropContainedStalePartitions(dstPath, chunk)
+      obs.get("n").asInstanceOf[Long]
     }
 
-    var done = false
-    var tries = 0
-    while (!done && tries < cfg.rwMaxRetries) { // try.go:15-30 budget
-      tries += 1
-      Try(attempt()) match {
-        case Success(_) => done = true
-        case Failure(_) =>
-          readErr += 1
-          if (tries < cfg.rwMaxRetries && cfg.rwRetryDelayMs > 0)
-            Thread.sleep(cfg.rwRetryDelayMs)
-      }
+    val (slice, readErr) = retryPhase(cfg)(readPhase())
+    val (points, writeErr) = slice match {
+      case Some(df) => retryPhase(cfg)(writePhase(df))
+      case None     => (None, 0L)
     }
-    if (!done) writeErr += 1
-    ChunkResult(chunk, srcPath, points, if (done) 0 else readErr,
-      writeErr, System.currentTimeMillis() - t0)
+    ChunkResult(chunk, srcPath, points.getOrElse(0L), readErr, writeErr,
+      System.currentTimeMillis() - t0)
   }
 
   /** Remove partitions whose span is strictly contained in the chunk just
     * written — leftovers of a finer-grained recovery pass that the new
     * coarse write fully supersedes. Runs only after a successful write,
     * so a failure never loses data (matching the safety of InfluxDB's
-    * never-deleting upsert). */
+    * never-deleting upsert). Uses the Hadoop FileSystem API so the sink
+    * works against any supported storage URI (local/HDFS/S3A), not just
+    * java.io — required for the 100 TB posture. */
   private def dropContainedStalePartitions(
       dstPath: String, chunk: ChunkSpec): Unit = {
-    val dir = new java.io.File(dstPath)
-    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
-    parts.foreach { f =>
-      f.getName.stripPrefix("__bucket=").split('_') match {
-        case Array(s, e) =>
-          val (ps, pe) = (s.toLong, e.toLong)
-          val contained = ps >= chunk.startNs && pe <= chunk.endNs
-          val identical = ps == chunk.startNs && pe == chunk.endNs
-          if (contained && !identical) deleteRecursively(f)
-        case _ => ()
+    val dir = new Path(dstPath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+      .foreach { st =>
+        st.getPath.getName.stripPrefix("__bucket=").split('_') match {
+          case Array(s, e) =>
+            val (ps, pe) = (s.toLong, e.toLong)
+            val contained = ps >= chunk.startNs && pe <= chunk.endNs
+            val identical = ps == chunk.startNs && pe == chunk.endNs
+            if (contained && !identical) fs.delete(st.getPath, true): Unit
+          case _ => ()
+        }
       }
-    }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
   }
 
   /** Full copy of one measurement over a window: newest-first chunks,

@@ -96,7 +96,12 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for pairs of docs sharing at least
     * one shingle. `candidates`: optional (id_a, id_b) DataFrame to
     * restrict to (LSH output) — the scale path; all co-shingled pairs
-    * otherwise (oracle-sized data only). */
+    * otherwise (oracle-sized data only).
+    *
+    * Scale shape of the candidate path: shingles are joined TO the
+    * candidate pairs (cand ⋈ shingles(a) ⋈ shingles(b)), so the shuffle
+    * carries |cand|·avgShingles rows — never the all-pairs co-shingle
+    * self-join, whose common-shingle keys fan out quadratically. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, threshold: Double,
       candidates: Option[DataFrame] = None): DataFrame = {
@@ -105,9 +110,13 @@ object Dedup {
     val sizes = docSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val a = docSh.select(col("id").as("id_a"), col("sh"))
     val b = docSh.select(col("id").as("id_b"), col("sh"))
-    val shared0 = a.join(b, "sh").filter(col("id_a") < col("id_b"))
-    val shared = candidates.fold(shared0)(c => shared0.join(c, Seq("id_a", "id_b")))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    val shared = (candidates match {
+      case Some(c) =>
+        // per candidate pair: shingles of a, kept iff also a shingle of b
+        c.join(a, Seq("id_a")).join(b, Seq("id_b", "sh"))
+      case None =>
+        a.join(b, "sh").filter(col("id_a") < col("id_b"))
+    }).groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
     shared
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("n_sh", "n_a"), "id_a")
@@ -143,8 +152,22 @@ object Dedup {
   }
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold.
-    * Delegates to Similarity; see there for the scale path. */
+    * All-pairs form — oracle-sized data / differential tests only;
+    * `embeddingNearDupLsh` is the scale path. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame =
     Similarity.cosinePairs(emb, idCol, vecCol).filter(col("cosine") >= threshold)
+
+  /** Embedding near-duplicates via SRP-LSH buckets — the 100 TB path:
+    * candidates come from a bucketed self-join (each table's join key is
+    * (bucket), so pair work is bounded by bucket occupancy, never |n|²);
+    * exact cosine is then computed only for candidates. Recall < 1 by
+    * construction; at near-dup thresholds (≥0.95 ≈ 18° apart) a missed
+    * pair must flip a sign in every table — with 8 planes × 8 tables the
+    * miss probability is ≈1%. Raise `numTables` to trade cost for recall. */
+  def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, numPlanes: Int = 8, numTables: Int = 8)
+      : DataFrame =
+    Similarity.cosineNearPairsLsh(emb, idCol, vecCol, threshold, dim,
+      numPlanes, numTables)
 }

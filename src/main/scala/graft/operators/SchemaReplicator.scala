@@ -1,10 +1,10 @@
 package graft.operators
 
-import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 import graft.model._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Catalog/DDL replication — the `-action replicaschema` analog
   * (/root/reference/pkg/agent/agent.go:147-174 →
@@ -21,9 +21,18 @@ import graft.model._
   * Engine mapping: a filesystem catalog `root/<db>/<rp>/` with a
   * `_rp.json` metadata file per RP carrying retention properties — the
   * moral equivalent of `CREATE TABLE ... TBLPROPERTIES(retention=...)`.
-  * Pure driver-side code; no Spark jobs (SURVEY.md §3.3).
+  * Pure driver-side code; no Spark jobs (SURVEY.md §3.3). All filesystem
+  * ops go through the Hadoop FileSystem API so DDL works against any
+  * storage URI (local/HDFS/S3A); pass the session's Hadoop conf
+  * (`spark.sessionState.newHadoopConf()`) to inherit its filesystem
+  * settings.
   */
-final class SchemaReplicator {
+final class SchemaReplicator(conf: Configuration = new Configuration()) {
+
+  private def fsFor(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(conf), p)
+  }
 
   def rpMetaJson(rp: RetentionPolicy): String =
     s"""{"name":"${rp.name}","duration_ns":${rp.durationNs},""" +
@@ -39,19 +48,27 @@ final class SchemaReplicator {
         val rpName =
           if (rp.isDefault && db.newDefaultRp.nonEmpty) db.newDefaultRp
           else rp.name // non-default RPs keep their name (README.md:259-261)
-        val dir = Paths.get(dstRoot, dbName, rpName)
-        Files.createDirectories(dir)
-        Files.write(dir.resolve("_rp.json"),
-          rpMetaJson(rp.copy(name = rpName)).getBytes(StandardCharsets.UTF_8))
+        val (fs, dir) = fsFor(s"$dstRoot/$dbName/$rpName")
+        fs.mkdirs(dir)
+        val out = fs.create(new Path(dir, "_rp.json"), true)
+        try out.write(rpMetaJson(rp.copy(name = rpName))
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
         (dbName, rpName)
       }
     }
 
   /** Read back an RP's metadata (very small, driver-side). */
   def readRpMeta(dstRoot: String, db: String, rp: String): Option[String] = {
-    val f = new File(s"$dstRoot/$db/$rp/_rp.json")
-    if (f.exists()) Some(new String(Files.readAllBytes(f.toPath),
-      StandardCharsets.UTF_8))
-    else None
+    val (fs, p) = fsFor(s"$dstRoot/$db/$rp/_rp.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
   }
 }

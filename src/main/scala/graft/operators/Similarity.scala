@@ -93,6 +93,31 @@ object Similarity {
       when(vecDot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** SRP-LSH bucketed near-pair search: self-join within (table, bucket)
+    * only, exact cosine on the candidates, threshold filter. The scale
+    * path behind Dedup.embeddingNearDupLsh — replaces cosinePairs'
+    * crossJoin with per-bucket candidate work. */
+  def cosineNearPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, numPlanes: Int, numTables: Int)
+      : DataFrame = {
+    val v = prep(emb, idCol, vecCol, "id", "v", "n")
+    val bucketed = (0 until numTables).map { t =>
+      v.withColumn("table", lit(t))
+        .withColumn("bucket", srpBucket(col("v"), dim, numPlanes, t))
+    }.reduce(_ unionAll _)
+    val a = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = bucketed.select(col("table"), col("bucket"),
+      col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** LSH-bucketed approximate top-k: hash queries and corpus into SRP
     * buckets over `numTables` tables, join within buckets only, rank by
     * cosine. At 100 TB this replaces the |Q|·|C| product with per-bucket

@@ -85,18 +85,33 @@ object PipelineQueries {
         JOIN band b ON a.band=b.band AND a.band_hash=b.band_hash
           AND a.id < b.id""".replaceAll("\\s+", " "))),
 
-    // exact n-gram Jaccard over co-shingled pairs (all-pairs form here;
-    // the scale path feeds LSH candidates into the same operator).
+    // exact n-gram Jaccard over LSH candidate pairs — the scale path:
+    // candidates from banded MinHash-LSH, shingle-intersection counted
+    // per candidate pair only (never the all-pairs co-shingle self-join,
+    // whose common-shingle keys fan out quadratically at 100 TB). The
+    // all-pairs form remains as a sf0.001 differential test in DedupSpec.
     "dedup_jaccard_pairs" -> QueryDef(
-      (s, dir) => Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
-        ShingleLen, JaccardThreshold),
-      Some(s"""WITH $WordsCte, $ShingleCte,
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sig = Dedup.minhash(d, "doc_id", "text", MinhashK, ShingleLen)
+        val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sig, 4, MinhashK))
+        Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
+          JaccardThreshold, candidates = Some(cand))
+      },
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte,
+        band AS (SELECT id, seed//2 AS band,
+          md5(string_agg(seed::VARCHAR||'|'||minhash, ','
+            ORDER BY seed::VARCHAR||'|'||minhash)) AS band_hash
+          FROM sig GROUP BY id, seed//2),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band a
+          JOIN band b ON a.band=b.band AND a.band_hash=b.band_hash
+            AND a.id < b.id),
         dsh AS (SELECT DISTINCT doc_id, s FROM shingle),
         sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM dsh GROUP BY 1),
-        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          count(*)::BIGINT AS n_shared FROM dsh a
-          JOIN dsh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        SELECT id_a, id_b,
+        pr AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared
+          FROM cand c JOIN dsh a ON a.doc_id=c.id_a
+          JOIN dsh b ON b.doc_id=c.id_b AND b.s=a.s GROUP BY 1, 2)
+        SELECT pr.id_a, pr.id_b,
           n_shared/(x.n_sh + y.n_sh - n_shared) AS jaccard FROM pr
         JOIN sz x ON pr.id_a=x.doc_id JOIN sz y ON pr.id_b=y.doc_id
         WHERE n_shared/(x.n_sh + y.n_sh - n_shared) >= $JaccardThreshold"""
@@ -120,11 +135,16 @@ object PipelineQueries {
           .replaceAll("\\s+", " ")
       }),
 
-    // embedding near-duplicate pairs (cosine ≥ 0.95); list_reduce fold
-    // matches Spark's aggregate() fold order exactly.
+    // embedding near-duplicate pairs (cosine ≥ 0.95) via SRP-LSH buckets
+    // — the scale path (bucketed self-join, no crossJoin). The DuckDB
+    // oracle is the exact all-pairs form: at a 0.95 threshold with
+    // 8 planes × 8 tables the LSH miss probability per true pair is ≈1%,
+    // and the all-pairs differential test in SimilaritySpec pins recall
+    // at sf0.001. list_reduce fold matches Spark's fold order exactly.
     "dedup_embedding_neardup" -> QueryDef(
       (s, dir) => Dedup
-        .embeddingNearDup(emb(s, dir), "vec_id", "embedding", 0.95)
+        .embeddingNearDupLsh(emb(s, dir), "vec_id", "embedding", 0.95,
+          dim = 64, numPlanes = 8, numTables = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6)
           .as("cosine_r")),
       Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v

@@ -76,10 +76,13 @@ object LineProtocol {
       fields: Map[String, FieldSch],
       timeNsCol: String): DataFrame = {
     val meas = escMeasurement(lit(measurement))
+    // null tags are OMITTED from the line, not nulled-through: concat is
+    // null-propagating, so each fragment is coalesced to "" — otherwise a
+    // single null tag would silently null the whole encoded line.
     val tagPart = tagCols.sorted.map { t =>
-      when(col(t).isNull, lit(null.asInstanceOf[String]))
-        .otherwise(concat(lit("," + escapeKey(t) + "="),
-          escTag(col(t).cast("string"))))
+      coalesce(
+        concat(lit("," + escapeKey(t) + "="), escTag(col(t).cast("string"))),
+        lit(""))
     }
     val schema = df.schema
     val fieldFrags = fields.toSeq.sortBy(_._1).map { case (n, f) =>
@@ -91,14 +94,20 @@ object LineProtocol {
       concat_ws(",", fieldFrags: _*), // nulls dropped (client.go:428-429)
       lit(" "),
       col(timeNsCol).cast("string"))
-    df.select(line.as("line"))
+    // a point with no non-null field is invalid in line protocol (the
+    // reference never emits one either: null JSON values are skipped and
+    // an all-null row yields no point, client.go:428-429) — drop it
+    // rather than emit a malformed `meas  ts` line.
+    df.filter(fields.keys.map(col(_).isNotNull).reduce(_ || _))
+      .select(line.as("line"))
   }
 
   /** A decoded line-protocol point: the engine analog of
     * `client.Point(name, tags, fields, ts)` (client.go:471-476). Field
-    * values stay raw strings here (with type suffix/quotes stripped) --
-    * apply `TypeCoercion` with a field schema to get typed columns,
-    * mirroring the reference's two-step decode (client.go:392-478). */
+    * values stay raw strings here (quotes stripped, type suffix kept) --
+    * `decodeTyped` applies the per-field coercion matrix to get typed
+    * columns, mirroring the reference's two-step decode
+    * (client.go:392-478). */
   final case class LinePoint(
       measurement: String,
       tags: Map[String, String],
@@ -158,5 +167,52 @@ object LineProtocol {
       if (i < n && line.charAt(i) == ' ') line.substring(i + 1).trim.toLong
       else 0L
     LinePoint(measurement, tags, fields, ts)
+  }
+
+  /** Typed coercion of one raw field value, per the declared Influx type —
+    * the engine's version of the reference's decode matrix
+    * (client.go:430-459):
+    *  - float    → DoubleType (vt.Float64, client.go:434-440);
+    *  - integer  → strip `i` suffix → LongType (vt.Int64, 441-446);
+    *  - unsigned → strip `u` suffix → DecimalType(20,0) — full uint64
+    *    range incl. values > Long.MaxValue (strconv.ParseUint, 447-452;
+    *    SURVEY.md §7.3 hard part 5);
+    *  - boolean  → t/T/true/True/TRUE | f/F/false/False/FALSE (the line
+    *    protocol's accepted boolean literals) → BooleanType;
+    *  - string   → passthrough (quotes/escapes already handled by the
+    *    scanner, 453-461).
+    * Absent fields (null map lookup) stay null → dropped on re-encode. */
+  def coerceField(raw: Column, ft: FieldType): Column = ft match {
+    case FieldType.Float    => raw.cast("double")
+    case FieldType.Integer  => regexp_replace(raw, "i$", "").cast("long")
+    case FieldType.Unsigned =>
+      regexp_replace(raw, "u$", "").cast(DecimalType(20, 0))
+    case FieldType.Bool =>
+      when(lower(raw).isin("t", "true"), lit(true))
+        .when(lower(raw).isin("f", "false"), lit(false))
+        .otherwise(lit(null).cast("boolean"))
+    case FieldType.Str => raw
+  }
+
+  /** Decode a column of line-protocol strings into a typed DataFrame:
+    * `measurement, tag_<k>..., <field columns typed per schema>, time_ns`.
+    * The scanner runs as plain Scala inside the partition (`Dataset.map`,
+    * SURVEY.md §7.2 — quote/escape-aware scanning isn't regex-expressible);
+    * the coercion matrix is codegen'd Column ops on top. */
+  def decodeTyped(
+      lines: DataFrame,
+      lineCol: String,
+      tagKeys: Seq[String],
+      fields: Map[String, FieldSch]): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val pts = lines.select(col(lineCol)).as[String].map(parseLine(_)).toDF()
+    val tagCols = tagKeys.map(k => col("tags")(k).as(s"tag_$k"))
+    val fieldCols = fields.toSeq.sortBy(_._1).map { case (n, f) =>
+      coerceField(col("fields")(n), f.ftype).as(n)
+    }
+    pts.select(
+      (col("measurement") +: tagCols) ++ fieldCols
+        :+ col("timeNs").as("time_ns"): _*)
   }
 }

@@ -94,6 +94,55 @@ class CopyJobSpec extends AnyFunSuite {
     assert(clean.readCopied(dst).count() == direct)
   }
 
+  test("write-phase failures count as writeErrors, not readErrors " +
+    "(client.go:541-557 vs 363-381 budgets)") {
+    val dst = freshDst()
+    val job = new CopyJob(spark,
+      writeHook = (c, _) => if (c.endNs - c.startNs == 5 * Day && c.id == 1)
+        throw new RuntimeException("injected write failure"))
+    val c = CopyJob.Config(S, E, chunkNs = 5 * Day, timeCol = "ts",
+      rwMaxRetries = 2)
+    val r = job.copyMeasurement(src, dst, c)
+    val bad = r.chunks.filter(ch => ch.chunk.id == 1 &&
+      ch.chunk.endNs - ch.chunk.startNs == 5 * Day)
+    assert(bad.nonEmpty)
+    assert(bad.forall(ch => ch.writeErrors > 0 && ch.readErrors == 0))
+  }
+
+  test("read-phase failures count as readErrors, not writeErrors") {
+    val dst = freshDst()
+    val job = new CopyJob(spark,
+      readHook = (c, _) => if (c.endNs - c.startNs == 5 * Day && c.id == 1)
+        throw new RuntimeException("injected read failure"))
+    val c = CopyJob.Config(S, E, chunkNs = 5 * Day, timeCol = "ts",
+      rwMaxRetries = 2)
+    val r = job.copyMeasurement(src, dst, c)
+    val bad = r.chunks.filter(ch => ch.chunk.id == 1 &&
+      ch.chunk.endNs - ch.chunk.startNs == 5 * Day)
+    assert(bad.nonEmpty)
+    assert(bad.forall(ch => ch.readErrors > 0 && ch.writeErrors == 0))
+  }
+
+  test("copy against an explicit file: URI root (Hadoop FileSystem path)") {
+    // same copy driven through a scheme-qualified URI — exercises the
+    // FileSystem.get resolution path the sink/catalog use on HDFS/S3A
+    val dstLocal = freshDst()
+    val dst = "file://" + dstLocal
+    val job = new CopyJob(spark)
+    // two passes: second must drop superseded fine partitions via the
+    // Hadoop FS walk (not java.io), proving the URI-agnostic cleanup
+    val failing = new CopyJob(spark,
+      readHook = (c, _) =>
+        if (c.endNs - c.startNs == 5 * Day && c.id == 1)
+          throw new RuntimeException("injected"))
+    val c = CopyJob.Config(S, E, chunkNs = 5 * Day, timeCol = "ts",
+      rwMaxRetries = 2)
+    failing.copyMeasurement("file://" + src, dst, c)
+    job.copyMeasurement("file://" + src, dst, c)
+    val direct = Tables.timeRange(spark.read.parquet(src), "ts", S, E).count()
+    assert(job.readCopied(dst).count() == direct)
+  }
+
   test("strict reference bounds drop edge points (sync.go:162 semantics)") {
     val dst = freshDst()
     val job = new CopyJob(spark)
