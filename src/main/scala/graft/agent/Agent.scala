@@ -1,0 +1,318 @@
+package graft.agent
+
+import scala.util.Try
+
+import graft.catalog.Catalog
+import graft.functions.TimeFuncs
+import graft.model._
+import graft.operators.{CopyJob, SchemaReplicator}
+import graft.streaming.{ClusterFSM, HAMonitor}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Agent configuration — flag-for-flag parity with the reference CLI
+  * (/root/reference/pkg/main.go:77-119) and the `[general]` config section
+  * (pkg/config/mainconfig.go:10-27; defaults per
+  * conf/sample.syncflux.toml:60-130):
+  *
+  *  - masterRoot/slaveRoot ≅ `-master`/`-slave` server selection (here a
+  *    storage root URI instead of an InfluxDB server name);
+  *  - dbRegex/rpRegex/measRegex ≅ `-db`/`-rp`/`-meas`;
+  *  - newDb/newRp ≅ `-newdb`/`-newrp`;
+  *  - chunk ≅ `-chunk` / `data-chuck-duration` (Go duration);
+  *  - start/end ≅ `-start`/`-end` (epoch seconds, `-10h`-style negative
+  *    Go duration, or RFC3339; default [now−24h, now] per main.go:89-90);
+  *  - full ≅ `-full` (window = retention-clamped full history);
+  *  - maxRetention ≅ `max-retention-interval` (8760h default);
+  *  - initialReplication ≅ `initial-replication` none|schema|data|both;
+  *  - rwMaxRetries/rwRetryDelayMs ≅ `rw-max-retries`/`rw-retry-delay`;
+  *  - numWorkers ≅ `num-workers`;
+  *  - checkIntervalMs/minSyncIntervalMs/monitorRetryIntervalMs ≅
+  *    `check-interval`/`min-sync-interval`/`monitor-retry-interval`.
+  */
+final case class AgentConfig(
+    masterRoot: String,
+    slaveRoot: String,
+    dbRegex: String = ".*",
+    rpRegex: String = ".*",
+    measRegex: String = ".*",
+    newDb: String = "",
+    newRp: String = "",
+    chunk: String = "1h", // README.md:207 default 60m
+    start: String = "",
+    end: String = "",
+    full: Boolean = false,
+    maxRetention: String = "8760h", // conf/sample.syncflux.toml:107
+    initialReplication: String = "none",
+    timeCol: String = "ts",
+    rwMaxRetries: Int = 5,
+    rwRetryDelayMs: Long = 0L,
+    numWorkers: Int = 4,
+    checkIntervalMs: Long = 10000L,
+    minSyncIntervalMs: Long = 20000L,
+    monitorRetryIntervalMs: Long = 60000L)
+
+/** The agent — one object composing catalog discovery, schema DDL, the
+  * chunked copy plane, and the HA monitor into the reference's four
+  * dispatchable actions (`copy|fullcopy|replicaschema|hamonitor`,
+  * /root/reference/pkg/main.go:293-306):
+  *
+  *  - `replicaSchema` ≅ agent.ReplSch (agent.go:147-174);
+  *  - `copy`          ≅ agent.Copy (agent.go:210-240);
+  *  - `fullCopy`      ≅ agent.SchCopy = ReplicateSchema → data copy
+  *                      (agent.go:176-208);
+  *  - `hamonitor`     ≅ agent.HAMonitorStart (agent.go:242-271): initial
+  *                      replication policy, then the probe/supervisor
+  *                      plane.
+  *
+  * Every action starts with `initCluster` — block (retrying every
+  * monitor-retry-interval) until both servers are alive
+  * (agent.go:67-145). The concrete probe is storage-root reachability via
+  * the Hadoop FileSystem (the `Ping` analog,
+  * /root/reference/pkg/agent/influxmonitor.go:115-150); tests may inject
+  * scripted probes.
+  */
+final class Agent(
+    spark: SparkSession,
+    cfg: AgentConfig,
+    masterProbeOpt: Option[() => Boolean] = None,
+    slaveProbeOpt: Option[() => Boolean] = None,
+    nowNs: () => Long = () =>
+      System.currentTimeMillis() * 1000000L) {
+
+  val masterProbe: () => Boolean =
+    masterProbeOpt.getOrElse(Agent.fsProbe(spark, cfg.masterRoot))
+  val slaveProbe: () => Boolean =
+    slaveProbeOpt.getOrElse(Agent.fsProbe(spark, cfg.slaveRoot))
+
+  private val catalog = new Catalog(spark)
+  private def chunkNs = TimeFuncs.parseGoDurationNs(cfg.chunk)
+  private def maxRetentionNs = TimeFuncs.parseGoDurationNs(cfg.maxRetention)
+
+  /** Block until both master and slave probes succeed, retrying every
+    * monitor-retry-interval (infinite startup retry, agent.go:86-145).
+    * `maxAttempts` bounds the loop for tests; returns whether the
+    * cluster came up within the budget. */
+  def initCluster(maxAttempts: Int = Int.MaxValue): Boolean = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      if (masterProbe() && slaveProbe()) return true
+      if (attempts < maxAttempts && cfg.monitorRetryIntervalMs > 0)
+        Thread.sleep(cfg.monitorRetryIntervalMs)
+    }
+    false
+  }
+
+  /** GetSchema + rename rewrite over the master root (agent.go:149-167). */
+  def discoverSchema(): Seq[DbSchema] =
+    catalog.getSchema(cfg.masterRoot, cfg.dbRegex, cfg.rpRegex,
+      cfg.measRegex, cfg.newDb, cfg.newRp)
+
+  /** `-action replicaschema` (agent.go:147-174). */
+  def replicaSchema(): Seq[(String, String)] = {
+    require(initCluster(), "cluster not alive")
+    val repl = new SchemaReplicator(spark.sessionState.newHadoopConf())
+    repl.replicate(discoverSchema(), cfg.slaveRoot)
+  }
+
+  /** Resolve the copy window from flags: explicit start/end (epoch s,
+    * negative Go duration, RFC3339; main.go:269-291), defaults
+    * [now−24h, now] (main.go:89-90), or `-full` = retention-clamped full
+    * history per RP (`GetFirstLastTime`, client.go:24-38: duration 0 =
+    * infinite → clamp to max-retention-interval). */
+  def resolveWindow(rp: RetentionPolicy): (Long, Long) = {
+    val now = nowNs()
+    if (cfg.full) {
+      val horizon =
+        if (rp.durationNs > 0) math.min(rp.durationNs, maxRetentionNs)
+        else maxRetentionNs
+      (now - horizon, now)
+    } else {
+      val s =
+        if (cfg.start.nonEmpty) TimeFuncs.parseInputTimeNs(cfg.start, now)
+        else now - 24L * 3600L * TimeFuncs.NsPerSecond
+      val e =
+        if (cfg.end.nonEmpty) TimeFuncs.parseInputTimeNs(cfg.end, now)
+        else now
+      (s, e)
+    }
+  }
+
+  /** `-action copy` (agent.go:210-240): discover → rename → ReplicateData
+    * over the resolved window. The source layout (hierarchical vs flat
+    * TESTDATA root) is auto-detected by the catalog. */
+  def copy(): Seq[SyncReport] = {
+    require(initCluster(), "cluster not alive")
+    val schema = discoverSchema()
+    replicateData(schema)
+  }
+
+  private def replicateData(schema: Seq[DbSchema]): Seq[SyncReport] = {
+    val job = new CopyJob(spark)
+    val flat = schema match {
+      case Seq(d) => d.name == "default" && !pathExists(
+        s"${cfg.masterRoot}/default")
+      case _      => false
+    }
+    for {
+      db <- schema
+      rp <- db.rps
+    } yield {
+      val (s, e) = resolveWindow(rp)
+      val copyCfg = CopyJob.Config(s, e, chunkNs, timeCol = cfg.timeCol,
+        maxRetentionNs = Some(maxRetentionNs),
+        rwMaxRetries = cfg.rwMaxRetries,
+        rwRetryDelayMs = cfg.rwRetryDelayMs,
+        numWorkers = cfg.numWorkers)
+      val reports = job.replicate(
+        Seq(db.copy(rps = Seq(rp))), cfg.masterRoot, cfg.slaveRoot,
+        copyCfg, flatRoot = flat)
+      reports.reduceOption((a, b) => SyncReport(a.db, a.rp,
+        a.chunks ++ b.chunks))
+        .getOrElse(SyncReport(db.name, rp.name, Nil))
+    }
+  }
+
+  private def pathExists(p: String): Boolean = {
+    val path = new Path(p)
+    Try(path.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(path)).getOrElse(false)
+  }
+
+  /** `-action fullcopy` = ReplicateSchema then data copy (SchCopy,
+    * agent.go:176-208). */
+  def fullCopy(): (Seq[(String, String)], Seq[SyncReport]) = {
+    require(initCluster(), "cluster not alive")
+    val schema = discoverSchema()
+    val repl = new SchemaReplicator(spark.sessionState.newHadoopConf())
+    val created = repl.replicate(schema, cfg.slaveRoot)
+    (created, replicateData(schema))
+  }
+
+  /** `-action hamonitor` (agent.go:242-271): initial replication policy
+    * (none|schema|data|both, agent.go:248-264), then the probe/FSM
+    * monitor whose backfill re-runs the copy plane over the recovery
+    * window. Returns the monitor (not yet ticking — call `start()` for
+    * the periodic supervisor, or `tick()` from tests). */
+  def hamonitor(): HAMonitor = {
+    require(initCluster(), "cluster not alive")
+    val schema = discoverSchema()
+    cfg.initialReplication match {
+      case "schema" => replicaSchema(): Unit
+      case "data"   => replicateData(schema): Unit
+      case "both"   =>
+        replicaSchema(): Unit
+        replicateData(schema): Unit
+      case _ => () // "none" (and unknown values log-and-skip, agent.go:263)
+    }
+    new HAMonitor(
+      masterProbe,
+      slaveProbe,
+      checkIntervalNs = cfg.checkIntervalMs * 1000000L,
+      backfill = (w: ClusterFSM.RecoveryWindow) => {
+        // recovery = blind re-copy of the outage window at the configured
+        // chunking; idempotent by the sink's partition overwrite
+        // (hacluster.go:305-342)
+        val job = new CopyJob(spark)
+        val sch = discoverSchema() // schema refresh, hacluster.go:330-331
+        val flatR = sch match {
+          case Seq(d) => d.name == "default" &&
+            !pathExists(s"${cfg.masterRoot}/default")
+          case _ => false
+        }
+        val copyCfg = CopyJob.Config(w.startNs, w.endNs, chunkNs,
+          timeCol = cfg.timeCol, maxRetentionNs = Some(maxRetentionNs),
+          rwMaxRetries = cfg.rwMaxRetries,
+          rwRetryDelayMs = cfg.rwRetryDelayMs,
+          numWorkers = cfg.numWorkers)
+        job.replicate(sch, cfg.masterRoot, cfg.slaveRoot, copyCfg,
+          flatRoot = flatR): Unit
+      },
+      nowNs = nowNs)
+  }
+
+  /** The reference's action switch (main.go:293-306). */
+  def dispatch(action: String): Unit = action match {
+    case "copy"          => copy(): Unit
+    case "fullcopy"      => fullCopy(): Unit
+    case "replicaschema" => replicaSchema(): Unit
+    case "hamonitor" | "" =>
+      val m = hamonitor()
+      m.start(cfg.minSyncIntervalMs)
+    case other =>
+      throw new IllegalArgumentException(s"Unknown action: $other")
+  }
+}
+
+object Agent {
+
+  /** Concrete liveness probe: storage reachability through the Hadoop
+    * FileSystem — the engine's `Ping` + `SHOW DATABASES`
+    * (influxmonitor.go:115-150). Pings the STORAGE, not the root path:
+    * a destination root that doesn't exist yet (first fullcopy onto an
+    * empty slave) is alive as long as its nearest existing ancestor is —
+    * matching the reference, whose Ping checks the server, not any
+    * particular database. */
+  def fsProbe(spark: SparkSession, root: String): () => Boolean = () => {
+    Try {
+      val fs = new Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      var p: Path = new Path(root)
+      var found = false
+      while (p != null && !found) {
+        found = fs.exists(p)
+        p = p.getParent
+      }
+      found
+    }.getOrElse(false)
+  }
+}
+
+/** CLI entrypoint with the reference's flag surface
+  * (main.go:77-119): `-action`, `-master`, `-slave`, `-db`, `-rp`,
+  * `-meas`, `-newdb`, `-newrp`, `-chunk`, `-start`, `-end`, `-full`.
+  * `-master`/`-slave` take storage-root URIs (our server addresses). */
+object AgentCli {
+
+  def parse(args: Array[String]): (String, AgentConfig) = {
+    var action = "hamonitor"
+    var c = AgentConfig(masterRoot = "", slaveRoot = "")
+    var i = 0
+    while (i < args.length) {
+      def v: String = { i += 1; args(i) }
+      args(i) match {
+        case "-action" => action = v
+        case "-master" => c = c.copy(masterRoot = v)
+        case "-slave"  => c = c.copy(slaveRoot = v)
+        case "-db"     => c = c.copy(dbRegex = v)
+        case "-rp"     => c = c.copy(rpRegex = v)
+        case "-meas"   => c = c.copy(measRegex = v)
+        case "-newdb"  => c = c.copy(newDb = v)
+        case "-newrp"  => c = c.copy(newRp = v)
+        case "-chunk"  => c = c.copy(chunk = v)
+        case "-start"  => c = c.copy(start = v)
+        case "-end"    => c = c.copy(end = v)
+        case "-full"   => c = c.copy(full = true)
+        case other =>
+          throw new IllegalArgumentException(s"unknown flag: $other")
+      }
+      i += 1
+    }
+    require(c.masterRoot.nonEmpty && c.slaveRoot.nonEmpty,
+      "both -master and -slave storage roots are required")
+    (action, c)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (action, cfg) = parse(args)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-agent")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    try new Agent(spark, cfg).dispatch(action)
+    finally if (action != "hamonitor") spark.stop()
+  }
+}

@@ -161,11 +161,19 @@ final class CopyJob(
 
   /** Full copy of one measurement over a window: newest-first chunks,
     * then one recovery pass over bad chunks at chunk/recoveryFactor
-    * (SyncDBRP semantics, sync.go:215-232). */
+    * (SyncDBRP semantics, sync.go:215-232), then a driver-side trim pass
+    * making the copy upsert-idempotent for ARBITRARY windows: any
+    * pre-existing partition partially overlapping a newly-written span is
+    * rewritten without the overlapped rows. InfluxDB gets this for free
+    * from point upsert (same series+ts overwrites); span-keyed partition
+    * overwrite alone only handles exact-span re-copies, and the HA
+    * recovery window `[lastOK − interval, now]` (hacluster.go:310,321)
+    * never aligns with the original copy's chunk grid. */
   def copyMeasurement(
       srcPath: String,
       dstPath: String,
       cfg: Config): SyncReport = {
+    val preexisting = listBucketSpans(dstPath)
     val chunks = ChunkPlanner.plan(cfg.startNs, cfg.endNs, cfg.chunkNs,
       cfg.maxRetentionNs)
     // newest-first submission over a bounded worker pool — the Spark
@@ -181,7 +189,63 @@ final class CopyJob(
       inParallel(cfg.numWorkers, fine)(
         f => copyChunk(srcPath, dstPath, f, cfg))
     }
-    SyncReport(srcPath, dstPath, firstPass ++ recovery)
+    val all = firstPass ++ recovery
+    trimOverlappingStalePartitions(dstPath, preexisting,
+      all.filter(_.ok).map(r => (r.chunk.startNs, r.chunk.endNs)), cfg)
+    SyncReport(srcPath, dstPath, all)
+  }
+
+  private def listBucketSpans(dstPath: String): Seq[(Long, Long)] = {
+    val dir = new Path(dstPath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+      .flatMap(_.getPath.getName.stripPrefix("__bucket=").split('_') match {
+        case Array(s, e) => Try((s.toLong, e.toLong)).toOption
+        case _           => None
+      })
+  }
+
+  /** Post-pass of copyMeasurement (driver-sequential, so it cannot race
+    * with the parallel chunk writes): every pre-existing partition that a
+    * newly-written span overlaps — but is not identical to — is rewritten
+    * keeping only rows outside all written spans (deleted if none
+    * remain). Runs only over `written` = spans whose copy SUCCEEDED, so a
+    * failed chunk never causes data loss in old partitions. Bounded work:
+    * only partitions at the window boundary or of a different chunk
+    * granularity qualify, and each is at most one chunk of rows. */
+  private def trimOverlappingStalePartitions(
+      dstPath: String,
+      preexisting: Seq[(Long, Long)],
+      written: Seq[(Long, Long)],
+      cfg: Config): Unit = {
+    if (written.isEmpty) return
+    val writtenSet = written.toSet
+    val conf = spark.sessionState.newHadoopConf()
+    preexisting.foreach { case (ps, pe) =>
+      val overlaps = written.exists { case (ws, we) => ws < pe && ps < we }
+      if (!writtenSet.contains((ps, pe)) && overlaps) {
+        val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
+        val fs = partDir.getFileSystem(conf)
+        if (fs.exists(partDir)) { // may be gone via contained-drop already
+          Tables.ensureNsConf(spark)
+          val t = col(cfg.timeCol)
+          val outside = written.map { case (ws, we) =>
+            if (cfg.strictReferenceBounds) !(t > ws && t < we)
+            else !(t >= ws && t < we)
+          }.reduce(_ && _)
+          val remaining = spark.read.parquet(partDir.toString).filter(outside)
+          if (remaining.isEmpty) fs.delete(partDir, true): Unit
+          else {
+            val tmp = new Path(s"$dstPath/.trim_${ps}_$pe")
+            remaining.write.mode("overwrite").parquet(tmp.toString)
+            fs.delete(partDir, true)
+            fs.rename(tmp, partDir): Unit
+          }
+        }
+      }
+    }
   }
 
   private def inParallel[A, B](workers: Int, items: Seq[A])(f: A => B)
@@ -224,5 +288,35 @@ final class CopyJob(
   def readCopied(path: String): DataFrame = {
     Tables.ensureNsConf(spark)
     spark.read.parquet(path).drop("__bucket")
+  }
+
+  /** Per-chunk source↔dest checksum verification — stronger than the
+    * count-only equality the reference relies on (its recovery trusts
+    * upsert idempotence blindly, sync.go:215-232). Uses the
+    * order-independent XOR row-hash Aggregator (SURVEY.md §7.2), so the
+    * comparison is partitioning- and order-insensitive. Returns per-chunk
+    * (chunk, srcChecksum, dstChecksum); a copy is verified iff all pairs
+    * match. */
+  def verifyChecksums(
+      srcPath: String,
+      dstPath: String,
+      cfg: Config): Seq[(ChunkSpec, Long, Long)] = {
+    import graft.functions.ChecksumAgg
+    Tables.ensureNsConf(spark)
+    val src = spark.read.parquet(srcPath)
+    val cols = src.columns.sorted.map(col).toSeq
+    def checksumOf(df: DataFrame): Long = {
+      val r = df.agg(ChecksumAgg.rowChecksum(cols).as("c")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val chunks = ChunkPlanner.plan(cfg.startNs, cfg.endNs, cfg.chunkNs,
+      cfg.maxRetentionNs)
+    chunks.map { c =>
+      val s = checksumOf(Tables.timeRange(src, cfg.timeCol, c.startNs,
+        c.endNs, cfg.strictReferenceBounds))
+      val d = checksumOf(readCopied(dstPath)
+        .filter(col(cfg.timeCol) >= c.startNs && col(cfg.timeCol) < c.endNs))
+      (c, s, d)
+    }
   }
 }

@@ -1,6 +1,8 @@
 package graft.queries
 
+import graft.agent.{Agent, AgentConfig}
 import graft.catalog.Catalog
+import graft.functions.ChecksumAgg
 import graft.operators.CopyJob
 import graft.plan.ChunkPlanner
 import graft.sources.Tables
@@ -77,6 +79,53 @@ object ParityQueries {
                event_type, value, props FROM events
                WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs"""
         .replaceAll("\\s+", " "))),
+
+    // End-to-end AGENT fullcopy (-action fullcopy ≅ SchCopy,
+    // agent.go:176-208): replicaschema with -newdb/-newrp renames, then
+    // the windowed data copy, dispatched through the Agent composition —
+    // the first user touchpoint. Run twice (idempotence). Reads back the
+    // renamed replica/rp30d destination.
+    "sync_fullcopy_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val dst = s"/tmp/graft_fullcopy_rt_${math.abs(dir.hashCode)}"
+        val cfg = AgentConfig(masterRoot = dir, slaveRoot = dst,
+          measRegex = "^events$", newDb = "replica", newRp = "rp30d",
+          chunk = "120h",
+          start = (StartNs / 1000000000L).toString,
+          end = (EndNs / 1000000000L).toString,
+          monitorRetryIntervalMs = 0L)
+        val agent = new Agent(s, cfg)
+        agent.dispatch("fullcopy")
+        agent.dispatch("fullcopy") // blind re-run must be idempotent
+        new CopyJob(s).readCopied(s"$dst/replica/rp30d/events.parquet")
+          .select(evProj: _*)
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS time_us, user_id,
+               event_type, value, props FROM events
+               WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs"""
+        .replaceAll("\\s+", " "))),
+
+    // Order-independent per-chunk row-set checksum (custom
+    // Aggregator[String,Long,Long], SURVEY.md §7.2) — the verification
+    // primitive CopyJob.verifyChecksums uses instead of count-only
+    // equality. 60-bit md5-XOR scheme is engine-portable: DuckDB's
+    // bit_xor over the same md5 substring matches bit-for-bit. The
+    // double-typed `value` column is excluded from the row string (
+    // double→text formatting differs across engines; within-engine
+    // verification includes it).
+    "copy_checksum" -> QueryDef(
+      // µs time in the row string — DuckDB truncates ns parquet
+      // timestamps to µs, the repo-wide oracle convention (file header).
+      (s, dir) => ev(s, dir)
+        .groupBy(expr(s"ts div ${2 * DayNs}").as("bucket"))
+        .agg(ChecksumAgg.rowChecksum(Seq(col("event_id"),
+          expr("ts div 1000"), col("user_id"), col("event_type"),
+          col("props"))).as("checksum")),
+      Some(s"""SELECT epoch_ns(ts)//${2 * DayNs} AS bucket,
+        bit_xor(('0x'||substr(md5(event_id::VARCHAR||'|'||
+          epoch_us(ts)::VARCHAR||'|'||user_id::VARCHAR||'|'||
+          event_type||'|'||props),1,15))::BIGINT) AS checksum
+        FROM events GROUP BY 1""".replaceAll("\\s+", " "))),
 
     // A1/A2: GROUP BY * series grouping + per-series point/value rollups
     // (tags are ordinary columns in our row schema; sync.go:162).

@@ -101,8 +101,32 @@ final class HAMonitor(
     nowNs: () => Long = () => System.nanoTime()) {
 
   private val ref = new AtomicReference(ClusterFSM.initial(nowNs()))
+  private val scheduler = new AtomicReference[
+    java.util.concurrent.ScheduledExecutorService](null)
 
   def state: ClusterFSM.FsmState = ref.get()
+
+  /** Start the periodic supervisor (period = min-sync-interval; the
+    * reference's supervisor goroutine, hacluster.go:259-262,372-390).
+    * Idempotent; `stop()` ends it. */
+  def start(periodMs: Long): Unit = {
+    val exec = java.util.concurrent.Executors
+      .newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "graft-hamonitor")
+        t.setDaemon(true)
+        t
+      })
+    if (scheduler.compareAndSet(null, exec)) {
+      exec.scheduleAtFixedRate(
+        () => try tick(): Unit catch { case _: Throwable => () },
+        periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
+    } else exec.shutdownNow(): Unit
+  }
+
+  def stop(): Unit = {
+    val exec = scheduler.getAndSet(null)
+    if (exec != null) exec.shutdownNow(): Unit
+  }
 
   /** One supervisor tick; runs backfill synchronously on the recovery
     * edge (the reference also blocks its supervisor goroutine during

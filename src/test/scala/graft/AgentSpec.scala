@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.agent.{Agent, AgentCli, AgentConfig}
+import graft.operators.CopyJob
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E2E for the agent composition — the reference's four dispatchable
+  * actions (/root/reference/pkg/main.go:293-306) plus startup retry
+  * (agent.go:67-145) and the initial-replication policy
+  * (agent.go:248-264). */
+class AgentSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  val S = 1704412800000000000L
+  val E = 1705708800000000000L
+  val Ssec = (S / 1000000000L).toString
+  val Esec = (E / 1000000000L).toString
+
+  def freshRoot(): String =
+    Files.createTempDirectory("graft_agent").toString
+
+  def cfg(dst: String): AgentConfig = AgentConfig(
+    masterRoot = SparkSpec.Sf0001, slaveRoot = dst,
+    measRegex = "^events$", newDb = "replica", newRp = "rp30d",
+    chunk = "120h", start = Ssec, end = Esec,
+    monitorRetryIntervalMs = 0L)
+
+  def directCount(): Long = Tables.timeRange(
+    spark.read.parquet(s"${SparkSpec.Sf0001}/events.parquet"),
+    "ts", S, E).count()
+
+  test("fullcopy onto an empty root: renamed db/rp dirs + window-exact " +
+    "data (SchCopy, agent.go:176-208)") {
+    val dst = freshRoot()
+    val agent = new Agent(spark, cfg(dst))
+    val (created, reports) = agent.fullCopy()
+    assert(created == Seq(("replica", "rp30d")))
+    assert(reports.flatMap(_.chunks).forall(_.ok))
+    // schema: _rp.json metadata created under the renamed path
+    val meta = new graft.operators.SchemaReplicator(
+      spark.sessionState.newHadoopConf())
+      .readRpMeta(dst, "replica", "rp30d")
+    assert(meta.exists(_.contains("\"rp30d\"")))
+    // data: identical to the direct window scan
+    val copied = new CopyJob(spark)
+      .readCopied(s"$dst/replica/rp30d/events.parquet")
+    assert(copied.count() == directCount())
+    val diff = copied.select(col("event_id"))
+      .except(Tables.timeRange(
+        spark.read.parquet(s"${SparkSpec.Sf0001}/events.parquet"),
+        "ts", S, E).select(col("event_id"))).count()
+    assert(diff == 0)
+    // dispatch path + idempotent re-run
+    agent.dispatch("fullcopy")
+    assert(new CopyJob(spark)
+      .readCopied(s"$dst/replica/rp30d/events.parquet")
+      .count() == directCount())
+  }
+
+  test("copy action respects -meas regex and windows (agent.go:210-240)") {
+    val dst = freshRoot()
+    val agent = new Agent(spark, cfg(dst))
+    val reports = agent.copy()
+    assert(reports.map(_.totalPoints).sum == directCount())
+    // only events was copied (regex pruned the other 9 tables)
+    val fs = new java.io.File(s"$dst/replica/rp30d")
+    assert(fs.listFiles().map(_.getName).toSet == Set("events.parquet"))
+  }
+
+  test("initCluster blocks until both probes alive; bounded retry " +
+    "budget reports failure (agent.go:67-145)") {
+    var masterFails = 2
+    val agent = new Agent(spark, cfg(freshRoot()),
+      masterProbeOpt = Some(() =>
+        if (masterFails > 0) { masterFails -= 1; false } else true),
+      slaveProbeOpt = Some(() => true))
+    assert(agent.initCluster(maxAttempts = 5))
+    assert(masterFails == 0) // retried through the failures
+    val never = new Agent(spark, cfg(freshRoot()),
+      masterProbeOpt = Some(() => false),
+      slaveProbeOpt = Some(() => true))
+    assert(!never.initCluster(maxAttempts = 3))
+  }
+
+  test("hamonitor: initial replication policy 'both', then FSM recovery " +
+    "backfills the outage window (agent.go:242-271, hacluster.go:305-342)") {
+    val dst = freshRoot()
+    @volatile var slaveUp = true
+    var now = E // virtual clock starts at window end
+    val agent = new Agent(spark,
+      cfg(dst).copy(initialReplication = "both"),
+      slaveProbeOpt = Some(() => slaveUp),
+      nowNs = () => now)
+    val monitor = agent.hamonitor()
+    // initial replication happened before the monitor started
+    assert(new CopyJob(spark)
+      .readCopied(s"$dst/replica/rp30d/events.parquet")
+      .count() == directCount())
+    // outage: slave down for one supervisor period
+    slaveUp = false
+    now += 20000000000L // +20s
+    monitor.tick()
+    assert(monitor.state.state == graft.model.ClusterState.CheckSlaveDown)
+    // revive → RECOVERING → backfill runs → OK with numRecovers=1
+    slaveUp = true
+    now += 20000000000L
+    monitor.tick()
+    assert(monitor.state.state == graft.model.ClusterState.Ok)
+    assert(monitor.state.numRecovers == 1)
+    // backfill re-copy stayed idempotent
+    assert(new CopyJob(spark)
+      .readCopied(s"$dst/replica/rp30d/events.parquet")
+      .count() == directCount())
+  }
+
+  test("fs probe: alive for existing and not-yet-created roots on live " +
+    "storage, dead for unreachable storage") {
+    assert(Agent.fsProbe(spark, SparkSpec.Sf0001)())
+    // a fresh destination root is alive (server up, db not created yet)
+    assert(Agent.fsProbe(spark, "/tmp/graft_probe_not_created_yet")())
+    // unresolvable storage is dead
+    assert(!Agent.fsProbe(spark, "hdfs://graft-nonexistent-host:1/x")())
+  }
+
+  test("CLI flag surface parses (main.go:77-119)") {
+    val (action, c) = AgentCli.parse(Array(
+      "-action", "fullcopy", "-master", "/m", "-slave", "/s",
+      "-db", "d.*", "-rp", "r.*", "-meas", "events",
+      "-newdb", "nd", "-newrp", "nr", "-chunk", "30m",
+      "-start", "-24h", "-end", "1700000000", "-full"))
+    assert(action == "fullcopy")
+    assert(c.masterRoot == "/m" && c.slaveRoot == "/s")
+    assert(c.dbRegex == "d.*" && c.rpRegex == "r.*" && c.measRegex == "events")
+    assert(c.newDb == "nd" && c.newRp == "nr" && c.chunk == "30m")
+    assert(c.start == "-24h" && c.end == "1700000000" && c.full)
+    intercept[IllegalArgumentException] {
+      AgentCli.parse(Array("-bogus", "x"))
+    }
+    intercept[IllegalArgumentException] {
+      AgentCli.parse(Array("-action", "copy")) // missing roots
+    }
+  }
+
+  test("unknown action throws (main.go:304-305 analog)") {
+    val agent = new Agent(spark, cfg(freshRoot()))
+    intercept[IllegalArgumentException] { agent.dispatch("move") }
+  }
+}

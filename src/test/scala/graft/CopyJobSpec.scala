@@ -143,6 +143,41 @@ class CopyJobSpec extends AnyFunSuite {
     assert(job.readCopied(dst).count() == direct)
   }
 
+  test("re-copy of an ARBITRARY overlapping window stays upsert-idempotent" +
+    " (trim pass; HA recovery windows never align, hacluster.go:310,321)") {
+    val dst = freshDst()
+    val job = new CopyJob(spark)
+    job.copyMeasurement(src, dst, cfg(dst))
+    // recovery-style window: overlaps the tail of [S,E) mid-chunk and
+    // extends past E — chunk spans share no boundary with the first copy
+    val w2 = CopyJob.Config(E - Day / 2, E + Day, chunkNs = Day,
+      timeCol = "ts")
+    job.copyMeasurement(src, dst, w2)
+    val direct = Tables.timeRange(spark.read.parquet(src), "ts",
+      S, E + Day).count()
+    assert(job.readCopied(dst).count() == direct) // no duplicates, no loss
+    val dup = job.readCopied(dst).groupBy(col("event_id"))
+      .count().filter(col("count") > 1).count()
+    assert(dup == 0)
+  }
+
+  test("per-chunk checksums verify source↔dest identity (ChecksumAgg)") {
+    val dst = freshDst()
+    val job = new CopyJob(spark)
+    val c = cfg(dst)
+    job.copyMeasurement(src, dst, c)
+    val sums = job.verifyChecksums(src, dst, c)
+    assert(sums.nonEmpty)
+    assert(sums.forall { case (_, s, d) => s == d })
+    // a tampered destination is detected
+    val part = Option(new java.io.File(dst).listFiles()).get
+      .filter(_.getName.startsWith("__bucket=")).head
+    part.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => f.delete(): Unit)
+    val after = job.verifyChecksums(src, dst, c)
+    assert(after.exists { case (_, s, d) => s != d })
+  }
+
   test("strict reference bounds drop edge points (sync.go:162 semantics)") {
     val dst = freshDst()
     val job = new CopyJob(spark)
