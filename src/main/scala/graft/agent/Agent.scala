@@ -6,7 +6,7 @@ import graft.catalog.Catalog
 import graft.functions.TimeFuncs
 import graft.model._
 import graft.operators.{CopyJob, SchemaReplicator}
-import graft.streaming.{ClusterFSM, HAMonitor}
+import graft.streaming.{ClusterFSM, HAMonitor, StreamingMonitor}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
@@ -50,7 +50,11 @@ final case class AgentConfig(
     numWorkers: Int = 4,
     checkIntervalMs: Long = 10000L,
     minSyncIntervalMs: Long = 20000L,
-    monitorRetryIntervalMs: Long = 60000L)
+    monitorRetryIntervalMs: Long = 60000L,
+    // non-empty → hamonitor runs on the Structured Streaming plane with
+    // FSM state checkpointed here (survives restarts — an improvement
+    // over the reference's in-memory-only supervisor state)
+    checkpointDir: String = "")
 
 /** The agent — one object composing catalog discovery, schema DDL, the
   * chunked copy plane, and the HA monitor into the reference's four
@@ -195,8 +199,27 @@ final class Agent(
     * monitor whose backfill re-runs the copy plane over the recovery
     * window. Returns the monitor (not yet ticking — call `start()` for
     * the periodic supervisor, or `tick()` from tests). */
-  def hamonitor(): HAMonitor = {
-    require(initCluster(), "cluster not alive")
+  /** The recovery backfill: blind re-copy of the outage window at the
+    * configured chunking, idempotent by the sink's partition overwrite +
+    * trim pass (hacluster.go:305-342). */
+  def backfillWindow(w: ClusterFSM.RecoveryWindow): Unit = {
+    val job = new CopyJob(spark)
+    val sch = discoverSchema() // schema refresh, hacluster.go:330-331
+    val flatR = sch match {
+      case Seq(d) => d.name == "default" &&
+        !pathExists(s"${cfg.masterRoot}/default")
+      case _ => false
+    }
+    val copyCfg = CopyJob.Config(w.startNs, w.endNs, chunkNs,
+      timeCol = cfg.timeCol, maxRetentionNs = Some(maxRetentionNs),
+      rwMaxRetries = cfg.rwMaxRetries,
+      rwRetryDelayMs = cfg.rwRetryDelayMs,
+      numWorkers = cfg.numWorkers)
+    job.replicate(sch, cfg.masterRoot, cfg.slaveRoot, copyCfg,
+      flatRoot = flatR): Unit
+  }
+
+  private def initialReplicate(): Unit = {
     val schema = discoverSchema()
     cfg.initialReplication match {
       case "schema" => replicaSchema(): Unit
@@ -206,29 +229,31 @@ final class Agent(
         replicateData(schema): Unit
       case _ => () // "none" (and unknown values log-and-skip, agent.go:263)
     }
+  }
+
+  def hamonitor(): HAMonitor = {
+    require(initCluster(), "cluster not alive")
+    initialReplicate()
     new HAMonitor(
       masterProbe,
       slaveProbe,
       checkIntervalNs = cfg.checkIntervalMs * 1000000L,
-      backfill = (w: ClusterFSM.RecoveryWindow) => {
-        // recovery = blind re-copy of the outage window at the configured
-        // chunking; idempotent by the sink's partition overwrite
-        // (hacluster.go:305-342)
-        val job = new CopyJob(spark)
-        val sch = discoverSchema() // schema refresh, hacluster.go:330-331
-        val flatR = sch match {
-          case Seq(d) => d.name == "default" &&
-            !pathExists(s"${cfg.masterRoot}/default")
-          case _ => false
-        }
-        val copyCfg = CopyJob.Config(w.startNs, w.endNs, chunkNs,
-          timeCol = cfg.timeCol, maxRetentionNs = Some(maxRetentionNs),
-          rwMaxRetries = cfg.rwMaxRetries,
-          rwRetryDelayMs = cfg.rwRetryDelayMs,
-          numWorkers = cfg.numWorkers)
-        job.replicate(sch, cfg.masterRoot, cfg.slaveRoot, copyCfg,
-          flatRoot = flatR): Unit
-      },
+      backfill = backfillWindow,
+      nowNs = nowNs)
+  }
+
+  /** hamonitor on the Structured Streaming plane: rate-source-driven
+    * probe/FSM ticks with transitions checkpointed to cfg.checkpointDir,
+    * so a monitor restart resumes from the persisted lastOK instead of
+    * forgetting the outage (SURVEY.md §3.2 Spark equivalent). */
+  def hamonitorStreaming(): StreamingMonitor = {
+    require(cfg.checkpointDir.nonEmpty, "checkpointDir required")
+    require(initCluster(), "cluster not alive")
+    initialReplicate()
+    new StreamingMonitor(spark, masterProbe, slaveProbe,
+      checkIntervalNs = cfg.checkIntervalMs * 1000000L,
+      backfill = backfillWindow,
+      checkpointDir = cfg.checkpointDir,
       nowNs = nowNs)
   }
 
@@ -238,8 +263,12 @@ final class Agent(
     case "fullcopy"      => fullCopy(): Unit
     case "replicaschema" => replicaSchema(): Unit
     case "hamonitor" | "" =>
-      val m = hamonitor()
-      m.start(cfg.minSyncIntervalMs)
+      if (cfg.checkpointDir.nonEmpty) {
+        hamonitorStreaming().start(cfg.minSyncIntervalMs): Unit
+      } else {
+        val m = hamonitor()
+        m.start(cfg.minSyncIntervalMs)
+      }
     case other =>
       throw new IllegalArgumentException(s"Unknown action: $other")
   }
