@@ -3,9 +3,10 @@ package graft.queries
 import graft.agent.{Agent, AgentConfig}
 import graft.catalog.Catalog
 import graft.functions.ChecksumAgg
+import graft.model.{FieldSch, FieldType}
 import graft.operators.CopyJob
 import graft.plan.ChunkPlanner
-import graft.sources.Tables
+import graft.sources.{LineProtocol, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -126,6 +127,55 @@ object ParityQueries {
           epoch_us(ts)::VARCHAR||'|'||user_id::VARCHAR||'|'||
           event_type||'|'||props),1,15))::BIGINT) AS checksum
         FROM events GROUP BY 1""".replaceAll("\\s+", " "))),
+
+    // S6: line-protocol ENCODE — row → wire line, bit-identical to a
+    // DuckDB string construction (tags sorted, integer `i` suffix, string
+    // fields quoted with \ and " escaped). Time rides at µs (DuckDB
+    // truncates ns parquet timestamps; repo oracle convention).
+    "lp_encode_roundtrip" -> QueryDef(
+      (s, dir) => LineProtocol.encode(
+        ev(s, dir).withColumn("time_us", expr("ts div 1000")),
+        "events", Seq("event_type", "user_id"),
+        Map("event_id" -> FieldSch("event_id", FieldType.Integer),
+          "props" -> FieldSch("props", FieldType.Str)),
+        "time_us"),
+      Some("""SELECT 'events,event_type='||event_type||
+        ',user_id='||user_id::VARCHAR||
+        ' event_id='||event_id::VARCHAR||'i,props="'||
+        replace(replace(props, chr(92), chr(92)||chr(92)),
+          '"', chr(92)||'"')||'" '||
+        epoch_us(ts)::VARCHAR AS line FROM events"""
+        .replaceAll("\\s+", " "))),
+
+    // S6: line-protocol typed DECODE — encode→parse→coerce must return
+    // the original typed columns (the reference's two-step decode matrix,
+    // client.go:392-478; uint64 path exercised in LineProtocolSpec). The
+    // float field round-trips exactly: double→string is
+    // shortest-round-trip, and the oracle compares against the source
+    // column directly.
+    "lp_decode_typed" -> QueryDef(
+      (s, dir) => {
+        val lines = LineProtocol.encode(
+          ev(s, dir).withColumn("time_us", expr("ts div 1000")),
+          "events", Seq("event_type", "user_id"),
+          Map("event_id" -> FieldSch("event_id", FieldType.Integer),
+            "value" -> FieldSch("value", FieldType.Float),
+            "props" -> FieldSch("props", FieldType.Str)),
+          "time_us")
+        LineProtocol.decodeTyped(lines, "line",
+          Seq("event_type", "user_id"),
+          Map("event_id" -> FieldSch("event_id", FieldType.Integer),
+            "value" -> FieldSch("value", FieldType.Float),
+            "props" -> FieldSch("props", FieldType.Str)))
+          .select(col("event_id"),
+            col("tag_event_type").as("event_type"),
+            col("tag_user_id").cast("long").as("user_id"),
+            col("value"), col("props"),
+            col("time_ns").as("time_us"))
+      },
+      Some("""SELECT event_id, event_type, user_id, value, props,
+        epoch_us(ts) AS time_us FROM events"""
+        .replaceAll("\\s+", " "))),
 
     // A1/A2: GROUP BY * series grouping + per-series point/value rollups
     // (tags are ordinary columns in our row schema; sync.go:162).
