@@ -63,6 +63,12 @@ final class Catalog(spark: SparkSession) {
       val ft = f.dataType match {
         case DoubleType | FloatType       => FieldType.Float
         case LongType | IntegerType       => FieldType.Integer
+        // time columns are integer in the engine's canonical schema —
+        // the authoritative time key is the ns-epoch Long (SURVEY.md
+        // §7.3 hard part 1); µs-timestamp/date parquet columns surface
+        // the same way
+        case TimestampType | TimestampNTZType | DateType =>
+          FieldType.Integer
         case _: DecimalType               => FieldType.Unsigned
         case BooleanType                  => FieldType.Bool
         case _                            => FieldType.Str

@@ -233,8 +233,10 @@ object ParityQueries {
         .replaceAll("\\s+", " "))),
 
     // S1-S4/P3: catalog discovery with regex filtering (GetSchema,
-    // hacluster.go:75-162). Driver-side catalog → small DataFrame; not
-    // SQL-expressible over the data tables → rows-only check.
+    // hacluster.go:75-162). Oracle: DuckDB DESCRIBE over every registered
+    // table, with its column types mapped through the same §1.2 matrix —
+    // timestamps map to 'integer' because the engine's canonical time
+    // type is the ns-epoch Long (SURVEY.md §7.3 hard part 1).
     "catalog_schema" -> QueryDef(
       (s, dir) => {
         val cat = new Catalog(s)
@@ -246,5 +248,23 @@ object ParityQueries {
         import s.implicits._
         rows.toDF("db", "rp", "measurement", "field", "ftype")
       },
-      None))
+      Some {
+        val tables = Seq("region", "nation", "customer", "supplier",
+          "part", "orders", "lineitem", "events", "documents",
+          "embeddings")
+        val describes = tables.map(t =>
+          s"""SELECT '$t' AS measurement, column_name AS field,
+              column_type FROM (DESCRIBE $t)""").mkString(" UNION ALL ")
+        s"""WITH ds AS ($describes)
+          SELECT 'default' AS db, 'autogen' AS rp, measurement, field,
+          CASE WHEN column_type IN ('DOUBLE','FLOAT','REAL') THEN 'float'
+            WHEN column_type LIKE 'DECIMAL%' THEN 'unsigned'
+            WHEN column_type IN ('BIGINT','INTEGER','SMALLINT','TINYINT')
+              THEN 'integer'
+            WHEN column_type LIKE 'TIMESTAMP%' THEN 'integer'
+            WHEN column_type = 'DATE' THEN 'integer'
+            WHEN column_type = 'BOOLEAN' THEN 'boolean'
+            ELSE 'string' END AS ftype
+          FROM ds""".replaceAll("\\s+", " ")
+      }))
 }
