@@ -8,20 +8,32 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.model.ClusterStatus
 
 /** Minimal ops HTTP API over the cluster status — the webui analog
-  * (/root/reference/pkg/webui/api.go):
-  *   GET /api/health       → cluster status JSON (api.go:15,24-28;
-  *                           payload per hacluster.go:46-72)
-  *   GET /api/queryactive  → names of currently-healthy servers
-  *                           (api.go:18,30-45)
+  * (/root/reference/pkg/webui/api.go, webserver.go):
+  *   GET  /api/health       → cluster status JSON (api.go:15,24-28;
+  *                            payload per hacluster.go:46-72)
+  *   GET  /api/queryactive  → names of currently-healthy servers
+  *                            (api.go:18,30-45)
+  *   GET  /api/health/<id>  → per-server stub (api.go:16,47-51 — the
+  *                            reference's own handler returns "hola")
+  *   POST /api/action/<id>  → session-gated action stub, "hola"
+  *                            (api.go:17,54-61)
+  *   POST /login, /logout   → session-cookie auth against
+  *                            admin-user/admin-passwd
+  *                            (webserver.go:173-174,190-208)
   * JDK built-in httpserver: zero new dependencies, driver-side only
   * (SURVEY.md §2.11).
   */
 final class StatusServer(
     port: Int,
     status: () => ClusterStatus,
-    serverNames: () => Seq[(String, Boolean)]) {
+    serverNames: () => Seq[(String, Boolean)],
+    adminUser: String = "admin", // conf [http] admin-user default
+    adminPassword: String = "admin") {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val sessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  final val CookieName = "graft_sess_id" // ≅ cookie-id, mainconfig.go:42
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -55,11 +67,64 @@ final class StatusServer(
     names.collect { case (n, true) => jstr(n) }
       .mkString("[", ",", "]")
 
+  private def bodyOf(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  /** Extract a JSON string field without a JSON dependency (login bodies
+    * are tiny fixed shapes, UserLogin analog webserver.go:190). */
+  private def jsonField(body: String, key: String): Option[String] =
+    ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      .findFirstMatchIn(body).map(_.group(1)
+        .replace("\\\"", "\"").replace("\\\\", "\\"))
+
+  private def sessionOf(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Cookie")).flatMap { c =>
+      c.split(';').map(_.trim).collectFirst {
+        case kv if kv.startsWith(CookieName + "=") =>
+          kv.drop(CookieName.length + 1)
+      }
+    }
+
+  private def signedIn(ex: HttpExchange): Boolean =
+    sessionOf(ex).exists(sessions.contains)
+
+  /** POST /login: admin-user/admin-passwd check → session cookie
+    * (myLoginHandler, webserver.go:190-201). */
+  def handleLogin(ex: HttpExchange): Unit = {
+    val body = bodyOf(ex)
+    val ok = jsonField(body, "username").contains(adminUser) &&
+      jsonField(body, "password").contains(adminPassword)
+    if (ok) {
+      val tok = java.util.UUID.randomUUID().toString
+      sessions.add(tok): Unit
+      ex.getResponseHeaders.add("Set-Cookie",
+        s"$CookieName=$tok; HttpOnly")
+      respond(ex, 200, jstr(CookieName))
+    } else respond(ex, 400, jstr("ERROR user or password not match"))
+  }
+
+  /** POST /logout: destroy the session (myLogoutHandler,
+    * webserver.go:203-207). */
+  def handleLogout(ex: HttpExchange): Unit = {
+    sessionOf(ex).foreach(t => sessions.remove(t): Unit)
+    respond(ex, 200, jstr("ok"))
+  }
+
   def start(): Unit = {
-    server.createContext("/api/health",
-      (ex: HttpExchange) => respond(ex, 200, healthJson(status())))
+    server.createContext("/api/health", (ex: HttpExchange) =>
+      // longest-prefix routing: /api/health/<id> is the per-server stub
+      // (api.go:47-51 — the reference returns the literal "hola" too)
+      if (ex.getRequestURI.getPath.stripSuffix("/") != "/api/health")
+        respond(ex, 200, jstr("hola"))
+      else respond(ex, 200, healthJson(status())))
     server.createContext("/api/queryactive",
       (ex: HttpExchange) => respond(ex, 200, queryActiveJson(serverNames())))
+    server.createContext("/api/action", (ex: HttpExchange) =>
+      // session-gated action stub (api.go:54-61)
+      if (signedIn(ex)) respond(ex, 200, jstr("hola"))
+      else respond(ex, 401, jstr("unauthorized")))
+    server.createContext("/login", handleLogin _)
+    server.createContext("/logout", handleLogout _)
     server.setExecutor(null)
     server.start()
   }

@@ -129,6 +129,33 @@ final class Catalog(spark: SparkSession) {
     }
   }
 
+  /** Register every discovered measurement as a Spark SQL temp view named
+    * `<db>_<rp>_<measurement>`, so users can `spark.sql` against the
+    * catalog. Names are backtick-quoted (F6): measurement names may
+    * contain dots/dashes/spaces (README.md:395 `cpu.*`), which unquoted
+    * SQL would misparse as multipart identifiers. Returns the view names.
+    */
+  def registerViews(root: String,
+      dbRegex: String = ".*", rpRegex: String = ".*",
+      measRegex: String = ".*"): Seq[String] = {
+    import graft.functions.Identifiers.backquote
+    val hierarchical = listDirs(root).nonEmpty
+    val schema = getSchema(root, dbRegex, rpRegex, measRegex)
+    for {
+      db <- schema; rp <- db.rps; m <- rp.measurements
+    } yield {
+      val path =
+        if (hierarchical) s"$root/${db.name}/${rp.name}/${m.name}.parquet"
+        else s"$root/${m.name}.parquet"
+      val view = s"${db.name}_${rp.name}_${m.name}"
+      Tables.ensureNsConf(spark)
+      spark.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW ${backquote(view)} AS
+            SELECT * FROM parquet.${backquote(path)}"""): Unit
+      view
+    }
+  }
+
   private def listDirs(path: String): Seq[String] = {
     val (fs, p) = fsFor(path)
     if (!fs.exists(p)) Nil

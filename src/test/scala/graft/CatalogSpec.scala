@@ -77,4 +77,21 @@ class CatalogSpec extends AnyFunSuite {
     val meta = rep.readRpMeta(dst, "db1copy", "rpnew")
     assert(meta.exists(_.contains("\"default\":true")))
   }
+
+  test("registerViews exposes measurements to spark.sql with quoted " +
+    "identifiers (F6; dotted names, client.go:90/README.md:395)") {
+    import graft.functions.Identifiers
+    val root = mkHierarchicalRoot()
+    val cat = new Catalog(spark)
+    val views = cat.registerViews(root)
+    assert(views.contains("db1_rp1_events"))
+    assert(views.contains("db1_rp2_cpu.load")) // dot survives via quoting
+    val n = spark.sql("SELECT count(*) AS n FROM `db1_rp2_cpu.load`")
+      .head().getLong(0)
+    assert(n == 10)
+    // quoting rules themselves
+    assert(Identifiers.backquote("a`b") == "`a``b`")
+    assert(Identifiers.influxQuote("cpu.load") == "\"cpu.load\"")
+    assert(Identifiers.influxQuote("a\"b") == "\"a\\\"b\"")
+  }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB posture claims, pinned:
+  * filters reach the parquet scan, small sides broadcast, top-k plans as
+  * TakeOrdered, aggregations split partial/final, and no dedup/ANN scale
+  * path ever degenerates into a cartesian product. A correctness-green
+  * query with a wrong plan is still wrong at scale (SURVEY.md §4). */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  val dir = SparkSpec.Sf0001
+
+  /** Final executed plan string (runs the query so AQE settles). */
+  def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.collect(): Unit
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("time-range predicate is PUSHED to the parquet scan (S5/P2; the " +
+    "reference pushes it into the TSDB query, sync.go:162)") {
+    val p = planOf("s5_timerange_scan")
+    assert(p.contains("PushedFilters:"), p.take(2000))
+    assert(p.contains("GreaterThan(ts") || p.contains("GreaterThan(`ts`"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("small dimension side broadcasts (join_broadcast_part)") {
+    val p = planOf("join_broadcast_part")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
+  test("top-k revenue plans as TakeOrderedAndProject, not global sort") {
+    val p = planOf("q3_topk_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("pricing summary aggregates in partial+final stages (map-side " +
+    "combine before the shuffle)") {
+    val p = planOf("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("dedup scale paths never degenerate into cartesian products") {
+    for (q <- Seq("dedup_lsh_pairs", "dedup_jaccard_pairs",
+      "dedup_embedding_neardup", "dedup_minhash_sig", "dedup_exact",
+      "ann_lsh_topk")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(2000)}")
+    }
+  }
+
+  test("brute-force ANN broadcasts the query side (the deliberate " +
+    "O(|Q|·|C|) baseline streams the corpus exactly once)") {
+    val p = planOf("ann_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2000))
+  }
+
+  test("hot paths stay inside whole-stage codegen (no interpreted " +
+    "projections or Python evals)") {
+    for (q <- Seq("s5_timerange_scan", "text_quality", "scalar_math",
+      "dedup_simhash")) {
+      val p = planOf(q)
+      // `*(n)` is the WholeStageCodegen marker in the plan's string form
+      assert(p.contains("*("), s"$q:\n${p.take(1500)}")
+      assert(!p.contains("BatchEvalPython"), q)
+    }
+  }
+
+  test("metadata-only multimodal pass prunes the payload column from " +
+    "the scan when untouched (column pruning, SURVEY.md §4)") {
+    // describe() reads payload (md5/size) by design; the frame-sampling
+    // plumbing never touches payload bytes — its scan must not read text
+    val df = SparkEntry.queries("mm_sample_frames")(spark, dir)
+    df.collect(): Unit
+    val scan = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!scan.contains("text"), scan)
+  }
+}

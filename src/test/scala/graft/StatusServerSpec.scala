@@ -33,4 +33,47 @@ class StatusServerSpec extends AnyFunSuite {
       assert(active == "[\"influxdb01\"]")
     } finally srv.stop()
   }
+
+  test("login/session/action endpoints (webserver.go:173-208, " +
+    "api.go:47-61)") {
+    val status = ClusterStatus("OK", 0L, 0L, masterState = true,
+      masterLastOkNs = 1L, slaveState = true, slaveLastOkNs = 1L)
+    val srv = new StatusServer(0, () => status, () => Nil,
+      adminUser = "adm", adminPassword = "s3cret")
+    srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      def post(path: String, body: String, cookie: String = "")
+          : HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(URI.create(base + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+        if (cookie.nonEmpty) b.header("Cookie", cookie): Unit
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+
+      // action without a session → 401
+      assert(post("/api/action/restart", "").statusCode() == 401)
+      // wrong credentials → 400 (myLoginHandler error branch)
+      assert(post("/login",
+        """{"username":"adm","password":"wrong"}""").statusCode() == 400)
+      // good credentials → 200 + session cookie
+      val login = post("/login",
+        """{"username":"adm","password":"s3cret"}""")
+      assert(login.statusCode() == 200)
+      val cookie = login.headers().firstValue("Set-Cookie").get()
+        .split(';').head
+      // action with the session → the reference's stub payload
+      val act = post("/api/action/restart", "", cookie)
+      assert(act.statusCode() == 200 && act.body() == "\"hola\"")
+      // per-server health stub
+      val h = client.send(HttpRequest.newBuilder(
+        URI.create(base + "/api/health/influxdb01")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(h.statusCode() == 200 && h.body() == "\"hola\"")
+      // logout destroys the session
+      assert(post("/logout", "", cookie).statusCode() == 200)
+      assert(post("/api/action/restart", "", cookie).statusCode() == 401)
+    } finally srv.stop()
+  }
 }
