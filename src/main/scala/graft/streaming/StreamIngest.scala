@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.model.FieldSch
+import graft.sources.LineProtocol
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous ingestion — the engine's streaming write path
+  * (SURVEY.md §2.9): the reference moves points as a batch pull/push loop
+  * (sync.go:95-213); the Spark-native continuous form is a file-stream of
+  * line-protocol text → typed decode → (optionally) watermarked windowed
+  * aggregation → parquet sink, all on Structured Streaming with
+  * checkpointed offsets (exactly-once file sink).
+  *
+  * The decode reuses the batch codec: the quote/escape-aware scanner runs
+  * inside the partition via `Dataset.map` and the per-field coercion
+  * matrix is codegen'd Column ops (LineProtocol.decodeTyped) — identical
+  * semantics in batch and streaming, one implementation.
+  */
+object StreamIngest {
+
+  /** File-stream of line-protocol text under `inDir` → typed rows
+    * (`measurement, tag_<k>..., fields..., time_ns`). */
+  def typedStream(
+      spark: SparkSession,
+      inDir: String,
+      tagKeys: Seq[String],
+      fields: Map[String, FieldSch]): DataFrame =
+    LineProtocol.decodeTyped(
+      spark.readStream.text(inDir).withColumnRenamed("value", "line"),
+      "line", tagKeys, fields)
+
+  /** Tumbling-window per-series aggregation with a watermark: late points
+    * beyond `watermarkDelay` are dropped, windows close and emit once
+    * (append mode) when the watermark passes — the streaming analog of
+    * the reference's chunked rollup, with principled late-data handling
+    * instead of the blind re-copy overlap (hacluster.go:310,321). */
+  def windowedSeriesAgg(
+      typed: DataFrame,
+      tagCols: Seq[String],
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame = {
+    val withTime = typed.withColumn("time",
+      timestamp_micros((col("time_ns") / 1000L).cast("long")))
+    val keys: Seq[Column] =
+      window(col("time"), windowDuration) +: tagCols.map(col)
+    withTime
+      .withWatermark("time", watermarkDelay)
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_points"),
+        avg(col(valueCol)).as("avg_value"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+  }
+
+  /** Append-mode parquet sink with checkpointed offsets (exactly-once
+    * file sink semantics). */
+  def toParquet(
+      df: DataFrame,
+      outDir: String,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.model.{FieldSch, FieldType}
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ingestion E2E: line-protocol text files stream through the
+  * typed decode into a checkpointed parquet sink; the watermarked
+  * windowed aggregation closes windows once the event-time watermark
+  * passes and drops later-than-watermark points (SURVEY.md §2.9). */
+class StreamIngestSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  val fields = Map(
+    "v" -> FieldSch("v", FieldType.Float),
+    "n" -> FieldSch("n", FieldType.Integer))
+
+  def minuteNs(m: Long): Long = m * 60L * 1000000000L
+
+  def writeBatch(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8)): Unit
+
+  test("typed decode streams to a checkpointed parquet sink") {
+    val in = Files.createTempDirectory("graft_ing_in").toString
+    val out = Files.createTempDirectory("graft_ing_out").toString
+    val ckpt = Files.createTempDirectory("graft_ing_ck").toString
+    writeBatch(in, "b0.lp", Seq(
+      s"m,host=h1 v=1.5,n=7i ${minuteNs(1)}",
+      s"m,host=h2 v=2.5 ${minuteNs(2)}"))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"), fields)
+    val q = StreamIngest.toParquet(typed, out, ckpt)
+    try {
+      q.processAllAvailable()
+      // second file arrives — offsets ensure it's processed exactly once
+      writeBatch(in, "b1.lp", Seq(s"m,host=h1 v=9.0,n=1i ${minuteNs(3)}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3)
+    val r = got.filter(col("time_ns") === minuteNs(1)).head()
+    assert(r.getAs[String]("tag_host") == "h1")
+    assert(r.getAs[Double]("v") == 1.5)
+    assert(r.getAs[Long]("n") == 7L)
+    // field absent on the wire → null after decode
+    assert(got.filter(col("time_ns") === minuteNs(2))
+      .head().isNullAt(got.columns.indexOf("n")))
+  }
+
+  test("watermarked windowed agg closes windows in append mode and " +
+    "drops later-than-watermark points") {
+    val in = Files.createTempDirectory("graft_win_in").toString
+    val out = Files.createTempDirectory("graft_win_out").toString
+    val ckpt = Files.createTempDirectory("graft_win_ck").toString
+    // window 1m, watermark 2m
+    writeBatch(in, "b0.lp", Seq(
+      s"m,host=h1 v=1.0 ${minuteNs(10)}",
+      s"m,host=h1 v=3.0 ${minuteNs(10) + 30L * 1000000000L}",
+      s"m,host=h2 v=5.0 ${minuteNs(11)}"))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val agg = StreamIngest.windowedSeriesAgg(typed, Seq("tag_host"), "v",
+      "1 minute", "2 minutes")
+    val q = StreamIngest.toParquet(agg, out, ckpt)
+    try {
+      q.processAllAvailable()
+      // advance event time far past the earlier windows; the watermark
+      // itself only moves at the END of this batch (to 30:00 − 2m)
+      writeBatch(in, "b1.lp", Seq(s"m,host=h1 v=100.0 ${minuteNs(30)}"))
+      q.processAllAvailable()
+      // next batch runs under watermark 28:00 → the minute-10/11 windows
+      // close and emit, and a point back at minute 10 is LATE → dropped
+      writeBatch(in, "b2.lp", Seq(
+        s"m,host=h1 v=999.0 ${minuteNs(10)}", // later than watermark
+        s"m,host=h1 v=101.0 ${minuteNs(31)}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    // closed windows: [10:00,10:01) h1 (2 points), [11:00,11:02) h2
+    val w10 = got.filter(col("tag_host") === "h1" &&
+      col("n_points") === 2L).collect()
+    assert(w10.length == 1)
+    assert(w10.head.getAs[Double]("avg_value") == 2.0)
+    assert(w10.head.getAs[Double]("max_value") == 3.0)
+    // the late 999.0 point never contaminated the closed window
+    assert(got.filter(col("max_value") === 999.0).isEmpty)
+    val w11 = got.filter(col("tag_host") === "h2").collect()
+    assert(w11.length == 1 && w11.head.getAs[Double]("avg_value") == 5.0)
+  }
+}
