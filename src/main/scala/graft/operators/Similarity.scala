@@ -118,6 +118,100 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Deterministic k-means coarse quantizer for IVF: Lloyd iterations on
+    * a bounded sample, driver-side (nlist×|sample|×dim flops — trivial;
+    * centroids are a tiny broadcastable table). Initial centroids are the
+    * first `nlist` sample vectors in id order — deterministic, no RNG.
+    * Vectors are L2-normalized so nearest-centroid-by-dot ≅ cosine. */
+  private[operators] def kmeansCentroids(
+      sample: Array[Array[Double]], nlist: Int, iters: Int)
+      : Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(normalize)
+    var cents = pts.take(nlist).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(
+        new Array[Double](pts.head.length))
+      val counts = new Array[Int](cents.length)
+      pts.foreach { p =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < p.length) { d += p(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c))
+      }.toArray
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) approximate top-k — the second scale path the
+    * pipeline needs besides SRP-LSH: corpus rows are assigned to their
+    * nearest coarse centroid (one broadcast of nlist tiny centroid rows;
+    * assignment cost |corpus|·nlist codegen'd dots), queries probe the
+    * `nprobe` nearest centroids, and exact cosine runs only within the
+    * probed inverted lists — |Q|·(nprobe/nlist)·|C| pair work instead of
+    * |Q|·|C|. Quantizer training samples at most `sampleN` vectors
+    * (bounded driver memory at any corpus size). Recall < 1 by
+    * construction; raise nprobe toward nlist to recover exactness. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 5, sampleN: Int = 2048): DataFrame = {
+    val spark = corpus.sparkSession
+    val sample = prep(corpus, idCol, vecCol, "id", "v", "n")
+      .orderBy(col("id")).limit(sampleN)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cents = kmeansCentroids(sample, nlist, iters)
+    import spark.implicits._
+    val centDf = broadcast(
+      cents.zipWithIndex.toSeq.toDF("cv", "centroid")
+        .select(col("centroid"), col("cv")))
+
+    // nearest-centroid ranking: small broadcast fan-out (×nlist), then a
+    // per-id window — rank 1 assigns corpus rows, rank ≤ nprobe probes
+    def ranked(df: DataFrame, idAs: String, vAs: String, nAs: String)
+        : DataFrame = {
+      val v = prep(df, idCol, vecCol, idAs, vAs, nAs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idAs))
+        .orderBy((vecDot(col(vAs), col("cv")) / col(nAs)).desc,
+          col("centroid"))
+      v.crossJoin(centDf)
+        .withColumn("crank", row_number().over(w))
+    }
+    val assigned = ranked(corpus, "neighbor_id", "cv2", "cn")
+      .filter(col("crank") === 1)
+      .select(col("centroid"), col("neighbor_id"), col("cv2"), col("cn"))
+    val probes = ranked(queries, "query_id", "qv", "qn")
+      .filter(col("crank") <= nprobe)
+      .select(col("centroid"), col("query_id"), col("qv"), col("qn"))
+    val scored = assigned.join(broadcast(probes), Seq("centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vecDot(col("qv"), col("cv2")) / (col("qn") * col("cn")))
+          .as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+
   /** LSH-bucketed approximate top-k: hash queries and corpus into SRP
     * buckets over `numTables` tables, join within buckets only, rank by
     * cosine. At 100 TB this replaces the |Q|·|C| product with per-bucket

@@ -184,6 +184,20 @@ object PipelineQueries {
             ORDER BY round(cos,6) DESC, neighbor_id) AS rank FROM s)
         WHERE rank <= 5""".replaceAll("\\s+", " "))),
 
+    // IVF ANN (k-means coarse quantizer + inverted-list probing) — the
+    // second scale path besides SRP-LSH; approximate by design, so
+    // rows-only check; recall (and nprobe=nlist ≡ brute force) asserted
+    // in SimilaritySpec.
+    "ann_ivf_topk" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 16), e,
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine_r"))
+      },
+      None),
+
     // LSH-bucketed ANN (sign-random-projection) — approximate by design,
     // so rows-only check; recall vs brute force is asserted in ScalaTest.
     "ann_lsh_topk" -> QueryDef(
@@ -252,6 +266,57 @@ object PipelineQueries {
         substr(md5(text),1,16) AS fp64,
         md5(array_to_string(list_sort(string_split(text,' ')), ' '))
           AS bag_md5 FROM documents""".replaceAll("\\s+", " "))),
+
+    // the composed pipeline: training-set selection = quality thresholds
+    // ∧ language filter ∧ exact-dedup representative — the operators
+    // above chained the way a real corpus build chains them. Each input
+    // is a groupBy/join over (id, smallcols); document bodies are read
+    // once and never shuffled.
+    "pipeline_training_set" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val q = TextAnalysis.quality(d, "doc_id", "text", Stopwords)
+          .select(col("id"), col("n_words"), col("stopword_ratio"))
+        val l = TextAnalysis.langId(d, "doc_id", "text", LangMarkers)
+          .select(col("id"), col("pred_lang"))
+        val keep = Dedup.exact(d, "doc_id", "text")
+          .select(col("keep_id").as("id"))
+        q.join(l, "id").join(keep, "id")
+          .filter(col("n_words") >= 5 && col("stopword_ratio") <= 0.4 &&
+            col("pred_lang") === "en")
+          .select(col("id"), col("n_words"), col("stopword_ratio"),
+            col("pred_lang"))
+      },
+      Some {
+        val langs = LangMarkers.keys.toSeq.sorted
+        val scoreCols = langs.map { l =>
+          val ms = LangMarkers(l).map("'" + _ + "'").mkString(",")
+          s"len(list_filter(w, x -> list_contains([$ms], x)))::BIGINT AS s_$l"
+        }.mkString(", ")
+        val langList = langs.map("'" + _ + "'").mkString(",")
+        val scoreList = langs.map(l => s"s_$l").mkString(",")
+        s"""WITH $WordsCte,
+          t AS (SELECT d.doc_id, d.text, words.w FROM documents d
+                JOIN words ON d.doc_id=words.doc_id),
+          q AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+            len(list_filter(w, x -> list_contains(
+              [${Stopwords.map("'" + _ + "'").mkString(",")}], x)))/len(w)
+              AS stopword_ratio FROM t),
+          s AS (SELECT doc_id, $scoreCols FROM words),
+          u AS (SELECT doc_id, unnest([$langList]) AS lang,
+            unnest([$scoreList]) AS score FROM s),
+          r AS (SELECT doc_id, lang, score, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+            FROM u),
+          lid AS (SELECT doc_id, lang AS pred_lang FROM r WHERE rn = 1),
+          keep AS (SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY text)
+          SELECT q.doc_id AS id, n_words, stopword_ratio, pred_lang
+          FROM q JOIN lid ON q.doc_id=lid.doc_id
+          JOIN keep ON q.doc_id=keep.doc_id
+          WHERE n_words >= 5 AND stopword_ratio <= 0.4
+            AND pred_lang='en'""".replaceAll("\\s+", " ")
+      }),
 
     // multimodal: metadata/describe pass over binary payloads.
     "mm_describe" -> QueryDef(

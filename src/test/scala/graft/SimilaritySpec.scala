@@ -46,4 +46,22 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall@5 = $recall") // approximate by design
   }
+
+  test("IVF ANN: inverted-list probing achieves reasonable recall@5 and " +
+    "full nprobe=nlist recovers brute force exactly") {
+    val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
+    val q = e.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall@5 = $recall")
+    // probing every list is exhaustive search — must equal brute force
+    val full = Similarity.ivfTopK(q, e, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full == exact)
+  }
 }
