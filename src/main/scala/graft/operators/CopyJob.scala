@@ -44,7 +44,14 @@ object CopyJob {
       rwRetryDelayMs: Long = 0L, // 10s in reference; 0 keeps tests fast
       strictReferenceBounds: Boolean = false,
       recoveryFactor: Int = 10, // sync.go:226
-      numWorkers: Int = 4) // num-workers, conf/sample.syncflux.toml:125
+      numWorkers: Int = 4, // num-workers, conf/sample.syncflux.toml:125
+      // max-points-on-single-write analog (BpSplit, client.go:494-529;
+      // default 10000 at main.go:216-218): caps rows per written file.
+      // 0 = let Spark size files — the right default for Parquet, where
+      // many small files hurt at scale; set it when a downstream
+      // consumer needs bounded write units like the reference's HTTP
+      // batches.
+      maxPointsPerWrite: Long = 0L)
 }
 
 final class CopyJob(
@@ -115,11 +122,13 @@ final class CopyJob(
       // rides the write via Observation (no second scan; the metric is
       // collected from the write's own execution).
       val obs = org.apache.spark.sql.Observation()
-      slice.observe(obs, count(lit(1)).as("n")).write
+      val writer = slice.observe(obs, count(lit(1)).as("n")).write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket")
-        .parquet(dstPath)
+      (if (cfg.maxPointsPerWrite > 0)
+        writer.option("maxRecordsPerFile", cfg.maxPointsPerWrite)
+      else writer).parquet(dstPath)
       dropContainedStalePartitions(dstPath, chunk)
       obs.get("n").asInstanceOf[Long]
     }

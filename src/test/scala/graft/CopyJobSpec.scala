@@ -178,6 +178,25 @@ class CopyJobSpec extends AnyFunSuite {
     assert(after.exists { case (_, s, d) => s != d })
   }
 
+  test("maxPointsPerWrite bounds rows per written file (BpSplit analog, " +
+    "client.go:494-529)") {
+    val dst = freshDst()
+    val job = new CopyJob(spark)
+    val c = CopyJob.Config(S, E, chunkNs = 5 * Day, timeCol = "ts",
+      maxPointsPerWrite = 50L)
+    job.copyMeasurement(src, dst, c)
+    val files = Option(new java.io.File(dst).listFiles()).get
+      .filter(_.getName.startsWith("__bucket="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(spark.read.parquet(f.toString).count() <= 50L, f.getName)
+    }
+    // and the copy is still window-exact
+    val direct = Tables.timeRange(spark.read.parquet(src), "ts", S, E).count()
+    assert(job.readCopied(dst).count() == direct)
+  }
+
   test("strict reference bounds drop edge points (sync.go:162 semantics)") {
     val dst = freshDst()
     val job = new CopyJob(spark)
