@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Key-salting for skewed shuffles — the manual escape hatch when AQE's
+  * skew-join splitting can't apply (aggregations, or joins whose skewed
+  * side feeds from an exchange AQE won't re-plan). Not present in the
+  * reference (its only shuffle analog is the per-measurement worker
+  * pool); required equipment for the 100 TB posture: one hot key (a
+  * common shingle, an empty-string tag, a null-ish id) otherwise pins a
+  * single reducer while 999 executors idle.
+  *
+  * Pattern: explode the hot side's key space by a salt in [0, factor),
+  * replicate the other side across every salt, shuffle on (key, salt),
+  * un-salt afterwards. Aggregations instead do a two-phase
+  * partial-on-salt → final-on-key reduction.
+  */
+object SkewJoin {
+
+  /** Inner equi-join with the LEFT side salted (use when `left`'s key
+    * distribution is skewed): left rows get a deterministic salt from a
+    * uniform hash of the whole row, right rows are replicated across all
+    * `factor` salts — the hot key's work spreads over `factor` reducers.
+    */
+  def saltedInnerJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      factor: Int): DataFrame = {
+    require(factor > 0)
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(factor)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(factor - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: partial aggregate on
+    * (key, salt) — spreading a hot key over `factor` reducers — then
+    * final combine on key. The caller supplies both phases; for
+    * algebraic aggregates (sum/count/min/max) partial == final merge. */
+  def saltedAgg(
+      df: DataFrame,
+      key: String,
+      factor: Int,
+      partial: org.apache.spark.sql.RelationalGroupedDataset => DataFrame,
+      finalAgg: org.apache.spark.sql.RelationalGroupedDataset => DataFrame)
+      : DataFrame = {
+    require(factor > 0)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(factor)))
+    val part = partial(salted.groupBy(col(key), col("__salt")))
+    finalAgg(part.groupBy(col(key)))
+  }
+}

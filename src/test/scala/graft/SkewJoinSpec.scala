@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.SkewJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Salted-shuffle equivalence: results identical to the un-salted plan,
+  * while the hot key's rows spread across `factor` salt partitions. */
+class SkewJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  // heavily skewed: 10k rows of key "hot", a handful of others
+  def skewed() = ((1 to 10000).map(i => ("hot", i.toLong)) ++
+    Seq(("a", 1L), ("b", 2L), ("c", 3L))).toDF("k", "v")
+
+  test("saltedInnerJoin equals the plain join") {
+    val right = Seq(("hot", 100L), ("a", 10L), ("z", 0L)).toDF("k", "w")
+    val plain = skewed().join(right, "k")
+      .select(sum($"v" + $"w")).head().getLong(0)
+    val salted = SkewJoin.saltedInnerJoin(skewed(), right, "k", 8)
+      .select(sum($"v" + $"w")).head().getLong(0)
+    assert(salted == plain)
+    assert(SkewJoin.saltedInnerJoin(skewed(), right, "k", 8).count() ==
+      skewed().join(right, "k").count())
+  }
+
+  test("saltedAgg equals the plain aggregation and spreads the hot key") {
+    val plain = skewed().groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val salted = SkewJoin.saltedAgg(skewed(), "k", 8,
+      partial = _.agg(count(lit(1)).as("n"), sum("v").as("s")),
+      finalAgg = _.agg(sum("n").as("n"), sum("s").as("s")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(salted == plain)
+    // the hot key's partial aggregation really fans out over salts
+    val partials = skewed().withColumn("__salt",
+      pmod(xxhash64(col("k"), col("v")), lit(8)))
+      .filter($"k" === "hot").select("__salt").distinct().count()
+    assert(partials > 1)
+  }
+}
