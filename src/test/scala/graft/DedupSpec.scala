@@ -63,6 +63,50 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("differential: LSH-candidate jaccard ⊆ all-pairs jaccard with " +
+    "identical scores (the scale path loses only non-candidates)") {
+    val d = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "documents")
+    val allPairs = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val sig = Dedup.minhash(d, "doc_id", "text", 8, 3)
+    val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sig, 4, 8))
+    val lsh = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.5,
+      candidates = Some(cand))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, j) =>
+      assert(allPairs.contains(pair), s"LSH pair $pair not in all-pairs")
+      assert(allPairs(pair) == j, s"score mismatch for $pair")
+    }
+    // near-dup shingle overlap at 0.5 makes band collision near-certain
+    assert(lsh.size.toDouble / allPairs.size >= 0.8,
+      s"recall ${lsh.size}/${allPairs.size}")
+  }
+
+  test("differential: SRP-LSH embedding near-dup ⊆ all-pairs with " +
+    "identical cosines") {
+    val e = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "embeddings")
+    // sf0.001 has no pairs above 0.48 — use 0.4 so the test isn't vacuous
+    val allPairs = Dedup.embeddingNearDup(e, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(allPairs.nonEmpty)
+    val lsh = Dedup.embeddingNearDupLsh(e, "vec_id", "embedding", 0.4,
+      dim = 64, numPlanes = 8, numTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    lsh.foreach { case (pair, c) =>
+      assert(allPairs.contains(pair), s"LSH pair $pair not in all-pairs")
+      assert(allPairs(pair) == c, s"cosine mismatch for $pair")
+    }
+    // at 0.4 cosine (≈66°) SRP recall per table is low by design; the
+    // subset+equality property above is the correctness claim, recall
+    // just needs to be non-trivial
+    assert(lsh.nonEmpty)
+  }
+
   test("simhash: equal for identical text, long-valued, stable") {
     val out = Dedup.simhash(
       df((1L, "spark scan filter join"), (2L, "spark scan filter join"),
