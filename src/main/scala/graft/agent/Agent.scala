@@ -306,14 +306,33 @@ object AgentCli {
 
   def parse(args: Array[String]): (String, AgentConfig) = {
     var action = "hamonitor"
-    var c = AgentConfig(masterRoot = "", slaveRoot = "")
+    // pass 1: -config resolves the base config; -master/-slave may be
+    // server NAMES from its [[influxdb]] array (flags override file,
+    // reference semantics: main.go:84-85 + init() double parse)
+    val flagOf = args.sliding(2).collect {
+      case Array(k, v) if k.startsWith("-") => k -> v
+    }.toMap
+    var c = flagOf.get("-config") match {
+      case Some(path) =>
+        AgentConfigFile.apply(
+          AgentConfigFile.read(path,
+            new org.apache.hadoop.conf.Configuration()),
+          AgentConfig(masterRoot = "", slaveRoot = ""),
+          master = flagOf.getOrElse("-master", ""),
+          slave = flagOf.getOrElse("-slave", ""))
+      case None => AgentConfig(masterRoot = "", slaveRoot = "")
+    }
+    val fromConfig = flagOf.contains("-config")
     var i = 0
     while (i < args.length) {
       def v: String = { i += 1; args(i) }
       args(i) match {
         case "-action" => action = v
-        case "-master" => c = c.copy(masterRoot = v)
-        case "-slave"  => c = c.copy(slaveRoot = v)
+        case "-config" => v: Unit // consumed in pass 1
+        case "-master" => if (!fromConfig) c = c.copy(masterRoot = v)
+          else v: Unit // resolved via the server array in pass 1
+        case "-slave"  => if (!fromConfig) c = c.copy(slaveRoot = v)
+          else v: Unit
         case "-db"     => c = c.copy(dbRegex = v)
         case "-rp"     => c = c.copy(rpRegex = v)
         case "-meas"   => c = c.copy(measRegex = v)

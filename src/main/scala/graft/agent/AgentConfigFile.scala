@@ -1,0 +1,115 @@
+package graft.agent
+
+import java.nio.charset.StandardCharsets
+
+import graft.functions.TimeFuncs
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Config-file loader — the reference's TOML config surface
+  * (/root/reference/pkg/config/mainconfig.go:10-44;
+  * conf/sample.syncflux.toml): a `[general]` section with the sync knobs,
+  * `[http]` with the API credentials, and a `[[influxdb]]` server array
+  * whose entries are addressed by NAME via `master-db`/`slave-db` (or the
+  * `-master`/`-slave` flags, main.go:84-85). In the engine a server's
+  * `location` is a storage root URI instead of an HTTP endpoint.
+  *
+  * Parser is a deliberate TOML subset — sections, array-of-table headers,
+  * `key = value` with quoted strings / ints / bools — which covers the
+  * reference's entire config file; no external dependency.
+  */
+object AgentConfigFile {
+
+  final case class Server(name: String, location: String)
+
+  final case class Parsed(
+      general: Map[String, String],
+      http: Map[String, String],
+      servers: Seq[Server])
+
+  def parse(text: String): Parsed = {
+    var section = ""
+    var general = Map.empty[String, String]
+    var http = Map.empty[String, String]
+    var servers = Vector.empty[Map[String, String]]
+    text.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) {
+        if (line.startsWith("[[") && line.endsWith("]]")) {
+          section = line.drop(2).dropRight(2).trim
+          if (section == "influxdb") servers :+= Map.empty[String, String]
+        } else if (line.startsWith("[") && line.endsWith("]")) {
+          section = line.drop(1).dropRight(1).trim
+        } else line.split("=", 2) match {
+          case Array(k, v) =>
+            val key = k.trim
+            val value = v.trim.stripPrefix("\"").stripSuffix("\"")
+            section match {
+              case "general" => general += (key -> value)
+              case "http"    => http += (key -> value)
+              case "influxdb" if servers.nonEmpty =>
+                servers = servers.init :+ (servers.last + (key -> value))
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+    }
+    Parsed(general, http,
+      servers.collect {
+        case m if m.contains("name") && m.contains("location") =>
+          Server(m("name"), m("location"))
+      })
+  }
+
+  def read(path: String, conf: Configuration): Parsed = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      parse(new String(bytes, StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
+  private def durMs(s: String): Long =
+    TimeFuncs.parseGoDurationNs(s) / 1000000L
+
+  /** Apply the parsed file onto a base AgentConfig. `master`/`slave` are
+    * server NAMES resolved through the `[[influxdb]]` array (empty →
+    * `master-db`/`slave-db` from [general], agent.go:69-74); a name not
+    * in the array is taken as a literal root URI (engine extension). */
+  def apply(parsed: Parsed, base: AgentConfig,
+      master: String = "", slave: String = ""): AgentConfig = {
+    val g = parsed.general
+    def resolve(nameOrUri: String): String =
+      parsed.servers.find(_.name == nameOrUri).map(_.location)
+        .getOrElse(nameOrUri)
+    val masterName =
+      if (master.nonEmpty) master else g.getOrElse("master-db", "")
+    val slaveName =
+      if (slave.nonEmpty) slave else g.getOrElse("slave-db", "")
+    var c = base
+    if (masterName.nonEmpty) c = c.copy(masterRoot = resolve(masterName))
+    if (slaveName.nonEmpty) c = c.copy(slaveRoot = resolve(slaveName))
+    g.get("initial-replication").foreach(v =>
+      c = c.copy(initialReplication = v))
+    g.get("data-chuck-duration").foreach(v => c = c.copy(chunk = v))
+    g.get("max-retention-interval").foreach(v =>
+      c = c.copy(maxRetention = v))
+    g.get("rw-max-retries").foreach(v =>
+      c = c.copy(rwMaxRetries = v.toInt))
+    g.get("rw-retry-delay").foreach(v =>
+      c = c.copy(rwRetryDelayMs = durMs(v)))
+    g.get("num-workers").foreach(v => c = c.copy(numWorkers = v.toInt))
+    g.get("check-interval").foreach(v =>
+      c = c.copy(checkIntervalMs = durMs(v)))
+    g.get("min-sync-interval").foreach(v =>
+      c = c.copy(minSyncIntervalMs = durMs(v)))
+    g.get("monitor-retry-interval").foreach(v =>
+      c = c.copy(monitorRetryIntervalMs = durMs(v)))
+    g.get("max-points-on-single-write").foreach(_ => ()) // sink-level knob
+    c
+  }
+}
