@@ -54,7 +54,11 @@ final case class AgentConfig(
     // non-empty → hamonitor runs on the Structured Streaming plane with
     // FSM state checkpointed here (survives restarts — an improvement
     // over the reference's in-memory-only supervisor state)
-    checkpointDir: String = "")
+    checkpointDir: String = "",
+    // hamonitor's status API ([http] bind-addr port; 0 = disabled)
+    httpPort: Int = 0,
+    adminUser: String = "admin",
+    adminPassword: String = "admin")
 
 /** The agent — one object composing catalog discovery, schema DDL, the
   * chunked copy plane, and the HA monitor into the reference's four
@@ -257,17 +261,32 @@ final class Agent(
       nowNs = nowNs)
   }
 
-  /** The reference's action switch (main.go:293-306). */
+  /** The reference's action switch (main.go:293-306). Batch actions
+    * return when done; `hamonitor` is the daemon path — it serves the
+    * status API (when httpPort > 0, ≅ webui.WebServer at main.go:296)
+    * and BLOCKS like the reference's supervisor+webserver do. */
   def dispatch(action: String): Unit = action match {
     case "copy"          => copy(): Unit
     case "fullcopy"      => fullCopy(): Unit
     case "replicaschema" => replicaSchema(): Unit
     case "hamonitor" | "" =>
+      def serve(status: () => graft.model.ClusterStatus): Unit =
+        if (cfg.httpPort > 0) {
+          val srv = new graft.api.StatusServer(cfg.httpPort, status,
+            () => Seq("master" -> masterProbe(), "slave" -> slaveProbe()),
+            cfg.adminUser, cfg.adminPassword)
+          srv.start()
+        }
       if (cfg.checkpointDir.nonEmpty) {
-        hamonitorStreaming().start(cfg.minSyncIntervalMs): Unit
+        val m = hamonitorStreaming()
+        val q = m.start(cfg.minSyncIntervalMs)
+        serve(() => m.status)
+        q.awaitTermination()
       } else {
         val m = hamonitor()
         m.start(cfg.minSyncIntervalMs)
+        serve(() => m.status)
+        Thread.currentThread().join() // daemon: block until killed
       }
     case other =>
       throw new IllegalArgumentException(s"Unknown action: $other")

@@ -110,6 +110,14 @@ object AgentConfigFile {
     g.get("monitor-retry-interval").foreach(v =>
       c = c.copy(monitorRetryIntervalMs = durMs(v)))
     g.get("max-points-on-single-write").foreach(_ => ()) // sink-level knob
+    // [http]: bind-addr port + admin credentials (mainconfig.go:39-44)
+    parsed.http.get("bind-addr").foreach { ba =>
+      ba.split(':').lastOption.flatMap(p => scala.util.Try(p.toInt).toOption)
+        .foreach(p => c = c.copy(httpPort = p))
+    }
+    parsed.http.get("admin-user").foreach(v => c = c.copy(adminUser = v))
+    parsed.http.get("admin-passwd").foreach(v =>
+      c = c.copy(adminPassword = v))
     c
   }
 }

@@ -107,6 +107,9 @@ final class StreamingMonitor(
   def state: ClusterFSM.FsmState = ref.get()
   def backfillCount: Long = backfills.get()
 
+  def status: graft.model.ClusterStatus =
+    ClusterFSM.toStatus(ref.get(), masterProbe(), slaveProbe())
+
   /** One supervisor evaluation: probe → FSM step → persist; backfill runs
     * synchronously on the recovery edge (the reference also blocks its
     * supervisor during ReplicateData, hacluster.go:333). State is

@@ -59,6 +59,8 @@ class AgentConfigFileSpec extends AnyFunSuite {
     assert(c.checkIntervalMs == 10000L)
     assert(c.minSyncIntervalMs == 20000L)
     assert(c.monitorRetryIntervalMs == 60000L)
+    assert(c.httpPort == 4090)
+    assert(c.adminUser == "adm" && c.adminPassword == "pw")
   }
 
   test("-master/-slave flags override the file's master-db/slave-db " +
