@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed co-located joins — the pre-shuffle trade: pay one shuffle at
+  * WRITE time (`bucketBy` on the join key), then every subsequent join
+  * on that key runs shuffle-free, reading bucket i of both sides into
+  * the same task. At 100 TB this converts the recurring cost of a
+  * fact-to-fact join (each side re-shuffled per query) into a one-time
+  * layout decision — the storage-level analog of the reference's
+  * "address the slave by identical names" pairing (hacluster.go:165-211),
+  * but for data instead of catalogs.
+  *
+  * Buckets must agree on count and key for the exchange-free plan;
+  * `sortBy` additionally removes the sort before the merge join.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted table at `path` (registered as
+    * `table` in the session catalog — bucketing metadata lives in the
+    * catalog, which is why this is saveAsTable, not a bare parquet
+    * write). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      key: String,
+      numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Inner join of two same-bucketed tables on their bucket key: plans
+    * as a sort-merge join with NO shuffle exchange on either side. */
+  def bucketedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

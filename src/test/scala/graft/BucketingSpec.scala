@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Bucketing
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed co-located join: same result as the plain join, with NO
+  * shuffle exchange in the physical plan — the write-time shuffle trade
+  * that makes recurring fact-to-fact joins affordable at 100 TB. */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  test("same-bucketed tables join without a shuffle and match the " +
+    "plain join's result") {
+    val base = Files.createTempDirectory("graft_bucket").toString
+    val li = Tables.load(spark, SparkSpec.Sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val ord = Tables.load(spark, SparkSpec.Sf0001, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    Bucketing.writeBucketed(li, "li_b", s"$base/li", "l_orderkey", 8)
+    Bucketing.writeBucketed(ord, "ord_b", s"$base/ord", "l_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // sf0.001 tables are broadcast-sized; disable broadcast so the
+      // planner exercises the bucketed sort-merge path under test (at
+      // real scale both sides exceed any broadcast threshold)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark, "li_b", "ord_b",
+        "l_orderkey")
+      joined.collect(): Unit
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(2500))
+      assert(plan.contains("SortMergeJoin"), plan.take(2500))
+      // result identity vs the plain (shuffled) join — exact row-set
+      // compare (a float aggregate would differ only in summation order)
+      val plain = li.join(ord, "l_orderkey")
+      assert(joined.count() == plain.count())
+      assert(joined.except(plain).count() == 0)
+      assert(plain.except(joined).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b"): Unit
+    }
+  }
+}
