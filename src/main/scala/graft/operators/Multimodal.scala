@@ -47,6 +47,30 @@ object Multimodal {
         lit(null).cast(LongType).as("duration_ms"),
         lit("stub").as("codec")).as("meta"))
 
+  /** Ingest a directory of real media files via Spark's `binaryFile`
+    * source: one asset row per file, payload = file bytes, asset_id = a
+    * stable 63-bit hash of the path. This is the production ingestion
+    * edge for the multimodal plane — the source is distributed, prunes
+    * `content` when only metadata columns are selected, and respects
+    * `pathGlobFilter` for media-type routing. */
+  def fromBinaryFiles(spark: SparkSession, dir: String,
+      mediaType: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).bitwiseAND(lit(Long.MaxValue))
+          .as("asset_id"),
+        lit(mediaType).as("media_type"),
+        col("content").as("payload"),
+        struct(
+          lit(null).cast(IntegerType).as("width"),
+          lit(null).cast(IntegerType).as("height"),
+          lit(null).cast(LongType).as("duration_ms"),
+          lit("file").as("codec")).as("meta"),
+        col("path"),
+        col("length"))
+
   /** Metadata/size pass — never touches payload bytes beyond length, so
     * Parquet reads only the projected columns. */
   def describe(assets: DataFrame): DataFrame =

@@ -271,6 +271,23 @@ object RelationalQueries {
         GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
         .replaceAll("\\s+", " "))),
 
+    // exact percentiles (continuous interpolation): Spark's percentile
+    // and DuckDB's quantile_cont share the same definition, so values
+    // hash-match bit-for-bit on integral-step data; rounded for safety
+    // on the interpolated 0.9 step.
+    "agg_percentiles" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("q50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("q90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99")),
+      Some("""SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.5),4) AS q50,
+        round(quantile_cont(l_quantity, 0.9),4) AS q90,
+        round(quantile_cont(l_extendedprice, 0.99),4) AS p99
+        FROM lineitem GROUP BY l_returnflag""".replaceAll("\\s+", " "))),
+
     // approximate distinct (HLL) — implementation-specific values, so
     // rows-only check; exactness is covered by agg_stats.
     "agg_approx_distinct" -> QueryDef(

@@ -56,6 +56,28 @@ object StreamIngest {
         max(col(valueCol)).as("max_value"))
   }
 
+  /** Session-window per-series aggregation: a session closes after
+    * `gapDuration` of event-time silence per series — the sessionization
+    * surface SURVEY.md §2.9 promises beyond the reference's fixed
+    * chunking. Same watermark/append semantics as the tumbling form. */
+  def sessionizedSeriesAgg(
+      typed: DataFrame,
+      tagCols: Seq[String],
+      valueCol: String,
+      gapDuration: String,
+      watermarkDelay: String): DataFrame = {
+    val withTime = typed.withColumn("time",
+      timestamp_micros((col("time_ns") / 1000L).cast("long")))
+    val keys: Seq[Column] =
+      session_window(col("time"), gapDuration) +: tagCols.map(col)
+    withTime
+      .withWatermark("time", watermarkDelay)
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_points"),
+        avg(col(valueCol)).as("avg_value"))
+  }
+
   /** Append-mode parquet sink with checkpointed offsets (exactly-once
     * file sink semantics). */
   def toParquet(

@@ -91,4 +91,35 @@ class StreamIngestSpec extends AnyFunSuite {
     val w11 = got.filter(col("tag_host") === "h2").collect()
     assert(w11.length == 1 && w11.head.getAs[Double]("avg_value") == 5.0)
   }
+
+  test("session windows close after the event-time gap per series") {
+    val in = Files.createTempDirectory("graft_sess_in").toString
+    val out = Files.createTempDirectory("graft_sess_out").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ck").toString
+    // h1: two points 1 min apart (one session), then 20 min of silence,
+    // then one more point (a second session); gap = 5 min
+    writeBatch(in, "b0.lp", Seq(
+      s"m,host=h1 v=1.0 ${minuteNs(10)}",
+      s"m,host=h1 v=3.0 ${minuteNs(11)}",
+      s"m,host=h1 v=7.0 ${minuteNs(31)}"))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val agg = StreamIngest.sessionizedSeriesAgg(typed, Seq("tag_host"),
+      "v", gapDuration = "5 minutes", watermarkDelay = "1 minute")
+    val q = StreamIngest.toParquet(agg, out, ckpt)
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past both sessions so they emit
+      writeBatch(in, "b1.lp", Seq(s"m,host=h1 v=0.0 ${minuteNs(120)}"))
+      q.processAllAvailable()
+      writeBatch(in, "b2.lp", Seq(s"m,host=h1 v=0.0 ${minuteNs(121)}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    val sessions = got.filter(col("n_points") >= 1).collect()
+      .map(r => (r.getAs[Long]("n_points"), r.getAs[Double]("avg_value")))
+      .toSet
+    assert(sessions.contains((2L, 2.0)), sessions) // minutes 10-11
+    assert(sessions.contains((1L, 7.0)), sessions) // minute 31
+  }
 }

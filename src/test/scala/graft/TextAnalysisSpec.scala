@@ -49,6 +49,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L)._2 != out(3L)._2)
   }
 
+  test("multimodal: binaryFile ingestion — one asset per file, " +
+    "metadata-only reads prune content") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = JFiles.createTempDirectory("graft_media").toString
+    JFiles.write(Paths.get(dir, "a.jpg"), Array[Byte](1, 2, 3))
+    JFiles.write(Paths.get(dir, "b.jpg"), Array[Byte](4, 5))
+    JFiles.write(Paths.get(dir, "skip.txt"), Array[Byte](9))
+    val assets = graft.operators.Multimodal.fromBinaryFiles(
+      spark, dir, "image", glob = "*.jpg")
+    val rows = assets.orderBy("length").collect()
+    assert(rows.length == 2) // glob routed media types
+    assert(rows.map(_.getAs[Long]("length")).toSeq == Seq(2L, 3L))
+    assert(rows.forall(_.getAs[Long]("asset_id") >= 0L))
+    assert(rows.head.getAs[Array[Byte]]("payload").toSeq == Seq[Byte](4, 5))
+    // metadata-only projection never reads file contents
+    val metaPlan = assets.select("asset_id", "length", "media_type")
+      .queryExecution.executedPlan.toString
+    assert(!metaPlan.contains("content"), metaPlan.take(1500))
+    // describe/decode compose on ingested assets unchanged
+    val d = graft.operators.Multimodal.describe(assets)
+    assert(d.count() == 2)
+  }
+
   test("multimodal: describe + stub decode produce fixed-width features") {
     val assets = Multimodal.fromBinary(d, "doc_id",
       col("text").cast("binary"), "image")
