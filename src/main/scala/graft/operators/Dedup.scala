@@ -151,6 +151,44 @@ object Dedup {
       .select(col("id"), packed.cast("long").as("simhash"))
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components by
+    * iterative min-label propagation — each doc ends up labeled with the
+    * smallest doc id reachable through the pair graph, which is the
+    * cluster representative a dedup pipeline keeps. Iterations are
+    * bounded by the cluster diameter (tiny for near-dup graphs); each one
+    * is a single edge⋈label shuffle + min-aggregate, so the operator is
+    * the standard scalable label-propagation shape, never materializing
+    * anything driver-side beyond a convergence count.
+    *
+    * @param docs  table holding every doc (singletons keep their own id)
+    * @param pairs (id_a, id_b) near-dup pairs, id_a < id_b
+    */
+  def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 30): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = docs.select(col(idCol).as("id"))
+      .withColumn("cluster", col("id"))
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      iters += 1
+      val viaNeighbors = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.select(col("id"), col("cluster"))
+        .unionAll(viaNeighbors)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .cache()
+      changed = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") =!= col("prev")).count()
+      labels.unpersist(): Unit
+      labels = next
+    }
+    labels
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ threshold.
     * All-pairs form — oracle-sized data / differential tests only;
     * `embeddingNearDupLsh` is the scale path. */

@@ -117,6 +117,48 @@ object PipelineQueries {
         WHERE n_shared/(x.n_sh + y.n_sh - n_shared) >= $JaccardThreshold"""
         .replaceAll("\\s+", " "))),
 
+    // duplicate clusters: connected components over the LSH-candidate
+    // jaccard pairs (min-label propagation; oracle = DuckDB recursive
+    // CTE transitive closure). Every doc appears; singletons label
+    // themselves; cluster id = smallest member id (the kept
+    // representative).
+    "dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sig = Dedup.minhash(d, "doc_id", "text", MinhashK, ShingleLen)
+        val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sig, 4, MinhashK))
+        val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
+          JaccardThreshold, candidates = Some(cand))
+          .select(col("id_a"), col("id_b"))
+        Dedup.dupClusters(d, "doc_id", pairs)
+      },
+      Some(s"""WITH RECURSIVE $WordsCte, $ShingleCte, $SigCte,
+        band AS (SELECT id, seed//2 AS band,
+          md5(string_agg(seed::VARCHAR||'|'||minhash, ','
+            ORDER BY seed::VARCHAR||'|'||minhash)) AS band_hash
+          FROM sig GROUP BY id, seed//2),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band a
+          JOIN band b ON a.band=b.band AND a.band_hash=b.band_hash
+            AND a.id < b.id),
+        dsh AS (SELECT DISTINCT doc_id, s FROM shingle),
+        sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM dsh GROUP BY 1),
+        pr AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared
+          FROM cand c JOIN dsh a ON a.doc_id=c.id_a
+          JOIN dsh b ON b.doc_id=c.id_b AND b.s=a.s GROUP BY 1, 2),
+        jp AS (SELECT pr.id_a, pr.id_b FROM pr
+          JOIN sz x ON pr.id_a=x.doc_id JOIN sz y ON pr.id_b=y.doc_id
+          WHERE n_shared/(x.n_sh + y.n_sh - n_shared)
+            >= $JaccardThreshold),
+        ed AS (SELECT id_a AS src, id_b AS dst FROM jp
+          UNION ALL SELECT id_b, id_a FROM jp),
+        reach AS (
+          SELECT doc_id AS id, doc_id AS label FROM documents
+          UNION
+          SELECT ed.dst AS id, reach.label FROM reach
+          JOIN ed ON ed.src = reach.id)
+        SELECT id, min(label)::BIGINT AS cluster FROM reach GROUP BY id"""
+        .replaceAll("\\s+", " "))),
+
     // 60-bit SimHash fingerprints.
     "dedup_simhash" -> QueryDef(
       (s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text"),

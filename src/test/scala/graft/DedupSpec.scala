@@ -107,6 +107,19 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("dupClusters: connected components label every node with its " +
+    "component minimum; singletons label themselves") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; singleton 99
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
   test("simhash: equal for identical text, long-valued, stable") {
     val out = Dedup.simhash(
       df((1L, "spark scan filter join"), (2L, "spark scan filter join"),
