@@ -165,8 +165,11 @@ object Dedup {
     */
   def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 30): DataFrame = {
+    // cache the edge set: `pairs` is typically an expensive pipeline
+    // (minhash→LSH→jaccard) that must not re-execute once per iteration
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
     var labels = docs.select(col(idCol).as("id"))
       .withColumn("cluster", col("id"))
     var changed = 1L
@@ -186,6 +189,7 @@ object Dedup {
       labels.unpersist(): Unit
       labels = next
     }
+    edges.unpersist(): Unit
     labels
   }
 
