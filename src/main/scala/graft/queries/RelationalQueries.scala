@@ -271,6 +271,39 @@ object RelationalQueries {
         GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
         .replaceAll("\\s+", " "))),
 
+    // EXISTS subquery (decorrelated to a semi-join by Catalyst):
+    // customers with at least one high-value order.
+    "subq_exists" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT c_custkey, c_name FROM customer_v c
+          WHERE EXISTS (SELECT 1 FROM orders_v o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"""
+        .replaceAll("\\s+", " "))),
+
+    // correlated scalar subquery (TPC-H q17 shape): lineitems below 50%
+    // of their part's average quantity. Catalyst decorrelates to an
+    // aggregate + join; values are exact (avg of integral doubles,
+    // rounded identically both sides).
+    "subq_scalar_corr" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_partkey, count(*) AS n_below FROM lineitem_v l1
+          WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+            FROM lineitem_v l2 WHERE l2.l_partkey = l1.l_partkey)
+          GROUP BY l_partkey""")
+      },
+      Some("""SELECT l_partkey, count(*)::BIGINT AS n_below
+        FROM lineitem l1
+        WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_partkey""".replaceAll("\\s+", " "))),
+
     // exact percentiles (continuous interpolation): Spark's percentile
     // and DuckDB's quantile_cont share the same definition, so values
     // hash-match bit-for-bit on integral-step data; rounded for safety

@@ -70,6 +70,25 @@ class AgentSpec extends AnyFunSuite {
     assert(fs.listFiles().map(_.getName).toSet == Set("events.parquet"))
   }
 
+  test("hierarchical source root: copy walks db/rp/measurement tree " +
+    "with renames (ReplicateData over GetSchema, hacluster.go:213-234)") {
+    // build db1/rp1/events from the flat testdata
+    val srcRoot = freshRoot()
+    val ev = spark.read.parquet(s"${SparkSpec.Sf0001}/events.parquet")
+    ev.write.mode("overwrite").parquet(s"$srcRoot/db1/rp1/events.parquet")
+    val dst = freshRoot()
+    val agent = new Agent(spark, AgentConfig(
+      masterRoot = srcRoot, slaveRoot = dst,
+      newDb = "db1r", newRp = "rpr", chunk = "120h",
+      start = Ssec, end = Esec, monitorRetryIntervalMs = 0L))
+    val (created, reports) = agent.fullCopy()
+    assert(created == Seq(("db1r", "rpr")))
+    assert(reports.flatMap(_.chunks).forall(_.ok))
+    val copied = new CopyJob(spark)
+      .readCopied(s"$dst/db1r/rpr/events.parquet")
+    assert(copied.count() == directCount())
+  }
+
   test("initCluster blocks until both probes alive; bounded retry " +
     "budget reports failure (agent.go:67-145)") {
     var masterFails = 2
