@@ -344,7 +344,10 @@ object AgentCli {
     val fromConfig = flagOf.contains("-config")
     var i = 0
     while (i < args.length) {
-      def v: String = { i += 1; args(i) }
+      def v: String = {
+        require(i + 1 < args.length, s"missing value for flag ${args(i)}")
+        i += 1; args(i)
+      }
       args(i) match {
         case "-action" => action = v
         case "-config" => v: Unit // consumed in pass 1

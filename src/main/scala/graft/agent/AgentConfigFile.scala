@@ -32,8 +32,22 @@ object AgentConfigFile {
     var general = Map.empty[String, String]
     var http = Map.empty[String, String]
     var servers = Vector.empty[Map[String, String]]
+    // strip comments quote-aware: '#' inside a quoted value is data
+    // (passwords, URIs with fragments), not a comment
+    def stripComment(raw: String): String = {
+      val sb = new StringBuilder
+      var inQuotes = false
+      var done = false
+      raw.foreach { ch =>
+        if (!done) {
+          if (ch == '"') inQuotes = !inQuotes
+          if (ch == '#' && !inQuotes) done = true else sb.append(ch)
+        }
+      }
+      sb.toString
+    }
     text.linesIterator.foreach { raw =>
-      val line = raw.takeWhile(_ != '#').trim
+      val line = stripComment(raw).trim
       if (line.nonEmpty) {
         if (line.startsWith("[[") && line.endsWith("]]")) {
           section = line.drop(2).dropRight(2).trim

@@ -33,12 +33,19 @@ final class Catalog(spark: SparkSession) {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** SHOW DATABASES analog (client.go:158-183). */
+  /** SHOW DATABASES analog (client.go:158-183). Directory-form parquet
+    * tables (`root/<m>.parquet/` as written by df.write.parquet) are
+    * measurements, never databases — a flat root of Spark-written tables
+    * must not be misread as a hierarchical db tree. */
   def databases(root: String): Seq[String] = {
-    val subdirs = listDirs(root)
+    val subdirs = dbDirs(root)
     val dbs = if (subdirs.nonEmpty) subdirs else Seq("default")
     dbs.filter(_ != "_internal").sorted // _internal exclusion client.go:169-171
   }
+
+  /** Subdirectories that look like databases (not parquet tables). */
+  private def dbDirs(root: String): Seq[String] =
+    listDirs(root).filterNot(_.endsWith(".parquet"))
 
   /** SHOW MEASUREMENTS analog: parquet tables under a (db, rp) dir, or the
     * flat root (client.go:271-310). */
@@ -90,7 +97,7 @@ final class Catalog(spark: SparkSession) {
     val dbRe = dbRegex.r
     val rpRe = rpRegex.r
     val measRe = measRegex.r
-    val hierarchical = listDirs(root).nonEmpty
+    val hierarchical = dbDirs(root).nonEmpty
 
     def measurementsOf(dir: String): Seq[MeasurementSch] =
       measurements(dir)
@@ -139,7 +146,7 @@ final class Catalog(spark: SparkSession) {
       dbRegex: String = ".*", rpRegex: String = ".*",
       measRegex: String = ".*"): Seq[String] = {
     import graft.functions.Identifiers.backquote
-    val hierarchical = listDirs(root).nonEmpty
+    val hierarchical = dbDirs(root).nonEmpty
     val schema = getSchema(root, dbRegex, rpRegex, measRegex)
     for {
       db <- schema; rp <- db.rps; m <- rp.measurements

@@ -32,12 +32,19 @@ object ChecksumAgg extends Aggregator[String, Long, Long] {
   lazy val udafColumn: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(ChecksumAgg, Encoders.STRING)
 
-  /** Checksum over a canonical row string of `cols` (null-safe: nulls
-    * render as the sentinel `null`, distinguishing null from "null"
-    * text; columns joined by `|`). */
+  /** Checksum over a canonical row string of `cols`, joined by `|` with
+    * the separator and escape char escaped inside values (so ("a|b","c")
+    * and ("a","b|c") hash differently) and SQL NULL rendered as a \u0001
+    * sentinel distinct from any escaped text. DuckDB reproduces the
+    * canonicalization with replace(replace(x, chr(92), chr(92)||chr(92)),
+    * '|', chr(92)||'|') and coalesce(..., chr(1)||'null'). */
   def rowChecksum(cols: Seq[Column]): Column = {
-    val canon = cols.map(c =>
-      coalesce(c.cast("string"), lit("null")))
+    val canon = cols.map { c =>
+      val esc = regexp_replace(
+        regexp_replace(c.cast("string"), "\\\\", "\\\\\\\\"),
+        "\\|", "\\\\|")
+      coalesce(esc, lit("\u0001null"))
+    }
     udafColumn(md5(concat_ws("|", canon: _*)))
   }
 }

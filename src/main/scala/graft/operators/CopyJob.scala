@@ -247,10 +247,20 @@ final class CopyJob(
           val remaining = spark.read.parquet(partDir.toString).filter(outside)
           if (remaining.isEmpty) fs.delete(partDir, true): Unit
           else {
+            // crash-safe swap: write tmp, move current aside, promote
+            // tmp, drop the backup. Any crash leaves the rows in either
+            // the live dir or the .bak dir (both recoverable); rename
+            // results are CHECKED so a failing object-store rename
+            // surfaces as an error instead of silent row loss.
             val tmp = new Path(s"$dstPath/.trim_${ps}_$pe")
+            val bak = new Path(s"$dstPath/.bak_${ps}_$pe")
             remaining.write.mode("overwrite").parquet(tmp.toString)
-            fs.delete(partDir, true)
-            fs.rename(tmp, partDir): Unit
+            fs.delete(bak, true)
+            require(fs.rename(partDir, bak),
+              s"trim: cannot move $partDir aside")
+            require(fs.rename(tmp, partDir),
+              s"trim: cannot promote $tmp (rows preserved in $bak)")
+            fs.delete(bak, true): Unit
           }
         }
       }

@@ -164,7 +164,7 @@ object Dedup {
     * @param pairs (id_a, id_b) near-dup pairs, id_a < id_b
     */
   def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 100): DataFrame = {
     // cache the edge set: `pairs` is typically an expensive pipeline
     // (minhash→LSH→jaccard) that must not re-execute once per iteration
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -190,6 +190,12 @@ object Dedup {
       labels = next
     }
     edges.unpersist(): Unit
+    // silent non-convergence would split one true component into
+    // several clusters and keep multiple "representatives" of the same
+    // duplicate group — fail loudly instead (chain length > maxIters)
+    require(changed == 0,
+      s"dupClusters did not converge in $maxIters iterations; " +
+        "raise maxIters (bound = longest near-dup chain)")
     labels
   }
 

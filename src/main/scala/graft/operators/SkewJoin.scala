@@ -18,19 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Per-row salt independent of row CONTENT: monotonically_increasing_id
+    * is unique per row, so even fully identical duplicate rows — the
+    * canonical hot-key payload — spread across all `factor` salts. (A
+    * content hash would give every duplicate the same salt and pin one
+    * reducer anyway.) */
+  private[operators] def saltCol(factor: Int) =
+    pmod(monotonically_increasing_id(), lit(factor.toLong))
+
   /** Inner equi-join with the LEFT side salted (use when `left`'s key
-    * distribution is skewed): left rows get a deterministic salt from a
-    * uniform hash of the whole row, right rows are replicated across all
-    * `factor` salts — the hot key's work spreads over `factor` reducers.
-    */
+    * distribution is skewed): left rows get a per-row salt, right rows
+    * are replicated across all `factor` salts — the hot key's work
+    * spreads over `factor` reducers. */
   def saltedInnerJoin(
       left: DataFrame,
       right: DataFrame,
       key: String,
       factor: Int): DataFrame = {
     require(factor > 0)
-    val salted = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(factor)))
+    val salted = left.withColumn("__salt", saltCol(factor))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor - 1L))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -48,8 +54,7 @@ object SkewJoin {
       finalAgg: org.apache.spark.sql.RelationalGroupedDataset => DataFrame)
       : DataFrame = {
     require(factor > 0)
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(factor)))
+    val salted = df.withColumn("__salt", saltCol(factor))
     val part = partial(salted.groupBy(col(key), col("__salt")))
     finalAgg(part.groupBy(col(key)))
   }

@@ -122,11 +122,21 @@ object ParityQueries {
         .agg(ChecksumAgg.rowChecksum(Seq(col("event_id"),
           expr("ts div 1000"), col("user_id"), col("event_type"),
           col("props"))).as("checksum")),
-      Some(s"""SELECT epoch_ns(ts)//${2 * DayNs} AS bucket,
-        bit_xor(('0x'||substr(md5(event_id::VARCHAR||'|'||
-          epoch_us(ts)::VARCHAR||'|'||user_id::VARCHAR||'|'||
-          event_type||'|'||props),1,15))::BIGINT) AS checksum
-        FROM events GROUP BY 1""".replaceAll("\\s+", " "))),
+      Some {
+        // mirror rowChecksum's canonicalization: escape \ and | inside
+        // values (boundary-shift safety) — a no-op on this data, but the
+        // oracle must express the same function
+        def esc(x: String) =
+          s"replace(replace($x, chr(92), chr(92)||chr(92)), " +
+            s"'|', chr(92)||'|')"
+        s"""SELECT epoch_ns(ts)//${2 * DayNs} AS bucket,
+        bit_xor(('0x'||substr(md5(${esc("event_id::VARCHAR")}||'|'||
+          ${esc("epoch_us(ts)::VARCHAR")}||'|'||
+          ${esc("user_id::VARCHAR")}||'|'||
+          ${esc("event_type")}||'|'||${esc("props")}),1,15))::BIGINT)
+          AS checksum
+        FROM events GROUP BY 1""".replaceAll("\\s+", " ")
+      }),
 
     // S6: line-protocol ENCODE — row → wire line, bit-identical to a
     // DuckDB string construction (tags sorted, integer `i` suffix, string

@@ -158,6 +158,8 @@ object LineProtocol {
     var done = false
     while (!done) {
       val k = scanUntil(Set('='))
+      require(i < n && line.charAt(i) == '=',
+        s"malformed field set (no '='): $line")
       i += 1
       val v = scanUntil(Set(',', ' '), inQuotes = true)
       fields += (k -> v)
@@ -194,11 +196,21 @@ object LineProtocol {
     case FieldType.Str => raw
   }
 
+  /** Total variant of parseLine: malformed input → None instead of a
+    * throw. The streaming ingestion path uses this — a single poison
+    * line must not crash-loop a checkpointed query forever. */
+  def parseLineOpt(line: String): Option[LinePoint] =
+    if (line == null || line.trim.isEmpty) None
+    else scala.util.Try(parseLine(line)).toOption
+
   /** Decode a column of line-protocol strings into a typed DataFrame:
     * `measurement, tag_<k>..., <field columns typed per schema>, time_ns`.
     * The scanner runs as plain Scala inside the partition (`Dataset.map`,
     * SURVEY.md §7.2 — quote/escape-aware scanning isn't regex-expressible);
-    * the coercion matrix is codegen'd Column ops on top. */
+    * the coercion matrix is codegen'd Column ops on top. Malformed and
+    * blank lines are DROPPED (parseLineOpt): in a continuous pipeline a
+    * poison line would otherwise wedge the stream — the checkpoint
+    * re-reads the same file on every restart. */
   def decodeTyped(
       lines: DataFrame,
       lineCol: String,
@@ -206,7 +218,8 @@ object LineProtocol {
       fields: Map[String, FieldSch]): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
-    val pts = lines.select(col(lineCol)).as[String].map(parseLine(_)).toDF()
+    val pts = lines.select(col(lineCol)).as[String]
+      .flatMap(parseLineOpt(_)).toDF()
     val tagCols = tagKeys.map(k => col("tags")(k).as(s"tag_$k"))
     val fieldCols = fields.toSeq.sortBy(_._1).map { case (n, f) =>
       coerceField(col("fields")(n), f.ftype).as(n)

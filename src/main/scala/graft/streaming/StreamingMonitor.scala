@@ -45,13 +45,23 @@ final class FsmStateStore(conf: Configuration, dir: String) {
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // crash-safe swap: move current aside, promote tmp, drop backup —
+    // any crash leaves current or .bak present, and load() falls back
+    // to .bak, so a mid-save crash can't silently reset the FSM to OK
+    // (which would forget the outage window)
     val dst = new Path(s"$dir/fsm_state.json")
-    fs.delete(dst, false)
-    fs.rename(tmp, dst): Unit
+    val bak = new Path(s"$dir/.fsm_state.json.bak")
+    fs.delete(bak, false)
+    if (fs.exists(dst)) fs.rename(dst, bak): Unit
+    require(fs.rename(tmp, dst), s"cannot promote FSM state file $tmp")
+    fs.delete(bak, false): Unit
   }
 
-  def load(): Option[ClusterFSM.FsmState] = {
-    val (fs, p) = fsAnd(s"$dir/fsm_state.json")
+  def load(): Option[ClusterFSM.FsmState] =
+    loadFrom("fsm_state.json").orElse(loadFrom(".fsm_state.json.bak"))
+
+  private def loadFrom(name: String): Option[ClusterFSM.FsmState] = {
+    val (fs, p) = fsAnd(s"$dir/$name")
     if (!Try(fs.exists(p)).getOrElse(false)) None
     else Try {
       val in = fs.open(p)
@@ -147,6 +157,11 @@ final class StreamingMonitor(
       .queryName("graft-hamonitor")
       .option("checkpointLocation", s"$checkpointDir/stream")
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch((_: DataFrame, _: Long) => tick(): Unit)
+      // a failed tick (probe timeout, transient FS error during the
+      // backfill) must not terminate the daemon: the reference
+      // supervisor loops forever through errors, and the scheduler-mode
+      // HAMonitor catches throwables the same way — next tick retries
+      .foreachBatch((_: DataFrame, _: Long) =>
+        try tick(): Unit catch { case _: Throwable => () })
       .start()
 }

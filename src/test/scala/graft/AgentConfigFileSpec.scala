@@ -63,6 +63,25 @@ class AgentConfigFileSpec extends AnyFunSuite {
     assert(c.adminUser == "adm" && c.adminPassword == "pw")
   }
 
+  test("'#' inside quoted values is data, not a comment") {
+    val p = AgentConfigFile.parse("""
+      |[http]
+      | admin-passwd = "p#w"   # real comment
+      |[[influxdb]]
+      | name = "x"
+      | location = "s3a://bucket/root#frag"
+      |""".stripMargin)
+    assert(p.http("admin-passwd") == "p#w")
+    assert(p.servers.head.location == "s3a://bucket/root#frag")
+  }
+
+  test("trailing value-taking flag fails with a clear error, not AIOOBE") {
+    val e = intercept[IllegalArgumentException] {
+      AgentCli.parse(Array("-master", "/m", "-slave", "/s", "-action"))
+    }
+    assert(e.getMessage.contains("-action"))
+  }
+
   test("-master/-slave flags override the file's master-db/slave-db " +
     "(name or literal URI)") {
     val p = AgentConfigFile.parse(sample)

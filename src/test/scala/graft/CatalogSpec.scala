@@ -78,6 +78,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(meta.exists(_.contains("\"default\":true")))
   }
 
+  test("flat root of DIRECTORY-form parquet (df.write.parquet output) " +
+    "is still flat — table dirs are not databases") {
+    val root = Files.createTempDirectory("graft_flatdir").toString
+    val s = spark.read.parquet(s"${SparkSpec.Sf0001}/events.parquet")
+    s.limit(10).write.mode("overwrite").parquet(s"$root/events.parquet")
+    s.limit(5).write.mode("overwrite").parquet(s"$root/clicks.parquet")
+    val cat = new Catalog(spark)
+    assert(cat.databases(root) == Seq("default"))
+    val schema = cat.getSchema(root)
+    assert(schema.map(_.name) == Seq("default"))
+    assert(schema.head.rps.head.measurements.map(_.name)
+      == Seq("clicks", "events"))
+  }
+
   test("registerViews exposes measurements to spark.sql with quoted " +
     "identifiers (F6; dotted names, client.go:90/README.md:395)") {
     import graft.functions.Identifiers

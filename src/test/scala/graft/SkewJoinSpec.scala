@@ -36,10 +36,16 @@ class SkewJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSet
     assert(salted == plain)
-    // the hot key's partial aggregation really fans out over salts
-    val partials = skewed().withColumn("__salt",
-      pmod(xxhash64(col("k"), col("v")), lit(8)))
-      .filter($"k" === "hot").select("__salt").distinct().count()
-    assert(partials > 1)
+    // FULLY IDENTICAL rows (the canonical hot-key payload) must still
+    // fan out: count the partial-stage rows per key via the two-phase
+    // API itself — >1 means the hot key really spread over salts
+    val identical = (1 to 1000).map(_ => ("hot", 1L)).toDF("k", "v")
+    val spread = SkewJoin.saltedAgg(identical, "k", 8,
+      partial = _.agg(count(lit(1)).as("n")),
+      finalAgg = _.agg(count(lit(1)).as("n_salt_groups"),
+        sum("n").as("n")))
+      .head()
+    assert(spread.getAs[Long]("n_salt_groups") > 1L)
+    assert(spread.getAs[Long]("n") == 1000L)
   }
 }

@@ -92,6 +92,24 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(w11.length == 1 && w11.head.getAs[Double]("avg_value") == 5.0)
   }
 
+  test("poison lines (blank / malformed) are dropped, not crash-looped") {
+    val in = Files.createTempDirectory("graft_poison_in").toString
+    val out = Files.createTempDirectory("graft_poison_out").toString
+    val ckpt = Files.createTempDirectory("graft_poison_ck").toString
+    writeBatch(in, "b0.lp", Seq(
+      s"m,host=h1 v=1.0 ${minuteNs(1)}",
+      "",                       // blank
+      "garbage with no fields", // malformed: parseLine would throw
+      s"m,host=h2 v=2.0 notanumber", // bad timestamp
+      s"m,host=h3 v=3.0 ${minuteNs(3)}"))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val q = StreamIngest.toParquet(typed, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 2) // the two well-formed lines survived
+  }
+
   test("session windows close after the event-time gap per series") {
     val in = Files.createTempDirectory("graft_sess_in").toString
     val out = Files.createTempDirectory("graft_sess_out").toString
