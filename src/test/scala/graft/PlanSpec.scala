@@ -71,6 +71,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("correlated subqueries decorrelate to aggregate+join (no per-row " +
+    "re-execution)") {
+    for (q <- Seq("subq_exists", "subq_scalar_corr")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(1500)}")
+    }
+    // the EXISTS form must plan as a semi join
+    assert(planOf("subq_exists").contains("LeftSemi"),
+      planOf("subq_exists").take(1500))
+  }
+
   test("metadata-only multimodal pass prunes the payload column from " +
     "the scan when untouched (column pruning, SURVEY.md §4)") {
     // describe() reads payload (md5/size) by design; the frame-sampling
