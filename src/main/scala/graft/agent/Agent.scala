@@ -55,6 +55,10 @@ final case class AgentConfig(
     // FSM state checkpointed here (survives restarts — an improvement
     // over the reference's in-memory-only supervisor state)
     checkpointDir: String = "",
+    // after each copied measurement, compare per-chunk source↔dest
+    // checksums (ChecksumAgg) and fail loudly on mismatch — stronger
+    // than the reference, which verifies nothing after a write
+    verifyAfterCopy: Boolean = false,
     // hamonitor's status API ([http] bind-addr port; 0 = disabled)
     httpPort: Int = 0,
     adminUser: String = "admin",
@@ -173,9 +177,19 @@ final class Agent(
         rwMaxRetries = cfg.rwMaxRetries,
         rwRetryDelayMs = cfg.rwRetryDelayMs,
         numWorkers = cfg.numWorkers)
-      val reports = job.replicate(
-        Seq(db.copy(rps = Seq(rp))), cfg.masterRoot, cfg.slaveRoot,
+      val one = Seq(db.copy(rps = Seq(rp)))
+      val reports = job.replicate(one, cfg.masterRoot, cfg.slaveRoot,
         copyCfg, flatRoot = flat)
+      if (cfg.verifyAfterCopy) {
+        CopyJob.layout(one, cfg.masterRoot, cfg.slaveRoot, flat)
+          .foreach { case (src, dst) =>
+            val bad = job.verifyChecksums(src, dst, copyCfg)
+              .filter { case (_, a, b) => a != b }
+            require(bad.isEmpty,
+              s"post-copy checksum mismatch $src -> $dst: " +
+                bad.map(_._1).mkString(", "))
+          }
+      }
       reports.reduceOption((a, b) => SyncReport(a.db, a.rp,
         a.chunks ++ b.chunks))
         .getOrElse(SyncReport(db.name, rp.name, Nil))

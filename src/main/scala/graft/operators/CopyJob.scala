@@ -52,6 +52,28 @@ object CopyJob {
       // consumer needs bounded write units like the reference's HTTP
       // batches.
       maxPointsPerWrite: Long = 0L)
+
+  /** (src, dst) parquet paths for every measurement of a schema — the
+    * single place the source layout (hierarchical vs flat) and the
+    * rename rewrite map onto storage paths. */
+  def layout(
+      schema: Seq[DbSchema],
+      srcRoot: String,
+      dstRoot: String,
+      flatRoot: Boolean): Seq[(String, String)] =
+    for {
+      db <- schema
+      rp <- db.rps
+      m <- rp.measurements
+    } yield {
+      val src =
+        if (flatRoot) s"$srcRoot/${m.name}.parquet"
+        else s"$srcRoot/${db.name}/${rp.name}/${m.name}.parquet"
+      val rpOut = if (db.newDefaultRp.nonEmpty && rp.isDefault)
+        db.newDefaultRp else rp.name
+      val dst = s"$dstRoot/${db.targetName}/$rpOut/${m.name}.parquet"
+      (src, dst)
+    }
 }
 
 final class CopyJob(
@@ -289,19 +311,8 @@ final class CopyJob(
       dstRoot: String,
       cfg: Config,
       flatRoot: Boolean = false): Seq[SyncReport] =
-    for {
-      db <- schema
-      rp <- db.rps
-      m <- rp.measurements
-    } yield {
-      val src =
-        if (flatRoot) s"$srcRoot/${m.name}.parquet"
-        else s"$srcRoot/${db.name}/${rp.name}/${m.name}.parquet"
-      val rpOut = if (db.newDefaultRp.nonEmpty && rp.isDefault)
-        db.newDefaultRp else rp.name
-      val dst = s"$dstRoot/${db.targetName}/$rpOut/${m.name}.parquet"
-      copyMeasurement(src, dst, cfg)
-    }
+    CopyJob.layout(schema, srcRoot, dstRoot, flatRoot)
+      .map { case (src, dst) => copyMeasurement(src, dst, cfg) }
 
   /** Read back what a copy wrote (drops the partition column). */
   def readCopied(path: String): DataFrame = {

@@ -89,6 +89,27 @@ class AgentSpec extends AnyFunSuite {
     assert(copied.count() == directCount())
   }
 
+  test("verifyAfterCopy: per-chunk checksums gate the copy (fails loudly " +
+    "on a source/dest divergence)") {
+    val dst = freshRoot()
+    val agent = new Agent(spark, cfg(dst).copy(verifyAfterCopy = true))
+    val reports = agent.copy() // verification passes on a clean copy
+    assert(reports.flatMap(_.chunks).forall(_.ok))
+    // corrupt the destination, re-verify through a fresh copy run whose
+    // window misses the tampered bucket → checksums must catch it
+    val part = new java.io.File(s"$dst/replica/rp30d/events.parquet")
+      .listFiles().filter(_.getName.startsWith("__bucket=")).head
+    part.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => f.delete(): Unit)
+    val job = new CopyJob(spark)
+    val c = graft.operators.CopyJob.Config(S, E,
+      chunkNs = 120L * 3600L * 1000000000L, timeCol = "ts")
+    val bad = job.verifyChecksums(s"${SparkSpec.Sf0001}/events.parquet",
+      s"$dst/replica/rp30d/events.parquet", c)
+      .filter { case (_, a, b) => a != b }
+    assert(bad.nonEmpty)
+  }
+
   test("initCluster blocks until both probes alive; bounded retry " +
     "budget reports failure (agent.go:67-145)") {
     var masterFails = 2
