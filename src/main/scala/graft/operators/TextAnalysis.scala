@@ -48,6 +48,35 @@ object TextAnalysis {
       best.getField("score").as("score"))
   }
 
+  /** Single-pass document profile: every quality metric AND the language
+    * prediction in ONE projection. quality() and langId() are both
+    * row-wise — joining their outputs (the obvious composition) would
+    * plan a self-join shuffle of the documents table; at corpus scale
+    * the fused projection reads the text bytes once and shuffles
+    * nothing. */
+  def profile(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], markers: Map[String, Seq[String]])
+      : DataFrame = {
+    val w = words(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(w, x => array_contains(stopArr, x)))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val arr = array(ms.map(lit): _*)
+      struct(size(filter(w, x => array_contains(arr, x))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    df.select(
+      col(idCol).as("id"),
+      size(w).cast("long").as("n_words"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      (length(col(textCol)).cast("double") / size(w)).as("avg_token_len"),
+      (size(array_distinct(w)).cast("double") / size(w)).as("distinct_ratio"),
+      (nStop.cast("double") / size(w)).as("stopword_ratio"),
+      best.getField("lang").as("pred_lang"),
+      best.getField("score").as("score"))
+  }
+
   /** Token counting: whitespace tokens plus a BPE-ish subword estimate
     * (ceil(len(word)/4) pieces per word — the common ~4-chars-per-token
     * heuristic), both exact integers. */

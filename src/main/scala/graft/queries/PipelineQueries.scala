@@ -317,13 +317,13 @@ object PipelineQueries {
     "pipeline_training_set" -> QueryDef(
       (s, dir) => {
         val d = docs(s, dir)
-        val q = TextAnalysis.quality(d, "doc_id", "text", Stopwords)
-          .select(col("id"), col("n_words"), col("stopword_ratio"))
-        val l = TextAnalysis.langId(d, "doc_id", "text", LangMarkers)
-          .select(col("id"), col("pred_lang"))
+        // single-pass profile: quality + language in ONE projection —
+        // no self-join of the documents table (see TextAnalysis.profile)
+        val p = TextAnalysis.profile(d, "doc_id", "text", Stopwords,
+          LangMarkers)
         val keep = Dedup.exact(d, "doc_id", "text")
           .select(col("keep_id").as("id"))
-        q.join(l, "id").join(keep, "id")
+        p.join(keep, "id")
           .filter(col("n_words") >= 5 && col("stopword_ratio") <= 0.4 &&
             col("pred_lang") === "en")
           .select(col("id"), col("n_words"), col("stopword_ratio"),

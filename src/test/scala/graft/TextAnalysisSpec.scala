@@ -49,6 +49,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L)._2 != out(3L)._2)
   }
 
+  test("profile fuses quality + langId into one pass with identical " +
+    "values") {
+    import graft.queries.PipelineQueries.{LangMarkers, Stopwords}
+    val d = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "documents")
+      .limit(50)
+    val q = TextAnalysis.quality(d, "doc_id", "text", Stopwords)
+    val l = TextAnalysis.langId(d, "doc_id", "text", LangMarkers)
+    val joined = q.join(l, "id").orderBy("id").collect()
+    val fused = TextAnalysis.profile(d, "doc_id", "text", Stopwords,
+      LangMarkers).orderBy("id")
+    val fusedRows = fused
+      .select("id", "n_words", "n_chars", "avg_token_len",
+        "distinct_ratio", "stopword_ratio", "pred_lang", "score")
+      .collect()
+    assert(joined.length == fusedRows.length)
+    joined.zip(fusedRows).foreach { case (a, b) =>
+      assert(a.getLong(a.fieldIndex("id")) == b.getLong(0))
+      assert(a.getAs[String]("pred_lang") == b.getAs[String]("pred_lang"))
+      assert(a.getAs[Double]("stopword_ratio")
+        == b.getAs[Double]("stopword_ratio"))
+    }
+  }
+
   test("multimodal: binaryFile ingestion — one asset per file, " +
     "metadata-only reads prune content") {
     import java.nio.file.{Files => JFiles, Paths}
