@@ -31,6 +31,19 @@ object StreamIngest {
       spark.readStream.text(inDir).withColumnRenamed("value", "line"),
       "line", tagKeys, fields)
 
+  /** Dead-letter stream: the raw lines `typedStream` DROPS (blank or
+    * malformed) — route to a quarantine sink so poison input is
+    * inspectable instead of silently gone. */
+  def deadLetters(spark: SparkSession, inDir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.text(inDir)
+      .withColumnRenamed("value", "line")
+      .select(col("line")).as[String]
+      .filter((l: String) => LineProtocol.parseLineOpt(l).isEmpty &&
+        l.trim.nonEmpty) // blank lines are noise, not evidence
+      .toDF("line")
+  }
+
   /** Tumbling-window per-series aggregation with a watermark: late points
     * beyond `watermarkDelay` are dropped, windows close and emit once
     * (append mode) when the watermark passes — the streaming analog of

@@ -156,6 +156,25 @@ class AgentSpec extends AnyFunSuite {
       .count() == directCount())
   }
 
+  test("-full window: retention-clamped full history per RP " +
+    "(GetFirstLastTime, client.go:24-38)") {
+    val now = 1000L * 86400L * 1000000000L // day 1000
+    val agent = new Agent(spark,
+      cfg(freshRoot()).copy(full = true, start = "", end = "",
+        maxRetention = "240h"), // 10 days
+      nowNs = () => now)
+    val day = 86400000000000L
+    // infinite RP (duration 0) clamps to max-retention
+    val inf = graft.model.RetentionPolicy("rp", 0L, 0L, 1, isDefault = true)
+    assert(agent.resolveWindow(inf) == (now - 10 * day, now))
+    // finite RP shorter than max-retention wins
+    val week = inf.copy(durationNs = 7 * day)
+    assert(agent.resolveWindow(week) == (now - 7 * day, now))
+    // finite RP longer than max-retention is clamped
+    val year = inf.copy(durationNs = 365 * day)
+    assert(agent.resolveWindow(year) == (now - 10 * day, now))
+  }
+
   test("fs probe: alive for existing and not-yet-created roots on live " +
     "storage, dead for unreachable storage") {
     assert(Agent.fsProbe(spark, SparkSpec.Sf0001)())

@@ -108,6 +108,15 @@ class StreamIngestSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     val got = spark.read.parquet(out)
     assert(got.count() == 2) // the two well-formed lines survived
+    // dead-letter stream quarantines exactly the malformed lines
+    val dlOut = Files.createTempDirectory("graft_dl_out").toString
+    val dlCk = Files.createTempDirectory("graft_dl_ck").toString
+    val dq = StreamIngest.toParquet(
+      StreamIngest.deadLetters(spark, in), dlOut, dlCk)
+    try dq.processAllAvailable() finally dq.stop()
+    val dl = spark.read.parquet(dlOut).collect().map(_.getString(0)).toSet
+    assert(dl == Set("garbage with no fields",
+      s"m,host=h2 v=2.0 notanumber"))
   }
 
   test("session windows close after the event-time gap per series") {
