@@ -43,10 +43,23 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: rows (id, seed, minhash) for seeds 0..k-1,
-    * minhash = min over shingles of md5("<seed>:<shingle>").
-    * Min over hex strings is a valid uniform min-hash (lexicographic order
-    * on uniformly-distributed hex is uniform).
+  /** Prime modulus for the universal-hash MinHash family (2^31 − 1):
+    * products A·h' stay under 2^62, so the identical arithmetic runs on
+    * Spark Longs and DuckDB BIGINTs with no overflow divergence. */
+  final val MinhashP = 2147483647L
+
+  /** Per-seed multiplier/offset of the (A·h + B) mod p family, derived
+    * deterministically from the seed (Knuth multiplicative constants). */
+  def minhashA(seed: Int): Long = ((seed + 1L) * 2654435761L) % MinhashP
+  def minhashB(seed: Int): Long = (seed * 40503L + 7L) % MinhashP
+
+  /** MinHash signatures: rows (id, seed, minhash) for seeds 0..k-1.
+    * ONE md5 per shingle (its first 15 hex chars as a 60-bit int), then
+    * each seed's hash is the classic universal family
+    * `(A_s·h' + B_s) mod p` over `h' = h mod p` — integer mixing instead
+    * of k independent md5s, which cuts the dominant hashing cost ~k× at
+    * identical statistical quality. Every step is reproducible in DuckDB
+    * (md5 + BIGINT arithmetic), keeping oracle parity bit-exact.
     *
     * Single-pass: one groupBy over the shingle rows with k min-aggregate
     * columns, then a tiny unpivot — no k-way row explosion, so the
@@ -57,8 +70,12 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("id"),
         explode(shingles(col(textCol), shingleLen)).as("sh"))
+      .withColumn("h",
+        pmod(conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"),
+          lit(MinhashP)))
     val mins = (0 until numHashes).map { s =>
-      min(md5(concat_ws(":", lit(s), col("sh")))).as(s"m$s")
+      min((lit(minhashA(s)) * col("h") + lit(minhashB(s))) % MinhashP)
+        .as(s"m$s")
     }
     val packed = sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
     val kv = (0 until numHashes).flatMap(s => Seq(lit(s), col(s"m$s")))

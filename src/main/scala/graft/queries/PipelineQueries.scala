@@ -41,10 +41,18 @@ object PipelineQueries {
     s"""shingle AS (SELECT doc_id, unnest(list_transform(
         generate_series(1, len(w)-${ShingleLen - 1}),
         i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s FROM words)"""
-  private val SigCte = // MinHash signature rows (doc_id, seed, minhash)
-    s"""sig AS (SELECT shingle.doc_id AS id, seeds.seed AS seed,
-        min(md5(seeds.seed::VARCHAR||':'||shingle.s)) AS minhash
-        FROM shingle, (SELECT unnest(generate_series(0,${MinhashK - 1})) AS seed) seeds
+  // MinHash signature rows (doc_id, seed, minhash): one md5 per shingle
+  // (60-bit prefix), then the (A·h + B) mod p universal family — exactly
+  // Dedup.minhash/minhashA/minhashB with p = 2^31−1 (products < 2^62, no
+  // BIGINT overflow divergence between engines)
+  private val P = 2147483647L
+  private val SigCte =
+    s"""hsh AS (SELECT doc_id,
+          (('0x'||substr(md5(s),1,15))::BIGINT % $P) AS h FROM shingle),
+        sig AS (SELECT hsh.doc_id AS id, seeds.seed AS seed,
+        min(((((seeds.seed+1)*2654435761) % $P) * h
+          + ((seeds.seed*40503 + 7) % $P)) % $P) AS minhash
+        FROM hsh, (SELECT unnest(generate_series(0,${MinhashK - 1})) AS seed) seeds
         GROUP BY 1, 2)"""
 
   def defs: Map[String, QueryDef] = Map(
@@ -56,18 +64,16 @@ object PipelineQueries {
         count(*)::BIGINT AS n_copies FROM documents GROUP BY text"""
         .replaceAll("\\s+", " "))),
 
-    // MinHash signatures (k=8 seeds, word 3-gram shingles).
+    // MinHash signatures (k=8 seeds, word 3-gram shingles; universal
+    // (A·h+B) mod p family over one md5 per shingle).
     "dedup_minhash_sig" -> QueryDef(
       (s, dir) => Dedup
         .minhash(docs(s, dir), "doc_id", "text", MinhashK, ShingleLen)
         .select(col("id"), col("seed").cast("long").as("seed"),
           col("minhash")),
-      Some(s"""WITH $WordsCte, $ShingleCte
-        SELECT shingle.doc_id AS id, seeds.seed::BIGINT AS seed,
-        min(md5(seeds.seed::VARCHAR||':'||shingle.s)) AS minhash
-        FROM shingle,
-        (SELECT unnest(generate_series(0,${MinhashK - 1})) AS seed) seeds
-        GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte
+        SELECT id, seed::BIGINT AS seed, minhash FROM sig"""
+        .replaceAll("\\s+", " "))),
 
     // LSH candidate pairs (4 bands × 2 rows).
     "dedup_lsh_pairs" -> QueryDef(
@@ -78,8 +84,8 @@ object PipelineQueries {
       },
       Some(s"""WITH $WordsCte, $ShingleCte, $SigCte,
         band AS (SELECT id, seed//2 AS band,
-          md5(string_agg(seed::VARCHAR||'|'||minhash, ','
-            ORDER BY seed::VARCHAR||'|'||minhash)) AS band_hash
+          md5(string_agg(seed::VARCHAR||'|'||minhash::VARCHAR, ','
+            ORDER BY seed::VARCHAR||'|'||minhash::VARCHAR)) AS band_hash
           FROM sig GROUP BY id, seed//2)
         SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band a
         JOIN band b ON a.band=b.band AND a.band_hash=b.band_hash
@@ -100,8 +106,8 @@ object PipelineQueries {
       },
       Some(s"""WITH $WordsCte, $ShingleCte, $SigCte,
         band AS (SELECT id, seed//2 AS band,
-          md5(string_agg(seed::VARCHAR||'|'||minhash, ','
-            ORDER BY seed::VARCHAR||'|'||minhash)) AS band_hash
+          md5(string_agg(seed::VARCHAR||'|'||minhash::VARCHAR, ','
+            ORDER BY seed::VARCHAR||'|'||minhash::VARCHAR)) AS band_hash
           FROM sig GROUP BY id, seed//2),
         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band a
           JOIN band b ON a.band=b.band AND a.band_hash=b.band_hash
@@ -134,8 +140,8 @@ object PipelineQueries {
       },
       Some(s"""WITH RECURSIVE $WordsCte, $ShingleCte, $SigCte,
         band AS (SELECT id, seed//2 AS band,
-          md5(string_agg(seed::VARCHAR||'|'||minhash, ','
-            ORDER BY seed::VARCHAR||'|'||minhash)) AS band_hash
+          md5(string_agg(seed::VARCHAR||'|'||minhash::VARCHAR, ','
+            ORDER BY seed::VARCHAR||'|'||minhash::VARCHAR)) AS band_hash
           FROM sig GROUP BY id, seed//2),
         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band a
           JOIN band b ON a.band=b.band AND a.band_hash=b.band_hash

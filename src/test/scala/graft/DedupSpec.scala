@@ -36,7 +36,7 @@ class DedupSpec extends AnyFunSuite {
         (3L, "completely different words here now ok")),
       "doc_id", "text", 4, 3)
     val rows = sig.collect().map(r =>
-      (r.getLong(0), r.getInt(1), r.getString(2)))
+      (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(rows.count(_._1 == 1L) == 4)
     val s1 = rows.filter(_._1 == 1L).map(r => r._2 -> r._3).toMap
     val s2 = rows.filter(_._1 == 2L).map(r => r._2 -> r._3).toMap
