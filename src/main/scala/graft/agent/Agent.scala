@@ -55,9 +55,11 @@ final case class AgentConfig(
     // FSM state checkpointed here (survives restarts — an improvement
     // over the reference's in-memory-only supervisor state)
     checkpointDir: String = "",
-    // after each copied measurement, compare per-chunk source↔dest
-    // checksums (ChecksumAgg) and fail loudly on mismatch — stronger
-    // than the reference, which verifies nothing after a write
+    // after each copied measurement (incl. HA backfills), compare
+    // per-chunk source↔dest checksums (ChecksumAgg); mismatching chunks
+    // ride SyncReport.checksumMismatches — stronger than the reference,
+    // which verifies nothing after a write. CLI: -verify; config:
+    // verify-after-copy. `-action verify` runs the comparison alone.
     verifyAfterCopy: Boolean = false,
     // hamonitor's status API ([http] bind-addr port; 0 = disabled)
     httpPort: Int = 0,
@@ -160,39 +162,75 @@ final class Agent(
     replicateData(schema)
   }
 
+  private def isFlat(schema: Seq[DbSchema]): Boolean = schema match {
+    case Seq(d) => d.name == "default" && !pathExists(
+      s"${cfg.masterRoot}/default")
+    case _ => false
+  }
+
+  private def copyCfgFor(rp: RetentionPolicy): CopyJob.Config = {
+    val (s, e) = resolveWindow(rp)
+    CopyJob.Config(s, e, chunkNs, timeCol = cfg.timeCol,
+      maxRetentionNs = Some(maxRetentionNs),
+      rwMaxRetries = cfg.rwMaxRetries,
+      rwRetryDelayMs = cfg.rwRetryDelayMs,
+      numWorkers = cfg.numWorkers)
+  }
+
+  private def checksumMismatches(job: CopyJob, one: Seq[DbSchema],
+      flat: Boolean, copyCfg: CopyJob.Config): Seq[ChunkSpec] =
+    CopyJob.layout(one, cfg.masterRoot, cfg.slaveRoot, flat)
+      .flatMap { case (src, dst) =>
+        job.verifyChecksums(src, dst, copyCfg)
+          .collect { case (c, a, b) if a != b => c }
+      }
+
+  /** The shared copy plane: per (db, rp) chunked copy, plus — when
+    * verifyAfterCopy is set — per-chunk checksum verification whose
+    * mismatches ride the SyncReport (reported, not thrown: a mismatch on
+    * a LIVE source can also mean post-copy ingestion; the caller owns
+    * the policy). Used by copy/fullcopy AND the HA backfill, so recovery
+    * re-copies are held to the same verification bar. */
   private def replicateData(schema: Seq[DbSchema]): Seq[SyncReport] = {
     val job = new CopyJob(spark)
-    val flat = schema match {
-      case Seq(d) => d.name == "default" && !pathExists(
-        s"${cfg.masterRoot}/default")
-      case _      => false
-    }
+    val flat = isFlat(schema)
     for {
       db <- schema
       rp <- db.rps
     } yield {
-      val (s, e) = resolveWindow(rp)
-      val copyCfg = CopyJob.Config(s, e, chunkNs, timeCol = cfg.timeCol,
-        maxRetentionNs = Some(maxRetentionNs),
-        rwMaxRetries = cfg.rwMaxRetries,
-        rwRetryDelayMs = cfg.rwRetryDelayMs,
-        numWorkers = cfg.numWorkers)
+      val copyCfg = copyCfgFor(rp)
       val one = Seq(db.copy(rps = Seq(rp)))
       val reports = job.replicate(one, cfg.masterRoot, cfg.slaveRoot,
         copyCfg, flatRoot = flat)
-      if (cfg.verifyAfterCopy) {
-        CopyJob.layout(one, cfg.masterRoot, cfg.slaveRoot, flat)
-          .foreach { case (src, dst) =>
-            val bad = job.verifyChecksums(src, dst, copyCfg)
-              .filter { case (_, a, b) => a != b }
-            require(bad.isEmpty,
-              s"post-copy checksum mismatch $src -> $dst: " +
-                bad.map(_._1).mkString(", "))
-          }
-      }
+      val mismatches =
+        if (cfg.verifyAfterCopy) checksumMismatches(job, one, flat, copyCfg)
+        else Nil
       reports.reduceOption((a, b) => SyncReport(a.db, a.rp,
         a.chunks ++ b.chunks))
         .getOrElse(SyncReport(db.name, rp.name, Nil))
+        .copy(checksumMismatches = mismatches)
+    }
+  }
+
+  /** `-action verify` (engine extension): re-run ONLY the per-chunk
+    * checksum comparison over the configured window for every
+    * measurement — the ops answer to "is the replica still identical?"
+    * without re-copying anything. */
+  def verify(): Seq[(String, Seq[ChunkSpec])] = {
+    require(initCluster(), "cluster not alive")
+    val schema = discoverSchema()
+    val job = new CopyJob(spark)
+    val flat = isFlat(schema)
+    for {
+      db <- schema
+      rp <- db.rps
+    } yield {
+      val copyCfg = copyCfgFor(rp)
+      val one = Seq(db.copy(rps = Seq(rp)))
+      val rpOut = if (db.newDefaultRp.nonEmpty && rp.isDefault)
+        db.newDefaultRp else rp.name
+      s"${db.targetName}/$rpOut" ->
+        checksumMismatches(job, one, flat, copyCfg)
     }
   }
 
@@ -219,22 +257,24 @@ final class Agent(
     * the periodic supervisor, or `tick()` from tests). */
   /** The recovery backfill: blind re-copy of the outage window at the
     * configured chunking, idempotent by the sink's partition overwrite +
-    * trim pass (hacluster.go:305-342). */
-  def backfillWindow(w: ClusterFSM.RecoveryWindow): Unit = {
+    * trim pass (hacluster.go:305-342). Held to the same verifyAfterCopy
+    * bar as the batch copy plane — the post-outage backfill is precisely
+    * the copy most likely to diverge. */
+  def backfillWindow(w: ClusterFSM.RecoveryWindow): Seq[SyncReport] = {
     val job = new CopyJob(spark)
     val sch = discoverSchema() // schema refresh, hacluster.go:330-331
-    val flatR = sch match {
-      case Seq(d) => d.name == "default" &&
-        !pathExists(s"${cfg.masterRoot}/default")
-      case _ => false
-    }
+    val flat = isFlat(sch)
     val copyCfg = CopyJob.Config(w.startNs, w.endNs, chunkNs,
       timeCol = cfg.timeCol, maxRetentionNs = Some(maxRetentionNs),
       rwMaxRetries = cfg.rwMaxRetries,
       rwRetryDelayMs = cfg.rwRetryDelayMs,
       numWorkers = cfg.numWorkers)
-    job.replicate(sch, cfg.masterRoot, cfg.slaveRoot, copyCfg,
-      flatRoot = flatR): Unit
+    val reports = job.replicate(sch, cfg.masterRoot, cfg.slaveRoot,
+      copyCfg, flatRoot = flat)
+    if (cfg.verifyAfterCopy) {
+      val mismatches = checksumMismatches(job, sch, flat, copyCfg)
+      reports.map(_.copy(checksumMismatches = mismatches))
+    } else reports
   }
 
   private def initialReplicate(): Unit = {
@@ -256,7 +296,7 @@ final class Agent(
       masterProbe,
       slaveProbe,
       checkIntervalNs = cfg.checkIntervalMs * 1000000L,
-      backfill = backfillWindow,
+      backfill = (w => backfillWindow(w): Unit),
       nowNs = nowNs)
   }
 
@@ -270,7 +310,7 @@ final class Agent(
     initialReplicate()
     new StreamingMonitor(spark, masterProbe, slaveProbe,
       checkIntervalNs = cfg.checkIntervalMs * 1000000L,
-      backfill = backfillWindow,
+      backfill = (w => backfillWindow(w): Unit),
       checkpointDir = cfg.checkpointDir,
       nowNs = nowNs)
   }
@@ -283,6 +323,11 @@ final class Agent(
     case "copy"          => copy(): Unit
     case "fullcopy"      => fullCopy(): Unit
     case "replicaschema" => replicaSchema(): Unit
+    case "verify" =>
+      val bad = verify().filter(_._2.nonEmpty)
+      require(bad.isEmpty, "checksum mismatches: " + bad.map {
+        case (where, cs) => s"$where -> ${cs.map(_.id).mkString(",")}"
+      }.mkString("; "))
     case "hamonitor" | "" =>
       def serve(status: () => graft.model.ClusterStatus): Unit =
         if (cfg.httpPort > 0) {
@@ -378,6 +423,7 @@ object AgentCli {
         case "-start"  => c = c.copy(start = v)
         case "-end"    => c = c.copy(end = v)
         case "-full"   => c = c.copy(full = true)
+        case "-verify" => c = c.copy(verifyAfterCopy = true)
         case other =>
           throw new IllegalArgumentException(s"unknown flag: $other")
       }

@@ -124,6 +124,9 @@ object AgentConfigFile {
     g.get("monitor-retry-interval").foreach(v =>
       c = c.copy(monitorRetryIntervalMs = durMs(v)))
     g.get("max-points-on-single-write").foreach(_ => ()) // sink-level knob
+    // engine extension: post-copy checksum verification
+    g.get("verify-after-copy").foreach(v =>
+      c = c.copy(verifyAfterCopy = v.toBoolean))
     // [http]: bind-addr port + admin credentials (mainconfig.go:39-44)
     parsed.http.get("bind-addr").foreach { ba =>
       ba.split(':').lastOption.flatMap(p => scala.util.Try(p.toInt).toOption)

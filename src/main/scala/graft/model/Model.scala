@@ -75,14 +75,20 @@ final case class ChunkResult(
   def ok: Boolean = readErrors == 0 && writeErrors == 0
 }
 
-/** Whole-copy rollup (≅ SyncReport, sync.go:55-68). */
+/** Whole-copy rollup (≅ SyncReport, sync.go:55-68). When post-copy
+  * checksum verification ran, `checksumMismatches` lists chunks whose
+  * source/dest checksums diverged (reported, not thrown: the caller
+  * decides — a mismatch can also mean rows were ingested into the live
+  * source after the copy scan). */
 final case class SyncReport(
     db: String,
     rp: String,
-    chunks: Seq[ChunkResult]) {
+    chunks: Seq[ChunkResult],
+    checksumMismatches: Seq[ChunkSpec] = Nil) {
   def totalPoints: Long = chunks.map(_.points).sum
   def badChunks: Seq[ChunkSpec] =
     chunks.filterNot(_.ok).map(_.chunk).distinct
+  def verified: Boolean = checksumMismatches.isEmpty
 }
 
 /** HA cluster FSM states (hacluster.go:266-370). */

@@ -324,29 +324,58 @@ final class CopyJob(
     * count-only equality the reference relies on (its recovery trusts
     * upsert idempotence blindly, sync.go:215-232). Uses the
     * order-independent XOR row-hash Aggregator (SURVEY.md §7.2), so the
-    * comparison is partitioning- and order-insensitive. Returns per-chunk
-    * (chunk, srcChecksum, dstChecksum); a copy is verified iff all pairs
-    * match. */
+    * comparison is partitioning- and order-insensitive. ONE aggregation
+    * job per side (grouping by the chunk-index function of the time
+    * column), not one per chunk — a -full verification over a year of
+    * 1h chunks is two scans, not 17k sequential jobs. Returns per-chunk
+    * (chunk, srcChecksum, dstChecksum) for every chunk where either side
+    * has rows (empty==empty chunks are vacuously equal); a copy is
+    * verified iff all pairs match. NOTE: re-reads the live source — a
+    * mismatch means divergence OR rows ingested since the copy. */
   def verifyChecksums(
       srcPath: String,
       dstPath: String,
       cfg: Config): Seq[(ChunkSpec, Long, Long)] = {
     import graft.functions.ChecksumAgg
     Tables.ensureNsConf(spark)
-    val src = spark.read.parquet(srcPath)
-    val cols = src.columns.sorted.map(col).toSeq
-    def checksumOf(df: DataFrame): Long = {
-      val r = df.agg(ChecksumAgg.rowChecksum(cols).as("c")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
     val chunks = ChunkPlanner.plan(cfg.startNs, cfg.endNs, cfg.chunkNs,
       cfg.maxRetentionNs)
-    chunks.map { c =>
-      val s = checksumOf(Tables.timeRange(src, cfg.timeCol, c.startNs,
-        c.endNs, cfg.strictReferenceBounds))
-      val d = checksumOf(readCopied(dstPath)
-        .filter(col(cfg.timeCol) >= c.startNs && col(cfg.timeCol) < c.endNs))
-      (c, s, d)
+    if (chunks.isEmpty) return Nil
+    val start = chunks.last.startNs
+    val end = chunks.head.endNs
+    val byIdx = chunks.map(c => c.id.toLong -> c).toMap
+    val src = spark.read.parquet(srcPath)
+    val cols = src.columns.sorted.map(col).toSeq
+    def sums(df: DataFrame): DataFrame = {
+      val t = col(cfg.timeCol)
+      val windowed =
+        if (cfg.strictReferenceBounds)
+          // strict bounds: boundary-aligned points belong to NO chunk
+          df.filter(t > start && t < end &&
+            pmod(lit(end) - t, lit(cfg.chunkNs)) =!= 0)
+        else df.filter(t >= start && t < end)
+      // chunk index k: newest-first spans e_k = end − k·chunk, so
+      // k = (end − 1 − ts) div chunk for any ts in [start, end)
+      windowed
+        .groupBy(((lit(end) - 1 - t) / lit(cfg.chunkNs)).cast("long")
+          .as("k"))
+        .agg(ChecksumAgg.rowChecksum(cols).as("c"))
     }
+    val s = sums(src).withColumnRenamed("c", "src_c")
+    val d = sums(readCopied(dstPath).select(cols: _*))
+      .withColumnRenamed("c", "dst_c")
+    s.join(d, Seq("k"), "full_outer")
+      .collect()
+      .toSeq
+      .flatMap { r =>
+        val k = r.getLong(r.fieldIndex("k"))
+        byIdx.get(k).map { chunk =>
+          def v(name: String): Long =
+            if (r.isNullAt(r.fieldIndex(name))) 0L
+            else r.getLong(r.fieldIndex(name))
+          (chunk, v("src_c"), v("dst_c"))
+        }
+      }
+      .sortBy(_._1.id)
   }
 }

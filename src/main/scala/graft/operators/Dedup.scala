@@ -47,11 +47,17 @@ object Dedup {
     * products A·h' stay under 2^62, so the identical arithmetic runs on
     * Spark Longs and DuckDB BIGINTs with no overflow divergence. */
   final val MinhashP = 2147483647L
+  final val MinhashMul = 2654435761L // Knuth multiplicative constant
+  final val MinhashAddMul = 40503L
+  final val MinhashAddOff = 7L
 
   /** Per-seed multiplier/offset of the (A·h + B) mod p family, derived
-    * deterministically from the seed (Knuth multiplicative constants). */
-  def minhashA(seed: Int): Long = ((seed + 1L) * 2654435761L) % MinhashP
-  def minhashB(seed: Int): Long = (seed * 40503L + 7L) % MinhashP
+    * deterministically from the seed. The oracle SQL interpolates the
+    * SAME named constants (PipelineQueries.SigCte), so the family can't
+    * drift between engine and oracle. */
+  def minhashA(seed: Int): Long = ((seed + 1L) * MinhashMul) % MinhashP
+  def minhashB(seed: Int): Long =
+    (seed * MinhashAddMul + MinhashAddOff) % MinhashP
 
   /** MinHash signatures: rows (id, seed, minhash) for seeds 0..k-1.
     * ONE md5 per shingle (its first 15 hex chars as a 60-bit int), then

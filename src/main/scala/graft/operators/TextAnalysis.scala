@@ -14,15 +14,14 @@ object TextAnalysis {
 
   private def words(text: Column): Column = split(text, " ")
 
-  /** Quality metrics: word count, char length, average word length,
-    * distinct-word ratio (lexical diversity), stopword ratio. */
-  def quality(df: DataFrame, idCol: String, textCol: String,
-      stopwords: Seq[String]): DataFrame = {
+  /** The five quality metric columns — ONE definition, selected by both
+    * quality() and profile() so the two can never drift. */
+  private def qualityCols(textCol: String, stopwords: Seq[String])
+      : Seq[Column] = {
     val w = words(col(textCol))
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(w, x => array_contains(stopArr, x)))
-    df.select(
-      col(idCol).as("id"),
+    Seq(
       size(w).cast("long").as("n_words"),
       length(col(textCol)).cast("long").as("n_chars"),
       (length(col(textCol)).cast("double") / size(w)).as("avg_token_len"),
@@ -30,52 +29,45 @@ object TextAnalysis {
       (nStop.cast("double") / size(w)).as("stopword_ratio"))
   }
 
-  /** Heuristic language ID: marker-word hit counts per language, argmax
-    * with lexicographic tie-break. `markers`: lang → marker words. */
-  def langId(df: DataFrame, idCol: String, textCol: String,
-      markers: Map[String, Seq[String]]): DataFrame = {
+  /** The language argmax columns — shared by langId() and profile().
+    * Argmax via struct ordering: (score, lang) — ties on score go to the
+    * lexicographically-greatest lang, deterministically. */
+  private def langCols(textCol: String, markers: Map[String, Seq[String]])
+      : Seq[Column] = {
     val w = words(col(textCol))
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
       val arr = array(ms.map(lit): _*)
       struct(size(filter(w, x => array_contains(arr, x))).as("score"),
         lit(lang).as("lang"))
     }
-    // argmax via struct ordering: (score, lang) — ties on score go to the
-    // lexicographically-greatest lang, deterministically.
     val best = greatest(scored: _*)
-    df.select(col(idCol).as("id"),
-      best.getField("lang").as("pred_lang"),
+    Seq(best.getField("lang").as("pred_lang"),
       best.getField("score").as("score"))
   }
 
+  /** Quality metrics: word count, char length, average word length,
+    * distinct-word ratio (lexical diversity), stopword ratio. */
+  def quality(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String]): DataFrame =
+    df.select(col(idCol).as("id") +: qualityCols(textCol, stopwords): _*)
+
+  /** Heuristic language ID: marker-word hit counts per language, argmax
+    * with lexicographic tie-break. `markers`: lang → marker words. */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+      markers: Map[String, Seq[String]]): DataFrame =
+    df.select(col(idCol).as("id") +: langCols(textCol, markers): _*)
+
   /** Single-pass document profile: every quality metric AND the language
-    * prediction in ONE projection. quality() and langId() are both
-    * row-wise — joining their outputs (the obvious composition) would
-    * plan a self-join shuffle of the documents table; at corpus scale
-    * the fused projection reads the text bytes once and shuffles
-    * nothing. */
+    * prediction in ONE projection (the same shared column builders, so
+    * values are identical by construction). quality() and langId() are
+    * both row-wise — joining their outputs (the obvious composition)
+    * would plan a self-join shuffle of the documents table; the fused
+    * projection reads the text bytes once and shuffles nothing. */
   def profile(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String], markers: Map[String, Seq[String]])
-      : DataFrame = {
-    val w = words(col(textCol))
-    val stopArr = array(stopwords.map(lit): _*)
-    val nStop = size(filter(w, x => array_contains(stopArr, x)))
-    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
-      val arr = array(ms.map(lit): _*)
-      struct(size(filter(w, x => array_contains(arr, x))).as("score"),
-        lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
-    df.select(
-      col(idCol).as("id"),
-      size(w).cast("long").as("n_words"),
-      length(col(textCol)).cast("long").as("n_chars"),
-      (length(col(textCol)).cast("double") / size(w)).as("avg_token_len"),
-      (size(array_distinct(w)).cast("double") / size(w)).as("distinct_ratio"),
-      (nStop.cast("double") / size(w)).as("stopword_ratio"),
-      best.getField("lang").as("pred_lang"),
-      best.getField("score").as("score"))
-  }
+      : DataFrame =
+    df.select(col(idCol).as("id") +:
+      (qualityCols(textCol, stopwords) ++ langCols(textCol, markers)): _*)
 
   /** Token counting: whitespace tokens plus a BPE-ish subword estimate
     * (ceil(len(word)/4) pieces per word — the common ~4-chars-per-token

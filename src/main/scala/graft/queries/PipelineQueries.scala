@@ -42,16 +42,17 @@ object PipelineQueries {
         generate_series(1, len(w)-${ShingleLen - 1}),
         i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s FROM words)"""
   // MinHash signature rows (doc_id, seed, minhash): one md5 per shingle
-  // (60-bit prefix), then the (A·h + B) mod p universal family — exactly
-  // Dedup.minhash/minhashA/minhashB with p = 2^31−1 (products < 2^62, no
-  // BIGINT overflow divergence between engines)
-  private val P = 2147483647L
+  // (60-bit prefix), then the (A·h + B) mod p universal family — the
+  // constants are interpolated from Dedup itself, so engine and oracle
+  // cannot drift (products < 2^62, no BIGINT overflow divergence)
+  private val P = Dedup.MinhashP
   private val SigCte =
     s"""hsh AS (SELECT doc_id,
           (('0x'||substr(md5(s),1,15))::BIGINT % $P) AS h FROM shingle),
         sig AS (SELECT hsh.doc_id AS id, seeds.seed AS seed,
-        min(((((seeds.seed+1)*2654435761) % $P) * h
-          + ((seeds.seed*40503 + 7) % $P)) % $P) AS minhash
+        min(((((seeds.seed+1)*${Dedup.MinhashMul}) % $P) * h
+          + ((seeds.seed*${Dedup.MinhashAddMul} + ${Dedup.MinhashAddOff})
+            % $P)) % $P) AS minhash
         FROM hsh, (SELECT unnest(generate_series(0,${MinhashK - 1})) AS seed) seeds
         GROUP BY 1, 2)"""
 

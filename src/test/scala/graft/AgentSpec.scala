@@ -89,25 +89,24 @@ class AgentSpec extends AnyFunSuite {
     assert(copied.count() == directCount())
   }
 
-  test("verifyAfterCopy: per-chunk checksums gate the copy (fails loudly " +
-    "on a source/dest divergence)") {
+  test("verifyAfterCopy + -action verify: clean copies verify, a " +
+    "tampered replica is reported and fails the verify action") {
     val dst = freshRoot()
     val agent = new Agent(spark, cfg(dst).copy(verifyAfterCopy = true))
-    val reports = agent.copy() // verification passes on a clean copy
+    val reports = agent.copy()
     assert(reports.flatMap(_.chunks).forall(_.ok))
-    // corrupt the destination, re-verify through a fresh copy run whose
-    // window misses the tampered bucket → checksums must catch it
+    assert(reports.forall(_.verified)) // agent-level gate: no mismatches
+    assert(agent.verify().forall(_._2.isEmpty)) // verify action: clean
+    // tamper the replica → the verify action reports the bad chunks and
+    // the dispatch path fails loudly
     val part = new java.io.File(s"$dst/replica/rp30d/events.parquet")
       .listFiles().filter(_.getName.startsWith("__bucket=")).head
     part.listFiles().filter(_.getName.endsWith(".parquet"))
       .foreach(f => f.delete(): Unit)
-    val job = new CopyJob(spark)
-    val c = graft.operators.CopyJob.Config(S, E,
-      chunkNs = 120L * 3600L * 1000000000L, timeCol = "ts")
-    val bad = job.verifyChecksums(s"${SparkSpec.Sf0001}/events.parquet",
-      s"$dst/replica/rp30d/events.parquet", c)
-      .filter { case (_, a, b) => a != b }
+    val bad = agent.verify().filter(_._2.nonEmpty)
     assert(bad.nonEmpty)
+    assert(bad.head._1 == "replica/rp30d")
+    intercept[IllegalArgumentException] { agent.dispatch("verify") }
   }
 
   test("initCluster blocks until both probes alive; bounded retry " +
