@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Codegen'd vector kernels (SURVEY.md §7.2: custom `Expression` where
   * codegen matters).
@@ -23,7 +23,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 object VectorExpressions {
 
   case class VecDot(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    // declared input types make Catalyst INSERT the cast for
+    // array<float>/array<int> arguments (or fail analysis for
+    // non-arrays) — without this, getDouble over a float-packed
+    // UnsafeArrayData reads 8 bytes from 4-byte slots and returns
+    // garbage silently
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -54,7 +61,10 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
-  case class VecNormSq(child: Expression) extends UnaryExpression {
+  case class VecNormSq(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -85,13 +95,20 @@ object VectorExpressions {
       copy(child = c)
   }
 
-  /** Optional SQL registration (`SELECT vec_dot(a, b)`). */
+  /** Optional SQL registration (`SELECT vec_dot(a, b)`). Arity is
+    * checked here — without it a wrong argument count either crashes
+    * with an index error or silently DROPS the extra argument. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def arity(name: String, n: Int, es: Seq[Expression]): Unit =
+      require(es.length == n,
+        s"$name expects $n argument(s), got ${es.length}")
     reg.createOrReplaceTempFunction("vec_dot",
-      es => VecDot(es.head, es(1)), "built-in")
+      es => { arity("vec_dot", 2, es); VecDot(es.head, es(1)) },
+      "built-in")
     reg.createOrReplaceTempFunction("vec_normsq",
-      es => VecNormSq(es.head), "built-in")
+      es => { arity("vec_normsq", 1, es); VecNormSq(es.head) },
+      "built-in")
   }
 
   import org.apache.spark.sql.GraftShim

@@ -38,7 +38,12 @@ object Multimodal {
   def fromBinary(df: DataFrame, idCol: String, binCol: Column,
       mediaType: String): DataFrame =
     df.select(
-      col(idCol).cast(LongType).as("asset_id"),
+      // non-numeric ids would silently null through a bare cast,
+      // violating assetSchema's non-null contract — fall back to the
+      // same stable hash fromBinaryFiles uses for paths
+      coalesce(col(idCol).cast(LongType),
+        xxhash64(col(idCol)).bitwiseAND(lit(Long.MaxValue)))
+        .as("asset_id"),
       lit(mediaType).as("media_type"),
       binCol.cast(BinaryType).as("payload"),
       struct(
@@ -71,8 +76,12 @@ object Multimodal {
         col("path"),
         col("length"))
 
-  /** Metadata/size pass — never touches payload bytes beyond length, so
-    * Parquet reads only the projected columns. */
+  /** Describe pass: size, content fingerprint, codec. NOTE: computing
+    * `payload_md5` reads every payload byte by design (it is the
+    * content fingerprint) — for a truly metadata-only pass over a
+    * multi-TB asset table, select the non-payload columns directly and
+    * Parquet prunes the payload (see the mm_sample_frames plan
+    * assertion in PlanSpec). */
   def describe(assets: DataFrame): DataFrame =
     assets.select(
       col("asset_id"),
@@ -88,14 +97,20 @@ object Multimodal {
   // ---------------------------------------------------------------------
 
   /** STUB "decode + feature extract": deterministic fake `featureDim`
-    * floats derived from payload bytes (byte histogram moments), stands in
-    * for a real embedding/decoded-frame featurizer. Pure built-ins, so the
+    * floats derived from payload bytes, stands in for a real
+    * embedding/decoded-frame featurizer. ONE md5 over the payload, then
+    * per-feature universal (A·h+B) mod p mixing — the same one-hash
+    * pattern as Dedup's MinHash; the k-md5 form would hash
+    * featureDim × |payload| bytes per asset. Pure built-ins, so the
     * plumbing is still codegen'd and engine-checkable. */
   def decodeStub(assets: DataFrame, featureDim: Int): DataFrame = {
-    // fake features: f_i = ((md5 of payload ⊕ i) first 8 hex as uint) / 2^32
+    val p = Dedup.MinhashP
+    val h = pmod(
+      conv(substring(md5(hex(col("payload"))), 1, 15), 16, 10)
+        .cast("long"), lit(p))
     val feats = (0 until featureDim).map { i =>
-      (conv(substring(md5(concat(hex(col("payload")), lit(i.toString))), 1, 8),
-        16, 10).cast("double") / lit(4294967296.0)).cast("float")
+      (((lit(Dedup.minhashA(i)) * h + lit(Dedup.minhashB(i))) % p)
+        .cast("double") / lit(p.toDouble)).cast("float")
     }
     assets.select(col("asset_id"), col("media_type"),
       array(feats: _*).as("features"))
@@ -103,10 +118,14 @@ object Multimodal {
 
   /** STUB frame sampling plumbing: emit `n` (asset_id, frame_no) rows per
     * video asset — the row-explosion shape of real frame extraction. */
-  def sampleFrames(assets: DataFrame, n: Int): DataFrame =
+  def sampleFrames(assets: DataFrame, n: Int): DataFrame = {
+    // sequence(0, n-1) DESCENDS for n <= 0 (step defaults to -1),
+    // which would emit bogus negative frame numbers instead of none
+    require(n > 0, s"frame count must be positive: $n")
     assets.filter(col("media_type") === "video")
       .select(col("asset_id"),
         explode(sequence(lit(0), lit(n - 1))).as("frame_no"))
       .withColumn("frame_key",
         concat_ws("#", col("asset_id"), col("frame_no")))
+  }
 }

@@ -386,10 +386,12 @@ object PipelineQueries {
         .select(col("asset_id"), posexplode(col("features")))
         .select(col("asset_id"), col("pos").cast("long").as("i"),
           col("col").as("feature")),
-      Some("""SELECT asset_id, i::BIGINT AS i,
-        (('0x'||substr(md5(hx||i::VARCHAR),1,8))::BIGINT
-          / 4294967296.0)::FLOAT AS feature
-        FROM (SELECT doc_id AS asset_id, hex(text::BLOB) AS hx,
+      Some(s"""SELECT asset_id, i::BIGINT AS i,
+        (((((i+1)*${Dedup.MinhashMul}) % $P) * hp
+          + ((i*${Dedup.MinhashAddMul} + ${Dedup.MinhashAddOff}) % $P))
+          % $P / $P.0)::FLOAT AS feature
+        FROM (SELECT doc_id AS asset_id,
+          ('0x'||substr(md5(hex(text::BLOB)),1,15))::BIGINT % $P AS hp,
           unnest(generate_series(0,3)) AS i FROM documents)"""
         .replaceAll("\\s+", " "))),
 

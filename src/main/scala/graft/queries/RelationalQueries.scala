@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * "absent in the reference, required engine surface" (north star).
   *
   * Scale notes (100 TB posture):
-  *  - dimension joins broadcast the small side explicitly (`broadcast()`),
-  *    so the fact table never shuffles for them;
+  *  - only FIXED-cardinality dimensions (nation, region) carry explicit
+  *    `broadcast()` hints; SF-scaling tables (customer, supplier, part in
+  *    join_broadcast_part's demo) are left to Catalyst/AQE, which
+  *    broadcasts them while they fit and shuffle-joins beyond;
   *  - aggregates are plain `groupBy().agg` → Catalyst plans partial
   *    (map-side) + final aggregation automatically;
   *  - top-k = orderBy+limit → Spark's TakeOrderedAndProject (no global
@@ -64,8 +66,10 @@ object RelationalQueries {
           .filter(col("o_orderdate") < lit("1997-06-30").cast("timestamp"))
         val l = t(s, dir, "lineitem")
           .filter(col("l_shipdate") > lit("1997-06-30").cast("timestamp"))
+        // customer scales with SF — no broadcast hint; Catalyst/AQE
+        // picks broadcast at small scale and shuffle join at 100 TB
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"))
@@ -84,7 +88,11 @@ object RelationalQueries {
         GROUP BY 1,2 ORDER BY revenue DESC, o.o_orderkey LIMIT 10"""
         .replaceAll("\\s+", " "))),
 
-    // Q5-style: 5-way join, all dimensions broadcast.
+    // Q5-style: 5-way join. Only the FIXED-cardinality dimensions
+    // (nation 25, region 5) carry broadcast hints; customer/supplier
+    // scale with SF — at 100 TB broadcasting them would collect
+    // billions of rows to the driver, so their join strategy is left
+    // to Catalyst/AQE.
     "q5_nation_revenue" -> QueryDef(
       (s, dir) => {
         val l = t(s, dir, "lineitem")
@@ -94,8 +102,8 @@ object RelationalQueries {
         val n = t(s, dir, "nation")
         val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name"))
@@ -150,7 +158,10 @@ object RelationalQueries {
         WHERE o_custkey=c_custkey AND o_orderstatus='P')"""
         .replaceAll("\\s+", " "))),
 
-    // broadcast dimension join + aggregate.
+    // explicit-broadcast demo (the engine's broadcast() surface). NB:
+    // part scales with SF — the hint is right while part fits the
+    // broadcast threshold; a 100 TB deployment drops the hint and lets
+    // AQE decide (see file header).
     "join_broadcast_part" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")),
