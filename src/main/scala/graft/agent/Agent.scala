@@ -191,24 +191,29 @@ final class Agent(
     * a LIVE source can also mean post-copy ingestion; the caller owns
     * the policy). Used by copy/fullcopy AND the HA backfill, so recovery
     * re-copies are held to the same verification bar. */
-  private def replicateData(schema: Seq[DbSchema]): Seq[SyncReport] = {
+  private def replicateData(schema: Seq[DbSchema]): Seq[SyncReport] =
+    replicateWith(schema, copyCfgFor)
+
+  /** One (db, rp)-scoped copy+verify loop shared by the batch copy plane
+    * and the HA backfill — reports carry catalog NAMES (renamed
+    * destination) and per-(db,rp) checksum mismatches. */
+  private def replicateWith(schema: Seq[DbSchema],
+      copyCfgOf: RetentionPolicy => CopyJob.Config): Seq[SyncReport] = {
     val job = new CopyJob(spark)
     val flat = isFlat(schema)
     for {
       db <- schema
       rp <- db.rps
     } yield {
-      val copyCfg = copyCfgFor(rp)
+      val copyCfg = copyCfgOf(rp)
       val one = Seq(db.copy(rps = Seq(rp)))
       val reports = job.replicate(one, cfg.masterRoot, cfg.slaveRoot,
         copyCfg, flatRoot = flat)
       val mismatches =
         if (cfg.verifyAfterCopy) checksumMismatches(job, one, flat, copyCfg)
         else Nil
-      reports.reduceOption((a, b) => SyncReport(a.db, a.rp,
-        a.chunks ++ b.chunks))
-        .getOrElse(SyncReport(db.name, rp.name, Nil))
-        .copy(checksumMismatches = mismatches)
+      SyncReport(db.targetName, CopyJob.rpOut(db, rp),
+        reports.flatMap(_.chunks), mismatches)
     }
   }
 
@@ -227,9 +232,7 @@ final class Agent(
     } yield {
       val copyCfg = copyCfgFor(rp)
       val one = Seq(db.copy(rps = Seq(rp)))
-      val rpOut = if (db.newDefaultRp.nonEmpty && rp.isDefault)
-        db.newDefaultRp else rp.name
-      s"${db.targetName}/$rpOut" ->
+      s"${db.targetName}/${CopyJob.rpOut(db, rp)}" ->
         checksumMismatches(job, one, flat, copyCfg)
     }
   }
@@ -257,33 +260,39 @@ final class Agent(
     * the periodic supervisor, or `tick()` from tests). */
   /** The recovery backfill: blind re-copy of the outage window at the
     * configured chunking, idempotent by the sink's partition overwrite +
-    * trim pass (hacluster.go:305-342). Held to the same verifyAfterCopy
-    * bar as the batch copy plane — the post-outage backfill is precisely
-    * the copy most likely to diverge. */
+    * trim pass (hacluster.go:305-342). Runs the same (db, rp)-scoped
+    * copy+verify loop as the batch copy plane — the post-outage backfill
+    * is precisely the copy most likely to diverge. */
   def backfillWindow(w: ClusterFSM.RecoveryWindow): Seq[SyncReport] = {
-    val job = new CopyJob(spark)
     val sch = discoverSchema() // schema refresh, hacluster.go:330-331
-    val flat = isFlat(sch)
-    val copyCfg = CopyJob.Config(w.startNs, w.endNs, chunkNs,
+    replicateWith(sch, _ => CopyJob.Config(w.startNs, w.endNs, chunkNs,
       timeCol = cfg.timeCol, maxRetentionNs = Some(maxRetentionNs),
       rwMaxRetries = cfg.rwMaxRetries,
       rwRetryDelayMs = cfg.rwRetryDelayMs,
-      numWorkers = cfg.numWorkers)
-    val reports = job.replicate(sch, cfg.masterRoot, cfg.slaveRoot,
-      copyCfg, flatRoot = flat)
-    if (cfg.verifyAfterCopy) {
-      val mismatches = checksumMismatches(job, sch, flat, copyCfg)
-      reports.map(_.copy(checksumMismatches = mismatches))
-    } else reports
+      numWorkers = cfg.numWorkers))
+  }
+
+  /** Backfill as a success predicate for the monitors: every chunk copied
+    * and (when verifying) every checksum matched — a false keeps the FSM
+    * in CHECK_SLAVE_DOWN so the window is re-emitted next tick. */
+  def backfillOk(w: ClusterFSM.RecoveryWindow): Boolean = {
+    val reports = backfillWindow(w)
+    reports.forall(r => r.chunks.forall(_.ok) && r.verified)
   }
 
   private def initialReplicate(): Unit = {
+    // ONE catalog walk + probe round for the whole bootstrap — the
+    // schema/replica branches reuse it instead of re-running
+    // initCluster+discoverSchema per action
     val schema = discoverSchema()
+    def schemaDdl(): Unit =
+      new SchemaReplicator(spark.sessionState.newHadoopConf())
+        .replicate(schema, cfg.slaveRoot): Unit
     cfg.initialReplication match {
-      case "schema" => replicaSchema(): Unit
+      case "schema" => schemaDdl()
       case "data"   => replicateData(schema): Unit
       case "both"   =>
-        replicaSchema(): Unit
+        schemaDdl()
         replicateData(schema): Unit
       case _ => () // "none" (and unknown values log-and-skip, agent.go:263)
     }
@@ -296,7 +305,7 @@ final class Agent(
       masterProbe,
       slaveProbe,
       checkIntervalNs = cfg.checkIntervalMs * 1000000L,
-      backfill = (w => backfillWindow(w): Unit),
+      backfill = backfillOk,
       nowNs = nowNs)
   }
 
@@ -310,7 +319,7 @@ final class Agent(
     initialReplicate()
     new StreamingMonitor(spark, masterProbe, slaveProbe,
       checkIntervalNs = cfg.checkIntervalMs * 1000000L,
-      backfill = (w => backfillWindow(w): Unit),
+      backfill = backfillOk,
       checkpointDir = cfg.checkpointDir,
       nowNs = nowNs)
   }

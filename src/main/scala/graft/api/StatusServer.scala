@@ -31,9 +31,17 @@ final class StatusServer(
     adminPassword: String = "admin") {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // token → expiry epoch-ms; pruned on every login/validation so a
+  // long-running daemon neither leaks memory nor honors stale tokens
   private val sessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  final val SessionTtlMs: Long = 24L * 3600 * 1000
   final val CookieName = "graft_sess_id" // ≅ cookie-id, mainconfig.go:42
+
+  private def pruneSessions(): Unit = {
+    val now = System.currentTimeMillis()
+    sessions.entrySet().removeIf(e => e.getValue < now): Unit
+  }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -85,8 +93,10 @@ final class StatusServer(
       }
     }
 
-  private def signedIn(ex: HttpExchange): Boolean =
-    sessionOf(ex).exists(sessions.contains)
+  private def signedIn(ex: HttpExchange): Boolean = {
+    pruneSessions()
+    sessionOf(ex).exists(sessions.containsKey)
+  }
 
   /** POST /login: admin-user/admin-passwd check → session cookie
     * (myLoginHandler, webserver.go:190-201). */
@@ -95,8 +105,9 @@ final class StatusServer(
     val ok = jsonField(body, "username").contains(adminUser) &&
       jsonField(body, "password").contains(adminPassword)
     if (ok) {
+      pruneSessions()
       val tok = java.util.UUID.randomUUID().toString
-      sessions.add(tok): Unit
+      sessions.put(tok, System.currentTimeMillis() + SessionTtlMs): Unit
       ex.getResponseHeaders.add("Set-Cookie",
         s"$CookieName=$tok; HttpOnly")
       respond(ex, 200, jstr(CookieName))

@@ -53,6 +53,13 @@ object CopyJob {
       // batches.
       maxPointsPerWrite: Long = 0L)
 
+  /** Destination RP name after the default-RP rename (README.md:259-261:
+    * only the default RP can be renamed). The ONE place the rule lives —
+    * layout and every caller labeling destinations use it. */
+  def rpOut(db: DbSchema, rp: RetentionPolicy): String =
+    if (db.newDefaultRp.nonEmpty && rp.isDefault) db.newDefaultRp
+    else rp.name
+
   /** (src, dst) parquet paths for every measurement of a schema — the
     * single place the source layout (hierarchical vs flat) and the
     * rename rewrite map onto storage paths. */
@@ -69,9 +76,7 @@ object CopyJob {
       val src =
         if (flatRoot) s"$srcRoot/${m.name}.parquet"
         else s"$srcRoot/${db.name}/${rp.name}/${m.name}.parquet"
-      val rpOut = if (db.newDefaultRp.nonEmpty && rp.isDefault)
-        db.newDefaultRp else rp.name
-      val dst = s"$dstRoot/${db.targetName}/$rpOut/${m.name}.parquet"
+      val dst = s"$dstRoot/${db.targetName}/${rpOut(db, rp)}/${m.name}.parquet"
       (src, dst)
     }
 }

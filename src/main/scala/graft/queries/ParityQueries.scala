@@ -123,12 +123,13 @@ object ParityQueries {
           expr("ts div 1000"), col("user_id"), col("event_type"),
           col("props"))).as("checksum")),
       Some {
-        // mirror rowChecksum's canonicalization: escape \ and | inside
-        // values (boundary-shift safety) — a no-op on this data, but the
-        // oracle must express the same function
+        // mirror rowChecksum's FULL canonicalization: escape \ and |
+        // inside values (boundary-shift safety) AND coalesce NULL to the
+        // chr(1)||'null' sentinel — a no-op on this data, but the oracle
+        // must express the same function or a future NULL diverges
         def esc(x: String) =
-          s"replace(replace($x, chr(92), chr(92)||chr(92)), " +
-            s"'|', chr(92)||'|')"
+          s"coalesce(replace(replace($x, chr(92), chr(92)||chr(92)), " +
+            s"'|', chr(92)||'|'), chr(1)||'null')"
         s"""SELECT epoch_ns(ts)//${2 * DayNs} AS bucket,
         bit_xor(('0x'||substr(md5(${esc("event_id::VARCHAR")}||'|'||
           ${esc("epoch_us(ts)::VARCHAR")}||'|'||
@@ -149,13 +150,21 @@ object ParityQueries {
         Map("event_id" -> FieldSch("event_id", FieldType.Integer),
           "props" -> FieldSch("props", FieldType.Str)),
         "time_us"),
-      Some("""SELECT 'events,event_type='||event_type||
-        ',user_id='||user_id::VARCHAR||
+      Some {
+        // escTag mirror: ',', '=', ' ' get a backslash prefix (the tag
+        // fixture values contain none, but the oracle must express the
+        // same encoder or a future fixture value diverges)
+        def escTag(x: String) =
+          s"""replace(replace(replace($x, ',', chr(92)||','),
+              '=', chr(92)||'='), ' ', chr(92)||' ')"""
+        s"""SELECT 'events,event_type='||${escTag("event_type")}||
+        ',user_id='||${escTag("user_id::VARCHAR")}||
         ' event_id='||event_id::VARCHAR||'i,props="'||
         replace(replace(props, chr(92), chr(92)||chr(92)),
           '"', chr(92)||'"')||'" '||
         epoch_us(ts)::VARCHAR AS line FROM events"""
-        .replaceAll("\\s+", " "))),
+          .replaceAll("\\s+", " ")
+      }),
 
     // S6: line-protocol typed DECODE — encode→parse→coerce must return
     // the original typed columns (the reference's two-step decode matrix,

@@ -55,6 +55,17 @@ object PipelineQueries {
             % $P)) % $P) AS minhash
         FROM hsh, (SELECT unnest(generate_series(0,${MinhashK - 1})) AS seed) seeds
         GROUP BY 1, 2)"""
+  // LSH band hashes + candidate pairs — shared by lsh_pairs / jaccard /
+  // clusters so the band-hash definition lives in ONE place
+  private val BandCte =
+    s"""band AS (SELECT id, seed//2 AS band,
+        md5(string_agg(seed::VARCHAR||'|'||minhash::VARCHAR, ','
+          ORDER BY seed::VARCHAR||'|'||minhash::VARCHAR)) AS band_hash
+        FROM sig GROUP BY id, seed//2)"""
+  private val CandCte =
+    """cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band a
+        JOIN band b ON a.band=b.band AND a.band_hash=b.band_hash
+          AND a.id < b.id)"""
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -83,14 +94,8 @@ object PipelineQueries {
           MinhashK, ShingleLen)
         Dedup.lshCandidatePairs(Dedup.lshBands(sig, 4, MinhashK))
       },
-      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte,
-        band AS (SELECT id, seed//2 AS band,
-          md5(string_agg(seed::VARCHAR||'|'||minhash::VARCHAR, ','
-            ORDER BY seed::VARCHAR||'|'||minhash::VARCHAR)) AS band_hash
-          FROM sig GROUP BY id, seed//2)
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band a
-        JOIN band b ON a.band=b.band AND a.band_hash=b.band_hash
-          AND a.id < b.id""".replaceAll("\\s+", " "))),
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte, $CandCte
+        SELECT id_a, id_b FROM cand""".replaceAll("\\s+", " "))),
 
     // exact n-gram Jaccard over LSH candidate pairs — the scale path:
     // candidates from banded MinHash-LSH, shingle-intersection counted
@@ -106,13 +111,7 @@ object PipelineQueries {
           JaccardThreshold, candidates = Some(cand))
       },
       Some(s"""WITH $WordsCte, $ShingleCte, $SigCte,
-        band AS (SELECT id, seed//2 AS band,
-          md5(string_agg(seed::VARCHAR||'|'||minhash::VARCHAR, ','
-            ORDER BY seed::VARCHAR||'|'||minhash::VARCHAR)) AS band_hash
-          FROM sig GROUP BY id, seed//2),
-        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band a
-          JOIN band b ON a.band=b.band AND a.band_hash=b.band_hash
-            AND a.id < b.id),
+        $BandCte, $CandCte,
         dsh AS (SELECT DISTINCT doc_id, s FROM shingle),
         sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM dsh GROUP BY 1),
         pr AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared
@@ -140,13 +139,7 @@ object PipelineQueries {
         Dedup.dupClusters(d, "doc_id", pairs)
       },
       Some(s"""WITH RECURSIVE $WordsCte, $ShingleCte, $SigCte,
-        band AS (SELECT id, seed//2 AS band,
-          md5(string_agg(seed::VARCHAR||'|'||minhash::VARCHAR, ','
-            ORDER BY seed::VARCHAR||'|'||minhash::VARCHAR)) AS band_hash
-          FROM sig GROUP BY id, seed//2),
-        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band a
-          JOIN band b ON a.band=b.band AND a.band_hash=b.band_hash
-            AND a.id < b.id),
+        $BandCte, $CandCte,
         dsh AS (SELECT DISTINCT doc_id, s FROM shingle),
         sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM dsh GROUP BY 1),
         pr AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared

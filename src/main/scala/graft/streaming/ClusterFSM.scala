@@ -76,6 +76,15 @@ object ClusterFSM {
     st.copy(state = ClusterState.Ok, slaveLastOkNs = nowNs,
       numRecovers = st.numRecovers + 1, lastRecoverDurationNs = durationNs)
 
+  /** Backfill FAILURE → back to CHECK_SLAVE_DOWN with the slave's lastOK
+    * UN-advanced, so the next healthy tick re-emits the same window. The
+    * reference has no equivalent guard: a backfill that copied nothing
+    * (e.g. master still down — the FSM enters RECOVERING on the slave's
+    * edge regardless of master state) would mark the cluster OK and
+    * permanently forget the outage. */
+  def recoveryFailed(st: FsmState): FsmState =
+    st.copy(state = ClusterState.CheckSlaveDown)
+
   def toStatus(st: FsmState, masterUp: Boolean, slaveUp: Boolean)
       : ClusterStatus = {
     val name = st.state match {
@@ -97,8 +106,12 @@ final class HAMonitor(
     masterProbe: () => Boolean,
     slaveProbe: () => Boolean,
     checkIntervalNs: Long,
-    backfill: ClusterFSM.RecoveryWindow => Unit,
-    nowNs: () => Long = () => System.nanoTime()) {
+    // returns whether the backfill SUCCEEDED — a false (or a throw)
+    // keeps the FSM in CHECK_SLAVE_DOWN so the window is re-emitted
+    backfill: ClusterFSM.RecoveryWindow => Boolean,
+    // epoch ns (NOT System.nanoTime, whose arbitrary origin would put
+    // recovery windows in a coordinate system matching no data)
+    nowNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
 
   private val ref = new AtomicReference(ClusterFSM.initial(nowNs()))
   private val scheduler = new AtomicReference[
@@ -138,8 +151,9 @@ final class HAMonitor(
     val after = win match {
       case Some(w) =>
         val t0 = nowNs()
-        backfill(w)
-        ClusterFSM.recoveryDone(next, nowNs(), nowNs() - t0)
+        val ok = try backfill(w) catch { case _: Throwable => false }
+        if (ok) ClusterFSM.recoveryDone(next, nowNs(), nowNs() - t0)
+        else ClusterFSM.recoveryFailed(next)
       case None => next
     }
     ref.set(after)

@@ -104,7 +104,9 @@ final class StreamingMonitor(
     masterProbe: () => Boolean,
     slaveProbe: () => Boolean,
     checkIntervalNs: Long,
-    backfill: ClusterFSM.RecoveryWindow => Unit,
+    // returns whether the backfill SUCCEEDED — a false (or a throw)
+    // reverts to CHECK_SLAVE_DOWN so the window is re-emitted
+    backfill: ClusterFSM.RecoveryWindow => Boolean,
     checkpointDir: String,
     nowNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
 
@@ -135,9 +137,11 @@ final class StreamingMonitor(
     val after = win match {
       case Some(w) =>
         val t0 = nowNs()
-        backfill(w)
-        backfills.incrementAndGet(): Unit
-        ClusterFSM.recoveryDone(next, nowNs(), nowNs() - t0)
+        val ok = try backfill(w) catch { case _: Throwable => false }
+        if (ok) {
+          backfills.incrementAndGet(): Unit
+          ClusterFSM.recoveryDone(next, nowNs(), nowNs() - t0)
+        } else ClusterFSM.recoveryFailed(next)
       case None => next
     }
     ref.set(after)

@@ -43,7 +43,7 @@ class ClusterFSMSpec extends AnyFunSuite {
     var clock = 0L
     var backfills = Vector.empty[ClusterFSM.RecoveryWindow]
     val mon = new HAMonitor(() => true, () => slaveUp, I,
-      w => backfills :+= w, () => clock)
+      w => { backfills :+= w; true }, () => clock)
     clock = 10L; mon.tick()
     slaveUp = false; clock = 20L; mon.tick()
     clock = 30L; mon.tick()

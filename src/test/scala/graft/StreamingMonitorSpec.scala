@@ -92,6 +92,31 @@ class StreamingMonitorSpec extends AnyFunSuite {
     assert(loaded.numRecovers == 7L)
   }
 
+  test("failed backfill does NOT mark the outage recovered: FSM reverts " +
+    "to CHECK_SLAVE_DOWN with lastOK un-advanced and retries next tick") {
+    val ckpt = freshDir()
+    @volatile var succeed = false
+    var attempts = 0
+    var now = 1000000000000L
+    // seed the checkpoint at the down→up edge
+    val store = new FsmStateStore(spark.sessionState.newHadoopConf(), ckpt)
+    store.save(ClusterFSM.FsmState(ClusterState.CheckSlaveDown,
+      now, 42L, 0L, 0L))
+    val m = new StreamingMonitor(spark, () => true, () => true,
+      10000000000L, _ => { attempts += 1; succeed }, ckpt, () => now)
+    m.tick() // backfill fails (master data unreachable, say)
+    assert(attempts == 1)
+    assert(m.state.state == ClusterState.CheckSlaveDown)
+    assert(m.state.slaveLastOkNs == 42L) // un-advanced
+    assert(m.backfillCount == 0)
+    // next tick re-emits the SAME window; now it succeeds
+    succeed = true; now += 10000000000L
+    m.tick()
+    assert(attempts == 2)
+    assert(m.state.state == ClusterState.Ok)
+    assert(m.state.numRecovers == 1)
+  }
+
   test("streaming plane end-to-end: rate-source query drives probe/FSM " +
     "ticks through foreachBatch") {
     val dst = freshDir()
@@ -102,7 +127,7 @@ class StreamingMonitorSpec extends AnyFunSuite {
       masterProbe = () => true,
       slaveProbe = () => slaveUp,
       checkIntervalNs = 1000000000L,
-      backfill = _ => backfilled += 1,
+      backfill = _ => { backfilled += 1; true },
       checkpointDir = ckpt)
     val q = monitor.start(triggerMs = 100L)
     try {
