@@ -34,11 +34,29 @@ object Bucketing {
       .saveAsTable(table)
 
   /** Inner join of two same-bucketed tables on their bucket key: plans
-    * as a sort-merge join with NO shuffle exchange on either side. */
+    * as a sort-merge join with NO shuffle exchange on either side.
+    * Validates that both tables are bucketed on `key` with the SAME
+    * bucket count — a mismatch would silently degrade to the full
+    * shuffle this operator exists to eliminate. */
   def bucketedJoin(
       spark: SparkSession,
       leftTable: String,
       rightTable: String,
-      key: String): DataFrame =
+      key: String): DataFrame = {
+    def spec(t: String) = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+      meta.bucketSpec.getOrElse(
+        throw new IllegalArgumentException(s"table $t is not bucketed"))
+    }
+    val (l, r) = (spec(leftTable), spec(rightTable))
+    require(l.bucketColumnNames.contains(key) &&
+      r.bucketColumnNames.contains(key),
+      s"both tables must be bucketed on '$key' " +
+        s"(got ${l.bucketColumnNames}, ${r.bucketColumnNames})")
+    require(l.numBuckets == r.numBuckets,
+      s"bucket counts differ: ${l.numBuckets} vs ${r.numBuckets} — " +
+        "the join would shuffle")
     spark.table(leftTable).join(spark.table(rightTable), key)
+  }
 }

@@ -60,6 +60,11 @@ object Dedup {
     (seed * MinhashAddMul + MinhashAddOff) % MinhashP
 
   /** MinHash signatures: rows (id, seed, minhash) for seeds 0..k-1.
+    * NOTE: documents shorter than `shingleLen` words have NO shingles and
+    * therefore no signature — they are invisible to the whole
+    * minhash/LSH/jaccard near-dup chain (exact dedup still catches
+    * identical short docs via `exact`). This is inherent to shingle-based
+    * similarity, not an implementation gap.
     * ONE md5 per shingle (its first 15 hex chars as a 60-bit int), then
     * each seed's hash is the classic universal family
     * `(A_s·h' + B_s) mod p` over `h' = h mod p` — integer mixing instead
@@ -135,8 +140,11 @@ object Dedup {
     val b = docSh.select(col("id").as("id_b"), col("sh"))
     val shared = (candidates match {
       case Some(c) =>
-        // per candidate pair: shingles of a, kept iff also a shingle of b
-        c.join(a, Seq("id_a")).join(b, Seq("id_b", "sh"))
+        // per candidate pair: shingles of a, kept iff also a shingle of
+        // b. Pairs are deduped first — a duplicate candidate row would
+        // double-count every shared shingle and yield jaccard > 1
+        c.dropDuplicates("id_a", "id_b")
+          .join(a, Seq("id_a")).join(b, Seq("id_b", "sh"))
       case None =>
         a.join(b, "sh").filter(col("id_a") < col("id_b"))
     }).groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
@@ -212,14 +220,20 @@ object Dedup {
       labels.unpersist(): Unit
       labels = next
     }
-    edges.unpersist(): Unit
     // silent non-convergence would split one true component into
     // several clusters and keep multiple "representatives" of the same
     // duplicate group — fail loudly instead (chain length > maxIters)
     require(changed == 0,
       s"dupClusters did not converge in $maxIters iterations; " +
         "raise maxIters (bound = longest near-dup chain)")
-    labels
+    // localCheckpoint truncates the lineage BEFORE the caches release:
+    // otherwise a later cache eviction would recompute labels through
+    // the (by then unpersisted) edges — re-running the whole pairs
+    // pipeline the cache exists to avoid
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(): Unit
+    edges.unpersist(): Unit
+    out
   }
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold.

@@ -56,10 +56,13 @@ object Similarity {
   /** Brute-force top-k cosine neighbors for each query vector.
     * Ties broken by corpus id for determinism. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      excludeSelfMatches: Boolean = true): DataFrame = {
     val q = broadcast(prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
     val c = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
-    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(q,
+      if (excludeSelfMatches) col("query_id") =!= col("neighbor_id")
+      else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .as("cosine"))
@@ -167,7 +170,8 @@ object Similarity {
     * construction; raise nprobe toward nlist to recover exactness. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      iters: Int = 5, sampleN: Int = 2048): DataFrame = {
+      iters: Int = 5, sampleN: Int = 2048,
+      excludeSelfMatches: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     val sample = prep(corpus, idCol, vecCol, "id", "v", "n")
       .orderBy(col("id")).limit(sampleN)
@@ -198,7 +202,8 @@ object Similarity {
       .filter(col("crank") <= nprobe)
       .select(col("centroid"), col("query_id"), col("qv"), col("qn"))
     val scored = assigned.join(broadcast(probes), Seq("centroid"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelfMatches)
+        col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         (vecDot(col("qv"), col("cv2")) / (col("qn") * col("cn")))
           .as("cosine"))
@@ -218,7 +223,7 @@ object Similarity {
     * candidate work. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, numPlanes: Int = 8,
-      numTables: Int = 4): DataFrame = {
+      numTables: Int = 4, excludeSelfMatches: Boolean = true): DataFrame = {
     def bucketed(df: DataFrame, idAs: String, vAs: String, nAs: String)
         : DataFrame = {
       val v = prep(df, idCol, vecCol, idAs, vAs, nAs)
@@ -231,7 +236,8 @@ object Similarity {
     val q = broadcast(bucketed(queries, "query_id", "qv", "qn"))
     val c = bucketed(corpus, "neighbor_id", "cv", "cn")
     val scored = c.join(q, Seq("table", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelfMatches)
+        col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .as("cosine"))

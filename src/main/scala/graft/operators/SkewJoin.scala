@@ -22,7 +22,13 @@ object SkewJoin {
     * is unique per row, so even fully identical duplicate rows — the
     * canonical hot-key payload — spread across all `factor` salts. (A
     * content hash would give every duplicate the same salt and pin one
-    * reducer anyway.) */
+    * reducer anyway.)
+    *
+    * Determinism note: the id depends on partition layout, so a retried
+    * map task over a shuffled upstream may assign different salts.
+    * Spark's indeterminate-stage handling (SPARK-23207) rolls back and
+    * re-runs the downstream stages wholesale in that case, preserving
+    * correctness at the cost of a larger retry. */
   private[operators] def saltCol(factor: Int) =
     pmod(monotonically_increasing_id(), lit(factor.toLong))
 
@@ -44,8 +50,10 @@ object SkewJoin {
 
   /** Two-phase aggregation for skewed group keys: partial aggregate on
     * (key, salt) — spreading a hot key over `factor` reducers — then
-    * final combine on key. The caller supplies both phases; for
-    * algebraic aggregates (sum/count/min/max) partial == final merge. */
+    * final combine on key. The caller supplies both phases and the final
+    * phase must be the MERGE of the partial one: sum/min/max merge with
+    * themselves, but count's merge is SUM of the partial counts (a final
+    * count would return the number of salt groups, not rows). */
   def saltedAgg(
       df: DataFrame,
       key: String,
