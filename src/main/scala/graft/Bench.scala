@@ -10,8 +10,11 @@ object Bench {
     * keeping the action's own cost a single scalar aggregate. */
   private def materialize(df: DataFrame): Long = {
     val cols = df.columns.map(c => col(c).cast("string"))
+    // XOR, not sum: ANSI mode (Spark 4 default) throws on long-sum
+    // overflow, which random 64-bit hashes hit immediately
     df.select(xxhash64(cols: _*).as("h"))
-      .agg(coalesce(sum("h"), lit(0L))).collect()(0).getLong(0): Long
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)))
+      .collect()(0).getLong(0): Long
   }
 
   def main(args: Array[String]): Unit = {
@@ -38,7 +41,10 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
-        catch { case _: Throwable => failed ::= name; false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed ::= name; false
+        }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
