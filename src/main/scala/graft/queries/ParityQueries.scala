@@ -196,6 +196,42 @@ object ParityQueries {
         epoch_us(ts) AS time_us FROM events"""
         .replaceAll("\\s+", " "))),
 
+    // Batch sessionization: gap-based sessions per series via
+    // lag + cumulative sum of gap-break flags — the batch counterpart of
+    // StreamIngest.sessionizedSeriesAgg (30-minute inactivity gap).
+    // Two window passes over (user_id, ts): no joins, no self-shuffles.
+    "win_sessionize" -> QueryDef(
+      (s, dir) => {
+        // gap compared at µs: DuckDB truncates ns parquet timestamps, so
+        // an ns-precision comparison could flip sessions near the edge
+        val gapUs = 30L * 60L * 1000000L
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"))
+        ev(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("brk",
+            when(col("prev_ts").isNull ||
+              expr("ts div 1000") - expr("prev_ts div 1000") > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("session_no", sum(col("brk")).over(byUser))
+          .groupBy(col("user_id"), col("session_no"))
+          .agg(count(lit(1)).as("n_events"),
+            expr("min(ts div 1000)").as("start_us"),
+            expr("max(ts div 1000)").as("end_us"))
+      },
+      Some(s"""WITH x AS (SELECT user_id, ts,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+          FROM events),
+        b AS (SELECT user_id, ts, CASE WHEN prev_ts IS NULL OR
+            epoch_us(ts) - epoch_us(prev_ts) > ${30L * 60 * 1000000L}
+            THEN 1 ELSE 0 END AS brk FROM x),
+        sn AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id
+            ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_no FROM b)
+        SELECT user_id, session_no::BIGINT AS session_no,
+          count(*)::BIGINT AS n_events,
+          min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+        FROM sn GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
     // A1/A2: GROUP BY * series grouping + per-series point/value rollups
     // (tags are ordinary columns in our row schema; sync.go:162).
     "a1_series_groupby" -> QueryDef(
