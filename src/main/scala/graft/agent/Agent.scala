@@ -263,21 +263,31 @@ final class Agent(
     * trim pass (hacluster.go:305-342). Runs the same (db, rp)-scoped
     * copy+verify loop as the batch copy plane — the post-outage backfill
     * is precisely the copy most likely to diverge. */
-  def backfillWindow(w: ClusterFSM.RecoveryWindow): Seq[SyncReport] = {
-    val sch = discoverSchema() // schema refresh, hacluster.go:330-331
+  def backfillWindow(w: ClusterFSM.RecoveryWindow): Seq[SyncReport] =
+    backfillWith(discoverSchema(), w) // schema refresh, hacluster.go:330-331
+
+  private def backfillWith(sch: Seq[DbSchema],
+      w: ClusterFSM.RecoveryWindow): Seq[SyncReport] =
     replicateWith(sch, _ => CopyJob.Config(w.startNs, w.endNs, chunkNs,
       timeCol = cfg.timeCol, maxRetentionNs = Some(maxRetentionNs),
       rwMaxRetries = cfg.rwMaxRetries,
       rwRetryDelayMs = cfg.rwRetryDelayMs,
       numWorkers = cfg.numWorkers))
-  }
 
   /** Backfill as a success predicate for the monitors: every chunk copied
     * and (when verifying) every checksum matched — a false keeps the FSM
-    * in CHECK_SLAVE_DOWN so the window is re-emitted next tick. */
+    * in CHECK_SLAVE_DOWN so the window is re-emitted next tick.
+    *
+    * An empty or measurement-less discovered schema mid-recovery means
+    * the master root is absent/unreadable (Catalog yields Nil for a
+    * missing dir without throwing): backfilling "nothing" would succeed
+    * vacuously, advance slaveLastOk, and permanently forget the outage
+    * window — so it is treated as failure. */
   def backfillOk(w: ClusterFSM.RecoveryWindow): Boolean = {
-    val reports = backfillWindow(w)
-    reports.forall(r => r.chunks.forall(_.ok) && r.verified)
+    val sch = discoverSchema() // schema refresh, hacluster.go:330-331
+    val hasMeasurements = sch.exists(_.rps.exists(_.measurements.nonEmpty))
+    hasMeasurements && backfillWith(sch, w)
+      .forall(r => r.chunks.forall(_.ok) && r.verified)
   }
 
   private def initialReplicate(): Unit = {

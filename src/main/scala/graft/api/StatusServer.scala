@@ -98,12 +98,28 @@ final class StatusServer(
     sessionOf(ex).exists(sessions.containsKey)
   }
 
+  /** Constant-time credential compare — a plain String == short-circuits
+    * on the first differing byte, leaking prefix length to a timing
+    * probe against the (default admin/admin) credentials. */
+  private def ctEquals(a: String, b: String): Boolean =
+    java.security.MessageDigest.isEqual(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
   /** POST /login: admin-user/admin-passwd check → session cookie
-    * (myLoginHandler, webserver.go:190-201). */
+    * (myLoginHandler, webserver.go:190-201). POST-only: a GET with
+    * credentials in a URL would land them in access logs, and method
+    * restriction keeps the brute-force surface to the documented shape. */
   def handleLogin(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") {
+      respond(ex, 405, jstr("method not allowed")); return
+    }
+    if (adminUser == "admin" && adminPassword == "admin")
+      System.err.println(
+        "[graft] WARNING: StatusServer running with default admin/admin " +
+          "credentials — set admin-user/admin-passwd")
     val body = bodyOf(ex)
-    val ok = jsonField(body, "username").contains(adminUser) &&
-      jsonField(body, "password").contains(adminPassword)
+    val ok = jsonField(body, "username").exists(ctEquals(_, adminUser)) &&
+      jsonField(body, "password").exists(ctEquals(_, adminPassword))
     if (ok) {
       pruneSessions()
       val tok = java.util.UUID.randomUUID().toString
@@ -117,6 +133,9 @@ final class StatusServer(
   /** POST /logout: destroy the session (myLogoutHandler,
     * webserver.go:203-207). */
   def handleLogout(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") {
+      respond(ex, 405, jstr("method not allowed")); return
+    }
     sessionOf(ex).foreach(t => sessions.remove(t): Unit)
     respond(ex, 200, jstr("ok"))
   }

@@ -1,0 +1,164 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass MinHash / SimHash signature expressions (SURVEY.md §7.2:
+  * custom `Expression` where codegen matters).
+  *
+  * The Column-composed formulation (explode shingles → md5 → groupBy id
+  * with k min-aggregates) is semantically one scalar computation per
+  * document, but Spark executes it as a row explosion plus a full
+  * shuffle of |shingles| rows — at 100 TB that shuffle IS the dedup
+  * cost. These expressions compute the identical signature inside a
+  * per-row loop in whole-stage codegen: no explode, no shuffle, the
+  * document text never leaves its input partition.
+  *
+  * Bit-parity contract (what the DuckDB oracle recomputes, so it cannot
+  * drift): shingles are the `n`-word windows of the text split on a
+  * single space (`split(text, " ")` semantics, empties preserved); per
+  * shingle `h = md5(shingle)[first 15 hex chars] as uint60 mod p`; the
+  * per-seed hash is the universal family `(A_s·h + B_s) mod p` with
+  * the constants from [[graft.operators.Dedup]]; the signature is the
+  * per-seed minimum. SimHash: per word the same 60-bit md5 prefix,
+  * bit b of the result is set iff strictly more words have bit b set
+  * than unset (±1 votes).
+  */
+object MinHash {
+
+  /** Prime modulus 2^31 − 1 and universal-hash constants — the single
+    * source of truth; [[graft.operators.Dedup]] aliases these and the
+    * oracle SQL interpolates them, so engine and oracle cannot drift. */
+  final val P = 2147483647L
+  final val Mul = 2654435761L    // Knuth multiplicative constant
+  final val AddMul = 40503L
+  final val AddOff = 7L
+
+  def seedA(seed: Int): Long = ((seed + 1L) * Mul) % P
+  def seedB(seed: Int): Long = (seed * AddMul + AddOff) % P
+
+  private val md5Local = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex chars of md5(s) as an unsigned 60-bit value — exactly
+    * `conv(substring(md5(s),1,15),16,10)`: the top 8 digest bytes
+    * big-endian with the lowest nibble dropped. */
+  private def md5Prefix60(s: String): Long = {
+    val d = md5Local.get().digest(s.getBytes(StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    h >>> 4
+  }
+
+  /** k-seed MinHash signature of `text` over `n`-word shingles; empty
+    * array when the doc has fewer than `n` words (no shingles → no
+    * signature, matching the exploded formulation where such docs
+    * simply produce no rows). */
+  def signature(text: UTF8String, k: Int, n: Int): ArrayData = {
+    // split(" ", -1) == Spark's split(text, " "): empties preserved
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Long])
+    val a = new Array[Long](k)
+    val b = new Array[Long](k)
+    var s = 0
+    while (s < k) {
+      a(s) = seedA(s)
+      b(s) = seedB(s)
+      s += 1
+    }
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val m = words.length - n + 1
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val h = md5Prefix60(sb.toString) % P
+      s = 0
+      while (s < k) {
+        val v = (a(s) * h + b(s)) % P
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 60-bit SimHash over word unigrams (±1 votes per bit, bit set iff
+    * votes > 0) — single pass, same md5 prefix as the signature path. */
+  def simhash(text: UTF8String): Long = {
+    val words = text.toString.split(" ", -1)
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < words.length) {
+      val h = md5Prefix60(words(i))
+      var bit = 0
+      while (bit < 60) {
+        votes(bit) += (((h >>> bit) & 1L).toInt * 2) - 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 60) {
+      if (votes(bit) > 0) out |= 1L << bit
+      bit += 1
+    }
+    out
+  }
+
+  case class MinHashSig(child: Expression, numHashes: Int, shingleLen: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      signature(t.asInstanceOf[UTF8String], numHashes, shingleLen)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.MinHash.signature(" +
+          s"$t, $numHashes, $shingleLen);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class SimHash(child: Expression) extends UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(t: Any): Any =
+      simhash(t.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.MinHash.simhash($t);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  import org.apache.spark.sql.GraftShim
+
+  def minhashSig(text: Column, numHashes: Int, shingleLen: Int): Column =
+    GraftShim.column(
+      MinHashSig(GraftShim.expression(text), numHashes, shingleLen))
+  def simhashCol(text: Column): Column =
+    GraftShim.column(SimHash(GraftShim.expression(text)))
+}

@@ -50,9 +50,13 @@ object Bucketing {
         throw new IllegalArgumentException(s"table $t is not bucketed"))
     }
     val (l, r) = (spec(leftTable), spec(rightTable))
-    require(l.bucketColumnNames.contains(key) &&
-      r.bucketColumnNames.contains(key),
-      s"both tables must be bucketed on '$key' " +
+    // the spec must be EXACTLY the join key: a table bucketed on
+    // (key, other) is distributed by the composite hash, not co-located
+    // on `key` alone — contains() would accept it and the join would
+    // silently plan the full shuffle this validation exists to prevent
+    require(l.bucketColumnNames == Seq(key) &&
+      r.bucketColumnNames == Seq(key),
+      s"both tables must be bucketed on exactly '$key' " +
         s"(got ${l.bucketColumnNames}, ${r.bucketColumnNames})")
     require(l.numBuckets == r.numBuckets,
       s"bucket counts differ: ${l.numBuckets} vs ${r.numBuckets} — " +

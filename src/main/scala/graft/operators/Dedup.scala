@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.MinHash
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -45,19 +46,20 @@ object Dedup {
 
   /** Prime modulus for the universal-hash MinHash family (2^31 − 1):
     * products A·h' stay under 2^62, so the identical arithmetic runs on
-    * Spark Longs and DuckDB BIGINTs with no overflow divergence. */
-  final val MinhashP = 2147483647L
-  final val MinhashMul = 2654435761L // Knuth multiplicative constant
-  final val MinhashAddMul = 40503L
-  final val MinhashAddOff = 7L
+    * Spark Longs and DuckDB BIGINTs with no overflow divergence.
+    * Single source of truth lives in [[graft.functions.MinHash]] (the
+    * codegen'd expression must use the same family). */
+  final val MinhashP = MinHash.P
+  final val MinhashMul = MinHash.Mul
+  final val MinhashAddMul = MinHash.AddMul
+  final val MinhashAddOff = MinHash.AddOff
 
   /** Per-seed multiplier/offset of the (A·h + B) mod p family, derived
     * deterministically from the seed. The oracle SQL interpolates the
     * SAME named constants (PipelineQueries.SigCte), so the family can't
     * drift between engine and oracle. */
-  def minhashA(seed: Int): Long = ((seed + 1L) * MinhashMul) % MinhashP
-  def minhashB(seed: Int): Long =
-    (seed * MinhashAddMul + MinhashAddOff) % MinhashP
+  def minhashA(seed: Int): Long = MinHash.seedA(seed)
+  def minhashB(seed: Int): Long = MinHash.seedB(seed)
 
   /** MinHash signatures: rows (id, seed, minhash) for seeds 0..k-1.
     * NOTE: documents shorter than `shingleLen` words have NO shingles and
@@ -77,22 +79,23 @@ object Dedup {
     * shuffle carries |shingles| rows instead of k·|shingles| and the agg
     * is map-side-combined. */
   def minhash(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, shingleLen: Int): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleLen)).as("sh"))
-      .withColumn("h",
-        pmod(conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"),
-          lit(MinhashP)))
-    val mins = (0 until numHashes).map { s =>
-      min((lit(minhashA(s)) * col("h") + lit(minhashB(s))) % MinhashP)
-        .as(s"m$s")
-    }
-    val packed = sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-    val kv = (0 until numHashes).flatMap(s => Seq(lit(s), col(s"m$s")))
-    packed.select(col("id"),
-      explode(map(kv: _*)).as(Seq("seed", "minhash")))
-  }
+      numHashes: Int, shingleLen: Int): DataFrame =
+    minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
+      .select(col("id"), posexplode(col("sig")).as(Seq("seed", "minhash")))
+
+  /** Packed MinHash signatures: (id, sig array<long> of length k), one
+    * row per doc with ≥ shingleLen words. THE scale substrate for the
+    * LSH/jaccard/cluster chain: the whole signature is computed by the
+    * codegen'd [[graft.functions.MinHash.MinHashSig]] expression in a
+    * single pass over the text — no shingle explosion, no shuffle, the
+    * document body never leaves its input partition. Bit-identical to
+    * the exploded groupBy formulation (differential-tested in
+    * DedupSpec). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleLen: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        MinHash.minhashSig(col(textCol), numHashes, shingleLen).as("sig"))
+      .filter(size(col("sig")) > 0)
 
   /** LSH band hashes from minhash rows: `bands` bands of
     * numHashes/bands rows each; bandHash = md5 of the band's minhashes in
@@ -107,6 +110,26 @@ object Dedup {
       .agg(md5(array_join(array_sort(
         collect_list(concat_ws("|", col("seed"), col("minhash")))), ","))
         .as("band_hash"))
+  }
+
+  /** LSH band hashes straight from packed signatures — a pure
+    * projection (per-band md5 over the band's "seed|minhash" strings,
+    * string-sorted like [[lshBands]]), so the ONLY shuffle left in the
+    * whole minhash→LSH chain is the candidate-pair bucket join.
+    * Bit-identical to lshBands over the row form (differential-tested). */
+  def lshBandsFromSig(sigDf: DataFrame, bands: Int, numHashes: Int)
+      : DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(rowsPerBand * bands == numHashes,
+      s"numHashes=$numHashes not divisible by bands=$bands")
+    val bandHashes = transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(array_join(array_sort(
+        transform(sequence(lit(0), lit(rowsPerBand - 1)), j => {
+          val seed = b * rowsPerBand + j
+          concat_ws("|", seed, col("sig")(seed))
+        })), ",")))
+    sigDf.select(col("id"),
+      posexplode(bandHashes).as(Seq("band", "band_hash")))
   }
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
@@ -163,24 +186,14 @@ object Dedup {
     * from md5 (first 15 hex chars → Long); simhash bit i is set iff more
     * words have bit i set than unset. Output: (id, simhash Long).
     *
-    * Single-pass: one groupBy with 60 ±1-vote sum columns — no per-bit
-    * row explosion, so cost is O(words), not O(60·words), and the whole
-    * thing is one partial+final aggregate at scale. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df.select(col(idCol).as("id"),
-      explode(split(col(textCol), " ")).as("w"))
-    val hashed = words.withColumn("h",
-      conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-    val votes = (0 until 60).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")
-    }
-    val packed = (0 until 60).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    hashed.groupBy(col("id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("id"), packed.cast("long").as("simhash"))
-  }
+    * Computed by the codegen'd [[graft.functions.MinHash.SimHash]]
+    * expression — one pass over the words per row, NO word explosion and
+    * no shuffle at all (the old formulation shuffled |words| rows into a
+    * 60-vote aggregate). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull) // exploded form dropped null texts
+      .select(col(idCol).as("id"),
+        MinHash.simhashCol(col(textCol)).as("simhash"))
 
   /** Duplicate CLUSTERS from near-dup pairs: connected components by
     * iterative min-label propagation — each doc ends up labeled with the

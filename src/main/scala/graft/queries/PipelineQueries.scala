@@ -87,12 +87,14 @@ object PipelineQueries {
         SELECT id, seed::BIGINT AS seed, minhash FROM sig"""
         .replaceAll("\\s+", " "))),
 
-    // LSH candidate pairs (4 bands × 2 rows).
+    // LSH candidate pairs (4 bands × 2 rows). Signatures and band
+    // hashes are pure projections (codegen'd single-pass expression) —
+    // the bucket join is the only shuffle in the chain.
     "dedup_lsh_pairs" -> QueryDef(
       (s, dir) => {
-        val sig = Dedup.minhash(docs(s, dir), "doc_id", "text",
+        val sig = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text",
           MinhashK, ShingleLen)
-        Dedup.lshCandidatePairs(Dedup.lshBands(sig, 4, MinhashK))
+        Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
       },
       Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte, $CandCte
         SELECT id_a, id_b FROM cand""".replaceAll("\\s+", " "))),
@@ -105,8 +107,10 @@ object PipelineQueries {
     "dedup_jaccard_pairs" -> QueryDef(
       (s, dir) => {
         val d = docs(s, dir)
-        val sig = Dedup.minhash(d, "doc_id", "text", MinhashK, ShingleLen)
-        val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sig, 4, MinhashK))
+        val sig = Dedup.minhashSignatures(d, "doc_id", "text",
+          MinhashK, ShingleLen)
+        val cand =
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
         Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
           JaccardThreshold, candidates = Some(cand))
       },
@@ -131,8 +135,10 @@ object PipelineQueries {
     "dedup_clusters" -> QueryDef(
       (s, dir) => {
         val d = docs(s, dir)
-        val sig = Dedup.minhash(d, "doc_id", "text", MinhashK, ShingleLen)
-        val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sig, 4, MinhashK))
+        val sig = Dedup.minhashSignatures(d, "doc_id", "text",
+          MinhashK, ShingleLen)
+        val cand =
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
         val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
           JaccardThreshold, candidates = Some(cand))
           .select(col("id_a"), col("id_b"))

@@ -107,6 +107,71 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  // the pre-fusion Column formulations, kept as test oracles so the
+  // codegen'd single-pass expressions stay bit-identical to them
+  private def legacyMinhash(d: org.apache.spark.sql.DataFrame,
+      k: Int, n: Int) = {
+    val sh = d.select($"doc_id".as("id"),
+        explode(Dedup.shingles($"text", n)).as("sh"))
+      .withColumn("h", pmod(
+        conv(substring(md5($"sh"), 1, 15), 16, 10).cast("long"),
+        lit(Dedup.MinhashP)))
+    val mins = (0 until k).map { s =>
+      min((lit(Dedup.minhashA(s)) * $"h" + lit(Dedup.minhashB(s)))
+        % Dedup.MinhashP).as(s"m$s")
+    }
+    sh.groupBy($"id").agg(mins.head, mins.tail: _*)
+  }
+
+  test("differential: fused MinHashSig expression == exploded groupBy " +
+    "formulation, per doc and seed (sf0.001 corpus)") {
+    val d = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "documents")
+    val legacy = legacyMinhash(d, 8, 3).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_)).toSeq).toMap
+    val fused = Dedup.minhashSignatures(d, "doc_id", "text", 8, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused.keySet == legacy.keySet)
+    fused.foreach { case (id, sig) =>
+      assert(sig == legacy(id), s"signature mismatch for doc $id")
+    }
+  }
+
+  test("differential: lshBandsFromSig == lshBands over the row form") {
+    val d = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "documents")
+    val viaRows = Dedup
+      .lshBands(Dedup.minhash(d, "doc_id", "text", 8, 3), 4, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2))
+      .toMap
+    val viaSig = Dedup
+      .lshBandsFromSig(
+        Dedup.minhashSignatures(d, "doc_id", "text", 8, 3), 4, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2))
+      .toMap
+    assert(viaSig == viaRows)
+  }
+
+  test("differential: fused SimHash expression == exploded vote " +
+    "formulation (sf0.001 corpus)") {
+    val d = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "documents")
+    val words = d.select($"doc_id".as("id"),
+      explode(split($"text", " ")).as("w"))
+      .withColumn("h",
+        conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map { b =>
+      sum(shiftright($"h", b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")
+    }
+    val packed = (0 until 60).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val legacy = words.groupBy($"id")
+      .agg(votes.head, votes.tail: _*)
+      .select($"id", packed.cast("long").as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = Dedup.simhash(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == legacy)
+  }
+
   test("dupClusters: connected components label every node with its " +
     "component minimum; singletons label themselves") {
     import spark.implicits._
