@@ -204,6 +204,12 @@ object Dedup {
     * the standard scalable label-propagation shape, never materializing
     * anything driver-side beyond a convergence count.
     *
+    * Scale shape: propagation runs ONLY over the nodes that appear in a
+    * pair — at corpus scale the near-dup graph is orders of magnitude
+    * smaller than the corpus, so each iteration shuffles |graph| rows,
+    * never |corpus|. Singletons (the overwhelming majority) join in once
+    * at the end as their own cluster.
+    *
     * @param docs  table holding every doc (singletons keep their own id)
     * @param pairs (id_a, id_b) near-dup pairs, id_a < id_b
     */
@@ -214,7 +220,7 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    var labels = docs.select(col(idCol).as("id"))
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
     var changed = 1L
     var iters = 0
@@ -243,10 +249,16 @@ object Dedup {
     // otherwise a later cache eviction would recompute labels through
     // the (by then unpersisted) edges — re-running the whole pairs
     // pipeline the cache exists to avoid
-    val out = labels.localCheckpoint(true)
+    val graphLabels = labels.localCheckpoint(true)
     labels.unpersist(): Unit
     edges.unpersist(): Unit
-    out
+    // singletons (docs in no pair) label themselves — one left join,
+    // outside the iteration
+    docs.select(col(idCol).as("id"))
+      .join(graphLabels.withColumnRenamed("cluster", "_c")
+        .withColumnRenamed("id", "_gid"),
+        col("id") === col("_gid"), "left")
+      .select(col("id"), coalesce(col("_c"), col("id")).as("cluster"))
   }
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold.

@@ -63,6 +63,23 @@ object ParityQueries {
                WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs"""
         .replaceAll("\\s+", " "))),
 
+    // Tumbling time-window aggregation — the InfluxQL `GROUP BY
+    // time(1h)` analog, mapped to Spark's native window() operator
+    // (SURVEY.md §2.5: chunking is planning, in-query tumbling windows
+    // are `window($"time", ...)`). Epoch-aligned hour buckets, so the
+    // oracle's integer µs arithmetic lands on identical bucket starts.
+    "win_tumbling" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(expr("unix_micros(window.start)").as("w_start_us"),
+          col("event_type"), col("n"), col("sum_value")),
+      Some("""SELECT (epoch_us(ts) // 3600000000) * 3600000000
+          AS w_start_us, event_type, count(*)::BIGINT AS n,
+          round(sum(value),4) AS sum_value
+        FROM events GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
     // End-to-end copy: chunked scan → partitioned sink, run TWICE to
     // prove blind re-copy idempotence (dynamic partition overwrite ≅
     // InfluxDB point upsert; SURVEY.md §7.3 hard part 4).

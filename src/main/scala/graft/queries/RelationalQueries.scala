@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.TemporalJoin
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -175,6 +176,67 @@ object RelationalQueries {
         FROM lineitem JOIN part ON l_partkey=p_partkey GROUP BY p_brand"""
         .replaceAll("\\s+", " "))),
 
+    // as-of join: enrich every event with the most recent prior (or
+    // same-instant) "error" of the same user — union+window, ONE key
+    // shuffle, no pair fan-out (TemporalJoin.asofJoin). Oracle is
+    // DuckDB's native ASOF LEFT JOIN, so the semantics are pinned to an
+    // independent implementation.
+    "join_asof" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("t_us"), col("event_type"),
+            col("value"))
+        // contract: right side unique per (key, time)
+        val alerts = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("t_us"))
+          .agg(max(col("value")).as("alert_value"))
+        TemporalJoin.asofJoin(
+          ev.select("event_id", "user_id", "t_us"), alerts,
+          keys = Seq("user_id"), leftTime = "t_us", rightTime = "t_us",
+          payloadCols = Seq("alert_value"),
+          matchedTimeCol = "alert_t_us")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+          event_type, value FROM events),
+        al AS (SELECT user_id, t_us, max(value) AS alert_value FROM ev
+          WHERE event_type='error' GROUP BY 1, 2)
+        SELECT ev.event_id, ev.user_id, ev.t_us,
+          al.t_us AS alert_t_us, al.alert_value
+        FROM ev ASOF LEFT JOIN al
+          ON ev.user_id = al.user_id AND ev.t_us >= al.t_us"""
+        .replaceAll("\\s+", " "))),
+
+    // range (interval) join: all events inside the 30 minutes after
+    // each same-user error, aggregated per alert. Bucketed equi-join on
+    // (user, time-bucket) + exact containment filter — the plan is a
+    // hash join, never nested-loop/cartesian (asserted in PlanSpec).
+    "join_range" -> QueryDef(
+      (s, dir) => {
+        val winUs = 30L * 60 * 1000000
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("t_us"), col("event_type"))
+        val ivs = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("alert_id"), col("user_id"),
+            col("t_us").as("s_us"), (col("t_us") + winUs).as("e_us"))
+        TemporalJoin.rangeJoin(
+            ev.select("event_id", "user_id", "t_us"), "t_us",
+            ivs, "s_us", "e_us", bucketWidth = winUs,
+            keys = Seq("user_id"))
+          .groupBy(col("alert_id"))
+          .agg(count(lit(1)).as("n_events"), max(col("t_us")).as("last_t_us"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+          event_type FROM events),
+        iv AS (SELECT event_id AS alert_id, user_id, t_us AS s_us,
+          t_us + 1800000000 AS e_us FROM ev WHERE event_type='error')
+        SELECT iv.alert_id, count(*)::BIGINT AS n_events,
+          max(ev.t_us) AS last_t_us
+        FROM iv JOIN ev ON ev.user_id = iv.user_id
+          AND ev.t_us >= iv.s_us AND ev.t_us < iv.e_us
+        GROUP BY iv.alert_id""".replaceAll("\\s+", " "))),
+
     // ranking window: top-3 orders per customer, deterministic ties.
     "win_rank_orders" -> QueryDef(
       (s, dir) => {
@@ -281,6 +343,35 @@ object RelationalQueries {
         sum(l_quantity)::BIGINT AS sum_qty FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
         .replaceAll("\\s+", " "))),
+
+    // full CUBE (all 4 grouping combinations, NULL-marked subtotals).
+    "agg_cube" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        sum(l_quantity)::BIGINT AS sum_qty FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)"""
+        .replaceAll("\\s+", " "))),
+
+    // pivot (wide-format conditional aggregation): yearly order revenue
+    // by status. Spark's pivot IS conditional aggregation after the
+    // values are known — one shuffle, same plan shape as the oracle's
+    // FILTER aggregates; the explicit value list keeps the 100 TB path
+    // free of the extra distinct-scan pivot(col) alone would need.
+    "agg_pivot" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .groupBy(col("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2)),
+      Some("""SELECT year(o_orderdate)::BIGINT AS yr,
+        round(sum(o_totalprice) FILTER (o_orderstatus='F'),2) AS F,
+        round(sum(o_totalprice) FILTER (o_orderstatus='O'),2) AS O,
+        round(sum(o_totalprice) FILTER (o_orderstatus='P'),2) AS P
+        FROM orders GROUP BY 1""".replaceAll("\\s+", " "))),
 
     // EXISTS subquery (decorrelated to a semi-join by Catalyst):
     // customers with at least one high-value order.

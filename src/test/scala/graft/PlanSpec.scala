@@ -53,6 +53,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal joins plan as hash join / window — never nested-loop " +
+    "or cartesian (TemporalJoin scale shapes)") {
+    for (q <- Seq("join_asof", "join_range")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(2000)}")
+    }
+    // the as-of is the union+window trick: NO join operator at all
+    val asof = planOf("join_asof")
+    assert(!asof.contains("Join"), asof.take(2000))
+    assert(asof.contains("Window"), asof.take(2000))
+  }
+
   test("brute-force ANN broadcasts the query side (the deliberate " +
     "O(|Q|·|C|) baseline streams the corpus exactly once)") {
     val p = planOf("ann_bruteforce_topk")

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.TemporalJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("asofJoin: latest right row at-or-before each left time, per key") {
+    val left = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 5L),
+      (4L, "v", 50L)).toDF("id", "k", "t")
+    val right = Seq(("u", 10L, 1.0), ("u", 15L, 2.0), ("v", 60L, 9.0))
+      .toDF("k", "rt", "payload")
+    val out = TemporalJoin.asofJoin(left, right, keys = Seq("k"),
+      leftTime = "t", rightTime = "rt", payloadCols = Seq("payload"),
+      matchedTimeCol = "mt")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    // id1: t=10 matches rt=10 (>= semantics, same instant visible)
+    assert(out(1L) == (Some(10L), Some(1.0)))
+    // id2: t=20 → latest of {10,15} = 15
+    assert(out(2L) == (Some(15L), Some(2.0)))
+    // id3: t=5 → no prior right row → nulls
+    assert(out(3L) == (None, None))
+    // id4: key v, t=50 < 60 → unmatched
+    assert(out(4L) == (None, None))
+  }
+
+  test("asofJoin: differential vs per-row max-subquery semantics on " +
+    "the sf0.001 events table") {
+    val ev = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "events")
+      .select($"event_id", $"user_id", expr("ts div 1000").as("t_us"),
+        $"event_type", $"value")
+    val alerts = ev.filter($"event_type" === "error")
+      .groupBy($"user_id", $"t_us").agg(max($"value").as("alert_value"))
+    val got = TemporalJoin.asofJoin(
+      ev.select("event_id", "user_id", "t_us"), alerts,
+      keys = Seq("user_id"), leftTime = "t_us", rightTime = "t_us",
+      payloadCols = Seq("alert_value"), matchedTimeCol = "alert_t_us")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    // independent formulation: classic greatest-t join
+    val a = alerts.select($"user_id".as("a_uid"), $"t_us".as("a_t"))
+    val expected = ev.select("event_id", "user_id", "t_us")
+      .join(a, $"user_id" === $"a_uid" && $"a_t" <= $"t_us", "left")
+      .groupBy($"event_id").agg(max($"a_t").as("alert_t_us"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("rangeJoin: containment semantics, end-exclusive, key-scoped, " +
+    "no duplicate pairs across buckets") {
+    val pts = Seq((1L, "u", 0L), (2L, "u", 99L), (3L, "u", 100L),
+      (4L, "v", 50L), (5L, "u", 250L)).toDF("pid", "k", "t")
+    val ivs = Seq((10L, "u", 0L, 100L), (11L, "u", 90L, 300L),
+      (12L, "v", 0L, 40L)).toDF("iid", "k", "s", "e")
+    // bucketWidth much smaller than intervals → every interval spans
+    // several buckets; result must still be duplicate-free
+    val out = TemporalJoin.rangeJoin(pts, "t", ivs, "s", "e",
+      bucketWidth = 30, keys = Seq("k"))
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.distinct.length, "duplicate pairs")
+    assert(out.toSet == Set((1L, 10L), (2L, 10L), (2L, 11L),
+      (3L, 11L), (5L, 11L)))
+  }
+
+  test("rangeJoin: differential vs direct theta-join on sf0.001 events") {
+    val ev = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "events")
+      .select($"event_id", $"user_id", expr("ts div 1000").as("t_us"),
+        $"event_type")
+    val winUs = 30L * 60 * 1000000
+    val ivs = ev.filter($"event_type" === "error")
+      .select($"event_id".as("alert_id"), $"user_id",
+        $"t_us".as("s_us"), ($"t_us" + winUs).as("e_us"))
+    val got = TemporalJoin.rangeJoin(
+      ev.select("event_id", "user_id", "t_us"), "t_us",
+      ivs, "s_us", "e_us", bucketWidth = winUs, keys = Seq("user_id"))
+      .select("alert_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = ev.select($"event_id", $"user_id".as("p_uid"), $"t_us")
+      .join(ivs, $"p_uid" === ivs("user_id") &&
+        $"t_us" >= $"s_us" && $"t_us" < $"e_us")
+      .select("alert_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+}
