@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -123,6 +123,42 @@ object MinHash {
     out
   }
 
+  /** Intersection size of two SORTED string arrays — two-pointer merge,
+    * O(n+m) with zero allocation, vs `array_intersect`'s per-call hash
+    * set. Callers sort once in the upstream projection (`array_sort`
+    * uses binary UTF8 ordering, same as UTF8String.compareTo). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      sortedIntersectCount(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.MinHash.sortedIntersectCount($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class MinHashSig(child: Expression, numHashes: Int, shingleLen: Int)
       extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes = // inferred: AbstractDataType is private[sql]
@@ -161,4 +197,7 @@ object MinHash {
       MinHashSig(GraftShim.expression(text), numHashes, shingleLen))
   def simhashCol(text: Column): Column =
     GraftShim.column(SimHash(GraftShim.expression(text)))
+  def sortedIntersectCountCol(a: Column, b: Column): Column =
+    GraftShim.column(SortedIntersectCount(
+      GraftShim.expression(a), GraftShim.expression(b)))
 }

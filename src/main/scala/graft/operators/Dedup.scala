@@ -156,30 +156,53 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, threshold: Double,
       candidates: Option[DataFrame] = None): DataFrame = {
-    val docSh = df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), shingleLen))).as("sh"))
-    val sizes = docSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = docSh.select(col("id").as("id_a"), col("sh"))
-    val b = docSh.select(col("id").as("id_b"), col("sh"))
-    val shared = (candidates match {
-      case Some(c) =>
-        // per candidate pair: shingles of a, kept iff also a shingle of
-        // b. Pairs are deduped first — a duplicate candidate row would
-        // double-count every shared shingle and yield jaccard > 1
-        c.dropDuplicates("id_a", "id_b")
-          .join(a, Seq("id_a")).join(b, Seq("id_b", "sh"))
-      case None =>
-        a.join(b, "sh").filter(col("id_a") < col("id_b"))
-    }).groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_sh", "n_b"), "id_b")
+    val withJaccard = (shared: DataFrame) => shared
       .withColumn("jaccard",
         col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    candidates match {
+      case Some(c) =>
+        // candidate path: ONE projection computes each doc's distinct
+        // shingle set as a SORTED array; two equi-joins attach the sets
+        // to the (deduped — a duplicate candidate row would emit a
+        // duplicate result pair) candidate pairs and the intersection is
+        // counted per pair by the codegen'd two-pointer merge
+        // (MinHash.SortedIntersectCount — zero allocation, vs
+        // array_intersect's per-call hash set). vs the exploded form: no
+        // per-shingle groupBy and no third scan for the size table.
+        val arr = df.select(col(idCol).as("id"),
+          array_sort(array_distinct(shingles(col(textCol), shingleLen)))
+            .as("arr"))
+        val shared = c.dropDuplicates("id_a", "id_b")
+          .join(arr.select(col("id").as("id_a"), col("arr").as("arr_a")),
+            Seq("id_a"))
+          .join(arr.select(col("id").as("id_b"), col("arr").as("arr_b")),
+            Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            MinHash.sortedIntersectCountCol(col("arr_a"), col("arr_b"))
+              .as("n_shared"),
+            size(col("arr_a")).cast("long").as("n_a"),
+            size(col("arr_b")).cast("long").as("n_b"))
+          // docs with zero shingles never had a signature, so LSH can't
+          // propose them — but guard against caller-supplied candidates
+          .filter(col("n_a") > 0 && col("n_b") > 0)
+        withJaccard(shared)
+      case None =>
+        val docSh = df.select(col(idCol).as("id"),
+          explode(array_distinct(shingles(col(textCol), shingleLen)))
+            .as("sh"))
+        val sizes = docSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+        val a = docSh.select(col("id").as("id_a"), col("sh"))
+        val b = docSh.select(col("id").as("id_b"), col("sh"))
+        val shared = a.join(b, "sh").filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+          .join(sizes.withColumnRenamed("id", "id_a")
+            .withColumnRenamed("n_sh", "n_a"), "id_a")
+          .join(sizes.withColumnRenamed("id", "id_b")
+            .withColumnRenamed("n_sh", "n_b"), "id_b")
+        withJaccard(shared)
+    }
   }
 
   /** 60-bit SimHash over word unigrams. Per word: 60 pseudo-random bits
