@@ -113,13 +113,14 @@ final class StatusServer(
     if (ex.getRequestMethod != "POST") {
       respond(ex, 405, jstr("method not allowed")); return
     }
-    if (adminUser == "admin" && adminPassword == "admin")
-      System.err.println(
-        "[graft] WARNING: StatusServer running with default admin/admin " +
-          "credentials — set admin-user/admin-passwd")
     val body = bodyOf(ex)
-    val ok = jsonField(body, "username").exists(ctEquals(_, adminUser)) &&
+    // no && short-circuit: skipping the password compare on a username
+    // miss would hand back the username-validity timing oracle ctEquals
+    // exists to close
+    val userOk = jsonField(body, "username").exists(ctEquals(_, adminUser))
+    val passOk =
       jsonField(body, "password").exists(ctEquals(_, adminPassword))
+    val ok = userOk && passOk
     if (ok) {
       pruneSessions()
       val tok = java.util.UUID.randomUUID().toString
@@ -141,6 +142,12 @@ final class StatusServer(
   }
 
   def start(): Unit = {
+    // once at startup, NOT per request — inside the login handler an
+    // unauthenticated client could flood stderr at request rate
+    if (adminUser == "admin" && adminPassword == "admin")
+      System.err.println(
+        "[graft] WARNING: StatusServer running with default admin/admin " +
+          "credentials — set admin-user/admin-passwd")
     server.createContext("/api/health", (ex: HttpExchange) =>
       // longest-prefix routing: /api/health/<id> is the per-server stub
       // (api.go:47-51 — the reference returns the literal "hola" too)

@@ -185,8 +185,11 @@ object Dedup {
             size(col("arr_a")).cast("long").as("n_a"),
             size(col("arr_b")).cast("long").as("n_b"))
           // docs with zero shingles never had a signature, so LSH can't
-          // propose them — but guard against caller-supplied candidates
-          .filter(col("n_a") > 0 && col("n_b") > 0)
+          // propose them — but guard against caller-supplied candidates.
+          // n_shared > 0 keeps this path aligned with the all-pairs
+          // form, which structurally omits zero-overlap pairs (visible
+          // only at threshold <= 0)
+          .filter(col("n_a") > 0 && col("n_b") > 0 && col("n_shared") > 0)
         withJaccard(shared)
       case None =>
         val docSh = df.select(col(idCol).as("id"),

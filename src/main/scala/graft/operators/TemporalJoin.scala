@@ -43,22 +43,38 @@ object TemporalJoin {
     require(payloadCols.intersect(leftCols).isEmpty,
       s"payload columns ${payloadCols.intersect(leftCols)} clash with " +
         "left columns — rename the right side first")
-    require(!leftCols.contains(matchedTimeCol),
-      s"matchedTimeCol '$matchedTimeCol' clashes with a left column")
+    require(!leftCols.contains(matchedTimeCol) &&
+      !payloadCols.contains(matchedTimeCol),
+      s"matchedTimeCol '$matchedTimeCol' clashes with a left/payload column")
+    for (c <- Seq("_t", "_side", "_match"))
+      require(!leftCols.contains(c) && !right.columns.contains(c),
+        s"reserved column name '$c' present in an input")
+    // the matched right row travels as ONE struct (its time + payloads):
+    // taking a running last of each payload column independently would
+    // resurrect an OLDER row's value whenever the truly-matched row has
+    // a NULL payload field — fields from different right rows mixed into
+    // one result. A struct from a right row is never null as a whole, so
+    // last(ignoreNulls) picks the whole matched row or nothing.
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val matchType = StructType(
+      StructField("_mt", right.schema(rightTime).dataType) +:
+        payloadCols.map(c =>
+          StructField(c, right.schema(c).dataType)))
     val lTagged = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
-      .withColumn(matchedTimeCol, lit(null).cast("long"))
-      .select((keys :+ "_t" :+ "_side" :+ matchedTimeCol).map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(c)) ++
+      .withColumn("_match", lit(null).cast(matchType))
+      .select((keys :+ "_t" :+ "_side" :+ "_match").map(col) ++
         leftCols.filterNot(keys.contains).map(col): _*)
     val rTagged = right
+      // a null right time is unmatchable by definition; it would sort
+      // first and leak its payload into rows with no real match
+      .filter(col(rightTime).isNotNull)
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
-      .withColumn(matchedTimeCol, col(rightTime).cast("long"))
-      .select((keys :+ "_t" :+ "_side" :+ matchedTimeCol).map(col) ++
-        payloadCols.map(col) ++
+      .withColumn("_match",
+        struct(col(rightTime).as("_mt") +: payloadCols.map(col): _*))
+      .select((keys :+ "_t" :+ "_side" :+ "_match").map(col) ++
         leftCols.filterNot(keys.contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // rights sort before lefts at equal time → `>=` semantics
@@ -66,17 +82,11 @@ object TemporalJoin {
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lTagged.unionByName(rTagged)
-      .withColumn(matchedTimeCol,
-        last(col(matchedTimeCol), ignoreNulls = true).over(w))
-      .withColumns(payloadCols.map(c =>
-        c -> last(col(c), ignoreNulls = true).over(w)).toMap)
+      .withColumn("_match", last(col("_match"), ignoreNulls = true).over(w))
     filled.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ Seq(col(matchedTimeCol)) ++
-        // matchedTime null ⇒ no prior right row ⇒ the running-last of
-        // every payload is null too; the explicit guard just keeps the
-        // unmatched shape airtight
-        payloadCols.map(c => when(col(matchedTimeCol).isNotNull, col(c))
-          .as(c)): _*)
+      .select(leftCols.map(col) ++
+        Seq(col("_match").getField("_mt").as(matchedTimeCol)) ++
+        payloadCols.map(c => col("_match").getField(c).as(c)): _*)
   }
 
   /** Range (interval-containment) join: pair each point with every
@@ -98,16 +108,30 @@ object TemporalJoin {
       bucketWidth: Long,
       keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!points.columns.contains("_bucket") &&
+      !intervals.columns.contains("_bucket"),
+      "reserved column name '_bucket' present in an input")
     // integral floor-division (`(a - pmod(a, w)) div w`): `floor(a / w)`
     // would route through a double, whose 53-bit mantissa misbuckets
     // ns-scale epochs (~1e18); this form is exact at any magnitude and
-    // floors correctly for negative times too
-    def fdiv(c: String, off: String) =
-      s"(($c $off) - pmod(($c $off), ${bucketWidth}L)) div ${bucketWidth}L"
-    val iv = intervals.withColumn("_bucket",
-      // end is exclusive: an interval ending exactly on a bucket edge
-      // does not reach into that bucket
-      explode(expr(s"sequence(${fdiv(startCol, "")}, ${fdiv(endCol, "- 1")})")))
+    // floors correctly for negative times too. Identifiers are
+    // backtick-quoted (doubling inner backticks) so keyword/special-char
+    // column names like `end` parse.
+    def q(c: String) = "`" + c.replace("`", "``") + "`"
+    def fdiv(c: String, off: String) = {
+      val e = s"(${q(c)} $off)"
+      s"($e - pmod($e, ${bucketWidth}L)) div ${bucketWidth}L"
+    }
+    val iv = intervals
+      // empty/inverted intervals match nothing; unguarded, sequence()
+      // would COUNT DOWN from start's bucket to end's and explode an
+      // arbitrarily long descending bucket array per bad row
+      .filter(col(endCol) > col(startCol))
+      .withColumn("_bucket",
+        // end is exclusive: an interval ending exactly on a bucket edge
+        // does not reach into that bucket
+        explode(expr(
+          s"sequence(${fdiv(startCol, "")}, ${fdiv(endCol, "- 1")})")))
     val pt = points.withColumn("_bucket", expr(fdiv(ptTime, "")))
     pt.join(iv, keys :+ "_bucket")
       .filter(col(ptTime) >= col(startCol) && col(ptTime) < col(endCol))

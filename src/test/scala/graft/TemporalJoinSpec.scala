@@ -31,6 +31,38 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out(4L) == (None, None))
   }
 
+  test("asofJoin: NULL payload on the matched row stays NULL — an older " +
+    "row's value must not be resurrected (struct-carry regression)") {
+    val left = Seq((1L, "k", 25L), (2L, "k", 12L)).toDF("id", "k", "t")
+    val right = Seq(("k", 10L, Some(5.0)), ("k", 20L, None))
+      .toDF("k", "rt", "p")
+    val out = TemporalJoin.asofJoin(left, right, keys = Seq("k"),
+      leftTime = "t", rightTime = "rt", payloadCols = Seq("p"),
+      matchedTimeCol = "mt")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    // t=25 matches rt=20 whose payload is NULL — matched time reported,
+    // payload null (NOT 5.0 from the rt=10 row)
+    assert(out(1L) == (Some(20L), None))
+    // t=12 still matches rt=10 normally
+    assert(out(2L) == (Some(10L), Some(5.0)))
+  }
+
+  test("asofJoin: null right times are unmatchable; matched-time column " +
+    "keeps the right time's type") {
+    val left = Seq((1L, "k", 25L)).toDF("id", "k", "t")
+    val right = Seq(("k", None, 7.0), ("k", Some(20L), 9.0))
+      .toDF("k", "rt", "p")
+    val df = TemporalJoin.asofJoin(left, right, keys = Seq("k"),
+      leftTime = "t", rightTime = "rt", payloadCols = Seq("p"),
+      matchedTimeCol = "mt")
+    assert(df.schema("mt").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val r = df.collect().head
+    assert(r.getLong(3) == 20L && r.getDouble(4) == 9.0)
+  }
+
   test("asofJoin: differential vs per-row max-subquery semantics on " +
     "the sf0.001 events table") {
     val ev = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "events")
@@ -71,6 +103,19 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out.length == out.distinct.length, "duplicate pairs")
     assert(out.toSet == Set((1L, 10L), (2L, 10L), (2L, 11L),
       (3L, 11L), (5L, 11L)))
+  }
+
+  test("rangeJoin: inverted/empty intervals match nothing (no descending " +
+    "bucket explosion) and keyword column names parse") {
+    // "end" is a SQL keyword; an interval with end << start must be
+    // dropped, not explode a huge descending sequence
+    val pts = Seq((1L, "u", 50L)).toDF("pid", "k", "t")
+    val ivs = Seq((10L, "u", 0L, 100L), (11L, "u", 1000000000000L, 0L),
+      (12L, "u", 60L, 60L)).toDF("iid", "k", "start", "end")
+    val out = TemporalJoin.rangeJoin(pts, "t", ivs, "start", "end",
+      bucketWidth = 30, keys = Seq("k"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 10L)))
   }
 
   test("rangeJoin: differential vs direct theta-join on sf0.001 events") {
