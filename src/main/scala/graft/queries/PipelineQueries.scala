@@ -366,6 +366,44 @@ object PipelineQueries {
             AND pred_lang='en'""".replaceAll("\\s+", " ")
       }),
 
+    // deterministic corpus split: md5-bucket each doc into
+    // train/validation/test (80/10/10). Hash-based splits are the
+    // training-pipeline standard because they are STABLE — re-running
+    // over a grown corpus never reshuffles old docs across splits (a
+    // random() split would leak val into train on every rebuild). Pure
+    // projection, embarrassingly parallel, same md5-prefix convention
+    // as the dedup family so the oracle is bit-exact.
+    "pipeline_split" -> QueryDef(
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id").as("id"),
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast("long"), lit(100)).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "validation")
+            .otherwise("test")),
+      Some("""SELECT doc_id AS id,
+        ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS bucket,
+        CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100
+               < 80 THEN 'train'
+             WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100
+               < 90 THEN 'validation'
+             ELSE 'test' END AS split
+        FROM documents""".replaceAll("\\s+", " "))),
+
+    // corpus length profile: word-count histogram (10-word buckets,
+    // capped at 200+) — the distribution check every corpus build runs
+    // before training. One partial+final aggregate.
+    "text_histogram" -> QueryDef(
+      (s, dir) => docs(s, dir)
+        .select(least(floor(size(split(col("text"), " ")) / 10), lit(20))
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs")),
+      Some("""SELECT least(len(string_split(text,' '))//10, 20)::BIGINT
+          AS bucket, count(*)::BIGINT AS n_docs
+        FROM documents GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // multimodal: metadata/describe pass over binary payloads.
     "mm_describe" -> QueryDef(
       (s, dir) => Multimodal.describe(Multimodal.fromBinary(

@@ -91,6 +91,25 @@ object StreamIngest {
         avg(col(valueCol)).as("avg_value"))
   }
 
+  /** Streaming deduplication: drop points whose (series key, time_ns)
+    * was already seen, with state BOUNDED by the watermark — duplicates
+    * arriving within `watermarkDelay` of each other are suppressed, and
+    * per-key state is evicted once the watermark passes (unbounded
+    * dropDuplicates state is the classic streaming-dedup OOM at 100 TB).
+    * This is the streaming face of the sink's upsert idempotence
+    * (SURVEY.md §2.7: InfluxDB points upsert on (series, ts); a replayed
+    * batch must not double-count) and of the batch dedup family. */
+  def dedupStream(
+      typed: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String): DataFrame = {
+    val withTime = typed.withColumn("time",
+      timestamp_micros((col("time_ns") / 1000L).cast("long")))
+    withTime
+      .withWatermark("time", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols :+ "time_ns")
+  }
+
   /** Append-mode parquet sink with checkpointed offsets (exactly-once
     * file sink semantics). */
   def toParquet(

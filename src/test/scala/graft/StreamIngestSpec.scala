@@ -119,6 +119,35 @@ class StreamIngestSpec extends AnyFunSuite {
       s"m,host=h2 v=2.0 notanumber"))
   }
 
+  test("streaming dedup suppresses replayed (series, ts) points within " +
+    "the watermark and state does not block fresh points") {
+    val in = Files.createTempDirectory("graft_dd_in").toString
+    val out = Files.createTempDirectory("graft_dd_out").toString
+    val ckpt = Files.createTempDirectory("graft_dd_ck").toString
+    writeBatch(in, "b0.lp", Seq(
+      s"m,host=h1 v=1.0 ${minuteNs(10)}",
+      s"m,host=h1 v=1.0 ${minuteNs(10)}", // in-batch duplicate
+      s"m,host=h2 v=5.0 ${minuteNs(10)}")) // same ts, OTHER series → kept
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val dedup = StreamIngest.dedupStream(typed, Seq("tag_host"),
+      watermarkDelay = "10 minutes")
+    val q = StreamIngest.toParquet(dedup, out, ckpt)
+    try {
+      q.processAllAvailable()
+      // a replayed copy of the h1 point arrives a batch later (the
+      // sink-retry/upsert scenario) plus one genuinely new point
+      writeBatch(in, "b1.lp", Seq(
+        s"m,host=h1 v=1.0 ${minuteNs(10)}", // cross-batch duplicate
+        s"m,host=h1 v=2.0 ${minuteNs(12)}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3) // h1@10, h2@10, h1@12 — duplicates gone
+    assert(got.filter(col("tag_host") === "h1" &&
+      col("time_ns") === minuteNs(10)).count() == 1)
+  }
+
   test("session windows close after the event-time gap per series") {
     val in = Files.createTempDirectory("graft_sess_in").toString
     val out = Files.createTempDirectory("graft_sess_out").toString
