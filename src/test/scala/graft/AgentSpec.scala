@@ -155,6 +155,18 @@ class AgentSpec extends AnyFunSuite {
       .count() == directCount())
   }
 
+  test("backfillOk: an empty/absent master schema mid-recovery is " +
+    "FAILURE — vacuous success would advance lastOK and forget the " +
+    "outage window") {
+    val missingMaster = freshRoot() + "/never_created"
+    val agent = new Agent(spark,
+      cfg(freshRoot()).copy(masterRoot = missingMaster),
+      masterProbeOpt = Some(() => true), // probe lies: storage looks up
+      slaveProbeOpt = Some(() => true))
+    assert(!agent.backfillOk(
+      graft.streaming.ClusterFSM.RecoveryWindow(S, E)))
+  }
+
   test("-full window: retention-clamped full history per RP " +
     "(GetFirstLastTime, client.go:24-38)") {
     val now = 1000L * 86400L * 1000000000L // day 1000

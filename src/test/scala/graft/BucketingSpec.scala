@@ -46,4 +46,24 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_b"): Unit
     }
   }
+
+  test("multi-column bucket spec is REJECTED: (key, other) buckets are " +
+    "not co-located on key alone and would silently shuffle") {
+    val base = Files.createTempDirectory("graft_bucket_mc").toString
+    val li = Tables.load(spark, SparkSpec.Sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    try {
+      li.write.bucketBy(8, "l_orderkey", "l_partkey")
+        .option("path", s"$base/li2").mode("overwrite")
+        .saveAsTable("li_mc")
+      Bucketing.writeBucketed(li, "li_ok", s"$base/li1", "l_orderkey", 8)
+      val e = intercept[IllegalArgumentException] {
+        Bucketing.bucketedJoin(spark, "li_mc", "li_ok", "l_orderkey")
+      }
+      assert(e.getMessage.contains("exactly"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_mc")
+      spark.sql("DROP TABLE IF EXISTS li_ok"): Unit
+    }
+  }
 }

@@ -74,6 +74,14 @@ class StatusServerSpec extends AnyFunSuite {
       // logout destroys the session
       assert(post("/logout", "", cookie).statusCode() == 200)
       assert(post("/api/action/restart", "", cookie).statusCode() == 401)
+      // GET on /login and /logout → 405 (credentials in a URL would hit
+      // access logs; method restriction bounds the brute-force surface)
+      for (p <- Seq("/login", "/logout")) {
+        val g = client.send(HttpRequest.newBuilder(
+          URI.create(base + p)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(g.statusCode() == 405, s"$p: ${g.statusCode()}")
+      }
     } finally srv.stop()
   }
 }
