@@ -93,9 +93,16 @@ object Dedup {
     * DedupSpec). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleLen: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    // eligibility is checked on the CHEAP equivalent predicate (word
+    // count ≥ n ⟺ at least one shingle ⟺ non-empty signature) BEFORE
+    // the projection: a post-hoc filter(size(sig) > 0) gets collapsed
+    // into Filter(size(minhashsig(..)) > 0) + Project(minhashsig(..))
+    // and the whole signature is computed TWICE per row (observed in
+    // the executed plan; ~2× the dominant cost). Null texts fail the
+    // predicate (size(null) = -1).
+    df.filter(size(split(col(textCol), " ")) >= shingleLen)
+      .select(col(idCol).as("id"),
         MinHash.minhashSig(col(textCol), numHashes, shingleLen).as("sig"))
-      .filter(size(col("sig")) > 0)
 
   /** LSH band hashes from minhash rows: `bands` bands of
     * numHashes/bands rows each; bandHash = md5 of the band's minhashes in
@@ -171,9 +178,17 @@ object Dedup {
         // (MinHash.SortedIntersectCount — zero allocation, vs
         // array_intersect's per-call hash set). vs the exploded form: no
         // per-shingle groupBy and no third scan for the size table.
-        val arr = df.select(col(idCol).as("id"),
-          array_sort(array_distinct(shingles(col(textCol), shingleLen)))
-            .as("arr"))
+        // shingle-less docs are excluded by the CHEAP word-count
+        // predicate BEFORE the array projection (a filter on size(arr)
+        // would be pushed down with the whole expression substituted
+        // and compute it twice per row); candidate pairs naming such a
+        // doc simply drop out of the inner join — same outcome as the
+        // all-pairs form, which never sees them
+        val arr = df
+          .filter(size(split(col(textCol), " ")) >= shingleLen)
+          .select(col(idCol).as("id"),
+            array_sort(array_distinct(shingles(col(textCol), shingleLen)))
+              .as("arr"))
         val shared = c.dropDuplicates("id_a", "id_b")
           .join(arr.select(col("id").as("id_a"), col("arr").as("arr_a")),
             Seq("id_a"))
@@ -184,12 +199,10 @@ object Dedup {
               .as("n_shared"),
             size(col("arr_a")).cast("long").as("n_a"),
             size(col("arr_b")).cast("long").as("n_b"))
-          // docs with zero shingles never had a signature, so LSH can't
-          // propose them — but guard against caller-supplied candidates.
           // n_shared > 0 keeps this path aligned with the all-pairs
           // form, which structurally omits zero-overlap pairs (visible
           // only at threshold <= 0)
-          .filter(col("n_a") > 0 && col("n_b") > 0 && col("n_shared") > 0)
+          .filter(col("n_shared") > 0)
         withJaccard(shared)
       case None =>
         val docSh = df.select(col(idCol).as("id"),
