@@ -373,6 +373,26 @@ object RelationalQueries {
         round(sum(o_totalprice) FILTER (o_orderstatus='P'),2) AS P
         FROM orders GROUP BY 1""".replaceAll("\\s+", " "))),
 
+    // unpivot/melt (long-format projection of a wide aggregate) — the
+    // inverse of agg_pivot; plans as a single generate over the
+    // aggregate, no extra shuffle.
+    "agg_unpivot" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).cast("long").cast("double")
+          .as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "measure", "value"),
+      Some("""WITH g AS (SELECT l_returnflag,
+          sum(l_quantity)::BIGINT::DOUBLE AS sum_qty,
+          round(sum(l_extendedprice),2) AS sum_price
+        FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM g
+        UNION ALL
+        SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value
+        FROM g""".replaceAll("\\s+", " "))),
+
     // EXISTS subquery (decorrelated to a semi-join by Catalyst):
     // customers with at least one high-value order.
     "subq_exists" -> QueryDef(
