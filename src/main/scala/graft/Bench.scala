@@ -8,17 +8,21 @@ object Bench {
     * projections a query exists to compute (a projection-heavy query would
     * be timed as a row count); hashing every column defeats pruning while
     * keeping the action's own cost a single scalar aggregate. */
-  private def materialize(df: DataFrame): Long = {
+  /** The single scalar frame whose collect() IS the measured action —
+    * exposed (with [[materialize]] and [[session]]) so BenchOne shares
+    * the exact materialization contract instead of diverging copies. */
+  private[graft] def materializedFrame(df: DataFrame): DataFrame = {
     val cols = df.columns.map(c => col(c).cast("string"))
     // XOR, not sum: ANSI mode (Spark 4 default) throws on long-sum
     // overflow, which random 64-bit hashes hit immediately
     df.select(xxhash64(cols: _*).as("h"))
       .agg(coalesce(expr("bit_xor(h)"), lit(0L)))
-      .collect()(0).getLong(0): Long
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  private[graft] def materialize(df: DataFrame): Long =
+    materializedFrame(df).collect()(0).getLong(0): Long
+
+  private[graft] def session(): org.apache.spark.sql.SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,6 +34,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
     // warm-up: JVM/codegen/parquet-footer caches, so the first timed
     // query isn't charged session start-up costs
     try materialize(SparkEntry.queries("q6_filtered_revenue")(spark, sfDir))

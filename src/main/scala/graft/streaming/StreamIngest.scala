@@ -44,6 +44,12 @@ object StreamIngest {
       .toDF("line")
   }
 
+  /** Event-time column for watermarking, derived once from the
+    * authoritative ns epoch (µs truncation — Spark timestamps are µs). */
+  private def withEventTime(typed: DataFrame): DataFrame =
+    typed.withColumn("time",
+      timestamp_micros((col("time_ns") / 1000L).cast("long")))
+
   /** Tumbling-window per-series aggregation with a watermark: late points
     * beyond `watermarkDelay` are dropped, windows close and emit once
     * (append mode) when the watermark passes — the streaming analog of
@@ -55,8 +61,7 @@ object StreamIngest {
       valueCol: String,
       windowDuration: String,
       watermarkDelay: String): DataFrame = {
-    val withTime = typed.withColumn("time",
-      timestamp_micros((col("time_ns") / 1000L).cast("long")))
+    val withTime = withEventTime(typed)
     val keys: Seq[Column] =
       window(col("time"), windowDuration) +: tagCols.map(col)
     withTime
@@ -79,8 +84,7 @@ object StreamIngest {
       valueCol: String,
       gapDuration: String,
       watermarkDelay: String): DataFrame = {
-    val withTime = typed.withColumn("time",
-      timestamp_micros((col("time_ns") / 1000L).cast("long")))
+    val withTime = withEventTime(typed)
     val keys: Seq[Column] =
       session_window(col("time"), gapDuration) +: tagCols.map(col)
     withTime
@@ -103,11 +107,12 @@ object StreamIngest {
       typed: DataFrame,
       keyCols: Seq[String],
       watermarkDelay: String): DataFrame = {
-    val withTime = typed.withColumn("time",
-      timestamp_micros((col("time_ns") / 1000L).cast("long")))
-    withTime
+    withEventTime(typed)
       .withWatermark("time", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols :+ "time_ns")
+      // the synthetic watermark column must not leak into the deduped
+      // output: downstream readers expect typedStream's schema
+      .drop("time")
   }
 
   /** Append-mode parquet sink with checkpointed offsets (exactly-once
