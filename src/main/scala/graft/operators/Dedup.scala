@@ -261,9 +261,20 @@ object Dedup {
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-    var changed = 1L
+    // convergence check: per-id labels are MONOTONE non-increasing (next
+    // = min(own, neighbors)), so the label sum strictly decreases on any
+    // change and "sum unchanged ⟺ converged". One shuffle-free scalar
+    // aggregate per iteration instead of a full labels⋈labels diff join
+    // — at corpus scale that join was a second O(|graph|) shuffle per
+    // iteration. decimal(38,0): a long sum overflows (ANSI-throws) at
+    // ~1e9 rows of large ids.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iters = 0
-    while (changed > 0 && iters < maxIters) {
+    while (!converged && iters < maxIters) {
       iters += 1
       val viaNeighbors = edges
         .join(labels, edges("src") === labels("id"))
@@ -272,16 +283,16 @@ object Dedup {
         .unionAll(viaNeighbors)
         .groupBy("id").agg(min("cluster").as("cluster"))
         .cache()
-      changed = next
-        .join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .filter(col("cluster") =!= col("prev")).count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist(): Unit
       labels = next
     }
     // silent non-convergence would split one true component into
     // several clusters and keep multiple "representatives" of the same
     // duplicate group — fail loudly instead (chain length > maxIters)
-    require(changed == 0,
+    require(converged,
       s"dupClusters did not converge in $maxIters iterations; " +
         "raise maxIters (bound = longest near-dup chain)")
     // localCheckpoint truncates the lineage BEFORE the caches release:
