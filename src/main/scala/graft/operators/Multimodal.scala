@@ -116,6 +116,33 @@ object Multimodal {
       array(feats: _*).as("features"))
   }
 
+  /** STUB resize plumbing: per image asset, the metadata transform of a
+    * real resize — target dims recorded in the meta struct, payload
+    * passed through with a derived content tag (a real implementation
+    * re-encodes bytes here; everything else — schema, meta update,
+    * aspect handling — is the production shape). `maxSide` bounds the
+    * longer edge; unknown source dims (metadata-less ingest) resize to
+    * exactly (maxSide, maxSide) by convention. Aspect-preserving:
+    * known (w, h) scale by maxSide/max(w, h), never upscaled. */
+  def resizeStub(assets: DataFrame, maxSide: Int): DataFrame = {
+    require(maxSide > 0, s"maxSide must be positive: $maxSide")
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val longSide = greatest(w, h)
+    // floor(side·maxSide / longSide): pixel dims are far below 2^26, so
+    // the double product/quotient is exact and floor is safe
+    def scaled(side: Column) =
+      when(longSide.isNull || longSide <= maxSide,
+        coalesce(side, lit(maxSide)))
+        .otherwise(floor(side * maxSide / longSide).cast(IntegerType))
+    assets.filter(col("media_type") === "image")
+      .select(col("asset_id"),
+        scaled(w).as("out_width"),
+        scaled(h).as("out_height"),
+        md5(concat_ws("#", md5(col("payload")), lit(maxSide)))
+          .as("resized_tag"))
+  }
+
   /** STUB frame sampling plumbing: emit `n` (asset_id, frame_no) rows per
     * video asset — the row-explosion shape of real frame extraction. */
   def sampleFrames(assets: DataFrame, n: Int): DataFrame = {

@@ -432,6 +432,39 @@ object PipelineQueries {
           unnest(generate_series(0,3)) AS i FROM documents)"""
         .replaceAll("\\s+", " "))),
 
+    // multimodal: aspect-preserving resize plumbing (STUB codec) —
+    // deterministic fake source dims, floor-scaled to a 512 max side,
+    // content tag re-derived from payload+target (what a re-encode
+    // would stamp).
+    "mm_resize" -> QueryDef(
+      (s, dir) => {
+        val assets = Multimodal.fromBinary(docs(s, dir), "doc_id",
+            col("text").cast("binary"), "image")
+          .withColumn("meta", struct(
+            (lit(200) + pmod(col("asset_id"), lit(1700)))
+              .cast("int").as("width"),
+            (lit(150) + pmod(col("asset_id") * 7, lit(1500)))
+              .cast("int").as("height"),
+            lit(null).cast("long").as("duration_ms"),
+            lit("stub").as("codec")))
+        Multimodal.resizeStub(assets, 512)
+          .select(col("asset_id"),
+            col("out_width").cast("long").as("out_width"),
+            col("out_height").cast("long").as("out_height"),
+            col("resized_tag"))
+      },
+      Some("""WITH a AS (SELECT doc_id AS asset_id,
+          200 + doc_id % 1700 AS w, 150 + (doc_id*7) % 1500 AS h,
+          text FROM documents),
+        g AS (SELECT asset_id, w, h, greatest(w, h) AS ls, text FROM a)
+        SELECT asset_id,
+          (CASE WHEN ls <= 512 THEN w ELSE (w*512)//ls END)::BIGINT
+            AS out_width,
+          (CASE WHEN ls <= 512 THEN h ELSE (h*512)//ls END)::BIGINT
+            AS out_height,
+          md5(md5(text)||'#'||'512') AS resized_tag
+        FROM g""".replaceAll("\\s+", " "))),
+
     // multimodal: frame-sampling row-explosion plumbing (STUB codec).
     "mm_sample_frames" -> QueryDef(
       (s, dir) => Multimodal.sampleFrames(Multimodal.fromBinary(

@@ -115,6 +115,34 @@ object StreamIngest {
       .drop("time")
   }
 
+  /** Stream-stream interval join: each point paired with the alerts of
+    * the same series whose event time precedes it by at most
+    * `joinWindow` — the continuous form of TemporalJoin.rangeJoin's
+    * "events in an alert's aftermath" enrichment. BOTH sides carry
+    * watermarks and the join condition bounds both event-time columns,
+    * which is what lets Spark evict join state instead of buffering
+    * each stream forever (the unbounded-state trap of naive
+    * stream-stream joins). Inner join → append mode works. */
+  def streamIntervalJoin(
+      points: DataFrame,
+      alerts: DataFrame,
+      keyCol: String,
+      joinWindow: String,
+      watermarkDelay: String): DataFrame = {
+    val p = withEventTime(points)
+      .withWatermark("time", watermarkDelay)
+    val a = withEventTime(alerts)
+      .select(col(keyCol).as("_a_key"),
+        col("time").as("alert_time"),
+        col("time_ns").as("alert_time_ns"))
+      .withWatermark("alert_time", watermarkDelay)
+    p.join(a,
+      col(keyCol) === col("_a_key") &&
+        col("time") >= col("alert_time") &&
+        col("time") <= col("alert_time") + expr(s"INTERVAL $joinWindow"))
+      .drop("_a_key", "time", "alert_time")
+  }
+
   /** Append-mode parquet sink with checkpointed offsets (exactly-once
     * file sink semantics). */
   def toParquet(

@@ -148,6 +148,34 @@ class StreamIngestSpec extends AnyFunSuite {
       col("time_ns") === minuteNs(10)).count() == 1)
   }
 
+  test("stream-stream interval join pairs points with same-series " +
+    "alerts inside the window; state is watermark-bounded") {
+    val inP = Files.createTempDirectory("graft_ssj_p").toString
+    val inA = Files.createTempDirectory("graft_ssj_a").toString
+    val out = Files.createTempDirectory("graft_ssj_out").toString
+    val ckpt = Files.createTempDirectory("graft_ssj_ck").toString
+    val fieldsV = Map("v" -> FieldSch("v", FieldType.Float))
+    // alerts at minute 10 (h1); points at 12 (h1, in-window), 50 (h1,
+    // out-of-window), 12 (h2, other series)
+    writeBatch(inA, "a0.lp", Seq(s"al,host=h1 v=1.0 ${minuteNs(10)}"))
+    writeBatch(inP, "p0.lp", Seq(
+      s"m,host=h1 v=2.0 ${minuteNs(12)}",
+      s"m,host=h1 v=9.0 ${minuteNs(50)}",
+      s"m,host=h2 v=3.0 ${minuteNs(12)}"))
+    val joined = StreamIngest.streamIntervalJoin(
+      StreamIngest.typedStream(spark, inP, Seq("host"), fieldsV),
+      StreamIngest.typedStream(spark, inA, Seq("host"), fieldsV),
+      keyCol = "tag_host", joinWindow = "10 minutes",
+      watermarkDelay = "5 minutes")
+    val q = StreamIngest.toParquet(joined, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+      .select(col("tag_host"), col("time_ns"), col("alert_time_ns"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly one pair: h1 point at minute 12 ⋈ h1 alert at minute 10
+    assert(got.toSeq == Seq(("h1", minuteNs(12), minuteNs(10))))
+  }
+
   test("session windows close after the event-time gap per series") {
     val in = Files.createTempDirectory("graft_sess_in").toString
     val out = Files.createTempDirectory("graft_sess_out").toString
