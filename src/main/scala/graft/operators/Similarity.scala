@@ -217,6 +217,149 @@ object Similarity {
         round(col("cosine"), 6).as("cosine_r"))
   }
 
+  /** Per-subspace PQ codebooks: the existing deterministic k-means over
+    * the sample's m-th dim-slice, one codebook per subspace. Vectors are
+    * L2-normalized BEFORE slicing (PQ approximates the dot product of
+    * normalized vectors ⇒ cosine). */
+  private[operators] def pqCodebooks(sample: Array[Array[Double]],
+      numSub: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val dim = sample.head.length
+    require(dim % numSub == 0, s"dim=$dim not divisible by numSub=$numSub")
+    val dsub = dim / numSub
+    val normed = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    (0 until numSub).map { m =>
+      // NOT re-normalized per slice: kmeansCentroids normalizes its
+      // inputs, which would distort sub-vector geometry — feed raw
+      // slices to a plain-L2 Lloyd loop instead
+      val slices = normed.map(_.slice(m * dsub, (m + 1) * dsub))
+      pqLloyd(slices, ksub, iters)
+    }.toArray
+  }
+
+  /** Plain-L2 Lloyd iterations (no normalization — sub-vectors are not
+    * unit vectors). Initial centroids: first `k` distinct-ish samples. */
+  private def pqLloyd(pts: Array[Array[Double]], k: Int, iters: Int)
+      : Array[Array[Double]] = {
+    var cents = pts.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](pts.head.length))
+      val counts = new Array[Int](cents.length)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < p.length) {
+            val t = p(i) - cents(c)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    cents
+  }
+
+  /** Product-quantization approximate top-k with exact re-ranking — the
+    * MEMORY-bound scale path: the corpus travels as `numSub` small codes
+    * (bytes) per vector instead of `dim` floats (8× compression at
+    * numSub=8/dim=64; at 100 TB of embeddings the raw float corpus
+    * doesn't fit anywhere, the code table does). Scoring is asymmetric
+    * (ADC): each query precomputes a lookup table of its sub-vector
+    * dots against every centroid, and a candidate's approximate cosine
+    * is `numSub` table lookups — no float vector is touched until the
+    * final exact re-rank of the top `k·refine` candidates per query.
+    * Codebooks are trained driver-side on a bounded sample with the
+    * same deterministic scheme as ivfTopK's quantizer. Recall < 1 by
+    * construction (rows-only check; recall pinned in SimilaritySpec);
+    * raise `refine` to recover exactness. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, numSub: Int = 8, ksub: Int = 16,
+      iters: Int = 5, sampleN: Int = 2048, refine: Int = 4,
+      excludeSelfMatches: Boolean = true): DataFrame = {
+    val sample = prep(corpus, idCol, vecCol, "id", "v", "n")
+      .orderBy(col("id")).limit(sampleN)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dim = sample.head.length
+    val dsub = dim / numSub
+    val books = pqCodebooks(sample, numSub, ksub, iters)
+
+    // normalized vector → code array: per subspace, argmin L2 ⇔ argmax
+    // (dot − ½‖cent‖²); array_position ties to the lowest index
+    def normalized(v: Column): Column = {
+      val n = sqrt(vecNormSq(v))
+      transform(v, x => when(n === 0, x).otherwise(x / n))
+    }
+    def codesOf(vn: Column): Column = array((0 until numSub).map { m =>
+      val sub = slice(vn, m * dsub + 1, dsub)
+      val scores = array(books(m).map { cent =>
+        vecDot(sub, typedLit(cent.toSeq)) -
+          lit(0.5 * cent.map(x => x * x).sum)
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }: _*)
+
+    // query-side ADC lookup table: flat array, entry m·ksub+c =
+    // dot(query_sub_m, centroid_c)
+    def lutOf(qn: Column): Column = array((for {
+      m <- 0 until numSub
+      cent <- books(m)
+    } yield vecDot(slice(qn, m * dsub + 1, dsub), typedLit(cent.toSeq)))
+      : _*)
+
+    // the CODE TABLE is the only corpus-wide frame: (id, numSub codes)
+    // — float vectors are re-fetched by id only for the short list
+    val codeTable = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+      .select(col("neighbor_id"),
+        codesOf(normalized(col("cv"))).as("codes"))
+    val q = broadcast(prep(queries, idCol, vecCol, "query_id", "qv", "qn")
+      .select(col("query_id"), col("qv"), col("qn"),
+        lutOf(normalized(col("qv"))).as("lut")))
+    val approx = (0 until numSub).map { m =>
+      element_at(col("lut"),
+        lit(m * ksub + 1) + element_at(col("codes"), m + 1))
+    }.reduce(_ + _)
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val candidates = codeTable
+      .join(q.select(col("query_id"), col("lut")),
+        if (excludeSelfMatches) col("query_id") =!= col("neighbor_id")
+        else lit(true))
+      .select(col("query_id"), col("neighbor_id"), approx.as("approx"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the short list only: fetch the float vectors by
+    // id for |Q|·k·refine rows, never corpus-wide
+    val cv = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    candidates
+      .join(cv, Seq("neighbor_id"))
+      .join(q.select(col("query_id"), col("qv"), col("qn")),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine_r"))
+  }
+
   /** LSH-bucketed approximate top-k: hash queries and corpus into SRP
     * buckets over `numTables` tables, join within buckets only, rank by
     * cosine. At 100 TB this replaces the |Q|·|C| product with per-bucket

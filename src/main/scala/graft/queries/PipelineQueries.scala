@@ -246,6 +246,21 @@ object PipelineQueries {
       },
       None),
 
+    // Product-quantization ANN (ADC shortlist over an 8-byte code table
+    // + exact re-rank) — the memory-bound scale path: the corpus-wide
+    // frame holds codes, never float vectors. Approximate by design →
+    // rows-only; recall + exact-re-rank property asserted in ScalaTest.
+    "ann_pq_topk" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.pqTopK(e.filter(col("vec_id") < 16), e,
+          "vec_id", "embedding", k = 5, numSub = 8, ksub = 16,
+          refine = 4)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine_r"))
+      },
+      None),
+
     // LSH-bucketed ANN (sign-random-projection) — approximate by design,
     // so rows-only check; recall vs brute force is asserted in ScalaTest.
     "ann_lsh_topk" -> QueryDef(

@@ -64,4 +64,26 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(full == exact)
   }
+
+  test("PQ ANN: asymmetric-distance shortlist + exact re-rank achieves " +
+    "reasonable recall@5; re-ranked cosines are exact") {
+    val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
+    val q = e.filter($"vec_id" < 8)
+    val exactRows = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exactCos = exactRows
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val pqRows = Similarity.pqTopK(q, e, "vec_id", "embedding",
+      k = 5, numSub = 8, ksub = 16, refine = 8).collect()
+    val pq = pqRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"PQ recall@5 = $recall")
+    // any pair PQ returns that brute force also ranked must carry the
+    // identical exact cosine — the re-rank is NOT approximate
+    pqRows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exactCos.get(key).foreach(c => assert(r.getDouble(3) == c, key))
+    }
+  }
 }
