@@ -121,25 +121,35 @@ object Multimodal {
     * passed through with a derived content tag (a real implementation
     * re-encodes bytes here; everything else — schema, meta update,
     * aspect handling — is the production shape). `maxSide` bounds the
-    * longer edge; unknown source dims (metadata-less ingest) resize to
-    * exactly (maxSide, maxSide) by convention. Aspect-preserving:
-    * known (w, h) scale by maxSide/max(w, h), never upscaled. */
+    * longer edge; unknown source dims — EITHER dim null
+    * (metadata-less ingest) — resize to exactly (maxSide, maxSide) by
+    * convention. Aspect-preserving: known (w, h) scale by
+    * maxSide/max(w, h), never upscaled. Null payloads yield a null tag
+    * (no content ⇒ no content tag). */
   def resizeStub(assets: DataFrame, maxSide: Int): DataFrame = {
     require(maxSide > 0, s"maxSide must be positive: $maxSide")
     val w = col("meta.width")
     val h = col("meta.height")
+    // both dims or nothing: greatest() skips nulls, so a half-known
+    // (null, 2000) image would otherwise take the scaling branch and
+    // emit a null output width
+    val known = w.isNotNull && h.isNotNull
     val longSide = greatest(w, h)
     // floor(side·maxSide / longSide): pixel dims are far below 2^26, so
     // the double product/quotient is exact and floor is safe
     def scaled(side: Column) =
-      when(longSide.isNull || longSide <= maxSide,
-        coalesce(side, lit(maxSide)))
+      when(!known, lit(maxSide))
+        .when(longSide <= maxSide, side)
         .otherwise(floor(side * maxSide / longSide).cast(IntegerType))
     assets.filter(col("media_type") === "image")
       .select(col("asset_id"),
         scaled(w).as("out_width"),
         scaled(h).as("out_height"),
-        md5(concat_ws("#", md5(col("payload")), lit(maxSide)))
+        // concat (NOT concat_ws): a null payload must propagate to a
+        // null tag — concat_ws skips nulls and would stamp a concrete
+        // tag for missing content, diverging from the oracle's
+        // null-propagating `||`
+        md5(concat(md5(col("payload")), lit("#"), lit(maxSide.toString)))
           .as("resized_tag"))
   }
 

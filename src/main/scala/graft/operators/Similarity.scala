@@ -134,29 +134,19 @@ object Similarity {
       if (n == 0) v else v.map(_ / n)
     }
     val pts = sample.map(normalize)
-    var cents = pts.take(nlist).map(_.clone())
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(cents.length)(
-        new Array[Double](pts.head.length))
-      val counts = new Array[Int](cents.length)
-      pts.foreach { p =>
-        var best = 0; var bestDot = Double.MinValue
-        var c = 0
-        while (c < cents.length) {
-          var d = 0.0; var i = 0
-          while (i < p.length) { d += p(i) * cents(c)(i); i += 1 }
-          if (d > bestDot) { bestDot = d; best = c }
-          c += 1
-        }
-        var i = 0
-        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
-        counts(best) += 1
+    def assign(p: Array[Double], cents: Array[Array[Double]]): Int = {
+      var best = 0; var bestDot = Double.MinValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        while (i < p.length) { d += p(i) * cents(c)(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
       }
-      cents = cents.indices.map { c =>
-        if (counts(c) == 0) cents(c) else normalize(sums(c))
-      }.toArray
+      best
     }
-    cents
+    lloydCore(pts, pts.take(nlist).map(_.clone()), iters, assign,
+      (sum, _) => normalize(sum))
   }
 
   /** IVF (inverted-file) approximate top-k — the second scale path the
@@ -239,35 +229,60 @@ object Similarity {
     }.toArray
   }
 
-  /** Plain-L2 Lloyd iterations (no normalization — sub-vectors are not
-    * unit vectors). Initial centroids: first `k` distinct-ish samples. */
-  private def pqLloyd(pts: Array[Array[Double]], k: Int, iters: Int)
+  /** Shared Lloyd iteration core for the two quantizer trainers
+    * (IVF's dot-metric normalized k-means and PQ's plain-L2 k-means):
+    * assignment and the new-centroid function are the only parameters,
+    * so empty-cluster handling / iteration shape live in ONE place. */
+  private def lloydCore(
+      pts: Array[Array[Double]],
+      init: Array[Array[Double]],
+      iters: Int,
+      assign: (Array[Double], Array[Array[Double]]) => Int,
+      newCentroid: (Array[Double], Int) => Array[Double])
       : Array[Array[Double]] = {
-    var cents = pts.take(k).map(_.clone())
+    var cents = init
     for (_ <- 0 until iters) {
       val sums = Array.fill(cents.length)(new Array[Double](pts.head.length))
       val counts = new Array[Int](cents.length)
       pts.foreach { p =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cents.length) {
-          var d = 0.0; var i = 0
-          while (i < p.length) {
-            val t = p(i) - cents(c)(i); d += t * t; i += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
+        val best = assign(p, cents)
         var i = 0
         while (i < p.length) { sums(best)(i) += p(i); i += 1 }
         counts(best) += 1
       }
       cents = cents.indices.map { c =>
         if (counts(c) == 0) cents(c)
-        else sums(c).map(_ / counts(c))
+        else newCentroid(sums(c), counts(c))
       }.toArray
     }
     cents
+  }
+
+  /** Plain-L2 Lloyd iterations (no normalization — sub-vectors are not
+    * unit vectors). Initial centroids: first `k` DISTINCT samples —
+    * sub-vector slices repeat often, and duplicate seeds would leave
+    * frozen clone centroids (ties assign to the lowest index) that
+    * silently shrink codebook capacity. The effective codebook size is
+    * therefore min(k, distinct slices); callers must size strides off
+    * the returned length, not `k`. */
+  private def pqLloyd(pts: Array[Array[Double]], k: Int, iters: Int)
+      : Array[Array[Double]] = {
+    val init = pts.map(_.toSeq).distinct.take(k).map(_.toArray)
+    def assign(p: Array[Double], cents: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        while (i < p.length) {
+          val t = p(i) - cents(c)(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    lloydCore(pts, init, iters, assign,
+      (sum, count) => sum.map(_ / count))
   }
 
   /** Product-quantization approximate top-k with exact re-ranking — the
@@ -291,9 +306,16 @@ object Similarity {
       .orderBy(col("id")).limit(sampleN)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      "pqTopK: corpus is empty — nothing to train codebooks on")
     val dim = sample.head.length
     val dsub = dim / numSub
     val books = pqCodebooks(sample, numSub, ksub, iters)
+    // per-book sizes can be < ksub (distinct-slice seeding) and can
+    // DIFFER per subspace — LUT offsets are prefix sums of the actual
+    // sizes, never a fixed ksub stride (a fixed stride misindexes the
+    // flat LUT whenever any book came up short)
+    val bookOffsets = books.scanLeft(0)(_ + _.length)
 
     // normalized vector → code array: per subspace, argmin L2 ⇔ argmax
     // (dot − ½‖cent‖²); array_position ties to the lowest index
@@ -310,8 +332,8 @@ object Similarity {
       (array_position(scores, array_max(scores)) - 1).cast("int")
     }: _*)
 
-    // query-side ADC lookup table: flat array, entry m·ksub+c =
-    // dot(query_sub_m, centroid_c)
+    // query-side ADC lookup table: flat array, entry bookOffsets(m)+c
+    // = dot(query_sub_m, centroid_c)
     def lutOf(qn: Column): Column = array((for {
       m <- 0 until numSub
       cent <- books(m)
@@ -328,7 +350,7 @@ object Similarity {
         lutOf(normalized(col("qv"))).as("lut")))
     val approx = (0 until numSub).map { m =>
       element_at(col("lut"),
-        lit(m * ksub + 1) + element_at(col("codes"), m + 1))
+        lit(bookOffsets(m) + 1) + element_at(col("codes"), m + 1))
     }.reduce(_ + _)
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
