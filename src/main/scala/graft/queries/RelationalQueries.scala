@@ -344,13 +344,20 @@ object RelationalQueries {
         GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
         .replaceAll("\\s+", " "))),
 
-    // full CUBE (all 4 grouping combinations, NULL-marked subtotals).
+    // full CUBE (all 4 grouping combinations). grouping() flags
+    // disambiguate a subtotal row's NULL from a data NULL — without
+    // them a cube over a nullable key is unreadable.
     "agg_cube" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          count(lit(1)).as("n"),
           sum(col("l_quantity")).cast("long").as("sum_qty")),
-      Some("""SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+      Some("""SELECT l_returnflag, l_linestatus,
+        GROUPING(l_returnflag)::BIGINT AS g_rf,
+        GROUPING(l_linestatus)::BIGINT AS g_ls,
+        count(*)::BIGINT AS n,
         sum(l_quantity)::BIGINT AS sum_qty FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)"""
         .replaceAll("\\s+", " "))),
