@@ -381,6 +381,25 @@ object PipelineQueries {
             AND pred_lang='en'""".replaceAll("\\s+", " ")
       }),
 
+    // corpus vocabulary profile: top-20 word bigrams by frequency,
+    // deterministic ties — the "most common n-grams" sweep every corpus
+    // audit runs. explode → partial/final count agg → TakeOrdered; the
+    // hot-key risk of a dominant bigram is exactly what SkewJoin's
+    // salted two-phase agg addresses at 100 TB.
+    "text_top_ngrams" -> QueryDef(
+      (s, dir) => docs(s, dir)
+        .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20),
+      Some(s"""WITH $WordsCte,
+        sh2 AS (SELECT unnest(list_transform(
+          generate_series(1, len(w)-1), i -> w[i]||' '||w[i+1])) AS s
+          FROM words)
+        SELECT s AS ngram, count(*)::BIGINT AS n FROM sh2
+        GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""
+        .replaceAll("\\s+", " "))),
+
     // deterministic corpus split: md5-bucket each doc into
     // train/validation/test (80/10/10). Hash-based splits are the
     // training-pipeline standard because they are STABLE — re-running

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.TemporalJoin
+import graft.operators.{SkewJoin, TemporalJoin}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -175,6 +175,27 @@ object RelationalQueries {
         count(*)::BIGINT AS n, round(sum(l_extendedprice),2) AS sum_price
         FROM lineitem JOIN part ON l_partkey=p_partkey GROUP BY p_brand"""
         .replaceAll("\\s+", " "))),
+
+    // salted skew join: same result as the plain join (oracle = plain
+    // SQL join), but the left side's key space is exploded over 8 salts
+    // so one hot supplier key spreads across 8 reducers instead of
+    // pinning one — the manual escape hatch when AQE skew-splitting
+    // can't apply (operators.SkewJoin).
+    "join_skew_salted" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_quantity"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        SkewJoin.saltedInnerJoin(li, sup, "l_suppkey", factor = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"))
+      },
+      Some("""SELECT s_nationkey, count(*)::BIGINT AS n,
+        sum(l_quantity)::BIGINT AS sum_qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1""".replaceAll("\\s+", " "))),
 
     // as-of join: enrich every event with the most recent prior (or
     // same-instant) "error" of the same user — union+window, ONE key
