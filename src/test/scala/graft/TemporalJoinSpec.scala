@@ -118,6 +118,30 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out.toSet == Set((1L, 10L)))
   }
 
+  test("rangeJoin: output is invariant to bucketWidth (pure tuning knob, " +
+    "never a semantics knob)") {
+    val ev = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "events")
+      .select($"event_id", $"user_id", expr("ts div 1000").as("t_us"),
+        $"event_type")
+    val winUs = 30L * 60 * 1000000
+    val ivs = ev.filter($"event_type" === "error")
+      .select($"event_id".as("alert_id"), $"user_id",
+        $"t_us".as("s_us"), ($"t_us" + winUs).as("e_us"))
+    def run(width: Long) = TemporalJoin.rangeJoin(
+      ev.select("event_id", "user_id", "t_us"), "t_us",
+      ivs, "s_us", "e_us", bucketWidth = width, keys = Seq("user_id"))
+      .select("alert_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = run(winUs)
+    assert(base.nonEmpty)
+    // finer (non-divisor), much coarser, and minute-grain widths all
+    // yield the identical pair set (width only trades explode fan-out
+    // vs bucket selectivity — ~30 buckets/interval at minute grain)
+    assert(run(winUs / 7) == base)
+    assert(run(winUs * 50) == base)
+    assert(run(60L * 1000000) == base)
+  }
+
   test("rangeJoin: differential vs direct theta-join on sf0.001 events") {
     val ev = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "events")
       .select($"event_id", $"user_id", expr("ts div 1000").as("t_us"),
