@@ -192,6 +192,39 @@ object MinHash {
 
   import org.apache.spark.sql.GraftShim
 
+  /** SQL registration (`SELECT minhash_sig(text, 8, 3)`, `simhash(s)`,
+    * `sorted_intersect_count(a, b)`) — same arity-checked pattern as
+    * VectorExpressions.register. The k/n arguments must be foldable
+    * integer literals (they parameterize codegen). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def arity(name: String, n: Int, es: Seq[Expression]): Unit =
+      require(es.length == n,
+        s"$name expects $n argument(s), got ${es.length}")
+    def intLit(name: String, e: Expression): Int = {
+      require(e.foldable, s"$name: argument must be a literal")
+      e.eval() match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$name: expected an integer literal, got $other")
+      }
+    }
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => {
+        arity("minhash_sig", 3, es)
+        MinHashSig(es.head, intLit("minhash_sig", es(1)),
+          intLit("minhash_sig", es(2)))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("simhash",
+      es => { arity("simhash", 1, es); SimHash(es.head) }, "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      es => {
+        arity("sorted_intersect_count", 2, es)
+        SortedIntersectCount(es.head, es(1))
+      }, "built-in")
+  }
+
   def minhashSig(text: Column, numHashes: Int, shingleLen: Int): Column =
     GraftShim.column(
       MinHashSig(GraftShim.expression(text), numHashes, shingleLen))

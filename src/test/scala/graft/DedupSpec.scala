@@ -185,6 +185,32 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("SQL registration: minhash_sig / simhash / sorted_intersect_count " +
+    "callable from spark.sql and equal to the Column API") {
+    graft.functions.MinHash.register(spark)
+    df((1L, "the quick brown fox jumps high"),
+      (2L, "a b")).createOrReplaceTempView("docs_sql")
+    val rows = spark.sql("""
+      SELECT doc_id, minhash_sig(text, 4, 3) AS sig, simhash(text) AS sh,
+             sorted_intersect_count(array('a','b','c'), array('b','c','d'))
+               AS ic
+      FROM docs_sql""").collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L)._1.length == 4)
+    assert(rows(2L)._1.isEmpty) // < 3 words → empty signature
+    assert(rows(1L)._3 == 2L)   // {b,c} shared
+    val viaApi = Dedup.minhashSignatures(
+      df((1L, "the quick brown fox jumps high")), "doc_id", "text", 4, 3)
+      .collect().head.getSeq[Long](1)
+    assert(rows(1L)._1 == viaApi)
+    // non-literal k must be rejected, not miscompiled
+    intercept[Exception] {
+      spark.sql("SELECT minhash_sig(text, doc_id, 3) FROM docs_sql")
+        .collect()
+    }
+  }
+
   test("simhash: equal for identical text, long-valued, stable") {
     val out = Dedup.simhash(
       df((1L, "spark scan filter join"), (2L, "spark scan filter join"),
