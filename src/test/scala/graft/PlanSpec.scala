@@ -66,6 +66,21 @@ class PlanSpec extends AnyFunSuite {
     assert(asof.contains("Window"), asof.take(2000))
   }
 
+  test("ANN rank stages are two-phase bounded aggregates — no per-query " +
+    "global window sort anywhere in the family (the round-3 scale-killer: " +
+    "row_number over partition by query_id put a whole corpus' scored " +
+    "rows per query on ONE reducer)") {
+    for (q <- Seq("ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+      "ann_pq_topk")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q:\n${p.take(2000)}")
+      // partial + final ObjectHashAggregate = map-side top-k before the
+      // shuffle; only bounded buffers cross the network
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"$q:\n${p.take(2000)}")
+    }
+  }
+
   test("brute-force ANN broadcasts the query side (the deliberate " +
     "O(|Q|·|C|) baseline streams the corpus exactly once)") {
     val p = planOf("ann_bruteforce_topk")

@@ -65,6 +65,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("two-phase top-k ranks bit-identically to the row_number window " +
+    "form (independent driver-side oracle)") {
+    val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
+    val out = Similarity
+      .bruteForceTopK(e.filter($"vec_id" < 8), e, "vec_id", "embedding", 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // oracle: exact cosines computed driver-side, ranked the way the
+    // window form ranked (round(cos,6) DESC, neighbor_id ASC, rank =
+    // row position) — same rounding as Spark's Round (BigDecimal HALF_UP)
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.filter(_._1 < 8).flatMap { case (q, qv) =>
+      vecs.filter(_._1 != q)
+        .map { case (c, cvv) => (c, round6(cos(qv, cvv))) }
+        .sortBy { case (c, s) => (-s, c) }
+        .take(5).zipWithIndex
+        .map { case ((c, s), i) => (q, i + 1, c, s) }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq == expected.toSeq)
+  }
+
   test("PQ ANN: asymmetric-distance shortlist + exact re-rank achieves " +
     "reasonable recall@5; re-ranked cosines are exact") {
     val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
