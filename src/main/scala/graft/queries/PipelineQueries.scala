@@ -186,9 +186,12 @@ object PipelineQueries {
     // embedding near-duplicate pairs (cosine ≥ 0.95) via SRP-LSH buckets
     // — the scale path (bucketed self-join, no crossJoin). The DuckDB
     // oracle is the exact all-pairs form: at a 0.95 threshold with
-    // 8 planes × 8 tables the LSH miss probability per true pair is ≈1%,
-    // and the all-pairs differential test in SimilaritySpec pins recall
-    // at sf0.001. list_reduce fold matches Spark's fold order exactly.
+    // 8 planes × 8 tables the LSH miss probability per true pair is ≈1%.
+    // NOTE: the synthetic embeddings at every SF have NO true pairs at
+    // 0.95 (engine and oracle both return 0 rows — the hash match alone
+    // is vacuous); the non-vacuous evidence is DedupSpec's
+    // planted-duplicate test (recall ≥ 0.95 over 60 planted near-dups)
+    // plus the subset+identical-cosine differential at threshold 0.4.
     "dedup_embedding_neardup" -> QueryDef(
       (s, dir) => Dedup
         .embeddingNearDupLsh(emb(s, dir), "vec_id", "embedding", 0.95,

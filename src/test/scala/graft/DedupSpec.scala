@@ -107,6 +107,43 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("planted near-duplicates: SRP-LSH recall ≥ 0.95 at the 0.95 " +
+    "threshold (the registry's sf0.1 run has no true pairs — engine and " +
+    "oracle both return 0 rows there — so THIS is the non-vacuous " +
+    "near-dup evidence)") {
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    def gauss(): Array[Double] = Array.fill(dim)(rnd.nextGaussian())
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = (0 until 2000).map(i => i.toLong -> normalize(gauss()))
+    // 60 planted duplicates at a controlled angle: dup = cosθ·v + sinθ·u
+    // with u ⊥ v unit — cosine(v, dup) = 0.97 by construction (float
+    // storage perturbs it by ~1e-7, comfortably above the 0.95 gate)
+    val cosT = 0.97
+    val sinT = math.sqrt(1 - cosT * cosT)
+    val planted = (0 until 60).map { i =>
+      val v = base(i)._2
+      val r = normalize(gauss())
+      val d = v.zip(r).map { case (a, b) => a * b }.sum
+      val u = normalize(r.zip(v).map { case (b, a) => b - d * a })
+      (10000L + i) -> v.zip(u).map { case (a, b) => cosT * a + sinT * b }
+    }
+    val e = (base ++ planted)
+      .map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+      .toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDup(e, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 60, s"only ${exact.size} true pairs planted")
+    val lsh = Dedup.embeddingNearDupLsh(e, "vec_id", "embedding", 0.95,
+      dim = dim, numPlanes = 8, numTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), (lsh -- exact).take(5))
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH near-dup recall = $recall")
+  }
+
   // the pre-fusion Column formulations, kept as test oracles so the
   // codegen'd single-pass expressions stay bit-identical to them
   private def legacyMinhash(d: org.apache.spark.sql.DataFrame,
