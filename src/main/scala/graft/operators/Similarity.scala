@@ -335,66 +335,82 @@ object Similarity {
     val dim = sample.head.length
     val dsub = dim / numSub
     val books = pqCodebooks(sample, numSub, ksub, iters)
-    // per-book sizes can be < ksub (distinct-slice seeding) and can
-    // DIFFER per subspace — LUT offsets are prefix sums of the actual
-    // sizes, never a fixed ksub stride (a fixed stride misindexes the
-    // flat LUT whenever any book came up short)
-    val bookOffsets = books.scanLeft(0)(_ + _.length)
-
-    // normalized vector → code array: per subspace, argmin L2 ⇔ argmax
-    // (dot − ½‖cent‖²); array_position ties to the lowest index
-    def normalized(v: Column): Column = {
-      val n = sqrt(vecNormSq(v))
-      transform(v, x => when(n === 0, x).otherwise(x / n))
-    }
-    def codesOf(vn: Column): Column = array((0 until numSub).map { m =>
-      val sub = slice(vn, m * dsub + 1, dsub)
-      val scores = array(books(m).map { cent =>
-        vecDot(sub, typedLit(cent.toSeq)) -
-          lit(0.5 * cent.map(x => x * x).sum)
-      }: _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
-    }: _*)
-
-    // query-side ADC lookup table: flat array, entry bookOffsets(m)+c
-    // = dot(query_sub_m, centroid_c)
-    def lutOf(qn: Column): Column = array((for {
-      m <- 0 until numSub
-      cent <- books(m)
-    } yield vecDot(slice(qn, m * dsub + 1, dsub), typedLit(cent.toSeq)))
-      : _*)
 
     // the CODE TABLE is the only corpus-wide frame: (id, numSub codes)
     // — float vectors are re-fetched by id only for the short list
     val codeTable = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
       .select(col("neighbor_id"),
-        codesOf(normalized(col("cv"))).as("codes"))
+        pqCodesCol(books, dsub, normalizedCol(col("cv"))).as("codes"))
     val q = broadcast(prep(queries, idCol, vecCol, "query_id", "qv", "qn")
       .select(col("query_id"), col("qv"), col("qn"),
-        lutOf(normalized(col("qv"))).as("lut")))
-    val approx = (0 until numSub).map { m =>
+        pqLutCol(books, dsub, normalizedCol(col("qv"))).as("lut")))
+    val candidates = adcShortlist(
+      codeTable.join(q.select(col("query_id"), col("lut")),
+        if (excludeSelfMatches) col("query_id") =!= col("neighbor_id")
+        else lit(true)),
+      books, k * refine)
+    exactReRank(candidates, q, corpus, idCol, vecCol, k)
+  }
+
+  /** Normalized vector column (zero vectors pass through unscaled). */
+  private def normalizedCol(v: Column): Column = {
+    val n = sqrt(vecNormSq(v))
+    transform(v, x => when(n === 0, x).otherwise(x / n))
+  }
+
+  /** Normalized vector → PQ code array: per subspace, argmin L2 ⇔
+    * argmax (dot − ½‖cent‖²); array_position ties to the lowest index. */
+  private def pqCodesCol(books: Array[Array[Array[Double]]], dsub: Int,
+      vn: Column): Column = array(books.indices.map { m =>
+    val sub = slice(vn, m * dsub + 1, dsub)
+    val scores = array(books(m).map { cent =>
+      vecDot(sub, typedLit(cent.toSeq)) -
+        lit(0.5 * cent.map(x => x * x).sum)
+    }: _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }: _*)
+
+  /** Query-side ADC lookup table: flat array, entry offsets(m)+c =
+    * dot(query_sub_m, centroid_c). Offsets are prefix sums of the
+    * ACTUAL book sizes — per-book sizes can be < ksub (distinct-slice
+    * seeding) and can differ per subspace, so a fixed ksub stride would
+    * misindex the flat LUT whenever any book came up short. */
+  private def pqLutCol(books: Array[Array[Array[Double]]], dsub: Int,
+      qn: Column): Column = array((for {
+    m <- books.indices
+    cent <- books(m)
+  } yield vecDot(slice(qn, m * dsub + 1, dsub), typedLit(cent.toSeq)))
+    : _*)
+
+  /** ADC shortlist over joined (query_id, neighbor_id, lut, codes) rows
+    * via the bounded-heap aggregate — NOT a row_number window: the
+    * scored set here can be the WHOLE corpus per query, and a window
+    * partitioned by query_id would sort it on one reducer (the judged
+    * round-3 scale-killer). The aggregate keeps per-input-partition
+    * top-n map-side; only bounded buffers shuffle. Ties at the
+    * shortlist boundary break by neighbor_id ASC, exactly like the
+    * window form. Returns (query_id, neighbor_id). */
+  private def adcShortlist(joined: DataFrame,
+      books: Array[Array[Array[Double]]], n: Int): DataFrame = {
+    val bookOffsets = books.scanLeft(0)(_ + _.length)
+    val approx = books.indices.map { m =>
       element_at(col("lut"),
         lit(bookOffsets(m) + 1) + element_at(col("codes"), m + 1))
     }.reduce(_ + _)
-    // ADC shortlist via the bounded-heap aggregate — NOT a row_number
-    // window: the scored set here is the WHOLE corpus per query, and a
-    // window partitioned by query_id would sort it on one reducer
-    // (the judged round-3 scale-killer). The aggregate keeps per-input-
-    // partition top-(k·refine) map-side; only bounded buffers shuffle.
-    // Ties at the shortlist boundary break by neighbor_id ASC, exactly
-    // like the window form.
-    val shortlist = TopKAgg.topK(k * refine)
-    val candidates = codeTable
-      .join(q.select(col("query_id"), col("lut")),
-        if (excludeSelfMatches) col("query_id") =!= col("neighbor_id")
-        else lit(true))
+    joined
       .select(col("query_id"), col("neighbor_id"), approx.as("approx"))
       .groupBy(col("query_id"))
-      .agg(shortlist(col("approx"), col("neighbor_id")).as("tk"))
+      .agg(TopKAgg.topK(n)(col("approx"), col("neighbor_id")).as("tk"))
       .select(col("query_id"), explode(col("tk.items")).as("it"))
       .select(col("query_id"), col("it.id").as("neighbor_id"))
-    // exact re-rank of the short list only: fetch the float vectors by
-    // id for |Q|·k·refine rows, never corpus-wide
+  }
+
+  /** Exact re-rank of a (query_id, neighbor_id) short list: fetch the
+    * float vectors by id for |shortlist| rows — never corpus-wide —
+    * and rank by true cosine. */
+  private def exactReRank(candidates: DataFrame, q: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int)
+      : DataFrame = {
     val cv = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val scored = candidates
       .join(cv, Seq("neighbor_id"))
@@ -404,6 +420,55 @@ object Similarity {
         (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .as("cosine"))
     topKPerQuery(scored, k)
+  }
+
+  /** IVFADC — the IVF × PQ composition (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", the canonical 100 TB
+    * ANN architecture): corpus rows carry (coarse list id, PQ codes);
+    * a query ADC-scans ONLY its `nprobe` probed inverted lists, so the
+    * scan cost is |Q|·(nprobe/nlist)·|C| table lookups over a
+    * codes-only frame — the memory posture of PQ and the pruning of
+    * IVF at once. Codebooks are global (shared with pqTopK's trainer,
+    * FAISS's by_residual=false flavor), so probing every list recovers
+    * pqTopK EXACTLY (differential-tested); recall < 1 by construction
+    * otherwise — raise nprobe or refine to trade cost for recall. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      numSub: Int = 8, ksub: Int = 16, iters: Int = 5,
+      sampleN: Int = 2048, refine: Int = 4,
+      excludeSelfMatches: Boolean = true): DataFrame = {
+    val sample = prep(corpus, idCol, vecCol, "id", "v", "n")
+      .orderBy(col("id")).limit(sampleN)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      "ivfPqTopK: corpus is empty — nothing to train quantizers on")
+    val dim = sample.head.length
+    val dsub = dim / numSub
+    val cents = kmeansCentroids(sample, nlist, iters)
+    val books = pqCodebooks(sample, numSub, ksub, iters)
+    // corpus-wide frame: (list id, PQ codes) — both pure projections
+    // (literal centroids/codebooks), zero shuffle to build
+    val codeTable = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+      .select(col("neighbor_id"),
+        element_at(centroidRanks(cents, col("cv"), col("cn")), 1)
+          ("centroid").as("centroid"),
+        pqCodesCol(books, dsub, normalizedCol(col("cv"))).as("codes"))
+    val q = broadcast(prep(queries, idCol, vecCol, "query_id", "qv", "qn")
+      .select(col("query_id"), col("qv"), col("qn"),
+        pqLutCol(books, dsub, normalizedCol(col("qv"))).as("lut"),
+        slice(centroidRanks(cents, col("qv"), col("qn")), 1, nprobe)
+          .as("probes")))
+    val probes = q
+      .select(col("query_id"), col("lut"), explode(col("probes")).as("pc"))
+      .select(col("query_id"), col("lut"),
+        col("pc")("centroid").as("centroid"))
+    val candidates = adcShortlist(
+      codeTable.join(broadcast(probes), Seq("centroid"))
+        .filter(if (excludeSelfMatches)
+          col("query_id") =!= col("neighbor_id") else lit(true)),
+      books, k * refine)
+    exactReRank(candidates, q, corpus, idCol, vecCol, k)
   }
 
   /** LSH-bucketed approximate top-k: hash queries and corpus into SRP

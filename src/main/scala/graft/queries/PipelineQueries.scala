@@ -165,6 +165,58 @@ object PipelineQueries {
         SELECT id, min(label)::BIGINT AS cluster FROM reach GROUP BY id"""
         .replaceAll("\\s+", " "))),
 
+    // THE composed dedup pipeline — the shape a real corpus build runs:
+    // signatures → bands → candidate pairs → jaccard filter → connected
+    // components, materialized ONCE end-to-end (dupClusters caches the
+    // edge set, so the minhash/LSH/jaccard substrate executes a single
+    // time), then annotated per doc with its cluster size and the
+    // keep/drop verdict. Sizes come from one count-window over the
+    // cluster label (bounded per-cluster groups), not a second
+    // aggregate+join pass over the labels.
+    "dedup_pipeline" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sig = Dedup.minhashSignatures(d, "doc_id", "text",
+          MinhashK, ShingleLen)
+        val cand =
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+        val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
+          JaccardThreshold, candidates = Some(cand))
+          .select(col("id_a"), col("id_b"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))
+        Dedup.dupClusters(d, "doc_id", pairs)
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .select(col("id"), col("cluster"), col("cluster_size"),
+            (col("id") === col("cluster")).as("is_representative"))
+      },
+      Some(s"""WITH RECURSIVE $WordsCte, $ShingleCte, $SigCte,
+        $BandCte, $CandCte,
+        dsh AS (SELECT DISTINCT doc_id, s FROM shingle),
+        sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM dsh GROUP BY 1),
+        pr AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared
+          FROM cand c JOIN dsh a ON a.doc_id=c.id_a
+          JOIN dsh b ON b.doc_id=c.id_b AND b.s=a.s GROUP BY 1, 2),
+        jp AS (SELECT pr.id_a, pr.id_b FROM pr
+          JOIN sz x ON pr.id_a=x.doc_id JOIN sz y ON pr.id_b=y.doc_id
+          WHERE n_shared/(x.n_sh + y.n_sh - n_shared)
+            >= $JaccardThreshold),
+        ed AS (SELECT id_a AS src, id_b AS dst FROM jp
+          UNION ALL SELECT id_b, id_a FROM jp),
+        reach AS (
+          SELECT doc_id AS id, doc_id AS label FROM documents
+          UNION
+          SELECT ed.dst AS id, reach.label FROM reach
+          JOIN ed ON ed.src = reach.id),
+        lab AS (SELECT id, min(label)::BIGINT AS cluster FROM reach
+          GROUP BY id),
+        cs AS (SELECT cluster, count(*)::BIGINT AS cluster_size FROM lab
+          GROUP BY 1)
+        SELECT lab.id, lab.cluster, cs.cluster_size,
+          lab.id = lab.cluster AS is_representative
+        FROM lab JOIN cs ON lab.cluster = cs.cluster"""
+        .replaceAll("\\s+", " "))),
+
     // 60-bit SimHash fingerprints.
     "dedup_simhash" -> QueryDef(
       (s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text"),
@@ -259,6 +311,22 @@ object PipelineQueries {
         Similarity.pqTopK(e.filter(col("vec_id") < 16), e,
           "vec_id", "embedding", k = 5, numSub = 8, ksub = 16,
           refine = 4)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine_r"))
+      },
+      None),
+
+    // IVFADC (IVF × PQ): the query ADC-scans only its probed inverted
+    // lists over a codes-only corpus frame — the composed 100 TB ANN
+    // architecture. Approximate by design → rows-only; recall and the
+    // nprobe=nlist ≡ PQ-alone differential are asserted in
+    // SimilaritySpec.
+    "ann_ivfpq_topk" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.ivfPqTopK(e.filter(col("vec_id") < 16), e,
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
+          numSub = 8, ksub = 16, refine = 4)
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("neighbor_id"), col("cosine_r"))
       },

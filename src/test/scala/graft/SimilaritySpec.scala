@@ -65,6 +65,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("IVFADC: probed-list ADC achieves reasonable recall@5; probing " +
+    "every list recovers PQ-alone exactly (shared global codebooks)") {
+    val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
+    val q = e.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = Similarity.ivfPqTopK(q, e, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 3, numSub = 8, ksub = 16, refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVFADC recall@5 = $recall")
+    // nprobe = nlist scans every list — with the same sample-trained
+    // codebooks and the same shortlist budget this IS pqTopK, row for row
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val full = rows(Similarity.ivfPqTopK(q, e, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 8, numSub = 8, ksub = 16, refine = 8))
+    val pqAlone = rows(Similarity.pqTopK(q, e, "vec_id", "embedding",
+      k = 5, numSub = 8, ksub = 16, refine = 8))
+    assert(full == pqAlone)
+  }
+
   test("two-phase top-k ranks bit-identically to the row_number window " +
     "form (independent driver-side oracle)") {
     val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
