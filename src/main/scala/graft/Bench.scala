@@ -34,7 +34,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark
+    Sessions.bootstrap(spark)
   }
 
   def main(args: Array[String]): Unit = {

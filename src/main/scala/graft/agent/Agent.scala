@@ -455,12 +455,12 @@ object AgentCli {
 
   def main(args: Array[String]): Unit = {
     val (action, cfg) = parse(args)
-    val spark = SparkSession.builder()
+    val spark = graft.Sessions.bootstrap(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-agent")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .getOrCreate()
+      .getOrCreate())
     try new Agent(spark, cfg).dispatch(action)
     finally if (action != "hamonitor") spark.stop()
   }

@@ -218,4 +218,25 @@ class AgentSpec extends AnyFunSuite {
     val agent = new Agent(spark, cfg(freshRoot()))
     intercept[IllegalArgumentException] { agent.dispatch("move") }
   }
+
+  test("session bootstrap auto-registers the SQL function surface — " +
+    "spark.sql users get the graft functions without calling register") {
+    // newSession() = fresh function registry (only built-ins survive):
+    // proves the bootstrap is what makes the names resolve
+    val fresh = Sessions.bootstrap(spark.newSession())
+    val row = fresh.sql(
+      """SELECT size(minhash_sig('a b c d e', 8, 3)) AS k,
+               simhash('a b c') AS sh,
+               sorted_intersect_count(array('a','b'), array('b','c')) AS n,
+               vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+               vec_normsq(array(3.0d, 4.0d)) AS nsq""").collect()(0)
+    assert(row.getInt(0) == 8)
+    assert(row.getLong(2) == 1L)
+    assert(row.getDouble(3) == 11.0)
+    assert(row.getDouble(4) == 25.0)
+    // an unregistered fresh session must NOT resolve them
+    intercept[Exception] {
+      spark.newSession().sql("SELECT simhash('x')").collect()
+    }
+  }
 }

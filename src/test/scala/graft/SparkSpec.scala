@@ -14,7 +14,7 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    Sessions.bootstrap(s)
   }
   val Sf0001 = "/root/testdata/sf0.001"
 }
