@@ -473,6 +473,10 @@ object RelationalQueries {
 
     // approximate distinct (HLL) — implementation-specific values, so
     // rows-only check; exactness is covered by agg_stats.
+    // HLL++ internals aren't oracle-able (no cross-engine sketch
+    // parity), so the row is rows-only — but the ESTIMATE is bounded:
+    // ApproxDistinctSpec pins relative error ≤ 5% (the default rsd)
+    // against exact countDistinct at sf0.001 and sf0.01.
     "agg_approx_distinct" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
