@@ -6,7 +6,7 @@ import graft.catalog.Catalog
 import graft.functions.TimeFuncs
 import graft.model._
 import graft.operators.{CopyJob, SchemaReplicator}
-import graft.streaming.{ClusterFSM, HAMonitor, StreamingMonitor}
+import graft.streaming.{ClusterFSM, HAMonitor, StreamIngest, StreamingMonitor}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
@@ -64,7 +64,18 @@ final case class AgentConfig(
     // hamonitor's status API ([http] bind-addr port; 0 = disabled)
     httpPort: Int = 0,
     adminUser: String = "admin",
-    adminPassword: String = "admin")
+    adminPassword: String = "admin",
+    // `-action stream` (continuous replication; north-star mode with no
+    // reference analog — the reference only syncs in batch on recovery):
+    // tag keys and field schema of the line-protocol stream landing
+    // under masterRoot, plus the dedup watermark delay
+    streamTags: String = "",
+    streamFields: String = "",
+    streamWatermark: String = "10 minutes",
+    // static UI dir served at "/" by the status server (webserver.go:81-87)
+    staticDir: String = "",
+    // write the agent PID here at startup (main.go:73,106)
+    pidfile: String = "")
 
 /** The agent — one object composing catalog discovery, schema DDL, the
   * chunked copy plane, and the HA monitor into the reference's four
@@ -338,10 +349,36 @@ final class Agent(
     * return when done; `hamonitor` is the daemon path — it serves the
     * status API (when httpPort > 0, ≅ webui.WebServer at main.go:296)
     * and BLOCKS like the reference's supervisor+webserver do. */
+  /** `-action stream`: the continuous (non-recovery) replication daemon
+    * — line-protocol text landing under masterRoot streams through the
+    * typed decode and watermark-bounded dedup (the streaming face of
+    * the sink's upsert idempotence: a replayed (series, ts) point
+    * within the watermark is dropped, state evicted past it) into a
+    * checkpointed parquet sink under slaveRoot. Restart resumes from
+    * the checkpoint's file-source offsets — already-ingested batches
+    * are never reprocessed (exactly-once file sink). The reference has
+    * no continuous mode (it replicates only on recovery,
+    * hacluster.go:236-343); this is the Structured-Streaming north
+    * star beside hamonitor. */
+  def stream(): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(initCluster(), "cluster not alive")
+    require(cfg.checkpointDir.nonEmpty,
+      "-action stream needs a checkpoint dir (-checkpoint)")
+    require(cfg.streamFields.nonEmpty,
+      "-action stream needs the field schema (-fields name:type,...)")
+    val tags = Agent.parseTags(cfg.streamTags)
+    val typed = StreamIngest.typedStream(spark, cfg.masterRoot, tags,
+      Agent.parseFields(cfg.streamFields))
+    val deduped = StreamIngest.dedupStream(typed,
+      "measurement" +: tags.map("tag_" + _), cfg.streamWatermark)
+    StreamIngest.toParquet(deduped, cfg.slaveRoot, cfg.checkpointDir)
+  }
+
   def dispatch(action: String): Unit = action match {
     case "copy"          => copy(): Unit
     case "fullcopy"      => fullCopy(): Unit
     case "replicaschema" => replicaSchema(): Unit
+    case "stream"        => stream().awaitTermination()
     case "verify" =>
       val bad = verify().filter(_._2.nonEmpty)
       require(bad.isEmpty, "checksum mismatches: " + bad.map {
@@ -352,7 +389,7 @@ final class Agent(
         if (cfg.httpPort > 0) {
           val srv = new graft.api.StatusServer(cfg.httpPort, status,
             () => Seq("master" -> masterProbe(), "slave" -> slaveProbe()),
-            cfg.adminUser, cfg.adminPassword)
+            cfg.adminUser, cfg.adminPassword, cfg.staticDir)
           srv.start()
         }
       if (cfg.checkpointDir.nonEmpty) {
@@ -393,6 +430,21 @@ object Agent {
       found
     }.getOrElse(false)
   }
+
+  /** Comma-separated list → trimmed non-empty entries. */
+  def parseTags(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** `-fields name:type,...` → field schema (types per
+    * FieldType.fromName: float|integer|unsigned|boolean|string). */
+  def parseFields(s: String): Map[String, FieldSch] =
+    parseTags(s).map { spec =>
+      spec.split(":") match {
+        case Array(n, t) => n -> FieldSch(n, FieldType.fromName(t))
+        case _ => throw new IllegalArgumentException(
+          s"bad -fields entry '$spec' (want name:type)")
+      }
+    }.toMap
 }
 
 /** CLI entrypoint with the reference's flag surface
@@ -443,6 +495,12 @@ object AgentCli {
         case "-end"    => c = c.copy(end = v)
         case "-full"   => c = c.copy(full = true)
         case "-verify" => c = c.copy(verifyAfterCopy = true)
+        case "-checkpoint" => c = c.copy(checkpointDir = v)
+        case "-tags"       => c = c.copy(streamTags = v)
+        case "-fields"     => c = c.copy(streamFields = v)
+        case "-watermark"  => c = c.copy(streamWatermark = v)
+        case "-static"     => c = c.copy(staticDir = v)
+        case "-pidfile"    => c = c.copy(pidfile = v)
         case other =>
           throw new IllegalArgumentException(s"unknown flag: $other")
       }
@@ -455,6 +513,14 @@ object AgentCli {
 
   def main(args: Array[String]): Unit = {
     val (action, cfg) = parse(args)
+    // pidfile before anything heavy, like the reference writes it right
+    // after flag parsing (main.go:73,106); removed on clean JVM exit
+    if (cfg.pidfile.nonEmpty) {
+      val f = new java.io.File(cfg.pidfile)
+      java.nio.file.Files.writeString(f.toPath,
+        ProcessHandle.current().pid().toString): Unit
+      f.deleteOnExit()
+    }
     val spark = graft.Sessions.bootstrap(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-agent")

@@ -219,6 +219,45 @@ class AgentSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { agent.dispatch("move") }
   }
 
+  test("-action stream: continuous replication converges while files " +
+    "land in the master root; a restart resumes from the checkpoint " +
+    "with no duplicates (exactly-once + watermark dedup)") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    def minuteNs(m: Long): Long = m * 60L * 1000000000L
+    val master = Files.createTempDirectory("graft_stream_m").toString
+    val slave = Files.createTempDirectory("graft_stream_s").toString
+    val ckpt = Files.createTempDirectory("graft_stream_c").toString
+    def land(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(master, name),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8)): Unit
+    val agent = new Agent(spark, AgentConfig(
+      masterRoot = master, slaveRoot = slave, checkpointDir = ckpt,
+      streamTags = "host", streamFields = "v:float",
+      monitorRetryIntervalMs = 0L))
+    land("b0.lp", Seq(s"m,host=h1 v=1.0 ${minuteNs(10)}"))
+    val q = agent.stream()
+    try {
+      q.processAllAvailable()
+      // live convergence: more files land while the daemon runs,
+      // including a replayed duplicate of the first point
+      land("b1.lp", Seq(
+        s"m,host=h1 v=1.0 ${minuteNs(10)}", // duplicate → dropped
+        s"m,host=h2 v=2.0 ${minuteNs(11)}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(slave).count() == 2)
+    // restart: same checkpoint — b0/b1 are not reprocessed, the new
+    // file is, so the slave ends exact (no duplicates from replay)
+    land("b2.lp", Seq(s"m,host=h1 v=3.0 ${minuteNs(12)}"))
+    val q2 = agent.stream()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(slave)
+    assert(got.count() == 3)
+    assert(got.select("time_ns").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(minuteNs(10), minuteNs(11), minuteNs(12)))
+  }
+
   test("session bootstrap auto-registers the SQL function surface — " +
     "spark.sql users get the graft functions without calling register") {
     // newSession() = fresh function registry (only built-ins survive):
