@@ -28,7 +28,10 @@ final class StatusServer(
     status: () => ClusterStatus,
     serverNames: () => Seq[(String, Boolean)],
     adminUser: String = "admin", // conf [http] admin-user default
-    adminPassword: String = "admin") {
+    adminPassword: String = "admin",
+    // non-empty → serve files under this dir at "/" (the reference's
+    // static UI path, webserver.go:81-87); "" keeps the JSON-only API
+    staticDir: String = "") {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // token → expiry epoch-ms; pruned on every login/validation so a
@@ -162,6 +165,39 @@ final class StatusServer(
       else respond(ex, 401, jstr("unauthorized")))
     server.createContext("/login", handleLogin _)
     server.createContext("/logout", handleLogout _)
+    // static UI at the root (webserver.go:81-87 serves the built HTML
+    // dir the same way); "/" is the longest-prefix fallback, so the
+    // /api/* and /login|/logout contexts above still win
+    if (staticDir.nonEmpty)
+      server.createContext("/", (ex: HttpExchange) => {
+        val rel = ex.getRequestURI.getPath.stripPrefix("/") match {
+          case "" => "index.html"
+          case p  => p
+        }
+        val base = java.nio.file.Paths.get(staticDir)
+          .toAbsolutePath.normalize()
+        val target = base.resolve(rel).normalize()
+        // normalize+startsWith closes ../ traversal out of the dir
+        if (!target.startsWith(base) ||
+            !java.nio.file.Files.isRegularFile(target))
+          respond(ex, 404, jstr("not found"))
+        else {
+          val bytes = java.nio.file.Files.readAllBytes(target)
+          val name = target.getFileName.toString
+          val ct =
+            if (name.endsWith(".html")) "text/html"
+            else if (name.endsWith(".css")) "text/css"
+            else if (name.endsWith(".js")) "application/javascript"
+            else if (name.endsWith(".json")) "application/json"
+            else if (name.endsWith(".png")) "image/png"
+            else if (name.endsWith(".ico")) "image/x-icon"
+            else "application/octet-stream"
+          ex.getResponseHeaders.set("Content-Type", ct)
+          ex.sendResponseHeaders(200, bytes.length)
+          val os = ex.getResponseBody
+          os.write(bytes); os.close()
+        }
+      })
     server.setExecutor(null)
     server.start()
   }

@@ -84,4 +84,39 @@ class StatusServerSpec extends AnyFunSuite {
       }
     } finally srv.stop()
   }
+
+  test("static UI dir serves at / (webserver.go:81-87): index.html for " +
+    "the root, correct content types, API still wins, traversal closed") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_static").toString
+    Files.writeString(Paths.get(dir, "index.html"),
+      "<html>graft ui</html>"): Unit
+    Files.writeString(Paths.get(dir, "app.css"), "body{}"): Unit
+    val status = ClusterStatus("OK", 0L, 0L, masterState = true,
+      masterLastOkNs = 1L, slaveState = true, slaveLastOkNs = 1L)
+    val srv = new StatusServer(0, () => status, () => Nil,
+      staticDir = dir)
+    srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv.boundPort}$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val root = get("/")
+      assert(root.statusCode() == 200)
+      assert(root.body() == "<html>graft ui</html>")
+      assert(root.headers().firstValue("Content-Type").get() == "text/html")
+      val css = get("/app.css")
+      assert(css.statusCode() == 200 && css.body() == "body{}")
+      assert(css.headers().firstValue("Content-Type").get() == "text/css")
+      assert(get("/missing.js").statusCode() == 404)
+      // longest-prefix routing: the JSON API still wins over the static
+      // fallback
+      assert(get("/api/health").body().contains("\"ClusterState\""))
+      // path traversal out of the static dir is a 404, not a file read
+      // (the JDK server normalizes "..", so encode the dots)
+      assert(get("/%2e%2e/%2e%2e/etc/passwd").statusCode() == 404)
+    } finally srv.stop()
+  }
 }
