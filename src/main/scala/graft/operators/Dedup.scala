@@ -234,6 +234,44 @@ object Dedup {
       .select(col(idCol).as("id"),
         MinHash.simhashCol(col(textCol)).as("simhash"))
 
+  /** SimHash near-duplicate pairs via Hamming-distance banding — the
+    * scale path that makes the fingerprints actionable: the 60-bit
+    * simhash splits into `bands` contiguous chunks, docs sharing ANY
+    * chunk value become candidates (a well-distributed (band, key)
+    * bucket join — never all-pairs), and the exact Hamming distance
+    * filters candidates. By pigeonhole, a pair within `maxHamming` <
+    * `bands` differing bits must agree on at least one band, so unlike
+    * the MinHash-LSH chain this banding has EXACT recall at the
+    * configured radius (the standard Manku/Jain/Sarma web-dedup
+    * construction). Output: (id_a, id_b, hamming). */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val bits = 60 // MinHash.SimHash packs 60 bits (md5-derived)
+    require(bands > 0 && bits % bands == 0,
+      s"bands=$bands must divide $bits")
+    require(maxHamming < bands,
+      s"exact recall needs maxHamming=$maxHamming < bands=$bands " +
+        "(pigeonhole: one band must be untouched)")
+    val w = bits / bands
+    val banded = simhash(df, idCol, textCol)
+      .select(col("id"), col("simhash"),
+        posexplode(array((0 until bands).map { b =>
+          shiftright(col("simhash"), b * w)
+            .bitwiseAND(lit((1L << w) - 1))
+        }: _*)).as(Seq("band", "band_key")))
+    val a = banded.select(col("band"), col("band_key"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Duplicate CLUSTERS from near-dup pairs: connected components by
     * iterative min-label propagation — each doc ends up labeled with the
     * smallest doc id reachable through the pair graph, which is the

@@ -235,6 +235,38 @@ object PipelineQueries {
           .replaceAll("\\s+", " ")
       }),
 
+    // SimHash near-dup pairs via Hamming banding: 4 bands of 15 bits,
+    // pairs sharing any band value filtered to exact hamming ≤ 3 —
+    // EXACT recall at that radius by pigeonhole (one band must be
+    // untouched), unlike the probabilistic MinHash-LSH chain. The
+    // oracle replicates banding + bit_count(xor) bit-for-bit.
+    "dedup_simhash_pairs" -> QueryDef(
+      (s, dir) => Dedup.simhashNearDupPairs(docs(s, dir), "doc_id",
+        "text", maxHamming = 3, bands = 4),
+      Some {
+        val votes = (0 until 60)
+          .map(b => s"sum(((h>>$b)&1)*2-1) AS v$b").mkString(", ")
+        val packed = (0 until 60)
+          .map(b => s"CASE WHEN v$b>0 THEN ${1L << b} ELSE 0 END")
+          .mkString("(", " + ", ")")
+        s"""WITH wd AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+          FROM documents),
+          h AS (SELECT doc_id, ('0x'||substr(md5(w),1,15))::BIGINT AS h
+          FROM wd),
+          v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+          sh AS (SELECT doc_id AS id, $packed::BIGINT AS simhash FROM v),
+          bx AS (SELECT id, simhash, g.b AS band,
+            (simhash >> (g.b*15)) & 32767 AS band_key
+            FROM sh, (SELECT unnest(generate_series(0,3)) AS b) g),
+          cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+            a.simhash AS sh_a, b.simhash AS sh_b FROM bx a
+            JOIN bx b ON a.band=b.band AND a.band_key=b.band_key
+              AND a.id < b.id)
+          SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+          FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3"""
+          .replaceAll("\\s+", " ")
+      }),
+
     // embedding near-duplicate pairs (cosine ≥ 0.95) via SRP-LSH buckets
     // — the scale path (bucketed self-join, no crossJoin). The DuckDB
     // oracle is the exact all-pairs form: at a 0.95 threshold with

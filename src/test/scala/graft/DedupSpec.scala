@@ -107,6 +107,33 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("simhash Hamming banding: EXACT recall at maxHamming < bands — " +
+    "banded pairs == brute-force all-pairs at radius 3 (pigeonhole)") {
+    // synthetic corpus with planted duplicates: exact copies (hamming 0)
+    // and single-word edits (small hamming) among unrelated docs
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(seed: Int): String =
+      (0 until 30).map(i => words((seed * 31 + i * 7) % words.size))
+        .mkString(" ")
+    val docs = (0 until 120).map(i => (i.toLong, doc(i))) ++
+      (0 until 25).map(i => (200L + i, doc(i))) ++ // exact copies
+      (0 until 25).map(i => (300L + i, doc(i) + " omega")) // 1-word edit
+    val d = docs.toDF("doc_id", "text")
+    val sim = Dedup.simhash(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (i, si) <- sim; (j, sj) <- sim if i < j
+      h = java.lang.Long.bitCount(si ^ sj).toLong if h <= 3
+    } yield (i, j, h)).toSet
+    assert(expected.nonEmpty) // exact copies guarantee hamming-0 pairs
+    val got = Dedup
+      .simhashNearDupPairs(d, "doc_id", "text", maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == expected)
+  }
+
   test("planted near-duplicates: SRP-LSH recall ≥ 0.95 at the 0.95 " +
     "threshold (the registry's sf0.1 run has no true pairs — engine and " +
     "oracle both return 0 rows there — so THIS is the non-vacuous " +
