@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query subset (local iteration
+    // tool; the driver always passes exactly two args → full dump)
+    val (sfDir, outDir) = (args(0), args(1))
+    val subset: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +20,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Sessions.bootstrap(spark): Unit
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // drop any previous run's output FIRST: a query failing before its
       // write would otherwise leave stale parquet that false-passes the
       // oracle compare

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines (north-star;
+  * absent in the reference — BASELINE.json north_star): benchmark
+  * decontamination, repetition metrics, unigram-LM quality scoring, and
+  * deterministic stratified sampling.
+  *
+  * Shared conventions with the dedup family: n-grams come from
+  * [[Dedup.shingles]], n-gram join keys are the 60-bit md5-prefix hash
+  * (BIGINT-exact in any oracle engine), and every ratio is a SINGLE IEEE
+  * division of integer counts — bit-deterministic across engines. Only
+  * multi-row double aggregates (the LM average) need rounding.
+  */
+object Curation {
+
+  /** 60-bit n-gram hash (md5 prefix), the join-key convention of the
+    * dedup family: joining on the hash instead of the n-gram string
+    * keeps the shuffle rows fixed-width 8 bytes — at 100 TB the n-gram
+    * text never crosses the network. */
+  private def ngramHashes(text: Column, n: Int): Column =
+    transform(Dedup.shingles(text, n),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+
+  /** Benchmark decontamination: for each corpus document, the number of
+    * distinct word n-grams it shares with a held-out benchmark set (the
+    * published contamination check run before every training job: docs
+    * with any overlap get dropped or flagged).
+    *
+    * Plan shape for 100 TB: the benchmark side is the SMALL side by
+    * construction (a held-out eval set, not a second corpus) — its
+    * distinct n-gram hashes are broadcast, so the corpus-side n-gram
+    * rows never shuffle for the join; the only wide exchange is the
+    * per-(doc, gram) distinct, which carries two BIGINTs per row.
+    * Output: (id, n_contaminated) for corpus docs with ≥ 1 shared
+    * n-gram; clean docs are absent (filter semantics, not annotation). */
+  def ngramContamination(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(ngramHashes(col(textCol), n)).as("g")).distinct()
+    val docGrams = corpus
+      .select(col(idCol).as("id"),
+        explode(ngramHashes(col(textCol), n)).as("g"))
+      .distinct()
+    docGrams.join(broadcast(benchGrams), "g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  /** Repetition metrics (the Gopher-style repetition filters): per doc,
+    * the fraction of n-gram occurrences taken by the single most
+    * frequent n-gram (`top_ngram_frac`) and the fraction of occurrences
+    * that are repeats of an earlier n-gram (`dup_ngram_frac`).
+    * High values ⇒ boilerplate / degenerate text.
+    *
+    * Two aggregates: (doc, gram) counts (partial-agg'd map-side, key
+    * width bounded by the n-gram hash), then a per-doc rollup of
+    * max/sum/count — the second shuffle carries one row per distinct
+    * (doc, gram), already a fraction of the corpus. Docs with < n words
+    * have no n-grams and are absent (same convention as the
+    * minhash/shingle chain). Each ratio is one IEEE divide of two
+    * integer counts — bit-deterministic, no rounding needed. */
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(ngramHashes(col(textCol), n)).as("g"))
+      .groupBy(col("id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("id"),
+        (col("top_cnt").cast("double") / col("total"))
+          .as("top_ngram_frac"),
+        ((col("total") - col("n_distinct")).cast("double") / col("total"))
+          .as("dup_ngram_frac"))
+
+  /** Unigram language-model quality score: each doc's mean log
+    * probability under the corpus's own unigram distribution — the
+    * cheap stand-in for perplexity-based quality filtering (docs of
+    * rare-word noise score low; formulaic docs score high).
+    *
+    * Two passes over the exploded words: a global word-frequency
+    * aggregate, then a broadcast join back. The frequency frame is
+    * VOCABULARY-sized (≪ corpus at any scale — natural-language vocab
+    * is millions of rows, megabytes), so the total-count window over
+    * the unpartitioned frame and the broadcast are both safe; the
+    * corpus-side word rows never shuffle for the join. avg over doubles
+    * is order-dependent ⇒ rounded to 1e-6 (the registry-wide
+    * convention for multi-row double aggregates). */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val w = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val probs = w.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("w"),
+        (col("n").cast("double") / col("total")).as("p"))
+    w.join(broadcast(probs), "w")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(log(col("p"))), 6).as("avg_logprob_r"))
+  }
+
+  /** Deterministic stratified sampling: per-stratum hash-threshold
+    * sampling with an exact, stable fraction per stratum (domain-mixing
+    * weights: oversample curated sources, downsample crawl). Basis-point
+    * buckets come from md5("stratum#id") — salting the hash with the
+    * stratum DECORRELATES sampling from the md5(id) train/val/test
+    * split (the same hash would make "sampled" correlate with "train"),
+    * and hash-based selection is STABLE: re-running over a grown corpus
+    * never flips old docs in or out. Pure projection + filter —
+    * embarrassingly parallel, zero shuffle, no RNG. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double)
+      : DataFrame = {
+    val bucket = pmod(conv(substring(md5(
+        concat(col(stratumCol), lit("#"), col(idCol).cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(10000))
+    val thresholdBp = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(math.round(defaultFraction * 10000))) {
+        case (acc, (stratum, f)) =>
+          when(col(stratumCol) === stratum,
+            lit(math.round(f * 10000))).otherwise(acc)
+      }
+    df.select(col(idCol).as("id"), col(stratumCol).as("stratum"),
+        bucket.as("bucket"))
+      .filter(col("bucket") < thresholdBp)
+  }
+
+  /** Sequence packing: assign docs (in id order) to fixed token-budget
+    * packs — the "concatenate and chop" batching every LM training run
+    * performs. pack_id = floor(exclusive running token total / budget);
+    * a doc straddling a boundary starts its pack at the straddle (the
+    * standard greedy-contiguous contract, deterministic in id order).
+    *
+    * The running total is a DISTRIBUTED TWO-LEVEL PREFIX SUM, not a
+    * global ordered window (`Window.orderBy(id)` with no partition key
+    * funnels the whole corpus into one task — the single-reducer trap):
+    * per-bucket cumulative sums run in parallel over id-range buckets,
+    * bucket offsets are a window over the BUCKET-COUNT-sized totals
+    * frame (tiny by construction — that single partition holds
+    * |corpus|/bucketSize rows), and the offsets broadcast back. Every
+    * step is exact integer math — bit-equal to the single-window form
+    * at any partitioning. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, bucketSize: Int = 4096): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.bpeTokens(col(textCol)).as("tokens"))
+    val bucketed = toks.withColumn("bucket",
+      floor(col("id") / bucketSize).cast("long"))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = bucketed.withColumn("local_cum",
+      sum(col("tokens")).over(inBucket))
+    val prevBuckets = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("tokens")).as("btot"))
+      .withColumn("offset",
+        coalesce(sum(col("btot")).over(prevBuckets), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    withLocal.join(broadcast(offsets), "bucket")
+      .select(col("id"), col("tokens"),
+        floor((col("local_cum") + col("offset") - col("tokens"))
+          / budget).cast("long").as("pack_id"))
+  }
+}

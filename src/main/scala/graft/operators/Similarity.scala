@@ -498,4 +498,50 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     topKPerQuery(scored, k)
   }
+
+  /** Semantic dedup (the SemDeDup recipe): k-means-cluster the
+    * embeddings, compare cosine ONLY within each cluster, and drop every
+    * vector that has a near-duplicate (cosine ≥ threshold) with a
+    * smaller id in its cluster — keep-first, deterministic. Output is
+    * one row per input vector: (id, cluster, keep).
+    *
+    * Scale shape: cluster assignment is a pure projection over nlist
+    * literal centroids (zero shuffle, same `centroidRanks` kernel as
+    * IVF); the pairwise stage is a self-join on the cluster id, so pair
+    * work is Σ|cluster|² instead of |corpus|² — at 100 TB, nClusters
+    * scales with the corpus to keep clusters bounded (the published
+    * recipe uses ~100k clusters for billion-scale corpora). Quantizer
+    * training samples at most `sampleN` vectors (bounded driver memory).
+    * Keep-first over-drops chains (a~b, b~c, a≁c drops both b and c)
+    * relative to one-per-connected-component — the standard, cheaper
+    * verdict; cluster-local comparison already makes recall approximate.
+    * With nClusters=1 the verdicts are EXACT all-pairs keep-first
+    * (differential-tested in SimilaritySpec). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nClusters: Int = 16, iters: Int = 5,
+      sampleN: Int = 2048): DataFrame = {
+    val sample = prep(emb, idCol, vecCol, "id", "v", "n")
+      .orderBy(col("id")).limit(sampleN)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cents = kmeansCentroids(sample, nClusters, iters)
+    val assigned = prep(emb, idCol, vecCol, "id", "v", "n")
+      .withColumn("cluster",
+        element_at(centroidRanks(cents, col("v"), col("n")), 1)
+          ("centroid").cast("long"))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(vecDot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("dropFlag", lit(true))
+    assigned.select(col("id"), col("cluster"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(!col("dropFlag"), lit(true)).as("keep"))
+  }
 }

@@ -69,16 +69,21 @@ object TextAnalysis {
     df.select(col(idCol).as("id") +:
       (qualityCols(textCol, stopwords) ++ langCols(textCol, markers)): _*)
 
-  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
-    * (ceil(len(word)/4) pieces per word — the common ~4-chars-per-token
-    * heuristic), both exact integers. */
+  /** BPE-ish subword estimate for a text column: ceil(len(word)/4)
+    * pieces per word (the common ~4-chars-per-token heuristic), an exact
+    * integer — shared by [[tokenCounts]] and Curation.packSequences. */
+  def bpeTokens(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, x) => acc + floor((length(x) + lit(3)) / lit(4)))
+
+  /** Token counting: whitespace tokens plus the BPE-ish subword
+    * estimate, both exact integers. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = words(col(textCol))
     df.select(
       col(idCol).as("id"),
       size(w).cast("long").as("ws_tokens"),
-      aggregate(w, lit(0L), (acc, x) => acc + floor((length(x) + lit(3)) / lit(4)))
-        .as("bpe_tokens"))
+      bpeTokens(col(textCol)).as("bpe_tokens"))
   }
 
   /** Document fingerprints: content hash, 64-bit prefix, and an

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -540,6 +540,115 @@ object PipelineQueries {
       Some("""SELECT least(len(string_split(text,' '))//10, 20)::BIGINT
           AS bucket, count(*)::BIGINT AS n_docs
         FROM documents GROUP BY 1""".replaceAll("\\s+", " "))),
+
+    // benchmark decontamination: train-split docs sharing any exact word
+    // 5-gram with the held-out test split (the pre-training contamination
+    // check). Benchmark n-gram hashes are broadcast (the held-out side is
+    // small by construction); join keys are the 60-bit md5-prefix hashes
+    // so shuffle rows stay fixed-width.
+    "decontaminate_ngram" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("b",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast("long"), lit(100)))
+        Curation.ngramContamination(
+          d.filter(col("b") < 80), d.filter(col("b") >= 90),
+          "doc_id", "text", 5)
+      },
+      Some(s"""WITH $WordsCte,
+        sh5 AS (SELECT doc_id, unnest(list_transform(
+          generate_series(1, len(w)-4),
+          i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))
+          AS s FROM words),
+        g AS (SELECT DISTINCT doc_id,
+          ('0x'||substr(md5(s),1,15))::BIGINT AS g FROM sh5),
+        sp AS (SELECT doc_id,
+          ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS b
+          FROM documents),
+        bench AS (SELECT DISTINCT g.g FROM g JOIN sp USING(doc_id)
+          WHERE sp.b >= 90)
+        SELECT g.doc_id AS id, count(*)::BIGINT AS n_contaminated
+        FROM g JOIN sp USING(doc_id) JOIN bench ON g.g=bench.g
+        WHERE sp.b < 80 GROUP BY 1""".replaceAll("\\s+", " "))),
+
+    // Gopher-style repetition metrics: per doc, the occurrence share of
+    // its most frequent bigram and the fraction of bigram occurrences
+    // that repeat an earlier one. Single-IEEE-divide ratios of integer
+    // counts — no rounding needed.
+    "text_repetition" -> QueryDef(
+      (s, dir) => Curation.repetition(docs(s, dir), "doc_id", "text", 2),
+      Some(s"""WITH $WordsCte,
+        sh2 AS (SELECT doc_id, unnest(list_transform(
+          generate_series(1, len(w)-1), i -> w[i]||' '||w[i+1])) AS s
+          FROM words),
+        gh AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT AS g
+          FROM sh2),
+        c AS (SELECT doc_id, g, count(*)::BIGINT AS cnt FROM gh
+          GROUP BY 1, 2),
+        r AS (SELECT doc_id, max(cnt)::BIGINT AS top_cnt,
+          sum(cnt)::BIGINT AS total, count(*)::BIGINT AS nd FROM c
+          GROUP BY 1)
+        SELECT doc_id AS id, top_cnt::DOUBLE/total::DOUBLE
+          AS top_ngram_frac, (total-nd)::DOUBLE/total::DOUBLE
+          AS dup_ngram_frac FROM r""".replaceAll("\\s+", " "))),
+
+    // unigram-LM quality score: mean log prob of each doc under the
+    // corpus unigram distribution (the cheap perplexity-filter analog).
+    // Vocabulary-sized frequency frame broadcast back to the word rows;
+    // avg over doubles rounded to 1e-6 (registry convention).
+    "text_unigram_logprob" -> QueryDef(
+      (s, dir) => Curation.unigramLogProb(docs(s, dir), "doc_id", "text"),
+      Some(s"""WITH $WordsCte,
+        wx AS (SELECT doc_id, unnest(w) AS w FROM words),
+        freq AS (SELECT w, count(*)::BIGINT AS n FROM wx GROUP BY 1),
+        t AS (SELECT sum(n)::BIGINT AS total FROM freq),
+        p AS (SELECT w, n::DOUBLE/total::DOUBLE AS p FROM freq, t)
+        SELECT doc_id AS id, count(*)::BIGINT AS n_words,
+          round(avg(ln(p)),6) AS avg_logprob_r
+        FROM wx JOIN p USING(w) GROUP BY 1""".replaceAll("\\s+", " "))),
+
+    // deterministic stratified sampling: per-language hash-threshold
+    // fractions (en 50%, de 25%, rest 10%) — domain-mixing weights. The
+    // bucket hash is salted with the stratum so sampling stays
+    // decorrelated from the md5(id) train/val/test split.
+    "pipeline_stratified_sample" -> QueryDef(
+      (s, dir) => Curation.stratifiedSample(docs(s, dir), "doc_id",
+        "lang", Map("en" -> 0.5, "de" -> 0.25), 0.1),
+      Some("""WITH b AS (SELECT doc_id, lang,
+          ('0x'||substr(md5(lang||'#'||doc_id::VARCHAR),1,15))::BIGINT
+            % 10000 AS bucket FROM documents)
+        SELECT doc_id AS id, lang AS stratum, bucket FROM b
+        WHERE bucket < CASE lang WHEN 'en' THEN 5000
+          WHEN 'de' THEN 2500 ELSE 1000 END"""
+        .replaceAll("\\s+", " "))),
+
+    // sequence packing: docs → fixed 2048-token-budget packs in id
+    // order (the "concatenate and chop" LM batching step). The running
+    // token total is a distributed two-level prefix sum (per-id-range
+    // partial sums + a tiny bucket-offset window), never a global
+    // ordered window; the oracle IS the global-window form — bit-equal
+    // exact integer math.
+    "pipeline_pack_sequences" -> QueryDef(
+      (s, dir) => Curation.packSequences(docs(s, dir), "doc_id", "text",
+        budget = 2048, bucketSize = 100),
+      Some(s"""WITH $WordsCte,
+        tok AS (SELECT doc_id, list_sum(list_transform(w,
+          x -> (length(x)+3)//4))::BIGINT AS tokens FROM words),
+        c AS (SELECT doc_id, tokens, sum(tokens) OVER (ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum FROM tok)
+        SELECT doc_id AS id, tokens, ((cum - tokens) // 2048)::BIGINT
+          AS pack_id FROM c""".replaceAll("\\s+", " "))),
+
+    // semantic dedup (SemDeDup): k-means clusters over the embeddings,
+    // keep-first verdicts on within-cluster cosine ≥ 0.3 pairs (the
+    // synthetic embeddings top out at cosine ≈ 0.51 — 0.95-style
+    // thresholds would be vacuously all-keep here). k-means is not
+    // oracle-able → rows-only; the nClusters=1 ≡ exact all-pairs
+    // differential and planted-duplicate recall are in SimilaritySpec.
+    "dedup_semantic" -> QueryDef(
+      (s, dir) => Similarity.semanticDedup(emb(s, dir), "vec_id",
+        "embedding", threshold = 0.3, nClusters = 16),
+      None),
 
     // multimodal: metadata/describe pass over binary payloads.
     "mm_describe" -> QueryDef(

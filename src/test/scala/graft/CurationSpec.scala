@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.Curation
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("ngramContamination flags exactly the docs sharing a benchmark " +
+    "n-gram, counting distinct shared grams once") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares the 5-gram
+      (2L, "alpha beta gamma delta epsilon zeta eta"), // shares two
+      (3L, "one two three four five six"), // clean
+      (4L, "alpha beta gamma delta") // < 5 words → no 5-grams
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta"),
+      (101L, "unrelated words here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = Curation.ngramContamination(corpus, bench, "doc_id",
+      "text", 5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 3L))
+  }
+
+  test("ngramContamination counts a gram once per doc even when " +
+    "repeated in doc and benchmark") {
+    val corpus = Seq(
+      (1L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val out = Curation.ngramContamination(corpus, bench, "doc_id",
+      "text", 5).collect()
+    // doc 1 has 6 5-gram positions but only 5 DISTINCT 5-grams:
+    // "a b c d e"(×2), "b c d e a", "c d e a b", "d e a b c", "e a b c d"
+    assert(out.length == 1 && out.head.getLong(1) == 5L)
+  }
+
+  test("repetition: top and duplicate bigram fractions") {
+    val d = Seq(
+      (1L, "x y x y x y"), // bigrams: xy yx xy yx xy → top 3/5, dup 3/5
+      (2L, "a b c d"), // all distinct: top 1/3, dup 0
+      (3L, "solo") // < 2 words → absent
+    ).toDF("doc_id", "text")
+    val out = Curation.repetition(d, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(math.abs(out(1L)._1 - 3.0 / 5) < 1e-12)
+    assert(math.abs(out(1L)._2 - 3.0 / 5) < 1e-12)
+    assert(math.abs(out(2L)._1 - 1.0 / 3) < 1e-12)
+    assert(out(2L)._2 == 0.0)
+  }
+
+  test("unigramLogProb: uniform corpus scores ln(1/V) per word; rare " +
+    "words score lower") {
+    // 4 words, each appearing exactly twice → p = 1/4 for all
+    val uniform = Seq((1L, "a b"), (2L, "c d"), (3L, "a b"), (4L, "c d"))
+      .toDF("doc_id", "text")
+    val u = Curation.unigramLogProb(uniform, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = BigDecimal(math.log(0.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(u.length == 4 && u.forall(_._2 == 2L))
+    assert(u.forall(r => math.abs(r._3 - expected) < 1e-9))
+
+    // doc of common words outscores the doc of rare words
+    val skewed = Seq(
+      (1L, "common common common common"),
+      (2L, "rare1 rare2 rare3 rare4"))
+      .toDF("doc_id", "text")
+    val sc = Curation.unigramLogProb(skewed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sc(1L) > sc(2L))
+  }
+
+  test("stratifiedSample: per-stratum rates land near their fractions, " +
+    "selection is stable, and strata don't correlate with the split") {
+    val d = (0L until 4000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val fr = Map("en" -> 0.5, "de" -> 0.1)
+    val out = Curation.stratifiedSample(d, "doc_id", "lang", fr, 0.0)
+      .collect()
+    val byLang = out.groupBy(_.getString(1)).map { case (l, rs) =>
+      l -> rs.length.toDouble / 2000 }
+    assert(math.abs(byLang("en") - 0.5) < 0.05, byLang)
+    assert(math.abs(byLang("de") - 0.1) < 0.03, byLang)
+    // stability: re-running selects the identical id set
+    val again = Curation.stratifiedSample(d, "doc_id", "lang", fr, 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_.getLong(0)).toSet)
+    // buckets are salted with the stratum → disjoint from the md5(id)
+    // split hash: among sampled en docs, the train/val/test bucket mix
+    // should stay ≈ 80/10/10 (gross correlation would skew it)
+    val enIds = out.filter(_.getString(1) == "en").map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def splitBucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val trainFrac =
+      enIds.count(splitBucket(_) < 80).toDouble / enIds.length
+    assert(math.abs(trainFrac - 0.8) < 0.05, s"trainFrac=$trainFrac")
+  }
+
+  test("packSequences: distributed prefix sum matches the sequential " +
+    "global form for any bucket size; packs respect the budget") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 300L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(30))("wordword").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text").repartition(7)
+    def run(bucketSize: Int) =
+      Curation.packSequences(df, "doc_id", "text", budget = 64,
+        bucketSize = bucketSize)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+    // sequential reference: exclusive cumsum // budget in id order
+    val toks = docs.map { case (i, t) =>
+      (i, t.split(" ").map(w => (w.length + 3) / 4).sum.toLong)
+    }
+    var cum = 0L
+    val expected = toks.map { case (i, t) =>
+      val p = cum / 64; cum += t; (i, t, p)
+    }
+    assert(run(100).toSeq == expected)
+    // bucket-size invariance (boundaries at 17 split mid-pack)
+    assert(run(17).toSeq == expected)
+    assert(run(1000).toSeq == expected)
+  }
+}

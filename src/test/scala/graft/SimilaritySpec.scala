@@ -142,4 +142,45 @@ class SimilaritySpec extends AnyFunSuite {
       exactCos.get(key).foreach(c => assert(r.getDouble(3) == c, key))
     }
   }
+
+  test("semanticDedup: nClusters=1 reproduces exact all-pairs " +
+    "keep-first verdicts") {
+    val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
+    val thr = 0.3
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding", thr,
+      nClusters = 1).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // exact reference: drop any id with a smaller-id neighbor at ≥ thr
+    val exactDropped = Similarity
+      .cosinePairs(e, "vec_id", "embedding")
+      .filter($"cosine" >= thr)
+      .select($"id_b").distinct().collect().map(_.getLong(0)).toSet
+    val n = e.count()
+    assert(out.size == n)
+    assert(out.filterNot(_._2).keySet == exactDropped)
+    assert(exactDropped.nonEmpty, "threshold too high — vacuous test")
+  }
+
+  test("semanticDedup: planted near-duplicates are dropped, one " +
+    "representative kept per planted group") {
+    // 200 well-spread base vectors + a perturbed copy of each of the
+    // first 40 (cosine ≈ 1 ≫ any cross-pair cosine)
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 200L).map(i =>
+      (i, Array.fill(32)(rnd.nextGaussian().toFloat).toSeq))
+    val dups = base.take(40).map { case (i, v) =>
+      (1000L + i, v.map(x => x + 0.001f * (i % 3 - 1)))
+    }
+    val e = (base ++ dups).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding",
+      threshold = 0.95, nClusters = 8, sampleN = 512).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val droppedPlanted =
+      dups.map(_._1).count(id => !out(id)).toDouble / dups.length
+    // cluster-local comparison is approximate; near-identical copies
+    // land in the same cluster essentially always
+    assert(droppedPlanted >= 0.95, s"planted drop rate $droppedPlanted")
+    // every base original survives (no cross-pair reaches 0.95)
+    assert(base.map(_._1).forall(out(_)), "a base vector was dropped")
+  }
 }
