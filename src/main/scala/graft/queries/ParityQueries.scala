@@ -80,6 +80,28 @@ object ParityQueries {
           round(sum(value),4) AS sum_value
         FROM events GROUP BY 1, 2""".replaceAll("\\s+", " "))),
 
+    // sliding event-time windows (2 h length, 1 h hop): every event
+    // lands in exactly two windows — Spark's window() explodes the
+    // covering set natively; the oracle unnests the two hour-aligned
+    // starts. Completes the window family (tumbling/sliding/session).
+    "win_sliding" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("time"), "2 hours", "1 hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(expr("unix_micros(window.start)").as("w_start_us"),
+          col("event_type"), col("n"), col("sum_value")),
+      Some("""WITH e AS (SELECT epoch_us(ts) AS t, event_type, value
+          FROM events),
+        w AS (SELECT unnest([
+            (t // 3600000000) * 3600000000 - 3600000000,
+            (t // 3600000000) * 3600000000]) AS w_start_us,
+          event_type, value FROM e)
+        SELECT w_start_us, event_type, count(*)::BIGINT AS n,
+          round(sum(value),4) AS sum_value
+        FROM w GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
     // End-to-end copy: chunked scan → partitioned sink, run TWICE to
     // prove blind re-copy idempotence (dynamic partition overwrite ≅
     // InfluxDB point upsert; SURVEY.md §7.3 hard part 4).

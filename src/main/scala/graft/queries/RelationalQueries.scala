@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{SkewJoin, TemporalJoin}
+import graft.operators.{Profiling, SkewJoin, TemporalJoin}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -353,6 +353,26 @@ object RelationalQueries {
         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         round(avg(o_totalprice),2) AS avg_price
         FROM orders GROUP BY o_orderpriority""".replaceAll("\\s+", " "))),
+
+    // ANALYZE-style column profile: ONE scan, one Expand+two-phase
+    // aggregate for all per-column non-null/exact-distinct/min/max
+    // stats, reshaped long. min/max stringified so the long format has
+    // a uniform schema across column types.
+    "stats_column_profile" -> QueryDef(
+      (s, dir) => Profiling.columnProfile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_discount", "l_returnflag",
+          "l_shipdate")),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+            count($c)::BIGINT AS n_nonnull,
+            count(DISTINCT $c)::BIGINT AS n_distinct,
+            min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
+            FROM lineitem"""
+        Seq("l_orderkey", "l_quantity", "l_discount", "l_returnflag",
+          "l_shipdate").map(one).mkString(" UNION ALL ")
+          .replaceAll("\\s+", " ")
+      }),
 
     // grouping sets via ROLLUP (NULL-marked subtotal rows).
     "agg_rollup" -> QueryDef(

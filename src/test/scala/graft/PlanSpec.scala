@@ -111,6 +111,54 @@ class PlanSpec extends AnyFunSuite {
       planOf("subq_exists").take(1500))
   }
 
+  test("curation scale shapes: benchmark grams and vocabulary broadcast; " +
+    "no curation op degenerates into a cartesian product") {
+    val decon = planOf("decontaminate_ngram")
+    assert(decon.contains("BroadcastHashJoin"), decon.take(2000))
+    assert(!decon.contains("CartesianProduct"), decon.take(2000))
+    val lm = planOf("text_unigram_logprob")
+    assert(lm.contains("BroadcastHashJoin"), lm.take(2000))
+    for (q <- Seq("dedup_semantic", "text_repetition",
+      "pipeline_stratified_sample")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(2000)}")
+    }
+  }
+
+  test("pack_sequences' corpus-sized running sum is a bucket-partitioned " +
+    "window (the distributed prefix sum), never an unpartitioned global " +
+    "ordered window over the docs") {
+    val df = SparkEntry.queries("pipeline_pack_sequences")(spark, dir)
+    df.collect(): Unit
+    val p = df.queryExecution.executedPlan.toString
+    // the per-doc cumulative sum partitions by the id-range bucket
+    assert("windowspecdefinition\\(bucket#\\d+L, id#\\d+L".r
+      .findFirstIn(p).isDefined, p.take(3000))
+    // the only unpartitioned ordered window runs over the bucket-totals
+    // frame (|corpus|/bucketSize rows), recognizable by its btot input
+    val unpartitioned = "windowspecdefinition\\(([a-z_]+)#\\d+L ASC".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(unpartitioned.subsetOf(Set("bucket")), s"$unpartitioned\n" +
+      p.take(3000))
+  }
+
+  test("column profile: per-column passes each scan ONLY their column " +
+    "(pruned ReadSchema), with no Expand row blowup") {
+    // AQE's string form appends "== Initial Plan ==" — inspect the
+    // final plan only
+    val p = planOf("stats_column_profile").split("== Initial Plan ==")(0)
+    // the wide-agg form plans a 6-way Expand (measured 6× slower);
+    // the union-of-pruned-scans form must not
+    assert(!p.contains("Expand"), p.take(3000))
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    // every scan reads exactly one column: struct<l_xxx:type>, never a
+    // multi-field struct
+    val multi = "ReadSchema: struct<[^>]*,".r.findFirstIn(schemas)
+    assert(multi.isEmpty, schemas)
+  }
+
   test("metadata-only multimodal pass prunes the payload column from " +
     "the scan when untouched (column pruning, SURVEY.md §4)") {
     // describe() reads payload (md5/size) by design; the frame-sampling
