@@ -287,11 +287,24 @@ object Dedup {
     * never |corpus|. Singletons (the overwhelming majority) join in once
     * at the end as their own cluster.
     *
+    * With `shortcut` (default), each iteration adds POINTER JUMPING
+    * (label compression, the classic parallel-CC shortcut): after the
+    * neighbor step, every label is replaced by its label's label —
+    * chain depths halve each round, so convergence needs O(log
+    * diameter) iterations instead of O(diameter). On a pathological
+    * 1000-doc duplicate CHAIN that is ~11 rounds instead of ~1000 —
+    * at 100 TB the difference between a job and a hang. The extra
+    * self-join doubles per-iteration shuffles, so for graphs KNOWN to
+    * have tiny diameters (typical LSH near-dup blobs) `shortcut =
+    * false` trades asymptotics back for constant factors. Fixpoints
+    * are identical (compression preserves reachability and
+    * monotonicity; differential-tested in DedupSpec).
+    *
     * @param docs  table holding every doc (singletons keep their own id)
     * @param pairs (id_a, id_b) near-dup pairs, id_a < id_b
     */
   def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 100): DataFrame = {
+      maxIters: Int = 100, shortcut: Boolean = true): DataFrame = {
     // cache the edge set: `pairs` is typically an expensive pipeline
     // (minhash→LSH→jaccard) that must not re-execute once per iteration
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -317,14 +330,35 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster"))
-      val next = labels.select(col("id"), col("cluster"))
+      val prop = labels.select(col("id"), col("cluster"))
         .unionAll(viaNeighbors)
         .groupBy("id").agg(min("cluster").as("cluster"))
-        .cache()
+      // pointer jumping: l(x) ← min(l(x), l(l(x))). Every label value
+      // is a graph-node id (a min over seen ids), so l(l(x)) is always
+      // defined; the inner join self-joins the (cached — three
+      // consumers) label frame only.
+      val propC = if (shortcut) Some(prop.cache()) else None
+      val jumped = propC match {
+        case None => prop
+        case Some(p) =>
+          val viaLabel = p.as("a")
+            .join(p.as("b"), col("a.cluster") === col("b.id"))
+            .select(col("a.id").as("id"), col("b.cluster").as("cluster"))
+          p.unionAll(viaLabel)
+            .groupBy("id").agg(min("cluster").as("cluster"))
+      }
+      // EAGER localCheckpoint, not cache: each round's plan references
+      // the previous round's 2× (3× with the self-join) — an
+      // exponentially growing lineage that OOMs plan stringification
+      // after ~10 rounds. Checkpointing materializes the ~|graph|-row
+      // label frame and truncates the plan to a leaf, keeping every
+      // round's plan constant-size (and making the convergence
+      // aggregate read materialized blocks).
+      val next = jumped.localCheckpoint(true)
       val s = labelSum(next)
+      propC.foreach(_.unpersist(): Unit)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist(): Unit
       labels = next
     }
     // silent non-convergence would split one true component into
@@ -333,12 +367,10 @@ object Dedup {
     require(converged,
       s"dupClusters did not converge in $maxIters iterations; " +
         "raise maxIters (bound = longest near-dup chain)")
-    // localCheckpoint truncates the lineage BEFORE the caches release:
-    // otherwise a later cache eviction would recompute labels through
-    // the (by then unpersisted) edges — re-running the whole pairs
-    // pipeline the cache exists to avoid
-    val graphLabels = labels.localCheckpoint(true)
-    labels.unpersist(): Unit
+    // labels left the loop already checkpointed (leaf plan, materialized
+    // blocks) — the edge cache can release without risking a recompute
+    // of the pairs pipeline
+    val graphLabels = labels
     edges.unpersist(): Unit
     // singletons (docs in no pair) label themselves — one left join,
     // outside the iteration

@@ -571,6 +571,58 @@ object PipelineQueries {
         FROM g JOIN sp USING(doc_id) JOIN bench ON g.g=bench.g
         WHERE sp.b < 80 GROUP BY 1""".replaceAll("\\s+", " "))),
 
+    // FUZZY decontamination: near-duplicate (not just exact-n-gram)
+    // overlap between the train and test splits — the MinHash-LSH
+    // chain catches paraphrase-level benchmark leakage that exact
+    // 5-gram matching misses. Reuses the dedup substrate end-to-end
+    // (signatures → bands → candidates → jaccard ≥ 0.5); split
+    // membership is DERIVED from the id hash as a pure projection, so
+    // restricting to cross-split pairs adds zero joins and zero
+    // shuffles on top of the chain.
+    "decontaminate_fuzzy" -> QueryDef(
+      (s, dir) => {
+        def bucketOf(c: org.apache.spark.sql.Column) =
+          pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+            .cast("long"), lit(100))
+        val d = docs(s, dir)
+        val sig = Dedup.minhashSignatures(d, "doc_id", "text",
+          MinhashK, ShingleLen)
+        val cand =
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+        val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
+          JaccardThreshold, candidates = Some(cand))
+        val (ba, bb) = (bucketOf(col("id_a")), bucketOf(col("id_b")))
+        pairs
+          .filter((ba < 80 && bb >= 90) || (ba >= 90 && bb < 80))
+          .select(
+            when(ba < 80, col("id_a")).otherwise(col("id_b"))
+              .as("train_id"),
+            when(ba < 80, col("id_b")).otherwise(col("id_a"))
+              .as("test_id"),
+            col("jaccard"))
+      },
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte,
+        $BandCte, $CandCte,
+        dsh AS (SELECT DISTINCT doc_id, s FROM shingle),
+        sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM dsh GROUP BY 1),
+        pr AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared
+          FROM cand c JOIN dsh a ON a.doc_id=c.id_a
+          JOIN dsh b ON b.doc_id=c.id_b AND b.s=a.s GROUP BY 1, 2),
+        jp AS (SELECT pr.id_a, pr.id_b,
+          n_shared/(x.n_sh + y.n_sh - n_shared) AS jaccard FROM pr
+          JOIN sz x ON pr.id_a=x.doc_id JOIN sz y ON pr.id_b=y.doc_id
+          WHERE n_shared/(x.n_sh + y.n_sh - n_shared)
+            >= $JaccardThreshold),
+        bk AS (SELECT id_a, id_b, jaccard,
+          ('0x'||substr(md5(id_a::VARCHAR),1,15))::BIGINT % 100 AS ba,
+          ('0x'||substr(md5(id_b::VARCHAR),1,15))::BIGINT % 100 AS bb
+          FROM jp)
+        SELECT CASE WHEN ba < 80 THEN id_a ELSE id_b END AS train_id,
+          CASE WHEN ba < 80 THEN id_b ELSE id_a END AS test_id, jaccard
+        FROM bk
+        WHERE (ba < 80 AND bb >= 90) OR (ba >= 90 AND bb < 80)"""
+        .replaceAll("\\s+", " "))),
+
     // Gopher-style repetition metrics: per doc, the occurrence share of
     // its most frequent bigram and the fraction of bigram occurrences
     // that repeat an earlier one. Single-IEEE-divide ratios of integer

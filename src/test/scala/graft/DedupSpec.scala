@@ -249,6 +249,36 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("dupClusters pointer jumping: identical fixpoint to plain " +
+    "propagation on a random graph; a 300-link chain converges in " +
+    "O(log n) rounds (plain propagation would need ~300)") {
+    import spark.implicits._
+    // random graph: 120 nodes, 80 random edges (seeded)
+    val rnd = new scala.util.Random(13)
+    val randPairs = (0 until 80).map { _ =>
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val rdocs = (0L until 120L).toDF("doc_id")
+    val rp = randPairs.toDF("id_a", "id_b")
+    val fast = Dedup.dupClusters(rdocs, "doc_id", rp, shortcut = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.dupClusters(rdocs, "doc_id", rp, shortcut = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+    // worst case: a single path 0-1-2-...-300. Label-distance to the
+    // minimum is the full chain length; pointer jumping must close it
+    // within ~log2(300)+slack rounds — maxIters = 15 PROVES the
+    // logarithmic behavior (plain propagation would throw here)
+    val n = 300L
+    val chainDocs = (0L to n).toDF("doc_id")
+    val chainPairs = (0L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chain = Dedup.dupClusters(chainDocs, "doc_id", chainPairs,
+      maxIters = 15, shortcut = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chain.values.forall(_ == 0L), chain.filter(_._2 != 0L).take(5))
+  }
+
   test("SQL registration: minhash_sig / simhash / sorted_intersect_count " +
     "callable from spark.sql and equal to the Column API") {
     graft.functions.MinHash.register(spark)
