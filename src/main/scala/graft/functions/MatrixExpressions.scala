@@ -1,0 +1,228 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+
+/** Vector×matrix kernels for the ANN family (SURVEY.md §7.2).
+  *
+  * The quantizer stages used to be composed from per-centroid `VecDot`
+  * expressions against `typedLit` arrays — semantically fine, but a
+  * 16-centroid ranking over 64-dim vectors put 1,024 literal doubles in
+  * the plan and a PQ encode/LUT pair put ~256 dot sub-trees; analysis +
+  * Janino compilation of those trees cost seconds PER QUERY (measured
+  * data-independent: `ann_ivfpq_topk` ran 11.4s cold / 2.3s warm at BOTH
+  * sf0.01 and sf0.1). Each kernel here is ONE expression node whose
+  * generated code calls a precompiled method — the plan shrinks by two
+  * orders of magnitude and the inner loops run as JIT'd Scala instead of
+  * giant Janino methods.
+  *
+  * Numeric contract (bit-identical to the expression-tree forms they
+  * replace, differential-tested in SimilaritySpec):
+  *  - dots are strict ascending-index folds over min(|vec|, |row|)
+  *    elements, like [[VectorExpressions.VecDot]];
+  *  - normalization is x/sqrt(ascending Σx²), zero-norm passthrough,
+  *    like the old `normalizedCol`;
+  *  - all argmax/rank tie-breaks are lowest-index-first, and NaN scores
+  *    compare as ties (every `<`/`>` on NaN is false), exactly like the
+  *    old `array_sort` three-way comparator / `array_position` forms.
+  */
+object MatrixExpressions {
+
+  /** Indices of `mat`'s rows ranked by dot(vec, row) DESC, ties (and
+    * NaN) row-index ASC — the centroid-ranking kernel. Ranking by raw
+    * dot equals ranking by cosine: the vector's norm is a per-row
+    * positive constant (zero-norm makes every score a tie either way). */
+  case class MatRank(child: Expression, mat: Array[Array[Double]])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(ArrayType(DoubleType))
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    def compute(a: ArrayData): ArrayData = {
+      val m = mat.length
+      val dots = new Array[Double](m)
+      var c = 0
+      while (c < m) {
+        val row = mat(c)
+        val n = math.min(a.numElements(), row.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += a.getDouble(i) * row(i); i += 1 }
+        dots(c) = s
+        c += 1
+      }
+      // insertion sort, ascending k: shifting ONLY on strictly-smaller
+      // keeps equal/NaN dots in index order (stable, first-wins)
+      val idx = new Array[Int](m)
+      var k = 0
+      while (k < m) {
+        var pos = k
+        while (pos > 0 && dots(idx(pos - 1)) < dots(k)) {
+          idx(pos) = idx(pos - 1); pos -= 1
+        }
+        idx(pos) = k
+        k += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(idx)
+    }
+    override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val ref = ctx.addReferenceObj("matRank", this, classOf[MatRank].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** PQ code array: L2-normalize the vector, then per subspace `m` the
+    * argmax over codebook `m` of (dot(sub, cent) − ½‖cent‖²) ⇔ argmin
+    * L2, ties lowest code. Biases are precomputed once per plan. */
+  case class PqEncode(child: Expression,
+      books: Array[Array[Array[Double]]], dsub: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(ArrayType(DoubleType))
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val biases: Array[Array[Double]] =
+      books.map(_.map(cent => 0.5 * cent.map(x => x * x).sum))
+    def compute(a: ArrayData): ArrayData = {
+      val v = normalized(a)
+      val codes = new Array[Int](books.length)
+      var m = 0
+      while (m < books.length) {
+        val book = books(m)
+        val bias = biases(m)
+        val off = m * dsub
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < book.length) {
+          val sc = subDot(v, off, dsub, book(c)) - bias(c)
+          if (sc > bestScore) { bestScore = sc; best = c }
+          c += 1
+        }
+        codes(m) = best
+        m += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(codes)
+    }
+    override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val ref = ctx.addReferenceObj("pqEnc", this, classOf[PqEncode].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Query-side flat ADC lookup table: L2-normalize, then entry
+    * offsets(m)+c = dot(sub_m, book_m(c)). Offsets follow the ACTUAL
+    * book sizes (distinct-slice seeding can leave books short). */
+  case class PqLut(child: Expression,
+      books: Array[Array[Array[Double]]], dsub: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(ArrayType(DoubleType))
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    def compute(a: ArrayData): ArrayData = {
+      val v = normalized(a)
+      val out = new Array[Double](books.map(_.length).sum)
+      var p = 0
+      var m = 0
+      while (m < books.length) {
+        val book = books(m)
+        val off = m * dsub
+        var c = 0
+        while (c < book.length) {
+          out(p) = subDot(v, off, dsub, book(c))
+          p += 1; c += 1
+        }
+        m += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Sign-random-projection bucket id: bit `p` set iff
+    * dot(vec, planes(p)) ≥ 0 (NaN ⇒ unset, like the old `when` form). */
+  case class SrpPack(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(ArrayType(DoubleType))
+    override def dataType: DataType = LongType
+    def compute(a: ArrayData): Long = {
+      var r = 0L
+      var p = 0
+      while (p < planes.length) {
+        val row = planes(p)
+        val n = math.min(a.numElements(), row.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += a.getDouble(i) * row(i); i += 1 }
+        if (s >= 0) r |= 1L << p
+        p += 1
+      }
+      r
+    }
+    override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val ref = ctx.addReferenceObj("srp", this, classOf[SrpPack].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Ascending-index dot of v[off, off+dsub) against `cent`, clamped to
+    * both lengths — the fold `vecDot(slice(v, off+1, dsub), cent)`
+    * performed. */
+  private def subDot(v: Array[Double], off: Int, dsub: Int,
+      cent: Array[Double]): Double = {
+    val len = math.min(math.min(dsub, math.max(v.length - off, 0)),
+      cent.length)
+    var d = 0.0
+    var j = 0
+    while (j < len) { d += v(off + j) * cent(j); j += 1 }
+    d
+  }
+
+  /** Copy-out + L2-normalize (zero-norm passthrough), the exact
+    * arithmetic of the old `normalizedCol`. */
+  private def normalized(a: ArrayData): Array[Double] = {
+    val dim = a.numElements()
+    val v = new Array[Double](dim)
+    var s = 0.0
+    var i = 0
+    while (i < dim) { val x = a.getDouble(i); v(i) = x; s += x * x; i += 1 }
+    val n = math.sqrt(s)
+    if (n != 0) { i = 0; while (i < dim) { v(i) /= n; i += 1 } }
+    v
+  }
+
+  def matRank(vec: Column, mat: Array[Array[Double]]): Column =
+    GraftShim.column(MatRank(GraftShim.expression(vec), mat))
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]], dsub: Int)
+      : Column =
+    GraftShim.column(PqEncode(GraftShim.expression(vec), books, dsub))
+  def pqLut(vec: Column, books: Array[Array[Array[Double]]], dsub: Int)
+      : Column =
+    GraftShim.column(PqLut(GraftShim.expression(vec), books, dsub))
+  def srpPack(vec: Column, planes: Array[Array[Double]]): Column =
+    GraftShim.column(SrpPack(GraftShim.expression(vec), planes))
+}

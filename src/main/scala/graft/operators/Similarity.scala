@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import graft.functions.TopKAgg
+import graft.functions.MatrixExpressions.{matRank, pqEncode, pqLut, srpPack}
 import graft.functions.VectorExpressions.{vecDot, vecNormSq}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -109,13 +110,10 @@ object Similarity {
   }
 
   /** Sign-random-projection bucket id: bit-packed signs of `numPlanes`
-    * hyperplane projections, each projection one codegen'd dot against a
-    * literal array. */
+    * hyperplane projections — ONE kernel expression (MatrixExpressions
+    * .SrpPack), not numPlanes literal-array dot sub-trees. */
   def srpBucket(vec: Column, dim: Int, numPlanes: Int, table: Int): Column =
-    (0 until numPlanes).map { p =>
-      val plane = typedLit(hyperplane(table, p, dim))
-      when(vecDot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    srpPack(vec, (0 until numPlanes).map(p => hyperplane(table, p, dim).toArray).toArray)
 
   /** SRP-LSH bucketed near-pair search: self-join within (table, bucket)
     * only, exact cosine on the candidates, threshold filter. The scale
@@ -191,14 +189,12 @@ object Similarity {
     val cents = kmeansCentroids(sample, nlist, iters)
     val assigned = prep(corpus, idCol, vecCol, "neighbor_id", "cv2", "cn")
       .withColumn("centroid",
-        element_at(centroidRanks(cents, col("cv2"), col("cn")), 1)
-          ("centroid"))
+        element_at(centroidRanks(cents, col("cv2")), 1))
     val probes = prep(queries, idCol, vecCol, "query_id", "qv", "qn")
       .select(col("query_id"), col("qv"), col("qn"),
-        explode(slice(centroidRanks(cents, col("qv"), col("qn")),
-          1, nprobe)).as("pc"))
-      .select(col("pc")("centroid").as("centroid"),
-        col("query_id"), col("qv"), col("qn"))
+        explode(slice(centroidRanks(cents, col("qv")),
+          1, nprobe)).as("centroid"))
+      .select(col("centroid"), col("query_id"), col("qv"), col("qn"))
     // each corpus row lives in exactly ONE inverted list (rank-1
     // assignment) and a query probes distinct centroids, so
     // (query_id, neighbor_id) is unique — no dedup shuffle needed
@@ -212,24 +208,15 @@ object Similarity {
   }
 
   /** Centroid ranking as a PURE PROJECTION: centroids are driver-side
-    * literals (nlist tiny vectors), so every row's full centroid
-    * ranking is an array_sort over nlist codegen'd dots — zero shuffle,
-    * zero join, no window. Replaces the old crossJoin(centroids) +
-    * per-id row_number ranking, which fanned the corpus out ×nlist and
-    * shuffled it back just to pick each row's argmax. Sorted score
-    * DESC (SQL `>`: -0.0 == 0.0), ties centroid ASC — the order the
-    * window form produced. */
-  private def centroidRanks(cents: Array[Array[Double]], vCol: Column,
-      nCol: Column): Column = {
-    val scoredArr = array(cents.indices.map { c =>
-      struct((vecDot(vCol, typedLit(cents(c).toSeq)) / nCol).as("score"),
-        lit(c).as("centroid"))
-    }: _*)
-    array_sort(scoredArr, (l, r) =>
-      when(l("score") > r("score"), lit(-1))
-        .when(l("score") < r("score"), lit(1))
-        .otherwise(l("centroid") - r("centroid")))
-  }
+    * constants (nlist tiny vectors), so every row's full centroid
+    * ranking is ONE kernel expression (MatrixExpressions.MatRank) —
+    * zero shuffle, zero join, no window, and no nlist×dim literal tree
+    * for Catalyst/Janino to chew on. Returns array<int> of centroid
+    * ids, dot DESC, ties centroid ASC — ranking by raw dot equals the
+    * old dot/‖v‖ ranking (the norm is a per-row positive constant;
+    * zero-norm made every score a tie either way). */
+  private def centroidRanks(cents: Array[Array[Double]], vCol: Column)
+      : Column = matRank(vCol, cents)
 
   /** Per-subspace PQ codebooks: the existing deterministic k-means over
     * the sample's m-th dim-slice, one codebook per subspace. Vectors are
@@ -340,10 +327,10 @@ object Similarity {
     // — float vectors are re-fetched by id only for the short list
     val codeTable = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
       .select(col("neighbor_id"),
-        pqCodesCol(books, dsub, normalizedCol(col("cv"))).as("codes"))
+        pqEncode(col("cv"), books, dsub).as("codes"))
     val q = broadcast(prep(queries, idCol, vecCol, "query_id", "qv", "qn")
       .select(col("query_id"), col("qv"), col("qn"),
-        pqLutCol(books, dsub, normalizedCol(col("qv"))).as("lut")))
+        pqLut(col("qv"), books, dsub).as("lut")))
     val candidates = adcShortlist(
       codeTable.join(q.select(col("query_id"), col("lut")),
         if (excludeSelfMatches) col("query_id") =!= col("neighbor_id")
@@ -351,36 +338,6 @@ object Similarity {
       books, k * refine)
     exactReRank(candidates, q, corpus, idCol, vecCol, k)
   }
-
-  /** Normalized vector column (zero vectors pass through unscaled). */
-  private def normalizedCol(v: Column): Column = {
-    val n = sqrt(vecNormSq(v))
-    transform(v, x => when(n === 0, x).otherwise(x / n))
-  }
-
-  /** Normalized vector → PQ code array: per subspace, argmin L2 ⇔
-    * argmax (dot − ½‖cent‖²); array_position ties to the lowest index. */
-  private def pqCodesCol(books: Array[Array[Array[Double]]], dsub: Int,
-      vn: Column): Column = array(books.indices.map { m =>
-    val sub = slice(vn, m * dsub + 1, dsub)
-    val scores = array(books(m).map { cent =>
-      vecDot(sub, typedLit(cent.toSeq)) -
-        lit(0.5 * cent.map(x => x * x).sum)
-    }: _*)
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-  }: _*)
-
-  /** Query-side ADC lookup table: flat array, entry offsets(m)+c =
-    * dot(query_sub_m, centroid_c). Offsets are prefix sums of the
-    * ACTUAL book sizes — per-book sizes can be < ksub (distinct-slice
-    * seeding) and can differ per subspace, so a fixed ksub stride would
-    * misindex the flat LUT whenever any book came up short. */
-  private def pqLutCol(books: Array[Array[Array[Double]]], dsub: Int,
-      qn: Column): Column = array((for {
-    m <- books.indices
-    cent <- books(m)
-  } yield vecDot(slice(qn, m * dsub + 1, dsub), typedLit(cent.toSeq)))
-    : _*)
 
   /** ADC shortlist over joined (query_id, neighbor_id, lut, codes) rows
     * via the bounded-heap aggregate — NOT a row_number window: the
@@ -451,18 +408,16 @@ object Similarity {
     // (literal centroids/codebooks), zero shuffle to build
     val codeTable = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
       .select(col("neighbor_id"),
-        element_at(centroidRanks(cents, col("cv"), col("cn")), 1)
-          ("centroid").as("centroid"),
-        pqCodesCol(books, dsub, normalizedCol(col("cv"))).as("codes"))
+        element_at(centroidRanks(cents, col("cv")), 1).as("centroid"),
+        pqEncode(col("cv"), books, dsub).as("codes"))
     val q = broadcast(prep(queries, idCol, vecCol, "query_id", "qv", "qn")
       .select(col("query_id"), col("qv"), col("qn"),
-        pqLutCol(books, dsub, normalizedCol(col("qv"))).as("lut"),
-        slice(centroidRanks(cents, col("qv"), col("qn")), 1, nprobe)
+        pqLut(col("qv"), books, dsub).as("lut"),
+        slice(centroidRanks(cents, col("qv")), 1, nprobe)
           .as("probes")))
     val probes = q
-      .select(col("query_id"), col("lut"), explode(col("probes")).as("pc"))
       .select(col("query_id"), col("lut"),
-        col("pc")("centroid").as("centroid"))
+        explode(col("probes")).as("centroid"))
     val candidates = adcShortlist(
       codeTable.join(broadcast(probes), Seq("centroid"))
         .filter(if (excludeSelfMatches)
@@ -527,8 +482,7 @@ object Similarity {
     val cents = kmeansCentroids(sample, nClusters, iters)
     val assigned = prep(emb, idCol, vecCol, "id", "v", "n")
       .withColumn("cluster",
-        element_at(centroidRanks(cents, col("v"), col("n")), 1)
-          ("centroid").cast("long"))
+        element_at(centroidRanks(cents, col("v")), 1).cast("long"))
     val a = assigned.select(col("cluster"), col("id").as("id_a"),
       col("v").as("va"), col("n").as("na"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"),
