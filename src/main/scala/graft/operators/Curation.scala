@@ -131,6 +131,40 @@ object Curation {
       .filter(col("bucket") < thresholdBp)
   }
 
+  /** PII pattern inventory: (token, regex), applied in LIST ORDER by
+    * [[piiScan]]. Order matters — SSNs must be redacted before the
+    * looser phone pattern can swallow them. Patterns are deliberately
+    * RE2-safe (no backreferences/lookaround) so the engine (Java regex)
+    * and any RE2-based oracle (DuckDB) match identical spans. */
+  final val PiiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "SSN" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "IP" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "PHONE" -> "\\+?\\d[\\d -]{7,}\\d")
+
+  /** PII scan + redaction — the safety pass every published corpus
+    * pipeline runs (emails / SSNs / IPs / phone numbers → typed
+    * placeholder tokens). Counts are taken per pattern on the text AS
+    * SEEN BY that pattern (i.e. after the earlier redactions), exactly
+    * matching what the sequential redaction replaced. Pure
+    * `regexp_count`/`regexp_replace` projections — zero shuffle,
+    * embarrassingly parallel at any scale.
+    *
+    * NOTE: the synthetic `documents` corpus contains no digits or `@`,
+    * so the registry query's counts are all zero and `redacted` equals
+    * `text` (engine and oracle agree vacuously); the non-vacuous
+    * evidence is CurationSpec's planted-PII fixture. */
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (redacted, counts) = PiiPatterns
+      .foldLeft((col(textCol), Seq.empty[Column])) {
+        case ((txt, cs), (token, pat)) =>
+          (regexp_replace(txt, pat, s"<$token>"),
+            cs :+ regexp_count(txt, lit(pat))
+              .cast("long").as(s"n_${token.toLowerCase}"))
+      }
+    df.select(col(idCol).as("id") +: counts :+ redacted.as("redacted"): _*)
+  }
+
   /** Sequence packing: assign docs (in id order) to fixed token-budget
     * packs — the "concatenate and chop" batching every LM training run
     * performs. pack_id = floor(exclusive running token total / budget);

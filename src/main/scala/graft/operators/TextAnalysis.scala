@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis operators for training-data pipelines (north-star;
@@ -95,4 +96,79 @@ object TextAnalysis {
       md5(col(textCol)).as("content_md5"),
       substring(md5(col(textCol)), 1, 16).as("fp64"),
       md5(array_join(array_sort(words(col(textCol))), " ")).as("bag_md5"))
+
+  /** TF-IDF top-k terms per document — the standard keyword-extraction
+    * pass (topical tags for mixing/routing training data).
+    * score = tf · ln(n_docs / df), ROUNDED to 1e-6 BEFORE ranking: ln
+    * is the one libm call in the chain, and ranking on the rounded
+    * value keeps the order (not just the printed score) identical
+    * across engines (registry convention for multi-row double math).
+    *
+    * Scale shape: term frequencies are one map-side-combined (id, term)
+    * agg; document frequencies derive from THAT frame (vocabulary-sized
+    * output ≪ corpus — natural-language vocab is millions of rows,
+    * megabytes) and broadcast back, so corpus-side rows shuffle exactly
+    * once. The rank window partitions BY DOCUMENT — group size is
+    * bounded by a doc's distinct terms, so this is NOT the
+    * single-reducer-per-key trap the ANN family had (|corpus| tiny
+    * groups, embarrassingly parallel). */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int)
+      : DataFrame = {
+    val tf = df
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_r",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val win = Window.partitionBy(col("id"))
+      .orderBy(col("score_r").desc, col("term"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank").cast("long").as("rank"),
+        col("term"), col("score_r"))
+  }
+
+  /** Top-N bigram collocations by pointwise mutual information —
+    * corpus-level phrase mining (PMI = ln(c_ab·W / (c_a·c_b)) over
+    * word-bigram and unigram counts, Church & Hanks' association
+    * measure). `minCount` floors the bigram count (PMI is noisy on
+    * rare pairs — the standard guard).
+    *
+    * Scale shape: both count frames are map-side-combined aggs;
+    * unigram counts are VOCABULARY-sized and broadcast twice (left and
+    * right word), so bigram rows never shuffle for the joins; the
+    * global top-N is a TakeOrderedAndProject (per-partition heaps, one
+    * N-row merge — never a global sort). All count arithmetic is exact
+    * integer; the single ln is rounded to 1e-6 before ranking (same
+    * convention as tfidfTopK). */
+  def pmiCollocations(df: DataFrame, textCol: String, topN: Int,
+      minCount: Int): DataFrame = {
+    val uni = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totalWords = uni.agg(sum(col("c")).as("w_total"))
+    val bg = df.select(explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("wa", split(col("bigram"), " ")(0))
+      .withColumn("wb", split(col("bigram"), " ")(1))
+    bg
+      .join(broadcast(uni.select(col("w").as("wa"), col("c").as("c_a"))),
+        "wa")
+      .join(broadcast(uni.select(col("w").as("wb"), col("c").as("c_b"))),
+        "wb")
+      .crossJoin(broadcast(totalWords))
+      .select(col("bigram"), col("c_ab"),
+        // counts go double BEFORE multiplying: c_ab·W and c_a·c_b can
+        // pass 2^63 at corpus scale (ANSI long-mul throws); the oracle
+        // mirrors the same cast positions for bit parity
+        round(log(col("c_ab").cast("double") * col("w_total") /
+          (col("c_a").cast("double") * col("c_b"))), 6).as("pmi_r"))
+      .orderBy(col("pmi_r").desc, col("bigram"))
+      .limit(topN)
+  }
 }

@@ -659,6 +659,80 @@ object PipelineQueries {
           round(avg(ln(p)),6) AS avg_logprob_r
         FROM wx JOIN p USING(w) GROUP BY 1""".replaceAll("\\s+", " "))),
 
+    // TF-IDF top-5 terms per doc (keyword extraction for topical
+    // routing). Ranking happens ON the 1e-6-rounded score so the order,
+    // not just the printed value, is engine-portable; the rank window
+    // partitions per doc (group size ≤ distinct terms per doc — never
+    // the single-reducer trap).
+    "text_tfidf_topk" -> QueryDef(
+      (s, dir) => TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", 5),
+      Some(s"""WITH $WordsCte,
+        wx AS (SELECT doc_id, unnest(w) AS w FROM words),
+        tf AS (SELECT doc_id, w AS term, count(*)::BIGINT AS tf FROM wx
+          GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        sc AS (SELECT doc_id, term,
+          round(tf * ln(n_docs::DOUBLE / df), 6) AS score_r
+          FROM tf JOIN dfreq USING(term), nd),
+        r AS (SELECT doc_id, term, score_r, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score_r DESC, term) AS rank
+          FROM sc)
+        SELECT doc_id AS id, rank::BIGINT AS rank, term, score_r FROM r
+        WHERE rank <= 5""".replaceAll("\\s+", " "))),
+
+    // top-20 bigram collocations by PMI (phrase mining; min count 5).
+    // Unigram counts broadcast (vocabulary-sized); global top-N is a
+    // TakeOrderedAndProject. ln rounded to 1e-6 before ranking.
+    "text_pmi_bigrams" -> QueryDef(
+      (s, dir) => TextAnalysis.pmiCollocations(docs(s, dir), "text",
+        topN = 20, minCount = 5),
+      Some(s"""WITH $WordsCte,
+        wx AS (SELECT doc_id, unnest(w) AS w FROM words),
+        uni AS (SELECT w, count(*)::BIGINT AS c FROM wx GROUP BY 1),
+        tot AS (SELECT sum(c)::BIGINT AS w_total FROM uni),
+        bgx AS (SELECT unnest(list_transform(
+          generate_series(1, len(w)-1), i -> w[i]||' '||w[i+1]))
+          AS bigram FROM words),
+        bg AS (SELECT bigram, count(*)::BIGINT AS c_ab FROM bgx
+          GROUP BY 1 HAVING count(*) >= 5),
+        bg2 AS (SELECT bigram, c_ab, string_split(bigram, ' ')[1] AS wa,
+          string_split(bigram, ' ')[2] AS wb FROM bg),
+        j AS (SELECT bigram, c_ab, round(ln(c_ab::DOUBLE * w_total /
+          (ca.c::DOUBLE * cb.c)), 6) AS pmi_r
+          FROM bg2 JOIN uni ca ON bg2.wa = ca.w
+          JOIN uni cb ON bg2.wb = cb.w, tot)
+        SELECT bigram, c_ab, pmi_r FROM j
+        ORDER BY pmi_r DESC, bigram LIMIT 20"""
+        .replaceAll("\\s+", " "))),
+
+    // PII scan + redaction (emails / SSNs / IPs / phones → typed
+    // placeholder tokens, sequential in PiiPatterns order). The regex
+    // patterns are interpolated from Curation.PiiPatterns on BOTH
+    // sides, so engine and oracle cannot drift. NOTE: the synthetic
+    // corpus has no digits or '@' — counts are zero and redacted ==
+    // text here (vacuous-by-fixture, like dedup_embedding_neardup);
+    // the non-vacuous evidence is CurationSpec's planted-PII test.
+    "pii_scan" -> QueryDef(
+      (s, dir) => Curation.piiScan(docs(s, dir), "doc_id", "text"),
+      Some {
+        val steps = Curation.PiiPatterns.zipWithIndex.map {
+          case ((token, pat), i) =>
+            val prev = if (i == 0) "text" else s"t$i"
+            s"""r${i + 1} AS (SELECT *,
+              len(regexp_extract_all($prev, '$pat'))::BIGINT
+                AS n_${token.toLowerCase},
+              regexp_replace($prev, '$pat', '<$token>', 'g')
+                AS t${i + 1} FROM r$i)"""
+        }.mkString(", ")
+        val last = s"t${Curation.PiiPatterns.length}"
+        val countCols = Curation.PiiPatterns
+          .map { case (t, _) => s"n_${t.toLowerCase}" }.mkString(", ")
+        s"""WITH r0 AS (SELECT doc_id, text FROM documents), $steps
+          SELECT doc_id AS id, $countCols, $last AS redacted FROM
+          r${Curation.PiiPatterns.length}""".replaceAll("\\s+", " ")
+      }),
+
     // deterministic stratified sampling: per-language hash-threshold
     // fractions (en 50%, de 25%, rest 10%) — domain-mixing weights. The
     // bucket hash is salted with the stratum so sampling stays

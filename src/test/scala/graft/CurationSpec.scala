@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Curation
+import graft.operators.{Curation, TextAnalysis}
 import org.scalatest.funsuite.AnyFunSuite
 
 class CurationSpec extends AnyFunSuite {
@@ -128,5 +128,74 @@ class CurationSpec extends AnyFunSuite {
     // bucket-size invariance (boundaries at 17 split mid-pack)
     assert(run(17).toSeq == expected)
     assert(run(1000).toSeq == expected)
+  }
+
+  // planted-PII fixture: the registry corpus has no digits/'@' (its
+  // pii_scan row is vacuous, like dedup_embedding_neardup) — this is
+  // the non-vacuous evidence that the patterns actually hit and redact.
+  test("piiScan counts and redacts planted emails/SSNs/IPs/phones, " +
+    "in pattern order") {
+    val df = Seq(
+      (1L, "mail me at alice.smith+x@example.co.uk or bob@test.io now"),
+      (2L, "ssn 123-45-6789 and server 10.0.255.7 logged it"),
+      (3L, "call +1 555 123 4567 or 555-867-5309 today"),
+      (4L, "clean text with no sensitive content at all"),
+      (5L, "combo a@b.co 999-88-7777 1.2.3.4 12345678901")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiScan(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toMap
+    assert(out(1L) == ((2L, 0L, 0L, 0L,
+      "mail me at <EMAIL> or <EMAIL> now")))
+    // the SSN is redacted BEFORE the looser phone pattern can swallow
+    // it; the IP never matches the dot-less phone charclass
+    assert(out(2L) == ((0L, 1L, 1L, 0L,
+      "ssn <SSN> and server <IP> logged it")))
+    assert(out(3L) == ((0L, 0L, 0L, 2L, "call <PHONE> or <PHONE> today")))
+    assert(out(4L) == ((0L, 0L, 0L, 0L,
+      "clean text with no sensitive content at all")))
+    assert(out(5L) == ((1L, 1L, 1L, 1L,
+      "combo <EMAIL> <SSN> <IP> <PHONE>")))
+  }
+
+  test("tfidfTopK ranks by rounded tf*ln(N/df), ties by term, k bound") {
+    // 4 docs; "rare" appears in 1 doc (idf=ln 4), "mid" in 2 (ln 2),
+    // "common" in all 4 (idf=0)
+    val df = Seq(
+      (1L, "rare mid common common"),
+      (2L, "mid common"),
+      (3L, "common common common"),
+      (4L, "common")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(df, "doc_id", "text", 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(t => (t._2, t._3)).toSeq ==
+      Seq((1L, "rare"), (2L, "mid")))
+    assert(doc1.head._4 == math.rint(math.log(4.0) * 1e6) / 1e6)
+    // doc 3: only "common" (score 0) — fewer than k rows, no padding
+    assert(out.count(_._1 == 3L) == 1)
+    assert(out.filter(_._1 == 3L).head._4 == 0.0)
+  }
+
+  test("pmiCollocations: exact counts, minCount floor, top-N cut") {
+    // "x y" occurs 3×, "y x" 2× in a 10-word stream of only x/y
+    val df = Seq(
+      (1L, "x y x y x y"), // bigrams: xy yx xy yx xy
+      (2L, "x x y y") // xx xy yy
+    ).toDF("doc_id", "text")
+    val all = TextAnalysis.pmiCollocations(df, "text", topN = 10,
+      minCount = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(all("x y")._1 == 4L && all("y x")._1 == 2L &&
+      all("x x")._1 == 1L && all("y y")._1 == 1L)
+    // W=10, c_x=5, c_y=5 ⇒ pmi(x y) = ln(4·10/25)
+    assert(all("x y")._2 == math.rint(math.log(4.0 * 10 / 25) * 1e6) / 1e6)
+    // minCount floors rare bigrams; topN cuts after ordering
+    val floored = TextAnalysis.pmiCollocations(df, "text", 10, 2)
+      .collect().map(_.getString(0)).toSet
+    assert(floored == Set("x y", "y x"))
+    assert(TextAnalysis.pmiCollocations(df, "text", 1, 1).count() == 1)
   }
 }
