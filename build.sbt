@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // single-JVM local[32]. Keep the heap MODEST: Spark's ContextCleaner
+  // reclaims broadcast/shuffle/checkpoint state only after a GC
+  // collects the weak refs — with a 24g heap GC nearly never ran and a
+  // bench rep of the iterative dedup_clusters degraded 5.6s → 224s as
+  // block state piled up (measured). 8g keeps GC frequent enough that
+  // cleanup keeps pace across the 79-query registry.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -142,7 +142,12 @@ object PipelineQueries {
         val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
           JaccardThreshold, candidates = Some(cand))
           .select(col("id_a"), col("id_b"))
-        Dedup.dupClusters(d, "doc_id", pairs)
+        // shortcut=false: LSH near-dup blobs have tiny diameters, so
+        // plain propagation converges in the same few rounds WITHOUT
+        // the pointer-jumping self-join's extra two shuffles per round
+        // (the documented constant-factor trade in dupClusters; the
+        // shortcut ≡ plain fixpoint differential is in DedupSpec)
+        Dedup.dupClusters(d, "doc_id", pairs, shortcut = false)
       },
       Some(s"""WITH RECURSIVE $WordsCte, $ShingleCte, $SigCte,
         $BandCte, $CandCte,
@@ -185,7 +190,8 @@ object PipelineQueries {
           .select(col("id_a"), col("id_b"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("cluster"))
-        Dedup.dupClusters(d, "doc_id", pairs)
+        // shortcut=false: same tiny-diameter trade as dedup_clusters
+        Dedup.dupClusters(d, "doc_id", pairs, shortcut = false)
           .withColumn("cluster_size", count(lit(1)).over(w))
           .select(col("id"), col("cluster"), col("cluster_size"),
             (col("id") === col("cluster")).as("is_representative"))
