@@ -126,6 +126,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tf-idf / PMI keep corpus rows off the wide joins: frequency " +
+    "frames broadcast; PMI's top-N is a TakeOrderedAndProject; pii_scan " +
+    "is a pure projection (no exchange at all)") {
+    val tfidf = planOf("text_tfidf_topk")
+    assert(tfidf.contains("BroadcastHashJoin"), tfidf.take(2000))
+    assert(!tfidf.contains("CartesianProduct"), tfidf.take(2000))
+    val pmi = planOf("text_pmi_bigrams")
+    assert(pmi.contains("BroadcastHashJoin"), pmi.take(2000))
+    assert(pmi.contains("TakeOrderedAndProject"), pmi.take(2000))
+    val pii = planOf("pii_scan")
+    assert(!pii.contains("Exchange"), pii.take(2000))
+  }
+
   test("pack_sequences' corpus-sized running sum is a bucket-partitioned " +
     "window (the distributed prefix sum), never an unpartitioned global " +
     "ordered window over the docs") {
