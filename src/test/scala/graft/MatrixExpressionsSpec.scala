@@ -1,0 +1,132 @@
+package graft
+
+import graft.functions.MatrixExpressions.{matRank, pqEncode, pqLut, srpPack}
+import graft.functions.VectorExpressions.{vecDot, vecNormSq}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential pin for the matrix kernels: each single-node kernel must
+  * be BIT-IDENTICAL to the literal-array expression-tree form it
+  * replaced in Similarity (same fold order, same normalization, same
+  * tie-breaks) on seeded pseudo-random data — including duplicated rows
+  * (ties) and the zero vector. */
+class MatrixExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val rnd = new scala.util.Random(42)
+  private def vec(): Array[Double] =
+    Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+  // 40 random vectors + a zero vector + two exact duplicates (ties)
+  private val dup = vec()
+  private lazy val df = ((0 until 40).map(i => (i.toLong, vec())) ++
+    Seq((40L, Array.fill(dim)(0.0)), (41L, dup), (42L, dup.clone())))
+    .toDF("id", "v")
+
+  // the matrix: 6 rows, includes one duplicated row (rank tie)
+  private val matRow = vec()
+  private val mat: Array[Array[Double]] =
+    Array(vec(), matRow, vec(), matRow.clone(), vec(), vec())
+
+  /** The OLD centroid-ranking tree: array_sort over (score, centroid)
+    * structs of per-centroid literal dots (Similarity pre-kernel). */
+  private def oldRank(cents: Array[Array[Double]], vCol: Column,
+      nCol: Column): Column = {
+    val scoredArr = array(cents.indices.map { c =>
+      struct((vecDot(vCol, typedLit(cents(c).toSeq)) / nCol).as("score"),
+        lit(c).as("centroid"))
+    }: _*)
+    array_sort(scoredArr, (l, r) =>
+      when(l("score") > r("score"), lit(-1))
+        .when(l("score") < r("score"), lit(1))
+        .otherwise(l("centroid") - r("centroid")))
+  }
+
+  private def oldNormalized(v: Column): Column = {
+    val n = sqrt(vecNormSq(v))
+    transform(v, x => when(n === 0, x).otherwise(x / n))
+  }
+
+  test("MatRank ≡ array_sort((score,centroid)) tree, incl. dot ties; " +
+    "zero vector ranks all-tie (where the old ANSI division THREW)") {
+    // the old tree divides by the norm — under ANSI mode a zero-norm
+    // vector is a DIVIDE_BY_ZERO crash, so compare on nonzero vectors
+    // only (the kernel ranks by raw dot: same order, no division)
+    val rows = df.filter(col("id") =!= 40L)
+      .withColumn("n", sqrt(vecNormSq(col("v"))))
+      .select(col("id"), matRank(col("v"), mat).as("kernel"),
+        transform(oldRank(mat, col("v"), col("n")), s => s("centroid"))
+          .as("tree"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"id=${r.getLong(0)}")
+    }
+    // zero vector: every dot is 0.0 → all-tie → centroid-ascending
+    val z = df.filter(col("id") === 40L)
+      .select(matRank(col("v"), mat)).collect()(0).getSeq[Int](0)
+    assert(z == mat.indices.toSeq)
+  }
+
+  test("PqEncode ≡ argmax(dot − ½‖cent‖²) via array_position tree " +
+    "over the normalized vector") {
+    val dsub = 4
+    val books: Array[Array[Array[Double]]] = Array.fill(dim / dsub)(
+      Array.fill(5)(Array.fill(dsub)(rnd.nextDouble() * 2 - 1)))
+    // seed a duplicate codebook entry (tie → lowest code)
+    books(1)(3) = books(1)(0).clone()
+    def oldCodes(vn: Column): Column = array(books.indices.map { m =>
+      val sub = slice(vn, m * dsub + 1, dsub)
+      val scores = array(books(m).map { cent =>
+        vecDot(sub, typedLit(cent.toSeq)) -
+          lit(0.5 * cent.map(x => x * x).sum)
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }: _*)
+    val rows = df.select(col("id"),
+      pqEncode(col("v"), books, dsub).as("kernel"),
+      oldCodes(oldNormalized(col("v"))).as("tree")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("PqLut ≡ flat slice/vecDot LUT over the normalized vector, " +
+    "bit-for-bit") {
+    val dsub = 4
+    val books: Array[Array[Array[Double]]] = Array.fill(dim / dsub)(
+      Array.fill(3)(Array.fill(dsub)(rnd.nextDouble() * 2 - 1)))
+    def oldLut(qn: Column): Column = array((for {
+      m <- books.indices
+      cent <- books(m)
+    } yield vecDot(slice(qn, m * dsub + 1, dsub), typedLit(cent.toSeq)))
+      : _*)
+    val rows = df.select(col("id"),
+      pqLut(col("v"), books, dsub).as("kernel"),
+      oldLut(oldNormalized(col("v"))).as("tree")).collect()
+    rows.foreach { r =>
+      // exact equality on doubles: identical fold order is the contract
+      assert(r.getSeq[Double](1) == r.getSeq[Double](2),
+        s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("SrpPack ≡ sum of when(dot ≥ 0, 1L<<p) sign bits (zero vector " +
+    "hashes to all-ones: 0.0 ≥ 0)") {
+    val planes: Array[Array[Double]] = Array.fill(7)(vec())
+    def oldBucket(vCol: Column): Column = planes.indices.map { p =>
+      when(vecDot(vCol, typedLit(planes(p).toSeq)) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = df.select(col("id"),
+      srpPack(col("v"), planes).as("kernel"),
+      oldBucket(col("v")).as("tree")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}")
+    }
+    // the zero vector: every dot is 0.0, 0.0 >= 0 ⇒ all planes set
+    val z = rows.find(_.getLong(0) == 40L).get
+    assert(z.getLong(1) == (1L << planes.length) - 1)
+  }
+}
