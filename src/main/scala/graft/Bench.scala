@@ -47,7 +47,12 @@ object Bench {
     // failures are RECORDED, not silently timed: a broken query would
     // otherwise shrink the total and read as a performance win
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SORTED run order, not Map hash order: hash order reshuffles
+    // whenever the key set grows, moving one-time codegen/JIT costs
+    // onto different queries each round — which reads as phantom
+    // per-query regressions when rounds are compared. Sorted order
+    // keeps the attribution stable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
@@ -59,7 +64,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
