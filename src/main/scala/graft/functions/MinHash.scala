@@ -123,6 +123,48 @@ object MinHash {
     out
   }
 
+  /** Per-position 60-bit md5 n-gram hashes of `text` — one row-local
+    * pass (split → rolling window → digest-level md5 prefix), exactly
+    * `transform(shingles(text, n), s -> conv(substring(md5(s),1,15),
+    * 16, 10))` without materializing the shingle-string array or hex
+    * round-trip. NOT distinct and NOT mod-p: the raw 60-bit value is
+    * the curation family's join-key convention. Empty array for docs
+    * with < n words (same as the shingles form). */
+  def ngramHashes60(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](words.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = md5Prefix60(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class NgramHash60(child: Expression, n: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      ngramHashes60(t.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.MinHash.ngramHashes60($t, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Intersection size of two SORTED string arrays — two-pointer merge,
     * O(n+m) with zero allocation, vs `array_intersect`'s per-call hash
     * set. Callers sort once in the upstream projection (`array_sort`
@@ -218,6 +260,11 @@ object MinHash {
       }, "built-in")
     reg.createOrReplaceTempFunction("simhash",
       es => { arity("simhash", 1, es); SimHash(es.head) }, "built-in")
+    reg.createOrReplaceTempFunction("ngram_hash60",
+      es => {
+        arity("ngram_hash60", 2, es)
+        NgramHash60(es.head, intLit("ngram_hash60", es(1)))
+      }, "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       es => {
         arity("sorted_intersect_count", 2, es)
@@ -225,6 +272,8 @@ object MinHash {
       }, "built-in")
   }
 
+  def ngramHash60Col(text: Column, n: Int): Column =
+    GraftShim.column(NgramHash60(GraftShim.expression(text), n))
   def minhashSig(text: Column, numHashes: Int, shingleLen: Int): Column =
     GraftShim.column(
       MinHashSig(GraftShim.expression(text), numHashes, shingleLen))

@@ -20,10 +20,14 @@ object Curation {
   /** 60-bit n-gram hash (md5 prefix), the join-key convention of the
     * dedup family: joining on the hash instead of the n-gram string
     * keeps the shuffle rows fixed-width 8 bytes — at 100 TB the n-gram
-    * text never crosses the network. */
+    * text never crosses the network. Computed by the single-pass
+    * [[graft.functions.MinHash.NgramHash60]] kernel (split → rolling
+    * window → digest-level md5), bit-identical to the old
+    * shingles→md5→conv tree without materializing shingle strings or
+    * the hex round-trip (null text: kernel yields null, the old form an
+    * empty array — identical after the callers' explode). */
   private def ngramHashes(text: Column, n: Int): Column =
-    transform(Dedup.shingles(text, n),
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    graft.functions.MinHash.ngramHash60Col(text, n)
 
   /** Benchmark decontamination: for each corpus document, the number of
     * distinct word n-grams it shares with a held-out benchmark set (the
