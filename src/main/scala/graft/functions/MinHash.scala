@@ -150,6 +150,64 @@ object MinHash {
     new GenericArrayData(out)
   }
 
+  /** Sorted distinct `n`-word shingle strings of `text` — one row-local
+    * pass, exactly `array_sort(array_distinct(shingles(text, n)))`:
+    * the sort compares UTF8String BYTES (what Spark's array_sort does;
+    * Java String.compareTo would order supplementary characters
+    * differently), distinct is adjacent-after-sort. Feeds
+    * [[SortedIntersectCount]], whose sorted-input contract uses the
+    * same binary ordering. Empty array below `n` words. */
+  def sortedDistinctShingles(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n)
+      return new GenericArrayData(Array.empty[AnyRef])
+    val m = words.length - n + 1
+    val arr = new Array[UTF8String](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      arr(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    // UTF8String.compareTo is unsigned byte order — array_sort parity
+    java.util.Arrays.sort(arr,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    var out = 0
+    i = 0
+    while (i < m) {
+      if (out == 0 || !arr(i).equals(arr(out - 1))) {
+        arr(out) = arr(i); out += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      java.util.Arrays.copyOf(arr.asInstanceOf[Array[AnyRef]], out))
+  }
+
+  case class SortedShingleSet(child: Expression, n: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(StringType)
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(t: Any): Any =
+      sortedDistinctShingles(t.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.MinHash.sortedDistinctShingles(" +
+          s"$t, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class NgramHash60(child: Expression, n: Int)
       extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes = // inferred: AbstractDataType is private[sql]
@@ -274,6 +332,8 @@ object MinHash {
 
   def ngramHash60Col(text: Column, n: Int): Column =
     GraftShim.column(NgramHash60(GraftShim.expression(text), n))
+  def sortedShingleSetCol(text: Column, n: Int): Column =
+    GraftShim.column(SortedShingleSet(GraftShim.expression(text), n))
   def minhashSig(text: Column, numHashes: Int, shingleLen: Int): Column =
     GraftShim.column(
       MinHashSig(GraftShim.expression(text), numHashes, shingleLen))

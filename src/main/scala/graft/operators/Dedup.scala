@@ -184,10 +184,13 @@ object Dedup {
         // and compute it twice per row); candidate pairs naming such a
         // doc simply drop out of the inner join — same outcome as the
         // all-pairs form, which never sees them
+        // sorted-distinct shingle sets via the one-pass kernel
+        // (MinHash.SortedShingleSet ≡ array_sort(array_distinct(
+        // shingles(...))), UTF8-binary order — differential-tested)
         val arr = df
           .filter(size(split(col(textCol), " ")) >= shingleLen)
           .select(col(idCol).as("id"),
-            array_sort(array_distinct(shingles(col(textCol), shingleLen)))
+            MinHash.sortedShingleSetCol(col(textCol), shingleLen)
               .as("arr"))
         val shared = c.dropDuplicates("id_a", "id_b")
           .join(arr.select(col("id").as("id_a"), col("arr").as("arr_a")),

@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.MinHash
 import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -314,5 +315,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == out(2L))
     assert(out(1L) != out(3L))
     assert(out(1L) >= 0L) // 60-bit → always non-negative
+  }
+
+  test("differential: SortedShingleSet kernel == array_sort(" +
+    "array_distinct(shingles)) incl. UTF8-byte ordering and NgramHash60 " +
+    "== md5/conv tree") {
+    import org.apache.spark.sql.functions.{conv, md5, substring, transform}
+    val df = Seq(
+      (1L, "a b c d e a b c d e"),           // repeated shingles
+      (2L, "a  b c"),                        // double space → empty word
+      (3L, "z é 😀 a z é"), // é + 😀: byte order ≠
+                                             // UTF-16 order
+      (4L, "one two"),                       // < n words → empty
+      (5L, "")).toDF("doc_id", "text")
+    val n = 3
+    val rows = df.select(
+      MinHash.sortedShingleSetCol(col("text"), n).as("kernel"),
+      array_sort(array_distinct(Dedup.shingles(col("text"), n)))
+        .as("tree"),
+      MinHash.ngramHash60Col(col("text"), n).as("hkernel"),
+      transform(Dedup.shingles(col("text"), n),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+        .as("htree")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), r.toString)
+    }
   }
 }
