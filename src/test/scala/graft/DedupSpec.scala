@@ -342,4 +342,36 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getSeq[Long](2) == r.getSeq[Long](3), r.toString)
     }
   }
+
+  test("property: shingle kernels == Column trees on random unicode " +
+    "text (multi-space runs, non-BMP chars, n ∈ {1,2,3,5})") {
+    import org.apache.spark.sql.functions.{conv, md5, substring, transform}
+    import org.scalacheck.Gen
+    def sample[A](g: Gen[A]): A =
+      Iterator.continually(g.sample).flatten.next()
+    // word-soup with hostile tokens: empty runs (double spaces), accented
+    // and supplementary characters (UTF8 vs UTF-16 order divergence)
+    val txt = Gen.listOfN(sample(Gen.choose(0, 24)), Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "), Gen.const("é"),
+      Gen.const("😀"), Gen.const("zz"), Gen.const(" ")))
+      .map(_.mkString(" "))
+    val cases = (1 to 80).map(i => (i.toLong, sample(txt)))
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = cases.toDF("doc_id", "text").select(
+        col("text"),
+        MinHash.sortedShingleSetCol(col("text"), n).as("kernel"),
+        array_sort(array_distinct(Dedup.shingles(col("text"), n)))
+          .as("tree"),
+        MinHash.ngramHash60Col(col("text"), n).as("hkernel"),
+        transform(Dedup.shingles(col("text"), n),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+          .as("htree")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n text=${r.getString(0)}")
+        assert(r.getSeq[Long](3) == r.getSeq[Long](4),
+          s"n=$n text=${r.getString(0)}")
+      }
+    }
+  }
 }
