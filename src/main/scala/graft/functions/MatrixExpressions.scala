@@ -20,21 +20,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * giant Janino methods.
   *
   * Numeric contract (bit-identical to the expression-tree forms they
-  * replace, differential-tested in SimilaritySpec):
+  * replace for FINITE inputs — differential-tested in
+  * MatrixExpressionsSpec):
   *  - dots are strict ascending-index folds over min(|vec|, |row|)
   *    elements, like [[VectorExpressions.VecDot]];
   *  - normalization is x/sqrt(ascending Σx²), zero-norm passthrough,
   *    like the old `normalizedCol`;
-  *  - all argmax/rank tie-breaks are lowest-index-first, and NaN scores
-  *    compare as ties (every `<`/`>` on NaN is false), exactly like the
-  *    old `array_sort` three-way comparator / `array_position` forms.
+  *  - all argmax/rank tie-breaks are lowest-index-first, like the old
+  *    `array_sort` three-way comparator / `array_position` forms.
+  *
+  * NaN caveat: these kernels use Java IEEE comparisons (every `<`/`>`/
+  * `>=` on NaN is false ⇒ NaN scores behave as ties / never win),
+  * whereas Spark's comparison codegen is nanSafe (NaN orders GREATER
+  * than everything, so the old trees ranked NaN scores first and set
+  * `NaN >= 0` sign bits). A vector with NaN components therefore
+  * buckets/ranks differently than under the replaced trees — a
+  * deliberate simplification: embeddings are finite by contract, and
+  * IEEE tie semantics are the less surprising behavior for the rows
+  * that violate it.
   */
 object MatrixExpressions {
 
   /** Indices of `mat`'s rows ranked by dot(vec, row) DESC, ties (and
     * NaN) row-index ASC — the centroid-ranking kernel. Ranking by raw
-    * dot equals ranking by cosine: the vector's norm is a per-row
-    * positive constant (zero-norm makes every score a tie either way). */
+    * dot is order-equivalent to ranking by cosine: the vector's norm is
+    * a per-row positive constant (zero-norm makes every score a tie
+    * either way). Ulp-level caveat: the old form divided each dot by
+    * the norm BEFORE comparing, so two dots within ~1 ulp could
+    * collapse to an exact tie there (then tie-break by index) while the
+    * raw dots stay strictly ordered here. */
   case class MatRank(child: Expression, mat: Array[Array[Double]])
       extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes = // inferred: AbstractDataType is private[sql]
@@ -159,7 +173,8 @@ object MatrixExpressions {
   }
 
   /** Sign-random-projection bucket id: bit `p` set iff
-    * dot(vec, planes(p)) ≥ 0 (NaN ⇒ unset, like the old `when` form). */
+    * dot(vec, planes(p)) ≥ 0 (NaN dot ⇒ bit unset — Java IEEE `>=`;
+    * see the header's NaN caveat). */
   case class SrpPack(child: Expression, planes: Array[Array[Double]])
       extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes = // inferred: AbstractDataType is private[sql]

@@ -58,14 +58,39 @@ object MinHash {
     h >>> 4
   }
 
+  /** The ONE shingle-construction convention, shared by every kernel in
+    * this file: words = `split(" ", -1)` (Spark's `split(text, " ")` —
+    * empties preserved), shingle i = space-joined window
+    * [i, i+n), no shingles below `n` words. Calls `f` once per shingle
+    * in position order; returns the shingle count (0 for short docs).
+    * Assumes valid-UTF-8 text (the round-trip through java.lang.String
+    * replaces invalid byte sequences — the documents contract). */
+  private def foreachShingle(text: UTF8String, n: Int)(f: String => Unit)
+      : Int = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return 0
+    val m = words.length - n + 1
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      f(sb.toString)
+      i += 1
+    }
+    m
+  }
+
   /** k-seed MinHash signature of `text` over `n`-word shingles; empty
     * array when the doc has fewer than `n` words (no shingles → no
     * signature, matching the exploded formulation where such docs
     * simply produce no rows). */
   def signature(text: UTF8String, k: Int, n: Int): ArrayData = {
-    // split(" ", -1) == Spark's split(text, " "): empties preserved
-    val words = text.toString.split(" ", -1)
-    if (words.length < n) return new GenericArrayData(Array.empty[Long])
     val a = new Array[Long](k)
     val b = new Array[Long](k)
     var s = 0
@@ -76,27 +101,17 @@ object MinHash {
     }
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    val m = words.length - n + 1
-    while (i < m) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
+    val m = foreachShingle(text, n) { sh =>
+      val h = md5Prefix60(sh) % P
+      var t = 0
+      while (t < k) {
+        val v = (a(t) * h + b(t)) % P
+        if (v < mins(t)) mins(t) = v
+        t += 1
       }
-      val h = md5Prefix60(sb.toString) % P
-      s = 0
-      while (s < k) {
-        val v = (a(s) * h + b(s)) % P
-        if (v < mins(s)) mins(s) = v
-        s += 1
-      }
-      i += 1
     }
-    new GenericArrayData(mins)
+    if (m == 0) new GenericArrayData(Array.empty[Long])
+    else new GenericArrayData(mins)
   }
 
   /** 60-bit SimHash over word unigrams (±1 votes per bit, bit set iff
@@ -131,23 +146,9 @@ object MinHash {
     * the curation family's join-key convention. Empty array for docs
     * with < n words (same as the shingles form). */
   def ngramHashes60(text: UTF8String, n: Int): ArrayData = {
-    val words = text.toString.split(" ", -1)
-    if (words.length < n) return new GenericArrayData(Array.empty[Long])
-    val out = new Array[Long](words.length - n + 1)
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i < out.length) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      out(i) = md5Prefix60(sb.toString)
-      i += 1
-    }
-    new GenericArrayData(out)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    foreachShingle(text, n)(sh => buf += md5Prefix60(sh))
+    new GenericArrayData(buf.toArray)
   }
 
   /** Sorted distinct `n`-word shingle strings of `text` — one row-local
@@ -158,30 +159,16 @@ object MinHash {
     * [[SortedIntersectCount]], whose sorted-input contract uses the
     * same binary ordering. Empty array below `n` words. */
   def sortedDistinctShingles(text: UTF8String, n: Int): ArrayData = {
-    val words = text.toString.split(" ", -1)
-    if (words.length < n)
-      return new GenericArrayData(Array.empty[AnyRef])
-    val m = words.length - n + 1
-    val arr = new Array[UTF8String](m)
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i < m) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      arr(i) = UTF8String.fromString(sb.toString)
-      i += 1
-    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    foreachShingle(text, n)(sh => buf += UTF8String.fromString(sh))
+    if (buf.isEmpty) return new GenericArrayData(Array.empty[AnyRef])
+    val arr = buf.toArray
     // UTF8String.compareTo is unsigned byte order — array_sort parity
     java.util.Arrays.sort(arr,
       (a: UTF8String, b: UTF8String) => a.compareTo(b))
     var out = 0
-    i = 0
-    while (i < m) {
+    var i = 0
+    while (i < arr.length) {
       if (out == 0 || !arr(i).equals(arr(out - 1))) {
         arr(out) = arr(i); out += 1
       }
@@ -322,6 +309,11 @@ object MinHash {
       es => {
         arity("ngram_hash60", 2, es)
         NgramHash60(es.head, intLit("ngram_hash60", es(1)))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("sorted_shingle_set",
+      es => {
+        arity("sorted_shingle_set", 2, es)
+        SortedShingleSet(es.head, intLit("sorted_shingle_set", es(1)))
       }, "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       es => {
