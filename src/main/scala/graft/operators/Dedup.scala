@@ -384,6 +384,50 @@ object Dedup {
       .select(col("id"), coalesce(col("_c"), col("id")).as("cluster"))
   }
 
+  /** INCREMENTAL exact dedup — the daily-increment shape every
+    * production corpus runs (dedup the new batch AGAINST the existing
+    * store, not the whole corpus from scratch): each new doc is marked
+    * `is_dup` iff its content fingerprint already exists in
+    * `storeFingerprints` (a frame with a `fingerprint` column — the
+    * output convention of [[exact]]).
+    *
+    * Scale shape: semi + anti joins on the fingerprint — only
+    * (fingerprint, id) pairs shuffle, never document bodies, and no
+    * row multiplication however many times a fingerprint repeats in
+    * the store (a left join would need a distinct pass first). The new
+    * batch is the small side by construction; AQE broadcasts it
+    * against a corpus-scale store. */
+  def incrementalExact(newDocs: DataFrame, idCol: String, textCol: String,
+      storeFingerprints: DataFrame): DataFrame = {
+    val fp = newDocs.select(col(idCol).as("id"),
+      md5(col(textCol)).as("fingerprint"))
+    val store = storeFingerprints.select(col("fingerprint"))
+    fp.join(store, Seq("fingerprint"), "left_semi")
+      .withColumn("is_dup", lit(true))
+      .unionAll(fp.join(store, Seq("fingerprint"), "left_anti")
+        .withColumn("is_dup", lit(false)))
+      .select(col("id"), col("fingerprint"), col("is_dup"))
+  }
+
+  /** Cross-frame LSH candidates — incremental near-dup: new-batch band
+    * hashes joined against the STORED band table (the store keeps
+    * (id, band, band_hash) rows, not texts), yielding (new_id, old_id)
+    * candidate pairs for the jaccard/cosine confirm stage. Same
+    * well-distributed (band, band_hash) bucket join as
+    * [[lshCandidatePairs]], but across two frames — the new batch
+    * never self-joins and the store is touched only on matching
+    * buckets. */
+  def lshCandidatePairsAcross(newBands: DataFrame, storedBands: DataFrame)
+      : DataFrame = {
+    val a = newBands.select(col("band"), col("band_hash"),
+      col("id").as("new_id"))
+    val b = storedBands.select(col("band"), col("band_hash"),
+      col("id").as("old_id"))
+    a.join(b, Seq("band", "band_hash"))
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ threshold.
     * All-pairs form — oracle-sized data / differential tests only;
     * `embeddingNearDupLsh` is the scale path. */

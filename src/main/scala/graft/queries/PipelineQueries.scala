@@ -665,6 +665,57 @@ object PipelineQueries {
           round(avg(ln(p)),6) AS avg_logprob_r
         FROM wx JOIN p USING(w) GROUP BY 1""".replaceAll("\\s+", " "))),
 
+    // INCREMENTAL exact dedup: the md5-bucket split simulates the
+    // daily-increment shape — store = buckets 0-79, new batch = 80-99;
+    // each new doc marked is_dup iff its fingerprint exists in the
+    // store. Semi/anti joins on the fingerprint only (no doc bodies on
+    // the wire, no distinct pass, no row multiplication).
+    "dedup_incremental_exact" -> QueryDef(
+      (s, dir) => {
+        def bucketOf(c: org.apache.spark.sql.Column) =
+          pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+            .cast("long"), lit(100))
+        val d = docs(s, dir)
+        val store = Dedup
+          .exact(d.filter(bucketOf(col("doc_id")) < 80), "doc_id", "text")
+          .select(col("fingerprint"))
+        Dedup.incrementalExact(
+          d.filter(bucketOf(col("doc_id")) >= 80), "doc_id", "text", store)
+      },
+      Some("""WITH sp AS (SELECT doc_id,
+          ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS b,
+          md5(text) AS f FROM documents),
+        store AS (SELECT DISTINCT f FROM sp WHERE b < 80)
+        SELECT doc_id AS id, f AS fingerprint,
+          (f IN (SELECT f FROM store)) AS is_dup
+        FROM sp WHERE b >= 80""".replaceAll("\\s+", " "))),
+
+    // INCREMENTAL near-dup candidates: new-batch LSH band hashes joined
+    // against the stored band table (store keeps (id, band, band_hash),
+    // not texts) — (new_id, old_id) pairs for the confirm stage.
+    "dedup_incremental_candidates" -> QueryDef(
+      (s, dir) => {
+        def bucketOf(c: org.apache.spark.sql.Column) =
+          pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+            .cast("long"), lit(100))
+        val d = docs(s, dir)
+        def bandsOf(part: DataFrame) = Dedup.lshBandsFromSig(
+          Dedup.minhashSignatures(part, "doc_id", "text", MinhashK,
+            ShingleLen), 4, MinhashK)
+        Dedup.lshCandidatePairsAcross(
+          bandsOf(d.filter(bucketOf(col("doc_id")) >= 80)),
+          bandsOf(d.filter(bucketOf(col("doc_id")) < 80)))
+      },
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
+        sp AS (SELECT doc_id,
+          ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS b
+          FROM documents)
+        SELECT DISTINCT a.id AS new_id, b.id AS old_id
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+        JOIN sp x ON a.id = x.doc_id JOIN sp y ON b.id = y.doc_id
+        WHERE x.b >= 80 AND y.b < 80""".replaceAll("\\s+", " "))),
+
     // TF-IDF top-5 terms per doc (keyword extraction for topical
     // routing). Ranking happens ON the 1e-6-rounded score so the order,
     // not just the printed value, is engine-portable; the rank window

@@ -304,6 +304,12 @@ class DedupSpec extends AnyFunSuite {
       spark.sql("SELECT minhash_sig(text, doc_id, 3) FROM docs_sql")
         .collect()
     }
+    // the string kernels registered alongside
+    val k = spark.sql("""
+      SELECT ngram_hash60(text, 3) AS h, sorted_shingle_set(text, 3) AS s
+      FROM docs_sql WHERE doc_id = 1""").collect().head
+    assert(k.getSeq[Long](0).length == 4) // 6 words → 4 trigrams
+    assert(k.getSeq[String](1).length == 4) // all distinct here
   }
 
   test("simhash: equal for identical text, long-valued, stable") {
@@ -341,6 +347,40 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
       assert(r.getSeq[Long](2) == r.getSeq[Long](3), r.toString)
     }
+  }
+
+  test("incrementalExact: flags exactly the new docs whose fingerprint " +
+    "is in the store, one row per new doc even when the store repeats " +
+    "a fingerprint") {
+    val newDocs = df((10L, "seen text"), (11L, "novel text"),
+      (12L, "seen text"))
+    // store with the SAME fingerprint twice — a left join would emit
+    // doubled rows; semi/anti must not
+    val store = df((1L, "seen text"), (2L, "seen text"),
+      (3L, "other stored"))
+    val out = Dedup.incrementalExact(newDocs, "doc_id", "text",
+      Dedup.exact(store, "doc_id", "text").select(col("fingerprint"))
+        .unionAll(Seq("dup-fp-row").toDF("fingerprint")
+          .select(md5(col("fingerprint")).as("fingerprint"))))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(10L -> true, 11L -> false, 12L -> true))
+    val cnt = Dedup.incrementalExact(newDocs, "doc_id", "text",
+      df((1L, "seen text"), (2L, "seen text"))
+        .select(md5(col("text")).as("fingerprint"))).count()
+    assert(cnt == 3L) // no multiplication from the doubled store row
+  }
+
+  test("lshCandidatePairsAcross: cross-frame bucket join yields " +
+    "exactly the near-dup (new, old) pairs, deduped across bands") {
+    val store = df((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"))
+    val nw = df((10L, "alpha beta gamma delta epsilon"), // dup of 1
+      (11L, "completely different words here now"))
+    def bands(d: org.apache.spark.sql.DataFrame) = Dedup.lshBandsFromSig(
+      Dedup.minhashSignatures(d, "doc_id", "text", 8, 3), 4, 8)
+    val pairs = Dedup.lshCandidatePairsAcross(bands(nw), bands(store))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((10L, 1L))) // identical text → all bands
   }
 
   test("property: shingle kernels == Column trees on random unicode " +
