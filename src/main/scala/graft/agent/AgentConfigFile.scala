@@ -9,7 +9,7 @@ import org.apache.hadoop.fs.Path
 /** Config-file loader — the reference's TOML config surface
   * (/root/reference/pkg/config/mainconfig.go:10-44;
   * conf/sample.syncflux.toml): a `[general]` section with the sync knobs,
-  * `[http]` with the API credentials, and a `[[influxdb]]` server array
+  * `[http]` with the API credentials, and an `influxdb` array-of-tables (double-bracket TOML sections)
   * whose entries are addressed by NAME via `master-db`/`slave-db` (or the
   * `-master`/`-slave` flags, main.go:84-85). In the engine a server's
   * `location` is a storage root URI instead of an HTTP endpoint.
@@ -91,7 +91,7 @@ object AgentConfigFile {
     TimeFuncs.parseGoDurationNs(s) / 1000000L
 
   /** Apply the parsed file onto a base AgentConfig. `master`/`slave` are
-    * server NAMES resolved through the `[[influxdb]]` array (empty →
+    * server NAMES resolved through the `influxdb` array-of-tables (empty →
     * `master-db`/`slave-db` from [general], agent.go:69-74); a name not
     * in the array is taken as a literal root URI (engine extension). */
   def apply(parsed: Parsed, base: AgentConfig,
