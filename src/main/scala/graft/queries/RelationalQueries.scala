@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Profiling, SkewJoin, TemporalJoin}
+import graft.operators.{Profiling, RuntimeFilters, SkewJoin, TemporalJoin}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -146,6 +146,25 @@ object RelationalQueries {
       Some("""SELECT c_custkey, c_name FROM customer
         WHERE EXISTS(SELECT 1 FROM orders
         WHERE o_custkey=c_custkey AND o_orderstatus='P')"""
+        .replaceAll("\\s+", " "))),
+
+    // semi join with an explicit bloom runtime prefilter on the probe
+    // side (RuntimeFilters.bloomSemiJoin): lineitem rows that can't
+    // match any selective part key are dropped AT THE SCAN, before the
+    // shuffle — the 100 TB shape Catalyst's InjectRuntimeFilter produces
+    // when its thresholds fire. Exact-join finish ⇒ result ≡ plain semi
+    // join, which is exactly what the oracle checks.
+    "join_bloom_prefilter" -> QueryDef(
+      (s, dir) => RuntimeFilters.bloomSemiJoin(
+          probe = t(s, dir, "lineitem"),
+          build = t(s, dir, "part")
+            .filter(col("p_size") < 10 && col("p_brand") === "Brand#13"),
+          probeKey = "l_partkey", buildKey = "p_partkey",
+          expectedItems = 100000L)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+        WHERE EXISTS(SELECT 1 FROM part
+        WHERE p_partkey=l_partkey AND p_size < 10 AND p_brand='Brand#13')"""
         .replaceAll("\\s+", " "))),
 
     // left-anti join (NOT EXISTS).
