@@ -516,6 +516,52 @@ object RelationalQueries {
     // parity), so the row is rows-only — but the ESTIMATE is bounded:
     // ApproxDistinctSpec pins relative error ≤ 5% (the default rsd)
     // against exact countDistinct at sf0.001 and sf0.01.
+    // data-layout for scan pruning: range-partition lineitem by
+    // l_shipdate and sort within partitions before writing, then read a
+    // one-month window back. The sorted copy gives every parquet row
+    // group a tight min/max l_shipdate envelope, so the time filter
+    // skips whole row groups at the footer — the difference between
+    // scanning one month and scanning 100 TB. The filter must ALSO
+    // reach the scan as a pushed predicate (PlanSpec pins it). Oracle =
+    // the same window on the original table: layout must never change
+    // results, only I/O.
+    "layout_sorted_scan" -> QueryDef(
+      (s, dir) => {
+        val dst = s"/tmp/graft_layout_rt_${math.abs(dir.hashCode)}"
+        t(s, dir, "lineitem")
+          .repartitionByRange(8, col("l_shipdate"))
+          .sortWithinPartitions(col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"))
+          .write.mode("overwrite").parquet(dst)
+        s.read.parquet(dst)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_partkey"),
+            col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+        l_shipdate FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'"""
+        .replaceAll("\\s+", " "))),
+
+    // approximate percentiles (Greenwald-Khanna sketch) — the 100 TB
+    // twin of agg_percentiles: exact `percentile` buffers EVERY value of
+    // a group in one reducer (3 groups ⇒ 3 reducers hold the whole
+    // column at scale), while the GK sketch is a bounded-size mergeable
+    // summary aggregated partial→final like any hash agg. Sketch merge
+    // order isn't canonical across engines (no DuckDB parity), so the
+    // row is rows-only; PercentileApproxSpec pins the rank error vs the
+    // exact form instead (≤ accuracy bound 1/acc = 0.1%).
+    "agg_percentiles_approx" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("q50"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("q90"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99")),
+      None),
+
     "agg_approx_distinct" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))

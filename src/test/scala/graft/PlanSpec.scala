@@ -172,6 +172,16 @@ class PlanSpec extends AnyFunSuite {
     assert(multi.isEmpty, schemas)
   }
 
+  test("layout_sorted_scan: the time filter is PUSHED to the sorted " +
+    "copy's parquet scan (row-group skipping needs footer-level " +
+    "predicates, not post-scan filters)") {
+    val p = planOf("layout_sorted_scan")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"), pushed + "\n" + p.take(2000))
+  }
+
   test("metadata-only multimodal pass prunes the payload column from " +
     "the scan when untouched (column pruning, SURVEY.md §4)") {
     // describe() reads payload (md5/size) by design; the frame-sampling
