@@ -822,6 +822,24 @@ object PipelineQueries {
         SELECT doc_id AS id, tokens, ((cum - tokens) // 2048)::BIGINT
           AS pack_id FROM c""".replaceAll("\\s+", " "))),
 
+    // JSONL roundtrip: write the corpus as newline-delimited JSON, read
+    // it back with the ORIGINAL schema, prove losslessness against the
+    // parquet source. JSONL is the interchange format every LLM corpus
+    // pipeline speaks (exports, annotation hand-offs, tokenizer feeds);
+    // the scale posture is the same as parquet's — one file per task on
+    // write, splittable line-oriented scan on read — but schema-on-read:
+    // the explicit schema (never inference, which is a full extra pass
+    // over 100 TB) is the load-bearing detail. Roundtrip exercises JSON
+    // string escaping (quotes/newlines/unicode) both ways.
+    "source_jsonl_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val dst = s"/tmp/graft_jsonl_rt_${math.abs(dir.hashCode)}"
+        d.write.mode("overwrite").json(dst)
+        s.read.schema(d.schema).json(dst)
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents")),
+
     // semantic dedup (SemDeDup): k-means clusters over the embeddings,
     // keep-first verdicts on within-cluster cosine ≥ 0.3 pairs (the
     // synthetic embeddings top out at cosine ≈ 0.51 — 0.95-style
