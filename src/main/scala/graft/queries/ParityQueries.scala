@@ -4,7 +4,7 @@ import graft.agent.{Agent, AgentConfig}
 import graft.catalog.Catalog
 import graft.functions.ChecksumAgg
 import graft.model.{FieldSch, FieldType}
-import graft.operators.CopyJob
+import graft.operators.{CopyJob, SeriesOps}
 import graft.plan.ChunkPlanner
 import graft.sources.{LineProtocol, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -296,6 +296,45 @@ object ParityQueries {
       Some(s"""SELECT epoch_ns(ts)//$HourNs AS bucket,
                count(*)::BIGINT AS n FROM events GROUP BY 1"""
         .replaceAll("\\s+", " "))),
+
+    // InfluxQL transformation-function family over synced measurements
+    // (DIFFERENCE / DERIVATIVE / NON_NEGATIVE_DERIVATIVE / ELAPSED /
+    // MOVING_AVERAGE / CUMULATIVE_SUM): the queries InfluxDB users run
+    // against the data the reference replicates. One shared window spec
+    // per series key ⇒ a single Exchange+Sort+Window computes all six
+    // (PlanSpec pins exactly one window exchange).
+    // µs-truncated time on BOTH sides (DuckDB timestamps are µs; the
+    // repo-wide epoch_us convention) — ties, if truncation makes any,
+    // break identically on event_id.
+    "ts_series_transforms" -> QueryDef(
+      (s, dir) => SeriesOps.transforms(
+          ev(s, dir).withColumn("time_us", expr("ts div 1000")),
+          seriesCols = Seq("event_type", "user_id"),
+          tsCol = "time_us", tieCol = "event_id", valueCol = "value",
+          maPoints = 3, unitTicks = 1000000L)
+        .withColumnRenamed("time_ticks", "time_us")
+        .withColumnRenamed("elapsed_ticks", "elapsed_us"),
+      Some("""WITH s AS (SELECT event_type, user_id, event_id,
+          epoch_us(ts) AS tus, value FROM events),
+        w AS (SELECT event_type, user_id, event_id, tus, value,
+          lag(value) OVER win AS pv, lag(tus) OVER win AS pt,
+          CASE WHEN count(value) OVER
+              (win ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 3
+            THEN avg(value) OVER
+              (win ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) END AS ma,
+          sum(value) OVER
+            (win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM s
+          WINDOW win AS (PARTITION BY event_type, user_id
+                         ORDER BY tus, event_id)),
+        d AS (SELECT *, CASE WHEN tus - pt > 0 THEN
+            (value - pv) / ((tus - pt) / 1000000.0) END AS drv FROM w)
+        SELECT event_type, user_id, event_id, tus AS time_us,
+          round(value - pv, 4) AS difference, tus - pt AS elapsed_us,
+          round(drv, 6) AS derivative,
+          round(CASE WHEN drv >= 0 THEN drv END, 6) AS nn_derivative,
+          round(ma, 6) AS ma3, round(cum, 4) AS cum_sum
+        FROM d""".replaceAll("\\s+", " "))),
 
     // F3: JSON value coercion by declared type (client.go:430-459 analog
     // on the props payload).
