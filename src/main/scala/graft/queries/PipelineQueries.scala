@@ -822,6 +822,27 @@ object PipelineQueries {
         SELECT doc_id AS id, tokens, ((cum - tokens) // 2048)::BIGINT
           AS pack_id FROM c""".replaceAll("\\s+", " "))),
 
+    // per-label embedding centroids: element-wise mean vector per class
+    // — the statistic behind SemDeDup cluster seeds, class prototypes,
+    // and embedding-drift monitors. posexplode → (label, dim) partial/
+    // final avg: each dimension aggregates independently, so the
+    // shuffle key space is |labels|×dim — thousands of reducers at
+    // 100 TB, never one per label.
+    "emb_label_centroids" -> QueryDef(
+      (s, dir) => emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("mean_val"),
+          count(lit(1)).as("n"))
+        .select(col("label").cast("long").as("label"),
+          col("pos").cast("long").as("dim"), col("mean_val"), col("n")),
+      Some("""SELECT label::BIGINT AS label, (i - 1)::BIGINT AS dim,
+        round(avg(x), 6) AS mean_val, count(*)::BIGINT AS n
+        FROM (SELECT label, unnest(embedding) AS x,
+          unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+        GROUP BY label, i""".replaceAll("\\s+", " "))),
+
     // JSONL roundtrip: write the corpus as newline-delimited JSON, read
     // it back with the ORIGINAL schema, prove losslessness against the
     // parquet source. JSONL is the interchange format every LLM corpus

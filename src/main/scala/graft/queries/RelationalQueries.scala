@@ -326,6 +326,66 @@ object RelationalQueries {
         ORDER BY epoch_us(ts), event_id) AS gap_us FROM events"""
         .replaceAll("\\s+", " "))),
 
+    // first/last/nth value window functions: each user's first, most
+    // recent, and second event value — same single window spec, ordered
+    // frame extended to the full partition for last_value (the default
+    // running frame would return the CURRENT row's value).
+    "win_first_last" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("time_us"), col("event_id"))
+        val full = w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("time_us"), col("value"))
+          .withColumn("first_v", first(col("value")).over(w))
+          .withColumn("last_v", last(col("value")).over(full))
+          .withColumn("second_v", nth_value(col("value"), 2).over(w))
+          .select(col("user_id"), col("event_id"), col("first_v"),
+            col("last_v"), col("second_v"))
+      },
+      Some("""SELECT user_id, event_id,
+        first_value(value) OVER win AS first_v,
+        last_value(value) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+          AND UNBOUNDED FOLLOWING) AS last_v,
+        nth_value(value, 2) OVER win AS second_v
+        FROM events WINDOW win AS (PARTITION BY user_id
+        ORDER BY epoch_us(ts), event_id)"""
+        .replaceAll("\\s+", " "))),
+
+    // CDC latest-wins upsert compaction: two change batches (pre/post a
+    // cutover instant) unioned, then ONE row per (user_id, event_type)
+    // key — the newest by (time, id). `max_by` over a lexicographic
+    // (time_us, event_id, value) struct keeps the reduction a partial→
+    // final hash agg (map-side combine, no per-key window sort state);
+    // the oracle is the equivalent arg_max. This is the compaction pass
+    // every incremental 100 TB ingest runs over its change log.
+    "merge_latest_upsert" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("time_us"), col("event_id"),
+            col("value"))
+        val cutUs = 1704067200000000L + 12L * 3600L * 1000000L
+        val before = e.filter(col("time_us") < cutUs)
+        val after = e.filter(col("time_us") >= cutUs)
+        before.union(after)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(max(struct(col("time_us"), col("event_id"), col("value")))
+            .as("m"))
+          .select(col("user_id"), col("event_type"),
+            col("m.time_us").as("time_us"),
+            col("m.event_id").as("event_id"),
+            col("m.value").as("value"))
+      },
+      Some("""SELECT user_id, event_type, m['tus'] AS time_us,
+        m['id'] AS event_id, m['v'] AS value FROM (
+        SELECT user_id, event_type, max({'tus': epoch_us(ts),
+          'id': event_id, 'v': value}) AS m
+        FROM events GROUP BY user_id, event_type)"""
+        .replaceAll("\\s+", " "))),
+
     // set operations.
     "setop_union" -> QueryDef(
       (s, dir) => t(s, dir, "customer")
@@ -392,6 +452,36 @@ object RelationalQueries {
           "l_shipdate").map(one).mkString(" UNION ALL ")
           .replaceAll("\\s+", " ")
       }),
+
+    // equi-depth histogram, two-phase: (1) quartile cutpoints — three
+    // scalars to the driver, broadcast-equivalent (at 100 TB swap the
+    // exact percentile for approx_percentile, same shape); (2) bucket =
+    // count of cutpoints strictly below the value — a pure projection
+    // feeding a partial/final count agg. NO global sort: the naive
+    // ntile() form would funnel the whole table through one ordered
+    // window partition. Integral values keep the interpolated cutpoint
+    // comparison engine-stable (see agg_percentiles).
+    "stats_equidepth_histogram" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val cuts = li.agg(expr(
+          "percentile(l_quantity, array(0.25, 0.5, 0.75))").as("c"))
+          .head().getSeq[Double](0)
+        val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+          acc + when(col("l_quantity") > lit(c), 1).otherwise(0) }
+        li.select(bucket.cast("long").as("bucket"), col("l_quantity"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_quantity")).as("min_q"),
+            max(col("l_quantity")).as("max_q"))
+      },
+      Some("""WITH c AS (SELECT quantile_cont(l_quantity,
+          [0.25, 0.5, 0.75]) AS q FROM lineitem)
+        SELECT ((l_quantity > q[1])::INT + (l_quantity > q[2])::INT
+          + (l_quantity > q[3])::INT)::BIGINT AS bucket,
+        count(*)::BIGINT AS n, min(l_quantity) AS min_q,
+        max(l_quantity) AS max_q
+        FROM lineitem, c GROUP BY 1""".replaceAll("\\s+", " "))),
 
     // grouping sets via ROLLUP (NULL-marked subtotal rows).
     "agg_rollup" -> QueryDef(

@@ -182,6 +182,25 @@ class PlanSpec extends AnyFunSuite {
       pushed.contains("LessThan(l_shipdate"), pushed + "\n" + p.take(2000))
   }
 
+  test("merge_latest_upsert compacts via partial/final hash agg — no " +
+    "per-key window sort state") {
+    val p = planOf("merge_latest_upsert").split("== Initial Plan ==")(0)
+    // struct max isn't hash-aggregable → SortAggregate host, but the
+    // map-side partial_max before the exchange is what matters at scale
+    assert(p.contains("partial_max"), p.take(2000))
+    assert("(Sort|Hash|Object.*)Aggregate".r.findAllIn(p).size >= 2,
+      p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("stats_equidepth_histogram buckets without a global sort (the " +
+    "ntile form would single-partition the table)") {
+    val p = planOf("stats_equidepth_histogram")
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("metadata-only multimodal pass prunes the payload column from " +
     "the scan when untouched (column pruning, SURVEY.md §4)") {
     // describe() reads payload (md5/size) by design; the frame-sampling
