@@ -325,6 +325,31 @@ final class CopyJob(
     spark.read.parquet(path).drop("__bucket")
   }
 
+  /** Time-range read of a copied dataset with CHUNK-PARTITION pruning.
+    *
+    * `__bucket` encodes each chunk's `[startNs,endNs)` span in its
+    * directory name, so a range read can discard non-overlapping chunks
+    * at FILE LISTING time — the predicate references only the partition
+    * column and lands in the scan's `PartitionFilters` (whole
+    * directories skipped, no footer even opened; PlanSpec pins it). The
+    * exact ns bounds then apply as an ordinary pushed filter inside the
+    * surviving chunks. At 100 TB this is the read path: a day's query
+    * over a year's copy touches 1/365th of the files.
+    */
+  def readCopiedRange(
+      path: String,
+      startNs: Long,
+      endNs: Long,
+      timeCol: String = "ts"): DataFrame = {
+    Tables.ensureNsConf(spark)
+    val span = split(col("__bucket"), "_")
+    spark.read.parquet(path)
+      .filter(span.getItem(0).cast("long") < endNs &&
+        span.getItem(1).cast("long") > startNs)
+      .filter(col(timeCol) >= startNs && col(timeCol) < endNs)
+      .drop("__bucket")
+  }
+
   /** Per-chunk source↔dest checksum verification — stronger than the
     * count-only equality the reference relies on (its recovery trusts
     * upsert idempotence blindly, sync.go:215-232). Uses the

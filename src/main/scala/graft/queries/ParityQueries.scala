@@ -120,6 +120,28 @@ object ParityQueries {
                WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs"""
         .replaceAll("\\s+", " "))),
 
+    // partition-pruned range read of a copied dataset: the __bucket
+    // chunk-span directories let a 3-day window over a 15-day copy skip
+    // 6 of 8 chunk partitions at FILE LISTING (PartitionFilters;
+    // PlanSpec pins it), with the exact ns bounds as residual pushed
+    // filter. The window deliberately straddles a chunk boundary so
+    // both layers (directory pruning + row filtering) are exercised.
+    "s5_partition_pruned_scan" -> QueryDef(
+      (s, dir) => {
+        val job = new CopyJob(s)
+        val cfg = CopyJob.Config(StartNs, EndNs, chunkNs = 2 * DayNs,
+          timeCol = "ts")
+        val dst = s"/tmp/graft_prune_rt_${math.abs(dir.hashCode)}"
+        job.copyMeasurement(s"$dir/events.parquet", dst, cfg)
+        job.readCopiedRange(dst, StartNs + 3 * DayNs, StartNs + 6 * DayNs)
+          .select(evProj: _*)
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS time_us, user_id,
+               event_type, value, props FROM events
+               WHERE epoch_ns(ts) >= ${StartNs + 3 * DayNs}
+               AND epoch_ns(ts) < ${StartNs + 6 * DayNs}"""
+        .replaceAll("\\s+", " "))),
+
     // End-to-end AGENT fullcopy (-action fullcopy ≅ SchCopy,
     // agent.go:176-208): replicaschema with -newdb/-newrp renames, then
     // the windowed data copy, dispatched through the Agent composition —

@@ -182,6 +182,18 @@ class PlanSpec extends AnyFunSuite {
       pushed.contains("LessThan(l_shipdate"), pushed + "\n" + p.take(2000))
   }
 
+  test("copied-dataset range read prunes chunk partitions at file " +
+    "listing (PartitionFilters over the __bucket span, S5 scale path)") {
+    val p = planOf("s5_partition_pruned_scan")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("__bucket"), pf + "\n" + p.take(2000))
+    // ns bounds still reach the scan as residual pushed filters
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(ts"), pushed)
+  }
+
   test("merge_latest_upsert compacts via partial/final hash agg — no " +
     "per-key window sort state") {
     val p = planOf("merge_latest_upsert").split("== Initial Plan ==")(0)
