@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TopKAgg
 
 /** Per-series transformation functions over measurement frames — the
   * InfluxQL function family (`DIFFERENCE`, `DERIVATIVE`,
@@ -71,5 +72,83 @@ object SeriesOps {
         round(when(count(v).over(maW) === maPoints, avg(v).over(maW)), 6)
           .as(s"ma$maPoints"),
         round(sum(v).over(cumW), 4).as("cum_sum")): _*)
+  }
+
+  /** InfluxQL `fill()` — gap filling of a bucketed per-series frame
+    * (`GROUP BY time(...), * fill(null|0|previous|linear)`; the query
+    * family users of the reference run against the data it syncs).
+    * Input: ONE row per (series, bucket) — i.e. the output of a
+    * tumbling-window aggregate — with integral `bucketCol` ticks.
+    * Output: one row per GRID tick from each series' first to last
+    * bucket, all four fill flavors side by side plus an `is_gap` flag.
+    *
+    * Shape: gap rows are generated FORWARD from each actual row
+    * (`lead` + `sequence` + `explode`) rather than by building a grid
+    * frame and left-joining it back — so the whole family costs ONE
+    * per-series window (already the aggregate's clustering) and zero
+    * additional joins or shuffles, and each fill flavor is a pure
+    * projection on the exploded row:
+    *  - v_null:   the actual value, null on gap ticks (`fill(null)`);
+    *  - v_zero:   `fill(0)`;
+    *  - v_prev:   `fill(previous)` — a gap tick's previous actual IS
+    *    the row that generated it, so no second window is needed;
+    *  - v_linear: `fill(linear)` — the generating row also carries its
+    *    `lead` neighbor, so interpolation is per-row arithmetic in a
+    *    fixed operand order (bit-identical in any IEEE engine).
+    * Leading/trailing edges match InfluxQL without an absolute range:
+    * the grid spans [first, last] actual bucket per series, so no
+    * edge extrapolation rows exist. Per-gap memory is bounded by the
+    * widest single gap (sequence length), not series length. */
+  def fillGaps(df: DataFrame, seriesCols: Seq[String], bucketCol: String,
+      valueCol: String, stepTicks: Long): DataFrame = {
+    require(stepTicks > 0, s"fillGaps needs stepTicks > 0, got $stepTicks")
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col(bucketCol))
+    val withNext = df.select(
+        seriesCols.map(col)
+          :+ col(bucketCol).cast("long").as("b")
+          :+ col(valueCol).cast("double").as("v"): _*)
+      .withColumn("nb", lead(col("b"), 1).over(w))
+      .withColumn("nv", lead(col("v"), 1).over(w))
+    val exploded = withNext.select(
+      seriesCols.map(col) ++ Seq(col("b"), col("v"), col("nb"), col("nv"),
+        explode(sequence(col("b"),
+          coalesce(col("nb") - stepTicks, col("b")),
+          lit(stepTicks))).as("t")): _*)
+    val actual = when(col("t") === col("b"), col("v"))
+    exploded.select(
+      seriesCols.map(col) ++ Seq(
+        col("t").as("t_tick"),
+        (col("t") =!= col("b")).as("is_gap"),
+        actual.as("v_null"),
+        coalesce(actual, lit(0.0)).as("v_zero"),
+        col("v").as("v_prev"),
+        when(col("t") === col("b"), col("v")).otherwise(
+          col("v") + (col("nv") - col("v")) *
+            ((col("t") - col("b")).cast("double") /
+              (col("nb") - col("b")).cast("double"))).as("v_linear")): _*)
+  }
+
+  /** InfluxQL `TOP(field, N)` / `BOTTOM(field, N)` selectors, per
+    * series: rank 1..k by value DESC (top) / ASC (bottom), timestamp-
+    * style ties broken by `idCol` ASC — via the bounded-heap
+    * [[graft.functions.TopKAgg]], NOT a row_number window, so every
+    * input partition contributes at most O(k) pre-ranked rows per
+    * series to the shuffle (the window form would sort each whole
+    * series on one reducer — the same single-reducer trap the ANN rank
+    * stage had). BOTTOM negates the score (exact for IEEE doubles;
+    * Double.compare's -0.0 < 0.0 stays consistent under negation).
+    * Output: (series..., sel, rank, id) — sel ∈ {"top", "bottom"}. */
+  def topBottom(df: DataFrame, seriesCols: Seq[String], valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    def sel(score: Column, label: String): DataFrame = df
+      .groupBy(seriesCols.map(col): _*)
+      .agg(TopKAgg.topK(k)(score, col(idCol).cast("long")).as("tk"))
+      .select(seriesCols.map(col)
+        :+ lit(label).as("sel") :+ posexplode(col("tk.items")): _*)
+      .select(seriesCols.map(col) ++ Seq(col("sel"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol)): _*)
+    sel(col(valueCol), "top").unionAll(sel(negate(col(valueCol)), "bottom"))
   }
 }

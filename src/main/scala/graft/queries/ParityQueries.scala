@@ -358,6 +358,90 @@ object ParityQueries {
           round(ma, 6) AS ma3, round(cum, 4) AS cum_sum
         FROM d""".replaceAll("\\s+", " "))),
 
+    // InfluxQL `GROUP BY time(1h), * fill(null|0|previous|linear)` —
+    // all four fill flavors over hour-bucketed per-type sums. Gap rows
+    // are generated forward from each actual row (lead + sequence +
+    // explode; see SeriesOps.fillGaps), so the family costs one
+    // per-series window and ZERO extra joins/shuffles. sf0.01 has ~200
+    // genuinely empty (type, hour) buckets, so the fill columns are
+    // non-vacuous in the oracle compare; exact interpolation math is
+    // additionally pinned on a planted-gap fixture in SeriesOpsSpec.
+    "ts_fill_gaps" -> QueryDef(
+      (s, dir) => SeriesOps.fillGaps(
+        Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(round(sum(col("value")), 4).as("v"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b"), col("v")),
+        seriesCols = Seq("event_type"), bucketCol = "b", valueCol = "v",
+        stepTicks = HourNs / 1000),
+      Some(s"""WITH a AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          round(sum(value), 4) AS v FROM events GROUP BY 1, 2),
+        w AS (SELECT event_type, b, v,
+          lead(b) OVER win AS nb, lead(v) OVER win AS nv FROM a
+          WINDOW win AS (PARTITION BY event_type ORDER BY b)),
+        g AS (SELECT event_type, b, v, nb, nv,
+          unnest(generate_series(b, coalesce(nb - 3600000000, b),
+            3600000000)) AS t FROM w)
+        SELECT event_type, t AS t_tick, (t <> b) AS is_gap,
+          CASE WHEN t = b THEN v END AS v_null,
+          coalesce(CASE WHEN t = b THEN v END, 0.0) AS v_zero,
+          v AS v_prev,
+          CASE WHEN t = b THEN v ELSE v + (nv - v) *
+            (CAST(t - b AS DOUBLE) / CAST(nb - b AS DOUBLE)) END
+            AS v_linear
+        FROM g""".replaceAll("\\s+", " "))),
+
+    // InfluxQL TOP(value, 3) / BOTTOM(value, 3) per series — selector
+    // functions via the bounded-heap TopKAgg (map-side partial top-k;
+    // no per-series single-reducer window sort). Ties break by
+    // event_id ASC, the InfluxQL earlier-point convention.
+    "ts_top_bottom" -> QueryDef(
+      (s, dir) => SeriesOps.topBottom(ev(s, dir),
+        seriesCols = Seq("event_type"), valueCol = "value",
+        idCol = "event_id", k = 3),
+      Some("""WITH r AS (SELECT event_type, event_id,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY value DESC, event_id) AS rt,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY value ASC, event_id) AS rb
+          FROM events)
+        SELECT event_type, 'top' AS sel, rt::BIGINT AS rank, event_id
+          FROM r WHERE rt <= 3
+        UNION ALL
+        SELECT event_type, 'bottom' AS sel, rb::BIGINT AS rank, event_id
+          FROM r WHERE rb <= 3""".replaceAll("\\s+", " "))),
+
+    // InfluxQL SPREAD(value) + MODE(user_id) per series. Spread is one
+    // IEEE subtraction of exact column extrema (bit-deterministic,
+    // unrounded). Mode follows the InfluxQL lowest-value-on-tie
+    // contract via an arg-max struct aggregate — max(struct(cnt,
+    // -user_id)) — two hash aggregates, no window, no sort.
+    "agg_selectors" -> QueryDef(
+      (s, dir) => {
+        val e = ev(s, dir)
+        val spread = e.groupBy(col("event_type"))
+          .agg((max(col("value")) - min(col("value"))).as("spread"))
+        val mode = e.groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("event_type"))
+          .agg(max(struct(col("cnt"),
+            negate(col("user_id")).as("nid"))).as("m"))
+          .select(col("event_type"), negate(col("m.nid")).as("mode_user"))
+        spread.join(mode, "event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, user_id AS mode_user FROM
+          (SELECT event_type, user_id, row_number() OVER
+            (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS r
+           FROM c) WHERE r = 1),
+        sp AS (SELECT event_type, max(value) - min(value) AS spread
+          FROM events GROUP BY 1)
+        SELECT sp.event_type, sp.spread, m.mode_user
+        FROM sp JOIN m USING (event_type)""".replaceAll("\\s+", " "))),
+
     // F3: JSON value coercion by declared type (client.go:430-459 analog
     // on the props payload).
     "f3_json_extract" -> QueryDef(

@@ -75,4 +75,79 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert("(?m)^\\s*[+:]?[- ]*\\*?\\(?\\d*\\)?\\s*Sort ".r
       .findAllIn(p).size === 1, p.take(3000))
   }
+
+  // bucketed fixture for fillGaps: series "a" has a 3-step interior gap
+  // (ticks 40,50 missing between 30 and 60) and a 1-step gap (10→30…
+  // no: 10,20,30 present); series "b" is gapless; values chosen so
+  // linear interpolation lands on non-trivial fractions
+  private def bucketedFixture = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("a", 10L, 1.0), ("a", 20L, 4.0), ("a", 30L, 10.0),
+      ("a", 60L, 1.0),
+      ("b", 10L, 7.0), ("b", 20L, 8.0))
+      .toDF("series", "b", "v")
+  }
+
+  test("fillGaps: grid covers [first, last] per series; all four fill " +
+    "flavors exact on a planted interior gap") {
+    val out = SeriesOps.fillGaps(bucketedFixture, Seq("series"), "b", "v",
+        stepTicks = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // grid size: a spans 10..60 (6 ticks), b spans 10..20 (2 ticks)
+    assert(out.size === 8)
+    assert(out.keys.count(_._1 == "a") === 6)
+    // actual rows: not gaps, v_null = v, all flavors agree
+    val a30 = out(("a", 30L))
+    assert(!a30.getBoolean(2) && a30.getDouble(3) === 10.0 &&
+      a30.getDouble(4) === 10.0 && a30.getDouble(5) === 10.0 &&
+      a30.getDouble(6) === 10.0)
+    // gap rows at 40 and 50 (between v=10 @30 and v=1 @60):
+    //   null → null, zero → 0, previous → 10,
+    //   linear → 10 + (1-10)*(t-30)/30 = 7.0 @40, 4.0 @50
+    val a40 = out(("a", 40L)); val a50 = out(("a", 50L))
+    assert(a40.getBoolean(2) && a40.isNullAt(3) &&
+      a40.getDouble(4) === 0.0 && a40.getDouble(5) === 10.0 &&
+      a40.getDouble(6) === 7.0)
+    assert(a50.getDouble(6) === 4.0 && a50.getDouble(5) === 10.0)
+    // gapless series emits exactly its actual rows
+    assert(!out(("b", 10L)).getBoolean(2) && !out(("b", 20L)).getBoolean(2))
+  }
+
+  test("topBottom: TOP/BOTTOM selector ranks match the row_number " +
+    "window form, ties by id ASC (InfluxQL earlier-point rule)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("x", 1L, 5.0), ("x", 2L, 9.0), ("x", 3L, 9.0), ("x", 4L, 1.0),
+      ("y", 5L, 2.0), ("y", 6L, 3.0))
+      .toDF("series", "id", "value")
+    val got = SeriesOps.topBottom(df, Seq("series"), "value", "id", k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    // ties at 9.0: id 2 ranks before id 3
+    assert(got(("x", "top", 1L)) === 2L)
+    assert(got(("x", "top", 2L)) === 3L)
+    assert(got(("x", "bottom", 1L)) === 4L)
+    assert(got(("x", "bottom", 2L)) === 1L) // next-lowest is 5.0 @ id 1
+    assert(got(("y", "top", 1L)) === 6L)
+    assert(got(("y", "bottom", 1L)) === 5L)
+    // k caps output: series y has 2 rows → exactly 2 ranks per selector
+    assert(got.keys.count(k => k._1 == "y" && k._2 == "top") === 2)
+  }
+
+  test("fillGaps plans ONE exchange — gap generation is lead + " +
+    "sequence-explode on the aggregate's own clustering, no grid join") {
+    val df = SeriesOps.fillGaps(bucketedFixture, Seq("series"), "b", "v",
+      stepTicks = 10L)
+    df.collect(): Unit
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
 }
