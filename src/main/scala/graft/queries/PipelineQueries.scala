@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.HeavyHitters
 import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -507,6 +508,32 @@ object PipelineQueries {
           FROM words)
         SELECT s AS ngram, count(*)::BIGINT AS n FROM sh2
         GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""
+        .replaceAll("\\s+", " "))),
+
+    // SpaceSaving heavy hitters over the corpus word stream — the
+    // BOUNDED-memory twin of text_top_ngrams' exact group-by: at 100 TB
+    // the exact form shuffles one row per distinct key (unbounded); the
+    // sketch shuffles `capacity` counters per input partition, period.
+    // Run here in EXACT mode (capacity 256 ≫ the corpus's vocabulary),
+    // where counts are exact, errors are 0, and the result is
+    // partitioning-independent — hence oracle-able against the exact
+    // counts; the saturated-mode error bound and frequent-items
+    // guarantee are pinned in HeavyHittersSpec.
+    "text_heavy_hitters" -> QueryDef(
+      (s, dir) => docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(HeavyHitters.spaceSaving(capacity = 256, k = 10)(col("w"))
+          .as("hh"))
+        .select(posexplode(col("hh.items")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.key").as("word"), col("col.cnt").as("n"),
+          col("col.err").as("err")),
+      Some(s"""WITH $WordsCte,
+        u AS (SELECT unnest(w) AS word FROM words),
+        c AS (SELECT word, count(*)::BIGINT AS n FROM u GROUP BY 1)
+        SELECT row_number() OVER (ORDER BY n DESC, word)::BIGINT AS rank,
+          word, n, 0::BIGINT AS err
+        FROM c ORDER BY n DESC, word LIMIT 10"""
         .replaceAll("\\s+", " "))),
 
     // deterministic corpus split: md5-bucket each doc into
