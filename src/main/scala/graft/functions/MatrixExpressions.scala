@@ -204,6 +204,45 @@ object MatrixExpressions {
       copy(child = c)
   }
 
+  /** Centered matrix-vector projection: y_r = Σ_i (x_i − mean_i)·M(r,i)
+    * — the PCA transform kernel (rows of `mat` are principal
+    * components). One expression node instead of k VecDot sub-trees
+    * against typedLit arrays (same Janino-cost rationale as the header
+    * note). Dots are strict ascending-index folds clamped to
+    * min(|vec|, |mean|, |row|). */
+  case class MatProject(child: Expression, mean: Array[Double],
+      mat: Array[Array[Double]])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(ArrayType(DoubleType))
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    def compute(a: ArrayData): ArrayData = {
+      val k = mat.length
+      val out = new Array[Double](k)
+      var r = 0
+      while (r < k) {
+        val row = mat(r)
+        val n = math.min(math.min(a.numElements(), mean.length), row.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += (a.getDouble(i) - mean(i)) * row(i); i += 1 }
+        out(r) = s
+        r += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val ref = ctx.addReferenceObj("matProject", this,
+        classOf[MatProject].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Ascending-index dot of v[off, off+dsub) against `cent`, clamped to
     * both lengths — the fold `vecDot(slice(v, off+1, dsub), cent)`
     * performed. */
@@ -240,4 +279,7 @@ object MatrixExpressions {
     GraftShim.column(PqLut(GraftShim.expression(vec), books, dsub))
   def srpPack(vec: Column, planes: Array[Array[Double]]): Column =
     GraftShim.column(SrpPack(GraftShim.expression(vec), planes))
+  def matProject(vec: Column, mean: Array[Double],
+      mat: Array[Array[Double]]): Column =
+    GraftShim.column(MatProject(GraftShim.expression(vec), mean, mat))
 }

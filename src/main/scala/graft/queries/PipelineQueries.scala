@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.HeavyHitters
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Pca, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -869,6 +869,25 @@ object PipelineQueries {
           unnest(generate_series(1, len(embedding))) AS i
           FROM embeddings)
         GROUP BY label, i""".replaceAll("\\s+", " "))),
+
+    // distributed PCA: one sufficient-statistics pass (d(d+3)/2-double
+    // buffer per partial, independent of row count), driver-side d×d
+    // Jacobi eigensolve, then projection as one codegen'd kernel over
+    // literal components — zero shuffle after the fit's single scalar
+    // aggregate. Rows-only: no SQL engine exposes an eigensolver, and
+    // Gram summation order makes components ulp-sensitive; exactness
+    // (orthonormality, eigen residual, trace preservation, known-axis
+    // recovery, projection differential) is pinned in PcaSpec.
+    "emb_pca_project" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val model = Pca.fit(e, "embedding", k = 8)
+        Pca.project(e, "embedding", model)
+          .select(col("vec_id") +:
+            (0 until 8).map(i => round(element_at(col("pc"), i + 1), 4)
+              .as(s"pc${i + 1}")): _*)
+      },
+      None),
 
     // JSONL roundtrip: write the corpus as newline-delimited JSON, read
     // it back with the ORIGINAL schema, prove losslessness against the
