@@ -426,6 +426,51 @@ object Similarity {
     exactReRank(candidates, q, corpus, idCol, vecCol, k)
   }
 
+  /** PCA-reduced approximate top-k: fit a kDim-component PCA on the
+    * corpus ([[Pca.fit]] — one sufficient-statistics pass), shortlist
+    * each query's k·refine nearest candidates by SQUARED L2 DISTANCE in
+    * the reduced space (PCA is the best kDim-dimensional linear
+    * preserver of centered L2 — unlike cosine/dot, which centering
+    * distorts), then exact-cosine re-rank the shortlist. The reduced
+    * scan is kDim/dim of the brute-force flop cost and the projected
+    * corpus is kDim/dim of the memory — the classic dim-reduction ANN
+    * recipe PQ composes with (OPQ). With kDim = dim the projection is
+    * an isometry (orthonormal basis), the shortlist ranking equals the
+    * true-L2 ranking, and (for normalized corpora) results match
+    * bruteForceTopK exactly — differential-tested; recall < 1 below
+    * that, degrading with spectrum flatness (worst case: isotropic
+    * vectors). Rows-only registry check; recall pinned in
+    * SimilaritySpec. */
+  def pcaTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, kDim: Int = 16, refine: Int = 4,
+      excludeSelfMatches: Boolean = true): DataFrame = {
+    val model = Pca.fit(corpus, vecCol, kDim)
+    def reduced(df: DataFrame, idAs: String, pcAs: String): DataFrame =
+      Pca.project(
+        df.select(col(idCol).cast("long").as(idAs), col(vecCol)),
+        vecCol, model, pcAs)
+        .select(col(idAs), col(pcAs))
+    val q = broadcast(reduced(queries, "query_id", "qp"))
+    val c = reduced(corpus, "neighbor_id", "cp")
+    // shortlist score: negated reduced-space squared L2 (monotone in
+    // distance; one fused kernel pass via ‖a‖²+‖b‖²−2a·b would save
+    // nothing here — vecDot/vecNormSq are already codegen'd)
+    val scored = c.join(q,
+        if (excludeSelfMatches) col("query_id") =!= col("neighbor_id")
+        else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        negate(vecNormSq(col("qp")) + vecNormSq(col("cp"))
+          - lit(2.0) * vecDot(col("qp"), col("cp"))).as("score"))
+    val candidates = scored
+      .groupBy(col("query_id"))
+      .agg(TopKAgg.topK(k * refine)(col("score"), col("neighbor_id"))
+        .as("tk"))
+      .select(col("query_id"), explode(col("tk.items")).as("it"))
+      .select(col("query_id"), col("it.id").as("neighbor_id"))
+    val qFull = broadcast(prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    exactReRank(candidates, qFull, corpus, idCol, vecCol, k)
+  }
+
   /** LSH-bucketed approximate top-k: hash queries and corpus into SRP
     * buckets over `numTables` tables, join within buckets only, rank by
     * cosine. At 100 TB this replaces the |Q|·|C| product with per-bucket

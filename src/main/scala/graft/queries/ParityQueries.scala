@@ -358,6 +358,38 @@ object ParityQueries {
           round(ma, 6) AS ma3, round(cum, 4) AS cum_sum
         FROM d""".replaceAll("\\s+", " "))),
 
+    // InfluxQL INTEGRAL(value, 1s): per-series trapezoidal area under
+    // the value curve, time in seconds — one lag window on the series
+    // clustering + a partial/final agg (no global sort). Summation
+    // order of the per-gap trapezoids is engine-dependent ⇒ rounded
+    // (registry convention for multi-row double aggregates).
+    "ts_integral" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("time_us"), col("event_id"))
+        ev(s, dir)
+          .select(col("event_type"), col("event_id"),
+            expr("ts div 1000").as("time_us"), col("value"))
+          .select(col("event_type"),
+            ((col("value") + lag(col("value"), 1).over(w)) / 2 *
+              ((col("time_us") - lag(col("time_us"), 1).over(w))
+                .cast("double") / 1000000.0)).as("area"))
+          .groupBy(col("event_type"))
+          .agg(round(sum(col("area")), 4).as("integral_r"),
+            count(lit(1)).as("n_points"))
+      },
+      Some("""WITH s AS (SELECT event_type, event_id, epoch_us(ts) AS t,
+          value FROM events),
+        w AS (SELECT event_type,
+          (value + lag(value) OVER win) / 2 *
+            (CAST(t - lag(t) OVER win AS DOUBLE) / 1000000.0) AS area
+          FROM s WINDOW win AS
+            (PARTITION BY event_type ORDER BY t, event_id))
+        SELECT event_type, round(sum(area), 4) AS integral_r,
+          count(*)::BIGINT AS n_points
+        FROM w GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // InfluxQL `GROUP BY time(1h), * fill(null|0|previous|linear)` —
     // all four fill flavors over hour-bucketed per-type sums. Gap rows
     // are generated forward from each actual row (lead + sequence +

@@ -371,6 +371,21 @@ object PipelineQueries {
       },
       None),
 
+    // PCA-reduced ANN: kDim/dim of the brute-force flop and memory cost
+    // for the shortlist scan, exact-cosine re-rank after — the linear
+    // dim-reduction leg of the ANN family (composes with PQ as OPQ in
+    // the literature). Approximate by design (rows-only); kDim=dim
+    // exactness and reduced-dim recall are pinned in SimilaritySpec.
+    "ann_pca_topk" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.pcaTopK(e.filter(col("vec_id") < 16), e,
+          "vec_id", "embedding", k = 5, kDim = 16, refine = 4)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine_r"))
+      },
+      None),
+
     // LSH-bucketed ANN (sign-random-projection) — approximate by design,
     // so rows-only check; recall vs brute force is asserted in ScalaTest.
     "ann_lsh_topk" -> QueryDef(

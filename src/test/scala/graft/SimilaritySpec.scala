@@ -35,6 +35,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PCA ANN: full-rank projection with an exhaustive shortlist " +
+    "reproduces brute force exactly; reduced dim keeps useful recall") {
+    val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
+    val q = e.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    // kDim = dim and shortlist ≥ |corpus| ⇒ the exact re-rank sees every
+    // candidate: output must be IDENTICAL to the brute-force ranking
+    val full = Similarity.pcaTopK(q, e, "vec_id", "embedding", k = 5,
+        kDim = 64, refine = 200)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    assert(full === exact)
+    // reduced dim: recall degrades but stays useful even on isotropic
+    // (worst-case-for-PCA) synthetic vectors
+    val reduced = Similarity.pcaTopK(q, e, "vec_id", "embedding", k = 5,
+        kDim = 16, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exactSet = exact.map(t => (t._1, t._3)).toSet
+    val recall = (exactSet & reduced).size.toDouble / exactSet.size
+    assert(recall >= 0.3, s"PCA recall@5 = $recall")
+  }
+
   test("LSH ANN achieves reasonable recall@5 vs brute force") {
     val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
     val q = e.filter($"vec_id" < 8)
