@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.functions.TopKAgg
 
@@ -150,5 +150,68 @@ object SeriesOps {
         (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as(idCol)): _*)
     sel(col(valueCol), "top").unionAll(sel(negate(col(valueCol)), "bottom"))
+  }
+
+  /** One (bucket, value) point of a series; also the output shape
+    * (bucket, ema). */
+  case class BV(b: Long, v: Double)
+  /** Ema buffer/output wrapper (product-encodable). */
+  case class EmaItems(items: Seq[BV])
+
+  /** Sequential-recursion fold per series: collect the series' points,
+    * sort by bucket, fold ema₁ = v₁; emaᵢ = α·vᵢ + (1−α)·emaᵢ₋₁.
+    * Per-group state is the series' POINT LIST — safe only because the
+    * contract bounds it (see [[ema]]). */
+  class EmaAggregator(alpha: Double)
+      extends Aggregator[BV, EmaItems, EmaItems] {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    override def zero: EmaItems = EmaItems(Nil)
+    override def reduce(b: EmaItems, a: BV): EmaItems =
+      EmaItems(a +: b.items)
+    override def merge(a: EmaItems, b: EmaItems): EmaItems =
+      EmaItems(a.items ++ b.items)
+    override def finish(r: EmaItems): EmaItems = {
+      val sorted = r.items.sortBy(p => (p.b, p.v))
+      if (sorted.isEmpty) EmaItems(Nil)
+      else {
+        var e = sorted.head.v
+        val out = Seq.newBuilder[BV]
+        out += BV(sorted.head.b, e)
+        sorted.tail.foreach { p =>
+          e = alpha * p.v + (1 - alpha) * e
+          out += BV(p.b, e)
+        }
+        EmaItems(out.result())
+      }
+    }
+    override def bufferEncoder: Encoder[EmaItems] =
+      Encoders.product[EmaItems]
+    override def outputEncoder: Encoder[EmaItems] =
+      Encoders.product[EmaItems]
+  }
+
+  /** InfluxQL `EXPONENTIAL_MOVING_AVERAGE(value, …)` over a BUCKETED
+    * per-series frame (the output of a `GROUP BY time(...)` aggregate,
+    * one row per (series, bucket)): emaᵢ = α·vᵢ + (1−α)·emaᵢ₋₁, seeded
+    * with the first bucket's value. EMA is inherently sequential (each
+    * output depends on the previous — no window frame expresses the
+    * recursion, and the closed-form (1−α)^(i−j) rewrite overflows for
+    * long series), so it runs as a per-series collect-sort-fold
+    * aggregate. Per-series state is the BUCKET list — bounded by the
+    * time range / interval exactly as in InfluxQL, where these
+    * functions apply to `GROUP BY time()` output, NOT raw points;
+    * series themselves are unbounded in number and aggregate in
+    * parallel. The fold is one fused-order IEEE chain, reproducible by
+    * any engine that can express the recursion (the oracle is a DuckDB
+    * recursive CTE). Output: (series…, bucketCol, ema). */
+  def ema(df: DataFrame, seriesCols: Seq[String], bucketCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    val agg = udaf(new EmaAggregator(alpha), Encoders.product[BV])
+    df.groupBy(seriesCols.map(col): _*)
+      .agg(agg(col(bucketCol).cast("long"),
+        col(valueCol).cast("double")).as("e"))
+      .select(seriesCols.map(col) :+ explode(col("e.items")).as("it"): _*)
+      .select(seriesCols.map(col) ++ Seq(
+        col("it.b").as(bucketCol), col("it.v").as("ema")): _*)
   }
 }

@@ -425,6 +425,39 @@ object ParityQueries {
             AS v_linear
         FROM g""".replaceAll("\\s+", " "))),
 
+    // InfluxQL EXPONENTIAL_MOVING_AVERAGE(α=0.25) over hour-bucketed
+    // per-type means. EMA is sequentially recursive (no window frame
+    // expresses it), so it runs as a per-series collect-sort-fold
+    // aggregate (state = bucket count, the InfluxQL contract); the
+    // oracle expresses the same recursion as a DuckDB recursive CTE.
+    // α = 0.25 and 1−α = 0.75 are exactly representable, and both
+    // engines run the identical fused-order fold over the identical
+    // rounded bucket means — bit-determinism rests on that, with the
+    // registry-standard 1e-6 rounding on top.
+    "ts_ema" -> QueryDef(
+      (s, dir) => SeriesOps.ema(
+        Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(round(avg(col("value")), 6).as("v"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b_us"), col("v")),
+        seriesCols = Seq("event_type"), bucketCol = "b_us",
+        valueCol = "v", alpha = 0.25)
+        .select(col("event_type"), col("b_us"),
+          round(col("ema"), 6).as("ema_r")),
+      Some("""WITH RECURSIVE a AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          round(avg(value), 6) AS v FROM events GROUP BY 1, 2),
+        n AS (SELECT event_type, b, v, row_number() OVER
+          (PARTITION BY event_type ORDER BY b) AS rn FROM a),
+        r AS (SELECT event_type, b, v, rn, v AS ema FROM n WHERE rn = 1
+          UNION ALL
+          SELECT n.event_type, n.b, n.v, n.rn, 0.25 * n.v + 0.75 * r.ema
+          FROM n JOIN r ON n.event_type = r.event_type
+            AND n.rn = r.rn + 1)
+        SELECT event_type, b AS b_us, round(ema, 6) AS ema_r FROM r"""
+        .replaceAll("\\s+", " "))),
+
     // InfluxQL TOP(value, 3) / BOTTOM(value, 3) per series — selector
     // functions via the bounded-heap TopKAgg (map-side partial top-k;
     // no per-series single-reducer window sort). Ties break by

@@ -139,6 +139,27 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got.keys.count(k => k._1 == "y" && k._2 == "top") === 2)
   }
 
+  test("ema: hand-computed recursion, out-of-order input sorted per " +
+    "series, merge path invariant to partitioning") {
+    val s = spark
+    import s.implicits._
+    // deliberately shuffled row order; α = 0.5 ⇒ a: 8, 6, 9; b: 3
+    val df = Seq(
+      ("a", 30L, 12.0), ("b", 10L, 3.0), ("a", 10L, 8.0),
+      ("a", 20L, 4.0))
+      .toDF("series", "b", "v")
+    for (parts <- Seq(1, 7)) {
+      val got = SeriesOps.ema(df.repartition(parts), Seq("series"),
+          "b", "v", alpha = 0.5)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(got === Map(
+        ("a", 10L) -> 8.0, ("a", 20L) -> 6.0, ("a", 30L) -> 9.0,
+        ("b", 10L) -> 3.0), s"parts=$parts")
+    }
+  }
+
   test("fillGaps plans ONE exchange — gap generation is lead + " +
     "sequence-explode on the aggregate's own clustering, no grid join") {
     val df = SeriesOps.fillGaps(bucketedFixture, Seq("series"), "b", "v",
