@@ -273,25 +273,72 @@ final class CopyJob(
           }.reduce(_ && _)
           val remaining = spark.read.parquet(partDir.toString).filter(outside)
           if (remaining.isEmpty) fs.delete(partDir, true): Unit
-          else {
-            // crash-safe swap: write tmp, move current aside, promote
-            // tmp, drop the backup. Any crash leaves the rows in either
-            // the live dir or the .bak dir (both recoverable); rename
-            // results are CHECKED so a failing object-store rename
-            // surfaces as an error instead of silent row loss.
-            val tmp = new Path(s"$dstPath/.trim_${ps}_$pe")
-            val bak = new Path(s"$dstPath/.bak_${ps}_$pe")
-            remaining.write.mode("overwrite").parquet(tmp.toString)
-            fs.delete(bak, true)
-            require(fs.rename(partDir, bak),
-              s"trim: cannot move $partDir aside")
-            require(fs.rename(tmp, partDir),
-              s"trim: cannot promote $tmp (rows preserved in $bak)")
-            fs.delete(bak, true): Unit
-          }
+          else swapPartitionContents(dstPath, ps, pe, remaining, "trim")
         }
       }
     }
+  }
+
+  /** Crash-safe partition rewrite: write tmp, move current aside,
+    * promote tmp, drop the backup. Any crash leaves the rows in either
+    * the live dir or the .bak dir (both recoverable); rename results
+    * are CHECKED so a failing object-store rename surfaces as an error
+    * instead of silent row loss. */
+  private def swapPartitionContents(dstPath: String, ps: Long, pe: Long,
+      remaining: DataFrame, tag: String,
+      targetSpan: Option[(Long, Long)] = None): Unit = {
+    val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
+    val (ts, te) = targetSpan.getOrElse((ps, pe))
+    val target = new Path(s"$dstPath/__bucket=${ts}_$te")
+    val fs = partDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(s"$dstPath/.${tag}_${ps}_$pe")
+    val bak = new Path(s"$dstPath/.bak_${ps}_$pe")
+    remaining.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(bak, true)
+    require(fs.rename(partDir, bak),
+      s"$tag: cannot move $partDir aside")
+    require(fs.rename(tmp, target),
+      s"$tag: cannot promote $tmp (rows preserved in $bak)")
+    fs.delete(bak, true): Unit
+  }
+
+  /** Retention-policy enforcement over a copied dataset — executing the
+    * expiry that the replicated `_rp.json` retention metadata describes
+    * (the reference replicates RP durations, agent.go:157-174, but
+    * leaves enforcement to InfluxDB; a Spark-native store must do it
+    * itself): drop every row with `timeCol` < cutoffNs.
+    *
+    * Scale shape: a chunk partition entirely below the cutoff is
+    * deleted at the FILE-LISTING level — no data read, no shuffle, cost
+    * O(partitions) driver-side regardless of data volume (the common
+    * case: retention advances chunk by chunk, so expiry is almost
+    * always whole-chunk). At most the one partition STRADDLING the
+    * cutoff is rewritten (crash-safe swap), bounded by a single chunk
+    * of rows — and RENAMED to the clamped span `[cutoff, end)`, so the
+    * directory name stays truthful for `readCopiedRange` pruning and
+    * re-enforcing the same cutoff is a metadata-only no-op.
+    * Returns (droppedSpans, trimmedSpans, keptCount). */
+  def enforceRetention(dstPath: String, cutoffNs: Long, cfg: Config)
+      : (Seq[(Long, Long)], Seq[(Long, Long)], Int) = {
+    val spans = listBucketSpans(dstPath)
+    val conf = spark.sessionState.newHadoopConf()
+    val (below, rest) = spans.partition { case (_, pe) => pe <= cutoffNs }
+    below.foreach { case (ps, pe) =>
+      val dir = new Path(s"$dstPath/__bucket=${ps}_$pe")
+      dir.getFileSystem(conf).delete(dir, true): Unit
+    }
+    val straddling = rest.filter { case (ps, _) => ps < cutoffNs }
+    straddling.foreach { case (ps, pe) =>
+      Tables.ensureNsConf(spark)
+      val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
+      val fs = partDir.getFileSystem(conf)
+      val remaining = spark.read.parquet(partDir.toString)
+        .filter(col(cfg.timeCol) >= cutoffNs)
+      if (remaining.isEmpty) fs.delete(partDir, true): Unit
+      else swapPartitionContents(dstPath, ps, pe, remaining, "retention",
+        targetSpan = Some((cutoffNs, pe)))
+    }
+    (below, straddling, spans.size - below.size)
   }
 
   private def inParallel[A, B](workers: Int, items: Seq[A])(f: A => B)

@@ -102,6 +102,30 @@ object ParityQueries {
           round(sum(value),4) AS sum_value
         FROM w GROUP BY 1, 2""".replaceAll("\\s+", " "))),
 
+    // Retention-policy enforcement roundtrip: copy the window, expire
+    // everything below a mid-chunk cutoff, read back. Whole expired
+    // chunk partitions are deleted at the file-listing level (no data
+    // read); only the straddling chunk is rewritten — and renamed to
+    // the clamped span, keeping partition pruning truthful. Executes
+    // the expiry the replicated _rp.json retention metadata describes
+    // (the reference leaves enforcement to InfluxDB itself).
+    "retention_enforce" -> QueryDef(
+      (s, dir) => {
+        val job = new CopyJob(s)
+        val cfg = CopyJob.Config(StartNs, EndNs, chunkNs = 2 * DayNs,
+          timeCol = "ts")
+        val dst = s"/tmp/graft_retention_${math.abs(dir.hashCode)}"
+        job.copyMeasurement(s"$dir/events.parquet", dst, cfg)
+        val cutoff = StartNs + 5 * DayNs // mid-chunk: forces one trim
+        job.enforceRetention(dst, cutoff, cfg)
+        job.readCopied(dst).select(evProj: _*)
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS time_us, user_id,
+               event_type, value, props FROM events
+               WHERE epoch_ns(ts) >= ${StartNs + 5 * DayNs}
+                 AND epoch_ns(ts) < $EndNs"""
+        .replaceAll("\\s+", " "))),
+
     // End-to-end copy: chunked scan → partitioned sink, run TWICE to
     // prove blind re-copy idempotence (dynamic partition overwrite ≅
     // InfluxDB point upsert; SURVEY.md §7.3 hard part 4).

@@ -47,6 +47,34 @@ class CopyJobSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("retention enforcement: whole expired chunks drop at the file-" +
+    "listing level, the straddling chunk trims, recent data untouched") {
+    val dst = freshDst()
+    val job = new CopyJob(spark)
+    job.copyMeasurement(src, dst, cfg(dst)) // 3 chunks of 5 days
+    val cutoff = S + 7 * Day // mid-second-chunk
+    val before = job.readCopied(dst).count()
+    val (dropped, trimmed, kept) =
+      job.enforceRetention(dst, cutoff, cfg(dst))
+    // chunk [S, S+5d) is entirely expired; [S+5d, S+10d) straddles
+    assert(dropped === Seq((S, S + 5 * Day)))
+    assert(trimmed === Seq((S + 5 * Day, S + 10 * Day)))
+    assert(kept === 2)
+    // dropped partition dir is GONE (metadata-only delete)
+    assert(!new java.io.File(s"$dst/__bucket=${S}_${S + 5 * Day}")
+      .exists())
+    // surviving rows = exactly the >= cutoff window
+    val after = job.readCopied(dst)
+    val want = Tables.timeRange(spark.read.parquet(src), "ts", cutoff, E)
+      .count()
+    assert(after.count() === want && want < before)
+    assert(after.filter(col("ts") < cutoff).count() === 0L)
+    // idempotent: re-enforcing the same cutoff is a no-op
+    val (d2, t2, _) = job.enforceRetention(dst, cutoff, cfg(dst))
+    assert(d2.isEmpty && t2.isEmpty)
+    assert(job.readCopied(dst).count() === want)
+  }
+
   test("transient failures retried within budget (try.go:15-30)") {
     val dst = freshDst()
     var fails = 2
