@@ -208,10 +208,39 @@ final class CopyJob(
   def copyMeasurement(
       srcPath: String,
       dstPath: String,
+      cfg: Config): SyncReport =
+    copyChunkList(srcPath, dstPath,
+      ChunkPlanner.plan(cfg.startNs, cfg.endNs, cfg.chunkNs,
+        cfg.maxRetentionNs), cfg)
+
+  /** Differential sync — the incremental-backup pass the reference
+    * lacks (its recovery re-copies the whole window blindly,
+    * sync.go:215-232): checksum source and dest per chunk (TWO
+    * aggregation scans total, via [[verifyChecksums]] — the
+    * order-independent XOR row-hash, so false mismatches from
+    * partitioning/order are impossible), then copy ONLY the chunks
+    * whose checksums differ (missing-on-one-side included; equal and
+    * empty-on-both chunks are skipped). At 100 TB the win is write
+    * amplification: a nightly sync over a mostly-static year of data
+    * reads both sides once and rewrites only the handful of changed
+    * chunks, instead of re-writing 365 days to repair one. Returns the
+    * mismatched chunk specs and the repair's SyncReport. */
+  def syncDiffering(
+      srcPath: String,
+      dstPath: String,
+      cfg: Config): (Seq[ChunkSpec], SyncReport) = {
+    val mismatched = verifyChecksums(srcPath, dstPath, cfg)
+      .filter { case (_, s, d) => s != d }
+      .map(_._1)
+    (mismatched, copyChunkList(srcPath, dstPath, mismatched, cfg))
+  }
+
+  private def copyChunkList(
+      srcPath: String,
+      dstPath: String,
+      chunks: Seq[ChunkSpec],
       cfg: Config): SyncReport = {
     val preexisting = listBucketSpans(dstPath)
-    val chunks = ChunkPlanner.plan(cfg.startNs, cfg.endNs, cfg.chunkNs,
-      cfg.maxRetentionNs)
     // newest-first submission over a bounded worker pool — the Spark
     // scheduler interleaves the per-chunk jobs, replacing the reference's
     // per-chunk workerpool (sync.go:141-183). Chunks write disjoint

@@ -102,6 +102,30 @@ object ParityQueries {
           round(sum(value),4) AS sum_value
         FROM w GROUP BY 1, 2""".replaceAll("\\s+", " "))),
 
+    // Differential sync roundtrip: copy, destroy one chunk partition,
+    // then sync ONLY the mismatched chunks back (two checksum scans
+    // find them; unchanged chunks are never rewritten — the
+    // incremental-backup write-amplification win). Oracle = the full
+    // window: repair must restore exact content equality.
+    "sync_differential" -> QueryDef(
+      (s, dir) => {
+        val job = new CopyJob(s)
+        val cfg = CopyJob.Config(StartNs, EndNs, chunkNs = 2 * DayNs,
+          timeCol = "ts")
+        val dst = s"/tmp/graft_diffsync_${math.abs(dir.hashCode)}"
+        job.copyMeasurement(s"$dir/events.parquet", dst, cfg)
+        val victim = new org.apache.hadoop.fs.Path(
+          s"$dst/__bucket=${StartNs + 4 * DayNs}_${StartNs + 6 * DayNs}")
+        victim.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(victim, true)
+        job.syncDiffering(s"$dir/events.parquet", dst, cfg)
+        job.readCopied(dst).select(evProj: _*)
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS time_us, user_id,
+               event_type, value, props FROM events
+               WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs"""
+        .replaceAll("\\s+", " "))),
+
     // Retention-policy enforcement roundtrip: copy the window, expire
     // everything below a mid-chunk cutoff, read back. Whole expired
     // chunk partitions are deleted at the file-listing level (no data

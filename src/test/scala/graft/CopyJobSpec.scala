@@ -189,6 +189,34 @@ class CopyJobSpec extends AnyFunSuite {
     assert(dup == 0)
   }
 
+  test("differential sync repairs ONLY mismatched chunks; clean dest " +
+    "is a no-op") {
+    val dst = freshDst()
+    val job = new CopyJob(spark)
+    job.copyMeasurement(src, dst, cfg(dst))
+    // clean dest: nothing differs, nothing copied
+    val (m0, r0) = job.syncDiffering(src, dst, cfg(dst))
+    assert(m0.isEmpty && r0.chunks.isEmpty)
+    // tamper: remove the middle chunk's partition entirely
+    val victim = new java.io.File(
+      s"$dst/__bucket=${S + 5 * Day}_${S + 10 * Day}")
+    assert(victim.exists())
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(victim)
+    val (m1, r1) = job.syncDiffering(src, dst, cfg(dst))
+    // exactly the tampered chunk was detected and re-copied
+    assert(m1.map(c => (c.startNs, c.endNs)) ===
+      Seq((S + 5 * Day, S + 10 * Day)))
+    assert(r1.chunks.forall(_.ok))
+    val want = Tables.timeRange(spark.read.parquet(src), "ts", S, E)
+    assert(job.readCopied(dst).count() === want.count())
+    assert(job.verifyChecksums(src, dst, cfg(dst))
+      .forall { case (_, a, b) => a == b })
+  }
+
   test("per-chunk checksums verify source↔dest identity (ChecksumAgg)") {
     val dst = freshDst()
     val job = new CopyJob(spark)
