@@ -90,6 +90,11 @@ final case class AgentConfig(
   *                      replication policy, then the probe/supervisor
   *                      plane.
   *
+  * Engine-extension actions beyond the reference's four: `verify`
+  * (checksum-only comparison), `diffsync` (checksum-driven incremental
+  * repair), `retention` (enforce replicated `_rp.json` durations), and
+  * `stream` (continuous Structured-Streaming replication daemon).
+  *
   * Every action starts with `initCluster` — block (retrying every
   * monitor-retry-interval) until both servers are alive
   * (agent.go:67-145). The concrete probe is storage-root reachability via
@@ -248,6 +253,70 @@ final class Agent(
     }
   }
 
+  /** `-action diffsync` (engine extension): checksum-driven incremental
+    * repair — per measurement, copy ONLY the chunks whose source↔dest
+    * checksums differ (CopyJob.syncDiffering). The nightly-backup
+    * answer to "make the replica identical again" without the full
+    * window's write amplification. Returns the repaired chunks per
+    * (db, rp). */
+  def diffSync(): Seq[(String, Seq[ChunkSpec])] = {
+    require(initCluster(), "cluster not alive")
+    val schema = discoverSchema()
+    val job = new CopyJob(spark)
+    val flat = isFlat(schema)
+    for {
+      db <- schema
+      rp <- db.rps
+    } yield {
+      val copyCfg = copyCfgFor(rp)
+      val one = Seq(db.copy(rps = Seq(rp)))
+      val repaired = CopyJob.layout(one, cfg.masterRoot, cfg.slaveRoot,
+          flat)
+        .flatMap { case (src, dst) =>
+          job.syncDiffering(src, dst, copyCfg)._1
+        }
+      s"${db.targetName}/${CopyJob.rpOut(db, rp)}" -> repaired
+    }
+  }
+
+  /** `-action retention` (engine extension): enforce each RP's
+    * REPLICATED duration on the slave — the duration comes from the
+    * `_rp.json` metadata `replicaschema` wrote (the catalog's moral
+    * TBLPROPERTIES), cutoff = now − duration_ns; `duration_ns == 0`
+    * meaning infinite retention is skipped (client.go:24-38 semantics),
+    * as are RPs with no metadata (flat layouts). The expiry InfluxDB's
+    * retention service performs and the reference only replicates
+    * metadata for. Returns (db/rp, droppedSpans, trimmedSpans) per
+    * enforced RP. */
+  def retention(): Seq[(String, Seq[(Long, Long)], Seq[(Long, Long)])] = {
+    require(slaveProbe(), "slave not alive")
+    val job = new CopyJob(spark)
+    val repl = new SchemaReplicator(spark.sessionState.newHadoopConf())
+    val durationRe = """"duration_ns":(-?\d+)""".r
+    val timeCfg = CopyJob.Config(0L, 0L, chunkNs, timeCol = cfg.timeCol)
+    for {
+      db <- catalog.getSchema(cfg.slaveRoot, cfg.dbRegex, cfg.rpRegex,
+        cfg.measRegex, "", "")
+      rp <- db.rps
+      durNs <- repl.readRpMeta(cfg.slaveRoot, db.name, rp.name)
+        .flatMap(durationRe.findFirstMatchIn)
+        .map(_.group(1).toLong)
+      if durNs > 0
+    } yield {
+      val cutoff = nowNs() - durNs
+      val (dropped, trimmed) = rp.measurements
+        .map { m =>
+          val dst = s"${cfg.slaveRoot}/${db.name}/${rp.name}/${m.name}.parquet"
+          val (d, t, _) = job.enforceRetention(dst, cutoff, timeCfg)
+          (d, t)
+        }
+        .foldLeft((Seq.empty[(Long, Long)], Seq.empty[(Long, Long)])) {
+          case ((ds, ts), (d, t)) => (ds ++ d, ts ++ t)
+        }
+      (s"${db.name}/${rp.name}", dropped, trimmed)
+    }
+  }
+
   private def pathExists(p: String): Boolean = {
     val path = new Path(p)
     Try(path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -379,6 +448,8 @@ final class Agent(
     case "fullcopy"      => fullCopy(): Unit
     case "replicaschema" => replicaSchema(): Unit
     case "stream"        => stream().awaitTermination()
+    case "diffsync"      => diffSync(): Unit
+    case "retention"     => retention(): Unit
     case "verify" =>
       val bad = verify().filter(_._2.nonEmpty)
       require(bad.isEmpty, "checksum mismatches: " + bad.map {

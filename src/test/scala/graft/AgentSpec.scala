@@ -109,6 +109,62 @@ class AgentSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { agent.dispatch("verify") }
   }
 
+  test("-action diffsync: repairs only the tampered measurement chunk; " +
+    "-action retention: expires per the replicated _rp.json duration") {
+    val dst = freshRoot()
+    // fixed 'now' just past the window end → a 10-day retention keeps
+    // [E - 10d, E) and expires the first 5 days of the 15-day window
+    val Day = 86400000000000L
+    val now = E + Day
+    val agent = new Agent(spark, cfg(dst), nowNs = () => now)
+    agent.fullCopy()
+    val measDir = s"$dst/replica/rp30d/events.parquet"
+    // diffsync on a clean replica: no chunk repaired anywhere
+    assert(agent.diffSync().forall(_._2.isEmpty))
+    // destroy one 120h chunk partition, then diffsync repairs JUST it
+    val victim = new java.io.File(
+      s"$measDir/__bucket=${S + 5 * Day}_${S + 10 * Day}")
+    assert(victim.exists())
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(victim)
+    val repaired = agent.diffSync()
+    assert(repaired.map(_._1) === Seq("replica/rp30d"))
+    assert(repaired.head._2.map(c => (c.startNs, c.endNs)) ===
+      Seq((S + 5 * Day, S + 10 * Day)))
+    assert(new CopyJob(spark).readCopied(measDir).count() ===
+      directCount())
+    // rewrite the replicated _rp.json with a finite 10-day duration —
+    // the metadata -action retention enforces
+    val repl = new graft.operators.SchemaReplicator(
+      spark.sessionState.newHadoopConf())
+    val meta = repl.readRpMeta(dst, "replica", "rp30d").get
+    // rewrite through the Hadoop FS API (java.nio would desync the
+    // LocalFileSystem's .crc sidecar)
+    def writeMeta(s: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$dst/replica/rp30d/_rp.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    writeMeta(meta.replaceFirst(""""duration_ns":\d+""",
+      s""""duration_ns":${10 * Day}"""))
+    val enforced = agent.retention()
+    assert(enforced.map(_._1) === Seq("replica/rp30d"))
+    val cutoff = now - 10 * Day
+    val after = new CopyJob(spark).readCopied(measDir)
+    assert(after.filter(col("ts") < cutoff).count() === 0L)
+    assert(after.count() === Tables.timeRange(
+      spark.read.parquet(s"${SparkSpec.Sf0001}/events.parquet"),
+      "ts", cutoff, E).count())
+    // infinite duration (0) is skipped: restore and re-run → no-op
+    writeMeta(meta)
+    assert(agent.retention().isEmpty)
+  }
+
   test("initCluster blocks until both probes alive; bounded retry " +
     "budget reports failure (agent.go:67-145)") {
     var masterFails = 2
