@@ -317,6 +317,26 @@ final class Agent(
     }
   }
 
+  /** `-action compact` (engine extension): small-file compaction over
+    * every slave measurement — the nightly ops pass that keeps the
+    * chunked sink's file count bounded after recoveries and split
+    * writes. Returns (db/rp/measurement, files before, files after)
+    * per compacted partition's measurement, summed. */
+  def compact(): Seq[(String, Int, Int)] = {
+    require(slaveProbe(), "slave not alive")
+    val job = new CopyJob(spark)
+    for {
+      db <- catalog.getSchema(cfg.slaveRoot, cfg.dbRegex, cfg.rpRegex,
+        cfg.measRegex, "", "")
+      rp <- db.rps
+      m <- rp.measurements
+      report = job.compact(
+        s"${cfg.slaveRoot}/${db.name}/${rp.name}/${m.name}.parquet")
+      if report.nonEmpty
+    } yield (s"${db.name}/${rp.name}/${m.name}",
+      report.map(_._2).sum, report.map(_._3).sum)
+  }
+
   private def pathExists(p: String): Boolean = {
     val path = new Path(p)
     Try(path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -450,6 +470,7 @@ final class Agent(
     case "stream"        => stream().awaitTermination()
     case "diffsync"      => diffSync(): Unit
     case "retention"     => retention(): Unit
+    case "compact"       => compact(): Unit
     case "verify" =>
       val bad = verify().filter(_._2.nonEmpty)
       require(bad.isEmpty, "checksum mismatches: " + bad.map {

@@ -235,6 +235,41 @@ final class CopyJob(
     (mismatched, copyChunkList(srcPath, dstPath, mismatched, cfg))
   }
 
+  /** Small-file compaction of a copied dataset — the operational pass a
+    * chunked sink needs at scale: retries, fine-grained recovery
+    * (chunk/10 writes), and maxPointsPerWrite splitting all leave
+    * partitions holding many small parquet files, and at 100 TB the
+    * file count — not the byte count — becomes the scan/list/commit
+    * bottleneck. Each chunk partition holding more than
+    * `maxFilesPerPartition` data files is rewritten in place
+    * (crash-safe swap, same machinery as the trim pass) coalesced to
+    * one file per `targetRowsPerFile` rows; compliant partitions are
+    * NOT touched (no read, no write — the steady-state nightly run is
+    * a file listing). Content is bit-identical (spec-pinned via the
+    * order-independent checksum). Returns (compacted spans, files
+    * before, files after). */
+  def compact(dstPath: String, targetRowsPerFile: Long = 1000000L,
+      maxFilesPerPartition: Int = 1): Seq[((Long, Long), Int, Int)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    listBucketSpans(dstPath).flatMap { case (ps, pe) =>
+      val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
+      val fs = partDir.getFileSystem(conf)
+      def dataFiles(): Int = fs.listStatus(partDir)
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val before = dataFiles()
+      if (before <= maxFilesPerPartition) None
+      else {
+        Tables.ensureNsConf(spark)
+        val rows = spark.read.parquet(partDir.toString)
+        val nOut = math.max(1L,
+          math.ceil(rows.count().toDouble / targetRowsPerFile).toLong)
+        swapPartitionContents(dstPath, ps, pe,
+          rows.coalesce(nOut.toInt), "compact")
+        Some(((ps, pe), before, dataFiles()))
+      }
+    }
+  }
+
   private def copyChunkList(
       srcPath: String,
       dstPath: String,

@@ -163,6 +163,17 @@ class AgentSpec extends AnyFunSuite {
     // infinite duration (0) is skipped: restore and re-run → no-op
     writeMeta(meta)
     assert(agent.retention().isEmpty)
+    // -action compact: after one pass every partition holds ONE data
+    // file, content survives (count unchanged), and a re-run is a no-op
+    val countBefore = new CopyJob(spark).readCopied(measDir).count()
+    agent.compact(): Unit
+    val perPart = Option(new java.io.File(measDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perPart.nonEmpty && perPart.forall(_ === 1))
+    assert(new CopyJob(spark).readCopied(measDir).count() === countBefore)
+    assert(agent.compact().isEmpty)
   }
 
   test("initCluster blocks until both probes alive; bounded retry " +

@@ -217,6 +217,32 @@ class CopyJobSpec extends AnyFunSuite {
       .forall { case (_, a, b) => a == b })
   }
 
+  test("compaction coalesces many-file partitions in place; content " +
+    "checksum-identical; compliant partitions and re-runs are no-ops") {
+    val dst = freshDst()
+    val job = new CopyJob(spark)
+    // force many small files per chunk partition
+    val c = CopyJob.Config(S, E, chunkNs = 5 * Day, timeCol = "ts",
+      maxPointsPerWrite = 100)
+    job.copyMeasurement(src, dst, c)
+    def filesPerPartition(): Seq[Int] =
+      Option(new java.io.File(dst).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(filesPerPartition().forall(_ > 1))
+    val sumsBefore = job.verifyChecksums(src, dst, c)
+    val report = job.compact(dst)
+    assert(report.size === 3) // every 5-day chunk was oversized
+    assert(report.forall { case (_, before, after) =>
+      before > 1 && after === 1 })
+    assert(filesPerPartition().forall(_ === 1))
+    // content identical, not just counts
+    assert(job.verifyChecksums(src, dst, c) === sumsBefore)
+    assert(sumsBefore.forall { case (_, a, b) => a == b })
+    // steady state: nothing to do
+    assert(job.compact(dst).isEmpty)
+  }
+
   test("per-chunk checksums verify source↔dest identity (ChecksumAgg)") {
     val dst = freshDst()
     val job = new CopyJob(spark)
