@@ -152,6 +152,47 @@ object SeriesOps {
     sel(col(valueCol), "top").unionAll(sel(negate(col(valueCol)), "bottom"))
   }
 
+  /** Time-series similarity search (the EDBT'19 streaming-similarity
+    * setting re-expressed relationally): rank every series by Pearson
+    * correlation against one TARGET series, both on a shared bucket
+    * grid. Correlation over z-normalized per-bucket aggregates is the
+    * standard shape-similarity measure the literature normalizes to
+    * (and what corr() computes directly — the normalization cancels in
+    * the ratio); DTW-class measures are quadratic per pair and
+    * sequential, the wrong cost model for a corpus-wide scan.
+    *
+    * Scale shape: the target's bucket vector is BUCKET-COUNT-sized
+    * (bounded by range/interval) → broadcast; every other series joins
+    * it bucket-wise with zero shuffle on the probe side, and corr()
+    * partial-aggregates map-side — ONE exchange on the series key for
+    * the final merge, however many series exist. Series with undefined
+    * correlation (fewer than 2 shared buckets, or zero variance on
+    * either side) are dropped — NaN/NULL semantics differ across
+    * engines, defined values don't.
+    *
+    * Input: one row per (series, bucket) with an aggregated value.
+    * Output: (series…, n_shared, corr) for series ≠ target. */
+  def correlatedSeries(df: DataFrame, seriesCols: Seq[String],
+      bucketCol: String, valueCol: String,
+      target: Map[String, String]): DataFrame = {
+    require(target.keySet == seriesCols.toSet,
+      s"target must bind every series column: $seriesCols")
+    val isTarget = seriesCols
+      .map(c => col(c) === lit(target(c))).reduce(_ && _)
+    val t = broadcast(df.filter(isTarget)
+      .select(col(bucketCol).as("__b"), col(valueCol).as("__tv")))
+    df.filter(!isTarget)
+      .select(seriesCols.map(col) :+ col(bucketCol).as("__b")
+        :+ col(valueCol).as("__v"): _*)
+      .join(t, "__b")
+      .groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).as("n_shared"),
+        corr(col("__v"), col("__tv")).as("__c"))
+      .filter(col("__c").isNotNull && !isnan(col("__c")))
+      .select(seriesCols.map(col) ++ Seq(col("n_shared"),
+        col("__c").as("corr")): _*)
+  }
+
   /** One (bucket, value) point of a series; also the output shape
     * (bucket, ema). */
   case class BV(b: Long, v: Double)

@@ -473,6 +473,40 @@ object ParityQueries {
             AS v_linear
         FROM g""".replaceAll("\\s+", " "))),
 
+    // Time-series similarity search: rank every (event_type, user_id)
+    // series by Pearson correlation against one target series over
+    // day-bucketed mean values — the corpus-wide "which series move
+    // like this one" scan (EDBT'19 streaming-similarity setting). The
+    // target's day vector broadcasts (bucket-count-sized); corr()
+    // partial-aggregates map-side; one exchange on the series key.
+    // Undefined correlations (NaN/NULL semantics differ per engine)
+    // are dropped on both sides.
+    "ts_similar_series" -> QueryDef(
+      (s, dir) => SeriesOps.correlatedSeries(
+        ev(s, dir)
+          .groupBy(col("event_type"), col("user_id"),
+            (expr("ts div 1000") - pmod(expr("ts div 1000"),
+              lit(DayNs / 1000))).as("b"))
+          .agg(round(avg(col("value")), 6).as("v")),
+        seriesCols = Seq("event_type", "user_id"),
+        bucketCol = "b", valueCol = "v",
+        target = Map("event_type" -> "click", "user_id" -> "7"))
+        .select(col("event_type"), col("user_id"), col("n_shared"),
+          round(col("corr"), 6).as("corr_r")),
+      Some(s"""WITH a AS (SELECT event_type, user_id,
+          epoch_us(ts) - (epoch_us(ts) % ${DayNs / 1000}) AS b,
+          round(avg(value), 6) AS v FROM events GROUP BY 1, 2, 3),
+        t AS (SELECT b, v AS tv FROM a
+          WHERE event_type = 'click' AND user_id = 7)
+        SELECT a.event_type, a.user_id, count(*)::BIGINT AS n_shared,
+          round(corr(a.v, t.tv), 6) AS corr_r
+        FROM a JOIN t USING (b)
+        WHERE NOT (a.event_type = 'click' AND a.user_id = 7)
+        GROUP BY 1, 2
+        HAVING corr(a.v, t.tv) IS NOT NULL
+           AND NOT isnan(corr(a.v, t.tv))"""
+        .replaceAll("\\s+", " "))),
+
     // InfluxQL EXPONENTIAL_MOVING_AVERAGE(α=0.25) over hour-bucketed
     // per-type means. EMA is sequentially recursive (no window frame
     // expresses it), so it runs as a per-series collect-sort-fold

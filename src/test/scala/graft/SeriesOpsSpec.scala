@@ -160,6 +160,27 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("correlatedSeries: perfect positive/negative correlation exact; " +
+    "constant and single-point series dropped; target excluded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // target series t: 1, 2, 3 over buckets 10/20/30
+      ("t", 10L, 1.0), ("t", 20L, 2.0), ("t", 30L, 3.0),
+      ("a", 10L, 2.0), ("a", 20L, 4.0), ("a", 30L, 6.0),  // corr +1
+      ("b", 10L, 3.0), ("b", 20L, 2.0), ("b", 30L, 1.0),  // corr −1
+      ("c", 10L, 5.0), ("c", 20L, 5.0), ("c", 30L, 5.0),  // zero var
+      ("d", 10L, 9.0))                                    // 1 shared pt
+      .toDF("series", "b", "v")
+    val got = SeriesOps.correlatedSeries(df, Seq("series"), "b", "v",
+        Map("series" -> "t"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set("a", "b"))
+    assert(got("a")._1 === 3L && math.abs(got("a")._2 - 1.0) < 1e-12)
+    assert(got("b")._1 === 3L && math.abs(got("b")._2 + 1.0) < 1e-12)
+  }
+
   test("fillGaps plans ONE exchange — gap generation is lead + " +
     "sequence-explode on the aggregate's own clustering, no grid join") {
     val df = SeriesOps.fillGaps(bucketedFixture, Seq("series"), "b", "v",
