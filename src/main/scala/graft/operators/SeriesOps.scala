@@ -181,16 +181,27 @@ object SeriesOps {
       .map(c => col(c) === lit(target(c))).reduce(_ && _)
     val t = broadcast(df.filter(isTarget)
       .select(col(bucketCol).as("__b"), col(valueCol).as("__tv")))
+    // explicit Pearson moments, NOT the corr() builtin: under ANSI mode
+    // (Spark 4 default) corr THROWS DIVIDE_BY_ZERO while aggregating a
+    // zero-variance group; the guarded ratio makes degenerate series a
+    // null (dropped below) instead of a query-killing exception
+    val n = col("__n").cast("double")
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val den = sqrt((n * col("__sxx") - col("__sx") * col("__sx")) *
+      (n * col("__syy") - col("__sy") * col("__sy")))
     df.filter(!isTarget)
       .select(seriesCols.map(col) :+ col(bucketCol).as("__b")
-        :+ col(valueCol).as("__v"): _*)
+        :+ col(valueCol).cast("double").as("__v"): _*)
       .join(t, "__b")
       .groupBy(seriesCols.map(col): _*)
-      .agg(count(lit(1)).as("n_shared"),
-        corr(col("__v"), col("__tv")).as("__c"))
-      .filter(col("__c").isNotNull && !isnan(col("__c")))
-      .select(seriesCols.map(col) ++ Seq(col("n_shared"),
-        col("__c").as("corr")): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v")).as("__sx"), sum(col("__tv")).as("__sy"),
+        sum(col("__v") * col("__v")).as("__sxx"),
+        sum(col("__tv") * col("__tv")).as("__syy"),
+        sum(col("__v") * col("__tv")).as("__sxy"))
+      .select(seriesCols.map(col) ++ Seq(col("__n").as("n_shared"),
+        when(den > 0, num / den).as("corr")): _*)
+      .filter(col("corr").isNotNull && !isnan(col("corr")))
   }
 
   /** One (bucket, value) point of a series; also the output shape

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.MatrixExpressions.{matRank, pqEncode, pqLut, srpPack}
+import graft.functions.MatrixExpressions.{matProject, matRank, pqEncode, pqLut, srpPack}
 import graft.functions.VectorExpressions.{vecDot, vecNormSq}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -109,6 +109,22 @@ class MatrixExpressionsSpec extends AnyFunSuite {
       // exact equality on doubles: identical fold order is the contract
       assert(r.getSeq[Double](1) == r.getSeq[Double](2),
         s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("MatProject ≡ per-row vecDot(v − mean, row) trees (ascending " +
+    "fold; zero vector and duplicate rows included)") {
+    val mean = vec()
+    val centered = transform(col("v"),
+      (x, i) => x - element_at(typedLit(mean.toSeq), i + 1))
+    val treeForm = array(mat.indices.map(r =>
+      vecDot(centered, typedLit(mat(r).toSeq))): _*)
+    val rows = df
+      .select(col("id"), matProject(col("v"), mean, mat).as("kernel"),
+        treeForm.as("tree"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](1) === r.getSeq[Double](2), s"id=${r.get(0)}")
     }
   }
 

@@ -181,6 +181,17 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(got("b")._1 === 3L && math.abs(got("b")._2 + 1.0) < 1e-12)
   }
 
+  test("ts_similar_series plans a BROADCAST join of the target vector " +
+    "— the probe side never shuffles for the join") {
+    val df = SparkEntry.queries("ts_similar_series")(spark,
+      SparkSpec.Sf0001)
+    df.collect(): Unit
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("fillGaps plans ONE exchange — gap generation is lead + " +
     "sequence-explode on the aggregate's own clustering, no grid join") {
     val df = SeriesOps.fillGaps(bucketedFixture, Seq("series"), "b", "v",
