@@ -95,6 +95,37 @@ object StreamIngest {
         avg(col(valueCol)).as("avg_value"))
   }
 
+  /** Streaming heavy hitters: per tumbling window, the approximate
+    * top-k most frequent values of `keyCol` — the "what's trending this
+    * window" query — in BOUNDED state. The SpaceSaving aggregate
+    * ([[graft.functions.HeavyHitters]]) keeps `capacity` counters per
+    * window in the state store regardless of the key cardinality; a
+    * plain count-per-key streaming groupBy would hold one state row per
+    * DISTINCT (window, key) — the unbounded-state trap for
+    * high-cardinality keys (URLs, user ids) at 100 TB. Same
+    * watermark/append semantics as the windowed agg: the window's
+    * ranking emits once, when the watermark closes it. Per-item `err`
+    * is the SpaceSaving overestimate bound (0 ⇔ exact — always the
+    * case while capacity exceeds the window's distinct keys). */
+  def windowedHeavyHitters(
+      typed: DataFrame,
+      keyCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      k: Int = 10,
+      capacity: Int = 256): DataFrame = {
+    withEventTime(typed)
+      .withWatermark("time", watermarkDelay)
+      .groupBy(window(col("time"), windowDuration))
+      .agg(graft.functions.HeavyHitters.spaceSaving(capacity, k)(
+        col(keyCol).cast("string")).as("hh"))
+      .select(col("window.start").as("w_start"),
+        posexplode(col("hh.items")))
+      .select(col("w_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as("key"), col("col.cnt").as("cnt"),
+        col("col.err").as("err"))
+  }
+
   /** Streaming deduplication: drop points whose (series key, time_ns)
     * was already seen, with state BOUNDED by the watermark — duplicates
     * arriving within `watermarkDelay` of each other are suppressed, and

@@ -92,6 +92,42 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(w11.length == 1 && w11.head.getAs[Double]("avg_value") == 5.0)
   }
 
+  test("streaming heavy hitters: per-window top-k ranking emits once " +
+    "the watermark closes the window; counts exact below capacity") {
+    val in = Files.createTempDirectory("graft_hh_in").toString
+    val out = Files.createTempDirectory("graft_hh_out").toString
+    val ckpt = Files.createTempDirectory("graft_hh_ck").toString
+    // one minute-10 window: h1×3, h2×2, h3×1
+    writeBatch(in, "b0.lp", Seq(
+      s"m,host=h1 v=1.0 ${minuteNs(10)}",
+      s"m,host=h1 v=1.0 ${minuteNs(10) + 1}",
+      s"m,host=h1 v=1.0 ${minuteNs(10) + 2}",
+      s"m,host=h2 v=1.0 ${minuteNs(10) + 3}",
+      s"m,host=h2 v=1.0 ${minuteNs(10) + 4}",
+      s"m,host=h3 v=1.0 ${minuteNs(10) + 5}"))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val hh = StreamIngest.windowedHeavyHitters(typed, "tag_host",
+      "1 minute", "2 minutes", k = 2, capacity = 16)
+    val q = StreamIngest.toParquet(hh, out, ckpt)
+    try {
+      q.processAllAvailable()
+      // nothing emitted yet — the window is still open
+      assert(spark.read.parquet(out).isEmpty)
+      // advance event time; the watermark closes minute 10 next batch
+      writeBatch(in, "b1.lp", Seq(s"m,host=h9 v=1.0 ${minuteNs(30)}"))
+      q.processAllAvailable()
+      writeBatch(in, "b2.lp", Seq(s"m,host=h9 v=1.0 ${minuteNs(31)}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // top-2 of the closed minute-10 window, exact counts, zero error
+    assert(got.toSeq === Seq((1L, "h1", 3L, 0L), (2L, "h2", 2L, 0L)))
+  }
+
   test("poison lines (blank / malformed) are dropped, not crash-looped") {
     val in = Files.createTempDirectory("graft_poison_in").toString
     val out = Files.createTempDirectory("graft_poison_out").toString
