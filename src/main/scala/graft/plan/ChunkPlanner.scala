@@ -71,5 +71,56 @@ object ChunkPlanner {
     }
   }
 
+  /** Density-adaptive plan: tile `[startNs, endNs)` so every chunk
+    * holds ≈ `targetRows`, from a coarse row-density histogram (one
+    * cheap count aggregation at `cellNs` grain —
+    * [[graft.sources.Tables.cellCounts]]). Fixed-width chunks are the
+    * reference's contract (sync.go:118-146) but break under time skew:
+    * at 100 TB a burst hour holds orders of magnitude more rows than a
+    * quiet one, so the fixed plan builds one executor-crushing chunk
+    * and thousands of near-empty ones. Greedy oldest→newest walk over
+    * the aligned cells: cut a boundary when adding the next cell would
+    * exceed `targetRows` (always taking at least one cell — a cell
+    * denser than the target becomes its own chunk, `cellNs` bounding
+    * the split granularity; empty cells merge into neighbors for
+    * free). Output chunks exactly tile the window, half-open,
+    * newest-first ids — drop-in for the fixed plan everywhere
+    * downstream (copy, checksum, retention).
+    *
+    * `counts`: rows per cell index, cell i = [startNs + i·cellNs,
+    * startNs + (i+1)·cellNs) ∩ window; absent ⇒ 0. */
+  def planAdaptive(
+      startNs: Long,
+      endNs: Long,
+      cellNs: Long,
+      counts: Map[Long, Long],
+      targetRows: Long): Seq[ChunkSpec] = {
+    require(cellNs > 0, s"cellNs must be positive: $cellNs")
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    if (endNs <= startNs) return Nil
+    val nCells = ceilDiv(endNs - startNs, cellNs)
+    val bounds = Seq.newBuilder[(Long, Long)] // oldest-first spans
+    var chunkStart = startNs
+    var acc = 0L
+    var i = 0L
+    while (i < nCells) {
+      val rows = counts.getOrElse(i, 0L)
+      val cellEnd = math.min(startNs + (i + 1) * cellNs, endNs)
+      if (acc > 0 && acc + rows > targetRows) {
+        // cut BEFORE this cell; it starts the next chunk
+        val cellStart = startNs + i * cellNs
+        bounds += ((chunkStart, cellStart))
+        chunkStart = cellStart
+        acc = rows
+      } else acc += rows
+      if (i == nCells - 1) bounds += ((chunkStart, cellEnd))
+      i += 1
+    }
+    val oldestFirst = bounds.result()
+    oldestFirst.reverseIterator.zipWithIndex.map { case ((s, e), id) =>
+      ChunkSpec(id, s, e)
+    }.toSeq
+  }
+
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 }

@@ -150,6 +150,30 @@ object ParityQueries {
                  AND epoch_ns(ts) < $EndNs"""
         .replaceAll("\\s+", " "))),
 
+    // Density-adaptive chunk tiling: plan chunk spans from a coarse
+    // row histogram (one pushed-down count at 12h grain) so each chunk
+    // holds ~1500 rows, then union the per-chunk scans. Fixed-width
+    // chunks break under time skew at scale (one burst chunk crushes
+    // an executor while thousands idle); the adaptive plan bounds rows
+    // per chunk at max(target, densest cell). Oracle = the whole
+    // window: the tiling must be exactly lossless.
+    "s5_adaptive_union" -> QueryDef(
+      (s, dir) => {
+        val e = ev(s, dir)
+        val counts = Tables.cellCounts(e, "ts", StartNs, EndNs,
+          cellNs = DayNs / 2)
+        val chunks = ChunkPlanner.planAdaptive(StartNs, EndNs,
+          DayNs / 2, counts, targetRows = 1500L)
+        chunks.map { c =>
+          Tables.timeRange(e, "ts", c.startNs, c.endNs)
+            .select(evProj: _*)
+        }.reduce(_ unionAll _)
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS time_us, user_id,
+               event_type, value, props FROM events
+               WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs"""
+        .replaceAll("\\s+", " "))),
+
     // End-to-end copy: chunked scan → partitioned sink, run TWICE to
     // prove blind re-copy idempotence (dynamic partition overwrite ≅
     // InfluxDB point upsert; SURVEY.md §7.3 hard part 4).

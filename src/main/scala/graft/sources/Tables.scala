@@ -51,4 +51,26 @@ object Tables {
       df.filter(col(timeCol) > startNs && col(timeCol) < endNs)
     else
       df.filter(col(timeCol) >= startNs && col(timeCol) < endNs)
+
+  /** Row-density histogram feeding ChunkPlanner.planAdaptive: rows per
+    * `cellNs`-grain cell over the window — ONE pushed-down scan + count
+    * aggregation, result bounded by duration/cellNs cells (driver-safe
+    * by choosing a coarse cell: a year at 1h grain is 8,760 rows). */
+  def cellCounts(
+      df: DataFrame,
+      timeCol: String,
+      startNs: Long,
+      endNs: Long,
+      cellNs: Long): Map[Long, Long] = {
+    require(cellNs > 0, s"cellNs must be positive: $cellNs")
+    // integer `div`, not `/`: double division of a year-scale ns delta
+    // exceeds 2^53 and would mis-bucket boundary rows
+    timeRange(df, timeCol, startNs, endNs)
+      .groupBy(expr(s"(`$timeCol` - ${startNs}L) div ${cellNs}L")
+        .as("cell"))
+      .count()
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
 }

@@ -63,4 +63,59 @@ class ChunkPlannerSpec extends AnyFunSuite {
       assert(p.forall(c => c.endNs - c.startNs <= chunk))
     }
   }
+
+  test("adaptive plan: dense cells isolate, sparse cells merge, chunks " +
+    "never exceed target unless a single cell does") {
+    // 10 cells of width 10: counts 5,5,5,100,5,5,0,0,5,5; target 20
+    val counts = Map(0L -> 5L, 1L -> 5L, 2L -> 5L, 3L -> 100L,
+      4L -> 5L, 5L -> 5L, 8L -> 5L, 9L -> 5L)
+    val p = ChunkPlanner.planAdaptive(0L, 100L, 10L, counts, 20L)
+    val asc = p.reverse.map(c => (c.startNs, c.endNs))
+    // [0,30) = 15 rows; [30,40) the burst cell alone; [40,100) = 20 rows
+    assert(asc === Seq((0L, 30L), (30L, 40L), (40L, 100L)))
+    // newest-first ids, like plan()
+    assert(p.map(_.id) === p.indices.toSeq)
+    assert(p.head.endNs === 100L && p.last.startNs === 0L)
+  }
+
+  test("adaptive plan property: exact tiling for random skewed " +
+    "histograms; per-chunk rows bounded by max(target, max cell)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val start = rnd.nextInt().toLong
+      val len = rnd.nextInt(100000).toLong + 1
+      val cell = rnd.nextInt(1000).toLong + 1
+      val nCells = ((len + cell - 1) / cell).toInt
+      val counts = (0 until nCells).flatMap { i =>
+        if (rnd.nextBoolean()) None
+        else Some(i.toLong ->
+          (if (rnd.nextInt(10) == 0) 5000L else rnd.nextInt(50).toLong))
+      }.toMap
+      val target = 100L
+      val p = ChunkPlanner.planAdaptive(start, start + len, cell,
+        counts, target)
+      val asc = p.reverse
+      assert(asc.head.startNs == start && asc.last.endNs == start + len)
+      asc.sliding(2).foreach {
+        case Seq(x, y) => assert(x.endNs == y.startNs)
+        case _         =>
+      }
+      // rows per chunk ≤ max(target, densest single cell)
+      val maxCell = if (counts.isEmpty) 0L else counts.values.max
+      asc.foreach { c =>
+        val rows = counts.collect { case (i, n)
+          if start + i * cell >= c.startNs &&
+            start + i * cell < c.endNs => n }.sum
+        assert(rows <= math.max(target, maxCell),
+          s"chunk $c rows=$rows")
+      }
+    }
+  }
+
+  test("adaptive plan: empty histogram → one chunk, empty window → Nil") {
+    assert(ChunkPlanner.planAdaptive(0L, 100L, 10L, Map.empty, 10L)
+      .map(c => (c.startNs, c.endNs)) === Seq((0L, 100L)))
+    assert(ChunkPlanner.planAdaptive(100L, 100L, 10L, Map.empty, 10L)
+      .isEmpty)
+  }
 }
