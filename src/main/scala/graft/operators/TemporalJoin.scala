@@ -89,6 +89,61 @@ object TemporalJoin {
         payloadCols.map(c => col("_match").getField(c).as(c)): _*)
   }
 
+  /** As-of join on the CUSTOM sort-merge operator
+    * ([[graft.plan.AsOfJoin]]): same semantics as [[asofJoin]] —
+    * differential-tested identical — but planned as a first-class
+    * binary node: each side shuffles and sorts at its own natural
+    * width and the merge streams both once with O(1) state per key
+    * group, where the union+window form sorts |L|+|R| null-padded
+    * union rows through one window operator. Registers the strategy
+    * on the session idempotently. */
+  def asofJoinMerged(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      matchedTimeCol: String = "asof_time"): DataFrame = {
+    require(keys.nonEmpty, "asofJoin requires at least one key column")
+    val leftCols = left.columns.toSeq
+    require(payloadCols.intersect(leftCols).isEmpty,
+      s"payload columns ${payloadCols.intersect(leftCols)} clash with " +
+        "left columns — rename the right side first")
+    require(!leftCols.contains(matchedTimeCol) &&
+      !payloadCols.contains(matchedTimeCol),
+      s"matchedTimeCol '$matchedTimeCol' clashes with a left/payload column")
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val spark = left.sparkSession
+    graft.plan.AsOfJoin.register(spark)
+    // every right-side column re-aliased ⇒ FRESH exprIds: left/right
+    // outputs can never conflict, so the analyzer's DeduplicateRelations
+    // never re-ids the right subtree (it cannot rewrite the attribute
+    // fields of a node it doesn't know, which would orphan them)
+    val rProj = right.select(
+      ((keys :+ rightTime) ++ payloadCols)
+        .map(c => col(c).as("__r_" + c)): _*)
+    val lPlan = GraftShim.analyzedPlan(left)
+    val rPlan = GraftShim.analyzedPlan(rProj)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      p.output.find(_.name == name).getOrElse(
+        sys.error(s"column '$name' not found"))
+    val rOut = rPlan.output
+    val payloadAttrs = rOut.takeRight(payloadCols.size)
+    val matchedAttrs =
+      AttributeReference(matchedTimeCol,
+        rOut(keys.size).dataType, nullable = true)() +:
+        payloadCols.zip(payloadAttrs).map { case (name, a) =>
+          AttributeReference(name, a.dataType, nullable = true)() }
+    GraftShim.ofRows(spark, graft.plan.AsOfJoin.AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), rOut.take(keys.size),
+      attr(lPlan, leftTime), rOut(keys.size),
+      payloadAttrs, matchedAttrs))
+  }
+
   /** Range (interval-containment) join: pair each point with every
     * interval `[start, end)` containing it, per key. The scale shape is
     * bucketed: intervals explode onto the fixed-width time buckets they

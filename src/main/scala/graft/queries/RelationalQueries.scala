@@ -247,6 +247,38 @@ object RelationalQueries {
           ON ev.user_id = al.user_id AND ev.t_us >= al.t_us"""
         .replaceAll("\\s+", " "))),
 
+    // the same as-of join on the CUSTOM sort-merge operator
+    // (graft.plan.AsOfJoin: LogicalPlan + SparkStrategy + BinaryExecNode
+    // registered via experimental.extraStrategies) — each side shuffles
+    // and sorts at its own width and the merge streams both once with
+    // O(1) state per key group, where the union+window form sorts
+    // |L|+|R| null-padded union rows through one window. Same DuckDB
+    // ASOF oracle as join_asof: both implementations must hash-match it.
+    "join_asof_exec" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("t_us"), col("event_type"),
+            col("value"))
+        val alerts = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("t_us").as("a_t"))
+          .agg(max(col("value")).as("alert_value"))
+        TemporalJoin.asofJoinMerged(
+          ev.select("event_id", "user_id", "t_us"), alerts,
+          keys = Seq("user_id"), leftTime = "t_us", rightTime = "a_t",
+          payloadCols = Seq("alert_value"),
+          matchedTimeCol = "alert_t_us")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+          event_type, value FROM events),
+        al AS (SELECT user_id, t_us, max(value) AS alert_value FROM ev
+          WHERE event_type='error' GROUP BY 1, 2)
+        SELECT ev.event_id, ev.user_id, ev.t_us,
+          al.t_us AS alert_t_us, al.alert_value
+        FROM ev ASOF LEFT JOIN al
+          ON ev.user_id = al.user_id AND ev.t_us >= al.t_us"""
+        .replaceAll("\\s+", " "))),
+
     // range (interval) join: all events inside the 30 minutes after
     // each same-user error, aggregated per alert. Bucketed equi-join on
     // (user, time-bucket) + exact containment filter — the plan is a

@@ -15,4 +15,17 @@ object GraftShim {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Dataset from a (resolved) logical plan — the DatasetFactory
+    * pattern custom-plan libraries use; `Dataset.ofRows` is
+    * `private[sql]`. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A DataFrame's ANALYZED plan (resolved attributes, stable ids). */
+  def analyzedPlan(df: DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

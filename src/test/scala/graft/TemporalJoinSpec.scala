@@ -88,6 +88,65 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("asofJoinMerged (custom sort-merge operator): identical results " +
+    "to the union+window form on every fixture, any partitioning; the " +
+    "plan contains AsOfJoinExec and no Window") {
+    def differential(left: org.apache.spark.sql.DataFrame,
+        right: org.apache.spark.sql.DataFrame, keys: Seq[String],
+        lt: String, rt: String, pay: Seq[String]): Unit = {
+      val want = TemporalJoin.asofJoin(left, right, keys, lt, rt, pay,
+        "mt").collect().map(_.toSeq).toSet
+      for (parts <- Seq(1, 5)) {
+        val df = TemporalJoin.asofJoinMerged(left.repartition(parts),
+          right.repartition(parts), keys, lt, rt, pay, "mt")
+        val got = df.collect().map(_.toSeq).toSet
+        assert(got === want, s"parts=$parts")
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(p.contains("AsOfJoin"), p.take(2000))
+        assert(!p.contains(" Window"), p.take(2000))
+      }
+    }
+    // fixture 1: basic >= semantics + unmatched rows
+    differential(
+      Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 5L), (4L, "v", 50L))
+        .toDF("id", "k", "t"),
+      Seq(("u", 10L, 1.0), ("u", 15L, 2.0), ("v", 60L, 9.0))
+        .toDF("k", "rt", "payload"),
+      Seq("k"), "t", "rt", Seq("payload"))
+    // fixture 2: null payload on the matched row must stay null
+    differential(
+      Seq((1L, "k", 25L), (2L, "k", 12L)).toDF("id", "k", "t"),
+      Seq(("k", 10L, Some(5.0)), ("k", 20L, None)).toDF("k", "rt", "p"),
+      Seq("k"), "t", "rt", Seq("p"))
+    // fixture 3: null right times unmatchable
+    differential(
+      Seq((1L, "k", 25L)).toDF("id", "k", "t"),
+      Seq(("k", None, 7.0), ("k", Some(20L), 9.0)).toDF("k", "rt", "p"),
+      Seq("k"), "t", "rt", Seq("p"))
+    // fixture 4: sf0.001 events against an aggregated alert stream —
+    // thousands of rows, many keys, composite payload
+    val ev = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "events")
+      .select($"event_id", $"user_id", expr("ts div 1000").as("t_us"))
+    val alerts = graft.sources.Tables
+      .load(spark, SparkSpec.Sf0001, "events")
+      .filter($"event_type" === "error")
+      .groupBy($"user_id", expr("ts div 1000").as("a_t"))
+      .agg(max($"value").as("alert_value"), count(lit(1)).as("n"))
+    differential(ev, alerts, Seq("user_id"), "t_us", "a_t",
+      Seq("alert_value", "n"))
+    // fixture 5: BOTH sides derived from the SAME DataFrame instance —
+    // the self-join shape where DeduplicateRelations re-ids the right
+    // subtree; the wrapper's fresh aliases must keep the node's
+    // attribute fields valid (regression: INTERNAL_ERROR_ATTRIBUTE_NOT_
+    // FOUND before the alias fix)
+    val base = Seq((1L, "u", 10L, 1.0), (2L, "u", 20L, 2.0),
+      (3L, "v", 30L, 3.0)).toDF("id", "k", "t", "v")
+    differential(base.select("id", "k", "t"),
+      base.groupBy($"k", $"t".as("rt")).agg(max($"v").as("p")),
+      Seq("k"), "t", "rt", Seq("p"))
+  }
+
   test("rangeJoin: containment semantics, end-exclusive, key-scoped, " +
     "no duplicate pairs across buckets") {
     val pts = Seq((1L, "u", 0L), (2L, "u", 99L), (3L, "u", 100L),
