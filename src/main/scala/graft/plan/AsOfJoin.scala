@@ -67,13 +67,48 @@ object AsOfJoin {
     }
   }
 
-  /** Idempotent session registration (experimental.extraStrategies —
-    * the public injection point; SparkSessionExtensions offers the same
-    * hook at builder time via injectPlannerStrategy). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Optimizer rule for the custom node: Catalyst's own
+    * PushDownPredicates cannot see through a node it doesn't know, so
+    * a Filter sitting on an as-of join would keep the time-range /
+    * key predicates OFF the parquet scan. Left-only conjuncts push
+    * into the LEFT child (each left row's match depends only on that
+    * row — filtering left rows early is semantics-preserving);
+    * predicates on the matched columns stay above (they depend on the
+    * join result). From the left child Catalyst's standard rules take
+    * over and drive the predicate down to the scan's PushedFilters. */
+  object AsOfJoinFilterPushdown
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+      with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+    import org.apache.spark.sql.catalyst.expressions.And
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond, a: AsOfJoinPlan) =>
+        val (pushable, rest) = splitConjunctivePredicates(cond)
+          .partition(p => p.deterministic &&
+            p.references.subsetOf(a.left.outputSet))
+        if (pushable.isEmpty) f
+        else {
+          val pushed =
+            a.copy(left = Filter(pushable.reduce(And), a.left))
+          rest.reduceOption(And)
+            .map(Filter(_, pushed)).getOrElse(pushed)
+        }
+    }
+  }
+
+  /** Idempotent session registration (experimental.extraStrategies /
+    * extraOptimizations — the public injection points;
+    * SparkSessionExtensions offers the same hooks at builder time via
+    * injectPlannerStrategy / injectOptimizerRule). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations
+        .contains(AsOfJoinFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinFilterPushdown
+  }
 
   /** Sort-merge as-of join: children co-clustered on the join keys and
     * sorted by (keys…, time ASC); one forward pass over each side per

@@ -147,6 +147,44 @@ class TemporalJoinSpec extends AnyFunSuite {
       Seq("k"), "t", "rt", Seq("p"))
   }
 
+  test("AsOfJoinFilterPushdown: left-only predicates reach the scan's " +
+    "PushedFilters through the custom node; matched-column predicates " +
+    "stay above; results unchanged") {
+    val ev = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "events")
+      .select($"event_id", $"user_id", expr("ts div 1000").as("t_us"))
+    val alerts = graft.sources.Tables
+      .load(spark, SparkSpec.Sf0001, "events")
+      .filter($"event_type" === "error")
+      .groupBy($"user_id", expr("ts div 1000").as("a_t"))
+      .agg(max($"value").as("alert_value"))
+    val joined = TemporalJoin.asofJoinMerged(ev, alerts,
+      Seq("user_id"), "t_us", "a_t", Seq("alert_value"), "mt")
+      .filter($"event_id" < 500L && $"alert_value".isNotNull)
+    // the left-only predicate travels through the custom node down to
+    // the parquet scan (LessThan on event_id in PushedFilters)
+    val physical = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(physical.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*LessThan\\(event_id".r
+        .findFirstIn(physical).isDefined, physical.take(4000))
+    // the matched-column predicate must NOT appear below the join
+    val optimized = joined.queryExecution.optimizedPlan
+    optimized.collect {
+      case a: graft.plan.AsOfJoin.AsOfJoinPlan =>
+        a.left.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            assert(!f.condition.toString.contains("alert_value"),
+              f.condition.toString)
+        }
+    }
+    // semantics unchanged vs filtering the composed form
+    val want = TemporalJoin.asofJoin(ev, alerts, Seq("user_id"),
+      "t_us", "a_t", Seq("alert_value"), "mt")
+      .filter($"event_id" < 500L && $"alert_value".isNotNull)
+      .collect().map(_.toSeq).toSet
+    assert(joined.collect().map(_.toSeq).toSet === want)
+  }
+
   test("rangeJoin: containment semantics, end-exclusive, key-scoped, " +
     "no duplicate pairs across buckets") {
     val pts = Seq((1L, "u", 0L), (2L, "u", 99L), (3L, "u", 100L),
