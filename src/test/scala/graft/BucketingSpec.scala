@@ -47,6 +47,42 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("custom as-of exec composes with storage bucketing: both sides " +
+    "bucketed on the key → NO shuffle exchange, results unchanged") {
+    val base = Files.createTempDirectory("graft_bucket_asof").toString
+    val ev = Tables.load(spark, SparkSpec.Sf0001, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("t_us"), col("event_type"), col("value"))
+    val alerts = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("t_us").as("a_t"))
+      .agg(max(col("value")).as("alert_value"))
+    Bucketing.writeBucketed(ev.select("event_id", "user_id", "t_us"),
+      "ev_b", s"$base/ev", "user_id", 8)
+    Bucketing.writeBucketed(alerts, "al_b", s"$base/al", "user_id", 8)
+    try {
+      val joined = graft.operators.TemporalJoin.asofJoinMerged(
+        spark.table("ev_b"), spark.table("al_b"),
+        Seq("user_id"), "t_us", "a_t", Seq("alert_value"), "mt")
+      joined.collect(): Unit
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // bucketed scans satisfy the exec's ClusteredDistribution on both
+      // sides — EnsureRequirements inserts no exchange (sorts remain:
+      // the layout is key-sorted, not (key, time)-sorted)
+      assert(!plan.contains("Exchange"), plan.take(3000))
+      assert(plan.contains("AsOfJoin"), plan.take(3000))
+      // identical to the unbucketed composed form
+      val want = graft.operators.TemporalJoin.asofJoin(
+        ev.select("event_id", "user_id", "t_us"), alerts,
+        Seq("user_id"), "t_us", "a_t", Seq("alert_value"), "mt")
+        .collect().map(_.toSeq).toSet
+      assert(joined.collect().map(_.toSeq).toSet === want)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ev_b")
+      spark.sql("DROP TABLE IF EXISTS al_b"): Unit
+    }
+  }
+
   test("multi-column bucket spec is REJECTED: (key, other) buckets are " +
     "not co-located on key alone and would silently shuffle") {
     val base = Files.createTempDirectory("graft_bucket_mc").toString
