@@ -1,0 +1,120 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import graft.sources.Tables
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** InfluxDB 1.x continuous-query analog: periodically roll recent raw
+  * points up into a downsampled derived measurement (`CREATE CONTINUOUS
+  * QUERY … SELECT mean(v) INTO db.rp.m_1h GROUP BY time(1h), *`) — the
+  * companion feature every InfluxDB deployment the reference syncs
+  * runs, re-expressed as an INCREMENTAL batch job.
+  *
+  * Incremental contract (CQ semantics): each refresh recomputes ONLY
+  * the time buckets at or after `floor(watermark − resampleNs)`, where
+  * the watermark is the max raw timestamp seen by the previous refresh
+  * — exactly InfluxQL's `RESAMPLE FOR` lookback: late points landing
+  * inside the lookback are folded in on the next refresh; older late
+  * points are ignored (InfluxDB CQs behave the same — historical
+  * re-aggregation is an explicit backfill, here a refresh with
+  * `resampleNs = ∞` i.e. watermark 0).
+  *
+  * Scale shape: the raw scan is PRUNED to `ts >= bucketFloor` (pushed
+  * predicate — steady-state cost is one bucket's worth of rows, not
+  * the measurement); the rollup is a partial/final hash aggregate; the
+  * sink overwrites only the recomputed bucket partitions (dynamic
+  * partition overwrite on `__cq_bucket`, same idempotent-upsert layout
+  * as CopyJob's chunk sink). Re-running a refresh with no new data
+  * rewrites the same final bucket to the same content — idempotent.
+  * The watermark persists in `_cq.json` beside the data and is written
+  * AFTER the data commit (a crash between the two re-does work, never
+  * loses it). */
+final class ContinuousQuery(spark: SparkSession) {
+
+  /** One refresh pass. Returns (bucketsRewritten, watermarkNs). */
+  def refresh(
+      srcPath: String,
+      dstPath: String,
+      seriesCols: Seq[String],
+      valueCol: String,
+      bucketNs: Long,
+      timeCol: String = "ts",
+      resampleNs: Long = 0L): (Long, Long) = {
+    require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
+    require(resampleNs >= 0, s"resampleNs must be >= 0: $resampleNs")
+    Tables.ensureNsConf(spark)
+    val prev = readWatermark(dstPath)
+    val fromNs =
+      if (prev == 0L) Long.MinValue
+      else floorBucket(math.max(prev - resampleNs, 0L), bucketNs)
+    val t = col(timeCol).cast("long")
+    val recent = spark.read.parquet(srcPath)
+      .filter(if (fromNs == Long.MinValue) lit(true) else t >= fromNs)
+    val rolled = recent
+      .groupBy((seriesCols.map(col) :+
+        (t - pmod(t, lit(bucketNs))).as("__cq_bucket")): _*)
+      .agg(count(lit(1)).as("n_points"),
+        sum(col(valueCol)).as("sum_value"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+    val stats = rolled.select(
+      count(lit(1)).as("buckets_x_series"),
+      countDistinct(col("__cq_bucket")).as("buckets"))
+      .head()
+    val newWatermark = recent.select(max(t)).head() match {
+      case r if r.isNullAt(0) => prev
+      case r                  => math.max(prev, r.getLong(0))
+    }
+    if (stats.getLong(0) > 0) {
+      rolled.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__cq_bucket")
+        .parquet(dstPath)
+    }
+    writeWatermark(dstPath, newWatermark)
+    (stats.getLong(1), newWatermark)
+  }
+
+  /** Read the downsampled measurement (one row per bucket × series;
+    * `bucket_ns` = the bucket's start). */
+  def readRollup(dstPath: String): DataFrame = {
+    Tables.ensureNsConf(spark)
+    spark.read.parquet(dstPath)
+      .withColumn("bucket_ns", col("__cq_bucket").cast("long"))
+      .drop("__cq_bucket")
+  }
+
+  private def floorBucket(ns: Long, bucketNs: Long): Long =
+    ns - java.lang.Math.floorMod(ns, bucketNs)
+
+  private def wmPath(dstPath: String) = new Path(s"$dstPath/_cq.json")
+
+  private def readWatermark(dstPath: String): Long = {
+    val p = wmPath(dstPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        """"watermark_ns":(-?\d+)""".r
+          .findFirstMatchIn(new String(bytes, StandardCharsets.UTF_8))
+          .map(_.group(1).toLong).getOrElse(0L)
+      } finally in.close()
+    }
+  }
+
+  private def writeWatermark(dstPath: String, ns: Long): Unit = {
+    val p = wmPath(dstPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"""{"watermark_ns":$ns}"""
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

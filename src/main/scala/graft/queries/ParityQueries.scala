@@ -4,7 +4,7 @@ import graft.agent.{Agent, AgentConfig}
 import graft.catalog.Catalog
 import graft.functions.ChecksumAgg
 import graft.model.{FieldSch, FieldType}
-import graft.operators.{CopyJob, SeriesOps}
+import graft.operators.{ContinuousQuery, CopyJob, SeriesOps}
 import graft.plan.ChunkPlanner
 import graft.sources.{LineProtocol, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -125,6 +125,33 @@ object ParityQueries {
                event_type, value, props FROM events
                WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs"""
         .replaceAll("\\s+", " "))),
+
+    // Continuous-query downsampling roundtrip: refresh the 1-day
+    // rollup TWICE (the second run is the incremental steady state —
+    // it recomputes only the watermark's lookback bucket) and read the
+    // derived measurement back. Oracle = the one-shot full aggregate:
+    // incremental refresh must converge to exactly it. InfluxDB 1.x
+    // CONTINUOUS QUERY semantics incl. the RESAMPLE FOR lookback
+    // (ContinuousQuerySpec pins late-data behavior).
+    "cq_downsample" -> QueryDef(
+      (s, dir) => {
+        val cq = new ContinuousQuery(s)
+        val dst = s"/tmp/graft_cq_${math.abs(dir.hashCode)}"
+        cq.refresh(s"$dir/events.parquet", dst, Seq("event_type"),
+          "value", bucketNs = DayNs, resampleNs = DayNs)
+        cq.refresh(s"$dir/events.parquet", dst, Seq("event_type"),
+          "value", bucketNs = DayNs, resampleNs = DayNs)
+        cq.readRollup(dst)
+          .select(col("event_type"), col("bucket_ns"), col("n_points"),
+            round(col("sum_value"), 4).as("sum_value_r"),
+            col("min_value"), col("max_value"))
+      },
+      Some(s"""SELECT event_type,
+          epoch_ns(ts) - epoch_ns(ts) % $DayNs AS bucket_ns,
+          count(*)::BIGINT AS n_points,
+          round(sum(value), 4) AS sum_value_r,
+          min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY 1, 2""".replaceAll("\\s+", " "))),
 
     // Retention-policy enforcement roundtrip: copy the window, expire
     // everything below a mid-chunk cutoff, read back. Whole expired
