@@ -591,6 +591,64 @@ object ParityQueries {
         SELECT event_type, b AS b_us, round(ema, 6) AS ema_r FROM r"""
         .replaceAll("\\s+", " "))),
 
+    // InfluxQL momentum indicators over hour-bucketed per-type means:
+    // CHANDE_MOMENTUM_OSCILLATOR(7) and the windowed (Cutler) form of
+    // RELATIVE_STRENGTH_INDEX(7) — both pure rolling-window sums over
+    // the per-series clustering (gain/loss split of the 1-step diff;
+    // no recursion, unlike Wilder RSI, which is ts_ema's territory).
+    // Guarded divisions: a flat window (all gains and losses 0) yields
+    // null, not a DIVIDE_BY_ZERO under ANSI mode.
+    "ts_momentum" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+        val wN = w.rowsBetween(-6, Window.currentRow)
+        val diff = col("v") - lag(col("v"), 1).over(w)
+        val agg = Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(round(avg(col("value")), 6).as("v"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b"), col("v"))
+          // explicit null on the first row: greatest() IGNORES nulls in
+          // both engines, which would count a phantom 0-diff into the
+          // 7-diff window
+          .withColumn("gain",
+            when(diff.isNotNull, greatest(diff, lit(0.0))))
+          .withColumn("loss",
+            when(diff.isNotNull, greatest(negate(diff), lit(0.0))))
+        val sg = sum(col("gain")).over(wN)
+        val sl = sum(col("loss")).over(wN)
+        val nDiffs = count(col("gain")).over(wN)
+        agg.select(col("event_type"), col("b").as("b_us"),
+            when(nDiffs === 7 && sg + sl > 0,
+              round((sg - sl) / (sg + sl) * 100, 6)).as("cmo7"),
+            when(nDiffs === 7 && sg + sl > 0,
+              round(sg / (sg + sl) * 100, 6)).as("rsi7"))
+      },
+      Some("""WITH a AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          round(avg(value), 6) AS v FROM events GROUP BY 1, 2),
+        d AS (SELECT event_type, b, v,
+          v - lag(v) OVER win AS diff FROM a
+          WINDOW win AS (PARTITION BY event_type ORDER BY b)),
+        g AS (SELECT event_type, b,
+          CASE WHEN diff IS NULL THEN NULL
+            ELSE greatest(diff, 0.0) END AS gain,
+          CASE WHEN diff IS NULL THEN NULL
+            ELSE greatest(-diff, 0.0) END AS loss
+          FROM d),
+        r AS (SELECT event_type, b,
+          sum(gain) OVER wn AS sg, sum(loss) OVER wn AS sl,
+          count(gain) OVER wn AS nd FROM g
+          WINDOW wn AS (PARTITION BY event_type ORDER BY b
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT event_type, b AS b_us,
+          CASE WHEN nd = 7 AND sg + sl > 0
+            THEN round((sg - sl) / (sg + sl) * 100, 6) END AS cmo7,
+          CASE WHEN nd = 7 AND sg + sl > 0
+            THEN round(sg / (sg + sl) * 100, 6) END AS rsi7
+        FROM r""".replaceAll("\\s+", " "))),
+
     // InfluxQL TOP(value, 3) / BOTTOM(value, 3) per series — selector
     // functions via the bounded-heap TopKAgg (map-side partial top-k;
     // no per-series single-reducer window sort). Ties break by
