@@ -53,30 +53,38 @@ final class ContinuousQuery(spark: SparkSession) {
     val t = col(timeCol).cast("long")
     val recent = spark.read.parquet(srcPath)
       .filter(if (fromNs == Long.MinValue) lit(true) else t >= fromNs)
+    // per-group max raw ts rides the rollup aggregation, so the
+    // watermark needs no second scan of the raw data; the rolled frame
+    // (bucket-bounded, small) is cached across the stats read and the
+    // write — the raw scan+aggregate runs ONCE per refresh
     val rolled = recent
       .groupBy((seriesCols.map(col) :+
         (t - pmod(t, lit(bucketNs))).as("__cq_bucket")): _*)
       .agg(count(lit(1)).as("n_points"),
         sum(col(valueCol)).as("sum_value"),
         min(col(valueCol)).as("min_value"),
-        max(col(valueCol)).as("max_value"))
-    val stats = rolled.select(
-      count(lit(1)).as("buckets_x_series"),
-      countDistinct(col("__cq_bucket")).as("buckets"))
-      .head()
-    val newWatermark = recent.select(max(t)).head() match {
-      case r if r.isNullAt(0) => prev
-      case r                  => math.max(prev, r.getLong(0))
-    }
-    if (stats.getLong(0) > 0) {
-      rolled.write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__cq_bucket")
-        .parquet(dstPath)
-    }
-    writeWatermark(dstPath, newWatermark)
-    (stats.getLong(1), newWatermark)
+        max(col(valueCol)).as("max_value"),
+        max(t).as("__cq_max_ts"))
+      .cache()
+    try {
+      val stats = rolled.select(
+        count(lit(1)).as("buckets_x_series"),
+        countDistinct(col("__cq_bucket")).as("buckets"),
+        max(col("__cq_max_ts")).as("max_ts"))
+        .head()
+      val newWatermark =
+        if (stats.isNullAt(2)) prev
+        else math.max(prev, stats.getLong(2))
+      if (stats.getLong(0) > 0) {
+        rolled.drop("__cq_max_ts").write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__cq_bucket")
+          .parquet(dstPath)
+      }
+      writeWatermark(dstPath, newWatermark)
+      (stats.getLong(1), newWatermark)
+    } finally rolled.unpersist(): Unit
   }
 
   /** Read the downsampled measurement (one row per bucket × series;

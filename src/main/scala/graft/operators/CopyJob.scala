@@ -391,18 +391,28 @@ final class CopyJob(
       val dir = new Path(s"$dstPath/__bucket=${ps}_$pe")
       dir.getFileSystem(conf).delete(dir, true): Unit
     }
-    val straddling = rest.filter { case (ps, _) => ps < cutoffNs }
-    straddling.foreach { case (ps, pe) =>
+    // a straddling partition whose ROWS all sit below the cutoff (its
+    // span over-covers its data) is a DROP, not a trim — report it as
+    // such, or '-action retention' would list a span as surviving that
+    // no longer exists
+    var dropped = below
+    var trimmed = Seq.empty[(Long, Long)]
+    rest.filter { case (ps, _) => ps < cutoffNs }.foreach { case (ps, pe) =>
       Tables.ensureNsConf(spark)
       val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
       val fs = partDir.getFileSystem(conf)
       val remaining = spark.read.parquet(partDir.toString)
         .filter(col(cfg.timeCol) >= cutoffNs)
-      if (remaining.isEmpty) fs.delete(partDir, true): Unit
-      else swapPartitionContents(dstPath, ps, pe, remaining, "retention",
-        targetSpan = Some((cutoffNs, pe)))
+      if (remaining.isEmpty) {
+        fs.delete(partDir, true): Unit
+        dropped :+= ((ps, pe))
+      } else {
+        swapPartitionContents(dstPath, ps, pe, remaining, "retention",
+          targetSpan = Some((cutoffNs, pe)))
+        trimmed :+= ((ps, pe))
+      }
     }
-    (below, straddling, spans.size - below.size)
+    (dropped, trimmed, spans.size - dropped.size)
   }
 
   private def inParallel[A, B](workers: Int, items: Seq[A])(f: A => B)

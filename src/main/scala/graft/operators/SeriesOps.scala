@@ -110,7 +110,16 @@ object SeriesOps {
           :+ col(valueCol).cast("double").as("v"): _*)
       .withColumn("nb", lead(col("b"), 1).over(w))
       .withColumn("nv", lead(col("v"), 1).over(w))
-    val exploded = withNext.select(
+    // contract check (one comparison per row): a duplicate (series,
+    // bucket) row would otherwise surface as sequence()'s obscure
+    // 'Illegal sequence boundaries' mid-query — fail with the actual
+    // contract instead
+    val checked = withNext.withColumn("nb",
+      when(col("nb").isNull || col("nb") > col("b"), col("nb"))
+        .otherwise(raise_error(concat(lit("fillGaps: duplicate (series,"
+          + " bucket) row at bucket "), col("b").cast("string"),
+          lit(" — input must be one row per (series, bucket)")))))
+    val exploded = checked.select(
       seriesCols.map(col) ++ Seq(col("b"), col("v"), col("nb"), col("nv"),
         explode(sequence(col("b"),
           coalesce(col("nb") - stepTicks, col("b")),
@@ -141,15 +150,22 @@ object SeriesOps {
     * Output: (series..., sel, rank, id) — sel ∈ {"top", "bottom"}. */
   def topBottom(df: DataFrame, seriesCols: Seq[String], valueCol: String,
       idCol: String, k: Int): DataFrame = {
-    def sel(score: Column, label: String): DataFrame = df
+    // ONE scan + ONE exchange: both bounded heaps ride the same
+    // groupBy (separate per-selector aggregations would scan and
+    // shuffle the input twice for identical grouping)
+    val agged = df
       .groupBy(seriesCols.map(col): _*)
-      .agg(TopKAgg.topK(k)(score, col(idCol).cast("long")).as("tk"))
+      .agg(TopKAgg.topK(k)(col(valueCol), col(idCol).cast("long"))
+          .as("tk_top"),
+        TopKAgg.topK(k)(negate(col(valueCol)), col(idCol).cast("long"))
+          .as("tk_bot"))
+    def sel(items: String, label: String): DataFrame = agged
       .select(seriesCols.map(col)
-        :+ lit(label).as("sel") :+ posexplode(col("tk.items")): _*)
+        :+ lit(label).as("sel") :+ posexplode(col(items)): _*)
       .select(seriesCols.map(col) ++ Seq(col("sel"),
         (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as(idCol)): _*)
-    sel(col(valueCol), "top").unionAll(sel(negate(col(valueCol)), "bottom"))
+    sel("tk_top.items", "top").unionAll(sel("tk_bot.items", "bottom"))
   }
 
   /** Time-series similarity search (the EDBT'19 streaming-similarity

@@ -114,10 +114,14 @@ object ParityQueries {
           timeCol = "ts")
         val dst = s"/tmp/graft_diffsync_${math.abs(dir.hashCode)}"
         job.copyMeasurement(s"$dir/events.parquet", dst, cfg)
+        // chunks tile NEWEST-FIRST from EndNs, so 2-day spans sit at
+        // ODD day offsets: [S+1d,S+3d) exists, [S+4d,S+6d) would not
         val victim = new org.apache.hadoop.fs.Path(
-          s"$dst/__bucket=${StartNs + 4 * DayNs}_${StartNs + 6 * DayNs}")
-        victim.getFileSystem(s.sessionState.newHadoopConf())
-          .delete(victim, true)
+          s"$dst/__bucket=${StartNs + 1 * DayNs}_${StartNs + 3 * DayNs}")
+        val vfs = victim.getFileSystem(s.sessionState.newHadoopConf())
+        require(vfs.exists(victim),
+          s"diffsync fixture bug: victim partition $victim missing")
+        vfs.delete(victim, true)
         job.syncDiffering(s"$dir/events.parquet", dst, cfg)
         job.readCopied(dst).select(evProj: _*)
       },
@@ -137,6 +141,11 @@ object ParityQueries {
       (s, dir) => {
         val cq = new ContinuousQuery(s)
         val dst = s"/tmp/graft_cq_${math.abs(dir.hashCode)}"
+        // reset: a stale watermark from a previous run against a
+        // CHANGED fixture would pin old pre-watermark buckets forever
+        // (incremental refresh never reconciles history by design)
+        val p = new org.apache.hadoop.fs.Path(dst)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
         cq.refresh(s"$dir/events.parquet", dst, Seq("event_type"),
           "value", bucketNs = DayNs, resampleNs = DayNs)
         cq.refresh(s"$dir/events.parquet", dst, Seq("event_type"),
@@ -167,13 +176,19 @@ object ParityQueries {
           timeCol = "ts")
         val dst = s"/tmp/graft_retention_${math.abs(dir.hashCode)}"
         job.copyMeasurement(s"$dir/events.parquet", dst, cfg)
-        val cutoff = StartNs + 5 * DayNs // mid-chunk: forces one trim
-        job.enforceRetention(dst, cutoff, cfg)
+        // chunks tile newest-first from EndNs → 2-day spans at odd day
+        // offsets ([S+3d,S+5d) etc.); S+4d lands MID-chunk, forcing the
+        // straddling trim+rename path (S+5d would be a boundary and
+        // exercise only whole-chunk drops)
+        val cutoff = StartNs + 4 * DayNs
+        val (_, trimmed, _) = job.enforceRetention(dst, cutoff, cfg)
+        require(trimmed.nonEmpty,
+          "retention fixture bug: cutoff hit a chunk boundary, no trim")
         job.readCopied(dst).select(evProj: _*)
       },
       Some(s"""SELECT event_id, epoch_us(ts) AS time_us, user_id,
                event_type, value, props FROM events
-               WHERE epoch_ns(ts) >= ${StartNs + 5 * DayNs}
+               WHERE epoch_ns(ts) >= ${StartNs + 4 * DayNs}
                  AND epoch_ns(ts) < $EndNs"""
         .replaceAll("\\s+", " "))),
 
