@@ -31,6 +31,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // collects the weak refs — with a 24g heap GC nearly never ran and a
   // bench rep of the iterative dedup_clusters degraded 5.6s → 224s as
   // block state piled up (measured). 8g keeps GC frequent enough that
-  // cleanup keeps pace across the 79-query registry.
+  // cleanup keeps pace across the 100+-query registry.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

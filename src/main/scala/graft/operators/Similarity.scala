@@ -39,12 +39,40 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** id/vector/precomputed-norm projection. Ids are surfaced as BIGINT
-    * (the rank stage aggregates (score, id) pairs in a typed buffer). */
+    * (the rank stage aggregates (score, id) pairs in a typed buffer),
+    * so the id column must be INTEGRAL — checked here rather than left
+    * to the cast, which would throw CAST_INVALID_INPUT mid-query under
+    * ANSI mode or (ANSI off) null the ids and silently EMPTY the
+    * result via the self-match filter. Non-numeric ids: add a
+    * surrogate (e.g. monotonically_increasing_id) first. */
   private def prep(df: DataFrame, idCol: String, vecCol: String,
-      idAs: String, vAs: String, nAs: String): DataFrame =
+      idAs: String, vAs: String, nAs: String): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"ANN id column '$idCol' must be integral (got " +
+        s"${idType.simpleString}); add a numeric surrogate id for " +
+        "string-keyed corpora")
     df.select(col(idCol).cast("long").as(idAs),
         asDouble(col(vecCol)).as(vAs))
       .withColumn(nAs, sqrt(vecNormSq(col(vAs))))
+  }
+
+  /** Bounded quantizer-training sample: first `sampleN` vectors in id
+    * order, collected driver-side (shared by IVF/PQ/IVFADC/SemDeDup —
+    * one guard, one convention). */
+  private def sampleVectors(df: DataFrame, idCol: String, vecCol: String,
+      sampleN: Int, who: String): Array[Array[Double]] = {
+    val sample = prep(df, idCol, vecCol, "id", "v", "n")
+      .orderBy(col("id")).limit(sampleN)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      s"$who: corpus is empty — nothing to train on")
+    sample
+  }
 
   /** Shared rank stage of the ANN family: (query_id, neighbor_id,
     * cosine) → (query_id, rank, neighbor_id, cosine_r), rank 1..k by
@@ -63,6 +91,12 @@ object Similarity {
     scored
       .select(col("query_id"), round(col("cosine"), 6).as("score"),
         col("neighbor_id"))
+      // null scores (null/zero-norm embeddings) are EXCLUDED: the
+      // typed (score, id) buffer is non-nullable, and a candidate with
+      // no defined similarity has no business in a top-k (the replaced
+      // window form sorted them past rank k — same outcome whenever k
+      // real candidates exist)
+      .where(col("score").isNotNull)
       .groupBy(col("query_id"))
       .agg(tk(col("score"), col("neighbor_id")).as("tk"))
       .select(col("query_id"), posexplode(col("tk.items")))
@@ -182,10 +216,7 @@ object Similarity {
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       iters: Int = 5, sampleN: Int = 2048,
       excludeSelfMatches: Boolean = true): DataFrame = {
-    val sample = prep(corpus, idCol, vecCol, "id", "v", "n")
-      .orderBy(col("id")).limit(sampleN)
-      .select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample = sampleVectors(corpus, idCol, vecCol, sampleN, "ivfTopK")
     val cents = kmeansCentroids(sample, nlist, iters)
     val assigned = prep(corpus, idCol, vecCol, "neighbor_id", "cv2", "cn")
       .withColumn("centroid",
@@ -313,12 +344,7 @@ object Similarity {
       vecCol: String, k: Int, numSub: Int = 8, ksub: Int = 16,
       iters: Int = 5, sampleN: Int = 2048, refine: Int = 4,
       excludeSelfMatches: Boolean = true): DataFrame = {
-    val sample = prep(corpus, idCol, vecCol, "id", "v", "n")
-      .orderBy(col("id")).limit(sampleN)
-      .select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty,
-      "pqTopK: corpus is empty — nothing to train codebooks on")
+    val sample = sampleVectors(corpus, idCol, vecCol, sampleN, "pqTopK")
     val dim = sample.head.length
     val dsub = dim / numSub
     val books = pqCodebooks(sample, numSub, ksub, iters)
@@ -356,6 +382,7 @@ object Similarity {
     }.reduce(_ + _)
     joined
       .select(col("query_id"), col("neighbor_id"), approx.as("approx"))
+      .where(col("approx").isNotNull) // see topKPerQuery
       .groupBy(col("query_id"))
       .agg(TopKAgg.topK(n)(col("approx"), col("neighbor_id")).as("tk"))
       .select(col("query_id"), explode(col("tk.items")).as("it"))
@@ -394,12 +421,7 @@ object Similarity {
       numSub: Int = 8, ksub: Int = 16, iters: Int = 5,
       sampleN: Int = 2048, refine: Int = 4,
       excludeSelfMatches: Boolean = true): DataFrame = {
-    val sample = prep(corpus, idCol, vecCol, "id", "v", "n")
-      .orderBy(col("id")).limit(sampleN)
-      .select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty,
-      "ivfPqTopK: corpus is empty — nothing to train quantizers on")
+    val sample = sampleVectors(corpus, idCol, vecCol, sampleN, "ivfPqTopK")
     val dim = sample.head.length
     val dsub = dim / numSub
     val cents = kmeansCentroids(sample, nlist, iters)
@@ -462,6 +484,7 @@ object Similarity {
         negate(vecNormSq(col("qp")) + vecNormSq(col("cp"))
           - lit(2.0) * vecDot(col("qp"), col("cp"))).as("score"))
     val candidates = scored
+      .where(col("score").isNotNull) // see topKPerQuery
       .groupBy(col("query_id"))
       .agg(TopKAgg.topK(k * refine)(col("score"), col("neighbor_id"))
         .as("tk"))
@@ -520,10 +543,8 @@ object Similarity {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nClusters: Int = 16, iters: Int = 5,
       sampleN: Int = 2048): DataFrame = {
-    val sample = prep(emb, idCol, vecCol, "id", "v", "n")
-      .orderBy(col("id")).limit(sampleN)
-      .select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample = sampleVectors(emb, idCol, vecCol, sampleN,
+      "semanticDedup")
     val cents = kmeansCentroids(sample, nClusters, iters)
     val assigned = prep(emb, idCol, vecCol, "id", "v", "n")
       .withColumn("cluster",

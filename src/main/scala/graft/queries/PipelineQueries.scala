@@ -35,6 +35,14 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** THE basis-point split hash (md5-prefix of the id, mod 100) shared
+    * by every split-based query (pipeline_split, decontaminate_*,
+    * dedup_incremental_*) — one definition, so the train/test split
+    * convention cannot silently decorrelate across queries. */
+  private def splitBucket(c: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(100))
+
   // shared oracle CTE fragments (DuckDB)
   private val WordsCte =
     "words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents)"
@@ -561,8 +569,7 @@ object PipelineQueries {
     "pipeline_split" -> QueryDef(
       (s, dir) => docs(s, dir)
         .select(col("doc_id").as("id"),
-          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-            16, 10).cast("long"), lit(100)).as("bucket"))
+          splitBucket(col("doc_id")).as("bucket"))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "validation")
@@ -596,9 +603,7 @@ object PipelineQueries {
     // so shuffle rows stay fixed-width.
     "decontaminate_ngram" -> QueryDef(
       (s, dir) => {
-        val d = docs(s, dir).withColumn("b",
-          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-            16, 10).cast("long"), lit(100)))
+        val d = docs(s, dir).withColumn("b", splitBucket(col("doc_id")))
         Curation.ngramContamination(
           d.filter(col("b") < 80), d.filter(col("b") >= 90),
           "doc_id", "text", 5)
@@ -629,9 +634,6 @@ object PipelineQueries {
     // shuffles on top of the chain.
     "decontaminate_fuzzy" -> QueryDef(
       (s, dir) => {
-        def bucketOf(c: org.apache.spark.sql.Column) =
-          pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
-            .cast("long"), lit(100))
         val d = docs(s, dir)
         val sig = Dedup.minhashSignatures(d, "doc_id", "text",
           MinhashK, ShingleLen)
@@ -639,7 +641,7 @@ object PipelineQueries {
           Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
         val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
           JaccardThreshold, candidates = Some(cand))
-        val (ba, bb) = (bucketOf(col("id_a")), bucketOf(col("id_b")))
+        val (ba, bb) = (splitBucket(col("id_a")), splitBucket(col("id_b")))
         pairs
           .filter((ba < 80 && bb >= 90) || (ba >= 90 && bb < 80))
           .select(
@@ -714,15 +716,12 @@ object PipelineQueries {
     // the wire, no distinct pass, no row multiplication).
     "dedup_incremental_exact" -> QueryDef(
       (s, dir) => {
-        def bucketOf(c: org.apache.spark.sql.Column) =
-          pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
-            .cast("long"), lit(100))
         val d = docs(s, dir)
         val store = Dedup
-          .exact(d.filter(bucketOf(col("doc_id")) < 80), "doc_id", "text")
+          .exact(d.filter(splitBucket(col("doc_id")) < 80), "doc_id", "text")
           .select(col("fingerprint"))
         Dedup.incrementalExact(
-          d.filter(bucketOf(col("doc_id")) >= 80), "doc_id", "text", store)
+          d.filter(splitBucket(col("doc_id")) >= 80), "doc_id", "text", store)
       },
       Some("""WITH sp AS (SELECT doc_id,
           ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS b,
@@ -737,16 +736,13 @@ object PipelineQueries {
     // not texts) — (new_id, old_id) pairs for the confirm stage.
     "dedup_incremental_candidates" -> QueryDef(
       (s, dir) => {
-        def bucketOf(c: org.apache.spark.sql.Column) =
-          pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
-            .cast("long"), lit(100))
         val d = docs(s, dir)
         def bandsOf(part: DataFrame) = Dedup.lshBandsFromSig(
           Dedup.minhashSignatures(part, "doc_id", "text", MinhashK,
             ShingleLen), 4, MinhashK)
         Dedup.lshCandidatePairsAcross(
-          bandsOf(d.filter(bucketOf(col("doc_id")) >= 80)),
-          bandsOf(d.filter(bucketOf(col("doc_id")) < 80)))
+          bandsOf(d.filter(splitBucket(col("doc_id")) >= 80)),
+          bandsOf(d.filter(splitBucket(col("doc_id")) < 80)))
       },
       Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
         sp AS (SELECT doc_id,
