@@ -59,6 +59,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"PCA recall@5 = $recall")
   }
 
+  test("robustness: a null embedding row is excluded from rankings, " +
+    "not a crash; a non-integral id fails fast with the contract") {
+    val e = Seq((0L, Some(Seq(1.0f, 0.0f))), (1L, Some(Seq(0.9f, 0.1f))),
+      (2L, Some(Seq(0.0f, 1.0f))), (3L, None))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(e.filter($"vec_id" === 0), e,
+      "vec_id", "embedding", k = 3).collect()
+    // the null-embedding candidate 3 is excluded; the rest rank
+    assert(out.map(_.getLong(2)).toSet === Set(1L, 2L))
+    val stringIds = Seq(("doc-a", Seq(1.0f)), ("doc-b", Seq(2.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(stringIds, stringIds, "vec_id",
+        "embedding", 1)
+    }
+    assert(ex.getMessage.contains("must be integral"))
+  }
+
   test("LSH ANN achieves reasonable recall@5 vs brute force") {
     val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
     val q = e.filter($"vec_id" < 8)
