@@ -168,6 +168,26 @@ object SeriesOps {
     sel("tk_top.items", "top").unionAll(sel("tk_bot.items", "bottom"))
   }
 
+  /** InfluxQL SLIMIT/SOFFSET: keep only the series ranked
+    * (soffset, soffset + slimit] in series-key order — series
+    * pagination, the other LIMIT axis InfluxQL has that SQL doesn't.
+    * Scale shape: the rank is a row_number over the DISTINCT KEY SET
+    * (one map-side-combined distinct; the frame is series-count-sized,
+    * orders of magnitude below row count — the single-partition window
+    * over it is deliberate and bounded), then the kept keys broadcast
+    * back as a semi join — the data frame itself never shuffles. */
+  def seriesLimit(df: DataFrame, seriesCols: Seq[String], slimit: Int,
+      soffset: Int = 0): DataFrame = {
+    require(slimit > 0 && soffset >= 0,
+      s"need slimit > 0, soffset >= 0; got $slimit, $soffset")
+    val w = Window.orderBy(seriesCols.map(col): _*)
+    val kept = df.select(seriesCols.map(col): _*).distinct()
+      .withColumn("__sr", row_number().over(w))
+      .filter(col("__sr") > soffset && col("__sr") <= soffset + slimit)
+      .drop("__sr")
+    df.join(broadcast(kept), seriesCols, "left_semi")
+  }
+
   /** Time-series similarity search (the EDBT'19 streaming-similarity
     * setting re-expressed relationally): rank every series by Pearson
     * correlation against one TARGET series, both on a shared bucket

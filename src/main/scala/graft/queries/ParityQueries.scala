@@ -606,6 +606,33 @@ object ParityQueries {
         SELECT event_type, b AS b_us, round(ema, 6) AS ema_r FROM r"""
         .replaceAll("\\s+", " "))),
 
+    // InfluxQL SLIMIT 30 SOFFSET 10: series pagination — hour-bucketed
+    // per-series sums for series ranked 11..40 in (event_type, user_id)
+    // key order. The rank runs over the DISTINCT key set (series-count-
+    // sized) and broadcasts back as a semi join; the data never
+    // shuffles for the selection.
+    "ts_slimit" -> QueryDef(
+      (s, dir) => SeriesOps.seriesLimit(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"), col("user_id"),
+            window(col("time"), "1 hour"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .select(col("event_type"), col("user_id"),
+            expr("unix_micros(window.start)").as("w_start_us"),
+            col("n"), col("sum_value")),
+        seriesCols = Seq("event_type", "user_id"),
+        slimit = 30, soffset = 10),
+      Some("""WITH a AS (SELECT event_type, user_id,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS w_start_us,
+          count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+          FROM events GROUP BY 1, 2, 3),
+        k AS (SELECT event_type, user_id, row_number() OVER
+            (ORDER BY event_type, user_id) AS sr
+          FROM (SELECT DISTINCT event_type, user_id FROM a))
+        SELECT a.* FROM a JOIN k USING (event_type, user_id)
+        WHERE k.sr > 10 AND k.sr <= 40""".replaceAll("\\s+", " "))),
+
     // InfluxQL momentum indicators over hour-bucketed per-type means:
     // CHANDE_MOMENTUM_OSCILLATOR(7) and the windowed (Cutler) form of
     // RELATIVE_STRENGTH_INDEX(7) — both pure rolling-window sums over

@@ -160,6 +160,22 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("seriesLimit: pages tile the series set exactly; out-of-range " +
+    "offset is empty; data rows of kept series pass through intact") {
+    val s = spark
+    import s.implicits._
+    val df = (for (k <- Seq("a", "b", "c", "d"); i <- 1 to 3)
+      yield (k, i.toLong)).toDF("series", "x")
+    def page(lim: Int, off: Int): Set[String] =
+      SeriesOps.seriesLimit(df, Seq("series"), lim, off)
+        .select("series").distinct().collect().map(_.getString(0)).toSet
+    assert(page(2, 0) === Set("a", "b"))
+    assert(page(2, 2) === Set("c", "d"))
+    assert(page(2, 4) === Set.empty)
+    // all rows of a kept series survive
+    assert(SeriesOps.seriesLimit(df, Seq("series"), 1, 1).count() === 3)
+  }
+
   test("correlatedSeries: perfect positive/negative correlation exact; " +
     "constant and single-point series dropped; target excluded") {
     val s = spark
