@@ -160,6 +160,22 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fillGaps: duplicate (series, bucket) rows raise the CONTRACT, " +
+    "not sequence()'s obscure boundary error") {
+    val s = spark
+    import s.implicits._
+    val dup = Seq(("a", 10L, 1.0), ("a", 10L, 2.0), ("a", 20L, 3.0))
+      .toDF("series", "b", "v")
+    val ex = intercept[Exception] {
+      SeriesOps.fillGaps(dup, Seq("series"), "b", "v", 10L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("one row per (series, bucket)")),
+      messages(ex).mkString(" | "))
+  }
+
   test("seriesLimit: pages tile the series set exactly; out-of-range " +
     "offset is empty; data rows of kept series pass through intact") {
     val s = spark
