@@ -114,8 +114,13 @@ object SeriesOps {
     // bucket) row would otherwise surface as sequence()'s obscure
     // 'Illegal sequence boundaries' mid-query — fail with the actual
     // contract instead
+    // null-bucket rows are exempt: they sorted first, their sequence()
+    // is null and explode drops them silently (pre-guard behavior) —
+    // only a REAL duplicate (nb == b, both non-null) is a contract
+    // violation
     val checked = withNext.withColumn("nb",
-      when(col("nb").isNull || col("nb") > col("b"), col("nb"))
+      when(col("b").isNull || col("nb").isNull || col("nb") > col("b"),
+          col("nb"))
         .otherwise(raise_error(concat(lit("fillGaps: duplicate (series,"
           + " bucket) row at bucket "), col("b").cast("string"),
           lit(" — input must be one row per (series, bucket)")))))
@@ -154,6 +159,10 @@ object SeriesOps {
     // groupBy (separate per-selector aggregations would scan and
     // shuffle the input twice for identical grouping)
     val agged = df
+      // null field values are unrankable and would crash the typed
+      // (score, id) buffer — excluded, matching InfluxQL's treatment
+      // of null fields
+      .where(col(valueCol).isNotNull)
       .groupBy(seriesCols.map(col): _*)
       .agg(TopKAgg.topK(k)(col(valueCol), col(idCol).cast("long"))
           .as("tk_top"),
@@ -184,8 +193,13 @@ object SeriesOps {
     val kept = df.select(seriesCols.map(col): _*).distinct()
       .withColumn("__sr", row_number().over(w))
       .filter(col("__sr") > soffset && col("__sr") <= soffset + slimit)
-      .drop("__sr")
-    df.join(broadcast(kept), seriesCols, "left_semi")
+      .select(seriesCols.map(c => col(c).as(s"__k_$c")): _*)
+    // null-SAFE equality: a null series key is a legitimate series
+    // (distinct() ranked it), and a plain equi-join would silently
+    // drop its rows — shrinking the page and shifting pagination
+    val cond = seriesCols.map(c => col(c) <=> col(s"__k_$c"))
+      .reduce(_ && _)
+    df.join(broadcast(kept), cond, "left_semi")
   }
 
   /** Time-series similarity search (the EDBT'19 streaming-similarity

@@ -38,6 +38,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine from a precomputed dot and norms, GUARDED for zero norms:
+    * ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO even for double
+    * division, so a single zero-norm embedding would otherwise kill the
+    * whole query; a null cosine instead flows to the rank stages' null
+    * filters (excluded — no defined similarity). */
+  private def safeCosine(dot: Column, na: Column, nb: Column): Column =
+    when(na * nb > 0, dot / (na * nb))
+
   /** id/vector/precomputed-norm projection. Ids are surfaced as BIGINT
     * (the rank stage aggregates (score, id) pairs in a typed buffer),
     * so the id column must be INTEGRAL — checked here rather than left
@@ -47,14 +55,20 @@ object Similarity {
     * surrogate (e.g. monotonically_increasing_id) first. */
   private def prep(df: DataFrame, idCol: String, vecCol: String,
       idAs: String, vAs: String, nAs: String): DataFrame = {
-    val idType = df.schema(idCol).dataType
-    require(Seq(org.apache.spark.sql.types.ByteType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType).contains(idType),
-      s"ANN id column '$idCol' must be integral (got " +
-        s"${idType.simpleString}); add a numeric surrogate id for " +
-        "string-keyed corpora")
+    // case-insensitive field lookup, matching Spark's default column
+    // resolution; ambiguous/missing names fall through to Spark's own
+    // resolution error rather than a misleading contract message
+    df.schema.fields.filter(_.name.equalsIgnoreCase(idCol)) match {
+      case Array(f) =>
+        require(Seq(org.apache.spark.sql.types.ByteType,
+            org.apache.spark.sql.types.ShortType,
+            org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType).contains(f.dataType),
+          s"ANN id column '$idCol' must be integral (got " +
+            s"${f.dataType.simpleString}); add a numeric surrogate id " +
+            "for string-keyed corpora")
+      case _ => ()
+    }
     df.select(col(idCol).cast("long").as(idAs),
         asDouble(col(vecCol)).as(vAs))
       .withColumn(nAs, sqrt(vecNormSq(col(vAs))))
@@ -66,6 +80,7 @@ object Similarity {
   private def sampleVectors(df: DataFrame, idCol: String, vecCol: String,
       sampleN: Int, who: String): Array[Array[Double]] = {
     val sample = prep(df, idCol, vecCol, "id", "v", "n")
+      .where(col("v").isNotNull) // null embeddings are unindexable
       .orderBy(col("id")).limit(sampleN)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -91,12 +106,11 @@ object Similarity {
     scored
       .select(col("query_id"), round(col("cosine"), 6).as("score"),
         col("neighbor_id"))
-      // null scores (null/zero-norm embeddings) are EXCLUDED: the
-      // typed (score, id) buffer is non-nullable, and a candidate with
-      // no defined similarity has no business in a top-k (the replaced
-      // window form sorted them past rank k — same outcome whenever k
-      // real candidates exist)
-      .where(col("score").isNotNull)
+      // null AND NaN scores (null / zero-norm embeddings — a zero-norm
+      // cosine is 0/0 = NaN, which would rank FIRST under TopKAgg's
+      // NaN-greatest ordering) are EXCLUDED: a candidate with no
+      // defined similarity has no business in a top-k
+      .where(col("score").isNotNull && !isnan(col("score")))
       .groupBy(col("query_id"))
       .agg(tk(col("score"), col("neighbor_id")).as("tk"))
       .select(col("query_id"), posexplode(col("tk.items")))
@@ -111,7 +125,7 @@ object Similarity {
     val b = prep(emb, idCol, vecCol, "id_b", "vb", "nb")
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+        safeCosine(vecDot(col("va"), col("vb")), col("na"), col("nb"))
           .as("cosine"))
   }
 
@@ -126,7 +140,7 @@ object Similarity {
       if (excludeSelfMatches) col("query_id") =!= col("neighbor_id")
       else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        safeCosine(vecDot(col("qv"), col("cv")), col("qn"), col("cn"))
           .as("cosine"))
     topKPerQuery(scored, k)
   }
@@ -168,7 +182,7 @@ object Similarity {
     a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+        safeCosine(vecDot(col("va"), col("vb")), col("na"), col("nb"))
           .as("cosine"))
       .filter(col("cosine") >= threshold)
       .dropDuplicates("id_a", "id_b")
@@ -233,7 +247,7 @@ object Similarity {
       .filter(if (excludeSelfMatches)
         col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        (vecDot(col("qv"), col("cv2")) / (col("qn") * col("cn")))
+        safeCosine(vecDot(col("qv"), col("cv2")), col("qn"), col("cn"))
           .as("cosine"))
     topKPerQuery(scored, k)
   }
@@ -382,7 +396,7 @@ object Similarity {
     }.reduce(_ + _)
     joined
       .select(col("query_id"), col("neighbor_id"), approx.as("approx"))
-      .where(col("approx").isNotNull) // see topKPerQuery
+      .where(col("approx").isNotNull && !isnan(col("approx"))) // see topKPerQuery
       .groupBy(col("query_id"))
       .agg(TopKAgg.topK(n)(col("approx"), col("neighbor_id")).as("tk"))
       .select(col("query_id"), explode(col("tk.items")).as("it"))
@@ -401,7 +415,7 @@ object Similarity {
       .join(q.select(col("query_id"), col("qv"), col("qn")),
         Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        safeCosine(vecDot(col("qv"), col("cv")), col("qn"), col("cn"))
           .as("cosine"))
     topKPerQuery(scored, k)
   }
@@ -484,7 +498,7 @@ object Similarity {
         negate(vecNormSq(col("qp")) + vecNormSq(col("cp"))
           - lit(2.0) * vecDot(col("qp"), col("cp"))).as("score"))
     val candidates = scored
-      .where(col("score").isNotNull) // see topKPerQuery
+      .where(col("score").isNotNull && !isnan(col("score"))) // see topKPerQuery
       .groupBy(col("query_id"))
       .agg(TopKAgg.topK(k * refine)(col("score"), col("neighbor_id"))
         .as("tk"))
@@ -516,7 +530,7 @@ object Similarity {
       .filter(if (excludeSelfMatches)
         col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        safeCosine(vecDot(col("qv"), col("cv")), col("qn"), col("cn"))
           .as("cosine"))
       .dropDuplicates("query_id", "neighbor_id")
     topKPerQuery(scored, k)
@@ -555,8 +569,8 @@ object Similarity {
       col("v").as("vb"), col("n").as("nb"))
     val dropped = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
-      .filter(vecDot(col("va"), col("vb")) / (col("na") * col("nb"))
-        >= threshold)
+      .filter(safeCosine(vecDot(col("va"), col("vb")), col("na"),
+        col("nb")) >= threshold)
       .select(col("id_b").as("id")).distinct()
       .withColumn("dropFlag", lit(true))
     assigned.select(col("id"), col("cluster"))

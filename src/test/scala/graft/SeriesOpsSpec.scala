@@ -174,6 +174,14 @@ class SeriesOpsSpec extends AnyFunSuite {
         Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("one row per (series, bucket)")),
       messages(ex).mkString(" | "))
+    // a NULL bucket row is NOT a duplicate: it drops silently (the
+    // pre-guard behavior) and the rest of the series fills normally
+    val withNullBucket = Seq(("a", Option.empty[Long], 9.0),
+      ("a", Some(10L), 1.0), ("a", Some(30L), 3.0))
+      .toDF("series", "b", "v")
+    val out = SeriesOps.fillGaps(withNullBucket, Seq("series"), "b", "v",
+      10L).collect()
+    assert(out.length === 3) // ticks 10, 20 (gap), 30
   }
 
   test("seriesLimit: pages tile the series set exactly; out-of-range " +
@@ -190,6 +198,13 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(page(2, 4) === Set.empty)
     // all rows of a kept series survive
     assert(SeriesOps.seriesLimit(df, Seq("series"), 1, 1).count() === 3)
+    // a NULL series key is a legitimate, reachable series (null-safe
+    // join): it ranks first and pages still tile
+    val withNull = Seq((Option.empty[String], 1L), (Some("a"), 2L),
+      (Some("b"), 3L)).toDF("series", "x")
+    val p1 = SeriesOps.seriesLimit(withNull, Seq("series"), 2, 0)
+      .select("series").collect().map(r => Option(r.getString(0))).toSet
+    assert(p1 === Set(None, Some("a")))
   }
 
   test("correlatedSeries: perfect positive/negative correlation exact; " +

@@ -68,6 +68,17 @@ class SimilaritySpec extends AnyFunSuite {
       "vec_id", "embedding", k = 3).collect()
     // the null-embedding candidate 3 is excluded; the rest rank
     assert(out.map(_.getLong(2)).toSet === Set(1L, 2L))
+    // a ZERO-NORM embedding (cosine = 0/0 = NaN, which TopKAgg would
+    // rank FIRST) is likewise excluded, and the sampling quantizer
+    // paths tolerate the null row instead of NPEing on the driver
+    val ez = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val outZ = Similarity.bruteForceTopK(ez.filter($"vec_id" === 0), ez,
+      "vec_id", "embedding", k = 2).collect()
+    assert(outZ.map(_.getLong(2)).toSeq === Seq(1L))
+    val ivf = Similarity.ivfTopK(e.filter($"vec_id" === 0), e,
+      "vec_id", "embedding", k = 2, nlist = 2, nprobe = 2)
+    assert(ivf.collect().map(_.getLong(2)).toSet.subsetOf(Set(1L, 2L)))
     val stringIds = Seq(("doc-a", Seq(1.0f)), ("doc-b", Seq(2.0f)))
       .toDF("vec_id", "embedding")
     val ex = intercept[IllegalArgumentException] {
