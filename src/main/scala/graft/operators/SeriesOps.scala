@@ -59,19 +59,26 @@ object SeriesOps {
     val deriv: Column = when(dtNs > 0,
       diff / (dtNs.cast("double") / lit(unitTicks.toDouble)))
 
+    // signed zero: round() of a tiny negative yields -0.0 in IEEE
+    // engines that preserve it (DuckDB does; Spark's BigDecimal path
+    // normalizes). `+ 0.0` canonicalizes -0.0 → +0.0 so the rendered
+    // string ("0.0", not "-0.0") is engine-independent — the oracle SQL
+    // applies the identical normalization.
+    def r0(c: Column, scale: Int): Column = round(c, scale) + lit(0.0)
+
     // times stay integral end to end — a double division of an
     // ~1.7e18 ns epoch would lose precision past 2^53
     df.select(
       seriesCols.map(col) ++ Seq(
         col(tieCol),
         col(tsCol).cast("long").as("time_ticks"),
-        round(diff, 4).as("difference"),
+        r0(diff, 4).as("difference"),
         dtNs.cast("long").as("elapsed_ticks"),
-        round(deriv, 6).as("derivative"),
-        round(when(deriv >= 0, deriv), 6).as("nn_derivative"),
-        round(when(count(v).over(maW) === maPoints, avg(v).over(maW)), 6)
+        r0(deriv, 6).as("derivative"),
+        r0(when(deriv >= 0, deriv), 6).as("nn_derivative"),
+        r0(when(count(v).over(maW) === maPoints, avg(v).over(maW)), 6)
           .as(s"ma$maPoints"),
-        round(sum(v).over(cumW), 4).as("cum_sum")): _*)
+        r0(sum(v).over(cumW), 4).as("cum_sum")): _*)
   }
 
   /** InfluxQL `fill()` — gap filling of a bucketed per-series frame
@@ -118,12 +125,21 @@ object SeriesOps {
     // is null and explode drops them silently (pre-guard behavior) —
     // only a REAL duplicate (nb == b, both non-null) is a contract
     // violation
+    // … and an off-grid neighbor (gap not a positive multiple of
+    // stepTicks) would either hit sequence()'s raw boundary error
+    // (0 < nb−b < step) or silently emit a misaligned grid — both are
+    // the same contract violation, so the guard covers them too
     val checked = withNext.withColumn("nb",
-      when(col("b").isNull || col("nb").isNull || col("nb") > col("b"),
+      when(col("b").isNull || col("nb").isNull ||
+          (col("nb") > col("b") &&
+            (col("nb") - col("b")) % stepTicks === 0),
           col("nb"))
-        .otherwise(raise_error(concat(lit("fillGaps: duplicate (series,"
-          + " bucket) row at bucket "), col("b").cast("string"),
-          lit(" — input must be one row per (series, bucket)")))))
+        .otherwise(raise_error(concat(lit("fillGaps: bucket "),
+          col("nb").cast("string"), lit(" after "),
+          col("b").cast("string"),
+          lit(s" is off the $stepTicks-tick grid — input must be one"
+            + " row per (series, bucket) with buckets aligned to"
+            + " stepTicks")))))
     val exploded = checked.select(
       seriesCols.map(col) ++ Seq(col("b"), col("v"), col("nb"), col("nv"),
         explode(sequence(col("b"),

@@ -480,14 +480,20 @@ object Similarity {
   def pcaTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, kDim: Int = 16, refine: Int = 4,
       excludeSelfMatches: Boolean = true): DataFrame = {
+    // ids go through prep's integral-id contract like every other ANN
+    // entry point, and BEFORE the eager PCA fit — a raw cast would fail
+    // only after the full fit pass (ANSI CAST_INVALID_INPUT mid-query)
+    // or silently null the ids
+    val qFull = broadcast(prep(queries, idCol, vecCol,
+      "query_id", "qv", "qn"))
+    val cPrep = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val model = Pca.fit(corpus, vecCol, kDim)
-    def reduced(df: DataFrame, idAs: String, pcAs: String): DataFrame =
-      Pca.project(
-        df.select(col(idCol).cast("long").as(idAs), col(vecCol)),
-        vecCol, model, pcAs)
+    def reduced(pp: DataFrame, idAs: String, vAs: String, pcAs: String)
+        : DataFrame =
+      Pca.project(pp.select(col(idAs), col(vAs)), vAs, model, pcAs)
         .select(col(idAs), col(pcAs))
-    val q = broadcast(reduced(queries, "query_id", "qp"))
-    val c = reduced(corpus, "neighbor_id", "cp")
+    val q = broadcast(reduced(qFull, "query_id", "qv", "qp"))
+    val c = reduced(cPrep, "neighbor_id", "cv", "cp")
     // shortlist score: negated reduced-space squared L2 (monotone in
     // distance; one fused kernel pass via ‖a‖²+‖b‖²−2a·b would save
     // nothing here — vecDot/vecNormSq are already codegen'd)
@@ -504,7 +510,6 @@ object Similarity {
         .as("tk"))
       .select(col("query_id"), explode(col("tk.items")).as("it"))
       .select(col("query_id"), col("it.id").as("neighbor_id"))
-    val qFull = broadcast(prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
     exactReRank(candidates, qFull, corpus, idCol, vecCol, k)
   }
 

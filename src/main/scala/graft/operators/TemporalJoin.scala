@@ -131,6 +131,24 @@ object TemporalJoin {
       p.output.find(_.name == name).getOrElse(
         sys.error(s"column '$name' not found"))
     val rOut = rPlan.output
+    // the exec builds its ordering/grouping from LEFT attribute types
+    // and hash-clusters each side on its own keys — an int-vs-bigint
+    // key pair would partition the sides differently and return
+    // mostly-unmatched rows instead of erroring (the union+window
+    // `asofJoin` fails loudly on the same input), so fail here
+    keys.zip(rOut.take(keys.size)).foreach { case (k, rAttr) =>
+      val lt = attr(lPlan, k).dataType
+      require(lt == rAttr.dataType,
+        s"asofJoinMerged key '$k': left is $lt but right is " +
+          s"${rAttr.dataType} — cast the sides to a common type first")
+    }
+    locally {
+      val lt = attr(lPlan, leftTime).dataType
+      val rt = rOut(keys.size).dataType
+      require(lt == rt,
+        s"asofJoinMerged time columns: left '$leftTime' is $lt but " +
+          s"right '$rightTime' is $rt — cast to a common type first")
+    }
     val payloadAttrs = rOut.takeRight(payloadCols.size)
     val matchedAttrs =
       AttributeReference(matchedTimeCol,

@@ -466,10 +466,10 @@ object ParityQueries {
         d AS (SELECT *, CASE WHEN tus - pt > 0 THEN
             (value - pv) / ((tus - pt) / 1000000.0) END AS drv FROM w)
         SELECT event_type, user_id, event_id, tus AS time_us,
-          round(value - pv, 4) AS difference, tus - pt AS elapsed_us,
-          round(drv, 6) AS derivative,
-          round(CASE WHEN drv >= 0 THEN drv END, 6) AS nn_derivative,
-          round(ma, 6) AS ma3, round(cum, 4) AS cum_sum
+          round(value - pv, 4) + 0.0 AS difference, tus - pt AS elapsed_us,
+          round(drv, 6) + 0.0 AS derivative,
+          round(CASE WHEN drv >= 0 THEN drv END, 6) + 0.0 AS nn_derivative,
+          round(ma, 6) + 0.0 AS ma3, round(cum, 4) + 0.0 AS cum_sum
         FROM d""".replaceAll("\\s+", " "))),
 
     // InfluxQL INTEGRAL(value, 1s): per-series trapezoidal area under

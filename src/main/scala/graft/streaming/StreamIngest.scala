@@ -115,6 +115,10 @@ object StreamIngest {
       k: Int = 10,
       capacity: Int = 256): DataFrame = {
     withEventTime(typed)
+      // a null key would become a null Map key inside the SpaceSaving
+      // buffer — Catalyst's map serializer throws on null keys, killing
+      // the streaming query (batch `topBottom` has the same guard)
+      .where(col(keyCol).isNotNull)
       .withWatermark("time", watermarkDelay)
       .groupBy(window(col("time"), windowDuration))
       .agg(graft.functions.HeavyHitters.spaceSaving(capacity, k)(

@@ -50,6 +50,30 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(r(("b", 6L)).isNullAt(5))            // dt=0 → null
   }
 
+  test("signed zero: a tiny-negative derivative rounds to +0.0, never " +
+    "-0.0 (driver hash renders the string — '-0.0' would mismatch)") {
+    val s = spark
+    import s.implicits._
+    // value drops by 1e-9 over 1s → derivative = -1e-9 → round(_,6)
+    // is a signed zero in engines that preserve it; ours must emit +0.0
+    val df = Seq(
+      ("z", 1L, 1000000000L, 1.0),
+      ("z", 2L, 2000000000L, 1.0 - 1e-9))
+      .toDF("series", "id", "ts", "value")
+    val r = SeriesOps.transforms(df, Seq("series"), "ts", "id", "value",
+        maPoints = 2)
+      .collect().map(x => x.getLong(1) -> x).toMap
+    for (idx <- Seq(3, 5)) { // difference, derivative
+      val d = r(2L).getDouble(idx)
+      assert(d === 0.0, s"col $idx")
+      assert(java.lang.Double.doubleToRawLongBits(d) === 0L,
+        s"col $idx is -0.0")
+    }
+    // nn_derivative drops the raw negative rate entirely (pre-round
+    // guard), so no signed zero can reach it either
+    assert(r(2L).isNullAt(6))
+  }
+
   test("moving average emits only once the window is FULL " +
     "(InfluxQL leading-edge skip)") {
     val r = rows
@@ -182,6 +206,34 @@ class SeriesOpsSpec extends AnyFunSuite {
     val out = SeriesOps.fillGaps(withNullBucket, Seq("series"), "b", "v",
       10L).collect()
     assert(out.length === 3) // ticks 10, 20 (gap), 30
+  }
+
+  test("fillGaps: OFF-GRID neighbor buckets raise the contract (both " +
+    "the sub-step case and the misaligned-multiple case)") {
+    val s = spark
+    import s.implicits._
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    // 0 < nb−b < step: pre-guard this hit sequence()'s raw
+    // "Illegal sequence boundaries" error
+    val subStep = Seq(("a", 10L, 1.0), ("a", 15L, 2.0))
+      .toDF("series", "b", "v")
+    val ex1 = intercept[Exception] {
+      SeriesOps.fillGaps(subStep, Seq("series"), "b", "v", 10L).collect()
+    }
+    assert(messages(ex1).exists(_.contains("off the 10-tick grid")),
+      messages(ex1).mkString(" | "))
+    // gap > step but not a multiple: pre-guard this silently emitted a
+    // misaligned grid (ticks 10, 20 — then 35 instead of 30)
+    val misaligned = Seq(("a", 10L, 1.0), ("a", 35L, 2.0))
+      .toDF("series", "b", "v")
+    val ex2 = intercept[Exception] {
+      SeriesOps.fillGaps(misaligned, Seq("series"), "b", "v", 10L)
+        .collect()
+    }
+    assert(messages(ex2).exists(_.contains("off the 10-tick grid")),
+      messages(ex2).mkString(" | "))
   }
 
   test("seriesLimit: pages tile the series set exactly; out-of-range " +

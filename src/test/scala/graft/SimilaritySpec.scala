@@ -86,6 +86,14 @@ class SimilaritySpec extends AnyFunSuite {
         "embedding", 1)
     }
     assert(ex.getMessage.contains("must be integral"))
+    // pcaTopK routes ids through the SAME contract, checked BEFORE the
+    // eager PCA fit — pre-guard it raw-cast the ids and failed only
+    // after the full fit pass (or silently nulled them, ANSI off)
+    val exPca = intercept[IllegalArgumentException] {
+      Similarity.pcaTopK(stringIds, stringIds, "vec_id", "embedding",
+        k = 1, kDim = 1)
+    }
+    assert(exPca.getMessage.contains("must be integral"))
   }
 
   test("LSH ANN achieves reasonable recall@5 vs brute force") {

@@ -128,6 +128,39 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, "h1", 3L, 0L), (2L, "h2", 2L, 0L)))
   }
 
+  test("streaming heavy hitters: NULL keys (untagged points) are " +
+    "excluded, not a map-serializer crash") {
+    val in = Files.createTempDirectory("graft_hhn_in").toString
+    val out = Files.createTempDirectory("graft_hhn_out").toString
+    val ckpt = Files.createTempDirectory("graft_hhn_ck").toString
+    // untagged lines decode to tag_host = null — pre-guard these killed
+    // the query ("Cannot use null as map key" inside the SpaceSaving
+    // buffer's map serializer)
+    writeBatch(in, "b0.lp", Seq(
+      s"m v=1.0 ${minuteNs(10)}",
+      s"m v=1.0 ${minuteNs(10) + 1}",
+      s"m,host=h1 v=1.0 ${minuteNs(10) + 2}",
+      s"m,host=h1 v=1.0 ${minuteNs(10) + 3}",
+      s"m,host=h2 v=1.0 ${minuteNs(10) + 4}"))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val hh = StreamIngest.windowedHeavyHitters(typed, "tag_host",
+      "1 minute", "2 minutes", k = 3, capacity = 16)
+    val q = StreamIngest.toParquet(hh, out, ckpt)
+    try {
+      q.processAllAvailable()
+      writeBatch(in, "b1.lp", Seq(s"m,host=h9 v=1.0 ${minuteNs(30)}"))
+      q.processAllAvailable()
+      writeBatch(in, "b2.lp", Seq(s"m,host=h9 v=1.0 ${minuteNs(31)}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // the two null-key points are excluded; tagged counts are exact
+    assert(got.toSeq === Seq((1L, "h1", 2L), (2L, "h2", 1L)))
+  }
+
   test("poison lines (blank / malformed) are dropped, not crash-looped") {
     val in = Files.createTempDirectory("graft_poison_in").toString
     val out = Files.createTempDirectory("graft_poison_out").toString

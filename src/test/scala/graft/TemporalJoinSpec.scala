@@ -147,6 +147,32 @@ class TemporalJoinSpec extends AnyFunSuite {
       Seq("k"), "t", "rt", Seq("p"))
   }
 
+  test("asofJoinMerged: mismatched key/time dataTypes fail FAST with " +
+    "the contract, not silent mostly-unmatched output") {
+    // int-vs-bigint keys hash-cluster differently per side — pre-guard
+    // this returned mostly-nulls instead of erroring
+    val left = Seq((1L, "u", 10L)).toDF("id", "k", "t")
+      .withColumn("ki", lit(1))
+    val rightLong = Seq((1L, 5L, 7.0)).toDF("kl", "rt", "p")
+    val ex = intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoinMerged(
+        left.select($"id", $"ki".as("kk"), $"t"),
+        rightLong.select($"kl".as("kk"), $"rt", $"p"),
+        Seq("kk"), "t", "rt", Seq("p"))
+    }
+    assert(ex.getMessage.contains("cast the sides to a common type"),
+      ex.getMessage)
+    // mismatched TIME types fail the same way (ordering is built from
+    // left types)
+    val ex2 = intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoinMerged(
+        left.select($"id", $"k", $"t".cast("int").as("t")),
+        Seq(("u", 5L, 7.0)).toDF("k", "rt", "p"),
+        Seq("k"), "t", "rt", Seq("p"))
+    }
+    assert(ex2.getMessage.contains("time columns"), ex2.getMessage)
+  }
+
   test("AsOfJoinFilterPushdown: left-only predicates reach the scan's " +
     "PushedFilters through the custom node; matched-column predicates " +
     "stay above; results unchanged") {

@@ -11,6 +11,7 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -62,8 +63,13 @@ def main():
             for c in e.columns:
                 a, b = e[c], g[c]
                 if a.dtype.kind == "f" and b.dtype.kind == "f":
-                    import numpy as np
-                    eq = (a.isna() & b.isna()) | (a == b)
+                    # the driver hashes RENDERED strings, where
+                    # "-0.0" != "0.0" — plain == would pass a signed
+                    # zero the driver fails, so require sign-bit
+                    # equality too (a no-op on equal non-zero values)
+                    av, bv = a.to_numpy(), b.to_numpy()
+                    eq = (a.isna() & b.isna()) | \
+                        ((a == b) & (np.signbit(av) == np.signbit(bv)))
                     if not eq.all():
                         diff_cols.append(c)
                 else:
