@@ -60,26 +60,49 @@ object Bench {
     // failures are RECORDED, not silently timed: a broken query would
     // otherwise shrink the total and read as a performance win
     var failed = List.empty[String]
+    // reps per query: first rep is the COLD number (one-time codegen/
+    // JIT attribution and all), remaining reps are WARM — their median
+    // is what round-over-round comparisons should diff, because cold
+    // attribution moves between identical runs (two rounds of identical
+    // binaries showed 7× single-rep per-query swings)
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     // SORTED run order, not Map hash order: hash order reshuffles
     // whenever the key set grows, moving one-time codegen/JIT costs
     // onto different queries each round — which reads as phantom
     // per-query regressions when rounds are compared. Sorted order
     // keeps the attribution stable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(fn(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed ::= name; false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      def rep(): Double = {
+        val t0 = System.nanoTime()
+        materialize(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val cold = rep()
+        val warms = Seq.fill(reps - 1)(rep())
+        (name, cold, if (warms.isEmpty) cold else median(warms))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed ::= name
+        (name, -1.0, -1.0)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // "queries"/"value" keep their historical meaning (first-rep cold
+    // numbers, so rounds before this change stay comparable);
+    // "queries_warm"/"total_warm" carry the warm medians
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qw = results.map { case (k, _, w) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalWarm = results.map(_._3).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_warm":$qw,"total_warm":$totalWarm,"reps":$reps,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

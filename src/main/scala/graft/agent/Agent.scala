@@ -75,7 +75,13 @@ final case class AgentConfig(
     // static UI dir served at "/" by the status server (webserver.go:81-87)
     staticDir: String = "",
     // write the agent PID here at startup (main.go:73,106)
-    pidfile: String = "")
+    pidfile: String = "",
+    // log routing (main.go:102-103): console (default) or file;
+    // `-logs` names the directory for logmode=file
+    logMode: String = "console",
+    logDir: String = "",
+    // -v/-vv/-vvv verbosity (main.go:94-98) → Spark log level
+    logLevel: String = "")
 
 /** The agent — one object composing catalog discovery, schema DDL, the
   * chunked copy plane, and the HA monitor into the reference's four
@@ -540,10 +546,18 @@ object Agent {
 }
 
 /** CLI entrypoint with the reference's flag surface
-  * (main.go:77-119): `-action`, `-master`, `-slave`, `-db`, `-rp`,
-  * `-meas`, `-newdb`, `-newrp`, `-chunk`, `-start`, `-end`, `-full`.
-  * `-master`/`-slave` take storage-root URIs (our server addresses). */
+  * (main.go:77-119): `-version`, `-action`, `-master`, `-slave`, `-db`,
+  * `-rp`, `-meas`, `-newdb`, `-newrp`, `-chunk`, `-start`, `-end`,
+  * `-full`, `-v`/`-vv`/`-vvv`, `-logmode`, `-logs`, `-config`,
+  * `-pidfile`. `-master`/`-slave` take storage-root URIs (our server
+  * addresses). */
 object AgentCli {
+
+  /** `-version` banner (main.go:79,132-136 prints version/commit/build
+    * stamp then exits). */
+  def versionString: String =
+    s"graft v${BuildVersion} (spark ${org.apache.spark.SPARK_VERSION})"
+  private val BuildVersion = "0.1.0" // ThisBuild / version in build.sbt
 
   def parse(args: Array[String]): (String, AgentConfig) = {
     var action = "hamonitor"
@@ -571,6 +585,17 @@ object AgentCli {
         i += 1; args(i)
       }
       args(i) match {
+        // valueless flags first (sharing `v` would eat the next token)
+        case "-version" => action = "version"
+        case "-v"   => c = c.copy(logLevel = "INFO")
+        case "-vv"  => c = c.copy(logLevel = "DEBUG")
+        case "-vvv" => c = c.copy(logLevel = "TRACE")
+        case "-logmode" =>
+          val m = v
+          require(m == "console" || m == "file",
+            s"-logmode must be console or file, got '$m'")
+          c = c.copy(logMode = m)
+        case "-logs"   => c = c.copy(logDir = v)
         case "-action" => action = v
         case "-config" => v: Unit // consumed in pass 1
         case "-master" => if (!fromConfig) c = c.copy(masterRoot = v)
@@ -598,13 +623,17 @@ object AgentCli {
       }
       i += 1
     }
-    require(c.masterRoot.nonEmpty && c.slaveRoot.nonEmpty,
+    require(action == "version" ||
+      (c.masterRoot.nonEmpty && c.slaveRoot.nonEmpty),
       "both -master and -slave storage roots are required")
     (action, c)
   }
 
   def main(args: Array[String]): Unit = {
     val (action, cfg) = parse(args)
+    // -version prints and exits before ANY heavy setup, reference
+    // semantics (main.go:132-136: version check precedes config load)
+    if (action == "version") { println(versionString); return }
     // pidfile before anything heavy, like the reference writes it right
     // after flag parsing (main.go:73,106); removed on clean JVM exit
     if (cfg.pidfile.nonEmpty) {
@@ -613,12 +642,26 @@ object AgentCli {
         ProcessHandle.current().pid().toString): Unit
       f.deleteOnExit()
     }
+    // logmode=file: route stdout/stderr to <logs>/graft-agent.log — the
+    // reference's file log mode (main.go:102-103,139-151), which only
+    // applies to the long-running daemon actions
+    if (cfg.logMode == "file") {
+      val dir = new java.io.File(
+        if (cfg.logDir.nonEmpty) cfg.logDir else ".")
+      dir.mkdirs(): Unit
+      val out = new java.io.PrintStream(new java.io.FileOutputStream(
+        new java.io.File(dir, "graft-agent.log"), true), true)
+      System.setOut(out); System.setErr(out)
+    }
     val spark = graft.Sessions.bootstrap(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-agent")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate())
+    // -v/-vv/-vvv map to Spark's log level (the engine's logging plane)
+    if (cfg.logLevel.nonEmpty)
+      spark.sparkContext.setLogLevel(cfg.logLevel)
     try new Agent(spark, cfg).dispatch(action)
     finally if (action != "hamonitor") spark.stop()
   }

@@ -92,6 +92,47 @@ object MatrixExpressions {
       copy(child = c)
   }
 
+  /** Index of `mat`'s row maximizing dot(vec, row) — the rank-1 slice
+    * of [[MatRank]] without the O(m²) ranking sort, for the frames that
+    * only need an ASSIGNMENT (IVF/SemDeDup corpus rows, the distributed
+    * Lloyd loop): cost O(m·dim) per row, which is what makes
+    * nlist ≈ √n codebooks affordable. Ties: lowest index first, same as
+    * MatRank's stable order. NaN caveat beyond the header note: a NaN
+    * dot never wins here (Java `>` is false), while MatRank's insertion
+    * sort lets an EARLIER NaN block later greater dots — mixed
+    * NaN/finite dots can thus pick different rows; finite inputs (the
+    * embedding contract) are identical, differential-tested. */
+  case class MatArgmax(child: Expression, mat: Array[Array[Double]])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(ArrayType(DoubleType))
+    override def dataType: DataType = IntegerType
+    def compute(a: ArrayData): Int = {
+      var best = 0
+      var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < mat.length) {
+        val row = mat(c)
+        val n = math.min(a.numElements(), row.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += a.getDouble(i) * row(i); i += 1 }
+        if (s > bestDot) { bestDot = s; best = c }
+        c += 1
+      }
+      best
+    }
+    override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val ref = ctx.addReferenceObj("matArgmax", this,
+        classOf[MatArgmax].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** PQ code array: L2-normalize the vector, then per subspace `m` the
     * argmax over codebook `m` of (dot(sub, cent) − ½‖cent‖²) ⇔ argmin
     * L2, ties lowest code. Biases are precomputed once per plan. */
@@ -271,6 +312,8 @@ object MatrixExpressions {
 
   def matRank(vec: Column, mat: Array[Array[Double]]): Column =
     GraftShim.column(MatRank(GraftShim.expression(vec), mat))
+  def matArgmax(vec: Column, mat: Array[Array[Double]]): Column =
+    GraftShim.column(MatArgmax(GraftShim.expression(vec), mat))
   def pqEncode(vec: Column, books: Array[Array[Array[Double]]], dsub: Int)
       : Column =
     GraftShim.column(PqEncode(GraftShim.expression(vec), books, dsub))

@@ -196,23 +196,32 @@ object SeriesOps {
   /** InfluxQL SLIMIT/SOFFSET: keep only the series ranked
     * (soffset, soffset + slimit] in series-key order — series
     * pagination, the other LIMIT axis InfluxQL has that SQL doesn't.
-    * Scale shape: the rank is a row_number over the DISTINCT KEY SET
-    * (one map-side-combined distinct; the frame is series-count-sized,
-    * orders of magnitude below row count — the single-partition window
-    * over it is deliberate and bounded), then the kept keys broadcast
-    * back as a semi join — the data frame itself never shuffles. */
+    * Scale shape: TWO-PHASE ranking, no window anywhere — the first
+    * soffset+slimit keys of the distinct key set come from
+    * `orderBy(keys).limit(n)`, which plans as TakeOrderedAndProject
+    * (per-partition bounded top-n heaps, merge of heap outputs only:
+    * Spark's built-in two-phase top-k, the same shape TopKAgg gives the
+    * ANN rank stages). The soffset prefix is subtracted as a set
+    * difference over that ≤ n-row frame — every post-distinct frame is
+    * page-sized, nothing ever concentrates the full key set on one
+    * task. The kept keys broadcast back as a null-safe semi join — the
+    * data frame itself never shuffles. */
   def seriesLimit(df: DataFrame, seriesCols: Seq[String], slimit: Int,
       soffset: Int = 0): DataFrame = {
     require(slimit > 0 && soffset >= 0,
       s"need slimit > 0, soffset >= 0; got $slimit, $soffset")
-    val w = Window.orderBy(seriesCols.map(col): _*)
-    val kept = df.select(seriesCols.map(col): _*).distinct()
-      .withColumn("__sr", row_number().over(w))
-      .filter(col("__sr") > soffset && col("__sr") <= soffset + slimit)
-      .select(seriesCols.map(c => col(c).as(s"__k_$c")): _*)
-    // null-SAFE equality: a null series key is a legitimate series
-    // (distinct() ranked it), and a plain equi-join would silently
-    // drop its rows — shrinking the page and shifting pagination
+    val keys = seriesCols.map(col)
+    val distinctKeys = df.select(keys: _*).distinct()
+    // nulls-first ascending, matching the row_number form this replaces
+    val page = distinctKeys.orderBy(keys: _*).limit(soffset + slimit)
+    val kept0 =
+      if (soffset == 0) page
+      // EXCEPT is null-safe set semantics (a null series key is a
+      // legitimate, rankable series) and runs over two page-sized inputs
+      else page.except(distinctKeys.orderBy(keys: _*).limit(soffset))
+    val kept = kept0.select(seriesCols.map(c => col(c).as(s"__k_$c")): _*)
+    // null-SAFE equality: a plain equi-join would silently drop a null
+    // key's rows — shrinking the page and shifting pagination
     val cond = seriesCols.map(c => col(c) <=> col(s"__k_$c"))
       .reduce(_ && _)
     df.join(broadcast(kept), cond, "left_semi")

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import graft.functions.TopKAgg
-import graft.functions.MatrixExpressions.{matRank, pqEncode, pqLut, srpPack}
+import graft.functions.MatrixExpressions.{matArgmax, matRank, pqEncode, pqLut, srpPack}
 import graft.functions.VectorExpressions.{vecDot, vecNormSq}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -74,19 +74,120 @@ object Similarity {
       .withColumn(nAs, sqrt(vecNormSq(col(vAs))))
   }
 
-  /** Bounded quantizer-training sample: first `sampleN` vectors in id
-    * order, collected driver-side (shared by IVF/PQ/IVFADC/SemDeDup —
-    * one guard, one convention). */
+  /** Quantizer training wants at least this many sample points per
+    * centroid (the FAISS train-set rule of thumb) — `sampleN` is a
+    * floor, and the effective sample auto-grows with the codebook. */
+  private val MinPointsPerCentroid = 50
+
+  /** Codebooks up to this size train on the driver (deterministic,
+    * bit-stable Lloyd over a bounded collected sample); larger ones go
+    * through [[kmeansCentroidsDistributed]] so neither the sample nor
+    * the per-iteration state ever concentrates on the driver beyond the
+    * centroid table itself. */
+  private val DriverLloydMaxK = 1024
+
+  /** Bounded deterministic training sample as a DataFrame: vectors
+    * ordered by xxhash64(id), truncated to `n` — a pseudo-uniform draw
+    * independent of id locality (first-N-by-id, the previous scheme,
+    * over-samples whatever shard sorts first in a corpus written in
+    * source order). The sort+limit plans as TakeOrderedAndProject:
+    * per-partition bounded heaps, no global sort, and only the n
+    * winners ever move. */
+  private def sampleFrame(df: DataFrame, idCol: String, vecCol: String,
+      n: Int): DataFrame =
+    prep(df, idCol, vecCol, "id", "v", "n")
+      .where(col("v").isNotNull) // null embeddings are unindexable
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(n)
+
+  /** Driver-side collect of [[sampleFrame]] (PQ codebooks and
+    * small-codebook coarse quantizers — shared guard + convention). */
   private def sampleVectors(df: DataFrame, idCol: String, vecCol: String,
       sampleN: Int, who: String): Array[Array[Double]] = {
-    val sample = prep(df, idCol, vecCol, "id", "v", "n")
-      .where(col("v").isNotNull) // null embeddings are unindexable
-      .orderBy(col("id")).limit(sampleN)
+    val sample = sampleFrame(df, idCol, vecCol, sampleN)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty,
       s"$who: corpus is empty — nothing to train on")
     sample
+  }
+
+  /** Coarse-quantizer front end shared by IVF/IVFADC/SemDeDup: sizes
+    * the sample to the codebook (max(sampleN, MinPointsPerCentroid ·
+    * nlist)), trains small codebooks on the driver (bit-stable) and
+    * large ones distributed.
+    *
+    * Sizing rule at scale: nlist ≈ √|corpus| keeps inverted lists ≈ √n
+    * long (scan cost per probe ≈ list length), so a 10⁹-vector corpus
+    * wants nlist ≈ 3·10⁴ and a 50·nlist ≈ 1.5·10⁶-vector training set —
+    * far past any fixed driver-side cap; the distributed path exists
+    * for exactly that regime. */
+  private def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, sampleN: Int, who: String)
+      : Array[Array[Double]] = {
+    val effN = math.max(sampleN, MinPointsPerCentroid * nlist)
+    if (nlist <= DriverLloydMaxK)
+      kmeansCentroids(sampleVectors(df, idCol, vecCol, effN, who),
+        nlist, iters)
+    else
+      kmeansCentroidsDistributed(
+        sampleFrame(df, idCol, vecCol, effN), nlist, iters, who)
+  }
+
+  /** Distributed Lloyd for codebooks past [[DriverLloydMaxK]]: the
+    * sample never lands on the driver — each iteration assigns with the
+    * [[matArgmax]] kernel (a pure projection over the broadcast literal
+    * centroids, O(nlist·dim) per row) and recenters with ONE bounded
+    * groupBy whose result is exactly the (nlist × dim) sum table, i.e.
+    * the size of the centroids themselves. Driver memory is therefore
+    * O(nlist·dim) regardless of corpus or sample size — the round-5
+    * ceiling (nlist ≤ 2048, first-by-id sample) removed.
+    *
+    * Same dot-metric scheme as [[kmeansCentroids]]: points
+    * L2-normalized once (prep's precomputed norm), centroids normalized
+    * each round (normalizing the sum ≡ normalizing the mean), empty
+    * clusters keep their previous centroid, init = first nlist rows of
+    * the hash-ordered sample. Unlike the driver path, float partial-sum
+    * order follows the partitioning, so re-runs can differ at ulp level
+    * — acceptable for approximate-by-design indexes (rows-only registry
+    * entries; recall pinned in SimilaritySpec). */
+  private[operators] def kmeansCentroidsDistributed(sample: DataFrame,
+      nlist: Int, iters: Int, who: String): Array[Array[Double]] = {
+    val pts = sample.select(
+        when(col("n") > 0, transform(col("v"), _ / col("n")))
+          .otherwise(col("v")).as("v"))
+      .cache()
+    try {
+      var cents = pts.limit(nlist).collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(cents.nonEmpty,
+        s"$who: corpus is empty — nothing to train on")
+      for (_ <- 0 until iters) {
+        val sums = pts
+          .select(matArgmax(col("v"), cents).as("c"),
+            posexplode(col("v")))
+          .groupBy(col("c"), col("pos"))
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+          .collect()
+        val dim = cents(0).length
+        val acc = Array.fill(cents.length)(new Array[Double](dim))
+        val cnt = new Array[Long](cents.length)
+        sums.foreach { r =>
+          val c = r.getInt(0)
+          acc(c)(r.getInt(1)) = r.getDouble(2)
+          cnt(c) = r.getLong(3)
+        }
+        cents = cents.indices.map { c =>
+          if (cnt(c) == 0L) cents(c)
+          else {
+            val s = acc(c)
+            val nrm = math.sqrt(s.map(x => x * x).sum)
+            if (nrm == 0) s else s.map(_ / nrm)
+          }
+        }.toArray
+      }
+      cents
+    } finally { pts.unpersist(); () }
   }
 
   /** Shared rank stage of the ANN family: (query_id, neighbor_id,
@@ -191,8 +292,9 @@ object Similarity {
   /** Deterministic k-means coarse quantizer for IVF: Lloyd iterations on
     * a bounded sample, driver-side (nlist×|sample|×dim flops — trivial;
     * centroids are a tiny broadcastable table). Initial centroids are the
-    * first `nlist` sample vectors in id order — deterministic, no RNG.
-    * Vectors are L2-normalized so nearest-centroid-by-dot ≅ cosine. */
+    * first `nlist` sample vectors (hash-ordered sample) — deterministic,
+    * no RNG. Vectors are L2-normalized so nearest-centroid-by-dot ≅
+    * cosine. */
   private[operators] def kmeansCentroids(
       sample: Array[Array[Double]], nlist: Int, iters: Int)
       : Array[Array[Double]] = {
@@ -223,18 +325,21 @@ object Similarity {
     * queries probe the
     * `nprobe` nearest centroids, and exact cosine runs only within the
     * probed inverted lists — |Q|·(nprobe/nlist)·|C| pair work instead of
-    * |Q|·|C|. Quantizer training samples at most `sampleN` vectors
-    * (bounded driver memory at any corpus size). Recall < 1 by
+    * |Q|·|C|. Quantizer training: bounded hash-ordered sample sized to
+    * the codebook, distributed Lloyd past [[DriverLloydMaxK]] (see
+    * [[trainCentroids]] for the nlist ≈ √n sizing rule). Recall < 1 by
     * construction; raise nprobe toward nlist to recover exactness. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       iters: Int = 5, sampleN: Int = 2048,
       excludeSelfMatches: Boolean = true): DataFrame = {
-    val sample = sampleVectors(corpus, idCol, vecCol, sampleN, "ivfTopK")
-    val cents = kmeansCentroids(sample, nlist, iters)
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, iters,
+      sampleN, "ivfTopK")
+    // rank-1 assignment: the argmax kernel, not a full centroid ranking
+    // — O(nlist·dim) per corpus row, which is what keeps nlist ≈ √n
+    // codebooks affordable corpus-wide
     val assigned = prep(corpus, idCol, vecCol, "neighbor_id", "cv2", "cn")
-      .withColumn("centroid",
-        element_at(centroidRanks(cents, col("cv2")), 1))
+      .withColumn("centroid", matArgmax(col("cv2"), cents))
     val probes = prep(queries, idCol, vecCol, "query_id", "qv", "qn")
       .select(col("query_id"), col("qv"), col("qn"),
         explode(slice(centroidRanks(cents, col("qv")),
@@ -358,7 +463,8 @@ object Similarity {
       vecCol: String, k: Int, numSub: Int = 8, ksub: Int = 16,
       iters: Int = 5, sampleN: Int = 2048, refine: Int = 4,
       excludeSelfMatches: Boolean = true): DataFrame = {
-    val sample = sampleVectors(corpus, idCol, vecCol, sampleN, "pqTopK")
+    val sample = sampleVectors(corpus, idCol, vecCol,
+      math.max(sampleN, MinPointsPerCentroid * ksub), "pqTopK")
     val dim = sample.head.length
     val dsub = dim / numSub
     val books = pqCodebooks(sample, numSub, ksub, iters)
@@ -435,16 +541,23 @@ object Similarity {
       numSub: Int = 8, ksub: Int = 16, iters: Int = 5,
       sampleN: Int = 2048, refine: Int = 4,
       excludeSelfMatches: Boolean = true): DataFrame = {
-    val sample = sampleVectors(corpus, idCol, vecCol, sampleN, "ivfPqTopK")
+    // the PQ sample is sized by ksub EXACTLY like pqTopK's, so the
+    // codebooks are identical given the same (sampleN, ksub) — the
+    // probe-every-list ≡ pqTopK differential depends on it; hash-ordered
+    // prefixes make any two sample sizes nested, not disjoint
+    val sample = sampleVectors(corpus, idCol, vecCol,
+      math.max(sampleN, MinPointsPerCentroid * ksub), "ivfPqTopK")
     val dim = sample.head.length
     val dsub = dim / numSub
-    val cents = kmeansCentroids(sample, nlist, iters)
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, iters,
+      sampleN, "ivfPqTopK")
     val books = pqCodebooks(sample, numSub, ksub, iters)
     // corpus-wide frame: (list id, PQ codes) — both pure projections
-    // (literal centroids/codebooks), zero shuffle to build
+    // (literal centroids/codebooks), zero shuffle to build; rank-1
+    // assignment via the argmax kernel (see ivfTopK)
     val codeTable = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
       .select(col("neighbor_id"),
-        element_at(centroidRanks(cents, col("cv")), 1).as("centroid"),
+        matArgmax(col("cv"), cents).as("centroid"),
         pqEncode(col("cv"), books, dsub).as("codes"))
     val q = broadcast(prep(queries, idCol, vecCol, "query_id", "qv", "qn")
       .select(col("query_id"), col("qv"), col("qn"),
@@ -552,8 +665,9 @@ object Similarity {
     * IVF); the pairwise stage is a self-join on the cluster id, so pair
     * work is Σ|cluster|² instead of |corpus|² — at 100 TB, nClusters
     * scales with the corpus to keep clusters bounded (the published
-    * recipe uses ~100k clusters for billion-scale corpora). Quantizer
-    * training samples at most `sampleN` vectors (bounded driver memory).
+    * recipe uses ~100k clusters for billion-scale corpora; the
+    * distributed trainer behind [[trainCentroids]] makes that size
+    * reachable — no driver-side sample or centroid-count cap).
     * Keep-first over-drops chains (a~b, b~c, a≁c drops both b and c)
     * relative to one-per-connected-component — the standard, cheaper
     * verdict; cluster-local comparison already makes recall approximate.
@@ -562,12 +676,10 @@ object Similarity {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nClusters: Int = 16, iters: Int = 5,
       sampleN: Int = 2048): DataFrame = {
-    val sample = sampleVectors(emb, idCol, vecCol, sampleN,
-      "semanticDedup")
-    val cents = kmeansCentroids(sample, nClusters, iters)
+    val cents = trainCentroids(emb, idCol, vecCol, nClusters, iters,
+      sampleN, "semanticDedup")
     val assigned = prep(emb, idCol, vecCol, "id", "v", "n")
-      .withColumn("cluster",
-        element_at(centroidRanks(cents, col("v")), 1).cast("long"))
+      .withColumn("cluster", matArgmax(col("v"), cents).cast("long"))
     val a = assigned.select(col("cluster"), col("id").as("id_a"),
       col("v").as("va"), col("n").as("na"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"),

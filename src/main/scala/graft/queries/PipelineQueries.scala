@@ -384,15 +384,35 @@ object PipelineQueries {
     // dim-reduction leg of the ANN family (composes with PQ as OPQ in
     // the literature). Approximate by design (rows-only); kDim=dim
     // exactness and reduced-dim recall are pinned in SimilaritySpec.
+    // registry config is the DEGENERATE-EXACT corner (kDim = dim ⇒ the
+    // projection is an isometry; refine large enough that the shortlist
+    // is exhaustive at every SF ⇒ the exact re-rank sees every
+    // candidate), so the full PCA fit + kernel projection + shortlist +
+    // re-rank path is DuckDB-oracled end-to-end against the brute-force
+    // ranking. Reduced-dim recall is pinned in SimilaritySpec.
     "ann_pca_topk" -> QueryDef(
       (s, dir) => {
         val e = emb(s, dir)
         Similarity.pcaTopK(e.filter(col("vec_id") < 16), e,
-          "vec_id", "embedding", k = 5, kDim = 16, refine = 4)
+          "vec_id", "embedding", k = 5, kDim = 64, refine = 1000)
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("neighbor_id"), col("cosine_r"))
       },
-      None),
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 16),
+        s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_transform(generate_series(1,64),
+            i -> q.qv[i]*c.v[i]), (x,y) -> x+y) /
+          (sqrt(list_reduce(list_transform(q.qv, x -> x*x), (x,y) -> x+y)) *
+           sqrt(list_reduce(list_transform(c.v, x -> x*x), (x,y) -> x+y)))
+          AS cos
+        FROM q, v c WHERE c.vec_id != q.qid)
+        SELECT query_id, rank, neighbor_id, cosine_r FROM (
+          SELECT query_id, neighbor_id, round(cos,6) AS cosine_r,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY round(cos,6) DESC, neighbor_id) AS rank FROM s)
+        WHERE rank <= 5""".replaceAll("\\s+", " "))),
 
     // LSH-bucketed ANN (sign-random-projection) — approximate by design,
     // so rows-only check; recall vs brute force is asserted in ScalaTest.
@@ -924,10 +944,29 @@ object PipelineQueries {
     // thresholds would be vacuously all-keep here). k-means is not
     // oracle-able → rows-only; the nClusters=1 ≡ exact all-pairs
     // differential and planted-duplicate recall are in SimilaritySpec.
+    // registry config is the DEGENERATE-EXACT corner (nClusters = 1 ⇒
+    // cluster-local comparison IS all-pairs), so the k-means assignment
+    // + within-cluster pair scan + keep-first verdict path is
+    // DuckDB-oracled: drop every id with a smaller-id neighbor at
+    // cosine ≥ threshold. Multi-cluster recall (the 100 TB shape) is
+    // pinned in SimilaritySpec's planted-duplicate + >2048-cluster
+    // distributed-training specs.
     "dedup_semantic" -> QueryDef(
       (s, dir) => Similarity.semanticDedup(emb(s, dir), "vec_id",
-        "embedding", threshold = 0.3, nClusters = 16),
-      None),
+        "embedding", threshold = 0.3, nClusters = 1),
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+        dropped AS (SELECT DISTINCT a.vec_id AS id FROM v a JOIN v b
+          ON b.vec_id < a.vec_id AND
+          list_reduce(list_transform(generate_series(1,64),
+            i -> a.v[i]*b.v[i]), (x,y) -> x+y) /
+          (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y)) *
+           sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y)))
+          >= 0.3)
+        SELECT v.vec_id AS id, 0::BIGINT AS cluster,
+          (dropped.id IS NULL) AS keep
+        FROM v LEFT JOIN dropped ON v.vec_id = dropped.id"""
+        .replaceAll("\\s+", " "))),
 
     // multimodal: metadata/describe pass over binary payloads.
     "mm_describe" -> QueryDef(

@@ -281,6 +281,32 @@ class AgentSpec extends AnyFunSuite {
     }
   }
 
+  test("-version / -logmode / -logs / -v..-vvv flags (main.go:79,94-103)") {
+    // -version needs no roots and wins over -action (reference checks
+    // it before anything else); the banner prints version + spark
+    val (va, _) = AgentCli.parse(Array("-version"))
+    assert(va == "version")
+    val (va2, _) = AgentCli.parse(Array("-action", "copy", "-version"))
+    assert(va2 == "version")
+    assert(AgentCli.versionString.matches("graft v.+ \\(spark .+\\)"),
+      AgentCli.versionString)
+    // `-version` prints and exits before any Spark/pidfile setup
+    val outBuf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outBuf)) {
+      AgentCli.main(Array("-version"))
+    }
+    assert(outBuf.toString.contains("graft v"), outBuf.toString)
+    val (_, c) = AgentCli.parse(Array(
+      "-master", "/m", "-slave", "/s",
+      "-logmode", "file", "-logs", "/tmp/graft_logs", "-vv"))
+    assert(c.logMode == "file" && c.logDir == "/tmp/graft_logs")
+    assert(c.logLevel == "DEBUG")
+    intercept[IllegalArgumentException] {
+      AgentCli.parse(Array("-master", "/m", "-slave", "/s",
+        "-logmode", "syslog"))
+    }
+  }
+
   test("unknown action throws (main.go:304-305 analog)") {
     val agent = new Agent(spark, cfg(freshRoot()))
     intercept[IllegalArgumentException] { agent.dispatch("move") }

@@ -69,6 +69,18 @@ class MatrixExpressionsSpec extends AnyFunSuite {
     assert(z == mat.indices.toSeq)
   }
 
+  test("MatArgmax ≡ MatRank's top-1 on finite vectors, incl. dot ties " +
+    "and the zero vector (rank-1 assignment without the ranking sort)") {
+    import graft.functions.MatrixExpressions.matArgmax
+    val rows = df
+      .select(col("id"), matArgmax(col("v"), mat).as("amax"),
+        element_at(matRank(col("v"), mat), 1).as("top1"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("PqEncode ≡ argmax(dot − ½‖cent‖²) via array_position tree " +
     "over the normalized vector") {
     val dsub = 4

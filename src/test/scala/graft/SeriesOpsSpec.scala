@@ -259,6 +259,23 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(p1 === Set(None, Some("a")))
   }
 
+  test("seriesLimit plans TWO-PHASE (TakeOrderedAndProject heaps), " +
+    "never a single-partition window") {
+    val s = spark
+    import s.implicits._
+    val df = (for (k <- Seq("a", "b", "c", "d"); i <- 1 to 3)
+      yield (k, i.toLong)).toDF("series", "x")
+    for (off <- Seq(0, 2)) {
+      val q = SeriesOps.seriesLimit(df, Seq("series"), 2, off)
+      q.collect(): Unit
+      val p = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!p.contains(" Window"), p.take(3000))
+      assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+      assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    }
+  }
+
   test("correlatedSeries: perfect positive/negative correlation exact; " +
     "constant and single-point series dropped; target excluded") {
     val s = spark

@@ -222,6 +222,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exactDropped.nonEmpty, "threshold too high — vacuous test")
   }
 
+  test("large codebooks (nClusters > 2048) train DISTRIBUTED — no " +
+    "driver-side sample/centroid cap — and exact duplicates still drop") {
+    // 2,600 spread vectors + exact copies of the first 30: a codebook
+    // past the old 2048-vector driver ceiling must train (distributed
+    // Lloyd + argmax assignment), emit one row per input, and an exact
+    // copy must share its original's cluster (identical argmax input)
+    // and be dropped
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 2600L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+    val dups = base.take(30).map { case (i, v) => (10000L + i, v) }
+    val e = (base ++ dups).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding",
+      threshold = 0.999999, nClusters = 2200, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == base.size + dups.size)
+    dups.foreach { case (dupId, _) =>
+      val origId = dupId - 10000L
+      assert(out(dupId)._1 == out(origId)._1,
+        s"dup $dupId not in its original's cluster")
+      assert(!out(dupId)._2, s"dup $dupId not dropped")
+      assert(out(origId)._2, s"original $origId wrongly dropped")
+    }
+  }
+
   test("semanticDedup: planted near-duplicates are dropped, one " +
     "representative kept per planted group") {
     // 200 well-spread base vectors + a perturbed copy of each of the
