@@ -92,6 +92,63 @@ object MatrixExpressions {
       copy(child = c)
   }
 
+  /** First `n` indices of [[MatRank]]'s ranking — the probe-selection
+    * kernel (IVF/IVFADC queries pick their nprobe nearest centroids):
+    * a bounded stable insertion keeps only n entries, so per-row cost
+    * is O(m·(dim + n)) instead of the full ranking's O(m·dim + m²) —
+    * the difference between affordable and quadratic probe selection at
+    * nlist ≈ √n codebooks. Ties: lowest index first, identical to
+    * MatRank (stable, shift only on strictly-smaller). NaN caveat as
+    * [[MatArgmax]]: finite dots match MatRank's prefix exactly
+    * (differential-tested); mixed NaN/finite dots may differ (MatRank's
+    * insertion lets an earlier NaN block later greater dots). */
+  case class MatTopN(child: Expression, mat: Array[Array[Double]], n: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(ArrayType(DoubleType))
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    def compute(a: ArrayData): ArrayData = {
+      val m = mat.length
+      val cap = math.max(math.min(n, m), 0)
+      val idx = new Array[Int](cap)
+      val kd = new Array[Double](cap)
+      var size = 0
+      var c = 0
+      while (c < m) {
+        val row = mat(c)
+        val len = math.min(a.numElements(), row.length)
+        var s = 0.0
+        var i = 0
+        while (i < len) { s += a.getDouble(i) * row(i); i += 1 }
+        if (size < cap) {
+          var pos = size
+          while (pos > 0 && kd(pos - 1) < s) {
+            kd(pos) = kd(pos - 1); idx(pos) = idx(pos - 1); pos -= 1
+          }
+          kd(pos) = s; idx(pos) = c; size += 1
+        } else if (cap > 0 && kd(cap - 1) < s) {
+          var pos = cap - 1
+          while (pos > 0 && kd(pos - 1) < s) {
+            kd(pos) = kd(pos - 1); idx(pos) = idx(pos - 1); pos -= 1
+          }
+          kd(pos) = s; idx(pos) = c
+        }
+        c += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(idx)
+    }
+    override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val ref = ctx.addReferenceObj("matTopN", this,
+        classOf[MatTopN].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Index of `mat`'s row maximizing dot(vec, row) — the rank-1 slice
     * of [[MatRank]] without the O(m²) ranking sort, for the frames that
     * only need an ASSIGNMENT (IVF/SemDeDup corpus rows, the distributed
@@ -314,6 +371,8 @@ object MatrixExpressions {
     GraftShim.column(MatRank(GraftShim.expression(vec), mat))
   def matArgmax(vec: Column, mat: Array[Array[Double]]): Column =
     GraftShim.column(MatArgmax(GraftShim.expression(vec), mat))
+  def matTopN(vec: Column, mat: Array[Array[Double]], n: Int): Column =
+    GraftShim.column(MatTopN(GraftShim.expression(vec), mat, n))
   def pqEncode(vec: Column, books: Array[Array[Array[Double]]], dsub: Int)
       : Column =
     GraftShim.column(PqEncode(GraftShim.expression(vec), books, dsub))

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import graft.functions.TopKAgg
-import graft.functions.MatrixExpressions.{matArgmax, matRank, pqEncode, pqLut, srpPack}
+import graft.functions.MatrixExpressions.{matArgmax, matTopN, pqEncode, pqLut, srpPack}
 import graft.functions.VectorExpressions.{vecDot, vecNormSq}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -340,10 +340,12 @@ object Similarity {
     // codebooks affordable corpus-wide
     val assigned = prep(corpus, idCol, vecCol, "neighbor_id", "cv2", "cn")
       .withColumn("centroid", matArgmax(col("cv2"), cents))
+    // probe selection is top-nprobe, not a full centroid ranking —
+    // O(nlist·(dim+nprobe)) per query row (matTopN) instead of the
+    // ranking sort's O(nlist²), which matters once nlist ≈ √n
     val probes = prep(queries, idCol, vecCol, "query_id", "qv", "qn")
       .select(col("query_id"), col("qv"), col("qn"),
-        explode(slice(centroidRanks(cents, col("qv")),
-          1, nprobe)).as("centroid"))
+        explode(matTopN(col("qv"), cents, nprobe)).as("centroid"))
       .select(col("centroid"), col("query_id"), col("qv"), col("qn"))
     // each corpus row lives in exactly ONE inverted list (rank-1
     // assignment) and a query probes distinct centroids, so
@@ -357,16 +359,15 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Centroid ranking as a PURE PROJECTION: centroids are driver-side
-    * constants (nlist tiny vectors), so every row's full centroid
-    * ranking is ONE kernel expression (MatrixExpressions.MatRank) —
-    * zero shuffle, zero join, no window, and no nlist×dim literal tree
-    * for Catalyst/Janino to chew on. Returns array<int> of centroid
-    * ids, dot DESC, ties centroid ASC — ranking by raw dot equals the
-    * old dot/‖v‖ ranking (the norm is a per-row positive constant;
-    * zero-norm made every score a tie either way). */
-  private def centroidRanks(cents: Array[Array[Double]], vCol: Column)
-      : Column = matRank(vCol, cents)
+  // Centroid assignment/probing are PURE PROJECTIONS: centroids are
+  // driver-side constants, so each row's assignment (matArgmax) or
+  // top-nprobe probe list (matTopN) is ONE kernel expression — zero
+  // shuffle, zero join, no window, no nlist×dim literal tree for
+  // Catalyst/Janino to chew on. Both rank by raw dot, which equals the
+  // old dot/‖v‖ ranking (the norm is a per-row positive constant;
+  // zero-norm makes every score a tie either way), ties lowest
+  // centroid id — MatRank's exact order, differential-tested in
+  // MatrixExpressionsSpec.
 
   /** Per-subspace PQ codebooks: the existing deterministic k-means over
     * the sample's m-th dim-slice, one codebook per subspace. Vectors are
@@ -562,8 +563,8 @@ object Similarity {
     val q = broadcast(prep(queries, idCol, vecCol, "query_id", "qv", "qn")
       .select(col("query_id"), col("qv"), col("qn"),
         pqLut(col("qv"), books, dsub).as("lut"),
-        slice(centroidRanks(cents, col("qv")), 1, nprobe)
-          .as("probes")))
+        // top-nprobe selection, not a full ranking (see ivfTopK)
+        matTopN(col("qv"), cents, nprobe).as("probes")))
     val probes = q
       .select(col("query_id"), col("lut"),
         explode(col("probes")).as("centroid"))
@@ -661,7 +662,7 @@ object Similarity {
     * one row per input vector: (id, cluster, keep).
     *
     * Scale shape: cluster assignment is a pure projection over nlist
-    * literal centroids (zero shuffle, same `centroidRanks` kernel as
+    * literal centroids (zero shuffle, same `matArgmax` kernel as
     * IVF); the pairwise stage is a self-join on the cluster id, so pair
     * work is Σ|cluster|² instead of |corpus|² — at 100 TB, nClusters
     * scales with the corpus to keep clusters bounded (the published

@@ -69,6 +69,21 @@ class MatrixExpressionsSpec extends AnyFunSuite {
     assert(z == mat.indices.toSeq)
   }
 
+  test("MatTopN ≡ slice(MatRank, 1, n) on finite vectors for every n, " +
+    "incl. dot ties, the zero vector, and n past the matrix size") {
+    import graft.functions.MatrixExpressions.matTopN
+    for (n <- Seq(1, 2, 3, mat.length, mat.length + 2)) {
+      val rows = df
+        .select(col("id"), matTopN(col("v"), mat, n).as("bounded"),
+          slice(matRank(col("v"), mat), 1, n).as("full"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+          s"id=${r.getLong(0)} n=$n")
+      }
+    }
+  }
+
   test("MatArgmax ≡ MatRank's top-1 on finite vectors, incl. dot ties " +
     "and the zero vector (rank-1 assignment without the ranking sort)") {
     import graft.functions.MatrixExpressions.matArgmax
