@@ -84,7 +84,16 @@ object Bench {
       }
       try {
         val cold = rep()
-        val warms = Seq.fill(reps - 1)(rep())
+        // a transient WARM-rep failure must not discard the successful
+        // cold measurement ("queries"/"value" keep their historical
+        // single-rep meaning) — fall back to the cold number and note it
+        val warms =
+          try Seq.fill(reps - 1)(rep())
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] $name warm rep failed: ${e.getMessage}")
+            Nil
+          }
         (name, cold, if (warms.isEmpty) cold else median(warms))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -561,6 +561,9 @@ object AgentCli {
 
   def parse(args: Array[String]): (String, AgentConfig) = {
     var action = "hamonitor"
+    // -version beats everything REGARDLESS of flag order (reference
+    // checks it before config load, main.go:132-136)
+    var sawVersion = false
     // pass 1: -config resolves the base config; -master/-slave may be
     // server NAMES from its [[influxdb]] array (flags override file,
     // reference semantics: main.go:84-85 + init() double parse)
@@ -586,7 +589,7 @@ object AgentCli {
       }
       args(i) match {
         // valueless flags first (sharing `v` would eat the next token)
-        case "-version" => action = "version"
+        case "-version" => sawVersion = true
         case "-v"   => c = c.copy(logLevel = "INFO")
         case "-vv"  => c = c.copy(logLevel = "DEBUG")
         case "-vvv" => c = c.copy(logLevel = "TRACE")
@@ -623,6 +626,7 @@ object AgentCli {
       }
       i += 1
     }
+    if (sawVersion) action = "version"
     require(action == "version" ||
       (c.masterRoot.nonEmpty && c.slaveRoot.nonEmpty),
       "both -master and -slave storage roots are required")
@@ -643,8 +647,10 @@ object AgentCli {
       f.deleteOnExit()
     }
     // logmode=file: route stdout/stderr to <logs>/graft-agent.log — the
-    // reference's file log mode (main.go:102-103,139-151), which only
-    // applies to the long-running daemon actions
+    // reference's file log mode (main.go:102-103,139-151). Applied to
+    // EVERY action here (simpler than the reference's
+    // hamonitor-only gate, and one-shot actions just log to the file
+    // too).
     if (cfg.logMode == "file") {
       val dir = new java.io.File(
         if (cfg.logDir.nonEmpty) cfg.logDir else ".")

@@ -196,30 +196,27 @@ object SeriesOps {
   /** InfluxQL SLIMIT/SOFFSET: keep only the series ranked
     * (soffset, soffset + slimit] in series-key order — series
     * pagination, the other LIMIT axis InfluxQL has that SQL doesn't.
-    * Scale shape: TWO-PHASE ranking, no window anywhere — the first
-    * soffset+slimit keys of the distinct key set come from
-    * `orderBy(keys).limit(n)`, which plans as TakeOrderedAndProject
-    * (per-partition bounded top-n heaps, merge of heap outputs only:
-    * Spark's built-in two-phase top-k, the same shape TopKAgg gives the
-    * ANN rank stages). The soffset prefix is subtracted as a set
-    * difference over that ≤ n-row frame — every post-distinct frame is
-    * page-sized, nothing ever concentrates the full key set on one
-    * task. The kept keys broadcast back as a null-safe semi join — the
-    * data frame itself never shuffles. */
+    * Scale shape: TWO-PHASE ranking, no window anywhere — the page of
+    * the distinct key set comes from `orderBy(keys).offset(soffset)
+    * .limit(slimit)`, which plans as ONE TakeOrderedAndProject
+    * (per-partition bounded top-(soffset+slimit) heaps, merge of heap
+    * outputs only: Spark's built-in two-phase top-k, the same shape
+    * TopKAgg gives the ANN rank stages; the offset is dropped at the
+    * merge). Nothing ever concentrates the full key set on one task.
+    * The kept keys broadcast back as a null-safe semi join — the data
+    * frame itself never shuffles. */
   def seriesLimit(df: DataFrame, seriesCols: Seq[String], slimit: Int,
       soffset: Int = 0): DataFrame = {
     require(slimit > 0 && soffset >= 0,
       s"need slimit > 0, soffset >= 0; got $slimit, $soffset")
     val keys = seriesCols.map(col)
-    val distinctKeys = df.select(keys: _*).distinct()
-    // nulls-first ascending, matching the row_number form this replaces
-    val page = distinctKeys.orderBy(keys: _*).limit(soffset + slimit)
-    val kept0 =
-      if (soffset == 0) page
-      // EXCEPT is null-safe set semantics (a null series key is a
-      // legitimate, rankable series) and runs over two page-sized inputs
-      else page.except(distinctKeys.orderBy(keys: _*).limit(soffset))
-    val kept = kept0.select(seriesCols.map(c => col(c).as(s"__k_$c")): _*)
+    // nulls-first ascending, matching the row_number form this
+    // replaced; offset+limit plan as ONE TakeOrderedAndProject (the
+    // distinct key set is ranked exactly once — no second execution
+    // whose ordering could disagree, no set-difference pass)
+    val kept = df.select(keys: _*).distinct()
+      .orderBy(keys: _*).offset(soffset).limit(slimit)
+      .select(seriesCols.map(c => col(c).as(s"__k_$c")): _*)
     // null-SAFE equality: a plain equi-join would silently drop a null
     // key's rows — shrinking the page and shifting pagination
     val cond = seriesCols.map(c => col(c) <=> col(s"__k_$c"))

@@ -174,8 +174,15 @@ object Similarity {
         val cnt = new Array[Long](cents.length)
         sums.foreach { r =>
           val c = r.getInt(0)
-          acc(c)(r.getInt(1)) = r.getDouble(2)
-          cnt(c) = r.getLong(3)
+          val p = r.getInt(1)
+          // tolerate contract-violating corpora the same way the
+          // assignment kernels do (math.min over lengths): positions
+          // past the init dim and null sums (a null vector element)
+          // are ignored rather than crashing the driver mid-training
+          if (p < dim && !r.isNullAt(2)) {
+            acc(c)(p) = r.getDouble(2)
+            cnt(c) = r.getLong(3)
+          }
         }
         cents = cents.indices.map { c =>
           if (cnt(c) == 0L) cents(c)
@@ -542,17 +549,28 @@ object Similarity {
       numSub: Int = 8, ksub: Int = 16, iters: Int = 5,
       sampleN: Int = 2048, refine: Int = 4,
       excludeSelfMatches: Boolean = true): DataFrame = {
-    // the PQ sample is sized by ksub EXACTLY like pqTopK's, so the
-    // codebooks are identical given the same (sampleN, ksub) — the
-    // probe-every-list ≡ pqTopK differential depends on it; hash-ordered
-    // prefixes make any two sample sizes nested, not disjoint
+    // ONE sample scan/collect serves both trainers: hash-ordered
+    // prefixes are NESTED, so slicing the larger collected sample to
+    // the PQ size yields EXACTLY pqTopK's training set (the
+    // probe-every-list ≡ pqTopK differential depends on it) and to the
+    // coarse size yields exactly the driver trainer's. Only a
+    // past-DriverLloydMaxK coarse codebook goes back to the corpus —
+    // its sample must stay a distributed frame.
+    val effPq = math.max(sampleN, MinPointsPerCentroid * ksub)
+    val effCoarse = math.max(sampleN, MinPointsPerCentroid * nlist)
     val sample = sampleVectors(corpus, idCol, vecCol,
-      math.max(sampleN, MinPointsPerCentroid * ksub), "ivfPqTopK")
+      if (nlist <= DriverLloydMaxK) math.max(effPq, effCoarse) else effPq,
+      "ivfPqTopK")
     val dim = sample.head.length
     val dsub = dim / numSub
-    val cents = trainCentroids(corpus, idCol, vecCol, nlist, iters,
-      sampleN, "ivfPqTopK")
-    val books = pqCodebooks(sample, numSub, ksub, iters)
+    val cents =
+      if (nlist <= DriverLloydMaxK)
+        kmeansCentroids(sample.take(effCoarse), nlist, iters)
+      else
+        kmeansCentroidsDistributed(
+          sampleFrame(corpus, idCol, vecCol, effCoarse), nlist, iters,
+          "ivfPqTopK")
+    val books = pqCodebooks(sample.take(effPq), numSub, ksub, iters)
     // corpus-wide frame: (list id, PQ codes) — both pure projections
     // (literal centroids/codebooks), zero shuffle to build; rank-1
     // assignment via the argmax kernel (see ivfTopK)

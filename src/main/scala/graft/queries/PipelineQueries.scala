@@ -385,11 +385,13 @@ object PipelineQueries {
     // the literature). Approximate by design (rows-only); kDim=dim
     // exactness and reduced-dim recall are pinned in SimilaritySpec.
     // registry config is the DEGENERATE-EXACT corner (kDim = dim ⇒ the
-    // projection is an isometry; refine large enough that the shortlist
-    // is exhaustive at every SF ⇒ the exact re-rank sees every
-    // candidate), so the full PCA fit + kernel projection + shortlist +
-    // re-rank path is DuckDB-oracled end-to-end against the brute-force
-    // ranking. Reduced-dim recall is pinned in SimilaritySpec.
+    // projection is an isometry; the k·refine = 5000 shortlist is
+    // exhaustive while |embeddings| ≤ 5000 — fixtures are 500/500/2000
+    // at sf0.001/0.01/0.1; a larger future SF needs refine raised in
+    // step ⇒ the exact re-rank sees every candidate), so the full PCA
+    // fit + kernel projection + shortlist + re-rank path is
+    // DuckDB-oracled end-to-end against the brute-force ranking.
+    // Reduced-dim recall is pinned in SimilaritySpec.
     "ann_pca_topk" -> QueryDef(
       (s, dir) => {
         val e = emb(s, dir)

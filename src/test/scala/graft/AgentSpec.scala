@@ -288,6 +288,10 @@ class AgentSpec extends AnyFunSuite {
     assert(va == "version")
     val (va2, _) = AgentCli.parse(Array("-action", "copy", "-version"))
     assert(va2 == "version")
+    // …and order-independent: -version FIRST must not be overwritten
+    // by a later -action (nor trip the missing-roots require)
+    val (va3, _) = AgentCli.parse(Array("-version", "-action", "copy"))
+    assert(va3 == "version")
     assert(AgentCli.versionString.matches("graft v.+ \\(spark .+\\)"),
       AgentCli.versionString)
     // `-version` prints and exits before any Spark/pidfile setup

@@ -245,6 +245,12 @@ class SimilaritySpec extends AnyFunSuite {
       assert(!out(dupId)._2, s"dup $dupId not dropped")
       assert(out(origId)._2, s"original $origId wrongly dropped")
     }
+    // corpus SMALLER than the (distributed-path) codebook: trains with
+    // |corpus| effective centroids instead of crashing or padding
+    val tiny = base.take(100).toDF("vec_id", "embedding")
+    val tinyOut = Similarity.semanticDedup(tiny, "vec_id", "embedding",
+      threshold = 0.999999, nClusters = 1500, iters = 1).collect()
+    assert(tinyOut.length == 100)
   }
 
   test("semanticDedup: planted near-duplicates are dropped, one " +
