@@ -171,4 +171,81 @@ object TextAnalysis {
       .orderBy(col("pmi_r").desc, col("bigram"))
       .limit(topN)
   }
+
+  /** Gopher-style composite quality filter (Rae et al. 2021 §A1.1, the
+    * standard pre-training document gate): per-rule boolean flags plus
+    * the conjunction verdict, so a pipeline can either drop on `keep`
+    * or audit which rule fired. Rules (thresholds parameterized, Gopher
+    * defaults): word count in [minWords, maxWords], mean word length in
+    * [minAvgLen, maxAvgLen], ≥ minStopHits stopword occurrences, and
+    * the most frequent word ≤ maxTopWordFrac of the doc.
+    *
+    * Scale shape: the top-word fraction is the one corpus-shaped piece
+    * — a per-(doc, word) count then per-doc max, both map-side-combined
+    * aggs keyed by doc (same shape as Curation.repetition) — joined
+    * back to a pure projection of the row-wise metrics. Mean word
+    * length sums EXACT integer char counts and divides once (IEEE
+    * bit-deterministic, no rounding needed); every flag compares
+    * integers or that single quotient. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], minWords: Int = 50, maxWords: Int = 100000,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      maxTopWordFrac: Double = 0.2, minStopHits: Int = 2): DataFrame = {
+    val w = words(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    val base = df.select(
+      col(idCol).as("id"),
+      size(w).cast("long").as("n_words"),
+      (aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double")
+        / size(w)).as("mean_word_len"),
+      size(filter(w, x => array_contains(stopArr, x))).cast("long")
+        .as("stop_hits"))
+    val topFrac = df
+      .select(col(idCol).as("id"), explode(w).as("wd"))
+      .groupBy(col("id"), col("wd")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("total"))
+      .select(col("id"),
+        (col("top_c").cast("double") / col("total")).as("top_word_frac"))
+    base.join(topFrac, Seq("id"), "left")
+      .select(col("id"), col("n_words"), col("mean_word_len"),
+        col("stop_hits"), col("top_word_frac"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("ok_word_count"),
+        (col("mean_word_len") >= minAvgLen &&
+          col("mean_word_len") <= maxAvgLen).as("ok_word_len"),
+        (col("stop_hits") >= minStopHits).as("ok_stopwords"),
+        (col("top_word_frac") <= maxTopWordFrac).as("ok_repetition"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_word_len") &&
+          col("ok_stopwords") && col("ok_repetition"))
+  }
+
+  /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
+    * vocabulary — the tokenizer-coverage check a training pipeline runs
+    * before committing to a vocab (docs with high OOV rate are noise or
+    * wrong-language under THIS corpus's token budget).
+    *
+    * Scale shape: the vocabulary is a map-side-combined word count
+    * ranked by `orderBy(count DESC, word).limit(vocabSize)` — a
+    * TakeOrderedAndProject (per-partition heaps, vocabulary-sized
+    * merge, never a global sort) — then broadcast; corpus word rows
+    * join it without shuffling and roll up per doc. The rate is one
+    * integer/integer IEEE divide — bit-deterministic. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"oovRate needs vocabSize > 0, got $vocabSize")
+    val wordRows = df.select(col(idCol).as("id"),
+      explode(words(col(textCol))).as("wd"))
+    val vocab = wordRows.groupBy(col("wd")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("wd")).limit(vocabSize)
+      .select(col("wd"), lit(true).as("in_vocab"))
+    wordRows.join(broadcast(vocab), Seq("wd"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .as("oov_words"))
+      .select(col("id"), col("n_words"), col("oov_words"),
+        (col("oov_words").cast("double") / col("n_words")).as("oov_frac"))
+  }
 }

@@ -444,6 +444,59 @@ object PipelineQueries {
           [${Stopwords.map("'" + _ + "'").mkString(",")}], x)))/len(w)
           AS stopword_ratio FROM t""".replaceAll("\\s+", " "))),
 
+    // Gopher-style composite quality gate (Rae et al. 2021): per-rule
+    // flags + the conjunction verdict. Thresholds tuned to the fixture
+    // corpus so EVERY rule fires on some docs (non-vacuous: at sf0.01
+    // the four rules pass 394/487/427/338 of 500, keep = 311). Flags
+    // compare exact integers or single-divide doubles — hash-safe
+    // unrounded.
+    "text_gopher_rules" -> QueryDef(
+      (s, dir) => TextAnalysis.gopherRules(docs(s, dir), "doc_id",
+        "text", Stopwords, minWords = 30, maxWords = 1000,
+        minAvgLen = 4.0, maxAvgLen = 5.0, maxTopWordFrac = 0.105,
+        minStopHits = 4),
+      Some(s"""WITH $WordsCte,
+        base AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+          (list_reduce(list_transform(w, x -> strlen(x)::BIGINT),
+            (a,b) -> a+b))::DOUBLE / len(w) AS mwl,
+          len(list_filter(w, x -> list_contains(
+            [${Stopwords.map("'" + _ + "'").mkString(",")}], x)))::BIGINT
+            AS stop_hits FROM words),
+        uw AS (SELECT doc_id, unnest(w) AS wd FROM words),
+        wc AS (SELECT doc_id, wd, count(*) AS c FROM uw GROUP BY 1, 2),
+        tf AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS twf
+          FROM wc GROUP BY 1)
+        SELECT base.doc_id AS id, n_words, mwl AS mean_word_len,
+          stop_hits, twf AS top_word_frac,
+          (n_words >= 30 AND n_words <= 1000) AS ok_word_count,
+          (mwl >= 4.0 AND mwl <= 5.0) AS ok_word_len,
+          (stop_hits >= 4) AS ok_stopwords,
+          (twf <= 0.105) AS ok_repetition,
+          (n_words >= 30 AND n_words <= 1000 AND mwl >= 4.0
+            AND mwl <= 5.0 AND stop_hits >= 4 AND twf <= 0.105) AS keep
+        FROM base JOIN tf ON base.doc_id = tf.doc_id"""
+        .replaceAll("\\s+", " "))),
+
+    // out-of-vocabulary rate vs the corpus's own top-K vocabulary
+    // (tokenizer-coverage check). K=20 < the fixture's 31 distinct
+    // words, so OOV is non-vacuous (499/500 docs have OOV words at
+    // sf0.01). Vocabulary ranked count DESC, word ASC on both sides —
+    // boundary ties deterministic.
+    "text_oov_rate" -> QueryDef(
+      (s, dir) => TextAnalysis.oovRate(docs(s, dir), "doc_id", "text",
+        vocabSize = 20),
+      Some(s"""WITH $WordsCte,
+        uw AS (SELECT doc_id, unnest(w) AS wd FROM words),
+        vocab AS (SELECT wd FROM (SELECT wd, count(*) AS c FROM uw
+          GROUP BY 1) ORDER BY c DESC, wd LIMIT 20)
+        SELECT doc_id AS id, count(*)::BIGINT AS n_words,
+          sum(CASE WHEN vocab.wd IS NULL THEN 1 ELSE 0 END)::BIGINT
+            AS oov_words,
+          sum(CASE WHEN vocab.wd IS NULL THEN 1 ELSE 0 END)::DOUBLE
+            / count(*) AS oov_frac
+        FROM uw LEFT JOIN vocab ON uw.wd = vocab.wd GROUP BY 1"""
+        .replaceAll("\\s+", " "))),
+
     // heuristic language ID (marker-word argmax, deterministic ties).
     "text_langid" -> QueryDef(
       (s, dir) => TextAnalysis

@@ -38,6 +38,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == (4L, 4L))
   }
 
+  test("gopherRules: per-rule flags + keep conjunction on a " +
+    "hand-computed fixture; each rule independently fails some doc") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta the the"), // passes everything
+      (2L, "x y"),                            // too few words
+      (3L, "aa bb cc dd ee ff the the"),      // mean word len 2.5 < 3
+      (4L, "alpha beta gamma delta epsilon zeta"), // no stopwords
+      (5L, "the the the the alpha beta"))     // top word frac 4/6
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        stopwords = Seq("the"), minWords = 5, maxWords = 100,
+        minAvgLen = 3.0, maxAvgLen = 10.0, maxTopWordFrac = 0.4,
+        minStopHits = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+          r.getBoolean(8), r.getBoolean(9))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._5)        // word count
+    assert(!out(3L)._2 && !out(3L)._5)        // word length
+    assert(!out(4L)._3 && !out(4L)._5)        // stopwords
+    assert(!out(5L)._4 && !out(5L)._5)        // repetition
+    // metric values exact: doc 1 mean word len = (5+4+5+5+3+3)/6
+    val m = TextAnalysis.gopherRules(docs, "doc_id", "text", Seq("the"),
+      5, 100, 3.0, 10.0, 0.4, 2).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    assert(m(1L)._1 == 25.0 / 6)
+    assert(m(5L)._2 == 4.0 / 6)
+  }
+
+  test("oovRate: top-K vocabulary by (count DESC, word ASC); OOV " +
+    "fraction exact; boundary ties deterministic") {
+    val docs = Seq(
+      (1L, "a a a b b c"),   // a×3, b×2, c×1
+      (2L, "a b z"),         // z is rare
+      (3L, "q q z"))         // q×2
+      .toDF("doc_id", "text")
+    // corpus counts: a=4, b=3, q=2, z=2, c=1 → top-3 = {a, b, q}
+    // (q beats z on the tie: count equal, word ASC)
+    val out = TextAnalysis.oovRate(docs, "doc_id", "text", vocabSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((6L, 1L, 1.0 / 6)))  // c is OOV
+    assert(out(2L) == ((3L, 1L, 1.0 / 3)))  // z is OOV
+    assert(out(3L) == ((3L, 1L, 1.0 / 3)))  // z OOV, q in vocab
+  }
+
   test("fingerprint: bag hash is word-order independent") {
     val d2 = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b d"))
       .toDF("doc_id", "text")
