@@ -180,34 +180,31 @@ object TextAnalysis {
     * [minAvgLen, maxAvgLen], ≥ minStopHits stopword occurrences, and
     * the most frequent word ≤ maxTopWordFrac of the doc.
     *
-    * Scale shape: the top-word fraction is the one corpus-shaped piece
-    * — a per-(doc, word) count then per-doc max, both map-side-combined
-    * aggs keyed by doc (same shape as Curation.repetition) — joined
-    * back to a pure projection of the row-wise metrics. Mean word
-    * length sums EXACT integer char counts and divides once (IEEE
-    * bit-deterministic, no rounding needed); every flag compares
-    * integers or that single quotient. */
+    * Scale shape: ONE chain, no self-join — explode → per-(doc, word)
+    * count (map-side-combined) → per-doc rollup. Every metric derives
+    * from the (word, count, word length) rows of the second level:
+    * n_words = Σc, stop_hits = Σc over stopwords, mean word length =
+    * Σ len(word)·c / Σc (exact integer sums, ONE IEEE divide — no
+    * rounding needed), top-word fraction = max(c)/Σc. The obvious
+    * composition (row-wise metrics joined to the count rollup) would
+    * shuffle the corpus twice AND join two corpus-sized frames; this
+    * shape pays exactly the two aggregation exchanges. */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String], minWords: Int = 50, maxWords: Int = 100000,
       minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
       maxTopWordFrac: Double = 0.2, minStopHits: Int = 2): DataFrame = {
-    val w = words(col(textCol))
     val stopArr = array(stopwords.map(lit): _*)
-    val base = df.select(
-      col(idCol).as("id"),
-      size(w).cast("long").as("n_words"),
-      (aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double")
-        / size(w)).as("mean_word_len"),
-      size(filter(w, x => array_contains(stopArr, x))).cast("long")
-        .as("stop_hits"))
-    val topFrac = df
-      .select(col(idCol).as("id"), explode(w).as("wd"))
+    df.select(col(idCol).as("id"), explode(words(col(textCol))).as("wd"))
       .groupBy(col("id"), col("wd")).agg(count(lit(1)).as("c"))
       .groupBy(col("id"))
-      .agg(max(col("c")).as("top_c"), sum(col("c")).as("total"))
-      .select(col("id"),
-        (col("top_c").cast("double") / col("total")).as("top_word_frac"))
-    base.join(topFrac, Seq("id"), "left")
+      .agg(
+        sum(col("c")).as("n_words"),
+        (sum(length(col("wd")) * col("c")).cast("double") /
+          sum(col("c"))).as("mean_word_len"),
+        sum(when(array_contains(stopArr, col("wd")), col("c"))
+          .otherwise(0L)).as("stop_hits"),
+        (max(col("c")).cast("double") / sum(col("c")))
+          .as("top_word_frac"))
       .select(col("id"), col("n_words"), col("mean_word_len"),
         col("stop_hits"), col("top_word_frac"),
         (col("n_words") >= minWords && col("n_words") <= maxWords)
@@ -219,6 +216,55 @@ object TextAnalysis {
       .withColumn("keep",
         col("ok_word_count") && col("ok_word_len") &&
           col("ok_stopwords") && col("ok_repetition"))
+  }
+
+  /** Cross-document n-gram overlap: per document, the fraction of its
+    * DISTINCT n-grams that also occur in at least one OTHER document —
+    * the corpus-level memorization/boilerplate signal ([[Curation
+    * .repetition]] is within-doc; decontamination is against a held-out
+    * set; this is corpus-vs-itself). Docs with fewer than n words have
+    * no n-grams and are absent (the shingle-chain convention).
+    *
+    * Scale shape: per-doc distinct shingles explode once; the
+    * gram-frequency frame is a map-side-combined count over them
+    * (distinct-per-doc ⇒ count(*) = containing-doc count), joined back
+    * on the gram — one exchange per side, both corpus-shaped (no
+    * broadcast pretense), then a per-doc rollup. The fraction is one
+    * integer/integer IEEE divide — bit-deterministic. */
+  def crossDocNgramFrac(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val g = df.select(col(idCol).as("id"),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+    val dfreq = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    g.join(dfreq, "g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("shared_grams"))
+      .select(col("id"), col("n_grams"), col("shared_grams"),
+        (col("shared_grams").cast("double") / col("n_grams"))
+          .as("shared_frac"))
+  }
+
+  /** Temperature-scaled source mixing weights (the multilingual /
+    * multi-source sampling recipe, Conneau & Lample 2019 §3.1): weight
+    * each stratum ∝ (its token count)^α, α < 1 flattening the
+    * distribution toward small sources. The output is the sampling
+    * TABLE a pipeline feeds into stratifiedSample — strata-sized
+    * (tiny), so the normalizing sum over the unpartitioned frame is
+    * safe (same rationale as unigramLogProb's vocabulary window). The
+    * single pow/divide chain is rounded to 1e-6 (pow is a libm call;
+    * registry convention for cross-engine float parity). */
+  def temperatureWeights(df: DataFrame, stratumCol: String,
+      textCol: String, alpha: Double): DataFrame = {
+    val tok = df.select(col(stratumCol).as("stratum"),
+        size(words(col(textCol))).cast("long").as("t"))
+      .groupBy(col("stratum")).agg(sum(col("t")).as("n_tokens"))
+    tok
+      .withColumn("pw", pow(col("n_tokens").cast("double"), lit(alpha)))
+      .withColumn("z",
+        sum(col("pw")).over(Window.partitionBy()))
+      .select(col("stratum"), col("n_tokens"),
+        round(col("pw") / col("z"), 6).as("weight_r"))
   }
 
   /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`

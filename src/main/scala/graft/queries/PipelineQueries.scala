@@ -497,6 +497,37 @@ object PipelineQueries {
         FROM uw LEFT JOIN vocab ON uw.wd = vocab.wd GROUP BY 1"""
         .replaceAll("\\s+", " "))),
 
+    // cross-document n-gram overlap (corpus-level memorization /
+    // boilerplate signal; repetition is within-doc, decontamination is
+    // vs held-out — this is corpus-vs-itself).
+    "text_crossdoc_ngram_frac" -> QueryDef(
+      (s, dir) => TextAnalysis.crossDocNgramFrac(docs(s, dir), "doc_id",
+        "text", ShingleLen),
+      Some(s"""WITH $WordsCte, $ShingleCte,
+        g AS (SELECT DISTINCT doc_id, s FROM shingle),
+        dfreq AS (SELECT s, count(*) AS df FROM g GROUP BY 1)
+        SELECT g.doc_id AS id, count(*)::BIGINT AS n_grams,
+          sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT
+            AS shared_grams,
+          sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+            AS shared_frac
+        FROM g JOIN dfreq ON g.s = dfreq.s GROUP BY 1"""
+        .replaceAll("\\s+", " "))),
+
+    // temperature-scaled source mixing weights (token-count based:
+    // doc counts are uniform across the fixture's sources, token sums
+    // are not — non-vacuous weights).
+    "pipeline_temperature_weights" -> QueryDef(
+      (s, dir) => TextAnalysis.temperatureWeights(docs(s, dir),
+        "source", "text", alpha = 0.7),
+      Some("""WITH c AS (SELECT source AS stratum,
+          sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+          FROM documents GROUP BY 1)
+        SELECT stratum, n_tokens,
+          round(pow(n_tokens, 0.7) / sum(pow(n_tokens, 0.7)) OVER (), 6)
+            AS weight_r
+        FROM c""".replaceAll("\\s+", " "))),
+
     // heuristic language ID (marker-word argmax, deterministic ties).
     "text_langid" -> QueryDef(
       (s, dir) => TextAnalysis

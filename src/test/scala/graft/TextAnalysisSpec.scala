@@ -84,6 +84,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 1L, 1.0 / 3)))  // z OOV, q in vocab
   }
 
+  test("crossDocNgramFrac: shared trigram counted once per doc; " +
+    "unique docs score 0; short docs absent") {
+    val docs = Seq(
+      (1L, "a b c d"),      // trigrams: "a b c", "b c d"
+      (2L, "a b c x"),      // shares "a b c" with doc 1
+      (3L, "q r s t"),      // no overlap with anyone
+      (4L, "xy"))           // < 3 words → no trigrams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.crossDocNgramFrac(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("temperatureWeights: alpha=1 is proportional, alpha=0 is " +
+    "uniform, alpha=0.7 flattens toward small sources; weights sum ~1") {
+    val docs = Seq(
+      (1L, "a b c d e f g h", "big"),   // big: 8 + 4 = 12 tokens
+      (2L, "a b c d", "big"),
+      (3L, "a b c", "small"))           // small: 3 tokens
+      .toDF("doc_id", "text", "source")
+    def w(alpha: Double): Map[String, (Long, Double)] =
+      TextAnalysis.temperatureWeights(docs, "source", "text", alpha)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+    val w1 = w(1.0)
+    assert(w1("big")._1 == 12L && w1("small")._1 == 3L)
+    assert(w1("big")._2 == 0.8 && w1("small")._2 == 0.2)
+    val w0 = w(0.0)
+    assert(w0("big")._2 == 0.5 && w0("small")._2 == 0.5)
+    val w07 = w(0.7)
+    assert(w07("big")._2 < 0.8 && w07("small")._2 > 0.2) // flattened
+    assert(math.abs(w07.values.map(_._2).sum - 1.0) < 1e-5)
+  }
+
   test("fingerprint: bag hash is word-order independent") {
     val d2 = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b d"))
       .toDF("doc_id", "text")
