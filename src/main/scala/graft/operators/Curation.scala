@@ -206,4 +206,40 @@ object Curation {
         floor((col("local_cum") + col("offset") - col("tokens"))
           / budget).cast("long").as("pack_id"))
   }
+
+  /** Sliding-window document chunking: split each document into
+    * `chunkWords`-word windows advancing by `chunkWords − overlapWords`
+    * (the long-document → context-window preprocessing step every
+    * pre-training pipeline runs before packing; overlap preserves
+    * cross-boundary context). Chunk starts are 1, 1+stride, … up to the
+    * last start that still reaches the document's end, so every word is
+    * covered, the final chunk may be short, and a ≤ chunkWords doc is
+    * exactly one chunk. Output: (id, chunk_idx 1-based, chunk_text,
+    * n_words).
+    *
+    * Scale shape: pure projection + explode — zero shuffle,
+    * embarrassingly parallel; per-row memory is one document's words.
+    * Chunk counts/indices are exact integer arithmetic. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int, overlapWords: Int): DataFrame = {
+    require(chunkWords > 0 && overlapWords >= 0 &&
+      overlapWords < chunkWords,
+      s"need chunkWords > 0, 0 <= overlapWords < chunkWords; " +
+        s"got $chunkWords, $overlapWords")
+    val stride = chunkWords - overlapWords
+    val w = split(col(textCol), " ")
+    // 1 + max(0, ceil((L − chunkWords) / stride)) chunks for L words
+    val nChunks = lit(1) + greatest(lit(0L),
+      ceil((size(w) - lit(chunkWords)).cast("double") / stride)
+        .cast("long"))
+    df.select(col(idCol).as("id"), w.as("w"), nChunks.as("nc"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(1L), col("nc")),
+          i => slice(col("w"),
+            ((i - 1) * stride + 1).cast("int"), lit(chunkWords)))))
+      .select(col("id"),
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).cast("long").as("n_words"))
+  }
 }

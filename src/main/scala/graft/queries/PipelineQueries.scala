@@ -514,6 +514,25 @@ object PipelineQueries {
         FROM g JOIN dfreq ON g.s = dfreq.s GROUP BY 1"""
         .replaceAll("\\s+", " "))),
 
+    // sliding-window document chunking (context-window preprocessing;
+    // 32-word chunks, 8-word overlap ⇒ stride 24 — fixture docs of
+    // 10..99 words yield 1..4 chunks, short final chunks included).
+    "pipeline_chunk_docs" -> QueryDef(
+      (s, dir) => Curation.chunkDocuments(docs(s, dir), "doc_id",
+        "text", chunkWords = 32, overlapWords = 8),
+      Some(s"""WITH $WordsCte,
+        n AS (SELECT doc_id, w, len(w) AS L FROM words),
+        k AS (SELECT doc_id, w, L, 1 + greatest(0,
+          ceil((L - 32)::DOUBLE / 24)::BIGINT) AS nc FROM n),
+        e AS (SELECT doc_id, w, L,
+          unnest(generate_series(1, nc)) AS i FROM k)
+        SELECT doc_id AS id, i::BIGINT AS chunk_idx,
+          array_to_string(list_slice(w, (i-1)*24 + 1,
+            least((i-1)*24 + 32, L)), ' ') AS chunk_text,
+          len(list_slice(w, (i-1)*24 + 1,
+            least((i-1)*24 + 32, L)))::BIGINT AS n_words
+        FROM e""".replaceAll("\\s+", " "))),
+
     // temperature-scaled source mixing weights (token-count based:
     // doc counts are uniform across the fixture's sources, token sums
     // are not — non-vacuous weights).

@@ -198,4 +198,33 @@ class CurationSpec extends AnyFunSuite {
     assert(floored == Set("x y", "y x"))
     assert(TextAnalysis.pmiCollocations(df, "text", 1, 1).count() == 1)
   }
+
+  test("chunkDocuments: stride tiling covers every word, overlap " +
+    "words repeat, short tail chunk kept, one chunk for short docs") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c"),                                  // ≤ chunk → 1
+      (3L, "p q r s t"))                              // short tail
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(d, "doc_id", "text",
+        chunkWords = 4, overlapWords = 1) // stride 3
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // doc 1: starts 1,4,7 → [w1..w4], [w4..w7], [w7..w10]
+    assert(out((1L, 1L)) == (("w1 w2 w3 w4", 4L)))
+    assert(out((1L, 2L)) == (("w4 w5 w6 w7", 4L)))
+    assert(out((1L, 3L)) == (("w7 w8 w9 w10", 4L)))
+    assert(!out.contains((1L, 4L)))
+    // doc 2 fits in one chunk
+    assert(out((2L, 1L)) == (("a b c", 3L)))
+    assert(!out.contains((2L, 2L)))
+    // doc 3: starts 1,4 → [p..s], short tail [s t]
+    assert(out((3L, 1L)) == (("p q r s", 4L)))
+    assert(out((3L, 2L)) == (("s t", 2L)))
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(d, "doc_id", "text", 4, 4) // overlap ≥ chunk
+    }
+  }
 }
