@@ -43,6 +43,28 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("round-6 curation shapes: chunking is Exchange-free, the gopher " +
+    "gate is one agg chain with no corpus self-join, the OOV vocabulary " +
+    "broadcasts") {
+    // pure projection + explode — zero shuffle at any corpus size
+    val chunk = planOf("pipeline_chunk_docs")
+    assert(!chunk.contains("Exchange"), chunk.take(2000))
+    // fused explode → (doc,word) count → doc rollup: exactly the two
+    // aggregation exchanges, never a corpus-sized join (count the
+    // FINAL plan — AQE's string form repeats the initial plan below)
+    val gopher = planOf("text_gopher_rules")
+      .split("== Initial Plan ==")(0)
+    assert(!gopher.contains("Join"), gopher.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(gopher).size <= 2,
+      gopher.take(3000))
+    // top-K vocabulary: TakeOrderedAndProject heaps + broadcast back —
+    // corpus word rows never shuffle for the join
+    val oov = planOf("text_oov_rate")
+    assert(oov.contains("TakeOrderedAndProject"), oov.take(3000))
+    assert(oov.contains("BroadcastHashJoin"), oov.take(3000))
+    assert(!oov.contains("SortMergeJoin"), oov.take(3000))
+  }
+
   test("dedup scale paths never degenerate into cartesian products") {
     for (q <- Seq("dedup_lsh_pairs", "dedup_jaccard_pairs",
       "dedup_embedding_neardup", "dedup_minhash_sig", "dedup_exact",
