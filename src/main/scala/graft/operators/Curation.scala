@@ -232,7 +232,11 @@ object Curation {
     val nChunks = lit(1) + greatest(lit(0L),
       ceil((size(w) - lit(chunkWords)).cast("double") / stride)
         .cast("long"))
-    df.select(col(idCol).as("id"), w.as("w"), nChunks.as("nc"))
+    // null documents have no chunks (size(null) is -1, which would
+    // otherwise fabricate one junk chunk row; SQL engines drop the
+    // row at the unnest — match that)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), w.as("w"), nChunks.as("nc"))
       .select(col("id"),
         posexplode(transform(sequence(lit(1L), col("nc")),
           i => slice(col("w"),
