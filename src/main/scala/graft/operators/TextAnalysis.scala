@@ -225,16 +225,20 @@ object TextAnalysis {
     * set; this is corpus-vs-itself). Docs with fewer than n words have
     * no n-grams and are absent (the shingle-chain convention).
     *
-    * Scale shape: per-doc distinct shingles explode once; the
+    * Scale shape: per-doc distinct 60-bit n-gram HASHES explode once
+    * (the curation-family join-key convention — fixed-width 8-byte
+    * keys, gram text never crosses the network; the single-pass
+    * NgramHash60 kernel, no shingle-string materialization); the
     * gram-frequency frame is a map-side-combined count over them
     * (distinct-per-doc ⇒ count(*) = containing-doc count), joined back
-    * on the gram — one exchange per side, both corpus-shaped (no
+    * on the hash — one exchange per side, both corpus-shaped (no
     * broadcast pretense), then a per-doc rollup. The fraction is one
     * integer/integer IEEE divide — bit-deterministic. */
   def crossDocNgramFrac(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val g = df.select(col(idCol).as("id"),
-      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+      explode(array_distinct(
+        graft.functions.MinHash.ngramHash60Col(col(textCol), n))).as("g"))
     val dfreq = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
     g.join(dfreq, "g")
       .groupBy(col("id"))

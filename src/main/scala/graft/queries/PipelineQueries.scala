@@ -504,14 +504,15 @@ object PipelineQueries {
       (s, dir) => TextAnalysis.crossDocNgramFrac(docs(s, dir), "doc_id",
         "text", ShingleLen),
       Some(s"""WITH $WordsCte, $ShingleCte,
-        g AS (SELECT DISTINCT doc_id, s FROM shingle),
-        dfreq AS (SELECT s, count(*) AS df FROM g GROUP BY 1)
+        g AS (SELECT DISTINCT doc_id,
+          ('0x'||substr(md5(s),1,15))::BIGINT AS g FROM shingle),
+        dfreq AS (SELECT g, count(*) AS df FROM g GROUP BY 1)
         SELECT g.doc_id AS id, count(*)::BIGINT AS n_grams,
           sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT
             AS shared_grams,
           sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
             AS shared_frac
-        FROM g JOIN dfreq ON g.s = dfreq.s GROUP BY 1"""
+        FROM g JOIN dfreq ON g.g = dfreq.g GROUP BY 1"""
         .replaceAll("\\s+", " "))),
 
     // sliding-window document chunking (context-window preprocessing;
