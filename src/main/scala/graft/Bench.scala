@@ -60,6 +60,11 @@ object Bench {
     // failures are RECORDED, not silently timed: a broken query would
     // otherwise shrink the total and read as a performance win
     var failed = List.empty[String]
+    // …and warm-rep failures are recorded SEPARATELY: the cold number
+    // stays (historical single-rep meaning), but a query whose warm
+    // median is really its cold fallback must be machine-visible, or a
+    // deterministically-broken re-run path reads as a healthy median
+    var warmFailed = List.empty[String]
     // reps per query: first rep is the COLD number (one-time codegen/
     // JIT attribution and all), remaining reps are WARM — their median
     // is what round-over-round comparisons should diff, because cold
@@ -84,16 +89,19 @@ object Bench {
       }
       try {
         val cold = rep()
-        // a transient WARM-rep failure must not discard the successful
-        // cold measurement ("queries"/"value" keep their historical
-        // single-rep meaning) — fall back to the cold number and note it
-        val warms =
-          try Seq.fill(reps - 1)(rep())
+        // per-rep try: one failing warm rep must neither discard the
+        // successful cold measurement nor the warm reps that DID
+        // succeed — median over the survivors, cold fallback only if
+        // none survive
+        val warms = (1 until reps).flatMap { _ =>
+          try Some(rep())
           catch { case e: Throwable =>
+            if (!warmFailed.contains(name)) warmFailed ::= name
             System.err.println(
               s"[bench] $name warm rep failed: ${e.getMessage}")
-            Nil
+            None
           }
+        }
         (name, cold, if (warms.isEmpty) cold else median(warms))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -111,7 +119,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalWarm = results.map(_._3).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_warm":$qw,"total_warm":$totalWarm,"reps":$reps,"failed":$failedJson,"sf":"$sfDir"}""")
+    val warmFailedJson =
+      warmFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_warm":$qw,"total_warm":$totalWarm,"reps":$reps,"failed":$failedJson,"warm_failed":$warmFailedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

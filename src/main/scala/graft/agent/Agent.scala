@@ -561,9 +561,15 @@ object AgentCli {
 
   def parse(args: Array[String]): (String, AgentConfig) = {
     var action = "hamonitor"
-    // -version beats everything REGARDLESS of flag order (reference
-    // checks it before config load, main.go:132-136)
-    var sawVersion = false
+    // -version beats everything REGARDLESS of flag order AND before
+    // pass 1 touches the config file (reference checks it before
+    // config load, main.go:132-136 — `-version -config /bad/path` must
+    // print the banner, not crash in the config reader). The bare
+    // token scan can false-positive on a flag VALUE spelled exactly
+    // "-version"; failing toward printing the version is the harmless
+    // direction.
+    if (args.contains("-version"))
+      return ("version", AgentConfig(masterRoot = "", slaveRoot = ""))
     // pass 1: -config resolves the base config; -master/-slave may be
     // server NAMES from its [[influxdb]] array (flags override file,
     // reference semantics: main.go:84-85 + init() double parse)
@@ -589,7 +595,7 @@ object AgentCli {
       }
       args(i) match {
         // valueless flags first (sharing `v` would eat the next token)
-        case "-version" => sawVersion = true
+        case "-version" => () // handled above, before config load
         case "-v"   => c = c.copy(logLevel = "INFO")
         case "-vv"  => c = c.copy(logLevel = "DEBUG")
         case "-vvv" => c = c.copy(logLevel = "TRACE")
@@ -626,9 +632,7 @@ object AgentCli {
       }
       i += 1
     }
-    if (sawVersion) action = "version"
-    require(action == "version" ||
-      (c.masterRoot.nonEmpty && c.slaveRoot.nonEmpty),
+    require(c.masterRoot.nonEmpty && c.slaveRoot.nonEmpty,
       "both -master and -slave storage roots are required")
     (action, c)
   }

@@ -232,9 +232,11 @@ object Curation {
     val nChunks = lit(1) + greatest(lit(0L),
       ceil((size(w) - lit(chunkWords)).cast("double") / stride)
         .cast("long"))
-    // null documents have no chunks (size(null) is -1, which would
-    // otherwise fabricate one junk chunk row; SQL engines drop the
-    // row at the unnest — match that)
+    // null documents have no chunks. Explicit contract regardless of
+    // ANSI mode: under ANSI (this build's default) size(null) is null
+    // and the row already drops at posexplode; under legacy semantics
+    // size(null) = -1 would fabricate one junk chunk row — the filter
+    // pins the behavior either way (SQL engines drop at the unnest).
     df.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), w.as("w"), nChunks.as("nc"))
       .select(col("id"),

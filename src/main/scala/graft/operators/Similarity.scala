@@ -558,19 +558,31 @@ object Similarity {
     // its sample must stay a distributed frame.
     val effPq = math.max(sampleN, MinPointsPerCentroid * ksub)
     val effCoarse = math.max(sampleN, MinPointsPerCentroid * nlist)
-    val sample = sampleVectors(corpus, idCol, vecCol,
-      if (nlist <= DriverLloydMaxK) math.max(effPq, effCoarse) else effPq,
-      "ivfPqTopK")
+    val (sample, cents) =
+      if (nlist <= DriverLloydMaxK) {
+        val s = sampleVectors(corpus, idCol, vecCol,
+          math.max(effPq, effCoarse), "ivfPqTopK")
+        (s.take(effPq), kmeansCentroids(s.take(effCoarse), nlist, iters))
+      } else {
+        // past-DriverLloydMaxK: ONE corpus scan still — cache a sample
+        // frame sized for both trainers, slice its first effPq rows
+        // for the PQ codebooks (hash-ordered prefixes nest, so the
+        // slice IS pqTopK's training set), hand the same cached frame
+        // to the distributed trainer (a > effCoarse sample only adds
+        // training points — never harms the coarse codebook)
+        val sf = sampleFrame(corpus, idCol, vecCol,
+          math.max(effPq, effCoarse)).cache()
+        try {
+          val pq = sf.limit(effPq).select(col("v")).collect()
+            .map(_.getSeq[Double](0).toArray)
+          require(pq.nonEmpty,
+            "ivfPqTopK: corpus is empty — nothing to train on")
+          (pq, kmeansCentroidsDistributed(sf, nlist, iters, "ivfPqTopK"))
+        } finally { sf.unpersist(); () }
+      }
     val dim = sample.head.length
     val dsub = dim / numSub
-    val cents =
-      if (nlist <= DriverLloydMaxK)
-        kmeansCentroids(sample.take(effCoarse), nlist, iters)
-      else
-        kmeansCentroidsDistributed(
-          sampleFrame(corpus, idCol, vecCol, effCoarse), nlist, iters,
-          "ivfPqTopK")
-    val books = pqCodebooks(sample.take(effPq), numSub, ksub, iters)
+    val books = pqCodebooks(sample, numSub, ksub, iters)
     // corpus-wide frame: (list id, PQ codes) — both pure projections
     // (literal centroids/codebooks), zero shuffle to build; rank-1
     // assignment via the argmax kernel (see ivfTopK)

@@ -193,7 +193,12 @@ object TextAnalysis {
       stopwords: Seq[String], minWords: Int = 50, maxWords: Int = 100000,
       minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
       maxTopWordFrac: Double = 0.2, minStopHits: Int = 2): DataFrame = {
-    val stopArr = array(stopwords.map(lit): _*)
+    // an EMPTY stopword list must mean zero hits, not a plan-time
+    // type error (array() of no literals is array<null>, which
+    // array_contains rejects)
+    val isStop =
+      if (stopwords.isEmpty) lit(false)
+      else array_contains(array(stopwords.map(lit): _*), col("wd"))
     df.select(col(idCol).as("id"), explode(words(col(textCol))).as("wd"))
       .groupBy(col("id"), col("wd")).agg(count(lit(1)).as("c"))
       .groupBy(col("id"))
@@ -201,8 +206,7 @@ object TextAnalysis {
         sum(col("c")).as("n_words"),
         (sum(length(col("wd")) * col("c")).cast("double") /
           sum(col("c"))).as("mean_word_len"),
-        sum(when(array_contains(stopArr, col("wd")), col("c"))
-          .otherwise(0L)).as("stop_hits"),
+        sum(when(isStop, col("c")).otherwise(0L)).as("stop_hits"),
         (max(col("c")).cast("double") / sum(col("c")))
           .as("top_word_frac"))
       .select(col("id"), col("n_words"), col("mean_word_len"),

@@ -292,6 +292,12 @@ class AgentSpec extends AnyFunSuite {
     // by a later -action (nor trip the missing-roots require)
     val (va3, _) = AgentCli.parse(Array("-version", "-action", "copy"))
     assert(va3 == "version")
+    // …and checked BEFORE the config file is touched: a bad -config
+    // path must not crash the version banner (reference checks
+    // -version before config load)
+    val (va4, _) = AgentCli.parse(
+      Array("-version", "-config", "/nonexistent_graft.toml"))
+    assert(va4 == "version")
     assert(AgentCli.versionString.matches("graft v.+ \\(spark .+\\)"),
       AgentCli.versionString)
     // `-version` prints and exits before any Spark/pidfile setup

@@ -226,8 +226,8 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Curation.chunkDocuments(d, "doc_id", "text", 4, 4) // overlap ≥ chunk
     }
-    // a NULL document yields no chunks (not a junk (id, 1, null, -1)
-    // row — size(null) is -1 in Spark)
+    // a NULL document yields no chunks (contract pinned regardless of
+    // ANSI vs legacy null-array semantics)
     val withNull = Seq((1L, Some("a b")), (2L, Option.empty[String]))
       .toDF("doc_id", "text")
     val ids = Curation.chunkDocuments(withNull, "doc_id", "text", 4, 1)

@@ -65,6 +65,12 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(4))).toMap
     assert(m(1L)._1 == 25.0 / 6)
     assert(m(5L)._2 == 4.0 / 6)
+    // EMPTY stopword list: zero hits, not a plan-time array<null>
+    // type error; minStopHits=0 keeps the rule vacuously true
+    val noStop = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        Seq.empty, 5, 100, 2.0, 10.0, 0.9, 0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(7))).toMap
+    assert(noStop(1L) == ((0L, true)))
   }
 
   test("oovRate: top-K vocabulary by (count DESC, word ASC); OOV " +
