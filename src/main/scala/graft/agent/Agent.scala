@@ -554,21 +554,42 @@ object Agent {
 object AgentCli {
 
   /** `-version` banner (main.go:79,132-136 prints version/commit/build
-    * stamp then exits). */
-  def versionString: String =
-    s"graft v${BuildVersion} (spark ${org.apache.spark.SPARK_VERSION})"
-  private val BuildVersion = "0.1.0" // ThisBuild / version in build.sbt
+    * stamp then exits). The version comes from the jar manifest
+    * (Implementation-Version, stamped by sbt packaging from
+    * `ThisBuild / version`) so it cannot drift from build.sbt; an
+    * unpackaged classpath (sbt run, tests) reports the -dev marker. */
+  def versionString: String = {
+    val v = Option(classOf[Agent].getPackage.getImplementationVersion)
+      .getOrElse("0.1.0-dev")
+    s"graft v$v (spark ${org.apache.spark.SPARK_VERSION})"
+  }
+
+  /** Flags that take no value — the version scan must skip VALUES of
+    * other flags (`-db -version` is a regex named "-version", not a
+    * version request), so it walks flag positions exactly like the
+    * parse loop below. */
+  private val ValuelessFlags =
+    Set("-version", "-v", "-vv", "-vvv", "-full", "-verify")
+  private def versionRequested(args: Array[String]): Boolean = {
+    var i = 0
+    while (i < args.length) {
+      if (args(i) == "-version") return true
+      if (args(i).startsWith("-") && !ValuelessFlags.contains(args(i)))
+        i += 1 // skip this flag's value
+      i += 1
+    }
+    false
+  }
 
   def parse(args: Array[String]): (String, AgentConfig) = {
     var action = "hamonitor"
     // -version beats everything REGARDLESS of flag order AND before
     // pass 1 touches the config file (reference checks it before
     // config load, main.go:132-136 — `-version -config /bad/path` must
-    // print the banner, not crash in the config reader). The bare
-    // token scan can false-positive on a flag VALUE spelled exactly
-    // "-version"; failing toward printing the version is the harmless
-    // direction.
-    if (args.contains("-version"))
+    // print the banner, not crash in the config reader); the scan
+    // walks flag positions, so a flag VALUE spelled "-version" is not
+    // a version request
+    if (versionRequested(args))
       return ("version", AgentConfig(masterRoot = "", slaveRoot = ""))
     // pass 1: -config resolves the base config; -master/-slave may be
     // server NAMES from its [[influxdb]] array (flags override file,

@@ -199,7 +199,12 @@ object TextAnalysis {
     val isStop =
       if (stopwords.isEmpty) lit(false)
       else array_contains(array(stopwords.map(lit): _*), col("wd"))
-    df.select(col(idCol).as("id"), explode(words(col(textCol))).as("wd"))
+    // null-text docs are ABSENT from the output, explicitly (the gate
+    // never vouches for a null doc — compose by inner-joining on
+    // keep=true, so absent ⇒ not retained; SQL oracles drop the row at
+    // the unnest, same convention)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("wd"))
       .groupBy(col("id"), col("wd")).agg(count(lit(1)).as("c"))
       .groupBy(col("id"))
       .agg(
@@ -289,8 +294,10 @@ object TextAnalysis {
   def oovRate(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"oovRate needs vocabSize > 0, got $vocabSize")
-    val wordRows = df.select(col(idCol).as("id"),
-      explode(words(col(textCol))).as("wd"))
+    // null-text docs are absent from the output (same explicit
+    // convention as gopherRules — a null doc has no measurable rate)
+    val wordRows = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("wd"))
     val vocab = wordRows.groupBy(col("wd")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("wd")).limit(vocabSize)
       .select(col("wd"), lit(true).as("in_vocab"))

@@ -43,6 +43,34 @@ object PipelineQueries {
     pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
       .cast("long"), lit(100))
 
+  // Exact top-5 cosine ranking on the embeddings table — the SHARED
+  // oracle of ann_bruteforce_topk and the degenerate-exact
+  // ann_pca_topk (one definition, so the two cannot drift). Mirrors
+  // the engine's safeCosine exactly: cosine guarded to NULL when the
+  // norm product is not > 0 (a zero-norm vector would otherwise be
+  // NaN here — DuckDB ranks NaN GREATEST, silently diverging from the
+  // engine's null-exclusion), and NULL cosines are excluded BEFORE
+  // ranking, like topKPerQuery's null/NaN filter.
+  private val AnnExactOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 16),
+      s0 AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+        list_reduce(list_transform(generate_series(1,64),
+          i -> q.qv[i]*c.v[i]), (x,y) -> x+y) AS dot,
+        (sqrt(list_reduce(list_transform(q.qv, x -> x*x), (x,y) -> x+y)) *
+         sqrt(list_reduce(list_transform(c.v, x -> x*x), (x,y) -> x+y)))
+        AS nn
+      FROM q, v c WHERE c.vec_id != q.qid),
+      s AS (SELECT query_id, neighbor_id,
+        CASE WHEN nn > 0 THEN dot / nn END AS cos FROM s0)
+      SELECT query_id, rank, neighbor_id, cosine_r FROM (
+        SELECT query_id, neighbor_id, round(cos,6) AS cosine_r,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY round(cos,6) DESC, neighbor_id) AS rank FROM s
+        WHERE cos IS NOT NULL)
+      WHERE rank <= 5""".replaceAll("\\s+", " ")
+
   // shared oracle CTE fragments (DuckDB)
   private val WordsCte =
     "words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents)"
@@ -318,21 +346,7 @@ object PipelineQueries {
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("neighbor_id"), col("cosine_r"))
       },
-      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        FROM embeddings),
-        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 16),
-        s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
-          list_reduce(list_transform(generate_series(1,64),
-            i -> q.qv[i]*c.v[i]), (x,y) -> x+y) /
-          (sqrt(list_reduce(list_transform(q.qv, x -> x*x), (x,y) -> x+y)) *
-           sqrt(list_reduce(list_transform(c.v, x -> x*x), (x,y) -> x+y)))
-          AS cos
-        FROM q, v c WHERE c.vec_id != q.qid)
-        SELECT query_id, rank, neighbor_id, cosine_r FROM (
-          SELECT query_id, neighbor_id, round(cos,6) AS cosine_r,
-          row_number() OVER (PARTITION BY query_id
-            ORDER BY round(cos,6) DESC, neighbor_id) AS rank FROM s)
-        WHERE rank <= 5""".replaceAll("\\s+", " "))),
+      Some(AnnExactOracle)),
 
     // IVF ANN (k-means coarse quantizer + inverted-list probing) — the
     // second scale path besides SRP-LSH; approximate by design, so
@@ -400,21 +414,7 @@ object PipelineQueries {
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("neighbor_id"), col("cosine_r"))
       },
-      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        FROM embeddings),
-        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 16),
-        s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
-          list_reduce(list_transform(generate_series(1,64),
-            i -> q.qv[i]*c.v[i]), (x,y) -> x+y) /
-          (sqrt(list_reduce(list_transform(q.qv, x -> x*x), (x,y) -> x+y)) *
-           sqrt(list_reduce(list_transform(c.v, x -> x*x), (x,y) -> x+y)))
-          AS cos
-        FROM q, v c WHERE c.vec_id != q.qid)
-        SELECT query_id, rank, neighbor_id, cosine_r FROM (
-          SELECT query_id, neighbor_id, round(cos,6) AS cosine_r,
-          row_number() OVER (PARTITION BY query_id
-            ORDER BY round(cos,6) DESC, neighbor_id) AS rank FROM s)
-        WHERE rank <= 5""".replaceAll("\\s+", " "))),
+      Some(AnnExactOracle)),
 
     // LSH-bucketed ANN (sign-random-projection) — approximate by design,
     // so rows-only check; recall vs brute force is asserted in ScalaTest.
@@ -1062,13 +1062,15 @@ object PipelineQueries {
         "embedding", threshold = 0.3, nClusters = 1),
       Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
         FROM embeddings),
-        dropped AS (SELECT DISTINCT a.vec_id AS id FROM v a JOIN v b
-          ON b.vec_id < a.vec_id AND
+        p AS (SELECT a.vec_id AS id,
           list_reduce(list_transform(generate_series(1,64),
-            i -> a.v[i]*b.v[i]), (x,y) -> x+y) /
+            i -> a.v[i]*b.v[i]), (x,y) -> x+y) AS dot,
           (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y)) *
            sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y)))
-          >= 0.3)
+          AS nn
+          FROM v a JOIN v b ON b.vec_id < a.vec_id),
+        dropped AS (SELECT DISTINCT id FROM p
+          WHERE CASE WHEN nn > 0 THEN dot / nn END >= 0.3)
         SELECT v.vec_id AS id, 0::BIGINT AS cluster,
           (dropped.id IS NULL) AS keep
         FROM v LEFT JOIN dropped ON v.vec_id = dropped.id"""
