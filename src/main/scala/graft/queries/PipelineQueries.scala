@@ -515,6 +515,29 @@ object PipelineQueries {
         FROM g JOIN dfreq ON g.g = dfreq.g GROUP BY 1"""
         .replaceAll("\\s+", " "))),
 
+    // interpolated bigram LM quality score (context-aware rung above
+    // text_unigram_logprob). λ=0.75 so BOTH λ and 1−λ are float-exact
+    // literals on engine and oracle sides (0.7 would make 1−λ the
+    // Scala double 0.30000000000000004 vs the SQL literal 0.3).
+    "text_bigram_logprob" -> QueryDef(
+      (s, dir) => Curation.bigramLogProb(docs(s, dir), "doc_id", "text",
+        lambda = 0.75),
+      Some(s"""WITH $WordsCte,
+        bg AS (SELECT doc_id, unnest(list_transform(
+          generate_series(1, len(w)-1), i -> w[i]||' '||w[i+1])) AS b
+          FROM words),
+        cab AS (SELECT b, count(*) AS c_ab FROM bg GROUP BY 1),
+        uw AS (SELECT unnest(w) AS wd FROM words),
+        cu AS (SELECT wd, count(*) AS c FROM uw GROUP BY 1),
+        tot AS (SELECT count(*) AS total FROM uw)
+        SELECT bg.doc_id AS id, count(*)::BIGINT AS n_bigrams,
+          round(avg(ln(0.75 * (c_ab::DOUBLE / a.c)
+            + 0.25 * (b2.c::DOUBLE / total))), 6) AS avg_logprob_r
+        FROM bg JOIN cab ON bg.b = cab.b
+          JOIN cu a ON a.wd = string_split(bg.b, ' ')[1]
+          JOIN cu b2 ON b2.wd = string_split(bg.b, ' ')[2], tot
+        GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // sliding-window document chunking (context-window preprocessing;
     // 32-word chunks, 8-word overlap ⇒ stride 24 — fixture docs of
     // 10..99 words yield 1..4 chunks, short final chunks included).

@@ -199,6 +199,27 @@ class CurationSpec extends AnyFunSuite {
     assert(TextAnalysis.pmiCollocations(df, "text", 1, 1).count() == 1)
   }
 
+  test("bigramLogProb: hand-computed interpolated probabilities; " +
+    "single-word docs absent; backoff keeps every bigram finite") {
+    val s = spark
+    import s.implicits._
+    // unigrams: a×4 (incl. doc 3), b×2 — total 6;
+    // bigrams: "a b"×2, "b a"×1
+    val d = Seq((1L, "a b"), (2L, "a b a"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = Curation.bigramLogProb(d, "doc_id", "text", lambda = 0.75)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // p(a b) = .75·(2/4) + .25·(2/6); p(b a) = .75·(1/2) + .25·(4/6)
+    val pab = 0.75 * (2.0 / 4) + 0.25 * (2.0 / 6)
+    val pba = 0.75 * (1.0 / 2) + 0.25 * (4.0 / 6)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1L) == ((1L, r6(math.log(pab)))))
+    assert(out(2L) == ((2L,
+      r6((math.log(pab) + math.log(pba)) / 2))))
+    assert(!out.contains(3L)) // no bigrams
+  }
+
   test("chunkDocuments: stride tiling covers every word, overlap " +
     "words repeat, short tail chunk kept, one chunk for short docs") {
     val s = spark
