@@ -117,39 +117,40 @@ object Curation {
     * finite). Docs with fewer than 2 words have no bigrams and are
     * absent (the shingle-chain convention).
     *
-    * Scale shape: the unigram frame is vocabulary-sized → broadcast
-    * (with its total via the same unpartitioned-window convention as
-    * unigramLogProb); the bigram-count frame is vocab²-BOUNDED but can
-    * be large at corpus scale, so corpus bigram rows join it by
-    * SHUFFLE on the bigram key — no broadcast pretense — and both
-    * unigram factors ride the same broadcast. Per-row probability
-    * arithmetic is a fixed operand-order IEEE chain; the per-doc avg
-    * of logs is order-dependent ⇒ rounded 1e-6 (registry
-    * convention). */
+    * Scale shape: ALL probability plumbing happens on the
+    * vocab²-bounded bigram-count frame — its per-bigram interpolated
+    * log-probability is assembled there once (unigram factors ride
+    * broadcast vocabulary joins against that SMALL frame, with the
+    * total via the same unpartitioned-window convention as
+    * unigramLogProb), and corpus bigram rows then make exactly ONE
+    * shuffle join against the precomputed (bigram, logp) table — no
+    * broadcast pretense on the vocab² frame, no per-corpus-row
+    * splits or multi-join chains. Per-row probability arithmetic is a
+    * fixed operand-order IEEE chain; the per-doc avg of logs is
+    * order-dependent ⇒ rounded 1e-6 (registry convention). */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.7): DataFrame = {
     require(lambda >= 0 && lambda <= 1, s"need 0 <= lambda <= 1, got $lambda")
     val bg = df.select(col(idCol).as("id"),
       explode(Dedup.shingles(col(textCol), 2)).as("b"))
-    val cab = bg.groupBy(col("b")).agg(count(lit(1)).as("c_ab"))
     val uni = df.select(
         explode(split(col(textCol), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .withColumn("total", sum(col("c")).over(Window.partitionBy()))
-    val uniA = broadcast(uni.select(col("w").as("wa"),
-      col("c").as("c_a")))
-    val uniB = broadcast(uni.select(col("w").as("wb"),
-      col("c").as("c_b"), col("total")))
     val p = lit(lambda) * (col("c_ab").cast("double") / col("c_a")) +
       lit(1 - lambda) * (col("c_b").cast("double") / col("total"))
-    bg.join(cab, "b")
+    val perBigram = bg.groupBy(col("b")).agg(count(lit(1)).as("c_ab"))
       .withColumn("wa", split(col("b"), " ")(0))
       .withColumn("wb", split(col("b"), " ")(1))
-      .join(uniA, "wa")
-      .join(uniB, "wb")
+      .join(broadcast(uni.select(col("w").as("wa"), col("c").as("c_a"))),
+        "wa")
+      .join(broadcast(uni.select(col("w").as("wb"), col("c").as("c_b"),
+        col("total"))), "wb")
+      .select(col("b"), log(p).as("logp"))
+    bg.join(perBigram, "b")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log(p)), 6).as("avg_logprob_r"))
+        round(avg(col("logp")), 6).as("avg_logprob_r"))
   }
 
   /** Deterministic stratified sampling: per-stratum hash-threshold
