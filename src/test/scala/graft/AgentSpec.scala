@@ -298,6 +298,12 @@ class AgentSpec extends AnyFunSuite {
     val (va4, _) = AgentCli.parse(
       Array("-version", "-config", "/nonexistent_graft.toml"))
     assert(va4 == "version")
+    // …but a flag VALUE spelled "-version" is a regex, not a version
+    // request (the scan walks flag positions — pins ValuelessFlags in
+    // sync with the parse loop's grammar)
+    val (vaVal, cVal) = AgentCli.parse(Array(
+      "-master", "/m", "-slave", "/s", "-db", "-version"))
+    assert(vaVal == "hamonitor" && cVal.dbRegex == "-version")
     assert(AgentCli.versionString.matches("graft v.+ \\(spark .+\\)"),
       AgentCli.versionString)
     // `-version` prints and exits before any Spark/pidfile setup
