@@ -255,4 +255,37 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(ids === Set(1L))
   }
+
+  test("property: chunk tiling equals a driver-side slice reference " +
+    "(full coverage, exact overlap, exact tail) on random configs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 15) {
+      val length = 1 + rnd.nextInt(60)
+      val c = 1 + rnd.nextInt(12)
+      val ov = rnd.nextInt(c)
+      val stride = c - ov
+      val wordSeq = (1 to length).map(i => s"w$i")
+      val expected = {
+        val n = 1 + math.max(0,
+          math.ceil((length - c).toDouble / stride).toInt)
+        (0 until n).map(k =>
+          wordSeq.slice(k * stride, math.min(k * stride + c, length)))
+      }
+      val out = Curation.chunkDocuments(
+          Seq((1L, wordSeq.mkString(" "))).toDF("doc_id", "text"), "doc_id",
+          "text", c, ov)
+        .orderBy("chunk_idx").collect()
+      assert(out.length == expected.length, s"t$trial L=$length c=$c ov=$ov")
+      out.zip(expected).foreach { case (r, exp) =>
+        assert(r.getString(2) == exp.mkString(" "),
+          s"t$trial L=$length c=$c ov=$ov idx=${r.getLong(1)}")
+        assert(r.getLong(3) == exp.length.toLong)
+      }
+      // coverage: the chunks' word set is exactly the document's
+      assert(expected.flatten.toSet == wordSeq.toSet,
+        s"t$trial L=$length c=$c ov=$ov")
+    }
+  }
 }

@@ -259,6 +259,30 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(p1 === Set(None, Some("a")))
   }
 
+  test("property: seriesLimit pages tile the ordered key set exactly " +
+    "for random page sizes (disjoint, ordered, complete)") {
+    val s = spark
+    import s.implicits._
+    val keys = (0 until 23).map(i => f"k$i%02d")
+    val df = keys.flatMap(k => Seq((k, 1L), (k, 2L))).toDF("series", "x")
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 3) {
+      val lim = 1 + rnd.nextInt(9)
+      val pages = Iterator.from(0).map(pg =>
+          SeriesOps.seriesLimit(df, Seq("series"), lim, pg * lim)
+            .select("series").distinct().collect()
+            .map(_.getString(0)).toSet)
+        .takeWhile(_.nonEmpty).toVector
+      assert(pages.map(_.size).sum == keys.size, s"lim=$lim")
+      assert(pages.flatten.toSet == keys.toSet, s"lim=$lim")
+      pages.init.foreach(p => assert(p.size == lim, s"lim=$lim"))
+      pages.sliding(2).foreach {
+        case Vector(a, b) => assert(a.max < b.min, s"lim=$lim")
+        case _ => ()
+      }
+    }
+  }
+
   test("seriesLimit plans TWO-PHASE (TakeOrderedAndProject heaps), " +
     "never a single-partition window") {
     val s = spark
