@@ -581,7 +581,15 @@ object ParityQueries {
     // α = 0.25 and 1−α = 0.75 are exactly representable, and both
     // engines run the identical fused-order fold over the identical
     // rounded bucket means — bit-determinism rests on that, with the
-    // registry-standard 1e-6 rounding on top.
+    // registry-standard 1e-6 rounding on top. Caveat measured at
+    // sf0.1: a C++ engine may CONTRACT a·x+b·y to fused multiply-add
+    // (the JVM never does), a ~1-ulp divergence per step that
+    // accumulates over long recursion chains and can cross the 1e-6
+    // rounding boundary on isolated rows (~1 in 3k at sf0.1 chain
+    // lengths; zero at the sf0.01 gate). Inherent cross-engine float
+    // limit for sequential recurrences — not fixable by operand
+    // ordering, only by per-step quantization (which would change the
+    // semantics).
     "ts_ema" -> QueryDef(
       (s, dir) => SeriesOps.ema(
         Tables.events(s, dir)
