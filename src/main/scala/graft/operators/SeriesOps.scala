@@ -338,4 +338,69 @@ object SeriesOps {
       .select(seriesCols.map(col) ++ Seq(
         col("it.b").as(bucketCol), col("it.v").as("ema")): _*)
   }
+
+  /** One (bucket, value) point in fixed-point integer units. */
+  case class BVL(b: Long, v: Long)
+  /** Fixed-point ema buffer/output wrapper (product-encodable). */
+  case class EmaFixedItems(items: Seq[BVL])
+
+  /** Fixed-point EMA fold with rational α = num/den over integer-unit
+    * values: e₁ = v₁; eᵢ = (num·vᵢ + (den−num)·eᵢ₋₁ + den/2) / den,
+    * with `/` the JVM's truncate-toward-zero Long division. The +den/2
+    * offset makes the step round-half-up for the non-negative values
+    * the micro-unit contract feeds it. EVERY step is exact 64-bit
+    * integer arithmetic — no floating point anywhere in the recursion —
+    * so any engine that can express the same integer recurrence (DuckDB
+    * `//` also truncates toward zero: `SELECT (-7)//4` = -1) reproduces
+    * it BIT-identically, however long the chain. This is the
+    * cross-engine-deterministic form of [[EmaAggregator]]: the float
+    * fold accumulates ~1-ulp-per-step divergence against engines that
+    * contract a·x+b·y to fused multiply-add, which over sf0.1-length
+    * recurrences crosses decimal rounding boundaries on isolated rows
+    * (measured ~1 in 3k); integers cannot drift. */
+  class EmaFixedAggregator(num: Long, den: Long)
+      extends Aggregator[BVL, EmaFixedItems, EmaFixedItems] {
+    require(den > 0 && num > 0 && num <= den,
+      s"need 0 < num <= den, got $num/$den")
+    override def zero: EmaFixedItems = EmaFixedItems(Nil)
+    override def reduce(b: EmaFixedItems, a: BVL): EmaFixedItems =
+      EmaFixedItems(a +: b.items)
+    override def merge(a: EmaFixedItems, b: EmaFixedItems): EmaFixedItems =
+      EmaFixedItems(a.items ++ b.items)
+    override def finish(r: EmaFixedItems): EmaFixedItems = {
+      val sorted = r.items.sortBy(p => (p.b, p.v))
+      if (sorted.isEmpty) EmaFixedItems(Nil)
+      else {
+        var e = sorted.head.v
+        val out = Seq.newBuilder[BVL]
+        out += BVL(sorted.head.b, e)
+        sorted.tail.foreach { p =>
+          e = (num * p.v + (den - num) * e + den / 2) / den
+          out += BVL(p.b, e)
+        }
+        EmaFixedItems(out.result())
+      }
+    }
+    override def bufferEncoder: Encoder[EmaFixedItems] =
+      Encoders.product[EmaFixedItems]
+    override def outputEncoder: Encoder[EmaFixedItems] =
+      Encoders.product[EmaFixedItems]
+  }
+
+  /** [[ema]] in exact fixed-point integer units (callers scale doubles
+    * to micro-units first: `round(v*1e6, 0).cast("long")`). Same
+    * scale/contract shape as [[ema]] — per-series state is the bucket
+    * list, series fold in parallel — but the recursion is pure Long
+    * arithmetic, bit-reproducible by any engine (see
+    * [[EmaFixedAggregator]]). Output: (series…, bucketCol, ema: Long). */
+  def emaFixed(df: DataFrame, seriesCols: Seq[String], bucketCol: String,
+      valueCol: String, num: Long, den: Long): DataFrame = {
+    val agg = udaf(new EmaFixedAggregator(num, den), Encoders.product[BVL])
+    df.groupBy(seriesCols.map(col): _*)
+      .agg(agg(col(bucketCol).cast("long"),
+        col(valueCol).cast("long")).as("e"))
+      .select(seriesCols.map(col) :+ explode(col("e.items")).as("it"): _*)
+      .select(seriesCols.map(col) ++ Seq(
+        col("it.b").as(bucketCol), col("it.v").as("ema")): _*)
+  }
 }

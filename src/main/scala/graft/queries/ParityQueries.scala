@@ -573,45 +573,53 @@ object ParityQueries {
            AND NOT isnan(corr(a.v, t.tv))"""
         .replaceAll("\\s+", " "))),
 
-    // InfluxQL EXPONENTIAL_MOVING_AVERAGE(α=0.25) over hour-bucketed
-    // per-type means. EMA is sequentially recursive (no window frame
-    // expresses it), so it runs as a per-series collect-sort-fold
-    // aggregate (state = bucket count, the InfluxQL contract); the
-    // oracle expresses the same recursion as a DuckDB recursive CTE.
-    // α = 0.25 and 1−α = 0.75 are exactly representable, and both
-    // engines run the identical fused-order fold over the identical
-    // rounded bucket means — bit-determinism rests on that, with the
-    // registry-standard 1e-6 rounding on top. Caveat measured at
-    // sf0.1: a C++ engine may CONTRACT a·x+b·y to fused multiply-add
-    // (the JVM never does), a ~1-ulp divergence per step that
-    // accumulates over long recursion chains and can cross the 1e-6
-    // rounding boundary on isolated rows (~1 in 3k at sf0.1 chain
-    // lengths; zero at the sf0.01 gate). Inherent cross-engine float
-    // limit for sequential recurrences — not fixable by operand
-    // ordering, only by per-step quantization (which would change the
-    // semantics).
+    // InfluxQL EXPONENTIAL_MOVING_AVERAGE(α=1/4) over hour-bucketed
+    // per-type means, in FIXED-POINT micro-units: vu = round(v·1e6),
+    // e₁ = vu₁, eᵢ = (vuᵢ + 3·eᵢ₋₁ + 2) / 4 with truncating integer
+    // division (JVM Long `/` ≡ DuckDB `//`, both toward zero; +2 makes
+    // the step round-half-up on the non-negative micro-values). EMA is
+    // sequentially recursive (no window frame expresses it), so it runs
+    // as a per-series collect-sort-fold aggregate (state = bucket
+    // count, the InfluxQL contract); the oracle expresses the same
+    // recursion as a DuckDB recursive CTE. Why integers: the float form
+    // accumulated ~1-ulp-per-step FMA-contraction divergence vs DuckDB
+    // that crossed the 1e-6 rounding boundary on ~1 in 3k rows at
+    // sf0.1 chain lengths (round-6 finding). Integer steps are EXACT in
+    // both engines — no drift at any chain length, any SF. The bucket
+    // means are ALSO integer end-to-end: event values are exact
+    // centi-units, so per-row cents = round(value·100) is row-local and
+    // unambiguous (≤4e-12 from the integer), the bucket sum is exact
+    // Long addition in any order, and the micro-unit mean is the exact
+    // rounded division (2·s·10⁴ + n) div (2n) — an sf0.1 probe showed
+    // round(avg(value),6) itself flips across engines when the float
+    // mean lands a few ulp from the 1e-6 half-boundary.
     "ts_ema" -> QueryDef(
-      (s, dir) => SeriesOps.ema(
+      (s, dir) => SeriesOps.emaFixed(
         Tables.events(s, dir)
           .groupBy(window(col("time"), "1 hour"), col("event_type"))
-          .agg(round(avg(col("value")), 6).as("v"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
           .select(col("event_type"),
-            expr("unix_micros(window.start)").as("b_us"), col("v")),
+            expr("unix_micros(window.start)").as("b_us"),
+            expr("(2 * s * 10000 + n) div (2 * n)").as("vu")),
         seriesCols = Seq("event_type"), bucketCol = "b_us",
-        valueCol = "v", alpha = 0.25)
-        .select(col("event_type"), col("b_us"),
-          round(col("ema"), 6).as("ema_r")),
-      Some("""WITH RECURSIVE a AS (SELECT event_type,
+        valueCol = "vu", num = 1L, den = 4L)
+        .select(col("event_type"), col("b_us"), col("ema").as("ema_u")),
+      Some("""WITH RECURSIVE a0 AS (SELECT event_type,
           (epoch_us(ts) // 3600000000) * 3600000000 AS b,
-          round(avg(value), 6) AS v FROM events GROUP BY 1, 2),
-        n AS (SELECT event_type, b, v, row_number() OVER
+          sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+          count(*) AS n FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, b,
+          CAST((2 * s * 10000 + n) // (2 * n) AS BIGINT) AS vu FROM a0),
+        n AS (SELECT event_type, b, vu, row_number() OVER
           (PARTITION BY event_type ORDER BY b) AS rn FROM a),
-        r AS (SELECT event_type, b, v, rn, v AS ema FROM n WHERE rn = 1
+        r AS (SELECT event_type, b, vu, rn, vu AS emau FROM n WHERE rn = 1
           UNION ALL
-          SELECT n.event_type, n.b, n.v, n.rn, 0.25 * n.v + 0.75 * r.ema
+          SELECT n.event_type, n.b, n.vu, n.rn,
+            (n.vu + 3 * r.emau + 2) // 4
           FROM n JOIN r ON n.event_type = r.event_type
             AND n.rn = r.rn + 1)
-        SELECT event_type, b AS b_us, round(ema, 6) AS ema_r FROM r"""
+        SELECT event_type, b AS b_us, emau AS ema_u FROM r"""
         .replaceAll("\\s+", " "))),
 
     // InfluxQL SLIMIT 30 SOFFSET 10: series pagination — hour-bucketed
@@ -648,44 +656,69 @@ object ParityQueries {
     // no recursion, unlike Wilder RSI, which is ts_ema's territory).
     // Guarded divisions: a flat window (all gains and losses 0) yields
     // null, not a DIVIDE_BY_ZERO under ANSI mode.
+    // Gains/losses run in FIXED-POINT micro-units (vu = round(v·1e6),
+    // BIGINT): the window sums are exact integer arithmetic in both
+    // engines, so sg/sl are bit-identical however the engines order or
+    // tree-structure their sliding-sum accumulation (the round-6 sf0.1
+    // divergence came from float window sums + ratio chains). The
+    // oscillator outputs are ALSO integers — percent scaled by 1e6,
+    // rounded half-up in exact integer space via
+    // round(p/q) = (2p + q) div (2q) (truncating integral division:
+    // Spark `div` ≡ DuckDB `//` ≡ toward zero). No double is ever
+    // rounded: an sf0.1 probe showed even identical ratio doubles can
+    // round differently across engines when the shortest decimal
+    // representation sits exactly on the 1e-6 half-boundary (JVM
+    // BigDecimal.valueOf rounds the shortest string, DuckDB rounds the
+    // scaled binary value).
     "ts_momentum" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
         val wN = w.rowsBetween(-6, Window.currentRow)
-        val diff = col("v") - lag(col("v"), 1).over(w)
+        val diff = col("vu") - lag(col("vu"), 1).over(w)
+        // integer bucket means end-to-end, same derivation as ts_ema
         val agg = Tables.events(s, dir)
           .groupBy(window(col("time"), "1 hour"), col("event_type"))
-          .agg(round(avg(col("value")), 6).as("v"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
           .select(col("event_type"),
-            expr("unix_micros(window.start)").as("b"), col("v"))
+            expr("unix_micros(window.start)").as("b"),
+            expr("(2 * s * 10000 + n) div (2 * n)").as("vu"))
           // explicit null on the first row: greatest() IGNORES nulls in
           // both engines, which would count a phantom 0-diff into the
           // 7-diff window
           .withColumn("gain",
-            when(diff.isNotNull, greatest(diff, lit(0.0))))
+            when(diff.isNotNull, greatest(diff, lit(0L))))
           .withColumn("loss",
-            when(diff.isNotNull, greatest(negate(diff), lit(0.0))))
-        val sg = sum(col("gain")).over(wN)
-        val sl = sum(col("loss")).over(wN)
-        val nDiffs = count(col("gain")).over(wN)
+            when(diff.isNotNull, greatest(negate(diff), lit(0L))))
         agg.select(col("event_type"), col("b").as("b_us"),
-            when(nDiffs === 7 && sg + sl > 0,
-              round((sg - sl) / (sg + sl) * 100, 6)).as("cmo7"),
-            when(nDiffs === 7 && sg + sl > 0,
-              round(sg / (sg + sl) * 100, 6)).as("rsi7"))
+            sum(col("gain")).over(wN).as("sg"),
+            sum(col("loss")).over(wN).as("sl"),
+            count(col("gain")).over(wN).as("nd"))
+          // percent·1e6 ⇒ p = (sg−sl)·1e8; worst |p·2| ≈ 7·5e8·2e8
+          // = 7e17 < 2^63 — Long-safe under ANSI
+          .select(col("event_type"), col("b_us"),
+            expr("CASE WHEN nd = 7 AND sg + sl > 0 THEN " +
+              "((sg - sl) * 200000000 + (sg + sl)) div ((sg + sl) * 2) " +
+              "END").as("cmo7_u"),
+            expr("CASE WHEN nd = 7 AND sg + sl > 0 THEN " +
+              "(sg * 200000000 + (sg + sl)) div ((sg + sl) * 2) END")
+              .as("rsi7_u"))
       },
-      Some("""WITH a AS (SELECT event_type,
+      Some("""WITH a0 AS (SELECT event_type,
           (epoch_us(ts) // 3600000000) * 3600000000 AS b,
-          round(avg(value), 6) AS v FROM events GROUP BY 1, 2),
-        d AS (SELECT event_type, b, v,
-          v - lag(v) OVER win AS diff FROM a
+          sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+          count(*) AS n FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, b,
+          CAST((2 * s * 10000 + n) // (2 * n) AS BIGINT) AS vu FROM a0),
+        d AS (SELECT event_type, b, vu,
+          vu - lag(vu) OVER win AS diff FROM a
           WINDOW win AS (PARTITION BY event_type ORDER BY b)),
         g AS (SELECT event_type, b,
           CASE WHEN diff IS NULL THEN NULL
-            ELSE greatest(diff, 0.0) END AS gain,
+            ELSE greatest(diff, 0) END AS gain,
           CASE WHEN diff IS NULL THEN NULL
-            ELSE greatest(-diff, 0.0) END AS loss
+            ELSE greatest(-diff, 0) END AS loss
           FROM d),
         r AS (SELECT event_type, b,
           sum(gain) OVER wn AS sg, sum(loss) OVER wn AS sl,
@@ -694,9 +727,11 @@ object ParityQueries {
             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
         SELECT event_type, b AS b_us,
           CASE WHEN nd = 7 AND sg + sl > 0
-            THEN round((sg - sl) / (sg + sl) * 100, 6) END AS cmo7,
+            THEN CAST(((sg - sl) * 200000000 + (sg + sl))
+              // ((sg + sl) * 2) AS BIGINT) END AS cmo7_u,
           CASE WHEN nd = 7 AND sg + sl > 0
-            THEN round(sg / (sg + sl) * 100, 6) END AS rsi7
+            THEN CAST((sg * 200000000 + (sg + sl))
+              // ((sg + sl) * 2) AS BIGINT) END AS rsi7_u
         FROM r""".replaceAll("\\s+", " "))),
 
     // InfluxQL TOP(value, 3) / BOTTOM(value, 3) per series — selector

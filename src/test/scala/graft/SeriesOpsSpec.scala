@@ -184,6 +184,36 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("emaFixed: exact integer recursion incl. planted half-boundary " +
+    "ties, partitioning-invariant, matches driver-side Long fold") {
+    val s = spark
+    import s.implicits._
+    // planted ties: e=(v+3e+2)/4 hits remainder 2 (exact .5) at step 2
+    // — (3 + 3·1 + 2)/4 = 2 (true 1.5, half-up) — the case where any
+    // float formulation is one ulp from flipping; integers can't.
+    assert(SeriesOps.emaFixed(Seq(("t", 1L, 1L), ("t", 2L, 3L))
+        .toDF("series", "b", "vu"), Seq("series"), "b", "vu", 1L, 4L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      === Map(1L -> 1L, 2L -> 2L))
+    // long randomized chain vs an independent driver-side fold, under
+    // different partitionings (merge path must not reorder the series)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i => ("a", i.toLong, rnd.nextLong(1000000)))
+    val expect = {
+      var e = rows.head._3
+      rows.head._2 -> e :: rows.tail.toList.map { case (_, b, v) =>
+        e = Math.floorDiv(v + 3 * e + 2, 4) // positive ⇒ ≡ truncation
+        b -> e
+      }
+    }.toMap
+    for (parts <- Seq(1, 13)) {
+      val got = SeriesOps.emaFixed(rows.toDF("series", "b", "vu")
+          .repartition(parts), Seq("series"), "b", "vu", 1L, 4L)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got === expect, s"parts=$parts")
+    }
+  }
+
   test("fillGaps: duplicate (series, bucket) rows raise the CONTRACT, " +
     "not sequence()'s obscure boundary error") {
     val s = spark
