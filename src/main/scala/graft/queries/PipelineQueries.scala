@@ -71,6 +71,61 @@ object PipelineQueries {
         WHERE cos IS NOT NULL)
       WHERE rank <= 5""".replaceAll("\\s+", " ")
 
+  // ann_lsh_topk registry config — interpolated into BOTH the engine
+  // call and the oracle SQL, so the two cannot drift
+  final val LshTables = 2
+  final val LshPlanes = 8
+  final val AnnDim = 64
+
+  // SRP-LSH top-5 oracle: reconstructs the engine's buckets EXACTLY —
+  // the ±1 hyperplanes are md5-derived (component i of plane p, table t
+  // is +1 iff the first md5 nibble of "t:p:i" < 8, Similarity
+  // .hyperplane) precisely so SQL can rebuild them, and the bucket dot
+  // is an ascending-index fold in both engines (SrpPack's while loop ≡
+  // list_reduce over list_transform), so the float sums are
+  // bit-identical: ±1·x is exact and both sides add in the same order
+  // with no fusable multiply-add chain. Bits assemble by integer sum
+  // (order-free). Candidates then re-rank by exact cosine with the
+  // same guard/tiebreak as AnnExactOracle.
+  private val AnnLshOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings),
+      pl AS (SELECT t, p, list(sgn ORDER BY i) AS pv FROM (
+        SELECT t.t AS t, p.p AS p, i.i AS i,
+          CASE WHEN ('0x' || substr(md5(t.t::VARCHAR || ':' ||
+            p.p::VARCHAR || ':' || i.i::VARCHAR), 1, 1))::INT < 8
+          THEN 1.0 ELSE -1.0 END AS sgn
+        FROM (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t) t,
+             (SELECT unnest(generate_series(0, ${LshPlanes - 1})) AS p) p,
+             (SELECT unnest(generate_series(0, ${AnnDim - 1})) AS i) i)
+        GROUP BY t, p),
+      bkt AS (SELECT v.vec_id, pl.t,
+          sum(CASE WHEN list_reduce(list_transform(
+            generate_series(1, $AnnDim), j -> v.v[j] * pl.pv[j]),
+            (x, y) -> x + y) >= 0
+          THEN 1 << pl.p ELSE 0 END)::BIGINT AS bucket
+        FROM v, pl GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+        FROM bkt q JOIN bkt c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.vec_id < 16 AND c.vec_id != q.vec_id),
+      s0 AS (SELECT cand.qid AS query_id, cand.cid AS neighbor_id,
+          list_reduce(list_transform(generate_series(1, $AnnDim),
+            i -> qv.v[i]*cv.v[i]), (x,y) -> x+y) AS dot,
+          (sqrt(list_reduce(list_transform(qv.v, x -> x*x),
+            (x,y) -> x+y)) *
+           sqrt(list_reduce(list_transform(cv.v, x -> x*x),
+            (x,y) -> x+y))) AS nn
+        FROM cand JOIN v qv ON qv.vec_id = cand.qid
+                  JOIN v cv ON cv.vec_id = cand.cid),
+      s AS (SELECT query_id, neighbor_id,
+        CASE WHEN nn > 0 THEN dot / nn END AS cos FROM s0)
+      SELECT query_id, rank, neighbor_id, cosine_r FROM (
+        SELECT query_id, neighbor_id, round(cos,6) AS cosine_r,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY round(cos,6) DESC, neighbor_id) AS rank FROM s
+        WHERE cos IS NOT NULL)
+      WHERE rank <= 5""".replaceAll("\\s+", " ")
+
   // shared oracle CTE fragments (DuckDB)
   private val WordsCte =
     "words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents)"
@@ -349,18 +404,22 @@ object PipelineQueries {
       Some(AnnExactOracle)),
 
     // IVF ANN (k-means coarse quantizer + inverted-list probing) — the
-    // second scale path besides SRP-LSH; approximate by design, so
-    // rows-only check; recall (and nprobe=nlist ≡ brute force) asserted
-    // in SimilaritySpec.
+    // second scale path besides SRP-LSH. Registry config is the
+    // DEGENERATE-EXACT corner (nprobe = nlist ⇒ every inverted list is
+    // probed, so every candidate is cosine-scored exactly like
+    // bruteForceTopK — quantizer quality is irrelevant to the result),
+    // which makes the full train → assign → probe → score → rank path
+    // DuckDB-oracled end-to-end. Pruned-probe recall (nprobe < nlist)
+    // is pinned in SimilaritySpec.
     "ann_ivf_topk" -> QueryDef(
       (s, dir) => {
         val e = emb(s, dir)
         Similarity.ivfTopK(e.filter(col("vec_id") < 16), e,
-          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16)
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("neighbor_id"), col("cosine_r"))
       },
-      None),
+      Some(AnnExactOracle)),
 
     // Product-quantization ANN (ADC shortlist over an 8-byte code table
     // + exact re-rank) — the memory-bound scale path: the corpus-wide
@@ -379,19 +438,25 @@ object PipelineQueries {
 
     // IVFADC (IVF × PQ): the query ADC-scans only its probed inverted
     // lists over a codes-only corpus frame — the composed 100 TB ANN
-    // architecture. Approximate by design → rows-only; recall and the
-    // nprobe=nlist ≡ PQ-alone differential are asserted in
-    // SimilaritySpec.
+    // architecture. Registry config is the DEGENERATE-EXACT corner
+    // (nprobe = nlist ⇒ all lists scanned; k·refine = 5000 ≥
+    // |embeddings| at every SF — fixtures are 500/500/2000, see
+    // ann_pca_topk — ⇒ the ADC shortlist is exhaustive and the exact
+    // cosine re-rank sees every candidate, so codebook quality is
+    // irrelevant to the result), which DuckDB-oracles the full
+    // train → encode → probe → ADC → re-rank path end-to-end; a larger
+    // future SF needs refine raised in step. Pruned recall and the
+    // nprobe=nlist ≡ PQ-alone differential stay in SimilaritySpec.
     "ann_ivfpq_topk" -> QueryDef(
       (s, dir) => {
         val e = emb(s, dir)
         Similarity.ivfPqTopK(e.filter(col("vec_id") < 16), e,
-          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
-          numSub = 8, ksub = 16, refine = 4)
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16,
+          numSub = 8, ksub = 16, refine = 1000)
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("neighbor_id"), col("cosine_r"))
       },
-      None),
+      Some(AnnExactOracle)),
 
     // PCA-reduced ANN: kDim/dim of the brute-force flop and memory cost
     // for the shortlist scan, exact-cosine re-rank after — the linear
@@ -416,18 +481,22 @@ object PipelineQueries {
       },
       Some(AnnExactOracle)),
 
-    // LSH-bucketed ANN (sign-random-projection) — approximate by design,
-    // so rows-only check; recall vs brute force is asserted in ScalaTest.
+    // LSH-bucketed ANN (sign-random-projection). Approximate vs brute
+    // force (recall pinned in ScalaTest), but fully ORACLED anyway: the
+    // md5-derived hyperplanes and order-fixed bucket dots let DuckDB
+    // rebuild the exact same buckets, then re-rank candidates by exact
+    // cosine — see AnnLshOracle. The oracle checks the TRUE approximate
+    // result, not a degenerate config.
     "ann_lsh_topk" -> QueryDef(
       (s, dir) => {
         val e = emb(s, dir)
         Similarity.lshTopK(e.filter(col("vec_id") < 16), e,
-          "vec_id", "embedding", k = 5, dim = 64,
-          numPlanes = 8, numTables = 2)
+          "vec_id", "embedding", k = 5, dim = AnnDim,
+          numPlanes = LshPlanes, numTables = LshTables)
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("neighbor_id"), col("cosine_r"))
       },
-      None),
+      Some(AnnLshOracle)),
 
     // text quality metrics.
     "text_quality" -> QueryDef(
