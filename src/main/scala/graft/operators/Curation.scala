@@ -88,22 +88,30 @@ object Curation {
     * rare-word noise score low; formulaic docs score high).
     *
     * Two passes over the exploded words: a global word-frequency
-    * aggregate, then a broadcast join back. The frequency frame is
-    * VOCABULARY-sized (≪ corpus at any scale — natural-language vocab
-    * is millions of rows, megabytes), so the total-count window over
-    * the unpartitioned frame and the broadcast are both safe; the
-    * corpus-side word rows never shuffle for the join. avg over doubles
-    * is order-dependent ⇒ rounded to 1e-6 (the registry-wide
-    * convention for multi-row double aggregates). */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+    * aggregate, then a join back. The grand total rides a ONE-ROW
+    * distributive aggregate cross-joined in (broadcast of a single row
+    * — never an unpartitioned window, so the frequency frame itself
+    * never single-reduces either). `vocabBounded = true` (default)
+    * asserts the natural-language contract — the word vocabulary is
+    * millions of rows / megabytes at any corpus size — and broadcasts
+    * the frequency frame so corpus-side word rows never shuffle for
+    * the join. Pass `vocabBounded = false` when the "vocabulary" is
+    * open-ended (web-scale token or n-gram universes): the hint is
+    * dropped and the join falls back to a shuffle, which scales past
+    * the broadcast limit. avg over doubles is order-dependent ⇒
+    * rounded to 1e-6 (the registry-wide convention for multi-row
+    * double aggregates). */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      vocabBounded: Boolean = true): DataFrame = {
     val w = df.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("w"))
-    val probs = w.groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+    val counts = w.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val probs = counts
+      .crossJoin(broadcast(counts.groupBy().agg(sum(col("n"))
+        .as("total"))))
       .select(col("w"),
         (col("n").cast("double") / col("total")).as("p"))
-    w.join(broadcast(probs), "w")
+    w.join(if (vocabBounded) broadcast(probs) else probs, "w")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"),
         round(avg(log(col("p"))), 6).as("avg_logprob_r"))
@@ -120,31 +128,35 @@ object Curation {
     * Scale shape: ALL probability plumbing happens on the
     * vocab²-bounded bigram-count frame — its per-bigram interpolated
     * log-probability is assembled there once (unigram factors ride
-    * broadcast vocabulary joins against that SMALL frame, with the
-    * total via the same unpartitioned-window convention as
-    * unigramLogProb), and corpus bigram rows then make exactly ONE
-    * shuffle join against the precomputed (bigram, logp) table — no
-    * broadcast pretense on the vocab² frame, no per-corpus-row
-    * splits or multi-join chains. Per-row probability arithmetic is a
-    * fixed operand-order IEEE chain; the per-doc avg of logs is
-    * order-dependent ⇒ rounded 1e-6 (registry convention). */
+    * vocabulary joins against that SMALL frame, broadcast under the
+    * same `vocabBounded` contract as [[unigramLogProb]], with the
+    * grand total as a one-row aggregate cross join), and corpus bigram
+    * rows then make exactly ONE shuffle join against the precomputed
+    * (bigram, logp) table — no broadcast pretense on the vocab² frame,
+    * no per-corpus-row splits or multi-join chains. Per-row
+    * probability arithmetic is a fixed operand-order IEEE chain; the
+    * per-doc avg of logs is order-dependent ⇒ rounded 1e-6 (registry
+    * convention). */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
-      lambda: Double = 0.7): DataFrame = {
+      lambda: Double = 0.7, vocabBounded: Boolean = true): DataFrame = {
     require(lambda >= 0 && lambda <= 1, s"need 0 <= lambda <= 1, got $lambda")
+    def hint(v: DataFrame): DataFrame =
+      if (vocabBounded) broadcast(v) else v
     val bg = df.select(col(idCol).as("id"),
       explode(Dedup.shingles(col(textCol), 2)).as("b"))
-    val uni = df.select(
+    val uniCounts = df.select(
         explode(split(col(textCol), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .withColumn("total", sum(col("c")).over(Window.partitionBy()))
+    val uni = uniCounts.crossJoin(broadcast(
+      uniCounts.groupBy().agg(sum(col("c")).as("total"))))
     val p = lit(lambda) * (col("c_ab").cast("double") / col("c_a")) +
       lit(1 - lambda) * (col("c_b").cast("double") / col("total"))
     val perBigram = bg.groupBy(col("b")).agg(count(lit(1)).as("c_ab"))
       .withColumn("wa", split(col("b"), " ")(0))
       .withColumn("wb", split(col("b"), " ")(1))
-      .join(broadcast(uni.select(col("w").as("wa"), col("c").as("c_a"))),
+      .join(hint(uni.select(col("w").as("wa"), col("c").as("c_a"))),
         "wa")
-      .join(broadcast(uni.select(col("w").as("wb"), col("c").as("c_b"),
+      .join(hint(uni.select(col("w").as("wb"), col("c").as("c_b"),
         col("total"))), "wb")
       .select(col("b"), log(p).as("logp"))
     bg.join(perBigram, "b")

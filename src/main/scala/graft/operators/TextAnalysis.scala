@@ -289,10 +289,14 @@ object TextAnalysis {
     * ranked by `orderBy(count DESC, word).limit(vocabSize)` — a
     * TakeOrderedAndProject (per-partition heaps, vocabulary-sized
     * merge, never a global sort) — then broadcast; corpus word rows
-    * join it without shuffling and roll up per doc. The rate is one
-    * integer/integer IEEE divide — bit-deterministic. */
+    * join it without shuffling and roll up per doc. The vocabulary is
+    * `limit`-bounded BY CONSTRUCTION, so the broadcast is gated on the
+    * requested size itself: above `broadcastMaxVocab` rows (default
+    * 4M — past the point a broadcast table stays cheap to ship) the
+    * hint is dropped and the join falls back to a shuffle. The rate is
+    * one integer/integer IEEE divide — bit-deterministic. */
   def oovRate(df: DataFrame, idCol: String, textCol: String,
-      vocabSize: Int): DataFrame = {
+      vocabSize: Int, broadcastMaxVocab: Int = 1 << 22): DataFrame = {
     require(vocabSize > 0, s"oovRate needs vocabSize > 0, got $vocabSize")
     // null-text docs are absent from the output (same explicit
     // convention as gopherRules — a null doc has no measurable rate)
@@ -301,7 +305,9 @@ object TextAnalysis {
     val vocab = wordRows.groupBy(col("wd")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("wd")).limit(vocabSize)
       .select(col("wd"), lit(true).as("in_vocab"))
-    wordRows.join(broadcast(vocab), Seq("wd"), "left")
+    wordRows.join(
+        if (vocabSize <= broadcastMaxVocab) broadcast(vocab) else vocab,
+        Seq("wd"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L))

@@ -74,6 +74,38 @@ class CurationSpec extends AnyFunSuite {
     assert(sc(1L) > sc(2L))
   }
 
+  test("LM scorers: vocabBounded=false drops the vocabulary broadcast " +
+    "(shuffle fallback for open-ended vocabularies), identical results") {
+    val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "a c b a"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    // size-based auto-broadcast would mask the gate on these tiny
+    // frames; plans are read PRE-execution (AQE may re-plan after)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for ((mk, name) <- Seq(
+        ((b: Boolean) => Curation.unigramLogProb(d, "doc_id", "text",
+          vocabBounded = b), "unigramLogProb"),
+        ((b: Boolean) => Curation.bigramLogProb(d, "doc_id", "text",
+          lambda = 0.75, vocabBounded = b), "bigramLogProb"))) {
+        val hinted = mk(true)
+        val fallback = mk(false)
+        // corpus→vocab joins degrade to shuffle joins, not broadcasts;
+        // the one legitimate broadcast left is the single-row total
+        // (a BroadcastNestedLoopJoin, not a hash join)
+        val plan = fallback.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+        val hintedPlan = hinted.queryExecution.executedPlan.toString
+        assert(hintedPlan.contains("BroadcastHashJoin"), name)
+        // the gate only moves the hint, never the numbers
+        assert(rows(hinted) === rows(fallback), name)
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("stratifiedSample: per-stratum rates land near their fractions, " +
     "selection is stable, and strata don't correlate with the split") {
     val d = (0L until 4000L).map(i =>

@@ -178,6 +178,30 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("unpartitioned-Window allowlist: across the ENTIRE registry, " +
+    "only documented bounded-frame queries may order a whole frame " +
+    "through one reducer") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    // queries whose partition-less Window is a DOCUMENTED bounded-frame
+    // design choice:
+    //  - pipeline_temperature_weights: global softmax over the
+    //    strata-sized frame (|sources| rows)
+    //  - pipeline_pack_sequences: second level of the two-level prefix
+    //    sum, over the bucket-totals frame (|corpus|/bucketSize rows)
+    // anything else appearing here is the single-reducer trap — fix the
+    // operator, don't grow this list without a bounded-frame argument.
+    val allowed = Set("pipeline_temperature_weights",
+      "pipeline_pack_sequences")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWin if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+    }
+    assert(offenders.toSet === allowed,
+      s"unpartitioned-Window query set changed: $offenders")
+  }
+
   test("column profile: per-column passes each scan ONLY their column " +
     "(pruned ReadSchema), with no Expand row blowup") {
     // AQE's string form appends "== Initial Plan ==" — inspect the

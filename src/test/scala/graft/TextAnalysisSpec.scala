@@ -90,6 +90,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 1L, 1.0 / 3)))  // z OOV, q in vocab
   }
 
+  test("oovRate: vocabSize above broadcastMaxVocab drops the hint " +
+    "(shuffle fallback), identical results") {
+    val docs = Seq((1L, "a a b c"), (2L, "a q z"))
+      .toDF("doc_id", "text")
+    def rows(v: org.apache.spark.sql.DataFrame) =
+      v.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    // size-based auto-broadcast would mask the gate on these tiny
+    // frames; plans are read PRE-execution (AQE may re-plan after)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = TextAnalysis.oovRate(docs, "doc_id", "text",
+        vocabSize = 3)
+      val fallback = TextAnalysis.oovRate(docs, "doc_id", "text",
+        vocabSize = 3, broadcastMaxVocab = 2)
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(!fallback.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(rows(hinted) === rows(fallback))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("crossDocNgramFrac: shared trigram counted once per doc; " +
     "unique docs score 0; short docs absent") {
     val docs = Seq(
