@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,12 +11,16 @@ import org.apache.spark.sql.types._
   *
   * Media (image/audio/video) are opaque `binary` columns plus a typed
   * metadata struct. The Spark-side plumbing — schema, partitioning, batch
-  * shape, feature layout — is real and tested; the actual codec step is a
-  * STUB (this container has no image/audio libraries): `decodeStub`
-  * produces deterministic fake features derived from the bytes, clearly
-  * marked, with the exact signature a real decoder (e.g. an
-  * `mapInPandas`/`mapInArrow` Python worker or a JNI codec) would slot
-  * into.
+  * shape, feature layout — is real and tested. IMAGE header decode is
+  * REAL (`decodeImageMeta`: JDK-built-in `javax.imageio`, PNG/JPEG/GIF/
+  * BMP width/height/channels/format, header-only — no pixel decode, no
+  * new dependencies); `encodePng` is a real JDK PNG encoder used to
+  * plant decodable fixtures. The remaining codec steps (pixel-level
+  * feature extraction, audio/video decode — libraries absent from this
+  * container) stay STUBS: `decodeStub` produces deterministic fake
+  * features derived from the bytes, clearly marked, with the exact
+  * signature a real decoder (e.g. a `mapInPandas`/`mapInArrow` Python
+  * worker or a JNI codec) would slot into.
   *
   * Scale design: assets are processed partition-parallel; features are
   * fixed-width `array<float>` so downstream similarity/dedup operators
@@ -83,12 +90,134 @@ object Multimodal {
     * Parquet prunes the payload (see the mm_sample_frames plan
     * assertion in PlanSpec). */
   def describe(assets: DataFrame): DataFrame =
-    assets.select(
-      col("asset_id"),
-      col("media_type"),
-      octet_length(col("payload")).as("payload_bytes"),
-      md5(col("payload")).as("payload_md5"),
-      col("meta.codec").as("codec"))
+    assets
+      .withColumn("img", sniffImageUdf(col("payload")))
+      .select(
+        col("asset_id"),
+        col("media_type"),
+        octet_length(col("payload")).as("payload_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        col("meta.codec").as("codec"),
+        // REAL header decode: populated for genuine image payloads,
+        // null for everything else (javax.imageio, header-only)
+        col("img.width").as("width"),
+        col("img.height").as("height"),
+        col("img.channels").as("channels"),
+        col("img.format").as("img_format"))
+
+  // ---------------------------------------------------------------------
+  // REAL image header codec (javax.imageio — JDK built-in, zero deps).
+  // A codec is genuinely imperative per-row byte work, so this is one of
+  // the two deliberate UDFs in the engine (the other is the PNG encoder
+  // below); everything around it stays declarative and codegen'd.
+  // ---------------------------------------------------------------------
+
+  /** Decoded image header: dimensions, band count, container format. */
+  case class ImageMeta(width: Int, height: Int, channels: Int,
+      format: String)
+
+  /** Magic-byte pre-check so non-image payloads (the common case on a
+    * mixed asset table) skip ImageIO reader discovery entirely — a
+    * four-byte compare instead of stream+SPI probing per row. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G') ||                                   // PNG
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||     // JPEG SOI
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||      // GIF
+      (b(0) == 'B' && b(1) == 'M'))                       // BMP
+
+  /** Header-only decode: width/height via the format reader's metadata
+    * path, channels from the declared image type — pixels are never
+    * decoded, so cost is O(header) not O(width·height). Any parse
+    * failure (truncated/corrupt payload, unsupported format) degrades
+    * to None — the caller sees null meta, never an exception mid-scan. */
+  private def readImageHeader(bytes: Array[Byte]): Option[ImageMeta] = {
+    if (!looksLikeImage(bytes)) return None
+    try {
+      // in-memory stream: disable ImageIO's temp-file cache per call
+      // site via memory-backed input (never touches executor disk)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val types = r.getImageTypes(0)
+            val bands =
+              if (types.hasNext) types.next().getNumBands else 0
+            Some(ImageMeta(r.getWidth(0), r.getHeight(0), bands,
+              r.getFormatName.toLowerCase))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case NonFatal(_) => None }
+  }
+
+  private val sniffImageUdf =
+    udf { bytes: Array[Byte] => readImageHeader(bytes) }
+
+  /** REAL image metadata decode over an asset table: (asset_id,
+    * media_type, width, height, channels, img_format); nulls for
+    * payloads that are not decodable images (stub-fallback contract).
+    * Partition-parallel; payload bytes are read once per row and never
+    * shuffled — only the fixed-width meta survives the projection. */
+  def decodeImageMeta(assets: DataFrame): DataFrame =
+    assets
+      .withColumn("img", sniffImageUdf(col("payload")))
+      .select(col("asset_id"), col("media_type"),
+        col("img.width").as("width"),
+        col("img.height").as("height"),
+        col("img.channels").as("channels"),
+        col("img.format").as("img_format"))
+
+  /** REAL PNG encoder (JDK `ImageIO.write`): a deterministic RGB
+    * pattern derived from (id, x, y), used to plant decodable image
+    * fixtures whose dimensions an external oracle can predict
+    * arithmetically — the engine must round-trip a genuine PNG
+    * encode+decode for results to match. Dims are clamped to ≥1 (a
+    * 0-dim BufferedImage throws). */
+  private val encodePngUdf = udf { (id: Long, w: Int, h: Int) =>
+    val width = math.max(w, 1)
+    val height = math.max(h, 1)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((id * 31 + y * 17 + x * 7) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize real PNG assets (one per input row) with the given
+    * per-row dimensions: the planted-fixture generator for the real
+    * decode path. Output follows `assetSchema` (+ codec = "png"). */
+  def synthPngAssets(df: DataFrame, idCol: String, widthCol: Column,
+      heightCol: Column): DataFrame = {
+    val id = col(idCol).cast(LongType)
+    df.select(
+      coalesce(id, xxhash64(col(idCol)).bitwiseAND(lit(Long.MaxValue)))
+        .as("asset_id"),
+      lit("image").as("media_type"),
+      encodePngUdf(coalesce(id, lit(0L)),
+        widthCol.cast(IntegerType), heightCol.cast(IntegerType))
+        .as("payload"),
+      struct(
+        widthCol.cast(IntegerType).as("width"),
+        heightCol.cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms"),
+        lit("png").as("codec")).as("meta"))
+  }
 
   // ---------------------------------------------------------------------
   // STUB decode path. A real deployment replaces `decodeStub` with a

@@ -1168,16 +1168,50 @@ object PipelineQueries {
         FROM v LEFT JOIN dropped ON v.vec_id = dropped.id"""
         .replaceAll("\\s+", " "))),
 
-    // multimodal: metadata/describe pass over binary payloads.
+    // multimodal: metadata/describe pass over binary payloads. The
+    // width/height/channels/img_format columns are the REAL
+    // javax.imageio header decode — deterministically null here
+    // because text bytes are not an image (the decodable-payload path
+    // is driver-gated by mm_image_meta below and pixel-exact in
+    // MultimodalSpec).
     "mm_describe" -> QueryDef(
       (s, dir) => Multimodal.describe(Multimodal.fromBinary(
           docs(s, dir), "doc_id", col("text").cast("binary"), "image"))
         .select(col("asset_id"), col("media_type"),
           col("payload_bytes").cast("long").as("payload_bytes"),
-          col("payload_md5"), col("codec")),
+          col("payload_md5"), col("codec"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("img_format")),
       Some("""SELECT doc_id AS asset_id, 'image' AS media_type,
         strlen(text)::BIGINT AS payload_bytes, md5(text) AS payload_md5,
-        'stub' AS codec FROM documents""".replaceAll("\\s+", " "))),
+        'stub' AS codec, NULL::BIGINT AS width, NULL::BIGINT AS height,
+        NULL::BIGINT AS channels, NULL::VARCHAR AS img_format
+        FROM documents""".replaceAll("\\s+", " "))),
+
+    // multimodal: REAL PNG round-trip — the engine ImageIO-encodes one
+    // genuine PNG per document with dims derived arithmetically from
+    // doc_id, then ImageIO-decodes the header back. The oracle predicts
+    // the same dims from doc_id alone, so a hash match proves the
+    // engine performed an actual byte-level PNG encode+decode (any
+    // codec bug — wrong IHDR parse, band miscount, format misdetect —
+    // breaks the match).
+    "mm_image_meta" -> QueryDef(
+      (s, dir) => Multimodal.decodeImageMeta(Multimodal.synthPngAssets(
+          docs(s, dir), "doc_id",
+          lit(1) + pmod(col("doc_id"), lit(13)),
+          lit(1) + pmod(col("doc_id") * 3, lit(11))))
+        .select(col("asset_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("img_format")),
+      Some("""SELECT doc_id AS asset_id,
+        (1 + doc_id % 13)::BIGINT AS width,
+        (1 + (doc_id*3) % 11)::BIGINT AS height,
+        3::BIGINT AS channels, 'png' AS img_format FROM documents"""
+        .replaceAll("\\s+", " "))),
 
     // multimodal: STUB decode → deterministic fake features, exploded to
     // (asset_id, i, feature) rows.

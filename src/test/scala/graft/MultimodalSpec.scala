@@ -1,0 +1,80 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Real javax.imageio decode path: planted PNG/JPEG fixtures must come
+  * back with their true width/height/channels/format; non-image and
+  * corrupt payloads must degrade to nulls (never throw mid-scan). */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  /** JDK-encoded fixture bytes with known dims. */
+  private def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private def assets(rows: Seq[(Long, Array[Byte])]) =
+    Multimodal.fromBinary(
+      rows.toDF("id", "bytes"), "id", col("bytes"), "image")
+
+  test("decodeImageMeta reads true dims/channels/format for planted PNG and JPEG") {
+    val out = Multimodal.decodeImageMeta(assets(Seq(
+        1L -> encode("png", 37, 21),
+        2L -> encode("jpg", 64, 48))))
+      .orderBy("asset_id").collect()
+    assert(out(0) === Row(1L, "image", 37, 21, 3, "png"))
+    assert(out(1) === Row(2L, "image", 64, 48, 3, "jpeg"))
+  }
+
+  test("decodeImageMeta nulls out non-image, corrupt, and null payloads") {
+    val corruptPng = encode("png", 8, 8).take(12) // truncated inside IHDR
+    val out = Multimodal.decodeImageMeta(assets(Seq(
+        1L -> "plain text bytes".getBytes("UTF-8"),
+        2L -> corruptPng,
+        3L -> null)))
+      .orderBy("asset_id").collect()
+    out.foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) &&
+        r.isNullAt(5), s"expected all-null meta, got $r")
+    }
+  }
+
+  test("describe surfaces real header meta alongside the fingerprint") {
+    val png = encode("png", 5, 9)
+    val out = Multimodal.describe(assets(Seq(7L -> png))).collect()(0)
+    assert(out.getAs[Long]("payload_bytes") === png.length.toLong)
+    assert(out.getAs[Int]("width") === 5)
+    assert(out.getAs[Int]("height") === 9)
+    assert(out.getAs[Int]("channels") === 3)
+    assert(out.getAs[String]("img_format") === "png")
+  }
+
+  test("synthPngAssets round-trips through the real decoder at per-row dims") {
+    val df = Seq(0L, 1L, 25L, 499L).toDF("doc_id")
+    val out = Multimodal.decodeImageMeta(Multimodal.synthPngAssets(
+        df, "doc_id",
+        lit(1) + pmod(col("doc_id"), lit(13)),
+        lit(1) + pmod(col("doc_id") * 3, lit(11))))
+      .orderBy("asset_id").collect()
+    for (r <- out) {
+      val id = r.getLong(0)
+      assert(r.getInt(2) === 1 + (id % 13).toInt, s"width for id=$id")
+      assert(r.getInt(3) === 1 + (id * 3 % 11).toInt, s"height for id=$id")
+      assert(r.getInt(4) === 3)
+      assert(r.getString(5) === "png")
+    }
+  }
+}
