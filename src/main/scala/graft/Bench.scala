@@ -69,8 +69,14 @@ object Bench {
     // JIT attribution and all), remaining reps are WARM — their median
     // is what round-over-round comparisons should diff, because cold
     // attribution moves between identical runs (two rounds of identical
-    // binaries showed 7× single-rep per-query swings)
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    // binaries showed 7× single-rep per-query swings). Default 4: with
+    // 2, the "warm median" is ONE sample and a single load spike on the
+    // bench box reads as a multi-second phantom regression (this
+    // happened — a 22.9s "warm" measurement of a 1.4s query); a median
+    // of 3 warm reps is robust to one contaminated sample. A malformed
+    // env value falls back to the default instead of aborting the run.
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(4))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
