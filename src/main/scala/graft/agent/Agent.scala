@@ -564,18 +564,24 @@ object AgentCli {
     s"graft v$v (spark ${org.apache.spark.SPARK_VERSION})"
   }
 
-  /** Flags that take no value — the version scan must skip VALUES of
-    * other flags (`-db -version` is a regex named "-version", not a
-    * version request), so it walks flag positions exactly like the
-    * parse loop below. */
-  private val ValuelessFlags =
-    Set("-version", "-v", "-vv", "-vvv", "-full", "-verify")
+  /** Flags that take a value — the version scan must skip VALUES of
+    * these (`-db -version` is a regex named "-version", not a version
+    * request), so it walks flag positions exactly like the parse loop
+    * below. Closed enumeration on purpose: an UNKNOWN `-`-token is
+    * treated as a (valueless) flag, not as value-taking, so
+    * `-typo -version` still prints the banner — the reference's
+    * version-beats-everything semantics hold even on otherwise-invalid
+    * command lines (main.go:132-136 checks version before anything). */
+  private val ValueFlags = Set(
+    "-logmode", "-logs", "-action", "-config", "-master", "-slave",
+    "-db", "-rp", "-meas", "-newdb", "-newrp", "-chunk", "-start",
+    "-end", "-checkpoint", "-tags", "-fields", "-watermark", "-static",
+    "-pidfile")
   private def versionRequested(args: Array[String]): Boolean = {
     var i = 0
     while (i < args.length) {
       if (args(i) == "-version") return true
-      if (args(i).startsWith("-") && !ValuelessFlags.contains(args(i)))
-        i += 1 // skip this flag's value
+      if (ValueFlags.contains(args(i))) i += 1 // skip this flag's value
       i += 1
     }
     false

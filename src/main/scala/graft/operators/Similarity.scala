@@ -177,11 +177,18 @@ object Similarity {
           val p = r.getInt(1)
           // tolerate contract-violating corpora the same way the
           // assignment kernels do (math.min over lengths): positions
-          // past the init dim and null sums (a null vector element)
-          // are ignored rather than crashing the driver mid-training
-          if (p < dim && !r.isNullAt(2)) {
-            acc(c)(p) = r.getDouble(2)
-            cnt(c) = r.getLong(3)
+          // past the init dim are ignored, and a dim whose sum is null
+          // (a null vector element poisoned it) stays at 0.0 —
+          // excluded from the recentred direction — rather than
+          // crashing the driver mid-training
+          if (p < dim) {
+            // cluster size from pos==0 rows ONLY: every vector emits a
+            // pos-0 row, so this is THE cluster count — deriving it
+            // from whichever (c,pos) row collect() happened to order
+            // last would make ragged-corpus recentring
+            // order-dependent
+            if (p == 0) cnt(c) = r.getLong(3)
+            if (!r.isNullAt(2)) acc(c)(p) = r.getDouble(2)
           }
         }
         cents = cents.indices.map { c =>

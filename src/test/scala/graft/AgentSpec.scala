@@ -299,11 +299,16 @@ class AgentSpec extends AnyFunSuite {
       Array("-version", "-config", "/nonexistent_graft.toml"))
     assert(va4 == "version")
     // …but a flag VALUE spelled "-version" is a regex, not a version
-    // request (the scan walks flag positions — pins ValuelessFlags in
+    // request (the scan walks flag positions — pins ValueFlags in
     // sync with the parse loop's grammar)
     val (vaVal, cVal) = AgentCli.parse(Array(
       "-master", "/m", "-slave", "/s", "-db", "-version"))
     assert(vaVal == "hamonitor" && cVal.dbRegex == "-version")
+    // …and an UNKNOWN flag before -version doesn't swallow it as its
+    // value: version-beats-everything holds even on otherwise-invalid
+    // command lines (the scan treats unknown -tokens as valueless)
+    val (vaTypo, _) = AgentCli.parse(Array("-typo", "-version"))
+    assert(vaTypo == "version")
     assert(AgentCli.versionString.matches("graft v.+ \\(spark .+\\)"),
       AgentCli.versionString)
     // `-version` prints and exits before any Spark/pidfile setup
