@@ -423,18 +423,24 @@ object PipelineQueries {
 
     // Product-quantization ANN (ADC shortlist over an 8-byte code table
     // + exact re-rank) — the memory-bound scale path: the corpus-wide
-    // frame holds codes, never float vectors. Approximate by design →
-    // rows-only; recall + exact-re-rank property asserted in ScalaTest.
+    // frame holds codes, never float vectors. Registry config is the
+    // DEGENERATE-EXACT corner (k·refine = 5000 ≥ |embeddings| at every
+    // SF — fixtures are 500/500/2000, see ann_pca_topk — ⇒ the ADC
+    // shortlist is exhaustive and the exact cosine re-rank sees every
+    // candidate, so codebook quality is irrelevant to the result),
+    // which DuckDB-oracles the full train → encode → ADC → re-rank
+    // path end-to-end; a larger future SF needs refine raised in step.
+    // Pruned-shortlist recall (refine = 8) stays in SimilaritySpec.
     "ann_pq_topk" -> QueryDef(
       (s, dir) => {
         val e = emb(s, dir)
         Similarity.pqTopK(e.filter(col("vec_id") < 16), e,
           "vec_id", "embedding", k = 5, numSub = 8, ksub = 16,
-          refine = 4)
+          refine = 1000)
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("neighbor_id"), col("cosine_r"))
       },
-      None),
+      Some(AnnExactOracle)),
 
     // IVFADC (IVF × PQ): the query ADC-scans only its probed inverted
     // lists over a codes-only corpus frame — the composed 100 TB ANN
