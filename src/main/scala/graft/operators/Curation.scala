@@ -304,4 +304,65 @@ object Curation {
         array_join(col("col"), " ").as("chunk_text"),
         size(col("col")).cast("long").as("n_words"))
   }
+
+  /** Cross-document repeated-SPAN removal — span-level dedup (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better":
+    * removing repeated substrings beats dropping whole near-dup docs).
+    * Word-level formulation: an `n`-word window whose gram occurs in ≥
+    * `minDocs` distinct documents is a duplicated span; every word
+    * position covered by ANY duplicated span is cut, and the document
+    * is rewritten from the surviving words. Emits per doc: token count,
+    * duplicated-token count, duplicated fraction (one IEEE divide of
+    * the two counts), and the rewritten `clean_text` ("" when fully
+    * covered — e.g. exact-duplicate docs).
+    *
+    * Plan shape for 100 TB: the entire detection plane carries (id,
+    * position, 60-bit gram hash) — the
+    * [[graft.functions.MinHash.NgramHash60]] kernel emits one hash per
+    * window start, position-aligned with `split(text, " ")`, so no
+    * gram string is ever materialized and no detection shuffle carries
+    * text. Covered positions fold to ONE bounded `collect_set` per doc
+    * (≤ doc length ints) and meet the unexploded doc row in the final
+    * rewrite join; the rewrite itself is a row-local indexed `filter`
+    * over the split words. Document bodies therefore cross the network
+    * AT MOST ONCE — in that join, only when the covered frame outgrows
+    * the broadcast threshold AND the corpus layout is not already
+    * id-partitioned (an id-bucketed corpus, [[Bucketing]]'s posture,
+    * makes the rewrite shuffle-free: only position sets move). */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n > 0, s"span length must be positive: $n")
+    require(minDocs >= 2,
+      s"a span repeated in < 2 docs is not a cross-doc duplicate: " +
+        s"$minDocs")
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+    // (id, p, g): window start p (0-based, = index of its first word)
+    val wins = base.select(col("id"),
+      posexplode(ngramHashes(col("text"), n)))
+      .select(col("id"), col("pos").as("p"), col("col").as("g"))
+    // grams present in >= minDocs distinct docs: per-doc distinct
+    // first (a doc's internal repeats must not fake cross-doc
+    // support), then one count over 8-byte keys
+    val dup = wins.select(col("id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("docs"))
+      .where(col("docs") >= minDocs)
+      .select(col("g"))
+    // union of covered word positions, folded to one array per doc
+    val covered = wins.join(dup, "g")
+      .select(col("id"),
+        explode(sequence(col("p"), col("p") + lit(n - 1))).as("pos"))
+      .groupBy(col("id"))
+      .agg(collect_set(col("pos")).as("cov"))
+    val w = split(col("text"), " ")
+    val cov = coalesce(col("cov"), array().cast("array<int>"))
+    base.join(covered, Seq("id"), "left")
+      .select(col("id"),
+        size(w).cast("long").as("n_tokens"),
+        size(cov).cast("long").as("dup_tokens"),
+        (size(cov).cast("double") / size(w)).as("dup_frac"),
+        array_join(
+          filter(w, (word, i) => !array_contains(cov, i)), " ")
+          .as("clean_text"))
+  }
 }

@@ -632,6 +632,44 @@ object PipelineQueries {
             least((i-1)*24 + 32, L)))::BIGINT AS n_words
         FROM e""".replaceAll("\\s+", " "))),
 
+    // cross-document repeated-SPAN removal (span-level dedup, Lee et
+    // al.) — 4-word spans repeated in >= 2 docs are cut and the doc
+    // rewritten from the survivors. n=4/minDocs=2 chosen non-vacuous
+    // against the fixture: 368/500 docs partially covered, 24 fully
+    // covered (the planted exact duplicates -> clean_text = ''), 132
+    // untouched — every branch of the operator exercises. The oracle
+    // dedups on gram STRINGS where the engine joins 60-bit hashes
+    // (equivalent modulo md5 collisions).
+    "dedup_repeated_spans" -> QueryDef(
+      (s, dir) => Curation.removeRepeatedSpans(docs(s, dir), "doc_id",
+        "text", n = 4, minDocs = 2),
+      Some("""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+          FROM documents WHERE text IS NOT NULL),
+        win AS (SELECT doc_id, p, array_to_string(a[p:p+3], ' ') AS gram
+          FROM arr, unnest(generate_series(1, len(a)-3)) AS t(p)),
+        dup AS (SELECT gram FROM
+          (SELECT DISTINCT doc_id, gram FROM win)
+          GROUP BY gram HAVING count(*) >= 2),
+        cov AS (SELECT DISTINCT w.doc_id, t.pos
+          FROM win w JOIN dup USING (gram),
+          unnest(generate_series(w.p, w.p+3)) AS t(pos)),
+        covn AS (SELECT doc_id, count(*) AS dup_tokens FROM cov
+          GROUP BY doc_id),
+        tok AS (SELECT doc_id, i, a[i] AS wd FROM arr,
+          unnest(generate_series(1, len(a))) AS t(i)),
+        kept AS (SELECT t.doc_id,
+          string_agg(t.wd, ' ' ORDER BY t.i) AS ct
+          FROM tok t LEFT JOIN cov c
+          ON t.doc_id = c.doc_id AND t.i = c.pos
+          WHERE c.pos IS NULL GROUP BY t.doc_id)
+        SELECT arr.doc_id AS id, len(arr.a)::BIGINT AS n_tokens,
+          coalesce(covn.dup_tokens, 0)::BIGINT AS dup_tokens,
+          coalesce(covn.dup_tokens, 0)::DOUBLE / len(arr.a)::DOUBLE
+            AS dup_frac,
+          coalesce(kept.ct, '') AS clean_text
+        FROM arr LEFT JOIN covn USING (doc_id)
+        LEFT JOIN kept USING (doc_id)""".replaceAll("\\s+", " "))),
+
     // temperature-scaled source mixing weights (token-count based:
     // doc counts are uniform across the fixture's sources, token sums
     // are not — non-vacuous weights).

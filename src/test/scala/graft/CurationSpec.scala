@@ -320,4 +320,70 @@ class CurationSpec extends AnyFunSuite {
         s"t$trial L=$length c=$c ov=$ov")
     }
   }
+
+  test("removeRepeatedSpans cuts exactly the cross-doc repeated " +
+    "windows; exact dup pair fully covered; clean doc untouched") {
+    val s = spark
+    import s.implicits._
+    // docs 1+2 share 'alpha beta gamma delta' mid-text; 3+4 are exact
+    // duplicates (fully covered); 5 is clean; 6 repeats a span only
+    // WITHIN itself (internal repeat must not count as cross-doc)
+    val d = Seq(
+      (1L, "one two alpha beta gamma delta three four"),
+      (2L, "five alpha beta gamma delta six seven eight"),
+      (3L, "same exact duplicated document body here"),
+      (4L, "same exact duplicated document body here"),
+      (5L, "entirely unique words nowhere else repeated ever"),
+      (6L, "x y z w x y z w padding tail")
+    ).toDF("doc_id", "text")
+    val out = Curation.removeRepeatedSpans(d, "doc_id", "text",
+        n = 4, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    // doc 1: positions 2..5 covered (one 4-gram window)
+    assert(out(1L) == ((8L, 4L, 0.5, "one two three four")))
+    // doc 2: positions 1..4 covered
+    assert(out(2L) == ((8L, 4L, 0.5, "five six seven eight")))
+    // exact duplicates: every window shared → everything cut
+    assert(out(3L) == ((6L, 6L, 1.0, "")))
+    assert(out(4L) == ((6L, 6L, 1.0, "")))
+    // clean doc: untouched, rewrite is identity
+    assert(out(5L) ==
+      ((7L, 0L, 0.0, "entirely unique words nowhere else repeated ever")))
+    // internal repetition alone is not a cross-doc duplicate
+    assert(out(6L) ==
+      ((10L, 0L, 0.0, "x y z w x y z w padding tail")))
+    intercept[IllegalArgumentException] {
+      Curation.removeRepeatedSpans(d, "doc_id", "text", 4, minDocs = 1)
+    }
+  }
+
+  test("removeRepeatedSpans plan: no shuffle carries document text") {
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d f"))
+      .toDF("doc_id", "text")
+    // AQE off for the capture: the adaptive wrapper hides exchanges
+    // from a structural collect until execution
+    val plan = {
+      val k = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(k)
+      spark.conf.set(k, "false")
+      try Curation.removeRepeatedSpans(d, "doc_id", "text", 4)
+        .queryExecution.executedPlan
+      finally spark.conf.set(k, prev)
+    }
+    val shuffled = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }.flatten
+    assert(shuffled.nonEmpty, "expected at least one exchange")
+    // the detection plane's contract: its exchanges carry only ids,
+    // positions, 8-byte gram hashes, and bounded position sets. (The
+    // final rewrite join keeps text out of exchanges here via the
+    // small-side broadcast; at corpus scale that join is the ONE place
+    // bodies may cross the network — see the operator's scaladoc.)
+    assert(!shuffled.exists(n => n == "text" || n == "clean_text"),
+      s"document text crossed a shuffle: $shuffled")
+  }
 }
