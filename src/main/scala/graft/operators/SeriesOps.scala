@@ -403,4 +403,140 @@ object SeriesOps {
       .select(seriesCols.map(col) ++ Seq(
         col("it.b").as(bucketCol), col("it.v").as("ema")): _*)
   }
+
+  /** One Holt output point: bucket, level, trend, one-step forecast. */
+  case class BLTF(b: Long, l: Long, t: Long, f: Long)
+  /** Holt output wrapper (product-encodable). */
+  case class HoltItems(items: Seq[BLTF])
+
+  /** Fixed-point Holt linear-trend (double exponential) smoothing with
+    * rational α = aNum/aDen, β = bNum/bDen over integer-unit values —
+    * the deterministic per-series core of InfluxQL's HOLT_WINTERS
+    * (without the seasonal term and without its Nelder-Mead parameter
+    * fit: parameters here are caller-fixed rationals). Seeds l₁ = v₁,
+    * t₁ = 0; then with s = lᵢ₋₁ + tᵢ₋₁:
+    *
+    *   lᵢ = (aNum·vᵢ + (aDen−aNum)·s  + aDen/2) / aDen
+    *   tᵢ = (bNum·(lᵢ−lᵢ₋₁) + (bDen−bNum)·tᵢ₋₁ + bDen/2) / bDen
+    *
+    * with `/` truncate-toward-zero Long division (JVM `/` ≡ DuckDB
+    * `//`, verified on negatives: (-7)//4 = -1 in both). The +den/2
+    * offset rounds half-up for non-negative numerators; for negative
+    * numerators (a falling trend) the truncation makes the step
+    * round-half-toward-zero instead — asymmetric, but the SAME
+    * asymmetry in any engine running this integer recursion, which is
+    * the contract that matters (see [[EmaFixedAggregator]]: float
+    * recurrences drift ~1 ulp/step under FMA contraction; integers
+    * cannot). The one-step-ahead forecast fᵢ = lᵢ + tᵢ predicts bucket
+    * i+1. Same state shape as [[emaFixed]]: per-series bucket list,
+    * series fold in parallel. */
+  class HoltFixedAggregator(aNum: Long, aDen: Long, bNum: Long,
+      bDen: Long) extends Aggregator[BVL, EmaFixedItems, HoltItems] {
+    require(aDen > 0 && aNum > 0 && aNum <= aDen,
+      s"need 0 < aNum <= aDen, got $aNum/$aDen")
+    require(bDen > 0 && bNum > 0 && bNum <= bDen,
+      s"need 0 < bNum <= bDen, got $bNum/$bDen")
+    override def zero: EmaFixedItems = EmaFixedItems(Nil)
+    override def reduce(b: EmaFixedItems, a: BVL): EmaFixedItems =
+      EmaFixedItems(a +: b.items)
+    override def merge(a: EmaFixedItems, b: EmaFixedItems): EmaFixedItems =
+      EmaFixedItems(a.items ++ b.items)
+    override def finish(r: EmaFixedItems): HoltItems = {
+      val sorted = r.items.sortBy(p => (p.b, p.v))
+      if (sorted.isEmpty) HoltItems(Nil)
+      else {
+        var l = sorted.head.v
+        var t = 0L
+        val out = Seq.newBuilder[BLTF]
+        out += BLTF(sorted.head.b, l, t, l + t)
+        sorted.tail.foreach { p =>
+          val s = l + t
+          val l2 = (aNum * p.v + (aDen - aNum) * s + aDen / 2) / aDen
+          t = (bNum * (l2 - l) + (bDen - bNum) * t + bDen / 2) / bDen
+          l = l2
+          out += BLTF(p.b, l, t, l + t)
+        }
+        HoltItems(out.result())
+      }
+    }
+    override def bufferEncoder: Encoder[EmaFixedItems] =
+      Encoders.product[EmaFixedItems]
+    override def outputEncoder: Encoder[HoltItems] =
+      Encoders.product[HoltItems]
+  }
+
+  /** [[HoltFixedAggregator]] as a frame transform — callers scale
+    * doubles to integer units first (micro-unit contract, as
+    * [[emaFixed]]). Output: (series…, bucketCol, level, trend,
+    * forecast: Long), forecast = the NEXT bucket's prediction. */
+  def holtFixed(df: DataFrame, seriesCols: Seq[String], bucketCol: String,
+      valueCol: String, aNum: Long, aDen: Long, bNum: Long,
+      bDen: Long): DataFrame = {
+    val agg = udaf(new HoltFixedAggregator(aNum, aDen, bNum, bDen),
+      Encoders.product[BVL])
+    df.groupBy(seriesCols.map(col): _*)
+      .agg(agg(col(bucketCol).cast("long"),
+        col(valueCol).cast("long")).as("e"))
+      .select(seriesCols.map(col) :+ explode(col("e.items")).as("it"): _*)
+      .select(seriesCols.map(col) ++ Seq(
+        col("it.b").as(bucketCol), col("it.l").as("level"),
+        col("it.t").as("trend"), col("it.f").as("forecast")): _*)
+  }
+
+  /** Rolling z-score anomaly detection over per-series bucket values —
+    * each point is scored against the mean/stddev of its own series'
+    * `lookback` PRIOR buckets (the current point never contaminates
+    * its own baseline). Inputs are exact integer units (the callers'
+    * fixed-point bucket-mean contract, same as [[emaFixed]]); the
+    * window statistics (count, sum, sum-of-squares) are then exact
+    * Long arithmetic in any accumulation order, and the anomaly test
+    * itself never leaves integer space:
+    *
+    *   z > σ  ⇔  (v·n − Σv)² > σ²·(n·Σv² − (Σv)²)
+    *
+    * so the flag is bit-deterministic cross-engine at any chain length
+    * (the round-6 sf0.1 lesson: float window sums drift under FMA
+    * contraction). The reported `z` is the single IEEE expression
+    * D/√V over those exact integers — one cast, one sqrt, one divide,
+    * each correctly rounded, hence bit-identical in any engine — and
+    * is deliberately NOT decimal-rounded (`round(double, s)` half-up
+    * disagrees across engines even on identical doubles; see
+    * ts_momentum's note). Null until `minPrior` history accumulates
+    * and when the baseline is flat (V = 0); a nonzero deviation off a
+    * flat baseline still flags (D² > σ²·0).
+    *
+    * Scale shape: ONE window spec (partition by series, order by
+    * bucket) carries all three statistics — a single Exchange + Sort +
+    * Window over series-clustered data, no self-join, no global sort.
+    * Long-safety: |v| ≤ 10⁶ units with lookback ≤ 10³ keeps
+    * σ²·(n·Σv² − (Σv)²) < 2⁶³ (registry use: cent units, lookback 24).
+    *
+    * @param lookback prior-bucket window size in POINTS
+    * @param minPrior minimum prior buckets before scoring (else null)
+    * @param sigma    integer z threshold for the flag */
+  def rollingAnomalies(df: DataFrame, seriesCols: Seq[String],
+      bucketCol: String, valueCol: String, lookback: Int = 24,
+      minPrior: Int = 12, sigma: Int = 3): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2: $lookback")
+    require(minPrior >= 2 && minPrior <= lookback,
+      s"need 2 <= minPrior <= lookback: $minPrior/$lookback")
+    require(sigma >= 1, s"sigma must be >= 1: $sigma")
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col(bucketCol))
+      .rowsBetween(-lookback, -1)
+    val v = col(valueCol)
+    val stats = df.select(seriesCols.map(col) ++ Seq(col(bucketCol), v,
+      count(v).over(w).as("n_prior"),
+      sum(v).over(w).as("sm"),
+      sum(v * v).over(w).as("ssq")): _*)
+    val d = v * col("n_prior") - col("sm")
+    val vv = col("n_prior") * col("ssq") - col("sm") * col("sm")
+    val eligible = col("n_prior") >= minPrior
+    stats.select(seriesCols.map(col) ++ Seq(col(bucketCol), v,
+      col("n_prior"),
+      when(eligible && vv > 0,
+        d.cast("double") / sqrt(vv.cast("double"))).as("z"),
+      (eligible && d * d > lit(sigma.toLong * sigma) * vv)
+        .as("is_anomaly")): _*)
+  }
 }

@@ -622,6 +622,51 @@ object ParityQueries {
         SELECT event_type, b AS b_us, emau AS ema_u FROM r"""
         .replaceAll("\\s+", " "))),
 
+    // Holt linear-trend (double exponential) smoothing, α = β = 1/4,
+    // over the same hour-bucketed micro-unit means as ts_ema — the
+    // deterministic core of InfluxQL HOLT_WINTERS (fixed rational
+    // parameters in place of its Nelder-Mead fit; no seasonal term).
+    // Two-state integer recursion l/t with truncating division (Spark
+    // Long `/` ≡ DuckDB `//`, toward zero INCLUDING negatives — the
+    // trend state goes negative on falling series, which ts_ema's
+    // non-negative contract never exercised); the oracle expresses the
+    // identical recursion as a recursive CTE, with the lᵢ expression
+    // repeated inside the tᵢ term (SQL can't reference a same-SELECT
+    // alias). forecast = l + t predicts the NEXT bucket.
+    "ts_holt" -> QueryDef(
+      (s, dir) => SeriesOps.holtFixed(
+        Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b_us"),
+            expr("(2 * s * 10000 + n) div (2 * n)").as("vu")),
+        seriesCols = Seq("event_type"), bucketCol = "b_us",
+        valueCol = "vu", aNum = 1L, aDen = 4L, bNum = 1L, bDen = 4L)
+        .select(col("event_type"), col("b_us"),
+          col("level").as("level_u"), col("trend").as("trend_u"),
+          col("forecast").as("forecast_u")),
+      Some("""WITH RECURSIVE a0 AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+          count(*) AS n FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, b,
+          CAST((2 * s * 10000 + n) // (2 * n) AS BIGINT) AS vu FROM a0),
+        n AS (SELECT event_type, b, vu, row_number() OVER
+          (PARTITION BY event_type ORDER BY b) AS rn FROM a),
+        r AS (SELECT event_type, b, vu, rn, vu AS l,
+            CAST(0 AS BIGINT) AS t FROM n WHERE rn = 1
+          UNION ALL
+          SELECT n.event_type, n.b, n.vu, n.rn,
+            (n.vu + 3 * (r.l + r.t) + 2) // 4,
+            (((n.vu + 3 * (r.l + r.t) + 2) // 4 - r.l) + 3 * r.t + 2)
+              // 4
+          FROM n JOIN r ON n.event_type = r.event_type
+            AND n.rn = r.rn + 1)
+        SELECT event_type, b AS b_us, l AS level_u, t AS trend_u,
+          (l + t) AS forecast_u FROM r""".replaceAll("\\s+", " "))),
+
     // InfluxQL SLIMIT 30 SOFFSET 10: series pagination — hour-bucketed
     // per-series sums for series ranked 11..40 in (event_type, user_id)
     // key order. The rank runs over the DISTINCT key set (series-count-
@@ -733,6 +778,48 @@ object ParityQueries {
             THEN CAST((sg * 200000000 + (sg + sl))
               // ((sg + sl) * 2) AS BIGINT) END AS rsi7_u
         FROM r""".replaceAll("\\s+", " "))),
+
+    // Rolling z-score anomaly detection over hour-bucketed per-type
+    // cent means: each bucket scored against its series' 24 PRIOR
+    // buckets (>= 12 required), 3σ flag. Everything that can drift is
+    // integer: cent bucket means via the exact rounded division
+    // (2s + n) div (2n), window count/sum/sum-of-squares as exact Long
+    // sums, and the flag as the cross-multiplied square test
+    // D² > 9·V (D = vc·n − Σ, V = n·Σvc² − Σ²) — no float ever enters
+    // a comparison. The reported z = D/√V is one IEEE divide of one
+    // IEEE sqrt over exact integers, bit-identical cross-engine, and
+    // deliberately UNROUNDED (see ts_momentum's round() note).
+    // Non-vacuous at sf0.01: 82 of 3385 buckets flag.
+    "ts_anomaly" -> QueryDef(
+      (s, dir) => SeriesOps.rollingAnomalies(
+        Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b_us"),
+            expr("(2 * s + n) div (2 * n)").as("vc")),
+        seriesCols = Seq("event_type"), bucketCol = "b_us",
+        valueCol = "vc", lookback = 24, minPrior = 12, sigma = 3),
+      Some("""WITH a0 AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+          count(*) AS n FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, b,
+          CAST((2 * s + n) // (2 * n) AS BIGINT) AS vc FROM a0),
+        w AS (SELECT event_type, b, vc,
+          count(vc) OVER win AS n_prior, sum(vc) OVER win AS sm,
+          sum(vc * vc) OVER win AS ssq FROM a
+          WINDOW win AS (PARTITION BY event_type ORDER BY b
+            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, b AS b_us, vc, n_prior::BIGINT AS n_prior,
+          CASE WHEN n_prior >= 12 AND n_prior * ssq - sm * sm > 0
+            THEN (vc * n_prior - sm)::DOUBLE /
+              sqrt((n_prior * ssq - sm * sm)::DOUBLE) END AS z,
+          (n_prior >= 12 AND
+            (vc * n_prior - sm) * (vc * n_prior - sm) >
+              9 * (n_prior * ssq - sm * sm)) AS is_anomaly
+        FROM w""".replaceAll("\\s+", " "))),
 
     // InfluxQL TOP(value, 3) / BOTTOM(value, 3) per series — selector
     // functions via the bounded-heap TopKAgg (map-side partial top-k;

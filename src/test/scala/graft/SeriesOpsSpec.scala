@@ -373,4 +373,92 @@ class SeriesOpsSpec extends AnyFunSuite {
       p.take(3000))
     assert(!p.contains("Join"), p.take(3000))
   }
+
+  test("holtFixed: hand-computed two-state recursion incl. negative " +
+    "trend truncation; input order / partitioning invariant") {
+    val s = spark
+    import s.implicits._
+    // series "up": 100,200,40; series "down": 100,20,10 — the falling
+    // series drives the trend state negative, exercising the
+    // truncate-toward-zero rounding on negative numerators
+    val rows = Seq(("up", 1L, 100L), ("up", 2L, 200L), ("up", 3L, 40L),
+      ("down", 1L, 100L), ("down", 2L, 20L), ("down", 3L, 10L))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SeriesOps.holtFixed(df, Seq("series"), "b", "v",
+          aNum = 1L, aDen = 4L, bNum = 1L, bDen = 4L)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    val out = run(rows.toDF("series", "b", "v"))
+    // hand-computed, α=β=1/4:
+    // up: l=(200+300+2)/4=125, t=(25+2)/4=6; l=(40+393+2)/4=108,
+    //     t=((108-125)+18+2)/4=3/4=0
+    assert(out(("up", 1L)) == ((100L, 0L, 100L)))
+    assert(out(("up", 2L)) == ((125L, 6L, 131L)))
+    assert(out(("up", 3L)) == ((108L, 0L, 108L)))
+    // down: l=(20+300+2)/4=80, t=(-20+2)/4=-18/4=-4 (toward zero);
+    //       s=76, l=(10+228+2)/4=60, t=((-20)+(-12)+2)/4=-30/4=-7
+    assert(out(("down", 1L)) == ((100L, 0L, 100L)))
+    assert(out(("down", 2L)) == ((80L, -4L, 76L)))
+    assert(out(("down", 3L)) == ((60L, -7L, 53L)))
+    // shuffled input + forced multi-partition merge: identical output
+    val shuffled = run(scala.util.Random.shuffle(rows)
+      .toDF("series", "b", "v").repartition(7))
+    assert(shuffled == out)
+  }
+
+  test("rollingAnomalies: hand-computed z over prior-only window; " +
+    "minPrior gate; flat-baseline deviation flags with null z; " +
+    "current point excluded from its own baseline") {
+    val s = spark
+    import s.implicits._
+    // series "a": constant 10s then a spike; series "x": varied
+    val rows =
+      (1L to 5L).map(b => ("a", b, 10L)) ++ Seq(("a", 6L, 25L)) ++
+      Seq(("x", 1L, 10L), ("x", 2L, 14L), ("x", 3L, 12L),
+        ("x", 4L, 20L))
+    val out = SeriesOps.rollingAnomalies(
+        rows.toDF("series", "b", "v"), Seq("series"), "b", "v",
+        lookback = 4, minPrior = 2, sigma = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double]),
+          r.getBoolean(5))))
+      .toMap
+    // first buckets: no/short history -> null z, no flag
+    assert(out(("a", 1L)) == ((0L, None, false)))
+    assert(out(("a", 2L)) == ((1L, None, false)))
+    // flat baseline, on-baseline point: V=0, D=0 -> no flag, null z
+    assert(out(("a", 3L)) == ((2L, None, false)))
+    assert(out(("a", 5L)) == ((4L, None, false)))
+    // flat baseline, spike: V=0 but D^2 > 0 -> flags, z stays null
+    assert(out(("a", 6L)) == ((4L, None, true)))
+    // varied baseline, hand-computed: prior = {10,14,12}, n=3, sm=36,
+    // ssq=440; D = 20*3-36 = 24, V = 3*440-36^2 = 24; z = 24/sqrt(24)
+    val (n4, z4, f4) = out(("x", 4L))
+    assert(n4 == 3L && f4 == true)   // 24^2 = 576 > 9*24 = 216
+    assert(z4.contains(24.0 / math.sqrt(24.0)))
+    // lookback window is PRIOR-only: x@3 baseline {10,14}, D=12*2-24=0
+    assert(out(("x", 3L)) == ((2L, Some(0.0), false)))
+    intercept[IllegalArgumentException] {
+      SeriesOps.rollingAnomalies(rows.toDF("series", "b", "v"),
+        Seq("series"), "b", "v", lookback = 4, minPrior = 5)
+    }
+  }
+
+  test("rollingAnomalies plans ONE exchange + ONE window — all three " +
+    "statistics share the frame") {
+    val s = spark
+    import s.implicits._
+    val df = SeriesOps.rollingAnomalies(
+      Seq(("a", 1L, 10L), ("a", 2L, 12L)).toDF("series", "b", "v"),
+      Seq("series"), "b", "v", lookback = 4, minPrior = 2)
+    df.collect(): Unit
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      p.take(3000))
+    assert("Window".r.findAllIn(p).size === 1, p.take(3000))
+  }
 }
