@@ -49,8 +49,10 @@ object MinHash {
 
   /** First 15 hex chars of md5(s) as an unsigned 60-bit value — exactly
     * `conv(substring(md5(s),1,15),16,10)`: the top 8 digest bytes
-    * big-endian with the lowest nibble dropped. */
-  private def md5Prefix60(s: String): Long = {
+    * big-endian with the lowest nibble dropped. Public: driver-side
+    * callers (hashed-feature weight tables, spec references) derive
+    * SQL-reproducible constants from the same convention. */
+  def md5Prefix60(s: String): Long = {
     val d = md5Local.get().digest(s.getBytes(StandardCharsets.UTF_8))
     var h = 0L
     var b = 0

@@ -365,4 +365,35 @@ object Curation {
           filter(w, (word, i) => !array_contains(cov, i)), " ")
           .as("clean_text"))
   }
+
+  /** Deterministic global shuffle + balanced shard assignment — the
+    * last step before a training run reads the corpus: examples must
+    * arrive in an order decorrelated from ingest order (a corpus
+    * sorted by crawl date or source trains badly) yet EXACTLY
+    * reproducible across reruns, engines, and partition counts.
+    * Ordering key = 60-bit md5 prefix of `id:seed` (the repo's
+    * SQL-reproducible hash convention — no engine RNG, no
+    * `rand(seed)`, whose sequence is partitioning-dependent); shard =
+    * key mod `nShards`; `pos` = the example's 0-based write position
+    * within its shard (ordered by key, then id for full determinism
+    * under 60-bit collisions).
+    *
+    * Scale shape: ONE hash-partition exchange on `shard` — each shard
+    * is exactly the unit a single output file/writer consumes, so the
+    * per-shard `row_number` sort is the write order a sharded writer
+    * must produce anyway, never a global sort. Shard sizes are
+    * binomially tight around n/nShards (md5 uniformity); size
+    * `nShards` to the target output-file granularity (corpus bytes /
+    * desired file bytes), NOT to the executor count. */
+  def shuffleShard(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + seed))), 1, 15), 16, 10).cast("long")
+    df.select(col(idCol).as("id"), h.as("shuffle_key"))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("shuffle_key"), col("id"))) - 1).cast("long"))
+  }
 }

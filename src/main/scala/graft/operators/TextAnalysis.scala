@@ -315,4 +315,43 @@ object TextAnalysis {
       .select(col("id"), col("n_words"), col("oov_words"),
         (col("oov_words").cast("double") / col("n_words")).as("oov_frac"))
   }
+
+  /** Hashed-feature linear classifier inference (the fastText /
+    * hashing-trick shape every production quality filter runs at
+    * scale): each word hashes to one of `buckets` feature slots, the
+    * model is the `buckets`-sized weight vector, and a document's
+    * logit is the sum of its words' slot weights. The weight TABLE
+    * here is an honest stand-in for a trained model — slot b's weight
+    * is md5-derived ((hash60("seed#b") mod 2001) − 1000 milli-units,
+    * the same deterministic-fake posture as [[Multimodal]]'s codec)
+    * so the whole inference is SQL-reproducible; swap in trained
+    * milli-unit weights and nothing else changes.
+    *
+    * Scale shape: the model ships as ONE array literal in the plan
+    * (what a broadcast weight vector compiles to at this size) and
+    * scoring is entirely row-local — one codegen'd
+    * [[graft.functions.MinHash.NgramHash60]] pass per doc, then an
+    * `aggregate` over `element_at`; no explode, no shuffle, no join.
+    * All integer milli-units: the logit is an exact Long sum in any
+    * order, the class an integer compare — bit-deterministic at any
+    * SF. */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, seed: String): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"need 0 < buckets <= 2^20 (plan-literal model): $buckets")
+    val weights: Seq[Long] = (0 until buckets)
+      .map(b => graft.functions.MinHash.md5Prefix60(s"$seed#$b")
+        % 2001 - 1000)
+    val wlit = typedLit(weights)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.MinHash.ngramHash60Col(col(textCol), 1).as("hs"))
+      .select(col("id"),
+        size(col("hs")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(col("hs"), h => element_at(wlit,
+            pmod(h, lit(buckets.toLong)).cast("int") + 1)),
+          lit(0L), (acc, w) => acc + w).as("logit_milli"))
+      .withColumn("quality_class", col("logit_milli") > 0)
+  }
 }

@@ -845,6 +845,44 @@ object PipelineQueries {
              ELSE 'test' END AS split
         FROM documents""".replaceAll("\\s+", " "))),
 
+    // deterministic global shuffle + balanced shard assignment — the
+    // pre-training ordering step: md5(id:seed) ordering key (engine
+    // RNG sequences are partitioning-dependent; a hash is not),
+    // shard = key mod 16, pos = write position within the shard.
+    "pipeline_shuffle_shard" -> QueryDef(
+      (s, dir) => Curation.shuffleShard(docs(s, dir), "doc_id",
+        seed = "r7", nShards = 16),
+      Some("""WITH h AS (SELECT doc_id AS id,
+          ('0x'||substr(md5(doc_id::VARCHAR || ':r7'),1,15))::BIGINT
+            AS shuffle_key FROM documents)
+        SELECT id, shuffle_key, shuffle_key % 16 AS shard,
+          (row_number() OVER (PARTITION BY shuffle_key % 16
+            ORDER BY shuffle_key, id) - 1)::BIGINT AS pos
+        FROM h""".replaceAll("\\s+", " "))),
+
+    // hashed-feature linear quality classifier (fastText / hashing-
+    // trick inference shape): 256 feature slots, md5-derived stand-in
+    // weight table (milli-units), logit = exact Long sum of slot
+    // weights, class = logit > 0. The oracle rebuilds the identical
+    // weight formula per word: weight(slot) =
+    // hash60('r7#'||slot) % 2001 - 1000, slot = hash60(word) % 256.
+    "text_quality_classifier" -> QueryDef(
+      (s, dir) => TextAnalysis.hashedLinearScore(docs(s, dir),
+        "doc_id", "text", buckets = 256, seed = "r7"),
+      Some("""WITH t AS (SELECT doc_id, text FROM documents
+          WHERE text IS NOT NULL),
+        w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+          FROM t),
+        f AS (SELECT doc_id,
+          ((('0x'||substr(md5('r7#' ||
+            ((('0x'||substr(md5(wd),1,15))::BIGINT % 256)::VARCHAR)
+            ),1,15))::BIGINT % 2001) - 1000) AS wt
+          FROM w)
+        SELECT doc_id AS id, count(*)::BIGINT AS n_tokens,
+          sum(wt)::BIGINT AS logit_milli,
+          (sum(wt) > 0) AS quality_class
+        FROM f GROUP BY doc_id""".replaceAll("\\s+", " "))),
+
     // corpus length profile: word-count histogram (10-word buckets,
     // capped at 200+) — the distribution check every corpus build runs
     // before training. One partial+final aggregate.

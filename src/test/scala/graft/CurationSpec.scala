@@ -360,6 +360,41 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffleShard: permutation is exact (every id once, dense pos " +
+    "per shard), matches the driver-side md5 reference, and is " +
+    "invariant to input order and partitioning") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.MinHash.md5Prefix60
+    val ids = (1L to 97L).toList
+    val nShards = 8
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.shuffleShard(df, "doc_id", seed = "t", nShards = nShards)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .sortBy(t => (t._3, t._4))
+    val out = run(ids.toDF("doc_id"))
+    // driver-side reference: same hash, same shard, same within-shard
+    // (key, id) order
+    val ref = ids.map { id =>
+      val k = md5Prefix60(s"$id:t"); (id, k, k % nShards)
+    }.groupBy(_._3).toSeq.flatMap { case (shard, g) =>
+      g.sortBy(t => (t._2, t._1)).zipWithIndex
+        .map { case ((id, k, _), i) => (id, k, shard, i.toLong) }
+    }.sortBy(t => (t._3, t._4))
+    assert(out.toSeq == ref)
+    // every id exactly once; pos dense from 0 within each shard
+    assert(out.map(_._1).toSet == ids.toSet)
+    out.groupBy(_._3).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq == (0L until g.length).toSeq)
+    }
+    // reproducible across input order/partitioning (the property an
+    // RNG-keyed shuffle does NOT have)
+    assert(run(scala.util.Random.shuffle(ids).toDF("doc_id")
+      .repartition(5)).toSeq == out.toSeq)
+  }
+
   test("removeRepeatedSpans plan: no shuffle carries document text") {
     val d = Seq((1L, "a b c d e"), (2L, "a b c d f"))
       .toDF("doc_id", "text")

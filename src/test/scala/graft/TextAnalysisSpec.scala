@@ -222,4 +222,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       col("text").cast("binary"), "video"), 2).collect()
     assert(frames.length == 4)
   }
+
+  test("hashedLinearScore: logit equals the driver-side weight-table " +
+    "sum; repeated words count per occurrence; null text excluded; " +
+    "plan is shuffle-free") {
+    import graft.functions.MinHash.md5Prefix60
+    val buckets = 16
+    val weight = (w: String) => {
+      val slot = (md5Prefix60(w) % buckets).toInt
+      md5Prefix60(s"t#$slot") % 2001 - 1000
+    }
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma"),
+        (3L, null: String))
+      .toDF("doc_id", "text")
+    val df = TextAnalysis.hashedLinearScore(docs, "doc_id", "text",
+      buckets = buckets, seed = "t")
+    val out = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val l1 = 2 * weight("alpha") + weight("beta")
+    assert(out(1L) == ((3L, l1, l1 > 0)))
+    assert(out(2L) == ((1L, weight("gamma"), weight("gamma") > 0)))
+    // inference is row-local: model is a plan literal, no exchange
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
 }
