@@ -178,6 +178,71 @@ object StreamIngest {
       .drop("_a_key", "time", "alert_time")
   }
 
+  /** Continuous per-series anomaly scoring — the streaming face of
+    * [[graft.operators.SeriesOps.rollingAnomalies]], same integer
+    * contract: each point is scored against its series' `lookback`
+    * PRIOR values (count/sum/sum-of-squares over exact Long
+    * cent-units), the flag is the cross-multiplied square test
+    * D² > σ²·V, and z is the one unrounded IEEE divide-of-sqrt —
+    * bit-identical to the batch operator on in-order input (the spec
+    * asserts the differential). Implemented with
+    * `flatMapGroupsWithState`: per-series state is a RING OF AT MOST
+    * `lookback` Longs — bounded by construction, so total state is
+    * O(series-cardinality · lookback) at any stream length (the
+    * unbounded-state trap of windowed self-joins never arises). Points
+    * are folded in (time_ns, value) order WITHIN each micro-batch;
+    * cross-batch ordering is the source's arrival order — the
+    * operator's contract is in-order-per-series input, the same
+    * contract the batch operator's bucket ordering encodes. */
+  def anomalyStream(
+      typed: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      lookback: Int = 24,
+      minPrior: Int = 12,
+      sigma: Int = 3): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2: $lookback")
+    require(minPrior >= 2 && minPrior <= lookback,
+      s"need 2 <= minPrior <= lookback: $minPrior/$lookback")
+    require(sigma >= 1, s"sigma must be >= 1: $sigma")
+    val spark = typed.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState,
+      GroupStateTimeout, OutputMode}
+    val sig2 = sigma.toLong * sigma
+    typed
+      .where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col("time_ns").cast("long"),
+        round(col(valueCol) * 100, 0).cast("long").as("vc"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long],
+          (String, Long, Long, Long, Option[Double], Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[Seq[Long]]) =>
+          var ring = state.getOption.getOrElse(Seq.empty[Long])
+          val out = Seq.newBuilder[
+            (String, Long, Long, Long, Option[Double], Boolean)]
+          it.toSeq.sortBy(p => (p._2, p._3)).foreach { case (_, ts, v) =>
+            val n = ring.length.toLong
+            var sm = 0L; var ssq = 0L
+            ring.foreach { x => sm += x; ssq += x * x }
+            val d = v * n - sm
+            val vv = n * ssq - sm * sm
+            val eligible = n >= minPrior
+            val z = if (eligible && vv > 0)
+              Some(d.toDouble / math.sqrt(vv.toDouble)) else None
+            out += ((key, ts, v, n, z, eligible && d * d > sig2 * vv))
+            ring = (ring :+ v).takeRight(lookback)
+          }
+          state.update(ring)
+          out.result().iterator
+      }
+      .toDF("key", "time_ns", "vc", "n_prior", "z", "is_anomaly")
+  }
+
   /** Append-mode parquet sink with checkpointed offsets (exactly-once
     * file sink semantics). */
   def toParquet(

@@ -408,6 +408,43 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(shuffled == out)
   }
 
+  test("property: holtFixed equals a driver-side sequential fold on " +
+    "random series (values, lengths, parameters) under random " +
+    "partitioning") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 10) {
+      val len = 1 + rnd.nextInt(40)
+      val aDen = 2L + rnd.nextInt(7); val aNum = 1L + rnd.nextInt(aDen.toInt - 1)
+      val bDen = 2L + rnd.nextInt(7); val bNum = 1L + rnd.nextInt(bDen.toInt - 1)
+      // signed values up to ±1e6 units drive both rounding branches
+      val vs = (1 to len).map(_ => rnd.nextLong(2000001L) - 1000000L)
+      val expected = {
+        var l = vs.head; var t = 0L
+        Seq((1L, l, t, l + t)) ++ vs.tail.zipWithIndex.map {
+          case (v, i) =>
+            val sm = l + t
+            val l2 = (aNum * v + (aDen - aNum) * sm + aDen / 2) / aDen
+            t = (bNum * (l2 - l) + (bDen - bNum) * t + bDen / 2) / bDen
+            l = l2
+            (i + 2L, l, t, l + t)
+        }
+      }
+      val out = SeriesOps.holtFixed(
+          rnd.shuffle(vs.zipWithIndex.map { case (v, i) =>
+            ("s", i + 1L, v)
+          }).toDF("series", "b", "v").repartition(1 + rnd.nextInt(6)),
+          Seq("series"), "b", "v", aNum, aDen, bNum, bDen)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .sortBy(_._1)
+      assert(out.toSeq == expected,
+        s"t$trial len=$len a=$aNum/$aDen b=$bNum/$bDen")
+    }
+  }
+
   test("rollingAnomalies: hand-computed z over prior-only window; " +
     "minPrior gate; flat-baseline deviation flags with null z; " +
     "current point excluded from its own baseline") {

@@ -275,4 +275,62 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(sessions.contains((2L, 2.0)), sessions) // minutes 10-11
     assert(sessions.contains((1L, 7.0)), sessions) // minute 31
   }
+
+  test("streaming anomaly scoring matches the batch operator " +
+    "point-for-point across micro-batch boundaries; spike off a flat " +
+    "baseline flags") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_anom_in").toString
+    val out = Files.createTempDirectory("graft_anom_out").toString
+    val ckpt = Files.createTempDirectory("graft_anom_ck").toString
+    // h1: flat 10.0 for 14 points then a 99.0 spike; h2: varied, never
+    // anomalous. Warm-up spans the micro-batch boundary, exercising
+    // state continuity.
+    val h1 = (1L to 14L).map(m => (m, 10.0)) :+ ((15L, 99.0))
+    val h2 = Seq((1L, 5.0), (2L, 7.0), (3L, 6.0), (4L, 5.5), (5L, 6.5),
+      (6L, 5.0), (7L, 7.0), (8L, 6.0))
+    def lp(host: String, m: Long, v: Double) =
+      s"m,host=$host v=$v ${minuteNs(m)}"
+    writeBatch(in, "b0.lp",
+      h1.take(6).map(p => lp("h1", p._1, p._2)) ++
+        h2.take(4).map(p => lp("h2", p._1, p._2)))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val scored = StreamIngest.anomalyStream(typed, "tag_host", "v",
+      lookback = 8, minPrior = 4, sigma = 3)
+    val q = StreamIngest.toParquet(scored, out, ckpt)
+    try {
+      q.processAllAvailable()
+      writeBatch(in, "b1.lp",
+        h1.drop(6).map(p => lp("h1", p._1, p._2)) ++
+          h2.drop(4).map(p => lp("h2", p._1, p._2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("time_ns")) ->
+        ((r.getAs[Long]("n_prior"),
+          Option(r.getAs[Any]("z")).map(_.asInstanceOf[Double]),
+          r.getAs[Boolean]("is_anomaly"))))
+      .toMap
+    // batch differential: same points, same cent units, same params
+    val frame = (h1.map(p => ("h1", minuteNs(p._1),
+        math.round(p._2 * 100))) ++
+      h2.map(p => ("h2", minuteNs(p._1), math.round(p._2 * 100))))
+      .toDF("key", "b", "vc")
+    val batch = graft.operators.SeriesOps.rollingAnomalies(frame,
+        Seq("key"), "b", "vc", lookback = 8, minPrior = 4, sigma = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          r.getBoolean(5))))
+      .toMap
+    assert(got == batch)
+    // flat baseline + spike: flags with null z (V = 0, D != 0)
+    assert(got(("h1", minuteNs(15L))) == ((8L, None, true)))
+    // flat baseline, on-baseline points never flag
+    assert(!got(("h1", minuteNs(14L)))._3)
+    assert(h2.forall(p => !got(("h2", minuteNs(p._1)))._3))
+  }
 }
