@@ -32,6 +32,51 @@ object Similarity {
     * double-precision IEEE on both our side and any oracle engine). */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
+  /** Per-vector symmetric int8 quantization — the storage/bandwidth step
+    * every embedding corpus at 100 TB takes before ANN serving (4× over
+    * float32, 8× over float64; pq/ivfadc quantize HARDER but lossier —
+    * this is the lossless-enough tier serving re-rankers read).
+    *
+    * Entirely in EXACT INTEGER space so the codes hash-match any engine
+    * (the round-6/7 lesson: never round a double that two engines
+    * computed, only round doubles that are row-local and tie-safe):
+    *   v_u   = round(x · 1e6)  — micro-units; round-to-integer of a
+    *           double is cross-engine safe (ties are exactly-.5 doubles,
+    *           both engines round ties away from zero)
+    *   scale_u = max_i |v_u,i| — the vector's symmetric range, exact Long
+    *   code_i  = round(127 · v_u,i / scale_u) computed as the SIGN-SPLIT
+    *           exact-integer half-up  sgn(v) · ((254·|v| + s) div (2s))
+    *           — the unsplit (2p+q) div (2q) form is WRONG for negative
+    *           p under toward-zero division (e.g. exact −127 → −126);
+    *           splitting on sign makes it round-half-away-from-zero,
+    *           symmetric, and identical under JVM `div` ≡ DuckDB `//`
+    *   err_u  = |127·v_u − code·scale_u| ≤ ⌈scale_u/2⌉ — the per-element
+    *           quantization error in (micro × 127) units, exact Long
+    * All-zero vectors quantize to all-zero codes (scale_u = 0 guard;
+    * ANSI mode would otherwise raise DIVIDE_BY_ZERO).
+    *
+    * Scale shape: pure per-row projection — transform/aggregate lambdas
+    * + posexplode, ZERO exchanges (plan-pinned in SimilaritySpec); at
+    * 1000 executors it is scan-bound, embarrassingly parallel. */
+  def quantizeInt8(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    emb
+      .select(col(idCol), transform(col(vecCol),
+        x => round(x.cast("double") * 1e6, 0).cast("long")).as("v_u"))
+      .withColumn("scale_u",
+        aggregate(col("v_u"), lit(0L), (a, x) => greatest(a, abs(x))))
+      .select(col(idCol), col("scale_u"),
+        posexplode(col("v_u")).as(Seq("dim", "vu")))
+      .withColumn("code",
+        when(col("scale_u") === 0L, lit(0L)).otherwise(
+          signum(col("vu")).cast("long") *
+            expr("(254 * abs(vu) + scale_u) div (2 * scale_u)")))
+      .select(col(idCol), col("dim").cast("long").as("dim"), col("code"),
+        col("scale_u"),
+        abs(lit(127L) * col("vu") - col("code") * col("scale_u"))
+          .as("err_u"))
+  }
+
   def dot(a: Column, b: Column): Column = vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(vecNormSq(a))

@@ -1181,6 +1181,33 @@ object PipelineQueries {
           FROM embeddings)
         GROUP BY label, i""".replaceAll("\\s+", " "))),
 
+    // per-vector symmetric int8 quantization (the float32→int8 storage
+    // step before ANN serving): codes, scale, and per-element error all
+    // in EXACT integer space (micro-units → sign-split half-up integer
+    // division), so every output column hash-matches DuckDB. Pure
+    // projection, zero exchanges (plan-pinned in SimilaritySpec).
+    "emb_quantize_int8" -> QueryDef(
+      (s, dir) => Similarity.quantizeInt8(emb(s, dir), "vec_id",
+        "embedding"),
+      Some("""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x ->
+            CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS vu
+          FROM embeddings),
+        sc AS (SELECT vec_id, vu,
+          list_reduce(list_transform(vu, x -> abs(x)),
+            (a, b) -> greatest(a, b)) AS scale_u FROM v),
+        e AS (SELECT vec_id, scale_u,
+          unnest(vu) AS x,
+          unnest(generate_series(0, len(vu) - 1)) AS dim FROM sc),
+        c AS (SELECT vec_id, dim::BIGINT AS dim,
+          CASE WHEN scale_u = 0 THEN 0
+            WHEN x < 0 THEN -((254 * (-x) + scale_u) // (2 * scale_u))
+            ELSE (254 * x + scale_u) // (2 * scale_u) END AS code,
+          scale_u, x FROM e)
+        SELECT vec_id, dim, code, scale_u,
+          abs(127 * x - code * scale_u) AS err_u FROM c"""
+        .replaceAll("\\s+", " "))),
+
     // distributed PCA: one sufficient-statistics pass (d(d+3)/2-double
     // buffer per partial, independent of row count), driver-side d×d
     // Jacobi eigensolve, then projection as one codegen'd kernel over

@@ -21,6 +21,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out(1)) < 1e-12)
   }
 
+  test("quantizeInt8: planted vectors hit the exact codes; max element " +
+    "maps to ±127; zero vector is all-zero codes; error bound " +
+    "err_u <= ceil(scale_u/2); plan is exchange-free") {
+    val d = Seq(
+      // max |v| = 0.5 → scale_u = 500000; 0.5→127, −0.5→−127,
+      // 0.25→round(63.5)=64 (half away), −0.25→−64, 0→0
+      (1L, Seq(0.5f, -0.5f, 0.25f, -0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f, 0.0f)), // zero vector
+      (3L, Seq(-1.0f, 0.1f, 0.0f, 0.0f, 0.0f))) // negative max
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(d, "vec_id", "embedding")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows((1L, 0L))._1 == 127L)
+    assert(rows((1L, 1L))._1 == -127L)
+    assert(rows((1L, 2L))._1 == 64L)   // ties round away from zero
+    assert(rows((1L, 3L))._1 == -64L)  // ...symmetrically for negatives
+    assert(rows((1L, 4L))._1 == 0L)
+    assert((0L to 4L).forall(i => rows((2L, i)) == ((0L, 0L, 0L))))
+    assert(rows((3L, 0L))._1 == -127L && rows((3L, 0L))._3 == 0L)
+    // reconstruction error bound: |127·v_u − code·scale_u| ≤ ⌈s/2⌉
+    assert(rows.values.forall { case (_, s, e) => e <= (s + 1) / 2 })
+    // pure projection: no Exchange anywhere in the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("brute-force top-k: ranks are 1..k, no self-matches, sorted") {
     val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
     val out = Similarity.bruteForceTopK(
