@@ -483,6 +483,101 @@ object SeriesOps {
         col("it.t").as("trend"), col("it.f").as("forecast")): _*)
   }
 
+  /** One seasonal Holt-Winters output point: bucket, level, trend,
+    * seasonal component, next-bucket forecast (all integer units). */
+  case class BLTSF(b: Long, l: Long, t: Long, s: Long, f: Long)
+  /** Seasonal Holt-Winters output wrapper (product-encodable). */
+  case class HwItems(items: Seq[BLTSF])
+
+  /** ADDITIVE SEASONAL Holt-Winters — the full InfluxQL HOLT_WINTERS
+    * shape ([[HoltFixedAggregator]] is its deseasonalized core) with
+    * fixed rational α, β, γ in place of the reference's Nelder-Mead
+    * fit, in exact integer units throughout. Seasonal state is a ring
+    * of `season` Longs, zero-seeded (the first cycle learns components
+    * from the level residuals — a documented, SQL-reproducible
+    * convention; InfluxQL seeds from a first-cycle average, which
+    * needs a second pass):
+    *
+    *   slot  = (i−1) mod m          sPrev = seas(slot)
+    *   lᵢ    = (aNum·(vᵢ − sPrev) + (aDen−aNum)·(l+t) + aDen/2) / aDen
+    *   tᵢ    = (bNum·(lᵢ − l) + (bDen−bNum)·t + bDen/2) / bDen
+    *   sᵢ    = (gNum·(vᵢ − lᵢ) + (gDen−gNum)·sPrev + gDen/2) / gDen
+    *   seas(slot) := sᵢ;   forecast = lᵢ + tᵢ + seas(i mod m)
+    *
+    * Every step is truncate-toward-zero Long division (JVM `/` ≡
+    * DuckDB `//`) — bit-reproducible cross-engine at any chain length
+    * like the other fixed-point folds. The forecast's seasonal term is
+    * by construction the sᵢ emitted m−1 points earlier (or 0 in the
+    * first cycle), so a SQL oracle needs only `lag(s, m−1)` AFTER the
+    * (l, t, seas-list) recursion — it never reconstructs the ring. */
+  class HoltWintersFixedAggregator(aNum: Long, aDen: Long, bNum: Long,
+      bDen: Long, gNum: Long, gDen: Long, season: Int)
+      extends Aggregator[BVL, EmaFixedItems, HwItems] {
+    require(aDen > 0 && aNum > 0 && aNum <= aDen,
+      s"need 0 < aNum <= aDen, got $aNum/$aDen")
+    require(bDen > 0 && bNum > 0 && bNum <= bDen,
+      s"need 0 < bNum <= bDen, got $bNum/$bDen")
+    require(gDen > 0 && gNum > 0 && gNum <= gDen,
+      s"need 0 < gNum <= gDen, got $gNum/$gDen")
+    require(season >= 2, s"season must be >= 2: $season")
+    override def zero: EmaFixedItems = EmaFixedItems(Nil)
+    override def reduce(b: EmaFixedItems, a: BVL): EmaFixedItems =
+      EmaFixedItems(a +: b.items)
+    override def merge(a: EmaFixedItems, b: EmaFixedItems): EmaFixedItems =
+      EmaFixedItems(a.items ++ b.items)
+    override def finish(r: EmaFixedItems): HwItems = {
+      val sorted = r.items.sortBy(p => (p.b, p.v))
+      if (sorted.isEmpty) HwItems(Nil)
+      else {
+        val seas = Array.fill(season)(0L)
+        var l = sorted.head.v
+        var t = 0L
+        val out = Seq.newBuilder[BLTSF]
+        out += BLTSF(sorted.head.b, l, t, 0L, l + t + seas(1 % season))
+        var i = 2
+        sorted.tail.foreach { p =>
+          val slot = (i - 1) % season
+          val sPrev = seas(slot)
+          val sm = l + t
+          val l2 =
+            (aNum * (p.v - sPrev) + (aDen - aNum) * sm + aDen / 2) / aDen
+          t = (bNum * (l2 - l) + (bDen - bNum) * t + bDen / 2) / bDen
+          val sNew =
+            (gNum * (p.v - l2) + (gDen - gNum) * sPrev + gDen / 2) / gDen
+          seas(slot) = sNew
+          l = l2
+          out += BLTSF(p.b, l, t, sNew, l + t + seas(i % season))
+          i += 1
+        }
+        HwItems(out.result())
+      }
+    }
+    override def bufferEncoder: Encoder[EmaFixedItems] =
+      Encoders.product[EmaFixedItems]
+    override def outputEncoder: Encoder[HwItems] =
+      Encoders.product[HwItems]
+  }
+
+  /** [[HoltWintersFixedAggregator]] as a frame transform (micro-unit
+    * contract, as [[holtFixed]]). Output: (series…, bucketCol, level,
+    * trend, seasonal, forecast: Long), forecast = the NEXT bucket's
+    * prediction including its seasonal component. */
+  def holtWintersFixed(df: DataFrame, seriesCols: Seq[String],
+      bucketCol: String, valueCol: String, aNum: Long, aDen: Long,
+      bNum: Long, bDen: Long, gNum: Long, gDen: Long,
+      season: Int): DataFrame = {
+    val agg = udaf(new HoltWintersFixedAggregator(aNum, aDen, bNum, bDen,
+      gNum, gDen, season), Encoders.product[BVL])
+    df.groupBy(seriesCols.map(col): _*)
+      .agg(agg(col(bucketCol).cast("long"),
+        col(valueCol).cast("long")).as("e"))
+      .select(seriesCols.map(col) :+ explode(col("e.items")).as("it"): _*)
+      .select(seriesCols.map(col) ++ Seq(
+        col("it.b").as(bucketCol), col("it.l").as("level"),
+        col("it.t").as("trend"), col("it.s").as("seasonal"),
+        col("it.f").as("forecast")): _*)
+  }
+
   /** Rolling z-score anomaly detection over per-series bucket values —
     * each point is scored against the mean/stddev of its own series'
     * `lookback` PRIOR buckets (the current point never contaminates

@@ -667,6 +667,65 @@ object ParityQueries {
         SELECT event_type, b AS b_us, l AS level_u, t AS trend_u,
           (l + t) AS forecast_u FROM r""".replaceAll("\\s+", " "))),
 
+    // FULL seasonal Holt-Winters (ts_holt is the deseasonalized core):
+    // additive seasonal ring of m=24 hourly slots (daily seasonality),
+    // α=β=γ=1/4, over the same hour-bucketed micro-unit means. The
+    // recursion carries (l, t, seas LIST) through a DuckDB recursive
+    // CTE — the seasonal ring updates via list_transform with a CASE on
+    // the slot — and the forecast's seasonal term is recovered AFTER
+    // the recursion as lag(s, m−1) (the ring value for bucket i+1 is
+    // by construction the s emitted m−1 points earlier, or 0 in the
+    // zero-seeded first cycle). The l₂ expression repeats inside the
+    // t/s/seas terms (no same-SELECT aliases in the recursive leg) —
+    // composed here by interpolation, evaluated identically.
+    "ts_holt_winters" -> QueryDef(
+      (s, dir) => SeriesOps.holtWintersFixed(
+        Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b_us"),
+            expr("(2 * s * 10000 + n) div (2 * n)").as("vu")),
+        seriesCols = Seq("event_type"), bucketCol = "b_us",
+        valueCol = "vu", aNum = 1L, aDen = 4L, bNum = 1L, bDen = 4L,
+        gNum = 1L, gDen = 4L, season = 24)
+        .select(col("event_type"), col("b_us"),
+          col("level").as("level_u"), col("trend").as("trend_u"),
+          col("seasonal").as("seas_u"),
+          col("forecast").as("forecast_u")),
+      Some {
+        val slot = "((n.rn - 1) % 24) + 1"
+        val l2 = s"((n.vu - r.seas[$slot]) + 3 * (r.l + r.t) + 2) // 4"
+        val sN = s"((n.vu - ($l2)) + 3 * r.seas[$slot] + 2) // 4"
+        s"""WITH RECURSIVE a0 AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+          count(*) AS n FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, b,
+          CAST((2 * s * 10000 + n) // (2 * n) AS BIGINT) AS vu FROM a0),
+        n AS (SELECT event_type, b, vu, row_number() OVER
+          (PARTITION BY event_type ORDER BY b) AS rn FROM a),
+        r AS (SELECT event_type, b, vu, rn, vu AS l,
+            CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS s,
+            list_transform(generate_series(1, 24),
+              x -> CAST(0 AS BIGINT)) AS seas
+          FROM n WHERE rn = 1
+          UNION ALL
+          SELECT n.event_type, n.b, n.vu, n.rn,
+            $l2 AS l,
+            ((($l2) - r.l) + 3 * r.t + 2) // 4 AS t,
+            $sN AS s,
+            list_transform(generate_series(1, 24), j ->
+              CASE WHEN j = $slot THEN $sN ELSE r.seas[j] END) AS seas
+          FROM n JOIN r ON n.event_type = r.event_type
+            AND n.rn = r.rn + 1)
+        SELECT event_type, b AS b_us, l AS level_u, t AS trend_u,
+          s AS seas_u, l + t + coalesce(lag(s, 23) OVER
+            (PARTITION BY event_type ORDER BY rn), 0) AS forecast_u
+        FROM r""".replaceAll("\\s+", " ")
+      }),
+
     // InfluxQL SLIMIT 30 SOFFSET 10: series pagination — hour-bucketed
     // per-series sums for series ranked 11..40 in (event_type, user_id)
     // key order. The rank runs over the DISTINCT key set (series-count-

@@ -445,6 +445,59 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: holtWintersFixed equals a driver-side sequential " +
+    "fold with a seasonal ring on random series/parameters/season " +
+    "lengths under random partitioning; planted periodic signal " +
+    "yields nonzero seasonal components") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 8) {
+      val len = 2 + rnd.nextInt(50)
+      val m = 2 + rnd.nextInt(6)
+      val aDen = 2L + rnd.nextInt(7); val aNum = 1L + rnd.nextInt(aDen.toInt - 1)
+      val bDen = 2L + rnd.nextInt(7); val bNum = 1L + rnd.nextInt(bDen.toInt - 1)
+      val gDen = 2L + rnd.nextInt(7); val gNum = 1L + rnd.nextInt(gDen.toInt - 1)
+      // base level + a planted period-m sawtooth + noise; signed
+      val vs = (0 until len).map(i => 500000L + (i % m) * 40000L +
+        rnd.nextLong(200001L) - 100000L)
+      val expected = {
+        val seas = Array.fill(m)(0L)
+        var l = vs.head; var t = 0L
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+        out += ((1L, l, t, 0L, l + t + seas(1 % m)))
+        vs.tail.zipWithIndex.foreach { case (v, z) =>
+          val i = z + 2
+          val slot = (i - 1) % m
+          val sp = seas(slot)
+          val sm = l + t
+          val l2 = (aNum * (v - sp) + (aDen - aNum) * sm + aDen / 2) / aDen
+          t = (bNum * (l2 - l) + (bDen - bNum) * t + bDen / 2) / bDen
+          val sn = (gNum * (v - l2) + (gDen - gNum) * sp + gDen / 2) / gDen
+          seas(slot) = sn
+          l = l2
+          out += ((i.toLong, l, t, sn, l + t + seas(i % m)))
+        }
+        out.result()
+      }
+      val out = SeriesOps.holtWintersFixed(
+          rnd.shuffle(vs.zipWithIndex.map { case (v, i) =>
+            ("s", i + 1L, v)
+          }).toDF("series", "b", "v").repartition(1 + rnd.nextInt(6)),
+          Seq("series"), "b", "v", aNum, aDen, bNum, bDen, gNum, gDen, m)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .sortBy(_._1)
+      assert(out.toSeq == expected,
+        s"t$trial len=$len m=$m a=$aNum/$aDen b=$bNum/$bDen g=$gNum/$gDen")
+      // non-vacuous: past the first cycle the planted sawtooth must
+      // produce nonzero seasonal components
+      if (len > 2 * m)
+        assert(expected.drop(2 * m).exists(_._4 != 0L), s"t$trial flat")
+    }
+  }
+
   test("rollingAnomalies: hand-computed z over prior-only window; " +
     "minPrior gate; flat-baseline deviation flags with null z; " +
     "current point excluded from its own baseline") {
