@@ -160,6 +160,50 @@ object Dedup {
     * candidate pairs (cand ⋈ shingles(a) ⋈ shingles(b)), so the shuffle
     * carries |cand|·avgShingles rows — never the all-pairs co-shingle
     * self-join, whose common-shingle keys fan out quadratically. */
+  /** Per-candidate-pair distinct-shingle intersection counts — the
+    * shared substrate of [[ngramJaccard]] and [[ngramContainment]]:
+    * (id_a, id_b, n_shared, n_a, n_b) for each (deduped) candidate
+    * pair whose docs both have ≥ shingleLen words and that share at
+    * least one shingle. See the candidate-path notes in
+    * [[ngramJaccard]] for why this shape (sorted-set arrays + the
+    * codegen'd two-pointer merge) beats the exploded co-shingle join. */
+  private def candidateSharedCounts(df: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int, c: DataFrame): DataFrame = {
+    val arr = df
+      .filter(size(split(col(textCol), " ")) >= shingleLen)
+      .select(col(idCol).as("id"),
+        MinHash.sortedShingleSetCol(col(textCol), shingleLen).as("arr"))
+    c.dropDuplicates("id_a", "id_b")
+      .join(arr.select(col("id").as("id_a"), col("arr").as("arr_a")),
+        Seq("id_a"))
+      .join(arr.select(col("id").as("id_b"), col("arr").as("arr_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        MinHash.sortedIntersectCountCol(col("arr_a"), col("arr_b"))
+          .as("n_shared"),
+        size(col("arr_a")).cast("long").as("n_a"),
+        size(col("arr_b")).cast("long").as("n_b"))
+      .filter(col("n_shared") > 0)
+  }
+
+  /** Max-containment over LSH candidate pairs:
+    * C(A,B) = |A∩B| / min(|A|,|B|) on distinct n-gram sets — the
+    * asymmetric near-dup measure that catches a SMALL document embedded
+    * in a LARGE one (quote farms, boilerplate wrappers, chunk/source
+    * overlap), where Jaccard's union denominator dilutes toward 0.
+    * Same candidate-path scale shape as [[ngramJaccard]]: intersections
+    * are counted per LSH candidate pair only, never all-pairs. The
+    * ratio is one IEEE divide of two exact Longs — engine-identical.
+    * Output: (id_a, id_b, containment), threshold-filtered. */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, threshold: Double, candidates: DataFrame)
+      : DataFrame =
+    candidateSharedCounts(df, idCol, textCol, shingleLen, candidates)
+      .withColumn("containment",
+        col("n_shared") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, threshold: Double,
       candidates: Option[DataFrame] = None): DataFrame = {
@@ -186,27 +230,12 @@ object Dedup {
         // all-pairs form, which never sees them
         // sorted-distinct shingle sets via the one-pass kernel
         // (MinHash.SortedShingleSet ≡ array_sort(array_distinct(
-        // shingles(...))), UTF8-binary order — differential-tested)
-        val arr = df
-          .filter(size(split(col(textCol), " ")) >= shingleLen)
-          .select(col(idCol).as("id"),
-            MinHash.sortedShingleSetCol(col(textCol), shingleLen)
-              .as("arr"))
-        val shared = c.dropDuplicates("id_a", "id_b")
-          .join(arr.select(col("id").as("id_a"), col("arr").as("arr_a")),
-            Seq("id_a"))
-          .join(arr.select(col("id").as("id_b"), col("arr").as("arr_b")),
-            Seq("id_b"))
-          .select(col("id_a"), col("id_b"),
-            MinHash.sortedIntersectCountCol(col("arr_a"), col("arr_b"))
-              .as("n_shared"),
-            size(col("arr_a")).cast("long").as("n_a"),
-            size(col("arr_b")).cast("long").as("n_b"))
-          // n_shared > 0 keeps this path aligned with the all-pairs
-          // form, which structurally omits zero-overlap pairs (visible
-          // only at threshold <= 0)
-          .filter(col("n_shared") > 0)
-        withJaccard(shared)
+        // shingles(...))), UTF8-binary order — differential-tested).
+        // n_shared > 0 in the helper keeps this path aligned with the
+        // all-pairs form, which structurally omits zero-overlap pairs
+        // (visible only at threshold <= 0)
+        withJaccard(
+          candidateSharedCounts(df, idCol, textCol, shingleLen, c))
       case None =>
         val docSh = df.select(col(idCol).as("id"),
           explode(array_distinct(shingles(col(textCol), shingleLen)))

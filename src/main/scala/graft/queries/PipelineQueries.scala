@@ -27,6 +27,7 @@ object PipelineQueries {
     "fr" -> Seq("merge", "sort"),
     "zh" -> Seq("big", "small"))
   final val JaccardThreshold = 0.5
+  final val ContainmentThreshold = 0.6
   final val MinhashK = 8
   final val ShingleLen = 3
 
@@ -217,6 +218,38 @@ object PipelineQueries {
           n_shared/(x.n_sh + y.n_sh - n_shared) AS jaccard FROM pr
         JOIN sz x ON pr.id_a=x.doc_id JOIN sz y ON pr.id_b=y.doc_id
         WHERE n_shared/(x.n_sh + y.n_sh - n_shared) >= $JaccardThreshold"""
+        .replaceAll("\\s+", " "))),
+
+    // max-containment over the same LSH candidate pairs:
+    // |A∩B| / min(|A|,|B|) — the ASYMMETRIC near-dup measure that
+    // catches a small document embedded in a large one (boilerplate
+    // wrappers, quote farms), which Jaccard's union denominator
+    // dilutes below threshold. Same scale path as dedup_jaccard_pairs
+    // (per-candidate intersection counts only, never all-pairs); the
+    // ratio is one IEEE divide of exact Longs — engine-identical; the
+    // 0.6 threshold is comparison-only (both engines parse the literal
+    // to the same double; no arithmetic touches it).
+    "dedup_containment_pairs" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sig = Dedup.minhashSignatures(d, "doc_id", "text",
+          MinhashK, ShingleLen)
+        val cand =
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+        Dedup.ngramContainment(d, "doc_id", "text", ShingleLen,
+          ContainmentThreshold, candidates = cand)
+      },
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte,
+        $BandCte, $CandCte,
+        dsh AS (SELECT DISTINCT doc_id, s FROM shingle),
+        sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM dsh GROUP BY 1),
+        pr AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared
+          FROM cand c JOIN dsh a ON a.doc_id=c.id_a
+          JOIN dsh b ON b.doc_id=c.id_b AND b.s=a.s GROUP BY 1, 2)
+        SELECT pr.id_a, pr.id_b,
+          n_shared/least(x.n_sh, y.n_sh) AS containment FROM pr
+        JOIN sz x ON pr.id_a=x.doc_id JOIN sz y ON pr.id_b=y.doc_id
+        WHERE n_shared/least(x.n_sh, y.n_sh) >= $ContainmentThreshold"""
         .replaceAll("\\s+", " "))),
 
     // duplicate clusters: connected components over the LSH-candidate

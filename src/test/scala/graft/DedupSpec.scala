@@ -64,6 +64,38 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("containment: a small doc embedded in a large one scores 1.0 " +
+    "where jaccard dilutes below threshold; hand-computed ratio; " +
+    "identical docs score 1.0") {
+    val s = spark
+    import s.implicits._
+    // doc 2 = doc 1 + 3x filler: every 3-shingle of doc 1 appears in
+    // doc 2, so containment = 1.0 while jaccard = |A|/|B| is small
+    val small = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, small), (2L, s"$small $filler"),
+      (3L, small)).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramContainment(d, "doc_id", "text", 3, 0.9, cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out((1L, 2L)) == 1.0) // fully contained
+    assert(out((1L, 3L)) == 1.0) // identical
+    // the same embedded pair is INVISIBLE to jaccard at the same bar
+    val j = Dedup.ngramJaccard(d, "doc_id", "text", 3, 0.9,
+      candidates = Some(cand))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((1L, 2L)) && j.contains((1L, 3L)))
+    // hand-computed partial overlap: shared prefix of 5 words with
+    // doc 1 → 3 shared 3-shingles; doc 4 has 4 shingles, doc 1 has 4
+    val d2 = Seq((1L, small), (4L, "alpha beta gamma delta epsilon QQ"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.ngramContainment(d2, "doc_id", "text", 3, 0.0,
+      Seq((1L, 4L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getDouble(2))
+    assert(out2.toSeq == Seq(3.0 / 4.0))
+  }
+
   test("differential: LSH-candidate jaccard ⊆ all-pairs jaccard with " +
     "identical scores (the scale path loses only non-candidates)") {
     val d = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "documents")
