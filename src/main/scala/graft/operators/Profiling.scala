@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table-profiling operators (ANALYZE-style data-quality summaries —
@@ -37,4 +38,69 @@ object Profiling {
         .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
           col("n_distinct"), col("min_s"), col("max_s"))
     }.reduce(_ unionAll _)
+
+  /** Winsorized (outlier-clipped) per-group statistics in EXACT integer
+    * units — the robust-scaling primitive a feature/curation pipeline
+    * applies before normalization: clip at the empirical trim-quantile
+    * ORDER STATISTICS (kLo-th / kHi-th smallest with multiplicity,
+    * kLo = ⌈n·trim⌉, kHi = n−kLo+1 — never an interpolated percentile,
+    * so bounds are actual data values and stay Long), then aggregate
+    * the clamped values.
+    *
+    * Scale shape: the corpus is touched by ONE map-side-combined
+    * groupBy((group, value)) → everything else runs on the
+    * DISTINCT-VALUE frequency frame, bounded by the value DOMAIN (cent
+    * units ⇒ ~1e6 rows per group at any corpus size), never the
+    * corpus. The rank-selection window sorts only that frame — the
+    * naive row_number winsorization sorts every group's corpus rows
+    * through one reducer, the single-reducer trap PlanSpec pins
+    * elsewhere. Bounds and totals are aggregation outputs of
+    * group-cardinality size; their joins back are left to AQE (no
+    * broadcast pretense on a caller-controlled group count). The clamp
+    * folds into Σ n_v·clamp(c) on the frequency frame: exact Long
+    * arithmetic in any order, and the mean is the exact half-up
+    * integer division into micro-units ((2s·10⁴+n) div (2n), the
+    * ts_ema idiom) — every output column hash-exact cross-engine.
+    *
+    * Output: (group…, n, lo_c, hi_c, wmean_u) — bounds in input cent
+    * units, winsorized mean in cent·10⁴ (= micro-base-unit) units.
+    *
+    * Long-safety: exact while 2·10⁴·Σc < 2⁶³ per group (cent-sum below
+    * ~4.6e14 — sf0.1's largest group is ~2e12); past that ANSI mode
+    * fails LOUDLY (no silent wrap) — pre-scale to coarser units or
+    * widen `sw` to DECIMAL(38,0) before the division.
+    *
+    * @param centsCol integer-unit value column (callers convert exact
+    *                 decimals first: `round(x*100).cast("long")`)
+    * @param trimNum/trimDen rational trim fraction per tail (default
+    *                 1/20 = 5%); requires 2·trim < 1 */
+  def winsorizedStats(df: DataFrame, groupCols: Seq[String],
+      centsCol: String, trimNum: Long = 1L,
+      trimDen: Long = 20L): DataFrame = {
+    require(trimNum > 0 && 2 * trimNum < trimDen,
+      s"need 0 < 2*trim < 1: $trimNum/$trimDen")
+    val gc = groupCols.map(col)
+    val freq = df
+      .groupBy(gc :+ col(centsCol).cast("long").as("c"): _*)
+      .agg(count(lit(1)).as("n_v"))
+    val w = Window.partitionBy(gc: _*).orderBy(col("c"))
+    val cum = freq.withColumn("cum", sum(col("n_v")).over(w))
+    val tot = freq.groupBy(gc: _*).agg(sum(col("n_v")).as("n"))
+      .withColumn("klo",
+        expr(s"(n * $trimNum + ${trimDen - 1}) div $trimDen"))
+      .withColumn("khi", col("n") - col("klo") + 1)
+    val bounds = cum.join(tot, groupCols)
+      .groupBy(gc: _*)
+      .agg(min(when(col("cum") >= col("klo"), col("c"))).as("lo_c"),
+        min(when(col("cum") >= col("khi"), col("c"))).as("hi_c"))
+    freq.join(bounds, groupCols)
+      .groupBy(gc: _*)
+      .agg(sum(col("n_v")).as("n"),
+        max(col("lo_c")).as("lo_c"), // constant within group
+        max(col("hi_c")).as("hi_c"),
+        sum(col("n_v") *
+          greatest(least(col("c"), col("hi_c")), col("lo_c"))).as("sw"))
+      .select(gc ++ Seq(col("n"), col("lo_c"), col("hi_c"),
+        expr("(2 * sw * 10000 + n) div (2 * n)").as("wmean_u")): _*)
+  }
 }

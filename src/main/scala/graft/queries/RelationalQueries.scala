@@ -493,6 +493,39 @@ object RelationalQueries {
     // ntile() form would funnel the whole table through one ordered
     // window partition. Integral values keep the interpolated cutpoint
     // comparison engine-stable (see agg_percentiles).
+    // winsorized per-group stats over exact price cents: order-statistic
+    // trim bounds (kLo-th/kHi-th smallest, 5% per tail) selected from
+    // the distinct-value frequency frame (the window sorts the value
+    // DOMAIN, never the corpus), clamp folded into Σ n_v·clamp(c) —
+    // exact Long end-to-end, mean as half-up integer division into
+    // micro-dollars. Oracle mirrors the identical cumulative-count rank
+    // selection.
+    "stats_winsorized" -> QueryDef(
+      (s, dir) => Profiling.winsorizedStats(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100, 0).cast("long")
+              .as("cents")),
+        Seq("l_returnflag"), "cents"),
+      Some("""WITH f AS (SELECT l_returnflag,
+          CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+          count(*)::BIGINT AS n_v FROM lineitem GROUP BY 1, 2),
+        cu AS (SELECT l_returnflag, c, n_v, sum(n_v) OVER
+          (PARTITION BY l_returnflag ORDER BY c) AS cum FROM f),
+        t AS (SELECT l_returnflag, sum(n_v)::BIGINT AS n,
+          (sum(n_v)::BIGINT + 19) // 20 AS klo,
+          sum(n_v)::BIGINT - ((sum(n_v)::BIGINT + 19) // 20) + 1 AS khi
+          FROM f GROUP BY 1),
+        b AS (SELECT cu.l_returnflag,
+          min(CASE WHEN cum >= klo THEN c END) AS lo_c,
+          min(CASE WHEN cum >= khi THEN c END) AS hi_c
+          FROM cu JOIN t USING (l_returnflag) GROUP BY 1)
+        SELECT f.l_returnflag, t.n, b.lo_c, b.hi_c,
+          CAST((2 * sum(f.n_v * greatest(least(f.c, b.hi_c), b.lo_c))
+            * 10000 + t.n) // (2 * t.n) AS BIGINT) AS wmean_u
+        FROM f JOIN b USING (l_returnflag) JOIN t USING (l_returnflag)
+        GROUP BY 1, 2, 3, 4""".replaceAll("\\s+", " "))),
+
     "stats_equidepth_histogram" -> QueryDef(
       (s, dir) => {
         val li = t(s, dir, "lineitem")
