@@ -38,6 +38,109 @@ object TemporalJoin {
       rightTime: String,
       payloadCols: Seq[String],
       matchedTimeCol: String = "asof_time"): DataFrame = {
+    val (lTagged, rTagged, leftCols) = asofTagged(left, right, keys,
+      leftTime, rightTime, payloadCols, matchedTimeCol)
+    // rights sort before lefts at equal time → `>=` semantics
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("_match", last(col("_match"), ignoreNulls = true).over(w))
+    asofProject(filled, leftCols, payloadCols, matchedTimeCol)
+  }
+
+  /** FORWARD as-of join: for each left row, the EARLIEST right row with
+    * `right.time >= left.time`, per key — the "next event" enrichment
+    * (next deploy after an alert, next calibration after a reading).
+    * Same union+window shape and cost as [[asofJoin]]: one hash
+    * shuffle, with the running `last` taken over the DESCENDING time
+    * traversal (rights still before lefts at equal time, so a
+    * same-timestamp right row is visible — `<=` right-inclusive). */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      matchedTimeCol: String = "asof_time"): DataFrame = {
+    val (lTagged, rTagged, leftCols) = asofTagged(left, right, keys,
+      leftTime, rightTime, payloadCols, matchedTimeCol)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("_match", last(col("_match"), ignoreNulls = true).over(w))
+    asofProject(filled, leftCols, payloadCols, matchedTimeCol)
+  }
+
+  /** NEAREST as-of join: for each left row, whichever of the backward
+    * and forward matches is closer in time; ties prefer the BACKWARD
+    * (past) match — the convention that never peeks into the future
+    * unless the future is strictly closer. Null-safe: one-sided
+    * matches win by default. Cost: ONE hash shuffle (both window
+    * passes share the key partitioning; Spark plans one Exchange and
+    * two Sort+Window passes, asc and desc).
+    *
+    * Time columns must be INTEGRAL (ns/us unit longs) — the delta
+    * comparison subtracts them; a timestamp cast would silently
+    * truncate to seconds. */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      matchedTimeCol: String = "asof_time"): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
+      LongType, ShortType}
+    def integral(t: DataType): Boolean = t match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    require(integral(left.schema(leftTime).dataType) &&
+      integral(right.schema(rightTime).dataType),
+      "asofJoinNearest needs integral time columns (unit longs) for " +
+        "the delta comparison")
+    val (lTagged, rTagged, leftCols) = asofTagged(left, right, keys,
+      leftTime, rightTime, payloadCols, matchedTimeCol)
+    val wb = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = lTagged.unionByName(rTagged)
+      .withColumn("_mb", last(col("_match"), ignoreNulls = true).over(wb))
+      .withColumn("_mf", last(col("_match"), ignoreNulls = true).over(wf))
+    val t = col("_t").cast("long")
+    val bt = col("_mb").getField("_mt").cast("long")
+    val ft = col("_mf").getField("_mt").cast("long")
+    val picked = u.withColumn("_match",
+      when(col("_mb").isNull, col("_mf"))
+        .when(col("_mf").isNull, col("_mb"))
+        .when(t - bt <= ft - t, col("_mb"))
+        .otherwise(col("_mf")))
+    asofProject(picked, leftCols, payloadCols, matchedTimeCol)
+  }
+
+  /** Shared tagging for the as-of family: union-compatible left/right
+    * frames with (_t, _side, _match) columns. The matched right row
+    * travels as ONE struct (its time + payloads): taking a running
+    * last of each payload column independently would resurrect an
+    * OLDER row's value whenever the truly-matched row has a NULL
+    * payload field — fields from different right rows mixed into one
+    * result. A struct from a right row is never null as a whole, so
+    * last(ignoreNulls) picks the whole matched row or nothing. */
+  private def asofTagged(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      matchedTimeCol: String): (DataFrame, DataFrame, Seq[String]) = {
     require(keys.nonEmpty, "asofJoin requires at least one key column")
     val leftCols = left.columns.toSeq
     require(payloadCols.intersect(leftCols).isEmpty,
@@ -46,15 +149,9 @@ object TemporalJoin {
     require(!leftCols.contains(matchedTimeCol) &&
       !payloadCols.contains(matchedTimeCol),
       s"matchedTimeCol '$matchedTimeCol' clashes with a left/payload column")
-    for (c <- Seq("_t", "_side", "_match"))
+    for (c <- Seq("_t", "_side", "_match", "_mb", "_mf"))
       require(!leftCols.contains(c) && !right.columns.contains(c),
         s"reserved column name '$c' present in an input")
-    // the matched right row travels as ONE struct (its time + payloads):
-    // taking a running last of each payload column independently would
-    // resurrect an OLDER row's value whenever the truly-matched row has
-    // a NULL payload field — fields from different right rows mixed into
-    // one result. A struct from a right row is never null as a whole, so
-    // last(ignoreNulls) picks the whole matched row or nothing.
     import org.apache.spark.sql.types.{StructField, StructType}
     val matchType = StructType(
       StructField("_mt", right.schema(rightTime).dataType) +:
@@ -77,17 +174,15 @@ object TemporalJoin {
       .select((keys :+ "_t" :+ "_side" :+ "_match").map(col) ++
         leftCols.filterNot(keys.contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    // rights sort before lefts at equal time → `>=` semantics
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = lTagged.unionByName(rTagged)
-      .withColumn("_match", last(col("_match"), ignoreNulls = true).over(w))
+    (lTagged, rTagged, leftCols)
+  }
+
+  private def asofProject(filled: DataFrame, leftCols: Seq[String],
+      payloadCols: Seq[String], matchedTimeCol: String): DataFrame =
     filled.filter(col("_side") === 1)
       .select(leftCols.map(col) ++
         Seq(col("_match").getField("_mt").as(matchedTimeCol)) ++
         payloadCols.map(c => col("_match").getField(c).as(c)): _*)
-  }
 
   /** As-of join on the CUSTOM sort-merge operator
     * ([[graft.plan.AsOfJoin]]): same semantics as [[asofJoin]] —

@@ -247,6 +247,74 @@ object RelationalQueries {
           ON ev.user_id = al.user_id AND ev.t_us >= al.t_us"""
         .replaceAll("\\s+", " "))),
 
+    // FORWARD as-of: earliest error alert AT or AFTER each event —
+    // the "next event" enrichment. Same union+window shape as
+    // join_asof with the traversal reversed; DuckDB ASOF with `<=`
+    // is the oracle's native forward form.
+    "join_asof_forward" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("t_us"), col("event_type"),
+            col("value"))
+        val alerts = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("t_us"))
+          .agg(max(col("value")).as("alert_value"))
+        TemporalJoin.asofJoinForward(
+          ev.select("event_id", "user_id", "t_us"), alerts,
+          keys = Seq("user_id"), leftTime = "t_us", rightTime = "t_us",
+          payloadCols = Seq("alert_value"),
+          matchedTimeCol = "alert_t_us")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+          event_type, value FROM events),
+        al AS (SELECT user_id, t_us, max(value) AS alert_value FROM ev
+          WHERE event_type='error' GROUP BY 1, 2)
+        SELECT ev.event_id, ev.user_id, ev.t_us,
+          al.t_us AS alert_t_us, al.alert_value
+        FROM ev ASOF LEFT JOIN al
+          ON ev.user_id = al.user_id AND ev.t_us <= al.t_us"""
+        .replaceAll("\\s+", " "))),
+
+    // NEAREST as-of: whichever of the backward/forward alert is closer
+    // in time (ties prefer the past — never peek forward unless
+    // strictly closer). Oracle = both DuckDB ASOF directions + the
+    // same integer delta CASE, stitched on the unique event_id.
+    "join_asof_nearest" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("t_us"), col("event_type"),
+            col("value"))
+        val alerts = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("t_us"))
+          .agg(max(col("value")).as("alert_value"))
+        TemporalJoin.asofJoinNearest(
+          ev.select("event_id", "user_id", "t_us"), alerts,
+          keys = Seq("user_id"), leftTime = "t_us", rightTime = "t_us",
+          payloadCols = Seq("alert_value"),
+          matchedTimeCol = "alert_t_us")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+          event_type, value FROM events),
+        al AS (SELECT user_id, t_us, max(value) AS alert_value FROM ev
+          WHERE event_type='error' GROUP BY 1, 2),
+        b AS (SELECT ev.event_id, ev.user_id, ev.t_us,
+          al.t_us AS bt, al.alert_value AS bv
+          FROM ev ASOF LEFT JOIN al
+            ON ev.user_id = al.user_id AND ev.t_us >= al.t_us),
+        f AS (SELECT ev.event_id, al.t_us AS ft, al.alert_value AS fv
+          FROM ev ASOF LEFT JOIN al
+            ON ev.user_id = al.user_id AND ev.t_us <= al.t_us)
+        SELECT b.event_id, b.user_id, b.t_us,
+          CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt
+            WHEN b.t_us - bt <= ft - b.t_us THEN bt ELSE ft END
+            AS alert_t_us,
+          CASE WHEN bt IS NULL THEN fv WHEN ft IS NULL THEN bv
+            WHEN b.t_us - bt <= ft - b.t_us THEN bv ELSE fv END
+            AS alert_value
+        FROM b JOIN f USING (event_id)""".replaceAll("\\s+", " "))),
+
     // the same as-of join on the CUSTOM sort-merge operator
     // (graft.plan.AsOfJoin: LogicalPlan + SparkStrategy + BinaryExecNode
     // registered via experimental.extraStrategies) — each side shuffles

@@ -31,6 +31,66 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out(4L) == (None, None))
   }
 
+  test("asofJoinForward: earliest right row at-or-after each left " +
+    "time, per key; same-instant right visible; trailing lefts " +
+    "unmatched") {
+    val left = Seq((1L, "u", 10L), (2L, "u", 12L), (3L, "u", 20L),
+      (4L, "u", 99L), (5L, "v", 1L)).toDF("id", "k", "t")
+    val right = Seq(("u", 10L, 1.0), ("u", 15L, 2.0), ("v", 60L, 9.0))
+      .toDF("k", "rt", "payload")
+    val out = TemporalJoin.asofJoinForward(left, right,
+      keys = Seq("k"), leftTime = "t", rightTime = "rt",
+      payloadCols = Seq("payload"), matchedTimeCol = "mt")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out(1L) == (Some(10L), Some(1.0))) // same instant, inclusive
+    assert(out(2L) == (Some(15L), Some(2.0))) // next following
+    assert(out(3L) == (None, None))           // nothing after 15
+    assert(out(4L) == (None, None))
+    assert(out(5L) == (Some(60L), Some(9.0)))
+  }
+
+  test("asofJoinNearest: closer of the two directions wins; exact tie " +
+    "prefers the past; one-sided matches win by default") {
+    val left = Seq((1L, "u", 5L),  // only forward (10) exists
+      (2L, "u", 12L),              // back 10 (d2) beats fwd 20 (d8)
+      (3L, "u", 15L),              // tie d5/d5 → backward 10
+      (4L, "u", 16L),              // fwd 20 (d4) beats back 10 (d6)
+      (5L, "u", 25L),              // only backward (20) exists
+      (6L, "u", 10L))              // same instant → d0 backward
+      .toDF("id", "k", "t")
+    val right = Seq(("u", 10L, 1.0), ("u", 20L, 2.0))
+      .toDF("k", "rt", "payload")
+    val out = TemporalJoin.asofJoinNearest(left, right,
+      keys = Seq("k"), leftTime = "t", rightTime = "rt",
+      payloadCols = Seq("payload"), matchedTimeCol = "mt")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out(1L) == (Some(10L), Some(1.0)))
+    assert(out(2L) == (Some(10L), Some(1.0)))
+    assert(out(3L) == (Some(10L), Some(1.0)))
+    assert(out(4L) == (Some(20L), Some(2.0)))
+    assert(out(5L) == (Some(20L), Some(2.0)))
+    assert(out(6L) == (Some(10L), Some(1.0)))
+    // non-integral time columns are rejected fast (a timestamp cast
+    // would silently truncate the delta to seconds)
+    val ts = Seq((1L, "u", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "k", "t")
+    val tsr = Seq(("u", java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1.0))
+      .toDF("k", "rt", "payload")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoinNearest(ts, tsr, Seq("k"), "t", "rt",
+        Seq("payload"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("asofJoin: NULL payload on the matched row stays NULL — an older " +
     "row's value must not be resurrected (struct-carry regression)") {
     val left = Seq((1L, "k", 25L), (2L, "k", 12L)).toDF("id", "k", "t")
