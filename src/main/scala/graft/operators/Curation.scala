@@ -385,6 +385,37 @@ object Curation {
     * binomially tight around n/nShards (md5 uniformity); size
     * `nShards` to the target output-file granularity (corpus bytes /
     * desired file bytes), NOT to the executor count. */
+  /** Deterministic hash-Bernoulli sampling: keep a row iff its 60-bit
+    * md5(id:seed) key falls below ⌊rate·2⁶⁰⌋ (threshold computed
+    * EXACTLY in BigInt — a double multiply could round across the
+    * boundary). The primitive every 100 TB pipeline reaches for first:
+    * unlike `sample()`/`rand(seed)`, the verdict is a pure function of
+    * (id, seed) — reproducible across runs, partitionings, Spark
+    * versions, and engines (the oracle replays it verbatim), and
+    * per-row with no count pass. Thresholds NEST: the rate-p sample is
+    * a strict subset of any rate-q > p sample under the same seed —
+    * growing a sample never resamples (spec-pinned). Pure filter +
+    * projection: zero exchanges, scan-bound at any scale.
+    *
+    * Output: input columns + `sample_key` (the 60-bit hash, kept so
+    * downstream stages can sub-sample by tightening the threshold
+    * without rehashing). */
+  def hashSample(df: DataFrame, idCol: String, seed: String,
+      rateNum: Long, rateDen: Long): DataFrame = {
+    require(rateDen > 0 && rateNum > 0 && rateNum <= rateDen,
+      s"need 0 < rate <= 1: $rateNum/$rateDen")
+    val threshold = hashSampleThreshold(rateNum, rateDen)
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + seed))), 1, 15), 16, 10).cast("long")
+    df.withColumn("sample_key", h)
+      .filter(col("sample_key") < lit(threshold))
+  }
+
+  /** Exact 60-bit threshold for [[hashSample]]'s rate — exposed so
+    * oracle SQL can interpolate the identical integer literal. */
+  def hashSampleThreshold(rateNum: Long, rateDen: Long): Long =
+    ((BigInt(1) << 60) * rateNum / rateDen).toLong
+
   def shuffleShard(df: DataFrame, idCol: String, seed: String,
       nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")

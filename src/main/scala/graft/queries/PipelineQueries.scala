@@ -882,6 +882,22 @@ object PipelineQueries {
     // pre-training ordering step: md5(id:seed) ordering key (engine
     // RNG sequences are partitioning-dependent; a hash is not),
     // shard = key mod 16, pos = write position within the shard.
+    // deterministic hash-Bernoulli sample at 1/10: verdict is a pure
+    // function of (doc_id, seed) — reproducible across runs/engines
+    // (oracle replays the identical md5 threshold), thresholds nest
+    // for sub-sampling without rehash. Pure filter: zero exchanges.
+    "pipeline_hash_sample" -> QueryDef(
+      (s, dir) => Curation.hashSample(
+        docs(s, dir).select("doc_id", "lang", "source", "n_chars"),
+        "doc_id", seed = "r7s", rateNum = 1L, rateDen = 10L),
+      Some(s"""SELECT doc_id, lang, source, n_chars,
+        ('0x'||substr(md5(doc_id::VARCHAR || ':r7s'),1,15))::BIGINT
+          AS sample_key
+        FROM documents
+        WHERE ('0x'||substr(md5(doc_id::VARCHAR || ':r7s'),1,15))::BIGINT
+          < ${Curation.hashSampleThreshold(1L, 10L)}"""
+        .replaceAll("\\s+", " "))),
+
     "pipeline_shuffle_shard" -> QueryDef(
       (s, dir) => Curation.shuffleShard(docs(s, dir), "doc_id",
         seed = "r7", nShards = 16),

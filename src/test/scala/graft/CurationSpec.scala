@@ -360,6 +360,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("hashSample: verdict is a pure function of (id, seed) — " +
+    "invariant under partitioning; thresholds NEST (5% ⊂ 20%); rate " +
+    "lands near nominal; plan is exchange-free") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 4000L).map(i => (i, s"p$i")).toDF("id", "payload")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    val a = Curation.hashSample(df.repartition(7), "id", "sd", 1L, 5L)
+    val b = Curation.hashSample(df.repartition(2), "id", "sd", 1L, 5L)
+    assert(ids(a) == ids(b))                       // partitioning-invariant
+    val small = ids(Curation.hashSample(df, "id", "sd", 1L, 20L))
+    assert(small.subsetOf(ids(a)))                 // nested thresholds
+    val n = ids(a).size
+    assert(n > 600 && n < 1000, s"rate off: $n/4000 at 20%")
+    // different seed → a different (still-nested-by-its-own-rates) draw
+    assert(ids(Curation.hashSample(df, "id", "sd2", 1L, 5L)) != ids(a))
+    // the operator itself adds no exchange (the repartition above was
+    // the test's own)
+    val plan = Curation.hashSample(df, "id", "sd", 1L, 5L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("shuffleShard: permutation is exact (every id once, dense pos " +
     "per shard), matches the driver-side md5 reference, and is " +
     "invariant to input order and partitioning") {
