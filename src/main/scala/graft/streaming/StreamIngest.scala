@@ -243,6 +243,84 @@ object StreamIngest {
       .toDF("key", "time_ns", "vc", "n_prior", "z", "is_anomaly")
   }
 
+  /** Continuous seasonal Holt-Winters — the streaming face of
+    * [[graft.operators.SeriesOps.holtWintersFixed]], same exact-integer
+    * recursion (cent units, truncate-toward-zero Long division,
+    * zero-seeded seasonal ring), so the spec asserts the
+    * streaming/batch differential point-for-point across micro-batch
+    * boundaries. Per-series state is (point-count, level, trend) + the
+    * ring of `season` Longs — 3+m values, bounded by construction at
+    * any stream length. Points fold in (time_ns, value) order WITHIN
+    * each micro-batch; cross-batch ordering is the source's arrival
+    * order (the in-order-per-series contract the batch operator's
+    * bucket sort encodes). */
+  def holtWintersStream(
+      typed: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      aNum: Long, aDen: Long,
+      bNum: Long, bDen: Long,
+      gNum: Long, gDen: Long,
+      season: Int): DataFrame = {
+    require(aDen > 0 && aNum > 0 && aNum <= aDen,
+      s"need 0 < aNum <= aDen, got $aNum/$aDen")
+    require(bDen > 0 && bNum > 0 && bNum <= bDen,
+      s"need 0 < bNum <= bDen, got $bNum/$bDen")
+    require(gDen > 0 && gNum > 0 && gNum <= gDen,
+      s"need 0 < gNum <= gDen, got $gNum/$gDen")
+    require(season >= 2, s"season must be >= 2: $season")
+    val spark = typed.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState,
+      GroupStateTimeout, OutputMode}
+    typed
+      .where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col("time_ns").cast("long"),
+        round(col(valueCol) * 100, 0).cast("long").as("vc"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long],
+          (String, Long, Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[Seq[Long]]) =>
+          val st = state.getOption.getOrElse(Seq.empty[Long])
+          var i = if (st.isEmpty) 0L else st(0)
+          var l = if (st.isEmpty) 0L else st(1)
+          var t = if (st.isEmpty) 0L else st(2)
+          val seas =
+            if (st.isEmpty) Array.fill(season)(0L)
+            else st.drop(3).toArray
+          val out = Seq.newBuilder[
+            (String, Long, Long, Long, Long, Long, Long)]
+          it.toSeq.sortBy(p => (p._2, p._3)).foreach { case (_, ts, v) =>
+            i += 1
+            if (i == 1L) {
+              l = v; t = 0L
+              out += ((key, ts, v, l, t, 0L, l + t + seas(1 % season)))
+            } else {
+              val slot = ((i - 1) % season).toInt
+              val sp = seas(slot)
+              val sm = l + t
+              val l2 =
+                (aNum * (v - sp) + (aDen - aNum) * sm + aDen / 2) / aDen
+              t = (bNum * (l2 - l) + (bDen - bNum) * t + bDen / 2) / bDen
+              val sn =
+                (gNum * (v - l2) + (gDen - gNum) * sp + gDen / 2) / gDen
+              seas(slot) = sn
+              l = l2
+              out += ((key, ts, v, l, t, sn,
+                l + t + seas((i % season).toInt)))
+            }
+          }
+          state.update(Seq(i, l, t) ++ seas)
+          out.result().iterator
+      }
+      .toDF("key", "time_ns", "vc", "level", "trend", "seasonal",
+        "forecast")
+  }
+
   /** Append-mode parquet sink with checkpointed offsets (exactly-once
     * file sink semantics). */
   def toParquet(

@@ -276,6 +276,49 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(sessions.contains((1L, 7.0)), sessions) // minute 31
   }
 
+  test("streaming seasonal Holt-Winters matches the batch operator " +
+    "point-for-point across micro-batch boundaries (ring state " +
+    "carried); planted period-3 sawtooth learns nonzero seasonals") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_hw_in").toString
+    val out = Files.createTempDirectory("graft_hw_out").toString
+    val ckpt = Files.createTempDirectory("graft_hw_ck").toString
+    // period-3 sawtooth on a drifting base; the batch split lands
+    // mid-cycle so the ring must survive the micro-batch boundary
+    val pts = (1L to 17L).map(m =>
+      (m, 10.0 + (m % 3) * 4.0 + m * 0.5))
+    def lp(m: Long, v: Double) = s"m,host=h1 v=$v ${minuteNs(m)}"
+    writeBatch(in, "b0.lp", pts.take(7).map(p => lp(p._1, p._2)))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val hw = StreamIngest.holtWintersStream(typed, "tag_host", "v",
+      1L, 4L, 1L, 4L, 1L, 4L, season = 3)
+    val q = StreamIngest.toParquet(hw, out, ckpt)
+    try {
+      q.processAllAvailable()
+      writeBatch(in, "b1.lp", pts.drop(7).map(p => lp(p._1, p._2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("time_ns") ->
+        ((r.getAs[Long]("level"), r.getAs[Long]("trend"),
+          r.getAs[Long]("seasonal"), r.getAs[Long]("forecast"))))
+      .toMap
+    val batch = graft.operators.SeriesOps.holtWintersFixed(
+        pts.map(p => ("h1", minuteNs(p._1), math.round(p._2 * 100)))
+          .toDF("key", "b", "vc"),
+        Seq("key"), "b", "vc", 1L, 4L, 1L, 4L, 1L, 4L, season = 3)
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == batch)
+    // the sawtooth is learned: post-first-cycle seasonal components
+    // are not all zero
+    assert(pts.drop(6).exists(p => got(minuteNs(p._1))._3 != 0L))
+  }
+
   test("streaming anomaly scoring matches the batch operator " +
     "point-for-point across micro-batch boundaries; spike off a flat " +
     "baseline flags") {
