@@ -160,6 +160,53 @@ object Multimodal {
   private val sniffImageUdf =
     udf { bytes: Array[Byte] => readImageHeader(bytes) }
 
+  /** 56-bit dHash-style perceptual fingerprint over REAL decoded
+    * pixels (full `ImageIO.read`, not just the header): sample an 8×8
+    * luma grid by nearest-pixel mapping (xₛ = ⌊cx·w/8⌋, yₛ = ⌊cy·h/8⌋
+    * — total and integer-exact, so an external oracle that knows the
+    * planted pixel formula replays it bit-for-bit; an area-average
+    * resample would drag in filter-kernel specifics no SQL engine
+    * reproduces), then bit cy·7+cx = [luma(cx+1,cy) > luma(cx,cy)]
+    * with integer luma 299R+587G+114B. 56 bits (8 rows × 7 adjacent
+    * comparisons) keeps the accumulated value inside BIGINT in every
+    * engine (the classic 9×8 dHash's 64th bit would overflow a signed
+    * sum). Near-duplicate images land within a small Hamming distance;
+    * pair them with the existing Hamming-banded machinery
+    * (simhashHammingPairs operates on any Long fingerprint). */
+  private val phashUdf = udf { bytes: Array[Byte] =>
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        def luma(cx: Int, cy: Int): Long = {
+          val v = img.getRGB(cx * w / 8, cy * h / 8) & 0xFFFFFF
+          299L * ((v >> 16) & 255) + 587L * ((v >> 8) & 255) +
+            114L * (v & 255)
+        }
+        var hash = 0L
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 7) {
+            if (luma(cx + 1, cy) > luma(cx, cy))
+              hash |= 1L << (cy * 7 + cx)
+            cx += 1
+          }
+          cy += 1
+        }
+        Some(hash)
+      }
+    } catch { case NonFatal(_) => None }
+  }
+
+  /** Perceptual-hash projection over an asset table: (asset_id,
+    * phash), null phash for undecodable payloads. Partition-parallel
+    * single-pass; payloads never shuffle. */
+  def perceptualHash(assets: DataFrame): DataFrame =
+    assets.select(col("asset_id"), phashUdf(col("payload")).as("phash"))
+
   /** REAL image metadata decode over an asset table: (asset_id,
     * media_type, width, height, channels, img_format); nulls for
     * payloads that are not decodable images (stub-fallback contract).

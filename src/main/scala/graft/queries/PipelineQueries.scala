@@ -1371,6 +1371,41 @@ object PipelineQueries {
         3::BIGINT AS channels, 'png' AS img_format FROM documents"""
         .replaceAll("\\s+", " "))),
 
+    // perceptual hash over REAL decoded pixels: the engine encodes
+    // planted PNGs, fully decodes them (ImageIO.read, not just the
+    // header), samples an 8×8 luma grid and emits the 56-bit dHash;
+    // the oracle never sees a pixel — it replays the planted
+    // generator's arithmetic (RGB = (id·31+y·17+x·7) & 0xFFFFFF) at
+    // the same integer sample points, so any decode/sampling drift
+    // hash-mismatches. The engine side must round-trip genuine PNG
+    // bytes for this row to stay green.
+    "mm_phash" -> QueryDef(
+      (s, dir) => Multimodal.perceptualHash(Multimodal.synthPngAssets(
+        docs(s, dir), "doc_id",
+        lit(1) + pmod(col("doc_id"), lit(13)),
+        lit(1) + pmod(col("doc_id") * 3, lit(11)))),
+      Some {
+        def v(x: String) =
+          s"((doc_id*31 + ((cy*h)//8)*17 + ($x)*7) & 16777215)"
+        val v0 = v("(cx*w)//8")
+        val v1 = v("((cx+1)*w)//8")
+        s"""WITH g AS (SELECT doc_id, 1 + doc_id % 13 AS w,
+            1 + (doc_id*3) % 11 AS h FROM documents),
+          e AS (SELECT doc_id, w, h, cy, cx FROM g,
+            (SELECT unnest(generate_series(0,7)) AS cy),
+            (SELECT unnest(generate_series(0,6)) AS cx)),
+          l AS (SELECT doc_id, cy, cx,
+            299*(($v0 >> 16) & 255) + 587*(($v0 >> 8) & 255)
+              + 114*($v0 & 255) AS l0,
+            299*(($v1 >> 16) & 255) + 587*(($v1 >> 8) & 255)
+              + 114*($v1 & 255) AS l1 FROM e)
+          SELECT doc_id AS asset_id,
+            CAST(sum(CASE WHEN l1 > l0
+              THEN (1::BIGINT << (cy*7+cx)) ELSE 0 END) AS BIGINT)
+              AS phash
+          FROM l GROUP BY 1""".replaceAll("\\s+", " ")
+      }),
+
     // multimodal: STUB decode → deterministic fake features, exploded to
     // (asset_id, i, feature) rows.
     "mm_decode_features" -> QueryDef(

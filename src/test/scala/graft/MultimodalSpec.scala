@@ -62,6 +62,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.getAs[String]("img_format") === "png")
   }
 
+  test("perceptualHash: engine hash over REAL decoded PNG bytes equals " +
+    "an independent driver-side recomputation from the planted pixel " +
+    "formula; identical images hash identically; corrupt payload nulls") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(3L, 7L, 40L, 41L, 100L)
+    val assets = Multimodal.synthPngAssets(
+      ids.toDF("doc_id"), "doc_id",
+      lit(1) + pmod(col("doc_id"), lit(13)),
+      lit(1) + pmod(col("doc_id") * 3, lit(11)))
+    val got = Multimodal.perceptualHash(assets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference straight from the generator arithmetic —
+    // never touches a PNG byte
+    def ref(id: Long): Long = {
+      val w = (1 + id % 13).toInt; val h = (1 + (id * 3) % 11).toInt
+      def luma(xs: Int, cy: Int): Long = {
+        val v = (id * 31 + (cy * h / 8) * 17 + xs * 7) & 0xFFFFFF
+        299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255) + 114 * (v & 255)
+      }
+      (for { cy <- 0 until 8; cx <- 0 until 7
+        if luma((cx + 1) * w / 8, cy) > luma(cx * w / 8, cy) }
+        yield 1L << (cy * 7 + cx)).sum
+    }
+    ids.foreach(id => assert(got(id) == ref(id), s"id=$id"))
+    // determinism: re-encoding the same id yields the same hash
+    val again = Multimodal.perceptualHash(Multimodal.synthPngAssets(
+        Seq(7L).toDF("doc_id"), "doc_id",
+        lit(1) + pmod(col("doc_id"), lit(13)),
+        lit(1) + pmod(col("doc_id") * 3, lit(11))))
+      .collect().head.getLong(1)
+    assert(again == got(7L))
+    // corrupt payload → null, never a throw mid-scan
+    val bad = Multimodal.perceptualHash(
+      Seq((1L, "image", Array[Byte](1, 2, 3)))
+        .toDF("asset_id", "media_type", "payload")).collect().head
+    assert(bad.isNullAt(1))
+  }
+
   test("synthPngAssets round-trips through the real decoder at per-row dims") {
     val df = Seq(0L, 1L, 25L, 499L).toDF("doc_id")
     val out = Multimodal.decodeImageMeta(Multimodal.synthPngAssets(
