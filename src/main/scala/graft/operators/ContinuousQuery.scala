@@ -50,9 +50,11 @@ final class ContinuousQuery(spark: SparkSession) {
     val fromNs =
       if (prev == 0L) Long.MinValue
       else floorBucket(math.max(prev - resampleNs, 0L), bucketNs)
-    val t = col(timeCol).cast("long")
-    val recent = spark.read.parquet(srcPath)
-      .filter(if (fromNs == Long.MinValue) lit(true) else t >= fromNs)
+    val raw = spark.read.parquet(srcPath)
+    val t = Tables.nsCol(raw, timeCol)
+    val recent = raw.filter(
+      if (fromNs == Long.MinValue) lit(true)
+      else Tables.nsAtLeast(raw, timeCol, fromNs)) // pushable pruning
     // per-group max raw ts rides the rollup aggregation, so the
     // watermark needs no second scan of the raw data; the rolled frame
     // (bucket-bounded, small) is cached across the stats read and the

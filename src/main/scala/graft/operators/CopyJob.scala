@@ -330,12 +330,16 @@ final class CopyJob(
         val fs = partDir.getFileSystem(conf)
         if (fs.exists(partDir)) { // may be gone via contained-drop already
           Tables.ensureNsConf(spark)
-          val t = col(cfg.timeCol)
+          val part = spark.read.parquet(partDir.toString)
           val outside = written.map { case (ws, we) =>
-            if (cfg.strictReferenceBounds) !(t > ws && t < we)
-            else !(t >= ws && t < we)
+            if (cfg.strictReferenceBounds)
+              !(Tables.nsAfter(part, cfg.timeCol, ws) &&
+                Tables.nsBefore(part, cfg.timeCol, we))
+            else
+              !(Tables.nsAtLeast(part, cfg.timeCol, ws) &&
+                Tables.nsBefore(part, cfg.timeCol, we))
           }.reduce(_ && _)
-          val remaining = spark.read.parquet(partDir.toString).filter(outside)
+          val remaining = part.filter(outside)
           if (remaining.isEmpty) fs.delete(partDir, true): Unit
           else swapPartitionContents(dstPath, ps, pe, remaining, "trim")
         }
@@ -401,8 +405,8 @@ final class CopyJob(
       Tables.ensureNsConf(spark)
       val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
       val fs = partDir.getFileSystem(conf)
-      val remaining = spark.read.parquet(partDir.toString)
-        .filter(col(cfg.timeCol) >= cutoffNs)
+      val part = spark.read.parquet(partDir.toString)
+      val remaining = part.filter(Tables.nsAtLeast(part, cfg.timeCol, cutoffNs))
       if (remaining.isEmpty) {
         fs.delete(partDir, true): Unit
         dropped :+= ((ps, pe))
@@ -440,10 +444,12 @@ final class CopyJob(
     CopyJob.layout(schema, srcRoot, dstRoot, flatRoot)
       .map { case (src, dst) => copyMeasurement(src, dst, cfg) }
 
-  /** Read back what a copy wrote (drops the partition column). */
+  /** Read back what a copy wrote (drops the partition column). A
+    * timestamp-typed `ts` surfaces as the canonical Long ns epoch, same
+    * as [[Tables.load]] — so copy and source present one time schema. */
   def readCopied(path: String): DataFrame = {
     Tables.ensureNsConf(spark)
-    spark.read.parquet(path).drop("__bucket")
+    Tables.withNsTime(spark.read.parquet(path).drop("__bucket"))
   }
 
   /** Time-range read of a copied dataset with CHUNK-PARTITION pruning.
@@ -464,11 +470,11 @@ final class CopyJob(
       timeCol: String = "ts"): DataFrame = {
     Tables.ensureNsConf(spark)
     val span = split(col("__bucket"), "_")
-    spark.read.parquet(path)
+    val pruned = spark.read.parquet(path)
       .filter(span.getItem(0).cast("long") < endNs &&
         span.getItem(1).cast("long") > startNs)
-      .filter(col(timeCol) >= startNs && col(timeCol) < endNs)
-      .drop("__bucket")
+    Tables.withNsTime(
+      Tables.timeRange(pruned, timeCol, startNs, endNs).drop("__bucket"))
   }
 
   /** Per-chunk source↔dest checksum verification — stronger than the
@@ -495,7 +501,10 @@ final class CopyJob(
     val start = chunks.last.startNs
     val end = chunks.head.endNs
     val byIdx = chunks.map(c => c.id.toLong -> c).toMap
-    val src = spark.read.parquet(srcPath)
+    // both sides checksummed over the SAME time representation (Long ns)
+    // — a raw-timestamp source vs ns-normalized copy would hash-differ
+    // on identical content
+    val src = Tables.withNsTime(spark.read.parquet(srcPath), cfg.timeCol)
     val cols = src.columns.sorted.map(col).toSeq
     def sums(df: DataFrame): DataFrame = {
       val t = col(cfg.timeCol)

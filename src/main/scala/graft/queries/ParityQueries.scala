@@ -39,8 +39,8 @@ object ParityQueries {
     // S5/P2: the main data scan — time-range full scan with the
     // reference's doubly-exclusive bounds (sync.go:162).
     "s5_timerange_scan" -> QueryDef(
-      (s, dir) => ev(s, dir)
-        .where(col("ts") > lit(StartNs) && col("ts") < lit(EndNs))
+      (s, dir) => Tables
+        .timeRange(ev(s, dir), "ts", StartNs, EndNs, strictBounds = true)
         .select(evProj: _*),
       Some(s"""SELECT event_id, epoch_us(ts) AS time_us, user_id,
                event_type, value, props FROM events

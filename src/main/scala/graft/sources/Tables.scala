@@ -1,30 +1,128 @@
 package graft.sources
 
 import graft.functions.TimeFuncs
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet measurement/table reader.
   *
   * The reference's only data source is the InfluxDB 1.x HTTP API with
   * hard-coded ns precision (/root/reference/pkg/agent/client.go:329-485).
-  * Our primary storage is Parquet; nanosecond timestamp columns (Spark has
-  * only µs TimestampType) are read as `Long` ns epochs via
-  * `spark.sql.legacy.parquet.nanosAsLong` — keeping the authoritative
-  * ns-precision time key lossless (SURVEY.md §7.3 hard part 1).
+  * Our primary storage is Parquet, whose time column may physically be
+  * int64 ns epochs, TIMESTAMP(NANOS) (surfacing as Long via
+  * `spark.sql.legacy.parquet.nanosAsLong`), TIMESTAMP(MICROS) or
+  * TIMESTAMP_NTZ — the engine's authoritative time key is ALWAYS a
+  * lossless Long ns epoch, derived at the load boundary
+  * (SURVEY.md §7.3 hard part 1). Naive timestamps are interpreted as
+  * UTC, matching DuckDB's `epoch_ns` on naive parquet timestamps.
+  *
+  * Filter pushdown contract: ns-bound time predicates are applied to the
+  * RAW physical column (timestamp literals for timestamp-typed storage),
+  * so they land in the parquet scan's PushedFilters for row-group
+  * skipping — [[load]] keeps the raw column as `<name>_raw` beside the
+  * derived ns Long for exactly this purpose, and [[timeRange]] prefers it.
   */
 object Tables {
 
-  /** Must be set before reading any ns-timestamp parquet; runtime-settable
-    * session conf, safe to call repeatedly. */
-  def ensureNsConf(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Companion-column suffix: `load` keeps the raw physical time column
+    * as `ts_raw` so range predicates stay pushable after ns-derivation. */
+  final val RawSuffix = "_raw"
 
-  /** Read `<dir>/<name>.parquet`. ns-timestamp columns surface as Long. */
+  /** Must be set before reading any ns-timestamp parquet; runtime-settable
+    * session confs, safe to call repeatedly. UTC pins the naive-timestamp
+    * interpretation so ns derivation is deterministic on any host. */
+  def ensureNsConf(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  /** Long-ns-epoch view of `df`'s time column, whatever its physical
+    * type. Naive (NTZ) timestamps are read as UTC (session TZ is pinned
+    * by [[ensureNsConf]]), matching the DuckDB oracle's `epoch_ns`. */
+  def nsCol(df: DataFrame, name: String): Column =
+    nsColOf(df.schema(name).dataType, name)
+
+  private def nsColOf(dt: DataType, name: String): Column = dt match {
+    case LongType         => col(name)
+    case TimestampType    => unix_micros(col(name)) * lit(1000L)
+    case TimestampNTZType =>
+      unix_micros(col(name).cast(TimestampType)) * lit(1000L)
+    case other => throw new IllegalArgumentException(
+      s"unsupported time column type for `$name`: $other")
+  }
+
+  /** Replace `name` with its Long-ns view in place (schema otherwise
+    * unchanged; no companion column). No-op when already Long. */
+  def withNsTime(df: DataFrame, name: String = "ts"): DataFrame =
+    if (!df.columns.contains(name)) df
+    else df.schema(name).dataType match {
+      case LongType => df
+      case dt       => df.withColumn(name, nsColOf(dt, name))
+    }
+
+  /** Timestamp literal (folded constant → pushable) carrying `us` µs
+    * epoch in the column's own type. */
+  private def usLit(dt: DataType, us: Long): Column = dt match {
+    case TimestampType    => timestamp_micros(lit(us))
+    case TimestampNTZType => timestamp_micros(lit(us)).cast(TimestampNTZType)
+    case other => throw new IllegalArgumentException(
+      s"usLit: not a timestamp type: $other")
+  }
+
+  private def ceilDivUs(ns: Long): Long = Math.floorDiv(ns + 999L, 1000L)
+
+  /** The raw (pushable) column to range-filter on, and its type: the
+    * `<timeCol>_raw` companion when present, else `timeCol` itself. */
+  private def filterTarget(df: DataFrame, timeCol: String)
+      : (Column, DataType) = {
+    val rawName = timeCol + RawSuffix
+    if (df.columns.contains(rawName))
+      (col(rawName), df.schema(rawName).dataType)
+    else (col(timeCol), df.schema(timeCol).dataType)
+  }
+
+  /** Pushable `time > ns` (strict) predicate. For µs-precision storage:
+    * `us·1000 > ns  ⟺  us > ns floorDiv 1000`. */
+  def nsAfter(df: DataFrame, timeCol: String, ns: Long): Column = {
+    val (c, dt) = filterTarget(df, timeCol)
+    dt match {
+      case LongType => c > lit(ns)
+      case tdt      => c > usLit(tdt, Math.floorDiv(ns, 1000L))
+    }
+  }
+
+  /** Pushable `time >= ns` predicate (`us·1000 >= ns ⟺ us >= ceil`). */
+  def nsAtLeast(df: DataFrame, timeCol: String, ns: Long): Column = {
+    val (c, dt) = filterTarget(df, timeCol)
+    dt match {
+      case LongType => c >= lit(ns)
+      case tdt      => c >= usLit(tdt, ceilDivUs(ns))
+    }
+  }
+
+  /** Pushable `time < ns` predicate (`us·1000 < ns ⟺ us < ceil`). */
+  def nsBefore(df: DataFrame, timeCol: String, ns: Long): Column = {
+    val (c, dt) = filterTarget(df, timeCol)
+    dt match {
+      case LongType => c < lit(ns)
+      case tdt      => c < usLit(tdt, ceilDivUs(ns))
+    }
+  }
+
+  /** Read `<dir>/<name>.parquet`. Any timestamp-typed `ts` column is
+    * normalized to the authoritative Long ns epoch, with the raw
+    * physical column kept as `ts_raw` so [[timeRange]] predicates still
+    * reach the parquet scan. int64-ns storage passes through untouched. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureNsConf(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        raw.withColumn("ts" + RawSuffix, col("ts"))
+          .withColumn("ts", nsCol(raw, "ts"))
+      case _ => raw
+    }
   }
 
   /** The `events` table in canonical measurement form: authoritative
@@ -33,11 +131,14 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     raw
-      .withColumn("time_ns", col("ts").cast(LongType))
+      .withColumn("time_ns", col("ts"))
       .withColumn("time", TimeFuncs.nsToTimestamp(col("time_ns")))
   }
 
-  /** Time-range scan with ns bounds pushed to the Parquet scan.
+  /** Time-range scan with ns bounds pushed to the Parquet scan — for
+    * timestamp-typed storage the bounds are folded timestamp literals on
+    * the raw column (the `_raw` companion when the frame carries one),
+    * so they land in PushedFilters whatever the physical time type.
     * Half-open `[startNs, endNs)` by default; `strictBounds` reproduces
     * the reference's doubly-exclusive `time > s AND time < e`
     * (/root/reference/pkg/agent/sync.go:162). */
@@ -48,9 +149,9 @@ object Tables {
       endNs: Long,
       strictBounds: Boolean = false): DataFrame =
     if (strictBounds)
-      df.filter(col(timeCol) > startNs && col(timeCol) < endNs)
+      df.filter(nsAfter(df, timeCol, startNs) && nsBefore(df, timeCol, endNs))
     else
-      df.filter(col(timeCol) >= startNs && col(timeCol) < endNs)
+      df.filter(nsAtLeast(df, timeCol, startNs) && nsBefore(df, timeCol, endNs))
 
   /** Row-density histogram feeding ChunkPlanner.planAdaptive: rows per
     * `cellNs`-grain cell over the window — ONE pushed-down scan + count
@@ -66,8 +167,8 @@ object Tables {
     // integer `div`, not `/`: double division of a year-scale ns delta
     // exceeds 2^53 and would mis-bucket boundary rows
     timeRange(df, timeCol, startNs, endNs)
-      .groupBy(expr(s"(`$timeCol` - ${startNs}L) div ${cellNs}L")
-        .as("cell"))
+      .withColumn("__ns", nsCol(df, timeCol))
+      .groupBy(expr(s"(__ns - ${startNs}L) div ${cellNs}L").as("cell"))
       .count()
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))

@@ -20,11 +20,12 @@ class ContinuousQuerySpec extends AnyFunSuite {
       spark.read.parquet(s"${SparkSpec.Sf0001}/events.parquet"),
       "ts", fromNs, untilNs)
 
-  private def fullRollup(srcDir: String) =
-    spark.read.parquet(srcDir)
+  private def fullRollup(srcDir: String) = {
+    val raw = spark.read.parquet(srcDir)
+    val t = Tables.nsCol(raw, "ts")
+    raw
       .groupBy(col("event_type"),
-        (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(Day)))
-          .as("bucket_ns"))
+        (t - pmod(t, lit(Day))).as("bucket_ns"))
       .agg(count(lit(1)).as("n_points"),
         // rounded: summation order differs between the incremental and
         // one-shot aggregations (same rows, different partitionings)
@@ -34,6 +35,7 @@ class ContinuousQuerySpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)) ->
         (r.getLong(2), r.getDouble(3)))
       .toMap
+  }
 
   private def gotRollup(cq: ContinuousQuery, dst: String) =
     cq.readRollup(dst)

@@ -287,8 +287,10 @@ class CopyJobSpec extends AnyFunSuite {
     val c = CopyJob.Config(S, E, chunkNs = 5 * Day, timeCol = "ts",
       strictReferenceBounds = true)
     job.copyMeasurement(src, dst, c)
-    val strictCount = spark.read.parquet(src)
-      .filter(col("ts") > S && col("ts") < E).count()
+    val rawSrc = spark.read.parquet(src)
+    val strictCount = rawSrc
+      .filter(Tables.nsAfter(rawSrc, "ts", S) &&
+        Tables.nsBefore(rawSrc, "ts", E)).count()
     assert(job.readCopied(dst).count() == strictCount)
   }
 }
