@@ -427,4 +427,64 @@ object Curation {
         (row_number().over(Window.partitionBy(col("shard"))
           .orderBy(col("shuffle_key"), col("id"))) - 1).cast("long"))
   }
+
+  /** Probability-proportional-to-size (PPS / weighted Bernoulli)
+    * sampling: keep a row with probability min(1, weight ·
+    * perUnitThreshold / 2⁶⁰), entirely in exact integer arithmetic —
+    * the length-weighted document draw every mixture-building pipeline
+    * runs ("sample tokens, not documents"), with [[hashSample]]'s
+    * determinism guarantees: stable under corpus growth, nested under
+    * threshold tightening, and engine-portable (the inclusion test
+    * `h div K < w` is pure 60-bit-hash integer division — no float ever
+    * enters, so DuckDB's `//` reproduces it bit-for-bit; `h < w·K`
+    * would be the same predicate but can overflow Long, the div form
+    * cannot). Rows with NULL or non-positive weight are excluded.
+    * Pure projection + filter: zero exchanges, scan-bound at any scale.
+    *
+    * Output: input columns + `pps_key` (the 60-bit hash, kept so
+    * downstream stages can sub-sample without rehashing). */
+  def ppsSample(df: DataFrame, idCol: String, weightCol: String,
+      seed: String, perUnitThreshold: Long): DataFrame = {
+    require(perUnitThreshold > 0,
+      s"perUnitThreshold must be positive: $perUnitThreshold")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + seed))), 1, 15), 16, 10).cast("long")
+    df.withColumn("pps_key", h)
+      .filter(expr(s"pps_key div ${perUnitThreshold}L") <
+        col(weightCol).cast("long"))
+  }
+
+  /** Per-key contribution cap: keep at most `maxPerKey` rows per key,
+    * chosen in deterministic salted-hash order (the per-domain quota
+    * that stops a handful of giant crawl domains from dominating a
+    * training mix). Selection is hash-ORDERED, not hash-thresholded, so
+    * every key yields min(|key|, maxPerKey) rows exactly.
+    *
+    * Scale shape: the selection is a bounded-heap [[TopKAgg]] aggregate
+    * — ObjectHashAggregate(partial) caps every map partition at
+    * `maxPerKey` rows per key before the shuffle, so a key with a
+    * billion rows moves |partitions|·maxPerKey candidates, never the
+    * corpus (the `row_number() OVER (PARTITION BY key)` formulation
+    * this replaces funnels the key's whole population into one reducer
+    * sort — the skew trap at 100 TB). The 52-bit salted hash is exactly
+    * representable in the heap's Double score, so the aggregate's
+    * (score DESC, id ASC) order over negated hashes is bit-identical to
+    * the oracle's integer `ORDER BY h, id` row_number.
+    *
+    * Output: (keyCol, idCol, cap_rank 1..maxPerKey). */
+  def capPerKey(df: DataFrame, idCol: String, keyCol: String,
+      seed: String, maxPerKey: Int): DataFrame = {
+    require(maxPerKey > 0, s"maxPerKey must be positive: $maxPerKey")
+    val h = conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit("#"), col(idCol).cast("string"), lit(":" + seed))), 1, 13),
+      16, 10).cast("long")
+    df.select(col(keyCol).as("__k"), col(idCol).cast("long").as("__id"),
+        h.as("__h"))
+      .groupBy(col("__k"))
+      .agg(graft.functions.TopKAgg.topK(maxPerKey)(
+        negate(col("__h").cast("double")), col("__id")).as("tk"))
+      .select(col("__k"), posexplode(col("tk.items")))
+      .select(col("__k").as(keyCol), col("col.id").as(idCol),
+        (col("pos") + 1).cast("long").as("cap_rank"))
+  }
 }

@@ -886,6 +886,39 @@ object PipelineQueries {
     // function of (doc_id, seed) — reproducible across runs/engines
     // (oracle replays the identical md5 threshold), thresholds nest
     // for sub-sampling without rehash. Pure filter: zero exchanges.
+    // Length-weighted PPS draw over documents: keep-probability
+    // n_chars/600 (capped at 1) via the exact integer test
+    // h div K < n_chars with K = 2^60/600 — "sample tokens, not
+    // documents". Zero-exchange filter; DuckDB reproduces the division
+    // bit-for-bit.
+    "pipeline_pps_sample" -> QueryDef(
+      (s, dir) => Curation.ppsSample(
+        docs(s, dir).select("doc_id", "source", "n_chars"),
+        "doc_id", "n_chars", seed = "r8w",
+        perUnitThreshold = (1L << 60) / 600L),
+      Some(s"""SELECT doc_id, source, n_chars,
+        ('0x'||substr(md5(doc_id::VARCHAR || ':r8w'),1,15))::BIGINT
+          AS pps_key
+        FROM documents
+        WHERE ('0x'||substr(md5(doc_id::VARCHAR || ':r8w'),1,15))::BIGINT
+          // ${(1L << 60) / 600L} < n_chars"""
+        .replaceAll("\\s+", " "))),
+
+    // Per-source contribution cap (10 of each source's 25 docs at
+    // sf0.01): deterministic hash-ordered quota via the bounded-heap
+    // TopKAgg — partial aggregation caps each map partition's
+    // contribution, so a hot key never funnels its population into one
+    // reducer sort the way the row_number window form would.
+    "pipeline_source_cap" -> QueryDef(
+      (s, dir) => Curation.capPerKey(docs(s, dir),
+        "doc_id", "source", seed = "r8c", maxPerKey = 10),
+      Some("""SELECT source, doc_id, cap_rank FROM (
+          SELECT source, doc_id, row_number() OVER (PARTITION BY source
+            ORDER BY ('0x'||substr(md5(source || '#' || doc_id::VARCHAR
+              || ':r8c'),1,13))::BIGINT, doc_id) AS cap_rank
+          FROM documents)
+        WHERE cap_rank <= 10""".replaceAll("\\s+", " "))),
+
     "pipeline_hash_sample" -> QueryDef(
       (s, dir) => Curation.hashSample(
         docs(s, dir).select("doc_id", "lang", "source", "n_chars"),

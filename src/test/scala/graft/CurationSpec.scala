@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Curation, TextAnalysis}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class CurationSpec extends AnyFunSuite {
@@ -382,6 +383,80 @@ class CurationSpec extends AnyFunSuite {
     val plan = Curation.hashSample(df, "id", "sd", 1L, 5L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("ppsSample: keep-probability scales with weight (heavier rows " +
+    "kept strictly more often), inclusion is the exact integer test, " +
+    "null/non-positive weights are excluded, thresholds nest, plan is " +
+    "exchange-free") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 3000L).map(i => (i, (i % 30) * 20L))
+      .toDF("id", "w") // weights 0, 20, ..., 580
+    val K = (1L << 60) / 600L
+    val kept = Curation.ppsSample(df, "id", "w", "sd", K)
+      .select("id", "w").collect().map(r => r.getLong(0) -> r.getLong(1))
+    // weight 0 never kept; keep-rate increases with weight band
+    assert(!kept.exists(_._2 == 0L))
+    val byBand = kept.groupBy(_._2 / 200L).view.mapValues(_.size).toMap
+    assert(byBand.getOrElse(0L, 0) < byBand.getOrElse(2L, 0))
+    // overall rate near E = avg(w)/600 ≈ 0.483
+    assert(kept.length > 1200 && kept.length < 1700, s"n=${kept.length}")
+    // nesting: halving the per-unit threshold yields a subset
+    val tighter = Curation.ppsSample(df, "id", "w", "sd", K / 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(tighter.subsetOf(kept.map(_._1).toSet))
+    // null weight excluded, not an ANSI error
+    val withNull = df.withColumn("w",
+      org.apache.spark.sql.functions.when(col("id") === 1L, null)
+        .otherwise(col("w")))
+    assert(!Curation.ppsSample(withNull, "id", "w", "sd", K)
+      .select("id").collect().map(_.getLong(0)).contains(1L))
+    val plan = Curation.ppsSample(df, "id", "w", "sd", K)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("capPerKey: exactly min(|key|, cap) rows per key, selection " +
+    "matches the row_number window reference bit-for-bit, invariant " +
+    "under partitioning, and the plan is a partial+final aggregate " +
+    "with no Window") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed: key "hot" has 900 rows, "warm" 40, "cold" 3 (< cap)
+    val rows = (1L to 900L).map(i => ("hot", i)) ++
+      (1001L to 1040L).map(i => ("warm", i)) ++
+      (2001L to 2003L).map(i => ("cold", i))
+    val df = rows.toDF("src", "doc")
+    val got = Curation.capPerKey(df.repartition(7), "doc", "src", "sd", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val sizes = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes == Map("hot" -> 10, "warm" -> 10, "cold" -> 3))
+    // reference: row_number over the same 52-bit salted hash
+    val h = conv(substring(md5(concat(col("src"), lit("#"),
+      col("doc").cast("string"), lit(":sd"))), 1, 13), 16, 10)
+      .cast("long")
+    val ref = df.withColumn("h", h)
+      .withColumn("cap_rank", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("h"), col("doc"))).cast("long"))
+      .filter(col("cap_rank") <= 10)
+      .select("src", "doc", "cap_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == ref)
+    // partitioning-invariant
+    val got2 = Curation.capPerKey(df.repartition(2), "doc", "src", "sd", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got2 == got)
+    // plan: bounded-heap aggregate (partial+final), never a Window sort
+    val plan = Curation.capPerKey(df, "doc", "src", "sd", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      plan.take(2000))
   }
 
   test("shuffleShard: permutation is exact (every id once, dense pos " +
