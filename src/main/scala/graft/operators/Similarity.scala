@@ -261,10 +261,12 @@ object Similarity {
     * query, and merges bounded buffers. Rankings are bit-identical to
     * the window form (TopKAgg ordering = Spark SortOrder double
     * semantics; differential-tested in SimilaritySpec). */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private def topKPerQuery(scored: DataFrame, k: Int,
+      scoreIn: String = "cosine", scoreOut: String = "cosine_r")
+      : DataFrame = {
     val tk = TopKAgg.topK(k)
     scored
-      .select(col("query_id"), round(col("cosine"), 6).as("score"),
+      .select(col("query_id"), round(col(scoreIn), 6).as("score"),
         col("neighbor_id"))
       // null AND NaN scores (null / zero-norm embeddings — a zero-norm
       // cosine is 0/0 = NaN, which would rank FIRST under TopKAgg's
@@ -275,7 +277,7 @@ object Similarity {
       .agg(tk(col("score"), col("neighbor_id")).as("tk"))
       .select(col("query_id"), posexplode(col("tk.items")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col.id").as("neighbor_id"), col("col.score").as("cosine_r"))
+        col("col.id").as("neighbor_id"), col("col.score").as(scoreOut))
   }
 
   /** All pairs (id_a < id_b) with cosine — oracle-sized data only;
@@ -303,6 +305,29 @@ object Similarity {
         safeCosine(vecDot(col("qv"), col("cv")), col("qn"), col("cn"))
           .as("cosine"))
     topKPerQuery(scored, k)
+  }
+
+  /** Maximum-inner-product search (MIPS): brute-force top-k by RAW dot
+    * product — the retrieval mode for asymmetrically-trained two-tower
+    * embeddings, where popular items deliberately carry large norms
+    * and cosine's normalization would erase exactly that signal.
+    * Same plan shape as [[bruteForceTopK]] (queries broadcast, corpus
+    * scanned once, bounded-heap two-phase ranking — never a per-query
+    * window sort); the dot is the same ascending-index fold both
+    * engines compute bit-identically (no FMA chain), so the 6-dp
+    * rounded score hash-matches the DuckDB oracle exactly. Ties break
+    * by corpus id. */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      excludeSelfMatches: Boolean = true): DataFrame = {
+    val q = broadcast(prep(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val c = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val scored = c.join(q,
+      if (excludeSelfMatches) col("query_id") =!= col("neighbor_id")
+      else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        vecDot(col("qv"), col("cv")).as("ip"))
+    topKPerQuery(scored, k, scoreIn = "ip", scoreOut = "ip_r")
   }
 
   /** Deterministic ±1 hyperplane for (table, plane): component i is +1

@@ -426,6 +426,33 @@ object PipelineQueries {
         WHERE cosine >= 0.95""".replaceAll("\\s+", " "))),
 
     // brute-force cosine top-5 for query vectors vec_id < 16.
+    // Maximum-inner-product retrieval (two-tower/recommender mode):
+    // top-5 by RAW dot — norm information cosine would normalize away
+    // is the ranking signal. Same broadcast + bounded-heap plan as
+    // brute force; the ascending-index dot fold is bit-identical in
+    // both engines, so the 6-dp score hash-matches exactly.
+    "ann_mips_topk" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.mipsTopK(e.filter(col("vec_id") < 16), e,
+          "vec_id", "embedding", 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("ip_r"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 16),
+        s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_transform(generate_series(1,64),
+            i -> q.qv[i]*c.v[i]), (x,y) -> x+y) AS ip
+        FROM q, v c WHERE c.vec_id != q.qid)
+        SELECT query_id, rank, neighbor_id, ip_r FROM (
+          SELECT query_id, neighbor_id, round(ip,6) AS ip_r,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY round(ip,6) DESC, neighbor_id) AS rank FROM s
+          WHERE ip IS NOT NULL)
+        WHERE rank <= 5""".replaceAll("\\s+", " "))),
+
     "ann_bruteforce_topk" -> QueryDef(
       (s, dir) => {
         val e = emb(s, dir)

@@ -62,6 +62,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("MIPS top-k ranks by raw inner product: a large-norm vector " +
+    "outranks a perfectly-aligned unit vector, exactly where cosine " +
+    "flips the order; ranks dense, no self-matches") {
+    // query along e1; n2 aligned unit vector, n3 misaligned but huge
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),        // the query itself (excluded)
+      (2L, Seq(1.0f, 0.0f)),        // cos=1,   ip=1
+      (3L, Seq(10.0f, 10.0f)),      // cos≈.707, ip=10
+      (4L, Seq(0.0f, 1.0f)))        // cos=0,   ip=0
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 1L)
+    val mips = Similarity.mipsTopK(q, corpus, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(mips.toSeq == Seq((1, 3L, 10.0), (2, 2L, 1.0), (3, 4L, 0.0)))
+    val cosTop = Similarity.bruteForceTopK(q, corpus, "vec_id",
+      "embedding", 1).collect().map(_.getLong(2))
+    assert(cosTop.head === 2L) // cosine prefers alignment, MIPS norm
+  }
+
   test("PCA ANN: full-rank projection with an exhaustive shortlist " +
     "reproduces brute force exactly; reduced dim keeps useful recall") {
     val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
