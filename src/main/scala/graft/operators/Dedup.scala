@@ -277,24 +277,40 @@ object Dedup {
     * configured radius (the standard Manku/Jain/Sarma web-dedup
     * construction). Output: (id_a, id_b, hamming). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    val bits = 60 // MinHash.SimHash packs 60 bits (md5-derived)
+      maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    // MinHash.SimHash packs 60 bits (md5-derived)
+    hammingBandedPairs(simhash(df, idCol, textCol), "id", "simhash",
+      bits = 60, maxHamming = maxHamming, bands = bands)
+
+  /** Banded Hamming self-join over ANY Long fingerprint column
+    * (SimHash, perceptual image hash, audio fingerprint, …): split the
+    * `bits`-wide hash into `bands` equal slices, bucket-join on (band,
+    * slice), keep pairs within `maxHamming`. Recall is EXACT by the
+    * pigeonhole argument (maxHamming < bands ⇒ any qualifying pair
+    * shares at least one untouched band — enforced), and the only
+    * exchange is the band-key bucket join: candidates never blow up to
+    * the all-pairs square. Output: (id_a < id_b, hamming). */
+  def hammingBandedPairs(hashed: DataFrame, idCol: String,
+      hashCol: String, bits: Int, maxHamming: Int, bands: Int)
+      : DataFrame = {
+    require(bits > 0 && bits <= 63, s"bits must be in 1..63: $bits")
     require(bands > 0 && bits % bands == 0,
       s"bands=$bands must divide $bits")
     require(maxHamming < bands,
       s"exact recall needs maxHamming=$maxHamming < bands=$bands " +
         "(pigeonhole: one band must be untouched)")
     val w = bits / bands
-    val banded = simhash(df, idCol, textCol)
-      .select(col("id"), col("simhash"),
+    val banded = hashed
+      .select(col(idCol).as("id"), col(hashCol).as("__h"))
+      .select(col("id"), col("__h"),
         posexplode(array((0 until bands).map { b =>
-          shiftright(col("simhash"), b * w)
+          shiftright(col("__h"), b * w)
             .bitwiseAND(lit((1L << w) - 1))
         }: _*)).as(Seq("band", "band_key")))
     val a = banded.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("simhash").as("sh_a"))
+      col("id").as("id_a"), col("__h").as("sh_a"))
     val b = banded.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("simhash").as("sh_b"))
+      col("id").as("id_b"), col("__h").as("sh_b"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
