@@ -68,4 +68,67 @@ object TopKAgg {
     * score DESC, id ASC — position i ⇒ rank i+1. */
   def topK(k: Int): UserDefinedFunction =
     udaf(new TopKAggregator(k), Encoders.product[Scored])
+
+  /** One scored candidate with a STRING tie-break key — the payload
+    * variant for rankings whose natural identity is text (tfidfTopK's
+    * per-doc terms), where squeezing the key into a Long would lose it. */
+  case class ScoredKey(score: Double, key: String)
+
+  case class TopKKeyItems(items: Seq[ScoredKey])
+
+  /** score DESC, key ASC — Double.compare for Spark's double SortOrder
+    * semantics (NaN greatest, -0.0 < 0.0), and the key compares as
+    * UNSIGNED UTF-8 BYTES: Spark orders strings by UTF8String binary
+    * comparison (so does DuckDB's default collation), while Java's
+    * String.compareTo is UTF-16 code-unit order — the two diverge on
+    * supplementary-plane characters, which 100 TB of crawl text
+    * contains. */
+  private[functions] val keyOrd: Ordering[ScoredKey] =
+    new Ordering[ScoredKey] {
+      private def utf8Compare(a: String, b: String): Int = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+      override def compare(x: ScoredKey, y: ScoredKey): Int = {
+        val c = java.lang.Double.compare(y.score, x.score)
+        if (c != 0) c else utf8Compare(x.key, y.key)
+      }
+    }
+
+  /** [[TopKAggregator]] with the string tie-break key: same bounded
+    * buffer (≤ max(2k, 32) candidates, trimmed to top-k on overflow),
+    * same two-phase ObjectHashAggregate plan shape. */
+  class TopKKeyAggregator(k: Int)
+      extends Aggregator[ScoredKey, TopKKeyItems, TopKKeyItems] {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    private val cap = math.max(2 * k, 32)
+    private def bound(xs: Seq[ScoredKey]): TopKKeyItems =
+      if (xs.lengthCompare(cap) <= 0) TopKKeyItems(xs)
+      else TopKKeyItems(xs.sorted(keyOrd).take(k))
+    override def zero: TopKKeyItems = TopKKeyItems(Nil)
+    override def reduce(b: TopKKeyItems, a: ScoredKey): TopKKeyItems =
+      bound(a +: b.items)
+    override def merge(a: TopKKeyItems, b: TopKKeyItems): TopKKeyItems =
+      bound(a.items ++ b.items)
+    override def finish(r: TopKKeyItems): TopKKeyItems =
+      TopKKeyItems(r.items.sorted(keyOrd).take(k))
+    override def bufferEncoder: Encoder[TopKKeyItems] =
+      Encoders.product[TopKKeyItems]
+    override def outputEncoder: Encoder[TopKKeyItems] =
+      Encoders.product[TopKKeyItems]
+  }
+
+  /** Untyped (score, key) top-k aggregate; output is
+    * struct<items: array<struct<score,key>>> sorted score DESC,
+    * key ASC — position i ⇒ rank i+1. */
+  def topKByKey(k: Int): UserDefinedFunction =
+    udaf(new TopKKeyAggregator(k), Encoders.product[ScoredKey])
 }

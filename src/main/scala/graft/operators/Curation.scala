@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Corpus-curation operators for training-data pipelines (north-star;
   * absent in the reference — BASELINE.json north_star): benchmark
@@ -16,6 +17,22 @@ import org.apache.spark.sql.functions._
   * multi-row double aggregates (the LM average) need rounding.
   */
 object Curation {
+
+  /** Integral-column guard shared by [[ppsSample]] (weights) and
+    * [[capPerKey]] (heap ids): both lean on an exact Long view of the
+    * column, and `cast("long")` on a non-integral type is a silent
+    * corruption — a string id casts to NULL (collapsed heap ties), a
+    * fractional weight TRUNCATES (a weight in (0,1) becomes 0 and is
+    * excluded entirely, changing inclusion probability). Fail loudly
+    * at plan time instead. */
+  private def requireIntegral(df: DataFrame, colName: String,
+      role: String): Unit = {
+    val dt: DataType = df.schema(colName).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$role column `$colName` must be an integral type " +
+        s"(byte/short/int/long), got $dt — cast explicitly if the " +
+        s"semantics (truncation/rounding) are intended")
+  }
 
   /** 60-bit n-gram hash (md5 prefix), the join-key convention of the
     * dedup family: joining on the hash instead of the n-gram string
@@ -439,6 +456,12 @@ object Curation {
     * enters, so DuckDB's `//` reproduces it bit-for-bit; `h < w·K`
     * would be the same predicate but can overflow Long, the div form
     * cannot). Rows with NULL or non-positive weight are excluded.
+    * The weight column must be INTEGRAL (plan-time `require`): weights
+    * ARE the exact per-unit counts the threshold multiplies — a
+    * fractional weight would silently truncate (0.9 → 0 → excluded,
+    * changing inclusion probability); pre-scale fractional weights to
+    * integer units (e.g. milli-weights) and scale `perUnitThreshold`
+    * down by the same factor.
     * Pure projection + filter: zero exchanges, scan-bound at any scale.
     *
     * Output: input columns + `pps_key` (the 60-bit hash, kept so
@@ -447,6 +470,7 @@ object Curation {
       seed: String, perUnitThreshold: Long): DataFrame = {
     require(perUnitThreshold > 0,
       s"perUnitThreshold must be positive: $perUnitThreshold")
+    requireIntegral(df, weightCol, "ppsSample weight")
     val h = conv(substring(md5(concat(col(idCol).cast("string"),
       lit(":" + seed))), 1, 15), 16, 10).cast("long")
     df.withColumn("pps_key", h)
@@ -475,6 +499,9 @@ object Curation {
   def capPerKey(df: DataFrame, idCol: String, keyCol: String,
       seed: String, maxPerKey: Int): DataFrame = {
     require(maxPerKey > 0, s"maxPerKey must be positive: $maxPerKey")
+    // the heap carries ids as Long: a non-integral id (e.g. string doc
+    // ids) would cast to NULL and silently corrupt the output
+    requireIntegral(df, idCol, "capPerKey id")
     val h = conv(substring(md5(concat(col(keyCol).cast("string"),
       lit("#"), col(idCol).cast("string"), lit(":" + seed))), 1, 13),
       16, 10).cast("long")

@@ -106,14 +106,23 @@ object TextAnalysis {
     *
     * Scale shape: term frequencies are one map-side-combined (id, term)
     * agg; document frequencies derive from THAT frame (vocabulary-sized
-    * output ≪ corpus — natural-language vocab is millions of rows,
-    * megabytes) and broadcast back, so corpus-side rows shuffle exactly
-    * once. The rank window partitions BY DOCUMENT — group size is
-    * bounded by a doc's distinct terms, so this is NOT the
-    * single-reducer-per-key trap the ANN family had (|corpus| tiny
-    * groups, embarrassingly parallel). */
-  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int)
-      : DataFrame = {
+    * output ≪ corpus when the corpus is natural language). The dfreq
+    * join rides the same `vocabBounded` gate as
+    * [[Curation.unigramLogProb]]/[[Curation.bigramLogProb]]: `true`
+    * (default) asserts the natural-language contract and broadcasts the
+    * frame so corpus-side (id, term) rows never shuffle for the join;
+    * `false` (open-ended token universes — web-scale n-grams, URLs,
+    * code identifiers, where "vocabulary" is easily 10⁸ rows) drops the
+    * hint and the join falls back to a shuffle instead of OOMing the
+    * driver. Per-doc ranking is the bounded-heap [[graft.functions
+    * .TopKAgg]] aggregate (score DESC, term ASC over UTF-8 bytes —
+    * bit-identical to the `row_number` window form it replaces):
+    * partial aggregation caps every map partition at k rows per doc
+    * before the shuffle, and a pathological mega-doc (the 100 TB
+    * corpus always has one) holds O(k) heap memory instead of
+    * single-reducer-sorting its whole distinct-term set. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
+      vocabBounded: Boolean = true): DataFrame = {
     val tf = df
       .select(col(idCol).as("id"), explode(words(col(textCol))).as("term"))
       .groupBy(col("id"), col("term"))
@@ -121,16 +130,16 @@ object TextAnalysis {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(dfreq), "term")
+      .join(if (vocabBounded) broadcast(dfreq) else dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score_r",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
-    val win = Window.partitionBy(col("id"))
-      .orderBy(col("score_r").desc, col("term"))
-    scored.withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
-      .select(col("id"), col("rank").cast("long").as("rank"),
-        col("term"), col("score_r"))
+    scored.groupBy(col("id"))
+      .agg(graft.functions.TopKAgg.topKByKey(k)(
+        col("score_r"), col("term")).as("tk"))
+      .select(col("id"), posexplode(col("tk.items")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.key").as("term"), col("col.score").as("score_r"))
   }
 
   /** Top-N bigram collocations by pointwise mutual information —
@@ -139,15 +148,21 @@ object TextAnalysis {
     * measure). `minCount` floors the bigram count (PMI is noisy on
     * rare pairs — the standard guard).
     *
-    * Scale shape: both count frames are map-side-combined aggs;
-    * unigram counts are VOCABULARY-sized and broadcast twice (left and
-    * right word), so bigram rows never shuffle for the joins; the
-    * global top-N is a TakeOrderedAndProject (per-partition heaps, one
-    * N-row merge — never a global sort). All count arithmetic is exact
-    * integer; the single ln is rounded to 1e-6 before ranking (same
-    * convention as tfidfTopK). */
+    * Scale shape: both count frames are map-side-combined aggs. The
+    * unigram frame is vocabulary-sized; its two joins (left and right
+    * word) ride the `vocabBounded` gate shared with [[tfidfTopK]] and
+    * [[Curation.unigramLogProb]]: `true` (default, the
+    * natural-language contract) broadcasts it so bigram rows never
+    * shuffle for the joins, `false` falls back to shuffle joins for
+    * open-ended token universes where a "vocabulary" broadcast is a
+    * driver OOM. The global top-N is a TakeOrderedAndProject
+    * (per-partition heaps, one N-row merge — never a global sort). All
+    * count arithmetic is exact integer; the single ln is rounded to
+    * 1e-6 before ranking (same convention as tfidfTopK). */
   def pmiCollocations(df: DataFrame, textCol: String, topN: Int,
-      minCount: Int): DataFrame = {
+      minCount: Int, vocabBounded: Boolean = true): DataFrame = {
+    def hint(v: DataFrame): DataFrame =
+      if (vocabBounded) broadcast(v) else v
     val uni = df.select(explode(words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val totalWords = uni.agg(sum(col("c")).as("w_total"))
@@ -157,9 +172,9 @@ object TextAnalysis {
       .withColumn("wa", split(col("bigram"), " ")(0))
       .withColumn("wb", split(col("bigram"), " ")(1))
     bg
-      .join(broadcast(uni.select(col("w").as("wa"), col("c").as("c_a"))),
+      .join(hint(uni.select(col("w").as("wa"), col("c").as("c_a"))),
         "wa")
-      .join(broadcast(uni.select(col("w").as("wb"), col("c").as("c_b"))),
+      .join(hint(uni.select(col("w").as("wb"), col("c").as("c_b"))),
         "wb")
       .crossJoin(broadcast(totalWords))
       .select(col("bigram"), col("c_ab"),

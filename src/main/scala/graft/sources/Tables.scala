@@ -29,12 +29,23 @@ object Tables {
     * as `ts_raw` so range predicates stay pushable after ns-derivation. */
   final val RawSuffix = "_raw"
 
-  /** Must be set before reading any ns-timestamp parquet; runtime-settable
-    * session confs, safe to call repeatedly. UTC pins the naive-timestamp
-    * interpretation so ns derivation is deterministic on any host. */
+  /** Must hold before reading any ns-timestamp parquet. `nanosAsLong`
+    * is engine-internal (no user-visible semantics beyond letting
+    * TIMESTAMP(NANOS) parquet surface losslessly) and is safe to set
+    * idempotently; the session time zone is NOT — silently flipping it
+    * mid-session would change the rendering of unrelated timestamp
+    * expressions — so it is pinned ONCE at session construction
+    * ([[graft.Sessions.bootstrap]], every entry point) and ASSERTED
+    * here: a session that skipped the documented bootstrap fails
+    * loudly instead of having its time zone hijacked. */
   def ensureNsConf(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    if (tz != "UTC") throw new IllegalStateException(
+      s"graft requires spark.sql.session.timeZone=UTC (Long-ns epoch " +
+        s"derivation from naive timestamps is TZ-sensitive); found " +
+        s"'$tz'. Pin it at session construction — " +
+        s"graft.Sessions.bootstrap(spark) does.")
   }
 
   /** Long-ns-epoch view of `df`'s time column, whatever its physical
@@ -53,12 +64,21 @@ object Tables {
   }
 
   /** Replace `name` with its Long-ns view in place (schema otherwise
-    * unchanged; no companion column). No-op when already Long. */
+    * unchanged; no companion column added). No-op when already Long.
+    * If a `<name>_raw` companion is present it is DROPPED on rewrite:
+    * the companion's whole contract is "still the physical column
+    * `name` was derived from" (see [[timeRange]]), and after this
+    * rewrite that can no longer be guaranteed for downstream
+    * transforms — losing pushdown is recoverable, filtering on a stale
+    * raw column is silent data loss. */
   def withNsTime(df: DataFrame, name: String = "ts"): DataFrame =
     if (!df.columns.contains(name)) df
     else df.schema(name).dataType match {
       case LongType => df
-      case dt       => df.withColumn(name, nsColOf(dt, name))
+      case dt =>
+        val out = df.withColumn(name, nsColOf(dt, name))
+        val raw = name + RawSuffix
+        if (df.columns.contains(raw)) out.drop(raw) else out
     }
 
   /** Timestamp literal (folded constant → pushable) carrying `us` µs
@@ -70,10 +90,25 @@ object Tables {
       s"usLit: not a timestamp type: $other")
   }
 
-  private def ceilDivUs(ns: Long): Long = Math.floorDiv(ns + 999L, 1000L)
+  /** Exact ⌈ns/1000⌉ without the `ns + 999` overflow trap: an
+    * open-ended range using Long.MaxValue as a sentinel bound sits
+    * within 999 of overflow, where the add-then-divide form wraps to a
+    * huge NEGATIVE µs literal and silently drops every row. Quotient
+    * magnitude is ≤ |ns|/1000, so the +1 correction cannot overflow. */
+  private def ceilDivUs(ns: Long): Long = {
+    val q = Math.floorDiv(ns, 1000L)
+    if (q * 1000L == ns) q else q + 1L
+  }
 
   /** The raw (pushable) column to range-filter on, and its type: the
-    * `<timeCol>_raw` companion when present, else `timeCol` itself. */
+    * `<timeCol>_raw` companion when present, else `timeCol` itself.
+    *
+    * INVARIANT (callers of [[timeRange]]/[[nsAfter]]/[[nsAtLeast]]/
+    * [[nsBefore]]): a `<timeCol>_raw` companion is trusted to be the
+    * unmodified physical column `timeCol` was derived from at
+    * [[load]]. Any transform that re-derives or shifts `timeCol` after
+    * load MUST drop the companion (as [[withNsTime]] does on rewrite) —
+    * otherwise the range predicate filters on the stale raw column. */
   private def filterTarget(df: DataFrame, timeCol: String)
       : (Column, DataType) = {
     val rawName = timeCol + RawSuffix

@@ -232,6 +232,73 @@ class CurationSpec extends AnyFunSuite {
     assert(TextAnalysis.pmiCollocations(df, "text", 1, 1).count() == 1)
   }
 
+  test("tfidfTopK/pmiCollocations vocabBounded=false: identical results " +
+    "through the shuffle fallback, broadcast hint dropped from the plan") {
+    // oversized-vocabulary posture: same corpus, gate OFF — the join
+    // must lose its broadcast hint (shuffle fallback, the 100 TB
+    // driver-OOM escape) while every output value stays identical
+    val df = Seq(
+      (1L, "rare mid common common alpha beta"),
+      (2L, "mid common beta gamma"),
+      (3L, "common common common delta"),
+      (4L, "common alpha alpha")).toDF("doc_id", "text")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val tfOn = TextAnalysis.tfidfTopK(df, "doc_id", "text", 3)
+    val tfOff = TextAnalysis.tfidfTopK(df, "doc_id", "text", 3,
+      vocabBounded = false)
+    assert(canon(tfOn.collect()) == canon(tfOff.collect()))
+    // the one-row n_docs cross join keeps its broadcast either way;
+    // the dfreq VOCABULARY join must lose its hint when the gate is off
+    def hints(d: org.apache.spark.sql.DataFrame) = "strategy=broadcast".r
+      .findAllIn(d.queryExecution.optimizedPlan.toString).size
+    assert(hints(tfOff) < hints(tfOn),
+      s"off=${hints(tfOff)} on=${hints(tfOn)}")
+    assert(hints(tfOff) <= 1)
+    val pmiOn = TextAnalysis.pmiCollocations(df, "text", 10, 1)
+    val pmiOff = TextAnalysis.pmiCollocations(df, "text", 10, 1,
+      vocabBounded = false)
+    assert(canon(pmiOn.collect()) == canon(pmiOff.collect()))
+    // the one-row w_total cross join keeps its broadcast either way;
+    // the VOCABULARY joins must not carry a hint when the gate is off
+    val offHints = "strategy=broadcast".r
+      .findAllIn(pmiOff.queryExecution.optimizedPlan.toString).size
+    val onHints = "strategy=broadcast".r
+      .findAllIn(pmiOn.queryExecution.optimizedPlan.toString).size
+    assert(offHints < onHints, s"off=$offHints on=$onHints")
+    assert(offHints <= 1)
+  }
+
+  test("tfidfTopK heap ranking is bit-identical to the row_number " +
+    "window form (score DESC, term ASC) including score ties") {
+    // "tie1"/"tie2" have identical tf and df in doc 1 → equal score_r;
+    // the heap's UTF-8 tie-break must match the window's term ASC
+    val df = Seq(
+      (1L, "tie1 tie2 solo solo"),
+      (2L, "tie1 filler"),
+      (3L, "tie2 filler filler")).toDF("doc_id", "text")
+    val heap = TextAnalysis.tfidfTopK(df, "doc_id", "text", 2)
+    // reference: the window formulation over the same scored frame
+    val w = org.apache.spark.sql.functions.split(col("text"), " ")
+    val tf = df.select(col("doc_id").as("id"), explode(w).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(nd)
+      .withColumn("score_r",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score_r").desc, col("term"))
+    val ref = scored
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 2)
+      .select(col("id"), col("rank").cast("long").as("rank"),
+        col("term"), col("score_r"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(heap) == canon(ref))
+  }
+
   test("bigramLogProb: hand-computed interpolated probabilities; " +
     "single-word docs absent; backoff keeps every bigram finite") {
     val s = spark

@@ -154,6 +154,11 @@ class PlanSpec extends AnyFunSuite {
     val tfidf = planOf("text_tfidf_topk")
     assert(tfidf.contains("BroadcastHashJoin"), tfidf.take(2000))
     assert(!tfidf.contains("CartesianProduct"), tfidf.take(2000))
+    // per-doc ranking is the bounded-heap TopKAgg aggregate, not a
+    // row_number window — a mega-doc must hold O(k) memory, never a
+    // per-doc reducer sort of its whole distinct-term set
+    assert(!tfidf.contains("Window"), tfidf.take(2000))
+    assert(tfidf.contains("ObjectHashAggregate"), tfidf.take(2000))
     val pmi = planOf("text_pmi_bigrams")
     assert(pmi.contains("BroadcastHashJoin"), pmi.take(2000))
     assert(pmi.contains("TakeOrderedAndProject"), pmi.take(2000))

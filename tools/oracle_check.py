@@ -7,7 +7,9 @@ sorts columns by name and rows by value, and diffs. Usage:
 
     python3 tools/oracle_check.py <sf_dir> <verify_out_dir> [query ...]
 """
+import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -41,9 +43,17 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # registry.json (when present) records which keys THIS Verify run
+    # attempted — compare only those (oracle_sql.json always carries the
+    # full map, even for subset runs)
+    reg_path = f"{out_dir}/registry.json"
+    reg = json.load(open(reg_path)) if os.path.exists(reg_path) else None
+    attempted = set(reg["queries"]) if reg else None
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
+            continue
+        if attempted is not None and name not in attempted:
             continue
         try:
             exp = con.sql(sql).df()
@@ -90,6 +100,39 @@ def main():
         except Exception as ex:
             print(f"ERR  {name}: {str(ex)[:200]}")
             n_bad += 1
+    # self-defending gate (round-7 incident: 39 queries silently
+    # vanished from the correctness file): every key the Verify run
+    # ATTEMPTED must have left a result dump — a failing query leaves a
+    # __verify_error marker parquet, so "no dump at all" means the gate
+    # shrank and must be a visible failure, never an omission. Also
+    # cross-check the oracled set against oracle_sql.json.
+    if not only and reg is not None:
+        for name in reg.get("queries", []):
+            if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+                print(f"FAIL {name}: registry key has NO result dump "
+                      f"(query vanished from the gate)")
+                n_bad += 1
+            elif name not in oracle:
+                # non-oracled keys get no compare pass — a failure
+                # marker in their slot must still go red here
+                cols = [r[0] for r in con.sql(
+                    f"DESCRIBE SELECT * FROM parquet_scan("
+                    f"'{out_dir}/{name}/*.parquet')").fetchall()]
+                if "__verify_error" in cols:
+                    msg = con.sql(
+                        f"SELECT __verify_error FROM parquet_scan("
+                        f"'{out_dir}/{name}/*.parquet')").fetchone()[0]
+                    print(f"FAIL {name}: did not execute: {msg[:200]}")
+                    n_bad += 1
+        missing_oracles = [n for n in reg.get("oracled", [])
+                           if n not in oracle]
+        if missing_oracles:
+            print(f"FAIL registry: oracled keys absent from "
+                  f"oracle_sql.json: {missing_oracles}")
+            n_bad += 1
+        print(f"registry: {len(reg.get('queries', []))} attempted, "
+              f"{len(reg.get('oracled', []))} oracled")
+
     print(f"\n{n_ok} ok, {n_bad} bad")
     sys.exit(1 if n_bad else 0)
 
