@@ -247,6 +247,10 @@ object Curation {
     * performs. pack_id = floor(exclusive running token total / budget);
     * a doc straddling a boundary starts its pack at the straddle (the
     * standard greedy-contiguous contract, deterministic in id order).
+    * `tokenCounter` selects the budgeting unit — default
+    * [[TextAnalysis.bpeTokens]] (whitespace-word ⌈len/4⌉); pass
+    * [[TextAnalysis.tokenizerTokens]] for the tokenizer-faithful count
+    * a real training mix is planned in.
     *
     * The running total is a DISTRIBUTED TWO-LEVEL PREFIX SUM, not a
     * global ordered window (`Window.orderBy(id)` with no partition key
@@ -258,9 +262,11 @@ object Curation {
     * step is exact integer math — bit-equal to the single-window form
     * at any partitioning. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      budget: Int, bucketSize: Int = 4096): DataFrame = {
+      budget: Int, bucketSize: Int = 4096,
+      tokenCounter: Column => Column = TextAnalysis.bpeTokens)
+      : DataFrame = {
     val toks = df.select(col(idCol).cast("long").as("id"),
-      TextAnalysis.bpeTokens(col(textCol)).as("tokens"))
+      tokenCounter(col(textCol)).as("tokens"))
     val bucketed = toks.withColumn("bucket",
       floor(col("id") / bucketSize).cast("long"))
     val inBucket = Window.partitionBy(col("bucket")).orderBy(col("id"))

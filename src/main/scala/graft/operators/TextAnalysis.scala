@@ -77,6 +77,41 @@ object TextAnalysis {
     aggregate(words(text), lit(0L),
       (acc, x) => acc + floor((length(x) + lit(3)) / lit(4)))
 
+  /** Tokenizer-faithful pretokenizer pattern (the GPT-2/Llama family's
+    * pre-BPE split, reduced to its deterministic core): letter RUNS,
+    * single DIGITS (modern tokenizers split digit strings one-by-one),
+    * and single punctuation marks; whitespace separates and is not
+    * itself a token. Deliberately RE2-safe (no lookaround — Java regex
+    * and DuckDB's RE2 produce identical match lists: the alternatives
+    * match disjoint character classes, so leftmost-first vs
+    * leftmost-longest cannot diverge). */
+  final val PretokenPattern: String = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Tokenizer-faithful token count: Σ over pretokens of ⌈len/4⌉
+    * subword pieces (letter runs split into ~4-char BPE pieces; digits
+    * and punctuation are 1 piece each, their length being 1). This is
+    * the number a training mix is BUDGETED in — [[bpeTokens]]'s
+    * whitespace-word walk over-counts nothing on clean prose but
+    * ignores punctuation and digit splitting entirely, which real
+    * crawl text is full of. Exact integer arithmetic over a
+    * deterministic regex — DuckDB reproduces it bit-for-bit, unlike a
+    * learned-merges tokenizer. */
+  def tokenizerTokens(text: Column): Column =
+    aggregate(regexp_extract_all(text, lit(PretokenPattern), lit(0)),
+      lit(0L), (acc, x) => acc + floor((length(x) + lit(3)) / lit(4)))
+
+  /** Per-doc token budget under the tokenizer-faithful counter:
+    * pretoken count and subword-piece count (the planning number).
+    * Pure projection — zero shuffle, scan-bound at any scale. */
+  def tokenBudget(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val pts = regexp_extract_all(col(textCol), lit(PretokenPattern),
+      lit(0))
+    df.select(col(idCol).as("id"),
+      size(pts).cast("long").as("n_pretokens"),
+      tokenizerTokens(col(textCol)).as("n_tokens"))
+  }
+
   /** Token counting: whitespace tokens plus the BPE-ish subword
     * estimate, both exact integers. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -1269,6 +1269,68 @@ object PipelineQueries {
         SELECT doc_id AS id, tokens, ((cum - tokens) // 2048)::BIGINT
           AS pack_id FROM c""".replaceAll("\\s+", " "))),
 
+    // tokenizer-faithful token budget: GPT-2-ish pretokenize (letter
+    // runs / single digits / single punctuation) then ceil(len/4)
+    // subword pieces per pretoken — the number a training mix is
+    // planned in, unlike whitespace-word counts. The pattern is
+    // interpolated from TextAnalysis.PretokenPattern on BOTH sides so
+    // engine and oracle cannot drift. NOTE: the synthetic corpus is
+    // pure lowercase words, so here n_tokens equals the bpe estimate —
+    // the punctuation/digit evidence is TextAnalysisSpec's planted
+    // fixture (the pii_scan convention for vacuous-by-fixture corpora).
+    "text_tokenizer_tokens" -> QueryDef(
+      (s, dir) => TextAnalysis.tokenBudget(docs(s, dir), "doc_id",
+        "text"),
+      Some(s"""SELECT doc_id AS id,
+        len(regexp_extract_all(text,
+          '${TextAnalysis.PretokenPattern}'))::BIGINT AS n_pretokens,
+        coalesce(list_sum(list_transform(regexp_extract_all(text,
+          '${TextAnalysis.PretokenPattern}'),
+          g -> (length(g)+3)//4)), 0)::BIGINT AS n_tokens
+        FROM documents""".replaceAll("\\s+", " "))),
+
+    // sequence packing budgeted in TOKENIZER tokens (not whitespace
+    // words) — same two-level distributed prefix sum as
+    // pipeline_pack_sequences, same global-window oracle, different
+    // (tokenizer-faithful) budgeting unit.
+    "pipeline_pack_tokens" -> QueryDef(
+      (s, dir) => Curation.packSequences(docs(s, dir), "doc_id", "text",
+        budget = 2048, bucketSize = 100,
+        tokenCounter = TextAnalysis.tokenizerTokens),
+      Some(s"""WITH tok AS (SELECT doc_id,
+          coalesce(list_sum(list_transform(regexp_extract_all(text,
+            '${TextAnalysis.PretokenPattern}'),
+            g -> (length(g)+3)//4)), 0)::BIGINT AS tokens
+          FROM documents),
+        c AS (SELECT doc_id, tokens, sum(tokens) OVER (ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum FROM tok)
+        SELECT doc_id AS id, tokens, ((cum - tokens) // 2048)::BIGINT
+          AS pack_id FROM c""".replaceAll("\\s+", " "))),
+
+    // PPS draw weighted by TOKENIZER token count ("sample tokens, not
+    // documents", budgeted in the unit the mix is actually planned in):
+    // keep-probability n_tokens·K/2^60 with K = 2^60/680 (≈ 12% at the
+    // corpus's ~82-token average), the same exact integer h div K < w
+    // test as pipeline_pps_sample.
+    "pipeline_pps_tokens" -> QueryDef(
+      (s, dir) => Curation.ppsSample(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          TextAnalysis.tokenizerTokens(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", seed = "r9t",
+        perUnitThreshold = (1L << 60) / 680L),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+          coalesce(list_sum(list_transform(regexp_extract_all(text,
+            '${TextAnalysis.PretokenPattern}'),
+            g -> (length(g)+3)//4)), 0)::BIGINT AS n_tokens
+          FROM documents)
+        SELECT doc_id, source, n_tokens,
+          ('0x'||substr(md5(doc_id::VARCHAR || ':r9t'),1,15))::BIGINT
+            AS pps_key
+        FROM t
+        WHERE ('0x'||substr(md5(doc_id::VARCHAR || ':r9t'),1,15))::BIGINT
+          // ${(1L << 60) / 680L} < n_tokens"""
+        .replaceAll("\\s+", " "))),
+
     // per-label embedding centroids: element-wise mean vector per class
     // — the statistic behind SemDeDup cluster seeds, class prototypes,
     // and embedding-drift monitors. posexplode → (label, dim) partial/

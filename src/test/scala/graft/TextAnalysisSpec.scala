@@ -38,6 +38,59 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == (4L, 4L))
   }
 
+  test("tokenizerTokens: letter runs split into ceil(len/4) pieces; " +
+    "digits and punctuation are one piece EACH (whitespace-word " +
+    "counting sees neither); empty text is zero") {
+    val df = Seq(
+      (1L, "hello, world!"),       // hello(2) , (1) world(2) ! (1) = 6
+      (2L, "price: 1234"),          // price(2) : (1) 1 2 3 4 (4)   = 7
+      (3L, "abcdefgh"),             // one 8-run → 2
+      (4L, ""),                     // no pretokens → 0
+      (5L, "a.b.c")                 // a . b . c → 5
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenBudget(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == (4L, 6L))
+    assert(out(2L) == (6L, 7L))
+    assert(out(3L) == (1L, 2L))
+    assert(out(4L) == (0L, 0L))
+    assert(out(5L) == (5L, 5L))
+    // on pure letters+spaces the tokenizer count equals the
+    // whitespace-word bpe estimate (the synthetic-corpus degeneracy
+    // the registry entry documents)
+    val both = d.select(col("doc_id"),
+      TextAnalysis.bpeTokens(col("text")).as("bpe"),
+      TextAnalysis.tokenizerTokens(col("text")).as("tok")).collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), r))
+  }
+
+  test("packSequences with the tokenizer counter: same greedy packing " +
+    "contract, budgeted in tokenizer tokens") {
+    // budgets: "aaaa bb." → aaaa(1)+bb(1)+.(1)=3 tokens; whitespace
+    // counter would say 2 words → the packing boundary MOVES
+    val df = Seq(
+      (0L, "aaaa bb."), (1L, "cccc dd."), (2L, "eeee ff."),
+      (3L, "gggg hh.")).toDF("doc_id", "text")
+    val byTok = graft.operators.Curation.packSequences(df, "doc_id",
+        "text", budget = 4, bucketSize = 2,
+        tokenCounter = TextAnalysis.tokenizerTokens)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // 3 tokens/doc, exclusive cums 0/3/6/9 → packs 0,0,1,2
+    assert(byTok(0L) == (3L, 0L))
+    assert(byTok(1L) == (3L, 0L))
+    assert(byTok(2L) == (3L, 1L))
+    assert(byTok(3L) == (3L, 2L))
+    // the whitespace counter sees 2 "words"/doc (bb. is one word,
+    // ceil(3/4)=1 piece): cums 0/2/4/6 → doc3 lands in pack 1, not 2 —
+    // the budgeting unit really moves the packing boundary
+    val byWord = graft.operators.Curation.packSequences(df, "doc_id",
+        "text", budget = 4, bucketSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byWord == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("gopherRules: per-rule flags + keep conjunction on a " +
     "hand-computed fixture; each rule independently fails some doc") {
     val docs = Seq(
