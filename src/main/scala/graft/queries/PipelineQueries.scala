@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.HeavyHitters
 import graft.operators.{Curation, Dedup, Multimodal, Pca, Similarity, TextAnalysis}
-import graft.sources.Tables
+import graft.sources.{Jsonl, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,18 @@ object PipelineQueries {
   final val ContainmentThreshold = 0.6
   final val MinhashK = 8
   final val ShingleLen = 3
+
+  /** The deterministic garbage planted beside the JSONL export by
+    * `source_jsonl_quarantine` — every line is SYNTAX-invalid JSON
+    * (truncated object, plain text, bare fragments), so its
+    * quarantine verdict is unambiguous in any parser. Shared with the
+    * oracle (which counts them) so the two cannot drift. */
+  final val CorruptJsonlLines: Seq[String] = Seq(
+    """{"doc_id": 9000001, "text": "truncated record""",
+    "plain text line that is not json",
+    "[1, 2, 3",
+    """{"doc_id": }""",
+    "{{")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -1415,6 +1427,31 @@ object PipelineQueries {
         s.read.schema(d.schema).json(dst)
       },
       Some("SELECT doc_id, text, lang, source, n_chars FROM documents")),
+
+    // JSONL ingestion with malformed-record quarantine — the
+    // production posture for crawl data: export the corpus as JSONL,
+    // PLANT deterministic garbage lines beside it (truncated records,
+    // non-JSON text, bare fragments — what 100 TB of real uploads
+    // contains), and prove that every clean line parses (count + id
+    // checksum match the parquet source) while every planted line is
+    // captured with its raw bytes, none silently dropped.
+    "source_jsonl_quarantine" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val dst = s"/tmp/graft_jsonl_q_${math.abs(dir.hashCode)}"
+        d.write.mode("overwrite").json(dst)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dst, "part-corrupt.json"),
+          CorruptJsonlLines.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        Jsonl.quarantineSummary(
+          Jsonl.readQuarantined(s, dst, d.schema), "doc_id")
+      },
+      Some(s"""SELECT 'clean' AS status, count(*)::BIGINT AS n_rows,
+          sum(doc_id)::BIGINT AS id_sum FROM documents
+        UNION ALL SELECT 'quarantined',
+          ${CorruptJsonlLines.length}::BIGINT, NULL::BIGINT"""
+        .replaceAll("\\s+", " "))),
 
     // semantic dedup (SemDeDup): k-means clusters over the embeddings,
     // keep-first verdicts on within-cluster cosine ≥ 0.3 pairs (the
