@@ -71,9 +71,23 @@ object ClusterFSM {
     }
   }
 
-  /** Backfill completion → OK, counters updated (hacluster.go:337-341). */
-  def recoveryDone(st: FsmState, nowNs: Long, durationNs: Long): FsmState =
-    st.copy(state = ClusterState.Ok, slaveLastOkNs = nowNs,
+  /** Backfill completion → OK, counters updated (hacluster.go:337-341).
+    *
+    * `coveredThroughNs` must be what the backfill PROVED — the recovery
+    * window's END, not the wall clock after the copy. The backfill can
+    * far outlast one check interval, and a FLAPPING slave can drop
+    * again while it runs: stamping wall-now would anchor the NEXT
+    * recovery window at `now − checkInterval`, silently losing
+    * `(window.end, now − checkInterval)` — exactly the overlapping/
+    * lost-window chaos the reference's supervisor is vulnerable to
+    * (hacluster.go:297-342 stamps `time.Now()` with no re-probe and no
+    * re-entrancy guard). With the covered-through stamp, consecutive
+    * windows always chain with the one-interval overlap and never a
+    * gap (FsmChaosSpec). A healthy slave loses nothing: the next OK
+    * tick advances `slaveLastOkNs` to its probe time anyway. */
+  def recoveryDone(st: FsmState, coveredThroughNs: Long,
+      durationNs: Long): FsmState =
+    st.copy(state = ClusterState.Ok, slaveLastOkNs = coveredThroughNs,
       numRecovers = st.numRecovers + 1, lastRecoverDurationNs = durationNs)
 
   /** Backfill FAILURE → back to CHECK_SLAVE_DOWN with the slave's lastOK
@@ -152,7 +166,9 @@ final class HAMonitor(
       case Some(w) =>
         val t0 = nowNs()
         val ok = try backfill(w) catch { case _: Throwable => false }
-        if (ok) ClusterFSM.recoveryDone(next, nowNs(), nowNs() - t0)
+        // stamp what the backfill PROVED (w.endNs), not wall-now: the
+        // slave may have flapped down again during a long copy
+        if (ok) ClusterFSM.recoveryDone(next, w.endNs, nowNs() - t0)
         else ClusterFSM.recoveryFailed(next)
       case None => next
     }

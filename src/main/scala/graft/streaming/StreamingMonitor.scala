@@ -140,7 +140,11 @@ final class StreamingMonitor(
         val ok = try backfill(w) catch { case _: Throwable => false }
         if (ok) {
           backfills.incrementAndGet(): Unit
-          ClusterFSM.recoveryDone(next, nowNs(), nowNs() - t0)
+          // stamp what the backfill PROVED (w.endNs), not wall-now: a
+          // slave that flapped down during a long copy would otherwise
+          // get its next window anchored past the data actually
+          // replicated (lost span — see ClusterFSM.recoveryDone)
+          ClusterFSM.recoveryDone(next, w.endNs, nowNs() - t0)
         } else ClusterFSM.recoveryFailed(next)
       case None => next
     }
