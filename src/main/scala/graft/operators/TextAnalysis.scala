@@ -316,11 +316,16 @@ object TextAnalysis {
     * (tiny), so the normalizing sum over the unpartitioned frame is
     * safe (same rationale as unigramLogProb's vocabulary window). The
     * single pow/divide chain is rounded to 1e-6 (pow is a libm call;
-    * registry convention for cross-engine float parity). */
+    * registry convention for cross-engine float parity).
+    * `tokenCounter` selects the budgeting unit (default whitespace
+    * words; pass [[tokenizerTokens]] for the tokenizer-faithful count
+    * the mix is actually planned in). */
   def temperatureWeights(df: DataFrame, stratumCol: String,
-      textCol: String, alpha: Double): DataFrame = {
+      textCol: String, alpha: Double,
+      tokenCounter: Column => Column =
+        c => size(split(c, " ")).cast("long")): DataFrame = {
     val tok = df.select(col(stratumCol).as("stratum"),
-        size(words(col(textCol))).cast("long").as("t"))
+        tokenCounter(col(textCol)).as("t"))
       .groupBy(col("stratum")).agg(sum(col("t")).as("n_tokens"))
     tok
       .withColumn("pw", pow(col("n_tokens").cast("double"), lit(alpha)))

