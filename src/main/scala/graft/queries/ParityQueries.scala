@@ -27,6 +27,19 @@ object ParityQueries {
   final val DayNs   = 86400000000000L
   final val HourNs  = 3600000000000L
 
+  /** Deterministic malformed line-protocol lines planted by
+    * `source_lp_quarantine`: each fails the scanner for a DIFFERENT
+    * reason (no field set, no space, field without '=', non-numeric
+    * timestamp), all unambiguously invalid; the oracle counts them.
+    * LineProtocolSpec asserts each one individually fails
+    * parseLineOpt, so a scanner change that starts accepting one
+    * breaks a unit test before it breaks the gate. */
+  final val CorruptLpLines: Seq[String] = Seq(
+    "justameasurement",
+    "events,event_type=click",
+    "events fieldwithoutequals",
+    "events value=3.5 notanumber")
+
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
@@ -369,6 +382,39 @@ object ParityQueries {
       },
       Some("""SELECT event_id, event_type, user_id, value, props,
         epoch_us(ts) AS time_us FROM events"""
+        .replaceAll("\\s+", " "))),
+
+    // S6 production posture: line-protocol decode with malformed-line
+    // QUARANTINE (the sources.Jsonl convention on the LP plane) —
+    // encode the events, plant deterministic garbage lines among them,
+    // and prove every clean line decodes (count + event_id checksum
+    // match the parquet source) while every planted line is captured
+    // raw, none silently dropped (decodeTyped's documented drop is the
+    // streaming-poison guard; this is the auditable batch path).
+    "source_lp_quarantine" -> QueryDef(
+      (s, dir) => {
+        val lines = LineProtocol.encode(
+          ev(s, dir).withColumn("time_us", expr("ts div 1000")),
+          "events", Seq("event_type", "user_id"),
+          Map("event_id" -> FieldSch("event_id", FieldType.Integer),
+            "props" -> FieldSch("props", FieldType.Str)),
+          "time_us").select(col("line"))
+        val planted = s.createDataset(CorruptLpLines)(
+          org.apache.spark.sql.Encoders.STRING).toDF("line")
+        val decoded = LineProtocol.decodeTypedQuarantined(
+          lines.union(planted), "line", Seq("event_type", "user_id"),
+          Map("event_id" -> FieldSch("event_id", FieldType.Integer),
+            "props" -> FieldSch("props", FieldType.Str)))
+        decoded.groupBy(
+            when(col(graft.sources.Jsonl.CorruptCol).isNull, lit("clean"))
+              .otherwise(lit("quarantined")).as("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("event_id")).as("id_sum"))
+      },
+      Some(s"""SELECT 'clean' AS status, count(*)::BIGINT AS n_rows,
+          sum(event_id)::BIGINT AS id_sum FROM events
+        UNION ALL SELECT 'quarantined',
+          ${CorruptLpLines.length}::BIGINT, NULL::BIGINT"""
         .replaceAll("\\s+", " "))),
 
     // Batch sessionization: gap-based sessions per series via

@@ -228,4 +228,41 @@ object LineProtocol {
       (col("measurement") +: tagCols) ++ fieldCols
         :+ col("timeNs").as("time_ns"): _*)
   }
+
+  /** [[decodeTyped]] with malformed-record QUARANTINE instead of the
+    * silent drop — the [[Jsonl]] posture for the line-protocol plane:
+    * every NON-BLANK input line yields exactly one output row, either
+    * typed columns (parse succeeded, `_corrupt_record` null) or null
+    * data columns with the raw line preserved in `_corrupt_record`
+    * for triage. Blank/whitespace lines remain dropped (separator
+    * noise, not records — decodeTyped's continuous-pipeline
+    * convention). Same plan shape as decodeTyped: partition-local
+    * scanner + codegen'd coercion projection, zero exchanges. */
+  def decodeTypedQuarantined(
+      lines: DataFrame,
+      lineCol: String,
+      tagKeys: Seq[String],
+      fields: Map[String, FieldSch]): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val pts = lines.select(col(lineCol)).as[String]
+      .filter((l: String) => l != null && l.trim.nonEmpty)
+      .map { l =>
+        parseLineOpt(l) match {
+          case Some(p) => (p.measurement, p.tags, p.fields,
+            Option(p.timeNs), Option.empty[String])
+          case None => (null: String, null: Map[String, String],
+            null: Map[String, String], Option.empty[Long], Option(l))
+        }
+      }
+      .toDF("measurement", "tags", "fields", "timeNs",
+        Jsonl.CorruptCol)
+    val tagCols = tagKeys.map(k => col("tags")(k).as(s"tag_$k"))
+    val fieldCols = fields.toSeq.sortBy(_._1).map { case (n, f) =>
+      coerceField(col("fields")(n), f.ftype).as(n)
+    }
+    pts.select(
+      (col("measurement") +: tagCols) ++ fieldCols
+        :+ col("timeNs").as("time_ns") :+ col(Jsonl.CorruptCol): _*)
+  }
 }

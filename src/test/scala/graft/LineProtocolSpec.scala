@@ -133,6 +133,37 @@ class LineProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("every planted corrupt LP line individually fails parseLineOpt " +
+    "(a scanner change that accepts one must fail here, not the gate)") {
+    for (l <- graft.queries.ParityQueries.CorruptLpLines)
+      assert(graft.sources.LineProtocol.parseLineOpt(l).isEmpty, l)
+  }
+
+  test("decodeTypedQuarantined: clean lines decode typed, malformed " +
+    "lines keep raw bytes with null data, blanks drop, none lost") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val good = Seq(
+      "m,t=a v=1i 1000",
+      "m,t=b v=2i 2000")
+    val lines = (good ++ Seq("", "   ") ++
+      graft.queries.ParityQueries.CorruptLpLines).toDF("line")
+    val out = graft.sources.LineProtocol.decodeTypedQuarantined(
+      lines, "line", Seq("t"),
+      Map("v" -> graft.model.FieldSch("v",
+        graft.model.FieldType.Integer)))
+    // blanks dropped; every other line present exactly once
+    assert(out.count() ==
+      good.size + graft.queries.ParityQueries.CorruptLpLines.size)
+    val clean = out.filter(col("_corrupt_record").isNull).collect()
+    assert(clean.map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet == Set(("a", 1L, 1000L), ("b", 2L, 2000L)))
+    val bad = out.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.map(_.getString(4)).toSet ==
+      graft.queries.ParityQueries.CorruptLpLines.toSet)
+    assert(bad.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
+
   test("boolean wire literals accepted: t/T/true/True/TRUE and f forms") {
     for ((s, want) <- Seq("t" -> true, "T" -> true, "true" -> true,
       "True" -> true, "TRUE" -> true, "f" -> false, "F" -> false,
