@@ -280,6 +280,41 @@ object Similarity {
         col("col.id").as("neighbor_id"), col("col.score").as(scoreOut))
   }
 
+  /** Semantic decontamination: flag corpus documents whose embedding
+    * lies within cosine ≥ `threshold` of ANY held-out benchmark
+    * embedding — the modern contamination check (n-gram overlap misses
+    * paraphrased eval leakage; [[graft.operators.Curation
+    * .ngramContamination]] is the exact-text counterpart). Output:
+    * `(id, n_contaminated, min_bench_id)` for flagged corpus docs —
+    * hit count and the smallest matching benchmark id, both exact
+    * integers (floats exist only inside the threshold compare, whose
+    * fold order both engines share) — clean docs absent (filter
+    * semantics, the decontamination-family convention).
+    *
+    * Scale shape: the benchmark side is SMALL by construction (a
+    * held-out eval set) and broadcasts, so corpus vectors stream
+    * through a broadcast nested-loop scan — the brute-force-ANN shape
+    * — and never shuffle; the per-doc rollup is the only exchange and
+    * carries two BIGINTs per flagged doc. A benchmark too large to
+    * broadcast routes through the SRP-LSH candidate path instead
+    * (srpCandidates + this threshold on the candidate pairs). */
+  def decontaminateEmbedding(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val c = prep(corpus, idCol, vecCol, "id", "cv", "cn")
+    val b = broadcast(
+      prep(benchmark, idCol, vecCol, "bench_id", "bv", "bn"))
+    c.crossJoin(b)
+      .select(col("id"), col("bench_id"),
+        safeCosine(vecDot(col("cv"), col("bv")), col("cn"), col("bn"))
+          .as("cos"))
+      // null cosines (zero-norm vectors) fail the compare and drop —
+      // a vector with no defined similarity cannot be contaminated
+      .where(col("cos") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        min(col("bench_id")).as("min_bench_id"))
+  }
+
   /** All pairs (id_a < id_b) with cosine — oracle-sized data only;
     * the scale path is lshTopK / Dedup.lshCandidatePairs. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -1071,6 +1071,43 @@ object PipelineQueries {
     // membership is DERIVED from the id hash as a pure projection, so
     // restricting to cross-split pairs adds zero joins and zero
     // shuffles on top of the chain.
+    // SEMANTIC decontamination: train-split embeddings within cosine
+    // >= 0.3 of any held-out-split embedding (n-gram overlap misses
+    // paraphrased eval leakage). Benchmark side broadcast (held-out =
+    // small by construction); integer outputs (hit count + min bench
+    // id), floats only inside the threshold compare whose
+    // ascending-index fold both engines share bit-for-bit (the
+    // dedup_semantic convention).
+    "decontaminate_embedding" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir).withColumn("b", splitBucket(col("vec_id")))
+        Similarity.decontaminateEmbedding(
+          e.filter(col("b") < 80), e.filter(col("b") >= 90),
+          "vec_id", "embedding", threshold = 0.3)
+      },
+      Some("""WITH sp AS (SELECT vec_id,
+          ('0x'||substr(md5(vec_id::VARCHAR),1,15))::BIGINT % 100 AS b
+          FROM embeddings),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT v.vec_id, v.v FROM v JOIN sp USING (vec_id)
+          WHERE sp.b < 80),
+        bn AS (SELECT v.vec_id, v.v FROM v JOIN sp USING (vec_id)
+          WHERE sp.b >= 90),
+        p AS (SELECT c.vec_id AS id, bn.vec_id AS bench_id,
+          list_reduce(list_transform(generate_series(1,64),
+            i -> c.v[i]*bn.v[i]), (x,y) -> x+y) AS dot,
+          (sqrt(list_reduce(list_transform(c.v, x -> x*x),
+            (x,y) -> x+y)) *
+           sqrt(list_reduce(list_transform(bn.v, x -> x*x),
+            (x,y) -> x+y))) AS nn
+          FROM c, bn),
+        s AS (SELECT id, bench_id,
+          CASE WHEN nn > 0 THEN dot / nn END AS cos FROM p)
+        SELECT id, count(*)::BIGINT AS n_contaminated,
+          min(bench_id)::BIGINT AS min_bench_id
+        FROM s WHERE cos >= 0.3 GROUP BY id"""
+        .replaceAll("\\s+", " "))),
+
     "decontaminate_fuzzy" -> QueryDef(
       (s, dir) => {
         val d = docs(s, dir)

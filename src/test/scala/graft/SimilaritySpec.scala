@@ -21,6 +21,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out(1)) < 1e-12)
   }
 
+  test("decontaminateEmbedding: planted eval-set copy is flagged with " +
+    "its benchmark id; orthogonal corpus doc is clean; zero-norm " +
+    "vectors never flag; benchmark side broadcasts") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),  // exact copy of bench 100 → cos 1
+      (2L, Seq(0.9f, 0.1f, 0.0f)),  // near bench 100 → cos > 0.9
+      (3L, Seq(0.0f, 0.0f, 1.0f)),  // orthogonal to both → clean
+      (4L, Seq(0.0f, 0.0f, 0.0f))   // zero-norm → undefined, clean
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.decontaminateEmbedding(corpus, bench,
+      "vec_id", "embedding", threshold = 0.8)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L) == (1L, 100L))
+    assert(rows(2L) == (1L, 100L))
+    // the held-out side must broadcast (the small-side contract)
+    assert(out.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"))
+    // threshold 0 + a shared axis flags via BOTH benchmark vectors
+    val loose = Similarity.decontaminateEmbedding(
+      Seq((9L, Seq(1.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      bench, "vec_id", "embedding", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(loose.toSeq == Seq((9L, 2L, 100L)))
+  }
+
   test("quantizeInt8: planted vectors hit the exact codes; max element " +
     "maps to ±127; zero vector is all-zero codes; error bound " +
     "err_u <= ceil(scale_u/2); plan is exchange-free") {
