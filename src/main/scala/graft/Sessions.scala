@@ -23,6 +23,7 @@ object Sessions {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     functions.MinHash.register(spark)
     functions.VectorExpressions.register(spark)
+    functions.Bpe.register(spark)
     spark
   }
 }

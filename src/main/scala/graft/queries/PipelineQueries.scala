@@ -1356,6 +1356,20 @@ object PipelineQueries {
           g -> (length(g)+3)//4)), 0)::BIGINT AS n_tokens
         FROM documents""".replaceAll("\\s+", " "))),
 
+    // REAL fixed-merges BPE token counts (functions.Bpe: the GPT-2
+    // bpe() greedy merge loop over a fixed merge table — a trained
+    // tokenizer ships exactly this artifact). Rows-only: the
+    // iterate-until-fixpoint merge loop is not SQL-expressible; BpeSpec
+    // pins it with an algorithm differential (greedy-min-rank engine vs
+    // an independent rank-order reference, equivalent on the
+    // spec-asserted well-formed table) + hand fixtures + an
+    // expression≡driver differential.
+    "text_bpe_real" -> QueryDef(
+      (s, dir) => docs(s, dir).select(col("doc_id").as("id"),
+        graft.functions.Bpe.bpeTokenCountCol(col("text"))
+          .as("n_bpe_tokens")),
+      None),
+
     // sequence packing budgeted in TOKENIZER tokens (not whitespace
     // words) — same two-level distributed prefix sum as
     // pipeline_pack_sequences, same global-window oracle, different
