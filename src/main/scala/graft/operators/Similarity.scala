@@ -280,6 +280,35 @@ object Similarity {
         col("col.id").as("neighbor_id"), col("col.score").as(scoreOut))
   }
 
+  /** k-NN label assignment: classify each query embedding by MAJORITY
+    * VOTE over its k nearest corpus neighbors' labels (cosine ranking,
+    * the [[bruteForceTopK]] contract — rounded-score DESC, neighbor id
+    * ASC), ties on votes to the SMALLEST label. Output: `(query_id,
+    * pred_label, votes)` — all exact integers, so the oracle
+    * hash-matches end to end even though cosine ranks the neighbors.
+    *
+    * Scale shape: the neighbor stage is pluggable — this entry point
+    * rides [[bruteForceTopK]] (broadcast queries, bounded-heap
+    * ranking; the registry's degenerate-exact convention), and any of
+    * the ANN variants (IVF/PQ/SRP) produces the same
+    * (query_id, neighbor_id) contract for the vote. The vote itself
+    * is two map-side-combined aggregates over k·|queries| rows; the
+    * argmax is a struct max (votes, −label), never a window. */
+  def knnLabel(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val topk = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+    topk
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).cast("long").as("label")), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("votes"), negate(col("label")).as("nl")))
+        .as("m"))
+      .select(col("query_id"), negate(col("m.nl")).as("pred_label"),
+        col("m.votes").as("votes"))
+  }
+
   /** Semantic decontamination: flag corpus documents whose embedding
     * lies within cosine ≥ `threshold` of ANY held-out benchmark
     * embedding — the modern contamination check (n-gram overlap misses

@@ -1412,6 +1412,43 @@ object PipelineQueries {
           // ${(1L << 60) / 680L} < n_tokens"""
         .replaceAll("\\s+", " "))),
 
+    // k-NN label classification: majority vote over the 5 nearest
+    // corpus embeddings (cosine), vote ties to the smallest label —
+    // the label-propagation / auto-labeling pass over an embedded
+    // corpus. Integer outputs only; neighbor ranking shares the
+    // ann_bruteforce oracle convention (round-6 score, id tiebreak).
+    "emb_knn_label" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.knnLabel(e.filter(col("vec_id") < 16), e,
+          "vec_id", "embedding", "label", k = 5)
+      },
+      Some("""WITH v AS (SELECT vec_id, label,
+          embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 16),
+        s0 AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+          list_reduce(list_transform(generate_series(1,64),
+            i -> q.qv[i]*c.v[i]), (x,y) -> x+y) AS dot,
+          (sqrt(list_reduce(list_transform(q.qv, x -> x*x),
+            (x,y) -> x+y)) *
+           sqrt(list_reduce(list_transform(c.v, x -> x*x),
+            (x,y) -> x+y))) AS nn
+          FROM q, v c WHERE c.vec_id != q.qid),
+        s AS (SELECT query_id, neighbor_id,
+          CASE WHEN nn > 0 THEN dot / nn END AS cos FROM s0),
+        r AS (SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY round(cos,6) DESC, neighbor_id) AS rank
+          FROM s WHERE cos IS NOT NULL),
+        lv AS (SELECT r.query_id, e.label::BIGINT AS label,
+          count(*)::BIGINT AS votes
+          FROM r JOIN embeddings e ON r.neighbor_id = e.vec_id
+          WHERE r.rank <= 5 GROUP BY 1, 2)
+        SELECT query_id, label AS pred_label, votes FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY votes DESC, label) AS rn FROM lv)
+        WHERE rn = 1""".replaceAll("\\s+", " "))),
+
     // per-label embedding centroids: element-wise mean vector per class
     // — the statistic behind SemDeDup cluster seeds, class prototypes,
     // and embedding-drift monitors. posexplode → (label, dim) partial/

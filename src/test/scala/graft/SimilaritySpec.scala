@@ -21,6 +21,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out(1)) < 1e-12)
   }
 
+  test("knnLabel: planted clusters classify by majority vote; vote " +
+    "ties go to the smallest label") {
+    // corpus: 2 vectors near +x labeled 3, 2 near +y labeled 2; a +x
+    // query with k=2 takes both label-3 neighbors (majority), with
+    // k=4 the vote is 2:2 and the SMALLEST label (2) wins even though
+    // the label-3 vectors are closer — the tie rule, not proximity
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f), 3L), (11L, Seq(0.9f, 0.1f), 3L),
+      (20L, Seq(0.0f, 1.0f), 2L), (21L, Seq(0.1f, 0.9f), 2L))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.knnLabel(q, corpus, "vec_id", "embedding",
+      "label", k = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((1L, 3L, 2L)))
+    val tied = Similarity.knnLabel(q, corpus, "vec_id", "embedding",
+      "label", k = 4).collect()
+    assert(tied.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 2L)))
+  }
+
   test("decontaminateEmbedding: planted eval-set copy is flagged with " +
     "its benchmark id; orthogonal corpus doc is clean; zero-norm " +
     "vectors never flag; benchmark side broadcasts") {
