@@ -429,6 +429,42 @@ object Dedup {
       .select(col("id"), coalesce(col("_c"), col("id")).as("cluster"))
   }
 
+  /** Canonical-copy selection over duplicate clusters: within each
+    * cluster KEEP the doc with the LARGEST `scoreCol`, ties to the
+    * smallest id — "keep the best copy, not the first" (score =
+    * char/token count keeps the least-truncated duplicate, the
+    * standard crawl heuristic; any integral quality score plugs in).
+    * Input `clusters` is [[dupClusters]]' `(id, cluster)` contract;
+    * output: every doc with its cluster, score, keep verdict, and the
+    * cluster's kept id — so a pipeline can either filter `keep` or
+    * audit what beat each dropped copy.
+    *
+    * Scale shape: one join to attach scores (id-keyed), then the
+    * per-cluster argmax as a struct-max AGGREGATE (score, −id) joined
+    * back on cluster — two map-side-combined exchanges; no
+    * per-cluster window sort, so a pathological mega-cluster (every
+    * crawl has one boilerplate blob) costs O(1) aggregate state, not
+    * a single-reducer sort. The score must be integral (same
+    * plan-time guard as capPerKey: a non-integral cast would silently
+    * corrupt the argmax). */
+  def keepBest(clusters: DataFrame, scores: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = scores.schema(scoreCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"keepBest score column `$scoreCol` must be integral, got $dt")
+    val sc = scores.select(col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("long").as("score"))
+    val j = clusters.join(sc, "id")
+    val best = j.groupBy(col("cluster"))
+      .agg(max(struct(col("score"), negate(col("id")).as("nid")))
+        .as("m"))
+      .select(col("cluster"), negate(col("m.nid")).as("keep_id"))
+    j.join(best, "cluster")
+      .select(col("id"), col("cluster"), col("score"),
+        (col("id") === col("keep_id")).as("keep"), col("keep_id"))
+  }
+
   /** INCREMENTAL exact dedup — the daily-increment shape every
     * production corpus runs (dedup the new batch AGAINST the existing
     * store, not the whole corpus from scratch): each new doc is marked

@@ -171,6 +171,29 @@ object PipelineQueries {
     """cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band a
         JOIN band b ON a.band=b.band AND a.band_hash=b.band_hash
           AND a.id < b.id)"""
+  /** The full cluster-label derivation (minhash → LSH bands →
+    * candidates → jaccard filter → transitive closure), through a
+    * `reach(id, label)` relation — ONE definition shared by
+    * `dedup_clusters` and `dedup_keep_best` so the clustering oracle
+    * cannot drift between them. Use inside `WITH RECURSIVE`. */
+  private val ClusterReachCtes =
+    s"""$WordsCte, $ShingleCte, $SigCte, $BandCte, $CandCte,
+      dsh AS (SELECT DISTINCT doc_id, s FROM shingle),
+      sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM dsh GROUP BY 1),
+      pr AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared
+        FROM cand c JOIN dsh a ON a.doc_id=c.id_a
+        JOIN dsh b ON b.doc_id=c.id_b AND b.s=a.s GROUP BY 1, 2),
+      jp AS (SELECT pr.id_a, pr.id_b FROM pr
+        JOIN sz x ON pr.id_a=x.doc_id JOIN sz y ON pr.id_b=y.doc_id
+        WHERE n_shared/(x.n_sh + y.n_sh - n_shared)
+          >= $JaccardThreshold),
+      ed AS (SELECT id_a AS src, id_b AS dst FROM jp
+        UNION ALL SELECT id_b, id_a FROM jp),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS label FROM documents
+        UNION
+        SELECT ed.dst AS id, reach.label FROM reach
+        JOIN ed ON ed.src = reach.id)"""
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -286,26 +309,40 @@ object PipelineQueries {
         // shortcut ≡ plain fixpoint differential is in DedupSpec)
         Dedup.dupClusters(d, "doc_id", pairs, shortcut = false)
       },
-      Some(s"""WITH RECURSIVE $WordsCte, $ShingleCte, $SigCte,
-        $BandCte, $CandCte,
-        dsh AS (SELECT DISTINCT doc_id, s FROM shingle),
-        sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM dsh GROUP BY 1),
-        pr AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared
-          FROM cand c JOIN dsh a ON a.doc_id=c.id_a
-          JOIN dsh b ON b.doc_id=c.id_b AND b.s=a.s GROUP BY 1, 2),
-        jp AS (SELECT pr.id_a, pr.id_b FROM pr
-          JOIN sz x ON pr.id_a=x.doc_id JOIN sz y ON pr.id_b=y.doc_id
-          WHERE n_shared/(x.n_sh + y.n_sh - n_shared)
-            >= $JaccardThreshold),
-        ed AS (SELECT id_a AS src, id_b AS dst FROM jp
-          UNION ALL SELECT id_b, id_a FROM jp),
-        reach AS (
-          SELECT doc_id AS id, doc_id AS label FROM documents
-          UNION
-          SELECT ed.dst AS id, reach.label FROM reach
-          JOIN ed ON ed.src = reach.id)
+      Some(s"""WITH RECURSIVE $ClusterReachCtes
         SELECT id, min(label)::BIGINT AS cluster FROM reach GROUP BY id"""
         .replaceAll("\\s+", " "))),
+
+    // canonical-copy selection: within every duplicate cluster keep
+    // the doc with the LARGEST n_chars (least-truncated copy — "keep
+    // the best, not the first"), vote ties to the smallest id. Argmax
+    // is a struct-max aggregate joined back on cluster — two
+    // map-side-combined exchanges, no per-cluster window sort.
+    "dedup_keep_best" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sig = Dedup.minhashSignatures(d, "doc_id", "text",
+          MinhashK, ShingleLen)
+        val cand =
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+        val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
+          JaccardThreshold, candidates = Some(cand))
+          .select(col("id_a"), col("id_b"))
+        Dedup.keepBest(
+          Dedup.dupClusters(d, "doc_id", pairs, shortcut = false),
+          d, "doc_id", "n_chars")
+      },
+      Some(s"""WITH RECURSIVE $ClusterReachCtes,
+        cl AS (SELECT id, min(label)::BIGINT AS cluster FROM reach
+          GROUP BY id),
+        j AS (SELECT cl.id, cl.cluster, d.n_chars::BIGINT AS score
+          FROM cl JOIN documents d ON cl.id = d.doc_id),
+        b AS (SELECT cluster, id AS keep_id FROM (
+          SELECT cluster, id, row_number() OVER (PARTITION BY cluster
+            ORDER BY score DESC, id) AS rn FROM j) WHERE rn = 1)
+        SELECT j.id, j.cluster, j.score, (j.id = b.keep_id) AS keep,
+          b.keep_id
+        FROM j JOIN b USING (cluster)""".replaceAll("\\s+", " "))),
 
     // THE composed dedup pipeline — the shape a real corpus build runs:
     // signatures → bands → candidate pairs → jaccard filter → connected

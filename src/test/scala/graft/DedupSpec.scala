@@ -20,6 +20,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L).isEmpty)
   }
 
+  test("keepBest: per-cluster argmax by (score DESC, id ASC); " +
+    "singletons keep themselves; non-integral score rejected") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("id", "cluster")
+    val scores = Seq((1L, 10), (2L, 40), (3L, 40), (7L, 5))
+      .toDF("doc_id", "n_chars")
+    val out = graft.operators.Dedup.keepBest(clusters, scores,
+      "doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getBoolean(3), r.getLong(4))).toMap
+    // score tie 40 between ids 2 and 3 → smallest id (2) kept
+    assert(out(1L) == (10L, false, 2L))
+    assert(out(2L) == (40L, true, 2L))
+    assert(out(3L) == (40L, false, 2L))
+    assert(out(7L) == (5L, true, 7L)) // singleton keeps itself
+    val bad = Seq((1L, 0.5)).toDF("doc_id", "q")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.keepBest(clusters, bad, "doc_id", "q")
+    }
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val out = Dedup.exact(
       df((5L, "x y z"), (3L, "x y z"), (7L, "other words")),
