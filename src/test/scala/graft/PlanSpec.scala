@@ -166,6 +166,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!pii.contains("Exchange"), pii.take(2000))
   }
 
+  test("argmax-family ops rank through aggregates, never per-group " +
+    "window sorts: knn vote, keep-best selection, embedding decon") {
+    for (q <- Seq("emb_knn_label", "dedup_keep_best",
+      "decontaminate_embedding")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q:\n${p.take(2000)}")
+    }
+    // the benchmark/query sides broadcast (small-side contracts)
+    assert(planOf("decontaminate_embedding")
+      .contains("BroadcastNestedLoopJoin") ||
+      planOf("decontaminate_embedding").contains("BroadcastHashJoin"))
+  }
+
   test("pack_sequences' corpus-sized running sum is a bucket-partitioned " +
     "window (the distributed prefix sum), never an unpartitioned global " +
     "ordered window over the docs") {
