@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-behavior analytics over an event stream (north-star: the
+  * product-analytics queries every event warehouse runs — funnels,
+  * path transitions, cohort retention). The reference's data plane is
+  * an event-shaped time-series table (SURVEY.md §3.1); these are the
+  * standard read-side analyses over exactly that shape.
+  *
+  * Scale posture shared by all three operators: every shuffle is keyed
+  * on the user column — the same key throughout each chain, so the
+  * exchanges are co-partitioned and AQE reuses the partitioning; no
+  * operator ever funnels corpus rows through an unpartitioned window
+  * or a single reducer. Outputs are integer-exact (counts, Long-ns
+  * times, basis-point ratios in integer division), so every column is
+  * hash-comparable cross-engine.
+  */
+object Behavior {
+
+  /** Strictly-ordered conversion funnel: for stages (s₁…sₖ), a user
+    * reaches stage i when they have an sᵢ event STRICTLY AFTER their
+    * stage-(i−1) reach time; the reach time is the EARLIEST such event
+    * (the canonical "min-time chaining" funnel — no lookback window,
+    * re-orderings of earlier events cannot un-reach a later stage).
+    *
+    * Shape: one filtered aggregate per stage (the `typeCol` equality
+    * pushes to the scan) plus an equi-join per stage on `userCol` —
+    * k−1 co-partitioned joins over frames that only ever SHRINK
+    * (reached-users per stage is monotone non-increasing). The result
+    * is a k-row union of count aggregates.
+    *
+    * Output: (stage BIGINT 1-based, stage_name, n_users BIGINT).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct: $stages")
+    val u = col(userCol)
+    // reached(i): (user, t = min ts of a stage-i event after t_{i-1})
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(u).agg(min(col(tsCol)).as("t"))
+    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+      events.filter(col(typeCol) === stage)
+        .join(prev.select(u, col("t").as("t_prev")), userCol)
+        .filter(col(tsCol) > col("t_prev"))
+        .groupBy(u).agg(min(col(tsCol)).as("t"))
+    }
+    reached.zip(stages).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("stage"), lit(name).as("stage_name"),
+          col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** First-order (Markov) path transitions: for each user's
+    * time-ordered event sequence, count every adjacent
+    * (previous type → type) pair and its share of all transitions out
+    * of that previous type, in exact basis points
+    * (`prob_bp = (n·10⁴) div n_from` — integer floor division, no
+    * float summation anywhere).
+    *
+    * Ordering is made deterministic with `tieCol` as the secondary
+    * sort key (same-timestamp events within a user would otherwise
+    * make `lag` nondeterministic).
+    *
+    * Shape: one window partitioned by user (the corpus-touching pass),
+    * then everything runs on the transition-pair frame, bounded by the
+    * event-type DOMAIN squared — the per-source normalization window
+    * partitions that bounded frame by `from_type`, never the corpus.
+    *
+    * Output: (from_type, to_type, n BIGINT, prob_bp BIGINT).
+    */
+  def pathTransitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("from_type", lag(col(typeCol), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("n_from", sum(col("n")).over(byFrom))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 10000) div n_from").as("prob_bp"))
+  }
+
+  /** Cohort retention: cohort = the user's first-event period (integer
+    * floor division of the event time by `periodLen`, e.g. a day for
+    * ns timestamps and periodLen = 86 400·10⁹); cell (cohort, period
+    * offset) counts the DISTINCT users of that cohort active in that
+    * period. Offset 0 is the cohort's own period, so every cohort's
+    * offset-0 count equals its size — the standard retention-matrix
+    * normalization row.
+    *
+    * Shape: one groupBy(user) for first-event times, one equi-join
+    * back on the SAME key (co-partitioned), then a
+    * (cohort, offset)-keyed distinct-count whose result frame is
+    * bounded by cohorts × periods, not users. All integer math.
+    *
+    * Output: (cohort BIGINT, period BIGINT, n_active BIGINT).
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+      periodLen: Long): DataFrame = {
+    require(periodLen > 0, s"periodLen must be positive: $periodLen")
+    val u = col(userCol)
+    val firsts = events.groupBy(u)
+      .agg(expr(s"min($tsCol) div $periodLen").as("cohort"))
+    events
+      .join(firsts, userCol)
+      .select(u, col("cohort"),
+        (expr(s"$tsCol div $periodLen") - col("cohort")).as("period"))
+      .groupBy(col("cohort"), col("period"))
+      .agg(countDistinct(u).as("n_active"))
+  }
+}

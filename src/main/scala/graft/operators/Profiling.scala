@@ -39,6 +39,96 @@ object Profiling {
           col("n_distinct"), col("min_s"), col("max_s"))
     }.reduce(_ unionAll _)
 
+  /** Zipf rank–frequency profile of a value stream: the OLS slope of
+    * ln(frequency) on ln(rank) — the standard corpus-health check (a
+    * natural-language token stream sits near slope −1; a slope far off
+    * flags template spam, boilerplate floods, or tokenizer damage
+    * before any training run ingests the corpus).
+    *
+    * Scale shape: the corpus is touched by ONE map-side-combined
+    * groupBy(value) — every later step (ranking window, the five OLS
+    * sum aggregates) runs on the VOCABULARY-bounded frequency frame.
+    * The ranking window is deliberately unpartitioned: ranks are
+    * global by definition, and the frame it sorts is the vocabulary,
+    * never the corpus (PlanSpec's registry-wide allowlist documents
+    * exactly this bounded-frame argument).
+    *
+    * Output (one row): n_types BIGINT, n_tokens BIGINT, zipf_slope
+    * DOUBLE rounded to 3 decimals (multi-row double aggregate —
+    * summation order is engine-dependent, so the raw last ulps are
+    * not comparable; the rounded value is).
+    */
+  def zipfSlope(df: DataFrame, valueCol: String): DataFrame = {
+    val freq = df.groupBy(col(valueCol).as("w"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = freq.withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("n").desc, col("w"))).cast("long"))
+      .select(col("n"), log(col("rank")).as("x"), log(col("n")).as("y"))
+    ranked.agg(
+        count(lit(1)).as("k"), sum(col("n")).as("n_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("k").as("n_types"), col("n_tokens"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 3)
+          .as("zipf_slope"))
+  }
+
+  /** Exact per-group decile (or any `buckets`-ile) stratification of an
+    * integer metric — the quality-bucketing primitive behind
+    * "sample uniformly across length/quality strata": cut points are
+    * the PERCENTILE_DISC order statistics (smallest value whose
+    * cumulative count reaches ⌈p·n/buckets⌉ — actual data values, no
+    * interpolation), a row's bucket is 1 + (number of cut points
+    * strictly below its value), and per-bucket stats are exact Longs.
+    *
+    * Scale shape: the winsorizedStats discipline — the corpus is
+    * touched by ONE map-side-combined groupBy((group, value));
+    * everything else (cumulative window, cut-point selection, bucket
+    * assignment, final rollup) runs on the DISTINCT-VALUE frequency
+    * frame, bounded by the value domain per group, never the corpus.
+    * The cut-point join fans that frame out ×(buckets−1) — still
+    * domain-bounded. No corpus-sized window, no single-reducer sort.
+    *
+    * Ties land every equal value in the same bucket (buckets are then
+    * unequal-sized — the honest answer; an ntile that splits ties by
+    * arbitrary row order is not reproducible cross-engine).
+    *
+    * Output: (group…, bucket BIGINT 1..buckets, n_rows BIGINT,
+    * min_v, max_v, sum_v BIGINT).
+    */
+  def decileStats(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets: $buckets")
+    val gc = groupCols.map(col)
+    val freq = df
+      .groupBy(gc :+ col(valueCol).cast("long").as("v"): _*)
+      .agg(count(lit(1)).as("n_v"))
+    val w = Window.partitionBy(gc: _*).orderBy(col("v"))
+    val cum = freq.withColumn("cum", sum(col("n_v")).over(w))
+    val tot = freq.groupBy(gc: _*).agg(sum(col("n_v")).as("n"))
+    // one row per (group, p): the ⌈p·n/buckets⌉ target rank, p<buckets
+    val targets = tot.select(gc :+ col("n") :+
+        explode(array((1 until buckets).map(lit): _*)).as("p"): _*)
+      .select(gc :+ col("p") :+
+        expr(s"(p * n + ${buckets - 1}) div $buckets").as("kp"): _*)
+    val cuts = cum.join(targets, groupCols)
+      .filter(col("cum") >= col("kp"))
+      .groupBy(gc :+ col("p"): _*)
+      .agg(min(col("v")).as("cut"))
+    freq.join(cuts, groupCols)
+      .groupBy(gc :+ col("v"): _*)
+      .agg(max(col("n_v")).as("n_v"), // constant per (group, v)
+        (sum(when(col("v") > col("cut"), 1L).otherwise(0L)) + 1L)
+          .as("bucket"))
+      .groupBy(gc :+ col("bucket"): _*)
+      .agg(sum(col("n_v")).as("n_rows"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(col("n_v") * col("v")).as("sum_v"))
+  }
+
   /** Winsorized (outlier-clipped) per-group statistics in EXACT integer
     * units — the robust-scaling primitive a feature/curation pipeline
     * applies before normalization: clip at the empirical trim-quantile

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.HeavyHitters
-import graft.operators.{Curation, Dedup, Multimodal, Pca, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Pca, Profiling, Similarity, TextAnalysis}
 import graft.sources.{Jsonl, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -947,6 +947,56 @@ object PipelineQueries {
           word, n, 0::BIGINT AS err
         FROM c ORDER BY n DESC, word LIMIT 10"""
         .replaceAll("\\s+", " "))),
+
+    // Zipf rank–frequency slope — the corpus-health profile (natural
+    // token streams sit near −1; template spam / tokenizer damage
+    // shows up as a slope far off). Corpus touched once; the OLS runs
+    // on the vocabulary-bounded frequency frame. The slope is a
+    // multi-row double aggregate → rounded on both sides; Spark uses
+    // the closed-form OLS sums, DuckDB its regr_slope — algebraically
+    // identical, equal after round(3).
+    "text_zipf_slope" -> QueryDef(
+      (s, dir) => Profiling.zipfSlope(
+        docs(s, dir).select(explode(split(col("text"), " ")).as("w")),
+        "w"),
+      Some(s"""WITH $WordsCte,
+        u AS (SELECT unnest(w) AS word FROM words),
+        f AS (SELECT word, count(*)::BIGINT AS n FROM u GROUP BY 1),
+        r AS (SELECT n, row_number() OVER (ORDER BY n DESC, word)
+          AS rank FROM f)
+        SELECT count(*)::BIGINT AS n_types, sum(n)::BIGINT AS n_tokens,
+          round(regr_slope(ln(n), ln(rank)), 3) AS zipf_slope
+        FROM r""".replaceAll("\\s+", " "))),
+
+    // exact per-language decile stratification of document length —
+    // the quality-bucketing primitive behind "sample uniformly across
+    // strata". Cut points are PERCENTILE_DISC order statistics
+    // computed on the distinct-value frequency frame (winsorizedStats
+    // discipline: corpus touched once, everything else domain-bounded);
+    // bucket = 1 + #cuts strictly below the value, so ties stay
+    // together and every output column is an exact Long.
+    "pipeline_quality_deciles" -> QueryDef(
+      (s, dir) => Profiling.decileStats(
+        docs(s, dir).select(col("lang"), col("n_chars")),
+        Seq("lang"), "n_chars"),
+      Some("""WITH f AS (SELECT lang, n_chars AS v,
+          count(*)::BIGINT AS n_v FROM documents GROUP BY 1, 2),
+        cu AS (SELECT lang, v, n_v, sum(n_v) OVER
+          (PARTITION BY lang ORDER BY v) AS cum FROM f),
+        t AS (SELECT lang, sum(n_v)::BIGINT AS n FROM f GROUP BY 1),
+        tg AS (SELECT lang, p, (p * n + 9) // 10 AS kp FROM t,
+          unnest(generate_series(1, 9)) AS g(p)),
+        cuts AS (SELECT cu.lang, tg.p, min(cu.v) AS cut FROM cu
+          JOIN tg ON cu.lang = tg.lang AND cu.cum >= tg.kp
+          GROUP BY 1, 2),
+        b AS (SELECT f.lang, f.v, max(f.n_v) AS n_v,
+          (1 + sum(CASE WHEN f.v > cuts.cut THEN 1 ELSE 0 END))::BIGINT
+            AS bucket
+          FROM f JOIN cuts ON f.lang = cuts.lang GROUP BY 1, 2)
+        SELECT lang, bucket, sum(n_v)::BIGINT AS n_rows,
+          min(v) AS min_v, max(v) AS max_v,
+          sum(n_v * v)::BIGINT AS sum_v
+        FROM b GROUP BY 1, 2""".replaceAll("\\s+", " "))),
 
     // deterministic corpus split: md5-bucket each doc into
     // train/validation/test (80/10/10). Hash-based splits are the

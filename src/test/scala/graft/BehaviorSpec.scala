@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Behavior
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-behavior analytics unit coverage (the registry oracles pin
+  * the full-table shapes; these fixtures pin the semantic edges:
+  * strict ordering in the funnel, lag tie-breaking, offset-0 cohort
+  * normalization). */
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  private def events(rows: Seq[(Long, Long, Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+  }
+
+  test("funnel: min-time chaining is STRICT — a stage-2 event at or " +
+    "before the stage-1 reach time does not convert, and stages " +
+    "cannot be reached out of order") {
+    val df = events(Seq(
+      // u1 converts through all three stages in order
+      (1L, 100L, 1L, "a"), (2L, 200L, 1L, "b"), (3L, 300L, 1L, "c"),
+      // u2: b BEFORE a, and again b AT a's time — never reaches b
+      (4L, 50L, 2L, "b"), (5L, 100L, 2L, "a"), (6L, 100L, 2L, "b"),
+      // u3: reaches a and b; c arrives between a and b → not after b
+      (7L, 100L, 3L, "a"), (8L, 150L, 3L, "c"), (9L, 200L, 3L, "b"),
+      // u4 never does a — contributes nowhere, even with b and c
+      (10L, 100L, 4L, "b"), (11L, 200L, 4L, "c")))
+    val out = Behavior.funnel(df, "user_id", "ts", "event_type",
+        Seq("a", "b", "c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq((1L, "a", 3L), (2L, "b", 2L),
+      (3L, "c", 1L)))
+  }
+
+  test("funnel: the reach time is the EARLIEST qualifying event — a " +
+    "later cheaper path cannot shadow an earlier conversion") {
+    // u1 does a@100, b@500, but also b@200: reach(b)=200, so c@300
+    // (before 500, after 200) still converts
+    val df = events(Seq(
+      (1L, 100L, 1L, "a"), (2L, 500L, 1L, "b"), (3L, 200L, 1L, "b"),
+      (4L, 300L, 1L, "c")))
+    val out = Behavior.funnel(df, "user_id", "ts", "event_type",
+        Seq("a", "b", "c"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("funnel rejects duplicate stages") {
+    intercept[IllegalArgumentException] {
+      Behavior.funnel(events(Seq.empty), "user_id", "ts", "event_type",
+        Seq("a", "a"))
+    }
+  }
+
+  test("pathTransitions: adjacent pairs per user in (ts, tie) order; " +
+    "same-ts events break ties on the tie column; prob_bp is exact " +
+    "integer floor division") {
+    val df = events(Seq(
+      // u1: a→b→b (two transitions out of distinct froms)
+      (1L, 100L, 1L, "a"), (2L, 200L, 1L, "b"), (3L, 300L, 1L, "b"),
+      // u2: same-ts pair — event_id order makes it a→c, never c→a
+      (10L, 100L, 2L, "a"), (11L, 100L, 2L, "c"),
+      // u3: a→c so that from=a has n_from=2: bp = 10000/2 = 5000 each
+      (20L, 100L, 3L, "a"), (21L, 200L, 3L, "c")))
+    val out = Behavior.pathTransitions(df, "user_id", "ts",
+        "event_type", "event_id")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      ("a", "b") -> ((1L, 3333L)),   // 1 of 3 out of a → ⌊10000/3⌋
+      ("a", "c") -> ((2L, 6666L)),
+      ("b", "b") -> ((1L, 10000L))))
+  }
+
+  test("cohortRetention: offset 0 equals cohort size; gaps stay " +
+    "absent (sparse matrix), later periods count distinct users once") {
+    val df = events(Seq(
+      // cohort 0: u1 active periods {0,2}, u2 {0} (two rows in p0)
+      (1L, 5L, 1L, "x"), (2L, 25L, 1L, "x"), (3L, 7L, 2L, "x"),
+      (4L, 8L, 2L, "x"),
+      // cohort 1: u3 active {1}
+      (5L, 13L, 3L, "x")))
+    val out = Behavior.cohortRetention(df, "user_id", "ts", 10L)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out === Map(
+      (0L, 0L) -> 2L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
+  }
+}

@@ -210,9 +210,14 @@ class PlanSpec extends AnyFunSuite {
     //    budgeting units
     // anything else appearing here is the single-reducer trap — fix the
     // operator, don't grow this list without a bounded-frame argument.
+    //  - text_zipf_slope: global rank assignment over the
+    //    VOCABULARY-bounded frequency frame (ranks are global by
+    //    definition; the corpus is reduced by a map-side-combined
+    //    groupBy before the window ever runs)
     val allowed = Set("pipeline_temperature_weights",
       "pipeline_temperature_tokens",
-      "pipeline_pack_sequences", "pipeline_pack_tokens")
+      "pipeline_pack_sequences", "pipeline_pack_tokens",
+      "text_zipf_slope")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.queryExecution.optimizedPlan.collect {

@@ -40,4 +40,61 @@ class ProfilingSpec extends AnyFunSuite {
         r.getLong(4)))
     assert(out2.toSeq == Seq((3L, 1L, 4L, 23333L)))
   }
+
+  test("zipfSlope: counts and the OLS slope match an independent " +
+    "driver-side computation on a hand-built Zipfy stream") {
+    val s = spark
+    import s.implicits._
+    // a×8, b×4, c×2, d×1 → ranks 1..4 (count desc, value asc)
+    val toks = Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") :+ "d"
+    val row = Profiling.zipfSlope(toks.toDF("w"), "w").collect().head
+    assert((row.getLong(0), row.getLong(1)) === ((4L, 15L)))
+    // independent mean-centered OLS (the operator uses the raw-sums
+    // closed form — algebraically identical)
+    val x = Seq(1, 2, 3, 4).map(r => math.log(r.toDouble))
+    val y = Seq(8, 4, 2, 1).map(n => math.log(n.toDouble))
+    val (mx, my) = (x.sum / 4, y.sum / 4)
+    val slope = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum /
+      x.map(a => (a - mx) * (a - mx)).sum
+    assert(row.getDouble(2) ===
+      BigDecimal(slope).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // equal-count ties rank deterministically by value — slope is a
+    // pure function of the multiset, not of partitioning
+    val tied = Seq.fill(3)("x") ++ Seq.fill(3)("y") :+ "z"
+    val a = Profiling.zipfSlope(tied.toDF("w").repartition(7), "w")
+      .collect().head
+    val b = Profiling.zipfSlope(tied.toDF("w").repartition(2), "w")
+      .collect().head
+    assert(a.getDouble(2) === b.getDouble(2))
+  }
+
+  test("decileStats: uniform 1..20 → ten clean 2-value buckets; ties " +
+    "stay in one bucket; a group smaller than the bucket count " +
+    "collapses to bucket 1") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 20).map(v => ("A", v.toLong)) ++
+      (Seq.fill(4)(1L) :+ 2L).map(("B", _)) :+ (("C", 5L))
+    val out = Profiling.decileStats(
+        rows.toDF("g", "v").repartition(5), Seq("g"), "v")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // A: cuts = {2,4,…,18}; bucket p = {2p−1, 2p}, sum = 4p−1
+    (1 to 10).foreach { p =>
+      assert(out(("A", p.toLong)) ===
+        ((2L, 2L * p - 1, 2L * p, 4L * p - 1)), s"bucket $p")
+    }
+    // B (buckets=2 worth of mass in 10 cuts): all four 1s share a
+    // bucket — ties never split
+    val bBuckets = out.keys.filter(_._1 == "B").map(_._2).toSet
+    assert(out(("B", 1L))._1 === 4L)
+    assert(bBuckets.size === 2)
+    // C: single row → kp = 1 for every p, all cuts = 5, bucket 1 only
+    assert(out(("C", 1L)) === ((1L, 5L, 5L, 5L)))
+    assert(!out.contains(("C", 2L)))
+  }
 }
