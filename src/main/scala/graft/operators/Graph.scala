@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relation-shaped graphs (north-star: centrality
+  * and structure queries on the similarity/duplication graphs the
+  * dedup family produces — "which document is the hub of this template
+  * flood", "rank cluster members by linkage", link-spam detection).
+  *
+  * Everything here is expressed as joins + aggregates over (src, dst)
+  * edge frames — the Pregel-without-Pregel shape: one co-partitioned
+  * equi-join per superstep, message passing as a groupBy(dst), no
+  * driver-side graph state (the dedup family's min-label propagation
+  * in [[Dedup]] is the same discipline).
+  */
+object Graph {
+
+  /** Deterministic integer PageRank: ranks in exact fixed-point units
+    * (`scale` = one unit of initial mass per node) with damping
+    * dampNum/dampDen, iterated a FIXED `iters` times.
+    *
+    * All arithmetic is Long floor division — no floating point
+    * anywhere — so the result is independent of partitioning and
+    * summation order, bit-identical across engines (an oracle can
+    * unroll the same iterations in SQL), and safely comparable across
+    * runs; the cost is the floored remainder mass, which is dropped
+    * (sub-`1/scale` per edge per step — irrelevant for ranking).
+    * Dangling nodes (out-degree 0) keep and emit nothing beyond the
+    * base term — the "no redistribution" convention.
+    *
+    * r₀(v) = scale;
+    * r_{t+1}(v) = (scale·(dampDen−dampNum)) div dampDen
+    *            + (dampNum · Σ_{(u,v)∈E} (r_t(u) div deg(u))) div dampDen
+    *
+    * Scale shape: `iters` supersteps, each ONE equi-join of the edge
+    * frame with the rank frame on the src key plus ONE
+    * map-side-combined groupBy(dst) — every shuffle is keyed on a node
+    * id, nothing is ever collected to the driver, and the rank frame
+    * stays |V| rows. The degree join is computed once and reused.
+    * Overflow headroom: ranks stay ≤ scale·|V| only if the graph were
+    * one absorbing hub; with Long and the default millionth-scale that
+    * allows |V| up to ~9·10¹² — beyond any corpus.
+    *
+    * @param nodes one `id` column, the full vertex set (isolated
+    *              vertices keep the base rank)
+    * @param edges directed (src, dst) rows; symmetrize before calling
+    *              for an undirected graph
+    */
+  def pageRankInt(nodes: DataFrame, edges: DataFrame, iters: Int = 3,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"need at least one iteration: $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < dampNum < dampDen: $dampNum/$dampDen")
+    val base = scale * (dampDen - dampNum) / dampDen
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src")
+    val init = nodes.select(col("id"), lit(scale).as("rank_u"))
+    (1 to iters).foldLeft(init) { (ranks, _) =>
+      val contrib = edgesDeg
+        .join(ranks.select(col("id").as("src"), col("rank_u")), "src")
+        .select(col("dst"), expr("rank_u div deg").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("c"))
+      nodes
+        .join(contrib.select(col("dst").as("id"), col("c")), Seq("id"),
+          "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"($dampNum * coalesce(c, 0L)) div $dampDen"))
+            .as("rank_u"))
+    }
+  }
+
+  /** Undirected degree profile of an edge list: per node, its degree;
+    * isolated nodes included with degree 0 (the companion query for
+    * spotting hub documents before they flood a near-dup pass). */
+  def degrees(nodes: DataFrame, edges: DataFrame): DataFrame =
+    nodes.join(
+        edges.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("degree")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree"))
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.HeavyHitters
-import graft.operators.{Curation, Dedup, Multimodal, Pca, Profiling, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Graph, Multimodal, Pca, Profiling, Similarity, TextAnalysis}
 import graft.sources.{Jsonl, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -171,6 +171,44 @@ object PipelineQueries {
     """cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band a
         JOIN band b ON a.band=b.band AND a.band_hash=b.band_hash
           AND a.id < b.id)"""
+  // symmetrized near-dup edge list — the graph the graph_* family runs on
+  private val EdgeCte =
+    """e AS (SELECT id_a AS src, id_b AS dst FROM cand
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM cand)"""
+
+  /** The graph_* queries' edge frame: LSH candidate pairs symmetrized
+    * into directed (src, dst) rows — the engine twin of [[EdgeCte]]. */
+  private def lshEdges(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text",
+      MinhashK, ShingleLen)
+    val pairs =
+      Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+    pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  }
+
+  /** DuckDB replay of [[Graph.pageRankInt]] (scale 10⁶, damping
+    * 85/100): the same integer supersteps unrolled as chained CTEs —
+    * generated from the iteration count so engine and oracle cannot
+    * drift on the recurrence. */
+  private def pageRankOracle(iters: Int): String = {
+    val base = 1000000L * 15L / 100L
+    val sb = new StringBuilder
+    sb ++= s"WITH $WordsCte, $ShingleCte, $SigCte, $BandCte, "
+    sb ++= s"$CandCte, $EdgeCte, "
+    sb ++= "deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1), "
+    sb ++= "nd AS (SELECT doc_id AS id FROM documents), "
+    sb ++= "r0 AS (SELECT id, 1000000::BIGINT AS r FROM nd)"
+    for (i <- 1 to iters) {
+      sb ++= s", c$i AS (SELECT e.dst, sum(r${i - 1}.r // d.deg)::BIGINT AS c" +
+        s" FROM e JOIN deg d ON e.src = d.src" +
+        s" JOIN r${i - 1} ON r${i - 1}.id = e.src GROUP BY 1)"
+      sb ++= s", r$i AS (SELECT nd.id, ($base + (85 * coalesce(c$i.c, 0))" +
+        s" // 100)::BIGINT AS r FROM nd LEFT JOIN c$i ON nd.id = c$i.dst)"
+    }
+    sb ++= s" SELECT id AS doc_id, r AS rank_u FROM r$iters"
+    sb.toString.replaceAll("\\s+", " ")
+  }
   /** The full cluster-label derivation (minhash → LSH bands →
     * candidates → jaccard filter → transitive closure), through a
     * `reach(id, label)` relation — ONE definition shared by
@@ -226,6 +264,32 @@ object PipelineQueries {
       },
       Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte, $CandCte
         SELECT id_a, id_b FROM cand""".replaceAll("\\s+", " "))),
+
+    // Graph analytics over the near-dup similarity graph (nodes =
+    // docs, edges = symmetrized LSH candidate pairs): degree profile
+    // (hub/template detection) and deterministic integer PageRank
+    // (centrality-ranked canonical selection). PageRank is EXACT Long
+    // fixed-point arithmetic, so the oracle replays the identical
+    // three unrolled supersteps in SQL and every rank hash-matches.
+    "graph_degrees" -> QueryDef(
+      (s, dir) => Graph.degrees(
+        docs(s, dir).select(col("doc_id").as("id")),
+        lshEdges(s, dir))
+        .select(col("id").as("doc_id"), col("degree")),
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
+        $CandCte, $EdgeCte
+        SELECT nd.id AS doc_id, coalesce(dg.degree, 0)::BIGINT AS degree
+        FROM (SELECT doc_id AS id FROM documents) nd
+        LEFT JOIN (SELECT src, count(*)::BIGINT AS degree FROM e
+          GROUP BY 1) dg ON nd.id = dg.src"""
+        .replaceAll("\\s+", " "))),
+
+    "graph_pagerank" -> QueryDef(
+      (s, dir) => Graph.pageRankInt(
+        docs(s, dir).select(col("doc_id").as("id")),
+        lshEdges(s, dir), iters = 3)
+        .select(col("id").as("doc_id"), col("rank_u")),
+      Some(pageRankOracle(3))),
 
     // exact n-gram Jaccard over LSH candidate pairs — the scale path:
     // candidates from banded MinHash-LSH, shingle-intersection counted

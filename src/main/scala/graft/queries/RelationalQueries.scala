@@ -394,6 +394,30 @@ object RelationalQueries {
         ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
         WHERE rn <= 3""".replaceAll("\\s+", " "))),
 
+    // rank-distribution window family: ntile / cume_dist /
+    // percent_rank per group. The ORDER BY includes the unique key so
+    // the total order is deterministic (ntile splits ties by row
+    // order — an order without the key would be partitioning-
+    // dependent); cume_dist and percent_rank are then single exact
+    // divisions (k/n, (rank−1)/(n−1)) — bit-identical cross-engine.
+    "win_rank_dist" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            cume_dist().over(w).as("cume"),
+            percent_rank().over(w).as("pct_rank"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+        (ntile(4) OVER w)::BIGINT AS quartile,
+        cume_dist() OVER w AS cume,
+        percent_rank() OVER w AS pct_rank
+        FROM orders WINDOW w AS (PARTITION BY o_orderstatus
+        ORDER BY o_totalprice, o_orderkey)"""
+        .replaceAll("\\s+", " "))),
+
     // frame window: running total per customer.
     "win_running_total" -> QueryDef(
       (s, dir) => {

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Graph
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integer-PageRank unit coverage (the registry oracle replays the
+  * full recurrence over the real LSH graph; these fixtures pin the
+  * hand-computed recurrence, isolated-node behavior, and
+  * partitioning-independence). */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  private def frames(edges: Seq[(Long, Long)], nodes: Seq[Long]) = {
+    val s = spark
+    import s.implicits._
+    // symmetrize: callers pass undirected pairs
+    val e = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    (nodes.toDF("id"), e)
+  }
+
+  test("pageRankInt: hand-computed two supersteps on the path a—b—c " +
+    "plus an isolated node that keeps exactly the base rank") {
+    val (nodes, edges) = frames(Seq((1L, 2L), (2L, 3L)),
+      Seq(1L, 2L, 3L, 4L))
+    // scale 10⁶, damping 85/100, base = 150000; degrees: a=1, b=2, c=1
+    // it1: c(a)=c(c)=⌊10⁶/2⌋=500000 → r=150000+⌊85·5e5/100⌋=575000
+    //      c(b)=10⁶+10⁶=2·10⁶      → r=150000+1700000=1850000
+    // it2: c(a)=c(c)=⌊1850000/2⌋=925000 → r=150000+786250=936250
+    //      c(b)=575000+575000=1150000   → r=150000+977500=1127500
+    val out = Graph.pageRankInt(nodes, edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L,
+      4L -> 150000L))
+  }
+
+  test("pageRankInt is independent of partitioning (exact integer " +
+    "arithmetic — no summation-order drift)") {
+    val (nodes, edges) = frames(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)),
+      (1L to 6L))
+    val a = Graph.pageRankInt(nodes.repartition(7), edges.repartition(5),
+        iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRankInt(nodes.repartition(2), edges.repartition(3),
+        iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // the two high-degree nodes (1 and 3, degree 3) outrank the rest
+    val top = a.toSeq.sortBy(-_._2).take(2).map(_._1).toSet
+    assert(top === Set(1L, 3L))
+  }
+
+  test("degrees: isolated nodes report 0; degree counts the " +
+    "symmetrized neighbor set") {
+    val (nodes, edges) = frames(Seq((1L, 2L), (2L, 3L)), Seq(1L, 2L, 3L, 9L))
+    val out = Graph.degrees(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 9L -> 0L))
+  }
+}
