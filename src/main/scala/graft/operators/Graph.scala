@@ -72,6 +72,43 @@ object Graph {
     }
   }
 
+  /** Exact triangle count of an undirected graph via DEGREE-ORDERED
+    * orientation (the scalable formulation): orient every undirected
+    * edge from its lower to its higher endpoint in the (degree, id)
+    * total order, enumerate wedges only at each edge's lower endpoint,
+    * and close them against the oriented edge list. Every triangle is
+    * counted exactly once (the orientation is acyclic), and wedge
+    * fan-out is bounded by each node's ORIENTED out-degree — O(√m) on
+    * any graph, so a celebrity hub with 10⁶ neighbors generates no
+    * 10¹²-wedge explosion (the naive u-centered wedge join does).
+    *
+    * Shape: two joins on node keys (degree attach), one self-equi-join
+    * on the wedge pivot, one closing equi-join on (v, w); all
+    * counting, no floats.
+    *
+    * @param edges symmetrized directed (src, dst) rows (both
+    *              directions per undirected edge, as [[pageRankInt]])
+    * @return one row: n_triangles BIGINT */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg, "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("ddst")),
+        "dst")
+      .filter(struct(col("deg"), col("src")) <
+        struct(col("ddst"), col("dst")))
+      .select(col("src"), col("dst"), col("ddst"))
+    val wedges = oriented.as("a")
+      .join(oriented.as("b"), col("a.src") === col("b.src"))
+      .filter(struct(col("a.ddst"), col("a.dst")) <
+        struct(col("b.ddst"), col("b.dst")))
+      .select(col("a.dst").as("v"), col("b.dst").as("w"))
+    wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Undirected degree profile of an edge list: per node, its degree;
     * isolated nodes included with degree 0 (the companion query for
     * spotting hub documents before they flood a near-dup pass). */

@@ -122,6 +122,73 @@ object TextAnalysis {
       bpeTokens(col(textCol)).as("bpe_tokens"))
   }
 
+  /** Inverted-index postings — the search/retrieval build step: one
+    * row per (term, document) with the term frequency and the first
+    * occurrence position (1-based). Pure explode + map-side-combined
+    * groupBy((word, id)); the posting frame is the only shuffle and it
+    * is the index being built — nothing smaller exists to ship.
+    *
+    * Output: (word, id, tf BIGINT, first_pos BIGINT). */
+  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(words(col(textCol))).as(Seq("pos", "word")))
+      .groupBy(col("word"), col("id"))
+      .agg(count(lit(1)).as("tf"),
+        (min(col("pos")) + 1).cast("long").as("first_pos"))
+
+  /** BM25 top-k retrieval for a fixed term set (Okapi BM25,
+    * k1 = 1.2, b = 0.75, the ln(1 + (N−df+0.5)/(df+0.5)) idf): score
+    * every document containing a query term, return the k best by
+    * (rounded score, id).
+    *
+    * Determinism discipline: the per-document score sums its ≤|terms|
+    * term scores in the FIXED order of `terms` (one coalesced pivot
+    * column per term, folded left) — never a sum() whose accumulation
+    * order is partitioning-dependent — and every engine-side IEEE op
+    * mirrors the oracle SQL's operand order, so the only cross-engine
+    * wiggle is the last ulp of ln(), absorbed by round(score, 4).
+    *
+    * Scale shape: the token stream is FILTERED to the query terms
+    * before any shuffle (tf is a map-side-combined groupBy over query
+    * hits only); df and the (N, Σdl) scalars are broadcast; the doc
+    * length join is keyed on the id. Final top-k is
+    * TakeOrderedAndProject (per-partition heads, no global sort).
+    *
+    * Output: (doc_id, score DOUBLE rounded 4) — k rows. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      s"terms must be non-empty and distinct: $terms")
+    val base = df.select(col(idCol).as("id"),
+      words(col(textCol)).as("w"))
+    val dl = base.select(col("id"), size(col("w")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tok = base.select(col("id"), explode(col("w")).as("word"))
+      .filter(col("word").isin(terms: _*))
+    val tf = tok.groupBy(col("id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tok.groupBy(col("word"))
+      .agg(countDistinct(col("id")).as("dft"))
+    val scored = tf.join(broadcast(dft), "word").join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("word"),
+        (log(lit(1.0) +
+          (col("n_docs") - col("dft") + lit(0.5)) /
+            (col("dft") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") /
+              (col("sum_dl") / col("n_docs"))))).as("s"))
+    scored.groupBy(col("id"))
+      .agg(terms.map(t =>
+          coalesce(max(when(col("word") === t, col("s"))), lit(0.0)))
+        .reduce(_ + _).as("raw"))
+      .select(col("id").as("doc_id"), round(col("raw"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Document fingerprints: content hash, 64-bit prefix, and an
     * order-independent bag-of-words hash (md5 of the sorted word list) —
     * catches word-order-shuffled duplicates. */

@@ -291,6 +291,26 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("rank_u")),
       Some(pageRankOracle(3))),
 
+    // exact triangle count via degree-ordered orientation — the
+    // clustering-density companion to degrees/pagerank (a template
+    // flood shows up as a dense triangle-rich blob; organic near-dups
+    // are triangle-sparse). Wedges enumerate only at each edge's
+    // lower (degree, id) endpoint, so hub fan-out stays bounded.
+    "graph_triangles" -> QueryDef(
+      (s, dir) => Graph.triangleCount(lshEdges(s, dir)),
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
+        $CandCte, $EdgeCte,
+        deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        o AS (SELECT e.src, e.dst, dd.deg AS ddst FROM e
+          JOIN deg ds ON e.src = ds.src JOIN deg dd ON e.dst = dd.src
+          WHERE (ds.deg, e.src) < (dd.deg, e.dst)),
+        wd AS (SELECT a.dst AS v, b.dst AS w FROM o a
+          JOIN o b ON a.src = b.src
+          WHERE (a.ddst, a.dst) < (b.ddst, b.dst))
+        SELECT count(*)::BIGINT AS n_triangles FROM wd
+        JOIN o ON o.src = wd.v AND o.dst = wd.w"""
+        .replaceAll("\\s+", " "))),
+
     // exact n-gram Jaccard over LSH candidate pairs — the scale path:
     // candidates from banded MinHash-LSH, shingle-intersection counted
     // per candidate pair only (never the all-pairs co-shingle self-join,
@@ -1010,6 +1030,53 @@ object PipelineQueries {
         SELECT row_number() OVER (ORDER BY n DESC, word)::BIGINT AS rank,
           word, n, 0::BIGINT AS err
         FROM c ORDER BY n DESC, word LIMIT 10"""
+        .replaceAll("\\s+", " "))),
+
+    // inverted-index postings — the retrieval build step: one row per
+    // (term, doc) with tf and the 1-based first position. DuckDB's
+    // zipped unnest(generate_series) supplies the oracle positions.
+    "text_postings" -> QueryDef(
+      (s, dir) => TextAnalysis.postings(docs(s, dir), "doc_id", "text"),
+      Some(s"""WITH $WordsCte,
+        p AS (SELECT doc_id, unnest(w) AS word,
+          unnest(generate_series(1, len(w))) AS pos FROM words)
+        SELECT word, doc_id AS id, count(*)::BIGINT AS tf,
+          min(pos)::BIGINT AS first_pos FROM p GROUP BY 1, 2"""
+        .replaceAll("\\s+", " "))),
+
+    // Okapi BM25 top-k for a fixed query — retrieval scoring over the
+    // postings shapes: token stream filtered to query terms BEFORE
+    // any shuffle, df/corpus scalars broadcast, per-doc score summed
+    // in fixed term order (pivot columns, not sum()) so the only
+    // cross-engine wiggle is ln()'s last ulp, absorbed by round(4).
+    "text_bm25_topk" -> QueryDef(
+      (s, dir) => TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window"), k = 20),
+      Some(s"""WITH $WordsCte,
+        dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM words),
+        st AS (SELECT count(*)::BIGINT AS n_docs,
+          sum(dl)::BIGINT AS sum_dl FROM dl),
+        tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+        tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM tok
+          WHERE word IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        dft AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS dft
+          FROM tok WHERE word IN ('spark', 'join', 'window')
+          GROUP BY 1),
+        sc AS (SELECT tf.doc_id, tf.word,
+          ln(1.0 + (st.n_docs - dft.dft + 0.5) / (dft.dft + 0.5)) *
+            (tf.tf * 2.2) /
+            (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+              (st.sum_dl / st.n_docs))) AS s
+          FROM tf JOIN dft USING (word) JOIN dl USING (doc_id)
+          CROSS JOIN st),
+        ag AS (SELECT doc_id,
+            coalesce(max(CASE WHEN word = 'spark' THEN s END), 0)
+          + coalesce(max(CASE WHEN word = 'join' THEN s END), 0)
+          + coalesce(max(CASE WHEN word = 'window' THEN s END), 0)
+            AS raw
+          FROM sc GROUP BY 1)
+        SELECT doc_id, round(raw, 4) AS score FROM ag
+        ORDER BY score DESC, doc_id LIMIT 20"""
         .replaceAll("\\s+", " "))),
 
     // Zipf rank–frequency slope — the corpus-health profile (natural

@@ -50,6 +50,25 @@ class GraphSpec extends AnyFunSuite {
     assert(top === Set(1L, 3L))
   }
 
+  test("triangleCount: hand-built graphs — one triangle with a tail, " +
+    "two triangles sharing an edge, a star with none") {
+    def count(undirected: Seq[(Long, Long)]): Long = {
+      val (_, e) = frames(undirected, undirected.flatMap(p =>
+        Seq(p._1, p._2)).distinct)
+      Graph.triangleCount(e).collect().head.getLong(0)
+    }
+    // triangle 1-2-3 plus tail 3-4
+    assert(count(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))) === 1L)
+    // triangles 1-2-3 and 2-3-4 share edge 2-3
+    assert(count(Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L),
+      (3L, 4L))) === 2L)
+    // star: hub 1 with 4 leaves — wedges everywhere, no closures
+    assert(count(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) === 0L)
+    // K4: C(4,3) = 4 triangles, each counted once despite symmetry
+    assert(count(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))) === 4L)
+  }
+
   test("degrees: isolated nodes report 0; degree counts the " +
     "symmetrized neighbor set") {
     val (nodes, edges) = frames(Seq((1L, 2L), (2L, 3L)), Seq(1L, 2L, 3L, 9L))

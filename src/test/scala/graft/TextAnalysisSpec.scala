@@ -302,4 +302,46 @@ class TextAnalysisSpec extends AnyFunSuite {
       .split("== Initial Plan ==")(0)
     assert(!p.contains("Exchange"), p.take(2000))
   }
+
+  test("postings: tf counts repeats, first_pos is the 1-based first " +
+    "occurrence") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "b a b c"), (2L, "c c")).toDF("doc_id", "text")
+    val out = TextAnalysis.postings(docs, "doc_id", "text")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      ("b", 1L) -> ((2L, 1L)), ("a", 1L) -> ((1L, 2L)),
+      ("c", 1L) -> ((1L, 4L)), ("c", 2L) -> ((2L, 1L))))
+  }
+
+  test("bm25TopK: hand-computed scores on a 3-doc corpus; repeated " +
+    "query terms raise tf saturating per BM25; ranking deterministic " +
+    "across partitioning") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x x y"),       // both terms, tf(x)=2
+      (2L, "x z z"),       // one term
+      (3L, "z z z")        // no query terms — never scored
+    ).toDF("doc_id", "text")
+    // N=3, Σdl=9, avgdl=3; df(x)=2, df(y)=1
+    def idf(dft: Double) = math.log(1.0 + (3 - dft + 0.5) / (dft + 0.5))
+    def ts(tf: Long, dft: Double, dl: Long) =
+      idf(dft) * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * dl / (9.0 / 3)))
+    def r4(d: Double) =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Map(
+      1L -> r4(ts(2, 2, 3) + ts(1, 1, 3)),
+      2L -> r4(ts(1, 2, 3)))
+    val out = TextAnalysis.bm25TopK(docs.repartition(3), "doc_id",
+        "text", Seq("x", "y"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.toMap === expected)
+    // doc 1 (more matches) ranks first; doc 3 absent
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))
+  }
 }
