@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   * REAL (`decodeImageMeta`: JDK-built-in `javax.imageio`, PNG/JPEG/GIF/
   * BMP width/height/channels/format, header-only — no pixel decode, no
   * new dependencies); `encodePng` is a real JDK PNG encoder used to
-  * plant decodable fixtures. The remaining codec steps (pixel-level
-  * feature extraction, audio/video decode — libraries absent from this
-  * container) stay STUBS: `decodeStub` produces deterministic fake
+  * plant decodable fixtures. AUDIO decode is REAL too (`wavStats`:
+  * JDK-built-in `javax.sound.sampled`, WAV/RIFF container + 16-bit PCM
+  * frames, with `synthWavAssets` planting genuine WAV fixtures). The
+  * remaining codec steps (pixel-level feature extraction, video
+  * decode — libraries absent from this container) stay STUBS:
+  * `decodeStub` produces deterministic fake
   * features derived from the bytes, clearly marked, with the exact
   * signature a real decoder (e.g. a `mapInPandas`/`mapInArrow` Python
   * worker or a JNI codec) would slot into.
@@ -342,6 +345,106 @@ object Multimodal {
         // null-propagating `||`
         md5(concat(md5(col("payload")), lit("#"), lit(maxSide.toString)))
           .as("resized_tag"))
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL audio decode (JDK `javax.sound.sampled` — WAV/RIFF container +
+  // PCM, no new dependencies; the same planted-fixture discipline as the
+  // PNG path: synthesize genuine WAV bytes from an arithmetic sample
+  // recipe, decode them for real, and let the oracle recompute the
+  // aggregates from the recipe — a header-faking engine cannot match).
+  // ---------------------------------------------------------------------
+
+  private val WavRate = 8000f
+
+  /** REAL WAV encoder: 16-bit signed little-endian mono PCM frames
+    * s(i) = ((id·31 + i·7) mod 2003) − 1001, wrapped in a genuine RIFF
+    * container by `AudioSystem.write`. Frame counts clamped ≥1. */
+  private val encodeWavUdf = udf { (id: Long, nFrames: Int) =>
+    val n = math.max(nFrames, 1)
+    val bytes = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 31 + i.toLong * 7) % 2003) - 1001).toInt
+      bytes(2 * i) = (s & 0xFF).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(WavRate, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize real WAV assets (one per input row) with the given
+    * per-row frame counts — the audio twin of [[synthPngAssets]].
+    * Output follows `assetSchema` (+ codec = "wav", duration in ms). */
+  def synthWavAssets(df: DataFrame, idCol: String,
+      framesCol: Column): DataFrame = {
+    val id = col(idCol).cast(LongType)
+    val frames = framesCol.cast(IntegerType)
+    df.select(
+      coalesce(id, xxhash64(col(idCol)).bitwiseAND(lit(Long.MaxValue)))
+        .as("asset_id"),
+      lit("audio").as("media_type"),
+      encodeWavUdf(coalesce(id, lit(0L)), frames).as("payload"),
+      struct(
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        (frames.cast(LongType) * 1000L / WavRate.toLong)
+          .as("duration_ms"),
+        lit("wav").as("codec")).as("meta"))
+  }
+
+  /** Decoded per-asset audio statistics over REAL decoded PCM frames:
+    * sample rate, frame count, exact Long sample sum, energy (Σ s²)
+    * and peak (max |s|) — the loudness/clipping profile an audio
+    * curation pass gates on. Payloads that are not decodable 16-bit
+    * PCM WAV are dropped (quarantine-filter convention). Decode is a
+    * UDF by necessity (a byte-level container+PCM codec has no
+    * Column-function form — same justification as the image family);
+    * each payload is decoded once, row-locally, and never shuffles. */
+  def wavStats(assets: DataFrame): DataFrame = {
+    val statsUdf = udf { (payload: Array[Byte]) =>
+      if (payload == null) None
+      else try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian ||
+          fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          var i = 0
+          var sum = 0L
+          var energy = 0L
+          var peak = 0L
+          while (i < n) {
+            val s = ((pcm(2 * i) & 0xFF) |
+              (pcm(2 * i + 1).toInt << 8)).toShort.toLong
+            sum += s
+            energy += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            i += 1
+          }
+          Some((fmt.getSampleRate.toLong, n.toLong, sum, energy, peak))
+        }
+      } catch { case NonFatal(_) => None }
+    }
+    assets
+      .select(col("asset_id"), statsUdf(col("payload")).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("asset_id"),
+        col("st._1").as("sample_rate"), col("st._2").as("n_frames"),
+        col("st._3").as("sum_s"), col("st._4").as("energy"),
+        col("st._5").as("peak"))
   }
 
   /** STUB frame sampling plumbing: emit `n` (asset_id, frame_no) rows per

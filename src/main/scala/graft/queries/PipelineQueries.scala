@@ -1862,6 +1862,26 @@ object PipelineQueries {
     // the same integer sample points, so any decode/sampling drift
     // hash-mismatches. The engine side must round-trip genuine PNG
     // bytes for this row to stay green.
+    // REAL audio decode: plant genuine WAV containers (16-bit mono PCM
+    // with frames s(i) = ((id·31 + i·7) mod 2003) − 1001), decode them
+    // through javax.sound.sampled, and aggregate the REAL decoded
+    // samples; the oracle recomputes the aggregates from the recipe —
+    // an engine that fakes the header or mis-parses PCM byte order
+    // cannot match sum/energy/peak.
+    "mm_wav_stats" -> QueryDef(
+      (s, dir) => Multimodal.wavStats(Multimodal.synthWavAssets(
+        docs(s, dir), "doc_id", lit(50) + pmod(col("doc_id"), lit(37)))),
+      Some("""WITH g AS (SELECT doc_id, 50 + doc_id % 37 AS n
+          FROM documents),
+        e AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+          FROM g),
+        sm AS (SELECT doc_id, n,
+          ((doc_id * 31 + i * 7) % 2003) - 1001 AS s FROM e)
+        SELECT doc_id AS asset_id, 8000::BIGINT AS sample_rate,
+          max(n)::BIGINT AS n_frames, sum(s)::BIGINT AS sum_s,
+          sum(s * s)::BIGINT AS energy, max(abs(s))::BIGINT AS peak
+        FROM sm GROUP BY 1""".replaceAll("\\s+", " "))),
+
     "mm_phash" -> QueryDef(
       (s, dir) => Multimodal.perceptualHash(Multimodal.synthPngAssets(
         docs(s, dir), "doc_id",

@@ -116,4 +116,33 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getString(5) === "png")
     }
   }
+
+  test("wavStats: REAL WAV round-trip — decoded PCM aggregates equal " +
+    "the hand-computed sample recipe; corrupt and non-WAV payloads " +
+    "are dropped") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(3L, 10L)
+    val assets = Multimodal.synthWavAssets(
+      ids.toDF("doc_id"), "doc_id", lit(5))
+    // the payload is a genuine RIFF container, not raw PCM
+    val payload = assets.filter(col("asset_id") === 3L)
+      .select(col("payload")).collect().head.getAs[Array[Byte]](0)
+    assert(new String(payload.take(4), "US-ASCII") === "RIFF")
+    val out = Multimodal.wavStats(assets).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    ids.foreach { id =>
+      val samples = (0 until 5).map(i => ((id * 31 + i * 7) % 2003) - 1001)
+      assert(out(id) === ((8000L, 5L, samples.sum,
+        samples.map(v => v * v).sum, samples.map(math.abs).max)),
+        s"id=$id")
+    }
+    // corrupt/alien payloads: quarantine-dropped, never a wrong row
+    val junk = Seq(
+      (100L, "audio", Array[Byte](1, 2, 3)),
+      (101L, "audio", null.asInstanceOf[Array[Byte]]))
+      .toDF("asset_id", "media_type", "payload")
+    assert(Multimodal.wavStats(junk).count() === 0L)
+  }
 }
