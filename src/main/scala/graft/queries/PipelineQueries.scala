@@ -1032,6 +1032,71 @@ object PipelineQueries {
         FROM c ORDER BY n DESC, word LIMIT 10"""
         .replaceAll("\\s+", " "))),
 
+    // leakage-safe split: hash the duplicate-CLUSTER label, not the
+    // doc id, so every member of a near-dup cluster lands in the SAME
+    // train/validation/test split — the doc-id split (pipeline_split)
+    // leaks near-duplicates of training docs into validation, the
+    // classic eval-inflation failure. Shares the recursive cluster
+    // oracle CTEs and the basis-point splitBucket convention, so
+    // neither the clustering nor the split can drift from their
+    // stand-alone queries.
+    "pipeline_leakage_safe_split" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sig = Dedup.minhashSignatures(d, "doc_id", "text",
+          MinhashK, ShingleLen)
+        val cand =
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+        val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
+          JaccardThreshold, candidates = Some(cand))
+          .select(col("id_a"), col("id_b"))
+        Dedup.dupClusters(d, "doc_id", pairs, shortcut = false)
+          .withColumn("bucket", splitBucket(col("cluster")))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "validation")
+              .otherwise("test"))
+      },
+      Some(s"""WITH RECURSIVE $ClusterReachCtes,
+        cl AS (SELECT id, min(label)::BIGINT AS cluster FROM reach
+          GROUP BY id)
+        SELECT id, cluster,
+          ('0x'||substr(md5(cluster::VARCHAR),1,15))::BIGINT % 100
+            AS bucket,
+          CASE WHEN ('0x'||substr(md5(cluster::VARCHAR),1,15))::BIGINT
+                 % 100 < 80 THEN 'train'
+               WHEN ('0x'||substr(md5(cluster::VARCHAR),1,15))::BIGINT
+                 % 100 < 90 THEN 'validation'
+               ELSE 'test' END AS split
+        FROM cl""".replaceAll("\\s+", " "))),
+
+    // per-source n-gram diversity — distinct bigrams over total
+    // bigrams in exact basis points: the Self-BLEU-style repetition
+    // gauge per corpus source (a template-farm source scores low).
+    // One explode + two map-side-combined aggregates.
+    "text_diversity" -> QueryDef(
+      (s, dir) => docs(s, dir)
+        .select(col("source"),
+          explode(Dedup.shingles(col("text"), 2)).as("g"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("g")).as("uniq_bigrams"),
+          count(lit(1)).as("total_bigrams"))
+        .select(col("source"), col("uniq_bigrams"),
+          col("total_bigrams"),
+          expr("(uniq_bigrams * 10000) div total_bigrams")
+            .as("diversity_bp")),
+      Some("""WITH ws AS (SELECT source, string_split(text, ' ') AS w
+          FROM documents),
+        sh AS (SELECT source, unnest(list_transform(
+          generate_series(1, len(w) - 1), i -> w[i]||' '||w[i+1])) AS g
+          FROM ws),
+        a AS (SELECT source, count(DISTINCT g)::BIGINT AS uniq_bigrams,
+          count(*)::BIGINT AS total_bigrams FROM sh GROUP BY 1)
+        SELECT source, uniq_bigrams, total_bigrams,
+          ((uniq_bigrams * 10000) // total_bigrams)::BIGINT
+            AS diversity_bp
+        FROM a""".replaceAll("\\s+", " "))),
+
     // inverted-index postings — the retrieval build step: one row per
     // (term, doc) with tf and the 1-based first position. DuckDB's
     // zipped unnest(generate_series) supplies the oracle positions.

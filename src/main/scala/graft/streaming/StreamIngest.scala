@@ -150,6 +150,56 @@ object StreamIngest {
       .drop("time")
   }
 
+  /** Continuous first-order path transitions — the streaming face of
+    * [[graft.operators.Behavior.pathTransitions]]: the batch
+    * lag-over-window becomes last-event-per-key state, the SMALLEST
+    * possible stateful footprint (one (time_ns, tie, type) triple per
+    * key — O(key-cardinality) total at any stream length). Each
+    * arriving event emits its (from_type, to_type) adjacency row;
+    * the count/share rollup is the same bounded-domain groupBy the
+    * batch operator runs, applied to the emitted pair stream
+    * downstream. Events fold in (time_ns, tie) order WITHIN each
+    * micro-batch; cross-batch ordering is the source's arrival order
+    * (the in-order-per-key contract of anomalyStream /
+    * holtWintersStream — the spec's differential crosses micro-batch
+    * boundaries to pin state continuity). */
+  def transitionsStream(
+      typed: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tieCol: String): DataFrame = {
+    val spark = typed.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState,
+      GroupStateTimeout, OutputMode}
+    typed
+      .where(col(keyCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col("time_ns").cast("long"),
+        col(tieCol).cast("long").as("tie"),
+        col(typeCol).cast("string").as("typ"))
+      .as[(String, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String),
+          (String, String, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Long, String)],
+         state: GroupState[(Long, Long, String)]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[(String, String, String, Long)]
+          it.toSeq.sortBy(p => (p._2, p._3)).foreach {
+            case (_, ts, tie, typ) =>
+              last.foreach { case (_, _, prev) =>
+                out += ((key, prev, typ, ts))
+              }
+              last = Some((ts, tie, typ))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("key", "from_type", "to_type", "time_ns")
+  }
+
   /** Stream-stream interval join: each point paired with the alerts of
     * the same series whose event time precedes it by at most
     * `joinWindow` — the continuous form of TemporalJoin.rangeJoin's

@@ -376,4 +376,50 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(!got(("h1", minuteNs(14L)))._3)
     assert(h2.forall(p => !got(("h2", minuteNs(p._1)))._3))
   }
+
+  test("streaming path transitions match the batch operator's " +
+    "adjacency pairs across micro-batch boundaries (last-event state " +
+    "carried); rollup of the pair stream equals batch counts") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_tr_in").toString
+    val out = Files.createTempDirectory("graft_tr_out").toString
+    val ckpt = Files.createTempDirectory("graft_tr_ck").toString
+    // u1's a→b boundary-straddling chain; u2's single cross-batch pair
+    val pts = Seq(("u1", 1L, "a"), ("u1", 2L, "b"), ("u2", 1L, "x"),
+      ("u1", 3L, "a"), ("u1", 4L, "c"), ("u2", 5L, "y"))
+    def lp(u: String, m: Long, t: String) =
+      s"m,host=$u,et=$t v=1 ${minuteNs(m)}"
+    writeBatch(in, "b0.lp", pts.take(3).map(p => lp(p._1, p._2, p._3)))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host", "et"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val tr = StreamIngest.transitionsStream(typed, "tag_host",
+      "tag_et", "time_ns")
+    val q = StreamIngest.toParquet(tr, out, ckpt)
+    try {
+      q.processAllAvailable()
+      writeBatch(in, "b1.lp", pts.drop(3).map(p => lp(p._1, p._2, p._3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[String]("from_type"),
+        r.getAs[String]("to_type"), r.getAs[Long]("time_ns")))
+      .toSet
+    // exact adjacency differential (stronger than count parity): each
+    // pair stamped at its destination event's time
+    assert(got === Set(
+      ("u1", "a", "b", minuteNs(2)), ("u1", "b", "a", minuteNs(3)),
+      ("u1", "a", "c", minuteNs(4)), ("u2", "x", "y", minuteNs(5))))
+    // and the bounded-domain rollup equals the batch operator's counts
+    val batchCounts = graft.operators.Behavior.pathTransitions(
+        pts.zipWithIndex.map { case ((u, m, t), i) =>
+          (i.toLong, minuteNs(m), u, t) }
+          .toDF("event_id", "ts", "user_id", "event_type"),
+        "user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val streamCounts = got.toSeq.groupBy(p => (p._2, p._3))
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(streamCounts === batchCounts)
+  }
 }
