@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
@@ -394,6 +397,74 @@ object RelationalQueries {
         ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
         WHERE rn <= 3""".replaceAll("\\s+", " "))),
 
+    // full-outer join with non-matching rows on BOTH sides (building
+    // customers without 'F' orders; 'F' orders of other segments) —
+    // the join-type matrix's last cell, null-extended on each side.
+    "join_full_outer" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_mktsegment"), col("n_orders"))
+      },
+      Some("""SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+          c.c_mktsegment, o.n_orders
+        FROM (SELECT c_custkey, c_mktsegment FROM customer
+          WHERE c_mktsegment = 'BUILDING') c
+        FULL JOIN (SELECT o_custkey, count(*)::BIGINT AS n_orders
+          FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) o
+        ON c.c_custkey = o.o_custkey""".replaceAll("\\s+", " "))),
+
+    // GROUPING SETS beyond rollup/cube: two independent groupings in
+    // one pass (per-returnflag and per-linestatus totals), plus
+    // GROUPING() markers so all-null data rows can't masquerade as
+    // subtotal rows.
+    "agg_grouping_sets" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("cast(sum(l_quantity) as bigint)").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls")),
+      Some("""SELECT l_returnflag, l_linestatus,
+          sum(l_quantity)::BIGINT AS sum_qty, count(*)::BIGINT AS n,
+          grouping(l_returnflag)::BIGINT AS g_rf,
+          grouping(l_linestatus)::BIGINT AS g_ls
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+        .replaceAll("\\s+", " "))),
+
+    // time-RANGE window frame: per-user trailing-10-minute rolling
+    // count/sum at µs grain — the value-range frame (peers by time
+    // distance, not row position) that rows-frames can't express.
+    "win_range_time" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+          .rangeBetween(-600000000L, 0L)
+        ev(s, dir)
+          .select(col("user_id"), expr("ts div 1000").as("t_us"),
+            col("value"))
+          .select(col("user_id"), col("t_us"),
+            count(lit(1)).over(w).as("roll_n"),
+            round(sum(col("value")).over(w), 4).as("roll_sum"))
+      },
+      Some("""SELECT user_id, epoch_us(ts) AS t_us,
+          count(*) OVER w AS roll_n,
+          round(sum(value) OVER w, 4) AS roll_sum
+        FROM events WINDOW w AS (PARTITION BY user_id
+          ORDER BY epoch_us(ts)
+          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)"""
+        .replaceAll("\\s+", " "))),
+
     // rank-distribution window family: ntile / cume_dist /
     // percent_rank per group. The ORDER BY includes the unique key so
     // the total order is deterministic (ntile splits ties by row
@@ -530,6 +601,35 @@ object RelationalQueries {
       Some("""SELECT c_custkey AS custkey FROM customer
         EXCEPT SELECT o_custkey AS custkey FROM orders
         WHERE o_orderstatus='O'""".replaceAll("\\s+", " "))),
+
+    // multiset set ops: EXCEPT ALL / INTERSECT ALL keep multiplicity
+    // (the bag semantics the distinct forms above erase) — except-all
+    // yields each key with (left − right) occurrences, intersect-all
+    // with min(left, right).
+    "setop_except_all" -> QueryDef(
+      (s, dir) => t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        .exceptAll(t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+        .groupBy(col("custkey")).agg(count(lit(1)).as("n")),
+      Some("""SELECT custkey, count(*)::BIGINT AS n FROM (
+          SELECT o_custkey AS custkey FROM orders
+          EXCEPT ALL
+          SELECT o_custkey AS custkey FROM orders
+          WHERE o_orderstatus = 'F')
+        GROUP BY 1""".replaceAll("\\s+", " "))),
+
+    "setop_intersect_all" -> QueryDef(
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nkey"))
+        .intersectAll(t(s, dir, "supplier")
+          .select(col("s_nationkey").cast("long").as("nkey")))
+        .groupBy(col("nkey")).agg(count(lit(1)).as("n")),
+      Some("""SELECT nkey, count(*)::BIGINT AS n FROM (
+          SELECT c_nationkey::BIGINT AS nkey FROM customer
+          INTERSECT ALL
+          SELECT s_nationkey::BIGINT AS nkey FROM supplier)
+        GROUP BY 1""".replaceAll("\\s+", " "))),
 
     "setop_intersect" -> QueryDef(
       (s, dir) => t(s, dir, "customer")
