@@ -124,6 +124,57 @@ object RelationalQueries {
         JOIN region ON n_regionkey=r_regionkey
         WHERE r_name='ASIA' GROUP BY n_name""".replaceAll("\\s+", " "))),
 
+    // Q10-style: returned-item revenue per customer, top 20 — the
+    // join-heavy/top-k composite (lineitem⋈orders⋈customer⋈nation with
+    // a selective returnflag filter pushed to the fact scan, broadcast
+    // dim, TakeOrderedAndProject finish). Revenue rounded, ties broken
+    // by custkey.
+    "q10_returned_revenue" -> QueryDef(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(round(sum(col("l_extendedprice") *
+            (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey LIMIT 20"""
+        .replaceAll("\\s+", " "))),
+
+    // join-key skew diagnosis — the pre-flight a 100 TB join runs
+    // BEFORE choosing salting/AQE strategy: per-key frequency profile
+    // reduced to exact integers (key count, row count, hottest key's
+    // share in basis points). One map-side-combined groupBy; the
+    // profile aggregate runs on the key-cardinality frame.
+    "stats_key_skew" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_n"))
+        .select(col("n_keys"), col("n_rows"), col("max_n"),
+          expr("(max_n * 10000) div n_rows").as("hot_bp"),
+          expr("(n_rows + n_keys - 1) div n_keys").as("avg_ceil")),
+      Some("""WITH k AS (SELECT o_custkey, count(*)::BIGINT AS n
+          FROM orders GROUP BY 1)
+        SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
+          max(n)::BIGINT AS max_n,
+          ((max(n) * 10000) // sum(n))::BIGINT AS hot_bp,
+          ((sum(n) + count(*) - 1) // count(*))::BIGINT AS avg_ceil
+        FROM k""".replaceAll("\\s+", " "))),
+
     // Q6-style: pushed-down filter + single-row aggregate.
     "q6_filtered_revenue" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
