@@ -1753,6 +1753,80 @@ object PipelineQueries {
           FROM embeddings)
         GROUP BY label, i""".replaceAll("\\s+", " "))),
 
+    // embedding drift: squared L2 distance between per-label centroids
+    // of two deterministic cohorts (vec_id parity — in production, two
+    // snapshot dates) — the distribution-shift monitor a training
+    // pipeline runs before mixing a new crawl into an old corpus.
+    // Determinism: per-dim means are rounded to 6 (the
+    // emb_label_centroids convention) BEFORE the distance, so the
+    // distance arithmetic runs on hash-identical inputs; the 64-term
+    // distance sum is itself rounded. Everything past the one
+    // posexplode groupBy runs on the labels×dims frame.
+    "emb_drift" -> QueryDef(
+      (s, dir) => emb(s, dir)
+        .select(col("label"), pmod(col("vec_id"), lit(2)).as("cohort"),
+          posexplode(col("embedding")))
+        .groupBy(col("label"), col("cohort"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("m"))
+        .groupBy(col("label"), col("pos"))
+        .agg(max(when(col("cohort") === 0, col("m"))).as("m0"),
+          max(when(col("cohort") === 1, col("m"))).as("m1"))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_dims"),
+          round(sum((col("m0") - col("m1")) * (col("m0") - col("m1"))),
+            6).as("drift2")),
+      Some("""WITH b AS (SELECT label, vec_id % 2 AS cohort,
+          unnest(embedding) AS x,
+          unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings),
+        c AS (SELECT label, cohort, i, round(avg(x), 6) AS m
+          FROM b GROUP BY 1, 2, 3),
+        p AS (SELECT label, i,
+          max(CASE WHEN cohort = 0 THEN m END) AS m0,
+          max(CASE WHEN cohort = 1 THEN m END) AS m1
+          FROM c GROUP BY 1, 2)
+        SELECT label::BIGINT AS label, count(*)::BIGINT AS n_dims,
+          round(sum((m0 - m1) * (m0 - m1)), 6) AS drift2
+        FROM p GROUP BY 1""".replaceAll("\\s+", " "))),
+
+    // per-source duplicate-rate report — the observability rollup of
+    // the clustering chain: which sources flood the corpus with
+    // near-dups (a crawl-quality dashboard's first panel). Shares the
+    // recursive cluster oracle; rates in exact basis points.
+    "pipeline_dedup_report" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sig = Dedup.minhashSignatures(d, "doc_id", "text",
+          MinhashK, ShingleLen)
+        val cand =
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+        val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
+          JaccardThreshold, candidates = Some(cand))
+          .select(col("id_a"), col("id_b"))
+        val cl = Dedup.dupClusters(d, "doc_id", pairs, shortcut = false)
+        val sizes = cl.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("sz"))
+        d.select(col("doc_id").as("id"), col("source"))
+          .join(cl, "id").join(sizes, "cluster")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("source"), col("n_docs"), col("n_dup"),
+            expr("(n_dup * 10000) div n_docs").as("dup_bp"))
+      },
+      Some(s"""WITH RECURSIVE $ClusterReachCtes,
+        cl AS (SELECT id, min(label)::BIGINT AS cluster FROM reach
+          GROUP BY id),
+        cs AS (SELECT cluster, count(*)::BIGINT AS sz FROM cl
+          GROUP BY 1)
+        SELECT d.source, count(*)::BIGINT AS n_docs,
+          sum(CASE WHEN cs.sz > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+          ((sum(CASE WHEN cs.sz > 1 THEN 1 ELSE 0 END) * 10000)
+            // count(*))::BIGINT AS dup_bp
+        FROM documents d JOIN cl ON d.doc_id = cl.id
+        JOIN cs ON cl.cluster = cs.cluster
+        GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // per-vector symmetric int8 quantization (the float32→int8 storage
     // step before ANN serving): codes, scale, and per-element error all
     // in EXACT integer space (micro-units → sign-split half-up integer
