@@ -3,6 +3,8 @@ package graft.queries
 import graft.operators.Behavior
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Event-behavior analytics registry entries (funnel / path
   * transitions / cohort retention — `operators.Behavior`), each
@@ -66,6 +68,63 @@ object BehaviorQueries {
             ((n * 10000) // (sum(n) OVER (PARTITION BY from_type)))
               ::BIGINT AS prob_bp
           FROM p""".replaceAll("\\s+", " "))),
+
+    // Session-scoped funnel: the same min-time chaining, but a
+    // conversion must complete WITHIN one 30-minute-gap session (the
+    // product question "does a visit convert", vs behavior_funnel's
+    // "does a user ever convert"). Composition: the win_sessionize
+    // session labeling feeds Behavior.funnel keyed on the
+    // (user, session) composite — operators compose instead of
+    // growing a bespoke variant.
+    "behavior_session_funnel" -> QueryDef(
+      (s, dir) => {
+        val gapUs = 30L * 60L * 1000000L
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"))
+        val sess = ev(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("brk",
+            when(col("prev_ts").isNull ||
+              expr("ts div 1000") - expr("prev_ts div 1000") > gapUs,
+              1L).otherwise(0L))
+          .withColumn("session_no", sum(col("brk")).over(byUser))
+          .withColumn("skey",
+            concat_ws("#", col("user_id"), col("session_no")))
+        Behavior.funnel(sess, "skey", "ts", "event_type", FunnelStages)
+          .select(col("stage"), col("stage_name"),
+            col("n_users").as("n_sessions"))
+      },
+      Some(s"""WITH x AS (SELECT user_id, ts, event_type,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events),
+          b AS (SELECT user_id, ts, event_type,
+            CASE WHEN prev_ts IS NULL OR
+              epoch_us(ts) - epoch_us(prev_ts) > ${30L * 60 * 1000000L}
+            THEN 1 ELSE 0 END AS brk FROM x),
+          sn AS (SELECT user_id, ts, event_type,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS session_no FROM b),
+          r1 AS (SELECT user_id, session_no, min(ts) AS t FROM sn
+            WHERE event_type = 'signup' GROUP BY 1, 2),
+          r2 AS (SELECT e.user_id, e.session_no, min(e.ts) AS t
+            FROM sn e JOIN r1 ON e.user_id = r1.user_id
+              AND e.session_no = r1.session_no
+            WHERE e.event_type = 'view' AND e.ts > r1.t GROUP BY 1, 2),
+          r3 AS (SELECT e.user_id, e.session_no, min(e.ts) AS t
+            FROM sn e JOIN r2 ON e.user_id = r2.user_id
+              AND e.session_no = r2.session_no
+            WHERE e.event_type = 'click' AND e.ts > r2.t GROUP BY 1, 2),
+          r4 AS (SELECT e.user_id, e.session_no, min(e.ts) AS t
+            FROM sn e JOIN r3 ON e.user_id = r3.user_id
+              AND e.session_no = r3.session_no
+            WHERE e.event_type = 'purchase' AND e.ts > r3.t
+            GROUP BY 1, 2)
+          SELECT 1::BIGINT AS stage, 'signup' AS stage_name,
+            count(*)::BIGINT AS n_sessions FROM r1
+          UNION ALL SELECT 2::BIGINT, 'view', count(*)::BIGINT FROM r2
+          UNION ALL SELECT 3::BIGINT, 'click', count(*)::BIGINT FROM r3
+          UNION ALL SELECT 4::BIGINT, 'purchase', count(*)::BIGINT
+            FROM r4""".replaceAll("\\s+", " "))),
 
     // Day-grain cohort retention matrix; offset-0 row is the cohort
     // size. ns-day and µs-day floor divisions agree exactly.

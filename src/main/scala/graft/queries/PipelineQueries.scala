@@ -265,6 +265,32 @@ object PipelineQueries {
       Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte, $CandCte
         SELECT id_a, id_b FROM cand""".replaceAll("\\s+", " "))),
 
+    // edit-distance confirm pass over LSH candidates — the
+    // character-level near-dup check (catches single-typo duplicates
+    // whose word shingles diverge). Levenshtein runs ONLY on candidate
+    // pairs (never all-pairs), with the text columns joined in along
+    // the id keys; both engines implement the standard unit-cost DP.
+    "dedup_edit_distance" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sig = Dedup.minhashSignatures(d, "doc_id", "text",
+          MinhashK, ShingleLen)
+        val cand =
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+        cand
+          .join(d.select(col("doc_id").as("id_a"),
+            col("text").as("t_a")), "id_a")
+          .join(d.select(col("doc_id").as("id_b"),
+            col("text").as("t_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("t_a"), col("t_b")).cast("long").as("dist"))
+      },
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte, $CandCte
+        SELECT id_a, id_b, levenshtein(a.text, b.text)::BIGINT AS dist
+        FROM cand JOIN documents a ON cand.id_a = a.doc_id
+        JOIN documents b ON cand.id_b = b.doc_id"""
+        .replaceAll("\\s+", " "))),
+
     // Graph analytics over the near-dup similarity graph (nodes =
     // docs, edges = symmetrized LSH candidate pairs): degree profile
     // (hub/template detection) and deterministic integer PageRank
