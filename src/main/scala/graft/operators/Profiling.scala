@@ -65,14 +65,20 @@ object Profiling {
         row_number().over(
           Window.orderBy(col("n").desc, col("w"))).cast("long"))
       .select(col("n"), log(col("rank")).as("x"), log(col("n")).as("y"))
+    val denom = col("k") * col("sxx") - col("sx") * col("sx")
     ranked.agg(
         count(lit(1)).as("k"), sum(col("n")).as("n_tokens"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("k").as("n_types"), col("n_tokens"),
-        round((col("k") * col("sxy") - col("sx") * col("sy")) /
-          (col("k") * col("sxx") - col("sx") * col("sx")), 3)
+        // k < 2 (or all-equal ranks, impossible for row_number) makes
+        // the OLS denominator 0 — a NaN would hash-diverge from SQL's
+        // NULL regr_slope, so degenerate fits are NULL on both sides
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(
+            round((col("k") * col("sxy") - col("sx") * col("sy")) /
+              denom, 3))
           .as("zipf_slope"))
   }
 
@@ -102,6 +108,16 @@ object Profiling {
   def decileStats(df: DataFrame, groupCols: Seq[String],
       valueCol: String, buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"need at least 2 buckets: $buckets")
+    // cast("long") on a non-integral column silently nulls — fail at
+    // plan time instead (the capPerKey/ppsSample contract)
+    val dt = df.schema(valueCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(dt),
+      s"decileStats value column `$valueCol` must be an integral " +
+        s"type (callers pre-scale exact decimals), got $dt")
     val gc = groupCols.map(col)
     val freq = df
       .groupBy(gc :+ col(valueCol).cast("long").as("v"): _*)

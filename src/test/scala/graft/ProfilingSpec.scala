@@ -96,5 +96,20 @@ class ProfilingSpec extends AnyFunSuite {
     // C: single row → kp = 1 for every p, all cuts = 5, bucket 1 only
     assert(out(("C", 1L)) === ((1L, 5L, 5L, 5L)))
     assert(!out.contains(("C", 2L)))
+    // a non-integral value column fails at plan time, never nulls
+    val bad = Seq(("A", "oops")).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Profiling.decileStats(bad, Seq("g"), "v")
+    }
+  }
+
+  test("zipfSlope: a degenerate single-type stream yields a NULL " +
+    "slope (matching SQL regr_slope), not NaN") {
+    val s = spark
+    import s.implicits._
+    val row = Profiling.zipfSlope(
+      Seq.fill(5)("only").toDF("w"), "w").collect().head
+    assert((row.getLong(0), row.getLong(1)) === ((1L, 5L)))
+    assert(row.isNullAt(2))
   }
 }
