@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.HeavyHitters
 import graft.operators.{Curation, Dedup, Graph, Multimodal, Pca, Profiling, Similarity, TextAnalysis}
-import graft.sources.{Jsonl, Tables}
+import graft.sources.{Csv, Jsonl, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,13 @@ object PipelineQueries {
     "[1, 2, 3",
     """{"doc_id": }""",
     "{{")
+
+  /** Planted CSV damage for source_csv_quarantine: id type damage,
+    * numeric-field type damage, and an extra trailing field. */
+  final val CorruptCsvLines: Seq[String] = Seq(
+    "notanumber,some text,en,src9,12",
+    "9000002,other text,en,src9,notanumber",
+    "9000003,extra text,en,src9,12,surplus-field")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -1940,6 +1947,29 @@ object PipelineQueries {
           sum(doc_id)::BIGINT AS id_sum FROM documents
         UNION ALL SELECT 'quarantined',
           ${CorruptJsonlLines.length}::BIGINT, NULL::BIGINT"""
+        .replaceAll("\\s+", " "))),
+
+    // CSV quarantine — the malformed-input trio's third plane (JSONL
+    // and line protocol above): headerless CSV roundtrip with planted
+    // type damage and surplus fields; every bad line lands in the
+    // corrupt column, none vanish. Same from_csv pure-projection shape
+    // as the Jsonl reader (no PERMISSIVE-cache trap).
+    "source_csv_quarantine" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val dst = s"/tmp/graft_csv_q_${math.abs(dir.hashCode)}"
+        d.write.mode("overwrite").option("header", "false").csv(dst)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dst, "part-corrupt.csv"),
+          CorruptCsvLines.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        Jsonl.quarantineSummary(
+          Csv.readQuarantined(s, dst, d.schema), "doc_id")
+      },
+      Some(s"""SELECT 'clean' AS status, count(*)::BIGINT AS n_rows,
+          sum(doc_id)::BIGINT AS id_sum FROM documents
+        UNION ALL SELECT 'quarantined',
+          ${CorruptCsvLines.length}::BIGINT, NULL::BIGINT"""
         .replaceAll("\\s+", " "))),
 
     // semantic dedup (SemDeDup): k-means clusters over the embeddings,
