@@ -200,6 +200,60 @@ object StreamIngest {
       .toDF("key", "from_type", "to_type", "time_ns")
   }
 
+  /** Continuous strictly-ordered funnel — the streaming face of
+    * [[graft.operators.Behavior.funnel]]: per-key state is the pair
+    * (stages-reached count, last reach time) — O(1) per key. Greedy
+    * advance over in-order input is EQUIVALENT to the batch operator's
+    * min-time chaining (processing events in (time, tie) order, the
+    * first qualifying stage-i event IS the earliest one), so the
+    * rollup of emitted reach events equals the batch stage counts —
+    * the spec's differential crosses micro-batch boundaries. Emits one
+    * row per newly-reached stage: (key, stage 1-based, stage_name,
+    * time_ns). */
+  def funnelStream(
+      typed: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tieCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be non-empty and distinct: $stages")
+    val spark = typed.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState,
+      GroupStateTimeout, OutputMode}
+    val stageSeq = stages.toIndexedSeq
+    typed
+      .where(col(keyCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col("time_ns").cast("long"),
+        col(tieCol).cast("long").as("tie"),
+        col(typeCol).cast("string").as("typ"))
+      .as[(String, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long),
+          (String, Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Long, String)],
+         state: GroupState[(Int, Long)]) =>
+          var (reached, tLast) = state.getOption.getOrElse((0, 0L))
+          val out = Seq.newBuilder[(String, Long, String, Long)]
+          it.toSeq.sortBy(p => (p._2, p._3)).foreach {
+            case (_, ts, _, typ) =>
+              if (reached < stageSeq.length &&
+                typ == stageSeq(reached) &&
+                (reached == 0 || ts > tLast)) {
+                reached += 1
+                tLast = ts
+                out += ((key, reached.toLong, typ, ts))
+              }
+          }
+          state.update((reached, tLast))
+          out.result().iterator
+      }
+      .toDF("key", "stage", "stage_name", "time_ns")
+  }
+
   /** Stream-stream interval join: each point paired with the alerts of
     * the same series whose event time precedes it by at most
     * `joinWindow` — the continuous form of TemporalJoin.rangeJoin's

@@ -422,4 +422,52 @@ class StreamIngestSpec extends AnyFunSuite {
       .map { case (k, v) => k -> v.size.toLong }
     assert(streamCounts === batchCounts)
   }
+
+  test("streaming funnel: greedy advance over in-order input equals " +
+    "the batch min-time chaining across micro-batch boundaries; " +
+    "out-of-order stages never advance") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_fn_in").toString
+    val out = Files.createTempDirectory("graft_fn_out").toString
+    val ckpt = Files.createTempDirectory("graft_fn_ck").toString
+    // u1 converts a@1 → b@3 (the b@1-at-same-minute trap is below);
+    // u2 sees b before ever doing a — must reach nothing;
+    // u3 reaches a in batch 0, b only arrives in batch 1 (state carry)
+    val pts = Seq(
+      ("u1", 1L, "a"), ("u2", 1L, "b"), ("u3", 2L, "a"),
+      ("u1", 3L, "b"), ("u2", 4L, "c"), ("u3", 5L, "b"),
+      ("u3", 6L, "c"))
+    def lp(u: String, m: Long, t: String) =
+      s"m,host=$u,et=$t v=1 ${minuteNs(m)}"
+    writeBatch(in, "b0.lp", pts.take(3).map(p => lp(p._1, p._2, p._3)))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host", "et"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val fn = StreamIngest.funnelStream(typed, "tag_host", "tag_et",
+      "time_ns", Seq("a", "b", "c"))
+    val q = StreamIngest.toParquet(fn, out, ckpt)
+    try {
+      q.processAllAvailable()
+      writeBatch(in, "b1.lp", pts.drop(3).map(p => lp(p._1, p._2, p._3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("stage"),
+        r.getAs[String]("stage_name"), r.getAs[Long]("time_ns")))
+      .toSet
+    assert(got === Set(
+      ("u1", 1L, "a", minuteNs(1)), ("u1", 2L, "b", minuteNs(3)),
+      ("u3", 1L, "a", minuteNs(2)), ("u3", 2L, "b", minuteNs(5)),
+      ("u3", 3L, "c", minuteNs(6))))
+    // rollup equals the batch operator's stage counts
+    val batch = graft.operators.Behavior.funnel(
+        pts.zipWithIndex.map { case ((u, m, t), i) =>
+          (i.toLong, minuteNs(m), u, t) }
+          .toDF("event_id", "ts", "user_id", "event_type"),
+        "user_id", "ts", "event_type", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val streamCounts2 = got.toSeq.groupBy(_._2)
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(streamCounts2 === batch.filter(_._2 > 0))
+  }
 }
