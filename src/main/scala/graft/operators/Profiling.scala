@@ -145,6 +145,57 @@ object Profiling {
         sum(col("n_v") * col("v")).as("sum_v"))
   }
 
+  /** MAD (median-absolute-deviation) robust outlier statistics in
+    * EXACT integer units — the heavy-tail-safe twin of z-score
+    * flagging (mean/stddev are themselves dragged by the outliers
+    * they're meant to catch; median/MAD are not): per group, the
+    * median order statistic (⌈n/2⌉-th smallest with multiplicity,
+    * PERCENTILE_DISC semantics — an actual data value), the MAD (the
+    * same order statistic over |x − median|), and the count of rows
+    * with |x − median| > k·MAD.
+    *
+    * Scale shape: the winsorizedStats discipline twice over — the
+    * corpus is touched by ONE map-side-combined groupBy((group,
+    * value)); the median, the deviation re-aggregation, the MAD, and
+    * the outlier count all run on DISTINCT-VALUE frequency frames
+    * bounded by the value domain, never the corpus. All Long
+    * arithmetic: every output column hash-exact cross-engine.
+    *
+    * Output: (group…, n, median_c, mad_c, n_outliers). A degenerate
+    * group (MAD = 0, over half the mass on one value) flags every
+    * off-median row — the honest reading of the k·MAD fence. */
+  def madStats(df: DataFrame, groupCols: Seq[String], centsCol: String,
+      k: Long = 3L): DataFrame = {
+    require(k >= 1, s"fence multiplier must be >= 1: $k")
+    val gc = groupCols.map(col)
+    val freq = df
+      .groupBy(gc :+ col(centsCol).cast("long").as("c"): _*)
+      .agg(count(lit(1)).as("n_v"))
+    val w = Window.partitionBy(gc: _*).orderBy(col("c"))
+    val cum = freq.withColumn("cum", sum(col("n_v")).over(w))
+    val tot = freq.groupBy(gc: _*).agg(sum(col("n_v")).as("n"))
+      .withColumn("kmid", expr("(n + 1) div 2"))
+    val med = cum.join(tot, groupCols)
+      .groupBy(gc: _*)
+      .agg(min(when(col("cum") >= col("kmid"), col("c")))
+        .as("median_c"))
+    val dev = freq.join(med, groupCols)
+      .groupBy(gc :+ abs(col("c") - col("median_c")).as("d"): _*)
+      .agg(sum(col("n_v")).as("n_d"))
+    val wd = Window.partitionBy(gc: _*).orderBy(col("d"))
+    val dcum = dev.withColumn("cum", sum(col("n_d")).over(wd))
+    val mad = dcum.join(tot, groupCols)
+      .groupBy(gc: _*)
+      .agg(min(when(col("cum") >= col("kmid"), col("d"))).as("mad_c"))
+    dev.join(mad, groupCols).join(tot, groupCols).join(med, groupCols)
+      .groupBy(gc: _*)
+      .agg(max(col("n")).as("n"),              // constant per group
+        max(col("median_c")).as("median_c"),
+        max(col("mad_c")).as("mad_c"),
+        sum(when(col("d") > lit(k) * col("mad_c"), col("n_d"))
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Winsorized (outlier-clipped) per-group statistics in EXACT integer
     * units — the robust-scaling primitive a feature/curation pipeline
     * applies before normalization: clip at the empirical trim-quantile

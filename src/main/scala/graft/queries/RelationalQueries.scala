@@ -769,6 +769,40 @@ object RelationalQueries {
         FROM f JOIN b USING (l_returnflag) JOIN t USING (l_returnflag)
         GROUP BY 1, 2, 3, 4""".replaceAll("\\s+", " "))),
 
+    // MAD robust outliers: median / median-absolute-deviation order
+    // statistics on the distinct-value frequency frame (the
+    // winsorizedStats discipline twice over) + the k·MAD fence count —
+    // heavy-tail-safe outlier flagging whose baseline is not dragged
+    // by the outliers themselves. All exact Longs.
+    "stats_mad_outliers" -> QueryDef(
+      (s, dir) => Profiling.madStats(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100, 0).cast("long")
+              .as("cents")),
+        Seq("l_returnflag"), "cents"),
+      Some("""WITH f AS (SELECT l_returnflag AS g,
+          CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+          count(*)::BIGINT AS n_v FROM lineitem GROUP BY 1, 2),
+        cu AS (SELECT g, c, n_v, sum(n_v) OVER
+          (PARTITION BY g ORDER BY c) AS cum FROM f),
+        t AS (SELECT g, sum(n_v)::BIGINT AS n,
+          ((sum(n_v)::BIGINT + 1) // 2) AS kmid FROM f GROUP BY 1),
+        m AS (SELECT cu.g, min(CASE WHEN cum >= kmid THEN c END)
+          AS median_c FROM cu JOIN t USING (g) GROUP BY 1),
+        dv AS (SELECT f.g, abs(f.c - m.median_c) AS d,
+          sum(f.n_v)::BIGINT AS n_d FROM f JOIN m USING (g)
+          GROUP BY 1, 2),
+        dc AS (SELECT g, d, n_d, sum(n_d) OVER
+          (PARTITION BY g ORDER BY d) AS cum FROM dv),
+        md AS (SELECT dc.g, min(CASE WHEN cum >= kmid THEN d END)
+          AS mad_c FROM dc JOIN t USING (g) GROUP BY 1)
+        SELECT dv.g AS l_returnflag, t.n, m.median_c, md.mad_c,
+          sum(CASE WHEN dv.d > 3 * md.mad_c THEN dv.n_d ELSE 0 END)
+            ::BIGINT AS n_outliers
+        FROM dv JOIN md USING (g) JOIN t USING (g) JOIN m USING (g)
+        GROUP BY 1, 2, 3, 4""".replaceAll("\\s+", " "))),
+
     "stats_equidepth_histogram" -> QueryDef(
       (s, dir) => {
         val li = t(s, dir, "lineitem")

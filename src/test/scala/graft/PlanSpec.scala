@@ -196,6 +196,26 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("behavior/graph/retrieval scale paths: no cartesian products; " +
+    "BM25's df/corpus scalars broadcast; the funnel's per-stage " +
+    "reach frames never blow past an equi-join") {
+    Seq("behavior_funnel", "behavior_session_funnel",
+      "behavior_path_transitions", "behavior_cohort_retention",
+      "graph_pagerank", "graph_triangles", "graph_degrees",
+      "text_bm25_topk", "text_postings", "dedup_edit_distance",
+      "pipeline_leakage_safe_split", "stats_mad_outliers",
+      "pipeline_quality_deciles").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+    }
+    // bm25: the one-row (N, Σdl) scalar frame and the per-term df
+    // frame ride broadcast exchanges, never a shuffle join
+    val bm = planOf("text_bm25_topk")
+    assert(bm.contains("BroadcastExchange"), bm.take(2000))
+    // and the final top-k is a TakeOrderedAndProject, not a global sort
+    assert(bm.contains("TakeOrderedAndProject"), bm.take(2000))
+  }
+
   test("unpartitioned-Window allowlist: across the ENTIRE registry, " +
     "only documented bounded-frame queries may order a whole frame " +
     "through one reducer") {

@@ -103,6 +103,31 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("madStats: hand-computed median/MAD on 1..9 plus a far " +
+    "outlier; duplicate-heavy group takes the multiplicity rank; " +
+    "MAD=0 degenerate group flags every off-median row") {
+    val s = spark
+    import s.implicits._
+    val rows =
+      ((1 to 9).map(_.toLong) :+ 1000L).map(("A", _)) ++  // 10 values
+      (Seq.fill(6)(5L) ++ Seq(7L, 8L, 9L, 100L)).map(("B", _))
+    val out = Profiling.madStats(
+        rows.toDF("g", "cents").repartition(5), Seq("g"), "cents")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // A: n=10, kmid=5 → median = 5th smallest = 5; deviations of
+    // {1..9,1000} from 5: {4,3,2,1,0,1,2,3,4,995} sorted
+    // {0,1,1,2,2,3,3,4,4,995} → MAD = 5th = 2; fence 3·2=6 → only 995
+    // exceeds → 1 outlier
+    assert(out("A") === ((10L, 5L, 2L, 1L)))
+    // B: n=10, kmid=5; six 5s put the median at 5 by multiplicity;
+    // deviations {0×6, 2, 3, 4, 95} → MAD = 5th smallest = 0 →
+    // fence 0: every off-median row flags (the honest degenerate read)
+    assert(out("B") === ((10L, 5L, 0L, 4L)))
+  }
+
   test("zipfSlope: a degenerate single-type stream yields a NULL " +
     "slope (matching SQL regr_slope), not NaN") {
     val s = spark
