@@ -1177,6 +1177,55 @@ object PipelineQueries {
         ORDER BY score DESC, doc_id LIMIT 20"""
         .replaceAll("\\s+", " "))),
 
+    // χ² association audit between two metadata columns (lang ×
+    // source) + Cramér's V — "is language independent of source?" is
+    // the metadata-bias check a corpus audit runs before stratified
+    // sampling trusts either column. Everything past the one
+    // (lang, source) groupBy runs on the contingency frame (r·c
+    // cells); expected counts use double arithmetic in one shared
+    // operand order, χ² is rounded (multi-cell sum), and V is derived
+    // FROM the rounded χ² so both engines take the sqrt of an
+    // identical double.
+    "stats_chi2_assoc" -> QueryDef(
+      (s, dir) => {
+        val o = docs(s, dir).groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_ls"))
+        val r = o.groupBy(col("lang")).agg(sum(col("n_ls")).as("n_l"))
+        val c = o.groupBy(col("source")).agg(sum(col("n_ls")).as("n_s"))
+        val tot = o.agg(sum(col("n_ls")).as("n"),
+          countDistinct(col("lang")).as("r_cnt"),
+          countDistinct(col("source")).as("c_cnt"))
+        val e = col("n_l").cast("double") * col("n_s") / col("n")
+        o.join(r, "lang").join(c, "source").crossJoin(broadcast(tot))
+          .groupBy(col("n"), col("r_cnt"), col("c_cnt"))
+          .agg(round(sum((col("n_ls") - e) * (col("n_ls") - e) / e), 4)
+            .as("chi2"))
+          .select(col("n"),
+            ((col("r_cnt") - 1) * (col("c_cnt") - 1)).as("dof"),
+            col("chi2"),
+            round(sqrt(col("chi2") /
+              (col("n") * least(col("r_cnt") - 1, col("c_cnt") - 1))),
+              4).as("cramers_v"))
+      },
+      Some("""WITH o AS (SELECT lang, source, count(*)::BIGINT AS n_ls
+          FROM documents GROUP BY 1, 2),
+        r AS (SELECT lang, sum(n_ls)::BIGINT AS n_l FROM o GROUP BY 1),
+        c AS (SELECT source, sum(n_ls)::BIGINT AS n_s FROM o
+          GROUP BY 1),
+        t AS (SELECT sum(n_ls)::BIGINT AS n,
+          count(DISTINCT lang)::BIGINT AS r_cnt,
+          count(DISTINCT source)::BIGINT AS c_cnt FROM o),
+        x AS (SELECT t.n, t.r_cnt, t.c_cnt,
+          round(sum((o.n_ls - (r.n_l::DOUBLE * c.n_s / t.n))
+            * (o.n_ls - (r.n_l::DOUBLE * c.n_s / t.n))
+            / (r.n_l::DOUBLE * c.n_s / t.n)), 4) AS chi2
+          FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+          GROUP BY 1, 2, 3)
+        SELECT n, (r_cnt - 1) * (c_cnt - 1) AS dof, chi2,
+          round(sqrt(chi2 / (n * least(r_cnt - 1, c_cnt - 1))), 4)
+            AS cramers_v
+        FROM x""".replaceAll("\\s+", " "))),
+
     // Zipf rank–frequency slope — the corpus-health profile (natural
     // token streams sit near −1; template spam / tokenizer damage
     // shows up as a slope far off). Corpus touched once; the OLS runs
