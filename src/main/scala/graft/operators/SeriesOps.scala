@@ -634,4 +634,53 @@ object SeriesOps {
       (eligible && d * d > lit(sigma.toLong * sigma) * vv)
         .as("is_anomaly")): _*)
   }
+
+  /** Classical additive seasonal decomposition over a BUCKETED
+    * per-series frame: value = trend + seasonal + residual. Trend is
+    * the centered moving average over one full (ODD) period — defined
+    * only where the window is complete, so series edges carry nulls,
+    * never a biased partial mean; seasonal is the per-phase mean of
+    * the detrended values; the residual is what remains.
+    *
+    * Determinism: inputs are integer units (cents); means are
+    * FLOOR(sum/n) computed as floor(double division) on BOTH engines —
+    * detrended values go negative, where Spark's `div` truncates
+    * toward zero but SQL's `//` floors, so the explicit shared floor
+    * form is the only cross-engine-exact choice (exact while
+    * |sum| < 2⁵³, i.e. cent-sums below ~9·10¹⁵ per window/phase).
+    *
+    * Scale shape: one window per series (partition-bounded), then a
+    * (series, phase)-keyed aggregate whose frame is series × period —
+    * never the corpus.
+    *
+    * Output: (series…, bucket, vc, trend, seasonal, resid). */
+  def seasonalDecompose(df: DataFrame, seriesCols: Seq[String],
+      bucketCol: String, centsCol: String, period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3 (centered MA): $period")
+    val sc = seriesCols.map(col)
+    val half = period / 2
+    val w = Window.partitionBy(sc: _*).orderBy(col(bucketCol))
+      .rowsBetween(-half, half)
+    def floorMean(sum: Column, n: Column): Column =
+      floor(sum.cast("double") / n).cast("long")
+    val withTrend = df
+      .select(sc ++ Seq(col(bucketCol).cast("long").as("b"),
+        col(centsCol).cast("long").as("vc")): _*)
+      .withColumn("trend",
+        when(count(col("vc")).over(w) === period,
+          floorMean(sum(col("vc")).over(w), lit(period))))
+      .withColumn("detr", col("vc") - col("trend"))
+    val seasonal = withTrend.filter(col("detr").isNotNull)
+      .groupBy(sc :+ pmod(col("b"), lit(period.toLong)).as("phase"): _*)
+      .agg(floorMean(sum(col("detr")), count(lit(1))).as("seasonal"))
+    withTrend
+      .withColumn("phase", pmod(col("b"), lit(period.toLong)))
+      // left join: a series too short for ANY complete window keeps
+      // its rows with null seasonal/resid rather than vanishing
+      .join(seasonal, seriesCols :+ "phase", "left_outer")
+      .select(sc ++ Seq(col("b"), col("vc"), col("trend"),
+        col("seasonal"),
+        (col("detr") - col("seasonal")).as("resid")): _*)
+  }
 }

@@ -724,6 +724,41 @@ object ParityQueries {
     // zero-seeded first cycle). The l₂ expression repeats inside the
     // t/s/seas terms (no same-SELECT aliases in the recursive leg) —
     // composed here by interpolation, evaluated identically.
+    // classical additive seasonal decomposition (value = trend +
+    // seasonal + residual) over 6-hour buckets, period 5: centered-MA
+    // trend (complete windows only), per-phase seasonal means,
+    // explicit shared-floor means so the signed detrended averages
+    // cannot diverge on truncate-vs-floor division.
+    "ts_seasonal_decompose" -> QueryDef(
+      (s, dir) => {
+        val sixH = 21600L * 1000000000L
+        val bucketed = ev(s, dir)
+          .groupBy(col("event_type"), expr(s"ts div $sixH").as("b"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("vc"))
+        SeriesOps.seasonalDecompose(bucketed, Seq("event_type"), "b",
+          "vc", period = 5)
+      },
+      Some("""WITH bk AS (SELECT event_type,
+          epoch_us(ts) // 21600000000 AS b,
+          sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS vc
+          FROM events GROUP BY 1, 2),
+        tr AS (SELECT event_type, b, vc,
+          CASE WHEN count(vc) OVER w = 5 THEN
+            CAST(floor((sum(vc) OVER w)::DOUBLE / 5) AS BIGINT) END
+            AS trend
+          FROM bk WINDOW w AS (PARTITION BY event_type ORDER BY b
+            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+        dt AS (SELECT event_type, b, vc, trend, vc - trend AS detr,
+          b % 5 AS phase FROM tr),
+        se AS (SELECT event_type, phase,
+          CAST(floor(sum(detr)::DOUBLE / count(*)) AS BIGINT)
+            AS seasonal
+          FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2)
+        SELECT dt.event_type, dt.b, dt.vc, dt.trend, se.seasonal,
+          dt.detr - se.seasonal AS resid
+        FROM dt LEFT JOIN se ON dt.event_type = se.event_type
+          AND dt.phase = se.phase""".replaceAll("\\s+", " "))),
+
     "ts_holt_winters" -> QueryDef(
       (s, dir) => SeriesOps.holtWintersFixed(
         Tables.events(s, dir)

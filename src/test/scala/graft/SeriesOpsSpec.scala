@@ -551,4 +551,49 @@ class SeriesOpsSpec extends AnyFunSuite {
       p.take(3000))
     assert("Window".r.findAllIn(p).size === 1, p.take(3000))
   }
+
+  test("seasonalDecompose: planted period-3 sawtooth on a linear " +
+    "ramp recovers the ramp as trend and the sawtooth as seasonal; " +
+    "window edges are null; negative detrended means FLOOR (not " +
+    "truncate toward zero); short series keep rows") {
+    val s = spark
+    import s.implicits._
+    // v(b) = 10·b + saw(b), saw = [0, 30, -30] by phase (b = 0..8);
+    // mean of one full period of saw = 0, so the centered MA over
+    // period 3 is exactly the ramp 10·b
+    val saw = Seq(0L, 30L, -30L)
+    val rows = (0L to 8L).map(b => ("A", b, 10L * b + saw((b % 3).toInt)))
+    val out = graft.operators.SeriesOps.seasonalDecompose(
+        rows.toDF("k", "b", "vc").repartition(3), Seq("k"), "b", "vc",
+        period = 3)
+      .collect()
+      .map(r => r.getLong(1) -> ((Option(r.get(3)).map(_ => r.getLong(3)),
+        Option(r.get(4)).map(_ => r.getLong(4))))).toMap
+    // edges b=0 and b=8 have incomplete windows → null trend
+    assert(out(0L)._1.isEmpty && out(8L)._1.isEmpty)
+    // interior trend is the exact ramp
+    (1L to 7L).foreach(b => assert(out(b)._1.contains(10L * b), s"b=$b"))
+    // per-phase seasonal means over detrended {0,30,-30} repeats
+    assert(out(1L)._2.contains(30L))
+    assert(out(2L)._2.contains(-30L))
+    assert(out(3L)._2.contains(0L))
+    // floor semantics on a signed mean: phase-1 detrended values are
+    // b=1 → 70−floor(270/3) = −20 and b=4 → 68−floor(268/3) = −21;
+    // seasonal = floor(−41/2) = −21 (truncation toward zero gives −20)
+    val rows2 = Seq(("B", 0L, 100L), ("B", 1L, 70L), ("B", 2L, 100L),
+      ("B", 3L, 100L), ("B", 4L, 68L), ("B", 5L, 100L),
+      ("B", 6L, 100L))
+    val out2 = graft.operators.SeriesOps.seasonalDecompose(
+        rows2.toDF("k", "b", "vc"), Seq("k"), "b", "vc", period = 3)
+      .collect().map(r => r.getLong(1) ->
+        Option(r.get(4)).map(_ => r.getLong(4))).toMap
+    assert(out2(1L) === Some(-21L))
+    // short series (< period buckets): rows survive with null fields
+    val out3 = graft.operators.SeriesOps.seasonalDecompose(
+        Seq(("C", 0L, 5L), ("C", 1L, 6L)).toDF("k", "b", "vc"),
+        Seq("k"), "b", "vc", period = 3)
+      .collect()
+    assert(out3.length === 2)
+    assert(out3.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
 }
