@@ -635,6 +635,75 @@ object SeriesOps {
         .as("is_anomaly")): _*)
   }
 
+  /** One CUSUM output point: bucket, value, the two one-sided sums. */
+  case class CusumPt(b: Long, v: Long, sp: Long, sn: Long)
+  /** CUSUM output wrapper (product-encodable). */
+  case class CusumItems(items: Seq[CusumPt])
+
+  /** Tabular CUSUM fold (change-point detection) in EXACT integer
+    * units: target = the series' first bucket value (the EMA seeding
+    * convention), drift allowance k, and
+    * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (vᵢ − target − k)),
+    * S⁻ᵢ = max(0, S⁻ᵢ₋₁ + (target − vᵢ − k)).
+    * Pure Long arithmetic — bit-reproducible by any engine that can
+    * express the recurrence (the oracle is a DuckDB recursive CTE),
+    * the [[EmaFixedAggregator]] discipline. */
+  class CusumAggregator(drift: Long)
+      extends Aggregator[BVL, EmaFixedItems, CusumItems] {
+    require(drift >= 0, s"drift allowance must be >= 0: $drift")
+    override def zero: EmaFixedItems = EmaFixedItems(Nil)
+    override def reduce(b: EmaFixedItems, a: BVL): EmaFixedItems =
+      EmaFixedItems(a +: b.items)
+    override def merge(a: EmaFixedItems, b: EmaFixedItems): EmaFixedItems =
+      EmaFixedItems(a.items ++ b.items)
+    override def finish(r: EmaFixedItems): CusumItems = {
+      val sorted = r.items.sortBy(p => (p.b, p.v))
+      if (sorted.isEmpty) CusumItems(Nil)
+      else {
+        val target = sorted.head.v
+        var sp = 0L
+        var sn = 0L
+        val out = Seq.newBuilder[CusumPt]
+        sorted.foreach { p =>
+          sp = math.max(0L, sp + (p.v - target - drift))
+          sn = math.max(0L, sn + (target - p.v - drift))
+          out += CusumPt(p.b, p.v, sp, sn)
+        }
+        CusumItems(out.result())
+      }
+    }
+    override def bufferEncoder: Encoder[EmaFixedItems] =
+      Encoders.product[EmaFixedItems]
+    override def outputEncoder: Encoder[CusumItems] =
+      Encoders.product[CusumItems]
+  }
+
+  /** Change-point detection over a BUCKETED per-series frame via
+    * tabular CUSUM (see [[CusumAggregator]]): one-sided positive and
+    * negative cumulative deviations from the series' first value with
+    * drift allowance `drift`, alarmed where they exceed `threshold` —
+    * level-shift detection that a rolling z-score misses (the shift
+    * inflates the rolling σ and hides itself; CUSUM accumulates it).
+    * Same bounded-state contract as [[emaFixed]]: per-series state is
+    * the BUCKET list (GROUP BY time() output, never raw points).
+    * Output: (series…, bucketCol, vc, s_pos, s_neg, alarm_pos,
+    * alarm_neg). */
+  def cusumFixed(df: DataFrame, seriesCols: Seq[String],
+      bucketCol: String, valueCol: String, drift: Long,
+      threshold: Long): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val agg = udaf(new CusumAggregator(drift), Encoders.product[BVL])
+    df.groupBy(seriesCols.map(col): _*)
+      .agg(agg(col(bucketCol).cast("long"),
+        col(valueCol).cast("long")).as("e"))
+      .select(seriesCols.map(col) :+ explode(col("e.items")).as("it"): _*)
+      .select(seriesCols.map(col) ++ Seq(
+        col("it.b").as(bucketCol), col("it.v").as("vc"),
+        col("it.sp").as("s_pos"), col("it.sn").as("s_neg"),
+        (col("it.sp") > threshold).as("alarm_pos"),
+        (col("it.sn") > threshold).as("alarm_neg")): _*)
+  }
+
   /** Classical additive seasonal decomposition over a BUCKETED
     * per-series frame: value = trend + seasonal + residual. Trend is
     * the centered moving average over one full (ODD) period — defined

@@ -724,6 +724,47 @@ object ParityQueries {
     // zero-seeded first cycle). The l₂ expression repeats inside the
     // t/s/seas terms (no same-SELECT aliases in the recursive leg) —
     // composed here by interpolation, evaluated identically.
+    // tabular CUSUM change-point detection over hourly buckets
+    // (micro-unit means, drift 5000µ, threshold 2·10⁶µ): exact Long
+    // recurrence per series, oracled by the same recursive-CTE replay
+    // as ts_ema — level shifts that inflate-and-hide under rolling
+    // z-scores accumulate here.
+    "ts_cusum" -> QueryDef(
+      (s, dir) => SeriesOps.cusumFixed(
+        Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b_us"),
+            expr("(2 * s * 10000 + n) div (2 * n)").as("vu")),
+        seriesCols = Seq("event_type"), bucketCol = "b_us",
+        valueCol = "vu", drift = 5000L, threshold = 2000000L),
+      Some("""WITH RECURSIVE a0 AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+          count(*) AS n FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, b,
+          CAST((2 * s * 10000 + n) // (2 * n) AS BIGINT) AS vu FROM a0),
+        nr AS (SELECT event_type, b, vu, row_number() OVER
+          (PARTITION BY event_type ORDER BY b) AS rn FROM a),
+        tg AS (SELECT event_type, vu AS target FROM nr WHERE rn = 1),
+        r AS (SELECT nr.event_type, nr.b, nr.vu, nr.rn,
+            greatest(0, nr.vu - tg.target - 5000) AS sp,
+            greatest(0, tg.target - nr.vu - 5000) AS sn
+          FROM nr JOIN tg USING (event_type) WHERE rn = 1
+          UNION ALL
+          SELECT nr.event_type, nr.b, nr.vu, nr.rn,
+            greatest(0, r.sp + (nr.vu - tg.target - 5000)),
+            greatest(0, r.sn + (tg.target - nr.vu - 5000))
+          FROM nr JOIN r ON nr.event_type = r.event_type
+            AND nr.rn = r.rn + 1
+          JOIN tg ON tg.event_type = nr.event_type)
+        SELECT event_type, b AS b_us, vu AS vc, sp::BIGINT AS s_pos,
+          sn::BIGINT AS s_neg, sp > 2000000 AS alarm_pos,
+          sn > 2000000 AS alarm_neg
+        FROM r""".replaceAll("\\s+", " "))),
+
     // classical additive seasonal decomposition (value = trend +
     // seasonal + residual) over 6-hour buckets, period 5: centered-MA
     // trend (complete windows only), per-phase seasonal means,

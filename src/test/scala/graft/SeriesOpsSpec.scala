@@ -552,6 +552,37 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).size === 1, p.take(3000))
   }
 
+  test("cusumFixed: a level shift accumulates to an alarm that " +
+    "rolling noise never reaches; negative shifts land on the " +
+    "negative side; the first point seeds the target") {
+    val s = spark
+    import s.implicits._
+    // flat 100 for 5 buckets, then a +10 shift (drift allowance 2,
+    // threshold 20): s⁺ grows by 8 per shifted bucket → alarms at the
+    // third shifted point (8, 16, 24 > 20)
+    val rows = ((0L to 4L).map(b => ("A", b, 100L)) ++
+      (5L to 9L).map(b => ("A", b, 110L))) ++
+      // B: symmetric downward shift
+      ((0L to 4L).map(b => ("B", b, 100L)) ++
+        (5L to 9L).map(b => ("B", b, 90L)))
+    val out = graft.operators.SeriesOps.cusumFixed(
+        rows.toDF("k", "b", "vc").repartition(4), Seq("k"), "b", "vc",
+        drift = 2L, threshold = 20L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5),
+          r.getBoolean(6)))).toMap
+    // pre-shift: both sums pinned at 0 (drift absorbs nothing here)
+    assert(out(("A", 4L)) === ((0L, 0L, false, false)))
+    // shifted: s⁺ = 8, 16, 24, 32, 40; alarm from b=7 on
+    assert(out(("A", 5L)) === ((8L, 0L, false, false)))
+    assert(out(("A", 6L)) === ((16L, 0L, false, false)))
+    assert(out(("A", 7L)) === ((24L, 0L, true, false)))
+    assert(out(("A", 9L)) === ((40L, 0L, true, false)))
+    // mirror image on the negative side
+    assert(out(("B", 7L)) === ((0L, 24L, false, true)))
+  }
+
   test("seasonalDecompose: planted period-3 sawtooth on a linear " +
     "ramp recovers the ramp as trend and the sawtooth as seasonal; " +
     "window edges are null; negative detrended means FLOOR (not " +
