@@ -724,6 +724,71 @@ object ParityQueries {
     // zero-seeded first cycle). The l₂ expression repeats inside the
     // t/s/seas terms (no same-SELECT aliases in the recursive leg) —
     // composed here by interpolation, evaluated identically.
+    // trailing rolling MEDIAN (exact order statistic over a 5-bucket
+    // rows frame, complete windows only) — the robust rolling baseline
+    // a single spike cannot drag the way it drags a moving average.
+    // The frame list is bounded by the window width; a full-window odd
+    // count makes the middle element exact on both engines.
+    "ts_rolling_median" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("b_us"))
+          .rowsBetween(-4, 0)
+        ev(s, dir)
+          .groupBy(col("event_type"),
+            expr("(ts div 3600000000000) * 3600000000").as("b_us"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("vc"))
+          .select(col("event_type"), col("b_us"), col("vc"),
+            when(count(col("vc")).over(w) === 5,
+              element_at(sort_array(collect_list(col("vc")).over(w)), 3))
+              .as("med5"))
+      },
+      Some("""WITH bk AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b_us,
+          sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS vc
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, b_us, vc,
+          CASE WHEN count(vc) OVER w = 5 THEN
+            CAST(median(vc) OVER w AS BIGINT) END AS med5
+        FROM bk WINDOW w AS (PARTITION BY event_type ORDER BY b_us
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"""
+        .replaceAll("\\s+", " "))),
+
+    // gaps-and-islands: collapse each user's CONSECUTIVE event runs
+    // within a type (ordered by time, tie-broken by id) into segments
+    // via the rn − rn-per-user difference — the classic
+    // sessionization-adjacent segmentation, all integer outputs.
+    "ts_segments" -> QueryDef(
+      (s, dir) => {
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val wUser = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        ev(s, dir)
+          .withColumn("seg",
+            row_number().over(wAll) - row_number().over(wUser))
+          .groupBy(col("event_type"), col("user_id"), col("seg"))
+          .agg(count(lit(1)).as("run_len"))
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n_runs"),
+            max(col("run_len")).as("max_run"),
+            sum(col("run_len")).as("n_events"))
+      },
+      Some("""WITH x AS (SELECT event_type, user_id,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY ts, event_id)
+          - row_number() OVER (PARTITION BY event_type, user_id
+            ORDER BY ts, event_id) AS seg
+          FROM events),
+        r AS (SELECT event_type, user_id, seg,
+          count(*)::BIGINT AS run_len FROM x GROUP BY 1, 2, 3)
+        SELECT event_type, user_id, count(*)::BIGINT AS n_runs,
+          max(run_len)::BIGINT AS max_run,
+          sum(run_len)::BIGINT AS n_events
+        FROM r GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
     // tabular CUSUM change-point detection over hourly buckets
     // (micro-unit means, drift 5000µ, threshold 2·10⁶µ): exact Long
     // recurrence per series, oracled by the same recursive-CTE replay

@@ -769,6 +769,42 @@ object RelationalQueries {
         FROM f JOIN b USING (l_returnflag) JOIN t USING (l_returnflag)
         GROUP BY 1, 2, 3, 4""".replaceAll("\\s+", " "))),
 
+    // Benford first-digit audit: observed leading-digit shares of a
+    // positive numeric column vs the Benford expectation
+    // log₁₀(1 + 1/d), both in basis points — the classic
+    // fabricated-data / unit-mixing screen. Digit extraction is
+    // string-prefix on the integer cents (identical both engines);
+    // expected shares floor a libm log10 whose 10⁴-scaled values sit
+    // nowhere near integer boundaries, so the floor cannot flip.
+    "stats_benford" -> QueryDef(
+      (s, dir) => {
+        val d = t(s, dir, "lineitem")
+          .select(substring(round(col("l_extendedprice") * 100, 0)
+            .cast("long").cast("string"), 1, 1).as("digit"))
+          .filter(col("digit").between("1", "9"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = d.agg(sum(col("n")).as("n_tot"))
+        d.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            expr("(n * 10000) div n_tot").as("obs_bp"),
+            floor(log10(lit(1.0) +
+              lit(1.0) / col("digit").cast("double")) * 10000)
+              .cast("long").as("exp_bp"))
+          .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+      },
+      Some("""WITH dg AS (SELECT substr(CAST(CAST(round(
+            l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+            AS digit FROM lineitem),
+        c AS (SELECT digit, count(*)::BIGINT AS n FROM dg
+          WHERE digit BETWEEN '1' AND '9' GROUP BY 1),
+        t AS (SELECT sum(n)::BIGINT AS n_tot FROM c)
+        SELECT digit, n, ((n * 10000) // n_tot)::BIGINT AS obs_bp,
+          CAST(floor(log10(1.0 + 1.0 / digit::DOUBLE) * 10000)
+            AS BIGINT) AS exp_bp,
+          abs(((n * 10000) // n_tot) - CAST(floor(log10(1.0 + 1.0 /
+            digit::DOUBLE) * 10000) AS BIGINT))::BIGINT AS dev_bp
+        FROM c CROSS JOIN t""".replaceAll("\\s+", " "))),
+
     // MAD robust outliers: median / median-absolute-deviation order
     // statistics on the distinct-value frequency frame (the
     // winsorizedStats discipline twice over) + the k·MAD fence count —
