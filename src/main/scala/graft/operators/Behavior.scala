@@ -34,25 +34,67 @@ object Behavior {
     *
     * Output: (stage BIGINT 1-based, stage_name, n_users BIGINT).
     */
-  def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, stages: Seq[String]): DataFrame = {
+  /** The funnel's per-stage reach frames: for each stage, the
+    * (user, t = reach time) frame under strict min-time chaining —
+    * the shared substrate of [[funnel]] and [[funnelLatency]]. */
+  private def reachFrames(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String,
+      stages: Seq[String]): Seq[DataFrame] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size,
       s"funnel stages must be distinct: $stages")
     val u = col(userCol)
-    // reached(i): (user, t = min ts of a stage-i event after t_{i-1})
     val first = events.filter(col(typeCol) === stages.head)
       .groupBy(u).agg(min(col(tsCol)).as("t"))
-    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+    stages.tail.scanLeft(first) { (prev, stage) =>
       events.filter(col(typeCol) === stage)
         .join(prev.select(u, col("t").as("t_prev")), userCol)
         .filter(col(tsCol) > col("t_prev"))
         .groupBy(u).agg(min(col(tsCol)).as("t"))
     }
-    reached.zip(stages).zipWithIndex.map { case ((df, name), i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1L).as("stage"), lit(name).as("stage_name"),
-          col("n_users"))
+  }
+
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame =
+    reachFrames(events, userCol, tsCol, typeCol, stages)
+      .zip(stages).zipWithIndex.map { case ((df, name), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1L).as("stage"), lit(name).as("stage_name"),
+            col("n_users"))
+      }.reduce(_ unionAll _)
+
+  /** Stage-transition latency: for every adjacent stage pair, the
+    * count of converting users and the exact integer min / half-up
+    * mean / max of (reach(i) − reach(i−1)) in µs — the "how long does
+    * the funnel take" companion to the counts. One co-partitioned
+    * equi-join per transition over frames that only shrink; the mean
+    * is the engine's exact half-up division idiom ((2s + n) div (2n)),
+    * so every column hash-matches SQL.
+    *
+    * Output: (stage BIGINT — the DESTINATION stage, 2-based),
+    * from_stage, to_stage, n_users, min_us, avg_us, max_us. */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, s"latency needs >= 2 stages: $stages")
+    val reached = reachFrames(events, userCol, tsCol, typeCol, stages)
+    reached.sliding(2).toSeq.zipWithIndex.map {
+      case (Seq(prev, cur), i) =>
+        cur.join(prev.select(col(userCol), col("t").as("t_prev")),
+            userCol)
+          .select(expr("(t - t_prev) div 1000").as("dt_us"))
+          .agg(count(lit(1)).as("n_users"),
+            min(col("dt_us")).as("min_us"),
+            sum(col("dt_us")).as("s_us"),
+            max(col("dt_us")).as("max_us"))
+          .select(lit(i + 2L).as("stage"),
+            lit(stages(i)).as("from_stage"),
+            lit(stages(i + 1)).as("to_stage"),
+            col("n_users"), col("min_us"),
+            // empty transition: ANSI div-by-zero must not fire
+            when(col("n_users") > 0,
+              expr("(2 * s_us + n_users) div (2 * n_users)"))
+              .as("avg_us"),
+            col("max_us"))
     }.reduce(_ unionAll _)
   }
 

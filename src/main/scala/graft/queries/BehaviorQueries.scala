@@ -69,6 +69,46 @@ object BehaviorQueries {
               ::BIGINT AS prob_bp
           FROM p""".replaceAll("\\s+", " "))),
 
+    // Stage-transition latency: min / half-up mean / max µs between
+    // adjacent funnel stage reaches — "how long does the funnel take"
+    // beside behavior_funnel's "how many convert". Exact integer
+    // output everywhere.
+    "behavior_funnel_latency" -> QueryDef(
+      (s, dir) => Behavior.funnelLatency(ev(s, dir), "user_id", "ts",
+        "event_type", FunnelStages),
+      Some("""WITH r1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+          r2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+            JOIN r1 ON e.user_id = r1.user_id
+            WHERE e.event_type = 'view' AND e.ts > r1.t GROUP BY 1),
+          r3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+            JOIN r2 ON e.user_id = r2.user_id
+            WHERE e.event_type = 'click' AND e.ts > r2.t GROUP BY 1),
+          r4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+            JOIN r3 ON e.user_id = r3.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > r3.t GROUP BY 1),
+          l2 AS (SELECT epoch_us(r2.t) - epoch_us(r1.t) AS dt FROM r2
+            JOIN r1 ON r2.user_id = r1.user_id),
+          l3 AS (SELECT epoch_us(r3.t) - epoch_us(r2.t) AS dt FROM r3
+            JOIN r2 ON r3.user_id = r2.user_id),
+          l4 AS (SELECT epoch_us(r4.t) - epoch_us(r3.t) AS dt FROM r4
+            JOIN r3 ON r4.user_id = r3.user_id)
+          SELECT 2::BIGINT AS stage, 'signup' AS from_stage,
+            'view' AS to_stage, count(*)::BIGINT AS n_users,
+            min(dt)::BIGINT AS min_us,
+            CASE WHEN count(*) > 0 THEN ((2 * sum(dt) + count(*)) //
+              (2 * count(*)))::BIGINT END AS avg_us,
+            max(dt)::BIGINT AS max_us FROM l2
+          UNION ALL SELECT 3::BIGINT, 'view', 'click',
+            count(*)::BIGINT, min(dt)::BIGINT,
+            CASE WHEN count(*) > 0 THEN ((2 * sum(dt) + count(*)) //
+              (2 * count(*)))::BIGINT END, max(dt)::BIGINT FROM l3
+          UNION ALL SELECT 4::BIGINT, 'click', 'purchase',
+            count(*)::BIGINT, min(dt)::BIGINT,
+            CASE WHEN count(*) > 0 THEN ((2 * sum(dt) + count(*)) //
+              (2 * count(*)))::BIGINT END, max(dt)::BIGINT FROM l4"""
+        .replaceAll("\\s+", " "))),
+
     // Session-scoped funnel: the same min-time chaining, but a
     // conversion must complete WITHIN one 30-minute-gap session (the
     // product question "does a visit convert", vs behavior_funnel's

@@ -724,6 +724,68 @@ object ParityQueries {
     // zero-seeded first cycle). The l₂ expression repeats inside the
     // t/s/seas terms (no same-SELECT aliases in the recursive leg) —
     // composed here by interpolation, evaluated identically.
+    // trailing rolling lag-1 AUTOCORRELATION per series (24-bucket
+    // frame, complete windows only): all five Pearson sums are EXACT
+    // Longs over cent-unit bucket means (Σx ≤ 24·10⁶ keeps (Σx)² far
+    // from Long overflow — the micro-unit form would sit within 2× of
+    // it), so the only floating point is the final
+    // num / (√d1 · √d2), one shared IEEE op order, rounded to 4 —
+    // the self-similarity drift signal (white noise ≈ 0, a developing
+    // trend → 1).
+    "ts_autocorr" -> QueryDef(
+      (s, dir) => {
+        val byS = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("b_us"))
+        val w = byS.rowsBetween(-23, 0)
+        val base = ev(s, dir)
+          .groupBy(col("event_type"),
+            expr("(ts div 3600000000000) * 3600000000").as("b_us"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"), col("b_us"),
+            expr("(2 * s + n) div (2 * n)").as("x"))
+          .withColumn("y", lag(col("x"), 1).over(byS))
+          .filter(col("y").isNotNull)
+        val stats = base.select(col("event_type"), col("b_us"),
+          count(lit(1)).over(w).as("k"),
+          sum(col("x")).over(w).as("sx"),
+          sum(col("y")).over(w).as("sy"),
+          sum(col("x") * col("y")).over(w).as("sxy"),
+          sum(col("x") * col("x")).over(w).as("sxx"),
+          sum(col("y") * col("y")).over(w).as("syy"))
+        val num = col("k") * col("sxy") - col("sx") * col("sy")
+        val d1 = col("k") * col("sxx") - col("sx") * col("sx")
+        val d2 = col("k") * col("syy") - col("sy") * col("sy")
+        stats.select(col("event_type"), col("b_us"),
+          when(col("k") === 24 && d1 > 0 && d2 > 0,
+            round(num.cast("double") /
+              (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))), 4))
+            .as("r1"))
+      },
+      Some("""WITH bk AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b_us,
+          sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+          count(*) AS n FROM events GROUP BY 1, 2),
+        mv AS (SELECT event_type, b_us,
+          CAST((2 * s + n) // (2 * n) AS BIGINT) AS x FROM bk),
+        lg AS (SELECT event_type, b_us, x, lag(x) OVER
+          (PARTITION BY event_type ORDER BY b_us) AS y FROM mv),
+        fl AS (SELECT * FROM lg WHERE y IS NOT NULL),
+        st AS (SELECT event_type, b_us,
+          count(*) OVER w AS k,
+          sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+          sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx,
+          sum(y * y) OVER w AS syy
+          FROM fl WINDOW w AS (PARTITION BY event_type ORDER BY b_us
+            ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        SELECT event_type, b_us,
+          CASE WHEN k = 24 AND (k * sxx - sx * sx) > 0
+              AND (k * syy - sy * sy) > 0 THEN
+            round((k * sxy - sx * sy)::DOUBLE /
+              (sqrt((k * sxx - sx * sx)::DOUBLE) *
+               sqrt((k * syy - sy * sy)::DOUBLE)), 4) END AS r1
+        FROM st""".replaceAll("\\s+", " "))),
+
     // trailing rolling MEDIAN (exact order statistic over a 5-bucket
     // rows frame, complete windows only) — the robust rolling baseline
     // a single spike cannot drag the way it drags a moving average.

@@ -77,6 +77,27 @@ class BehaviorSpec extends AnyFunSuite {
       ("b", "b") -> ((1L, 10000L))))
   }
 
+  test("funnelLatency: exact half-up mean / min / max of adjacent " +
+    "reach gaps; a transition nobody completes yields a null-safe " +
+    "zero row, not a division error") {
+    // ts in ns; dt computed in µs = ns div 1000
+    val df = events(Seq(
+      (1L, 1000L, 1L, "a"), (2L, 4000L, 1L, "b"),   // dt 3µs
+      (3L, 1000L, 2L, "a"), (4L, 9000L, 2L, "b"),   // dt 8µs
+      (5L, 1000L, 3L, "a")))                          // never reaches b
+    val out = Behavior.funnelLatency(df, "user_id", "ts", "event_type",
+        Seq("a", "b", "c"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    // a→b: dts {3, 8} → min 3, mean round-half-up(5.5) = 6, max 8
+    assert(out(2L) === ((2L, Some(3L), Some(6L), Some(8L))))
+    // b→c: empty — count 0, all stats null, no ANSI division error
+    assert(out(3L) === ((0L, None, None, None)))
+  }
+
   test("cohortRetention: offset 0 equals cohort size; gaps stay " +
     "absent (sparse matrix), later periods count distinct users once") {
     val df = events(Seq(
