@@ -1115,12 +1115,18 @@ object PipelineQueries {
     // gauge per corpus source (a template-farm source scores low).
     // One explode + two map-side-combined aggregates.
     "text_diversity" -> QueryDef(
+      // two-phase distinct (groupBy the pair, then count the groups)
+      // instead of count(DISTINCT)+count in one agg — the single-agg
+      // form plans an Expand that doubles every bigram row before a
+      // SortAggregate (the stats_column_profile lesson)
       (s, dir) => docs(s, dir)
         .select(col("source"),
           explode(Dedup.shingles(col("text"), 2)).as("g"))
+        .groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("n_g"))
         .groupBy(col("source"))
-        .agg(countDistinct(col("g")).as("uniq_bigrams"),
-          count(lit(1)).as("total_bigrams"))
+        .agg(count(lit(1)).as("uniq_bigrams"),
+          sum(col("n_g")).as("total_bigrams"))
         .select(col("source"), col("uniq_bigrams"),
           col("total_bigrams"),
           expr("(uniq_bigrams * 10000) div total_bigrams")
