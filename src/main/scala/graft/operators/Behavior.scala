@@ -132,6 +132,70 @@ object Behavior {
         expr("(n * 10000) div n_from").as("prob_bp"))
   }
 
+  /** RFM (recency / frequency / monetary) segmentation: per user,
+    * recency = full periods since their LAST event (against the
+    * stream's global latest event — a data-relative anchor, no
+    * wall-clock), frequency = event count, monetary = exact value
+    * cents; each metric bucketed by its own PERCENTILE_DISC
+    * `buckets`-ile cut points (1 + #cuts strictly below — the
+    * decileStats tie rule), and the result rolled up to the segment
+    * matrix.
+    *
+    * Scale shape: one groupBy(user) corpus pass; each metric's cut
+    * points derive from its DISTINCT-VALUE frequency frame
+    * (domain-bounded: periods by the horizon, counts and cent-totals
+    * by their value domains) through unpartitioned windows over those
+    * bounded frames only; the 3·(buckets−1) cut values ride ONE
+    * broadcast row. Output is the buckets³-cell matrix.
+    *
+    * Output: (r_bucket, f_bucket, m_bucket, n_users,
+    * sum_cents BIGINT). */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, periodLen: Long, buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets: $buckets")
+    require(periodLen > 0, s"periodLen must be positive: $periodLen")
+    val u = col(userCol)
+    val perUser = events.groupBy(u).agg(
+      max(col(tsCol)).as("last_ts"),
+      count(lit(1)).as("f"),
+      sum(round(col(valueCol) * 100, 0).cast("long")).as("m"))
+    val anchor = events.agg(max(col(tsCol)).as("t_max"))
+    val metrics = perUser.crossJoin(broadcast(anchor))
+      .select(u,
+        expr(s"(t_max - last_ts) div $periodLen").as("r"),
+        col("f"), col("m"))
+    // one (cut_1 … cut_{buckets−1}) row per metric, pivoted wide
+    def cutRow(metric: String): DataFrame = {
+      val wOrd = Window.orderBy(col("v"))
+      val wAll = Window.partitionBy()
+      val cum = metrics.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("n_v"))
+        .withColumn("cum", sum(col("n_v")).over(wOrd))
+        .withColumn("n", sum(col("n_v")).over(wAll))
+      val cutCols = (1 until buckets).map(p =>
+        min(when(col("p") === p, col("v"))).as(s"${metric}_c$p"))
+      cum
+        .select(col("v"), col("cum"),
+          explode(array((1 until buckets).map(lit): _*)).as("p"),
+          col("n"))
+        .filter(col("cum") >=
+          expr(s"(p * n + ${buckets - 1}) div $buckets"))
+        .groupBy()
+        .agg(cutCols.head, cutCols.tail: _*)
+    }
+    val cuts = cutRow("r").crossJoin(cutRow("f")).crossJoin(cutRow("m"))
+    def bucketOf(metric: String): Column =
+      (1 until buckets).map(p =>
+        when(col(metric) > col(s"${metric}_c$p"), 1L).otherwise(0L))
+        .reduce(_ + _) + 1L
+    metrics.crossJoin(broadcast(cuts))
+      .select(u, bucketOf("r").as("r_bucket"),
+        bucketOf("f").as("f_bucket"), bucketOf("m").as("m_bucket"),
+        col("m"))
+      .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("m")).as("sum_cents"))
+  }
+
   /** Cohort retention: cohort = the user's first-event period (integer
     * floor division of the event time by `periodLen`, e.g. a day for
     * ns timestamps and periodLen = 86 400·10⁹); cell (cohort, period

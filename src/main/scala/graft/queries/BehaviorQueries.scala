@@ -166,6 +166,58 @@ object BehaviorQueries {
           UNION ALL SELECT 4::BIGINT, 'purchase', count(*)::BIGINT
             FROM r4""".replaceAll("\\s+", " "))),
 
+    // RFM segmentation: per-user recency (days since last event,
+    // data-relative anchor) / frequency / monetary cents, each
+    // bucketed by exact tercile cut points, rolled up to the
+    // 27-cell segment matrix — all integer outputs.
+    "behavior_rfm" -> QueryDef(
+      (s, dir) => Behavior.rfm(ev(s, dir), "user_id", "ts", "value",
+        DayNs, buckets = 3),
+      Some(s"""WITH pu AS (SELECT user_id, max(ts) AS last_ts,
+            count(*)::BIGINT AS f,
+            sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS m
+            FROM events GROUP BY 1),
+          an AS (SELECT max(ts) AS t_max FROM events),
+          mt AS (SELECT user_id, (epoch_us(an.t_max) -
+              epoch_us(pu.last_ts)) // $DayUs AS r, f, m
+            FROM pu CROSS JOIN an),
+          rf AS (SELECT r AS v, count(*)::BIGINT AS n_v FROM mt
+            GROUP BY 1),
+          rw AS (SELECT v, sum(n_v) OVER (ORDER BY v) AS cum,
+            sum(n_v) OVER () AS n FROM rf),
+          rc AS (SELECT min(CASE WHEN p = 1 THEN v END) AS r_c1,
+            min(CASE WHEN p = 2 THEN v END) AS r_c2
+            FROM rw, unnest(generate_series(1, 2)) AS g(p)
+            WHERE cum >= (p * n + 2) // 3),
+          ff AS (SELECT f AS v, count(*)::BIGINT AS n_v FROM mt
+            GROUP BY 1),
+          fw AS (SELECT v, sum(n_v) OVER (ORDER BY v) AS cum,
+            sum(n_v) OVER () AS n FROM ff),
+          fc AS (SELECT min(CASE WHEN p = 1 THEN v END) AS f_c1,
+            min(CASE WHEN p = 2 THEN v END) AS f_c2
+            FROM fw, unnest(generate_series(1, 2)) AS g(p)
+            WHERE cum >= (p * n + 2) // 3),
+          mf AS (SELECT m AS v, count(*)::BIGINT AS n_v FROM mt
+            GROUP BY 1),
+          mw AS (SELECT v, sum(n_v) OVER (ORDER BY v) AS cum,
+            sum(n_v) OVER () AS n FROM mf),
+          mc AS (SELECT min(CASE WHEN p = 1 THEN v END) AS m_c1,
+            min(CASE WHEN p = 2 THEN v END) AS m_c2
+            FROM mw, unnest(generate_series(1, 2)) AS g(p)
+            WHERE cum >= (p * n + 2) // 3)
+          SELECT (1 + CASE WHEN mt.r > rc.r_c1 THEN 1 ELSE 0 END
+              + CASE WHEN mt.r > rc.r_c2 THEN 1 ELSE 0 END)::BIGINT
+              AS r_bucket,
+            (1 + CASE WHEN mt.f > fc.f_c1 THEN 1 ELSE 0 END
+              + CASE WHEN mt.f > fc.f_c2 THEN 1 ELSE 0 END)::BIGINT
+              AS f_bucket,
+            (1 + CASE WHEN mt.m > mc.m_c1 THEN 1 ELSE 0 END
+              + CASE WHEN mt.m > mc.m_c2 THEN 1 ELSE 0 END)::BIGINT
+              AS m_bucket,
+            count(*)::BIGINT AS n_users, sum(mt.m)::BIGINT AS sum_cents
+          FROM mt CROSS JOIN rc CROSS JOIN fc CROSS JOIN mc
+          GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
+
     // Day-grain cohort retention matrix; offset-0 row is the cohort
     // size. ns-day and µs-day floor divisions agree exactly.
     "behavior_cohort_retention" -> QueryDef(

@@ -98,6 +98,30 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out(3L) === ((0L, None, None, None)))
   }
 
+  test("rfm: exact tercile cuts on each metric; identical recencies " +
+    "collapse to one bucket; monetary follows frequency when value " +
+    "is constant") {
+    val s = spark
+    import s.implicits._
+    val minNs = 60L * 1000000000L
+    // user i emits i events (value 1.0), all on the same day
+    val rows = for { u <- 1L to 6L; j <- 1L to u }
+      yield (u * 100 + j, j * minNs, u, 1.0)
+    val out = Behavior.rfm(
+        rows.toDF("event_id", "ts", "user_id", "value")
+          .repartition(4),
+        "user_id", "ts", "value", periodLen = 86400L * 1000000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // f values 1..6 → cuts {2, 4}: f∈{1,2}→b1, {3,4}→b2, {5,6}→b3;
+    // m = 100·f cents follows; r identical → everyone r_bucket 1
+    assert(out === Map(
+      (1L, 1L, 1L) -> ((2L, 300L)),    // f=1,2 → 100+200 cents
+      (1L, 2L, 2L) -> ((2L, 700L)),    // f=3,4
+      (1L, 3L, 3L) -> ((2L, 1100L)))) // f=5,6
+  }
+
   test("cohortRetention: offset 0 equals cohort size; gaps stay " +
     "absent (sparse matrix), later periods count distinct users once") {
     val df = events(Seq(

@@ -234,10 +234,14 @@ class PlanSpec extends AnyFunSuite {
     //    VOCABULARY-bounded frequency frame (ranks are global by
     //    definition; the corpus is reduced by a map-side-combined
     //    groupBy before the window ever runs)
+    //  - behavior_rfm: tercile cut points over each metric's
+    //    DISTINCT-VALUE frequency frame (periods bounded by the
+    //    horizon, counts/cent-totals by their value domains) — the
+    //    corpus is reduced by the per-user groupBy before any window
     val allowed = Set("pipeline_temperature_weights",
       "pipeline_temperature_tokens",
       "pipeline_pack_sequences", "pipeline_pack_tokens",
-      "text_zipf_slope")
+      "text_zipf_slope", "behavior_rfm")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.queryExecution.optimizedPlan.collect {
