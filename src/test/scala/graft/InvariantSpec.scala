@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{Behavior, Graph, Profiling}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized structural invariants for the behavior / profiling /
+  * graph families: properties that must hold for EVERY input, checked
+  * over fixed-seed random frames (deterministic runs; small case
+  * counts because each case is a Spark job). The hand-computed
+  * fixtures pin exact values; these pin the shape of the space. */
+class InvariantSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  private val rnd = new scala.util.Random(42)
+
+  test("decileStats: per group, bucket counts sum to the group size, " +
+    "buckets are within 1..10, value ranges are disjoint and ordered, " +
+    "sums are exact") {
+    val s = spark
+    import s.implicits._
+    (1 to 6).foreach { _ =>
+      val rows = (1 to 200).map(_ =>
+        (s"g${rnd.nextInt(3)}", (rnd.nextInt(40) + 1).toLong))
+      val bySize = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val bySum = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toMap
+      val out = Profiling.decileStats(rows.toDF("g", "v")
+          .repartition(rnd.nextInt(5) + 1), Seq("g"), "v")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      out.foreach { case (_, b, _, minV, maxV, _) =>
+        assert(b >= 1 && b <= 10)
+        assert(minV <= maxV)
+      }
+      out.groupBy(_._1).foreach { case (g, bs) =>
+        assert(bs.map(_._3).sum === bySize(g), s"count sum for $g")
+        assert(bs.map(_._6).sum === bySum(g), s"value sum for $g")
+        // ordered disjoint ranges: ties share a bucket, so the next
+        // bucket's min strictly exceeds the previous bucket's max
+        val ordered = bs.sortBy(_._2)
+        ordered.sliding(2).foreach {
+          case Array(a, c) => assert(a._5 < c._4, s"$g: $a vs $c")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("madStats: median within [min, max], outliers never exceed n, " +
+    "MAD non-negative, n equals the group size") {
+    val s = spark
+    import s.implicits._
+    (1 to 6).foreach { _ =>
+      val rows = (1 to 150).map(_ =>
+        (s"g${rnd.nextInt(2)}", (rnd.nextInt(1000) - 200).toLong))
+      val stats = rows.groupBy(_._1)
+      val out = Profiling.madStats(rows.toDF("g", "c")
+          .repartition(rnd.nextInt(4) + 1), Seq("g"), "c")
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      stats.foreach { case (g, vs) =>
+        val (n, med, mad, outl) = out(g)
+        assert(n === vs.size.toLong)
+        assert(med >= vs.map(_._2).min && med <= vs.map(_._2).max)
+        assert(mad >= 0L)
+        assert(outl >= 0L && outl <= n)
+      }
+    }
+  }
+
+  test("funnel: stage counts are monotone non-increasing and stage 1 " +
+    "equals the distinct users having that event type") {
+    val s = spark
+    import s.implicits._
+    val types = Seq("a", "b", "c")
+    (1 to 5).foreach { _ =>
+      val rows = (1 to 120).map(i => (i.toLong,
+        rnd.nextInt(1000).toLong * 1000L,
+        rnd.nextInt(12).toLong, types(rnd.nextInt(3))))
+      val out = Behavior.funnel(
+          rows.toDF("event_id", "ts", "user_id", "event_type")
+            .repartition(3),
+          "user_id", "ts", "event_type", types)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(out(1L) >= out(2L) && out(2L) >= out(3L))
+      assert(out(1L) ===
+        rows.filter(_._4 == "a").map(_._3).distinct.size.toLong)
+    }
+  }
+
+  test("pageRankInt: every rank >= the base term; total mass never " +
+    "exceeds the initial N*scale; isolated nodes sit exactly at base") {
+    val s = spark
+    import s.implicits._
+    (1 to 4).foreach { _ =>
+      val n = rnd.nextInt(8) + 4
+      val nodes = (1L to n.toLong)
+      val pairs = (1 to rnd.nextInt(12) + 2).map(_ =>
+        (nodes(rnd.nextInt(n)), nodes(rnd.nextInt(n))))
+        .filter(p => p._1 != p._2).distinct
+      val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+      val out = Graph.pageRankInt(nodes.toDF("id"), edges, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val base = 1000000L * 15L / 100L
+      assert(out.values.forall(_ >= base))
+      assert(out.values.sum <= n.toLong * 1000000L)
+      val linked = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      nodes.filterNot(linked).foreach(id => assert(out(id) === base))
+    }
+  }
+}
