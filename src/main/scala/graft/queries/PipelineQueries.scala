@@ -1366,6 +1366,40 @@ object PipelineQueries {
           < ${Curation.hashSampleThreshold(1L, 10L)}"""
         .replaceAll("\\s+", " "))),
 
+    // config-driven curation: the declarative CurationConfig run —
+    // length/lang filters → exact dedup (min-id representative) →
+    // deterministic 30% hash sample → stable split assignment, every
+    // step the engine's existing md5-convention primitive, so the
+    // oracle composes from the same SQL fragments.
+    "pipeline_configured" -> QueryDef(
+      (s, dir) => graft.operators.CurationPipeline.run(
+        docs(s, dir), "doc_id", "text", "lang", "n_chars",
+        graft.operators.CurationConfig(
+          minChars = Some(80L), maxChars = Some(520L),
+          langs = Some(Seq("en", "de", "fr")),
+          dedupeExact = true,
+          sampleNum = Some(30L), sampleDen = 100L, sampleSeed = "r9c",
+          withSplit = true))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("sample_key"), col("split")),
+      Some(s"""WITH f AS (SELECT * FROM documents
+          WHERE n_chars >= 80 AND n_chars <= 520
+            AND lang IN ('en', 'de', 'fr')),
+        k AS (SELECT min(doc_id) AS keep FROM f GROUP BY text),
+        d AS (SELECT f.* FROM f JOIN k ON f.doc_id = k.keep),
+        sm AS (SELECT *,
+          ('0x'||substr(md5(doc_id::VARCHAR || ':r9c'),1,15))::BIGINT
+            AS sample_key FROM d),
+        ss AS (SELECT * FROM sm WHERE sample_key <
+          ${Curation.hashSampleThreshold(30L, 100L)})
+        SELECT doc_id, lang, n_chars, sample_key,
+          CASE WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT
+                 % 100 < 80 THEN 'train'
+               WHEN ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT
+                 % 100 < 90 THEN 'validation'
+               ELSE 'test' END AS split
+        FROM ss""".replaceAll("\\s+", " "))),
+
     "pipeline_shuffle_shard" -> QueryDef(
       (s, dir) => Curation.shuffleShard(docs(s, dir), "doc_id",
         seed = "r7", nShards = 16),

@@ -587,4 +587,42 @@ class CurationSpec extends AnyFunSuite {
     assert(!shuffled.exists(n => n == "text" || n == "clean_text"),
       s"document text crossed a shuffle: $shuffled")
   }
+
+  test("CurationPipeline: every config step composes independently — " +
+    "an empty config is the identity, dedup keeps min-id " +
+    "representatives, filters precede the sample so rates apply to " +
+    "survivors, split assignments are the registry convention") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{CurationConfig, CurationPipeline}
+    val docs = Seq(
+      (1L, "alpha beta", "en", 10L), (2L, "alpha beta", "en", 10L),
+      (3L, "gamma", "de", 5L), (4L, "delta", "fr", 60L),
+      (5L, "epsilon", "en", 7L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    // identity
+    assert(CurationPipeline.run(docs, "doc_id", "text", "lang",
+      "n_chars", CurationConfig()).collect().length === 5)
+    // length + lang filters
+    val f = CurationPipeline.run(docs, "doc_id", "text", "lang",
+        "n_chars", CurationConfig(minChars = Some(6L),
+          maxChars = Some(50L), langs = Some(Seq("en"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(f === Set(1L, 2L, 5L))
+    // exact dedup keeps the min id of the duplicate pair
+    val d = CurationPipeline.run(docs, "doc_id", "text", "lang",
+        "n_chars", CurationConfig(dedupeExact = true))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(d === Set(1L, 3L, 4L, 5L))
+    // full-rate sample is a no-op selection; split matches the
+    // registry convention (md5 bucket mod 100)
+    val sp = CurationPipeline.run(docs, "doc_id", "text", "lang",
+        "n_chars", CurationConfig(sampleNum = Some(1L), sampleDen = 1L,
+          withSplit = true))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    assert(sp.size === 5)
+    assert(sp.values.forall(Set("train", "validation", "test")))
+  }
 }
