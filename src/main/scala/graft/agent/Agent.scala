@@ -81,7 +81,17 @@ final case class AgentConfig(
     logMode: String = "console",
     logDir: String = "",
     // -v/-vv/-vvv verbosity (main.go:94-98) → Spark log level
-    logLevel: String = "")
+    logLevel: String = "",
+    // `-action curate` (engine extension): config-driven corpus
+    // curation over a documents parquet at masterRoot → slaveRoot.
+    // curateSample is "num/den" (e.g. "30/100"); curateLangs a
+    // comma-separated keep list; empty values disable each step.
+    curateMinChars: String = "",
+    curateMaxChars: String = "",
+    curateLangs: String = "",
+    curateDedupe: Boolean = false,
+    curateSample: String = "",
+    curateSplit: Boolean = false)
 
 /** The agent — one object composing catalog discovery, schema DDL, the
   * chunked copy plane, and the HA monitor into the reference's four
@@ -98,8 +108,10 @@ final case class AgentConfig(
   *
   * Engine-extension actions beyond the reference's four: `verify`
   * (checksum-only comparison), `diffsync` (checksum-driven incremental
-  * repair), `retention` (enforce replicated `_rp.json` durations), and
-  * `stream` (continuous Structured-Streaming replication daemon).
+  * repair), `retention` (enforce replicated `_rp.json` durations),
+  * `compact` (small-file compaction), `curate` (config-driven corpus
+  * curation over a documents parquet), and `stream` (continuous
+  * Structured-Streaming replication daemon).
   *
   * Every action starts with `initCluster` — block (retrying every
   * monitor-retry-interval) until both servers are alive
@@ -343,6 +355,40 @@ final class Agent(
       report.map(_._2).sum, report.map(_._3).sum)
   }
 
+  /** `-action curate` (engine extension): config-driven corpus
+    * curation — read the documents parquet at masterRoot, run the
+    * declarative [[graft.operators.CurationPipeline]] derived from the
+    * curate* config keys, write the surviving (possibly
+    * split-labelled) rows to `slaveRoot/curated`. The corpus schema is
+    * the engine's documents convention (doc_id / text / lang /
+    * n_chars). Returns (rows in, rows out). */
+  def curate(): (Long, Long) = {
+    require(pathExists(cfg.masterRoot),
+      s"curate source not found: ${cfg.masterRoot}")
+    def longOpt(v: String): Option[Long] =
+      if (v.isEmpty) None else Some(v.toLong)
+    val (sampleNum, sampleDen) = cfg.curateSample match {
+      case "" => (None, 100L)
+      case s => s.split("/") match {
+        case Array(n, d) => (Some(n.trim.toLong), d.trim.toLong)
+        case _ => sys.error(s"curate-sample must be num/den: $s")
+      }
+    }
+    val cc = graft.operators.CurationConfig(
+      minChars = longOpt(cfg.curateMinChars),
+      maxChars = longOpt(cfg.curateMaxChars),
+      langs = if (cfg.curateLangs.isEmpty) None
+        else Some(cfg.curateLangs.split(",").map(_.trim).toSeq),
+      dedupeExact = cfg.curateDedupe,
+      sampleNum = sampleNum, sampleDen = sampleDen,
+      withSplit = cfg.curateSplit)
+    val docs = spark.read.parquet(cfg.masterRoot)
+    val out = graft.operators.CurationPipeline.run(
+      docs, "doc_id", "text", "lang", "n_chars", cc)
+    out.write.mode("overwrite").parquet(s"${cfg.slaveRoot}/curated")
+    (docs.count(), spark.read.parquet(s"${cfg.slaveRoot}/curated").count())
+  }
+
   private def pathExists(p: String): Boolean = {
     val path = new Path(p)
     Try(path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -477,6 +523,7 @@ final class Agent(
     case "diffsync"      => diffSync(): Unit
     case "retention"     => retention(): Unit
     case "compact"       => compact(): Unit
+    case "curate"        => curate(): Unit
     case "verify" =>
       val bad = verify().filter(_._2.nonEmpty)
       require(bad.isEmpty, "checksum mismatches: " + bad.map {
@@ -576,7 +623,8 @@ object AgentCli {
     "-logmode", "-logs", "-action", "-config", "-master", "-slave",
     "-db", "-rp", "-meas", "-newdb", "-newrp", "-chunk", "-start",
     "-end", "-checkpoint", "-tags", "-fields", "-watermark", "-static",
-    "-pidfile")
+    "-pidfile", "-curate-minchars", "-curate-maxchars",
+    "-curate-langs", "-curate-sample")
   private def versionRequested(args: Array[String]): Boolean = {
     var i = 0
     while (i < args.length) {
@@ -654,6 +702,12 @@ object AgentCli {
         case "-watermark"  => c = c.copy(streamWatermark = v)
         case "-static"     => c = c.copy(staticDir = v)
         case "-pidfile"    => c = c.copy(pidfile = v)
+        case "-curate-minchars" => c = c.copy(curateMinChars = v)
+        case "-curate-maxchars" => c = c.copy(curateMaxChars = v)
+        case "-curate-langs"    => c = c.copy(curateLangs = v)
+        case "-curate-sample"   => c = c.copy(curateSample = v)
+        case "-curate-dedupe"   => c = c.copy(curateDedupe = true)
+        case "-curate-split"    => c = c.copy(curateSplit = true)
         case other =>
           throw new IllegalArgumentException(s"unknown flag: $other")
       }

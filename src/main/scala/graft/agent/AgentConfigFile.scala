@@ -127,6 +127,15 @@ object AgentConfigFile {
     // engine extension: post-copy checksum verification
     g.get("verify-after-copy").foreach(v =>
       c = c.copy(verifyAfterCopy = v.toBoolean))
+    // engine extension: `-action curate` pipeline keys
+    g.get("curate-min-chars").foreach(v => c = c.copy(curateMinChars = v))
+    g.get("curate-max-chars").foreach(v => c = c.copy(curateMaxChars = v))
+    g.get("curate-langs").foreach(v => c = c.copy(curateLangs = v))
+    g.get("curate-dedupe").foreach(v =>
+      c = c.copy(curateDedupe = v.toBoolean))
+    g.get("curate-sample").foreach(v => c = c.copy(curateSample = v))
+    g.get("curate-split").foreach(v =>
+      c = c.copy(curateSplit = v.toBoolean))
     // [http]: bind-addr port + admin credentials (mainconfig.go:39-44)
     parsed.http.get("bind-addr").foreach { ba =>
       ba.split(':').lastOption.flatMap(p => scala.util.Try(p.toInt).toOption)

@@ -392,4 +392,43 @@ class AgentSpec extends AnyFunSuite {
       spark.newSession().sql("SELECT simhash('x')").collect()
     }
   }
+
+  test("-action curate: config-driven corpus curation end to end — " +
+    "filters, exact dedup, and split label applied; CLI flag parity " +
+    "with the config keys") {
+    val s = spark
+    import s.implicits._
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_curate_src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_curate_dst").toString
+    Seq(
+      (1L, "alpha beta", "en", 10L), (2L, "alpha beta", "en", 10L),
+      (3L, "tiny", "en", 3L), (4L, "lang out", "zz", 10L),
+      (5L, "keeper text", "en", 11L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(src)
+    val agent = new Agent(spark, AgentConfig(
+      masterRoot = src, slaveRoot = dst,
+      curateMinChars = "5", curateLangs = "en",
+      curateDedupe = true, curateSplit = true))
+    val (nIn, nOut) = agent.curate()
+    assert(nIn === 5L)
+    // doc 3 (too short), doc 4 (lang), doc 2 (dup of 1) drop
+    assert(nOut === 2L)
+    val out = spark.read.parquet(s"$dst/curated")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set(1L, 5L))
+    assert(out.values.forall(Set("train", "validation", "test")))
+    // the CLI flags land on the same config fields
+    val (action, c) = AgentCli.parse(Array(
+      "-action", "curate", "-master", src, "-slave", dst,
+      "-curate-minchars", "5", "-curate-langs", "en,de",
+      "-curate-dedupe", "-curate-sample", "30/100", "-curate-split"))
+    assert(action === "curate")
+    assert(c.curateMinChars === "5" && c.curateLangs === "en,de")
+    assert(c.curateDedupe && c.curateSplit)
+    assert(c.curateSample === "30/100")
+  }
 }
