@@ -145,6 +145,44 @@ object Profiling {
         sum(col("n_v") * col("v")).as("sum_v"))
   }
 
+  /** Exact per-group percentile bands (PERCENTILE_DISC order
+    * statistics — ⌈p·n⌉-th smallest with multiplicity, actual data
+    * values): the dashboard staple "p50/p90/p99 per series per time
+    * bucket", computed with the madStats window discipline — one
+    * map-side-combined groupBy((group, value)) corpus pass, then every
+    * band as a window aggregate over the domain-bounded frequency
+    * frame's existing sort; zero joins.
+    *
+    * @param percentiles (num, den) rational percentiles, paired with
+    *                    `names` for the output columns
+    * Output: (group…, n, names…) — all exact Longs. */
+  def percentileBands(df: DataFrame, groupCols: Seq[String],
+      centsCol: String, percentiles: Seq[(Long, Long)],
+      names: Seq[String]): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.size == names.size,
+      s"one name per percentile: $percentiles / $names")
+    percentiles.foreach { case (n, d) =>
+      require(n > 0 && n <= d, s"percentile must be in (0, 1]: $n/$d") }
+    val gc = groupCols.map(col)
+    val wOrd = Window.partitionBy(gc: _*).orderBy(col("c"))
+    val wAll = Window.partitionBy(gc: _*)
+    val cum = df
+      .groupBy(gc :+ col(centsCol).cast("long").as("c"): _*)
+      .agg(count(lit(1)).as("n_v"))
+      .withColumn("cum", sum(col("n_v")).over(wOrd))
+      .withColumn("n", sum(col("n_v")).over(wAll))
+    val banded = percentiles.zip(names).foldLeft(cum) {
+      case (d, ((num, den), name)) =>
+        d.withColumn(name,
+          min(when(col("cum") >=
+            expr(s"(n * $num + ${den - 1}) div $den"), col("c")))
+            .over(wAll))
+    }
+    banded.groupBy(gc: _*)
+      .agg(max(col("n")).as("n"),
+        names.map(nm => max(col(nm)).as(nm)): _*)
+  }
+
   /** MAD (median-absolute-deviation) robust outlier statistics in
     * EXACT integer units — the heavy-tail-safe twin of z-score
     * flagging (mean/stddev are themselves dragged by the outliers

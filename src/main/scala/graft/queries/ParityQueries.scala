@@ -4,7 +4,7 @@ import graft.agent.{Agent, AgentConfig}
 import graft.catalog.Catalog
 import graft.functions.ChecksumAgg
 import graft.model.{FieldSch, FieldType}
-import graft.operators.{ContinuousQuery, CopyJob, SeriesOps}
+import graft.operators.{ContinuousQuery, CopyJob, Profiling, SeriesOps}
 import graft.plan.ChunkPlanner
 import graft.sources.{LineProtocol, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -724,6 +724,34 @@ object ParityQueries {
     // zero-seeded first cycle). The l₂ expression repeats inside the
     // t/s/seas terms (no same-SELECT aliases in the recursive leg) —
     // composed here by interpolation, evaluated identically.
+    // exact p50/p90/p99 per (series, 6-hour bucket): PERCENTILE_DISC
+    // order statistics on cent values via the window-over-frequency-
+    // frame discipline (one corpus pass, zero joins) — the latency/
+    // value band chart every ops dashboard draws.
+    "ts_percentile_bands" -> QueryDef(
+      (s, dir) => Profiling.percentileBands(
+        ev(s, dir).select(col("event_type"),
+          expr("ts div 21600000000000").as("b"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        Seq("event_type", "b"), "cents",
+        Seq((1L, 2L), (9L, 10L), (99L, 100L)),
+        Seq("p50", "p90", "p99")),
+      Some("""WITH f AS (SELECT event_type,
+          epoch_us(ts) // 21600000000 AS b,
+          CAST(round(value * 100, 0) AS BIGINT) AS c,
+          count(*)::BIGINT AS n_v FROM events GROUP BY 1, 2, 3),
+        cw AS (SELECT event_type, b, c, n_v,
+          sum(n_v) OVER (PARTITION BY event_type, b ORDER BY c) AS cum,
+          sum(n_v) OVER (PARTITION BY event_type, b) AS n FROM f)
+        SELECT event_type, b, max(n)::BIGINT AS n,
+          min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN c END)::BIGINT
+            AS p50,
+          min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN c END)::BIGINT
+            AS p90,
+          min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN c END)::BIGINT
+            AS p99
+        FROM cw GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
     // trailing rolling lag-1 AUTOCORRELATION per series (24-bucket
     // frame, complete windows only): all five Pearson sums are EXACT
     // Longs over cent-unit bucket means (Σx ≤ 24·10⁶ keeps (Σx)² far

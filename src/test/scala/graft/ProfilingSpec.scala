@@ -103,6 +103,23 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("percentileBands: PERCENTILE_DISC semantics on a hand-built " +
+    "group — actual data values, multiplicity-ranked; p100 is the " +
+    "max; a singleton group pins every band to its value") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 10).map(v => ("A", v.toLong)) :+ (("B", 7L))
+    val out = Profiling.percentileBands(
+        rows.toDF("g", "c").repartition(3), Seq("g"), "c",
+        Seq((1L, 2L), (9L, 10L), (1L, 1L)), Seq("p50", "p90", "p100"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // A: n=10 → p50 = ⌈5⌉th = 5, p90 = ⌈9⌉th = 9, p100 = 10
+    assert(out("A") === ((10L, 5L, 9L, 10L)))
+    assert(out("B") === ((1L, 7L, 7L, 7L)))
+  }
+
   test("madStats: hand-computed median/MAD on 1..9 plus a far " +
     "outlier; duplicate-heavy group takes the multiplicity rank; " +
     "MAD=0 degenerate group flags every off-median row") {
