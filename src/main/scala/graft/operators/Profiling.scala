@@ -282,22 +282,26 @@ object Profiling {
     require(trimNum > 0 && 2 * trimNum < trimDen,
       s"need 0 < 2*trim < 1: $trimNum/$trimDen")
     val gc = groupCols.map(col)
-    val freq = df
+    val wOrd = Window.partitionBy(gc: _*).orderBy(col("c"))
+    val wAll = Window.partitionBy(gc: _*)
+    // the madStats/percentileBands window discipline: totals, target
+    // ranks and clip bounds all ride window aggregates on the
+    // frequency frame's existing sort — no per-branch re-aggregation
+    // of the corpus, zero joins
+    val cum = df
       .groupBy(gc :+ col(centsCol).cast("long").as("c"): _*)
       .agg(count(lit(1)).as("n_v"))
-    val w = Window.partitionBy(gc: _*).orderBy(col("c"))
-    val cum = freq.withColumn("cum", sum(col("n_v")).over(w))
-    val tot = freq.groupBy(gc: _*).agg(sum(col("n_v")).as("n"))
+      .withColumn("cum", sum(col("n_v")).over(wOrd))
+      .withColumn("n", sum(col("n_v")).over(wAll))
       .withColumn("klo",
         expr(s"(n * $trimNum + ${trimDen - 1}) div $trimDen"))
-      .withColumn("khi", col("n") - col("klo") + 1)
-    val bounds = cum.join(tot, groupCols)
-      .groupBy(gc: _*)
-      .agg(min(when(col("cum") >= col("klo"), col("c"))).as("lo_c"),
-        min(when(col("cum") >= col("khi"), col("c"))).as("hi_c"))
-    freq.join(bounds, groupCols)
-      .groupBy(gc: _*)
-      .agg(sum(col("n_v")).as("n"),
+      .withColumn("lo_c",
+        min(when(col("cum") >= col("klo"), col("c"))).over(wAll))
+      .withColumn("hi_c",
+        min(when(col("cum") >= col("n") - col("klo") + 1, col("c")))
+          .over(wAll))
+    cum.groupBy(gc: _*)
+      .agg(max(col("n")).as("n"),
         max(col("lo_c")).as("lo_c"), // constant within group
         max(col("hi_c")).as("hi_c"),
         sum(col("n_v") *
