@@ -704,6 +704,51 @@ object SeriesOps {
         (col("it.sn") > threshold).as("alarm_neg")): _*)
   }
 
+  /** Mann–Kendall trend test over a BUCKETED per-series frame: the
+    * nonparametric "is there a monotone trend" check (no distribution
+    * assumption, robust to outliers — the audit before trusting a
+    * linear fit). S = Σ_{i<j} sgn(vⱼ − vᵢ); variance with the tie
+    * correction Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) kept ×18 so
+    * it stays an exact Long; Z = (S − sgn(S)) / √(Var) is the one
+    * rounded double.
+    *
+    * Scale contract: the pairwise join is per-series (b₁ < b₂ within
+    * the key) over GROUP BY time() output — series length is bounded
+    * by range/interval exactly as the EMA family documents, so the
+    * quadratic term is (buckets)², never corpus². Series aggregate in
+    * parallel.
+    *
+    * Output: (series…, n, s, var18, z DOUBLE rounded 4). */
+  def mannKendall(df: DataFrame, seriesCols: Seq[String],
+      bucketCol: String, centsCol: String): DataFrame = {
+    val gc = seriesCols.map(col)
+    val base = df.select(gc :+ col(bucketCol).cast("long").as("b") :+
+      col(centsCol).cast("long").as("v"): _*)
+    val pairs = base.as("a")
+      .join(base.as("x"),
+        seriesCols.map(c => col(s"a.$c") === col(s"x.$c"))
+          .reduce(_ && _) && col("a.b") < col("x.b"))
+      .select(seriesCols.map(c => col(s"a.$c")) :+
+        signum(col("x.v") - col("a.v")).cast("long").as("sg"): _*)
+    val sAgg = pairs.groupBy(gc: _*).agg(sum(col("sg")).as("s"))
+    val ties = base.groupBy(gc :+ col("v"): _*)
+      .agg(count(lit(1)).as("t"))
+      .groupBy(gc: _*)
+      .agg(sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tie18"))
+    ties.join(sAgg, seriesCols, "left_outer")
+      .select(gc ++ Seq(col("n"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+          col("tie18")).as("var18")): _*)
+      .withColumn("z",
+        when(col("var18") > 0,
+          round((col("s") - signum(col("s")).cast("long"))
+            .cast("double") /
+            sqrt(col("var18").cast("double") / 18.0), 4)))
+  }
+
   /** Classical additive seasonal decomposition over a BUCKETED
     * per-series frame: value = trend + seasonal + residual. Trend is
     * the centered moving average over one full (ODD) period — defined

@@ -724,6 +724,46 @@ object ParityQueries {
     // zero-seeded first cycle). The l₂ expression repeats inside the
     // t/s/seas terms (no same-SELECT aliases in the recursive leg) —
     // composed here by interpolation, evaluated identically.
+    // Mann–Kendall trend test per series over 6-hour buckets:
+    // nonparametric monotone-trend detection (S, tie-corrected
+    // variance ×18 as an exact Long, Z the one rounded double). The
+    // pairwise term is per-series over GROUP BY time() output —
+    // bounded by (range/interval)², the EMA family's contract.
+    "ts_mk_trend" -> QueryDef(
+      (s, dir) => SeriesOps.mannKendall(
+        ev(s, dir)
+          .groupBy(col("event_type"),
+            expr("ts div 21600000000000").as("b"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("vc")),
+        Seq("event_type"), "b", "vc"),
+      Some("""WITH bk AS (SELECT event_type,
+          epoch_us(ts) // 21600000000 AS b,
+          sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS v
+          FROM events GROUP BY 1, 2),
+        pr AS (SELECT a.event_type,
+          CASE WHEN x.v > a.v THEN 1 WHEN x.v < a.v THEN -1 ELSE 0 END
+            AS sg
+          FROM bk a JOIN bk x ON a.event_type = x.event_type
+            AND a.b < x.b),
+        sa AS (SELECT event_type, sum(sg)::BIGINT AS s FROM pr
+          GROUP BY 1),
+        ti AS (SELECT event_type, sum(t)::BIGINT AS n,
+          sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie18
+          FROM (SELECT event_type, v, count(*)::BIGINT AS t FROM bk
+            GROUP BY 1, 2) GROUP BY 1)
+        SELECT ti.event_type, ti.n, coalesce(sa.s, 0)::BIGINT AS s,
+          (ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tie18)::BIGINT
+            AS var18,
+          CASE WHEN (ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tie18) > 0
+            THEN round((coalesce(sa.s, 0) -
+              CASE WHEN coalesce(sa.s, 0) > 0 THEN 1
+                   WHEN coalesce(sa.s, 0) < 0 THEN -1 ELSE 0 END)
+              ::DOUBLE /
+              sqrt((ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tie18)
+                ::DOUBLE / 18.0), 4) END AS z
+        FROM ti LEFT JOIN sa ON ti.event_type = sa.event_type"""
+        .replaceAll("\\s+", " "))),
+
     // exact p50/p90/p99 per (series, 6-hour bucket): PERCENTILE_DISC
     // order statistics on cent values via the window-over-frequency-
     // frame discipline (one corpus pass, zero joins) — the latency/

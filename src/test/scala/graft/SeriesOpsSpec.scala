@@ -552,6 +552,35 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).size === 1, p.take(3000))
   }
 
+  test("mannKendall: strictly increasing series → S = n(n−1)/2 and a " +
+    "positive z; constant series → all-tie variance 0, null z; " +
+    "hand-checked tie correction") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 10L).map(b => ("up", b, b * 10)) ++
+      (1L to 6L).map(b => ("flat", b, 7L)) ++
+      // mixed with one tie pair: values 1,2,2,3 → S = sgn-sum
+      Seq(("tie", 1L, 1L), ("tie", 2L, 2L), ("tie", 3L, 2L),
+        ("tie", 4L, 3L))
+    val out = graft.operators.SeriesOps.mannKendall(
+        rows.toDF("k", "b", "vc").repartition(3), Seq("k"), "b", "vc")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // up: n=10, all 45 pairs concordant → S=45; no ties →
+    // var18 = 10·9·25 = 2250, z = 44/√125 > 0
+    assert(out("up")._1 === 10L && out("up")._2 === 45L)
+    assert(out("up")._3 === 2250L)
+    assert(out("up")._4.exists(_ > 3.9))
+    // flat: every pair ties → S=0, tie term cancels the variance
+    assert(out("flat")._2 === 0L && out("flat")._3 === 0L)
+    assert(out("flat")._4.isEmpty)
+    // tie: pairs (1,2)(1,2)(1,3)(2,2)t(2,3)(2,3) → S = 5;
+    // var18 = 4·3·13 − 2·1·9 = 138
+    assert(out("tie")._2 === 5L && out("tie")._3 === 138L)
+  }
+
   test("cusumFixed: a level shift accumulates to an alarm that " +
     "rolling noise never reaches; negative shifts land on the " +
     "negative side; the first point seeds the target") {
