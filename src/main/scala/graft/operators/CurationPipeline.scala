@@ -64,4 +64,33 @@ object CurationPipeline {
           .when(col("bucket") < 90, "validation")
           .otherwise("test"))
   }
+
+  /** Materialize a curated corpus as deterministic training shards:
+    * the Curation.shuffleShard assignment (md5 shuffle key → shard,
+    * within-shard position) written as `shard=<k>/` parquet
+    * partitions, each shard's rows sorted by the shuffle position —
+    * so every epoch reader streams the SAME pseudo-random order
+    * without a global sort, and a re-export over identical input is
+    * byte-for-byte reproducible. One hash-partitioned exchange (the
+    * shard key), one within-partition sort, no driver-side state.
+    *
+    * Returns the shard manifest (shard, n_rows) read back from the
+    * written files — the export-completeness receipt a training job
+    * checks before consuming. */
+  def exportShards(docs: DataFrame, idCol: String, outDir: String,
+      seed: String, nShards: Int): Seq[(Long, Long)] = {
+    val assigned = Curation.shuffleShard(docs, idCol, seed, nShards)
+      .select(col("id").as(idCol), col("shard"), col("pos"))
+    val keyed = docs.join(assigned, idCol)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+    keyed.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    docs.sparkSession.read.parquet(outDir)
+      // partition-column discovery infers int — pin the Long contract
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+  }
 }

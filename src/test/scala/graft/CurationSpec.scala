@@ -625,4 +625,34 @@ class CurationSpec extends AnyFunSuite {
     assert(sp.size === 5)
     assert(sp.values.forall(Set("train", "validation", "test")))
   }
+
+  test("exportShards: every row lands in exactly one shard, shard " +
+    "files stream in the deterministic shuffle order, and a " +
+    "re-export is identical") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{Curation, CurationPipeline}
+    val docs = (1L to 40L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text").repartition(5)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    val manifest =
+      CurationPipeline.exportShards(docs, "doc_id", out, "e0", 4)
+    assert(manifest.map(_._2).sum === 40L)
+    assert(manifest.map(_._1).toSet.subsetOf((0L until 4L).toSet))
+    // within a shard file, rows appear in shuffle-key position order
+    val expected = Curation.shuffleShard(docs, "doc_id", "e0", 4)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(0)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    expected.foreach { case (shard, ids) =>
+      val got = spark.read.parquet(s"$out/shard=$shard")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got === ids, s"shard $shard order")
+    }
+    // determinism: re-export over the same input is identical
+    val manifest2 =
+      CurationPipeline.exportShards(docs, "doc_id", out, "e0", 4)
+    assert(manifest2 === manifest)
+  }
 }
