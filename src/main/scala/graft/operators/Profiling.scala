@@ -145,6 +145,45 @@ object Profiling {
         sum(col("n_v") * col("v")).as("sum_v"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance in EXACT integers: the
+    * distribution-drift test between two cohorts of one integer
+    * metric ("do clicks and views draw values from the same
+    * distribution", "did this week's length distribution move").
+    * D = max |F₁ − F₂| is kept as the cross-multiplied integer
+    * max|cum₁·n₂ − cum₂·n₁| (no division inside the max — exact and
+    * order-independent); the returned `d` is that numerator over
+    * n₁·n₂, one rounded double.
+    *
+    * Scale shape: one map-side-combined groupBy(value) corpus pass
+    * with conditional counts; the CDF windows run on the merged
+    * DISTINCT-VALUE frame, bounded by the value domain (the
+    * registry-allowlisted unpartitioned-window argument).
+    *
+    * Output (one row): n1, n2, d_num BIGINT, d DOUBLE rounded 6. */
+  def ksTest(df: DataFrame, cohortCol: String, valueCol: String,
+      cohortA: String, cohortB: String): DataFrame = {
+    require(cohortA != cohortB, s"cohorts must differ: $cohortA")
+    val f = df
+      .filter(col(cohortCol).isin(cohortA, cohortB))
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(cohortCol) === cohortA, 1L).otherwise(0L))
+        .as("na"),
+        sum(when(col(cohortCol) === cohortB, 1L).otherwise(0L))
+          .as("nb"))
+    val wOrd = Window.orderBy(col("v"))
+    val wAll = Window.partitionBy()
+    f.withColumn("ca", sum(col("na")).over(wOrd))
+      .withColumn("cb", sum(col("nb")).over(wOrd))
+      .withColumn("n1", sum(col("na")).over(wAll))
+      .withColumn("n2", sum(col("nb")).over(wAll))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(abs(col("ca") * col("n2") - col("cb") * col("n1")))
+        .as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n1") * col("n2")).cast("double"), 6).as("d"))
+  }
+
   /** Exact per-group percentile bands (PERCENTILE_DISC order
     * statistics — ⌈p·n⌉-th smallest with multiplicity, actual data
     * values): the dashboard staple "p50/p90/p99 per series per time

@@ -769,6 +769,33 @@ object RelationalQueries {
         FROM f JOIN b USING (l_returnflag) JOIN t USING (l_returnflag)
         GROUP BY 1, 2, 3, 4""".replaceAll("\\s+", " "))),
 
+    // two-sample Kolmogorov–Smirnov drift test between the click and
+    // purchase value distributions — D kept as the cross-multiplied
+    // integer max|cum1·n2 − cum2·n1| (exact; no division inside the
+    // max), one rounded double at the end. CDF windows run on the
+    // value-domain frame (allowlisted).
+    "stats_ks_test" -> QueryDef(
+      (s, dir) => Profiling.ksTest(
+        ev(s, dir).select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents", "click", "purchase"),
+      Some("""WITH f AS (SELECT CAST(round(value * 100, 0) AS BIGINT)
+          AS v,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+            AS na,
+          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            ::BIGINT AS nb
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1),
+        c AS (SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+          sum(nb) OVER (ORDER BY v) AS cb,
+          sum(na) OVER () AS n1, sum(nb) OVER () AS n2 FROM f)
+        SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+          max(abs(ca * n2 - cb * n1))::BIGINT AS d_num,
+          round((max(abs(ca * n2 - cb * n1)))::DOUBLE /
+            (n1 * n2)::DOUBLE, 6) AS d
+        FROM c GROUP BY n1, n2""".replaceAll("\\s+", " "))),
+
     // Benford first-digit audit: observed leading-digit shares of a
     // positive numeric column vs the Benford expectation
     // log₁₀(1 + 1/d), both in basis points — the classic

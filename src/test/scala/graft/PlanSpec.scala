@@ -238,10 +238,13 @@ class PlanSpec extends AnyFunSuite {
     //    DISTINCT-VALUE frequency frame (periods bounded by the
     //    horizon, counts/cent-totals by their value domains) — the
     //    corpus is reduced by the per-user groupBy before any window
+    //  - stats_ks_test: CDF running sums over the merged
+    //    DISTINCT-VALUE frame (value-domain bounded; the corpus is
+    //    reduced by the groupBy(value) before the window)
     val allowed = Set("pipeline_temperature_weights",
       "pipeline_temperature_tokens",
       "pipeline_pack_sequences", "pipeline_pack_tokens",
-      "text_zipf_slope", "behavior_rfm")
+      "text_zipf_slope", "behavior_rfm", "stats_ks_test")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.queryExecution.optimizedPlan.collect {

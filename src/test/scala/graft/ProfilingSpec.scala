@@ -103,6 +103,26 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("ksTest: identical cohorts score 0, disjoint cohorts 1, and " +
+    "a hand-built half-overlap lands exactly between") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(String, Long)]) = {
+      val r = Profiling.ksTest(rows.toDF("c", "v").repartition(3),
+        "c", "v", "A", "B").collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    val same = (1L to 8L).flatMap(v => Seq(("A", v), ("B", v)))
+    assert(run(same) === ((8L, 8L, 0L, 0.0)))
+    val disjoint = (1L to 4L).map(("A", _)) ++ (10L to 13L).map(("B", _))
+    assert(run(disjoint)._4 === 1.0)
+    // A = {1,2,3,4}, B = {3,4,5,6}: max gap at v=2 → |2·4 − 0| = 8,
+    // d = 8/16 = 0.5
+    val half = Seq(1L, 2L, 3L, 4L).map(("A", _)) ++
+      Seq(3L, 4L, 5L, 6L).map(("B", _))
+    assert(run(half) === ((4L, 4L, 8L, 0.5)))
+  }
+
   test("percentileBands: PERCENTILE_DISC semantics on a hand-built " +
     "group — actual data values, multiplicity-ranked; p100 is the " +
     "max; a singleton group pins every band to its value") {
