@@ -764,6 +764,46 @@ object ParityQueries {
         FROM ti LEFT JOIN sa ON ti.event_type = sa.event_type"""
         .replaceAll("\\s+", " "))),
 
+    // Theil–Sen robust trend slope per series: the MEDIAN of all
+    // pairwise slopes (micro-units per bucket, shared-floor scaled so
+    // signed slopes cannot diverge on truncate-vs-floor), selected by
+    // the percentileBands order-statistic machinery — the slope
+    // estimate a single outlier bucket cannot drag (companion to
+    // ts_mk_trend's "is there a trend": this is "how steep").
+    // Pairwise term bounded by (range/interval)² per the EMA contract.
+    "ts_theil_sen" -> QueryDef(
+      (s, dir) => {
+        val bk = ev(s, dir)
+          .groupBy(col("event_type"),
+            expr("ts div 21600000000000").as("b"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("vc"))
+        val pairs = bk.as("a")
+          .join(bk.as("x"), col("a.event_type") === col("x.event_type")
+            && col("a.b") < col("x.b"))
+          .select(col("a.event_type").as("event_type"),
+            floor((col("x.vc") - col("a.vc")).cast("double") * 1000000
+              / (col("x.b") - col("a.b"))).cast("long").as("slope_u"))
+        Profiling.percentileBands(pairs, Seq("event_type"), "slope_u",
+          Seq((1L, 2L)), Seq("slope_med"))
+      },
+      Some("""WITH bk AS (SELECT event_type,
+          epoch_us(ts) // 21600000000 AS b,
+          sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS v
+          FROM events GROUP BY 1, 2),
+        pr AS (SELECT a.event_type, CAST(floor((x.v - a.v)::DOUBLE
+            * 1000000 / (x.b - a.b)) AS BIGINT) AS sl
+          FROM bk a JOIN bk x ON a.event_type = x.event_type
+            AND a.b < x.b),
+        f AS (SELECT event_type, sl AS c, count(*)::BIGINT AS n_v
+          FROM pr GROUP BY 1, 2),
+        cw AS (SELECT event_type, c, n_v,
+          sum(n_v) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+          sum(n_v) OVER (PARTITION BY event_type) AS n FROM f)
+        SELECT event_type, max(n)::BIGINT AS n,
+          min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN c END)::BIGINT
+            AS slope_med
+        FROM cw GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // exact p50/p90/p99 per (series, 6-hour bucket): PERCENTILE_DISC
     // order statistics on cent values via the window-over-frequency-
     // frame discipline (one corpus pass, zero joins) — the latency/
