@@ -200,6 +200,58 @@ object StreamIngest {
       .toDF("key", "from_type", "to_type", "time_ns")
   }
 
+  /** Continuous tabular CUSUM — the streaming face of
+    * [[graft.operators.SeriesOps.cusumFixed]]: per-series state is
+    * (target, S⁺, S⁻) — three Longs, seeded by the first point ever
+    * seen (the batch operator's first-bucket convention) — and every
+    * point folds the identical exact-integer recurrence, so the spec
+    * asserts the point-for-point batch differential across micro-batch
+    * boundaries. The level-shift alarm this carries fires CONTINUOUSLY
+    * (the batch form needs a re-scan); state is O(series). */
+  def cusumStream(
+      typed: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      drift: Long,
+      threshold: Long): DataFrame = {
+    require(drift >= 0, s"drift allowance must be >= 0: $drift")
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val spark = typed.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState,
+      GroupStateTimeout, OutputMode}
+    typed
+      .where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col("time_ns").cast("long"),
+        round(col(valueCol) * 100, 0).cast("long").as("vc"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+          (String, Long, Long, Long, Long, Boolean, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val pts = it.toSeq.sortBy(p => (p._2, p._3))
+          val out = Seq.newBuilder[
+            (String, Long, Long, Long, Long, Boolean, Boolean)]
+          if (pts.nonEmpty || state.exists) {
+            var (target, sp, sn) = state.getOption
+              .getOrElse((pts.head._3, 0L, 0L))
+            pts.foreach { case (_, ts, v) =>
+              sp = math.max(0L, sp + (v - target - drift))
+              sn = math.max(0L, sn + (target - v - drift))
+              out += ((key, ts, v, sp, sn,
+                sp > threshold, sn > threshold))
+            }
+            state.update((target, sp, sn))
+          }
+          out.result().iterator
+      }
+      .toDF("key", "time_ns", "vc", "s_pos", "s_neg", "alarm_pos",
+        "alarm_neg")
+  }
+
   /** Continuous strictly-ordered funnel — the streaming face of
     * [[graft.operators.Behavior.funnel]]: per-key state is the pair
     * (stages-reached count, last reach time) — O(1) per key. Greedy

@@ -423,6 +423,47 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(streamCounts === batchCounts)
   }
 
+  test("streaming CUSUM matches the batch operator point-for-point " +
+    "across micro-batch boundaries (target/sums carried); the level " +
+    "shift alarms continuously") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_cu_in").toString
+    val out = Files.createTempDirectory("graft_cu_out").toString
+    val ckpt = Files.createTempDirectory("graft_cu_ck").toString
+    // flat 1.00 then a +0.10 shift straddling the batch boundary
+    val pts = (1L to 10L).map(m => (m, if (m <= 5) 1.0 else 1.1))
+    def lp(m: Long, v: Double) = s"m,host=h1 v=$v ${minuteNs(m)}"
+    writeBatch(in, "b0.lp", pts.take(6).map(p => lp(p._1, p._2)))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val cu = StreamIngest.cusumStream(typed, "tag_host", "v",
+      drift = 2L, threshold = 20L)
+    val q = StreamIngest.toParquet(cu, out, ckpt)
+    try {
+      q.processAllAvailable()
+      writeBatch(in, "b1.lp", pts.drop(6).map(p => lp(p._1, p._2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("time_ns") ->
+        ((r.getAs[Long]("s_pos"), r.getAs[Long]("s_neg"),
+          r.getAs[Boolean]("alarm_pos"))))
+      .toMap
+    val batch = graft.operators.SeriesOps.cusumFixed(
+        pts.map(p => ("h1", minuteNs(p._1), math.round(p._2 * 100)))
+          .toDF("key", "b", "vc"),
+        Seq("key"), "b", "vc", drift = 2L, threshold = 20L)
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got === batch)
+    // shift of +10 cents, drift 2 → s⁺ grows 8/point from m=6; alarm
+    // from the third shifted point on, and it stays on
+    assert(!got(minuteNs(7))._3 && got(minuteNs(8))._3 &&
+      got(minuteNs(10))._3)
+  }
+
   test("streaming funnel: greedy advance over in-order input equals " +
     "the batch min-time chaining across micro-batch boundaries; " +
     "out-of-order stages never advance") {
