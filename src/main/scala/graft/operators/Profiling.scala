@@ -145,6 +145,44 @@ object Profiling {
         sum(col("n_v") * col("v")).as("sum_v"))
   }
 
+  /** Pairwise Pearson correlation matrix over integer-unit columns in
+    * ONE corpus pass: every Σx, Σx², Σx·y accumulates as an exact Long
+    * in a single map-side-combined aggregate (callers pre-scale to
+    * units whose squares·n stay under 2⁶³), then each pair's
+    * correlation is one shared-order IEEE expression over the one-row
+    * sums frame — k columns cost one scan, not C(k,2) scans, and the
+    * rounded outputs are hash-identical cross-engine. Zero-variance
+    * degenerate pairs yield NULL (matching SQL corr()).
+    *
+    * Output: (col_a, col_b, n BIGINT, corr DOUBLE rounded 4) —
+    * one row per unordered pair in input order. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      s"need >= 2 distinct columns: $cols")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val sumCols =
+      Seq(count(lit(1)).as("n")) ++
+      cols.flatMap(c => Seq(
+        sum(col(c).cast("long")).as(s"s_$c"),
+        sum(col(c).cast("long") * col(c).cast("long")).as(s"q_$c"))) ++
+      pairs.map { case (a, b) =>
+        sum(col(a).cast("long") * col(b).cast("long")).as(s"p_${a}_$b") }
+    val sums = df.agg(sumCols.head, sumCols.tail: _*)
+    pairs.map { case (a, b) =>
+      val num = col("n") * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      val da = col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")
+      val db = col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")
+      sums.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("n"),
+        when(da > 0 && db > 0,
+          round(num.cast("double") /
+            (sqrt(da.cast("double")) * sqrt(db.cast("double"))), 4))
+          .as("corr"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance in EXACT integers: the
     * distribution-drift test between two cohorts of one integer
     * metric ("do clicks and views draw values from the same

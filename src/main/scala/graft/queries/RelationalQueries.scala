@@ -769,6 +769,42 @@ object RelationalQueries {
         FROM f JOIN b USING (l_returnflag) JOIN t USING (l_returnflag)
         GROUP BY 1, 2, 3, 4""".replaceAll("\\s+", " "))),
 
+    // pairwise Pearson correlation matrix of lineitem's small numeric
+    // columns (quantity, discount bp, tax bp) — exact Long sums in ONE
+    // corpus pass, each correlation one shared-order IEEE expression.
+    "stats_corr_matrix" -> QueryDef(
+      (s, dir) => Profiling.corrMatrix(
+        t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_discount") * 10000, 0).cast("long").as("disc_bp"),
+          round(col("l_tax") * 10000, 0).cast("long").as("tax_bp")),
+        Seq("qty", "disc_bp", "tax_bp")),
+      Some("""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+          CAST(round(l_discount * 10000, 0) AS BIGINT) AS y,
+          CAST(round(l_tax * 10000, 0) AS BIGINT) AS z FROM lineitem),
+        sm AS (SELECT count(*)::BIGINT AS n,
+          sum(x)::BIGINT AS sx, sum(x*x)::BIGINT AS qx,
+          sum(y)::BIGINT AS sy, sum(y*y)::BIGINT AS qy,
+          sum(z)::BIGINT AS sz, sum(z*z)::BIGINT AS qz,
+          sum(x*y)::BIGINT AS pxy, sum(x*z)::BIGINT AS pxz,
+          sum(y*z)::BIGINT AS pyz FROM b)
+        SELECT 'qty' AS col_a, 'disc_bp' AS col_b, n,
+          CASE WHEN (n*qx - sx*sx) > 0 AND (n*qy - sy*sy) > 0 THEN
+            round((n*pxy - sx*sy)::DOUBLE /
+              (sqrt((n*qx - sx*sx)::DOUBLE) *
+               sqrt((n*qy - sy*sy)::DOUBLE)), 4) END AS corr FROM sm
+        UNION ALL SELECT 'qty', 'tax_bp', n,
+          CASE WHEN (n*qx - sx*sx) > 0 AND (n*qz - sz*sz) > 0 THEN
+            round((n*pxz - sx*sz)::DOUBLE /
+              (sqrt((n*qx - sx*sx)::DOUBLE) *
+               sqrt((n*qz - sz*sz)::DOUBLE)), 4) END FROM sm
+        UNION ALL SELECT 'disc_bp', 'tax_bp', n,
+          CASE WHEN (n*qy - sy*sy) > 0 AND (n*qz - sz*sz) > 0 THEN
+            round((n*pyz - sy*sz)::DOUBLE /
+              (sqrt((n*qy - sy*sy)::DOUBLE) *
+               sqrt((n*qz - sz*sz)::DOUBLE)), 4) END FROM sm"""
+        .replaceAll("\\s+", " "))),
+
     // two-sample Kolmogorov–Smirnov drift test between the click and
     // purchase value distributions — D kept as the cross-multiplied
     // integer max|cum1·n2 − cum2·n1| (exact; no division inside the

@@ -103,6 +103,27 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("corrMatrix: perfectly linear pair scores ±1, independent " +
+    "constants go NULL, and the matrix covers every unordered pair " +
+    "in one pass") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 20L).map(i => (i, 2 * i + 3, 21 - i, 5L))
+    val out = Profiling.corrMatrix(
+        rows.toDF("a", "b", "c", "k").repartition(4),
+        Seq("a", "b", "c", "k"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out.size === 6)
+    assert(out(("a", "b")) === Some(1.0))   // b = 2a+3
+    assert(out(("a", "c")) === Some(-1.0))  // c = 21−a
+    assert(out(("b", "c")) === Some(-1.0))
+    // zero-variance column: every pairing is NULL, not NaN
+    assert(out(("a", "k")) === None)
+    assert(out(("b", "k")) === None && out(("c", "k")) === None)
+  }
+
   test("ksTest: identical cohorts score 0, disjoint cohorts 1, and " +
     "a hand-built half-overlap lands exactly between") {
     val s = spark
