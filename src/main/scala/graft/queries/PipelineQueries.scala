@@ -1882,6 +1882,32 @@ object PipelineQueries {
           FROM embeddings)
         GROUP BY label, i""".replaceAll("\\s+", " "))),
 
+    // embedding norm audit: per-label squared-L2-norm stats in scaled
+    // integers — the pre-flight before any cosine ANN (unnormalized
+    // embeddings silently bias inner-product ranking). The norm is
+    // the codegen'd vec_normsq kernel whose left-fold order the ANN
+    // oracles already pin against DuckDB's list_reduce; one half-up
+    // rounding to micro-units makes every downstream stat exact.
+    "emb_norm_stats" -> QueryDef(
+      (s, dir) => emb(s, dir)
+        .select(col("label"),
+          expr("""cast(round(vec_normsq(cast(embedding as
+            array<double>)) * 1000000, 0) as bigint)""").as("nu"))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"), min(col("nu")).as("min_nu"),
+          max(col("nu")).as("max_nu"),
+          expr("(2 * sum(nu) + count(1)) div (2 * count(1))")
+            .as("avg_nu")),
+      Some("""WITH v AS (SELECT label, CAST(round(list_reduce(
+          list_transform(embedding::DOUBLE[], x -> x * x),
+          (x, y) -> x + y) * 1000000, 0) AS BIGINT) AS nu
+          FROM embeddings)
+        SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
+          min(nu) AS min_nu, max(nu) AS max_nu,
+          CAST((2 * sum(nu) + count(*)) // (2 * count(*)) AS BIGINT)
+            AS avg_nu
+        FROM v GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // embedding drift: squared L2 distance between per-label centroids
     // of two deterministic cohorts (vec_id parity — in production, two
     // snapshot dates) — the distribution-shift monitor a training
