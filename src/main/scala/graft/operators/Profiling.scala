@@ -386,4 +386,149 @@ object Profiling {
       .select(gc ++ Seq(col("n"), col("lo_c"), col("hi_c"),
         expr("(2 * sw * 10000 + n) div (2 * n)").as("wmean_u")): _*)
   }
+
+  /** Per-group ordinary-least-squares fit of y on x: slope, intercept,
+    * R² — the parametric companion to the Theil–Sen/Mann–Kendall
+    * robust-trend family (fit the line once the MK test says a trend
+    * exists). ONE map-side-combined pass accumulates the six exact
+    * Long sums (n, Σx, Σy, Σx², Σy², Σxy); the normal-equation
+    * combination runs in DOUBLE with a fixed operand order (the raw
+    * sums can overflow Long when cross-multiplied at corpus scale —
+    * doubles of exact ≤2⁵³ sums keep every step bit-identical
+    * cross-engine), rounded 6 by registry convention. Degenerate
+    * groups (zero x-variance / y-variance) yield NULL fits, matching
+    * SQL regr_slope semantics.
+    *
+    * Inputs must be integral (the capPerKey/decileStats contract): a
+    * fractional column would silently truncate under cast("long"). */
+  def linReg(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val s = df
+      .select(gc ++ Seq(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y")): _*)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("qx"),
+        sum(col("y") * col("y")).as("qy"),
+        sum(col("x") * col("y")).as("pxy"))
+    def d(c: String) = col(c).cast("double")
+    val sxx = d("n") * d("qx") - d("sx") * d("sx")
+    val syy = d("n") * d("qy") - d("sy") * d("sy")
+    val sxy = d("n") * d("pxy") - d("sx") * d("sy")
+    s.select(gc ++ Seq(col("n"),
+      when(sxx > 0, round(sxy / sxx, 6)).as("slope_r"),
+      when(sxx > 0,
+        round((d("sy") - (sxy / sxx) * d("sx")) / d("n"), 6))
+        .as("icept_r"),
+      when(sxx > 0 && syy > 0, round(sxy * sxy / (sxx * syy), 6))
+        .as("r2_r")): _*)
+  }
+
+  /** Per-group Shannon entropy of a discrete value stream (nats) —
+    * the corpus-health twin of [[zipfSlope]]: near-zero entropy per
+    * source flags template spam / constant-field damage; anomalously
+    * high entropy flags binary junk or tokenizer breakage.
+    *
+    * One map-side-combined groupBy(value) touches the corpus; the
+    * entropy H = ln(N) − (Σ c·ln c)/N runs entirely on the
+    * vocabulary-bounded frequency frame. Σ c·ln c is a multi-row
+    * double aggregate (summation order engine-dependent) ⇒ the result
+    * is rounded 6 (registry convention).
+    *
+    * Output: (group…, n_types, n_tokens, entropy_nats_r). */
+  def entropyBy(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    df.groupBy(gc :+ col(valueCol).as("v"): _*)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("clogc"))
+      .select(gc ++ Seq(col("n_types"), col("n_tokens"),
+        round(log(col("n_tokens").cast("double")) -
+          col("clogc") / col("n_tokens").cast("double"), 6)
+          .as("entropy_nats_r")): _*)
+  }
+
+  /** Per-group Herfindahl–Hirschman concentration of a cents measure
+    * over contributing keys — "is this segment's revenue one whale or
+    * a long tail", the mix-health screen a training-data pipeline
+    * runs per source before trusting per-source statistics. Exact
+    * integer end to end: per-key shares in floored basis points
+    * ((rev·10⁴) div total — truncation IS floor for non-negative
+    * revenues, identical in both engines), HHI = Σ share_bp² (0 =
+    * atomized … 10⁸ = monopoly).
+    *
+    * Scale: one groupBy(group, key) pass over the fact rows, then all
+    * share arithmetic on the key-cardinality frame; the per-group
+    * totals frame is group-cardinality-bounded and broadcast.
+    *
+    * Output: (group…, n_keys, tot_c, top_share_bp, hhi_bp2). */
+  def hhi(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      centsCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val per = df
+      .groupBy(gc :+ col(keyCol): _*)
+      .agg(sum(col(centsCol).cast("long")).as("rev"))
+    val tot = per.groupBy(gc: _*)
+      .agg(sum(col("rev")).as("tot_c"), count(lit(1)).as("n_keys"))
+    per.join(broadcast(tot), groupCols)
+      .select(gc ++ Seq(col("n_keys"), col("tot_c"),
+        expr("(rev * 10000) div tot_c").as("share_bp")): _*)
+      .groupBy(gc ++ Seq(col("n_keys"), col("tot_c")): _*)
+      .agg(max(col("share_bp")).as("top_share_bp"),
+        sum(col("share_bp") * col("share_bp")).as("hhi_bp2"))
+  }
+
+  /** Welch's two-sample t statistic between two cohorts of a cents
+    * measure — the mean-shift drift test companion to the
+    * distribution-shape KS test ([[ksTest]]): "did the average move",
+    * robust to unequal variances and sizes. One map-side-combined
+    * pass accumulates exact Long (n, Σx, Σx²) per cohort; the
+    * t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) and Welch–Satterthwaite df
+    * combinations run in fixed-operand-order DOUBLE from those exact
+    * sums (bit-identical cross-engine), rounded 4 / 2. Cohorts with
+    * n < 2 yield NULL (no variance estimate).
+    *
+    * Output (one row): n1, n2, mean1_u, mean2_u (half-up micro-unit
+    * integer means), t_r, df_r. */
+  def welchT(df: DataFrame, cohortCol: String, centsCol: String,
+      cohortA: String, cohortB: String): DataFrame = {
+    val s = df.filter(col(cohortCol).isin(cohortA, cohortB))
+      .groupBy(col(cohortCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(centsCol).cast("long")).as("sx"),
+        sum(col(centsCol).cast("long") * col(centsCol).cast("long"))
+          .as("qx"))
+    def side(tag: String, c: String) = max(when(
+      col(cohortCol) === (if (tag == "1") cohortA else cohortB),
+      col(c)))
+    val one = s.agg(
+      side("1", "n").as("n1"), side("1", "sx").as("sx1"),
+      side("1", "qx").as("qx1"),
+      side("2", "n").as("n2"), side("2", "sx").as("sx2"),
+      side("2", "qx").as("qx2"))
+    def d(c: String) = col(c).cast("double")
+    // vᵢ = (nᵢ·Σx² − (Σx)²) / (nᵢ·(nᵢ−1)) — sample variance from
+    // exact sums; each step one IEEE op, same operand order both
+    // engines.
+    val v1 = (d("n1") * d("qx1") - d("sx1") * d("sx1")) /
+      (d("n1") * (d("n1") - 1.0))
+    val v2 = (d("n2") * d("qx2") - d("sx2") * d("sx2")) /
+      (d("n2") * (d("n2") - 1.0))
+    val se1 = v1 / d("n1")
+    val se2 = v2 / d("n2")
+    one.select(col("n1"), col("n2"),
+      expr("(2 * sx1 * 10000 + n1) div (2 * n1)").as("mean1_u"),
+      expr("(2 * sx2 * 10000 + n2) div (2 * n2)").as("mean2_u"),
+      when(col("n1") > 1 && col("n2") > 1,
+        round((d("sx1") / d("n1") - d("sx2") / d("n2")) /
+          sqrt(se1 + se2), 4)).as("t_r"),
+      when(col("n1") > 1 && col("n2") > 1,
+        round((se1 + se2) * (se1 + se2) /
+          (se1 * se1 / (d("n1") - 1.0) + se2 * se2 / (d("n2") - 1.0)),
+          2)).as("df_r"))
+  }
 }

@@ -797,4 +797,51 @@ object SeriesOps {
         col("seasonal"),
         (col("detr") - col("seasonal")).as("resid")): _*)
   }
+
+  /** Counter-reset-aware rate (the TSDB `increase`/`rate` convention
+    * for cumulative counters): per series, walk samples in time order;
+    * a sample BELOW its predecessor is a counter reset (process
+    * restart) and contributes its own value — the counter restarted
+    * from zero — instead of a negative delta. The monitoring domain
+    * the reference lives in (its measurements are exactly such
+    * counters) has no reference-side compute for this; north-star
+    * engine surface.
+    *
+    * Scale shape: ONE lag window + one aggregate, both partitioned by
+    * the series key — a single hash shuffle, per-series state O(1).
+    * Contract (as [[graft.operators.TemporalJoin.asofJoin]]): the
+    * input must be unique per (series, time) — pre-bucket duplicates —
+    * or the lag order over ties is nondeterministic in any engine.
+    *
+    * Exact Long cents end to end; the only double is the final
+    * cents-per-second rate = increase·10⁶ / span_us (exact integers
+    * into one fixed-order IEEE product+division — bit-identical
+    * cross-engine — rounded 6 by registry convention). Singleton
+    * series have span 0 and a NULL rate.
+    *
+    * Output: (series…, n, n_resets, increase_c, span_us, rate_cps). */
+  def counterRate(df: DataFrame, seriesCols: Seq[String],
+      timeUsCol: String, centsCol: String): DataFrame = {
+    val sc = seriesCols.map(col)
+    val w = Window.partitionBy(sc: _*).orderBy(col("t_us"))
+    df.select(sc ++ Seq(col(timeUsCol).cast("long").as("t_us"),
+        col(centsCol).cast("long").as("vc")): _*)
+      .withColumn("prev", lag(col("vc"), 1).over(w))
+      .withColumn("inc",
+        when(col("prev").isNull, lit(0L))
+          .when(col("vc") >= col("prev"), col("vc") - col("prev"))
+          .otherwise(col("vc")))
+      .withColumn("reset",
+        when(col("prev").isNotNull && (col("vc") < col("prev")), lit(1L))
+          .otherwise(lit(0L)))
+      .groupBy(sc: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("reset")).as("n_resets"),
+        sum(col("inc")).as("increase_c"),
+        (max(col("t_us")) - min(col("t_us"))).as("span_us"))
+      .withColumn("rate_cps",
+        when(col("span_us") > 0,
+          round(col("increase_c").cast("double") * 1e6 /
+            col("span_us").cast("double"), 6)))
+  }
 }

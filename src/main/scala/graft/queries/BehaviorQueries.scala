@@ -166,6 +166,46 @@ object BehaviorQueries {
           UNION ALL SELECT 4::BIGINT, 'purchase', count(*)::BIGINT
             FROM r4""".replaceAll("\\s+", " "))),
 
+    // Last-touch attribution: each purchase's revenue credited to the
+    // most recent prior (or same-instant) non-purchase event of the
+    // same user — the as-of join composed into marketing analytics
+    // (TemporalJoin.asofJoin: union+window, ONE user_id shuffle, no
+    // pair fan-out). Touches pre-aggregated unique per (user, time)
+    // with max() tie-break, the asofJoin contract; unmatched
+    // purchases roll up as 'direct'. Oracle = DuckDB's native ASOF
+    // LEFT JOIN — an independent implementation of the semantics.
+    "behavior_attribution" -> QueryDef(
+      (s, dir) => {
+        val e = ev(s, dir).select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_us"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "t_us", "cents")
+        val touches = e.filter(col("event_type") =!= "purchase")
+          .groupBy(col("user_id"), col("t_us"))
+          .agg(max(col("event_type")).as("touch_type"))
+        graft.operators.TemporalJoin.asofJoin(purchases, touches,
+          keys = Seq("user_id"), leftTime = "t_us", rightTime = "t_us",
+          payloadCols = Seq("touch_type"), matchedTimeCol = "touch_t_us")
+          .groupBy(coalesce(col("touch_type"), lit("direct"))
+            .as("touch_type"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("cents")).as("revenue_c"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts)
+          AS t_us, event_type,
+          CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        p AS (SELECT event_id, user_id, t_us, cents FROM e
+          WHERE event_type = 'purchase'),
+        tc AS (SELECT user_id, t_us, max(event_type) AS touch_type
+          FROM e WHERE event_type <> 'purchase' GROUP BY 1, 2)
+        SELECT coalesce(tc.touch_type, 'direct') AS touch_type,
+          count(*)::BIGINT AS n_purchases,
+          sum(p.cents)::BIGINT AS revenue_c
+        FROM p ASOF LEFT JOIN tc ON p.user_id = tc.user_id
+          AND p.t_us >= tc.t_us
+        GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // RFM segmentation: per-user recency (days since last event,
     // data-relative anchor) / frequency / monetary cents, each
     // bucketed by exact tercile cut points, rolled up to the

@@ -1000,6 +1000,39 @@ object ParityQueries {
           sn > 2000000 AS alarm_neg
         FROM r""".replaceAll("\\s+", " "))),
 
+    // counter-reset-aware rate over hour-bucketed per-series sums: a
+    // bucket below its predecessor is a counter reset and contributes
+    // its own value (the restart-from-zero convention); one lag
+    // window + one aggregate, both on the series key. Exact Long
+    // cents; the cents-per-second rate is one fixed-order IEEE
+    // product+division of exact integers, rounded 6.
+    "ts_rate" -> QueryDef(
+      (s, dir) => SeriesOps.counterRate(
+        Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("vc"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("t_us"), col("vc")),
+        seriesCols = Seq("event_type"), timeUsCol = "t_us",
+        centsCol = "vc"),
+      Some("""WITH a AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS t_us,
+          sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS vc
+          FROM events GROUP BY 1, 2),
+        d AS (SELECT event_type, t_us, vc, lag(vc) OVER
+          (PARTITION BY event_type ORDER BY t_us) AS prev FROM a)
+        SELECT event_type, count(*)::BIGINT AS n,
+          sum(CASE WHEN prev IS NOT NULL AND vc < prev THEN 1 ELSE 0
+            END)::BIGINT AS n_resets,
+          sum(CASE WHEN prev IS NULL THEN 0 WHEN vc >= prev THEN
+            vc - prev ELSE vc END)::BIGINT AS increase_c,
+          (max(t_us) - min(t_us))::BIGINT AS span_us,
+          CASE WHEN max(t_us) > min(t_us) THEN round(
+            sum(CASE WHEN prev IS NULL THEN 0 WHEN vc >= prev THEN
+              vc - prev ELSE vc END)::DOUBLE * 1e6 /
+            (max(t_us) - min(t_us))::DOUBLE, 6) END AS rate_cps
+        FROM d GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // classical additive seasonal decomposition (value = trend +
     // seasonal + residual) over 6-hour buckets, period 5: centered-MA
     // trend (complete windows only), per-phase seasonal means,

@@ -1259,6 +1259,27 @@ object PipelineQueries {
           round(regr_slope(ln(n), ln(rank)), 3) AS zipf_slope
         FROM r""".replaceAll("\\s+", " "))),
 
+    // per-source Shannon word entropy — the corpus-health twin of the
+    // Zipf slope (near-zero = template spam / constant-field damage,
+    // anomalously high = binary junk). Corpus touched once; H runs on
+    // the vocabulary-bounded frequency frame; Σ c·ln c is a multi-row
+    // double aggregate → rounded 6 both sides.
+    "text_entropy" -> QueryDef(
+      (s, dir) => Profiling.entropyBy(
+        docs(s, dir).select(col("source"),
+          explode(split(col("text"), " ")).as("w")),
+        Seq("source"), "w"),
+      Some("""WITH u AS (SELECT source,
+          unnest(string_split(text, ' ')) AS w FROM documents),
+        f AS (SELECT source, w, count(*)::BIGINT AS c FROM u
+          GROUP BY 1, 2)
+        SELECT source, count(*)::BIGINT AS n_types,
+          sum(c)::BIGINT AS n_tokens,
+          round(ln(sum(c)::DOUBLE) -
+            sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE, 6)
+            AS entropy_nats_r
+        FROM f GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // exact per-language decile stratification of document length —
     // the quality-bucketing primitive behind "sample uniformly across
     // strata". Cut points are PERCENTILE_DISC order statistics
@@ -1943,6 +1964,56 @@ object PipelineQueries {
         SELECT label::BIGINT AS label, count(*)::BIGINT AS n_dims,
           round(sum((m0 - m1) * (m0 - m1)), 6) AS drift2
         FROM p GROUP BY 1""".replaceAll("\\s+", " "))),
+
+    // per-label centroid-distance outliers — the embedding-space
+    // mislabel/poison screen (a vector far from its own label's
+    // centroid is a labeling error or an injected point). Centroids
+    // round first (the emb_drift convention) so the distance runs on
+    // hash-identical inputs; the per-vector 64-term distance sum is
+    // rounded to micro-units ONCE into an exact Long, and the outlier
+    // test d²·n > 2·Σd² is cross-multiplied integer arithmetic — no
+    // epsilon, no double compare. Everything past the posexplode
+    // groupBy runs on labels×dims / per-vector frames; the label
+    // totals broadcast.
+    "emb_outliers" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), col("label"),
+          posexplode(col("embedding")))
+        val cent = e.groupBy(col("label"), col("pos"))
+          .agg(round(avg(col("col")), 6).as("m"))
+        val d2 = e.join(broadcast(cent), Seq("label", "pos"))
+          .withColumn("dd",
+            (col("col").cast("double") - col("m")) *
+              (col("col").cast("double") - col("m")))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(round(sum(col("dd")) * 1000000, 0).cast("long")
+            .as("d2u"))
+        val tot = d2.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), sum(col("d2u")).as("s"))
+        d2.join(broadcast(tot), Seq("label"))
+          .groupBy(col("label").cast("long").as("label"), col("n"),
+            expr("(2 * s + n) div (2 * n)").as("mean_d2u"))
+          .agg(sum(when(col("d2u") * col("n") > lit(2) * col("s"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+      },
+      Some("""WITH b AS (SELECT vec_id, label, unnest(embedding) AS x,
+          unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings),
+        c AS (SELECT label, i, round(avg(x), 6) AS m FROM b
+          GROUP BY 1, 2),
+        d AS (SELECT b.vec_id, b.label,
+          CAST(round(sum((b.x - c.m) * (b.x - c.m)) * 1000000, 0)
+            AS BIGINT) AS d2u
+          FROM b JOIN c ON b.label = c.label AND b.i = c.i
+          GROUP BY 1, 2),
+        t AS (SELECT label, count(*)::BIGINT AS n, sum(d2u)::BIGINT
+          AS s FROM d GROUP BY 1)
+        SELECT t.label::BIGINT AS label, t.n,
+          CAST((2 * t.s + t.n) // (2 * t.n) AS BIGINT) AS mean_d2u,
+          sum(CASE WHEN d.d2u * t.n > 2 * t.s THEN 1 ELSE 0 END)
+            ::BIGINT AS n_outliers
+        FROM d JOIN t USING (label) GROUP BY 1, 2, 3"""
+        .replaceAll("\\s+", " "))),
 
     // per-source duplicate-rate report — the observability rollup of
     // the clustering chain: which sources flood the corpus with

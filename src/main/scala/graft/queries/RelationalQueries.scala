@@ -902,6 +902,190 @@ object RelationalQueries {
         FROM dv JOIN md USING (g) JOIN t USING (g) JOIN m USING (g)
         GROUP BY 1, 2, 3, 4""".replaceAll("\\s+", " "))),
 
+    // per-group OLS fit of discount (bp) on quantity — the parametric
+    // line once ts_mk_trend/ts_theil_sen say a trend exists. Six
+    // exact-Long sums in one pass; normal-equation combination in
+    // fixed-order DOUBLE (overflow-safe at any SF), rounded 6.
+    "stats_linreg" -> QueryDef(
+      (s, dir) => Profiling.linReg(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_discount") * 10000, 0).cast("long")
+            .as("disc_bp")),
+        Seq("l_returnflag"), "qty", "disc_bp"),
+      Some("""WITH b AS (SELECT l_returnflag,
+          CAST(l_quantity AS BIGINT) AS x,
+          CAST(round(l_discount * 10000, 0) AS BIGINT) AS y
+          FROM lineitem),
+        s AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+          sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+          sum(x*x)::BIGINT AS qx, sum(y*y)::BIGINT AS qy,
+          sum(x*y)::BIGINT AS pxy FROM b GROUP BY 1)
+        SELECT l_returnflag, n,
+          CASE WHEN (n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            > 0 THEN round(
+            (n::DOUBLE * pxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+            (n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+          END AS slope_r,
+          CASE WHEN (n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            > 0 THEN round((sy::DOUBLE -
+            ((n::DOUBLE * pxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+             (n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+            * sx::DOUBLE) / n::DOUBLE, 6) END AS icept_r,
+          CASE WHEN (n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            > 0 AND (n::DOUBLE * qy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+            > 0 THEN round(
+            (n::DOUBLE * pxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) *
+            (n::DOUBLE * pxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+            ((n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+             (n::DOUBLE * qy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+          END AS r2_r
+        FROM s""".replaceAll("\\s+", " "))),
+
+    // Welch's t between the click and purchase value distributions —
+    // the mean-shift companion to stats_ks_test's shape test. Exact
+    // Long (n, Σx, Σx²) per cohort; t and Welch–Satterthwaite df in
+    // fixed-order DOUBLE from those sums, rounded 4 / 2.
+    "stats_ttest" -> QueryDef(
+      (s, dir) => Profiling.welchT(
+        ev(s, dir).select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents", "click", "purchase"),
+      Some("""WITH b AS (SELECT event_type,
+          CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        s AS (SELECT
+          max(CASE WHEN event_type='click' THEN n END) AS n1,
+          max(CASE WHEN event_type='click' THEN sx END) AS sx1,
+          max(CASE WHEN event_type='click' THEN qx END) AS qx1,
+          max(CASE WHEN event_type='purchase' THEN n END) AS n2,
+          max(CASE WHEN event_type='purchase' THEN sx END) AS sx2,
+          max(CASE WHEN event_type='purchase' THEN qx END) AS qx2
+          FROM (SELECT event_type, count(*)::BIGINT AS n,
+            sum(c)::BIGINT AS sx, sum(c*c)::BIGINT AS qx
+            FROM b GROUP BY 1)),
+        v AS (SELECT n1, n2, sx1, sx2,
+          ((n1::DOUBLE * qx1::DOUBLE - sx1::DOUBLE * sx1::DOUBLE) /
+            (n1::DOUBLE * (n1::DOUBLE - 1.0))) / n1::DOUBLE AS se1,
+          ((n2::DOUBLE * qx2::DOUBLE - sx2::DOUBLE * sx2::DOUBLE) /
+            (n2::DOUBLE * (n2::DOUBLE - 1.0))) / n2::DOUBLE AS se2
+          FROM s)
+        SELECT n1, n2,
+          CAST((2 * sx1 * 10000 + n1) // (2 * n1) AS BIGINT)
+            AS mean1_u,
+          CAST((2 * sx2 * 10000 + n2) // (2 * n2) AS BIGINT)
+            AS mean2_u,
+          CASE WHEN n1 > 1 AND n2 > 1 THEN round(
+            (sx1::DOUBLE / n1::DOUBLE - sx2::DOUBLE / n2::DOUBLE) /
+            sqrt(se1 + se2), 4) END AS t_r,
+          CASE WHEN n1 > 1 AND n2 > 1 THEN round(
+            (se1 + se2) * (se1 + se2) /
+            (se1 * se1 / (n1::DOUBLE - 1.0) +
+             se2 * se2 / (n2::DOUBLE - 1.0)), 2) END AS df_r
+        FROM v""".replaceAll("\\s+", " "))),
+
+    // revenue concentration per market segment: floored-basis-point
+    // shares per customer, HHI = Σ share_bp² — exact integers end to
+    // end; share arithmetic runs on the customer-cardinality frame
+    // with the per-segment totals broadcast.
+    "stats_hhi" -> QueryDef(
+      (s, dir) => Profiling.hhi(
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_custkey"),
+            round(col("o_totalprice") * 100, 0).cast("long")
+              .as("cents")),
+        Seq("c_mktsegment"), "o_custkey", "cents"),
+      Some("""WITH per AS (SELECT c_mktsegment, o_custkey,
+          sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+            AS rev
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        t AS (SELECT c_mktsegment, sum(rev)::BIGINT AS tot_c,
+          count(*)::BIGINT AS n_keys FROM per GROUP BY 1)
+        SELECT per.c_mktsegment, t.n_keys, t.tot_c,
+          max((per.rev * 10000) // t.tot_c)::BIGINT AS top_share_bp,
+          sum(((per.rev * 10000) // t.tot_c) *
+              ((per.rev * 10000) // t.tot_c))::BIGINT AS hhi_bp2
+        FROM per JOIN t USING (c_mktsegment)
+        GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
+
+    // referential-integrity audit: orphaned foreign keys per FK edge
+    // (the first data-quality gate of any warehouse ingest). Each edge
+    // is a left-anti join on the key — one key shuffle, same cost
+    // envelope as any join on that key; at 100 TB put a bloom
+    // prefilter (join_bloom_prefilter's RuntimeFilters) in front of
+    // the anti join to skip the clean majority without shuffling it.
+    "stats_fk_orphans" -> QueryDef(
+      (s, dir) => {
+        def audit(name: String, child: DataFrame, fk: String,
+            parent: DataFrame, pk: String): DataFrame = {
+          val nChild = child.agg(count(lit(1)).as("n_child"))
+          val nOrph = child
+            .join(parent.select(col(pk).as(fk)), Seq(fk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          nChild.crossJoin(broadcast(nOrph))
+            .select(lit(name).as("fk_edge"), col("n_child"),
+              col("n_orphans"),
+              expr("(n_orphans * 10000) div n_child").as("orphan_bp"))
+        }
+        audit("orders.o_custkey->customer",
+          t(s, dir, "orders").select(col("o_custkey")), "o_custkey",
+          t(s, dir, "customer"), "c_custkey")
+          .unionAll(audit("lineitem.l_orderkey->orders",
+            t(s, dir, "lineitem").select(col("l_orderkey")),
+            "l_orderkey", t(s, dir, "orders"), "o_orderkey"))
+      },
+      Some("""SELECT 'orders.o_custkey->customer' AS fk_edge,
+          (SELECT count(*) FROM orders)::BIGINT AS n_child,
+          (SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+          )::BIGINT AS n_orphans,
+          ((SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            * 10000 // (SELECT count(*) FROM orders))::BIGINT
+            AS orphan_bp
+        UNION ALL SELECT 'lineitem.l_orderkey->orders',
+          (SELECT count(*) FROM lineitem)::BIGINT,
+          (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+          )::BIGINT,
+          ((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            * 10000 // (SELECT count(*) FROM lineitem))::BIGINT"""
+        .replaceAll("\\s+", " "))),
+
+    // TPC-H Q14-style promo revenue share: one month of lineitem
+    // joined to part (AQE broadcasts part while it fits), promo share
+    // computed from the two ROUNDED sums (deterministic division of
+    // already-deterministic operands).
+    "q14_promo_revenue" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0.0))), 2).as("promo_rev_r"),
+          round(sum(col("l_extendedprice") * (lit(1) -
+            col("l_discount"))), 2).as("total_rev_r"))
+        .withColumn("promo_pct_r",
+          round(col("promo_rev_r") * 100 / col("total_rev_r"), 4)),
+      Some("""WITH s AS (SELECT count(*)::BIGINT AS n,
+          round(sum(CASE WHEN p_type = 'PROMO' THEN
+            l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+            AS promo_rev_r,
+          round(sum(l_extendedprice * (1 - l_discount)), 2)
+            AS total_rev_r
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+            AND l_shipdate < TIMESTAMP '1996-10-01')
+        SELECT n, promo_rev_r, total_rev_r,
+          round(promo_rev_r * 100 / total_rev_r, 4) AS promo_pct_r
+        FROM s""".replaceAll("\\s+", " "))),
+
     "stats_equidepth_histogram" -> QueryDef(
       (s, dir) => {
         val li = t(s, dir, "lineitem")

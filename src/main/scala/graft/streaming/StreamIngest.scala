@@ -252,6 +252,55 @@ object StreamIngest {
         "alarm_neg")
   }
 
+  /** Continuous counter-reset-aware increase — the streaming face of
+    * [[graft.operators.SeriesOps.counterRate]]: per-series state is
+    * (seen-flag, last value, resets so far, increase so far) — four
+    * Longs, O(series). Every point folds the identical
+    * restart-from-zero recurrence (a point below its predecessor is a
+    * counter reset contributing its own value), so the LAST emitted
+    * row per key carries exactly the batch aggregate's
+    * (n_resets, increase_c) — the spec's differential crosses
+    * micro-batch boundaries. Emits one row per point:
+    * (key, time_ns, vc, n_resets, increase_c). */
+  def rateStream(
+      typed: DataFrame,
+      keyCol: String,
+      valueCol: String): DataFrame = {
+    val spark = typed.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState,
+      GroupStateTimeout, OutputMode}
+    typed
+      .where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col("time_ns").cast("long"),
+        round(col(valueCol) * 100, 0).cast("long").as("vc"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long),
+          (String, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          val pts = it.toSeq.sortBy(p => (p._2, p._3))
+          val out = Seq.newBuilder[(String, Long, Long, Long, Long)]
+          if (pts.nonEmpty) {
+            var (seen, prev, resets, inc) = state.getOption
+              .getOrElse((0L, 0L, 0L, 0L))
+            pts.foreach { case (_, ts, v) =>
+              if (seen == 0L) seen = 1L
+              else if (v >= prev) inc += v - prev
+              else { resets += 1L; inc += v }
+              prev = v
+              out += ((key, ts, v, resets, inc))
+            }
+            state.update((seen, prev, resets, inc))
+          }
+          out.result().iterator
+      }
+      .toDF("key", "time_ns", "vc", "n_resets", "increase_c")
+  }
+
   /** Continuous strictly-ordered funnel — the streaming face of
     * [[graft.operators.Behavior.funnel]]: per-key state is the pair
     * (stages-reached count, last reach time) — O(1) per key. Greedy

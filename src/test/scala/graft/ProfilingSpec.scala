@@ -195,4 +195,85 @@ class ProfilingSpec extends AnyFunSuite {
     assert((row.getLong(0), row.getLong(1)) === ((1L, 5L)))
     assert(row.isNullAt(2))
   }
+
+  test("linReg: exact fit on a noiseless line (slope/icept/r2), " +
+    "NULL fits on zero x-variance, NULL r2 on constant y") {
+    val s = spark
+    import s.implicits._
+    // y = 3x + 7 exactly → slope 3, intercept 7, r² = 1
+    val line = (1L to 10L).map(x => ("L", x, 3 * x + 7))
+    // constant x → sxx = 0 → no fit at all
+    val degX = Seq(("X", 5L, 1L), ("X", 5L, 2L), ("X", 5L, 3L))
+    // constant y → syy = 0 → slope 0 but r² undefined (NULL)
+    val degY = Seq(("Y", 1L, 4L), ("Y", 2L, 4L), ("Y", 3L, 4L))
+    val out = Profiling.linReg(
+        (line ++ degX ++ degY).toDF("g", "x", "y").repartition(4),
+        Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("L").getDouble(2) === 3.0)
+    assert(out("L").getDouble(3) === 7.0)
+    assert(out("L").getDouble(4) === 1.0)
+    assert(out("X").isNullAt(2) && out("X").isNullAt(3) &&
+      out("X").isNullAt(4))
+    assert(out("Y").getDouble(2) === 0.0)
+    assert(out("Y").isNullAt(4))
+  }
+
+  test("entropyBy: uniform distribution hits ln(k) exactly at the " +
+    "rounding grain; a constant stream has zero entropy") {
+    val s = spark
+    import s.implicits._
+    val uniform = (1 to 4).flatMap(v => Seq.fill(5)(("U", s"v$v")))
+    val const = Seq.fill(7)(("C", "only"))
+    val out = Profiling.entropyBy(
+        (uniform ++ const).toDF("g", "w").repartition(3), Seq("g"), "w")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out("U")._1 == 4L && out("U")._2 == 20L)
+    assert(out("U")._3 === (math.rint(math.log(4.0) * 1e6) / 1e6))
+    assert(out("C") === ((1L, 7L, 0.0)))
+  }
+
+  test("hhi: monopoly scores 10^8, an even split scores n·(10^4/n)², " +
+    "and floored shares never overshoot") {
+    val s = spark
+    import s.implicits._
+    val mono = Seq(("M", 1L, 500L))
+    val even = (1L to 4L).map(k => ("E", k, 25L))
+    val skew = Seq(("S", 1L, 90L), ("S", 2L, 10L)) // 9000² + 1000²
+    val out = Profiling.hhi(
+        (mono ++ even ++ skew).toDF("g", "k", "cents").repartition(3),
+        Seq("g"), "k", "cents")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out("M") === ((1L, 500L, 10000L, 100000000L)))
+    assert(out("E") === ((4L, 100L, 2500L, 4L * 2500L * 2500L)))
+    assert(out("S") === ((2L, 100L, 9000L, 9000L * 9000L + 1000L * 1000L)))
+  }
+
+  test("welchT: symmetric cohorts give t = 0; a clean separation " +
+    "matches the hand-computed statistic; n=1 cohorts yield NULL") {
+    val s = spark
+    import s.implicits._
+    val sym = Seq.tabulate(6)(i => ("a", (i % 3 + 1) * 10L)) ++
+      Seq.tabulate(6)(i => ("b", (i % 3 + 1) * 10L))
+    val row = Profiling.welchT(sym.toDF("c", "v"), "c", "v", "a", "b")
+      .collect().head
+    assert(row.getLong(0) == 6L && row.getLong(1) == 6L)
+    assert(row.getLong(2) == row.getLong(3)) // identical means
+    assert(row.getDouble(4) === 0.0)
+    // hand case: A = {0, 2} (mean 1, var 2), B = {10, 12} (mean 11,
+    // var 2) → t = (1-11)/sqrt(2/2+2/2) = -10/sqrt(2) ≈ -7.0711, df=2
+    val sep = Seq(("a", 0L), ("a", 2L), ("b", 10L), ("b", 12L))
+    val r2 = Profiling.welchT(sep.toDF("c", "v"), "c", "v", "a", "b")
+      .collect().head
+    assert(r2.getDouble(4) === -7.0711)
+    assert(r2.getDouble(5) === 2.0)
+    val tiny = Seq(("a", 1L), ("b", 2L), ("b", 3L))
+    val r3 = Profiling.welchT(tiny.toDF("c", "v"), "c", "v", "a", "b")
+      .collect().head
+    assert(r3.isNullAt(4) && r3.isNullAt(5))
+  }
 }

@@ -656,4 +656,31 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(out3.length === 2)
     assert(out3.forall(r => r.isNullAt(3) && r.isNullAt(4)))
   }
+
+  test("counterRate: planted resets follow the restart-from-zero " +
+    "convention; a monotone counter has zero resets and increase = " +
+    "last − first; singleton series report a NULL rate") {
+    val s = spark
+    import s.implicits._
+    // R: 10 → 25 → 5 (reset: +5) → 9 (+4) → 2 (reset: +2)
+    //    increase = 15 + 5 + 4 + 2 = 26 over 4 s
+    val reset = Seq(("R", 0L, 10L), ("R", 1000000L, 25L),
+      ("R", 2000000L, 5L), ("R", 3000000L, 9L), ("R", 4000000L, 2L))
+    val mono = Seq(("M", 0L, 7L), ("M", 5000000L, 107L))
+    val single = Seq(("S", 0L, 42L))
+    val out = graft.operators.SeriesOps.counterRate(
+        (reset ++ mono ++ single).toDF("k", "t_us", "vc")
+          .repartition(4), Seq("k"), "t_us", "vc")
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert((out("R").getLong(1), out("R").getLong(2),
+      out("R").getLong(3), out("R").getLong(4)) === ((5L, 2L, 26L,
+      4000000L)))
+    assert(out("R").getDouble(5) === 6.5) // 26 c / 4 s
+    assert((out("M").getLong(2), out("M").getLong(3)) === ((0L, 100L)))
+    assert(out("M").getDouble(5) === 20.0)
+    assert((out("S").getLong(1), out("S").getLong(3),
+      out("S").getLong(4)) === ((1L, 0L, 0L)))
+    assert(out("S").isNullAt(5))
+  }
 }

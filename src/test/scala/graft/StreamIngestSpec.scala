@@ -464,6 +464,46 @@ class StreamIngestSpec extends AnyFunSuite {
       got(minuteNs(10))._3)
   }
 
+  test("streaming counter rate: the last emitted row per key equals " +
+    "the batch counterRate aggregate across micro-batch boundaries, " +
+    "including a reset straddling the boundary") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_rt_in").toString
+    val out = Files.createTempDirectory("graft_rt_out").toString
+    val ckpt = Files.createTempDirectory("graft_rt_ck").toString
+    // counter climbs 0.10→0.40, resets to 0.05 EXACTLY at the batch
+    // boundary, climbs again, resets once more within batch 1
+    val pts = Seq((1L, 0.10), (2L, 0.25), (3L, 0.40), (4L, 0.05),
+      (5L, 0.30), (6L, 0.12), (7L, 0.20))
+    def lp(m: Long, v: Double) = s"m,host=h1 v=$v ${minuteNs(m)}"
+    writeBatch(in, "b0.lp", pts.take(3).map(p => lp(p._1, p._2)))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val rt = StreamIngest.rateStream(typed, "tag_host", "v")
+    val q = StreamIngest.toParquet(rt, out, ckpt)
+    try {
+      q.processAllAvailable()
+      writeBatch(in, "b1.lp", pts.drop(3).map(p => lp(p._1, p._2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("time_ns") ->
+        ((r.getAs[Long]("n_resets"), r.getAs[Long]("increase_c"))))
+      .toMap
+    // per-point recurrence: +15, +15, reset(+5), +25, reset(+12), +8
+    assert(rows(minuteNs(3)) === ((0L, 30L)))
+    assert(rows(minuteNs(4)) === ((1L, 35L)))
+    val last = rows(minuteNs(7))
+    val batch = graft.operators.SeriesOps.counterRate(
+        pts.map(p => ("h1", p._1 * 60000000L, math.round(p._2 * 100)))
+          .toDF("key", "t_us", "vc"),
+        Seq("key"), "t_us", "vc")
+      .collect().head
+    assert(last === ((batch.getLong(2), batch.getLong(3))))
+    assert(last === ((2L, 80L)))
+  }
+
   test("streaming funnel: greedy advance over in-order input equals " +
     "the batch min-time chaining across micro-batch boundaries; " +
     "out-of-order stages never advance") {
