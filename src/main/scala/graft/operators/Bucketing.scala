@@ -63,4 +63,28 @@ object Bucketing {
         "the join would shuffle")
     spark.table(leftTable).join(spark.table(rightTable), key)
   }
+
+  /** Morton (Z-order) key: interleave the low `bits` bits of two
+    * non-negative dimension columns (a's bit i → output bit 2i+1, b's
+    * → 2i). Sorting storage by this key clusters BOTH dimensions at
+    * once, so parquet row-group min/max envelopes stay tight on each
+    * dimension separately and a filter on either (or both) skips row
+    * groups at the footer — the two-dimensional generalization of the
+    * layout_sorted_scan single-column sort, and the standard layout
+    * trade (Delta/Iceberg OPTIMIZE ZORDER) expressed as a plain
+    * column expression. Pure bitwise projection (codegen'd,
+    * whole-stage); 2·bits ≤ 62 keeps the result a positive Long. */
+  def mortonKey(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, bits: Int)
+      : org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"need 1 <= bits <= 31: $bits")
+    import org.apache.spark.sql.functions._
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i)
+          .bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i)
+          .bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
 }

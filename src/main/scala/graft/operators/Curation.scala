@@ -520,4 +520,37 @@ object Curation {
       .select(col("__k").as(keyCol), col("col.id").as(idCol),
         (col("pos") + 1).cast("long").as("cap_rank"))
   }
+
+  /** Per-group quantile-rank normalization: each row's value mapped to
+    * its within-group cumulative-distribution rank in exact basis
+    * points (rank_bp = ⌊cum·10⁴/n⌋, ties share the tie-group's upper
+    * rank — cume_dist semantics kept integer). The cross-source score
+    * calibration step of a mixing pipeline: per-source quality scores
+    * are incomparable across sources (different scales, different
+    * judges), their quantile ranks are — normalize first, THEN apply
+    * one global threshold or temperature.
+    *
+    * Scale shape: the corpus is touched by one groupBy((group, value))
+    * pass and one value-domain join back; the CDF window runs on the
+    * value-domain frequency frame only (winsorizedStats discipline —
+    * the window sorts the value DOMAIN, never the corpus). The rank
+    * frame is (group × distinct values)-bounded.
+    *
+    * Output: input columns + rank_bp (1..10⁴; requires an integral
+    * value column — the capPerKey contract). */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol, "quantileNormalize value")
+    val gc = groupCols.map(col)
+    val wOrd = Window.partitionBy(gc: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(gc: _*)
+    val ranks = df
+      .groupBy(gc :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(gc :+ col(valueCol) :+
+        expr("(__cum * 10000) div __n").as("rank_bp"): _*)
+    df.join(ranks, groupCols :+ valueCol)
+  }
 }

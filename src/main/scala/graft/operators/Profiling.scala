@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -530,5 +530,40 @@ object Profiling {
         round((se1 + se2) * (se1 + se2) /
           (se1 * se1 / (d("n1") - 1.0) + se2 * se2 / (d("n2") - 1.0)),
           2)).as("df_r"))
+  }
+
+  /** One-way ANOVA F over k cohorts of a cents measure — "does ANY
+    * cohort mean differ", the k-group generalization of [[welchT]]
+    * (run this first; pairwise t-tests after an insignificant F are
+    * the classic multiple-comparison trap). One map-side-combined
+    * pass per cohort accumulates exact Long (nᵢ, Σxᵢ); the
+    * between/within sums of squares combine those exact sums in
+    * DOUBLE (Σ Sᵢ²/nᵢ is a k-row double sum — order engine-dependent
+    * ⇒ SS rounded 2, F rounded 4, the entropy precedent). Output one
+    * row: (k, n, ssb_r, ssw_r, f_r); F is NULL when k < 2, n ≤ k, or
+    * SSW = 0 (degenerate).
+    *
+    * Scale shape: the corpus is touched once; everything after runs
+    * on the k-row cohort frame. */
+  def anovaF(df: DataFrame, cohortCol: String, centsCol: String)
+      : DataFrame = {
+    val per = df
+      .select(col(cohortCol).as("g"),
+        col(centsCol).cast("long").as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_i"), sum(col("x")).as("s_i"),
+        sum(col("x") * col("x")).as("q_i"))
+    def d(c: Column) = c.cast("double")
+    val one = per.agg(
+      count(lit(1)).as("k"), sum(col("n_i")).as("n"),
+      sum(col("s_i")).as("s"), sum(col("q_i")).as("q"),
+      sum(d(col("s_i")) * d(col("s_i")) / d(col("n_i"))).as("sb"))
+    val ssb = col("sb") - d(col("s")) * d(col("s")) / d(col("n"))
+    val ssw = d(col("q")) - col("sb")
+    one.select(col("k"), col("n"),
+      round(ssb, 2).as("ssb_r"), round(ssw, 2).as("ssw_r"),
+      when(col("k") > 1 && col("n") > col("k") && ssw > 0,
+        round((ssb / (d(col("k")) - 1.0)) /
+          (ssw / (d(col("n")) - d(col("k")))), 4)).as("f_r"))
   }
 }

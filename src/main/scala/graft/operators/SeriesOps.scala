@@ -798,6 +798,51 @@ object SeriesOps {
         (col("detr") - col("seasonal")).as("resid")): _*)
   }
 
+  /** SAX symbolization of a bucketed per-series frame (Lin et al.,
+    * "A Symbolic Representation of Time Series"): each bucket value
+    * maps to a small-alphabet symbol by EXACT per-series
+    * order-statistic cut points — the data-driven (distribution-free)
+    * variant of the classic Gaussian breakpoints, PAA being the
+    * caller's bucketing (the GROUP BY time() floor-mean convention
+    * every series op here shares). Symbols turn numeric series into
+    * strings for motif mining / indexing / cheap similarity — the
+    * discretization bridge between the ts_* family and the text
+    * n-gram machinery.
+    *
+    * Cut j (1..alphabet−1) is the ⌈n·j/alphabet⌉-th smallest bucket
+    * value (PERCENTILE_DISC), selected on the per-series VALUE-DOMAIN
+    * frequency frame (winsorizedStats discipline — no corpus-wide
+    * sort); symbol = #cuts strictly below the value, so ties always
+    * share a symbol. All exact Longs.
+    *
+    * Output: (series…, bucket, v, symbol 0..alphabet−1). */
+  def saxSymbols(df: DataFrame, seriesCols: Seq[String],
+      bucketCol: String, centsCol: String, alphabet: Int): DataFrame = {
+    require(alphabet >= 2 && alphabet <= 16,
+      s"need 2 <= alphabet <= 16: $alphabet")
+    val gc = seriesCols.map(col)
+    val base = df.select(gc :+ col(bucketCol).cast("long").as("b") :+
+      col(centsCol).cast("long").as("v"): _*)
+    val wOrd = Window.partitionBy(gc: _*).orderBy(col("v"))
+    val wAll = Window.partitionBy(gc: _*)
+    val freq = base.groupBy(gc :+ col("v"): _*)
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val cutCols = (1 until alphabet).map { j =>
+      min(when(col("cum") >=
+        expr(s"(n * $j + ${alphabet - 1}) div $alphabet"),
+        col("v"))).as(s"cut_$j")
+    }
+    val cuts = freq.groupBy(gc: _*).agg(cutCols.head, cutCols.tail: _*)
+    val symbol = (1 until alphabet)
+      .map(j => when(col("v") > col(s"cut_$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    base.join(broadcast(cuts), seriesCols)
+      .select(gc ++ Seq(col("b"), col("v"),
+        symbol.as("symbol")): _*)
+  }
+
   /** Counter-reset-aware rate (the TSDB `increase`/`rate` convention
     * for cumulative counters): per series, walk samples in time order;
     * a sample BELOW its predecessor is a counter reset (process

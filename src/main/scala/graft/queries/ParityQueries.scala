@@ -1000,6 +1000,43 @@ object ParityQueries {
           sn > 2000000 AS alarm_neg
         FROM r""".replaceAll("\\s+", " "))),
 
+    // SAX symbolization of the hour-bucketed series: per-series exact
+    // tercile cut points (PERCENTILE_DISC on the value-domain frame),
+    // symbol = #cuts strictly below — numeric series become 3-letter
+    // strings for motif mining; all Longs, cuts broadcast back.
+    "ts_sax" -> QueryDef(
+      (s, dir) => SeriesOps.saxSymbols(
+        Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b_us"),
+            expr("(2 * s * 10000 + n) div (2 * n)").as("vu")),
+        seriesCols = Seq("event_type"), bucketCol = "b_us",
+        centsCol = "vu", alphabet = 3),
+      Some("""WITH a0 AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+          count(*) AS n0 FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, b,
+          CAST((2 * s * 10000 + n0) // (2 * n0) AS BIGINT) AS v
+          FROM a0),
+        f AS (SELECT event_type, v, count(*)::BIGINT AS c FROM a
+          GROUP BY 1, 2),
+        cu AS (SELECT event_type, v, c, sum(c) OVER
+          (PARTITION BY event_type ORDER BY v) AS cum,
+          sum(c) OVER (PARTITION BY event_type) AS n FROM f),
+        ct AS (SELECT event_type,
+          min(CASE WHEN cum >= (n * 1 + 2) // 3 THEN v END) AS cut1,
+          min(CASE WHEN cum >= (n * 2 + 2) // 3 THEN v END) AS cut2
+          FROM cu GROUP BY 1)
+        SELECT a.event_type, a.b, a.v,
+          ((a.v > ct.cut1)::INT + (a.v > ct.cut2)::INT)::BIGINT
+            AS symbol
+        FROM a JOIN ct USING (event_type)"""
+        .replaceAll("\\s+", " "))),
+
     // counter-reset-aware rate over hour-bucketed per-series sums: a
     // bucket below its predecessor is a counter reset and contributes
     // its own value (the restart-from-zero convention); one lag

@@ -1259,6 +1259,26 @@ object PipelineQueries {
           round(regr_slope(ln(n), ln(rank)), 3) AS zipf_slope
         FROM r""".replaceAll("\\s+", " "))),
 
+    // per-language quantile-rank normalization of document length —
+    // the cross-source score calibration step (normalize THEN
+    // threshold; raw per-source scores are incomparable). Exact
+    // basis-point cume_dist; the CDF window runs on the value-domain
+    // frequency frame only (allowlisted discipline).
+    "pipeline_quantile_norm" -> QueryDef(
+      (s, dir) => Curation.quantileNormalize(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        Seq("lang"), "n_chars"),
+      Some("""WITH f AS (SELECT lang, n_chars, count(*)::BIGINT AS c
+          FROM documents GROUP BY 1, 2),
+        cu AS (SELECT lang, n_chars, c,
+          sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+          sum(c) OVER (PARTITION BY lang) AS n FROM f)
+        SELECT d.doc_id, d.lang, d.n_chars,
+          ((cu.cum * 10000) // cu.n)::BIGINT AS rank_bp
+        FROM documents d JOIN cu ON d.lang = cu.lang
+          AND d.n_chars = cu.n_chars""".replaceAll("\\s+", " "))),
+
     // per-source Shannon word entropy — the corpus-health twin of the
     // Zipf slope (near-zero = template spam / constant-field damage,
     // anomalously high = binary junk). Corpus touched once; H runs on
@@ -1964,6 +1984,79 @@ object PipelineQueries {
         SELECT label::BIGINT AS label, count(*)::BIGINT AS n_dims,
           round(sum((m0 - m1) * (m0 - m1)), 6) AS drift2
         FROM p GROUP BY 1""".replaceAll("\\s+", " "))),
+
+    // per-dimension embedding variance profile — the dead-dimension
+    // screen (a near-zero-variance dimension carries no signal and
+    // wastes index/ANN budget; one dominating dimension distorts every
+    // unwhitened distance). E[x²]−E[x]² per dim with both avgs in
+    // DOUBLE, rounded once; everything past the posexplode runs on the
+    // 64-row dims frame.
+    "emb_dim_variance" -> QueryDef(
+      (s, dir) => emb(s, dir)
+        .select(posexplode(col("embedding")))
+        .select(col("pos"), col("col").cast("double").as("x"))
+        .groupBy(col("pos").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("x")), 6).as("mean_r"),
+          round(avg(col("x") * col("x")) -
+            avg(col("x")) * avg(col("x")), 6).as("var_r")),
+      Some("""SELECT (i - 1)::BIGINT AS dim, count(*)::BIGINT AS n,
+        round(avg(x), 6) AS mean_r,
+        round(avg(x * x) - avg(x) * avg(x), 6) AS var_r
+        FROM (SELECT unnest(embedding)::DOUBLE AS x,
+          unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+        GROUP BY i""".replaceAll("\\s+", " "))),
+
+    // Jensen–Shannon divergence of each source's unigram distribution
+    // from the corpus distribution — the bounded symmetric drift
+    // metric ([0, ln 2]): which source no longer speaks the corpus's
+    // language. Absent-word mass folds in closed form
+    // (p=0 ⇒ term = q·ln2), so the whole computation runs on the
+    // source-vocabulary join frame; totals broadcast; the vocab-sum is
+    // a multi-row double aggregate ⇒ rounded 6.
+    "text_js_divergence" -> QueryDef(
+      (s, dir) => {
+        val w = docs(s, dir).select(col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        val cs = w.groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        val cw = w.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+        val ns = cs.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+        val tot = cw.agg(sum(col("cc")).as("n_t"))
+        val p = col("c").cast("double") / col("n_s").cast("double")
+        val q = col("cc").cast("double") / col("n_t").cast("double")
+        cs.join(cw, "w")
+          .join(broadcast(ns), "source")
+          .crossJoin(broadcast(tot))
+          .select(col("source"), p.as("p"), q.as("q"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_types"),
+            round((sum(col("p") * log(lit(2.0) * col("p") /
+                (col("p") + col("q"))) +
+              col("q") * log(lit(2.0) * col("q") /
+                (col("p") + col("q")))) +
+              log(lit(2.0)) * (lit(1.0) - sum(col("q")))) * 0.5, 6)
+              .as("jsd_r"))
+      },
+      Some("""WITH w AS (SELECT source,
+          unnest(string_split(text, ' ')) AS w FROM documents),
+        cs AS (SELECT source, w, count(*)::BIGINT AS c FROM w
+          GROUP BY 1, 2),
+        cw AS (SELECT w, count(*)::BIGINT AS cc FROM w GROUP BY 1),
+        ns AS (SELECT source, sum(c)::BIGINT AS n_s FROM cs
+          GROUP BY 1),
+        t AS (SELECT sum(cc)::BIGINT AS n_t FROM cw),
+        j AS (SELECT cs.source,
+            cs.c::DOUBLE / ns.n_s::DOUBLE AS p,
+            cw.cc::DOUBLE / t.n_t::DOUBLE AS q
+          FROM cs JOIN cw USING (w) JOIN ns USING (source)
+          CROSS JOIN t)
+        SELECT source, count(*)::BIGINT AS n_types,
+          round((sum(p * ln(2.0 * p / (p + q)) +
+            q * ln(2.0 * q / (p + q))) +
+            ln(2.0) * (1.0 - sum(q))) * 0.5, 6) AS jsd_r
+        FROM j GROUP BY 1""".replaceAll("\\s+", " "))),
 
     // per-label centroid-distance outliers — the embedding-space
     // mislabel/poison screen (a vector far from its own label's

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Profiling, RuntimeFilters, SkewJoin, TemporalJoin}
+import graft.operators.{Incremental, Profiling, RuntimeFilters, SkewJoin, TemporalJoin}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -984,6 +984,32 @@ object RelationalQueries {
              se2 * se2 / (n2::DOUBLE - 1.0)), 2) END AS df_r
         FROM v""".replaceAll("\\s+", " "))),
 
+    // one-way ANOVA F across ALL five event-type cohorts — "does any
+    // mean differ" before pairwise t-tests (the multiple-comparison
+    // discipline). Exact Long (n, Σx, Σx²) per cohort; SS/F combined
+    // in fixed-order DOUBLE on the k-row cohort frame, rounded 2/4.
+    "stats_anova" -> QueryDef(
+      (s, dir) => Profiling.anovaF(
+        ev(s, dir).select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents"),
+      Some("""WITH b AS (SELECT event_type AS g,
+          CAST(round(value * 100, 0) AS BIGINT) AS x FROM events),
+        p AS (SELECT g, count(*)::BIGINT AS n_i, sum(x)::BIGINT AS s_i,
+          sum(x*x)::BIGINT AS q_i FROM b GROUP BY 1),
+        o AS (SELECT count(*)::BIGINT AS k, sum(n_i)::BIGINT AS n,
+          sum(s_i)::BIGINT AS s, sum(q_i)::BIGINT AS q,
+          sum(s_i::DOUBLE * s_i::DOUBLE / n_i::DOUBLE) AS sb FROM p)
+        SELECT k, n,
+          round(sb - s::DOUBLE * s::DOUBLE / n::DOUBLE, 2) AS ssb_r,
+          round(q::DOUBLE - sb, 2) AS ssw_r,
+          CASE WHEN k > 1 AND n > k AND (q::DOUBLE - sb) > 0 THEN
+            round(((sb - s::DOUBLE * s::DOUBLE / n::DOUBLE) /
+              (k::DOUBLE - 1.0)) /
+              ((q::DOUBLE - sb) / (n::DOUBLE - k::DOUBLE)), 4)
+          END AS f_r
+        FROM o""".replaceAll("\\s+", " "))),
+
     // revenue concentration per market segment: floored-basis-point
     // shares per customer, HHI = Σ share_bp² — exact integers end to
     // end; share arithmetic runs on the customer-cardinality frame
@@ -1259,6 +1285,69 @@ object RelationalQueries {
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'"""
         .replaceAll("\\s+", " "))),
+
+    // two-dimensional data layout: write events Z-ORDERED on
+    // (user_id, hour) — Bucketing.mortonKey interleaves the two
+    // dimensions so row-group min/max envelopes stay tight on EACH,
+    // and a filter on user range AND time range skips row groups on
+    // both at the parquet footer (the Delta/Iceberg OPTIMIZE ZORDER
+    // trade as a plain column expression; the 2-D generalization of
+    // layout_sorted_scan). Both predicates must reach the scan pushed
+    // (PlanSpec pins it). Oracle = the same query on the original
+    // table: layout must never change results, only I/O.
+    "layout_zorder_scan" -> QueryDef(
+      (s, dir) => {
+        val dst = s"/tmp/graft_zorder_rt_${math.abs(dir.hashCode)}"
+        val hourNs = 3600L * 1000000000L
+        val e = ev(s, dir)
+        e.drop("ts" + Tables.RawSuffix)
+          .withColumn("_z", graft.operators.Bucketing.mortonKey(
+            col("user_id"), expr(s"ts div $hourNs"), bits = 16))
+          .repartitionByRange(8, col("_z"))
+          .sortWithinPartitions(col("_z"))
+          .drop("_z")
+          .write.mode("overwrite").parquet(dst)
+        s.read.parquet(dst)
+          .filter(col("user_id").between(2L, 9L)
+            && col("ts") >= lit(1704844800L * 1000000000L)
+            && col("ts") < lit(1705708800L * 1000000000L))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(round(value * 100, 0) as bigint)"))
+              .as("sum_c"))
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS n,
+        sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS sum_c
+        FROM events WHERE user_id BETWEEN 2 AND 9
+        AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY 1""".replaceAll("\\s+", " "))),
+
+    // incremental aggregate maintenance: the per-type stats view kept
+    // current by MERGING the new window's partial (n, Σ, min, max)
+    // into the stored partial of everything before it — merging
+    // summary rows, never rescanning history (operators.Incremental;
+    // the 100 TB daily-rollup pattern). Oracle = the from-scratch
+    // aggregation: maintenance must be invisible in the result.
+    "inc_agg_merge" -> QueryDef(
+      (s, dir) => {
+        val cutNs = 1705363200L * 1000000000L // 2024-01-16 UTC
+        val e = ev(s, dir).select(col("event_type"), col("ts"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        val base = Incremental.partialStats(
+          e.filter(col("ts") < cutNs), Seq("event_type"), "cents")
+        val delta = Incremental.partialStats(
+          e.filter(col("ts") >= cutNs), Seq("event_type"), "cents")
+        Incremental.mergePartialStats(base.unionByName(delta),
+          Seq("event_type"))
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS n,
+        sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS sum_c,
+        min(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS min_c,
+        max(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS max_c,
+        CAST((2 * sum(CAST(round(value * 100, 0) AS BIGINT)) * 10000
+          + count(*)) // (2 * count(*)) AS BIGINT) AS mean_u
+        FROM events GROUP BY 1""".replaceAll("\\s+", " "))),
 
     // approximate percentiles (Greenwald-Khanna sketch) — the 100 TB
     // twin of agg_percentiles: exact `percentile` buffers EVERY value of

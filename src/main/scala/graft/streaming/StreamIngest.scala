@@ -301,6 +301,59 @@ object StreamIngest {
       .toDF("key", "time_ns", "vc", "n_resets", "increase_c")
   }
 
+  /** Continuous SpaceSaving heavy hitters — the streaming face of
+    * [[graft.functions.HeavyHitters]]: per-bucket state is one
+    * SpaceSaving summary (≤ `capacity` counters + the eviction
+    * baseline), folded with the EXACT SAME reduce rule as the batch
+    * aggregate, so in exact mode (capacity ≥ distinct items per
+    * bucket) the latest emitted summary per bucket carries the true
+    * running counts and the merged bucket tops equal the batch
+    * result — the spec's differential crosses micro-batch boundaries.
+    * Items shard over `buckets` state keys by murmur3 so a hot stream
+    * never single-threads one state row. Emits the bucket's current
+    * top-k after each batch as (bucket, ver, item, cnt, err) — `ver`
+    * increments per fold so readers take the max-ver snapshot. */
+  def heavyHittersStream(
+      typed: DataFrame,
+      itemCol: String,
+      buckets: Int,
+      capacity: Int,
+      k: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val spark = typed.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState,
+      GroupStateTimeout, OutputMode}
+    val agg = new graft.functions.HeavyHitters.SpaceSavingAggregator(
+      capacity, k)
+    typed
+      .where(col(itemCol).isNotNull)
+      .select(pmod(hash(col(itemCol)), lit(buckets)).as("bucket"),
+        col(itemCol).cast("string").as("item"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Seq[(String, Long, Long)]),
+          (Int, Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Int, it: Iterator[(Int, String)],
+         state: GroupState[(Long, Long, Seq[(String, Long, Long)])]) =>
+          val (ver, base, items) = state.getOption
+            .getOrElse((0L, 0L, Seq.empty[(String, Long, Long)]))
+          var buf = graft.functions.HeavyHitters.SSBuf(base,
+            items.map { case (key, c, e) => key -> ((c, e)) }.toMap)
+          // deterministic fold order within the batch: the reduce
+          // rule's evictions are order-sensitive once saturated
+          it.toSeq.map(_._2).sorted.foreach { item =>
+            buf = agg.reduce(buf, item) }
+          val v = ver + 1
+          state.update((v, buf.base,
+            buf.items.toSeq.map { case (key, (c, e)) => (key, c, e) }))
+          agg.finish(buf).items.iterator
+            .map(c => (bucket, v, c.key, c.cnt, c.err))
+      }
+      .toDF("bucket", "ver", "item", "cnt", "err")
+  }
+
   /** Continuous strictly-ordered funnel — the streaming face of
     * [[graft.operators.Behavior.funnel]]: per-key state is the pair
     * (stages-reached count, last reach time) — O(1) per key. Greedy

@@ -102,4 +102,38 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS li_ok"): Unit
     }
   }
+
+  test("mortonKey: interleaves bits exactly (driver-side reference " +
+    "over a dim grid), bounds stay positive, and sorting by it " +
+    "clusters both dimensions") {
+    val s = spark
+    import s.implicits._
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i + 1)) |
+          (((b >> i) & 1L) << (2 * i))
+      }
+    val grid = for (a <- 0L to 17L; b <- 0L to 17L) yield (a, b)
+    val got = grid.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Bucketing.mortonKey(col("a"), col("b"), 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    grid.foreach { case (a, b) =>
+      assert(got((a, b)) === ref(a, b, 16), s"($a,$b)") }
+    // canonical low-order values
+    assert(got((1L, 0L)) === 2L && got((0L, 1L)) === 1L &&
+      got((3L, 3L)) === 15L)
+    // 2-D clustering: within any aligned 2×2 cell the z-keys are
+    // CONTIGUOUS (the property row-group envelopes rely on)
+    for (a0 <- Seq(0L, 2L, 4L, 16L); b0 <- Seq(0L, 2L, 8L)) {
+      val cell = for (da <- 0L to 1L; db <- 0L to 1L)
+        yield got((a0 + da, b0 + db))
+      assert(cell.max - cell.min === 3L, s"cell ($a0,$b0): $cell")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Bucketing.mortonKey(col("a"), col("b"), 32)
+    }
+    assert(e.getMessage.contains("bits"))
+  }
 }

@@ -655,4 +655,25 @@ class CurationSpec extends AnyFunSuite {
       CurationPipeline.exportShards(docs, "doc_id", out, "e0", 4)
     assert(manifest2 === manifest)
   }
+
+  test("quantileNormalize: hand-computed tie-sharing cume_dist in bp; " +
+    "the max value always lands at 10000; fractional value columns " +
+    "are rejected at plan time") {
+    val s = spark
+    import s.implicits._
+    // group G values: 1, 2, 2, 5 → cum 1,3,3,4 → bp 2500, 7500, 7500,
+    // 10000 (ties share the tie-group's UPPER rank)
+    val df = Seq(("G", 10L, 1L), ("G", 11L, 2L), ("G", 12L, 2L),
+      ("G", 13L, 5L), ("H", 20L, 9L)).toDF("g", "id", "v")
+    val out = Curation.quantileNormalize(df, Seq("g"), "v")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("rank_bp")).toMap
+    assert(out === Map(10L -> 2500L, 11L -> 7500L, 12L -> 7500L,
+      13L -> 10000L, 20L -> 10000L))
+    val e = intercept[IllegalArgumentException] {
+      Curation.quantileNormalize(
+        Seq(("G", 1L, 1.5)).toDF("g", "id", "v"), Seq("g"), "v")
+    }
+    assert(e.getMessage.toLowerCase.contains("integral"))
+  }
 }

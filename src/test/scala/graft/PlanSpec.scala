@@ -281,6 +281,24 @@ class PlanSpec extends AnyFunSuite {
       pushed.contains("LessThan(l_shipdate"), pushed + "\n" + p.take(2000))
   }
 
+  test("layout_zorder_scan: BOTH dimension predicates (user range + " +
+    "time range) reach the z-ordered copy's parquet scan pushed — " +
+    "2-D row-group skipping needs footer-level filters on each") {
+    // explain truncates long PushedFilters lists at
+    // maxMetadataStringLength — widen it for this assertion only
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    val p = try {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+      planOf("layout_zorder_scan")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(user_id") &&
+      pushed.contains("LessThanOrEqual(user_id") &&
+      pushed.contains("GreaterThanOrEqual(ts") &&
+      pushed.contains("LessThan(ts"), pushed + "\n" + p.take(2000))
+  }
+
   test("copied-dataset range read prunes chunk partitions at file " +
     "listing (PartitionFilters over the __bucket span, S5 scale path)") {
     val p = planOf("s5_partition_pruned_scan")

@@ -253,6 +253,31 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out("S") === ((2L, 100L, 9000L, 9000L * 9000L + 1000L * 1000L)))
   }
 
+  test("anovaF: identical cohorts give F = 0; a clean separation " +
+    "matches the hand-computed F; single-cohort input yields NULL") {
+    val s = spark
+    import s.implicits._
+    val same = Seq("a", "b", "c").flatMap(g =>
+      Seq((g, 1L), (g, 2L), (g, 3L)))
+    val r0 = Profiling.anovaF(same.toDF("g", "v"), "g", "v")
+      .collect().head
+    assert((r0.getLong(0), r0.getLong(1)) === ((3L, 9L)))
+    assert(r0.getDouble(2) === 0.0) // SSB
+    assert(r0.getDouble(4) === 0.0) // F
+    // hand case: A={0,2}, B={10,12} → SSB=100, SSW=4,
+    // F=(100/1)/(4/2)=50
+    val sep = Seq(("a", 0L), ("a", 2L), ("b", 10L), ("b", 12L))
+    val r1 = Profiling.anovaF(sep.toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(r1.getDouble(2) === 100.0)
+    assert(r1.getDouble(3) === 4.0)
+    assert(r1.getDouble(4) === 50.0)
+    val r2 = Profiling.anovaF(
+      Seq(("only", 1L), ("only", 5L)).toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(r2.isNullAt(4))
+  }
+
   test("welchT: symmetric cohorts give t = 0; a clean separation " +
     "matches the hand-computed statistic; n=1 cohorts yield NULL") {
     val s = spark

@@ -657,6 +657,31 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(out3.forall(r => r.isNullAt(3) && r.isNullAt(4)))
   }
 
+  test("saxSymbols: tercile cuts are exact order statistics per " +
+    "series, ties share a symbol, constant series collapse to one " +
+    "symbol") {
+    val s = spark
+    import s.implicits._
+    // A: values 1..9 → cuts at the 3rd/6th smallest (3, 6):
+    //    1-3 → 0, 4-6 → 1, 7-9 → 2
+    val a = (1L to 9L).map(i => ("A", i, i * 10))
+    // B: 5,5,5,9 → n=4, cut1 = ceil(4/3)=2nd = 5, cut2 = ceil(8/3)=3rd
+    //    = 5 → the three 5s share symbol 0, the 9 gets 2
+    val b = Seq(("B", 1L, 5L), ("B", 2L, 5L), ("B", 3L, 5L),
+      ("B", 4L, 9L))
+    val c = Seq(("C", 1L, 7L), ("C", 2L, 7L))
+    val out = graft.operators.SeriesOps.saxSymbols(
+        (a ++ b ++ c).toDF("k", "b", "v").repartition(4),
+        Seq("k"), "b", "v", alphabet = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    (1L to 9L).foreach(i =>
+      assert(out(("A", i)) === (i - 1) / 3, s"A bucket $i"))
+    assert(out(("B", 1L)) === 0L && out(("B", 2L)) === 0L &&
+      out(("B", 3L)) === 0L && out(("B", 4L)) === 2L)
+    assert(out(("C", 1L)) === 0L && out(("C", 2L)) === 0L)
+  }
+
   test("counterRate: planted resets follow the restart-from-zero " +
     "convention; a monotone counter has zero resets and increase = " +
     "last − first; singleton series report a NULL rate") {

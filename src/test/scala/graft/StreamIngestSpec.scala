@@ -504,6 +504,45 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(last === ((2L, 80L)))
   }
 
+  test("streaming heavy hitters: exact-mode snapshots carry true " +
+    "running counts across micro-batch boundaries and the merged " +
+    "bucket tops equal the batch aggregate") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_hh_in").toString
+    val out = Files.createTempDirectory("graft_hh_out").toString
+    val ckpt = Files.createTempDirectory("graft_hh_ck").toString
+    // a×5, b×3, c×2, d×1 split unevenly across two batches
+    val words = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++
+      Seq.fill(2)("c") :+ "d"
+    def lp(w: String, i: Int) = s"m,host=h,w=$w v=1 ${minuteNs(i + 1L)}"
+    val lines = words.zipWithIndex.map((lp _).tupled)
+    writeBatch(in, "b0.lp", lines.take(4))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host", "w"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val hh = StreamIngest.heavyHittersStream(typed, "tag_w",
+      buckets = 4, capacity = 16, k = 8)
+    val q = StreamIngest.toParquet(hh, out, ckpt)
+    try {
+      q.processAllAvailable()
+      writeBatch(in, "b1.lp", lines.drop(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("ver"),
+        r.getAs[String]("item"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("err")))
+    // exact mode: every error is zero
+    assert(rows.forall(_._5 == 0L), rows.mkString(", "))
+    // merge each bucket's LATEST snapshot → true totals
+    val latest = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val top = rs.map(_._2).max
+      rs.filter(_._2 == top).toSeq
+    }
+    val got = latest.map(r => r._3 -> r._4).toMap
+    assert(got === Map("a" -> 5L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
+  }
+
   test("streaming funnel: greedy advance over in-order input equals " +
     "the batch min-time chaining across micro-batch boundaries; " +
     "out-of-order stages never advance") {
