@@ -132,6 +132,68 @@ object Behavior {
         expr("(n * 10000) div n_from").as("prob_bp"))
   }
 
+  /** SECOND-order path transitions: P(next | prev₂, prev₁) with exact
+    * basis-point shares — the context upgrade over [[pathTransitions]]
+    * (first-order Markov washes out "view→click means purchase only
+    * after signup"-shaped structure). Same single-user-window shape:
+    * two lags over one (ts, tie)-ordered traversal, counts and shares
+    * on the |types|³-bounded transition frame.
+    *
+    * Output: (from2, from1, to_type, n, prob_bp). */
+  def pathTransitions2(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, tieCol: String): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val triples = events
+      .withColumn("from1", lag(col(typeCol), 1).over(byUser))
+      .withColumn("from2", lag(col(typeCol), 2).over(byUser))
+      .filter(col("from2").isNotNull)
+      .groupBy(col("from2"), col("from1"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byCtx = Window.partitionBy(col("from2"), col("from1"))
+    triples
+      .withColumn("n_ctx", sum(col("n")).over(byCtx))
+      .select(col("from2"), col("from1"), col("to_type"), col("n"),
+        expr("(n * 10000) div n_ctx").as("prob_bp"))
+  }
+
+  /** Rolling active-user engagement: per day, DAU (distinct users that
+    * day), WAU (distinct users over the trailing 7 days), and the
+    * stickiness ratio DAU/WAU in exact floored basis points — the
+    * canonical product-engagement dashboard row.
+    *
+    * A rolling DISTINCT is not a sum of daily distincts, so WAU is
+    * computed exactly by fanning each (day, user) row out to the ≤ 7
+    * report days it counts toward (sequence-explode — one projection,
+    * no range join, no per-day rescans) and distinct-counting per
+    * report day. The fan-out frame is |days×users|·7 — the
+    * day-user DEDUPED frame times a constant, never events×7. Report
+    * days beyond the stream's last day are dropped.
+    *
+    * Output: (day_us, dau, wau, stickiness_bp). */
+  def dauWau(events: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val dayNsL = 86400L * 1000000000L
+    val dayUser = events
+      .select(expr(s"(${tsCol} div $dayNsL) * $dayUs").as("day_us"),
+        col(userCol).as("u"))
+      .distinct()
+    val lastDay = dayUser.agg(max(col("day_us")).as("last_day"))
+    val dau = dayUser.groupBy(col("day_us"))
+      .agg(countDistinct(col("u")).as("dau"))
+    val wau = dayUser
+      .crossJoin(broadcast(lastDay))
+      .select(explode(sequence(col("day_us"),
+        least(col("day_us") + lit(6L * dayUs), col("last_day")),
+        lit(dayUs))).as("day_us"), col("u"))
+      .groupBy(col("day_us"))
+      .agg(countDistinct(col("u")).as("wau"))
+    dau.join(wau, "day_us")
+      .select(col("day_us"), col("dau"), col("wau"),
+        expr("(dau * 10000) div wau").as("stickiness_bp"))
+  }
+
   /** RFM (recency / frequency / monetary) segmentation: per user,
     * recency = full periods since their LAST event (against the
     * stream's global latest event — a data-relative anchor, no

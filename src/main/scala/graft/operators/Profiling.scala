@@ -532,6 +532,99 @@ object Profiling {
           2)).as("df_r"))
   }
 
+  /** Per-group WEIGHTED (lower) median: the smallest value whose
+    * cumulative weight reaches half the group's total — "the quantity
+    * at which half the REVENUE sits", the business-weighted answer
+    * the plain median can't give. Same value-domain discipline as
+    * every order statistic here: one groupBy((group, value)) pass
+    * sums weights, the cumulative window sorts the value DOMAIN, and
+    * the pick is exact integer arithmetic (2·cum ≥ total — no
+    * halves, no doubles).
+    *
+    * Output: (group…, n_vals, tot_w, wmedian). */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val wOrd = Window.partitionBy(gc: _*).orderBy(col("v"))
+    val wAll = Window.partitionBy(gc: _*)
+    df.select(gc ++ Seq(col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w")): _*)
+      .groupBy(gc :+ col("v"): _*)
+      .agg(sum(col("w")).as("wv"))
+      .withColumn("cum", sum(col("wv")).over(wOrd))
+      .withColumn("tot_w", sum(col("wv")).over(wAll))
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_vals"), max(col("tot_w")).as("tot_w"),
+        min(when(lit(2) * col("cum") >= col("tot_w"), col("v")))
+          .as("wmedian"))
+  }
+
+  /** Population Stability Index between a reference cohort and a
+    * comparison cohort of a cents measure — the binned drift metric
+    * model monitoring actually alarms on (rule of thumb: < 0.1 stable,
+    * > 0.25 shifted). Bins are the REFERENCE cohort's exact decile cut
+    * points (PERCENTILE_DISC on its value-domain frequency frame, the
+    * winsorizedStats discipline), so "the population moved" is
+    * measured against where the reference actually sat, not fixed
+    * grids. PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) with ADD-ONE smoothed bin
+    * counts (the standard empty-bin guard — PSI is undefined at q=0;
+    * smoothing is applied to BOTH cohorts so identical cohorts still
+    * score exactly 0). Bin shares are one IEEE division of exact
+    * Longs; the 10-term sum is rounded 6 (registry convention).
+    *
+    * Output: one row per bin (bin 0..9, n_ref, n_cmp) plus the psi_r
+    * total repeated per row (the long format keeps every column
+    * integer-or-rounded and the per-bin attribution visible — WHICH
+    * bins moved is the actionable part). */
+  def psi(df: DataFrame, cohortCol: String, centsCol: String,
+      refCohort: String, cmpCohort: String): DataFrame = {
+    val vals = df
+      .filter(col(cohortCol).isin(refCohort, cmpCohort))
+      .select(col(cohortCol).as("g"), col(centsCol).cast("long")
+        .as("v"))
+    val wOrd = Window.orderBy(col("v"))
+    // reference-cohort decile cuts: value-domain frame, bounded by the
+    // distinct-value count (allowlisted unpartitioned window)
+    val refFreq = vals.filter(col("g") === refCohort)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(lit(1))))
+    val cutCols = (1 until 10).map(j => min(when(col("cum") >=
+      expr(s"(n * $j + 9) div 10"), col("v"))).as(s"cut_$j"))
+    val cuts = refFreq.agg(cutCols.head, cutCols.tail: _*)
+    val bin = (1 until 10)
+      .map(j => when(col("v") > col(s"cut_$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val binned = vals.crossJoin(broadcast(cuts))
+      .select(col("g"), bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("g") === refCohort, 1L).otherwise(0L))
+        .as("n_ref"),
+        sum(when(col("g") === cmpCohort, 1L).otherwise(0L))
+          .as("n_cmp"))
+    // add-one smoothing on a fixed 10-bin grid: absent bins surface
+    // with zero counts rather than vanishing
+    val grid = binned.sparkSession.range(10)
+      .select(col("id").as("bin"))
+    val full = grid.join(binned, Seq("bin"), "left_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cmp"), lit(0L)).as("n_cmp"))
+    val tot = full.agg((sum(col("n_ref")) + 10L).as("tr"),
+      (sum(col("n_cmp")) + 10L).as("tc"))
+    val p = (col("n_ref") + lit(1L)).cast("double") /
+      col("tr").cast("double")
+    val q = (col("n_cmp") + lit(1L)).cast("double") /
+      col("tc").cast("double")
+    val withTerm = full.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cmp"),
+        ((p - q) * log(p / q)).as("term"))
+    val psiTotal = withTerm.agg(round(sum(col("term")), 6).as("psi_r"))
+    withTerm.select(col("bin"), col("n_ref"), col("n_cmp"))
+      .crossJoin(broadcast(psiTotal))
+  }
+
   /** One-way ANOVA F over k cohorts of a cents measure — "does ANY
     * cohort mean differ", the k-group generalization of [[welchT]]
     * (run this first; pairwise t-tests after an insignificant F are

@@ -798,6 +798,114 @@ object SeriesOps {
         (col("detr") - col("seasonal")).as("resid")): _*)
   }
 
+  /** Lagged cross-correlation between two bucketed series: Pearson
+    * r(ℓ) of (A_t, B_{t+ℓ}) for each lag ℓ ∈ [−maxLag, maxLag] — the
+    * lead/lag discovery tool ("purchases follow clicks by 2 hours"
+    * shows up as the argmax lag) behind every pair of KPIs on one
+    * dashboard. ts_similar_series ranks WHICH series co-move; this
+    * measures WHEN.
+    *
+    * Scale shape: both inputs are GROUP BY time() bucket frames
+    * (range/interval-bounded, the EMA-family contract); the A side
+    * fans out ×(2·maxLag+1) via one lag explode and equi-joins B on
+    * the shifted bucket — no window, no cross join. All six Pearson
+    * sums are exact Longs per lag; r is the corrMatrix fixed-order
+    * IEEE combination rounded 4 (NULL when either side is constant
+    * over the overlap).
+    *
+    * Output: (lag, n, r_r) — one row per lag with ≥ 2 overlapping
+    * buckets. */
+  def crossCorrelation(a: DataFrame, b: DataFrame, bucketCol: String,
+      centsCol: String, bucketStep: Long, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 100,
+      s"need 1 <= maxLag <= 100: $maxLag")
+    require(bucketStep > 0, s"bucketStep must be positive: $bucketStep")
+    val aa = a.select(col(bucketCol).cast("long").as("ba"),
+      col(centsCol).cast("long").as("va"))
+    val bb = b.select(col(bucketCol).cast("long").as("bb"),
+      col(centsCol).cast("long").as("vb"))
+    val lagged = aa
+      .select(col("ba"), col("va"), explode(sequence(
+        lit(-maxLag.toLong), lit(maxLag.toLong))).as("lag"))
+      .withColumn("bt", col("ba") + col("lag") * lit(bucketStep))
+    val sums = lagged.join(bb, col("bt") === col("bb"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("va")).as("sa"),
+        sum(col("vb")).as("sb"),
+        sum(col("va") * col("va")).as("qa"),
+        sum(col("vb") * col("vb")).as("qb"),
+        sum(col("va") * col("vb")).as("pab"))
+    def d(c: String) = col(c).cast("double")
+    val ca = d("n") * d("qa") - d("sa") * d("sa")
+    val cb = d("n") * d("qb") - d("sb") * d("sb")
+    sums.filter(col("n") >= 2)
+      .select(col("lag"), col("n"),
+        when(ca > 0 && cb > 0,
+          round((d("n") * d("pab") - d("sa") * d("sb")) /
+            (sqrt(ca) * sqrt(cb)), 4)).as("r_r"))
+  }
+
+  /** Pettitt change-point test over a bucketed per-series frame: the
+    * rank-based LOCATION companion to [[mannKendall]] (MK says "a
+    * monotone trend exists"; Pettitt says WHERE the level shifted,
+    * with no distribution assumption). Uₜ = Σ_{i≤t} Σ_{j>t} sgn(vⱼ−vᵢ);
+    * K = max|Uₜ|, the change point is the argmax, and the classic
+    * approximation p ≈ 2·exp(−6K²/(n³+n²)) (clamped to 1) is the one
+    * rounded double.
+    *
+    * The O(n²) pair set is per-series over GROUP BY time() buckets —
+    * bounded exactly as mannKendall documents. The Uₜ walk avoids any
+    * O(n³) "sum pairs per t" expansion: each pair (i<j) contributes
+    * sgn to every t ∈ [i, j), so it drops +sgn at t=i and −sgn at t=j
+    * (a difference array) and one per-series prefix-sum window
+    * rebuilds every Uₜ exactly. All exact Longs.
+    *
+    * Output: (series…, n, k_stat, loc_b — bucket of the EARLIEST
+    * argmax, NULL when n < 2 — p_r). */
+  def pettitt(df: DataFrame, seriesCols: Seq[String],
+      bucketCol: String, centsCol: String): DataFrame = {
+    val gc = seriesCols.map(col)
+    val base = df.select(gc :+ col(bucketCol).cast("long").as("b") :+
+        col(centsCol).cast("long").as("v"): _*)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(gc: _*).orderBy(col("b"))).cast("long"))
+    val keyEq = seriesCols.map(c => col(s"a.$c") === col(s"x.$c"))
+      .reduce(_ && _)
+    val pairs = base.as("a")
+      .join(base.as("x"), keyEq && col("a.rn") < col("x.rn"))
+      .select(seriesCols.map(c => col(s"a.$c")) ++ Seq(
+        col("a.rn").as("ti"), col("x.rn").as("tj"),
+        signum(col("x.v") - col("a.v")).cast("long").as("sg")): _*)
+    val deltas = pairs
+      .select(gc :+ col("ti").as("t") :+ col("sg"): _*)
+      .unionByName(pairs.select(gc :+ col("tj").as("t") :+
+        (-col("sg")).as("sg"): _*))
+      .groupBy(gc :+ col("t"): _*).agg(sum(col("sg")).as("d"))
+    val u = deltas
+      .withColumn("u", sum(col("d")).over(
+        Window.partitionBy(gc: _*).orderBy(col("t"))))
+    val nn = base.groupBy(gc: _*).agg(count(lit(1)).as("n"))
+    // K and the earliest argmax via one struct-min (max |u| ⇒ min of
+    // (−|u|, t)); only t ≤ n−1 are candidate change points
+    val kk = u.join(nn, seriesCols)
+      .filter(col("t") < col("n"))
+      .groupBy(gc: _*)
+      .agg(max(abs(col("u"))).as("k_stat"),
+        min(struct((-abs(col("u"))).as("nu"), col("t").as("t")))
+          .as("am"))
+      .select(gc ++ Seq(col("k_stat"), col("am.t").as("loc_t")): _*)
+    nn.join(kk, seriesCols, "left_outer")
+      .join(base.select(gc :+ col("rn").as("loc_t") :+
+        col("b").as("loc_b"): _*), seriesCols :+ "loc_t", "left_outer")
+      .select(gc ++ Seq(col("n"),
+        coalesce(col("k_stat"), lit(0L)).as("k_stat"), col("loc_b"),
+        round(least(lit(1.0), lit(2.0) * exp(
+          (lit(-6.0) * (coalesce(col("k_stat"), lit(0L)) *
+            coalesce(col("k_stat"), lit(0L))).cast("double")) /
+          (col("n") * col("n") * col("n") + col("n") * col("n"))
+            .cast("double"))), 6).as("p_r")): _*)
+  }
+
   /** SAX symbolization of a bucketed per-series frame (Lin et al.,
     * "A Symbolic Representation of Time Series"): each bucket value
     * maps to a small-alphabet symbol by EXACT per-series

@@ -184,6 +184,36 @@ object TemporalJoin {
         Seq(col("_match").getField("_mt").as(matchedTimeCol)) ++
         payloadCols.map(c => col("_match").getField(c).as(c)): _*)
 
+  /** As-of join WITH a staleness tolerance: identical to [[asofJoin]]
+    * except a match older than `toleranceUs` time units before the
+    * left row is rejected — the row keeps its slot with NULL payload,
+    * exactly as if no right row existed. The variant every real
+    * enrichment needs ("the most recent state, unless it has gone
+    * stale"): plain as-of joins silently enrich with arbitrarily
+    * ancient state after a right-side outage. Same one-shuffle
+    * union+window plan; the tolerance is a pure row-local projection
+    * on top (tolerance is in the time columns' own unit). */
+  def asofJoinWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      toleranceUs: Long,
+      matchedTimeCol: String = "asof_time"): DataFrame = {
+    require(toleranceUs >= 0,
+      s"tolerance must be non-negative: $toleranceUs")
+    val joined = asofJoin(left, right, keys, leftTime, rightTime,
+      payloadCols, matchedTimeCol)
+    val fresh = col(matchedTimeCol).isNotNull &&
+      (col(leftTime) - col(matchedTimeCol)) <= toleranceUs
+    val gated = Set(matchedTimeCol) ++ payloadCols
+    joined.select(joined.columns.toSeq.map { c =>
+      if (gated(c)) when(fresh, col(c)).as(c) else col(c)
+    }: _*)
+  }
+
   /** As-of join on the CUSTOM sort-merge operator
     * ([[graft.plan.AsOfJoin]]): same semantics as [[asofJoin]] —
     * differential-tested identical — but planned as a first-class

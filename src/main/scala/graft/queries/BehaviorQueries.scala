@@ -69,6 +69,49 @@ object BehaviorQueries {
               ::BIGINT AS prob_bp
           FROM p""".replaceAll("\\s+", " "))),
 
+    // SECOND-order transitions: P(next | prev2, prev1) in exact basis
+    // points — context the first-order chain washes out. Same
+    // (ts, event_id) tie discipline.
+    "behavior_markov2" -> QueryDef(
+      (s, dir) => Behavior.pathTransitions2(ev(s, dir), "user_id",
+        "ts", "event_type", "event_id"),
+      Some("""WITH x AS (SELECT user_id, event_type,
+            lag(event_type, 1) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS from1,
+            lag(event_type, 2) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS from2 FROM events),
+          p AS (SELECT from2, from1, event_type AS to_type,
+            count(*)::BIGINT AS n FROM x
+            WHERE from2 IS NOT NULL GROUP BY 1, 2, 3)
+          SELECT from2, from1, to_type, n,
+            ((n * 10000) //
+              (sum(n) OVER (PARTITION BY from2, from1)))::BIGINT
+              AS prob_bp
+          FROM p""".replaceAll("\\s+", " "))),
+
+    // DAU / trailing-7-day WAU / stickiness bp per day — the rolling
+    // DISTINCT computed exactly by fanning the DEDUPED (day, user)
+    // frame out to its ≤7 report days (no range join, no per-day
+    // rescans).
+    "behavior_dau_wau" -> QueryDef(
+      (s, dir) => Behavior.dauWau(ev(s, dir), "user_id", "ts"),
+      Some("""WITH du AS (SELECT DISTINCT
+            (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+            user_id AS u FROM events),
+          ld AS (SELECT max(day_us) AS last_day FROM du),
+          dau AS (SELECT day_us, count(DISTINCT u)::BIGINT AS dau
+            FROM du GROUP BY 1),
+          f AS (SELECT unnest(generate_series(du.day_us,
+              least(du.day_us + 6 * 86400000000, ld.last_day),
+              86400000000)) AS day_us, du.u
+            FROM du CROSS JOIN ld),
+          wau AS (SELECT day_us, count(DISTINCT u)::BIGINT AS wau
+            FROM f GROUP BY 1)
+          SELECT dau.day_us::BIGINT AS day_us, dau.dau, wau.wau,
+            ((dau.dau * 10000) // wau.wau)::BIGINT AS stickiness_bp
+          FROM dau JOIN wau USING (day_us)"""
+        .replaceAll("\\s+", " "))),
+
     // Stage-transition latency: min / half-up mean / max µs between
     // adjacent funnel stage reaches — "how long does the funnel take"
     // beside behavior_funnel's "how many convert". Exact integer

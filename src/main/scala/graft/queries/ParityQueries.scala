@@ -1000,6 +1000,106 @@ object ParityQueries {
           sn > 2000000 AS alarm_neg
         FROM r""".replaceAll("\\s+", " "))),
 
+    // lagged cross-correlation click→purchase over hour-bucketed
+    // half-up cent means: r(ℓ) for ℓ ∈ [−3, 3] — WHEN one KPI leads
+    // the other (ts_similar_series ranks which series co-move; this
+    // finds the lag). Six exact-Long Pearson sums per lag; one lag
+    // explode + equi-join on the bucket frames, no window.
+    "ts_xcorr" -> QueryDef(
+      (s, dir) => {
+        def series(et: String) = Tables.events(s, dir)
+          .filter(col("event_type") === et)
+          .groupBy(window(col("time"), "1 hour"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(expr("unix_micros(window.start)").as("b"),
+            expr("(2 * s + n) div (2 * n)").as("vc"))
+        SeriesOps.crossCorrelation(series("click"), series("purchase"),
+          "b", "vc", bucketStep = 3600L * 1000000L, maxLag = 3)
+      },
+      Some("""WITH ck AS (SELECT
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          CAST((2 * sum(CAST(round(value * 100, 0) AS BIGINT))
+            + count(*)) // (2 * count(*)) AS BIGINT) AS va
+          FROM events WHERE event_type = 'click' GROUP BY 1),
+        pu AS (SELECT
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          CAST((2 * sum(CAST(round(value * 100, 0) AS BIGINT))
+            + count(*)) // (2 * count(*)) AS BIGINT) AS vb
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        lg AS (SELECT unnest(generate_series(-3, 3))::BIGINT AS lag),
+        sm AS (SELECT lg.lag, count(*)::BIGINT AS n,
+            sum(ck.va)::BIGINT AS sa, sum(pu.vb)::BIGINT AS sb,
+            sum(ck.va * ck.va)::BIGINT AS qa,
+            sum(pu.vb * pu.vb)::BIGINT AS qb,
+            sum(ck.va * pu.vb)::BIGINT AS pab
+          FROM ck CROSS JOIN lg
+          JOIN pu ON ck.b + lg.lag * 3600000000 = pu.b
+          GROUP BY 1)
+        SELECT lag, n,
+          CASE WHEN (n::DOUBLE * qa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+            > 0 AND (n::DOUBLE * qb::DOUBLE - sb::DOUBLE * sb::DOUBLE)
+            > 0 THEN round(
+            (n::DOUBLE * pab::DOUBLE - sa::DOUBLE * sb::DOUBLE) /
+            (sqrt(n::DOUBLE * qa::DOUBLE - sa::DOUBLE * sa::DOUBLE) *
+             sqrt(n::DOUBLE * qb::DOUBLE - sb::DOUBLE * sb::DOUBLE)),
+            4) END AS r_r
+        FROM sm WHERE n >= 2""".replaceAll("\\s+", " "))),
+
+    // Pettitt change-point LOCATION over the hour-bucketed series —
+    // where the level shifted, not just that it trends (the
+    // ts_mk_trend companion). Uₜ rebuilt exactly from the per-series
+    // pair set via a difference array + one prefix-sum window (never
+    // the O(n³) per-t expansion); all Longs, one clamped rounded p.
+    "ts_pettitt" -> QueryDef(
+      (s, dir) => SeriesOps.pettitt(
+        Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b_us"),
+            expr("(2 * s * 10000 + n) div (2 * n)").as("vu")),
+        seriesCols = Seq("event_type"), bucketCol = "b_us",
+        centsCol = "vu"),
+      Some("""WITH a0 AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+          count(*) AS n0 FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, b,
+          CAST((2 * s * 10000 + n0) // (2 * n0) AS BIGINT) AS vu
+          FROM a0),
+        nr AS (SELECT event_type, b, vu, row_number() OVER
+          (PARTITION BY event_type ORDER BY b) AS rn FROM a),
+        pr AS (SELECT a.event_type, a.rn AS ti, x.rn AS tj,
+            sign(x.vu - a.vu)::BIGINT AS sg
+          FROM nr a JOIN nr x ON a.event_type = x.event_type
+            AND a.rn < x.rn),
+        dl AS (SELECT event_type, ti AS t, sum(sg) AS d FROM pr
+            GROUP BY 1, 2
+          UNION ALL SELECT event_type, tj, -sum(sg) FROM pr
+            GROUP BY 1, tj),
+        dd AS (SELECT event_type, t, sum(d) AS d FROM dl GROUP BY 1, 2),
+        uu AS (SELECT event_type, t, sum(d) OVER
+          (PARTITION BY event_type ORDER BY t) AS u FROM dd),
+        nn AS (SELECT event_type, count(*)::BIGINT AS n FROM nr
+          GROUP BY 1),
+        kk AS (SELECT uu.event_type, max(abs(uu.u))::BIGINT AS k
+          FROM uu JOIN nn USING (event_type) WHERE uu.t < nn.n
+          GROUP BY 1),
+        lc AS (SELECT uu.event_type, min(uu.t) AS loc_t
+          FROM uu JOIN kk USING (event_type) JOIN nn USING (event_type)
+          WHERE abs(uu.u) = kk.k AND uu.t < nn.n GROUP BY 1)
+        SELECT nn.event_type, nn.n,
+          coalesce(kk.k, 0)::BIGINT AS k_stat, nr.b AS loc_b,
+          round(least(1.0, 2.0 * exp(
+            (-6.0 * (coalesce(kk.k, 0) * coalesce(kk.k, 0))::DOUBLE) /
+            ((nn.n * nn.n * nn.n + nn.n * nn.n)::DOUBLE))), 6) AS p_r
+        FROM nn LEFT JOIN kk USING (event_type)
+          LEFT JOIN lc USING (event_type)
+          LEFT JOIN nr ON nr.event_type = nn.event_type
+            AND nr.rn = lc.loc_t""".replaceAll("\\s+", " "))),
+
     // SAX symbolization of the hour-bucketed series: per-series exact
     // tercile cut points (PERCENTILE_DISC on the value-domain frame),
     // symbol = #cuts strictly below — numeric series become 3-letter

@@ -301,6 +301,44 @@ object RelationalQueries {
           ON ev.user_id = al.user_id AND ev.t_us >= al.t_us"""
         .replaceAll("\\s+", " "))),
 
+    // as-of with a STALENESS tolerance: same enrichment as join_asof
+    // but matches older than 1 hour are rejected back to NULL — the
+    // "most recent state, unless it has gone stale" variant a plain
+    // as-of silently gets wrong after a right-side outage. Oracle =
+    // DuckDB ASOF + the same row-local gate.
+    "join_asof_tolerance" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("t_us"), col("event_type"),
+            col("value"))
+        val alerts = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("t_us"))
+          .agg(max(col("value")).as("alert_value"))
+        TemporalJoin.asofJoinWithin(
+          ev.select("event_id", "user_id", "t_us"), alerts,
+          keys = Seq("user_id"), leftTime = "t_us", rightTime = "t_us",
+          payloadCols = Seq("alert_value"),
+          toleranceUs = 3600L * 1000000L,
+          matchedTimeCol = "alert_t_us")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts)
+          AS t_us, event_type, value FROM events),
+        al AS (SELECT user_id, t_us, max(value) AS alert_value FROM ev
+          WHERE event_type='error' GROUP BY 1, 2),
+        j AS (SELECT ev.event_id, ev.user_id, ev.t_us,
+            al.t_us AS alert_t_us, al.alert_value
+          FROM ev ASOF LEFT JOIN al
+            ON ev.user_id = al.user_id AND ev.t_us >= al.t_us)
+        SELECT event_id, user_id, t_us,
+          CASE WHEN alert_t_us IS NOT NULL
+            AND t_us - alert_t_us <= 3600000000 THEN alert_t_us END
+            AS alert_t_us,
+          CASE WHEN alert_t_us IS NOT NULL
+            AND t_us - alert_t_us <= 3600000000 THEN alert_value END
+            AS alert_value
+        FROM j""".replaceAll("\\s+", " "))),
+
     // FORWARD as-of: earliest error alert AT or AFTER each event —
     // the "next event" enrichment. Same union+window shape as
     // join_asof with the traversal reversed; DuckDB ASOF with `<=`
@@ -983,6 +1021,83 @@ object RelationalQueries {
             (se1 * se1 / (n1::DOUBLE - 1.0) +
              se2 * se2 / (n2::DOUBLE - 1.0)), 2) END AS df_r
         FROM v""".replaceAll("\\s+", " "))),
+
+    // weighted (lower) median: the quantity at which half the
+    // REVENUE sits, per return flag — exact integer pick on the
+    // value-domain frame (2·cum ≥ total), no percentile buffers.
+    "agg_weighted_median" -> QueryDef(
+      (s, dir) => Profiling.weightedMedian(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100, 0).cast("long")
+            .as("wc")),
+        Seq("l_returnflag"), "qty", "wc"),
+      Some("""WITH f AS (SELECT l_returnflag,
+          CAST(l_quantity AS BIGINT) AS v,
+          sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT
+            AS wv
+          FROM lineitem GROUP BY 1, 2),
+        cu AS (SELECT l_returnflag, v, wv,
+          sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+          sum(wv) OVER (PARTITION BY l_returnflag) AS tot FROM f)
+        SELECT l_returnflag, count(*)::BIGINT AS n_vals,
+          max(tot)::BIGINT AS tot_w,
+          min(CASE WHEN 2 * cum >= tot THEN v END)::BIGINT AS wmedian
+        FROM cu GROUP BY 1""".replaceAll("\\s+", " "))),
+
+    // Population Stability Index of purchase vs click values over the
+    // click cohort's own exact decile bins — the binned drift metric
+    // model monitoring alarms on (which-bin-moved attribution beside
+    // stats_ks_test's single D). Add-one smoothed shares; per-bin
+    // counts exact, the 10-term sum rounded 6.
+    "stats_psi" -> QueryDef(
+      (s, dir) => Profiling.psi(
+        ev(s, dir).select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents", "click", "purchase"),
+      Some("""WITH b AS (SELECT event_type AS g,
+          CAST(round(value * 100, 0) AS BIGINT) AS v FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        f AS (SELECT v, count(*)::BIGINT AS c FROM b
+          WHERE g = 'click' GROUP BY 1),
+        cu AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
+          sum(c) OVER () AS n FROM f),
+        ct AS (SELECT
+          min(CASE WHEN cum >= (n * 1 + 9) // 10 THEN v END) AS c1,
+          min(CASE WHEN cum >= (n * 2 + 9) // 10 THEN v END) AS c2,
+          min(CASE WHEN cum >= (n * 3 + 9) // 10 THEN v END) AS c3,
+          min(CASE WHEN cum >= (n * 4 + 9) // 10 THEN v END) AS c4,
+          min(CASE WHEN cum >= (n * 5 + 9) // 10 THEN v END) AS c5,
+          min(CASE WHEN cum >= (n * 6 + 9) // 10 THEN v END) AS c6,
+          min(CASE WHEN cum >= (n * 7 + 9) // 10 THEN v END) AS c7,
+          min(CASE WHEN cum >= (n * 8 + 9) // 10 THEN v END) AS c8,
+          min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS c9
+          FROM cu),
+        bn AS (SELECT ((b.v > ct.c1)::INT + (b.v > ct.c2)::INT +
+            (b.v > ct.c3)::INT + (b.v > ct.c4)::INT +
+            (b.v > ct.c5)::INT + (b.v > ct.c6)::INT +
+            (b.v > ct.c7)::INT + (b.v > ct.c8)::INT +
+            (b.v > ct.c9)::INT)::BIGINT AS bin,
+          sum(CASE WHEN b.g = 'click' THEN 1 ELSE 0 END)::BIGINT
+            AS n_ref,
+          sum(CASE WHEN b.g = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+            AS n_cmp
+          FROM b CROSS JOIN ct GROUP BY 1),
+        fl AS (SELECT g.bin, coalesce(bn.n_ref, 0)::BIGINT AS n_ref,
+            coalesce(bn.n_cmp, 0)::BIGINT AS n_cmp
+          FROM (SELECT unnest(generate_series(0, 9))::BIGINT AS bin) g
+          LEFT JOIN bn USING (bin)),
+        tt AS (SELECT (sum(n_ref) + 10)::BIGINT AS tr,
+          (sum(n_cmp) + 10)::BIGINT AS tc FROM fl),
+        tm AS (SELECT fl.bin, fl.n_ref, fl.n_cmp,
+            (((fl.n_ref + 1)::DOUBLE / tt.tr::DOUBLE) -
+             ((fl.n_cmp + 1)::DOUBLE / tt.tc::DOUBLE)) *
+            ln(((fl.n_ref + 1)::DOUBLE / tt.tr::DOUBLE) /
+               ((fl.n_cmp + 1)::DOUBLE / tt.tc::DOUBLE)) AS term
+          FROM fl CROSS JOIN tt),
+        ps AS (SELECT round(sum(term), 6) AS psi_r FROM tm)
+        SELECT tm.bin, tm.n_ref, tm.n_cmp, ps.psi_r
+        FROM tm CROSS JOIN ps""".replaceAll("\\s+", " "))),
 
     // one-way ANOVA F across ALL five event-type cohorts — "does any
     // mean differ" before pairwise t-tests (the multiple-comparison

@@ -136,4 +136,47 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out === Map(
       (0L, 0L) -> 2L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
+
+  test("pathTransitions2: triples need two predecessors, contexts " +
+    "normalize independently, per-user streams never interleave") {
+    val df = events(Seq(
+      // u1: a,b,c,a,c → triples (a,b,c) (b,c,a) (c,a,c)
+      (1L, 100L, 1L, "a"), (2L, 200L, 1L, "b"), (3L, 300L, 1L, "c"),
+      (4L, 400L, 1L, "a"), (5L, 500L, 1L, "c"),
+      // u2: a,b,d → (a,b,d); context (a,b) now splits 1/1 with u1's c
+      (6L, 100L, 2L, "a"), (7L, 200L, 2L, "b"), (8L, 300L, 2L, "d"),
+      // u3: two events only — no triple
+      (9L, 100L, 3L, "a"), (10L, 200L, 3L, "b")))
+    val out = Behavior.pathTransitions2(df, "user_id", "ts",
+        "event_type", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      ("a", "b", "c") -> ((1L, 5000L)),
+      ("a", "b", "d") -> ((1L, 5000L)),
+      ("b", "c", "a") -> ((1L, 10000L)),
+      ("c", "a", "c") -> ((1L, 10000L))))
+  }
+
+  test("dauWau: trailing-7-day distinct is exact (not a sum of " +
+    "dailies), stickiness is floored bp, days past the stream end " +
+    "are dropped") {
+    val day = 86400L * 1000000000L
+    val dayU = 86400L * 1000000L
+    // day0: {1,2}; day1: {2}; day8: {3}
+    val df = events(Seq(
+      (1L, 0L, 1L, "x"), (2L, 1000L, 2L, "x"),
+      (3L, day + 5L, 2L, "x"),
+      (4L, 8L * day, 3L, "x")))
+    val out = Behavior.dauWau(df, "user_id", "ts")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // WAU(d1) = |{1,2}| = 2, NOT dau(d0)+dau(d1) = 3
+    assert(out === Map(
+      0L -> ((2L, 2L, 10000L)),
+      dayU -> ((1L, 2L, 5000L)),
+      8L * dayU -> ((1L, 1L, 10000L))))
+  }
 }

@@ -241,10 +241,13 @@ class PlanSpec extends AnyFunSuite {
     //  - stats_ks_test: CDF running sums over the merged
     //    DISTINCT-VALUE frame (value-domain bounded; the corpus is
     //    reduced by the groupBy(value) before the window)
+    //  - stats_psi: reference-cohort decile cuts over ITS
+    //    DISTINCT-VALUE frequency frame (same winsorizedStats
+    //    discipline: groupBy(value) reduces the corpus first)
     val allowed = Set("pipeline_temperature_weights",
       "pipeline_temperature_tokens",
       "pipeline_pack_sequences", "pipeline_pack_tokens",
-      "text_zipf_slope", "behavior_rfm", "stats_ks_test")
+      "text_zipf_slope", "behavior_rfm", "stats_ks_test", "stats_psi")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.queryExecution.optimizedPlan.collect {

@@ -253,6 +253,48 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out("S") === ((2L, 100L, 9000L, 9000L * 9000L + 1000L * 1000L)))
   }
 
+  test("weightedMedian: half the WEIGHT, not half the rows — one " +
+    "heavy value outvotes many light ones; the exact-half boundary " +
+    "takes the lower value") {
+    val s = spark
+    import s.implicits._
+    // G: v=1 w=1 ×9 rows, v=100 w=20 → total 29, half reached at 100
+    val heavy = (1 to 9).map(_ => ("G", 1L, 1L)) :+ (("G", 100L, 20L))
+    // H: v=1 w=5, v=2 w=5 → 2·cum(1)=10 ≥ 10 → lower median 1
+    val half = Seq(("H", 1L, 5L), ("H", 2L, 5L))
+    val out = Profiling.weightedMedian(
+        (heavy ++ half).toDF("g", "v", "w").repartition(3),
+        Seq("g"), "v", "w")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out("G") === ((2L, 29L, 100L)))
+    assert(out("H") === ((2L, 10L, 1L)))
+  }
+
+  test("psi: identical cohorts score exactly 0 (smoothing applied to " +
+    "both sides); a planted shift scores positive with the moved " +
+    "bins visible; per-bin counts are exact") {
+    val s = spark
+    import s.implicits._
+    val ref = (1 to 100).map(v => ("r", v.toLong))
+    val sameRows = (ref ++ (1 to 100).map(v => ("c", v.toLong)))
+      .toDF("g", "v")
+    val same = Profiling.psi(sameRows, "g", "v", "r", "c").collect()
+    assert(same.length === 10)
+    assert(same.forall(_.getDouble(3) === 0.0))
+    assert(same.forall(r => r.getLong(1) == 10L && r.getLong(2) == 10L))
+    // comparison cohort piles into the top decile
+    val shifted = (ref ++ (1 to 100).map(_ => ("c", 95L)))
+      .toDF("g", "v")
+    val out = Profiling.psi(shifted, "g", "v", "r", "c").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(9L)._2 === 100L) // all cmp mass in bin 9 (v=95 > c9=90)
+    assert(out(0L)._2 === 0L)
+    assert(out(0L)._3 > 1.0, s"psi should scream: ${out(0L)._3}")
+  }
+
   test("anovaF: identical cohorts give F = 0; a clean separation " +
     "matches the hand-computed F; single-cohort input yields NULL") {
     val s = spark

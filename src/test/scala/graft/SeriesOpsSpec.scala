@@ -657,6 +657,62 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(out3.forall(r => r.isNullAt(3) && r.isNullAt(4)))
   }
 
+  test("crossCorrelation: a series correlates perfectly with its own " +
+    "shift AT the shift lag, anti-correlates with its negation, and " +
+    "constant overlaps yield NULL") {
+    val s = spark
+    import s.implicits._
+    val va = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val a = va.zipWithIndex.map { case (v, i) => (i.toLong * 10, v) }
+      .toDF("b", "v")
+    // B = A shifted one bucket later: B_{t+1} = A_t ⇒ r(+1) = 1
+    val b = va.zipWithIndex.map { case (v, i) => ((i + 1).toLong * 10, v) }
+      .toDF("b", "v")
+    val out = graft.operators.SeriesOps.crossCorrelation(
+        a, b, "b", "v", bucketStep = 10L, maxLag = 2)
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_ => r.getDouble(2)))
+      .toMap
+    assert(out(1L) === Some(1.0))
+    assert(out(0L).exists(math.abs(_) < 1.0)) // unshifted ≠ perfect
+    val neg = va.zipWithIndex.map { case (v, i) => (i.toLong * 10, -v) }
+      .toDF("b", "v")
+    val anti = graft.operators.SeriesOps.crossCorrelation(
+        a, neg, "b", "v", bucketStep = 10L, maxLag = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(anti(0L) === -1.0)
+    val flat = Seq((0L, 7L), (10L, 7L), (20L, 7L)).toDF("b", "v")
+    val nul = graft.operators.SeriesOps.crossCorrelation(
+        a, flat, "b", "v", bucketStep = 10L, maxLag = 1)
+      .collect()
+    assert(nul.nonEmpty && nul.forall(_.isNullAt(2)))
+  }
+
+  test("pettitt: a clean level shift locates the break with " +
+    "K = t·(n−t); a monotone ramp ties at the middle (earliest " +
+    "argmax wins); constant series score K = 0") {
+    val s = spark
+    import s.implicits._
+    // S: 6×10 then 6×20 → U_t = 6t for t ≤ 6 → K = 36 at t = 6
+    val shift = (1L to 12L).map(b => ("S", b, if (b <= 6) 10L else 20L))
+    // M: 1..5 ramp → U_t = t(5−t): t=2 and t=3 both give 6 → loc = 2
+    val ramp = (1L to 5L).map(b => ("M", b, b * 7))
+    val const = (1L to 4L).map(b => ("C", b, 9L))
+    val out = graft.operators.SeriesOps.pettitt(
+        (shift ++ ramp ++ const).toDF("k", "b", "v").repartition(4),
+        Seq("k"), "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sRow = out("S")
+    assert((sRow.getLong(1), sRow.getLong(2), sRow.getLong(3)) ===
+      ((12L, 36L, 6L)))
+    assert(sRow.getDouble(4) < 0.05) // a real break is significant
+    val mRow = out("M")
+    assert((mRow.getLong(2), mRow.getLong(3)) === ((6L, 2L)))
+    val cRow = out("C")
+    assert(cRow.getLong(2) === 0L)
+    assert(cRow.getDouble(4) === 1.0)
+  }
+
   test("saxSymbols: tercile cuts are exact order statistics per " +
     "series, ties share a symbol, constant series collapse to one " +
     "symbol") {

@@ -325,6 +325,32 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(run(60L * 1000000) == base)
   }
 
+  test("asofJoinWithin: a match exactly AT the tolerance survives, " +
+    "one past it nulls the payload AND the matched time, unmatched " +
+    "rows stay unmatched") {
+    val left = Seq((1L, "k", 100L), (2L, "k", 200L), (3L, "z", 50L))
+      .toDF("id", "key", "t")
+    val right = Seq(("k", 70L, "fresh"), ("k", 90L, "newer"))
+      .toDF("key", "t", "p")
+    def run(tol: Long) = TemporalJoin.asofJoinWithin(
+        left, right, Seq("key"), "t", "t", Seq("p"), tol, "mt")
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(3)).map(_ =>
+        r.getLong(3)), Option(r.getString(4))))).toMap
+    // id 1 at t=100: match is (90,"newer"), age 10
+    // id 2 at t=200: same match, age 110
+    val t10 = run(10L)
+    assert(t10(1L) === ((Some(90L), Some("newer"))))
+    assert(t10(2L) === ((None, None)))
+    assert(t10(3L) === ((None, None)))
+    val t9 = run(9L)
+    assert(t9(1L) === ((None, None)))
+    // a huge tolerance degrades to the plain as-of
+    val big = run(1000000L)
+    assert(big(1L) === ((Some(90L), Some("newer"))))
+    assert(big(2L) === ((Some(90L), Some("newer"))))
+  }
+
   test("rangeJoin: differential vs direct theta-join on sf0.001 events") {
     val ev = graft.sources.Tables.load(spark, SparkSpec.Sf0001, "events")
       .select($"event_id", $"user_id", expr("ts div 1000").as("t_us"),
