@@ -1000,6 +1000,67 @@ object ParityQueries {
           sn > 2000000 AS alarm_neg
         FROM r""".replaceAll("\\s+", " "))),
 
+    // Holt one-step-ahead BACKTEST: forecast_i (= lᵢ + tᵢ) scored
+    // against the next bucket's actual — the eval loop that decides
+    // whether the smoother's parameters are any good before its
+    // forecasts drive alerts. Cent-level means keep Σe² far from Long
+    // overflow; MAE half-up integer, RMSE the one rounded double.
+    // Gap buckets (no b+1h actual) drop out of the eval — scored
+    // pairs only.
+    "ts_forecast_eval" -> QueryDef(
+      (s, dir) => {
+        val hourUs = 3600L * 1000000L
+        val bucketed = Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b_us"),
+            expr("(2 * s + n) div (2 * n)").as("vc"))
+        val h = SeriesOps.holtFixed(bucketed, Seq("event_type"),
+          "b_us", "vc", aNum = 1L, aDen = 4L, bNum = 1L, bDen = 4L)
+        val nxt = bucketed.select(col("event_type"),
+          (col("b_us") - hourUs).as("b_us"), col("vc").as("next_vc"))
+        h.join(nxt, Seq("event_type", "b_us"))
+          .select(col("event_type"),
+            (col("next_vc") - col("forecast")).as("e"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_eval"),
+            sum(abs(col("e"))).as("sae"),
+            sum(col("e") * col("e")).as("sse"))
+          .select(col("event_type"), col("n_eval"),
+            expr("(2 * sae + n_eval) div (2 * n_eval)").as("mae_c"),
+            round(sqrt(col("sse").cast("double") /
+              col("n_eval").cast("double")), 4).as("rmse_r"))
+      },
+      Some("""WITH RECURSIVE a0 AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+          count(*) AS n FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, b,
+          CAST((2 * s + n) // (2 * n) AS BIGINT) AS vu FROM a0),
+        n AS (SELECT event_type, b, vu, row_number() OVER
+          (PARTITION BY event_type ORDER BY b) AS rn FROM a),
+        r AS (SELECT event_type, b, vu, rn, vu AS l,
+            CAST(0 AS BIGINT) AS t FROM n WHERE rn = 1
+          UNION ALL
+          SELECT n.event_type, n.b, n.vu, n.rn,
+            (n.vu + 3 * (r.l + r.t) + 2) // 4,
+            (((n.vu + 3 * (r.l + r.t) + 2) // 4 - r.l) + 3 * r.t + 2)
+              // 4
+          FROM n JOIN r ON n.event_type = r.event_type
+            AND n.rn = r.rn + 1),
+        ev AS (SELECT r.event_type,
+            a.vu - (r.l + r.t) AS e
+          FROM r JOIN a ON a.event_type = r.event_type
+            AND a.b = r.b + 3600000000)
+        SELECT event_type, count(*)::BIGINT AS n_eval,
+          CAST((2 * sum(abs(e)) + count(*)) // (2 * count(*))
+            AS BIGINT) AS mae_c,
+          round(sqrt(sum(e * e)::DOUBLE / count(*)::DOUBLE), 4)
+            AS rmse_r
+        FROM ev GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // lagged cross-correlation click→purchase over hour-bucketed
     // half-up cent means: r(ℓ) for ℓ ∈ [−3, 3] — WHEN one KPI leads
     // the other (ts_similar_series ranks which series co-move; this

@@ -2210,6 +2210,36 @@ object PipelineQueries {
       },
       Some("SELECT doc_id, text, lang, source, n_chars FROM documents")),
 
+    // parquet SCHEMA EVOLUTION: half the corpus written with the old
+    // schema (no `source` column), half with the new one, read back
+    // as ONE dataset via mergeSchema — legacy rows surface with NULL
+    // in the added column instead of failing the scan or silently
+    // forking the dataset. The 100 TB reality: a column added in
+    // week 40 must not strand weeks 1-39. (Footer merging costs one
+    // footer read per file — at scale, pin the merged schema in a
+    // catalog/read-schema instead; the NULL-fill semantics this query
+    // pins are identical.) Oracle models the evolved read directly.
+    "source_schema_evolution" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val dst = s"/tmp/graft_evo_rt_${math.abs(dir.hashCode)}"
+        d.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("n_chars"))
+          .write.mode("overwrite").parquet(s"$dst/old")
+        d.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .write.mode("overwrite").parquet(s"$dst/new")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$dst/old", s"$dst/new")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+      },
+      Some("""SELECT CASE WHEN doc_id % 2 = 1 THEN source END
+          AS source,
+        count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars
+        FROM documents GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // JSONL ingestion with malformed-record quarantine — the
     // production posture for crawl data: export the corpus as JSONL,
     // PLANT deterministic garbage lines beside it (truncated records,

@@ -1022,6 +1022,45 @@ object RelationalQueries {
              se2 * se2 / (n2::DOUBLE - 1.0)), 2) END AS df_r
         FROM v""".replaceAll("\\s+", " "))),
 
+    // Hill tail-index estimator over the top-100 order statistics of
+    // price cents — "how heavy is the tail" (α ≈ 1 Zipf-like, large α
+    // thin tail); the heavy-tail companion to stats_mad_outliers'
+    // center-robust fences. The corpus reduces through ONE
+    // TakeOrdered(101) — no global sort; the ln-sum runs on the
+    // 101-row frame (α NULL if the whole top is one repeated value).
+    "stats_hill_tail" -> QueryDef(
+      (s, dir) => {
+        val top = t(s, dir, "lineitem")
+          .select(round(col("l_extendedprice") * 100, 0).cast("long")
+            .as("c"))
+          .orderBy(col("c").desc).limit(101)
+        val thr = top.agg(min(col("c")).as("thr"))
+        val ranked = top.crossJoin(broadcast(thr))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("c").desc)))
+          .filter(col("rn") <= 100)
+        ranked
+          .agg(count(lit(1)).as("k"), max(col("thr")).as("thr"),
+            sum(log(col("c").cast("double") /
+              col("thr").cast("double"))).as("lnsum"))
+          .select(col("k"), col("thr"),
+            when(col("lnsum") > 0,
+              round(col("k").cast("double") / col("lnsum"), 4))
+              .as("alpha_r"))
+      },
+      Some("""WITH t AS (SELECT CAST(round(l_extendedprice * 100, 0)
+            AS BIGINT) AS c
+          FROM lineitem ORDER BY c DESC LIMIT 101),
+        th AS (SELECT min(c) AS thr FROM t),
+        nr AS (SELECT c, row_number() OVER (ORDER BY c DESC) AS rn
+          FROM t),
+        s AS (SELECT count(*)::BIGINT AS k, max(th.thr)::BIGINT AS thr,
+            sum(ln(nr.c::DOUBLE / th.thr::DOUBLE)) AS lnsum
+          FROM nr CROSS JOIN th WHERE nr.rn <= 100)
+        SELECT k, thr, CASE WHEN lnsum > 0 THEN
+          round(k::DOUBLE / lnsum, 4) END AS alpha_r
+        FROM s""".replaceAll("\\s+", " "))),
+
     // weighted (lower) median: the quantity at which half the
     // REVENUE sits, per return flag — exact integer pick on the
     // value-domain frame (2·cum ≥ total), no percentile buffers.

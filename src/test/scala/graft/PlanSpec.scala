@@ -244,10 +244,13 @@ class PlanSpec extends AnyFunSuite {
     //  - stats_psi: reference-cohort decile cuts over ITS
     //    DISTINCT-VALUE frequency frame (same winsorizedStats
     //    discipline: groupBy(value) reduces the corpus first)
+    //  - stats_hill_tail: rank over the TakeOrdered(101)-bounded
+    //    top frame (the corpus reduces through TakeOrdered first)
     val allowed = Set("pipeline_temperature_weights",
       "pipeline_temperature_tokens",
       "pipeline_pack_sequences", "pipeline_pack_tokens",
-      "text_zipf_slope", "behavior_rfm", "stats_ks_test", "stats_psi")
+      "text_zipf_slope", "behavior_rfm", "stats_ks_test", "stats_psi",
+      "stats_hill_tail")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.queryExecution.optimizedPlan.collect {
