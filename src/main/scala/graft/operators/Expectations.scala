@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations (the dbt-test / Great
+  * Expectations contract shape): a table ships with a checklist —
+  * not-null, unique, range, enum membership, referential integrity —
+  * and every load emits one verdict row per check. The
+  * config-driven counterpart to the ad-hoc `stats_*` audits: the
+  * checks are DATA, so the same runner serves every table.
+  *
+  * Scale shape: all ROW-LOCAL checks (not-null / range / enum) fuse
+  * into ONE aggregate pass over the table (conditional sums — the
+  * scan is shared, adding a check adds a column, not a pass);
+  * `Unique` adds one exact-distinct aggregate on its key columns;
+  * each `FkExists` adds one left-anti join against its parent (the
+  * stats_fk_orphans shape — prepend a bloom prefilter at 100 TB).
+  *
+  * Output: (check, n_rows, n_violations, pass) — one row per check,
+  * stable order = declaration order (rank column dropped after sort).
+  */
+object Expectations {
+
+  sealed trait Check { def name: String }
+  /** Column must never be NULL. */
+  final case class NotNull(col: String) extends Check {
+    val name = s"not_null:$col" }
+  /** Column tuple must be unique across the table (violations =
+    * surplus rows beyond the first of each duplicated tuple). */
+  final case class Unique(cols: Seq[String]) extends Check {
+    val name = s"unique:${cols.mkString(",")}" }
+  /** Numeric column must sit in [lo, hi] (NULLs pass — compose with
+    * NotNull to also reject them). */
+  final case class InRange(col: String, lo: Long, hi: Long)
+      extends Check { val name = s"range:$col" }
+  /** Column value must be one of `values` (NULLs pass, as InRange). */
+  final case class InSet(col: String, values: Seq[String])
+      extends Check { val name = s"in_set:$col" }
+  /** Every non-NULL FK value must exist in the parent column. */
+  final case class FkExists(col: String, parent: DataFrame,
+      parentCol: String) extends Check { val name = s"fk:$col" }
+
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks declared")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "duplicate check names — each check must be distinguishable")
+    val rowLocal = checks.collect {
+      case c @ NotNull(cl) =>
+        c.name -> sum(when(col(cl).isNull, 1L).otherwise(0L))
+      case c @ InRange(cl, lo, hi) =>
+        c.name -> sum(when(col(cl).isNotNull &&
+          (col(cl).cast("long") < lo || col(cl).cast("long") > hi),
+          1L).otherwise(0L))
+      case c @ InSet(cl, vs) =>
+        c.name -> sum(when(col(cl).isNotNull &&
+          !col(cl).isin(vs: _*), 1L).otherwise(0L))
+    }
+    val fused: DataFrame = {
+      val aggs = count(lit(1)).as("n_rows") +:
+        rowLocal.map { case (n, e) => e.as(s"v_$n") }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val rowLocalRows = rowLocal.map { case (n, _) =>
+      fused.select(lit(n).as("check_name"), col("n_rows"),
+        col(s"v_$n").as("n_violations"))
+    }
+    val otherRows = checks.collect {
+      case c @ Unique(cols) =>
+        df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(cols.head, cols.tail: _*).as("n_distinct"))
+          .select(lit(c.name).as("check_name"), col("n_rows"),
+            (col("n_rows") - col("n_distinct")).as("n_violations"))
+      case c @ FkExists(cl, parent, pcl) =>
+        val child = df.select(col(cl)).filter(col(cl).isNotNull)
+        child.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(broadcast(
+            child.join(parent.select(col(pcl).as(cl)), Seq(cl),
+              "left_anti").agg(count(lit(1)).as("n_violations"))))
+          .select(lit(c.name).as("check_name"), col("n_rows"),
+            col("n_violations"))
+    }
+    val order = checks.map(_.name).zipWithIndex.toMap
+    val orderCol = order.foldLeft(lit(-1)) { case (acc, (n, i)) =>
+      when(col("check_name") === n, i).otherwise(acc)
+    }
+    (rowLocalRows ++ otherRows)
+      .reduce(_ unionAll _)
+      .withColumn("pass", col("n_violations") === 0L)
+      .withColumn("ord", orderCol)
+      .orderBy(col("ord")).drop("ord")
+  }
+}

@@ -109,6 +109,47 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient in exact basis points:
+    * 2·(triangles at the node) / (deg·(deg−1)), floored bp — how
+    * template-blob-like each document's neighborhood is ([[triangleCount]]
+    * gives the corpus total; this localizes it, the per-doc "is this
+    * node inside a dense flood" flag). Triangles enumerate once at the
+    * degree-ordered wedge apex (hub-safe, exactly the triangleCount
+    * plan) and then attribute to all THREE corners via one 3-row
+    * explode — per-node counts without per-node wedge fan-out. Nodes
+    * with deg < 2 have no defined coefficient (NULL). */
+  def clusteringCoefficient(nodes: DataFrame, edges: DataFrame)
+      : DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg, "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("ddst")),
+        "dst")
+      .filter(struct(col("deg"), col("src")) <
+        struct(col("ddst"), col("dst")))
+      .select(col("src"), col("dst"), col("ddst"))
+    val tri = oriented.as("a")
+      .join(oriented.as("b"), col("a.src") === col("b.src"))
+      .filter(struct(col("a.ddst"), col("a.dst")) <
+        struct(col("b.ddst"), col("b.dst")))
+      .select(col("a.src").as("u"), col("a.dst").as("v"),
+        col("b.dst").as("w"))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    nodes
+      .join(deg.select(col("src").as("id"), col("deg")), Seq("id"),
+        "left_outer")
+      .join(perNode, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          expr("(2 * coalesce(n_tri, 0) * 10000) div (deg * (deg - 1))"))
+          .as("coeff_bp"))
+  }
+
   /** Undirected degree profile of an edge list: per node, its degree;
     * isolated nodes included with degree 0 (the companion query for
     * spotting hub documents before they flood a near-dup pass). */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.HeavyHitters
-import graft.operators.{Curation, Dedup, Graph, Multimodal, Pca, Profiling, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Expectations, Graph, Multimodal, Pca, Profiling, Similarity, TextAnalysis}
 import graft.sources.{Csv, Jsonl, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -322,6 +322,41 @@ object PipelineQueries {
         FROM (SELECT doc_id AS id FROM documents) nd
         LEFT JOIN (SELECT src, count(*)::BIGINT AS degree FROM e
           GROUP BY 1) dg ON nd.id = dg.src"""
+        .replaceAll("\\s+", " "))),
+
+    // per-node local clustering coefficient in exact floored bp —
+    // WHICH documents sit inside a dense template blob (the corpus
+    // triangle count localized). Triangles enumerate once at the
+    // degree-ordered apex, then attribute to all three corners via a
+    // 3-row explode; deg < 2 nodes have NULL coefficients.
+    "graph_clustering" -> QueryDef(
+      (s, dir) => Graph.clusteringCoefficient(
+        docs(s, dir).select(col("doc_id").as("id")), lshEdges(s, dir))
+        .select(col("id").as("doc_id"), col("degree"), col("n_tri"),
+          col("coeff_bp")),
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
+        $CandCte, $EdgeCte,
+        deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        o AS (SELECT e.src, e.dst, dd.deg AS ddst FROM e
+          JOIN deg ds ON e.src = ds.src JOIN deg dd ON e.dst = dd.src
+          WHERE (ds.deg, e.src) < (dd.deg, e.dst)),
+        wd AS (SELECT a.src AS u, a.dst AS v, b.dst AS w FROM o a
+          JOIN o b ON a.src = b.src
+          WHERE (a.ddst, a.dst) < (b.ddst, b.dst)),
+        tr AS (SELECT wd.u, wd.v, wd.w FROM wd
+          JOIN o ON o.src = wd.v AND o.dst = wd.w),
+        pn AS (SELECT id, count(*)::BIGINT AS n_tri FROM (
+            SELECT u AS id FROM tr UNION ALL SELECT v FROM tr
+            UNION ALL SELECT w FROM tr) GROUP BY 1)
+        SELECT nd.id AS doc_id,
+          coalesce(dg.deg, 0)::BIGINT AS degree,
+          coalesce(pn.n_tri, 0)::BIGINT AS n_tri,
+          CASE WHEN coalesce(dg.deg, 0) >= 2 THEN
+            ((2 * coalesce(pn.n_tri, 0) * 10000) //
+             (dg.deg * (dg.deg - 1)))::BIGINT END AS coeff_bp
+        FROM (SELECT doc_id AS id FROM documents) nd
+        LEFT JOIN deg dg ON nd.id = dg.src
+        LEFT JOIN pn ON nd.id = pn.id"""
         .replaceAll("\\s+", " "))),
 
     "graph_pagerank" -> QueryDef(
@@ -958,6 +993,37 @@ object PipelineQueries {
             FROM u)
           SELECT doc_id AS id, lang AS pred_lang, score FROM r
           WHERE rn = 1""".replaceAll("\\s+", " ")
+      }),
+
+    // language-ID EVALUATION: the langid heuristic's confusion matrix
+    // against the labeled lang column — per (true, predicted) counts,
+    // the accuracy-audit layer over text_langid (a classifier without
+    // an eval is a rumor). Reuses the identical scoring chain.
+    "text_langid_eval" -> QueryDef(
+      (s, dir) => TextAnalysis
+        .langId(docs(s, dir), "doc_id", "text", LangMarkers)
+        .join(docs(s, dir).select(col("doc_id").as("id"),
+          col("lang")), "id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n")),
+      Some {
+        val langs = LangMarkers.keys.toSeq.sorted
+        val scoreCols = langs.map { l =>
+          val ms = LangMarkers(l).map("'" + _ + "'").mkString(",")
+          s"len(list_filter(w, x -> list_contains([$ms], x)))::BIGINT AS s_$l"
+        }.mkString(", ")
+        val langList = langs.map("'" + _ + "'").mkString(",")
+        val scoreList = langs.map(l => s"s_$l").mkString(",")
+        s"""WITH $WordsCte,
+          s AS (SELECT doc_id, $scoreCols FROM words),
+          u AS (SELECT doc_id, unnest([$langList]) AS plang,
+            unnest([$scoreList]) AS score FROM s),
+          r AS (SELECT doc_id, plang, score, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, plang DESC) AS rn
+            FROM u)
+          SELECT d.lang, r.plang AS pred_lang, count(*)::BIGINT AS n
+          FROM r JOIN documents d ON d.doc_id = r.doc_id
+          WHERE r.rn = 1 GROUP BY 1, 2""".replaceAll("\\s+", " ")
       }),
 
     // token counting (whitespace + 4-chars-per-token BPE-ish estimate).
@@ -2209,6 +2275,64 @@ object PipelineQueries {
         s.read.schema(d.schema).json(dst)
       },
       Some("SELECT doc_id, text, lang, source, n_chars FROM documents")),
+
+    // declarative data-quality expectations (the dbt-test contract
+    // shape): five checks over orders — not-null, unique key, price
+    // range, status enum, FK to customer — one verdict row each; the
+    // range and enum checks are DELIBERATELY violated by the data so
+    // both verdict polarities are exercised. Row-local checks fuse
+    // into one aggregate pass (one scan for three checks).
+    "pipeline_expectations" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .withColumn("price_c",
+            round(col("o_totalprice") * 100, 0).cast("long"))
+        Expectations.run(o, Seq(
+          Expectations.NotNull("o_custkey"),
+          Expectations.Unique(Seq("o_orderkey")),
+          Expectations.InRange("price_c", 1L, 20000000L),
+          Expectations.InSet("o_orderstatus", Seq("F", "O")),
+          Expectations.FkExists("o_custkey",
+            Tables.load(s, dir, "customer"), "c_custkey")))
+      },
+      Some("""SELECT 'not_null:o_custkey' AS check_name,
+          (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+          (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+            ::BIGINT AS n_violations,
+          (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0
+            AS pass
+        UNION ALL SELECT 'unique:o_orderkey',
+          (SELECT count(*) FROM orders)::BIGINT,
+          ((SELECT count(*) FROM orders) -
+           (SELECT count(DISTINCT o_orderkey) FROM orders))::BIGINT,
+          (SELECT count(*) FROM orders) =
+            (SELECT count(DISTINCT o_orderkey) FROM orders)
+        UNION ALL SELECT 'range:price_c',
+          (SELECT count(*) FROM orders)::BIGINT,
+          (SELECT count(*) FROM orders WHERE
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) < 1 OR
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) > 20000000)
+            ::BIGINT,
+          (SELECT count(*) FROM orders WHERE
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) < 1 OR
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) > 20000000)
+            = 0
+        UNION ALL SELECT 'in_set:o_orderstatus',
+          (SELECT count(*) FROM orders)::BIGINT,
+          (SELECT count(*) FROM orders
+            WHERE o_orderstatus NOT IN ('F', 'O'))::BIGINT,
+          (SELECT count(*) FROM orders
+            WHERE o_orderstatus NOT IN ('F', 'O')) = 0
+        UNION ALL SELECT 'fk:o_custkey',
+          (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL)
+            ::BIGINT,
+          (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey))::BIGINT,
+          (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey)) = 0"""
+        .replaceAll("\\s+", " "))),
 
     // parquet SCHEMA EVOLUTION: half the corpus written with the old
     // schema (no `source` column), half with the new one, read back

@@ -76,4 +76,35 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 9L -> 0L))
   }
+
+  test("clusteringCoefficient: triangle corners all score 10000, a " +
+    "tail node and isolated node have NULL coefficients, K4 interior " +
+    "scores 10000 and a broken-K4 corner scores the exact fraction") {
+    val (nodes, edges) = frames(
+      // triangle 1-2-3 with tail 3-4; isolated 9
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)),
+      Seq(1L, 2L, 3L, 4L, 9L))
+    val out = Graph.clusteringCoefficient(nodes, edges)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_ => r.getLong(3))))).toMap
+    assert(out(1L) === ((2L, 1L, Some(10000L))))
+    assert(out(2L) === ((2L, 1L, Some(10000L))))
+    // node 3: deg 3, 1 triangle of 3 possible pairs → 3333 bp
+    assert(out(3L) === ((3L, 1L, Some(3333L))))
+    assert(out(4L) === ((1L, 0L, None)))
+    assert(out(9L) === ((0L, 0L, None)))
+    // K4 minus edge (3,4): nodes 1,2 see all 3 of their neighbor
+    // pairs minus... by hand: triangles are 1-2-3 and 1-2-4.
+    val (n2, e2) = frames(Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L)), Seq(1L, 2L, 3L, 4L))
+    val o2 = Graph.clusteringCoefficient(n2, e2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), Option(r.get(3)).map(_ => r.getLong(3)))))
+      .toMap
+    assert(o2(1L) === ((2L, Some(6666L)))) // deg 3: 2 of 3 pairs
+    assert(o2(2L) === ((2L, Some(6666L))))
+    assert(o2(3L) === ((1L, Some(10000L)))) // deg 2: its 1 pair closes
+    assert(o2(4L) === ((1L, Some(10000L))))
+  }
 }
