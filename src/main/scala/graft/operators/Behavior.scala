@@ -194,6 +194,51 @@ object Behavior {
         expr("(dau * 10000) div wau").as("stickiness_bp"))
   }
 
+  /** Growth accounting: per day, NEW (first activity ever) / RETAINED
+    * (active yesterday) / RESURRECTED (returned after a gap) /
+    * CHURNED (active yesterday, absent today) user counts — the
+    * decomposition that explains WHY the DAU curve moved. Classes
+    * come from one lag and one lead over the deduped (user, day)
+    * frame; churn reports on the day AFTER activity and never past
+    * the stream's last day (a user active on the final day hasn't
+    * churned yet).
+    *
+    * Output: (day_us, n_new, n_retained, n_resurrected, n_churned). */
+  def growthAccounting(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val dayNs = 86400L * 1000000000L
+    val du = events
+      .select(expr(s"($tsCol div $dayNs) * $dayUs").as("day_us"),
+        col(userCol).as("u"))
+      .distinct()
+    val byU = Window.partitionBy(col("u")).orderBy(col("day_us"))
+    val lagged = du
+      .withColumn("prev", lag(col("day_us"), 1).over(byU))
+      .withColumn("nxt", lead(col("day_us"), 1).over(byU))
+    val act = lagged.groupBy(col("day_us"))
+      .agg(
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev") === col("day_us") - dayUs, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("prev").isNotNull &&
+          (col("prev") < col("day_us") - dayUs), 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val lastDay = du.agg(max(col("day_us")).as("last_day"))
+    val churn = lagged.crossJoin(broadcast(lastDay))
+      .filter((col("nxt").isNull ||
+        (col("nxt") > col("day_us") + dayUs)) &&
+        (col("day_us") + dayUs) <= col("last_day"))
+      .groupBy((col("day_us") + dayUs).as("day_us"))
+      .agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("day_us"), "full_outer")
+      .select(col("day_us"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** RFM (recency / frequency / monetary) segmentation: per user,
     * recency = full periods since their LAST event (against the
     * stream's global latest event — a data-relative anchor, no

@@ -89,6 +89,47 @@ object BehaviorQueries {
               AS prob_bp
           FROM p""".replaceAll("\\s+", " "))),
 
+    // growth accounting: per day, NEW (first activity ever) /
+    // RETAINED (active yesterday) / RESURRECTED (returned after a
+    // gap) / CHURNED (active yesterday, absent today) user counts —
+    // the decomposition that explains WHY the DAU curve moved. All
+    // from lag/lead over the deduped (user, day) frame; churn reports
+    // on the day after activity and never past the stream's last day
+    // (a user active on the final day hasn't churned yet).
+    "behavior_growth_accounting" -> QueryDef(
+      (s, dir) => Behavior.growthAccounting(ev(s, dir), "user_id",
+        "ts"),
+      Some("""WITH du AS (SELECT DISTINCT
+            (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+            user_id AS u FROM events),
+          lg AS (SELECT day_us, u,
+            lag(day_us) OVER (PARTITION BY u ORDER BY day_us) AS prev,
+            lead(day_us) OVER (PARTITION BY u ORDER BY day_us) AS nxt
+            FROM du),
+          act AS (SELECT day_us,
+            sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)::BIGINT
+              AS n_new,
+            sum(CASE WHEN prev = day_us - 86400000000 THEN 1 ELSE 0
+              END)::BIGINT AS n_retained,
+            sum(CASE WHEN prev IS NOT NULL
+              AND prev < day_us - 86400000000 THEN 1 ELSE 0 END)
+              ::BIGINT AS n_resurrected
+            FROM lg GROUP BY 1),
+          ld AS (SELECT max(day_us) AS last_day FROM du),
+          ch AS (SELECT day_us + 86400000000 AS day_us,
+            count(*)::BIGINT AS n_churned
+            FROM lg CROSS JOIN ld
+            WHERE (nxt IS NULL OR nxt > day_us + 86400000000)
+              AND day_us + 86400000000 <= ld.last_day
+            GROUP BY 1)
+          SELECT coalesce(act.day_us, ch.day_us)::BIGINT AS day_us,
+            coalesce(act.n_new, 0)::BIGINT AS n_new,
+            coalesce(act.n_retained, 0)::BIGINT AS n_retained,
+            coalesce(act.n_resurrected, 0)::BIGINT AS n_resurrected,
+            coalesce(ch.n_churned, 0)::BIGINT AS n_churned
+          FROM act FULL OUTER JOIN ch ON act.day_us = ch.day_us"""
+        .replaceAll("\\s+", " "))),
+
     // DAU / trailing-7-day WAU / stickiness bp per day — the rolling
     // DISTINCT computed exactly by fanning the DEDUPED (day, user)
     // frame out to its ≤7 report days (no range join, no per-day

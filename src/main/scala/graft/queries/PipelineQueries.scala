@@ -1875,6 +1875,35 @@ object PipelineQueries {
           g -> (length(g)+3)//4)), 0)::BIGINT AS n_tokens
         FROM documents""".replaceAll("\\s+", " "))),
 
+    // tokenizer FERTILITY per language: tokens-per-pretoken in exact
+    // basis points — the cross-lingual cost profile (a language with
+    // 2× fertility pays 2× the context budget per word; the number
+    // that decides per-language sampling temperatures). Pure rollup
+    // of the oracled tokenBudget chain.
+    "text_tokenizer_fertility" -> QueryDef(
+      (s, dir) => TextAnalysis.tokenBudget(docs(s, dir), "doc_id",
+          "text")
+        .join(docs(s, dir).select(col("doc_id").as("id"), col("lang")),
+          "id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pretokens")).as("pretokens"),
+          sum(col("n_tokens")).as("tokens"))
+        .withColumn("fertility_bp",
+          expr("(tokens * 10000) div pretokens")),
+      Some(s"""WITH t AS (SELECT doc_id,
+          len(regexp_extract_all(text,
+            '${TextAnalysis.PretokenPattern}'))::BIGINT AS np,
+          coalesce(list_sum(list_transform(regexp_extract_all(text,
+            '${TextAnalysis.PretokenPattern}'),
+            g -> (length(g)+3)//4)), 0)::BIGINT AS nt
+          FROM documents)
+        SELECT d.lang, count(*)::BIGINT AS n_docs,
+          sum(t.np)::BIGINT AS pretokens, sum(t.nt)::BIGINT AS tokens,
+          ((sum(t.nt) * 10000) // sum(t.np))::BIGINT AS fertility_bp
+        FROM t JOIN documents d USING (doc_id)
+        GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // REAL fixed-merges BPE token counts (functions.Bpe: the GPT-2
     // bpe() greedy merge loop over a fixed merge table — a trained
     // tokenizer ships exactly this artifact). Rows-only: the
@@ -2173,6 +2202,73 @@ object PipelineQueries {
             ::BIGINT AS n_outliers
         FROM d JOIN t USING (label) GROUP BY 1, 2, 3"""
         .replaceAll("\\s+", " "))),
+
+    // per-label embedding SEPARATION: mean intra-class centroid
+    // distance vs the nearest OTHER centroid (a Fisher-style ratio in
+    // exact micro-units — labels whose ratio approaches 1 are not
+    // separable in this embedding space and will confuse any k-NN /
+    // centroid classifier built on it). Reuses the emb_outliers
+    // distance discipline (round-then-compare); everything past the
+    // posexplode groupBy runs on labels×dims / per-vector frames.
+    "emb_separation" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), col("label"),
+          posexplode(col("embedding")))
+        val cent = e.groupBy(col("label"), col("pos"))
+          .agg(round(avg(col("col")), 6).as("m"))
+        val d2 = e.join(broadcast(cent), Seq("label", "pos"))
+          .withColumn("dd",
+            (col("col").cast("double") - col("m")) *
+              (col("col").cast("double") - col("m")))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(round(sum(col("dd")) * 1000000, 0).cast("long")
+            .as("d2u"))
+        val intra = d2.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            expr("(2 * sum(d2u) + count(1)) div (2 * count(1))")
+              .as("intra_d2u"))
+        val inter = cent.select(col("label").as("la"), col("pos"),
+            col("m").as("ma"))
+          .join(cent.select(col("label").as("lb"), col("pos"),
+            col("m").as("mb")), Seq("pos"))
+          .filter(col("la") =!= col("lb"))
+          .groupBy(col("la"), col("lb"))
+          .agg(round(sum((col("ma") - col("mb")) *
+            (col("ma") - col("mb"))) * 1000000, 0).cast("long")
+            .as("cd2u"))
+          .groupBy(col("la").as("label"))
+          .agg(min(col("cd2u")).as("min_inter_d2u"))
+        intra.join(inter, "label")
+          .select(col("label").cast("long").as("label"), col("n"),
+            col("intra_d2u"), col("min_inter_d2u"),
+            round(col("min_inter_d2u").cast("double") /
+              col("intra_d2u").cast("double"), 4).as("sep_r"))
+      },
+      Some("""WITH b AS (SELECT vec_id, label, unnest(embedding) AS x,
+          unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings),
+        c AS (SELECT label, i, round(avg(x), 6) AS m FROM b
+          GROUP BY 1, 2),
+        d AS (SELECT b.vec_id, b.label,
+          CAST(round(sum((b.x - c.m) * (b.x - c.m)) * 1000000, 0)
+            AS BIGINT) AS d2u
+          FROM b JOIN c ON b.label = c.label AND b.i = c.i
+          GROUP BY 1, 2),
+        it AS (SELECT label, count(*)::BIGINT AS n,
+          CAST((2 * sum(d2u) + count(*)) // (2 * count(*)) AS BIGINT)
+            AS intra_d2u FROM d GROUP BY 1),
+        pr AS (SELECT a.label AS la, z.label AS lb,
+          CAST(round(sum((a.m - z.m) * (a.m - z.m)) * 1000000, 0)
+            AS BIGINT) AS cd2u
+          FROM c a JOIN c z ON a.i = z.i AND a.label <> z.label
+          GROUP BY 1, 2),
+        nn AS (SELECT la AS label, min(cd2u)::BIGINT AS min_inter_d2u
+          FROM pr GROUP BY 1)
+        SELECT it.label::BIGINT AS label, it.n, it.intra_d2u,
+          nn.min_inter_d2u,
+          round(nn.min_inter_d2u::DOUBLE / it.intra_d2u::DOUBLE, 4)
+            AS sep_r
+        FROM it JOIN nn USING (label)""".replaceAll("\\s+", " "))),
 
     // per-source duplicate-rate report — the observability rollup of
     // the clustering chain: which sources flood the corpus with

@@ -1022,6 +1022,29 @@ object RelationalQueries {
              se2 * se2 / (n2::DOUBLE - 1.0)), 2) END AS df_r
         FROM v""".replaceAll("\\s+", " "))),
 
+    // TPC-H Q18-style large-volume orders: aggregate lineitem per
+    // order, HAVING over the aggregate, then enrich from orders —
+    // the aggregate-then-semi-join shape (the filter reduces BEFORE
+    // the join, so only qualifying keys shuffle into it).
+    "q18_large_orders" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_custkey"), col("o_totalprice")), "l_orderkey")
+        .select(col("l_orderkey").as("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("n_items"), col("sum_qty")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+        n_items, sum_qty
+        FROM orders JOIN (SELECT l_orderkey,
+          count(*)::BIGINT AS n_items,
+          sum(l_quantity)::BIGINT AS sum_qty FROM lineitem
+          GROUP BY 1 HAVING sum(l_quantity) > 150) li
+        ON o_orderkey = li.l_orderkey""".replaceAll("\\s+", " "))),
+
     // Hill tail-index estimator over the top-100 order statistics of
     // price cents — "how heavy is the tail" (α ≈ 1 Zipf-like, large α
     // thin tail); the heavy-tail companion to stats_mad_outliers'

@@ -159,6 +159,28 @@ class BehaviorSpec extends AnyFunSuite {
       ("c", "a", "c") -> ((1L, 10000L))))
   }
 
+  test("growth accounting: new/retained/resurrected classify by the " +
+    "previous active day; churn reports the day AFTER activity and " +
+    "never past the stream end") {
+    val day = 86400L * 1000000000L
+    val dayU = 86400L * 1000000L
+    // u1: d0, d1, d3 → new@d0, retained@d1, churn@d2, resurrected@d3
+    // u2: d1 only → new@d1, churn@d2
+    // u3: d3 only → new@d3, NO churn (d4 past stream end d3)
+    val df = events(Seq(
+      (1L, 0L, 1L, "x"), (2L, day, 1L, "x"), (3L, 3 * day, 1L, "x"),
+      (4L, day + 7L, 2L, "x"), (5L, 3 * day + 9L, 3L, "x")))
+    val rows = Behavior.growthAccounting(df, "user_id", "ts")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(0L) === ((1L, 0L, 0L, 0L)))
+    assert(rows(dayU) === ((1L, 1L, 0L, 0L)))
+    assert(rows(2 * dayU) === ((0L, 0L, 0L, 2L)))
+    assert(rows(3 * dayU) === ((1L, 0L, 1L, 0L)))
+    assert(!rows.contains(4 * dayU))
+  }
+
   test("dauWau: trailing-7-day distinct is exact (not a sum of " +
     "dailies), stickiness is floored bp, days past the stream end " +
     "are dropped") {
