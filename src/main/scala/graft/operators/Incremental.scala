@@ -34,6 +34,71 @@ object Incremental {
         min(col(centsCol).cast("long")).as("min_c"),
         max(col(centsCol).cast("long")).as("max_c"))
 
+  /** Slowly-Changing-Dimension Type 2 history: collapse an update
+    * stream (key, ts, attribute) into validity intervals — one row
+    * per VALUE RUN with [valid_from, valid_to) bounds, open-ended
+    * (NULL valid_to + is_current) on the latest run. The warehouse
+    * answer to "what was this entity's state at time T" that a
+    * latest-wins upsert (CopyJob.mergeLatest) throws away.
+    *
+    * Gaps-and-islands per key: change-flag = value ≠ lag(value), run
+    * id = running sum of flags, one groupBy((key, run)) for the run
+    * start, lead(valid_from) for the exclusive end — two windows and
+    * one aggregate, all partitioned by the entity key, O(runs)
+    * output. Contract: (key, ts) unique (pre-aggregate duplicates —
+    * the asofJoin convention); the attribute column must be
+    * null-free (NULL runs would need null-safe change flags; reject
+    * loudly rather than guess).
+    *
+    * Output: (key, value, valid_from, valid_to, is_current). */
+  def scd2(updates: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byT = Window.partitionBy(col("k")).orderBy(col("t"))
+    val prev = lag(col("v"), 1).over(byT)
+    val runs = updates
+      .select(col(keyCol).as("k"), col(tsCol).cast("long").as("t"),
+        col(valueCol).as("v"))
+      .withColumn("chg",
+        when(prev.isNull || (prev =!= col("v")), 1L).otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(byT))
+      .groupBy(col("k"), col("run"), col("v"))
+      .agg(min(col("t")).as("valid_from"))
+    val byFrom = Window.partitionBy(col("k")).orderBy(col("valid_from"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
+      .select(col("k").as(keyCol), col("v").as(valueCol),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Apply a CDC changelog (op ∈ I/U/D per key, timestamped) to
+    * produce the current snapshot: the LATEST op per key wins —
+    * inserts/updates materialize their value, a trailing delete
+    * removes the key entirely. One struct-max argmax per key (the
+    * merge_latest_upsert partial/final hash-agg shape — no window,
+    * no per-key sort state), then a row-local filter on the winning
+    * op. Ties on (ts) break by op then value (deterministic in any
+    * engine); D > U > I at the same instant, so a same-tick
+    * delete+insert resolves to delete — declare the tie rule rather
+    * than inherit arrival order.
+    *
+    * Output: (key, value, ts) — the surviving rows only. */
+  def applyChangelog(log: DataFrame, keyCol: String, tsCol: String,
+      opCol: String, valueCol: String): DataFrame = {
+    val rank = when(col("op") === "D", 2L)
+      .when(col("op") === "U", 1L).otherwise(0L)
+    log
+      .select(col(keyCol).as("k"), col(tsCol).cast("long").as("t"),
+        col(opCol).as("op"), col(valueCol).as("v"))
+      .groupBy(col("k"))
+      .agg(max(struct(col("t"), rank.as("r"), col("v"), col("op")))
+        .as("w"))
+      .filter(col("w.op") =!= "D")
+      .select(col("k").as(keyCol), col("w.v").as(valueCol),
+        col("w.t").as(tsCol))
+  }
+
   /** Merge any union of partial-summary frames back into one summary
     * per key, and re-derive the half-up micro-unit mean from the
     * merged (Σ, n). Associative and commutative — partials can arrive

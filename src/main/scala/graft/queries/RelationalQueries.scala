@@ -1500,6 +1500,61 @@ object RelationalQueries {
         AND ts < TIMESTAMP '2024-01-20 00:00:00'
         GROUP BY 1""".replaceAll("\\s+", " "))),
 
+    // SCD Type-2 history: the per-user event-type state collapsed
+    // into validity intervals [valid_from, valid_to) with an
+    // open-ended current run — "what was this entity's state at time
+    // T", which latest-wins upserts throw away. Two key-partitioned
+    // windows + one aggregate (Incremental.scd2); (key, ts) made
+    // unique by the asofJoin pre-aggregation convention.
+    "cdc_scd2_history" -> QueryDef(
+      (s, dir) => Incremental.scd2(
+        ev(s, dir).select(col("user_id"),
+            expr("ts div 1000").as("t_us"), col("event_type"))
+          .groupBy(col("user_id"), col("t_us"))
+          .agg(max(col("event_type")).as("state")),
+        "user_id", "t_us", "state"),
+      Some("""WITH u AS (SELECT user_id, epoch_us(ts) AS t,
+          max(event_type) AS v FROM events GROUP BY 1, 2),
+        lg AS (SELECT user_id, t, v, lag(v) OVER
+          (PARTITION BY user_id ORDER BY t) AS prev FROM u),
+        rn AS (SELECT user_id, t, v,
+          sum(CASE WHEN prev IS NULL OR prev <> v THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY t) AS run FROM lg),
+        rs AS (SELECT user_id, run, v, min(t) AS valid_from FROM rn
+          GROUP BY 1, 2, 3)
+        SELECT user_id, v AS state, valid_from::BIGINT AS valid_from,
+          (lead(valid_from) OVER (PARTITION BY user_id
+            ORDER BY valid_from))::BIGINT AS valid_to,
+          (lead(valid_from) OVER (PARTITION BY user_id
+            ORDER BY valid_from)) IS NULL AS is_current
+        FROM rs""".replaceAll("\\s+", " "))),
+
+    // CDC changelog application: latest op per key wins, a trailing
+    // delete removes the key — the I/U/D merge a latest-wins upsert
+    // cannot express. One struct-max argmax (partial/final hash agg,
+    // no window); the (t, op, value) tie rule is DECLARED (D > U > I
+    // at the same instant) rather than inherited from arrival order.
+    "cdc_apply_changelog" -> QueryDef(
+      (s, dir) => Incremental.applyChangelog(
+        ev(s, dir).select(col("user_id"),
+          expr("ts div 1000").as("t_us"),
+          when(col("event_type") === "error", "D")
+            .when(col("event_type") === "signup", "I")
+            .otherwise("U").as("op"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "user_id", "t_us", "op", "cents"),
+      Some("""WITH lg AS (SELECT user_id, epoch_us(ts) AS t,
+          CASE WHEN event_type = 'error' THEN 'D'
+            WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+          CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
+        w AS (SELECT user_id, t, op, v, row_number() OVER
+          (PARTITION BY user_id ORDER BY t DESC,
+            (CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END) DESC,
+            v DESC)
+          AS rn FROM lg)
+        SELECT user_id, v AS cents, t::BIGINT AS t_us FROM w
+        WHERE rn = 1 AND op <> 'D'""".replaceAll("\\s+", " "))),
+
     // incremental aggregate maintenance: the per-type stats view kept
     // current by MERGING the new window's partial (n, Σ, min, max)
     // into the stored partial of everything before it — merging

@@ -43,6 +43,45 @@ class IncrementalSpec extends AnyFunSuite {
     assert(again === scratch)
   }
 
+  test("scd2: consecutive same-value updates collapse into one run, " +
+    "value flips open new intervals that close the previous one " +
+    "exactly, and only the last run is current") {
+    val s = spark
+    import s.implicits._
+    val ups = Seq(
+      ("u", 10L, "a"), ("u", 20L, "a"), ("u", 30L, "b"),
+      ("u", 40L, "a"), ("v", 5L, "x"))
+      .toDF("k", "t", "v")
+    val out = Incremental.scd2(ups, "k", "t", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_ => r.getLong(3)), r.getBoolean(4)))
+      .sortBy(x => (x._1, x._3))
+    assert(out.toSeq === Seq(
+      ("u", "a", 10L, Some(30L), false),
+      ("u", "b", 30L, Some(40L), false),
+      ("u", "a", 40L, None, true),
+      ("v", "x", 5L, None, true)))
+  }
+
+  test("applyChangelog: the latest op wins, trailing deletes remove " +
+    "the key, and the same-instant tie resolves D > U > I by the " +
+    "declared (t, op, value) rule") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(
+      ("a", 1L, "I", 10L), ("a", 2L, "U", 20L),          // a → 20
+      ("b", 1L, "I", 5L), ("b", 9L, "D", 0L),            // b gone
+      ("c", 3L, "D", 0L), ("c", 7L, "I", 9L),            // c revived
+      ("d", 4L, "I", 1L), ("d", 4L, "D", 9L))            // tie: D wins
+      .toDF("k", "t", "op", "v")
+    val out = Incremental.applyChangelog(log, "k", "t", "op", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map("a" -> ((20L, 2L)), "c" -> ((9L, 7L))))
+  }
+
   test("mean_u re-derives half-up from the MERGED (Σ, n), not from " +
     "per-partial means (the non-algebraic trap)") {
     val s = spark
