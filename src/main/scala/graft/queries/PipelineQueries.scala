@@ -1875,6 +1875,60 @@ object PipelineQueries {
           g -> (length(g)+3)//4)), 0)::BIGINT AS n_tokens
         FROM documents""".replaceAll("\\s+", " "))),
 
+    // one-shot DATASET CARD: the long-format summary row set every
+    // corpus hand-off ships with (docs/sources/langs/chars/token
+    // budget/exact-dup rate) — ONE pass over the corpus (a single
+    // wide aggregate over the token-budget projection) unpivoted to
+    // (metric, value); every value an exact Long (rates floored bp,
+    // means half-up).
+    "pipeline_dataset_card" -> QueryDef(
+      (s, dir) => {
+        val f = TextAnalysis.tokenBudget(docs(s, dir), "doc_id",
+            "text")
+          .join(docs(s, dir).select(col("doc_id").as("id"),
+            col("source"), col("lang"), col("n_chars"),
+            md5(col("text")).as("h")), "id")
+        val wide = f.agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          expr("(2 * sum(n_chars) + count(1)) div (2 * count(1))")
+            .as("mean_chars"),
+          sum(col("n_pretokens")).as("total_pretokens"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("h")).as("n_distinct_texts"))
+        val metrics = Seq("n_docs", "n_sources", "n_langs",
+          "total_chars", "mean_chars", "total_pretokens",
+          "total_tokens")
+        metrics.map(m => wide.select(lit(m).as("metric"),
+            col(m).cast("long").as("value")))
+          .reduce(_ unionAll _)
+          .unionAll(wide.select(lit("exact_dup_bp").as("metric"),
+            expr("((n_docs - n_distinct_texts) * 10000) div n_docs")
+              .as("value")))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+          len(regexp_extract_all(text,
+            '${TextAnalysis.PretokenPattern}'))::BIGINT AS np,
+          coalesce(list_sum(list_transform(regexp_extract_all(text,
+            '${TextAnalysis.PretokenPattern}'),
+            g -> (length(g)+3)//4)), 0)::BIGINT AS nt,
+          source, lang, n_chars, md5(text) AS h FROM documents)
+        SELECT 'n_docs' AS metric, count(*)::BIGINT AS value FROM t
+        UNION ALL SELECT 'n_sources',
+          count(DISTINCT source)::BIGINT FROM t
+        UNION ALL SELECT 'n_langs', count(DISTINCT lang)::BIGINT
+          FROM t
+        UNION ALL SELECT 'total_chars', sum(n_chars)::BIGINT FROM t
+        UNION ALL SELECT 'mean_chars',
+          CAST((2 * sum(n_chars) + count(*)) // (2 * count(*))
+            AS BIGINT) FROM t
+        UNION ALL SELECT 'total_pretokens', sum(np)::BIGINT FROM t
+        UNION ALL SELECT 'total_tokens', sum(nt)::BIGINT FROM t
+        UNION ALL SELECT 'exact_dup_bp',
+          (((count(*) - count(DISTINCT h)) * 10000) // count(*))
+            ::BIGINT FROM t""".replaceAll("\\s+", " "))),
+
     // tokenizer FERTILITY per language: tokens-per-pretoken in exact
     // basis points — the cross-lingual cost profile (a language with
     // 2× fertility pays 2× the context budget per word; the number
