@@ -521,6 +521,45 @@ object Curation {
         (col("pos") + 1).cast("long").as("cap_rank"))
   }
 
+  /** Exact integer token-quota apportionment (Hamilton / largest
+    * remainder): split a token budget B across sources proportionally
+    * to integer weights, with Σ quotas = B EXACTLY — floor shares
+    * first, then the r = B − Σ⌊·⌋ leftover tokens go to the largest
+    * remainders (ties by source name, so the plan is reproducible).
+    * The planning step between [[temperatureWeights]] and a sampler:
+    * floats drift and never sum to the budget; an apportionment does.
+    *
+    * Everything runs on the source-cardinality frame (one aggregate
+    * for the weight total, one bounded rank window over sources).
+    * CONTRACT: budget · max(weight) must fit in a Long — pre-scale
+    * weights to a bounded unit (basis points / millionths, which is
+    * what temperatureWeights emits) before apportioning a large
+    * budget; apportionment is invariant under weight rescaling only
+    * up to remainder ties, so declare the unit once and keep it.
+    *
+    * Output: (source col, weight, floor_q, rem, extra 0/1, quota). */
+  def tokenQuota(weights: DataFrame, keyCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    requireIntegral(weights, weightCol, "tokenQuota weight")
+    val w = weights.select(col(keyCol).as("k"),
+      col(weightCol).cast("long").as("w"))
+    val tot = w.agg(sum(col("w")).as("tw"), count(lit(1)).as("nk"))
+    val base = w.crossJoin(broadcast(tot))
+      .select(col("k"), col("w"),
+        expr(s"($budget * w) div tw").as("floor_q"),
+        expr(s"($budget * w) % tw").as("rem"))
+    val wOrd = Window.orderBy(col("rem").desc, col("k"))
+    base
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+      .crossJoin(broadcast(base.agg(
+        (lit(budget) - sum(col("floor_q"))).as("r"))))
+      .select(col("k").as(keyCol), col("w").as(weightCol),
+        col("floor_q"), col("rem"),
+        when(col("rk") <= col("r"), 1L).otherwise(0L).as("extra"))
+      .withColumn("quota", col("floor_q") + col("extra"))
+  }
+
   /** Per-group quantile-rank normalization: each row's value mapped to
     * its within-group cumulative-distribution rank in exact basis
     * points (rank_bp = ⌊cum·10⁴/n⌋, ties share the tie-group's upper

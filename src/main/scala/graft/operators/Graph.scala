@@ -109,6 +109,36 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Degree assortativity: the Pearson correlation of endpoint
+    * degrees over the (symmetrized) edge list — "do hubs link to
+    * hubs" (positive: template floods chain into each other;
+    * negative: hub-and-spoke boilerplate). Exact Long sums over the
+    * edge frame (degrees are edge-bounded so the moment sums stay far
+    * from overflow at any corpus the pair generator can emit); the
+    * correlation is the corrMatrix fixed-order IEEE combination,
+    * rounded 4, NULL for degree-regular graphs (zero variance).
+    *
+    * Output (one row): n_edges (directed/symmetrized count), r_r. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val sums = edges
+      .join(deg, "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("ddst")),
+        "dst")
+      .agg(count(lit(1)).as("n"), sum(col("deg")).as("sa"),
+        sum(col("ddst")).as("sb"),
+        sum(col("deg") * col("deg")).as("qa"),
+        sum(col("ddst") * col("ddst")).as("qb"),
+        sum(col("deg") * col("ddst")).as("pab"))
+    def d(c: String) = col(c).cast("double")
+    val ca = d("n") * d("qa") - d("sa") * d("sa")
+    val cb = d("n") * d("qb") - d("sb") * d("sb")
+    sums.select(col("n").as("n_edges"),
+      when(ca > 0 && cb > 0,
+        round((d("n") * d("pab") - d("sa") * d("sb")) /
+          (sqrt(ca) * sqrt(cb)), 4)).as("r_r"))
+  }
+
   /** Per-node local clustering coefficient in exact basis points:
     * 2·(triangles at the node) / (deg·(deg−1)), floored bp — how
     * template-blob-like each document's neighborhood is ([[triangleCount]]

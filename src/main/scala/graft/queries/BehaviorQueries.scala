@@ -250,6 +250,50 @@ object BehaviorQueries {
           UNION ALL SELECT 4::BIGINT, 'purchase', count(*)::BIGINT
             FROM r4""".replaceAll("\\s+", " "))),
 
+    // Conversion within a window: for each click, did a purchase by
+    // the same user follow within 2 hours? Forward as-of (earliest
+    // purchase at-or-after the click, one key shuffle) + a row-local
+    // staleness gate — the bounded-window conversion rate a funnel's
+    // unbounded chaining can't express. Exact floored-bp CVR.
+    "behavior_conversion_window" -> QueryDef(
+      (s, dir) => {
+        val winUs = 2L * 3600L * 1000000L
+        val e = ev(s, dir).select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_us"), col("event_type"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("t_us"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("t_us"))
+          .agg(count(lit(1)).as("np"))
+        graft.operators.TemporalJoin.asofJoinForward(clicks, purchases,
+          keys = Seq("user_id"), leftTime = "t_us",
+          rightTime = "t_us", payloadCols = Seq("np"),
+          matchedTimeCol = "p_t_us")
+          .agg(count(lit(1)).as("n_clicks"),
+            sum(when(col("p_t_us").isNotNull &&
+              (col("p_t_us") - col("t_us") <= winUs), 1L)
+              .otherwise(0L)).as("n_converted"))
+          .withColumn("cvr_bp",
+            expr("(n_converted * 10000) div n_clicks"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts)
+          AS t_us, event_type FROM events),
+        ck AS (SELECT event_id, user_id, t_us FROM e
+          WHERE event_type = 'click'),
+        pu AS (SELECT user_id, t_us FROM e
+          WHERE event_type = 'purchase' GROUP BY 1, 2),
+        j AS (SELECT ck.event_id, ck.t_us, pu.t_us AS p_t_us
+          FROM ck ASOF LEFT JOIN pu
+            ON ck.user_id = pu.user_id AND ck.t_us <= pu.t_us)
+        SELECT count(*)::BIGINT AS n_clicks,
+          sum(CASE WHEN p_t_us IS NOT NULL
+            AND p_t_us - t_us <= 7200000000 THEN 1 ELSE 0 END)::BIGINT
+            AS n_converted,
+          ((sum(CASE WHEN p_t_us IS NOT NULL
+            AND p_t_us - t_us <= 7200000000 THEN 1 ELSE 0 END)
+            * 10000) // count(*))::BIGINT AS cvr_bp
+        FROM j""".replaceAll("\\s+", " "))),
+
     // Last-touch attribution: each purchase's revenue credited to the
     // most recent prior (or same-instant) non-purchase event of the
     // same user — the as-of join composed into marketing analytics

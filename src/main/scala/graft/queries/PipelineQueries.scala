@@ -359,6 +359,31 @@ object PipelineQueries {
         LEFT JOIN pn ON nd.id = pn.id"""
         .replaceAll("\\s+", " "))),
 
+    // degree assortativity of the near-dup graph: do hubs link to
+    // hubs (template chains) or to leaves (hub-and-spoke
+    // boilerplate)? Exact Long moment sums over the symmetrized edge
+    // frame, one rounded correlation.
+    "graph_assortativity" -> QueryDef(
+      (s, dir) => Graph.assortativity(lshEdges(s, dir)),
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
+        $CandCte, $EdgeCte,
+        deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        j AS (SELECT da.deg AS a, db.deg AS b FROM e
+          JOIN deg da ON e.src = da.src
+          JOIN deg db ON e.dst = db.src),
+        sm AS (SELECT count(*)::BIGINT AS n, sum(a)::BIGINT AS sa,
+          sum(b)::BIGINT AS sb, sum(a*a)::BIGINT AS qa,
+          sum(b*b)::BIGINT AS qb, sum(a*b)::BIGINT AS pab FROM j)
+        SELECT n AS n_edges,
+          CASE WHEN (n::DOUBLE * qa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+            > 0 AND (n::DOUBLE * qb::DOUBLE - sb::DOUBLE * sb::DOUBLE)
+            > 0 THEN round(
+            (n::DOUBLE * pab::DOUBLE - sa::DOUBLE * sb::DOUBLE) /
+            (sqrt(n::DOUBLE * qa::DOUBLE - sa::DOUBLE * sa::DOUBLE) *
+             sqrt(n::DOUBLE * qb::DOUBLE - sb::DOUBLE * sb::DOUBLE)),
+            4) END AS r_r
+        FROM sm""".replaceAll("\\s+", " "))),
+
     "graph_pagerank" -> QueryDef(
       (s, dir) => Graph.pageRankInt(
         docs(s, dir).select(col("doc_id").as("id")),
@@ -1874,6 +1899,43 @@ object PipelineQueries {
           '${TextAnalysis.PretokenPattern}'),
           g -> (length(g)+3)//4)), 0)::BIGINT AS n_tokens
         FROM documents""".replaceAll("\\s+", " "))),
+
+    // exact token-quota apportionment (Hamilton / largest remainder):
+    // a 10⁶-token budget split across sources proportionally to their
+    // tokenizer-token weights with Σ quotas = budget EXACTLY — floor
+    // shares + the leftover to the largest remainders (ties by source
+    // name). The planning step floats can't do: proportional floats
+    // never sum to the budget. Bounded rank window (source frame,
+    // allowlisted).
+    "pipeline_token_quota" -> QueryDef(
+      (s, dir) => Curation.tokenQuota(
+        TextAnalysis.tokenBudget(docs(s, dir), "doc_id", "text")
+          .join(docs(s, dir).select(col("doc_id").as("id"),
+            col("source")), "id")
+          .groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("w_tokens")),
+        "source", "w_tokens", budget = 1000000L),
+      Some(s"""WITH t AS (SELECT doc_id,
+          coalesce(list_sum(list_transform(regexp_extract_all(text,
+            '${TextAnalysis.PretokenPattern}'),
+            g -> (length(g)+3)//4)), 0)::BIGINT AS nt
+          FROM documents),
+        w AS (SELECT d.source, sum(t.nt)::BIGINT AS w_tokens
+          FROM t JOIN documents d USING (doc_id) GROUP BY 1),
+        tw AS (SELECT sum(w_tokens)::BIGINT AS tw FROM w),
+        b AS (SELECT w.source, w.w_tokens,
+            ((1000000 * w.w_tokens) // tw.tw)::BIGINT AS floor_q,
+            ((1000000 * w.w_tokens) % tw.tw)::BIGINT AS rem
+          FROM w CROSS JOIN tw),
+        rk AS (SELECT b.*, row_number() OVER
+            (ORDER BY rem DESC, source) AS rk,
+            (SELECT 1000000 - sum(floor_q) FROM b) AS r
+          FROM b)
+        SELECT source, w_tokens, floor_q, rem,
+          (CASE WHEN rk <= r THEN 1 ELSE 0 END)::BIGINT AS extra,
+          (floor_q + CASE WHEN rk <= r THEN 1 ELSE 0 END)::BIGINT
+            AS quota
+        FROM rk""".replaceAll("\\s+", " "))),
 
     // one-shot DATASET CARD: the long-format summary row set every
     // corpus hand-off ships with (docs/sources/langs/chars/token

@@ -656,6 +656,31 @@ class CurationSpec extends AnyFunSuite {
     assert(manifest2 === manifest)
   }
 
+  test("tokenQuota: quotas sum to the budget EXACTLY for ragged " +
+    "weights, the largest remainders get the leftover (name " +
+    "tie-break), and zero-weight sources get zero") {
+    val s = spark
+    import s.implicits._
+    // weights 1,1,1 with budget 10: floor 3 each, r = 1 → the tied
+    // remainders break by name: "a" gets the extra
+    val even = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("k", "w")
+    val q1 = Curation.tokenQuota(even, "k", "w", budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota"))
+      .toMap
+    assert(q1 === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // ragged weights: Σ quota == budget under any proportions
+    val ragged = Seq(("s1", 7L), ("s2", 13L), ("s3", 1L), ("s4", 0L),
+      ("s5", 29L)).toDF("k", "w")
+    val rows = Curation.tokenQuota(ragged, "k", "w", budget = 997L)
+      .collect()
+    assert(rows.map(_.getAs[Long]("quota")).sum === 997L)
+    val byK = rows.map(r => r.getString(0) ->
+      r.getAs[Long]("quota")).toMap
+    assert(byK("s4") === 0L) // zero weight, zero remainder, no extra
+    // proportionality: quota within 1 of the real share
+    assert(math.abs(byK("s5") - 997.0 * 29 / 50) <= 1.0)
+  }
+
   test("quantileNormalize: hand-computed tie-sharing cume_dist in bp; " +
     "the max value always lands at 10000; fractional value columns " +
     "are rejected at plan time") {

@@ -246,11 +246,13 @@ class PlanSpec extends AnyFunSuite {
     //    discipline: groupBy(value) reduces the corpus first)
     //  - stats_hill_tail: rank over the TakeOrdered(101)-bounded
     //    top frame (the corpus reduces through TakeOrdered first)
+    //  - pipeline_token_quota: remainder rank over the
+    //    source-cardinality weights frame (one row per source)
     val allowed = Set("pipeline_temperature_weights",
       "pipeline_temperature_tokens",
       "pipeline_pack_sequences", "pipeline_pack_tokens",
       "text_zipf_slope", "behavior_rfm", "stats_ks_test", "stats_psi",
-      "stats_hill_tail")
+      "stats_hill_tail", "pipeline_token_quota")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.queryExecution.optimizedPlan.collect {
