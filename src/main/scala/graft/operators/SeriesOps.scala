@@ -798,6 +798,100 @@ object SeriesOps {
         (col("detr") - col("seasonal")).as("resid")): _*)
   }
 
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson's LTTB,
+    * the dashboard decimation standard — Grafana/TSDB UIs render
+    * thousands of points from millions with visual extrema kept).
+    * Per series: first and last points always survive; the interior
+    * splits into `threshold−2` equal index buckets and each bucket
+    * keeps the point maximizing the triangle area against the
+    * PREVIOUSLY selected point and the NEXT bucket's average — a
+    * sequential greedy with lookahead, which is why this is an
+    * aggregator fold (the EMA-family per-series buffer contract:
+    * series bounded by range/interval) and the registry entry is
+    * rows-only with a driver-side reference differential instead of
+    * a SQL oracle.
+    *
+    * Determinism: areas compare as exact cross-multiplied Longs
+    * (2·area·denominators — no floating point in the argmax), ties
+    * break to the earliest bucket index, so the selection is
+    * identical under any partitioning.
+    *
+    * Output: (series…, b, v, sel_idx 0..threshold−1). */
+  case class LttbItems(items: Seq[BVL])
+  class LttbAggregator(threshold: Int)
+      extends Aggregator[BVL, EmaFixedItems, LttbItems] {
+    require(threshold >= 3, s"threshold must be >= 3: $threshold")
+    override def zero: EmaFixedItems = EmaFixedItems(Nil)
+    override def reduce(b: EmaFixedItems, a: BVL): EmaFixedItems =
+      EmaFixedItems(a +: b.items)
+    override def merge(a: EmaFixedItems, b: EmaFixedItems)
+        : EmaFixedItems = EmaFixedItems(a.items ++ b.items)
+    override def finish(r: EmaFixedItems): LttbItems = {
+      val pts = r.items.sortBy(p => (p.b, p.v)).toIndexedSeq
+      val n = pts.size
+      if (n <= threshold) LttbItems(pts)
+      else {
+        val out = Seq.newBuilder[BVL]
+        out += pts.head
+        var prev = pts.head
+        val inner = threshold - 2
+        // bucket i covers interior indices [1 + i·(n−2)/inner, …)
+        def bound(i: Int): Int = 1 + (i.toLong * (n - 2) / inner).toInt
+        var i = 0
+        while (i < inner) {
+          val (lo, hi) = (bound(i), bound(i + 1))
+          val (nLo, nHi) =
+            if (i + 1 < inner) (bound(i + 1), bound(i + 2))
+            else (n - 1, n) // last interior bucket looks at the tail
+          // next-bucket average, exact rationals: (Σb/|…|, Σv/|…|)
+          val cnt = (nHi - nLo).toLong
+          val sb = (nLo until nHi).map(pts(_).b).sum
+          val sv = (nLo until nHi).map(pts(_).v).sum
+          // area argmax via cross-multiplied exact integers:
+          // 2A·cnt = |(pb−ab)·(cv−av·cnt/cnt)…| — fold cnt in:
+          // 2A·cnt = |(prev.b−p.b)·(sv−cnt·prev.v)
+          //          −(prev.b−sb/cnt…)| → multiply through by cnt:
+          // score(p) = |(prev.b−p.b)·(sv−cnt·prev.v)
+          //            −(prev.v−p.v)·(sb−cnt·prev.b)|
+          var best = lo
+          var bestScore = BigInt(-1)
+          (lo until hi).foreach { j =>
+            val p = pts(j)
+            val s1 = BigInt(prev.b - p.b) * (sv - cnt * prev.v)
+            val s2 = BigInt(prev.v - p.v) * (sb - cnt * prev.b)
+            val score = (s1 - s2).abs
+            if (score > bestScore) { bestScore = score; best = j }
+          }
+          out += pts(best)
+          prev = pts(best)
+          i += 1
+        }
+        out += pts.last
+        LttbItems(out.result())
+      }
+    }
+    override def bufferEncoder: Encoder[EmaFixedItems] =
+      Encoders.product[EmaFixedItems]
+    override def outputEncoder: Encoder[LttbItems] =
+      Encoders.product[LttbItems]
+  }
+
+  /** [[LttbAggregator]] as a per-series operator: downsample each
+    * series to ≤ `threshold` visually-representative points. */
+  def lttb(df: DataFrame, seriesCols: Seq[String], bucketCol: String,
+      centsCol: String, threshold: Int): DataFrame = {
+    val agg = udaf(new LttbAggregator(threshold),
+      Encoders.product[BVL])
+    df.groupBy(seriesCols.map(col): _*)
+      .agg(agg(col(bucketCol).cast("long"),
+        col(centsCol).cast("long")).as("e"))
+      .select(seriesCols.map(col) :+ posexplode(col("e.items"))
+        .as(Seq("sel_idx", "it")): _*)
+      .select(seriesCols.map(col) ++ Seq(col("it.b").as(bucketCol),
+        col("it.v").as("v"), col("sel_idx").cast("long")
+          .as("sel_idx")): _*)
+  }
+
   /** Lagged cross-correlation between two bucketed series: Pearson
     * r(ℓ) of (A_t, B_{t+ℓ}) for each lag ℓ ∈ [−maxLag, maxLag] — the
     * lead/lag discovery tool ("purchases follow clicks by 2 hours"

@@ -1000,6 +1000,25 @@ object ParityQueries {
           sn > 2000000 AS alarm_neg
         FROM r""".replaceAll("\\s+", " "))),
 
+    // LTTB downsampling of the hour-bucketed series to 48 points per
+    // series — the dashboard decimation standard (extrema survive,
+    // flat stretches thin out). Sequential greedy with lookahead ⇒
+    // rows-only (not SQL-expressible); SeriesOpsSpec pins a
+    // driver-side reference differential, endpoint/count guarantees,
+    // and the exact-integer argmax determinism.
+    "ts_lttb" -> QueryDef(
+      (s, dir) => SeriesOps.lttb(
+        Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b_us"),
+            expr("(2 * s + n) div (2 * n)").as("vc")),
+        seriesCols = Seq("event_type"), bucketCol = "b_us",
+        centsCol = "vc", threshold = 48),
+      None),
+
     // Holt one-step-ahead BACKTEST: forecast_i (= lᵢ + tᵢ) scored
     // against the next bucket's actual — the eval loop that decides
     // whether the smoother's parameters are any good before its

@@ -301,6 +301,56 @@ object StreamIngest {
       .toDF("key", "time_ns", "vc", "n_resets", "increase_c")
   }
 
+  /** Continuous SCD Type-2 — the streaming face of
+    * [[graft.operators.Incremental.scd2]]: per-key state is (current
+    * value, valid_from) — one tag string + one Long. A value change
+    * emits the CLOSED interval immediately (append-only: the open
+    * current run lives in state, not in the sink — exactly the rows
+    * batch scd2 marks is_current=false), so the emitted history
+    * equals the batch operator's closed intervals across micro-batch
+    * boundaries (spec differential, including a change straddling
+    * the boundary). Input contract as batch: (key, time) unique.
+    * Emits (key, value, valid_from_ns, valid_to_ns). */
+  def scd2Stream(
+      typed: DataFrame,
+      keyCol: String,
+      valueCol: String): DataFrame = {
+    val spark = typed.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState,
+      GroupStateTimeout, OutputMode}
+    typed
+      .where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col("time_ns").cast("long"),
+        col(valueCol).cast("string").as("v"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long),
+          (String, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, String)],
+         state: GroupState[(String, Long)]) =>
+          val pts = it.toSeq.sortBy(_._2)
+          val out = Seq.newBuilder[(String, String, Long, Long)]
+          if (pts.nonEmpty) {
+            var cur = state.getOption
+            pts.foreach { case (_, ts, v) =>
+              cur match {
+                case Some((cv, from)) if cv != v =>
+                  out += ((key, cv, from, ts))
+                  cur = Some((v, ts))
+                case Some(_) => () // same value: run continues
+                case None => cur = Some((v, ts))
+              }
+            }
+            state.update(cur.get)
+          }
+          out.result().iterator
+      }
+      .toDF("key", "value", "valid_from_ns", "valid_to_ns")
+  }
+
   /** Continuous SpaceSaving heavy hitters — the streaming face of
     * [[graft.functions.HeavyHitters]]: per-bucket state is one
     * SpaceSaving summary (≤ `capacity` counters + the eviction

@@ -110,4 +110,116 @@ class InvariantSpec extends AnyFunSuite {
       nodes.filterNot(linked).foreach(id => assert(out(id) === base))
     }
   }
+
+  test("counterRate: increase is non-negative and at least last−first, " +
+    "resets < n, span = last−first, partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    (1 to 5).foreach { _ =>
+      val rows = (1 to 80).map(i =>
+        (s"k${rnd.nextInt(3)}", i.toLong * 1000,
+          rnd.nextInt(500).toLong))
+      val byK = rows.groupBy(_._1)
+      val out = graft.operators.SeriesOps.counterRate(
+          rows.toDF("k", "t", "v").repartition(rnd.nextInt(5) + 1),
+          Seq("k"), "t", "v")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      byK.foreach { case (k, rs) =>
+        val sorted = rs.sortBy(_._2)
+        val (n, resets, inc, span) = out(k)
+        assert(n === rs.size.toLong)
+        assert(resets >= 0 && resets < n)
+        assert(inc >= 0)
+        // increase dominates the net movement (resets only ADD)
+        assert(inc >= sorted.last._3 - sorted.head._3)
+        assert(span === sorted.last._2 - sorted.head._2)
+      }
+    }
+  }
+
+  test("quantileNormalize: every rank in (0, 10000], monotone with " +
+    "the value within each group, max value always at 10000") {
+    val s = spark
+    import s.implicits._
+    (1 to 5).foreach { _ =>
+      val rows = (1 to 120).map(i =>
+        (s"g${rnd.nextInt(2)}", i.toLong, rnd.nextInt(30).toLong))
+      val out = graft.operators.Curation.quantileNormalize(
+          rows.toDF("g", "id", "v").repartition(rnd.nextInt(4) + 1),
+          Seq("g"), "v")
+        .collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[Long]("id"),
+          r.getAs[Long]("v"), r.getAs[Long]("rank_bp")))
+      assert(out.forall(x => x._4 > 0 && x._4 <= 10000))
+      out.groupBy(_._1).foreach { case (_, rs) =>
+        val byVal = rs.sortBy(_._3)
+        byVal.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._3 < b._3 && a._4 <= b._4 ||
+              a._3 == b._3 && a._4 == b._4)
+          case _ =>
+        }
+        assert(byVal.last._4 === 10000L)
+      }
+    }
+  }
+
+  test("scd2: per key, intervals chain exactly (valid_to = next " +
+    "valid_from), exactly one open current run, adjacent runs always " +
+    "differ in value") {
+    val s = spark
+    import s.implicits._
+    (1 to 5).foreach { _ =>
+      val rows = (1 to 60).map(i =>
+        (s"k${rnd.nextInt(3)}", i.toLong * 10, s"v${rnd.nextInt(3)}"))
+        .distinctBy(r => (r._1, r._2))
+      val out = graft.operators.Incremental.scd2(
+          rows.toDF("k", "t", "v").repartition(rnd.nextInt(4) + 1),
+          "k", "t", "v")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_ => r.getLong(3)), r.getBoolean(4)))
+      out.groupBy(_._1).foreach { case (k, rs) =>
+        val ordered = rs.sortBy(_._3)
+        assert(ordered.count(_._4.isEmpty) === 1, s"$k open runs")
+        assert(ordered.last._4.isEmpty && ordered.last._5)
+        ordered.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._4.contains(b._3), s"$k: gap between runs")
+            assert(a._2 != b._2, s"$k: un-collapsed run")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("growthAccounting: per day, new+retained+resurrected equals " +
+    "the day's distinct active users; totals of new equal the user " +
+    "population") {
+    val s = spark
+    import s.implicits._
+    val day = 86400L * 1000000000L
+    (1 to 4).foreach { _ =>
+      val rows = (1 to 120).map(_ =>
+        (rnd.nextInt(900000).toLong, rnd.nextInt(15).toLong * day +
+          rnd.nextInt(1000).toLong, rnd.nextInt(12).toLong, "x"))
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+      val dau = rows.map(r => (r._2 / day, r._3)).distinct
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val out = graft.operators.Behavior.growthAccounting(
+          df.repartition(rnd.nextInt(4) + 1), "user_id", "ts")
+        .collect()
+        .map(r => r.getLong(0) / 86400000000L ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      dau.foreach { case (d, n) =>
+        val (nw, rt, rs2, _) = out(d)
+        assert(nw + rt + rs2 === n, s"day $d")
+      }
+      assert(out.values.map(_._1).sum ===
+        rows.map(_._3).distinct.size.toLong)
+    }
+  }
 }

@@ -657,6 +657,65 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(out3.forall(r => r.isNullAt(3) && r.isNullAt(4)))
   }
 
+  test("lttb: endpoints always survive, output size = min(n, " +
+    "threshold), a planted spike is kept, and the selection matches " +
+    "an independent driver-side float LTTB under any partitioning") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val series = (0 until 200).map(i =>
+      (i.toLong * 10, rnd.nextInt(1000).toLong))
+    // plant an extreme spike mid-series: LTTB must keep it
+    val spiked = series.updated(117, (1170L, 100000L))
+    def refLttb(pts: IndexedSeq[(Long, Long)], t: Int)
+        : Seq[(Long, Long)] = {
+      val n = pts.size
+      if (n <= t) pts
+      else {
+        val inner = t - 2
+        def bound(i: Int): Int = 1 + (i.toLong * (n - 2) / inner).toInt
+        var prev = pts.head
+        val out = scala.collection.mutable.ArrayBuffer(pts.head)
+        for (i <- 0 until inner) {
+          val (lo, hi) = (bound(i), bound(i + 1))
+          val (nLo, nHi) =
+            if (i + 1 < inner) (bound(i + 1), bound(i + 2))
+            else (n - 1, n)
+          val cnt = (nHi - nLo).toDouble
+          val ab = (nLo until nHi).map(pts(_)._1).sum / cnt
+          val av = (nLo until nHi).map(pts(_)._2).sum / cnt
+          // classic float area; coordinates small → exact doubles
+          val best = (lo until hi).maxBy { j =>
+            val p = pts(j)
+            (math.abs((prev._1 - p._1) * (av - prev._2) -
+              (prev._2 - p._2) * (ab - prev._1)), -j)
+          }
+          out += pts(best); prev = pts(best)
+        }
+        out += pts.last
+        out.toSeq
+      }
+    }
+    (1 to 3).foreach { parts =>
+      val got = graft.operators.SeriesOps.lttb(
+          spiked.map { case (b, v) => ("k", b, v) }
+            .toDF("k", "b", "v").repartition(parts * 2),
+          Seq("k"), "b", "v", threshold = 20)
+        .orderBy("sel_idx")
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(got.length === 20)
+      assert(got.head === spiked.head && got.last === spiked.last)
+      assert(got.contains((1170L, 100000L)), "spike dropped")
+      assert(got.toSeq === refLttb(spiked.toIndexedSeq, 20))
+    }
+    // short series pass through whole
+    val short = (0 until 5).map(i => ("s", i.toLong, i.toLong * 3))
+    val all = graft.operators.SeriesOps.lttb(
+        short.toDF("k", "b", "v"), Seq("k"), "b", "v", threshold = 20)
+      .collect()
+    assert(all.length === 5)
+  }
+
   test("crossCorrelation: a series correlates perfectly with its own " +
     "shift AT the shift lag, anti-correlates with its negation, and " +
     "constant overlaps yield NULL") {

@@ -504,6 +504,45 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(last === ((2L, 80L)))
   }
 
+  test("streaming SCD2: closed intervals equal the batch operator's " +
+    "non-current rows across micro-batch boundaries, including a " +
+    "value change straddling the boundary; the open run never " +
+    "reaches the sink") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_s2_in").toString
+    val out = Files.createTempDirectory("graft_s2_out").toString
+    val ckpt = Files.createTempDirectory("graft_s2_ck").toString
+    // state a,a,b | b,c,c → closed runs a@[1,3) and b@[3,4); c open
+    val pts = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"),
+      (5L, "c"), (6L, "c"))
+    def lp(m: Long, v: String) = s"m,host=h1,st=$v f=1 ${minuteNs(m)}"
+    writeBatch(in, "b0.lp", pts.take(3).map(p => lp(p._1, p._2)))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host", "st"),
+      Map("f" -> FieldSch("f", FieldType.Float)))
+    val sc = StreamIngest.scd2Stream(typed, "tag_host", "tag_st")
+    val q = StreamIngest.toParquet(sc, out, ckpt)
+    try {
+      q.processAllAvailable()
+      writeBatch(in, "b1.lp", pts.drop(3).map(p => lp(p._1, p._2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("value"),
+        r.getAs[Long]("valid_from_ns"), r.getAs[Long]("valid_to_ns")))
+      .toSet
+    assert(got === Set(
+      ("a", minuteNs(1), minuteNs(3)),
+      ("b", minuteNs(3), minuteNs(5))))
+    val batch = graft.operators.Incremental.scd2(
+        pts.map(p => ("h1", minuteNs(p._1), p._2)).toDF("k", "t", "v"),
+        "k", "t", "v")
+      .filter(!col("is_current"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === batch)
+  }
+
   test("streaming heavy hitters: exact-mode snapshots carry true " +
     "running counts across micro-batch boundaries and the merged " +
     "bucket tops equal the batch aggregate") {
