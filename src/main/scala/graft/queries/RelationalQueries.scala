@@ -1084,6 +1084,111 @@ object RelationalQueries {
           round(k::DOUBLE / lnsum, 4) END AS alpha_r
         FROM s""".replaceAll("\\s+", " "))),
 
+    // higher-moment profile: population skewness and excess kurtosis
+    // per group from ONE pass of exact Long raw moments (n, Σx..Σx⁴ —
+    // quantity ≤ 50 keeps x⁴ tiny); central-moment combination in
+    // fixed-order DOUBLE, rounded 6 (builtin skewness()/kurtosis()
+    // differ in sample corrections across engines — the explicit
+    // formula is the cross-engine-stable form).
+    "stats_moments" -> QueryDef(
+      (s, dir) => {
+        val sums = t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("x"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+            sum(col("x") * col("x")).as("s2"),
+            sum(col("x") * col("x") * col("x")).as("s3"),
+            sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        def d(c: String) = col(c).cast("double")
+        val mu = d("s1") / d("n")
+        val m2 = d("s2") / d("n") - mu * mu
+        val m3 = d("s3") / d("n") - lit(3.0) * mu * (d("s2") / d("n")) +
+          lit(2.0) * mu * mu * mu
+        val m4 = d("s4") / d("n") - lit(4.0) * mu * (d("s3") / d("n")) +
+          lit(6.0) * mu * mu * (d("s2") / d("n")) -
+          lit(3.0) * mu * mu * mu * mu
+        sums.select(col("l_returnflag"), col("n"),
+          round(mu, 6).as("mean_r"), round(m2, 6).as("var_r"),
+          when(m2 > 0, round(m3 / sqrt(m2 * m2 * m2), 6))
+            .as("skew_r"),
+          when(m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 6))
+            .as("kurt_r"))
+      },
+      Some("""WITH b AS (SELECT l_returnflag,
+          CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+        s AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+          sum(x)::BIGINT AS s1, sum(x*x)::BIGINT AS s2,
+          sum(x*x*x)::BIGINT AS s3, sum(x*x*x*x)::BIGINT AS s4
+          FROM b GROUP BY 1),
+        m AS (SELECT l_returnflag, n,
+          s1::DOUBLE / n::DOUBLE AS mu,
+          s2::DOUBLE / n::DOUBLE AS r2,
+          s3::DOUBLE / n::DOUBLE AS r3,
+          s4::DOUBLE / n::DOUBLE AS r4 FROM s),
+        c AS (SELECT l_returnflag, n, mu,
+          r2 - mu * mu AS m2,
+          r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+          r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+            - 3.0 * mu * mu * mu * mu AS m4 FROM m)
+        SELECT l_returnflag, n, round(mu, 6) AS mean_r,
+          round(m2, 6) AS var_r,
+          CASE WHEN m2 > 0 THEN round(m3 / sqrt(m2 * m2 * m2), 6)
+            END AS skew_r,
+          CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6)
+            END AS kurt_r
+        FROM c""".replaceAll("\\s+", " "))),
+
+    // market-basket pair rules over order baskets: co-occurrence
+    // counts of DISTINCT part pairs within an order (a < b — each
+    // unordered pair once), support-filtered, with confidence and
+    // lift in fixed-order DOUBLE from exact counts. The pair
+    // generator is per-basket (items-per-order bounded), never a
+    // catalog self-join.
+    "assoc_rules_pairs" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val nOrders = li.select(col("o")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val item = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+        val pairs = li.as("a")
+          .join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 3)
+        pairs
+          .join(item.select(col("p").as("pa"), col("n_p").as("n_a")),
+            "pa")
+          .join(item.select(col("p").as("pb"), col("n_p").as("n_b")),
+            "pb")
+          .crossJoin(broadcast(nOrders))
+          .select(col("pa"), col("pb"), col("n_ab"), col("n_a"),
+            col("n_b"),
+            round(col("n_ab").cast("double") /
+              col("n_a").cast("double"), 6).as("conf_r"),
+            round(col("n_ab").cast("double") *
+              col("n_orders").cast("double") /
+              (col("n_a").cast("double") * col("n_b").cast("double")),
+              6).as("lift_r"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o,
+          l_partkey AS p FROM lineitem),
+        no AS (SELECT count(DISTINCT o)::BIGINT AS n_orders FROM li),
+        it AS (SELECT p, count(*)::BIGINT AS n_p FROM li GROUP BY 1),
+        pr AS (SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS n_ab
+          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2 HAVING count(*) >= 3)
+        SELECT pr.pa, pr.pb, pr.n_ab, ia.n_p AS n_a, ib.n_p AS n_b,
+          round(pr.n_ab::DOUBLE / ia.n_p::DOUBLE, 6) AS conf_r,
+          round(pr.n_ab::DOUBLE * no.n_orders::DOUBLE /
+            (ia.n_p::DOUBLE * ib.n_p::DOUBLE), 6) AS lift_r
+        FROM pr JOIN it ia ON pr.pa = ia.p
+        JOIN it ib ON pr.pb = ib.p CROSS JOIN no"""
+        .replaceAll("\\s+", " "))),
+
     // weighted (lower) median: the quantity at which half the
     // REVENUE sits, per return flag — exact integer pick on the
     // value-domain frame (2·cum ≥ total), no percentile buffers.
