@@ -12,7 +12,7 @@ object Bench {
     * exposed (with [[materialize]] and [[session]]) so BenchOne shares
     * the exact materialization contract instead of diverging copies. */
   private[graft] def materializedFrame(df: DataFrame): DataFrame = {
-    val cols = df.columns.map(c => col(c).cast("string"))
+    val cols = df.columns.toIndexedSeq.map(c => col(c).cast("string"))
     // XOR, not sum: ANSI mode (Spark 4 default) throws on long-sum
     // overflow, which random 64-bit hashes hit immediately
     df.select(xxhash64(cols: _*).as("h"))

@@ -37,7 +37,7 @@ object Csv {
         withCorrupt,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> CorruptCol)).as("c"))
-      .select(schema.fieldNames.map(f =>
+      .select(schema.fieldNames.toIndexedSeq.map(f =>
         // CSV PERMISSIVE keeps the fields it COULD parse on a damaged
         // line; a partially-trusted record is not trusted, so data
         // columns are nulled whenever the corrupt marker is set (the

@@ -40,7 +40,7 @@ object Jsonl {
       .select(from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> CorruptCol)).as("j"))
-      .select(schema.fieldNames.map(f => col(s"j.`$f`")) :+
+      .select(schema.fieldNames.toIndexedSeq.map(f => col(s"j.`$f`")) :+
         col(s"j.`$CorruptCol`").as(CorruptCol): _*)
   }
 
