@@ -798,6 +798,58 @@ object SeriesOps {
         (col("detr") - col("seasonal")).as("resid")): _*)
   }
 
+  /** Wald–Wolfowitz runs test per series: is the sequence of
+    * above/below-median excursions random, or does it cluster
+    * (trend/regime) or alternate (over-correction)? The randomness
+    * screen beside ts_mk_trend's monotone test and stats_benford's
+    * digit audit. Median = exact per-series order statistic on the
+    * value-domain frame (winsorizedStats discipline); ties AT the
+    * median drop (the classic treatment); runs/N₁/N₂ are exact Longs
+    * from one lag window; E[R] = 1 + 2N₁N₂/N and
+    * Var·N²(N−1) = 2N₁N₂(2N₁N₂−N) combine in fixed-order DOUBLE,
+    * z rounded 4 (NULL when either side is empty or Var = 0).
+    *
+    * Output: (series…, n, n_above, n_below, n_runs, z_r). */
+  def runsTest(df: DataFrame, seriesCols: Seq[String],
+      bucketCol: String, centsCol: String): DataFrame = {
+    val gc = seriesCols.map(col)
+    val base = df.select(gc :+ col(bucketCol).cast("long").as("b") :+
+      col(centsCol).cast("long").as("v"): _*)
+    val wOrd = Window.partitionBy(gc: _*).orderBy(col("v"))
+    val wAll = Window.partitionBy(gc: _*)
+    val med = base.groupBy(gc :+ col("v"): _*)
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("n0", sum(col("c")).over(wAll))
+      .groupBy(gc: _*)
+      .agg(min(when(col("cum") >= expr("(n0 + 1) div 2"), col("v")))
+        .as("median_v"))
+    val signs = base.join(broadcast(med), seriesCols)
+      .filter(col("v") =!= col("median_v"))
+      .withColumn("s", when(col("v") > col("median_v"), 1L)
+        .otherwise(0L))
+      .withColumn("flip",
+        when(lag(col("s"), 1).over(
+          Window.partitionBy(gc: _*).orderBy(col("b"))).isNull, 1L)
+          .when(lag(col("s"), 1).over(
+            Window.partitionBy(gc: _*).orderBy(col("b"))) =!=
+            col("s"), 1L)
+          .otherwise(0L))
+    val sums = signs.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("n_above"),
+        (count(lit(1)) - sum(col("s"))).as("n_below"),
+        sum(col("flip")).as("n_runs"))
+    def d(c: String) = col(c).cast("double")
+    val two = lit(2.0) * d("n_above") * d("n_below")
+    val er = lit(1.0) + two / d("n")
+    val vr = two * (two - d("n")) /
+      (d("n") * d("n") * (d("n") - lit(1.0)))
+    sums.select(gc ++ Seq(col("n"), col("n_above"), col("n_below"),
+      col("n_runs"),
+      when(col("n_above") > 0 && col("n_below") > 0 && vr > 0,
+        round((d("n_runs") - er) / sqrt(vr), 4)).as("z_r")): _*)
+  }
+
   /** Largest-Triangle-Three-Buckets downsampling (Steinarsson's LTTB,
     * the dashboard decimation standard — Grafana/TSDB UIs render
     * thousands of points from millions with visual extrema kept).

@@ -1000,6 +1000,61 @@ object ParityQueries {
           sn > 2000000 AS alarm_neg
         FROM r""".replaceAll("\\s+", " "))),
 
+    // Wald–Wolfowitz runs test over the hour-bucketed series —
+    // above/below-median excursion randomness (clustered runs =
+    // regime structure; alternation = over-correction). Exact median
+    // order statistic, exact run counts, one rounded z.
+    "ts_runs_test" -> QueryDef(
+      (s, dir) => SeriesOps.runsTest(
+        Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b_us"),
+            expr("(2 * s + n) div (2 * n)").as("vc")),
+        seriesCols = Seq("event_type"), bucketCol = "b_us",
+        centsCol = "vc"),
+      Some("""WITH a0 AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+          count(*) AS n0 FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, b,
+          CAST((2 * s + n0) // (2 * n0) AS BIGINT) AS v FROM a0),
+        f AS (SELECT event_type, v, count(*)::BIGINT AS c FROM a
+          GROUP BY 1, 2),
+        cu AS (SELECT event_type, v, c, sum(c) OVER
+          (PARTITION BY event_type ORDER BY v) AS cum,
+          sum(c) OVER (PARTITION BY event_type) AS n0 FROM f),
+        md AS (SELECT event_type,
+          min(CASE WHEN cum >= (n0 + 1) // 2 THEN v END) AS median_v
+          FROM cu GROUP BY 1),
+        sg AS (SELECT a.event_type, a.b,
+            CASE WHEN a.v > md.median_v THEN 1 ELSE 0 END AS s
+          FROM a JOIN md USING (event_type)
+          WHERE a.v <> md.median_v),
+        fl AS (SELECT event_type, s, CASE WHEN lag(s) OVER
+            (PARTITION BY event_type ORDER BY b) IS NULL THEN 1
+            WHEN lag(s) OVER (PARTITION BY event_type ORDER BY b)
+              <> s THEN 1 ELSE 0 END AS flip
+          FROM sg),
+        sm AS (SELECT event_type, count(*)::BIGINT AS n,
+          sum(s)::BIGINT AS n_above,
+          (count(*) - sum(s))::BIGINT AS n_below,
+          sum(flip)::BIGINT AS n_runs FROM fl GROUP BY 1)
+        SELECT event_type, n, n_above, n_below, n_runs,
+          CASE WHEN n_above > 0 AND n_below > 0 AND
+            (2.0 * n_above::DOUBLE * n_below::DOUBLE) *
+            ((2.0 * n_above::DOUBLE * n_below::DOUBLE) - n::DOUBLE) /
+            (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0)) > 0
+          THEN round((n_runs::DOUBLE - (1.0 +
+            (2.0 * n_above::DOUBLE * n_below::DOUBLE) / n::DOUBLE)) /
+            sqrt((2.0 * n_above::DOUBLE * n_below::DOUBLE) *
+              ((2.0 * n_above::DOUBLE * n_below::DOUBLE) - n::DOUBLE)
+              / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0))), 4)
+          END AS z_r
+        FROM sm""".replaceAll("\\s+", " "))),
+
     // LTTB downsampling of the hour-bucketed series to 48 points per
     // series — the dashboard decimation standard (extrema survive,
     // flat stretches thin out). Sequential greedy with lookahead ⇒

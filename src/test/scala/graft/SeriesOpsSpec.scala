@@ -747,6 +747,34 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(nul.nonEmpty && nul.forall(_.isNullAt(2)))
   }
 
+  test("runsTest: alternation and clustering score symmetric ±z, " +
+    "median ties drop, one-sided series yield NULL") {
+    val s = spark
+    import s.implicits._
+    // alternating around median 5 (the 5 itself drops):
+    // signs 0,1,0,1,0,1 → R=6, N1=N2=3, E[R]=4, Var=1.2 → z=1.8257
+    val alt = Seq(5L, 1L, 9L, 1L, 9L, 1L, 9L).zipWithIndex
+      .map { case (v, i) => ("A", i.toLong, v) }
+    // clustered: 0,0,0 then 1,1,1 → R=2 → z = -1.8257
+    val clu = Seq(1L, 1L, 1L, 5L, 9L, 9L, 9L).zipWithIndex
+      .map { case (v, i) => ("C", i.toLong, v) }
+    // all equal → everything ties at the median → empty → absent
+    val flat = Seq(7L, 7L, 7L).zipWithIndex
+      .map { case (v, i) => ("F", i.toLong, v) }
+    val out = graft.operators.SeriesOps.runsTest(
+        (alt ++ clu ++ flat).toDF("k", "b", "v").repartition(3),
+        Seq("k"), "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4)) ===
+      ((6L, 3L, 3L, 6L)))
+    assert(a.getDouble(5) === 1.8257)
+    val c = out("C")
+    assert(c.getLong(4) === 2L)
+    assert(c.getDouble(5) === -1.8257)
+    assert(!out.contains("F"))
+  }
+
   test("pettitt: a clean level shift locates the break with " +
     "K = t·(n−t); a monotone ramp ties at the middle (earliest " +
     "argmax wins); constant series score K = 0") {
