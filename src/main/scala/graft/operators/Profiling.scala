@@ -482,6 +482,44 @@ object Profiling {
         sum(col("share_bp") * col("share_bp")).as("hhi_bp2"))
   }
 
+  /** Per-group Gini coefficient of a cents measure over contributing
+    * keys — the inequality companion to [[hhi]] (HHI reacts to the
+    * top of the distribution; Gini weighs the whole Lorenz curve).
+    * G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted key
+    * totals, computed WITHOUT ranking individuals: on the value-domain
+    * frequency frame, a value v with count c and inclusive cumulative
+    * count cum occupies ranks (cum−c, cum], whose rank-weighted sum is
+    * v·c·(2·cum−c+1)/2 — so the whole rank term folds into one pass
+    * over the frequency frame. Per-term products combine in DOUBLE
+    * (each factor an exact Long; the all-equal corner overflows Long
+    * at corpus scale), summed order-dependently ⇒ G rounded 6.
+    * 0 = perfectly equal, → 1 = one key holds everything.
+    *
+    * Output: (group…, n_keys, tot_c, gini_r). */
+  def gini(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      centsCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val per = df.groupBy(gc :+ col(keyCol): _*)
+      .agg(sum(col(centsCol).cast("long")).as("rev"))
+    val wOrd = Window.partitionBy(gc: _*).orderBy(col("rev"))
+    val freq = per.groupBy(gc :+ col("rev"): _*)
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wOrd))
+    def d(c: Column) = c.cast("double")
+    val term = d(col("rev")) * d(col("c")) *
+      (lit(2.0) * d(col("cum")) - d(col("c")) + lit(1.0))
+    val sums = freq.groupBy(gc: _*)
+      .agg(sum(col("c")).as("n_keys"),
+        sum(col("rev") * col("c")).as("tot_c"),
+        sum(term).as("s1x2"))
+    sums.select(gc ++ Seq(col("n_keys"), col("tot_c"),
+      when(col("tot_c") > 0 && col("n_keys") > 0,
+        round(col("s1x2") /
+          (d(col("n_keys")) * d(col("tot_c"))) -
+          (d(col("n_keys")) + lit(1.0)) / d(col("n_keys")), 6))
+        .as("gini_r")): _*)
+  }
+
   /** Welch's two-sample t statistic between two cohorts of a cents
     * measure — the mean-shift drift test companion to the
     * distribution-shape KS test ([[ksTest]]): "did the average move",

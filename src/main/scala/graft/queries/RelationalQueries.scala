@@ -1319,6 +1319,41 @@ object RelationalQueries {
         FROM per JOIN t USING (c_mktsegment)
         GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
 
+    // Gini coefficient of customer revenue per market segment — the
+    // whole-Lorenz-curve inequality measure beside stats_hhi's
+    // top-weighted concentration. Rank terms fold into one pass over
+    // the value-domain frequency frame (no per-customer ranking);
+    // per-term products in fixed-order DOUBLE, G rounded 6.
+    "stats_gini" -> QueryDef(
+      (s, dir) => Profiling.gini(
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_custkey"),
+            round(col("o_totalprice") * 100, 0).cast("long")
+              .as("cents")),
+        Seq("c_mktsegment"), "o_custkey", "cents"),
+      Some("""WITH per AS (SELECT c_mktsegment, o_custkey,
+          sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+            AS rev
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        f AS (SELECT c_mktsegment, rev, count(*)::BIGINT AS c
+          FROM per GROUP BY 1, 2),
+        cu AS (SELECT c_mktsegment, rev, c, sum(c) OVER
+          (PARTITION BY c_mktsegment ORDER BY rev) AS cum FROM f),
+        sm AS (SELECT c_mktsegment, sum(c)::BIGINT AS n_keys,
+          sum(rev * c)::BIGINT AS tot_c,
+          sum(rev::DOUBLE * c::DOUBLE *
+            (2.0 * cum::DOUBLE - c::DOUBLE + 1.0)) AS s1x2
+          FROM cu GROUP BY 1)
+        SELECT c_mktsegment, n_keys, tot_c,
+          CASE WHEN tot_c > 0 AND n_keys > 0 THEN
+            round(s1x2 / (n_keys::DOUBLE * tot_c::DOUBLE) -
+              (n_keys::DOUBLE + 1.0) / n_keys::DOUBLE, 6)
+          END AS gini_r
+        FROM sm""".replaceAll("\\s+", " "))),
+
     // referential-integrity audit: orphaned foreign keys per FK edge
     // (the first data-quality gate of any warehouse ingest). Each edge
     // is a left-anti join on the key — one key shuffle, same cost

@@ -253,6 +253,29 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out("S") === ((2L, 100L, 9000L, 9000L * 9000L + 1000L * 1000L)))
   }
 
+  test("gini: perfect equality scores 0, a near-monopoly approaches " +
+    "(n-1)/n, and the tie-grouped rank fold matches the " +
+    "individually-ranked definition") {
+    val s = spark
+    import s.implicits._
+    val equal = (1L to 10L).map(k => ("E", k, 50L))
+    // one key holds everything → G = (n−1)/n = 0.9 exactly
+    val mono = (1L to 9L).map(k => ("M", k, 0L)) :+ (("M", 10L, 100L))
+    // mixed with ties: individuals 1,1,2,4 → sorted ranks 1..4:
+    // S1 = 1+2+6+16 = 25, n=4, S=8 → G = 50/32 − 5/4 = 0.3125
+    val mixed = Seq(("X", 1L, 1L), ("X", 2L, 1L), ("X", 3L, 2L),
+      ("X", 4L, 4L))
+    val out = Profiling.gini(
+        (equal ++ mono ++ mixed).toDF("g", "k", "cents")
+          .repartition(3), Seq("g"), "k", "cents")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out("E") === ((10L, 500L, 0.0)))
+    assert(out("M") === ((10L, 100L, 0.9)))
+    assert(out("X") === ((4L, 8L, 0.3125)))
+  }
+
   test("weightedMedian: half the WEIGHT, not half the rows — one " +
     "heavy value outvotes many light ones; the exact-half boundary " +
     "takes the lower value") {
