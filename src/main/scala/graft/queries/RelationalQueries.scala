@@ -1354,6 +1354,71 @@ object RelationalQueries {
           END AS gini_r
         FROM sm""".replaceAll("\\s+", " "))),
 
+    // exact Lorenz curve at customer-count deciles per segment — the
+    // which-decile attribution behind stats_gini's single number
+    // ("the bottom 50% of customers hold X bp of revenue"). Boundary
+    // customers inside a tied value row are apportioned EXACTLY
+    // (lorenz_c = cumrev − (cum − m)·v at the boundary row), so every
+    // point is an exact Long; shares floored bp. Frames: value-domain
+    // frequency × a 10-row decile grid.
+    "stats_lorenz" -> QueryDef(
+      (s, dir) => {
+        val per = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("g"), col("o_custkey"),
+            round(col("o_totalprice") * 100, 0).cast("long")
+              .as("cents"))
+          .groupBy(col("g"), col("o_custkey"))
+          .agg(sum(col("cents")).as("rev"))
+        val wOrd = Window.partitionBy(col("g")).orderBy(col("rev"))
+        val wAll = Window.partitionBy(col("g"))
+        val f = per.groupBy(col("g"), col("rev"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(wOrd))
+          .withColumn("cumrev",
+            sum(col("rev") * col("c")).over(wOrd))
+          .withColumn("n", sum(col("c")).over(wAll))
+          .withColumn("tot", sum(col("rev") * col("c")).over(wAll))
+        val grid = f.select(col("g"), col("rev"), col("cum"),
+            col("cumrev"), col("n"), col("tot"),
+            explode(sequence(lit(1L), lit(10L))).as("k"))
+          .withColumn("m", expr("(k * n + 9) div 10"))
+          .filter(col("cum") >= col("m"))
+        grid.groupBy(col("g"), col("k"))
+          .agg(min(struct(col("cum"), col("rev"), col("cumrev"),
+            col("m"), col("tot"))).as("b"))
+          .select(col("g").as("c_mktsegment"), col("k"),
+            col("b.m").as("m_cust"),
+            (col("b.cumrev") - (col("b.cum") - col("b.m")) *
+              col("b.rev")).as("lorenz_c"),
+            expr("""((b.cumrev - (b.cum - b.m) * b.rev) * 10000)
+              div b.tot""").as("share_bp"))
+      },
+      Some("""WITH per AS (SELECT c_mktsegment AS g, o_custkey,
+          sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT
+            AS rev
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        f AS (SELECT g, rev, count(*)::BIGINT AS c FROM per
+          GROUP BY 1, 2),
+        cu AS (SELECT g, rev, c,
+          sum(c) OVER (PARTITION BY g ORDER BY rev) AS cum,
+          sum(rev * c) OVER (PARTITION BY g ORDER BY rev) AS cumrev,
+          sum(c) OVER (PARTITION BY g) AS n,
+          sum(rev * c) OVER (PARTITION BY g) AS tot FROM f),
+        gr AS (SELECT cu.*, k.k, (k.k * cu.n + 9) // 10 AS m
+          FROM cu CROSS JOIN
+            (SELECT unnest(generate_series(1, 10))::BIGINT AS k) k
+          WHERE cu.cum >= (k.k * cu.n + 9) // 10),
+        bd AS (SELECT g, k, min(cum) AS bcum FROM gr GROUP BY 1, 2)
+        SELECT gr.g AS c_mktsegment, gr.k, gr.m::BIGINT AS m_cust,
+          (gr.cumrev - (gr.cum - gr.m) * gr.rev)::BIGINT AS lorenz_c,
+          (((gr.cumrev - (gr.cum - gr.m) * gr.rev) * 10000)
+            // gr.tot)::BIGINT AS share_bp
+        FROM gr JOIN bd ON gr.g = bd.g AND gr.k = bd.k
+          AND gr.cum = bd.bcum""".replaceAll("\\s+", " "))),
+
     // referential-integrity audit: orphaned foreign keys per FK edge
     // (the first data-quality gate of any warehouse ingest). Each edge
     // is a left-anti join on the key — one key shuffle, same cost
