@@ -111,6 +111,60 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("pettitt: K and location are partitioning-invariant and K " +
+    "never exceeds the pair count t·(n−t) bound") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 40).map(i =>
+        ("k", i.toLong, (rnd.nextInt(100) + (if (i > 20) 50 else 0))
+          .toLong))
+      val outs = Seq(1, 3, 7).map { parts =>
+        graft.operators.SeriesOps.pettitt(
+            rows.toDF("k", "b", "v").repartition(parts),
+            Seq("k"), "b", "v")
+          .collect().head
+      }
+      val first = (outs.head.getLong(1), outs.head.getLong(2),
+        outs.head.getLong(3))
+      outs.tail.foreach { r =>
+        assert((r.getLong(1), r.getLong(2), r.getLong(3)) === first)
+      }
+      val n = rows.size.toLong
+      val k = first._2
+      assert(k <= n * n / 4 + n, s"K=$k out of the t(n-t) envelope")
+    }
+  }
+
+  test("gini and lorenz consistency: gini in [0, 1), lorenz shares " +
+    "are monotone in the decile and end exactly at 10000 bp") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 120).map(i =>
+        ("g", i.toLong, (rnd.nextInt(1000) + 1).toLong))
+      val g = graft.operators.Profiling.gini(
+          rows.toDF("g", "k", "cents").repartition(3),
+          Seq("g"), "k", "cents")
+        .collect().head.getDouble(3)
+      assert(g >= 0.0 && g < 1.0, s"gini=$g")
+    }
+    // lorenz via the registry query shape: reuse the engine fn through
+    // SparkEntry against the fixture data set
+    val out = SparkEntry.queries("stats_lorenz")(spark, SparkSpec.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4))
+    out.groupBy(_._1._1).foreach { case (seg, pts) =>
+      val byK = pts.sortBy(_._1._2).map(_._2)
+      assert(byK.length === 10, seg)
+      byK.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"$seg not monotone")
+        case _ =>
+      }
+      assert(byK.last === 10000L, s"$seg must end at 10000")
+    }
+  }
+
   test("counterRate: increase is non-negative and at least last−first, " +
     "resets < n, span = last−first, partitioning-independent") {
     val s = spark
