@@ -1181,6 +1181,66 @@ object ParityQueries {
             4) END AS r_r
         FROM sm WHERE n >= 2""".replaceAll("\\s+", " "))),
 
+    // SAX MOTIF counts: 3-symbol words over each series' SAX string
+    // (ts_sax's discretization feeding the n-gram machinery) — which
+    // short shapes recur ("rise-rise-fall") and how often; the motif
+    // histogram is the series' texture fingerprint. One lead window
+    // on the bucket frame, counts per (series, motif).
+    "ts_sax_motifs" -> QueryDef(
+      (s, dir) => {
+        val sax = SeriesOps.saxSymbols(
+          Tables.events(s, dir)
+            .groupBy(window(col("time"), "1 hour"), col("event_type"))
+            .agg(sum(round(col("value") * 100, 0).cast("long"))
+              .as("s"), count(lit(1)).as("n"))
+            .select(col("event_type"),
+              expr("unix_micros(window.start)").as("b_us"),
+              expr("(2 * s * 10000 + n) div (2 * n)").as("vu")),
+          seriesCols = Seq("event_type"), bucketCol = "b_us",
+          centsCol = "vu", alphabet = 3)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("b"))
+        sax
+          .withColumn("s1", lead(col("symbol"), 1).over(w))
+          .withColumn("s2", lead(col("symbol"), 2).over(w))
+          .filter(col("s2").isNotNull)
+          .select(col("event_type"),
+            concat(col("symbol").cast("string"),
+              col("s1").cast("string"), col("s2").cast("string"))
+              .as("motif"))
+          .groupBy(col("event_type"), col("motif"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH a0 AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+          count(*) AS n0 FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, b,
+          CAST((2 * s * 10000 + n0) // (2 * n0) AS BIGINT) AS v
+          FROM a0),
+        f AS (SELECT event_type, v, count(*)::BIGINT AS c FROM a
+          GROUP BY 1, 2),
+        cu AS (SELECT event_type, v, c, sum(c) OVER
+          (PARTITION BY event_type ORDER BY v) AS cum,
+          sum(c) OVER (PARTITION BY event_type) AS n FROM f),
+        ct AS (SELECT event_type,
+          min(CASE WHEN cum >= (n * 1 + 2) // 3 THEN v END) AS cut1,
+          min(CASE WHEN cum >= (n * 2 + 2) // 3 THEN v END) AS cut2
+          FROM cu GROUP BY 1),
+        sx AS (SELECT a.event_type, a.b,
+          ((a.v > ct.cut1)::INT + (a.v > ct.cut2)::INT) AS sym
+          FROM a JOIN ct USING (event_type)),
+        tri AS (SELECT event_type, sym,
+          lead(sym, 1) OVER (PARTITION BY event_type ORDER BY b)
+            AS s1,
+          lead(sym, 2) OVER (PARTITION BY event_type ORDER BY b)
+            AS s2 FROM sx)
+        SELECT event_type,
+          (sym::VARCHAR || s1::VARCHAR || s2::VARCHAR) AS motif,
+          count(*)::BIGINT AS n
+        FROM tri WHERE s2 IS NOT NULL GROUP BY 1, 2"""
+        .replaceAll("\\s+", " "))),
+
     // Pettitt change-point LOCATION over the hour-bucketed series —
     // where the level shifted, not just that it trends (the
     // ts_mk_trend companion). Uₜ rebuilt exactly from the per-series
@@ -1439,7 +1499,8 @@ object ParityQueries {
     "ts_momentum" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("b"))
         val wN = w.rowsBetween(-6, Window.currentRow)
         val diff = col("vu") - lag(col("vu"), 1).over(w)
         // integer bucket means end-to-end, same derivation as ts_ema
