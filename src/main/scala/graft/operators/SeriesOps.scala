@@ -999,12 +999,18 @@ object SeriesOps {
     * approximation p ≈ 2·exp(−6K²/(n³+n²)) (clamped to 1) is the one
     * rounded double.
     *
-    * The O(n²) pair set is per-series over GROUP BY time() buckets —
-    * bounded exactly as mannKendall documents. The Uₜ walk avoids any
-    * O(n³) "sum pairs per t" expansion: each pair (i<j) contributes
-    * sgn to every t ∈ [i, j), so it drops +sgn at t=i and −sgn at t=j
-    * (a difference array) and one per-series prefix-sum window
-    * rebuilds every Uₜ exactly. All exact Longs.
+    * Scale shape — O(n log n), never the O(n²) pair set: the
+    * incremental identity Uₜ = Uₜ₋₁ + Vₜ with
+    * Vₜ = (#values > vₜ) − (#values < vₜ) over the WHOLE series
+    * (the j=t term is 0, so Vₜ = Σⱼ sgn(vⱼ−vₜ); telescoping against
+    * the pair definition proves U exactly). Vₜ comes from the
+    * per-series value-domain cumulative-frequency frame (the
+    * gini/weightedMedian discipline): with c(v) the count of v and
+    * cum_le(v) the running count ≤ v, V(v) = n − 2·cum_le(v) + c(v).
+    * One groupBy to the frequency frame, one equi-join of the base
+    * rows against it on (series, v), one per-series prefix-sum window
+    * — O(n) shuffle rows, no self-join, bit-identical U. All exact
+    * Longs.
     *
     * Output: (series…, n, k_stat, loc_b — bucket of the EARLIEST
     * argmax, NULL when n < 2 — p_r). */
@@ -1015,34 +1021,31 @@ object SeriesOps {
         col(centsCol).cast("long").as("v"): _*)
       .withColumn("rn", row_number().over(
         Window.partitionBy(gc: _*).orderBy(col("b"))).cast("long"))
-    val keyEq = seriesCols.map(c => col(s"a.$c") === col(s"x.$c"))
-      .reduce(_ && _)
-    val pairs = base.as("a")
-      .join(base.as("x"), keyEq && col("a.rn") < col("x.rn"))
-      .select(seriesCols.map(c => col(s"a.$c")) ++ Seq(
-        col("a.rn").as("ti"), col("x.rn").as("tj"),
-        signum(col("x.v") - col("a.v")).cast("long").as("sg")): _*)
-    val deltas = pairs
-      .select(gc :+ col("ti").as("t") :+ col("sg"): _*)
-      .unionByName(pairs.select(gc :+ col("tj").as("t") :+
-        (-col("sg")).as("sg"): _*))
-      .groupBy(gc :+ col("t"): _*).agg(sum(col("sg")).as("d"))
-    val u = deltas
-      .withColumn("u", sum(col("d")).over(
-        Window.partitionBy(gc: _*).orderBy(col("t"))))
+    // value-domain frequency frame: V(v) = n − 2·cum_le(v) + c(v)
+    val freq = base.groupBy(gc :+ col("v"): _*)
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum_le", sum(col("c")).over(
+        Window.partitionBy(gc: _*).orderBy(col("v"))))
+      .withColumn("ntot", sum(col("c")).over(
+        Window.partitionBy(gc: _*)))
+      .select(gc ++ Seq(col("v"),
+        (col("ntot") - lit(2L) * col("cum_le") + col("c"))
+          .as("vt")): _*)
+    val u = base.join(freq, seriesCols :+ "v")
+      .withColumn("u", sum(col("vt")).over(
+        Window.partitionBy(gc: _*).orderBy(col("rn"))))
     val nn = base.groupBy(gc: _*).agg(count(lit(1)).as("n"))
     // K and the earliest argmax via one struct-min (max |u| ⇒ min of
-    // (−|u|, t)); only t ≤ n−1 are candidate change points
+    // (−|u|, t)); only t ≤ n−1 are candidate change points. The u
+    // rows carry their bucket, so the argmax yields loc_b directly.
     val kk = u.join(nn, seriesCols)
-      .filter(col("t") < col("n"))
+      .filter(col("rn") < col("n"))
       .groupBy(gc: _*)
       .agg(max(abs(col("u"))).as("k_stat"),
-        min(struct((-abs(col("u"))).as("nu"), col("t").as("t")))
-          .as("am"))
-      .select(gc ++ Seq(col("k_stat"), col("am.t").as("loc_t")): _*)
+        min(struct((-abs(col("u"))).as("nu"), col("rn").as("t"),
+          col("b").as("lb"))).as("am"))
+      .select(gc ++ Seq(col("k_stat"), col("am.lb").as("loc_b")): _*)
     nn.join(kk, seriesCols, "left_outer")
-      .join(base.select(gc :+ col("rn").as("loc_t") :+
-        col("b").as("loc_b"): _*), seriesCols :+ "loc_t", "left_outer")
       .select(gc ++ Seq(col("n"),
         coalesce(col("k_stat"), lit(0L)).as("k_stat"), col("loc_b"),
         round(least(lit(1.0), lit(2.0) * exp(

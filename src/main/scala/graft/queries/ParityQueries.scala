@@ -1243,9 +1243,11 @@ object ParityQueries {
 
     // Pettitt change-point LOCATION over the hour-bucketed series —
     // where the level shifted, not just that it trends (the
-    // ts_mk_trend companion). Uₜ rebuilt exactly from the per-series
-    // pair set via a difference array + one prefix-sum window (never
-    // the O(n³) per-t expansion); all Longs, one clamped rounded p.
+    // ts_mk_trend companion). Uₜ rebuilt exactly via the incremental
+    // identity against the per-series value-domain frequency frame
+    // (O(n log n) — no pair self-join; the DuckDB oracle keeps the
+    // independent pair-based derivation); all Longs, one clamped
+    // rounded p.
     "ts_pettitt" -> QueryDef(
       (s, dir) => SeriesOps.pettitt(
         Tables.events(s, dir)

@@ -88,6 +88,17 @@ class PlanSpec extends AnyFunSuite {
     assert(asof.contains("Window"), asof.take(2000))
   }
 
+  test("ts_pettitt plans O(n log n): no pair self-join of the base " +
+    "frame (the frequency-frame identity, never n(n-1)/2 rows)") {
+    val p = planOf("ts_pettitt")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the O(n^2) form joined base to itself on rn#a < rn#b; the only
+    // inequality the scale plan carries is rn < n (a per-series scalar)
+    assert(!"rn#\\d+L? < rn#".r.findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("ANN rank stages are two-phase bounded aggregates — no per-query " +
     "global window sort anywhere in the family (the round-3 scale-killer: " +
     "row_number over partition by query_id put a whole corpus' scored " +
