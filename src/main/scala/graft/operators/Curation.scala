@@ -544,6 +544,19 @@ object Curation {
     requireIntegral(weights, weightCol, "tokenQuota weight")
     val w = weights.select(col(keyCol).as("k"),
       col(weightCol).cast("long").as("w"))
+    // loud contract on the DATA (one aggregate over the bounded
+    // source-cardinality frame): an all-zero/empty weight total makes
+    // the proportional share a division by zero (ANSI runtime throw),
+    // and negative weights break the proportional-share semantics —
+    // both rejected up front instead of failing mid-plan.
+    val chk = w.agg(coalesce(sum(col("w")), lit(0L)),
+      coalesce(min(col("w")), lit(0L))).head()
+    require(chk.getLong(1) >= 0,
+      s"tokenQuota: negative weight in '$weightCol' " +
+        s"(min = ${chk.getLong(1)}) — shares must be non-negative")
+    require(chk.getLong(0) > 0,
+      "tokenQuota: total weight must be positive — empty or all-zero " +
+        "weights make proportional shares undefined")
     val tot = w.agg(sum(col("w")).as("tw"), count(lit(1)).as("nk"))
     val base = w.crossJoin(broadcast(tot))
       .select(col("k"), col("w"),

@@ -27,7 +27,11 @@ object Expectations {
   final case class NotNull(col: String) extends Check {
     val name = s"not_null:$col" }
   /** Column tuple must be unique across the table (violations =
-    * surplus rows beyond the first of each duplicated tuple). */
+    * surplus rows beyond the first of each duplicated tuple).
+    * Tuples with ANY NULL component are excluded from the check —
+    * the dbt/Great-Expectations `unique` convention (NULL ≠ NULL;
+    * compose with NotNull to reject them) — so violations are
+    * counted over non-NULL tuples only. */
   final case class Unique(cols: Seq[String]) extends Check {
     val name = s"unique:${cols.mkString(",")}" }
   /** Numeric column must sit in [lo, hi] (NULLs pass — compose with
@@ -45,16 +49,19 @@ object Expectations {
     require(checks.nonEmpty, "no checks declared")
     require(checks.map(_.name).distinct.size == checks.size,
       "duplicate check names — each check must be distinguishable")
+    // coalesce: sum over an EMPTY table is NULL — an empty table must
+    // pass (0 violations), not emit a NULL verdict
     val rowLocal = checks.collect {
       case c @ NotNull(cl) =>
-        c.name -> sum(when(col(cl).isNull, 1L).otherwise(0L))
+        c.name -> coalesce(
+          sum(when(col(cl).isNull, 1L).otherwise(0L)), lit(0L))
       case c @ InRange(cl, lo, hi) =>
-        c.name -> sum(when(col(cl).isNotNull &&
+        c.name -> coalesce(sum(when(col(cl).isNotNull &&
           (col(cl).cast("long") < lo || col(cl).cast("long") > hi),
-          1L).otherwise(0L))
+          1L).otherwise(0L)), lit(0L))
       case c @ InSet(cl, vs) =>
-        c.name -> sum(when(col(cl).isNotNull &&
-          !col(cl).isin(vs: _*), 1L).otherwise(0L))
+        c.name -> coalesce(sum(when(col(cl).isNotNull &&
+          !col(cl).isin(vs: _*), 1L).otherwise(0L)), lit(0L))
     }
     val fused: DataFrame = {
       val aggs = count(lit(1)).as("n_rows") +:
@@ -67,10 +74,17 @@ object Expectations {
     }
     val otherRows = checks.collect {
       case c @ Unique(cols) =>
+        // violations over non-NULL tuples only (dbt/GE semantics):
+        // countDistinct already drops any-NULL tuples, so the
+        // subtrahend must too, or every NULL-keyed row counts as a
+        // violation. coalesce: empty table passes, never NULL verdict.
+        val nonNull = cols.map(col(_).isNotNull).reduce(_ && _)
         df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(when(nonNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_nonnull"),
           countDistinct(cols.head, cols.tail: _*).as("n_distinct"))
           .select(lit(c.name).as("check_name"), col("n_rows"),
-            (col("n_rows") - col("n_distinct")).as("n_violations"))
+            (col("n_nonnull") - col("n_distinct")).as("n_violations"))
       case c @ FkExists(cl, parent, pcl) =>
         val child = df.select(col(cl)).filter(col(cl).isNotNull)
         child.agg(count(lit(1)).as("n_rows"))

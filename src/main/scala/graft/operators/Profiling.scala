@@ -604,7 +604,12 @@ object Profiling {
     * points (PERCENTILE_DISC on its value-domain frequency frame, the
     * winsorizedStats discipline), so "the population moved" is
     * measured against where the reference actually sat, not fixed
-    * grids. PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) with ADD-ONE smoothed bin
+    * grids. An EMPTY reference cohort leaves every cut NULL — Spark's
+    * `v > NULL` buckets everything into bin 0 while a SQL oracle's
+    * NULL comparisons drop out, so the degenerate case is rejected
+    * loudly up front (one limit(1) probe, the equidepth-histogram
+    * eager-cuts precedent) instead of letting the two engines
+    * disagree by construction. PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) with ADD-ONE smoothed bin
     * counts (the standard empty-bin guard — PSI is undefined at q=0;
     * smoothing is applied to BOTH cohorts so identical cohorts still
     * score exactly 0). Bin shares are one IEEE division of exact
@@ -620,6 +625,9 @@ object Profiling {
       .filter(col(cohortCol).isin(refCohort, cmpCohort))
       .select(col(cohortCol).as("g"), col(centsCol).cast("long")
         .as("v"))
+    require(vals.filter(col("g") === refCohort).limit(1).count() > 0,
+      s"psi: reference cohort '$refCohort' is empty — decile cut " +
+        "points are undefined")
     val wOrd = Window.orderBy(col("v"))
     // reference-cohort decile cuts: value-domain frame, bounded by the
     // distinct-value count (allowlisted unpartitioned window)

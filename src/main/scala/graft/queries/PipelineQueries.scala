@@ -2515,9 +2515,9 @@ object PipelineQueries {
             AS pass
         UNION ALL SELECT 'unique:o_orderkey',
           (SELECT count(*) FROM orders)::BIGINT,
-          ((SELECT count(*) FROM orders) -
+          ((SELECT count(o_orderkey) FROM orders) -
            (SELECT count(DISTINCT o_orderkey) FROM orders))::BIGINT,
-          (SELECT count(*) FROM orders) =
+          (SELECT count(o_orderkey) FROM orders) =
             (SELECT count(DISTINCT o_orderkey) FROM orders)
         UNION ALL SELECT 'range:price_c',
           (SELECT count(*) FROM orders)::BIGINT,

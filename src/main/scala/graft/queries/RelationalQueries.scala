@@ -1465,33 +1465,46 @@ object RelationalQueries {
         .replaceAll("\\s+", " "))),
 
     // TPC-H Q14-style promo revenue share: one month of lineitem
-    // joined to part (AQE broadcasts part while it fits), promo share
-    // computed from the two ROUNDED sums (deterministic division of
-    // already-deterministic operands).
+    // joined to part (AQE broadcasts part while it fits). Revenue is
+    // summed as EXACT cents·bp Longs (price cents × (10000 − disc bp),
+    // ≤1e11/row — Long-safe past 10⁷ rows/month) so summation order
+    // can never flip the 2-decimal rounding; the only IEEE ops are
+    // the fixed-order final divisions of the two exact sums.
     "q14_promo_revenue" -> QueryDef(
-      (s, dir) => t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
-          && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
-        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(when(col("p_type") === "PROMO",
-            col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .otherwise(lit(0.0))), 2).as("promo_rev_r"),
-          round(sum(col("l_extendedprice") * (lit(1) -
-            col("l_discount"))), 2).as("total_rev_r"))
-        .withColumn("promo_pct_r",
-          round(col("promo_rev_r") * 100 / col("total_rev_r"), 4)),
+      (s, dir) => {
+        val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+        val rem = lit(10000L) -
+          round(col("l_discount") * 10000, 0).cast("long")
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+            && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("p_type") === "PROMO", cents * rem)
+              .otherwise(lit(0L))).as("pcb"),
+            sum(cents * rem).as("tcb"))
+          .select(col("n"),
+            round(col("pcb").cast("double") / lit(1000000.0), 2)
+              .as("promo_rev_r"),
+            round(col("tcb").cast("double") / lit(1000000.0), 2)
+              .as("total_rev_r"),
+            round(col("pcb").cast("double") * 100 /
+              col("tcb").cast("double"), 4).as("promo_pct_r"))
+      },
       Some("""WITH s AS (SELECT count(*)::BIGINT AS n,
-          round(sum(CASE WHEN p_type = 'PROMO' THEN
-            l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
-            AS promo_rev_r,
-          round(sum(l_extendedprice * (1 - l_discount)), 2)
-            AS total_rev_r
+          sum(CASE WHEN p_type = 'PROMO' THEN
+            CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+            (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT))
+            ELSE 0 END) AS pcb,
+          sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+            (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)))
+            AS tcb
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE l_shipdate >= TIMESTAMP '1996-09-01'
             AND l_shipdate < TIMESTAMP '1996-10-01')
-        SELECT n, promo_rev_r, total_rev_r,
-          round(promo_rev_r * 100 / total_rev_r, 4) AS promo_pct_r
+        SELECT n, round(pcb::DOUBLE / 1000000.0, 2) AS promo_rev_r,
+          round(tcb::DOUBLE / 1000000.0, 2) AS total_rev_r,
+          round(pcb::DOUBLE * 100 / tcb::DOUBLE, 4) AS promo_pct_r
         FROM s""".replaceAll("\\s+", " "))),
 
     "stats_equidepth_histogram" -> QueryDef(

@@ -679,6 +679,22 @@ class CurationSpec extends AnyFunSuite {
     assert(byK("s4") === 0L) // zero weight, zero remainder, no extra
     // proportionality: quota within 1 of the real share
     assert(math.abs(byK("s5") - 997.0 * 29 / 50) <= 1.0)
+    // loud contract: all-zero / empty / negative weights are rejected
+    // up front, never an ANSI division-by-zero mid-plan
+    val zeros = Seq(("a", 0L), ("b", 0L)).toDF("k", "w")
+    val ez = intercept[IllegalArgumentException] {
+      Curation.tokenQuota(zeros, "k", "w", budget = 10L)
+    }
+    assert(ez.getMessage.contains("total weight"), ez.getMessage)
+    val neg = Seq(("a", 5L), ("b", -1L)).toDF("k", "w")
+    val en = intercept[IllegalArgumentException] {
+      Curation.tokenQuota(neg, "k", "w", budget = 10L)
+    }
+    assert(en.getMessage.contains("negative weight"), en.getMessage)
+    val emptyW = Seq.empty[(String, Long)].toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      Curation.tokenQuota(emptyW, "k", "w", budget = 10L)
+    }
   }
 
   test("quantileNormalize: hand-computed tie-sharing cume_dist in bp; " +

@@ -30,10 +30,10 @@ class ExpectationsSpec extends AnyFunSuite {
         r.getBoolean(3)))
     assert(out.toSeq === Seq(
       ("not_null:id", 4L, 1L, false),
-      // distinct over {1, 9, NULL}: countDistinct ignores NULL → 2
-      // distinct; 4 − 2 = 2 surplus (the dup AND the null row — the
-      // null can never be "the first of its tuple")
-      ("unique:id", 4L, 2L, false),
+      // dbt/GE unique semantics: NULL tuples are excluded from the
+      // check (3 non-null keys, 2 distinct → 1 surplus — only the
+      // duplicate; the NULL row is NotNull's business, not Unique's)
+      ("unique:id", 4L, 1L, false),
       ("range:v", 4L, 1L, false),
       ("in_set:k", 4L, 1L, false),
       ("fk:id", 3L, 1L, false)))
@@ -59,5 +59,36 @@ class ExpectationsSpec extends AnyFunSuite {
       Expectations.run(df, Seq(NotNull("a"), NotNull("a")))
     }
     assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("an EMPTY table passes every check with 0 violations — never " +
+    "NULL verdicts from NULL sums") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long, String)].toDF("id", "v", "k")
+    val parent = Seq(1L).toDF("pid")
+    val out = Expectations.run(empty, Seq(
+        NotNull("id"), Unique(Seq("id")), InRange("v", 1L, 10L),
+        InSet("k", Seq("a")), FkExists("id", parent, "pid")))
+      .collect()
+    assert(out.length === 5)
+    assert(out.forall(r => !r.isNullAt(2) && r.getLong(2) == 0L),
+      out.mkString("\n"))
+    assert(out.forall(r => !r.isNullAt(3) && r.getBoolean(3)),
+      out.mkString("\n"))
+  }
+
+  test("an all-NULL key column passes Unique (nothing to compare) " +
+    "while NotNull still flags every row") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Option.empty[Long], 1L), (Option.empty[Long], 2L))
+      .toDF("id", "v")
+    val out = Expectations.run(df, Seq(Unique(Seq("id")),
+        NotNull("id"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out("unique:id") === ((0L, true)))
+    assert(out("not_null:id") === ((2L, false)))
   }
 }

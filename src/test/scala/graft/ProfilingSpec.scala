@@ -316,6 +316,14 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out(9L)._2 === 100L) // all cmp mass in bin 9 (v=95 > c9=90)
     assert(out(0L)._2 === 0L)
     assert(out(0L)._3 > 1.0, s"psi should scream: ${out(0L)._3}")
+    // empty reference cohort: cuts are undefined — rejected loudly
+    // instead of silently binning everything into bin 0 (which a SQL
+    // oracle's NULL-dropping comparisons would disagree with)
+    val e = intercept[IllegalArgumentException] {
+      Profiling.psi((1 to 5).map(v => ("c", v.toLong)).toDF("g", "v"),
+        "g", "v", "r", "c")
+    }
+    assert(e.getMessage.contains("reference cohort"), e.getMessage)
   }
 
   test("anovaF: identical cohorts give F = 0; a clean separation " +
