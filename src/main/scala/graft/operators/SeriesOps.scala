@@ -861,24 +861,40 @@ object SeriesOps {
     * aggregator fold (the EMA-family per-series buffer contract:
     * series bounded by range/interval) and the registry entry is
     * rows-only with a driver-side reference differential instead of
-    * a SQL oracle.
+    * a SQL oracle. Unlike `ema` (fixed-size state) the buffer is
+    * O(series length), so the contract is ENFORCED, not just
+    * documented: the buffer tracks its count and the first point
+    * past `maxSeriesLen` throws with a pre-bucket hint instead of
+    * OOMing an executor.
     *
-    * Determinism: areas compare as exact cross-multiplied Longs
-    * (2·area·denominators — no floating point in the argmax), ties
-    * break to the earliest bucket index, so the selection is
-    * identical under any partitioning.
+    * Determinism: areas compare as exact cross-multiplied integers
+    * (2·area·denominators — no floating point in the argmax; bucket
+    * coordinate sums accumulate as BigInt so µs-epoch buckets stay
+    * exact at ANY bucket width), ties break to the earliest bucket
+    * index, so the selection is identical under any partitioning.
     *
     * Output: (series…, b, v, sel_idx 0..threshold−1). */
   case class LttbItems(items: Seq[BVL])
-  class LttbAggregator(threshold: Int)
-      extends Aggregator[BVL, EmaFixedItems, LttbItems] {
+  case class LttbBuf(n: Long, items: Seq[BVL])
+  class LttbAggregator(threshold: Int, maxSeriesLen: Long = 1L << 20)
+      extends Aggregator[BVL, LttbBuf, LttbItems] {
     require(threshold >= 3, s"threshold must be >= 3: $threshold")
-    override def zero: EmaFixedItems = EmaFixedItems(Nil)
-    override def reduce(b: EmaFixedItems, a: BVL): EmaFixedItems =
-      EmaFixedItems(a +: b.items)
-    override def merge(a: EmaFixedItems, b: EmaFixedItems)
-        : EmaFixedItems = EmaFixedItems(a.items ++ b.items)
-    override def finish(r: EmaFixedItems): LttbItems = {
+    require(maxSeriesLen >= threshold,
+      s"maxSeriesLen must be >= threshold: $maxSeriesLen")
+    private def overflow(): Nothing = throw new IllegalStateException(
+      s"lttb: series exceeds the $maxSeriesLen-point buffer " +
+        "contract — pre-bucket (GROUP BY time()) to a coarser " +
+        "interval before decimating")
+    override def zero: LttbBuf = LttbBuf(0L, Nil)
+    override def reduce(b: LttbBuf, a: BVL): LttbBuf = {
+      if (b.n >= maxSeriesLen) overflow()
+      LttbBuf(b.n + 1, a +: b.items)
+    }
+    override def merge(a: LttbBuf, b: LttbBuf): LttbBuf = {
+      if (a.n + b.n > maxSeriesLen) overflow()
+      LttbBuf(a.n + b.n, a.items ++ b.items)
+    }
+    override def finish(r: LttbBuf): LttbItems = {
       val pts = r.items.sortBy(p => (p.b, p.v)).toIndexedSeq
       val n = pts.size
       if (n <= threshold) LttbItems(pts)
@@ -895,10 +911,13 @@ object SeriesOps {
           val (nLo, nHi) =
             if (i + 1 < inner) (bound(i + 1), bound(i + 2))
             else (n - 1, n) // last interior bucket looks at the tail
-          // next-bucket average, exact rationals: (Σb/|…|, Σv/|…|)
-          val cnt = (nHi - nLo).toLong
-          val sb = (nLo until nHi).map(pts(_).b).sum
-          val sv = (nLo until nHi).map(pts(_).v).sum
+          // next-bucket average, exact rationals: (Σb/|…|, Σv/|…|) —
+          // BigInt sums: a µs-epoch coordinate is ~1.7e15, so ≳5k
+          // points per bucket would overflow a raw Long sum
+          val cnt = BigInt(nHi - nLo)
+          var sb = BigInt(0); var sv = BigInt(0)
+          var jj = nLo
+          while (jj < nHi) { sb += pts(jj).b; sv += pts(jj).v; jj += 1 }
           // area argmax via cross-multiplied exact integers:
           // 2A·cnt = |(pb−ab)·(cv−av·cnt/cnt)…| — fold cnt in:
           // 2A·cnt = |(prev.b−p.b)·(sv−cnt·prev.v)
@@ -922,17 +941,19 @@ object SeriesOps {
         LttbItems(out.result())
       }
     }
-    override def bufferEncoder: Encoder[EmaFixedItems] =
-      Encoders.product[EmaFixedItems]
+    override def bufferEncoder: Encoder[LttbBuf] =
+      Encoders.product[LttbBuf]
     override def outputEncoder: Encoder[LttbItems] =
       Encoders.product[LttbItems]
   }
 
   /** [[LttbAggregator]] as a per-series operator: downsample each
-    * series to ≤ `threshold` visually-representative points. */
+    * series to ≤ `threshold` visually-representative points; series
+    * longer than `maxSeriesLen` fail loudly (pre-bucket first). */
   def lttb(df: DataFrame, seriesCols: Seq[String], bucketCol: String,
-      centsCol: String, threshold: Int): DataFrame = {
-    val agg = udaf(new LttbAggregator(threshold),
+      centsCol: String, threshold: Int,
+      maxSeriesLen: Long = 1L << 20): DataFrame = {
+    val agg = udaf(new LttbAggregator(threshold, maxSeriesLen),
       Encoders.product[BVL])
     df.groupBy(seriesCols.map(col): _*)
       .agg(agg(col(bucketCol).cast("long"),

@@ -714,6 +714,40 @@ class SeriesOpsSpec extends AnyFunSuite {
         short.toDF("k", "b", "v"), Seq("k"), "b", "v", threshold = 20)
       .collect()
     assert(all.length === 5)
+    // selection is translation-invariant even at µs-epoch offsets
+    // where raw Long coordinate sums would overflow (the BigInt
+    // accumulation regression pin)
+    val off = 910000000000000000L
+    val gotBig = graft.operators.SeriesOps.lttb(
+        spiked.map { case (b, v) => ("k", b + off, v) }
+          .toDF("k", "b", "v"),
+        Seq("k"), "b", "v", threshold = 20)
+      .orderBy("sel_idx")
+      .collect().map(r => (r.getLong(1) - off, r.getLong(2)))
+    assert(gotBig.toSeq === refLttb(spiked.toIndexedSeq, 20))
+  }
+
+  test("lttb: a series past maxSeriesLen fails LOUDLY with a " +
+    "pre-bucket hint instead of buffering without bound") {
+    val s = spark
+    import s.implicits._
+    val long = (0 until 50).map(i => ("k", i.toLong, i.toLong))
+    val e = intercept[Exception] {
+      graft.operators.SeriesOps.lttb(long.toDF("k", "b", "v"),
+        Seq("k"), "b", "v", threshold = 5, maxSeriesLen = 20L)
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++
+        chain(t.getCause)
+    assert(chain(e).exists(_.contains("pre-bucket")),
+      chain(e).mkString(" | "))
+    // at or under the bound: fine
+    val ok = graft.operators.SeriesOps.lttb(
+        long.take(20).toDF("k", "b", "v"),
+        Seq("k"), "b", "v", threshold = 5, maxSeriesLen = 20L)
+      .collect()
+    assert(ok.length === 5)
   }
 
   test("crossCorrelation: a series correlates perfectly with its own " +
