@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Incremental, Profiling, RuntimeFilters, SkewJoin, TemporalJoin}
+import graft.operators.{Curation, Incremental, Profiling, RuntimeFilters, SkewJoin, TemporalJoin}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1143,13 +1143,24 @@ object RelationalQueries {
     // counts of DISTINCT part pairs within an order (a < b — each
     // unordered pair once), support-filtered, with confidence and
     // lift in fixed-order DOUBLE from exact counts. The pair
-    // generator is per-basket (items-per-order bounded), never a
-    // catalog self-join.
+    // generator is per-basket — and the basket size is CAPPED at 64
+    // items via capPerKey (deterministic salted-hash order, bounded
+    // map-side heaps) before the within-basket self-join, so one
+    // pathological hot basket can never go quadratic; TPC-H baskets
+    // hold ≤ 7 items, so the cap never binds and the uncapped oracle
+    // is unchanged. All counts (item support, order total) run on
+    // the same capped frame, keeping confidence/lift internally
+    // consistent when the cap does bind.
     "assoc_rules_pairs" -> QueryDef(
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
+        val li = Curation.capPerKey(
+            t(s, dir, "lineitem")
+              .select(col("l_orderkey").as("o"),
+                col("l_partkey").as("p"))
+              .distinct(),
+            idCol = "p", keyCol = "o", seed = "basket",
+            maxPerKey = 64)
+          .select(col("o"), col("p"))
         val nOrders = li.select(col("o")).distinct()
           .agg(count(lit(1)).as("n_orders"))
         val item = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))

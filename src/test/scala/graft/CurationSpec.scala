@@ -697,6 +697,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerKey bounds a hot basket's pair expansion: a planted " +
+    "1000-item basket yields 64*63/2 pairs after the cap, never " +
+    "n(n-1)/2 (the assoc_rules_pairs composition)") {
+    val s = spark
+    import s.implicits._
+    val hot = (1 to 1000).map(p => (1L, p.toLong))
+    val small = Seq((2L, 5000L), (2L, 5001L))
+    val li = Curation.capPerKey((hot ++ small).toDF("o", "p"),
+        idCol = "p", keyCol = "o", seed = "basket", maxPerKey = 64)
+      .select($"o", $"p")
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .count()
+    assert(pairs === 64L * 63 / 2 + 1)
+    // under the cap, nothing is dropped
+    assert(li.filter($"o" === 2L).count() === 2L)
+  }
+
   test("quantileNormalize: hand-computed tie-sharing cume_dist in bp; " +
     "the max value always lands at 10000; fractional value columns " +
     "are rejected at plan time") {
