@@ -222,6 +222,52 @@ object Profiling {
           (col("n1") * col("n2")).cast("double"), 6).as("d"))
   }
 
+  /** Pairwise Kolmogorov–Smirnov drift MATRIX over every cohort of
+    * one integer metric — the all-pairs generalization of [[ksTest]]
+    * ("which sources' length distributions diverged from which"),
+    * the screen a mixing pipeline runs before trusting per-source
+    * weights. Same exact-integer discipline: per pair,
+    * D = max|F_a − F_b| kept as the cross-multiplied integer
+    * max|cum_a·n_b − cum_b·n_a| (contract: n_a·n_b fits a Long, the
+    * ksTest bound), one rounded division at the end.
+    *
+    * Scale shape: ONE map-side-combined groupBy((cohort, value))
+    * corpus pass; everything after runs on the completed
+    * cohort×domain grid (zero-filled via one broadcast-able
+    * cohort-totals frame and a left join), whose per-cohort CDF
+    * windows are PARTITIONED by cohort over the merged value domain.
+    * The pair expansion is an equi-join of the grid to itself ON the
+    * value (k rows per side per value → |domain|·k² pair rows,
+    * bounded by |cohorts|²·|domain| — never corpus-sized).
+    *
+    * Output: (g_a, g_b — g_a < g_b, n_a, n_b, d_num, d_r) — one row
+    * per unordered cohort pair. */
+  def ksMatrix(df: DataFrame, cohortCol: String, valueCol: String)
+      : DataFrame = {
+    val f = df
+      .groupBy(col(cohortCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val dom = f.select(col("v")).distinct()
+    val gs = f.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val grid = dom.crossJoin(broadcast(gs))
+      .join(f, Seq("g", "v"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("g")).orderBy(col("v"))))
+    grid.as("a")
+      .join(grid.as("b"),
+        col("a.v") === col("b.v") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g_a"), col("b.g").as("g_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(max(abs(col("a.cum") * col("b.n") -
+        col("b.cum") * col("a.n"))).as("d_num"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("d_r"))
+  }
+
   /** Exact per-group percentile bands (PERCENTILE_DISC order
     * statistics — ⌈p·n⌉-th smallest with multiplicity, actual data
     * values): the dashboard staple "p50/p90/p99 per series per time

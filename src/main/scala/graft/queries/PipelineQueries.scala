@@ -1281,6 +1281,35 @@ object PipelineQueries {
         ORDER BY score DESC, doc_id LIMIT 20"""
         .replaceAll("\\s+", " "))),
 
+    // pairwise KS drift MATRIX across every source's document-length
+    // distribution — the all-pairs stats_ks_test ("which sources
+    // diverged from which"), the screen run before trusting
+    // per-source mixing weights. One (source, length) corpus pass;
+    // the zero-filled source×domain grid carries partitioned CDF
+    // windows and the pair expansion equi-joins the grid on the
+    // value (|domain|·k² rows, never corpus-sized); D stays the
+    // exact cross-multiplied integer until one rounded division.
+    "stats_ks_matrix" -> QueryDef(
+      (s, dir) => Profiling.ksMatrix(
+        docs(s, dir).select(col("source"), col("n_chars")),
+        "source", "n_chars"),
+      Some("""WITH f AS (SELECT source AS g, n_chars AS v,
+          count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),
+        dom AS (SELECT DISTINCT v FROM f),
+        gs AS (SELECT g, sum(c)::BIGINT AS n FROM f GROUP BY 1),
+        grid AS (SELECT gs.g, gs.n, dom.v, coalesce(f.c, 0) AS c
+          FROM gs CROSS JOIN dom
+          LEFT JOIN f ON f.g = gs.g AND f.v = dom.v),
+        cm AS (SELECT g, n, v,
+          sum(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM grid)
+        SELECT a.g AS g_a, b.g AS g_b, a.n::BIGINT AS n_a,
+          b.n::BIGINT AS n_b,
+          max(abs(a.cum * b.n - b.cum * a.n))::BIGINT AS d_num,
+          round(max(abs(a.cum * b.n - b.cum * a.n))::DOUBLE /
+            (a.n * b.n)::DOUBLE, 6) AS d_r
+        FROM cm a JOIN cm b ON a.v = b.v AND a.g < b.g
+        GROUP BY a.g, b.g, a.n, b.n""".replaceAll("\\s+", " "))),
+
     // χ² association audit between two metadata columns (lang ×
     // source) + Cramér's V — "is language independent of source?" is
     // the metadata-bias check a corpus audit runs before stratified

@@ -326,6 +326,24 @@ class ProfilingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reference cohort"), e.getMessage)
   }
 
+  test("ksMatrix: hand-computed pairwise D over three cohorts — " +
+    "disjoint supports hit D = 1, shared mass scores the exact " +
+    "cross-multiplied numerator") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 3L),
+      ("C", 5L), ("C", 5L)).toDF("g", "v")
+    val out = Profiling.ksMatrix(rows, "g", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out.size === 3)
+    // cum_A over {1,2,3,5} = 1,2,2,2; cum_B = 1,1,2,2; cum_C = 0,0,0,2
+    assert(out(("A", "B")) === ((2L, 2L, 2L, 0.5)))
+    assert(out(("A", "C")) === ((2L, 2L, 4L, 1.0)))
+    assert(out(("B", "C")) === ((2L, 2L, 4L, 1.0)))
+  }
+
   test("anovaF: identical cohorts give F = 0; a clean separation " +
     "matches the hand-computed F; single-cohort input yields NULL") {
     val s = spark
