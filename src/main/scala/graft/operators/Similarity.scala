@@ -826,6 +826,39 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Recall@k of an approximate top-k frame against the exact one —
+    * the QUALITY meter for every ANN family at a REALISTIC operating
+    * point (nprobe ≈ √nlist, production LSH bands), complementing the
+    * degenerate-exact oracles that prove only exactness. Both inputs
+    * follow the [[bruteForceTopK]] contract (query_id, rank,
+    * neighbor_id, …); per query, recall_bp = hits·10⁴ div k_exact as
+    * an exact floored integer.
+    *
+    * Scale shape: one left-semi equi-join on (query_id, neighbor_id)
+    * between two k·|queries|-bounded frames plus two bounded
+    * aggregates — the corpus is only touched by the upstream top-k
+    * operators themselves.
+    *
+    * Output: (query_id, n_exact, n_hit, recall_bp), one row per
+    * query that has any exact neighbor. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int)
+      : DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val denom = e.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    denom.join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("(coalesce(n_hit, 0) * 10000) div n_exact")
+          .as("recall_bp"))
+  }
+
   /** Semantic dedup (the SemDeDup recipe): k-means-cluster the
     * embeddings, compare cosine ONLY within each cluster, and drop every
     * vector that has a near-duplicate (cosine ≥ threshold) with a

@@ -797,6 +797,61 @@ object PipelineQueries {
       },
       Some(AnnLshOracle)),
 
+    // ANN QUALITY meters at REALISTIC operating points — the
+    // degenerate-exact oracles above prove the paths are exact when
+    // exhaustive; these three prove the APPROXIMATE configurations
+    // stay useful, so a quality regression in probe selection /
+    // banding / shortlisting can't hide behind an exact-corner
+    // oracle. Each reports per-query recall@5 vs the brute-force
+    // frame as exact floored basis points (rows-only by design: the
+    // k-means/SRP internals aren't SQL; floors pinned at sf0.1 in
+    // SimilaritySpec).
+    // IVF at the production rule-of-thumb nprobe ≈ √nlist.
+    "ann_ivf_recall" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 16)
+        Similarity.recallAtK(
+          Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 5,
+            nlist = 16, nprobe = 4),
+          Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5),
+          k = 5)
+      },
+      None),
+
+    // SRP-LSH at a realistic band budget: 6 planes × 8 tables scans
+    // ~12% of the corpus per query on the isotropic fixtures (the
+    // 8×2 oracle config above optimizes for oracle-able determinism,
+    // not recall — isotropic random vectors are LSH's worst case, so
+    // the recall meter runs where the method is actually operated:
+    // more tables, shorter codes).
+    "ann_lsh_recall" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 16)
+        Similarity.recallAtK(
+          Similarity.lshTopK(q, e, "vec_id", "embedding", k = 5,
+            dim = AnnDim, numPlanes = 6, numTables = 8),
+          Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5),
+          k = 5)
+      },
+      None),
+
+    // IVFADC with pruned probes AND a pruned ADC shortlist — the
+    // configuration a 100 TB deployment actually runs.
+    "ann_ivfpq_recall" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 16)
+        Similarity.recallAtK(
+          Similarity.ivfPqTopK(q, e, "vec_id", "embedding", k = 5,
+            nlist = 16, nprobe = 4, numSub = 8, ksub = 16,
+            refine = 8),
+          Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5),
+          k = 5)
+      },
+      None),
+
     // text quality metrics.
     "text_quality" -> QueryDef(
       (s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text",

@@ -372,4 +372,39 @@ class SimilaritySpec extends AnyFunSuite {
     // every base original survives (no cross-pair reaches 0.95)
     assert(base.map(_._1).forall(out(_)), "a base vector was dropped")
   }
+
+  test("sf0.1 recall floors at REALISTIC operating points: the three " +
+    "ann_*_recall registry entries keep mean recall@5 above their " +
+    "pinned floors on the 2000-vector corpus (quality, not just " +
+    "exactness, can't silently regress)") {
+    val dir = "/root/testdata/sf0.1"
+    def meanRecallBp(q: String): Double = {
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows.length === 16, s"$q query count")
+      rows.map(_.getAs[Long]("recall_bp")).sum.toDouble / rows.length
+    }
+    // measured r10: IVF(nprobe=4/16) 5875, LSH(6x8) 3625,
+    // IVFPQ(nprobe=4, refine=8) 3750 — floors leave regression margin
+    val ivf = meanRecallBp("ann_ivf_recall")
+    assert(ivf >= 4000.0, s"IVF mean recall_bp = $ivf")
+    val lsh = meanRecallBp("ann_lsh_recall")
+    assert(lsh >= 2000.0, s"LSH mean recall_bp = $lsh")
+    val ivfpq = meanRecallBp("ann_ivfpq_recall")
+    assert(ivfpq >= 2000.0, s"IVFPQ mean recall_bp = $ivfpq")
+  }
+
+  test("recallAtK: hand-built frames — full overlap scores 10000 bp, " +
+    "disjoint scores 0, partial floors exactly") {
+    val approx = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L),
+      (3L, 1, 30L)).toDF("query_id", "rank", "neighbor_id")
+    val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 99L), (3L, 1, 30L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val out = Similarity.recallAtK(approx, exact, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 2L, 6666L)))
+    assert(out(2L) === ((1L, 0L, 0L)))
+    assert(out(3L) === ((1L, 1L, 10000L)))
+  }
 }
