@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Incremental, Profiling, RuntimeFilters, SkewJoin, TemporalJoin}
+import graft.operators.{Curation, Incremental, Profiling, QuantileSketch, RuntimeFilters, SkewJoin, TemporalJoin}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -869,6 +869,50 @@ object RelationalQueries {
           round((max(abs(ca * n2 - cb * n1)))::DOUBLE /
             (n1 * n2)::DOUBLE, 6) AS d
         FROM c GROUP BY n1, n2""".replaceAll("\\s+", " "))),
+
+    // DDSketch log-bucket quantile sketch per event type — the
+    // MERGEABLE quantile primitive (bucket counts are additive, so
+    // partial aggregation/merge order can't move the answer; the
+    // streaming twin folds the identical buckets). p50/p90/p99
+    // estimates carry a ≤ 2% relative-error guarantee vs the exact
+    // order statistic (pinned in QuantileSketchSpec); the whole path
+    // — ⌈ln v/ln γ⌉ bucketing, rank pick, midpoint estimate — is one
+    // shared fixed-order formula in both engines (the stats_benford
+    // floor-of-log precedent covers the libm ulp hazard).
+    "stats_dd_quantiles" -> QueryDef(
+      (s, dir) => QuantileSketch.ddQuantiles(
+        ev(s, dir).select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        Seq("event_type"), "cents", alphaBp = 200,
+        qs = Seq((50L, 100L), (90L, 100L), (99L, 100L)),
+        names = Seq("p50_r", "p90_r", "p99_r")),
+      Some {
+        val g = QuantileSketch.gamma(200)
+        val lnG = math.log(g).toString
+        val gp1 = (g + 1.0).toString
+        s"""WITH v AS (SELECT event_type AS g,
+            CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+            WHERE CAST(round(value * 100, 0) AS BIGINT) > 0),
+          b AS (SELECT g,
+            CAST(ceil(ln(c::DOUBLE) / $lnG) AS BIGINT) AS bk,
+            count(*)::BIGINT AS cnt FROM v GROUP BY 1, 2),
+          cu AS (SELECT g, bk,
+            sum(cnt) OVER (PARTITION BY g ORDER BY bk) AS cum,
+            sum(cnt) OVER (PARTITION BY g) AS n FROM b),
+          p AS (SELECT g, max(n)::BIGINT AS n,
+            min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bk END)
+              AS b50,
+            min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bk END)
+              AS b90,
+            min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bk END)
+              AS b99
+            FROM cu GROUP BY g)
+          SELECT g AS event_type, n,
+            round(2.0 * exp(b50 * $lnG) / $gp1, 4) AS p50_r,
+            round(2.0 * exp(b90 * $lnG) / $gp1, 4) AS p90_r,
+            round(2.0 * exp(b99 * $lnG) / $gp1, 4) AS p99_r
+          FROM p""".replaceAll("\\s+", " ")
+      }),
 
     // Benford first-digit audit: observed leading-digit shares of a
     // positive numeric column vs the Benford expectation

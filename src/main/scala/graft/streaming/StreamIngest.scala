@@ -404,6 +404,91 @@ object StreamIngest {
       .toDF("bucket", "ver", "item", "cnt", "err")
   }
 
+  /** Continuous quantile sketch — the streaming face of
+    * [[graft.operators.QuantileSketch.ddQuantiles]]: per-key state is
+    * the DDSketch bucket→count map (counts are ADDITIVE, so the fold
+    * is merge-order-insensitive and the exact-mode snapshot equals
+    * the batch operator bit-for-bit — the spec's differential crosses
+    * micro-batch boundaries). The map is bounded by `maxBuckets`:
+    * past the bound the LOWEST buckets collapse into one (the
+    * standard DDSketch collapse — upper quantiles, the latency
+    * percentiles a monitoring plane alarms on, keep their α
+    * guarantee; the collapsed floor is marked by `collapsed`).
+    * Emits the key's current quantile estimates after each batch as
+    * (key, ver, n, collapsed, names…) — `ver` increments per fold so
+    * readers take the max-ver snapshot. */
+  def quantileSketchStream(
+      typed: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      alphaBp: Int,
+      maxBuckets: Int,
+      qs: Seq[(Long, Long)],
+      names: Seq[String]): DataFrame = {
+    require(maxBuckets >= 2, s"maxBuckets must be >= 2: $maxBuckets")
+    require(qs.nonEmpty && qs.size == names.size,
+      s"one name per quantile: $qs / $names")
+    val g = graft.operators.QuantileSketch.gamma(alphaBp)
+    val lnG = math.log(g)
+    val spark = typed.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState,
+      GroupStateTimeout, OutputMode}
+    val qsL = qs.toIndexedSeq
+    typed
+      .where(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        round(col(valueCol) * 100, 0).cast("long") > 0)
+      .select(col(keyCol).cast("string").as("key"),
+        round(col(valueCol) * 100, 0).cast("long").as("vc"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Boolean, Map[Long, Long]),
+          (String, Long, Long, Boolean, Seq[Double])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Boolean, Map[Long, Long])]) =>
+          val (ver, wasCollapsed, counts0) = state.getOption
+            .getOrElse((0L, false, Map.empty[Long, Long]))
+          var counts = counts0
+          it.foreach { case (_, vc) =>
+            val bk = graft.operators.QuantileSketch.bucketOf(vc, lnG)
+            counts = counts.updated(bk, counts.getOrElse(bk, 0L) + 1L)
+          }
+          // DDSketch collapse: fold the lowest buckets into the
+          // lowest KEPT bucket until the map fits — additive, so the
+          // total count (and every upper-bucket rank) is unchanged
+          var collapsed = wasCollapsed
+          while (counts.size > maxBuckets) {
+            val lows = counts.keys.toSeq.sorted.take(2)
+            val (l0, l1) = (lows(0), lows(1))
+            counts = (counts - l0).updated(l1,
+              counts(l1) + counts(l0))
+            collapsed = true
+          }
+          val v = ver + 1
+          state.update((v, collapsed, counts))
+          val n = counts.valuesIterator.sum
+          val sortedB = counts.toSeq.sortBy(_._1)
+          val ests = qsL.map { case (num, den) =>
+            val rank = (n * num + den - 1) / den
+            var cum = 0L
+            var pick = sortedB.last._1
+            var found = false
+            sortedB.foreach { case (bk, c) =>
+              if (!found) { cum += c; if (cum >= rank) { pick = bk; found = true } }
+            }
+            BigDecimal(2.0 * math.exp(pick.toDouble * lnG) / (g + 1.0))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+          if (n == 0L) Iterator.empty
+          else Iterator.single((key, v, n, collapsed, ests))
+      }
+      .select(Seq(col("_1").as("key"), col("_2").as("ver"),
+        col("_3").as("n"), col("_4").as("collapsed")) ++
+        names.zipWithIndex.map { case (nm, i) =>
+          col("_5").getItem(i).as(nm) }: _*)
+  }
+
   /** Continuous strictly-ordered funnel — the streaming face of
     * [[graft.operators.Behavior.funnel]]: per-key state is the pair
     * (stages-reached count, last reach time) — O(1) per key. Greedy

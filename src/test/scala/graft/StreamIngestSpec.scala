@@ -629,4 +629,80 @@ class StreamIngestSpec extends AnyFunSuite {
       .map { case (k, v) => k -> v.size.toLong }
     assert(streamCounts2 === batch.filter(_._2 > 0))
   }
+
+  test("streaming quantile sketch: the latest snapshot equals the " +
+    "batch ddQuantiles bit-for-bit across micro-batch boundaries " +
+    "(additive bucket counts — no merge-order sensitivity)") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_qs_in").toString
+    val out = Files.createTempDirectory("graft_qs_out").toString
+    val ckpt = Files.createTempDirectory("graft_qs_ck").toString
+    val rnd = new scala.util.Random(13)
+    val pts = (1 to 200).map(i =>
+      (if (i % 2 == 0) "h1" else "h2", i.toLong,
+        (rnd.nextInt(5000) + 1) / 100.0))
+    def lp(p: (String, Long, Double)) =
+      s"m,host=${p._1} v=${p._3} ${minuteNs(p._2)}"
+    writeBatch(in, "b0.lp", pts.take(120).map(lp))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val qs = Seq((50L, 100L), (90L, 100L), (99L, 100L))
+    val names = Seq("p50_r", "p90_r", "p99_r")
+    val sk = StreamIngest.quantileSketchStream(typed, "tag_host", "v",
+      alphaBp = 200, maxBuckets = 1000, qs = qs, names = names)
+    val q = StreamIngest.toParquet(sk, out, ckpt)
+    try {
+      q.processAllAvailable()
+      writeBatch(in, "b1.lp", pts.drop(120).map(lp))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out).collect()
+    val latest = rows.groupBy(_.getAs[String]("key")).map {
+      case (k, rs) =>
+        val top = rs.maxBy(_.getAs[Long]("ver"))
+        k -> ((top.getAs[Long]("n"), top.getAs[Boolean]("collapsed"),
+          names.map(top.getAs[Double](_))))
+    }
+    val batch = graft.operators.QuantileSketch.ddQuantiles(
+        pts.map(p => (p._1, math.round(p._3 * 100)))
+          .toDF("key", "vc"),
+        Seq("key"), "vc", alphaBp = 200, qs = qs, names = names)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), names.map(r.getAs[Double](_))))).toMap
+    assert(latest.keySet === batch.keySet)
+    latest.foreach { case (k, (n, collapsed, ests)) =>
+      assert(!collapsed, s"$k collapsed in exact mode")
+      assert(n === batch(k)._1, s"$k n")
+      assert(ests === batch(k)._2, s"$k estimates")
+    }
+  }
+
+  test("streaming quantile sketch: past maxBuckets the LOWEST " +
+    "buckets collapse — the snapshot flags it and upper quantiles " +
+    "keep their relative-error guarantee") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_qc_in").toString
+    val out = Files.createTempDirectory("graft_qc_out").toString
+    val ckpt = Files.createTempDirectory("graft_qc_ck").toString
+    // values 1..400 cents: far more than 8 distinct buckets
+    val pts = (1 to 400).map(i => (i.toLong, i / 100.0))
+    def lp(p: (Long, Double)) = s"m,host=h1 v=${p._2} ${minuteNs(p._1)}"
+    writeBatch(in, "b0.lp", pts.map(lp))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val sk = StreamIngest.quantileSketchStream(typed, "tag_host", "v",
+      alphaBp = 200, maxBuckets = 8,
+      qs = Seq((99L, 100L)), names = Seq("p99_r"))
+    val q = StreamIngest.toParquet(sk, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val r = spark.read.parquet(out).collect()
+      .maxBy(_.getAs[Long]("ver"))
+    assert(r.getAs[Boolean]("collapsed"))
+    assert(r.getAs[Long]("n") === 400L)
+    val p99 = r.getAs[Double]("p99_r")
+    assert(math.abs(p99 - 396.0) / 396.0 <= 0.02 + 1e-6, s"p99=$p99")
+  }
 }
