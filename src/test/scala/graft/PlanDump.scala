@@ -1,0 +1,26 @@
+package graft
+
+/** Plan-budget re-measurement tool: prints Exchange/broadcast counts
+  * for the hot-query set so PlanSpec's snapshot budgets can be
+  * re-pinned from measured reality after a deliberate plan change.
+  * Run with `sbt "Test/runMain graft.PlanDump"`. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.spark
+    val dir = SparkSpec.Sf0001
+    val hot = Seq("text_bigram_logprob", "text_pmi_bigrams",
+      "text_diversity", "text_top_ngrams", "ts_pettitt",
+      "stats_winsorized", "dedup_jaccard_pairs",
+      "text_crossdoc_ngram_frac", "dedup_lsh_pairs", "stats_ks_matrix")
+    hot.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect(): Unit
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val ex = "Exchange".r.findAllIn(p).size
+      val rt = "Exchange rangepartitioning".r.findAllIn(p).size
+      val bc = "BroadcastExchange".r.findAllIn(p).size
+      println(s"PLANDUMP $q exchanges=$ex range=$rt broadcast=$bc")
+    }
+  }
+}

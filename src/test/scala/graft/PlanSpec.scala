@@ -88,6 +88,42 @@ class PlanSpec extends AnyFunSuite {
     assert(asof.contains("Window"), asof.take(2000))
   }
 
+  test("hot-set plan snapshot: the ten most expensive bench queries " +
+    "keep their Exchange budgets — a lost pushdown or a new shuffle " +
+    "in the hot set fails HERE, not in a bench retrospective") {
+    // ceilings = counts measured on the r10 plans (sbt
+    // "Test/runMain graft.PlanDump" re-measures); Exchange includes
+    // BroadcastExchange, so a broadcast degrading into a shuffle
+    // still trips the separate broadcast floor
+    val budget = Map(
+      "text_bigram_logprob" -> ((14, 5)),
+      "text_pmi_bigrams" -> ((9, 3)),
+      "text_diversity" -> ((2, 0)),
+      "text_top_ngrams" -> ((1, 0)),
+      "ts_pettitt" -> ((12, 2)),
+      "stats_winsorized" -> ((2, 0)),
+      "dedup_jaccard_pairs" -> ((5, 3)),
+      "text_crossdoc_ngram_frac" -> ((3, 1)),
+      "dedup_lsh_pairs" -> ((2, 1)),
+      "stats_ks_matrix" -> ((10, 3)))
+    budget.foreach { case (q, (maxExchanges, minBroadcasts)) =>
+      val p = planOf(q).split("== Initial Plan ==")(0)
+      // BroadcastNestedLoopJoin is NOT banned here: the hot set's
+      // single-row scalar broadcasts (crossJoin(broadcast(tot)))
+      // legitimately plan as BNLJ — row-scale cartesians are what
+      // the budget ceilings and the dedup-path test guard against
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+      val ex = "Exchange".r.findAllIn(p).size
+      assert(ex <= maxExchanges,
+        s"$q: $ex exchanges > budget $maxExchanges — a new shuffle " +
+          "crept into a hot-set plan")
+      val bc = "BroadcastExchange".r.findAllIn(p).size
+      assert(bc >= minBroadcasts,
+        s"$q: $bc broadcasts < floor $minBroadcasts — a broadcast " +
+          "degraded into a shuffle")
+    }
+  }
+
   test("ts_pettitt plans O(n log n): no pair self-join of the base " +
     "frame (the frequency-frame identity, never n(n-1)/2 rows)") {
     val p = planOf("ts_pettitt")
