@@ -268,6 +268,108 @@ object Profiling {
           (col("n_a") * col("n_b")).cast("double"), 6).as("d_r"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between two cohorts of one
+    * integer metric — the DISTRIBUTION-FREE location companion to
+    * [[welchT]]: "do cohort A's values tend to be larger", with no
+    * normality assumption, robust to the heavy tails that wreck a
+    * t-test. Ranks come from the MERGED value-domain frequency frame
+    * with midrank tie handling kept integer by doubling: a value with
+    * cum_lt smaller values and tie-group size t occupies ranks
+    * cum_lt+1 … cum_lt+t, so 2·midrank = 2·cum_lt + t + 1 exactly.
+    * 2R_a = Σ c_a·(2·cum_lt + t + 1) and 2U = 2R_a − n_a(n_a+1) stay
+    * exact Longs; the normal approximation uses the tie-corrected
+    * variance σ² = n_a·n_b·((n+1) − Σ(t³−t)/(n(n−1)))/12 and
+    * z = (2U − n_a·n_b)/(2σ) — fixed-order IEEE on exact sums,
+    * rounded 4 (NULL when σ² ≤ 0). CONTRACT: Σ(t³−t) must fit a Long
+    * (largest tie group ≲ 2×10⁶ rows — the ksTest n₁·n₂ bound's
+    * cousin).
+    *
+    * Scale shape: one map-side-combined groupBy(value) corpus pass
+    * with conditional counts; the running sums ride the merged
+    * DISTINCT-VALUE frame (value-domain bounded — the
+    * registry-allowlisted unpartitioned-window argument).
+    *
+    * Output (one row): n_a, n_b, u2 = 2U_a BIGINT, z_r. */
+  def mannWhitney(df: DataFrame, cohortCol: String, valueCol: String,
+      cohortA: String, cohortB: String): DataFrame = {
+    require(cohortA != cohortB, s"cohorts must differ: $cohortA")
+    val f = df
+      .filter(col(cohortCol).isin(cohortA, cohortB))
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(cohortCol) === cohortA, 1L).otherwise(0L))
+        .as("ca"),
+        sum(when(col(cohortCol) === cohortB, 1L).otherwise(0L))
+          .as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val wOrd = Window.orderBy(col("v"))
+    val wAll = Window.partitionBy()
+    val sums = f
+      .withColumn("cum_le", sum(col("t")).over(wOrd))
+      .withColumn("cum_lt", col("cum_le") - col("t"))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(col("ca") * (lit(2L) * col("cum_lt") + col("t")
+        + 1L)).as("r2a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    def d(c: Column) = c.cast("double")
+    val n = col("na") + col("nb")
+    val u2 = col("r2a") - col("na") * (col("na") + 1L)
+    val varU = d(col("na")) * d(col("nb")) *
+      (d(n) + 1.0 - d(col("ties")) / (d(n) * (d(n) - 1.0))) / 12.0
+    sums.select(col("na").as("n_a"), col("nb").as("n_b"),
+      u2.as("u2"),
+      when(col("na") > 0 && col("nb") > 0 && n > 1 && varU > 0,
+        round((d(u2) - d(col("na")) * d(col("nb"))) /
+          (lit(2.0) * sqrt(varU)), 4)).as("z_r"))
+  }
+
+  /** Kruskal–Wallis H over k cohorts of one integer metric — the
+    * rank-based (distribution-free) one-way ANOVA: "does ANY cohort's
+    * distribution sit higher", the [[anovaF]] companion exactly as
+    * [[mannWhitney]] companions [[welchT]]. Per-cohort doubled rank
+    * sums 2R_i come exact off the merged value-domain frame (midrank
+    * ties, the mannWhitney identity); H = [12/(n(n+1))·Σ R_i²/n_i −
+    * 3(n+1)] / (1 − Σ(t³−t)/(n³−n)) combines the k exact (n_i, 2R_i)
+    * pairs in DOUBLE (k-row sum, order engine-dependent ⇒ rounded 4,
+    * the anovaF precedent; same Σ(t³−t) Long contract as mannWhitney).
+    *
+    * Scale shape: one groupBy((cohort, value)) corpus pass, one
+    * groupBy(value) merge to the value-domain frame, one equi-join of
+    * the two BOUNDED frames; the only unpartitioned window rides the
+    * merged DISTINCT-VALUE frame (registry-allowlisted).
+    *
+    * Output (one row): k, n, h_r (NULL when k < 2, n ≤ k, or the tie
+    * correction degenerates). */
+  def kruskalWallis(df: DataFrame, cohortCol: String,
+      valueCol: String): DataFrame = {
+    val f = df
+      .select(col(cohortCol).as("g"), col(valueCol).cast("long")
+        .as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val m = f.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      .withColumn("cum_le", sum(col("t")).over(Window.orderBy(col("v"))))
+      .withColumn("cum_lt", col("cum_le") - col("t"))
+    val per = f.join(m, "v")
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n_i"),
+        sum(col("c") * (lit(2L) * col("cum_lt") + col("t") + 1L))
+          .as("r2_i"))
+    def d(c: Column) = c.cast("double")
+    val one = per.agg(count(lit(1)).as("k"), sum(col("n_i")).as("n"),
+      sum(d(col("r2_i")) * d(col("r2_i")) /
+        (lit(4.0) * d(col("n_i")))).as("rr"))
+      .crossJoin(broadcast(m.agg(
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))))
+    val h0 = lit(12.0) / (d(col("n")) * (d(col("n")) + 1.0)) *
+      col("rr") - lit(3.0) * (d(col("n")) + 1.0)
+    val corr = lit(1.0) - d(col("ties")) /
+      (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n")))
+    one.select(col("k"), col("n"),
+      when(col("k") > 1 && col("n") > col("k") && corr > 0,
+        round(h0 / corr, 4)).as("h_r"))
+  }
+
   /** Exact per-group percentile bands (PERCENTILE_DISC order
     * statistics — ⌈p·n⌉-th smallest with multiplicity, actual data
     * values): the dashboard staple "p50/p90/p99 per series per time

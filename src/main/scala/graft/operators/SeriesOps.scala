@@ -1076,6 +1076,52 @@ object SeriesOps {
             .cast("double"))), 6).as("p_r")): _*)
   }
 
+  /** Spearman rank correlation of each bucketed series against TIME —
+    * the monotone-trend STRENGTH meter completing the trend trio:
+    * [[mannKendall]] says "a monotone trend exists", [[pettitt]] says
+    * where the level shifted, this says HOW monotone the series is on
+    * a [−1, 1] scale (robust to outliers and any monotone transform,
+    * unlike a Pearson slope). Time ranks are the per-series
+    * row_number (buckets are distinct ⇒ no ties); value ranks use
+    * doubled midranks off the per-series value-domain frequency frame
+    * (2·midrank = 2·cum_lt + c + 1, the pettitt/gini discipline), so
+    * every Pearson sum over (2rₓ, 2r_y) is an exact Long on the
+    * bucket-bounded frame (EMA-family contract: series bounded by
+    * range/interval). ρ is the corrMatrix fixed-order IEEE
+    * combination, rounded 4 (NULL when either rank vector is
+    * constant).
+    *
+    * Output: (series…, n, rho_r). */
+  def spearmanTrend(df: DataFrame, seriesCols: Seq[String],
+      bucketCol: String, centsCol: String): DataFrame = {
+    val gc = seriesCols.map(col)
+    val base = df.select(gc :+ col(bucketCol).cast("long").as("b") :+
+        col(centsCol).cast("long").as("v"): _*)
+      .withColumn("rx2", lit(2L) * row_number().over(
+        Window.partitionBy(gc: _*).orderBy(col("b"))).cast("long"))
+    val freq = base.groupBy(gc :+ col("v"): _*)
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum_le", sum(col("c")).over(
+        Window.partitionBy(gc: _*).orderBy(col("v"))))
+      .select(gc ++ Seq(col("v"),
+        (lit(2L) * (col("cum_le") - col("c")) + col("c") + 1L)
+          .as("ry2")): _*)
+    val sums = base.join(freq, seriesCols :+ "v")
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
+        sum(col("rx2") * col("rx2")).as("qx"),
+        sum(col("ry2") * col("ry2")).as("qy"),
+        sum(col("rx2") * col("ry2")).as("pxy"))
+    def d(c: String) = col(c).cast("double")
+    val vx = d("n") * d("qx") - d("sx") * d("sx")
+    val vy = d("n") * d("qy") - d("sy") * d("sy")
+    sums.select(gc ++ Seq(col("n"),
+      when(vx > 0 && vy > 0,
+        round((d("n") * d("pxy") - d("sx") * d("sy")) /
+          (sqrt(vx) * sqrt(vy)), 4)).as("rho_r")): _*)
+  }
+
   /** SAX symbolization of a bucketed per-series frame (Lin et al.,
     * "A Symbolic Representation of Time Series"): each bucket value
     * maps to a small-alphabet symbol by EXACT per-series

@@ -1297,6 +1297,55 @@ object ParityQueries {
           LEFT JOIN nr ON nr.event_type = nn.event_type
             AND nr.rn = lc.loc_t""".replaceAll("\\s+", " "))),
 
+    // Spearman rank correlation of each hour-bucketed series against
+    // time — the monotone-trend STRENGTH meter completing the trend
+    // trio (ts_mk_trend: exists; ts_pettitt: where; this: how strong,
+    // on [−1, 1], robust to outliers). Doubled midranks keep every
+    // Pearson sum exact; one fixed-order combination rounded 4.
+    "ts_spearman_trend" -> QueryDef(
+      (s, dir) => SeriesOps.spearmanTrend(
+        Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b_us"),
+            expr("(2 * s * 10000 + n) div (2 * n)").as("vu")),
+        seriesCols = Seq("event_type"), bucketCol = "b_us",
+        centsCol = "vu"),
+      Some("""WITH a0 AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+          count(*) AS n0 FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, b,
+          CAST((2 * s * 10000 + n0) // (2 * n0) AS BIGINT) AS vu
+          FROM a0),
+        nr AS (SELECT event_type, vu, (2 * row_number() OVER
+          (PARTITION BY event_type ORDER BY b))::BIGINT AS rx2
+          FROM a),
+        fr AS (SELECT event_type, vu, count(*)::BIGINT AS c FROM a
+          GROUP BY 1, 2),
+        ry AS (SELECT event_type, vu,
+          (2 * (sum(c) OVER (PARTITION BY event_type ORDER BY vu)
+            - c) + c + 1)::BIGINT AS ry2 FROM fr),
+        j AS (SELECT nr.event_type, nr.rx2, ry.ry2 FROM nr
+          JOIN ry ON nr.event_type = ry.event_type
+            AND nr.vu = ry.vu),
+        s AS (SELECT event_type, count(*)::BIGINT AS n,
+          sum(rx2)::BIGINT AS sx, sum(ry2)::BIGINT AS sy,
+          sum(rx2 * rx2)::BIGINT AS qx, sum(ry2 * ry2)::BIGINT AS qy,
+          sum(rx2 * ry2)::BIGINT AS pxy FROM j GROUP BY 1)
+        SELECT event_type, n,
+          CASE WHEN (n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+            > 0 AND (n::DOUBLE * qy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+            > 0
+          THEN round((n::DOUBLE * pxy::DOUBLE - sx::DOUBLE *
+              sy::DOUBLE) /
+            (sqrt(n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+             sqrt(n::DOUBLE * qy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+            4) END AS rho_r
+        FROM s""".replaceAll("\\s+", " "))),
+
     // SAX symbolization of the hour-bucketed series: per-series exact
     // tercile cut points (PERCENTILE_DISC on the value-domain frame),
     // symbol = #cuts strictly below — numeric series become 3-letter

@@ -914,6 +914,80 @@ object RelationalQueries {
           FROM p""".replaceAll("\\s+", " ")
       }),
 
+    // Mann–Whitney U between click and purchase value distributions —
+    // the distribution-free location companion to stats_welch_t,
+    // exactly as stats_ks_test companions its shape test. Doubled
+    // midranks keep every rank sum an exact Long off the merged
+    // value-domain frame; z is the tie-corrected normal
+    // approximation, fixed-order IEEE rounded 4.
+    "stats_mannwhitney" -> QueryDef(
+      (s, dir) => Profiling.mannWhitney(
+        ev(s, dir).select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents", "click", "purchase"),
+      Some("""WITH f AS (SELECT CAST(round(value * 100, 0) AS BIGINT)
+          AS v,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+            AS ca,
+          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            ::BIGINT AS cb
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1),
+        c AS (SELECT v, ca, cb, ca + cb AS t,
+          sum(ca + cb) OVER (ORDER BY v) AS cum_le,
+          sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM f),
+        s AS (SELECT na::BIGINT AS na, nb::BIGINT AS nb,
+          sum(ca * (2 * (cum_le - t) + t + 1))::BIGINT AS r2a,
+          sum(t * t * t - t)::BIGINT AS ties
+          FROM c GROUP BY na, nb)
+        SELECT na AS n_a, nb AS n_b,
+          (r2a - na * (na + 1))::BIGINT AS u2,
+          CASE WHEN na > 0 AND nb > 0 AND na + nb > 1 AND
+            (na::DOUBLE * nb::DOUBLE * ((na + nb)::DOUBLE + 1.0 -
+              ties::DOUBLE / ((na + nb)::DOUBLE *
+                ((na + nb)::DOUBLE - 1.0))) / 12.0) > 0
+          THEN round(((r2a - na * (na + 1))::DOUBLE -
+              na::DOUBLE * nb::DOUBLE) /
+            (2.0 * sqrt(na::DOUBLE * nb::DOUBLE *
+              ((na + nb)::DOUBLE + 1.0 - ties::DOUBLE /
+                ((na + nb)::DOUBLE * ((na + nb)::DOUBLE - 1.0)))
+              / 12.0)), 4) END AS z_r
+        FROM s""".replaceAll("\\s+", " "))),
+
+    // Kruskal–Wallis H across ALL event types — the rank-based
+    // one-way ANOVA (stats_anova_f's distribution-free companion):
+    // doubled midranks off the merged value-domain frame, H combined
+    // in double from the k exact (n_i, 2R_i) pairs (k-row sum ⇒
+    // rounded 4, the anovaF precedent), tie-corrected.
+    "stats_kruskal" -> QueryDef(
+      (s, dir) => Profiling.kruskalWallis(
+        ev(s, dir).select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents"),
+      Some("""WITH f AS (SELECT event_type AS g,
+          CAST(round(value * 100, 0) AS BIGINT) AS v,
+          count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+        m AS (SELECT v, sum(c)::BIGINT AS t FROM f GROUP BY 1),
+        mc AS (SELECT v, t, sum(t) OVER (ORDER BY v) AS cum_le
+          FROM m),
+        per AS (SELECT g, sum(c)::BIGINT AS n_i,
+          sum(c * (2 * (mc.cum_le - mc.t) + mc.t + 1))::BIGINT
+            AS r2_i
+          FROM f JOIN mc USING (v) GROUP BY g),
+        one AS (SELECT count(*)::BIGINT AS k, sum(n_i)::BIGINT AS n,
+          sum(r2_i::DOUBLE * r2_i::DOUBLE / (4.0 * n_i::DOUBLE))
+            AS rr FROM per),
+        tt AS (SELECT sum(t * t * t - t)::BIGINT AS ties FROM m)
+        SELECT k, n,
+          CASE WHEN k > 1 AND n > k AND
+            (1.0 - ties::DOUBLE / (n::DOUBLE * n::DOUBLE * n::DOUBLE
+              - n::DOUBLE)) > 0
+          THEN round((12.0 / (n::DOUBLE * (n::DOUBLE + 1.0)) * rr -
+              3.0 * (n::DOUBLE + 1.0)) /
+            (1.0 - ties::DOUBLE / (n::DOUBLE * n::DOUBLE * n::DOUBLE
+              - n::DOUBLE)), 4) END AS h_r
+        FROM one CROSS JOIN tt""".replaceAll("\\s+", " "))),
+
     // Benford first-digit audit: observed leading-digit shares of a
     // positive numeric column vs the Benford expectation
     // log₁₀(1 + 1/d), both in basis points — the classic

@@ -295,11 +295,15 @@ class PlanSpec extends AnyFunSuite {
     //    top frame (the corpus reduces through TakeOrdered first)
     //  - pipeline_token_quota: remainder rank over the
     //    source-cardinality weights frame (one row per source)
+    //  - stats_mannwhitney / stats_kruskal: midrank running sums over
+    //    the merged DISTINCT-VALUE frame (the stats_ks_test argument:
+    //    groupBy(value) reduces the corpus before the window)
     val allowed = Set("pipeline_temperature_weights",
       "pipeline_temperature_tokens",
       "pipeline_pack_sequences", "pipeline_pack_tokens",
       "text_zipf_slope", "behavior_rfm", "stats_ks_test", "stats_psi",
-      "stats_hill_tail", "pipeline_token_quota")
+      "stats_hill_tail", "pipeline_token_quota",
+      "stats_mannwhitney", "stats_kruskal")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.queryExecution.optimizedPlan.collect {

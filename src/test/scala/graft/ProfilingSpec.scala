@@ -326,6 +326,42 @@ class ProfilingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reference cohort"), e.getMessage)
   }
 
+  test("mannWhitney: hand-computed midrank case with a tie — " +
+    "2R stays exact and the tie-corrected z matches by hand") {
+    val s = spark
+    import s.implicits._
+    // A = [1, 2, 4], B = [2, 3]; midranks 1, 2.5, 5 / 2.5, 4
+    // 2R_A = 17, 2U = 17 - 3*4 = 5 (U = 2.5); ties: one group of 2
+    // varU = 3*2*((5+1) - 6/(5*4))/12 = 2.85; z = (5-6)/(2*sqrt(2.85))
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 4L), ("b", 2L),
+      ("b", 3L)).toDF("g", "v")
+    val out = Profiling.mannWhitney(rows, "g", "v", "a", "b")
+      .collect().head
+    assert(out.getLong(0) === 3L)
+    assert(out.getLong(1) === 2L)
+    assert(out.getLong(2) === 5L)
+    assert(out.getDouble(3) === -0.2962)
+  }
+
+  test("kruskalWallis: hand-computed three-cohort case without ties " +
+    "gives H = 3.6; identical cohorts give H = 0") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L)).toDF("g", "v")
+    val out = Profiling.kruskalWallis(rows, "g", "v").collect().head
+    assert(out.getLong(0) === 3L)
+    assert(out.getLong(1) === 5L)
+    assert(out.getDouble(2) === 3.6)
+    // same distribution in every cohort: interleaved 1..6 by parity
+    // of cohort — ranks split evenly, H ~ 0 is NOT guaranteed exactly
+    // with these tiny samples, so check a genuinely identical layout
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("g", "v")
+    val h = Profiling.kruskalWallis(same, "g", "v").collect().head
+    assert(h.getDouble(2) === 0.0)
+  }
+
   test("ksMatrix: hand-computed pairwise D over three cohorts — " +
     "disjoint supports hit D = 1, shared mass scores the exact " +
     "cross-multiplied numerator") {

@@ -727,6 +727,34 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(gotBig.toSeq === refLttb(spiked.toIndexedSeq, 20))
   }
 
+  test("spearmanTrend: hand-computed rho with and without value " +
+    "ties; a perfectly monotone series scores exactly 1") {
+    val s = spark
+    import s.implicits._
+    // values [10, 30, 20, 40] vs time: classic rho = 0.8
+    val a = Seq(1L -> 10L, 2L -> 30L, 3L -> 20L, 4L -> 40L)
+      .map { case (b, v) => ("k", b, v) }.toDF("k", "b", "v")
+    val ra = graft.operators.SeriesOps.spearmanTrend(
+      a, Seq("k"), "b", "v").collect().head
+    assert(ra.getLong(1) === 4L)
+    assert(ra.getDouble(2) === 0.8)
+    // tie at 20: midranks (1, 2.5, 2.5, 4) -> rho = 0.9487
+    val t = Seq(1L -> 10L, 2L -> 20L, 3L -> 20L, 4L -> 40L)
+      .map { case (b, v) => ("k", b, v) }.toDF("k", "b", "v")
+    val rt = graft.operators.SeriesOps.spearmanTrend(
+      t, Seq("k"), "b", "v").collect().head
+    assert(rt.getDouble(2) === 0.9487)
+    // strictly increasing: rho = 1; constant series: NULL
+    val mono = (1L to 10L).map(i => ("m", i, i * 7)).toDF("k", "b", "v")
+    val rm = graft.operators.SeriesOps.spearmanTrend(
+      mono, Seq("k"), "b", "v").collect().head
+    assert(rm.getDouble(2) === 1.0)
+    val const = (1L to 5L).map(i => ("c", i, 9L)).toDF("k", "b", "v")
+    val rc = graft.operators.SeriesOps.spearmanTrend(
+      const, Seq("k"), "b", "v").collect().head
+    assert(rc.isNullAt(2))
+  }
+
   test("lttb: a series past maxSeriesLen fails LOUDLY with a " +
     "pre-bucket hint instead of buffering without bound") {
     val s = spark
