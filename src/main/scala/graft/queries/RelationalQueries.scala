@@ -1636,6 +1636,130 @@ object RelationalQueries {
           round(pcb::DOUBLE * 100 / tcb::DOUBLE, 4) AS promo_pct_r
         FROM s""".replaceAll("\\s+", " "))),
 
+    // TPC-H Q7-style volume shipping: revenue flowing between two
+    // nations by supplier-nation × customer-nation × ship year. Both
+    // nation joins broadcast (25-row dim); the fact table is touched
+    // once and revenue sums as exact cents·bp Longs (the
+    // q14_promo_revenue convention) with one fixed-order division at
+    // the end.
+    "q7_volume_shipping" -> QueryDef(
+      (s, dir) => {
+        val rev = round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000, 0)
+            .cast("long"))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01")
+            .cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation").select(
+            col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+          .join(broadcast(t(s, dir, "nation").select(
+            col("n_nationkey").as("cn_key"),
+            col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("cn_key"))
+          .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" &&
+              col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(count(lit(1)).as("n"), sum(rev).as("rcb"))
+          .select(col("supp_nation"), col("cust_nation"),
+            col("l_year"), col("n"),
+            round(col("rcb").cast("double") / lit(1000000.0), 2)
+              .as("revenue_r"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation,
+          n2.n_name AS cust_nation,
+          year(l_shipdate)::BIGINT AS l_year,
+          count(*)::BIGINT AS n,
+          round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+            (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)))
+            ::DOUBLE / 1000000.0, 2) AS revenue_r
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+               (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
+
+    // TPC-H Q8-style national market share: the target nation's slice
+    // of AMERICA's ECONOMY-part import volume per order year. Dims
+    // (nation/region/part/supplier) broadcast; the numerator and
+    // denominator are both exact cents·bp Long sums, so the share is
+    // ONE fixed-order IEEE division, rounded 6.
+    "q8_market_share" -> QueryDef(
+      (s, dir) => {
+        val rev = round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000, 0)
+            .cast("long"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part").filter(col("p_type") === "ECONOMY"),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01")
+              .cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation").select(
+            col("n_nationkey").as("cn_key"),
+            col("n_regionkey").as("cr_key"))),
+            col("c_nationkey") === col("cn_key"))
+          .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "AMERICA")
+            .select(col("r_regionkey"))),
+            col("cr_key") === col("r_regionkey"))
+          .join(t(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation").select(
+            col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(when(col("supp_nation") === "NATION_1", rev)
+            .otherwise(lit(0L))).as("ncb"),
+            sum(rev).as("dcb"))
+          .select(col("o_year"),
+            round(col("ncb").cast("double") /
+              col("dcb").cast("double"), 6).as("mkt_share_r"))
+      },
+      Some("""WITH v AS (SELECT year(o_orderdate) AS o_year,
+          CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+            (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT))
+            AS rev,
+          n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01')
+        SELECT o_year::BIGINT AS o_year,
+          round(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev
+            ELSE 0 END)::DOUBLE / sum(rev)::DOUBLE, 6)
+            AS mkt_share_r
+        FROM v GROUP BY 1""".replaceAll("\\s+", " "))),
+
     "stats_equidepth_histogram" -> QueryDef(
       (s, dir) => {
         val li = t(s, dir, "lineitem")
