@@ -2630,6 +2630,34 @@ object PipelineQueries {
               WHERE c.c_custkey = o.o_custkey)) = 0"""
         .replaceAll("\\s+", " "))),
 
+    // ORC FORMAT roundtrip: the events fact projected to typed
+    // columns, written as ORC (Spark's second first-class columnar
+    // format — the interchange path when a neighboring warehouse is
+    // ORC-native), read back, and aggregated per type. The oracle
+    // computes the identical aggregate straight off the parquet, so
+    // any write/read fidelity loss (type mangling, row loss,
+    // encoding drift) breaks the hash. Values stay exact Longs
+    // (µs epochs + cents) so the roundtrip is bit-checkable; write
+    // is mode=overwrite for idempotent re-runs.
+    "source_orc_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val dst = s"/tmp/graft_orc_rt_${math.abs(dir.hashCode)}"
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("unix_micros(time)").as("t_us"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .write.mode("overwrite").orc(dst)
+        s.read.orc(dst)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_c"),
+            min(col("t_us")).as("min_us"), max(col("t_us")).as("max_us"))
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS n,
+          sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS sum_c,
+          min(epoch_us(ts))::BIGINT AS min_us,
+          max(epoch_us(ts))::BIGINT AS max_us
+        FROM events GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // parquet SCHEMA EVOLUTION: half the corpus written with the old
     // schema (no `source` column), half with the new one, read back
     // as ONE dataset via mergeSchema — legacy rows surface with NULL
