@@ -99,6 +99,44 @@ object Incremental {
         col("w.t").as(tsCol))
   }
 
+  /** Snapshot DIFF: given two keyed snapshots of the same entity set,
+    * emit one row per key whose state changed — op I (in new only),
+    * D (in old only), or U (in both, any compared column differs) —
+    * the CDC changelog GENERATOR ([[applyChangelog]] is its
+    * consumer: applyChangelog(snapshotDiff(old, new), …) over old
+    * reproduces new, the round-trip a replication pipeline audits
+    * with). Comparison is null-safe (`<=>`), so NULL→value and
+    * value→NULL both surface as U.
+    *
+    * Scale shape: ONE full-outer equi-join on the key — both sides
+    * shuffle-partition by the same key (co-partitioned at 100 TB via
+    * bucketed snapshot layout), no window, no collect; unchanged keys
+    * (the overwhelming majority of a daily snapshot pair) are
+    * filtered before the output materializes.
+    *
+    * Output: (key, op, old/new value per compared column). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compared column")
+    val o = oldSnap.select((keyCol +: compareCols).map(c =>
+      col(c).as(if (c == keyCol) c else s"old_$c")): _*)
+      .withColumn("__in_old", lit(true))
+    val n = newSnap.select((keyCol +: compareCols).map(c =>
+      col(c).as(if (c == keyCol) c else s"new_$c")): _*)
+      .withColumn("__in_new", lit(true))
+    val changed = compareCols.map(c =>
+      !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("op",
+        when(col("__in_old").isNull, "I")
+          .when(col("__in_new").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("op").isNotNull)
+      .select(col(keyCol) +: col("op") +:
+        compareCols.flatMap(c =>
+          Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
   /** Merge any union of partial-summary frames back into one summary
     * per key, and re-derive the half-up micro-unit mean from the
     * merged (Σ, n). Associative and commutative — partials can arrive

@@ -2000,6 +2000,47 @@ object RelationalQueries {
             ORDER BY valid_from)) IS NULL AS is_current
         FROM rs""".replaceAll("\\s+", " "))),
 
+    // CDC changelog GENERATION: diff two keyed snapshots into I/U/D
+    // rows — the cdc_apply_changelog inverse (apply(diff(old, new))
+    // over old reproduces new; InvariantSpec pins the round-trip).
+    // New snapshot = orders with deterministic planted mutations
+    // (k%97=0 deleted, k%89=1 status-mutated, k%83=2 re-keyed as
+    // inserts), so all three ops are exercised non-vacuously. One
+    // full-outer equi-join on the key, null-safe comparison,
+    // unchanged keys filtered before materializing.
+    "cdc_snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("pc"))
+        val newSnap = base.filter(col("k") % 97 =!= 0)
+          .withColumn("st", when(col("k") % 89 === 1, lit("X"))
+            .otherwise(col("st")))
+          .unionByName(base.filter(col("k") % 83 === 2)
+            .select((col("k") + 1000000000L).as("k"), col("st"),
+              col("pc")))
+        Incremental.snapshotDiff(base, newSnap, "k", Seq("st", "pc"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+          o_orderstatus AS st,
+          CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+          FROM orders),
+        n AS (SELECT k,
+            CASE WHEN k % 89 = 1 THEN 'X' ELSE st END AS st, pc
+          FROM base WHERE k % 97 != 0
+          UNION ALL SELECT k + 1000000000, st, pc FROM base
+          WHERE k % 83 = 2),
+        j AS (SELECT coalesce(base.k, n.k) AS k,
+          CASE WHEN base.k IS NULL THEN 'I'
+            WHEN n.k IS NULL THEN 'D'
+            WHEN base.st IS DISTINCT FROM n.st
+              OR base.pc IS DISTINCT FROM n.pc THEN 'U' END AS op,
+          base.st AS old_st, n.st AS new_st,
+          base.pc AS old_pc, n.pc AS new_pc
+          FROM base FULL JOIN n ON base.k = n.k)
+        SELECT k, op, old_st, new_st, old_pc, new_pc FROM j
+        WHERE op IS NOT NULL""".replaceAll("\\s+", " "))),
+
     // CDC changelog application: latest op per key wins, a trailing
     // delete removes the key — the I/U/D merge a latest-wins upsert
     // cannot express. One struct-max argmax (partial/final hash agg,

@@ -276,4 +276,47 @@ class InvariantSpec extends AnyFunSuite {
         rows.map(_._3).distinct.size.toLong)
     }
   }
+
+  test("snapshotDiff round-trip: applying the emitted I/U/D rows to " +
+    "the old snapshot reproduces the new one exactly, over random " +
+    "mutation mixes (incl. NULL transitions)") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 3) {
+      val r = new scala.util.Random(100 + trial)
+      val old = (1 to 300).map(k => (k.toLong,
+        if (r.nextInt(10) == 0) None else Some(r.nextInt(5).toLong)))
+      val nw = old.flatMap { case (k, v) =>
+        r.nextInt(4) match {
+          case 0 => None // delete
+          case 1 => Some((k, if (r.nextBoolean()) None
+            else Some(r.nextInt(5).toLong))) // maybe-update / NULL flip
+          case _ => Some((k, v)) // unchanged
+        }
+      } ++ (301 to 340).map(k => (k.toLong, Some(r.nextInt(5).toLong)))
+      val oldDf = old.toDF("k", "v")
+      val newDf = nw.toDF("k", "v")
+      val diff = graft.operators.Incremental
+        .snapshotDiff(oldDf, newDf, "k", Seq("v")).collect()
+        .map(row => (row.getLong(0), row.getString(1),
+          if (row.isNullAt(3)) None else Some(row.getLong(3))))
+      // apply: drop D and U keys from old, add I and U rows with the
+      // new values
+      val touched = diff.map(_._1).toSet
+      val applied = old.filterNot(p => touched.contains(p._1)) ++
+        diff.filter(d => d._2 == "I" || d._2 == "U")
+          .map(d => (d._1, d._3))
+      assert(applied.toSet === nw.toSet, s"trial $trial")
+      // ops partition correctly
+      val oldK = old.map(_._1).toSet
+      val newK = nw.map(_._1).toSet
+      diff.foreach { case (k, op, _) =>
+        op match {
+          case "I" => assert(!oldK.contains(k) && newK.contains(k))
+          case "D" => assert(oldK.contains(k) && !newK.contains(k))
+          case "U" => assert(oldK.contains(k) && newK.contains(k))
+        }
+      }
+    }
+  }
 }
