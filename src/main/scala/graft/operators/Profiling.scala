@@ -222,6 +222,34 @@ object Profiling {
           (col("n1") * col("n2")).cast("double"), 6).as("d"))
   }
 
+  /** Join/groupBy KEY-SKEW audit: the top-k heaviest keys of a
+    * prospective shuffle key with their share and skew multiple — the
+    * diagnostic that decides WHETHER a 100 TB join needs salting
+    * ([[SkewJoin]]) or AQE skew handling before it runs, instead of
+    * discovering the hot key from a straggling task. skew_x100 =
+    * ⌊cnt·n_keys·100/n_rows⌋ (how many times the uniform per-key load
+    * this key carries, ×100) — exact floored integers throughout.
+    *
+    * Scale shape: one map-side-combined groupBy(key) corpus pass,
+    * then TakeOrdered(k) bounded heaps (never a global sort) and one
+    * broadcast totals row.
+    *
+    * Output: (key — stringified, cnt, n_rows, n_keys, share_bp,
+    * skew_x100), k rows, count-desc/key-asc deterministic order. */
+  def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val counts = df
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(k)
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"), col("n_rows"), col("n_keys"),
+        expr("(cnt * 10000) div n_rows").as("share_bp"),
+        expr("(cnt * n_keys * 100) div n_rows").as("skew_x100"))
+  }
+
   /** Pairwise Kolmogorov–Smirnov drift MATRIX over every cohort of
     * one integer metric — the all-pairs generalization of [[ksTest]]
     * ("which sources' length distributions diverged from which"),

@@ -914,6 +914,46 @@ object RelationalQueries {
           FROM p""".replaceAll("\\s+", " ")
       }),
 
+    // join-key SKEW audit over the events user_id — the diagnostic
+    // that decides whether a shuffle key needs salting/AQE skew
+    // handling BEFORE the join runs (SkewJoin's planning input). One
+    // groupBy(key) pass + TakeOrdered(10) bounded heaps; exact
+    // floored share/skew integers.
+    "stats_key_skew" -> QueryDef(
+      (s, dir) => Profiling.keySkew(ev(s, dir), "user_id", 10),
+      Some("""WITH c AS (SELECT user_id::VARCHAR AS key,
+          count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+        t AS (SELECT sum(cnt)::BIGINT AS n_rows,
+          count(*)::BIGINT AS n_keys FROM c),
+        top AS (SELECT key, cnt FROM c
+          ORDER BY cnt DESC, key LIMIT 10)
+        SELECT key, cnt, n_rows, n_keys,
+          (cnt * 10000) // n_rows AS share_bp,
+          (cnt * n_keys * 100) // n_rows AS skew_x100
+        FROM top CROSS JOIN t""".replaceAll("\\s+", " "))),
+
+    // hour-of-week seasonality profile per event type: n + half-up
+    // mean cents per (type, hour-of-week) cell — the weekly-shape
+    // fingerprint behind capacity planning and the seasonal
+    // Holt-Winters initialization. The hour index is PURE integer
+    // epoch arithmetic ((ns-hour + 96) mod 168, 0 = Monday 00:00
+    // UTC) — no engine calendar/dayofweek conventions to disagree on.
+    "ts_weekly_profile" -> QueryDef(
+      (s, dir) => ev(s, dir)
+        .select(col("event_type"),
+          expr("((ts div 3600000000000) + 96) % 168").as("how"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("how"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        .select(col("event_type"), col("how"), col("n"),
+          expr("(2 * s + n) div (2 * n)").as("mean_c")),
+      Some("""SELECT event_type,
+          ((epoch_us(ts) // 3600000000) + 96) % 168 AS how,
+          count(*)::BIGINT AS n,
+          CAST((2 * sum(CAST(round(value * 100, 0) AS BIGINT)) +
+            count(*)) // (2 * count(*)) AS BIGINT) AS mean_c
+        FROM events GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
     // Mann–Whitney U between click and purchase value distributions —
     // the distribution-free location companion to stats_welch_t,
     // exactly as stats_ks_test companions its shape test. Doubled

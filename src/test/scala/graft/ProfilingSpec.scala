@@ -326,6 +326,25 @@ class ProfilingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reference cohort"), e.getMessage)
   }
 
+  test("keySkew: the hot key tops the list with exact share and skew " +
+    "multiple; ties break by key; k caps the output") {
+    val s = spark
+    import s.implicits._
+    // key 7 carries 6 of 10 rows over 5 keys: share 6000 bp,
+    // skew = 6*5*100/10 = 300 (3x uniform)
+    val rows = (Seq.fill(6)(7L) ++ Seq(1L, 2L, 3L, 4L)).toDF("k")
+    val out = Profiling.keySkew(rows, "k", 3).collect()
+    assert(out.length === 3)
+    val top = out.head
+    assert(top.getString(0) === "7")
+    assert(top.getLong(1) === 6L)
+    assert(top.getLong(2) === 10L && top.getLong(3) === 5L)
+    assert(top.getLong(4) === 6000L)
+    assert(top.getLong(5) === 300L)
+    // remaining singletons tie on cnt=1 -> key order "1", "2"
+    assert(out(1).getString(0) === "1" && out(2).getString(0) === "2")
+  }
+
   test("mannWhitney: hand-computed midrank case with a tie — " +
     "2R stays exact and the tie-corrected z matches by hand") {
     val s = spark
