@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.Behavior
+import graft.operators.{Behavior, Profiling}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -28,6 +28,51 @@ object BehaviorQueries {
   private val DayUs = 86400L * 1000000L
 
   def defs: Map[String, QueryDef] = Map(
+
+    // time-to-convert PERCENTILES per signup-week cohort: exact
+    // p50/p90 of each user's first-signup → first-subsequent-purchase
+    // delay — the latency view of conversion that
+    // behavior_funnel_latency's averages smear (conversion delays are
+    // heavy-tailed; the median is the honest number). Composition:
+    // two shrinking min-aggregates feed percentileBands'
+    // window-over-frequency-frame order statistics — all exact
+    // integer seconds, zero new operator code.
+    "behavior_convert_percentiles" -> QueryDef(
+      (s, dir) => {
+        val e = ev(s, dir)
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+        val first = e.filter(col("event_type") === "purchase")
+          .join(su, "user_id")
+          .filter(col("ts") > col("t0"))
+          .groupBy(col("user_id"), col("t0"))
+          .agg(min(col("ts")).as("t1"))
+        val delays = first.select(
+          expr("t0 div 604800000000000").as("cohort_w"),
+          expr("(t1 - t0) div 1000000000").as("delay_s"))
+        Profiling.percentileBands(delays, Seq("cohort_w"), "delay_s",
+          Seq((1L, 2L), (9L, 10L)), Seq("p50_s", "p90_s"))
+      },
+      Some("""WITH su AS (SELECT user_id, min(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        fp AS (SELECT e.user_id, su.t0, min(e.ts) AS t1
+          FROM events e JOIN su USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > su.t0
+          GROUP BY 1, 2),
+        d AS (SELECT epoch_us(t0) // 604800000000 AS cohort_w,
+          (epoch_us(t1) - epoch_us(t0)) // 1000000 AS delay_s
+          FROM fp),
+        f AS (SELECT cohort_w, delay_s AS c, count(*)::BIGINT AS n_v
+          FROM d GROUP BY 1, 2),
+        cw AS (SELECT cohort_w, c, n_v,
+          sum(n_v) OVER (PARTITION BY cohort_w ORDER BY c) AS cum,
+          sum(n_v) OVER (PARTITION BY cohort_w) AS n FROM f)
+        SELECT cohort_w, max(n)::BIGINT AS n,
+          min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN c END)::BIGINT
+            AS p50_s,
+          min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN c END)::BIGINT
+            AS p90_s
+        FROM cw GROUP BY 1""".replaceAll("\\s+", " "))),
 
     // Strictly-ordered min-time-chaining funnel; per-stage reached-user
     // counts. Engine: Behavior.funnel (co-partitioned shrinking joins).
