@@ -439,6 +439,53 @@ object PipelineQueries {
         WHERE n_shared/(x.n_sh + y.n_sh - n_shared) >= $JaccardThreshold"""
         .replaceAll("\\s+", " "))),
 
+    // BLOCKING-QUALITY meter for the LSH candidate generation: how
+    // much of the quadratic pair space the bands pruned away
+    // (reduction, in bp of n·(n−1)/2) and what fraction of the
+    // surviving candidates a full Jaccard confirm keeps (precision,
+    // bp) — the two numbers that justify an entity-resolution
+    // blocking scheme. Recall against ground truth needs labels this
+    // corpus lacks; SimilaritySpec's planted-dup fixtures pin that
+    // side. All exact floored integers off three one-row aggregates.
+    "dedup_blocking_quality" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sig = Dedup.minhashSignatures(d, "doc_id", "text",
+          MinhashK, ShingleLen)
+        val cand =
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+        val confirmed = Dedup.ngramJaccard(d, "doc_id", "text",
+          ShingleLen, JaccardThreshold, candidates = Some(cand))
+        d.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(
+            confirmed.agg(count(lit(1)).as("n_conf"))))
+          .select(col("n_docs"), col("n_cand"), col("n_conf"),
+            expr("(n_conf * 10000) div n_cand").as("precision_bp"),
+            expr("((n_docs * (n_docs - 1) div 2 - n_cand) * 10000) " +
+              "div (n_docs * (n_docs - 1) div 2)").as("reduction_bp"))
+      },
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte,
+        $BandCte, $CandCte,
+        dsh AS (SELECT DISTINCT doc_id, s FROM shingle),
+        sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM dsh
+          GROUP BY 1),
+        pr AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared
+          FROM cand c JOIN dsh a ON a.doc_id=c.id_a
+          JOIN dsh b ON b.doc_id=c.id_b AND b.s=a.s GROUP BY 1, 2),
+        cf AS (SELECT count(*)::BIGINT AS n_conf FROM pr
+          JOIN sz x ON pr.id_a=x.doc_id JOIN sz y ON pr.id_b=y.doc_id
+          WHERE n_shared/(x.n_sh + y.n_sh - n_shared)
+            >= $JaccardThreshold),
+        nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        nc AS (SELECT count(*)::BIGINT AS n_cand FROM cand)
+        SELECT n_docs, n_cand, n_conf,
+          (n_conf * 10000) // n_cand AS precision_bp,
+          ((n_docs * (n_docs - 1) // 2 - n_cand) * 10000) //
+            (n_docs * (n_docs - 1) // 2) AS reduction_bp
+        FROM nd CROSS JOIN nc CROSS JOIN cf"""
+        .replaceAll("\\s+", " "))),
+
     // max-containment over the same LSH candidate pairs:
     // |A∩B| / min(|A|,|B|) — the ASYMMETRIC near-dup measure that
     // catches a small document embedded in a large one (boilerplate
