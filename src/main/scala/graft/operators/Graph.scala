@@ -189,4 +189,47 @@ object Graph {
           .agg(count(lit(1)).as("degree")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree"))
+
+  /** Bounded k-core peeling: `rounds` supersteps of "drop every node
+    * whose degree among SURVIVORS is < k" — the density filter that
+    * separates a template flood's tightly-linked core from
+    * incidentally-similar stragglers (a node in the true k-core never
+    * drops; peeling converges to it as rounds grow). Fixed `rounds`
+    * keeps the computation an exact, oracle-replayable unrolled
+    * recurrence (the pageRankInt discipline) instead of a
+    * driver-controlled convergence loop; nodes report the FIRST round
+    * they fell out, NULL = still in after all rounds.
+    *
+    * Scale shape: per superstep, two equi-joins restrict the edge
+    * frame to surviving endpoints and one map-side-combined
+    * groupBy(src) recounts degrees — every shuffle keyed on a node
+    * id, the survivor frame only shrinks, nothing collects to the
+    * driver.
+    *
+    * Output: (id, in_core, dropped_round — NULL iff in_core). */
+  def kCorePeel(nodes: DataFrame, edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(rounds >= 1, s"need at least one round: $rounds")
+    val init = nodes.select(col("id"))
+    val (_, droppedAll) = (1 to rounds)
+      .foldLeft((init, Seq.empty[DataFrame])) {
+        case ((alive, dropped), r) =>
+          val e2 = edges
+            .join(alive.select(col("id").as("src")), "src")
+            .join(alive.select(col("id").as("dst")), "dst")
+          val deg = alive.join(
+              e2.groupBy(col("src").as("id"))
+                .agg(count(lit(1)).as("d")),
+              Seq("id"), "left")
+            .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
+          (deg.filter(col("d") >= k).select(col("id")),
+            dropped :+ deg.filter(col("d") < k)
+              .select(col("id"), lit(r.toLong).as("dropped_round")))
+      }
+    nodes.select(col("id"))
+      .join(droppedAll.reduce(_ unionAll _), Seq("id"), "left")
+      .select(col("id"), col("dropped_round").isNull.as("in_core"),
+        col("dropped_round"))
+  }
 }

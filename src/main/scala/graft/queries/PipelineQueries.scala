@@ -324,6 +324,46 @@ object PipelineQueries {
           GROUP BY 1) dg ON nd.id = dg.src"""
         .replaceAll("\\s+", " "))),
 
+    // bounded 2-core peeling over the near-dup graph: three unrolled
+    // drop-degree-<2 supersteps (the pageRankInt fixed-iteration
+    // discipline) — separates the template flood's tightly-linked
+    // core from stragglers; each dropped node reports its peel round.
+    // Exact integers throughout, oracle replays the identical
+    // unrolled rounds.
+    "graph_kcore" -> QueryDef(
+      (s, dir) => Graph.kCorePeel(
+        docs(s, dir).select(col("doc_id").as("id")),
+        lshEdges(s, dir), k = 2, rounds = 3)
+        .select(col("id").as("doc_id"), col("in_core"),
+          col("dropped_round")),
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
+        $CandCte, $EdgeCte,
+        nd AS (SELECT doc_id AS id FROM documents),
+        d1 AS (SELECT nd.id, coalesce(c.d, 0) AS d FROM nd
+          LEFT JOIN (SELECT src AS id, count(*) AS d FROM e
+            GROUP BY 1) c USING (id)),
+        a1 AS (SELECT id FROM d1 WHERE d >= 2),
+        x1 AS (SELECT id, 1 AS dr FROM d1 WHERE d < 2),
+        e2 AS (SELECT e.src, e.dst FROM e
+          JOIN a1 s ON e.src = s.id JOIN a1 t ON e.dst = t.id),
+        d2 AS (SELECT a1.id, coalesce(c.d, 0) AS d FROM a1
+          LEFT JOIN (SELECT src AS id, count(*) AS d FROM e2
+            GROUP BY 1) c USING (id)),
+        a2 AS (SELECT id FROM d2 WHERE d >= 2),
+        x2 AS (SELECT id, 2 AS dr FROM d2 WHERE d < 2),
+        e3 AS (SELECT e2.src, e2.dst FROM e2
+          JOIN a2 s ON e2.src = s.id JOIN a2 t ON e2.dst = t.id),
+        d3 AS (SELECT a2.id, coalesce(c.d, 0) AS d FROM a2
+          LEFT JOIN (SELECT src AS id, count(*) AS d FROM e3
+            GROUP BY 1) c USING (id)),
+        x3 AS (SELECT id, 3 AS dr FROM d3 WHERE d < 2),
+        drp AS (SELECT * FROM x1 UNION ALL SELECT * FROM x2
+          UNION ALL SELECT * FROM x3)
+        SELECT nd.id AS doc_id, drp.dr IS NULL AS in_core,
+          drp.dr::BIGINT AS dropped_round
+        FROM nd LEFT JOIN drp ON nd.id = drp.id"""
+        .replaceAll("\\s+", " "))),
+
     // per-node local clustering coefficient in exact floored bp —
     // WHICH documents sit inside a dense template blob (the corpus
     // triangle count localized). Triangles enumerate once at the

@@ -107,4 +107,30 @@ class GraphSpec extends AnyFunSuite {
     assert(o2(3L) === ((1L, Some(10000L)))) // deg 2: its 1 pair closes
     assert(o2(4L) === ((1L, Some(10000L))))
   }
+
+  test("kCorePeel: a path CASCADES round by round while a triangle " +
+    "survives as the 2-core; isolated nodes drop in round 1") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5 hanging off triangle 5-6-7; node 99 isolated
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (5L, 7L), (6L, 7L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 99L)).toDF("id")
+    val out = Graph.kCorePeel(nodes, edges, k = 2, rounds = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    // round 1 drops degree-<2: node 1 (deg 1) and 99 (deg 0); then
+    // 2 (its neighbor gone), then 3, then 4 — one per round
+    assert(out(99L) === ((false, Some(1L))))
+    assert(out(1L) === ((false, Some(1L))))
+    assert(out(2L) === ((false, Some(2L))))
+    assert(out(3L) === ((false, Some(3L))))
+    assert(out(4L) === ((false, Some(4L))))
+    // the triangle (with 5 still attached through it) is the 2-core
+    assert(out(5L) === ((true, None)))
+    assert(out(6L) === ((true, None)))
+    assert(out(7L) === ((true, None)))
+  }
 }
