@@ -2011,6 +2011,40 @@ object RelationalQueries {
         AND ts < TIMESTAMP '2024-01-20 00:00:00'
         GROUP BY 1""".replaceAll("\\s+", " "))),
 
+    // bucketed CO-LOCATED join: both fact sides written bucketBy the
+    // join key (one shuffle paid at WRITE time), then the join plans
+    // as a sort-merge with NO exchange under either side — the
+    // layout trade that turns a recurring 100 TB fact-to-fact
+    // shuffle into a one-time layout decision (PlanSpec pins the
+    // exchange-free join). Oracle = the plain join on the original
+    // parquet: layout must never change results, only I/O.
+    "layout_bucketed_join" -> QueryDef(
+      (s, dir) => {
+        val base = s"/tmp/graft_bucket_rt_${math.abs(dir.hashCode)}"
+        graft.operators.Bucketing.writeBucketed(
+          t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_quantity"),
+            round(col("l_extendedprice") * 100, 0).cast("long")
+              .as("price_c")),
+          "graft_li_bkt", s"$base/li", "l_orderkey", 8)
+        graft.operators.Bucketing.writeBucketed(
+          t(s, dir, "orders").select(
+            col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+          "graft_ord_bkt", s"$base/ord", "l_orderkey", 8)
+        graft.operators.Bucketing.bucketedJoin(s,
+            "graft_li_bkt", "graft_ord_bkt", "l_orderkey")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            sum(col("price_c")).as("sum_c"))
+      },
+      Some("""SELECT o_orderstatus, count(*)::BIGINT AS n,
+        sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+        sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT
+          AS sum_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // SCD Type-2 history: the per-user event-type state collapsed
     // into validity intervals [valid_from, valid_to) with an
     // open-ended current run — "what was this entity's state at time

@@ -124,6 +124,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("layout_bucketed_join: the bucketed fact-to-fact join plans " +
+    "with NO shuffle under the join — the only Exchange is the final " +
+    "aggregation's") {
+    // (at this fixture size AQE may broadcast the small side instead
+    // of merge-joining — either way, NEITHER side may shuffle: the
+    // only hash exchange allowed is the final aggregation's)
+    val p = planOf("layout_bucketed_join")
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("Join"), p.take(2000))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1,
+      s"$shuffles shuffles — the bucketed join degraded:\n${p.take(3000)}")
+  }
+
   test("ts_pettitt plans O(n log n): no pair self-join of the base " +
     "frame (the frequency-frame identity, never n(n-1)/2 rows)") {
     val p = planOf("ts_pettitt")
