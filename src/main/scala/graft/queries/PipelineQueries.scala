@@ -2955,6 +2955,46 @@ object PipelineQueries {
           FROM l GROUP BY 1""".replaceAll("\\s+", " ")
       }),
 
+    // image NEAR-DUP pairs: the mm_phash 56-bit perceptual hashes fed
+    // through the Hamming-banded LSH (7 bands × 8 bits; pigeonhole
+    // guarantees EXACT recall at maxHamming=2 < bands), so the oracle
+    // can check against the plain all-pairs Hamming filter — the
+    // image-side twin of dedup_simhash_pairs, closing the multimodal
+    // dedup loop (hash → band → confirm) over the synthetic assets.
+    "mm_phash_neardup" -> QueryDef(
+      (s, dir) => Dedup.hammingBandedPairs(
+        Multimodal.perceptualHash(Multimodal.synthPngAssets(
+          docs(s, dir), "doc_id",
+          lit(1) + pmod(col("doc_id"), lit(13)),
+          lit(1) + pmod(col("doc_id") * 3, lit(11)))),
+        "asset_id", "phash", bits = 56, maxHamming = 2, bands = 7),
+      Some {
+        def v(x: String) =
+          s"((doc_id*31 + ((cy*h)//8)*17 + ($x)*7) & 16777215)"
+        val v0 = v("(cx*w)//8")
+        val v1 = v("((cx+1)*w)//8")
+        s"""WITH g AS (SELECT doc_id, 1 + doc_id % 13 AS w,
+            1 + (doc_id*3) % 11 AS h FROM documents),
+          e AS (SELECT doc_id, w, h, cy, cx FROM g,
+            (SELECT unnest(generate_series(0,7)) AS cy),
+            (SELECT unnest(generate_series(0,6)) AS cx)),
+          l AS (SELECT doc_id, cy, cx,
+            299*(($v0 >> 16) & 255) + 587*(($v0 >> 8) & 255)
+              + 114*($v0 & 255) AS l0,
+            299*(($v1 >> 16) & 255) + 587*(($v1 >> 8) & 255)
+              + 114*($v1 & 255) AS l1 FROM e),
+          ph AS (SELECT doc_id AS asset_id,
+            CAST(sum(CASE WHEN l1 > l0
+              THEN (1::BIGINT << (cy*7+cx)) ELSE 0 END) AS BIGINT)
+              AS phash
+            FROM l GROUP BY 1)
+          SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+            bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+          FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 2"""
+          .replaceAll("\\s+", " ")
+      }),
+
     // multimodal: STUB decode → deterministic fake features, exploded to
     // (asset_id, i, feature) rows.
     "mm_decode_features" -> QueryDef(
