@@ -44,6 +44,18 @@ object Expectations {
   /** Every non-NULL FK value must exist in the parent column. */
   final case class FkExists(col: String, parent: DataFrame,
       parentCol: String) extends Check { val name = s"fk:$col" }
+  /** Data freshness: max(col) must reach asOf − maxLag (all three in
+    * ONE caller-chosen epoch unit — the check is unit-agnostic). The
+    * verdict is table-level: 0 or 1 violations. An EMPTY table is
+    * STALE by definition (nothing has arrived), the one check where
+    * empty ≠ pass — a feed that stopped entirely must not report
+    * fresh. `col` must be numeric (derive an epoch column first for
+    * timestamp storage — ANSI mode rejects a raw timestamp→long
+    * cast). */
+  final case class Fresh(col: String, asOf: Long, maxLag: Long)
+      extends Check {
+    require(maxLag >= 0, s"maxLag must be >= 0: $maxLag")
+    val name = s"fresh:$col" }
 
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks declared")
@@ -85,6 +97,12 @@ object Expectations {
           countDistinct(cols.head, cols.tail: _*).as("n_distinct"))
           .select(lit(c.name).as("check_name"), col("n_rows"),
             (col("n_nonnull") - col("n_distinct")).as("n_violations"))
+      case c @ Fresh(cl, asOf, maxLag) =>
+        df.agg(count(lit(1)).as("n_rows"),
+            max(col(cl).cast("long")).as("mx"))
+          .select(lit(c.name).as("check_name"), col("n_rows"),
+            when(col("mx").isNotNull && col("mx") >= asOf - maxLag,
+              0L).otherwise(1L).as("n_violations"))
       case c @ FkExists(cl, parent, pcl) =>
         val child = df.select(col(cl)).filter(col(cl).isNotNull)
         child.agg(count(lit(1)).as("n_rows"))

@@ -1076,6 +1076,33 @@ object SeriesOps {
             .cast("double"))), 6).as("p_r")): _*)
   }
 
+  /** Gap detection over a bucketed per-series frame: one row per run
+    * of MISSING buckets — where a series that should tick every
+    * `step` went silent (the collector-outage / dead-sensor audit;
+    * the batch complement of the streaming health monitor's lastOK
+    * tracking). A gap row reports the first missing bucket and how
+    * many consecutive buckets are absent.
+    *
+    * One distinct-bucket projection + one per-series lead window on
+    * the bucket-bounded frame (EMA-family contract) — O(buckets)
+    * rows, gaps only in the output.
+    *
+    * Output: (series…, gap_start_b, n_missing ≥ 1). */
+  def gaps(df: DataFrame, seriesCols: Seq[String], bucketCol: String,
+      step: Long): DataFrame = {
+    require(step > 0, s"step must be positive: $step")
+    val gc = seriesCols.map(col)
+    val base = df
+      .select(gc :+ col(bucketCol).cast("long").as("b"): _*)
+      .distinct()
+    base
+      .withColumn("nb", lead(col("b"), 1).over(
+        Window.partitionBy(gc: _*).orderBy(col("b"))))
+      .filter(col("nb").isNotNull && col("nb") - col("b") > step)
+      .select(gc ++ Seq((col("b") + step).as("gap_start_b"),
+        expr(s"(nb - b) div $step - 1").as("n_missing")): _*)
+  }
+
   /** Spearman rank correlation of each bucketed series against TIME —
     * the monotone-trend STRENGTH meter completing the trend trio:
     * [[mannKendall]] says "a monotone trend exists", [[pettitt]] says

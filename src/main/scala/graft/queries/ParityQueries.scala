@@ -1297,6 +1297,25 @@ object ParityQueries {
           LEFT JOIN nr ON nr.event_type = nn.event_type
             AND nr.rn = lc.loc_t""".replaceAll("\\s+", " "))),
 
+    // gap detection per series at minute granularity: one row per
+    // run of missing minutes — the collector-outage audit (the batch
+    // complement of the monitor's lastOK tracking; its output is
+    // exactly the recovery windows a backfill job would enqueue).
+    "ts_gaps" -> QueryDef(
+      (s, dir) => SeriesOps.gaps(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("ts div 60000000000").as("b_min")),
+        seriesCols = Seq("event_type"), bucketCol = "b_min",
+        step = 1L),
+      Some("""WITH b AS (SELECT DISTINCT event_type,
+          epoch_us(ts) // 60000000 AS b FROM events),
+        l AS (SELECT event_type, b, lead(b) OVER
+          (PARTITION BY event_type ORDER BY b) AS nb FROM b)
+        SELECT event_type, (b + 1)::BIGINT AS gap_start_b,
+          (nb - b - 1)::BIGINT AS n_missing
+        FROM l WHERE nb IS NOT NULL AND nb - b > 1"""
+        .replaceAll("\\s+", " "))),
+
     // Spearman rank correlation of each hour-bucketed series against
     // time — the monotone-trend STRENGTH meter completing the trend
     // trio (ts_mk_trend: exists; ts_pettitt: where; this: how strong,

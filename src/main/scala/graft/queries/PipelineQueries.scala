@@ -2670,11 +2670,21 @@ object PipelineQueries {
         val o = Tables.load(s, dir, "orders")
           .withColumn("price_c",
             round(col("o_totalprice") * 100, 0).cast("long"))
+          // o_orderdate is TIMESTAMP_NTZ; the session TZ is pinned
+          // UTC (Sessions.bootstrap), so the cast is the identity
+          // DuckDB's epoch_us computes on the naive timestamp
+          .withColumn("odate_us",
+            expr("unix_micros(cast(o_orderdate as timestamp))"))
         Expectations.run(o, Seq(
           Expectations.NotNull("o_custkey"),
           Expectations.Unique(Seq("o_orderkey")),
           Expectations.InRange("price_c", 1L, 20000000L),
           Expectations.InSet("o_orderstatus", Seq("F", "O")),
+          // as-of 2002-01-01, one-year lag budget: the corpus ends
+          // 2001-08, so the feed reads FRESH — the stale polarity is
+          // exercised in ExpectationsSpec
+          Expectations.Fresh("odate_us", 1009843200000000L,
+            31536000000000L),
           Expectations.FkExists("o_custkey",
             Tables.load(s, dir, "customer"), "c_custkey")))
       },
@@ -2706,6 +2716,13 @@ object PipelineQueries {
             WHERE o_orderstatus NOT IN ('F', 'O'))::BIGINT,
           (SELECT count(*) FROM orders
             WHERE o_orderstatus NOT IN ('F', 'O')) = 0
+        UNION ALL SELECT 'fresh:odate_us',
+          (SELECT count(*) FROM orders)::BIGINT,
+          (SELECT CASE WHEN max(epoch_us(o_orderdate)) >=
+            1009843200000000 - 31536000000000 THEN 0 ELSE 1 END
+            FROM orders)::BIGINT,
+          (SELECT max(epoch_us(o_orderdate)) >=
+            1009843200000000 - 31536000000000 FROM orders)
         UNION ALL SELECT 'fk:o_custkey',
           (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL)
             ::BIGINT,

@@ -78,6 +78,23 @@ class ExpectationsSpec extends AnyFunSuite {
       out.mkString("\n"))
   }
 
+  test("Fresh: verdict is table-level (max within the lag budget); " +
+    "a stale feed and an EMPTY feed both fail — the one check where " +
+    "empty is not a pass") {
+    val s = spark
+    import s.implicits._
+    val fresh = Seq((1L, 95L), (2L, 100L)).toDF("id", "t")
+    val stale = Seq((1L, 10L), (2L, 20L)).toDF("id", "t")
+    def verdict(df: org.apache.spark.sql.DataFrame) =
+      Expectations.run(df, Seq(Fresh("t", asOf = 110L, maxLag = 15L)))
+        .collect().head
+    assert(verdict(fresh).getBoolean(3))   // max 100 >= 110-15
+    assert(!verdict(stale).getBoolean(3))  // max 20 < 95
+    val empty = Seq.empty[(Long, Long)].toDF("id", "t")
+    val e = verdict(empty)
+    assert(!e.getBoolean(3) && e.getLong(2) === 1L)
+  }
+
   test("an all-NULL key column passes Unique (nothing to compare) " +
     "while NotNull still flags every row") {
     val s = spark
