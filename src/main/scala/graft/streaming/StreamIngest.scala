@@ -489,6 +489,85 @@ object StreamIngest {
           col("_5").getItem(i).as(nm) }: _*)
   }
 
+  /** Continuous DISTRIBUTION-DRIFT monitor: each key's running value
+    * distribution (DDSketch buckets, the [[quantileSketchStream]]
+    * state) compared per fold against a FIXED reference distribution
+    * — the streaming face of [[graft.operators.Profiling.ksTest]]
+    * computed on the shared bucket domain, alarming "this feed's
+    * values stopped looking like the training reference" without
+    * re-reading history. The distance is the exact cross-multiplied
+    * KS integer max|cum_cur·n_ref − cum_ref·n_cur| over the merged
+    * bucket domain (ksTest's discipline; one rounded division), so
+    * the snapshot equals the batch ksTest over identically-bucketed
+    * cohorts bit-for-bit — the spec's differential.
+    *
+    * `reference` is a bucket→count map (bounded by the log-bucket
+    * domain, ~820 entries at α = 2% over 1..10⁷ cents) captured once
+    * from the reference corpus via [[graft.operators.QuantileSketch]]
+    * bucketing — a driver-side constant shipped in the closure, the
+    * centroid-frame discipline.
+    *
+    * Emits (key, ver, n, d_num, d_r) per fold; state is the bounded
+    * bucket map per key. */
+  def driftStream(
+      typed: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      alphaBp: Int,
+      reference: Map[Long, Long]): DataFrame = {
+    require(reference.nonEmpty, "reference distribution is empty")
+    require(reference.values.forall(_ > 0),
+      "reference counts must be positive")
+    val lnG = math.log(graft.operators.QuantileSketch.gamma(alphaBp))
+    val refSorted = reference.toSeq.sortBy(_._1).toIndexedSeq
+    val nRef = reference.valuesIterator.sum
+    val spark = typed.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState,
+      GroupStateTimeout, OutputMode}
+    typed
+      .where(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        round(col(valueCol) * 100, 0).cast("long") > 0)
+      .select(col(keyCol).cast("string").as("key"),
+        round(col(valueCol) * 100, 0).cast("long").as("vc"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[Long, Long]),
+          (String, Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Map[Long, Long])]) =>
+          val (ver, counts0) = state.getOption
+            .getOrElse((0L, Map.empty[Long, Long]))
+          var counts = counts0
+          it.foreach { case (_, vc) =>
+            val bk = graft.operators.QuantileSketch.bucketOf(vc, lnG)
+            counts = counts.updated(bk, counts.getOrElse(bk, 0L) + 1L)
+          }
+          val v = ver + 1
+          state.update((v, counts))
+          val nCur = counts.valuesIterator.sum
+          if (nCur == 0L) Iterator.empty
+          else {
+            val domain = (counts.keySet ++ refSorted.map(_._1))
+              .toSeq.sorted
+            var cumCur = 0L; var cumRef = 0L; var dNum = 0L
+            domain.foreach { bk =>
+              cumCur += counts.getOrElse(bk, 0L)
+              cumRef += reference.getOrElse(bk, 0L)
+              val d = math.abs(cumCur * nRef - cumRef * nCur)
+              if (d > dNum) dNum = d
+            }
+            // (nCur·nRef) as a Long product THEN cast — the exact
+            // operand order ksTest's rounded division uses
+            val dR = BigDecimal(dNum.toDouble / (nCur * nRef).toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Iterator.single((key, v, nCur, dNum, dR))
+          }
+      }
+      .toDF("key", "ver", "n", "d_num", "d_r")
+  }
+
   /** Continuous strictly-ordered funnel — the streaming face of
     * [[graft.operators.Behavior.funnel]]: per-key state is the pair
     * (stages-reached count, last reach time) — O(1) per key. Greedy

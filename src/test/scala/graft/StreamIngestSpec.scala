@@ -679,6 +679,70 @@ class StreamIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming drift monitor: the latest snapshot's KS distance " +
+    "vs the reference equals the batch ksTest over identically " +
+    "bucketed cohorts, across micro-batch boundaries; a planted " +
+    "shift screams while an in-distribution feed stays quiet") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_dr_in").toString
+    val out = Files.createTempDirectory("graft_dr_out").toString
+    val ckpt = Files.createTempDirectory("graft_dr_ck").toString
+    val alphaBp = 200
+    val lnG = math.log(graft.operators.QuantileSketch.gamma(alphaBp))
+    val rnd = new scala.util.Random(17)
+    // reference: uniform cents 100..5000
+    val refVals = (1 to 500).map(_ => (rnd.nextInt(4900) + 100).toLong)
+    val reference = refVals
+      .map(graft.operators.QuantileSketch.bucketOf(_, lnG))
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    // h1 streams in-distribution; h2 streams a 10x upshift
+    val cur = (1 to 120).map { i =>
+      val inDist = (rnd.nextInt(4900) + 100).toLong
+      (i.toLong, "h1", inDist / 100.0)
+    } ++ (1 to 120).map { i =>
+      val shifted = (rnd.nextInt(4900) + 100).toLong * 10
+      ((i + 200).toLong, "h2", shifted / 100.0)
+    }
+    def lp(p: (Long, String, Double)) =
+      s"m,host=${p._2} v=${p._3} ${minuteNs(p._1)}"
+    val shuffled = rnd.shuffle(cur)
+    writeBatch(in, "b0.lp", shuffled.take(140).map(lp))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val dr = StreamIngest.driftStream(typed, "tag_host", "v",
+      alphaBp, reference)
+    val q = StreamIngest.toParquet(dr, out, ckpt)
+    try {
+      q.processAllAvailable()
+      writeBatch(in, "b1.lp", shuffled.drop(140).map(lp))
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.read.parquet(out).collect()
+      .groupBy(_.getAs[String]("key")).map { case (k, rs) =>
+        val top = rs.maxBy(_.getAs[Long]("ver"))
+        k -> ((top.getAs[Long]("n"), top.getAs[Long]("d_num"),
+          top.getAs[Double]("d_r")))
+      }
+    // batch differential: ksTest over the SAME bucket domain
+    for (h <- Seq("h1", "h2")) {
+      val curB = cur.filter(_._2 == h).map(p =>
+        ("cur", graft.operators.QuantileSketch.bucketOf(
+          math.round(p._3 * 100), lnG)))
+      val refB = refVals.map(v =>
+        ("ref", graft.operators.QuantileSketch.bucketOf(v, lnG)))
+      val batch = graft.operators.Profiling.ksTest(
+          (curB ++ refB).toDF("g", "b"), "g", "b", "cur", "ref")
+        .collect().head
+      assert(latest(h)._1 === batch.getLong(0), s"$h n")
+      assert(latest(h)._2 === batch.getLong(2), s"$h d_num")
+      assert(latest(h)._3 === batch.getDouble(3), s"$h d_r")
+    }
+    // polarity: the shifted feed screams, the in-dist one does not
+    assert(latest("h2")._3 > 0.9, latest("h2").toString)
+    assert(latest("h1")._3 < 0.2, latest("h1").toString)
+  }
+
   test("streaming quantile sketch: past maxBuckets the LOWEST " +
     "buckets collapse — the snapshot flags it and upper quantiles " +
     "keep their relative-error guarantee") {
