@@ -222,6 +222,38 @@ object Profiling {
           (col("n1") * col("n2")).cast("double"), 6).as("d"))
   }
 
+  /** k-anonymity audit over a quasi-identifier tuple: how many
+    * equivalence classes (distinct QI combinations) exist, how small
+    * the smallest is, and what fraction of rows sit in classes below
+    * the anonymity threshold k — the privacy screen a dataset release
+    * runs BEFORE publishing (a row in a class of size < k is
+    * re-identifiable by its quasi-identifiers). All exact floored
+    * integers.
+    *
+    * Scale shape: one map-side-combined groupBy(QI) corpus pass, then
+    * one aggregate over the class frame — the class frame is bounded
+    * by the QI domain, never corpus-sized unless the QI is a key (in
+    * which case the audit's answer — everything is at risk — is the
+    * point).
+    *
+    * Output (one row): n_rows, n_classes, min_class, n_small
+    * (classes < k), rows_at_risk, risk_bp. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long)
+      : DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"))
+      .agg(sum(col("sz")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("sz")).as("min_class"),
+        sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_small"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L))
+          .as("rows_at_risk"))
+      .withColumn("risk_bp",
+        expr("(rows_at_risk * 10000) div n_rows"))
+  }
+
   /** Join/groupBy KEY-SKEW audit: the top-k heaviest keys of a
     * prospective shuffle key with their share and skew multiple — the
     * diagnostic that decides WHETHER a 100 TB join needs salting

@@ -914,6 +914,29 @@ object RelationalQueries {
           FROM p""".replaceAll("\\s+", " ")
       }),
 
+    // k-anonymity audit over the (user_id, event_type, day)
+    // quasi-identifier — the privacy screen before a dataset release:
+    // what fraction of rows sit in re-identifiable classes (< k=5
+    // peers sharing the same QI tuple). One groupBy(QI) pass + one
+    // class-frame aggregate; exact floored integers.
+    "stats_k_anonymity" -> QueryDef(
+      (s, dir) => Profiling.kAnonymity(
+        ev(s, dir).select(col("user_id"), col("event_type"),
+          expr("ts div 86400000000000").as("day")),
+        Seq("user_id", "event_type", "day"), k = 5L),
+      Some("""WITH cl AS (SELECT user_id, event_type,
+          epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS sz
+          FROM events GROUP BY 1, 2, 3)
+        SELECT sum(sz)::BIGINT AS n_rows,
+          count(*)::BIGINT AS n_classes,
+          min(sz)::BIGINT AS min_class,
+          sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT AS n_small,
+          sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT
+            AS rows_at_risk,
+          CAST((sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 10000) //
+            sum(sz) AS BIGINT) AS risk_bp
+        FROM cl""".replaceAll("\\s+", " "))),
+
     // join-key SKEW audit over the events user_id — the diagnostic
     // that decides whether a shuffle key needs salting/AQE skew
     // handling BEFORE the join runs (SkewJoin's planning input). One
