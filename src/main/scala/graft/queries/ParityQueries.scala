@@ -93,6 +93,37 @@ object ParityQueries {
           round(sum(value),4) AS sum_value
         FROM events GROUP BY 1, 2""".replaceAll("\\s+", " "))),
 
+    // per-EVENT trailing-24h RANGE frame: each purchase row carries
+    // the user's rolling last-day purchase count/spend AS OF its own
+    // timestamp — the event-time rolling aggregate (RANGE, not ROWS:
+    // peers at the same µs all see the same frame, irregular spacing
+    // handled natively; the per-transaction velocity feature a fraud
+    // model reads). Partitioned by USER, not by the 5-value type —
+    // per-user partitions stay bounded at any corpus size, never the
+    // one-reducer-per-type funnel. Exact Longs.
+    "win_range_rolling" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("t_us"))
+          .rangeBetween(-86399999999L, 0L)
+        Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("t_us"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .select(col("event_id"), col("user_id"), col("t_us"),
+            count(lit(1)).over(w).as("n_24h"),
+            sum(col("cents")).over(w).as("sum_24h"))
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS t_us,
+          count(*) OVER w AS n_24h,
+          sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+            ::BIGINT AS sum_24h
+        FROM events WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)"""
+        .replaceAll("\\s+", " "))),
+
     // sliding event-time windows (2 h length, 1 h hop): every event
     // lands in exactly two windows — Spark's window() explodes the
     // covering set natively; the oracle unnests the two hour-aligned

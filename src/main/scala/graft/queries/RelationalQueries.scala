@@ -1846,6 +1846,29 @@ object RelationalQueries {
         FROM lineitem, c GROUP BY 1""".replaceAll("\\s+", " "))),
 
     // grouping sets via ROLLUP (NULL-marked subtotal rows).
+    // exact per-group MODE with a DECLARED tie rule (max count, tie →
+    // smallest value): one (group, value) frequency pass + a
+    // struct-max argmax — no window, no sort, and the tie rule is
+    // explicit in both engines instead of inherited from either's
+    // mode() implementation detail.
+    "agg_mode" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("c"), (-col("q")).as("nq"))).as("m"))
+        .select(col("l_returnflag"), (-col("m.nq")).as("mode_q"),
+          col("m.c").as("n_mode")),
+      Some("""WITH f AS (SELECT l_returnflag,
+          CAST(l_quantity AS BIGINT) AS q, count(*)::BIGINT AS c
+          FROM lineitem GROUP BY 1, 2),
+        r AS (SELECT l_returnflag, q, c,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY c DESC, q ASC) AS rn FROM f)
+        SELECT l_returnflag, q AS mode_q, c AS n_mode FROM r
+        WHERE rn = 1""".replaceAll("\\s+", " "))),
+
     "agg_rollup" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
