@@ -573,6 +573,74 @@ object Curation {
       .withColumn("quota", col("floor_q") + col("extra"))
   }
 
+  /** EXACT stratified holdout split: assign each row to val/train so
+    * that (a) the GLOBAL validation count is exactly ⌊n·valBp/10⁴⌋,
+    * (b) each stratum's share of that budget is the largest-remainder
+    * apportionment of its population ([[tokenQuota]] — floats drift,
+    * apportionments sum exactly), and (c) WITHIN a stratum the chosen
+    * rows are the smallest salted hashes (the capPerKey md5
+    * convention) — deterministic, reproducible, and auditable row by
+    * row. The sampler a "hold out 10%, stratified by source"
+    * instruction actually means, where hash-Bernoulli only
+    * approximates the proportions.
+    *
+    * Scale shape: selection quotas are pushed down a SECOND
+    * apportionment level onto (stratum, shard) cells (shard =
+    * hash % `shards`), so the within-cell hash ranking runs on
+    * per-cell windows — size the shard count with the corpus exactly
+    * like `spark.sql.shuffle.partitions` so cells stay task-sized
+    * (the contract a repartition-sort already lives by; never one
+    * reducer per stratum). Two bounded frames (strata,
+    * strata × shards) carry all the planning; one eager count fixes
+    * the global budget.
+    *
+    * Output: input id/stratum + (shard, hk, split ∈ val/train). */
+  def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
+      seed: String, valBp: Long, shards: Int = 16): DataFrame = {
+    require(valBp >= 1 && valBp <= 9999,
+      s"valBp must be in [1, 9999]: $valBp")
+    require(shards >= 1, s"shards must be positive: $shards")
+    requireIntegral(df, idCol, "stratifiedSplit id")
+    val hk = conv(substring(md5(concat(col(strataCol).cast("string"),
+      lit("#"), col(idCol).cast("string"), lit(":" + seed))), 1, 13),
+      16, 10).cast("long")
+    val base = df.select(col(strataCol).as("g"),
+        col(idCol).cast("long").as("id"), hk.as("hk"))
+      .withColumn("shard", pmod(col("hk"), lit(shards.toLong)))
+    val cells = base.groupBy(col("g"), col("shard"))
+      .agg(count(lit(1)).as("c"))
+    val strata = cells.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+    val n = base.count()
+    val budget = n * valBp / 10000L
+    // level 1: stratum quotas by largest remainder (Σ = budget)
+    val quotas = tokenQuota(strata, "g", "n_g", budget)
+      .select(col("g"), col("quota").as("q_g"))
+    // level 2: cell quotas by largest remainder within each stratum
+    // (Σ over shards = q_g; the rank window is per-stratum over ≤
+    // `shards` rows — bounded)
+    val wRem = Window.partitionBy(col("g"))
+      .orderBy(col("rem").desc, col("shard"))
+    val cellQ = cells.join(strata, "g").join(quotas, "g")
+      .select(col("g"), col("shard"), col("c"),
+        expr("(q_g * c) div n_g").as("fs"),
+        expr("(q_g * c) % n_g").as("rem"), col("q_g"))
+      .withColumn("rk", row_number().over(wRem).cast("long"))
+      .withColumn("r_g", col("q_g") -
+        sum(col("fs")).over(Window.partitionBy(col("g"))))
+      .select(col("g"), col("shard"),
+        (col("fs") + when(col("rk") <= col("r_g"), 1L).otherwise(0L))
+          .as("q_cell"))
+    // selection: the q_cell smallest hashes per cell (ties by id)
+    val wCell = Window.partitionBy(col("g"), col("shard"))
+      .orderBy(col("hk"), col("id"))
+    base.join(cellQ, Seq("g", "shard"))
+      .withColumn("rn", row_number().over(wCell).cast("long"))
+      .select(col("g").as(strataCol), col("id").as(idCol),
+        col("shard"), col("hk"),
+        when(col("rn") <= col("q_cell"), "val").otherwise("train")
+          .as("split"))
+  }
+
   /** Per-group quantile-rank normalization: each row's value mapped to
     * its within-group cumulative-distribution rank in exact basis
     * points (rank_bp = ⌊cum·10⁴/n⌋, ties share the tie-group's upper

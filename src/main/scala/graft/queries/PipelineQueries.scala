@@ -1657,6 +1657,50 @@ object PipelineQueries {
           FROM documents)
         WHERE cap_rank <= 10""".replaceAll("\\s+", " "))),
 
+    // EXACT stratified 10% holdout: global val count = floor(n/10)
+    // EXACTLY, apportioned across sources by largest remainder
+    // (tokenQuota), selection = smallest salted hashes within
+    // (source, shard) cells — deterministic and auditable row by row,
+    // where hash-Bernoulli only approximates the proportions. The
+    // oracle replays the full two-level apportionment + hash ranking.
+    "pipeline_stratified_split" -> QueryDef(
+      (s, dir) => Curation.stratifiedSplit(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", seed = "sp10", valBp = 1000L,
+        shards = 16),
+      Some("""WITH b2 AS (SELECT source AS g, doc_id AS id, hk,
+          hk % 16 AS shard FROM (SELECT source, doc_id,
+            ('0x'||substr(md5(source || '#' || doc_id::VARCHAR
+              || ':sp10'),1,13))::BIGINT AS hk FROM documents)),
+        cells AS (SELECT g, shard, count(*)::BIGINT AS c FROM b2
+          GROUP BY 1, 2),
+        st AS (SELECT g, sum(c)::BIGINT AS n_g FROM cells GROUP BY 1),
+        bud AS (SELECT sum(n_g)::BIGINT AS n,
+          (sum(n_g) * 1000) // 10000 AS budget FROM st),
+        q1 AS (SELECT g, n_g, (budget * n_g) // n AS fq,
+          (budget * n_g) % n AS rem, budget FROM st CROSS JOIN bud),
+        q1r AS (SELECT g, fq, budget,
+          row_number() OVER (ORDER BY rem DESC, g) AS rk,
+          sum(fq) OVER () AS sfq FROM q1),
+        quo AS (SELECT g, (fq + CASE WHEN rk <= budget - sfq
+          THEN 1 ELSE 0 END)::BIGINT AS q_g FROM q1r),
+        c1 AS (SELECT cells.g, shard, c, n_g, q_g,
+          (q_g * c) // n_g AS fs, (q_g * c) % n_g AS rem
+          FROM cells JOIN st USING (g) JOIN quo USING (g)),
+        c1r AS (SELECT g, shard, fs, q_g,
+          row_number() OVER (PARTITION BY g
+            ORDER BY rem DESC, shard) AS rk,
+          sum(fs) OVER (PARTITION BY g) AS sfs FROM c1),
+        cq AS (SELECT g, shard, (fs + CASE WHEN rk <= q_g - sfs
+          THEN 1 ELSE 0 END)::BIGINT AS q_cell FROM c1r),
+        sel AS (SELECT b2.g, b2.id, b2.shard, b2.hk, cq.q_cell,
+          row_number() OVER (PARTITION BY b2.g, b2.shard
+            ORDER BY b2.hk, b2.id) AS rn
+          FROM b2 JOIN cq ON b2.g = cq.g AND b2.shard = cq.shard)
+        SELECT g AS source, id AS doc_id, shard::BIGINT AS shard, hk,
+          CASE WHEN rn <= q_cell THEN 'val' ELSE 'train' END AS split
+        FROM sel""".replaceAll("\\s+", " "))),
+
     "pipeline_hash_sample" -> QueryDef(
       (s, dir) => Curation.hashSample(
         docs(s, dir).select("doc_id", "lang", "source", "n_chars"),

@@ -697,6 +697,43 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSplit: the GLOBAL val count is exactly " +
+    "floor(n*bp/10^4), per-stratum counts are the largest-remainder " +
+    "apportionment (within 1 of proportional) even under heavy " +
+    "stratum skew, and the assignment is reproducible") {
+    val s = spark
+    import s.implicits._
+    // skewed strata: 700 / 250 / 50
+    val rows = ((1 to 700).map(i => (i.toLong, "big")) ++
+      (701 to 950).map(i => (i.toLong, "mid")) ++
+      (951 to 1000).map(i => (i.toLong, "tiny"))).toDF("id", "src")
+    val out = Curation.stratifiedSplit(rows, "id", "src",
+      seed = "t", valBp = 1000L, shards = 4)
+    val valBySrc = out.filter($"split" === "val")
+      .groupBy($"src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(valBySrc.values.sum === 100L) // exactly 10% of 1000
+    for ((srcN, n) <- Seq(("big", 700.0), ("mid", 250.0),
+      ("tiny", 50.0))) {
+      val q = valBySrc.getOrElse(srcN, 0L).toDouble
+      assert(math.abs(q - n / 10.0) <= 1.0, s"$srcN quota $q")
+    }
+    // reproducible: a second run assigns identically
+    val again = Curation.stratifiedSplit(rows, "id", "src",
+      seed = "t", valBp = 1000L, shards = 4)
+      .collect().map(r => r.getLong(1) -> r.getString(4)).toMap
+    val first = out.collect().map(r => r.getLong(1) -> r.getString(4))
+      .toMap
+    assert(again === first)
+    // a different seed moves the selection, not the counts
+    val other = Curation.stratifiedSplit(rows, "id", "src",
+      seed = "u", valBp = 1000L, shards = 4)
+      .filter($"split" === "val").collect()
+      .map(_.getLong(1)).toSet
+    assert(other.size === 100)
+    assert(other != first.filter(_._2 == "val").keySet)
+  }
+
   test("capPerKey bounds a hot basket's pair expansion: a planted " +
     "1000-item basket yields 64*63/2 pairs after the cap, never " +
     "n(n-1)/2 (the assoc_rules_pairs composition)") {
