@@ -3016,19 +3016,38 @@ object PipelineQueries {
           FROM l GROUP BY 1""".replaceAll("\\s+", " ")
       }),
 
-    // image NEAR-DUP pairs: the mm_phash 56-bit perceptual hashes fed
-    // through the Hamming-banded LSH (7 bands × 8 bits; pigeonhole
-    // guarantees EXACT recall at maxHamming=2 < bands), so the oracle
-    // can check against the plain all-pairs Hamming filter — the
-    // image-side twin of dedup_simhash_pairs, closing the multimodal
-    // dedup loop (hash → band → confirm) over the synthetic assets.
+    // image NEAR-DUP pairs at the hash-CLASS level: exact-duplicate
+    // pHashes collapse to one representative first (a hamming-0
+    // class of m assets would otherwise enumerate m²/2 pairs — the
+    // quadratic blowup the dedup_exact discipline exists to avoid),
+    // then ONLY the distinct-hash representatives go through the
+    // Hamming-banded LSH (7 bands × 8 bits; pigeonhole guarantees
+    // EXACT recall at maxHamming=2 < bands). Output: one row per
+    // near-dup CLASS pair with both class sizes — the image-side
+    // twin of dedup_simhash_pairs, closing the multimodal dedup loop
+    // (hash → collapse → band → confirm) over the synthetic assets.
     "mm_phash_neardup" -> QueryDef(
-      (s, dir) => Dedup.hammingBandedPairs(
-        Multimodal.perceptualHash(Multimodal.synthPngAssets(
+      (s, dir) => {
+        val ph = Multimodal.perceptualHash(Multimodal.synthPngAssets(
           docs(s, dir), "doc_id",
           lit(1) + pmod(col("doc_id"), lit(13)),
-          lit(1) + pmod(col("doc_id") * 3, lit(11)))),
-        "asset_id", "phash", bits = 56, maxHamming = 2, bands = 7),
+          lit(1) + pmod(col("doc_id") * 3, lit(11))))
+        val classes = ph.groupBy(col("phash"))
+          .agg(min(col("asset_id")).as("asset_id"),
+            count(lit(1)).as("class_n"))
+        val pairs = Dedup.hammingBandedPairs(
+            classes.select(col("asset_id"), col("phash")),
+            "asset_id", "phash", bits = 56, maxHamming = 2,
+            bands = 7)
+          .filter(col("hamming") >= 1)
+        pairs
+          .join(classes.select(col("asset_id").as("id_a"),
+            col("class_n").as("n_a")), "id_a")
+          .join(classes.select(col("asset_id").as("id_b"),
+            col("class_n").as("n_b")), "id_b")
+          .select(col("id_a"), col("id_b"), col("hamming"),
+            col("n_a"), col("n_b"))
+      },
       Some {
         def v(x: String) =
           s"((doc_id*31 + ((cy*h)//8)*17 + ($x)*7) & 16777215)"
@@ -3048,11 +3067,14 @@ object PipelineQueries {
             CAST(sum(CASE WHEN l1 > l0
               THEN (1::BIGINT << (cy*7+cx)) ELSE 0 END) AS BIGINT)
               AS phash
-            FROM l GROUP BY 1)
+            FROM l GROUP BY 1),
+          cl AS (SELECT phash, min(asset_id) AS asset_id,
+            count(*)::BIGINT AS class_n FROM ph GROUP BY 1)
           SELECT a.asset_id AS id_a, b.asset_id AS id_b,
-            bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
-          FROM ph a JOIN ph b ON a.asset_id < b.asset_id
-          WHERE bit_count(xor(a.phash, b.phash)) <= 2"""
+            bit_count(xor(a.phash, b.phash))::BIGINT AS hamming,
+            a.class_n AS n_a, b.class_n AS n_b
+          FROM cl a JOIN cl b ON a.asset_id < b.asset_id
+          WHERE bit_count(xor(a.phash, b.phash)) BETWEEN 1 AND 2"""
           .replaceAll("\\s+", " ")
       }),
 
