@@ -2057,6 +2057,39 @@ object RelationalQueries {
         AND ts < TIMESTAMP '2024-01-20 00:00:00'
         GROUP BY 1""".replaceAll("\\s+", " "))),
 
+    // DYNAMIC partition pruning: the fact written partitioned by day
+    // directories, joined to a dim whose filter (is_hot, an attribute
+    // the fact doesn't carry) only resolves at RUNTIME — Spark turns
+    // the broadcast dim into a partition-pruning subquery so the scan
+    // reads ~1/7 of the day directories instead of all of them
+    // (PlanSpec pins the dynamicpruning filter). The static-pruning
+    // cousin of layout_sorted_scan's row-group skipping: at 100 TB,
+    // directory pruning is the difference between listing a week and
+    // listing a decade. Oracle computes the identical join result
+    // from the flat table.
+    "layout_dpp_scan" -> QueryDef(
+      (s, dir) => {
+        val dst = s"/tmp/graft_dpp_rt_${math.abs(dir.hashCode)}"
+        ev(s, dir)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .write.mode("overwrite").partitionBy("day").parquet(dst)
+        val fact = s.read.parquet(dst)
+        val dim = s.range(20000)
+          .select(col("id").as("day"),
+            (col("id") % 7 === 3).as("is_hot"))
+          .filter(col("is_hot"))
+        fact.join(broadcast(dim), "day")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100, 0).cast("long"))
+              .as("sum_c"))
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS n,
+          sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS sum_c
+        FROM events
+        WHERE (epoch_us(ts) // 86400000000) % 7 = 3
+        GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // bucketed CO-LOCATED join: both fact sides written bucketBy the
     // join key (one shuffle paid at WRITE time), then the join plans
     // as a sort-merge with NO exchange under either side — the

@@ -138,6 +138,15 @@ class PlanSpec extends AnyFunSuite {
       s"$shuffles shuffles — the bucketed join degraded:\n${p.take(3000)}")
   }
 
+  test("layout_dpp_scan: the day-partitioned fact scan carries a " +
+    "DYNAMIC partition-pruning filter from the broadcast dim — " +
+    "directory listing shrinks at runtime, not just row filtering") {
+    val p = planOf("layout_dpp_scan")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      p.linesIterator.filter(_.contains("PartitionFilters"))
+        .mkString("\n").take(2000))
+  }
+
   test("ts_pettitt plans O(n log n): no pair self-join of the base " +
     "frame (the frequency-frame identity, never n(n-1)/2 rows)") {
     val p = planOf("ts_pettitt")
