@@ -573,6 +573,45 @@ object Curation {
       .withColumn("quota", col("floor_q") + col("extra"))
   }
 
+  /** Epoch-based repetition mix: materialize each document's repeat
+    * count for a training mix that sees source S `epochsX100/100`
+    * times (the "epochs per dataset" knob of LLM data recipes —
+    * upweighting high-quality sources by repetition rather than
+    * loss weighting). Whole epochs replicate every doc; the
+    * fractional remainder selects docs by the deterministic
+    * hash-Bernoulli rule (the hashSample threshold convention), so
+    * the realized per-source epoch count is exact in expectation and
+    * reproducible row by row. Docs from sources missing in the
+    * epochs spec get 0 copies (dropped from the mix — explicit is
+    * better than an implicit 1).
+    *
+    * Scale shape: one broadcast join against the |sources|-bounded
+    * epochs frame + a pure projection; the explode to physical
+    * copies is the CALLER's choice (n_copies stays a count here —
+    * 100 TB pipelines feed repeat counts to the loader instead of
+    * materializing duplicates).
+    *
+    * Output: input id/source + (n_copies ≥ 0). */
+  def epochsMix(df: DataFrame, idCol: String, sourceCol: String,
+      epochs: DataFrame, epochsCol: String, seed: String)
+      : DataFrame = {
+    requireIntegral(df, idCol, "epochsMix id")
+    requireIntegral(epochs, epochsCol, "epochsMix epochsX100")
+    val e = epochs.select(col(sourceCol).as("__src"),
+      col(epochsCol).cast("long").as("__ex100"))
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + seed))), 1, 15), 16, 10).cast("long")
+    val perUnit = (1L << 60) / 100L
+    df.join(broadcast(e), df(sourceCol) === col("__src"), "left_outer")
+      .withColumn("__ex100", coalesce(col("__ex100"), lit(0L)))
+      .withColumn("__hk", h)
+      .withColumn("n_copies",
+        expr(s"__ex100 div 100 + " +
+          s"(CASE WHEN __hk div ${perUnit}L < __ex100 % 100 " +
+          "THEN 1 ELSE 0 END)"))
+      .drop("__src", "__ex100", "__hk")
+  }
+
   /** EXACT stratified holdout split: assign each row to val/train so
     * that (a) the GLOBAL validation count is exactly ⌊n·valBp/10⁴⌋,
     * (b) each stratum's share of that budget is the largest-remainder

@@ -1701,6 +1701,35 @@ object PipelineQueries {
           CASE WHEN rn <= q_cell THEN 'val' ELSE 'train' END AS split
         FROM sel""".replaceAll("\\s+", " "))),
 
+    // epoch-based repetition mix: per-source fractional epochs (the
+    // LLM-recipe "see high-quality sources 2.75x" knob) materialized
+    // as per-doc repeat counts — whole epochs replicate everyone, the
+    // fractional remainder selects by the deterministic
+    // hash-Bernoulli rule. Counts stay counts (a 100 TB pipeline
+    // feeds repeat counts to the loader, never materializes
+    // duplicates). Epoch spec derived from the source name so both
+    // engines build the identical |sources|-row frame.
+    "pipeline_epochs_mix" -> QueryDef(
+      (s, dir) => {
+        val eps = docs(s, dir).select(col("source")).distinct()
+          .withColumn("ex100", lit(50L) +
+            (ascii(substring(col("source"), 4, 1)) % 4).cast("long")
+              * 75L)
+        Curation.epochsMix(
+          docs(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", "source", eps, "ex100", seed = "ep1")
+      },
+      Some(s"""WITH eps AS (SELECT DISTINCT source,
+          50 + (ascii(substr(source, 4, 1)) % 4) * 75 AS ex100
+          FROM documents)
+        SELECT d.doc_id, d.source,
+          (ex100 // 100 + CASE WHEN
+            ('0x'||substr(md5(d.doc_id::VARCHAR || ':ep1'),1,15))
+              ::BIGINT // ${(1L << 60) / 100L} < ex100 % 100
+            THEN 1 ELSE 0 END)::BIGINT AS n_copies
+        FROM documents d JOIN eps USING (source)"""
+        .replaceAll("\\s+", " "))),
+
     "pipeline_hash_sample" -> QueryDef(
       (s, dir) => Curation.hashSample(
         docs(s, dir).select("doc_id", "lang", "source", "n_chars"),
