@@ -573,6 +573,50 @@ object Curation {
       .withColumn("quota", col("floor_q") + col("extra"))
   }
 
+  /** EXACT global order index WITHOUT a global sort: every row gets a
+    * contiguous 0..n−1 position ordered by (bucket asc, salted hash,
+    * id) — the curriculum-ordering / stable-shuffle primitive ("easy
+    * buckets first, random within bucket") that `orderBy` would
+    * funnel through one range-partitioned sort. Two-level offsets
+    * instead: per-(bucket, shard) counts cumulate into start offsets
+    * on the BOUNDED cell frame (|buckets|·shards rows — the
+    * packSequences two-level prefix-sum discipline), and each row's
+    * index = its cell offset + its within-cell hash rank.
+    *
+    * Scale shape: one cell-count aggregate, one unpartitioned window
+    * over the bounded cell frame (allowlisted), per-(bucket, shard)
+    * rank windows sized by the shard count — which scales with the
+    * corpus exactly like `spark.sql.shuffle.partitions` (the
+    * stratifiedSplit contract). CONTRACT: bucketCol must be integral
+    * with a BOUNDED domain (a difficulty decile, a length band —
+    * never a key).
+    *
+    * Output: (idCol, bucket, idx 0..n−1). */
+  def globalOrderIndex(df: DataFrame, idCol: String,
+      bucketCol: String, seed: String, shards: Int = 16): DataFrame = {
+    require(shards >= 1, s"shards must be positive: $shards")
+    requireIntegral(df, idCol, "globalOrderIndex id")
+    requireIntegral(df, bucketCol, "globalOrderIndex bucket")
+    val hk = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + seed))), 1, 13), 16, 10).cast("long")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(bucketCol).cast("long").as("bucket"), hk.as("hk"))
+      .withColumn("shard", pmod(col("hk"), lit(shards.toLong)))
+    val offsets = base.groupBy(col("bucket"), col("shard"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("o", sum(col("c")).over(
+        Window.orderBy(col("bucket"), col("shard"))
+          .rowsBetween(Window.unboundedPreceding, 0)) - col("c"))
+      .select(col("bucket"), col("shard"), col("o"))
+    val wCell = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("hk"), col("id"))
+    base
+      .withColumn("rn", row_number().over(wCell).cast("long") - 1L)
+      .join(offsets, Seq("bucket", "shard"))
+      .select(col("id").as(idCol), col("bucket"),
+        (col("o") + col("rn")).as("idx"))
+  }
+
   /** Epoch-based repetition mix: materialize each document's repeat
     * count for a training mix that sees source S `epochsX100/100`
     * times (the "epochs per dataset" knob of LLM data recipes —

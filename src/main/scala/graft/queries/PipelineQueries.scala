@@ -1701,6 +1701,36 @@ object PipelineQueries {
           CASE WHEN rn <= q_cell THEN 'val' ELSE 'train' END AS split
         FROM sel""".replaceAll("\\s+", " "))),
 
+    // curriculum ordering: a contiguous global 0..n−1 training order
+    // (short/easy length bands first, hash-shuffled within a band)
+    // WITHOUT a global sort — per-(band, shard) counts cumulate into
+    // start offsets on the bounded cell frame and each doc's index is
+    // cell offset + within-cell hash rank (the packSequences
+    // two-level prefix-sum discipline). The oracle replays the exact
+    // offsets + ranks.
+    "pipeline_curriculum_order" -> QueryDef(
+      (s, dir) => Curation.globalOrderIndex(
+        docs(s, dir).select(col("doc_id"),
+          expr("n_chars div 100").as("band")),
+        "doc_id", "band", seed = "cur1", shards = 16),
+      Some("""WITH b2 AS (SELECT doc_id AS id,
+          n_chars // 100 AS bucket, hk, hk % 16 AS shard
+          FROM (SELECT doc_id, n_chars,
+            ('0x'||substr(md5(doc_id::VARCHAR || ':cur1'),1,13))
+              ::BIGINT AS hk FROM documents)),
+        cells AS (SELECT bucket, shard, count(*)::BIGINT AS c
+          FROM b2 GROUP BY 1, 2),
+        off AS (SELECT bucket, shard, sum(c) OVER (ORDER BY bucket,
+          shard ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - c AS o FROM cells),
+        r AS (SELECT id, bucket, shard, row_number() OVER
+          (PARTITION BY bucket, shard ORDER BY hk, id) - 1 AS rn
+          FROM b2)
+        SELECT r.id AS doc_id, r.bucket::BIGINT AS bucket,
+          (off.o + r.rn)::BIGINT AS idx
+        FROM r JOIN off ON r.bucket = off.bucket
+          AND r.shard = off.shard""".replaceAll("\\s+", " "))),
+
     // epoch-based repetition mix: per-source fractional epochs (the
     // LLM-recipe "see high-quality sources 2.75x" knob) materialized
     // as per-doc repeat counts — whole epochs replicate everyone, the

@@ -734,6 +734,27 @@ class CurationSpec extends AnyFunSuite {
     assert(other != first.filter(_._2 == "val").keySet)
   }
 
+  test("globalOrderIndex: idx is a PERMUTATION of 0..n-1, buckets " +
+    "are contiguous and ordered, and within-bucket order follows " +
+    "the salted hash — no global sort involved") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 500).map(i => (i.toLong, (i % 3).toLong))
+      .toDF("id", "bkt")
+    val out = Curation.globalOrderIndex(rows, "id", "bkt",
+        seed = "g1", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sorted.toSeq === (0L until 500L))
+    // bucket blocks are contiguous in idx order
+    val byIdx = out.sortBy(_._3).map(_._2)
+    assert(byIdx.toSeq === byIdx.sorted.toSeq)
+    // deterministic across runs
+    val again = Curation.globalOrderIndex(rows, "id", "bkt",
+        seed = "g1", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.map(t => t._1 -> t._3).toMap === again)
+  }
+
   test("capPerKey bounds a hot basket's pair expansion: a planted " +
     "1000-item basket yields 64*63/2 pairs after the cap, never " +
     "n(n-1)/2 (the assoc_rules_pairs composition)") {

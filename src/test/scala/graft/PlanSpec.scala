@@ -321,12 +321,18 @@ class PlanSpec extends AnyFunSuite {
     //  - stats_mannwhitney / stats_kruskal: midrank running sums over
     //    the merged DISTINCT-VALUE frame (the stats_ks_test argument:
     //    groupBy(value) reduces the corpus before the window)
+    //  - pipeline_curriculum_order: start-offset prefix sum over the
+    //    (band × shard)-bounded cell frame (the pack_sequences
+    //    second-level argument)
+    //  - pipeline_stratified_split: tokenQuota's remainder rank over
+    //    the |strata|-bounded weights frame (one row per stratum)
     val allowed = Set("pipeline_temperature_weights",
       "pipeline_temperature_tokens",
       "pipeline_pack_sequences", "pipeline_pack_tokens",
       "text_zipf_slope", "behavior_rfm", "stats_ks_test", "stats_psi",
       "stats_hill_tail", "pipeline_token_quota",
-      "stats_mannwhitney", "stats_kruskal")
+      "stats_mannwhitney", "stats_kruskal",
+      "pipeline_curriculum_order", "pipeline_stratified_split")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.queryExecution.optimizedPlan.collect {
