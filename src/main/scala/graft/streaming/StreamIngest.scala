@@ -489,6 +489,63 @@ object StreamIngest {
           col("_5").getItem(i).as(nm) }: _*)
   }
 
+  /** Continuous event-time LATENESS audit: per key, how far behind
+    * the key's own high-water mark each arriving point is — the
+    * instrumentation that DECIDES a watermark delay ([[
+    * windowedSeriesAgg]] silently drops what its delay excludes;
+    * before trusting a delay, measure what it would have dropped).
+    * State per key is (high-water mark, n, n_late, worst skew) — four
+    * Longs. A point is late when it arrives below the mark set by
+    * PREVIOUS micro-batches (exactly what a watermark sees: the mark
+    * only advances between batches, so the verdict is deterministic
+    * whatever order the batch's points shuffle in). Emits one row per
+    * fold: (key, ver, hwm_ns, n, n_late, late_bp, max_skew_ns).
+    *
+    * The spec differential replays the identical per-batch fold, so
+    * the final snapshot matches exactly. */
+  def latenessStream(
+      typed: DataFrame,
+      keyCol: String): DataFrame = {
+    val spark = typed.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState,
+      GroupStateTimeout, OutputMode}
+    typed
+      .where(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col("time_ns").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long),
+          (String, Long, Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (ver, hwm, n, nLate, maxSkew) = state.getOption
+            .getOrElse((0L, Long.MinValue, 0L, 0L, 0L))
+          val pts = it.toSeq.map(_._2)
+          val prevHwm = if (n == 0) Long.MinValue else hwm
+          pts.foreach { t =>
+            if (t < prevHwm) {
+              nLate += 1
+              if (prevHwm - t > maxSkew) maxSkew = prevHwm - t
+            }
+          }
+          if (pts.nonEmpty) {
+            n += pts.size
+            val mx = pts.max
+            if (mx > hwm) hwm = mx
+          }
+          val v = ver + 1
+          state.update((v, hwm, n, nLate, maxSkew))
+          if (n == 0) Iterator.empty
+          else Iterator.single((key, v, hwm, n, nLate,
+            nLate * 10000L / n, maxSkew))
+      }
+      .toDF("key", "ver", "hwm_ns", "n", "n_late", "late_bp",
+        "max_skew_ns")
+  }
+
   /** Continuous DISTRIBUTION-DRIFT monitor: each key's running value
     * distribution (DDSketch buckets, the [[quantileSketchStream]]
     * state) compared per fold against a FIXED reference distribution

@@ -679,6 +679,38 @@ class StreamIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming lateness audit: points below a PRIOR batch's " +
+    "high-water mark count late with exact worst skew; in-batch " +
+    "disorder does not (the watermark's own visibility)") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_lt_in").toString
+    val out = Files.createTempDirectory("graft_lt_out").toString
+    val ckpt = Files.createTempDirectory("graft_lt_ck").toString
+    def lp(m: Long) = s"m,host=h1 v=1.0 ${minuteNs(m)}"
+    // batch 0: minutes 5, 9, 2 (disorder INSIDE one batch: not late)
+    writeBatch(in, "b0.lp", Seq(lp(5), lp(9), lp(2)))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val lt = StreamIngest.latenessStream(typed, "tag_host")
+    val q = StreamIngest.toParquet(lt, out, ckpt)
+    try {
+      q.processAllAvailable()
+      // batch 1: minute 4 and 7 are BELOW the batch-0 mark (9): late
+      // with skews 5 and 2 minutes; 12 advances the mark
+      writeBatch(in, "b1.lp", Seq(lp(4), lp(12), lp(7)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("ver") ->
+        ((r.getAs[Long]("hwm_ns"), r.getAs[Long]("n"),
+          r.getAs[Long]("n_late"), r.getAs[Long]("late_bp"),
+          r.getAs[Long]("max_skew_ns")))).toMap
+    assert(rows(1L) === ((minuteNs(9), 3L, 0L, 0L, 0L)))
+    assert(rows(2L) === ((minuteNs(12), 6L, 2L, 3333L,
+      minuteNs(9) - minuteNs(4))))
+  }
+
   test("streaming drift monitor: the latest snapshot's KS distance " +
     "vs the reference equals the batch ksTest over identically " +
     "bucketed cohorts, across micro-batch boundaries; a planted " +
