@@ -77,6 +77,55 @@ object Similarity {
           .as("err_u"))
   }
 
+  /** 1-bit (sign) binary quantization of a ≤64-dim embedding into ONE
+    * Long (bit i = v[i] > 0): the 64× memory compression of modern
+    * binary-embedding retrieval — a billion vectors become 8 GB of
+    * codes, and similarity becomes one XOR+popcount per pair. */
+  def binaryQuantize(vec: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64, s"dim must be in 1..64: $dim")
+    // unrolled sum of distinct powers of two — every partial sum IS a
+    // valid bit pattern, so no ANSI overflow even with bit 63 (whose
+    // literal is Long.MinValue); pure codegen, no lambda dispatch
+    (0 until dim).map(i =>
+        when(element_at(vec, i + 1) > 0, lit(1L << i))
+          .otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Binary-quantized top-k: rank corpus codes by Hamming distance to
+    * each query's code (ties by neighbor id) — the coarse first stage
+    * of a binary-retrieval cascade (re-rank survivors with exact
+    * cosine via [[bruteForceTopK]]'s machinery when precision
+    * matters). EXACT integers end to end: the ranking is fully
+    * DuckDB-oracle-able, no degenerate config needed.
+    *
+    * Scale shape: queries' codes broadcast; the corpus moves ONE Long
+    * per row through the bounded-heap two-phase [[TopKAgg]] ranking —
+    * the cheapest candidate generator in the ANN family. */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int,
+      excludeSelfMatches: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      binaryQuantize(col(vecCol), dim).as("qc")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      binaryQuantize(col(vecCol), dim).as("cc"))
+    val scored = c.join(q,
+        if (excludeSelfMatches) col("query_id") =!= col("neighbor_id")
+        else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        bit_count(col("qc").bitwiseXOR(col("cc"))).cast("long")
+          .as("hamming"))
+    val tk = TopKAgg.topK(k)
+    scored
+      .groupBy(col("query_id"))
+      .agg(tk(negate(col("hamming").cast("double")),
+        col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"),
+        negate(col("col.score")).cast("long").as("hamming"))
+  }
+
   def dot(a: Column, b: Column): Column = vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(vecNormSq(a))

@@ -884,6 +884,52 @@ object PipelineQueries {
       },
       Some(AnnLshOracle)),
 
+    // 1-bit binary-quantized retrieval: sign bits pack each 64-dim
+    // embedding into ONE Long (64× memory compression — a billion
+    // vectors in 8 GB of codes) and ranking is XOR+popcount through
+    // the bounded-heap TopKAgg — the cheapest candidate generator in
+    // the ANN family, and EXACT integers end to end, so the TRUE
+    // approximate ranking is fully oracled (no degenerate config).
+    "ann_binary_topk" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.binaryTopK(e.filter(col("vec_id") < 16), e,
+          "vec_id", "embedding", dim = AnnDim, k = 5)
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        bq AS (SELECT vec_id, list_reduce(list_transform(
+          generate_series(1, $AnnDim), i -> CASE WHEN v[i] > 0
+            THEN (CASE WHEN i = 64 THEN -9223372036854775807 - 1
+              ELSE (1::BIGINT << (i-1)) END)
+            ELSE 0::BIGINT END),
+          (a, b) -> a + b) AS c FROM v),
+        q AS (SELECT vec_id AS qid, c AS qc FROM bq
+          WHERE vec_id < 16),
+        s AS (SELECT q.qid AS query_id, b.vec_id AS neighbor_id,
+          bit_count(xor(q.qc, b.c))::BIGINT AS hamming
+          FROM q, bq b WHERE b.vec_id != q.qid)
+        SELECT query_id, rank, neighbor_id, hamming FROM (
+          SELECT query_id, neighbor_id, hamming,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming, neighbor_id) AS rank FROM s)
+        WHERE rank <= 5""".replaceAll("\\s+", " "))),
+
+    // the binary cascade's QUALITY meter: recall@5 of the Hamming
+    // ranking vs exact cosine — rows-only like the other ann_*_recall
+    // meters (floor pinned in SimilaritySpec).
+    "ann_binary_recall" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 16)
+        Similarity.recallAtK(
+          Similarity.binaryTopK(q, e, "vec_id", "embedding",
+            dim = AnnDim, k = 5),
+          Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5),
+          k = 5)
+      },
+      None),
+
     // ANN QUALITY meters at REALISTIC operating points — the
     // degenerate-exact oracles above prove the paths are exact when
     // exhaustive; these three prove the APPROXIMATE configurations

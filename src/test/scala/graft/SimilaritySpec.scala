@@ -391,6 +391,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh >= 2000.0, s"LSH mean recall_bp = $lsh")
     val ivfpq = meanRecallBp("ann_ivfpq_recall")
     assert(ivfpq >= 2000.0, s"IVFPQ mean recall_bp = $ivfpq")
+    // 1-bit sign quantization on ISOTROPIC vectors is the crudest
+    // stage (real embeddings cluster and fare far better) — measured
+    // 1125 bp; the floor guards regression, not aspiration
+    val bin = meanRecallBp("ann_binary_recall")
+    assert(bin >= 500.0, s"binary mean recall_bp = $bin")
   }
 
   test("recallAtK: hand-built frames — full overlap scores 10000 bp, " +
