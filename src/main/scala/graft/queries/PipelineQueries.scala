@@ -2749,6 +2749,59 @@ object PipelineQueries {
     // in EXACT integer space (micro-units → sign-split half-up integer
     // division), so every output column hash-matches DuckDB. Pure
     // projection, zero exchanges (plan-pinned in SimilaritySpec).
+    // Matryoshka truncation audit: per adjacent-id pair, cosine at
+    // prefix dims 8/16/32 vs the full 64 — "how much similarity
+    // signal survives truncation", the measurement behind
+    // dimension-adaptive retrieval (truncate for the coarse pass,
+    // full dims to re-rank). Per-pair rows stay hash-stable: each
+    // cosine is the ascending-index fold both engines compute
+    // bit-identically (the AnnExactOracle discipline), no
+    // order-dependent float aggregate anywhere.
+    "emb_matryoshka_audit" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val pairs = e.select(col("vec_id").as("id_a"),
+            col("embedding").as("va"))
+          .filter(col("id_a") < 64)
+          .join(e.select(col("vec_id").as("id_b"),
+            col("embedding").as("vb")),
+            col("id_b") === col("id_a") + 1)
+        Seq(8, 16, 32).map { d =>
+          pairs.select(col("id_a"), col("id_b"),
+            lit(d.toLong).as("d"),
+            round(Similarity.cosine(col("va"), col("vb")), 6)
+              .as("cos_full_r"),
+            round(Similarity.cosine(slice(col("va"), 1, d),
+              slice(col("vb"), 1, d)), 6).as("cos_d_r"),
+            round(abs(Similarity.cosine(slice(col("va"), 1, d),
+              slice(col("vb"), 1, d)) -
+              Similarity.cosine(col("va"), col("vb"))), 6)
+              .as("absdev_r"))
+        }.reduce(_ unionAll _)
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          a.v AS va, b.v AS vb FROM v a
+          JOIN v b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id < 64),
+        c AS (SELECT id_a, id_b, d,
+          list_reduce(list_transform(generate_series(1, 64),
+            i -> va[i] * vb[i]), (x, y) -> x + y) /
+          (sqrt(list_reduce(list_transform(generate_series(1, 64),
+            i -> va[i] * va[i]), (x, y) -> x + y)) *
+           sqrt(list_reduce(list_transform(generate_series(1, 64),
+            i -> vb[i] * vb[i]), (x, y) -> x + y))) AS cf,
+          list_reduce(list_transform(generate_series(1, d),
+            i -> va[i] * vb[i]), (x, y) -> x + y) /
+          (sqrt(list_reduce(list_transform(generate_series(1, d),
+            i -> va[i] * va[i]), (x, y) -> x + y)) *
+           sqrt(list_reduce(list_transform(generate_series(1, d),
+            i -> vb[i] * vb[i]), (x, y) -> x + y))) AS cs
+          FROM p, (SELECT unnest([8, 16, 32]) AS d))
+        SELECT id_a, id_b, d::BIGINT AS d, round(cf, 6) AS cos_full_r,
+          round(cs, 6) AS cos_d_r, round(abs(cs - cf), 6) AS absdev_r
+        FROM c""".replaceAll("\\s+", " "))),
+
     "emb_quantize_int8" -> QueryDef(
       (s, dir) => Similarity.quantizeInt8(emb(s, dir), "vec_id",
         "embedding"),
