@@ -914,6 +914,28 @@ object RelationalQueries {
           FROM p""".replaceAll("\\s+", " ")
       }),
 
+    // MERGEABLE distinct-count partials: per-(type, day) HLL sketches
+    // (DataSketches hll_sketch_agg) unioned across days — the
+    // incremental-view form of COUNT(DISTINCT) at 100 TB: each new
+    // day contributes one bounded sketch row and history is never
+    // rescanned (the Incremental.partialStats story for the one
+    // aggregate that ISN'T algebraic in raw form). Rows-only by
+    // design (sketch estimates are engine-specific); HllPartialsSpec
+    // pins merge-invariance (union of daily partials ≡ one direct
+    // sketch, exactly — HLL registers are maxes, so partitioning
+    // cannot move the estimate) and the ≤ 5% error envelope.
+    "incr_hll_partials" -> QueryDef(
+      (s, dir) => ev(s, dir)
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("day"), col("user_id"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as bigint)")
+            .as("approx_users")),
+      None),
+
     // k-anonymity audit over the (user_id, event_type, day)
     // quasi-identifier — the privacy screen before a dataset release:
     // what fraction of rows sit in re-identifiable classes (< k=5
