@@ -1225,6 +1225,54 @@ object RelationalQueries {
              se2 * se2 / (n2::DOUBLE - 1.0)), 2) END AS df_r
         FROM v""".replaceAll("\\s+", " "))),
 
+    // calendar effect: Welch's t between weekday and weekend value
+    // distributions — "is weekend traffic actually different", the
+    // seasonality INFERENCE companion to ts_weekly_profile's
+    // descriptive shape. The cohort is pure integer epoch arithmetic
+    // ((epoch-day + 3) mod 7 ≥ 5, 0 = Monday — no engine calendar
+    // conventions), then the exact-Long Welch machinery as
+    // stats_ttest.
+    "stats_calendar_effect" -> QueryDef(
+      (s, dir) => Profiling.welchT(
+        ev(s, dir).select(
+          when(expr("((ts div 86400000000000) + 3) % 7") >= 5,
+            "weekend").otherwise("weekday").as("dow_cohort"),
+          round(col("value") * 100, 0).cast("long").as("cents")),
+        "dow_cohort", "cents", "weekday", "weekend"),
+      Some("""WITH b AS (SELECT CASE WHEN
+            ((epoch_us(ts) // 86400000000) + 3) % 7 >= 5
+            THEN 'weekend' ELSE 'weekday' END AS g,
+          CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+        s AS (SELECT
+          max(CASE WHEN g='weekday' THEN n END) AS n1,
+          max(CASE WHEN g='weekday' THEN sx END) AS sx1,
+          max(CASE WHEN g='weekday' THEN qx END) AS qx1,
+          max(CASE WHEN g='weekend' THEN n END) AS n2,
+          max(CASE WHEN g='weekend' THEN sx END) AS sx2,
+          max(CASE WHEN g='weekend' THEN qx END) AS qx2
+          FROM (SELECT g, count(*)::BIGINT AS n,
+            sum(c)::BIGINT AS sx, sum(c*c)::BIGINT AS qx
+            FROM b GROUP BY 1)),
+        v AS (SELECT n1, n2, sx1, sx2,
+          ((n1::DOUBLE * qx1::DOUBLE - sx1::DOUBLE * sx1::DOUBLE) /
+            (n1::DOUBLE * (n1::DOUBLE - 1.0))) / n1::DOUBLE AS se1,
+          ((n2::DOUBLE * qx2::DOUBLE - sx2::DOUBLE * sx2::DOUBLE) /
+            (n2::DOUBLE * (n2::DOUBLE - 1.0))) / n2::DOUBLE AS se2
+          FROM s)
+        SELECT n1, n2,
+          CAST((2 * sx1 * 10000 + n1) // (2 * n1) AS BIGINT)
+            AS mean1_u,
+          CAST((2 * sx2 * 10000 + n2) // (2 * n2) AS BIGINT)
+            AS mean2_u,
+          CASE WHEN n1 > 1 AND n2 > 1 THEN round(
+            (sx1::DOUBLE / n1::DOUBLE - sx2::DOUBLE / n2::DOUBLE) /
+            sqrt(se1 + se2), 4) END AS t_r,
+          CASE WHEN n1 > 1 AND n2 > 1 THEN round(
+            (se1 + se2) * (se1 + se2) /
+            (se1 * se1 / (n1::DOUBLE - 1.0) +
+             se2 * se2 / (n2::DOUBLE - 1.0)), 2) END AS df_r
+        FROM v""".replaceAll("\\s+", " "))),
+
     // TPC-H Q18-style large-volume orders: aggregate lineitem per
     // order, HAVING over the aggregate, then enrich from orders —
     // the aggregate-then-semi-join shape (the filter reduces BEFORE
