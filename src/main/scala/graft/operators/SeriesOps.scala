@@ -1076,6 +1076,59 @@ object SeriesOps {
             .cast("double"))), 6).as("p_r")): _*)
   }
 
+  /** BOUNDED Theil–Sen robust trend slope per series: the median of
+    * pairwise slopes over pairs at most `maxLag` buckets apart —
+    * the robust SLOPE estimate completing [[mannKendall]] (is there a
+    * trend) and [[spearmanTrend]] (how monotone) with "how steep",
+    * immune to outliers that wreck an OLS fit. The full Theil–Sen
+    * pair set is O(n²) (the ts_pettitt lesson); bounding the lag
+    * keeps it O(n·L) — for trend estimation the short-lag pairs
+    * carry nearly all the information anyway (long-lag slopes are
+    * averages of short-lag ones).
+    *
+    * Each pair's slope is the exact scaled integer
+    * trunc((v₂−v₁)·10⁴ / ℓ) (truncation TOWARD ZERO on both engines
+    * — Spark's `div` truncates, so the oracle mirrors with an
+    * explicit sign split rather than DuckDB's flooring `//`); the
+    * median is the lower order statistic off the per-series
+    * slope-domain frequency frame (the weightedMedian discipline).
+    *
+    * Scale shape: the pair generator is one lag explode (×L) + one
+    * per-series equi-join on the shifted bucket — never a self-join
+    * inequality; everything after runs on the slope value-domain
+    * frame.
+    *
+    * Output: (series…, n_pairs, slope_u — median slope in
+    * cents·10⁴ per bucket, NULL when no pairs). */
+  def theilSenBounded(df: DataFrame, seriesCols: Seq[String],
+      bucketCol: String, centsCol: String, bucketStep: Long,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 100,
+      s"need 1 <= maxLag <= 100: $maxLag")
+    require(bucketStep > 0, s"bucketStep must be positive: $bucketStep")
+    val gc = seriesCols.map(col)
+    val base = df.select(gc :+ col(bucketCol).cast("long").as("b") :+
+      col(centsCol).cast("long").as("v"): _*)
+    val lagged = base
+      .select(gc ++ Seq(col("b"), col("v"), explode(sequence(lit(1L),
+        lit(maxLag.toLong))).as("l")): _*)
+      .withColumn("bt", col("b") + col("l") * lit(bucketStep))
+    val right = base.select(gc :+ col("b").as("bt") :+
+      col("v").as("v2"): _*)
+    val slopes = lagged.join(right, seriesCols :+ "bt")
+      .select(gc :+ expr("((v2 - v) * 10000) div l").as("s_u"): _*)
+    val wOrd = Window.partitionBy(gc: _*).orderBy(col("s_u"))
+    val wAll = Window.partitionBy(gc: _*)
+    slopes.groupBy(gc :+ col("s_u"): _*)
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(gc: _*)
+      .agg(max(col("n")).as("n_pairs"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("s_u")))
+          .as("slope_u"))
+  }
+
   /** Gap detection over a bucketed per-series frame: one row per run
     * of MISSING buckets — where a series that should tick every
     * `step` went silent (the collector-outage / dead-sensor audit;

@@ -1328,6 +1328,49 @@ object ParityQueries {
           LEFT JOIN nr ON nr.event_type = nn.event_type
             AND nr.rn = lc.loc_t""".replaceAll("\\s+", " "))),
 
+    // bounded Theil–Sen robust slope per series: median of pairwise
+    // slopes at lag ≤ 6 hours — "how steep is the trend", immune to
+    // the outliers that wreck OLS (completes mk-trend/spearman with
+    // the magnitude). O(n·L) lag-explode pairs, never the O(n²)
+    // self-join; slope division truncates TOWARD ZERO on both
+    // engines (Spark div ↔ an explicit sign split over DuckDB's
+    // flooring //).
+    "ts_theilsen" -> QueryDef(
+      (s, dir) => SeriesOps.theilSenBounded(
+        Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b_us"),
+            expr("(2 * s * 10000 + n) div (2 * n)").as("vu")),
+        seriesCols = Seq("event_type"), bucketCol = "b_us",
+        centsCol = "vu", bucketStep = 3600000000L, maxLag = 6),
+      Some("""WITH a0 AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+          count(*) AS n0 FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, b,
+          CAST((2 * s * 10000 + n0) // (2 * n0) AS BIGINT) AS vu
+          FROM a0),
+        lg AS (SELECT a.event_type, a.b, a.vu, l.l,
+          a.b + l.l * 3600000000 AS bt FROM a,
+          (SELECT unnest(generate_series(1, 6)) AS l) l),
+        pr AS (SELECT lg.event_type,
+          (r.vu - lg.vu) * 10000 AS dv, lg.l FROM lg
+          JOIN a r ON r.event_type = lg.event_type AND r.b = lg.bt),
+        sl AS (SELECT event_type, CASE WHEN dv >= 0 THEN dv // l
+          ELSE -((-dv) // l) END AS s_u FROM pr),
+        f AS (SELECT event_type, s_u, count(*)::BIGINT AS c FROM sl
+          GROUP BY 1, 2),
+        cw AS (SELECT event_type, s_u, c,
+          sum(c) OVER (PARTITION BY event_type ORDER BY s_u) AS cum,
+          sum(c) OVER (PARTITION BY event_type) AS n FROM f)
+        SELECT event_type, max(n)::BIGINT AS n_pairs,
+          min(CASE WHEN cum >= (n + 1) // 2 THEN s_u END)::BIGINT
+            AS slope_u
+        FROM cw GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // gap detection per series at minute granularity: one row per
     // run of missing minutes — the collector-outage audit (the batch
     // complement of the monitor's lastOK tracking; its output is

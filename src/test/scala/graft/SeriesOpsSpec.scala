@@ -727,6 +727,32 @@ class SeriesOpsSpec extends AnyFunSuite {
     assert(gotBig.toSeq === refLttb(spiked.toIndexedSeq, 20))
   }
 
+  test("theilSenBounded: a linear series recovers the exact slope; " +
+    "one planted outlier leaves the median slope unmoved (the " +
+    "robustness OLS lacks); negative slopes truncate toward zero") {
+    val s = spark
+    import s.implicits._
+    // v = 7*b (step 1): every pair slope = 7*10^4 exactly
+    val lin = (1L to 30L).map(b => ("k", b, 7 * b)).toDF("k", "b", "v")
+    val r = graft.operators.SeriesOps.theilSenBounded(
+      lin, Seq("k"), "b", "v", bucketStep = 1L, maxLag = 5)
+      .collect().head
+    assert(r.getLong(2) === 70000L)
+    // outlier at b=15 (value 10^6): the median pair slope stays 7e4
+    val out = (1L to 30L).map(b =>
+      ("k", b, if (b == 15) 1000000L else 7 * b)).toDF("k", "b", "v")
+    val ro = graft.operators.SeriesOps.theilSenBounded(
+      out, Seq("k"), "b", "v", bucketStep = 1L, maxLag = 5)
+      .collect().head
+    assert(ro.getLong(2) === 70000L, s"outlier moved the median")
+    // descending series: slope = -3*10^4, truncation toward zero
+    val neg = (1L to 10L).map(b => ("k", b, -3 * b)).toDF("k", "b", "v")
+    val rn = graft.operators.SeriesOps.theilSenBounded(
+      neg, Seq("k"), "b", "v", bucketStep = 1L, maxLag = 3)
+      .collect().head
+    assert(rn.getLong(2) === -30000L)
+  }
+
   test("spearmanTrend: hand-computed rho with and without value " +
     "ties; a perfectly monotone series scores exactly 1") {
     val s = spark
