@@ -447,6 +447,60 @@ object Multimodal {
         col("st._5").as("peak"))
   }
 
+  /** Linear-interpolation PCM RESAMPLE over real decoded WAV frames:
+    * output sample j at `outRate` sits at source position
+    * p = j·inRate/outRate and interpolates its two bracketing
+    * samples — kept EXACT by scaling by outRate
+    * (s_u = s[⌊p⌋]·(outRate−frac) + s[⌊p⌋+1]·frac, all integers), so
+    * the resampled stream is DuckDB-oracle-able against the synth
+    * waveform's arithmetic form — real audio-pipeline plumbing
+    * (rate-normalize before featurization) with none of the float
+    * smear. Decode is the [[wavStats]] UDF discipline: row-local,
+    * payloads never shuffle, undecodable payloads drop
+    * (quarantine-filter convention).
+    *
+    * Output: (asset_id, j, s_u — sample scaled by outRate). */
+  def wavResample(assets: DataFrame, outRate: Int): DataFrame = {
+    require(outRate >= 1 && outRate <= 192000,
+      s"outRate must be in 1..192000: $outRate")
+    val resampleUdf = udf { (payload: Array[Byte]) =>
+      if (payload == null) None
+      else try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian ||
+          fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          if (n < 1) None
+          else {
+            val inRate = fmt.getSampleRate.toLong
+            def s(i: Int): Long = ((pcm(2 * i) & 0xFF) |
+              (pcm(2 * i + 1).toInt << 8)).toShort.toLong
+            val m = ((n - 1).toLong * outRate / inRate + 1L).toInt
+            Some((0 until m).map { j =>
+              val num = j.toLong * inRate
+              val idx = (num / outRate).toInt
+              val frac = num % outRate
+              if (frac == 0L) s(idx) * outRate
+              else s(idx) * (outRate - frac) + s(idx + 1) * frac
+            })
+          }
+        }
+      } catch { case NonFatal(_) => None }
+    }
+    assets
+      .select(col("asset_id"), resampleUdf(col("payload")).as("sm"))
+      .filter(col("sm").isNotNull)
+      .select(col("asset_id"), posexplode(col("sm")).as(Seq("j", "s_u")))
+      .select(col("asset_id"), col("j").cast("long").as("j"),
+        col("s_u"))
+  }
+
   /** STUB frame sampling plumbing: emit `n` (asset_id, frame_no) rows per
     * video asset — the row-explosion shape of real frame extraction. */
   def sampleFrames(assets: DataFrame, n: Int): DataFrame = {

@@ -3147,6 +3147,33 @@ object PipelineQueries {
           sum(s * s)::BIGINT AS energy, max(abs(s))::BIGINT AS peak
         FROM sm GROUP BY 1""".replaceAll("\\s+", " "))),
 
+    // linear-interp PCM resample 8 kHz → 3 kHz over REAL decoded WAV
+    // frames, kept exact by outRate scaling so the resampled stream
+    // hash-matches the synth waveform's arithmetic form — the
+    // rate-normalization step before audio featurization, with the
+    // wavStats row-local decode discipline (payloads never shuffle).
+    "mm_wav_resample" -> QueryDef(
+      (s, dir) => Multimodal.wavResample(Multimodal.synthWavAssets(
+        docs(s, dir), "doc_id",
+        lit(50) + pmod(col("doc_id"), lit(37))), outRate = 3000),
+      Some("""WITH g AS (SELECT doc_id, 50 + doc_id % 37 AS n
+          FROM documents),
+        mm AS (SELECT doc_id, n, ((n - 1) * 3000) // 8000 + 1 AS m
+          FROM g),
+        e AS (SELECT doc_id, n,
+          unnest(generate_series(0, m - 1)) AS j FROM mm),
+        p AS (SELECT doc_id, n, j, (j * 8000) // 3000 AS idx,
+          (j * 8000) % 3000 AS frac FROM e),
+        s AS (SELECT doc_id, j,
+          CASE WHEN frac = 0
+            THEN (((doc_id * 31 + idx * 7) % 2003) - 1001) * 3000
+            ELSE (((doc_id * 31 + idx * 7) % 2003) - 1001)
+              * (3000 - frac) +
+              (((doc_id * 31 + (idx + 1) * 7) % 2003) - 1001) * frac
+          END AS s_u FROM p)
+        SELECT doc_id AS asset_id, j::BIGINT AS j, s_u::BIGINT AS s_u
+        FROM s""".replaceAll("\\s+", " "))),
+
     "mm_phash" -> QueryDef(
       (s, dir) => Multimodal.perceptualHash(Multimodal.synthPngAssets(
         docs(s, dir), "doc_id",
