@@ -48,6 +48,65 @@ object TextAnalysis {
 
   /** Quality metrics: word count, char length, average word length,
     * distinct-word ratio (lexical diversity), stopword ratio. */
+  /** RAKE keyword extraction (Rose et al., "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are
+    * maximal stopword-free word runs; each word scores
+    * degree/frequency over the phrase graph (degree = Σ phrase
+    * lengths it appears in, including itself); a phrase scores the
+    * sum of its words' scores. Kept EXACT-integer by the registry's
+    * floored-bp convention: word score_bp = ⌊degree·10⁴/freq⌋ and
+    * phrase score = Σ score_bp with multiplicity — deterministic and
+    * oracle-stable where the paper's rational sums would smear.
+    *
+    * Scale shape: one posexplode word pass; run ids from a per-DOC
+    * stopword-count window (doc-bounded partitions, the text-family
+    * contract); word stats from two map-side-combined aggregates;
+    * the final ranking is TakeOrdered(k) bounded heaps over the
+    * distinct-phrase frame.
+    *
+    * Output: top-k (phrase, n_words, n_occur, score_bp), ranked
+    * (score desc, phrase asc). */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], k: Int, maxPhraseLen: Int = 4)
+      : DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(maxPhraseLen >= 1,
+      s"maxPhraseLen must be positive: $maxPhraseLen")
+    require(stopwords.nonEmpty, "need a stopword list")
+    val words = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .withColumn("stop", col("w").isin(stopwords: _*))
+      .withColumn("run", sum(when(col("stop"), 1L).otherwise(0L))
+        .over(Window.partitionBy(col("id")).orderBy(col("pos"))))
+    val pw = words.filter(!col("stop") && col("w") =!= "")
+    // runs past maxPhraseLen are discarded whole (the standard RAKE
+    // cap — score ∝ run length, so uncapped extraction degenerates
+    // to "the longest stopword-free stretch wins")
+    val phrases = pw.groupBy(col("id"), col("run"))
+      .agg(count(lit(1)).as("len"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("w")))), x => x.getField("w")), " ")
+          .as("phrase"))
+      .filter(col("len") <= maxPhraseLen)
+    val wordStats = pw.join(phrases, Seq("id", "run"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("degree"))
+      .withColumn("score_bp", expr("(degree * 10000) div freq"))
+    // per-INSTANCE phrase score (identical for every instance of the
+    // same phrase text — same words, same corpus-wide word scores),
+    // then one distinct-phrase rollup
+    val instScores = pw.join(phrases, Seq("id", "run"))
+      .join(wordStats.select(col("w"), col("score_bp")), "w")
+      .groupBy(col("id"), col("run"), col("phrase"), col("len"))
+      .agg(sum(col("score_bp")).as("sc"))
+    instScores.groupBy(col("phrase"))
+      .agg(max(col("len")).as("n_words"),
+        count(lit(1)).as("n_occur"), max(col("sc")).as("score_bp"))
+      .orderBy(col("score_bp").desc, col("phrase"))
+      .limit(k)
+  }
+
   def quality(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String]): DataFrame =
     df.select(col(idCol).as("id") +: qualityCols(textCol, stopwords): _*)

@@ -985,6 +985,47 @@ object PipelineQueries {
       },
       None),
 
+    // RAKE keyword extraction: maximal stopword-free word runs (≤ 4
+    // words — the standard cap; score grows with run length, so
+    // uncapped extraction degenerates to the longest stretch) scored
+    // by the sum of their words' degree/frequency ratios (floored bp
+    // — exact integers where the paper's rational sums would smear);
+    // corpus-wide top-20 phrases via TakeOrdered bounded heaps. The
+    // phrase-mining companion to text_tfidf_topk (TF-IDF ranks
+    // WORDS; RAKE surfaces multi-word PHRASES).
+    "text_rake_keywords" -> QueryDef(
+      (s, dir) => TextAnalysis.rakeKeywords(docs(s, dir), "doc_id",
+        "text", Stopwords, k = 20),
+      Some(s"""WITH w0 AS (SELECT doc_id AS id,
+          unnest(string_split(text, ' ')) AS w,
+          unnest(generate_series(1,
+            len(string_split(text, ' ')))) AS pos
+          FROM documents),
+        wf AS (SELECT id, w, pos,
+          w IN (${Stopwords.map("'" + _ + "'").mkString(",")})
+            AS stop FROM w0),
+        wr AS (SELECT id, w, pos, stop,
+          sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER
+            (PARTITION BY id ORDER BY pos) AS run FROM wf),
+        pw AS (SELECT id, w, pos, run FROM wr
+          WHERE NOT stop AND w <> ''),
+        ph AS (SELECT id, run, count(*)::BIGINT AS len,
+          string_agg(w, ' ' ORDER BY pos) AS phrase FROM pw
+          GROUP BY 1, 2 HAVING count(*) <= 4),
+        ws AS (SELECT w, count(*)::BIGINT AS freq,
+          sum(len)::BIGINT AS degree,
+          (sum(len) * 10000) // count(*) AS score_bp
+          FROM pw JOIN ph USING (id, run) GROUP BY 1),
+        inst AS (SELECT pw.id, pw.run, ph.phrase, ph.len,
+          sum(ws.score_bp)::BIGINT AS sc
+          FROM pw JOIN ph USING (id, run) JOIN ws USING (w)
+          GROUP BY 1, 2, 3, 4)
+        SELECT phrase, max(len)::BIGINT AS n_words,
+          count(*)::BIGINT AS n_occur, max(sc)::BIGINT AS score_bp
+        FROM inst GROUP BY phrase
+        ORDER BY score_bp DESC, phrase LIMIT 20"""
+        .replaceAll("\\s+", " "))),
+
     // text quality metrics.
     "text_quality" -> QueryDef(
       (s, dir) => TextAnalysis.quality(docs(s, dir), "doc_id", "text",
