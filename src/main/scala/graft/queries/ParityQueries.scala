@@ -1328,6 +1328,63 @@ object ParityQueries {
           LEFT JOIN nr ON nr.event_type = nn.event_type
             AND nr.rn = lc.loc_t""".replaceAll("\\s+", " "))),
 
+    // SEASONAL Mann–Kendall (the Hirsch–Slack variant): MK run
+    // independently per (series, hour-of-day phase) over day-grain
+    // buckets — comparisons only WITHIN a season, so a daily cycle
+    // can't masquerade as (or hide) a trend — then the per-phase
+    // exact (S, Var·18) statistics SUM into one per-series z. Pure
+    // composition of the existing mannKendall with a two-column
+    // series key plus one exact-integer combine; per-phase pair sets
+    // are (days-per-range)-bounded.
+    "ts_mk_seasonal" -> QueryDef(
+      (s, dir) => {
+        val mk = SeriesOps.mannKendall(
+          Tables.events(s, dir)
+            .groupBy(col("event_type"),
+              expr("(ts div 3600000000000) % 24").as("phase"),
+              expr("ts div 86400000000000").as("day"))
+            .agg(sum(round(col("value") * 100, 0).cast("long"))
+              .as("vc")),
+          Seq("event_type", "phase"), "day", "vc")
+        mk.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("k_phases"), sum(col("n")).as("n"),
+            sum(col("s")).as("s"), sum(col("var18")).as("var18"))
+          .withColumn("z_r", when(col("var18") > 0,
+            round((col("s") - signum(col("s")).cast("long"))
+              .cast("double") /
+              sqrt(col("var18").cast("double") / 18.0), 4)))
+      },
+      Some("""WITH bk AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) % 24 AS phase,
+          epoch_us(ts) // 86400000000 AS day,
+          sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS v
+          FROM events GROUP BY 1, 2, 3),
+        pr AS (SELECT a.event_type, a.phase,
+          CASE WHEN x.v > a.v THEN 1 WHEN x.v < a.v THEN -1 ELSE 0 END
+            AS sg
+          FROM bk a JOIN bk x ON a.event_type = x.event_type
+            AND a.phase = x.phase AND a.day < x.day),
+        sa AS (SELECT event_type, phase, sum(sg)::BIGINT AS s FROM pr
+          GROUP BY 1, 2),
+        ti AS (SELECT event_type, phase, sum(t)::BIGINT AS n,
+          sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie18
+          FROM (SELECT event_type, phase, v, count(*)::BIGINT AS t
+            FROM bk GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        per AS (SELECT ti.event_type, ti.n,
+          coalesce(sa.s, 0)::BIGINT AS s,
+          (ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tie18)::BIGINT
+            AS var18
+          FROM ti LEFT JOIN sa ON ti.event_type = sa.event_type
+            AND ti.phase = sa.phase),
+        cm AS (SELECT event_type, count(*)::BIGINT AS k_phases,
+          sum(n)::BIGINT AS n, sum(s)::BIGINT AS s,
+          sum(var18)::BIGINT AS var18 FROM per GROUP BY 1)
+        SELECT event_type, k_phases, n, s, var18,
+          CASE WHEN var18 > 0 THEN round((s -
+            CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+            ::DOUBLE / sqrt(var18::DOUBLE / 18.0), 4) END AS z_r
+        FROM cm""".replaceAll("\\s+", " "))),
+
     // bounded Theil–Sen robust slope per series: median of pairwise
     // slopes at lag ≤ 6 hours — "how steep is the trend", immune to
     // the outliers that wreck OLS (completes mk-trend/spearman with
