@@ -1328,6 +1328,38 @@ object ParityQueries {
           LEFT JOIN nr ON nr.event_type = nn.event_type
             AND nr.rn = lc.loc_t""".replaceAll("\\s+", " "))),
 
+    // gap → backfill PLAN: every detected outage run tiles into
+    // ≤ 60-minute recovery chunks — ts_gaps' rows made literally the
+    // chunk list a CopyJob backfill would enqueue (the reference's
+    // recovery-window → chunked-copy pipeline as one declarative
+    // composition). Pure projection + explode over the gap frame.
+    "ts_gap_backfill_plan" -> QueryDef(
+      (s, dir) => SeriesOps.gaps(
+          Tables.events(s, dir).select(col("event_type"),
+            expr("ts div 60000000000").as("b_min")),
+          seriesCols = Seq("event_type"), bucketCol = "b_min",
+          step = 1L)
+        .withColumn("ci", explode(sequence(lit(0L),
+          expr("(n_missing + 59) div 60") - 1)))
+        .select(col("event_type"),
+          (col("gap_start_b") + col("ci") * 60L).as("chunk_start_b"),
+          least(lit(60L), col("n_missing") - col("ci") * 60L)
+            .as("chunk_len")),
+      Some("""WITH b AS (SELECT DISTINCT event_type,
+          epoch_us(ts) // 60000000 AS b FROM events),
+        l AS (SELECT event_type, b, lead(b) OVER
+          (PARTITION BY event_type ORDER BY b) AS nb FROM b),
+        g AS (SELECT event_type, (b + 1) AS gap_start_b,
+          (nb - b - 1) AS n_missing
+          FROM l WHERE nb IS NOT NULL AND nb - b > 1),
+        c AS (SELECT event_type, gap_start_b, n_missing,
+          unnest(generate_series(0, (n_missing + 59) // 60 - 1))
+            AS ci FROM g)
+        SELECT event_type,
+          (gap_start_b + ci * 60)::BIGINT AS chunk_start_b,
+          least(60, n_missing - ci * 60)::BIGINT AS chunk_len
+        FROM c""".replaceAll("\\s+", " "))),
+
     // SEASONAL Mann–Kendall (the Hirsch–Slack variant): MK run
     // independently per (series, hour-of-day phase) over day-grain
     // buckets — comparisons only WITHIN a season, so a daily cycle
