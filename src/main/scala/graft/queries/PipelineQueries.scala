@@ -584,6 +584,73 @@ object PipelineQueries {
         SELECT id, min(label)::BIGINT AS cluster FROM reach GROUP BY id"""
         .replaceAll("\\s+", " "))),
 
+    // cluster-partition MODULARITY vs the candidate graph: how well
+    // the confirm-derived dup clusters explain the LSH candidate
+    // edges (cross-cluster candidates = blocking false positives;
+    // Q = Σ_c [e_c/m − (d_c/2m)²], kept exact as
+    // Q_num = Σ_c (4m·e_c − d_c²) over integers with ONE rounded
+    // division) — the graph-level companion of
+    // dedup_blocking_quality's pairwise precision.
+    "dedup_cluster_modularity" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sig = Dedup.minhashSignatures(d, "doc_id", "text",
+          MinhashK, ShingleLen)
+        val cand =
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+        val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
+          JaccardThreshold, candidates = Some(cand))
+        val cl = Dedup.dupClusters(d, "doc_id", pairs,
+          shortcut = false)
+        val ce = cand
+          .join(cl.select(col("id").as("id_a"),
+            col("cluster").as("ca0")), Seq("id_a"), "left_outer")
+          .join(cl.select(col("id").as("id_b"),
+            col("cluster").as("cb0")), Seq("id_b"), "left_outer")
+          .select(coalesce(col("ca0"), col("id_a")).as("ca"),
+            coalesce(col("cb0"), col("id_b")).as("cb"))
+        val mRow = ce.agg(count(lit(1)).as("m"))
+        val ec = ce.filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("cluster"))
+          .agg(count(lit(1)).as("e_c"))
+        val dg = ce.select(col("ca").as("cluster"))
+          .unionAll(ce.select(col("cb").as("cluster")))
+          .groupBy(col("cluster")).agg(count(lit(1)).as("d_c"))
+        val q = dg.join(ec, Seq("cluster"), "left_outer")
+          .select(col("cluster"), coalesce(col("e_c"), lit(0L))
+            .as("e_c"), col("d_c"))
+          .crossJoin(broadcast(mRow))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(lit(4L) * col("m") * col("e_c") -
+              col("d_c") * col("d_c")).as("qn"))
+        mRow.crossJoin(broadcast(q))
+          .select(col("m"), col("n_clusters"),
+            round(col("qn").cast("double") /
+              (lit(4.0) * col("m").cast("double") *
+                col("m").cast("double")), 6).as("q_r"))
+      },
+      Some(s"""WITH RECURSIVE $ClusterReachCtes,
+        cl AS (SELECT id, min(label)::BIGINT AS cluster FROM reach
+          GROUP BY id),
+        ce AS (SELECT ca.cluster AS ca, cb.cluster AS cb
+          FROM cand c JOIN cl ca ON ca.id = c.id_a
+          JOIN cl cb ON cb.id = c.id_b),
+        mm AS (SELECT count(*)::BIGINT AS m FROM ce),
+        ecf AS (SELECT ca AS cluster, count(*)::BIGINT AS e_c FROM ce
+          WHERE ca = cb GROUP BY 1),
+        dg AS (SELECT cluster, count(*)::BIGINT AS d_c FROM (
+          SELECT ca AS cluster FROM ce
+          UNION ALL SELECT cb FROM ce) GROUP BY 1),
+        q AS (SELECT dg.cluster, coalesce(ecf.e_c, 0) AS e_c, dg.d_c
+          FROM dg LEFT JOIN ecf USING (cluster)),
+        sq AS (SELECT count(*)::BIGINT AS n_clusters,
+          sum(4 * mm.m * q.e_c - q.d_c * q.d_c)::BIGINT AS qn
+          FROM q CROSS JOIN mm)
+        SELECT mm.m, sq.n_clusters,
+          round(sq.qn::DOUBLE /
+            (4.0 * mm.m::DOUBLE * mm.m::DOUBLE), 6) AS q_r
+        FROM mm CROSS JOIN sq""".replaceAll("\\s+", " "))),
+
     // canonical-copy selection: within every duplicate cluster keep
     // the doc with the LARGEST n_chars (least-truncated copy — "keep
     // the best, not the first"), vote ties to the smallest id. Argmax
