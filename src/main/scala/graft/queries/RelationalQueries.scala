@@ -1225,6 +1225,88 @@ object RelationalQueries {
              se2 * se2 / (n2::DOUBLE - 1.0)), 2) END AS df_r
         FROM v""".replaceAll("\\s+", " "))),
 
+    // A/B experiment readout: users deterministically hash-assigned
+    // to variants (the md5 split convention — reproducible, balanced,
+    // assignment independent of behavior), then BOTH the parametric
+    // (Welch t) and distribution-free (Mann–Whitney z) verdicts on
+    // purchase values side by side — the standard experimentation
+    // readout, and on a null A/A-style split both tests should stay
+    // quiet (|z| small), which the oracle replays exactly.
+    "behavior_ab_test" -> QueryDef(
+      (s, dir) => {
+        val assigned = ev(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(
+            when(expr("cast(conv(substring(md5(concat(cast(user_id " +
+              "as string), ':ab1')), 1, 15), 16, 10) as bigint) % 2")
+              === 0, "a").otherwise("b").as("variant"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        val w = Profiling.welchT(assigned, "variant", "cents",
+          "a", "b")
+        val u = Profiling.mannWhitney(assigned, "variant", "cents",
+          "a", "b")
+        w.crossJoin(broadcast(u.select(col("u2"),
+            col("z_r").as("mw_z_r"))))
+          .select(col("n1").as("n_a"), col("n2").as("n_b"),
+            col("mean1_u").as("mean_a_u"),
+            col("mean2_u").as("mean_b_u"),
+            col("t_r"), col("u2"), col("mw_z_r"))
+      },
+      Some("""WITH asg AS (SELECT CASE WHEN
+            ('0x'||substr(md5(user_id::VARCHAR || ':ab1'),1,15))
+              ::BIGINT % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+          CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+          WHERE event_type = 'purchase'),
+        st AS (SELECT
+          max(CASE WHEN g='a' THEN n END) AS n1,
+          max(CASE WHEN g='a' THEN sx END) AS sx1,
+          max(CASE WHEN g='a' THEN qx END) AS qx1,
+          max(CASE WHEN g='b' THEN n END) AS n2,
+          max(CASE WHEN g='b' THEN sx END) AS sx2,
+          max(CASE WHEN g='b' THEN qx END) AS qx2
+          FROM (SELECT g, count(*)::BIGINT AS n,
+            sum(c)::BIGINT AS sx, sum(c*c)::BIGINT AS qx
+            FROM asg GROUP BY 1)),
+        sv AS (SELECT n1, n2, sx1, sx2,
+          ((n1::DOUBLE * qx1::DOUBLE - sx1::DOUBLE * sx1::DOUBLE) /
+            (n1::DOUBLE * (n1::DOUBLE - 1.0))) / n1::DOUBLE AS se1,
+          ((n2::DOUBLE * qx2::DOUBLE - sx2::DOUBLE * sx2::DOUBLE) /
+            (n2::DOUBLE * (n2::DOUBLE - 1.0))) / n2::DOUBLE AS se2
+          FROM st),
+        mwf AS (SELECT c AS v,
+          sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END)::BIGINT AS ca,
+          sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END)::BIGINT AS cb
+          FROM asg GROUP BY 1),
+        mwc AS (SELECT v, ca, cb, ca + cb AS t,
+          sum(ca + cb) OVER (ORDER BY v) AS cum_le,
+          sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM mwf),
+        mws AS (SELECT na::BIGINT AS na, nb::BIGINT AS nb,
+          sum(ca * (2 * (cum_le - t) + t + 1))::BIGINT AS r2a,
+          sum(t * t * t - t)::BIGINT AS ties
+          FROM mwc GROUP BY na, nb),
+        mw AS (SELECT (r2a - na * (na + 1))::BIGINT AS u2,
+          CASE WHEN na > 0 AND nb > 0 AND na + nb > 1 AND
+            (na::DOUBLE * nb::DOUBLE * ((na + nb)::DOUBLE + 1.0 -
+              ties::DOUBLE / ((na + nb)::DOUBLE *
+                ((na + nb)::DOUBLE - 1.0))) / 12.0) > 0
+          THEN round(((r2a - na * (na + 1))::DOUBLE -
+              na::DOUBLE * nb::DOUBLE) /
+            (2.0 * sqrt(na::DOUBLE * nb::DOUBLE *
+              ((na + nb)::DOUBLE + 1.0 - ties::DOUBLE /
+                ((na + nb)::DOUBLE * ((na + nb)::DOUBLE - 1.0)))
+              / 12.0)), 4) END AS mw_z_r FROM mws)
+        SELECT sv.n1 AS n_a, sv.n2 AS n_b,
+          CAST((2 * sv.sx1 * 10000 + sv.n1) // (2 * sv.n1) AS BIGINT)
+            AS mean_a_u,
+          CAST((2 * sv.sx2 * 10000 + sv.n2) // (2 * sv.n2) AS BIGINT)
+            AS mean_b_u,
+          CASE WHEN sv.n1 > 1 AND sv.n2 > 1 THEN round(
+            (sv.sx1::DOUBLE / sv.n1::DOUBLE -
+             sv.sx2::DOUBLE / sv.n2::DOUBLE) /
+            sqrt(sv.se1 + sv.se2), 4) END AS t_r,
+          mw.u2, mw.mw_z_r
+        FROM sv CROSS JOIN mw""".replaceAll("\\s+", " "))),
+
     // calendar effect: Welch's t between weekday and weekend value
     // distributions — "is weekend traffic actually different", the
     // seasonality INFERENCE companion to ts_weekly_profile's
