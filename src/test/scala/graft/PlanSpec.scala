@@ -326,13 +326,16 @@ class PlanSpec extends AnyFunSuite {
     //    second-level argument)
     //  - pipeline_stratified_split: tokenQuota's remainder rank over
     //    the |strata|-bounded weights frame (one row per stratum)
+    //  - behavior_ab_test: rides mannWhitney, so the same merged
+    //    DISTINCT-VALUE-frame argument applies
     val allowed = Set("pipeline_temperature_weights",
       "pipeline_temperature_tokens",
       "pipeline_pack_sequences", "pipeline_pack_tokens",
       "text_zipf_slope", "behavior_rfm", "stats_ks_test", "stats_psi",
       "stats_hill_tail", "pipeline_token_quota",
       "stats_mannwhitney", "stats_kruskal",
-      "pipeline_curriculum_order", "pipeline_stratified_split")
+      "pipeline_curriculum_order", "pipeline_stratified_split",
+      "behavior_ab_test")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.queryExecution.optimizedPlan.collect {
