@@ -1998,6 +1998,26 @@ object RelationalQueries {
         FROM lineitem, c GROUP BY 1""".replaceAll("\\s+", " "))),
 
     // grouping sets via ROLLUP (NULL-marked subtotal rows).
+    // beyond-Long EXACT aggregation: cents scaled ×10¹² so per-group
+    // sums reach ~10²¹⁺ — past BIGINT range — and still hash-match:
+    // Spark's Decimal(38,0) sum against DuckDB's HUGEINT, surfaced as
+    // strings (the uint64/Decimal(20,0) line-protocol lane's
+    // aggregate-side guarantee: money math never silently wraps or
+    // rounds at any magnitude).
+    "agg_uint64_sum" -> QueryDef(
+      (s, dir) => ev(s, dir)
+        .select(col("event_type"),
+          (round(col("value") * 100, 0).cast("decimal(38,0)") *
+            lit(1000000000000L)).as("big"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("big")).cast("decimal(38,0)").cast("string")
+            .as("sum_s")),
+      Some("""SELECT event_type, count(*)::BIGINT AS n,
+          (sum(CAST(round(value * 100, 0) AS HUGEINT) *
+            1000000000000))::VARCHAR AS sum_s
+        FROM events GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // exact per-group MODE with a DECLARED tie rule (max count, tie →
     // smallest value): one (group, value) frequency pass + a
     // struct-max argmax — no window, no sort, and the tie rule is
