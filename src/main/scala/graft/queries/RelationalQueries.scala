@@ -1998,6 +1998,26 @@ object RelationalQueries {
         FROM lineitem, c GROUP BY 1""".replaceAll("\\s+", " "))),
 
     // grouping sets via ROLLUP (NULL-marked subtotal rows).
+    // the spark.sql SURFACE end to end: the same canonical events
+    // frame registered as a temp view and queried through raw ANSI
+    // SQL — a user of the library gets the full SQL entry point, not
+    // just the DataFrame API (Catalog.registerViews does this for
+    // whole storage roots; this pins the lane itself).
+    "sql_surface" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .createOrReplaceTempView("graft_events_v")
+        s.sql("""SELECT event_type, count(*) AS n,
+          sum(cast(round(value * 100, 0) as bigint)) AS sum_c,
+          min(ts) AS min_ns, max(ts) AS max_ns
+          FROM graft_events_v GROUP BY event_type""")
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS n,
+          sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS sum_c,
+          min(epoch_ns(ts))::BIGINT AS min_ns,
+          max(epoch_ns(ts))::BIGINT AS max_ns
+        FROM events GROUP BY 1""".replaceAll("\\s+", " "))),
+
     // beyond-Long EXACT aggregation: cents scaled ×10¹² so per-group
     // sums reach ~10²¹⁺ — past BIGINT range — and still hash-match:
     // Spark's Decimal(38,0) sum against DuckDB's HUGEINT, surfaced as
