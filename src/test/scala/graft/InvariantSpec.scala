@@ -277,6 +277,88 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("ksMatrix ≡ pairwise ksTest: every matrix cell equals the " +
+    "two-cohort test run on that pair, over random cohort draws") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 2) {
+      val r = new scala.util.Random(300 + trial)
+      val cohorts = Seq("p", "q", "r")
+      val rows = cohorts.flatMap { c =>
+        val shift = cohorts.indexOf(c) * r.nextInt(20)
+        (1 to 150 + r.nextInt(100)).map(_ =>
+          (c, (r.nextInt(80) + shift).toLong))
+      }
+      val df = rows.toDF("g", "v")
+      val matrix = graft.operators.Profiling.ksMatrix(df, "g", "v")
+        .collect()
+        .map(x => (x.getString(0), x.getString(1)) ->
+          ((x.getLong(2), x.getLong(3), x.getLong(4),
+            x.getDouble(5)))).toMap
+      for {
+        i <- cohorts.indices; j <- cohorts.indices if i < j
+      } {
+        val (a, b) = (cohorts(i), cohorts(j))
+        val kt = graft.operators.Profiling.ksTest(df, "g", "v", a, b)
+          .collect().head
+        assert(matrix((a, b)) === ((kt.getLong(0), kt.getLong(1),
+          kt.getLong(2), kt.getDouble(3))), s"trial $trial pair $a$b")
+      }
+    }
+  }
+
+  test("mannWhitney U equals the brute-force pair count and " +
+    "kruskalWallis with TWO cohorts equals z² exactly (the classic " +
+    "H = z² identity, shared tie correction)") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 2) {
+      val r = new scala.util.Random(400 + trial)
+      val as = (1 to 60 + r.nextInt(40)).map(_ => r.nextInt(25).toLong)
+      val bs = (1 to 60 + r.nextInt(40)).map(_ =>
+        (r.nextInt(25) + r.nextInt(6)).toLong)
+      val df = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("g", "v")
+      val mw = graft.operators.Profiling.mannWhitney(df, "g", "v",
+        "a", "b").collect().head
+      // brute force: 2U = 2·(#(a>b) pairs) + #(a=b ties)
+      val u2 = as.map(a => bs.map(b =>
+        if (a > b) 2L else if (a == b) 1L else 0L).sum).sum
+      assert(mw.getLong(2) === u2, s"trial $trial 2U")
+      val z = mw.getDouble(3)
+      val h = graft.operators.Profiling.kruskalWallis(df, "g", "v")
+        .collect().head.getDouble(2)
+      // H and z round independently (4 dp), so compare loosely
+      assert(math.abs(h - z * z) <= 2e-3,
+        s"trial $trial H=$h z^2=${z * z}")
+    }
+  }
+
+  test("ddQuantiles honors the relative-error bound across random " +
+    "heavy-tailed draws and quantile points") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 2) {
+      val r = new scala.util.Random(500 + trial)
+      // log-uniform-ish values spanning 4 decades
+      val vals = (1 to 3000).map(_ =>
+        math.round(math.pow(10.0, 1 + r.nextDouble() * 4)))
+      val df = vals.map(("g", _)).toDF("g", "v")
+      val qs = Seq((1L, 4L), (1L, 2L), (9L, 10L), (99L, 100L))
+      val names = Seq("p25", "p50", "p90", "p99")
+      val out = graft.operators.QuantileSketch.ddQuantiles(df,
+        Seq("g"), "v", alphaBp = 150, qs = qs, names = names)
+        .collect().head
+      val sorted = vals.sorted
+      qs.zip(names).zipWithIndex.foreach { case (((num, den), _), i) =>
+        val rank = ((sorted.size * num + den - 1) / den - 1).toInt
+        val exact = sorted(rank.max(0)).toDouble
+        val est = out.getDouble(2 + i)
+        assert(math.abs(est - exact) / exact <= 0.015 + 1e-9,
+          s"trial $trial q=$num/$den est=$est exact=$exact")
+      }
+    }
+  }
+
   test("snapshotDiff round-trip: applying the emitted I/U/D rows to " +
     "the old snapshot reproduces the new one exactly, over random " +
     "mutation mixes (incl. NULL transitions)") {
