@@ -8,10 +8,10 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.spark
     val dir = SparkSpec.Sf0001
-    val hot = Seq("text_bigram_logprob", "text_pmi_bigrams",
-      "text_diversity", "text_top_ngrams", "ts_pettitt",
-      "stats_winsorized", "dedup_jaccard_pairs",
-      "text_crossdoc_ngram_frac", "dedup_lsh_pairs", "stats_ks_matrix")
+    val hot = Seq("dedup_cluster_modularity", "graph_kcore",
+      "dedup_keep_best", "layout_bucketed_join", "mm_phash_neardup",
+      "text_bigram_logprob", "dedup_edit_distance",
+      "assoc_rules_pairs", "text_pmi_bigrams", "text_diversity")
     hot.foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect(): Unit

@@ -95,17 +95,22 @@ class PlanSpec extends AnyFunSuite {
     // "Test/runMain graft.PlanDump" re-measures); Exchange includes
     // BroadcastExchange, so a broadcast degrading into a shuffle
     // still trips the separate broadcast floor
+    // re-pinned to the r10 closing bench's top-10 (ts_pettitt left
+    // the expensive set after the frequency-frame reformulation);
+    // the iterative graph ops' high counts are their unrolled
+    // supersteps — the budget is the regression tripwire, not an
+    // aspiration
     val budget = Map(
+      "dedup_cluster_modularity" -> ((35, 14)),
+      "graph_kcore" -> ((57, 19)),
+      "dedup_keep_best" -> ((9, 5)),
+      "layout_bucketed_join" -> ((2, 1)),
+      "mm_phash_neardup" -> ((9, 3)),
       "text_bigram_logprob" -> ((14, 5)),
+      "dedup_edit_distance" -> ((5, 3)),
+      "assoc_rules_pairs" -> ((16, 4)),
       "text_pmi_bigrams" -> ((9, 3)),
-      "text_diversity" -> ((2, 0)),
-      "text_top_ngrams" -> ((1, 0)),
-      "ts_pettitt" -> ((12, 2)),
-      "stats_winsorized" -> ((2, 0)),
-      "dedup_jaccard_pairs" -> ((5, 3)),
-      "text_crossdoc_ngram_frac" -> ((3, 1)),
-      "dedup_lsh_pairs" -> ((2, 1)),
-      "stats_ks_matrix" -> ((10, 3)))
+      "text_diversity" -> ((2, 0)))
     budget.foreach { case (q, (maxExchanges, minBroadcasts)) =>
       val p = planOf(q).split("== Initial Plan ==")(0)
       // BroadcastNestedLoopJoin is NOT banned here: the hot set's
