@@ -775,6 +775,46 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(latest("h1")._3 < 0.2, latest("h1").toString)
   }
 
+  test("streaming quantile sketch: per-key state SURVIVES a query " +
+    "restart from the checkpoint — the resumed snapshot still " +
+    "equals the batch operator over all points") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_qr_in").toString
+    val out = Files.createTempDirectory("graft_qr_out").toString
+    val ckpt = Files.createTempDirectory("graft_qr_ck").toString
+    val rnd = new scala.util.Random(23)
+    val pts = (1 to 160).map(i =>
+      (i.toLong, (rnd.nextInt(4000) + 1) / 100.0))
+    def lp(p: (Long, Double)) = s"m,host=h1 v=${p._2} ${minuteNs(p._1)}"
+    writeBatch(in, "b0.lp", pts.take(90).map(lp))
+    val qs = Seq((1L, 2L), (9L, 10L))
+    val names = Seq("p50_r", "p90_r")
+    def startQuery() = {
+      val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+        Map("v" -> FieldSch("v", FieldType.Float)))
+      val sk = StreamIngest.quantileSketchStream(typed, "tag_host",
+        "v", alphaBp = 200, maxBuckets = 1000, qs = qs, names = names)
+      StreamIngest.toParquet(sk, out, ckpt)
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // RESTART: a brand-new query on the same checkpoint must resume
+    // the per-key bucket state, not start from zero
+    writeBatch(in, "b1.lp", pts.drop(90).map(lp))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val top = spark.read.parquet(out).collect()
+      .maxBy(_.getAs[Long]("ver"))
+    val batch = graft.operators.QuantileSketch.ddQuantiles(
+        pts.map(p => ("h1", math.round(p._2 * 100))).toDF("k", "vc"),
+        Seq("k"), "vc", alphaBp = 200, qs = qs, names = names)
+      .collect().head
+    assert(top.getAs[Long]("n") === batch.getLong(1), "state lost")
+    assert(names.map(top.getAs[Double](_)) ===
+      names.map(batch.getAs[Double](_)))
+  }
+
   test("streaming quantile sketch: past maxBuckets the LOWEST " +
     "buckets collapse — the snapshot flags it and upper quantiles " +
     "keep their relative-error guarantee") {
