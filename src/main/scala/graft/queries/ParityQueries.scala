@@ -1212,6 +1212,69 @@ object ParityQueries {
             4) END AS r_r
         FROM sm WHERE n >= 2""".replaceAll("\\s+", " "))),
 
+    // per-series AUTOCORRELATION FUNCTION at lags 1..12 hours — the
+    // full ACF profile behind ts_autocorr's rolling lag-1 (seasonal
+    // periods show as r peaks at their lag; white noise stays flat)
+    // — the diagnostic that picks Holt-Winters' period. Same
+    // lag-explode + equi-join shape as ts_xcorr, per series; six
+    // exact-Long Pearson sums per (series, lag), one rounded
+    // combination.
+    "ts_acf" -> QueryDef(
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+          .groupBy(window(col("time"), "1 hour"), col("event_type"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr("unix_micros(window.start)").as("b"),
+            expr("(2 * s + n) div (2 * n)").as("vc"))
+        val lagged = base
+          .select(col("event_type"), col("b"), col("vc"),
+            explode(sequence(lit(1L), lit(12L))).as("lag"))
+          .withColumn("bt", col("b") + col("lag") * lit(3600000000L))
+        val sums = lagged
+          .join(base.select(col("event_type"), col("b").as("bt"),
+            col("vc").as("v2")), Seq("event_type", "bt"))
+          .groupBy(col("event_type"), col("lag"))
+          .agg(count(lit(1)).as("n"), sum(col("vc")).as("sa"),
+            sum(col("v2")).as("sb"),
+            sum(col("vc") * col("vc")).as("qa"),
+            sum(col("v2") * col("v2")).as("qb"),
+            sum(col("vc") * col("v2")).as("pab"))
+        def d(c: String) = col(c).cast("double")
+        val ca = d("n") * d("qa") - d("sa") * d("sa")
+        val cb = d("n") * d("qb") - d("sb") * d("sb")
+        sums.filter(col("n") >= 2)
+          .select(col("event_type"), col("lag"), col("n"),
+            when(ca > 0 && cb > 0,
+              round((d("n") * d("pab") - d("sa") * d("sb")) /
+                (sqrt(ca) * sqrt(cb)), 4)).as("r_r"))
+      },
+      Some("""WITH bk AS (SELECT event_type,
+          (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+          CAST((2 * sum(CAST(round(value * 100, 0) AS BIGINT))
+            + count(*)) // (2 * count(*)) AS BIGINT) AS vc
+          FROM events GROUP BY 1, 2),
+        lg AS (SELECT unnest(generate_series(1, 12))::BIGINT AS lag),
+        sm AS (SELECT a.event_type, lg.lag, count(*)::BIGINT AS n,
+            sum(a.vc)::BIGINT AS sa, sum(x.vc)::BIGINT AS sb,
+            sum(a.vc * a.vc)::BIGINT AS qa,
+            sum(x.vc * x.vc)::BIGINT AS qb,
+            sum(a.vc * x.vc)::BIGINT AS pab
+          FROM bk a CROSS JOIN lg
+          JOIN bk x ON x.event_type = a.event_type
+            AND x.b = a.b + lg.lag * 3600000000
+          GROUP BY 1, 2)
+        SELECT event_type, lag, n,
+          CASE WHEN (n::DOUBLE * qa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+            > 0 AND (n::DOUBLE * qb::DOUBLE - sb::DOUBLE * sb::DOUBLE)
+            > 0 THEN round(
+            (n::DOUBLE * pab::DOUBLE - sa::DOUBLE * sb::DOUBLE) /
+            (sqrt(n::DOUBLE * qa::DOUBLE - sa::DOUBLE * sa::DOUBLE) *
+             sqrt(n::DOUBLE * qb::DOUBLE - sb::DOUBLE * sb::DOUBLE)),
+            4) END AS r_r
+        FROM sm WHERE n >= 2""".replaceAll("\\s+", " "))),
+
     // SAX MOTIF counts: 3-symbol words over each series' SAX string
     // (ts_sax's discretization feeding the n-gram machinery) — which
     // short shapes recur ("rise-rise-fall") and how often; the motif

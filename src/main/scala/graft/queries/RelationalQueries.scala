@@ -1307,6 +1307,65 @@ object RelationalQueries {
           mw.u2, mw.mw_z_r
         FROM sv CROSS JOIN mw""".replaceAll("\\s+", " "))),
 
+    // experiment POWER: the minimum detectable effect of the A/B
+    // split at 80% power / two-sided α=5% — mde = (z_{α/2}+z_β)·se =
+    // 2.8015849··· · √(s²₁/n₁ + s²₂/n₂) — the number that answers
+    // "could this experiment even see the lift we care about" BEFORE
+    // reading its p-value. One fixed-order IEEE chain over the exact
+    // Welch sums, rounded 4 (cents).
+    "behavior_ab_power" -> QueryDef(
+      (s, dir) => {
+        val assigned = ev(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(
+            when(expr("cast(conv(substring(md5(concat(cast(user_id " +
+              "as string), ':ab1')), 1, 15), 16, 10) as bigint) % 2")
+              === 0, "a").otherwise("b").as("variant"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+            sum(col("cents") * col("cents")).as("qx"))
+        val w = assigned.agg(
+          max(when(col("variant") === "a", col("n"))).as("n1"),
+          max(when(col("variant") === "a", col("sx"))).as("sx1"),
+          max(when(col("variant") === "a", col("qx"))).as("qx1"),
+          max(when(col("variant") === "b", col("n"))).as("n2"),
+          max(when(col("variant") === "b", col("sx"))).as("sx2"),
+          max(when(col("variant") === "b", col("qx"))).as("qx2"))
+        def d(c: String) = col(c).cast("double")
+        val se1 = ((d("n1") * d("qx1") - d("sx1") * d("sx1")) /
+          (d("n1") * (d("n1") - 1.0))) / d("n1")
+        val se2 = ((d("n2") * d("qx2") - d("sx2") * d("sx2")) /
+          (d("n2") * (d("n2") - 1.0))) / d("n2")
+        w.select(col("n1").as("n_a"), col("n2").as("n_b"),
+          when(col("n1") > 1 && col("n2") > 1,
+            round(lit(2.8015849) * sqrt(se1 + se2), 4))
+            .as("mde_c_r"))
+      },
+      Some("""WITH asg AS (SELECT CASE WHEN
+            ('0x'||substr(md5(user_id::VARCHAR || ':ab1'),1,15))
+              ::BIGINT % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+          CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+          WHERE event_type = 'purchase'),
+        st AS (SELECT
+          max(CASE WHEN g='a' THEN n END) AS n1,
+          max(CASE WHEN g='a' THEN sx END) AS sx1,
+          max(CASE WHEN g='a' THEN qx END) AS qx1,
+          max(CASE WHEN g='b' THEN n END) AS n2,
+          max(CASE WHEN g='b' THEN sx END) AS sx2,
+          max(CASE WHEN g='b' THEN qx END) AS qx2
+          FROM (SELECT g, count(*)::BIGINT AS n,
+            sum(c)::BIGINT AS sx, sum(c*c)::BIGINT AS qx
+            FROM asg GROUP BY 1))
+        SELECT n1 AS n_a, n2 AS n_b,
+          CASE WHEN n1 > 1 AND n2 > 1 THEN round(2.8015849 * sqrt(
+            ((n1::DOUBLE * qx1::DOUBLE - sx1::DOUBLE * sx1::DOUBLE) /
+              (n1::DOUBLE * (n1::DOUBLE - 1.0))) / n1::DOUBLE +
+            ((n2::DOUBLE * qx2::DOUBLE - sx2::DOUBLE * sx2::DOUBLE) /
+              (n2::DOUBLE * (n2::DOUBLE - 1.0))) / n2::DOUBLE), 4)
+          END AS mde_c_r
+        FROM st""".replaceAll("\\s+", " "))),
+
     // calendar effect: Welch's t between weekday and weekend value
     // distributions — "is weekend traffic actually different", the
     // seasonality INFERENCE companion to ts_weekly_profile's
