@@ -1307,6 +1307,45 @@ object RelationalQueries {
           mw.u2, mw.mw_z_r
         FROM sv CROSS JOIN mw""".replaceAll("\\s+", " "))),
 
+    // sample-ratio-mismatch guardrail: is the A/B assignment actually
+    // 50/50 — THE standard pre-read sanity check (an SRM means the
+    // assignment or logging is broken and every downstream p-value is
+    // garbage). Counts DISTINCT USERS per variant (assignment is
+    // per-user; event-weighted counts would conflate traffic with
+    // assignment); z = (n_a − n_b)/√(n_a + n_b), one IEEE chain over
+    // exact counts, rounded 4.
+    "behavior_ab_srm" -> QueryDef(
+      (s, dir) => {
+        val users = ev(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct()
+          .select(
+            when(expr("cast(conv(substring(md5(concat(cast(user_id " +
+              "as string), ':ab1')), 1, 15), 16, 10) as bigint) % 2")
+              === 0, "a").otherwise("b").as("variant"))
+        val c = users.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n"))
+          .agg(max(when(col("variant") === "a", col("n"))).as("n_a"),
+            max(when(col("variant") === "b", col("n"))).as("n_b"))
+        def d(cn: String) = col(cn).cast("double")
+        c.select(col("n_a"), col("n_b"),
+          round((d("n_a") - d("n_b")) / sqrt(d("n_a") + d("n_b")), 4)
+            .as("srm_z_r"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase'),
+        a AS (SELECT CASE WHEN
+            ('0x'||substr(md5(user_id::VARCHAR || ':ab1'),1,15))
+              ::BIGINT % 2 = 0 THEN 'a' ELSE 'b' END AS g FROM u),
+        c AS (SELECT
+          max(CASE WHEN g='a' THEN n END) AS n_a,
+          max(CASE WHEN g='b' THEN n END) AS n_b
+          FROM (SELECT g, count(*)::BIGINT AS n FROM a GROUP BY 1))
+        SELECT n_a, n_b,
+          round((n_a::DOUBLE - n_b::DOUBLE) /
+            sqrt(n_a::DOUBLE + n_b::DOUBLE), 4) AS srm_z_r
+        FROM c""".replaceAll("\\s+", " "))),
+
     // experiment POWER: the minimum detectable effect of the A/B
     // split at 80% power / two-sided α=5% — mde = (z_{α/2}+z_β)·se =
     // 2.8015849··· · √(s²₁/n₁ + s²₂/n₂) — the number that answers
