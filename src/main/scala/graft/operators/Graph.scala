@@ -204,31 +204,49 @@ object Graph {
     * frame to surviving endpoints and one map-side-combined
     * groupBy(src) recounts degrees — every shuffle keyed on a node
     * id, the survivor frame only shrinks, nothing collects to the
-    * driver.
+    * driver. The edge frame is CACHED once (it is typically an
+    * expensive minhash→band→candidate pipeline that must not
+    * re-execute per round) and each round's degree frame is eagerly
+    * localCheckpoint'ed — the same lineage discipline as
+    * [[Dedup.dupClusters]]: without it the survivor plan references
+    * `edges` twice and `alive` three times per round, so the upstream
+    * pipeline re-executes O(rounds) times and the plan compounds ~3×
+    * per round (an exponential-lineage hang at 100 TB with deep
+    * peeling).
     *
     * Output: (id, in_core, dropped_round — NULL iff in_core). */
   def kCorePeel(nodes: DataFrame, edges: DataFrame, k: Int,
       rounds: Int): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     require(rounds >= 1, s"need at least one round: $rounds")
-    val init = nodes.select(col("id"))
-    val (_, droppedAll) = (1 to rounds)
-      .foldLeft((init, Seq.empty[DataFrame])) {
-        case ((alive, dropped), r) =>
-          val e2 = edges
-            .join(alive.select(col("id").as("src")), "src")
-            .join(alive.select(col("id").as("dst")), "dst")
-          val deg = alive.join(
-              e2.groupBy(col("src").as("id"))
-                .agg(count(lit(1)).as("d")),
-              Seq("id"), "left")
-            .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
-          (deg.filter(col("d") >= k).select(col("id")),
-            dropped :+ deg.filter(col("d") < k)
-              .select(col("id"), lit(r.toLong).as("dropped_round")))
-      }
+    val e0 = edges.cache()
+    var alive = nodes.select(col("id"))
+    val dropped = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val e2 = e0
+        .join(alive.select(col("id").as("src")), "src")
+        .join(alive.select(col("id").as("dst")), "dst")
+      // EAGER localCheckpoint: materializes this round's ~|alive|-row
+      // degree frame and truncates the plan to a leaf, so (a) the two
+      // consumers below (survivor filter + dropped filter) read
+      // materialized blocks instead of re-running the restrict joins,
+      // and (b) next round's plan starts from a constant-size leaf.
+      val deg = alive.join(
+          e2.groupBy(col("src").as("id"))
+            .agg(count(lit(1)).as("d")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
+        .localCheckpoint(true)
+      alive = deg.filter(col("d") >= k).select(col("id"))
+      dropped += deg.filter(col("d") < k)
+        .select(col("id"), lit(r.toLong).as("dropped_round"))
+    }
+    // every per-round degree frame is checkpointed (leaf plans over
+    // materialized blocks), so the edge cache can release without
+    // risking a recompute of the candidate pipeline
+    e0.unpersist(): Unit
     nodes.select(col("id"))
-      .join(droppedAll.reduce(_ unionAll _), Seq("id"), "left")
+      .join(dropped.result().reduce(_ unionAll _), Seq("id"), "left")
       .select(col("id"), col("dropped_round").isNull.as("in_core"),
         col("dropped_round"))
   }

@@ -596,12 +596,23 @@ object PipelineQueries {
         val d = docs(s, dir)
         val sig = Dedup.minhashSignatures(d, "doc_id", "text",
           MinhashK, ShingleLen)
+        // EAGER localCheckpoint: `cand` fans out to BOTH the
+        // jaccard-confirm path (→ clusters) and the modularity
+        // edge-labeling join below — without materializing it the
+        // signature→band→candidate pipeline executes at least twice in
+        // one query (and a third time inside dupClusters' edge cache
+        // build). Checkpointing pins the ~|candidates|-row frame once;
+        // every consumer reads materialized blocks.
         val cand =
           Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+            .localCheckpoint(true)
         val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
           JaccardThreshold, candidates = Some(cand))
+        // cl is consumed twice by the ce join — checkpoint it too
+        // (dupClusters checkpoints its label frame internally, but the
+        // returned frame re-joins docs for singletons)
         val cl = Dedup.dupClusters(d, "doc_id", pairs,
-          shortcut = false)
+          shortcut = false).localCheckpoint(true)
         val ce = cand
           .join(cl.select(col("id").as("id_a"),
             col("cluster").as("ca0")), Seq("id_a"), "left_outer")
@@ -609,6 +620,9 @@ object PipelineQueries {
             col("cluster").as("cb0")), Seq("id_b"), "left_outer")
           .select(coalesce(col("ca0"), col("id_a")).as("ca"),
             coalesce(col("cb0"), col("id_b")).as("cb"))
+          // ce itself fans out four ways (m, e_c, and both d_c legs) —
+          // checkpoint so the cluster-labeling joins run once
+          .localCheckpoint(true)
         val mRow = ce.agg(count(lit(1)).as("m"))
         val ec = ce.filter(col("ca") === col("cb"))
           .groupBy(col("ca").as("cluster"))

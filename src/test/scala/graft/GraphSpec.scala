@@ -133,4 +133,27 @@ class GraphSpec extends AnyFunSuite {
     assert(out(6L) === ((true, None)))
     assert(out(7L) === ((true, None)))
   }
+
+  test("kCorePeel truncates lineage per round: the result plan reads " +
+    "checkpointed degree frames, never the edge pipeline (the r10 " +
+    "lineage-explosion fix — edges must NOT re-execute O(rounds) times)") {
+    val s = spark
+    import s.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val out = Graph.kCorePeel(nodes, edges, k = 2, rounds = 3)
+    val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+    // each round's degree frame is an eager localCheckpoint → a
+    // LogicalRDD leaf; the edge frame's LocalRelation must be absent
+    // from the final plan entirely (it was consumed at peel time)
+    val rddLeaves = leaves.count(_.getClass.getSimpleName
+      .contains("LogicalRDD"))
+    assert(rddLeaves === 3,
+      s"expected 3 checkpointed round leaves, plan:\n$out")
+    // only the nodes relation remains besides the checkpoints
+    assert(leaves.size === 4,
+      s"unexpected extra leaves (edge lineage leaked back in):\n" +
+        out.queryExecution.optimizedPlan.toString.take(3000))
+  }
 }

@@ -100,9 +100,14 @@ class PlanSpec extends AnyFunSuite {
     // the iterative graph ops' high counts are their unrolled
     // supersteps — the budget is the regression tripwire, not an
     // aspiration
+    // r11: the two iterative-graph entries collapsed (35→9, 57→3
+    // exchanges) once kCorePeel/modularity adopted the dupClusters
+    // cache+eager-localCheckpoint discipline — per-round work now
+    // materializes once, so the FINAL plan only reads checkpoint
+    // leaves; the tight new ceilings pin that no-recompute shape
     val budget = Map(
-      "dedup_cluster_modularity" -> ((35, 14)),
-      "graph_kcore" -> ((57, 19)),
+      "dedup_cluster_modularity" -> ((9, 3)),
+      "graph_kcore" -> ((3, 1)),
       "dedup_keep_best" -> ((9, 5)),
       "layout_bucketed_join" -> ((2, 1)),
       "mm_phash_neardup" -> ((9, 3)),
