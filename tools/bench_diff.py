@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Diff two committed bench artifacts (bench/r<N>.json) per query.
+
+Usage:
+    python3 tools/bench_diff.py r10 r11
+    python3 tools/bench_diff.py bench/r10.json /tmp/bench_now.json
+
+Each argument is either a round token (``r10`` -> ``bench/r10.json``
+relative to the repo root) or a path to a bench JSON line as emitted by
+``graft.Bench`` (the object with ``queries_warm``/``queries`` maps).
+
+Reports, in order:
+  * total warm time and query counts for both sides;
+  * REGRESSIONS: queries slower by more than REG_RATIO x AND more than
+    REG_ABS_SEC seconds (the judge's retro threshold — both must hold,
+    so micro-queries jittering 2x at 0.1 s don't page anyone);
+  * improvements under the mirrored threshold;
+  * queries added/removed between the rounds.
+
+Exit status is 1 when any regression crosses the threshold, so the
+verify workflow can gate on it.
+"""
+import json
+import os
+import sys
+
+REG_RATIO = 1.5
+REG_ABS_SEC = 0.5
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def resolve(token: str) -> str:
+    if os.path.exists(token):
+        return token
+    cand = os.path.join(REPO, "bench", token + ".json")
+    if os.path.exists(cand):
+        return cand
+    sys.exit(f"bench_diff: cannot resolve '{token}' "
+             f"(not a file, and {cand} does not exist)")
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        doc = json.load(f)
+    qs = doc.get("queries_warm") or doc.get("queries")
+    if not qs:
+        sys.exit(f"bench_diff: {path} has no queries_warm/queries map")
+    return {"queries": qs,
+            "total_warm": doc.get("total_warm"),
+            "sf": doc.get("sf"),
+            "failed": doc.get("warm_failed", doc.get("failed", []))}
+
+
+def fmt(sec) -> str:
+    return f"{sec:7.3f}s" if sec is not None else "      --"
+
+
+def main(argv):
+    if len(argv) != 3:
+        sys.exit(__doc__)
+    old_p, new_p = resolve(argv[1]), resolve(argv[2])
+    old, new = load(old_p), load(new_p)
+    oq, nq = old["queries"], new["queries"]
+
+    print(f"old: {old_p}  ({len(oq)} queries, total_warm "
+          f"{fmt(old['total_warm'])}, sf={old['sf']})")
+    print(f"new: {new_p}  ({len(nq)} queries, total_warm "
+          f"{fmt(new['total_warm'])}, sf={new['sf']})")
+    for side, d in (("old", old), ("new", new)):
+        if d["failed"]:
+            print(f"!! {side} failed queries: {d['failed']}")
+
+    common = sorted(set(oq) & set(nq))
+    regressions, improvements = [], []
+    for q in common:
+        a, b = oq[q], nq[q]
+        if b > a * REG_RATIO and b - a > REG_ABS_SEC:
+            regressions.append((b - a, q, a, b))
+        elif a > b * REG_RATIO and a - b > REG_ABS_SEC:
+            improvements.append((a - b, q, a, b))
+
+    def table(title, rows):
+        print(f"\n{title} ({len(rows)}) — threshold >{REG_RATIO}x "
+              f"and >{REG_ABS_SEC}s:")
+        for delta, q, a, b in sorted(rows, reverse=True):
+            print(f"  {q:<36} {fmt(a)} -> {fmt(b)}  "
+                  f"({b / a:5.2f}x, {b - a:+.3f}s)")
+        if not rows:
+            print("  (none)")
+
+    table("REGRESSIONS", regressions)
+    table("improvements", improvements)
+
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    if added:
+        print(f"\nadded ({len(added)}): " + ", ".join(added))
+    if removed:
+        print(f"\nremoved ({len(removed)}): " + ", ".join(removed))
+
+    slowest = sorted(nq.items(), key=lambda kv: -kv[1])[:10]
+    print("\nnew-side slowest 10:")
+    for q, t in slowest:
+        print(f"  {q:<36} {fmt(t)}")
+
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
