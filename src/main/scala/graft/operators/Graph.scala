@@ -250,4 +250,93 @@ object Graph {
       .select(col("id"), col("dropped_round").isNull.as("in_core"),
         col("dropped_round"))
   }
+
+  /** Connected components by FIXED-ROUND min-label propagation — the
+    * general-graph form of [[Dedup.dupClusters]]' clustering (that one
+    * is convergence-driven and dedup-shaped; this one takes any
+    * (nodes, edges) pair and unrolls an exact, oracle-replayable
+    * recurrence, the [[pageRankInt]] discipline): per round,
+    * label(v) ← min(label(v), min over in-neighbors label(u)).
+    * After `rounds` rounds every node carries the smallest node id
+    * within `rounds` hops — equal to its true component id whenever
+    * `rounds` ≥ the component's min-label eccentricity (tiny for LSH
+    * near-dup blobs; raise `rounds` for chain-shaped graphs or use
+    * dupClusters' converging form).
+    *
+    * Scale shape: one src-keyed equi-join plus one map-side-combined
+    * groupBy(id) per round; the edge frame is cached once and each
+    * round's label frame is eagerly localCheckpoint'ed (constant-size
+    * plans, no O(rounds) recompute of an upstream candidate pipeline).
+    *
+    * @param edges directed (src, dst); symmetrize for undirected
+    * @return (id, component) — component = min reachable id seen */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need at least one round: $rounds")
+    val e0 = edges.cache()
+    var labels = nodes
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val viaNeighbors = e0
+        .join(labels.select(col("id").as("src"), col("component")), "src")
+        .select(col("dst").as("id"), col("component"))
+      labels = labels
+        .unionAll(viaNeighbors)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+    }
+    e0.unpersist(): Unit
+    labels
+  }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own community; per round each node adopts the most
+    * frequent community among its in-neighbors, ties broken to the
+    * SMALLEST community id, isolated nodes keep their own — the
+    * deterministic-LPA variant (classic LPA breaks ties randomly;
+    * random ties are unreproducible across engines and runs, so the
+    * tie policy here is part of the contract). Fixed `rounds` keeps
+    * the recurrence exact and oracle-replayable. Unlike
+    * [[connectedComponents]] this separates DENSELY linked blobs
+    * inside one weakly-connected component — the template-flood
+    * community structure a near-dup graph actually has.
+    *
+    * Scale shape per round: one src-keyed join, one (id, label)
+    * count aggregate, one per-id argmax as a struct-max AGGREGATE
+    * (max count, then min label via negated id — no per-node window
+    * sort), one left join back; edges cached once, labels
+    * checkpointed per round.
+    *
+    * @param edges directed (src, dst); symmetrize for undirected
+    * @return (id, community) after `rounds` synchronous updates */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need at least one round: $rounds")
+    val e0 = edges.cache()
+    var labels = nodes
+      .select(col("id"), col("id").as("community"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val votes = e0
+        .join(labels.select(col("id").as("src"), col("community")), "src")
+        .groupBy(col("dst").as("id"), col("community"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax(count, then min community): node ids are non-negative,
+      // so max(struct(cnt, -community)) picks highest count and,
+      // within it, the smallest community id
+      val winner = votes
+        .groupBy("id")
+        .agg(max(struct(col("cnt"), negate(col("community")).as("nc")))
+          .as("w"))
+        .select(col("id"), negate(col("w.nc")).as("vote"))
+      labels = labels
+        .join(winner, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("vote"), col("community")).as("community"))
+        .localCheckpoint(true)
+    }
+    e0.unpersist(): Unit
+    labels
+  }
 }

@@ -216,6 +216,51 @@ object PipelineQueries {
     sb ++= s" SELECT id AS doc_id, r AS rank_u FROM r$iters"
     sb.toString.replaceAll("\\s+", " ")
   }
+
+  /** DuckDB replay of [[Graph.connectedComponents]]: the same
+    * min-label rounds unrolled as chained CTEs, generated from the
+    * round count so engine and oracle cannot drift. */
+  private def componentsOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $WordsCte, $ShingleCte, $SigCte, $BandCte, "
+    sb ++= s"$CandCte, $EdgeCte, "
+    sb ++= "nd AS (SELECT doc_id AS id FROM documents), "
+    sb ++= "l0 AS (SELECT id, id AS component FROM nd)"
+    for (i <- 1 to rounds) {
+      sb ++= s", l$i AS (SELECT id, min(component)::BIGINT AS component" +
+        s" FROM (SELECT id, component FROM l${i - 1} UNION ALL" +
+        s" SELECT e.dst AS id, l${i - 1}.component FROM e" +
+        s" JOIN l${i - 1} ON l${i - 1}.id = e.src) GROUP BY id)"
+    }
+    sb ++= s" SELECT id AS doc_id, component FROM l$rounds"
+    sb.toString.replaceAll("\\s+", " ")
+  }
+
+  /** DuckDB replay of [[Graph.labelPropagation]]: per round a
+    * neighbor-vote count, a per-node max, and the max-count/min-label
+    * winner — the identical deterministic tie-break as the engine's
+    * struct-max argmax. */
+  private def labelPropOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $WordsCte, $ShingleCte, $SigCte, $BandCte, "
+    sb ++= s"$CandCte, $EdgeCte, "
+    sb ++= "nd AS (SELECT doc_id AS id FROM documents), "
+    sb ++= "l0 AS (SELECT id, id AS community FROM nd)"
+    for (i <- 1 to rounds) {
+      sb ++= s", v$i AS (SELECT e.dst AS id, l${i - 1}.community," +
+        s" count(*)::BIGINT AS cnt FROM e" +
+        s" JOIN l${i - 1} ON l${i - 1}.id = e.src GROUP BY 1, 2)"
+      sb ++= s", m$i AS (SELECT id, max(cnt) AS mc FROM v$i GROUP BY 1)"
+      sb ++= s", w$i AS (SELECT v.id, min(v.community)::BIGINT AS vote" +
+        s" FROM v$i v JOIN m$i m ON v.id = m.id AND v.cnt = m.mc" +
+        s" GROUP BY 1)"
+      sb ++= s", l$i AS (SELECT l.id," +
+        s" coalesce(w.vote, l.community)::BIGINT AS community" +
+        s" FROM l${i - 1} l LEFT JOIN w$i w ON l.id = w.id)"
+    }
+    sb ++= s" SELECT id AS doc_id, community FROM l$rounds"
+    sb.toString.replaceAll("\\s+", " ")
+  }
   /** The full cluster-label derivation (minhash → LSH bands →
     * candidates → jaccard filter → transitive closure), through a
     * `reach(id, label)` relation — ONE definition shared by
@@ -363,6 +408,30 @@ object PipelineQueries {
           drp.dr::BIGINT AS dropped_round
         FROM nd LEFT JOIN drp ON nd.id = drp.id"""
         .replaceAll("\\s+", " "))),
+
+    // general connected components over the near-dup graph:
+    // fixed-round min-label propagation (4 rounds cover LSH-blob
+    // eccentricities at these fixtures; the oracle replays the
+    // identical unrolled rounds, so the result is exact-by-definition
+    // even where a component's diameter exceeds the rounds).
+    "graph_components" -> QueryDef(
+      (s, dir) => Graph.connectedComponents(
+        docs(s, dir).select(col("doc_id").as("id")),
+        lshEdges(s, dir), rounds = 4)
+        .select(col("id").as("doc_id"), col("component")),
+      Some(componentsOracle(4))),
+
+    // deterministic label-propagation communities over the candidate
+    // graph: 3 synchronous rounds, most-frequent-neighbor label with
+    // max-count/min-label tie-break — separates densely-linked
+    // template blobs INSIDE a weakly-connected component (what
+    // graph_components cannot see).
+    "graph_labelprop" -> QueryDef(
+      (s, dir) => Graph.labelPropagation(
+        docs(s, dir).select(col("doc_id").as("id")),
+        lshEdges(s, dir), rounds = 3)
+        .select(col("id").as("doc_id"), col("community")),
+      Some(labelPropOracle(3))),
 
     // per-node local clustering coefficient in exact floored bp —
     // WHICH documents sit inside a dense template blob (the corpus

@@ -134,6 +134,49 @@ class GraphSpec extends AnyFunSuite {
     assert(out(7L) === ((true, None)))
   }
 
+  test("connectedComponents: two components + an isolated node label " +
+    "to their min member; a 5-chain needs its eccentricity in rounds") {
+    val (nodes, edges) = frames(
+      Seq((5L, 6L), (6L, 7L), (10L, 11L)),
+      Seq(5L, 6L, 7L, 10L, 11L, 99L))
+    val out = Graph.connectedComponents(nodes, edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(5L -> 5L, 6L -> 5L, 7L -> 5L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+    // path 1-2-3-4-5: min label 1 reaches node 5 only after 4 rounds
+    val (n2, e2) = frames(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+      Seq(1L, 2L, 3L, 4L, 5L))
+    val r2 = Graph.connectedComponents(n2, e2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(5L) === 3L) // 2 hops only
+    val r4 = Graph.connectedComponents(n2, e2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r4 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("labelPropagation: a bridged pair of triangles keeps two " +
+    "communities; ties break to the SMALLEST label; isolated keeps own") {
+    // triangles 1-2-3 and 4-5-6 bridged by 3-4; node 99 isolated
+    val (nodes, edges) = frames(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+        (3L, 4L)),
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 99L))
+    val out = Graph.labelPropagation(nodes, edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(99L) === 99L)
+    // round 1 (all labels distinct → every vote ties → min neighbor):
+    // 1←2, 2←1, 3←1, 4←3, 5←4, 6←4; round 2: 1←min(1,1)... the
+    // triangle 1-2-3 collapses onto 1; the right side follows its
+    // bridge down to the left's labels over later rounds — the pinned
+    // fixpoint here documents the deterministic recurrence
+    assert(Set(out(1L), out(2L), out(3L)) === Set(1L))
+    // right triangle: after r1 labels (3,4,4); r2: 4 sees {5:4,6:4,3:3}
+    // → 4 wins count 2; 5 sees {4:3,6:4} tie → 3; 6 sees {4:3,5:4}
+    // tie → 3; r3: 4 sees {5:3,6:3,3:1}→3, 5 sees {4:4,6:3} tie→3,
+    // 6 likewise → all land on 3 (absorbed across the bridge)
+    assert(out(4L) === 3L && out(5L) === 3L && out(6L) === 3L)
+  }
+
   test("kCorePeel truncates lineage per round: the result plan reads " +
     "checkpointed degree frames, never the edge pipeline (the r10 " +
     "lineage-explosion fix — edges must NOT re-execute O(rounds) times)") {
