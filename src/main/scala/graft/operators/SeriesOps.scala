@@ -109,8 +109,11 @@ object SeriesOps {
   def fillGaps(df: DataFrame, seriesCols: Seq[String], bucketCol: String,
       valueCol: String, stepTicks: Long): DataFrame = {
     require(stepTicks > 0, s"fillGaps needs stepTicks > 0, got $stepTicks")
+    // the window runs on the NORMALIZED frame (bucket renamed to "b")
+    // — ordering by the caller's bucketCol name only resolved when it
+    // was literally "b"
     val w = Window.partitionBy(seriesCols.map(col): _*)
-      .orderBy(col(bucketCol))
+      .orderBy(col("b"))
     val withNext = df.select(
         seriesCols.map(col)
           :+ col(bucketCol).cast("long").as("b")

@@ -1,0 +1,367 @@
+package graft.ql
+
+/** InfluxQL SELECT text front-end: tokenizer + AST + recursive-descent
+  * parser for the query language the reference engine emits and its
+  * users type (toni-moreno/syncflux pkg/agent/sync.go:162 emits
+  * `select * from "m" where time > <s>s and time < <e>s group by *`;
+  * README.md:395 filters measurements with patterns like `cpu.*`).
+  *
+  * Surface covered (the clause families the engine's SeriesOps /
+  * aggregate surface already implements, now reachable from text):
+  *   - SELECT *, bare field/tag names, and the InfluxQL function
+  *     family COUNT/SUM/MEAN/MIN/MAX/MEDIAN/SPREAD/STDDEV/
+  *     PERCENTILE(f, N)/FIRST/LAST, with optional `AS` aliases;
+  *   - FROM a measurement: bare, `"quoted"` (dots/spaces legal inside
+  *     quotes), dotted `db.rp.m` paths (last segment = measurement),
+  *     or an unanchored `/regex/`;
+  *   - WHERE: AND-chained comparisons on `time` (duration literals
+  *     `1704412800s`, `5m`, `3h`, bare ns integers), on tags
+  *     (= != =~ !~ with string/regex literals) and on fields
+  *     (numeric comparisons);
+  *   - GROUP BY: `*`, tag lists, `time(<duration>)`, and combinations;
+  *   - FILL(null | none | previous | linear | <number>);
+  *   - ORDER BY time [ASC|DESC], LIMIT/OFFSET, SLIMIT/SOFFSET.
+  *
+  * Parsing is deliberately strict: unknown trailing tokens, unknown
+  * functions, and malformed clauses throw [[QlParseException]] with
+  * the offending position — a silent partial parse would run a
+  * DIFFERENT query than the user wrote.
+  */
+final class QlParseException(msg: String) extends RuntimeException(msg)
+
+// ---------------------------------------------------------------- tokens
+
+private sealed trait Tok
+private object Tok {
+  final case class Ident(name: String, quoted: Boolean) extends Tok
+  final case class Str(v: String) extends Tok
+  final case class Num(text: String) extends Tok
+  final case class Dur(ns: Long) extends Tok
+  final case class Re(pattern: String) extends Tok
+  final case class Sym(s: String) extends Tok
+  case object End extends Tok
+}
+
+private object QlLexer {
+  private val unitNs: Map[String, Long] = Map(
+    "ns" -> 1L, "u" -> 1000L, "µ" -> 1000L, "us" -> 1000L,
+    "ms" -> 1000000L, "s" -> 1000000000L, "m" -> 60L * 1000000000L,
+    "h" -> 3600L * 1000000000L, "d" -> 86400L * 1000000000L,
+    "w" -> 7L * 86400L * 1000000000L)
+
+  def lex(in: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = in.length
+    def fail(msg: String) =
+      throw new QlParseException(s"$msg at position $i in: $in")
+    while (i < n) {
+      val c = in(i)
+      if (c.isWhitespace) { i += 1 }
+      else if (c == '"') {
+        val sb = new StringBuilder; i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (in(i) == '"') {
+            if (i + 1 < n && in(i + 1) == '"') { sb += '"'; i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb += in(i); i += 1 }
+        }
+        if (!closed) fail("unterminated quoted identifier")
+        out += Tok.Ident(sb.toString, quoted = true)
+      }
+      else if (c == '\'') {
+        val sb = new StringBuilder; i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (in(i) == '\'') {
+            if (i + 1 < n && in(i + 1) == '\'') { sb += '\''; i += 2 }
+            else { closed = true; i += 1 }
+          } else if (in(i) == '\\' && i + 1 < n) {
+            sb += in(i + 1); i += 2
+          } else { sb += in(i); i += 1 }
+        }
+        if (!closed) fail("unterminated string literal")
+        out += Tok.Str(sb.toString)
+      }
+      else if (c == '/') {
+        val sb = new StringBuilder; i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (in(i) == '\\' && i + 1 < n && in(i + 1) == '/') {
+            sb += '/'; i += 2
+          } else if (in(i) == '/') { closed = true; i += 1 }
+          else { sb += in(i); i += 1 }
+        }
+        if (!closed) fail("unterminated /regex/ literal")
+        out += Tok.Re(sb.toString)
+      }
+      else if (c.isDigit) {
+        val start = i
+        while (i < n && in(i).isDigit) i += 1
+        var isFloat = false
+        if (i < n && in(i) == '.' && i + 1 < n && in(i + 1).isDigit) {
+          isFloat = true; i += 1
+          while (i < n && in(i).isDigit) i += 1
+        }
+        val numText = in.substring(start, i)
+        val us = i
+        while (i < n && (in(i).isLetter || in(i) == 'µ')) i += 1
+        val unit = in.substring(us, i).toLowerCase
+        if (unit.isEmpty) out += Tok.Num(numText)
+        else if (isFloat) fail(s"duration needs an integer count: $numText$unit")
+        else unitNs.get(unit) match {
+          case Some(ns) => out += Tok.Dur(numText.toLong * ns)
+          case None     => fail(s"unknown duration unit '$unit'")
+        }
+      }
+      else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (in(i).isLetterOrDigit || in(i) == '_')) i += 1
+        out += Tok.Ident(in.substring(start, i), quoted = false)
+      }
+      else {
+        val two = if (i + 1 < n) in.substring(i, i + 2) else ""
+        if (Set("!=", "<>", "<=", ">=", "=~", "!~")(two)) {
+          out += Tok.Sym(two); i += 2
+        } else if ("(),*=<>.".indexOf(c) >= 0) {
+          out += Tok.Sym(c.toString); i += 1
+        } else fail(s"unexpected character '$c'")
+      }
+    }
+    out += Tok.End
+    out.result()
+  }
+}
+
+// ------------------------------------------------------------------- AST
+
+sealed trait QlSource
+/** Dotted measurement path; the LAST segment is the measurement
+  * (db/rp prefixes are resolution hints the planner may ignore). */
+final case class QlMeasurement(path: Seq[String]) extends QlSource
+/** Unanchored regex over measurement names (README.md:395 `cpu.*`). */
+final case class QlSourceRegex(pattern: String) extends QlSource
+
+sealed trait QlProj
+case object QlStar extends QlProj
+final case class QlColumn(name: String) extends QlProj
+/** fn(field[, arg]) — arg used by PERCENTILE(f, N). */
+final case class QlCall(fn: String, field: String, arg: Option[Double])
+  extends QlProj
+
+final case class QlField(proj: QlProj, alias: Option[String])
+
+sealed trait QlLit
+final case class QlNum(v: Double, text: String) extends QlLit
+final case class QlStr(v: String) extends QlLit
+final case class QlDur(ns: Long) extends QlLit
+final case class QlRe(pattern: String) extends QlLit
+
+/** One WHERE conjunct: `operand op literal`. */
+final case class QlCond(operand: String, op: String, lit: QlLit)
+
+sealed trait QlFill
+case object FillNull extends QlFill
+case object FillNone extends QlFill
+case object FillPrevious extends QlFill
+case object FillLinear extends QlFill
+final case class FillValue(v: Double) extends QlFill
+
+final case class QlSelect(
+    fields: Seq[QlField],
+    source: QlSource,
+    where: Seq[QlCond],
+    groupStar: Boolean,
+    groupTags: Seq[String],
+    timeBucketNs: Option[Long],
+    fill: Option[QlFill],
+    orderByTime: Boolean,
+    orderDesc: Boolean,
+    limit: Option[Int],
+    offset: Option[Int],
+    slimit: Option[Int],
+    soffset: Option[Int]) {
+  def hasAggregates: Boolean = fields.exists(_.proj.isInstanceOf[QlCall])
+}
+
+// ---------------------------------------------------------------- parser
+
+object InfluxQl {
+
+  /** The function family the planner implements; parse rejects others
+    * loudly (a typo'd `maen(v)` must not silently project a column). */
+  val Functions: Set[String] = Set("count", "sum", "mean", "min", "max",
+    "median", "spread", "stddev", "percentile", "first", "last")
+
+  def parse(text: String): QlSelect = new P(QlLexer.lex(text), text).select()
+
+  private final class P(toks: Vector[Tok], src: String) {
+    private var pos = 0
+    private def peek: Tok = toks(pos)
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def fail(msg: String): Nothing =
+      throw new QlParseException(s"$msg (token ${pos + 1}) in: $src")
+
+    private def isKw(t: Tok, kw: String): Boolean = t match {
+      case Tok.Ident(n, false) => n.equalsIgnoreCase(kw)
+      case _                   => false
+    }
+    private def atKw(kw: String): Boolean = isKw(peek, kw)
+    private def eatKw(kw: String): Unit =
+      if (atKw(kw)) { pos += 1 } else fail(s"expected $kw")
+    private def eatSym(s: String): Unit = next() match {
+      case Tok.Sym(`s`) => ()
+      case t            => fail(s"expected '$s', got $t")
+    }
+    private def ident(): (String, Boolean) = next() match {
+      case Tok.Ident(n, q) => (n, q)
+      case t               => fail(s"expected identifier, got $t")
+    }
+
+    def select(): QlSelect = {
+      eatKw("select")
+      val fields = fieldList()
+      eatKw("from")
+      val source = fromSource()
+      val where =
+        if (atKw("where")) { pos += 1; condList() } else Seq.empty
+      var groupStar = false
+      var groupTags = Vector.empty[String]
+      var bucket: Option[Long] = None
+      if (atKw("group")) {
+        pos += 1; eatKw("by")
+        var more = true
+        while (more) {
+          peek match {
+            case Tok.Sym("*") => pos += 1; groupStar = true
+            case Tok.Ident(n, false) if n.equalsIgnoreCase("time") =>
+              pos += 1; eatSym("(")
+              bucket = Some(next() match {
+                case Tok.Dur(ns) => ns
+                case Tok.Num(t) if !t.contains('.') => t.toLong
+                case t => fail(s"time() needs a duration, got $t")
+              })
+              eatSym(")")
+            case Tok.Ident(_, _) => groupTags :+= ident()._1
+            case t => fail(s"bad GROUP BY item $t")
+          }
+          if (peek == Tok.Sym(",")) { pos += 1 } else more = false
+        }
+      }
+      val fill: Option[QlFill] =
+        if (atKw("fill")) {
+          pos += 1; eatSym("(")
+          val f = next() match {
+            case Tok.Ident(n, false) if n.equalsIgnoreCase("null") => FillNull
+            case Tok.Ident(n, false) if n.equalsIgnoreCase("none") => FillNone
+            case Tok.Ident(n, false) if n.equalsIgnoreCase("previous") =>
+              FillPrevious
+            case Tok.Ident(n, false) if n.equalsIgnoreCase("linear") =>
+              FillLinear
+            case Tok.Num(t) => FillValue(t.toDouble)
+            case t => fail(s"bad fill() argument $t")
+          }
+          eatSym(")")
+          Some(f)
+        } else None
+      var orderByTime = false
+      var orderDesc = false
+      if (atKw("order")) {
+        pos += 1; eatKw("by")
+        val (n, _) = ident()
+        if (!n.equalsIgnoreCase("time"))
+          fail(s"InfluxQL only orders by time, got '$n'")
+        orderByTime = true
+        if (atKw("desc")) { pos += 1; orderDesc = true }
+        else if (atKw("asc")) { pos += 1 }
+      }
+      def intClause(kw: String): Option[Int] =
+        if (atKw(kw)) {
+          pos += 1
+          next() match {
+            case Tok.Num(t) if !t.contains('.') => Some(t.toInt)
+            case t => fail(s"$kw needs an integer, got $t")
+          }
+        } else None
+      val limit = intClause("limit")
+      val offset = intClause("offset")
+      val slimit = intClause("slimit")
+      val soffset = intClause("soffset")
+      if (peek != Tok.End) fail(s"unexpected trailing token $peek")
+      QlSelect(fields, source, where, groupStar, groupTags, bucket, fill,
+        orderByTime, orderDesc, limit, offset, slimit, soffset)
+    }
+
+    private def fieldList(): Seq[QlField] = {
+      val fs = Vector.newBuilder[QlField]
+      var more = true
+      while (more) {
+        fs += field()
+        if (peek == Tok.Sym(",")) { pos += 1 } else more = false
+      }
+      fs.result()
+    }
+
+    private def field(): QlField = {
+      val proj: QlProj = peek match {
+        case Tok.Sym("*") => pos += 1; QlStar
+        case Tok.Ident(n, false) if toks(pos + 1) == Tok.Sym("(") =>
+          val fn = n.toLowerCase
+          if (!Functions(fn)) fail(s"unknown function '$n'")
+          pos += 2 // name + (
+          val (fieldName, _) = ident()
+          val arg: Option[Double] =
+            if (peek == Tok.Sym(",")) {
+              pos += 1
+              next() match {
+                case Tok.Num(t) => Some(t.toDouble)
+                case t => fail(s"bad function argument $t")
+              }
+            } else None
+          if (fn == "percentile" && arg.isEmpty)
+            fail("percentile(field, N) needs N")
+          eatSym(")")
+          QlCall(fn, fieldName, arg)
+        case Tok.Ident(_, _) => QlColumn(ident()._1)
+        case t => fail(s"bad select field $t")
+      }
+      val alias =
+        if (atKw("as")) { pos += 1; Some(ident()._1) } else None
+      QlField(proj, alias)
+    }
+
+    private def fromSource(): QlSource = peek match {
+      case Tok.Re(p) => pos += 1; QlSourceRegex(p)
+      case Tok.Ident(_, _) =>
+        var path = Vector(ident()._1)
+        while (peek == Tok.Sym(".")) { pos += 1; path :+= ident()._1 }
+        QlMeasurement(path)
+      case t => fail(s"bad FROM source $t")
+    }
+
+    private def condList(): Seq[QlCond] = {
+      val cs = Vector.newBuilder[QlCond]
+      var more = true
+      while (more) {
+        val (operand, _) = ident()
+        val op = next() match {
+          case Tok.Sym(s)
+            if Set("=", "!=", "<>", "<", "<=", ">", ">=", "=~", "!~")(s) =>
+            if (s == "<>") "!=" else s
+          case t => fail(s"bad comparison operator $t")
+        }
+        val lit: QlLit = next() match {
+          case Tok.Num(t)  => QlNum(t.toDouble, t)
+          case Tok.Dur(ns) => QlDur(ns)
+          case Tok.Str(v)  => QlStr(v)
+          case Tok.Re(p)   => QlRe(p)
+          case t           => fail(s"bad literal $t")
+        }
+        cs += QlCond(operand, op, lit)
+        if (atKw("and")) { pos += 1 } else more = false
+      }
+      cs.result()
+    }
+  }
+}

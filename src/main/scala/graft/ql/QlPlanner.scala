@@ -1,0 +1,258 @@
+package graft.ql
+
+import graft.operators.SeriesOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One queryable measurement: a DataFrame plus the InfluxQL-model
+  * roles of its columns. `timeCol` must be (castable to) Long epoch
+  * nanoseconds — the engine-wide canonical time ([[graft.sources
+  * .Tables]] normalizes any physical parquet time type to it). */
+final case class QlTable(name: String, df: DataFrame, timeCol: String,
+    tags: Seq[String], fields: Seq[String])
+
+/** Plans a parsed [[QlSelect]] onto the existing DataFrame surface —
+  * the text front-end stays a THIN layer: scans/filters land on the
+  * measurement frame (time predicates are plain Long comparisons on
+  * the normalized column, so parquet pushdown survives), aggregates
+  * are built-in hash aggregates, `GROUP BY time(...)` + `fill(...)`
+  * reuses [[SeriesOps.fillGaps]] (one window, zero extra joins), and
+  * SLIMIT/SOFFSET reuses [[SeriesOps.seriesLimit]] (two-phase
+  * TakeOrdered ranking + broadcast semi join).
+  *
+  * Deviations from InfluxQL, pinned deliberately:
+  *   - every result carries a `measurement` column (InfluxQL returns
+  *     it as out-of-band series metadata; a flat relation needs it
+  *     in-band, and it makes regex-FROM unions self-describing);
+  *   - LIMIT/OFFSET are per-series (InfluxQL semantics) with a total
+  *     tie order (time, then projected columns) — InfluxQL leaves tie
+  *     order undefined, which is unreproducible across engines;
+  *   - FIRST/LAST break equal-timestamp ties to the smaller/larger
+  *     field value (same reason);
+  *   - PERCENTILE/MEDIAN are exact nearest-rank: the value at
+  *     1-based index max(1, ceil(n·p/100)) of the sorted non-null
+  *     field values. The sort_array(collect_list) form holds whole
+  *     groups in memory — fine for series-grained groups (InfluxQL's
+  *     own model); corpus-grained percentiles should use the
+  *     value-domain / DDSketch paths (stats_* family) instead.
+  */
+object QlPlanner {
+
+  def plan(stmt: QlSelect, catalog: Seq[QlTable]): DataFrame = {
+    val matched = resolve(stmt.source, catalog)
+    val t0 = matched.head
+    require(matched.forall(t => t.tags == t0.tags && t.fields == t0.fields),
+      s"measurements matched by ${stmt.source} have differing schemas: " +
+        matched.map(_.name).mkString(", "))
+    val tags = t0.tags
+    val fields = t0.fields
+
+    // normalized frame: measurement, time (Long ns), tags..., fields...
+    var df = matched.map { t =>
+      t.df.select(lit(t.name).as("measurement")
+        +: col(t.timeCol).cast("long").as("time")
+        +: (t.tags ++ t.fields).map(col): _*)
+    }.reduce(_ unionAll _)
+
+    stmt.where.foreach { c => df = df.filter(cond(c, tags, fields)) }
+
+    val (out, seriesKeys) =
+      if (stmt.hasAggregates) planAgg(stmt, df, tags, fields)
+      else planRaw(stmt, df, tags, fields)
+
+    var res = out
+    (stmt.limit, stmt.offset) match {
+      case (None, None) => ()
+      case (lim, off) =>
+        require(lim.isDefined, "OFFSET requires LIMIT")
+        // per-series point pagination (InfluxQL LIMIT semantics), via a
+        // series-partitioned row_number — bounded by points-per-series
+        val dataCols = res.columns.filterNot(seriesKeys.contains)
+          .filterNot(_ == "time")
+        val ord = (if (stmt.orderDesc) col("time").desc else col("time").asc) +:
+          dataCols.toSeq.map(col(_).asc)
+        val w = Window.partitionBy(seriesKeys.map(col): _*).orderBy(ord: _*)
+        val lo = off.getOrElse(0)
+        res = res.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") > lo && col("__rn") <= lo + lim.get)
+          .drop("__rn")
+    }
+    stmt.slimit.foreach { sl =>
+      res = SeriesOps.seriesLimit(res, seriesKeys, sl,
+        stmt.soffset.getOrElse(0))
+    }
+    require(stmt.soffset.isEmpty || stmt.slimit.isDefined,
+      "SOFFSET requires SLIMIT")
+    res
+  }
+
+  // ------------------------------------------------------------ resolve
+
+  private def resolve(src: QlSource, catalog: Seq[QlTable]): Seq[QlTable] = {
+    val matched = src match {
+      case QlMeasurement(path) => catalog.filter(_.name == path.last)
+      case QlSourceRegex(p) =>
+        val re = java.util.regex.Pattern.compile(p)
+        catalog.filter(t => re.matcher(t.name).find())
+    }
+    require(matched.nonEmpty, s"no measurement matches $src " +
+      s"(catalog: ${catalog.map(_.name).mkString(", ")})")
+    matched
+  }
+
+  // -------------------------------------------------------------- where
+
+  private def cond(c: QlCond, tags: Seq[String],
+      fields: Seq[String]): Column = {
+    def cmp(l: Column, r: Column): Column = c.op match {
+      case "="  => l === r
+      case "!=" => l =!= r
+      case "<"  => l < r
+      case "<=" => l <= r
+      case ">"  => l > r
+      case ">=" => l >= r
+      case op   => throw new QlParseException(
+        s"operator $op not valid for ${c.operand}")
+    }
+    if (c.operand.equalsIgnoreCase("time")) c.lit match {
+      case QlDur(ns) => cmp(col("time"), lit(ns))
+      // a bare integer in a time comparison is epoch ns (InfluxQL)
+      case QlNum(_, t) if !t.contains('.') => cmp(col("time"), lit(t.toLong))
+      case l => throw new QlParseException(s"bad time literal $l")
+    }
+    else if (tags.contains(c.operand)) c.lit match {
+      case QlStr(v) => cmp(col(c.operand), lit(v))
+      case QlRe(p) if c.op == "=~" => col(c.operand).rlike(p)
+      case QlRe(p) if c.op == "!~" => !col(c.operand).rlike(p)
+      case l => throw new QlParseException(
+        s"tag ${c.operand} compares against strings/regexes, got $l")
+    }
+    else if (fields.contains(c.operand)) c.lit match {
+      case QlNum(v, _) => cmp(col(c.operand), lit(v))
+      case l => throw new QlParseException(
+        s"field ${c.operand} compares against numbers, got $l")
+    }
+    else throw new QlParseException(
+      s"unknown WHERE operand '${c.operand}' (tags: ${tags.mkString(",")};" +
+        s" fields: ${fields.mkString(",")})")
+  }
+
+  // ---------------------------------------------------------------- raw
+
+  private def planRaw(stmt: QlSelect, df: DataFrame, tags: Seq[String],
+      fields: Seq[String]): (DataFrame, Seq[String]) = {
+    val wanted: Seq[String] = stmt.fields.flatMap { f =>
+      f.proj match {
+        case QlStar => tags ++ fields
+        case QlColumn(n) =>
+          require(tags.contains(n) || fields.contains(n),
+            s"unknown column '$n'")
+          Seq(n)
+        case _: QlCall => Seq.empty // unreachable (hasAggregates)
+      }
+    }.distinct
+    // raw results ALWAYS carry the series identity (measurement + all
+    // tags) in-band: InfluxQL attaches it as out-of-band series
+    // metadata even when unprojected, and per-series LIMIT pagination
+    // needs it after projection. GROUP BY * / tags on a raw select is
+    // a series-organization hint — rows are identical either way in a
+    // flat relation.
+    val fieldCols = wanted.filter(fields.contains)
+    (df.select(col("measurement") +: col("time")
+      +: (tags ++ fieldCols).map(col): _*),
+      "measurement" +: tags)
+  }
+
+  // ---------------------------------------------------------------- agg
+
+  private def planAgg(stmt: QlSelect, df: DataFrame, tags: Seq[String],
+      fields: Seq[String]): (DataFrame, Seq[String]) = {
+    val calls: Seq[(QlCall, String)] = stmt.fields.map { f =>
+      f.proj match {
+        case c: QlCall =>
+          c -> f.alias.getOrElse(s"${c.fn}_${c.field}")
+        case p => throw new QlParseException(
+          s"cannot mix raw projection $p with aggregates (InfluxQL)")
+      }
+    }
+    require(calls.map(_._2).distinct.size == calls.size,
+      "duplicate output names — alias repeated aggregates with AS")
+    calls.foreach { case (c, _) =>
+      require(fields.contains(c.field),
+        s"${c.fn}() needs a field, got '${c.field}'")
+    }
+    val groupTags: Seq[String] =
+      if (stmt.groupStar) tags
+      else {
+        stmt.groupTags.foreach(t => require(tags.contains(t),
+          s"unknown GROUP BY tag '$t'"))
+        stmt.groupTags
+      }
+    val bucketKey = stmt.timeBucketNs.map { b =>
+      require(b > 0, s"time() bucket must be positive: $b")
+      expr(s"(`time` div $b) * $b").as("time")
+    }
+    val keys = (col("measurement") +: groupTags.map(col)) ++ bucketKey
+    val aggCols = calls.map { case (c, name) => aggExpr(c).as(name) }
+    val agged = df.groupBy(keys: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+
+    val filled = (stmt.fill, stmt.timeBucketNs) match {
+      case (Some(FillNone), _) | (None, _) | (_, None) => agged
+      case (Some(f), Some(b)) =>
+        require(calls.size == 1,
+          "fill() supports a single aggregate projection")
+        val vname = calls.head._2
+        val series = "measurement" +: groupTags
+        val g = SeriesOps.fillGaps(agged, series, "time", vname,
+          stepTicks = b)
+        val flavor = f match {
+          case FillNull     => col("v_null")
+          case FillValue(x) => coalesce(col("v_null"), lit(x))
+          case FillPrevious => col("v_prev")
+          case FillLinear   => col("v_linear")
+          case FillNone     => col("v_null") // unreachable
+        }
+        g.select(series.map(col) :+ col("t_tick").as("time")
+          :+ flavor.as(vname): _*)
+    }
+    (filled, "measurement" +: groupTags)
+  }
+
+  /** One InfluxQL aggregate as a single Catalyst aggregate expression
+    * (scalar post-math over built-in aggregates — everything codegen'd,
+    * no UDFs). */
+  private def aggExpr(c: QlCall): Column = {
+    val v = col(c.field)
+    c.fn match {
+      case "count"  => count(v)
+      case "sum"    => sum(v)
+      case "mean"   => avg(v)
+      case "min"    => min(v)
+      case "max"    => max(v)
+      case "spread" => max(v) - min(v)
+      case "stddev" => stddev_samp(v)
+      case "median" => nearestRank(v, 50.0)
+      case "percentile" =>
+        val p = c.arg.get
+        require(p > 0 && p <= 100, s"percentile N out of (0, 100]: $p")
+        nearestRank(v, p)
+      // equal-time ties break on the field value itself (min for
+      // FIRST, max for LAST) — a pinned total order where InfluxQL
+      // leaves ties undefined
+      case "first" => min_by(v, struct(col("time"), v))
+      case "last"  => max_by(v, struct(col("time"), v))
+      case fn => throw new QlParseException(s"unimplemented function $fn")
+    }
+  }
+
+  /** Exact nearest-rank percentile: sorted non-null values, 1-based
+    * index max(1, ceil(n·p/100)). Group-bounded memory (see class
+    * scaladoc for the corpus-scale alternative). */
+  private def nearestRank(v: Column, p: Double): Column = {
+    val lst = sort_array(collect_list(v))
+    element_at(lst,
+      greatest(lit(1), ceil(size(lst) * lit(p) / lit(100.0)).cast("int")))
+  }
+}

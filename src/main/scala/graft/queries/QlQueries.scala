@@ -1,0 +1,235 @@
+package graft.queries
+
+import graft.ql.{InfluxQl, QlPlanner, QlTable}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** InfluxQL text front-end registry: every entry PARSES a query string
+  * (the reference's own emitted shape and the clause families its
+  * users type — sync.go:162, README.md:395) and plans it through
+  * [[QlPlanner]] onto the existing engine surface, then hash-checks
+  * the result against a DuckDB oracle. One entry per clause family.
+  *
+  * Rounding discipline: the ql layer returns faithful doubles; the
+  * registry wrapper rounds multi-row double aggregates (sum/mean/
+  * stddev) on the engine side with the oracle rounding identically —
+  * the standard cross-engine determinism rule (Q.scala scaladoc).
+  */
+object QlQueries {
+  import ParityQueries.{StartNs, EndNs, HourNs}
+
+  private val StartSec = StartNs / 1000000000L
+  private val EndSec = EndNs / 1000000000L
+
+  /** The measurement catalog the text queries resolve against: the
+    * events table in the InfluxQL data model (tags = identity
+    * columns, fields = numeric values, time = canonical Long ns). */
+  private def catalog(s: SparkSession, dir: String): Seq[QlTable] = Seq(
+    QlTable("events", Tables.load(s, dir, "events"), "ts",
+      tags = Seq("event_type", "user_id"), fields = Seq("value")))
+
+  private def run(q: String)(s: SparkSession, dir: String): DataFrame =
+    QlPlanner.plan(InfluxQl.parse(q), catalog(s, dir))
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // the reference's OWN emitted query, verbatim shape (sync.go:162:
+    // `select * from  "%v" where time  > %vs and time < %vs group by *`
+    // — doubled spaces and all, the parser is whitespace-robust)
+    "ql_raw_scan" -> QueryDef(
+      run(s"""select * from  "events" where time  > ${StartSec}s """ +
+        s"and time < ${EndSec}s group by *"),
+      Some(s"""SELECT 'events' AS measurement, epoch_ns(ts) AS "time",
+        event_type, user_id, value FROM events
+        WHERE epoch_ns(ts) > $StartNs AND epoch_ns(ts) < $EndNs"""
+        .replaceAll("\\s+", " "))),
+
+    // the full aggregate family over GROUP BY * series grouping
+    "ql_agg_star" -> QueryDef(
+      (s, dir) => run(
+        s"select count(value), sum(value), mean(value), min(value), " +
+          s"max(value), spread(value), stddev(value) from events " +
+          s"where time >= ${StartNs}ns and time < ${EndNs}ns group by *"
+        )(s, dir)
+        // mean via exact integer cents + the half-up div identity, not
+        // round(avg(),4): values are exact 2-decimal, so per-series
+        // means land ON 4-decimal rounding boundaries constantly and
+        // engine round() implementations disagree there (BigDecimal
+        // HALF_UP vs C round) — the FMA-drift class. Recovering the
+        // exact cent total from the drifty double sum (drift ≪ 0.5
+        // cents) and computing half-up((cents·100)/n) in Long
+        // arithmetic is engine-independent; the final /10000.0 is one
+        // exact IEEE op.
+        .withColumn("__cents",
+          round(col("sum_value") * 100, 0).cast("long"))
+        .withColumn("mean_value",
+          expr("((200 * __cents + count_value) div (2 * count_value))" +
+            " / 10000.0"))
+        .drop("__cents")
+        .withColumn("sum_value", round(col("sum_value"), 4))
+        .withColumn("stddev_value", round(col("stddev_value"), 4)),
+      Some(s"""SELECT 'events' AS measurement, event_type, user_id,
+        count(value)::BIGINT AS count_value,
+        round(sum(value), 4) AS sum_value,
+        ((200 * CAST(round(sum(value) * 100, 0) AS BIGINT)
+          + count(value)) // (2 * count(value))) / 10000.0
+          AS mean_value,
+        min(value) AS min_value, max(value) AS max_value,
+        max(value) - min(value) AS spread_value,
+        round(stddev_samp(value), 4) AS stddev_value
+        FROM events
+        WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+        GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
+
+    // GROUP BY time(1h), * fill(previous): the InfluxQL downsampling
+    // workhorse — buckets through the planner, gaps through
+    // SeriesOps.fillGaps; oracle rebuilds the per-series grid with
+    // range() + IGNORE NULLS carry-forward
+    "ql_downsample_fill_prev" -> QueryDef(
+      (s, dir) => run(
+        s"select mean(value) from events where time >= ${StartSec}s " +
+          s"and time < ${EndSec}s group by time(1h), * fill(previous)"
+        )(s, dir)
+        .withColumn("mean_value", round(col("mean_value"), 4)),
+      Some(s"""WITH a AS (SELECT event_type, user_id,
+          (epoch_ns(ts) // $HourNs) * $HourNs AS t, avg(value) AS v
+          FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+          GROUP BY 1, 2, 3),
+        bounds AS (SELECT event_type, user_id, min(t) AS lo, max(t) AS hi
+          FROM a GROUP BY 1, 2),
+        grid AS (SELECT event_type, user_id,
+          unnest(range(lo, hi + 1, $HourNs)) AS t FROM bounds),
+        j AS (SELECT g.event_type, g.user_id, g.t, a.v FROM grid g
+          LEFT JOIN a ON a.event_type = g.event_type
+            AND a.user_id = g.user_id AND a.t = g.t),
+        f AS (SELECT event_type, user_id, t,
+          last_value(v IGNORE NULLS) OVER (
+            PARTITION BY event_type, user_id ORDER BY t
+            ROWS UNBOUNDED PRECEDING) AS fv FROM j)
+        SELECT 'events' AS measurement, event_type, user_id,
+          t AS "time", round(fv, 4) AS mean_value FROM f"""
+        .replaceAll("\\s+", " "))),
+
+    // fill(linear) over an exact integer aggregate (counts): the
+    // interpolation is per-row fixed-operand-order IEEE arithmetic —
+    // bit-identical across engines with NO rounding (the fillGaps
+    // v_linear contract); oracle mirrors v + (nv−v)·(t−b)/(nb−b)
+    "ql_fill_linear" -> QueryDef(
+      run(s"select count(value) from events " +
+        s"where time >= ${StartSec}s and time < ${EndSec}s " +
+        s"group by time(6h), event_type fill(linear)"),
+      Some {
+        val B = 6 * HourNs
+        s"""WITH a AS (SELECT event_type,
+            (epoch_ns(ts) // $B) * $B AS t,
+            count(value)::DOUBLE AS v FROM events
+            WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+            GROUP BY 1, 2),
+          w AS (SELECT event_type, t, v,
+            lead(t) OVER win AS nb, lead(v) OVER win AS nv FROM a
+            WINDOW win AS (PARTITION BY event_type ORDER BY t)),
+          g AS (SELECT event_type, t AS b, v, nb, nv,
+            unnest(range(t, coalesce(nb, t + 1), $B)) AS t FROM w)
+          SELECT 'events' AS measurement, event_type, t AS "time",
+            CASE WHEN t = b THEN v ELSE
+              v + (nv - v) * (CAST(t - b AS DOUBLE) /
+                CAST(nb - b AS DOUBLE)) END AS count_value
+          FROM g""".replaceAll("\\s+", " ")
+      }),
+
+    // tag-equality + time-range WHERE, grouped by the other tag
+    "ql_tag_filter" -> QueryDef(
+      (s, dir) => run(
+        s"select sum(value) from events where event_type = 'click' " +
+          s"and time >= ${StartSec}s and time < ${EndSec}s " +
+          s"group by user_id")(s, dir)
+        .withColumn("sum_value", round(col("sum_value"), 4)),
+      Some(s"""SELECT 'events' AS measurement, user_id,
+        round(sum(value), 4) AS sum_value FROM events
+        WHERE event_type = 'click'
+          AND epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+        GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
+    // tag =~ /regex/ predicate (unanchored find on both engines)
+    "ql_tag_regex" -> QueryDef(
+      run("select count(value) from events " +
+        "where event_type =~ /^(click|view)$/ group by event_type"),
+      Some("""SELECT 'events' AS measurement, event_type,
+        count(value)::BIGINT AS count_value FROM events
+        WHERE regexp_matches(event_type, '^(click|view)$')
+        GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
+    // SLIMIT/SOFFSET series pagination over GROUP BY *
+    "ql_slimit" -> QueryDef(
+      run("select count(value) from events group by * slimit 5 soffset 3"),
+      Some("""WITH a AS (SELECT 'events' AS measurement, event_type,
+          user_id, count(value)::BIGINT AS count_value FROM events
+          GROUP BY 1, 2, 3),
+        page AS (SELECT measurement, event_type, user_id FROM a
+          ORDER BY measurement, event_type, user_id LIMIT 5 OFFSET 3)
+        SELECT a.* FROM a JOIN page USING (measurement, event_type,
+          user_id)""".replaceAll("\\s+", " "))),
+
+    // ORDER BY time DESC LIMIT N — per-SERIES point pagination
+    // (InfluxQL LIMIT semantics), tie order pinned (time desc, then
+    // projected fields asc)
+    "ql_order_limit" -> QueryDef(
+      run(s"select * from events where time >= ${StartSec}s " +
+        s"and time < ${EndSec}s order by time desc limit 3"),
+      Some(s"""WITH w AS (SELECT 'events' AS measurement,
+          epoch_ns(ts) AS t, event_type, user_id, value,
+          row_number() OVER (PARTITION BY event_type, user_id
+            ORDER BY epoch_ns(ts) DESC, value ASC) AS rn
+          FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs)
+        SELECT measurement, t AS "time", event_type, user_id, value
+        FROM w WHERE rn <= 3""".replaceAll("\\s+", " "))),
+
+    // MEDIAN / PERCENTILE(f, N): exact nearest-rank — the value at
+    // 1-based index max(1, ceil(n·p/100)) of the sorted field values
+    // (an actual data value, so no rounding needed)
+    "ql_percentile" -> QueryDef(
+      run("select median(value), percentile(value, 95) as p95_value " +
+        "from events group by event_type"),
+      Some("""SELECT 'events' AS measurement, event_type,
+        list_sort(list(value))[greatest(1,
+          CAST(ceil(count(value) * 50.0 / 100.0) AS BIGINT))]
+          AS median_value,
+        list_sort(list(value))[greatest(1,
+          CAST(ceil(count(value) * 95.0 / 100.0) AS BIGINT))]
+          AS p95_value
+        FROM events GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
+    // FIRST/LAST: field value at min/max time, equal-time ties pinned
+    // to the min/max field value (struct-ordered min_by/max_by)
+    "ql_first_last" -> QueryDef(
+      run("select first(value), last(value) from events group by *"),
+      Some("""WITH w AS (SELECT event_type, user_id, value,
+          row_number() OVER (PARTITION BY event_type, user_id
+            ORDER BY epoch_ns(ts) ASC, value ASC) AS rf,
+          row_number() OVER (PARTITION BY event_type, user_id
+            ORDER BY epoch_ns(ts) DESC, value DESC) AS rl FROM events)
+        SELECT 'events' AS measurement, event_type, user_id,
+          max(CASE WHEN rf = 1 THEN value END) AS first_value,
+          max(CASE WHEN rl = 1 THEN value END) AS last_value
+        FROM w GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
+
+    // dotted db.rp.measurement path (last segment resolves) with a
+    // global (ungrouped) aggregate
+    "ql_dotted_from" -> QueryDef(
+      run("""select count(value) from db0.autogen.events"""),
+      Some("""SELECT 'events' AS measurement,
+        count(value)::BIGINT AS count_value FROM events"""
+        .replaceAll("\\s+", " "))),
+
+    // /regex/ measurement source (README.md:395 `cpu.*`-style
+    // patterns) — matched names union with the in-band measurement
+    // column telling rows apart
+    "ql_regex_from" -> QueryDef(
+      run("select count(value) from /^ev/ group by *"),
+      Some("""SELECT 'events' AS measurement, event_type, user_id,
+        count(value)::BIGINT AS count_value FROM events
+        GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))))
+}

@@ -1,0 +1,182 @@
+package graft
+
+import graft.ql._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** InfluxQL text front-end: parser coverage (incl. the reference's own
+  * emitted shape, quoted/dotted identifiers, durations, regex sources,
+  * strict error behavior) and planner semantics on hand fixtures
+  * (nearest-rank percentile, FIRST/LAST tie-break, per-series LIMIT,
+  * regex-FROM unions). The registry ql_* entries oracle the same
+  * surface against DuckDB at the gates. */
+class InfluxQlSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  // ------------------------------------------------------------- parser
+
+  test("parses the reference's own emitted query shape verbatim " +
+    "(sync.go:162, doubled spaces included)") {
+    val q = InfluxQl.parse(
+      "select * from  \"m\" where time  > 1704412800s and " +
+        "time < 1705708800s group by *")
+    assert(q.fields === Seq(QlField(QlStar, None)))
+    assert(q.source === QlMeasurement(Seq("m")))
+    assert(q.where === Seq(
+      QlCond("time", ">", QlDur(1704412800000000000L)),
+      QlCond("time", "<", QlDur(1705708800000000000L))))
+    assert(q.groupStar && q.groupTags.isEmpty && q.timeBucketNs.isEmpty)
+  }
+
+  test("quoted identifiers keep dots and spaces; dotted bare paths " +
+    "split into segments (README.md:395 cpu.* CLI patterns are regex)") {
+    val q = InfluxQl.parse("select count(v) from \"cpu.total used\"")
+    assert(q.source === QlMeasurement(Seq("cpu.total used")))
+    val d = InfluxQl.parse("select count(v) from db0.autogen.events")
+    assert(d.source === QlMeasurement(Seq("db0", "autogen", "events")))
+    val r = InfluxQl.parse("select count(v) from /^cpu.*/")
+    assert(r.source === QlSourceRegex("^cpu.*"))
+    // doubled-quote escape inside a quoted identifier
+    val e = InfluxQl.parse("select count(v) from \"we\"\"ird\"")
+    assert(e.source === QlMeasurement(Seq("we\"ird")))
+  }
+
+  test("duration literals cover the InfluxQL unit table; bare ints in " +
+    "time predicates are epoch ns") {
+    val q = InfluxQl.parse("select count(v) from m where time > 5m and " +
+      "time < 2h group by time(1d)")
+    assert(q.where === Seq(
+      QlCond("time", ">", QlDur(300000000000L)),
+      QlCond("time", "<", QlDur(7200000000000L))))
+    assert(q.timeBucketNs === Some(86400000000000L))
+    val ns = InfluxQl.parse("select count(v) from m where time >= 12345")
+    assert(ns.where === Seq(QlCond("time", ">=", QlNum(12345.0, "12345"))))
+  }
+
+  test("full clause train parses: functions, aliases, fill, order, " +
+    "limit/offset, slimit/soffset") {
+    val q = InfluxQl.parse(
+      "select mean(value) as m, percentile(value, 99.9) from cpu " +
+        "where host = 'a' and value >= 0.5 " +
+        "group by time(30m), host fill(previous) " +
+        "order by time desc limit 10 offset 5 slimit 3 soffset 1")
+    assert(q.fields === Seq(
+      QlField(QlCall("mean", "value", None), Some("m")),
+      QlField(QlCall("percentile", "value", Some(99.9)), None)))
+    assert(q.where === Seq(
+      QlCond("host", "=", QlStr("a")),
+      QlCond("value", ">=", QlNum(0.5, "0.5"))))
+    assert(q.groupTags === Seq("host") && q.timeBucketNs === Some(
+      1800000000000L))
+    assert(q.fill === Some(FillPrevious) && q.orderByTime && q.orderDesc)
+    assert((q.limit, q.offset, q.slimit, q.soffset) ===
+      ((Some(10), Some(5), Some(3), Some(1))))
+    assert(InfluxQl.parse("select sum(v) from m group by * fill(0)")
+      .fill === Some(FillValue(0.0)))
+  }
+
+  test("strict parse: unknown functions, trailing garbage, and " +
+    "unterminated literals all throw") {
+    intercept[QlParseException](InfluxQl.parse("select maen(v) from m"))
+    intercept[QlParseException](InfluxQl.parse("select * from m bogus"))
+    intercept[QlParseException](InfluxQl.parse("select * from \"m"))
+    intercept[QlParseException](InfluxQl.parse("select * from m where"))
+    intercept[QlParseException](
+      InfluxQl.parse("select percentile(v) from m"))
+    intercept[QlParseException](
+      InfluxQl.parse("select * from m group by time(1.5h)"))
+  }
+
+  // ------------------------------------------------------------ planner
+
+  private def fixture() = {
+    val s = spark
+    import s.implicits._
+    // two series on tag g; times in ns; equal-time tie at t=30 for g=a
+    Seq(
+      ("a", 10L, 5.0), ("a", 20L, 1.0), ("a", 30L, 9.0), ("a", 30L, 2.0),
+      ("b", 10L, 4.0), ("b", 40L, 8.0))
+      .toDF("g", "t", "v")
+  }
+
+  private def cat = Seq(
+    QlTable("m", fixture(), "t", tags = Seq("g"), fields = Seq("v")))
+
+  private def run(q: String, c: Seq[QlTable] = cat) =
+    QlPlanner.plan(InfluxQl.parse(q), c)
+
+  test("planner: raw star projection carries measurement + time + " +
+    "tags + fields; time predicates filter in ns") {
+    val out = run("select * from m where time > 10ns and time < 40ns")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).sortBy(x => (x._2, x._4))
+    assert(out.toSeq === Seq(("m", 20L, "a", 1.0), ("m", 30L, "a", 2.0),
+      ("m", 30L, "a", 9.0)))
+  }
+
+  test("planner: FIRST/LAST pick by time with the pinned value " +
+    "tie-break; MEDIAN/PERCENTILE are exact nearest-rank") {
+    val out = run("select first(v), last(v), median(v), " +
+      "percentile(v, 75) as p75_v from m group by g")
+      .collect().map(r => r.getString(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // g=a sorted values (1,2,5,9): median idx ceil(4*.5)=2 → 2.0,
+    // p75 idx ceil(3)=3 → 5.0; last at t=30 ties (9.0, 2.0) → max 9.0
+    assert(out("a") === ((5.0, 9.0, 2.0, 5.0)))
+    // g=b: (4,8): median idx 1 → 4.0, p75 idx ceil(1.5)=2 → 8.0
+    assert(out("b") === ((4.0, 8.0, 4.0, 8.0)))
+  }
+
+  test("planner: LIMIT is per-series (InfluxQL point pagination), " +
+    "honoring ORDER BY time DESC") {
+    val out = run("select v from m order by time desc limit 2")
+      .collect().map(r => (r.getString(2), r.getLong(1), r.getDouble(3)))
+      .toSet
+    // newest 2 per series; at g=a t=30 the tie orders v asc → both
+    // t=30 rows beat t=20
+    assert(out === Set(("a", 30L, 2.0), ("a", 30L, 9.0),
+      ("b", 40L, 8.0), ("b", 10L, 4.0)))
+  }
+
+  test("planner: regex FROM unions matching measurements with the " +
+    "in-band measurement column; mismatched schemas refuse") {
+    val two = cat :+ QlTable("m2", fixture(), "t", Seq("g"), Seq("v"))
+    val out = run("select count(v) from /^m/ group by *", two)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(out === Set(("m", "a", 4L), ("m", "b", 2L),
+      ("m2", "a", 4L), ("m2", "b", 2L)))
+    val bad = two :+ QlTable("m3", fixture(), "t", Seq.empty, Seq("v"))
+    intercept[IllegalArgumentException](
+      run("select count(v) from /^m/ group by *", bad))
+    intercept[IllegalArgumentException](
+      run("select count(v) from nosuch"))
+  }
+
+  test("planner: GROUP BY time buckets floor to the bucket start; " +
+    "fill(0) zero-fills interior gap buckets per series") {
+    val out = run("select sum(v) from m group by time(10ns), g fill(0)")
+      .collect().map(r => ((r.getString(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    assert(out(("a", 10L)) === 5.0 && out(("a", 20L)) === 1.0 &&
+      out(("a", 30L)) === 11.0)
+    assert(out(("b", 10L)) === 4.0 && out(("b", 20L)) === 0.0 &&
+      out(("b", 30L)) === 0.0 && out(("b", 40L)) === 8.0)
+    // grid spans [first, last] actual per series — no a-series rows
+    // past 30, no b-series rows past 40
+    assert(out.size === 7)
+  }
+
+  test("planner: unknown columns/tags and non-field aggregates refuse " +
+    "loudly") {
+    intercept[IllegalArgumentException](run("select nope from m"))
+    intercept[IllegalArgumentException](
+      run("select sum(v) from m group by nope"))
+    intercept[IllegalArgumentException](run("select sum(g) from m"))
+    intercept[QlParseException](
+      run("select v, sum(v) from m group by *"))
+    intercept[IllegalArgumentException](
+      run("select sum(v) from m offset 2"))
+  }
+}
