@@ -355,6 +355,59 @@ final class Agent(
       report.map(_._2).sum, report.map(_._3).sum)
   }
 
+  /** `-action maintain` (engine extension): the nightly ops chain as
+    * ONE composed action per (db, rp) — diffsync (repair divergent
+    * chunks) → compact (bound file counts, including files the repair
+    * just wrote) → retention (expire per the replicated `_rp.json`
+    * duration), in that order. The legs compose EXACTLY-ONCE: the
+    * repair window's start is clamped to the retention cutoff BEFORE
+    * repairing, so (a) a chunk the retention leg is about to expire is
+    * never re-copied first, and (b) on the NEXT run diffsync tiles
+    * from the cutoff and sees the trimmed straddling partition under
+    * its clamped span name — checksums match and nothing churns. A
+    * second maintain() against an unchanged master repairs nothing,
+    * compacts nothing and expires nothing (AgentSpec pins it).
+    * Returns one [[Agent.MaintainReport]] per (db, rp). */
+  def maintain(): Seq[Agent.MaintainReport] = {
+    require(initCluster(), "cluster not alive")
+    val schema = discoverSchema()
+    val job = new CopyJob(spark)
+    val repl = new SchemaReplicator(spark.sessionState.newHadoopConf())
+    val durationRe = """"duration_ns":(-?\d+)""".r
+    val flat = isFlat(schema)
+    for {
+      db <- schema
+      rp <- db.rps
+    } yield {
+      val copyCfg0 = copyCfgFor(rp)
+      val cutoff = repl
+        .readRpMeta(cfg.slaveRoot, db.targetName, CopyJob.rpOut(db, rp))
+        .flatMap(durationRe.findFirstMatchIn)
+        .map(_.group(1).toLong)
+        .filter(_ > 0)
+        .map(nowNs() - _)
+      val copyCfg = cutoff.filter(_ > copyCfg0.startNs)
+        .map(c => copyCfg0.copy(startNs = c))
+        .getOrElse(copyCfg0)
+      val one = Seq(db.copy(rps = Seq(rp)))
+      val legs = CopyJob.layout(one, cfg.masterRoot, cfg.slaveRoot, flat)
+        .map { case (src, dst) =>
+          val repaired = job.syncDiffering(src, dst, copyCfg)._1
+          val comp = job.compact(dst)
+          val (dropped, trimmed) = cutoff.map { c =>
+            val (d, t, _) = job.enforceRetention(dst, c, copyCfg)
+            (d, t)
+          }.getOrElse((Seq.empty[(Long, Long)], Seq.empty[(Long, Long)]))
+          (repaired, comp.map(_._2).sum, comp.map(_._3).sum, dropped,
+            trimmed)
+        }
+      Agent.MaintainReport(
+        s"${db.targetName}/${CopyJob.rpOut(db, rp)}",
+        legs.flatMap(_._1), legs.map(_._2).sum, legs.map(_._3).sum,
+        legs.flatMap(_._4), legs.flatMap(_._5))
+    }
+  }
+
   /** `-action curate` (engine extension): config-driven corpus
     * curation — read the documents parquet at masterRoot, run the
     * declarative [[graft.operators.CurationPipeline]] derived from the
@@ -523,6 +576,7 @@ final class Agent(
     case "diffsync"      => diffSync(): Unit
     case "retention"     => retention(): Unit
     case "compact"       => compact(): Unit
+    case "maintain"      => maintain(): Unit
     case "curate"        => curate(): Unit
     case "verify" =>
       val bad = verify().filter(_._2.nonEmpty)
@@ -554,6 +608,17 @@ final class Agent(
 }
 
 object Agent {
+
+  /** One (db, rp)'s composed maintenance outcome: chunks the diffsync
+    * leg repaired, file counts the compact leg touched, spans the
+    * retention leg dropped/trimmed. */
+  final case class MaintainReport(
+      dbRp: String,
+      repaired: Seq[ChunkSpec],
+      filesBefore: Int,
+      filesAfter: Int,
+      dropped: Seq[(Long, Long)],
+      trimmed: Seq[(Long, Long)])
 
   /** Concrete liveness probe: storage reachability through the Hadoop
     * FileSystem — the engine's `Ping` + `SHOW DATABASES`

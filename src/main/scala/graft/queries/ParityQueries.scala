@@ -236,6 +236,57 @@ object ParityQueries {
                  AND epoch_ns(ts) < $EndNs"""
         .replaceAll("\\s+", " "))),
 
+    // Exactly-once maintenance composition: the nightly ops chain
+    // (diffsync repair → compact → retention expiry) run as ONE
+    // sequence against a damaged replica, then run a SECOND time to
+    // prove convergence — the second pass must repair/drop/trim
+    // NOTHING (loud requires), because the repair window is clamped to
+    // the retention cutoff before repairing (Agent.maintain's
+    // contract; AgentSpec drives the same chain through the agent).
+    // Oracle = the retained window: damage repaired, expiry applied.
+    "sync_maintenance" -> QueryDef(
+      (s, dir) => {
+        val job = new CopyJob(s)
+        val cutoff = StartNs + 4 * DayNs // mid-chunk → trim path too
+        val cfg0 = CopyJob.Config(StartNs, EndNs, chunkNs = 2 * DayNs,
+          timeCol = "ts")
+        val cfgClamped = cfg0.copy(startNs = cutoff)
+        val dst = s"/tmp/graft_maint_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(dst)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        job.copyMeasurement(s"$dir/events.parquet", dst, cfg0)
+        // destroy a retained chunk (odd-day tiling: [S+5d, S+7d))
+        val victim = new org.apache.hadoop.fs.Path(
+          s"$dst/__bucket=${StartNs + 5 * DayNs}_${StartNs + 7 * DayNs}")
+        val vfs = victim.getFileSystem(s.sessionState.newHadoopConf())
+        require(vfs.exists(victim),
+          s"maintenance fixture bug: victim partition $victim missing")
+        vfs.delete(victim, true)
+        def chain() = {
+          val repaired = job.syncDiffering(s"$dir/events.parquet", dst,
+            cfgClamped)._1
+          job.compact(dst)
+          val (dropped, trimmed, _) =
+            job.enforceRetention(dst, cutoff, cfgClamped)
+          (repaired, dropped, trimmed)
+        }
+        val (r1, d1, t1) = chain()
+        require(r1.nonEmpty, "first pass must repair the damaged chunk")
+        require(d1.nonEmpty && t1.nonEmpty,
+          "first pass must drop whole expired chunks AND trim the " +
+            "straddling one")
+        val (r2, d2, t2) = chain()
+        require(r2.isEmpty && d2.isEmpty && t2.isEmpty,
+          s"maintenance chain did not converge: second pass repaired " +
+            s"$r2, dropped $d2, trimmed $t2")
+        job.readCopied(dst).select(evProj: _*)
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS time_us, user_id,
+               event_type, value, props FROM events
+               WHERE epoch_ns(ts) >= ${StartNs + 4 * DayNs}
+                 AND epoch_ns(ts) < $EndNs"""
+        .replaceAll("\\s+", " "))),
+
     // Density-adaptive chunk tiling: plan chunk spans from a coarse
     // row histogram (one pushed-down count at 12h grain) so each chunk
     // holds ~1500 rows, then union the per-chunk scans. Fixed-width

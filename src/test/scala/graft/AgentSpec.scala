@@ -176,6 +176,60 @@ class AgentSpec extends AnyFunSuite {
     assert(agent.compact().isEmpty)
   }
 
+  test("-action maintain: diffsync→compact→retention as one composed " +
+    "action — repairs the damaged chunk, expires per metadata, and a " +
+    "second run is a verified no-op (exactly-once convergence)") {
+    val dst = freshRoot()
+    val Day = 86400000000000L
+    val now = E + Day
+    val agent = new Agent(spark, cfg(dst), nowNs = () => now)
+    agent.fullCopy()
+    val measDir = s"$dst/replica/rp30d/events.parquet"
+    // finite 10-day retention → cutoff = S + 6d (mid-chunk of the
+    // 120h tiling [S,S+5d)[S+5d,S+10d)[S+10d,E): one whole drop, one
+    // trim, one untouched span)
+    val repl = new graft.operators.SchemaReplicator(
+      spark.sessionState.newHadoopConf())
+    val meta = repl.readRpMeta(dst, "replica", "rp30d").get
+    val p = new org.apache.hadoop.fs.Path(s"$dst/replica/rp30d/_rp.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(meta.replaceFirst(""""duration_ns":\d+""",
+      s""""duration_ns":${10 * Day}""").getBytes("UTF-8"))
+    finally out.close()
+    // destroy the NEWEST chunk (above the cutoff → the repair leg
+    // must restore it; the expired spans must NOT be re-copied)
+    val victim = new java.io.File(s"$measDir/__bucket=${S + 10 * Day}_$E")
+    assert(victim.exists())
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(victim)
+    val r1 = agent.maintain()
+    assert(r1.map(_.dbRp) === Seq("replica/rp30d"))
+    assert(r1.head.repaired.map(c => (c.startNs, c.endNs)) ===
+      Seq((S + 10 * Day, E)))
+    assert(r1.head.dropped === Seq((S, S + 5 * Day)))
+    assert(r1.head.trimmed.nonEmpty)
+    val cutoff = now - 10 * Day
+    val after = new CopyJob(spark).readCopied(measDir)
+    assert(after.filter(col("ts") < cutoff).count() === 0L)
+    assert(after.count() === Tables.timeRange(
+      spark.read.parquet(s"${SparkSpec.Sf0001}/events.parquet"),
+      "ts", cutoff, E).count())
+    // convergence: the second pass touches NOTHING — the clamped
+    // repair window sees the trimmed partition under its clamped span
+    val r2 = agent.maintain()
+    assert(r2.map(_.dbRp) === Seq("replica/rp30d"))
+    assert(r2.head.repaired.isEmpty && r2.head.dropped.isEmpty &&
+      r2.head.trimmed.isEmpty,
+      s"second maintain pass was not a no-op: ${r2.head}")
+    assert(new CopyJob(spark).readCopied(measDir).count() ===
+      after.count())
+    agent.dispatch("maintain") // CLI parity
+  }
+
   test("initCluster blocks until both probes alive; bounded retry " +
     "budget reports failure (agent.go:67-145)") {
     var masterFails = 2
