@@ -3454,6 +3454,87 @@ object PipelineQueries {
           .replaceAll("\\s+", " ")
       }),
 
+    // document-level MIXED-MODALITY near-dup agreement: each doc's
+    // caption image (the synthetic per-doc PNG, asset_id = doc_id)
+    // joined against the TEXT near-dup candidates — for every
+    // simhash-banded text pair, attach both pHashes and report
+    // whether the image side agrees (hamming ≤ 2). The composition a
+    // caption-dedup pipeline runs before collapsing: text-only
+    // near-dups with DISAGREEING images are different documents
+    // sharing boilerplate, not duplicates. Scale shape: candidates
+    // come ONLY from the text banding (never an image all-pairs);
+    // the image evidence arrives via two id-keyed hash joins of the
+    // 1-row-per-doc pHash frame. Plan-pinned cartesian-free.
+    "mm_caption_agreement" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val textPairs = Dedup.simhashNearDupPairs(d, "doc_id", "text",
+          maxHamming = 3, bands = 4)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").as("text_hamming"))
+        val ph = Multimodal.perceptualHash(Multimodal.synthPngAssets(
+          d, "doc_id",
+          lit(1) + pmod(col("doc_id"), lit(13)),
+          lit(1) + pmod(col("doc_id") * 3, lit(11))))
+        val ih = bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
+          .cast("long")
+        textPairs
+          .join(ph.select(col("asset_id").as("id_a"),
+            col("phash").as("ph_a")), "id_a")
+          .join(ph.select(col("asset_id").as("id_b"),
+            col("phash").as("ph_b")), "id_b")
+          .select(col("id_a"), col("id_b"), col("text_hamming"),
+            ih.as("image_hamming"), (ih <= 2).as("img_agree"))
+      },
+      Some {
+        val votes = (0 until 60)
+          .map(b => s"sum(((h>>$b)&1)*2-1) AS v$b").mkString(", ")
+        val packed = (0 until 60)
+          .map(b => s"CASE WHEN v$b>0 THEN ${1L << b} ELSE 0 END")
+          .mkString("(", " + ", ")")
+        def v(x: String) =
+          s"((doc_id*31 + ((cy*h)//8)*17 + ($x)*7) & 16777215)"
+        val v0 = v("(cx*w)//8")
+        val v1 = v("((cx+1)*w)//8")
+        s"""WITH wd AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+          FROM documents),
+          hh AS (SELECT doc_id, ('0x'||substr(md5(w),1,15))::BIGINT AS h
+          FROM wd),
+          vv AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
+          sh AS (SELECT doc_id AS id, $packed::BIGINT AS simhash FROM vv),
+          bx AS (SELECT id, simhash, g.b AS band,
+            (simhash >> (g.b*15)) & 32767 AS band_key
+            FROM sh, (SELECT unnest(generate_series(0,3)) AS b) g),
+          tp AS (SELECT id_a, id_b,
+            bit_count(xor(sh_a, sh_b))::BIGINT AS text_hamming FROM
+            (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+              a.simhash AS sh_a, b.simhash AS sh_b FROM bx a
+              JOIN bx b ON a.band=b.band AND a.band_key=b.band_key
+                AND a.id < b.id)
+            WHERE bit_count(xor(sh_a, sh_b)) <= 3),
+          g AS (SELECT doc_id, 1 + doc_id % 13 AS w,
+            1 + (doc_id*3) % 11 AS h FROM documents),
+          e AS (SELECT doc_id, w, h, cy, cx FROM g,
+            (SELECT unnest(generate_series(0,7)) AS cy),
+            (SELECT unnest(generate_series(0,6)) AS cx)),
+          l AS (SELECT doc_id, cy, cx,
+            299*(($v0 >> 16) & 255) + 587*(($v0 >> 8) & 255)
+              + 114*($v0 & 255) AS l0,
+            299*(($v1 >> 16) & 255) + 587*(($v1 >> 8) & 255)
+              + 114*($v1 & 255) AS l1 FROM e),
+          ph AS (SELECT doc_id AS asset_id,
+            CAST(sum(CASE WHEN l1 > l0
+              THEN (1::BIGINT << (cy*7+cx)) ELSE 0 END) AS BIGINT)
+              AS phash
+            FROM l GROUP BY 1)
+          SELECT tp.id_a, tp.id_b, tp.text_hamming,
+            bit_count(xor(pa.phash, pb.phash))::BIGINT AS image_hamming,
+            bit_count(xor(pa.phash, pb.phash)) <= 2 AS img_agree
+          FROM tp JOIN ph pa ON pa.asset_id = tp.id_a
+          JOIN ph pb ON pb.asset_id = tp.id_b"""
+          .replaceAll("\\s+", " ")
+      }),
+
     // multimodal: STUB decode → deterministic fake features, exploded to
     // (asset_id, i, feature) rows.
     "mm_decode_features" -> QueryDef(

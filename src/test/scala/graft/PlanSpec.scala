@@ -68,7 +68,8 @@ class PlanSpec extends AnyFunSuite {
   test("dedup scale paths never degenerate into cartesian products") {
     for (q <- Seq("dedup_lsh_pairs", "dedup_jaccard_pairs",
       "dedup_embedding_neardup", "dedup_minhash_sig", "dedup_exact",
-      "ann_lsh_topk", "dedup_clusters", "pipeline_training_set")) {
+      "ann_lsh_topk", "dedup_clusters", "pipeline_training_set",
+      "mm_caption_agreement")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(2000)}")
