@@ -875,6 +875,67 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** MULTI-PROBE SRP-LSH top-k (Lv et al., VLDB'07 re-expressed
+    * relationally): each query probes its home bucket PLUS the
+    * `probes` neighboring buckets that differ in exactly the
+    * hyperplane(s) the query sits CLOSEST to (smallest projection
+    * |margin|) — a near-miss neighbor most likely landed one sign
+    * flip away across precisely such a plane. Buys the recall of many
+    * more tables for the memory of the existing ones: the corpus
+    * still hashes ONCE per table through the same SrpPack kernel and
+    * never expands; only the BROADCAST query frame fans out
+    * (|Q|·(probes+1) rows per table). Probe selection is per-query
+    * arithmetic on numPlanes literal-plane dots (codegen'd, no
+    * shuffle); candidate generation stays the same (table, bucket)
+    * equi-join as [[lshTopK]], exact-cosine re-ranked through the
+    * bounded-heap two-phase [[topKPerQuery]].
+    *
+    * probes = 0 degrades to exactly [[lshTopK]] (differential-tested);
+    * probes = numPlanes probes every Hamming-1 neighbor. */
+  def lshMultiProbeTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      numPlanes: Int = 8, numTables: Int = 4, probes: Int = 2,
+      excludeSelfMatches: Boolean = true): DataFrame = {
+    require(probes >= 0 && probes <= numPlanes,
+      s"probes must be in [0, numPlanes=$numPlanes]: $probes")
+    val c = {
+      val v = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+      (0 until numTables).map { t =>
+        v.withColumn("table", lit(t))
+          .withColumn("bucket", srpBucket(col("cv"), dim, numPlanes, t))
+      }.reduce(_ unionAll _)
+    }
+    val qv = prep(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val masks = lit((0 until numPlanes).map(p => 1L << p).toArray)
+    val qTabs = (0 until numTables).map { t =>
+      val home = srpBucket(col("qv"), dim, numPlanes, t)
+      // (|margin|, plane) pairs; array_sort orders lexicographically →
+      // closest planes first, plane index breaking exact-margin ties
+      val ms = array((0 until numPlanes).map { p =>
+        struct(
+          abs(vecDot(col("qv"), lit(hyperplane(t, p, dim).toArray)))
+            .as("m"),
+          lit(p).as("p"))
+      }: _*)
+      val flips = slice(array_sort(ms), 1, probes)
+      val buckets = concat(
+        array(home),
+        transform(flips, f =>
+          home.bitwiseXOR(element_at(masks, f.getField("p") + 1))))
+      qv.withColumn("table", lit(t))
+        .withColumn("bucket", explode(buckets))
+    }
+    val q = broadcast(qTabs.reduce(_ unionAll _))
+    val scored = c.join(q, Seq("table", "bucket"))
+      .filter(if (excludeSelfMatches)
+        col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        safeCosine(vecDot(col("qv"), col("cv")), col("qn"), col("cn"))
+          .as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    topKPerQuery(scored, k)
+  }
+
   /** Recall@k of an approximate top-k frame against the exact one —
     * the QUALITY meter for every ANN family at a REALISTIC operating
     * point (nprobe ≈ √nlist, production LSH bands), complementing the

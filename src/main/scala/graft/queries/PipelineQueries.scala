@@ -1120,6 +1120,24 @@ object PipelineQueries {
       },
       None),
 
+    // multi-probe LSH at the SAME band budget as ann_lsh_recall: the
+    // query additionally probes its 2 closest-margin neighboring
+    // buckets per table — recall of more tables for the memory of
+    // these (candidate SUPERSET of the plain probe, so its recall can
+    // only improve; the ordering + floors live in SimilaritySpec).
+    "ann_lsh_multiprobe_recall" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 16)
+        Similarity.recallAtK(
+          Similarity.lshMultiProbeTopK(q, e, "vec_id", "embedding",
+            k = 5, dim = AnnDim, numPlanes = 6, numTables = 8,
+            probes = 2),
+          Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5),
+          k = 5)
+      },
+      None),
+
     // IVFADC with pruned probes AND a pruned ADC shortlist — the
     // configuration a 100 TB deployment actually runs.
     "ann_ivfpq_recall" -> QueryDef(

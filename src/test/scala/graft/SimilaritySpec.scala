@@ -396,6 +396,47 @@ class SimilaritySpec extends AnyFunSuite {
     // 1125 bp; the floor guards regression, not aspiration
     val bin = meanRecallBp("ann_binary_recall")
     assert(bin >= 500.0, s"binary mean recall_bp = $bin")
+    // multi-probe at the SAME 6×8 band budget: measured r11 curve
+    // 3625 (probes=0 ≡ plain) → 5750 → 7000 → 7875 → 8750 (probes=6);
+    // the registry point (probes=2) floors at 5000, and must beat the
+    // plain probe — its candidates are a strict superset
+    val mp = meanRecallBp("ann_lsh_multiprobe_recall")
+    assert(mp >= 5000.0, s"multi-probe mean recall_bp = $mp")
+    assert(mp >= lsh, s"multi-probe ($mp) below plain LSH ($lsh) — " +
+      "superset candidates cannot lose recall")
+  }
+
+  test("multi-probe LSH with probes=0 degrades to EXACTLY lshTopK " +
+    "(same buckets, same ranking) — the probe fan-out is additive") {
+    val e = Tables.load(spark, SparkSpec.Sf0001, "embeddings")
+    val q = e.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val plain = rows(Similarity.lshTopK(q, e, "vec_id", "embedding",
+      k = 5, dim = 64, numPlanes = 6, numTables = 4))
+    val mp0 = rows(Similarity.lshMultiProbeTopK(q, e, "vec_id",
+      "embedding", k = 5, dim = 64, numPlanes = 6, numTables = 4,
+      probes = 0))
+    assert(mp0 === plain)
+    // the true monotonicity invariant: recall vs brute force cannot
+    // DROP with more probes — candidates are a superset, and an exact
+    // top-5 hit can only be displaced by a higher-cosine candidate,
+    // which is itself in the exact top-5 (top-5 membership of plain
+    // results is NOT monotone — ranking churn is the point — so that
+    // is deliberately not asserted)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+    def meanBp(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.recallAtK(df, exact, 5).collect()
+      r.map(_.getAs[Long]("recall_bp")).sum.toDouble / r.length
+    }
+    val plainBp = meanBp(Similarity.lshTopK(q, e, "vec_id", "embedding",
+      k = 5, dim = 64, numPlanes = 6, numTables = 4))
+    val mp2Bp = meanBp(Similarity.lshMultiProbeTopK(q, e, "vec_id",
+      "embedding", k = 5, dim = 64, numPlanes = 6, numTables = 4,
+      probes = 2))
+    assert(mp2Bp >= plainBp,
+      s"probes=2 recall $mp2Bp dropped below plain $plainBp")
   }
 
   test("recallAtK: hand-built frames — full overlap scores 10000 bp, " +

@@ -17,4 +17,7 @@ object SparkSpec {
     Sessions.bootstrap(s)
   }
   val Sf0001 = "/root/testdata/sf0.001"
+  // the bench-scale fixture — used where a quality floor must be
+  // pinned at the corpus size the driver actually benches (ANN recall)
+  val Sf01 = "/root/testdata/sf0.1"
 }
