@@ -100,4 +100,84 @@ object QuantileSketch {
         .drop(s"__b_$name")
     }
   }
+
+  /** The sketch's bounded merge state: the bucket→count map plus the
+    * sticky has-ever-collapsed marker. */
+  final case class DdState(collapsed: Boolean, counts: Map[Long, Long])
+
+  /** A finished sketch: positive-value count, collapse marker, and
+    * one midpoint-of-ratio estimate per requested quantile (rounded 4,
+    * HALF_UP — the same formula as [[ddQuantiles]] and the streaming
+    * fold, so all three faces are bit-identical). */
+  final case class DdSnapshot(n: Long, collapsed: Boolean,
+      ests: Seq[Double])
+
+  /** DDSketch as a Catalyst-mergeable AGGREGATOR over cent values —
+    * the composition piece that lets the sketch ride ANY grouping the
+    * engine can express (session windows, tumbling windows, rollups)
+    * instead of only the hand-built relational form: counts are
+    * additive, so partial aggregation / state-store merges are
+    * order-insensitive while the map stays below `maxBuckets`; past
+    * the bound the lowest buckets collapse (upper — latency-alarm —
+    * quantiles keep their α guarantee regardless: collapse only ever
+    * merges the LOWEST buckets, leaving every upper bucket's
+    * cumulative rank untouched; which low buckets fuse first is the
+    * one arrival-order-sensitive detail, marked by `collapsed`). */
+  final class DdSketchAggregator(alphaBp: Int, maxBuckets: Int,
+      qs: Seq[(Long, Long)])
+      extends org.apache.spark.sql.expressions
+        .Aggregator[Long, DdState, DdSnapshot] {
+    require(maxBuckets >= 2, s"maxBuckets must be >= 2: $maxBuckets")
+    require(qs.nonEmpty, "need at least one quantile")
+    @transient private lazy val g = gamma(alphaBp)
+    @transient private lazy val lnG = math.log(g)
+
+    private def collapse(s: DdState): DdState = {
+      var counts = s.counts
+      var c = s.collapsed
+      while (counts.size > maxBuckets) {
+        val lows = counts.keys.toSeq.sorted.take(2)
+        counts = (counts - lows(0))
+          .updated(lows(1), counts(lows(1)) + counts(lows(0)))
+        c = true
+      }
+      DdState(c, counts)
+    }
+    override def zero: DdState = DdState(collapsed = false, Map.empty)
+    override def reduce(b: DdState, vc: Long): DdState = {
+      val bk = bucketOf(vc, lnG)
+      collapse(DdState(b.collapsed,
+        b.counts.updated(bk, b.counts.getOrElse(bk, 0L) + 1L)))
+    }
+    override def merge(a: DdState, b: DdState): DdState =
+      collapse(DdState(a.collapsed || b.collapsed,
+        b.counts.foldLeft(a.counts) { case (m, (k, v)) =>
+          m.updated(k, m.getOrElse(k, 0L) + v)
+        }))
+    override def finish(s: DdState): DdSnapshot = {
+      val n = s.counts.valuesIterator.sum
+      if (n == 0L) DdSnapshot(0L, s.collapsed, qs.map(_ => 0.0))
+      else {
+        val sortedB = s.counts.toSeq.sortBy(_._1)
+        val ests = qs.map { case (num, den) =>
+          val rank = (n * num + den - 1) / den
+          var cum = 0L
+          var pick = sortedB.last._1
+          var found = false
+          sortedB.foreach { case (bk, c) =>
+            if (!found) {
+              cum += c; if (cum >= rank) { pick = bk; found = true }
+            }
+          }
+          BigDecimal(2.0 * math.exp(pick.toDouble * lnG) / (g + 1.0))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        DdSnapshot(n, s.collapsed, ests)
+      }
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[DdState] =
+      org.apache.spark.sql.Encoders.product[DdState]
+    override def outputEncoder: org.apache.spark.sql.Encoder[DdSnapshot] =
+      org.apache.spark.sql.Encoders.product[DdSnapshot]
+  }
 }

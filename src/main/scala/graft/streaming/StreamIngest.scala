@@ -95,6 +95,55 @@ object StreamIngest {
         avg(col(valueCol)).as("avg_value"))
   }
 
+  /** SESSIONIZED streaming quantiles: per (series, event-time
+    * session) latency percentiles — [[sessionizedSeriesAgg]]'s
+    * session_window composed with the DDSketch state
+    * ([[graft.operators.QuantileSketch.DdSketchAggregator]]): the
+    * sketch rides the session grouping as a mergeable aggregate, so
+    * a session spanning many micro-batches accumulates bucket counts
+    * in the state store (bounded by maxBuckets) and emits its
+    * quantiles ONCE, when the watermark closes the session — the
+    * monitoring-plane query the batch ddQuantiles face answers,
+    * per-session ("p95 latency of each user session", not of a fixed
+    * window). Same watermark/append semantics as the tumbling form;
+    * the StreamIngestSpec differential replays sessions that span
+    * BOTH micro-batch and session-gap boundaries against the batch
+    * operator. Values enter as exact cents (the repo-wide sketch
+    * convention); rows with v ≤ 0 are excluded like every sketch
+    * face. Output: (tags…, session_start, session_end, n, collapsed,
+    * names…). */
+  def sessionQuantileStream(
+      typed: DataFrame,
+      tagCols: Seq[String],
+      valueCol: String,
+      gapDuration: String,
+      watermarkDelay: String,
+      alphaBp: Int,
+      maxBuckets: Int,
+      qs: Seq[(Long, Long)],
+      names: Seq[String]): DataFrame = {
+    require(qs.nonEmpty && qs.size == names.size,
+      s"one name per quantile: $qs / $names")
+    val sk = udaf(new graft.operators.QuantileSketch.DdSketchAggregator(
+      alphaBp, maxBuckets, qs),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val withTime = withEventTime(typed)
+    withTime
+      .where(col(valueCol).isNotNull &&
+        round(col(valueCol) * 100, 0).cast("long") > 0)
+      .withColumn("vc", round(col(valueCol) * 100, 0).cast("long"))
+      .withWatermark("time", watermarkDelay)
+      .groupBy(session_window(col("time"), gapDuration)
+        +: tagCols.map(col): _*)
+      .agg(sk(col("vc")).as("sk"))
+      .select(tagCols.map(col) ++ Seq(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("sk.n").as("n"), col("sk.collapsed").as("collapsed")) ++
+        names.zipWithIndex.map { case (nm, i) =>
+          element_at(col("sk.ests"), i + 1).as(nm) }: _*)
+  }
+
   /** Streaming heavy hitters: per tumbling window, the approximate
     * top-k most frequent values of `keyCol` — the "what's trending this
     * window" query — in BOUNDED state. The SpaceSaving aggregate

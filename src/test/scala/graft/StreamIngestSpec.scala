@@ -679,6 +679,96 @@ class StreamIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionized streaming quantiles: per-session DDSketch " +
+    "percentiles match the batch operator across BOTH micro-batch " +
+    "and session-gap boundaries") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft_sq_in").toString
+    val out = Files.createTempDirectory("graft_sq_out").toString
+    val ckpt = Files.createTempDirectory("graft_sq_ck").toString
+    // gap 5m: h1 session A = minutes 10, 11 (batch 0) + 12 (batch 1 —
+    // the session SPANS the micro-batch boundary); h1 session B =
+    // minute 30 (18m of silence > gap); h2 session C spans batches
+    // too (minutes 10, 13)
+    writeBatch(in, "b0.lp", Seq(
+      s"m,host=h1 v=1.0 ${minuteNs(10)}",
+      s"m,host=h1 v=5.0 ${minuteNs(11)}",
+      s"m,host=h2 v=2.5 ${minuteNs(10)}"))
+    val typed = StreamIngest.typedStream(spark, in, Seq("host"),
+      Map("v" -> FieldSch("v", FieldType.Float)))
+    val qs = Seq((50L, 100L), (95L, 100L))
+    val names = Seq("p50_r", "p95_r")
+    val sk = StreamIngest.sessionQuantileStream(typed, Seq("tag_host"),
+      "v", gapDuration = "5 minutes", watermarkDelay = "2 minutes",
+      alphaBp = 200, maxBuckets = 1000, qs = qs, names = names)
+    val q = StreamIngest.toParquet(sk, out, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).isEmpty) // all sessions open
+      writeBatch(in, "b1.lp", Seq(
+        s"m,host=h1 v=9.0 ${minuteNs(12)}",
+        s"m,host=h2 v=7.5 ${minuteNs(13)}",
+        s"m,host=h1 v=42.0 ${minuteNs(30)}"))
+      q.processAllAvailable()
+      // advance the watermark far past every session, twice (it only
+      // moves at batch end)
+      writeBatch(in, "b2.lp", Seq(s"m,host=h9 v=1.0 ${minuteNs(60)}"))
+      q.processAllAvailable()
+      writeBatch(in, "b3.lp", Seq(s"m,host=h9 v=1.0 ${minuteNs(61)}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .filter(col("tag_host").isin("h1", "h2")).collect()
+      .map(r => (r.getAs[String]("tag_host"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime) ->
+        ((r.getAs[Long]("n"), r.getAs[Boolean]("collapsed"),
+          names.map(r.getAs[Double](_)))))
+      .toMap
+    // three closed sessions, none collapsed (exact mode)
+    assert(got.size === 3)
+    assert(got.values.forall(!_._2))
+    // batch differential: the SAME cents through the batch ddQuantiles
+    // face, sessions labelled by construction — estimates must match
+    // bit-for-bit (shared bucketing, rank rule, estimate formula and
+    // rounding)
+    val batch = graft.operators.QuantileSketch.ddQuantiles(
+        Seq(("h1", "A", 100L), ("h1", "A", 500L), ("h1", "A", 900L),
+          ("h1", "B", 4200L), ("h2", "C", 250L), ("h2", "C", 750L))
+          .toDF("host", "sess", "vc"),
+        Seq("host", "sess"), "vc", alphaBp = 200, qs = qs,
+        names = names)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), names.map(r.getAs[Double](_))))).toMap
+    val sessionStartMin = Map(("h1", "A") -> 10L, ("h1", "B") -> 30L,
+      ("h2", "C") -> 10L)
+    batch.foreach { case (k, (n, ests)) =>
+      val stream = got((k._1, sessionStartMin(k) * 60000L))
+      assert(stream._1 === n, s"$k n")
+      assert(stream._3 === ests, s"$k estimates")
+    }
+  }
+
+  test("DdSketchAggregator collapse keeps the upper-quantile " +
+    "guarantee: a maxBuckets-bounded sketch reports the SAME p95 as " +
+    "the unbounded one (collapse only fuses the lowest buckets)") {
+    val qs = Seq((50L, 100L), (95L, 100L))
+    def fold(maxBuckets: Int) = {
+      val a = new graft.operators.QuantileSketch.DdSketchAggregator(
+        200, maxBuckets, qs)
+      // cents 1..400 in a shuffled but fixed order — dozens of
+      // distinct buckets at α=2%
+      val vals = new scala.util.Random(7).shuffle((1L to 400L).toList)
+      a.finish(vals.foldLeft(a.zero)(a.reduce))
+    }
+    val exact = fold(1000)
+    val bounded = fold(5)
+    assert(!exact.collapsed && bounded.collapsed)
+    assert(exact.n === bounded.n) // collapse never loses mass
+    assert(bounded.ests(1) === exact.ests(1), "p95 must survive collapse")
+  }
+
   test("streaming lateness audit: points below a PRIOR batch's " +
     "high-water mark count late with exact worst skew; in-batch " +
     "disorder does not (the watermark's own visibility)") {
