@@ -136,6 +136,22 @@ private object QlLexer {
 
 // ------------------------------------------------------------------- AST
 
+/** Any parsed InfluxQL statement: a SELECT or a SHOW. */
+sealed trait QlStatement
+
+/** The schema-discovery commands the reference issues over HTTP
+  * (client.go:63 `show databases`, :188 `show retention policies on
+  * "db"`, :239 `show field keys from "m"`, :273 `show measurements`)
+  * plus SHOW TAG KEYS — routed onto [[graft.catalog.Catalog]]. */
+sealed trait QlShow extends QlStatement
+case object ShowDatabases extends QlShow
+final case class ShowRetentionPolicies(db: Option[String]) extends QlShow
+/** exact / =~ regex filter from `WITH MEASUREMENT = m` / `=~ /re/`. */
+final case class ShowMeasurements(exact: Option[String],
+    regex: Option[String]) extends QlShow
+final case class ShowFieldKeys(from: Option[String]) extends QlShow
+final case class ShowTagKeys(from: Option[String]) extends QlShow
+
 sealed trait QlSource
 /** Dotted measurement path; the LAST segment is the measurement
   * (db/rp prefixes are resolution hints the planner may ignore). */
@@ -181,7 +197,7 @@ final case class QlSelect(
     limit: Option[Int],
     offset: Option[Int],
     slimit: Option[Int],
-    soffset: Option[Int]) {
+    soffset: Option[Int]) extends QlStatement {
   def hasAggregates: Boolean = fields.exists(_.proj.isInstanceOf[QlCall])
 }
 
@@ -195,6 +211,17 @@ object InfluxQl {
     "median", "spread", "stddev", "percentile", "first", "last")
 
   def parse(text: String): QlSelect = new P(QlLexer.lex(text), text).select()
+
+  /** Parse either statement form; SHOW commands route to the catalog
+    * planner, SELECTs to the query planner. */
+  def parseStatement(text: String): QlStatement = {
+    val toks = QlLexer.lex(text)
+    toks.headOption match {
+      case Some(Tok.Ident(n, false)) if n.equalsIgnoreCase("show") =>
+        new P(toks, text).show()
+      case _ => new P(toks, text).select()
+    }
+  }
 
   private final class P(toks: Vector[Tok], src: String) {
     private var pos = 0
@@ -217,6 +244,43 @@ object InfluxQl {
     private def ident(): (String, Boolean) = next() match {
       case Tok.Ident(n, q) => (n, q)
       case t               => fail(s"expected identifier, got $t")
+    }
+
+    def show(): QlShow = {
+      eatKw("show")
+      val (kind, _) = ident()
+      val stmt: QlShow = kind.toLowerCase match {
+        case "databases" => ShowDatabases
+        case "retention" =>
+          eatKw("policies")
+          val db = if (atKw("on")) { pos += 1; Some(ident()._1) }
+            else None
+          ShowRetentionPolicies(db)
+        case "measurements" =>
+          if (atKw("with")) {
+            pos += 1; eatKw("measurement")
+            next() match {
+              case Tok.Sym("=") =>
+                ShowMeasurements(Some(ident()._1), None)
+              case Tok.Sym("=~") => next() match {
+                case Tok.Re(p) => ShowMeasurements(None, Some(p))
+                case t => fail(s"=~ needs a /regex/, got $t")
+              }
+              case t => fail(s"WITH MEASUREMENT needs = or =~, got $t")
+            }
+          } else ShowMeasurements(None, None)
+        case "field" =>
+          eatKw("keys")
+          ShowFieldKeys(
+            if (atKw("from")) { pos += 1; Some(ident()._1) } else None)
+        case "tag" =>
+          eatKw("keys")
+          ShowTagKeys(
+            if (atKw("from")) { pos += 1; Some(ident()._1) } else None)
+        case other => fail(s"unsupported SHOW $other")
+      }
+      if (peek != Tok.End) fail(s"unexpected trailing token $peek")
+      stmt
     }
 
     def select(): QlSelect = {

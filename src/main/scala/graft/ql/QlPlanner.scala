@@ -87,6 +87,68 @@ object QlPlanner {
     res
   }
 
+  /** Plan a SHOW command against a storage root through
+    * [[graft.catalog.Catalog]] — the schema-discovery half of the
+    * reference's query surface (client.go:63,188,239,273). Flat roots
+    * surface as default/autogen exactly like `catalog_schema`.
+    *
+    * Field vs tag keys: the engine's storage model types every
+    * column; SHOW FIELD KEYS reports the TYPED value columns
+    * (float/integer/unsigned/boolean — InfluxDB field types), SHOW
+    * TAG KEYS the string columns (InfluxDB tags are always strings).
+    * The canonical time column appears among the integer fields, the
+    * same §1.2 mapping `catalog_schema` pins. */
+  def planShow(stmt: QlShow,
+      spark: org.apache.spark.sql.SparkSession, root: String)
+      : DataFrame = {
+    import spark.implicits._
+    val cat = new graft.catalog.Catalog(spark)
+    lazy val schema = cat.getSchema(root)
+    stmt match {
+      case ShowDatabases =>
+        schema.map(_.name).toDF("name")
+      case ShowRetentionPolicies(db) =>
+        val dbs = db.map(d => schema.filter(_.name == d))
+          .getOrElse(schema)
+        require(db.isEmpty || dbs.nonEmpty, s"no database ${db.get}")
+        dbs.flatMap(d => d.rps.map(rp => (d.name, rp.name,
+            rp.durationNs, rp.shardGroupDurationNs,
+            rp.nReplicas.toLong, rp.isDefault)))
+          .toDF("db", "name", "duration_ns", "shard_duration_ns",
+            "replica_n", "is_default")
+      case ShowMeasurements(exact, regex) =>
+        val all = for {
+          d <- schema; rp <- d.rps; m <- rp.measurements
+        } yield m.name
+        val kept = (exact, regex) match {
+          case (Some(e), _) => all.filter(_ == e)
+          case (_, Some(re)) =>
+            val p = java.util.regex.Pattern.compile(re)
+            all.filter(m => p.matcher(m).find())
+          case _ => all
+        }
+        kept.distinct.toDF("name")
+      case ShowFieldKeys(from) => keys(spark, schema, from, tags = false)
+      case ShowTagKeys(from)   => keys(spark, schema, from, tags = true)
+    }
+  }
+
+  private def keys(spark: org.apache.spark.sql.SparkSession,
+      schema: Seq[graft.model.DbSchema],
+      from: Option[String], tags: Boolean): DataFrame = {
+    import spark.implicits._
+    require(from.isEmpty || schema.exists(d =>
+        d.rps.exists(_.measurements.exists(m => from.contains(m.name)))),
+      s"no measurement ${from.getOrElse("")}")
+    val rows = for {
+      d <- schema; rp <- d.rps; m <- rp.measurements
+      if from.forall(_ == m.name)
+      f <- m.fields.values.toSeq.sortBy(_.name)
+      if (f.ftype.name == "string") == tags
+    } yield (m.name, f.name, f.ftype.name)
+    rows.toDF("measurement", "key", "key_type")
+  }
+
   // ------------------------------------------------------------ resolve
 
   private def resolve(src: QlSource, catalog: Seq[QlTable]): Seq[QlTable] = {

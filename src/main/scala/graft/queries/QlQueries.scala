@@ -32,6 +32,38 @@ object QlQueries {
   private def run(q: String)(s: SparkSession, dir: String): DataFrame =
     QlPlanner.plan(InfluxQl.parse(q), catalog(s, dir))
 
+  private def runShow(q: String)(s: SparkSession, dir: String): DataFrame =
+    InfluxQl.parseStatement(q) match {
+      case sh: graft.ql.QlShow => QlPlanner.planShow(sh, s, dir)
+      case other => throw new IllegalArgumentException(s"not SHOW: $other")
+    }
+
+  /** The catalog_schema §1.2 type mapping as a DuckDB CASE — shared by
+    * the SHOW FIELD/TAG KEYS oracles. */
+  private val TypeCase =
+    """CASE WHEN column_type IN ('DOUBLE','FLOAT','REAL') THEN 'float'
+      WHEN column_type LIKE 'DECIMAL%' THEN 'unsigned'
+      WHEN column_type IN ('BIGINT','INTEGER','SMALLINT','TINYINT')
+        THEN 'integer'
+      WHEN column_type LIKE 'TIMESTAMP%' THEN 'integer'
+      WHEN column_type = 'DATE' THEN 'integer'
+      WHEN column_type = 'BOOLEAN' THEN 'boolean'
+      ELSE 'string' END"""
+
+  private val AllTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def describeKeys(tables: Seq[String], tagsSide: Boolean)
+      : String = {
+    val describes = tables.map(t =>
+      s"""SELECT '$t' AS measurement, column_name AS key,
+          column_type FROM (DESCRIBE $t)""").mkString(" UNION ALL ")
+    val cmp = if (tagsSide) "=" else "!="
+    s"""WITH ds AS ($describes)
+      SELECT measurement, key, $TypeCase AS key_type FROM ds
+      WHERE $TypeCase $cmp 'string'""".replaceAll("\\s+", " ")
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // the reference's OWN emitted query, verbatim shape (sync.go:162:
@@ -223,6 +255,38 @@ object QlQueries {
       Some("""SELECT 'events' AS measurement,
         count(value)::BIGINT AS count_value FROM events"""
         .replaceAll("\\s+", " "))),
+
+    // the reference's schema-discovery command surface, text-parsed
+    // and routed onto the Catalog (client.go:63,188,239,273): SHOW
+    // DATABASES / RETENTION POLICIES ON / MEASUREMENTS (exact + regex
+    // filters) / FIELD KEYS / TAG KEYS. Field vs tag keys follow the
+    // storage model: typed value columns are fields, string columns
+    // are tags (InfluxDB tags are always strings); oracle = the
+    // catalog_schema DESCRIBE mapping.
+    "ql_show_databases" -> QueryDef(
+      runShow("show databases"),
+      Some("SELECT 'default' AS name")),
+
+    "ql_show_retention" -> QueryDef(
+      runShow("""show retention policies on "default""""),
+      Some("""SELECT 'default' AS db, 'autogen' AS name,
+        0::BIGINT AS duration_ns, 0::BIGINT AS shard_duration_ns,
+        1::BIGINT AS replica_n, true AS is_default"""
+        .replaceAll("\\s+", " "))),
+
+    "ql_show_measurements" -> QueryDef(
+      runShow("show measurements with measurement =~ /s$/"),
+      Some("""SELECT name FROM (VALUES ('orders'), ('events'),
+        ('documents'), ('embeddings')) t(name)"""
+        .replaceAll("\\s+", " "))),
+
+    "ql_show_field_keys" -> QueryDef(
+      runShow("""show field keys from "events""""),
+      Some(describeKeys(Seq("events"), tagsSide = false))),
+
+    "ql_show_tag_keys" -> QueryDef(
+      runShow("show tag keys"),
+      Some(describeKeys(AllTables, tagsSide = true))),
 
     // /regex/ measurement source (README.md:395 `cpu.*`-style
     // patterns) — matched names union with the in-band measurement

@@ -75,6 +75,58 @@ class InfluxQlSpec extends AnyFunSuite {
       .fill === Some(FillValue(0.0)))
   }
 
+  test("SHOW commands parse into the reference's discovery surface " +
+    "(client.go:63,188,239,273) and route through parseStatement") {
+    assert(InfluxQl.parseStatement("show databases") === ShowDatabases)
+    assert(InfluxQl.parseStatement("""show retention policies on "db1"""")
+      === ShowRetentionPolicies(Some("db1")))
+    assert(InfluxQl.parseStatement("SHOW RETENTION POLICIES")
+      === ShowRetentionPolicies(None))
+    assert(InfluxQl.parseStatement("show measurements")
+      === ShowMeasurements(None, None))
+    assert(InfluxQl.parseStatement(
+      "show measurements with measurement =~ /^cpu/")
+      === ShowMeasurements(None, Some("^cpu")))
+    assert(InfluxQl.parseStatement(
+      "show measurements with measurement = cpu")
+      === ShowMeasurements(Some("cpu"), None))
+    assert(InfluxQl.parseStatement("""show field keys from "m"""")
+      === ShowFieldKeys(Some("m")))
+    assert(InfluxQl.parseStatement("show tag keys") === ShowTagKeys(None))
+    // a SELECT through parseStatement still lands in QlSelect
+    assert(InfluxQl.parseStatement("select * from m")
+      .isInstanceOf[QlSelect])
+    intercept[QlParseException](InfluxQl.parseStatement("show shards"))
+    intercept[QlParseException](
+      InfluxQl.parseStatement("show databases extra"))
+  }
+
+  test("SHOW planner: flat root surfaces default/autogen; field vs " +
+    "tag keys split on the storage type model; unknown names refuse") {
+    val dir = SparkSpec.Sf0001
+    def rows(q: String) = QlPlanner.planShow(
+      InfluxQl.parseStatement(q).asInstanceOf[QlShow], spark, dir)
+    assert(rows("show databases").collect().map(_.getString(0)).toSeq
+      === Seq("default"))
+    val rp = rows("""show retention policies on "default"""").collect()
+    assert(rp.length === 1 && rp.head.getString(1) === "autogen" &&
+      rp.head.getBoolean(5))
+    val ms = rows("show measurements with measurement =~ /^e/")
+      .collect().map(_.getString(0)).toSet
+    assert(ms === Set("events", "embeddings"))
+    val fk = rows("""show field keys from "events"""").collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(fk("value") === "float" && fk.contains("ts") &&
+      !fk.contains("props"))
+    val tk = rows("""show tag keys from "events"""").collect()
+      .map(_.getString(1)).toSet
+    assert(tk === Set("event_type", "props"))
+    intercept[IllegalArgumentException](
+      rows("""show field keys from "nosuch"""").collect())
+    intercept[IllegalArgumentException](
+      rows("""show retention policies on "nosuch"""").collect())
+  }
+
   test("strict parse: unknown functions, trailing garbage, and " +
     "unterminated literals all throw") {
     intercept[QlParseException](InfluxQl.parse("select maen(v) from m"))
