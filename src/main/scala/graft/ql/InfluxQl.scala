@@ -162,8 +162,11 @@ final case class QlSourceRegex(pattern: String) extends QlSource
 sealed trait QlProj
 case object QlStar extends QlProj
 final case class QlColumn(name: String) extends QlProj
-/** fn(field[, arg]) — arg used by PERCENTILE(f, N). */
-final case class QlCall(fn: String, field: String, arg: Option[Double])
+/** fn(field[, arg]) — numeric arg used by PERCENTILE(f, N) and
+  * MOVING_AVERAGE(f, N); duration arg (`argNs`) by DERIVATIVE /
+  * ELAPSED units. */
+final case class QlCall(fn: String, field: String, arg: Option[Double],
+    argNs: Option[Long] = None)
   extends QlProj
 
 final case class QlField(proj: QlProj, alias: Option[String])
@@ -208,7 +211,9 @@ object InfluxQl {
   /** The function family the planner implements; parse rejects others
     * loudly (a typo'd `maen(v)` must not silently project a column). */
   val Functions: Set[String] = Set("count", "sum", "mean", "min", "max",
-    "median", "spread", "stddev", "percentile", "first", "last")
+    "median", "spread", "stddev", "percentile", "first", "last",
+    "difference", "derivative", "non_negative_derivative",
+    "cumulative_sum", "elapsed", "moving_average")
 
   def parse(text: String): QlSelect = new P(QlLexer.lex(text), text).select()
 
@@ -375,18 +380,22 @@ object InfluxQl {
           if (!Functions(fn)) fail(s"unknown function '$n'")
           pos += 2 // name + (
           val (fieldName, _) = ident()
-          val arg: Option[Double] =
-            if (peek == Tok.Sym(",")) {
-              pos += 1
-              next() match {
-                case Tok.Num(t) => Some(t.toDouble)
-                case t => fail(s"bad function argument $t")
-              }
-            } else None
+          var arg: Option[Double] = None
+          var argNs: Option[Long] = None
+          if (peek == Tok.Sym(",")) {
+            pos += 1
+            next() match {
+              case Tok.Num(t)  => arg = Some(t.toDouble)
+              case Tok.Dur(ns) => argNs = Some(ns)
+              case t => fail(s"bad function argument $t")
+            }
+          }
           if (fn == "percentile" && arg.isEmpty)
             fail("percentile(field, N) needs N")
+          if (fn == "moving_average" && !arg.exists(a => a == a.floor))
+            fail("moving_average(field, N) needs an integer N")
           eatSym(")")
-          QlCall(fn, fieldName, arg)
+          QlCall(fn, fieldName, arg, argNs)
         case Tok.Ident(_, _) => QlColumn(ident()._1)
         case t => fail(s"bad select field $t")
       }

@@ -57,8 +57,14 @@ object QlPlanner {
 
     stmt.where.foreach { c => df = df.filter(cond(c, tags, fields)) }
 
+    val calls = stmt.fields.collect { case QlField(c: QlCall, _) => c }
+    val nTransforms = calls.count(c => TransformFns(c.fn))
+    require(nTransforms == 0 || nTransforms == calls.size,
+      "cannot mix transformation functions (difference/derivative/…) " +
+        "with aggregates in one SELECT (InfluxQL)")
     val (out, seriesKeys) =
-      if (stmt.hasAggregates) planAgg(stmt, df, tags, fields)
+      if (nTransforms > 0) planTransform(stmt, df, tags, fields)
+      else if (stmt.hasAggregates) planAgg(stmt, df, tags, fields)
       else planRaw(stmt, df, tags, fields)
 
     var res = out
@@ -224,6 +230,81 @@ object QlPlanner {
     (df.select(col("measurement") +: col("time")
       +: (tags ++ fieldCols).map(col): _*),
       "measurement" +: tags)
+  }
+
+  // ---------------------------------------------------------- transform
+
+  private val TransformFns = Set("difference", "derivative",
+    "non_negative_derivative", "cumulative_sum", "elapsed",
+    "moving_average")
+
+  /** The InfluxQL transformation family over raw series points —
+    * the same formulas [[graft.operators.SeriesOps.transforms]] pins
+    * (DIFFERENCE / DERIVATIVE / NON_NEGATIVE_DERIVATIVE / ELAPSED /
+    * MOVING_AVERAGE / CUMULATIVE_SUM), reached from query text. All
+    * requested transforms share ONE per-series window (time asc,
+    * then field values asc — the pinned total tie order), so the
+    * whole family costs a single Exchange+Sort; leading rows with no
+    * predecessor carry NULLs, matching lag semantics. */
+  private def planTransform(stmt: QlSelect, df: DataFrame,
+      tags: Seq[String], fields: Seq[String])
+      : (DataFrame, Seq[String]) = {
+    val calls: Seq[(QlCall, String)] = stmt.fields.map { f =>
+      f.proj match {
+        case c: QlCall if TransformFns(c.fn) =>
+          c -> f.alias.getOrElse(s"${c.fn}_${c.field}")
+        case p => throw new QlParseException(
+          s"cannot mix projection $p with transformation functions")
+      }
+    }
+    require(calls.map(_._2).distinct.size == calls.size,
+      "duplicate output names — alias repeated transforms with AS")
+    calls.foreach { case (c, _) =>
+      require(fields.contains(c.field),
+        s"${c.fn}() needs a field, got '${c.field}'")
+    }
+    require(stmt.timeBucketNs.isEmpty && stmt.fill.isEmpty,
+      "transformations apply to raw points — no time() bucket / fill()")
+    val groupTags: Seq[String] =
+      if (stmt.groupStar) tags
+      else {
+        stmt.groupTags.foreach(t => require(tags.contains(t),
+          s"unknown GROUP BY tag '$t'"))
+        stmt.groupTags
+      }
+    val seriesKeys = "measurement" +: groupTags
+    val w = Window.partitionBy(seriesKeys.map(col): _*)
+      .orderBy(col("time").asc +: fields.map(col(_).asc): _*)
+    def transformed(c: QlCall): Column = {
+      val v = col(c.field).cast("double")
+      val dv = v - lag(v, 1).over(w)
+      val dtNs = col("time") - lag(col("time"), 1).over(w)
+      c.fn match {
+        case "difference" => dv
+        case "cumulative_sum" => sum(v).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        case "elapsed" =>
+          // elapsed(f, unit): predecessor gap in whole units (default
+          // ns — the InfluxQL default). floor-of-double is exact here:
+          // gaps are window-bounded (≪ 2^53 ns)
+          floor(dtNs.cast("double") /
+            lit(c.argNs.getOrElse(1L).toDouble)).cast("long")
+        case "derivative" | "non_negative_derivative" =>
+          val unit = c.argNs.getOrElse(1000000000L) // default 1s
+          val drv = when(dtNs > 0,
+            dv / (dtNs.cast("double") / lit(unit.toDouble)))
+          if (c.fn == "derivative") drv else when(drv >= 0, drv)
+        case "moving_average" =>
+          val n = c.arg.get.toInt
+          require(n >= 1, s"moving_average window must be >= 1: $n")
+          val frame = w.rowsBetween(-(n - 1), Window.currentRow)
+          when(count(v).over(frame) === n, avg(v).over(frame))
+        case fn => throw new QlParseException(s"not a transform: $fn")
+      }
+    }
+    val cols = calls.map { case (c, name) => transformed(c).as(name) }
+    (df.select(seriesKeys.map(col) ++ Seq(col("time")) ++ cols: _*),
+      seriesKeys)
   }
 
   // ---------------------------------------------------------------- agg

