@@ -31,7 +31,17 @@ final class StatusServer(
     adminPassword: String = "admin",
     // non-empty → serve files under this dir at "/" (the reference's
     // static UI path, webserver.go:81-87); "" keeps the JSON-only API
-    staticDir: String = "") {
+    staticDir: String = "",
+    // wired → GET/POST /query?q=… executes an InfluxQL statement and
+    // returns the InfluxDB 1.x response shape (the API the reference
+    // TALKS TO, client.go:57-70 queryDB — here we SERVE it); None
+    // keeps the endpoint absent. The function owns parse+plan+collect
+    // so the HTTP layer stays dependency-free.
+    queryExec: Option[String => org.apache.spark.sql.DataFrame] = None,
+    // /query result-row cap: past it the response is truncated and
+    // marked "partial":true (InfluxDB's chunked-response analog —
+    // an unbounded collect() behind an HTTP GET is a driver OOM)
+    queryMaxRows: Int = 10000) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // token → expiry epoch-ms; pruned on every login/validation so a
@@ -144,6 +154,67 @@ final class StatusServer(
     respond(ex, 200, jstr("ok"))
   }
 
+  /** One JSON scalar in a /query values row. Long `time` columns stay
+    * epoch-ns integers (the engine-wide canonical time); timestamps
+    * render as their SQL string form. */
+  private def jval(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case n @ (_: Long | _: Int | _: Short | _: Byte) => n.toString
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) "null" else d.toString
+    case f: Float =>
+      if (f.isNaN || f.isInfinite) "null" else f.toString
+    case s: String => jstr(s)
+    case other => jstr(other.toString)
+  }
+
+  /** InfluxDB 1.x /query response for one executed statement: the
+    * result rows as one series (name = the in-band measurement column
+    * when present — the flat-relation face of InfluxQL's out-of-band
+    * series metadata), columns in frame order, row cap marked by
+    * "partial". */
+  def queryJson(df: org.apache.spark.sql.DataFrame): String = {
+    val cols = df.columns
+    val taken = df.take(queryMaxRows + 1)
+    val partial = taken.length > queryMaxRows
+    val rows = taken.take(queryMaxRows)
+    val name =
+      if (cols.headOption.contains("measurement") && rows.nonEmpty)
+        rows.head.getString(0)
+      else "results"
+    val colJson = cols.map(jstr).mkString("[", ",", "]")
+    val valJson = rows.iterator
+      .map(r => (0 until r.length).map(i => jval(r.get(i)))
+        .mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val partialJson = if (partial) ""","partial":true""" else ""
+    s"""{"results":[{"statement_id":0,"series":[{"name":${jstr(name)},""" +
+      s""""columns":$colJson,"values":$valJson$partialJson}]}]}"""
+  }
+
+  private def handleQuery(ex: HttpExchange, exec: String =>
+      org.apache.spark.sql.DataFrame): Unit = {
+    // q from the query string (GET, client.go:60) or a form body (POST)
+    def param(s: String): Option[String] =
+      s.split('&').collectFirst {
+        case kv if kv.startsWith("q=") =>
+          java.net.URLDecoder.decode(kv.drop(2), "UTF-8")
+      }
+    val q = Option(ex.getRequestURI.getRawQuery).flatMap(param)
+      .orElse(Some(bodyOf(ex)).filter(_.nonEmpty).flatMap(param))
+    q match {
+      case None => respond(ex, 400, """{"error":"missing q parameter"}""")
+      case Some(text) =>
+        try respond(ex, 200, queryJson(exec(text)))
+        catch {
+          case e: Exception =>
+            respond(ex, 400, s"""{"error":${jstr(
+              Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+        }
+    }
+  }
+
   def start(): Unit = {
     // once at startup, NOT per request — inside the login handler an
     // unauthenticated client could flood stderr at request rate
@@ -165,6 +236,9 @@ final class StatusServer(
       else respond(ex, 401, jstr("unauthorized")))
     server.createContext("/login", handleLogin _)
     server.createContext("/logout", handleLogout _)
+    queryExec.foreach(exec =>
+      server.createContext("/query",
+        (ex: HttpExchange) => handleQuery(ex, exec)))
     // static UI at the root (webserver.go:81-87 serves the built HTML
     // dir the same way); "/" is the longest-prefix fallback, so the
     // /api/* and /login|/logout contexts above still win

@@ -93,6 +93,18 @@ object QlPlanner {
     res
   }
 
+  /** The standard HTTP /query executor: SHOW statements discover the
+    * catalog at `root`, SELECTs plan against the measurement catalog —
+    * the one-liner that makes [[graft.api.StatusServer]] serve the
+    * InfluxDB 1.x query API the reference client consumes
+    * (client.go:57-70). */
+  def executor(spark: org.apache.spark.sql.SparkSession, root: String,
+      catalog: Seq[QlTable]): String => DataFrame =
+    text => InfluxQl.parseStatement(text) match {
+      case sh: QlShow    => planShow(sh, spark, root)
+      case sel: QlSelect => plan(sel, catalog)
+    }
+
   /** Plan a SHOW command against a storage root through
     * [[graft.catalog.Catalog]] — the schema-discovery half of the
     * reference's query surface (client.go:63,188,239,273). Flat roots

@@ -34,6 +34,58 @@ class StatusServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("/query serves the InfluxDB 1.x query API over the ql " +
+    "front-end: SELECT aggregates, SHOW discovery, row-cap partial " +
+    "marker, and 400 on parse errors (the API client.go:57-70 consumes)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val m = Seq(("h1", 10L, 1.5), ("h1", 20L, 2.5), ("h2", 10L, 4.0))
+      .toDF("host", "t", "v")
+    val cat = Seq(graft.ql.QlTable("cpu", m, "t", Seq("host"), Seq("v")))
+    val status = ClusterStatus("OK", 0L, 0L, masterState = true,
+      masterLastOkNs = 1L, slaveState = true, slaveLastOkNs = 1L)
+    val srv = new StatusServer(0, () => status, () => Nil,
+      queryExec = Some(graft.ql.QlPlanner.executor(spark,
+        SparkSpec.Sf0001, cat)),
+      queryMaxRows = 2)
+    srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(q: String): java.net.http.HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv.boundPort}/query?q=" +
+            java.net.URLEncoder.encode(q, "UTF-8"))).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      val agg = get("select sum(v) from cpu group by *")
+      assert(agg.statusCode() == 200)
+      assert(agg.body().contains("\"name\":\"cpu\""))
+      assert(agg.body().contains(
+        "\"columns\":[\"measurement\",\"host\",\"sum_v\"]"))
+      assert(agg.body().contains("4.0") && agg.body().contains("4.0"))
+      // raw scan has 3 rows > cap 2 → truncated + partial marker
+      val raw = get("select * from cpu")
+      assert(raw.statusCode() == 200)
+      assert(raw.body().contains("\"partial\":true"))
+      // SHOW routes to the catalog root
+      val dbs = get("show databases")
+      assert(dbs.statusCode() == 200)
+      assert(dbs.body().contains("\"values\":[[\"default\"]]"))
+      // parse error → 400 with the parser's message
+      val bad = get("select maen(v) from cpu")
+      assert(bad.statusCode() == 400)
+      assert(bad.body().contains("unknown function"))
+      // unknown measurement → 400 (planner refusal, not a 500)
+      assert(get("select sum(v) from nosuch").statusCode() == 400)
+      // missing q → 400
+      val noq = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv.boundPort}/query")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(noq.statusCode() == 400)
+    } finally srv.stop()
+  }
+
   test("login/session/action endpoints (webserver.go:173-208, " +
     "api.go:47-61)") {
     val status = ClusterStatus("OK", 0L, 0L, masterState = true,
