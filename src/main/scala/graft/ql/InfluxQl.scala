@@ -158,6 +158,9 @@ sealed trait QlSource
 final case class QlMeasurement(path: Seq[String]) extends QlSource
 /** Unanchored regex over measurement names (README.md:395 `cpu.*`). */
 final case class QlSourceRegex(pattern: String) extends QlSource
+/** FROM (SELECT …) — an InfluxQL subquery; the outer query reads the
+  * inner result as a derived measurement. */
+final case class QlSubquery(inner: QlSelect) extends QlSource
 
 sealed trait QlProj
 case object QlStar extends QlProj
@@ -189,6 +192,7 @@ final case class FillValue(v: Double) extends QlFill
 
 final case class QlSelect(
     fields: Seq[QlField],
+    into: Option[String],
     source: QlSource,
     where: Seq[QlCond],
     groupStar: Boolean,
@@ -289,8 +293,23 @@ object InfluxQl {
     }
 
     def select(): QlSelect = {
+      val s = selectBody()
+      if (peek != Tok.End) fail(s"unexpected trailing token $peek")
+      s
+    }
+
+    private def selectBody(): QlSelect = {
       eatKw("select")
       val fields = fieldList()
+      // INTO "dst" — the downsample-to-measurement clause (InfluxQL
+      // SELECT INTO); dotted paths keep the last segment
+      val into: Option[String] =
+        if (atKw("into")) {
+          pos += 1
+          var path = Vector(ident()._1)
+          while (peek == Tok.Sym(".")) { pos += 1; path :+= ident()._1 }
+          Some(path.last)
+        } else None
       eatKw("from")
       val source = fromSource()
       val where =
@@ -357,8 +376,7 @@ object InfluxQl {
       val offset = intClause("offset")
       val slimit = intClause("slimit")
       val soffset = intClause("soffset")
-      if (peek != Tok.End) fail(s"unexpected trailing token $peek")
-      QlSelect(fields, source, where, groupStar, groupTags, bucket, fill,
+      QlSelect(fields, into, source, where, groupStar, groupTags, bucket, fill,
         orderByTime, orderDesc, limit, offset, slimit, soffset)
     }
 
@@ -405,6 +423,11 @@ object InfluxQl {
     }
 
     private def fromSource(): QlSource = peek match {
+      case Tok.Sym("(") =>
+        pos += 1
+        val inner = selectBody()
+        eatSym(")")
+        QlSubquery(inner)
       case Tok.Re(p) => pos += 1; QlSourceRegex(p)
       case Tok.Ident(_, _) =>
         var path = Vector(ident()._1)

@@ -40,7 +40,53 @@ final case class QlTable(name: String, df: DataFrame, timeCol: String,
 object QlPlanner {
 
   def plan(stmt: QlSelect, catalog: Seq[QlTable]): DataFrame = {
-    val matched = resolve(stmt.source, catalog)
+    require(stmt.into.isEmpty,
+      "SELECT INTO writes a measurement — run it through planInto, " +
+        "not plan (silently reading an INTO would drop the write)")
+    planPure(stmt, catalog)
+  }
+
+  /** SELECT … INTO "dst": compute the SELECT, WRITE it as the
+    * destination measurement under `destRoot` (the InfluxQL
+    * backfill/downsample idiom), and return the read-back frame —
+    * so callers verify what actually landed, not what was planned.
+    * Overwrite semantics: re-running the same INTO converges
+    * (InfluxQL upserts points; a deterministic SELECT rewrites the
+    * identical measurement). */
+  def planInto(stmt: QlSelect, catalog: Seq[QlTable], destRoot: String)
+      : DataFrame = {
+    val dst = stmt.into.getOrElse(throw new QlParseException(
+      "planInto needs a SELECT … INTO statement"))
+    val out = planPure(stmt, catalog)
+    out.write.mode("overwrite").parquet(s"$destRoot/$dst.parquet")
+    out.sparkSession.read.parquet(s"$destRoot/$dst.parquet")
+  }
+
+  private def planPure(stmt: QlSelect, catalog: Seq[QlTable]): DataFrame =
+    stmt.source match {
+      case QlSubquery(inner) =>
+        // the inner result becomes a derived measurement: columns
+        // that are catalog tags stay tags, everything else (minus
+        // measurement/time) is a field — so `mean(sum_v) FROM
+        // (SELECT sum(v) AS sum_v … GROUP BY time(1h), *)` composes
+        // the way InfluxQL users expect
+        require(inner.into.isEmpty,
+          "INTO is not allowed inside a subquery")
+        val innerDf = planPure(inner, catalog)
+        require(innerDf.columns.contains("time"),
+          "the outer query needs the inner to carry a time column " +
+            "(raw or time-bucketed inner SELECT)")
+        val innerTags = innerDf.columns
+          .filter(c => catalog.exists(_.tags.contains(c))).toSeq
+        val innerFields = innerDf.columns
+          .filterNot(c => c == "measurement" || c == "time" ||
+            innerTags.contains(c)).toSeq
+        planBody(stmt, Seq(QlTable("subquery",
+          innerDf.drop("measurement"), "time", innerTags, innerFields)))
+      case _ => planBody(stmt, resolve(stmt.source, catalog))
+    }
+
+  private def planBody(stmt: QlSelect, matched: Seq[QlTable]): DataFrame = {
     val t0 = matched.head
     require(matched.forall(t => t.tags == t0.tags && t.fields == t0.fields),
       s"measurements matched by ${stmt.source} have differing schemas: " +

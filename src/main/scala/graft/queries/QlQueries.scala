@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * the standard cross-engine determinism rule (Q.scala scaladoc).
   */
 object QlQueries {
-  import ParityQueries.{StartNs, EndNs, HourNs}
+  import ParityQueries.{StartNs, EndNs, HourNs, DayNs}
 
   private val StartSec = StartNs / 1000000000L
   private val EndSec = EndNs / 1000000000L
@@ -255,6 +255,51 @@ object QlQueries {
       Some("""SELECT 'events' AS measurement,
         count(value)::BIGINT AS count_value FROM events"""
         .replaceAll("\\s+", " "))),
+
+    // SELECT … INTO: the InfluxQL backfill/downsample idiom — the
+    // daily rollup computed by the text query, WRITTEN as a new
+    // measurement, run twice (overwrite ⇒ re-running converges, the
+    // idempotence the reference's upsert-shaped backfills rely on),
+    // and read BACK for the oracle compare: what landed, not what
+    // was planned.
+    "ql_select_into" -> QueryDef(
+      (s, dir) => {
+        val stmt = InfluxQl.parse(
+          s"""select sum(value) into "daily_sums" from events """ +
+            s"where time >= ${StartSec}s and time < ${EndSec}s " +
+            s"group by time(1d), event_type")
+        val dstRoot = s"/tmp/graft_qlinto_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(dstRoot)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        QlPlanner.planInto(stmt, catalog(s, dir), dstRoot)
+        QlPlanner.planInto(stmt, catalog(s, dir), dstRoot)
+          .withColumn("sum_value", round(col("sum_value"), 4))
+      },
+      Some(s"""SELECT 'events' AS measurement, event_type,
+        (epoch_ns(ts) // $DayNs) * $DayNs AS "time",
+        round(sum(value), 4) AS sum_value FROM events
+        WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+        GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
+
+    // InfluxQL subquery: aggregate-of-aggregate — the max daily sum
+    // per series, composed as FROM (SELECT … GROUP BY time(1d), *).
+    // The inner result is a derived measurement (its tags stay tags,
+    // its output columns become fields).
+    "ql_subquery" -> QueryDef(
+      (s, dir) => run(
+        s"select max(sum_value) from (select sum(value) as sum_value " +
+          s"from events where time >= ${StartSec}s and " +
+          s"time < ${EndSec}s group by time(1d), *) group by event_type"
+        )(s, dir)
+        .withColumn("max_sum_value", round(col("max_sum_value"), 4)),
+      Some(s"""WITH d AS (SELECT event_type, user_id,
+          (epoch_ns(ts) // $DayNs) * $DayNs AS t, sum(value) AS sv
+          FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+          GROUP BY 1, 2, 3)
+        SELECT 'subquery' AS measurement, event_type,
+          round(max(sv), 4) AS max_sum_value
+        FROM d GROUP BY 1, 2""".replaceAll("\\s+", " "))),
 
     // the InfluxQL transformation-function family reached FROM QUERY
     // TEXT — difference / cumulative_sum / elapsed(1ms) /

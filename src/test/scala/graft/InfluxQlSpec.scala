@@ -127,6 +127,53 @@ class InfluxQlSpec extends AnyFunSuite {
       rows("""show retention policies on "nosuch"""").collect())
   }
 
+  test("SELECT INTO and subqueries parse; planInto writes the derived " +
+    "measurement and re-running converges; plan() refuses a silent " +
+    "INTO read") {
+    val q = InfluxQl.parse(
+      """select sum(v) into "daily" from m group by time(20ns), g""")
+    assert(q.into === Some("daily"))
+    assert(InfluxQl.parse("select sum(v) into db.rp.dst from m").into
+      === Some("dst"))
+    val sub = InfluxQl.parse(
+      "select max(sum_v) from (select sum(v) as sum_v from m " +
+        "group by time(20ns), g) group by g")
+    assert(sub.source.isInstanceOf[QlSubquery])
+    intercept[IllegalArgumentException](QlPlanner.plan(q, cat))
+    val destRoot = java.nio.file.Files
+      .createTempDirectory("graft_qlinto").toString
+    val w1 = QlPlanner.planInto(q, cat, destRoot)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // buckets of 20ns: a→[0,20)=6.0? times 10,20,30,30: b0={10}=5,
+    // b20={20,30,30}=12; b: b0={10}=4, b40={40}=8
+    assert(w1 === Set(("a", 0L, 5.0), ("a", 20L, 12.0),
+      ("b", 0L, 4.0), ("b", 40L, 8.0)))
+    val w2 = QlPlanner.planInto(q, cat, destRoot)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(w2 === w1) // overwrite convergence
+  }
+
+  test("planner: subquery — aggregate of a time-bucketed inner; " +
+    "inner tags stay tags, inner outputs become fields; a time-less " +
+    "inner refuses") {
+    val out = run("select max(sum_v) from (select sum(v) as sum_v " +
+      "from m group by time(20ns), g) group by g")
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(out === Map("a" -> 12.0, "b" -> 8.0))
+    // inner transform feeding an outer aggregate also composes
+    val d = run("select mean(difference_v) from (select difference(v) " +
+      "as difference_v from m group by g) group by g")
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    // a diffs (ordered t, v asc: 5,1,2,9): -4, 1, 7 → mean 4/3
+    assert(math.abs(d("a") - 4.0 / 3.0) < 1e-12)
+    assert(d("b") === 4.0)
+    intercept[IllegalArgumentException](
+      run("select max(sum_v) from (select sum(v) as sum_v from m " +
+        "group by g) group by g"))
+  }
+
   test("strict parse: unknown functions, trailing garbage, and " +
     "unterminated literals all throw") {
     intercept[QlParseException](InfluxQl.parse("select maen(v) from m"))
