@@ -94,14 +94,28 @@ object QlPlanner {
     val tags = t0.tags
     val fields = t0.fields
 
-    // normalized frame: measurement, time (Long ns), tags..., fields...
-    var df = matched.map { t =>
-      t.df.select(lit(t.name).as("measurement")
+    // WHERE applies per table on the RAW frame (time predicates need
+    // the physical column / its `_raw` companion to stay pushable —
+    // see timeCond), THEN the frame normalizes to measurement, time
+    // (Long ns), tags..., fields...
+    val (timeConds, otherConds) =
+      stmt.where.partition(_.operand.equalsIgnoreCase("time"))
+    val df = matched.map { t =>
+      val filtered = timeConds.foldLeft(t.df) { (d, c) =>
+        val ns = c.lit match {
+          case QlDur(ns0) => ns0
+          // a bare integer in a time comparison is epoch ns (InfluxQL)
+          case QlNum(_, txt) if !txt.contains('.') => txt.toLong
+          case l => throw new QlParseException(s"bad time literal $l")
+        }
+        d.filter(timeCond(d, t.timeCol, c.op, ns))
+      }
+      val normalized = filtered.select(lit(t.name).as("measurement")
         +: col(t.timeCol).cast("long").as("time")
         +: (t.tags ++ t.fields).map(col): _*)
+      otherConds.foldLeft(normalized)((d, c) =>
+        d.filter(cond(c, tags, fields)))
     }.reduce(_ unionAll _)
-
-    stmt.where.foreach { c => df = df.filter(cond(c, tags, fields)) }
 
     val calls = stmt.fields.collect { case QlField(c: QlCall, _) => c }
     val nTransforms = calls.count(c => TransformFns(c.fn))
@@ -229,6 +243,34 @@ object QlPlanner {
 
   // -------------------------------------------------------------- where
 
+  /** Pushdown-preserving `time <op> ns` on the RAW measurement frame:
+    * routed through [[graft.sources.Tables]]' companion-aware
+    * predicate builders, so a physical-timestamp parquet column gets
+    * a literal timestamp comparison the scan can push (filtering the
+    * derived Long-ns expression would read every row group). */
+  private def timeCond(df: DataFrame, timeCol: String, op: String,
+      ns: Long): Column = {
+    import graft.sources.Tables
+    op match {
+      case ">"  => Tables.nsAfter(df, timeCol, ns)
+      case ">=" => Tables.nsAtLeast(df, timeCol, ns)
+      case "<"  => Tables.nsBefore(df, timeCol, ns)
+      case "<=" =>
+        require(ns < Long.MaxValue, "time <= Long.MaxValue")
+        Tables.nsBefore(df, timeCol, ns + 1)
+      case "="  =>
+        require(ns < Long.MaxValue, "time = Long.MaxValue")
+        Tables.nsAtLeast(df, timeCol, ns) &&
+          Tables.nsBefore(df, timeCol, ns + 1)
+      case "!=" =>
+        require(ns < Long.MaxValue, "time != Long.MaxValue")
+        !(Tables.nsAtLeast(df, timeCol, ns) &&
+          Tables.nsBefore(df, timeCol, ns + 1))
+      case op => throw new QlParseException(
+        s"operator $op not valid for time")
+    }
+  }
+
   private def cond(c: QlCond, tags: Seq[String],
       fields: Seq[String]): Column = {
     def cmp(l: Column, r: Column): Column = c.op match {
@@ -241,12 +283,9 @@ object QlPlanner {
       case op   => throw new QlParseException(
         s"operator $op not valid for ${c.operand}")
     }
-    if (c.operand.equalsIgnoreCase("time")) c.lit match {
-      case QlDur(ns) => cmp(col("time"), lit(ns))
-      // a bare integer in a time comparison is epoch ns (InfluxQL)
-      case QlNum(_, t) if !t.contains('.') => cmp(col("time"), lit(t.toLong))
-      case l => throw new QlParseException(s"bad time literal $l")
-    }
+    if (c.operand.equalsIgnoreCase("time"))
+      throw new QlParseException(
+        "time predicates are planned per-table (timeCond)")
     else if (tags.contains(c.operand)) c.lit match {
       case QlStr(v) => cmp(col(c.operand), lit(v))
       case QlRe(p) if c.op == "=~" => col(c.operand).rlike(p)

@@ -26,6 +26,15 @@ class PlanSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("ql front-end time predicates reach the parquet scan as pushed " +
+    "timestamp filters (the text layer must not cost the pushdown the " +
+    "DataFrame layer has)") {
+    val p = planOf("ql_raw_scan")
+    assert(p.contains("PushedFilters:"), p.take(2000))
+    assert(p.contains("GreaterThan(ts") || p.contains("GreaterThan(`ts`"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("small dimension side broadcasts (join_broadcast_part)") {
     val p = planOf("join_broadcast_part")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
