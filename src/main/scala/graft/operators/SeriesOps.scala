@@ -162,6 +162,82 @@ object SeriesOps {
               (col("nb") - col("b")).cast("double"))).as("v_linear")): _*)
   }
 
+  /** [[fillGaps]] with an ABSOLUTE grid — true InfluxQL `GROUP BY
+    * time(...) fill(...)` edge semantics for a time-bounded query:
+    * the grid spans [startTick, endTickExclusive) for EVERY series
+    * (InfluxQL emits every interval of the WHERE range), so leading
+    * cells before a series' first actual and trailing cells after its
+    * last exist too. Leading cells have no previous actual: v_prev
+    * and v_linear are NULL there (InfluxQL leaves them null);
+    * trailing cells carry the last actual forward for v_prev and
+    * NULL for v_linear (nothing to interpolate toward) — exactly the
+    * fillGaps trailing row shape.
+    *
+    * Shape: the interior + trailing cells come from the same
+    * forward-generation trick as fillGaps (one per-series window,
+    * zero joins); the leading cells come from ONE map-side-combined
+    * per-series min aggregate over the (already bucket-sized) frame,
+    * exploded and unioned — still no join against a grid frame.
+    * Output rows per series = range/step (the InfluxQL contract), so
+    * callers size ranges like InfluxQL users do. */
+  def fillGapsRange(df: DataFrame, seriesCols: Seq[String],
+      bucketCol: String, valueCol: String, stepTicks: Long,
+      startTick: Long, endTickExclusive: Long): DataFrame = {
+    require(stepTicks > 0, s"stepTicks must be positive: $stepTicks")
+    require(endTickExclusive > startTick,
+      s"empty range: [$startTick, $endTickExclusive)")
+    val lastGrid = startTick +
+      ((endTickExclusive - 1 - startTick) / stepTicks) * stepTicks
+    val base = df.select(
+      seriesCols.map(col)
+        :+ col(bucketCol).cast("long").as("b")
+        :+ col(valueCol).cast("double").as("v"): _*)
+      // contract: aligned to THIS grid and inside the range — an
+      // out-of-range bucket would silently vanish from the fill
+      .withColumn("b",
+        when(col("b").isNull ||
+            (col("b") >= startTick && col("b") <= lastGrid &&
+              (col("b") - startTick) % stepTicks === 0), col("b"))
+          .otherwise(raise_error(concat(
+            lit("fillGapsRange: bucket "), col("b").cast("string"),
+            lit(s" off the [$startTick, $endTickExclusive) grid at " +
+              s"step $stepTicks")))))
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col("b"))
+    val withNext = base
+      .withColumn("nb", lead(col("b"), 1).over(w))
+      .withColumn("nv", lead(col("v"), 1).over(w))
+    val mainRows = withNext.select(
+      seriesCols.map(col) ++ Seq(col("b"), col("v"), col("nb"), col("nv"),
+        explode(sequence(col("b"),
+          coalesce(col("nb") - stepTicks, lit(lastGrid)),
+          lit(stepTicks))).as("t")): _*)
+    // leading cells: one synthetic generator row per series whose
+    // first actual sits after the grid start — b/v NULL (no previous
+    // actual), neighbor = the first actual (unused by the null/zero
+    // flavors; keeps one shared flavor projection below)
+    val heads = base.groupBy(seriesCols.map(col): _*)
+      .agg(min(struct(col("b"), col("v"))).as("f"))
+      .filter(col("f.b") > startTick)
+      .select(seriesCols.map(col) ++ Seq(
+        lit(null).cast("long").as("b"), lit(null).cast("double").as("v"),
+        col("f.b").as("nb"), col("f.v").as("nv"),
+        explode(sequence(lit(startTick), col("f.b") - stepTicks,
+          lit(stepTicks))).as("t")): _*)
+    val actual = when(col("t") === col("b"), col("v"))
+    mainRows.unionAll(heads).select(
+      seriesCols.map(col) ++ Seq(
+        col("t").as("t_tick"),
+        coalesce(col("t") =!= col("b"), lit(true)).as("is_gap"),
+        actual.as("v_null"),
+        coalesce(actual, lit(0.0)).as("v_zero"),
+        col("v").as("v_prev"),
+        when(col("t") === col("b"), col("v")).otherwise(
+          col("v") + (col("nv") - col("v")) *
+            ((col("t") - col("b")).cast("double") /
+              (col("nb") - col("b")).cast("double"))).as("v_linear")): _*)
+  }
+
   /** InfluxQL `TOP(field, N)` / `BOTTOM(field, N)` selectors, per
     * series: rank 1..k by value DESC (top) / ASC (bottom), timestamp-
     * style ties broken by `idCol` ASC — via the bounded-heap

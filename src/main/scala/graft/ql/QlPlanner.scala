@@ -243,6 +243,28 @@ object QlPlanner {
 
   // -------------------------------------------------------------- where
 
+  /** The [start, end) ns range the WHERE clause pins, when it pins
+    * both sides: `>= s`/`> s` lower bounds (strict +1), `< e`/`<= e`
+    * upper (inclusive +1); multiple bounds intersect. */
+  private def timeBoundsNs(stmt: QlSelect): Option[(Long, Long)] = {
+    def ns(c: QlCond): Long = c.lit match {
+      case QlDur(v) => v
+      case QlNum(_, t) if !t.contains('.') => t.toLong
+      case l => throw new QlParseException(s"bad time literal $l")
+    }
+    val tc = stmt.where.filter(_.operand.equalsIgnoreCase("time"))
+    val los = tc.collect {
+      case c if c.op == ">=" => ns(c)
+      case c if c.op == ">"  => ns(c) + 1
+    }
+    val his = tc.collect {
+      case c if c.op == "<"  => ns(c)
+      case c if c.op == "<=" => ns(c) + 1
+    }
+    for (lo <- los.reduceOption(_ max _); hi <- his.reduceOption(_ min _))
+      yield (lo, hi)
+  }
+
   /** Pushdown-preserving `time <op> ns` on the RAW measurement frame:
     * routed through [[graft.sources.Tables]]' companion-aware
     * predicate builders, so a physical-timestamp parquet column gets
@@ -445,8 +467,19 @@ object QlPlanner {
           "fill() supports a single aggregate projection")
         val vname = calls.head._2
         val series = "measurement" +: groupTags
-        val g = SeriesOps.fillGaps(agged, series, "time", vname,
-          stepTicks = b)
+        // InfluxQL edge semantics: with BOTH time bounds in WHERE the
+        // grid spans the whole range per series (leading/trailing
+        // cells included); unbounded queries fall back to the
+        // [first, last] actual span (no range to extrapolate to)
+        val g = timeBoundsNs(stmt) match {
+          case Some((s0, e0)) =>
+            SeriesOps.fillGapsRange(agged, series, "time", vname,
+              stepTicks = b, startTick = (s0 / b) * b,
+              endTickExclusive = e0)
+          case None =>
+            SeriesOps.fillGaps(agged, series, "time", vname,
+              stepTicks = b)
+        }
         val flavor = f match {
           case FillNull     => col("v_null")
           case FillValue(x) => coalesce(col("v_null"), lit(x))

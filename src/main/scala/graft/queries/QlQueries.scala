@@ -115,9 +115,10 @@ object QlQueries {
         GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
 
     // GROUP BY time(1h), * fill(previous): the InfluxQL downsampling
-    // workhorse — buckets through the planner, gaps through
-    // SeriesOps.fillGaps; oracle rebuilds the per-series grid with
-    // range() + IGNORE NULLS carry-forward
+    // workhorse. Both time bounds are pinned, so the grid is the
+    // WHOLE RANGE per series (true InfluxQL edge semantics —
+    // SeriesOps.fillGapsRange): leading cells before a series' first
+    // actual stay NULL, trailing cells carry the last actual forward.
     "ql_downsample_fill_prev" -> QueryDef(
       (s, dir) => run(
         s"select mean(value) from events where time >= ${StartSec}s " +
@@ -129,10 +130,9 @@ object QlQueries {
           FROM events
           WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
           GROUP BY 1, 2, 3),
-        bounds AS (SELECT event_type, user_id, min(t) AS lo, max(t) AS hi
-          FROM a GROUP BY 1, 2),
+        ser AS (SELECT DISTINCT event_type, user_id FROM a),
         grid AS (SELECT event_type, user_id,
-          unnest(range(lo, hi + 1, $HourNs)) AS t FROM bounds),
+          unnest(range($StartNs, $EndNs, $HourNs)) AS t FROM ser),
         j AS (SELECT g.event_type, g.user_id, g.t, a.v FROM grid g
           LEFT JOIN a ON a.event_type = g.event_type
             AND a.user_id = g.user_id AND a.t = g.t),
@@ -144,10 +144,11 @@ object QlQueries {
           t AS "time", round(fv, 4) AS mean_value FROM f"""
         .replaceAll("\\s+", " "))),
 
-    // fill(linear) over an exact integer aggregate (counts): the
-    // interpolation is per-row fixed-operand-order IEEE arithmetic —
-    // bit-identical across engines with NO rounding (the fillGaps
-    // v_linear contract); oracle mirrors v + (nv−v)·(t−b)/(nb−b)
+    // fill(linear) over an exact integer aggregate (counts) on the
+    // RANGE grid: interior gaps interpolate between surrounding
+    // actuals (per-row fixed-operand-order IEEE arithmetic —
+    // bit-identical across engines with NO rounding); leading and
+    // trailing cells have nothing to interpolate from/toward → NULL
     "ql_fill_linear" -> QueryDef(
       run(s"select count(value) from events " +
         s"where time >= ${StartSec}s and time < ${EndSec}s " +
@@ -159,16 +160,30 @@ object QlQueries {
             count(value)::DOUBLE AS v FROM events
             WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
             GROUP BY 1, 2),
+          ser AS (SELECT DISTINCT event_type FROM a),
+          grid AS (SELECT event_type,
+            unnest(range($StartNs, $EndNs, $B)) AS t FROM ser),
+          j AS (SELECT g.event_type, g.t, a.v FROM grid g
+            LEFT JOIN a ON a.event_type = g.event_type AND a.t = g.t),
           w AS (SELECT event_type, t, v,
-            lead(t) OVER win AS nb, lead(v) OVER win AS nv FROM a
-            WINDOW win AS (PARTITION BY event_type ORDER BY t)),
-          g AS (SELECT event_type, t AS b, v, nb, nv,
-            unnest(range(t, coalesce(nb, t + 1), $B)) AS t FROM w)
+            last_value(v IGNORE NULLS) OVER wp AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+              OVER wp AS pt,
+            first_value(v IGNORE NULLS) OVER wn AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+              OVER wn AS nt
+            FROM j WINDOW
+            wp AS (PARTITION BY event_type ORDER BY t
+              ROWS UNBOUNDED PRECEDING),
+            wn AS (PARTITION BY event_type ORDER BY t
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
           SELECT 'events' AS measurement, event_type, t AS "time",
-            CASE WHEN t = b THEN v ELSE
-              v + (nv - v) * (CAST(t - b AS DOUBLE) /
-                CAST(nb - b AS DOUBLE)) END AS count_value
-          FROM g""".replaceAll("\\s+", " ")
+            CASE WHEN v IS NOT NULL THEN v
+              WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+                pv + (nv - pv) * (CAST(t - pt AS DOUBLE) /
+                  CAST(nt - pt AS DOUBLE))
+              ELSE NULL END AS count_value
+          FROM w""".replaceAll("\\s+", " ")
       }),
 
     // tag-equality + time-range WHERE, grouped by the other tag

@@ -292,6 +292,34 @@ class InfluxQlSpec extends AnyFunSuite {
       run("select difference(v) from m group by time(10ns), g"))
   }
 
+  test("planner: a time-BOUNDED fill spans the whole WHERE range " +
+    "(InfluxQL edge semantics) — leading cells zero-fill under " +
+    "fill(0), stay NULL under fill(previous) until the first actual") {
+    // range [0, 60ns) at 10ns buckets → 6 cells per series
+    val z = run("select sum(v) from m where time >= 0 and time < 60 " +
+      "group by time(10ns), g fill(0)")
+      .collect().map(r => ((r.getString(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    assert(z.size === 12) // 2 series × 6 grid cells
+    assert(z(("b", 20L)) === 0.0 && z(("b", 50L)) === 0.0) // interior+trail
+    assert(z(("a", 40L)) === 0.0 && z(("a", 50L)) === 0.0) // trailing
+    val p = run("select sum(v) from m where time >= 0 and time < 60 " +
+      "group by time(10ns), g fill(previous)")
+      .collect().map(r => ((r.getString(1), r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(p(("a", 30L)) === Some(11.0) && p(("a", 50L)) === Some(11.0))
+    assert(p(("b", 20L)) === Some(4.0)) // carried forward
+    assert(p(("a", 0L)) === None && p(("b", 0L)) === None) // leading NULL
+    // no leading cells before the first actual here (both series
+    // start at t=10 → grid cell 10); bound the range earlier to get
+    // a leading NULL
+    val lead0 = run("select sum(v) from m where time >= 0 and " +
+      "time < 30 group by time(30ns), g fill(previous)")
+      .collect().map(r => ((r.getString(1), r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(lead0.size === 2) // one 30ns cell per series, both actual
+  }
+
   test("planner: unknown columns/tags and non-field aggregates refuse " +
     "loudly") {
     intercept[IllegalArgumentException](run("select nope from m"))
