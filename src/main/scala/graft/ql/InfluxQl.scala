@@ -151,6 +151,10 @@ final case class ShowMeasurements(exact: Option[String],
     regex: Option[String]) extends QlShow
 final case class ShowFieldKeys(from: Option[String]) extends QlShow
 final case class ShowTagKeys(from: Option[String]) extends QlShow
+/** SHOW TAG VALUES [FROM m] WITH KEY = "k" — the distinct values of
+  * one tag across the measurements carrying it. */
+final case class ShowTagValues(from: Option[String], key: String)
+  extends QlShow
 
 sealed trait QlSource
 /** Dotted measurement path; the LAST segment is the measurement
@@ -217,7 +221,7 @@ object InfluxQl {
   val Functions: Set[String] = Set("count", "sum", "mean", "min", "max",
     "median", "spread", "stddev", "percentile", "first", "last",
     "difference", "derivative", "non_negative_derivative",
-    "cumulative_sum", "elapsed", "moving_average")
+    "cumulative_sum", "elapsed", "moving_average", "top", "bottom")
 
   def parse(text: String): QlSelect = new P(QlLexer.lex(text), text).select()
 
@@ -283,9 +287,17 @@ object InfluxQl {
           ShowFieldKeys(
             if (atKw("from")) { pos += 1; Some(ident()._1) } else None)
         case "tag" =>
-          eatKw("keys")
-          ShowTagKeys(
-            if (atKw("from")) { pos += 1; Some(ident()._1) } else None)
+          if (atKw("values")) {
+            pos += 1
+            val from =
+              if (atKw("from")) { pos += 1; Some(ident()._1) } else None
+            eatKw("with"); eatKw("key"); eatSym("=")
+            ShowTagValues(from, ident()._1)
+          } else {
+            eatKw("keys")
+            ShowTagKeys(
+              if (atKw("from")) { pos += 1; Some(ident()._1) } else None)
+          }
         case other => fail(s"unsupported SHOW $other")
       }
       if (peek != Tok.End) fail(s"unexpected trailing token $peek")
@@ -412,6 +424,9 @@ object InfluxQl {
             fail("percentile(field, N) needs N")
           if (fn == "moving_average" && !arg.exists(a => a == a.floor))
             fail("moving_average(field, N) needs an integer N")
+          if ((fn == "top" || fn == "bottom") &&
+              !arg.exists(a => a == a.floor && a >= 1))
+            fail(s"$fn(field, N) needs a positive integer N")
           eatSym(")")
           QlCall(fn, fieldName, arg, argNs)
         case Tok.Ident(_, _) => QlColumn(ident()._1)

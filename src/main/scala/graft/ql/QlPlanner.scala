@@ -119,11 +119,15 @@ object QlPlanner {
 
     val calls = stmt.fields.collect { case QlField(c: QlCall, _) => c }
     val nTransforms = calls.count(c => TransformFns(c.fn))
+    val nSelectors = calls.count(c => SelectorFns(c.fn))
     require(nTransforms == 0 || nTransforms == calls.size,
       "cannot mix transformation functions (difference/derivative/…) " +
         "with aggregates in one SELECT (InfluxQL)")
+    require(nSelectors == 0 || calls.size == 1,
+      "TOP/BOTTOM stands alone in a SELECT (InfluxQL)")
     val (out, seriesKeys) =
-      if (nTransforms > 0) planTransform(stmt, df, tags, fields)
+      if (nSelectors > 0) planSelector(stmt, df, tags, fields)
+      else if (nTransforms > 0) planTransform(stmt, df, tags, fields)
       else if (stmt.hasAggregates) planAgg(stmt, df, tags, fields)
       else planRaw(stmt, df, tags, fields)
 
@@ -208,6 +212,34 @@ object QlPlanner {
         kept.distinct.toDF("name")
       case ShowFieldKeys(from) => keys(spark, schema, from, tags = false)
       case ShowTagKeys(from)   => keys(spark, schema, from, tags = true)
+      case ShowTagValues(from, key) =>
+        // distinct values of one string tag across the measurements
+        // carrying it — a pushed-down two-column scan per measurement
+        // (column pruning leaves only the tag), map-side-combined
+        // distinct
+        val cand = for {
+          d <- schema; rp <- d.rps; m <- rp.measurements
+          if from.forall(_ == m.name)
+          if m.fields.get(key).exists(_.ftype.name == "string")
+        } yield (d.name, rp.name, m.name)
+        require(cand.nonEmpty,
+          s"no measurement carries string tag '$key'" +
+            from.map(f => s" (FROM $f)").getOrElse(""))
+        val conf = spark.sessionState.newHadoopConf()
+        cand.map { case (db, rp, m) =>
+          // flat roots store root/m.parquet (Catalog surfaces them as
+          // default/autogen); probe before assuming the hierarchy
+          val flatPath = s"$root/$m.parquet"
+          val hp = new org.apache.hadoop.fs.Path(flatPath)
+          val path =
+            if (hp.getFileSystem(conf).exists(hp)) flatPath
+            else s"$root/$db/$rp/$m.parquet"
+          spark.read.parquet(path)
+            .select(lit(m).as("measurement"), lit(key).as("key"),
+              col(key).cast("string").as("value"))
+            .where(col("value").isNotNull)
+            .distinct()
+        }.reduce(_ unionAll _)
     }
   }
 
@@ -349,6 +381,53 @@ object QlPlanner {
     (df.select(col("measurement") +: col("time")
       +: (tags ++ fieldCols).map(col): _*),
       "measurement" +: tags)
+  }
+
+  // ----------------------------------------------------------- selector
+
+  private val SelectorFns = Set("top", "bottom")
+
+  /** InfluxQL TOP(field, N) / BOTTOM(field, N): the N extreme points
+    * per series, each with its timestamp — via the bounded-heap
+    * [[graft.functions.TopKAgg]] (score = field, id = time ns; BOTTOM
+    * negates), NOT a per-series window sort: every input partition
+    * contributes at most O(N) pre-ranked rows per series to the
+    * shuffle (the [[SeriesOps.topBottom]] discipline). Equal-value
+    * ties break to the EARLIER timestamp — pinned where InfluxQL
+    * leaves order undefined. */
+  private def planSelector(stmt: QlSelect, df: DataFrame,
+      tags: Seq[String], fields: Seq[String])
+      : (DataFrame, Seq[String]) = {
+    val (c, name) = stmt.fields.head match {
+      case QlField(cc: QlCall, alias) =>
+        (cc, alias.getOrElse(s"${cc.fn}_${cc.field}"))
+      case p => throw new QlParseException(s"not a selector: $p")
+    }
+    require(fields.contains(c.field),
+      s"${c.fn}() needs a field, got '${c.field}'")
+    require(stmt.timeBucketNs.isEmpty && stmt.fill.isEmpty,
+      "TOP/BOTTOM applies to raw points — no time() bucket / fill()")
+    val n = c.arg.get.toInt
+    val groupTags: Seq[String] =
+      if (stmt.groupStar) tags
+      else {
+        stmt.groupTags.foreach(t => require(tags.contains(t),
+          s"unknown GROUP BY tag '$t'"))
+        stmt.groupTags
+      }
+    val keys = "measurement" +: groupTags
+    val score =
+      if (c.fn == "top") col(c.field).cast("double")
+      else negate(col(c.field).cast("double"))
+    val agged = df
+      .where(col(c.field).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.TopKAgg.topK(n)(score, col("time")).as("tk"))
+      .select(keys.map(col) :+ explode(col("tk.items")).as("it"): _*)
+    val value =
+      if (c.fn == "top") col("it.score") else negate(col("it.score"))
+    (agged.select(keys.map(col) ++ Seq(col("it.id").as("time"),
+      value.as(name)): _*), keys)
   }
 
   // ---------------------------------------------------------- transform

@@ -271,6 +271,39 @@ object QlQueries {
         count(value)::BIGINT AS count_value FROM events"""
         .replaceAll("\\s+", " "))),
 
+    // TOP/BOTTOM selectors: the N extreme points per series WITH
+    // their timestamps, via the bounded-heap TopKAgg two-phase
+    // ranking (never a per-series window sort); equal-value ties
+    // pinned to the earlier timestamp
+    "ql_top" -> QueryDef(
+      run("select top(value, 3) from events group by event_type"),
+      Some("""WITH r AS (SELECT event_type, epoch_ns(ts) AS t, value,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY value DESC, epoch_ns(ts) ASC) AS rn FROM events)
+        SELECT 'events' AS measurement, event_type, t AS "time",
+          value AS top_value FROM r WHERE rn <= 3"""
+        .replaceAll("\\s+", " "))),
+
+    "ql_bottom" -> QueryDef(
+      run(s"select bottom(value, 2) from events " +
+        s"where time >= ${StartSec}s and time < ${EndSec}s " +
+        s"group by event_type, user_id"),
+      Some(s"""WITH r AS (SELECT event_type, user_id, epoch_ns(ts) AS t,
+          value, row_number() OVER (PARTITION BY event_type, user_id
+            ORDER BY value ASC, epoch_ns(ts) ASC) AS rn FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs)
+        SELECT 'events' AS measurement, event_type, user_id,
+          t AS "time", value AS bottom_value FROM r WHERE rn <= 2"""
+        .replaceAll("\\s+", " "))),
+
+    // SHOW TAG VALUES: distinct values of one tag (pruned two-column
+    // scan + map-side-combined distinct)
+    "ql_show_tag_values" -> QueryDef(
+      runShow("""show tag values from "events" with key = "event_type""""),
+      Some("""SELECT DISTINCT 'events' AS measurement,
+        'event_type' AS key, event_type AS value FROM events"""
+        .replaceAll("\\s+", " "))),
+
     // SELECT … INTO: the InfluxQL backfill/downsample idiom — the
     // daily rollup computed by the text query, WRITTEN as a new
     // measurement, run twice (overwrite ⇒ re-running converges, the

@@ -320,6 +320,44 @@ class InfluxQlSpec extends AnyFunSuite {
     assert(lead0.size === 2) // one 30ns cell per series, both actual
   }
 
+  test("planner: TOP/BOTTOM selectors return the N extreme points " +
+    "per series with timestamps; equal values tie to the earlier " +
+    "time; mixing with other projections refuses") {
+    val top = run("select top(v, 2) from m group by g")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(top === Set(("a", 30L, 9.0), ("a", 10L, 5.0),
+      ("b", 40L, 8.0), ("b", 10L, 4.0)))
+    val bot = run("select bottom(v, 1) as low_v from m group by g")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(bot === Set(("a", 20L, 1.0), ("b", 10L, 4.0)))
+    intercept[IllegalArgumentException](
+      run("select top(v, 2), sum(v) from m group by g"))
+    intercept[QlParseException](run("select top(v) from m"))
+    intercept[IllegalArgumentException](
+      run("select top(v, 2) from m group by time(10ns), g"))
+  }
+
+  test("SHOW TAG VALUES parses and plans: distinct values of a string " +
+    "tag; non-string keys refuse") {
+    assert(InfluxQl.parseStatement(
+      """show tag values from "m" with key = "host"""")
+      === ShowTagValues(Some("m"), "host"))
+    assert(InfluxQl.parseStatement("""show tag values with key = k""")
+      === ShowTagValues(None, "k"))
+    val vals = QlPlanner.planShow(
+      InfluxQl.parseStatement("""show tag values from "events" """ +
+        """with key = "event_type"""").asInstanceOf[QlShow],
+      spark, SparkSpec.Sf0001)
+      .collect().map(_.getString(2)).toSet
+    assert(vals === Set("click", "view", "signup", "purchase", "error"))
+    intercept[IllegalArgumentException](QlPlanner.planShow(
+      InfluxQl.parseStatement("""show tag values from "events" """ +
+        """with key = "value"""").asInstanceOf[QlShow],
+      spark, SparkSpec.Sf0001))
+  }
+
   test("planner: unknown columns/tags and non-field aggregates refuse " +
     "loudly") {
     intercept[IllegalArgumentException](run("select nope from m"))
