@@ -156,6 +156,21 @@ final case class ShowTagKeys(from: Option[String]) extends QlShow
 final case class ShowTagValues(from: Option[String], key: String)
   extends QlShow
 
+/** DELETE FROM "m" [WHERE time < …] — the point-expiry statement;
+  * v1 supports the retention idiom (time upper bound, or no WHERE =
+  * everything), which maps onto the chunk-dropping expiry engine. */
+final case class QlDelete(measurement: String, where: Seq[QlCond])
+  extends QlStatement
+
+/** DROP MEASUREMENT "m" — remove the measurement's storage. */
+final case class QlDropMeasurement(name: String) extends QlStatement
+
+/** CREATE CONTINUOUS QUERY "name" [ON "db"] BEGIN <select-into> END —
+  * the InfluxDB CQ DDL; the inner SELECT must carry INTO and a
+  * time() bucket (that is what a CQ is). */
+final case class QlCreateCq(name: String, db: Option[String],
+    inner: QlSelect) extends QlStatement
+
 sealed trait QlSource
 /** Dotted measurement path; the LAST segment is the measurement
   * (db/rp prefixes are resolution hints the planner may ignore). */
@@ -232,6 +247,12 @@ object InfluxQl {
     toks.headOption match {
       case Some(Tok.Ident(n, false)) if n.equalsIgnoreCase("show") =>
         new P(toks, text).show()
+      case Some(Tok.Ident(n, false)) if n.equalsIgnoreCase("delete") =>
+        new P(toks, text).delete()
+      case Some(Tok.Ident(n, false)) if n.equalsIgnoreCase("drop") =>
+        new P(toks, text).drop()
+      case Some(Tok.Ident(n, false)) if n.equalsIgnoreCase("create") =>
+        new P(toks, text).createCq()
       case _ => new P(toks, text).select()
     }
   }
@@ -308,6 +329,37 @@ object InfluxQl {
       val s = selectBody()
       if (peek != Tok.End) fail(s"unexpected trailing token $peek")
       s
+    }
+
+    def delete(): QlDelete = {
+      eatKw("delete"); eatKw("from")
+      val m = ident()._1
+      val where =
+        if (atKw("where")) { pos += 1; condList() } else Seq.empty
+      if (peek != Tok.End) fail(s"unexpected trailing token $peek")
+      QlDelete(m, where)
+    }
+
+    def drop(): QlDropMeasurement = {
+      eatKw("drop"); eatKw("measurement")
+      val m = ident()._1
+      if (peek != Tok.End) fail(s"unexpected trailing token $peek")
+      QlDropMeasurement(m)
+    }
+
+    def createCq(): QlCreateCq = {
+      eatKw("create"); eatKw("continuous"); eatKw("query")
+      val name = ident()._1
+      val db = if (atKw("on")) { pos += 1; Some(ident()._1) } else None
+      eatKw("begin")
+      val inner = selectBody()
+      eatKw("end")
+      if (peek != Tok.End) fail(s"unexpected trailing token $peek")
+      if (inner.into.isEmpty)
+        fail("a continuous query's SELECT needs INTO")
+      if (inner.timeBucketNs.isEmpty)
+        fail("a continuous query's SELECT needs GROUP BY time(...)")
+      QlCreateCq(name, db, inner)
     }
 
     private def selectBody(): QlSelect = {

@@ -169,6 +169,140 @@ object QlPlanner {
       case sel: QlSelect => plan(sel, catalog)
     }
 
+  /** Measurement name → parquet path under a root, probing the flat
+    * layout (root/m.parquet) before assuming db/rp hierarchy. */
+  private def measurementPath(spark: org.apache.spark.sql.SparkSession,
+      root: String, db: String, rp: String, m: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val flatPath = s"$root/$m.parquet"
+    val hp = new org.apache.hadoop.fs.Path(flatPath)
+    if (hp.getFileSystem(conf).exists(hp)) flatPath
+    else s"$root/$db/$rp/$m.parquet"
+  }
+
+  /** DELETE FROM "m" [WHERE time < …]: the point-expiry statement
+    * mapped onto the chunk-dropping retention engine
+    * ([[graft.operators.CopyJob.enforceRetention]]) — whole expired
+    * chunk partitions are deleted at the file-listing level, only the
+    * straddling chunk is rewritten. v1 supports upper-bounded time
+    * predicates (the retention idiom) and the bare form (delete
+    * everything); tag-predicated deletes would need a rewrite path
+    * and refuse loudly. Returns the post-delete read-back frame. The
+    * measurement must be in the engine's chunk-partitioned sink
+    * layout (a raw unchunked parquet has no spans to drop). */
+  def planDelete(stmt: QlDelete,
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      timeCol: String = "ts", chunkNs: Long = 86400000000000L)
+      : DataFrame = {
+    val cutoff: Long =
+      if (stmt.where.isEmpty) Long.MaxValue
+      else stmt.where.map { c =>
+        require(c.operand.equalsIgnoreCase("time"),
+          s"DELETE supports time predicates only, got '${c.operand}'")
+        val ns = c.lit match {
+          case QlDur(v) => v
+          case QlNum(_, t) if !t.contains('.') => t.toLong
+          case l => throw new QlParseException(s"bad time literal $l")
+        }
+        c.op match {
+          case "<" => ns
+          case "<=" =>
+            require(ns < Long.MaxValue, "time <= Long.MaxValue")
+            ns + 1
+          case op => throw new QlParseException(
+            s"DELETE supports upper time bounds only (<, <=), got $op" +
+              " — lower-bounded deletes need a chunk-rewrite path")
+        }
+      }.min
+    val schema = new graft.catalog.Catalog(spark).getSchema(root)
+    val hit = (for {
+      d <- schema; rp <- d.rps; m <- rp.measurements
+      if m.name == stmt.measurement
+    } yield (d.name, rp.name)).headOption
+    require(hit.isDefined, s"no measurement '${stmt.measurement}'")
+    val path = measurementPath(spark, root, hit.get._1, hit.get._2,
+      stmt.measurement)
+    val job = new graft.operators.CopyJob(spark)
+    job.enforceRetention(path, cutoff,
+      graft.operators.CopyJob.Config(0L, 0L, chunkNs, timeCol = timeCol))
+    job.readCopied(path)
+  }
+
+  /** DROP MEASUREMENT "m": remove the measurement's storage
+    * (recursive path delete). Returns true iff something existed. */
+  def planDrop(stmt: QlDropMeasurement,
+      spark: org.apache.spark.sql.SparkSession, root: String): Boolean = {
+    val schema = new graft.catalog.Catalog(spark).getSchema(root)
+    val hit = (for {
+      d <- schema; rp <- d.rps; m <- rp.measurements
+      if m.name == stmt.name
+    } yield (d.name, rp.name)).headOption
+    hit.exists { case (db, rp) =>
+      val p = new org.apache.hadoop.fs.Path(
+        measurementPath(spark, root, db, rp, stmt.name))
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  /** CREATE CONTINUOUS QUERY … BEGIN SELECT <aggs>(f) INTO "dst" FROM
+    * "src" GROUP BY time(b), tags END — the InfluxDB CQ DDL routed
+    * onto [[graft.operators.ContinuousQuery]]'s INCREMENTAL refresh
+    * (watermark + RESAMPLE-lookback machinery; re-running recomputes
+    * only the lookback bucket, converging to the one-shot full
+    * aggregate — ContinuousQuerySpec pins late-data behavior). The
+    * rollup stores count/sum/min/max; the CQ's aggregate list selects
+    * which surface, so it must be a subset of those over ONE field.
+    * GROUP BY tags are explicit (the rollup schema is declared, not
+    * inferred — `*` refuses). Returns the post-refresh rollup with
+    * the requested columns. */
+  def planCreateCq(stmt: QlCreateCq,
+      spark: org.apache.spark.sql.SparkSession, srcRoot: String,
+      dstRoot: String, resampleNs: Long = 0L): DataFrame = {
+    val inner = stmt.inner
+    val allowed = Map("count" -> "n_points", "sum" -> "sum_value",
+      "min" -> "min_value", "max" -> "max_value")
+    val calls = inner.fields.map {
+      case QlField(c: QlCall, alias) =>
+        require(allowed.contains(c.fn),
+          s"a continuous query supports ${allowed.keys.mkString("/")}" +
+            s", got ${c.fn}()")
+        (c, alias.getOrElse(s"${c.fn}_${c.field}"))
+      case p => throw new QlParseException(s"bad CQ projection $p")
+    }
+    require(calls.map(_._1.field).distinct.size == 1,
+      "a continuous query aggregates ONE field")
+    require(!inner.groupStar,
+      "list CQ GROUP BY tags explicitly — the rollup schema is " +
+        "declared, not inferred")
+    require(inner.where.isEmpty,
+      "a CQ owns its refresh window (watermark + lookback); WHERE is " +
+        "not supported")
+    val src = inner.source match {
+      case QlMeasurement(p) => p.last
+      case s => throw new QlParseException(s"CQ FROM must be a bare " +
+        s"measurement, got $s")
+    }
+    val schema = new graft.catalog.Catalog(spark).getSchema(srcRoot)
+    val hit = (for {
+      d <- schema; rp <- d.rps; m <- rp.measurements
+      if m.name == src
+    } yield (d.name, rp.name)).headOption
+    require(hit.isDefined, s"no measurement '$src'")
+    val srcPath = measurementPath(spark, srcRoot, hit.get._1,
+      hit.get._2, src)
+    val dstName = inner.into.get
+    val dstPath = s"$dstRoot/$dstName.parquet"
+    val field = calls.head._1.field
+    val cq = new graft.operators.ContinuousQuery(spark)
+    cq.refresh(srcPath, dstPath, inner.groupTags, field,
+      bucketNs = inner.timeBucketNs.get, resampleNs = resampleNs)
+    val roll = cq.readRollup(dstPath)
+    roll.select(lit(dstName).as("measurement")
+      +: inner.groupTags.map(col)
+      ++: (col("bucket_ns").as("time")
+      +: calls.map { case (c, name) => col(allowed(c.fn)).as(name) }): _*)
+  }
+
   /** Plan a SHOW command against a storage root through
     * [[graft.catalog.Catalog]] — the schema-discovery half of the
     * reference's query surface (client.go:63,188,239,273). Flat roots

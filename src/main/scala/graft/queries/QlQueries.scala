@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.CopyJob
 import graft.ql.{InfluxQl, QlPlanner, QlTable}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -270,6 +271,58 @@ object QlQueries {
       Some("""SELECT 'events' AS measurement,
         count(value)::BIGINT AS count_value FROM events"""
         .replaceAll("\\s+", " "))),
+
+    // DELETE FROM … WHERE time < …: the text-surface point expiry,
+    // mapped onto the chunk-dropping retention engine; run TWICE to
+    // prove convergence, read back for the oracle compare
+    "ql_delete" -> QueryDef(
+      (s, dir) => {
+        val job = new CopyJob(s)
+        val cfg = CopyJob.Config(StartNs, EndNs, chunkNs = 2 * DayNs,
+          timeCol = "ts")
+        val root = s"/tmp/graft_qldel_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        job.copyMeasurement(s"$dir/events.parquet",
+          s"$root/events.parquet", cfg)
+        val stmt = InfluxQl.parseStatement(
+          s"""delete from "events" where time < ${StartNs + 4 * DayNs}""")
+          .asInstanceOf[graft.ql.QlDelete]
+        QlPlanner.planDelete(stmt, s, root, chunkNs = 2 * DayNs)
+        QlPlanner.planDelete(stmt, s, root, chunkNs = 2 * DayNs)
+          .select(col("event_id"), expr("ts div 1000").as("time_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS time_us, user_id,
+        event_type, value, props FROM events
+        WHERE epoch_ns(ts) >= ${StartNs + 4 * DayNs}
+          AND epoch_ns(ts) < $EndNs""".replaceAll("\\s+", " "))),
+
+    // CREATE CONTINUOUS QUERY … BEGIN SELECT … INTO … END: the CQ DDL
+    // routed onto the INCREMENTAL ContinuousQuery refresh — run twice
+    // (second pass recomputes only the lookback bucket) and must
+    // converge to the one-shot full aggregate the oracle computes
+    "ql_create_cq" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_qlcq_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val stmt = InfluxQl.parseStatement(
+          """create continuous query "daily" on "default" begin """ +
+            """select count(value), sum(value), min(value), """ +
+            """max(value) into "daily_rollup" from "events" """ +
+            """group by time(1d), event_type end""")
+          .asInstanceOf[graft.ql.QlCreateCq]
+        QlPlanner.planCreateCq(stmt, s, dir, root, resampleNs = DayNs)
+        QlPlanner.planCreateCq(stmt, s, dir, root, resampleNs = DayNs)
+          .withColumn("sum_value", round(col("sum_value"), 4))
+      },
+      Some(s"""SELECT 'daily_rollup' AS measurement, event_type,
+        (epoch_ns(ts) // $DayNs) * $DayNs AS "time",
+        count(value)::BIGINT AS count_value,
+        round(sum(value), 4) AS sum_value,
+        min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
 
     // TOP/BOTTOM selectors: the N extreme points per series WITH
     // their timestamps, via the bounded-heap TopKAgg two-phase

@@ -174,6 +174,47 @@ class InfluxQlSpec extends AnyFunSuite {
         "group by g) group by g"))
   }
 
+  test("DELETE / DROP MEASUREMENT / CREATE CONTINUOUS QUERY parse; " +
+    "planDrop removes storage; malformed ops-plane statements refuse") {
+    assert(InfluxQl.parseStatement(
+      """delete from "m" where time < 100""")
+      === QlDelete("m", Seq(QlCond("time", "<", QlNum(100.0, "100")))))
+    assert(InfluxQl.parseStatement("delete from m") === QlDelete("m", Nil))
+    assert(InfluxQl.parseStatement("""drop measurement "m"""")
+      === QlDropMeasurement("m"))
+    val cq = InfluxQl.parseStatement(
+      """create continuous query "c" on "db" begin select sum(v) """ +
+        """into "d" from m group by time(1h), g end""")
+      .asInstanceOf[QlCreateCq]
+    assert(cq.name === "c" && cq.db === Some("db"))
+    assert(cq.inner.into === Some("d") &&
+      cq.inner.timeBucketNs === Some(3600000000000L))
+    // a CQ without INTO or without time() is not a CQ
+    intercept[QlParseException](InfluxQl.parseStatement(
+      "create continuous query c begin select sum(v) from m " +
+        "group by time(1h) end"))
+    intercept[QlParseException](InfluxQl.parseStatement(
+      """create continuous query c begin select sum(v) into "d" """ +
+        "from m group by g end"))
+    // lower-bounded DELETE refuses (needs a chunk-rewrite path)
+    intercept[QlParseException](QlPlanner.planDelete(
+      InfluxQl.parseStatement("""delete from "events" where time > 5""")
+        .asInstanceOf[QlDelete], spark, SparkSpec.Sf0001))
+    // DROP: copy a measurement into a scratch root, drop it, gone
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_qldrop").toString
+    spark.read.parquet(s"${SparkSpec.Sf0001}/events.parquet")
+      .limit(5).write.mode("overwrite")
+      .parquet(s"$root/doomed.parquet")
+    assert(QlPlanner.planDrop(
+      InfluxQl.parseStatement("""drop measurement "doomed"""")
+        .asInstanceOf[QlDropMeasurement], spark, root))
+    assert(!new java.io.File(s"$root/doomed.parquet").exists())
+    assert(!QlPlanner.planDrop( // idempotent: already gone → false
+      InfluxQl.parseStatement("""drop measurement "doomed"""")
+        .asInstanceOf[QlDropMeasurement], spark, root))
+  }
+
   test("strict parse: unknown functions, trailing garbage, and " +
     "unterminated literals all throw") {
     intercept[QlParseException](InfluxQl.parse("select maen(v) from m"))
