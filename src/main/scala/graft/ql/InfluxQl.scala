@@ -124,7 +124,7 @@ private object QlLexer {
         val two = if (i + 1 < n) in.substring(i, i + 2) else ""
         if (Set("!=", "<>", "<=", ">=", "=~", "!~")(two)) {
           out += Tok.Sym(two); i += 2
-        } else if ("(),*=<>.".indexOf(c) >= 0) {
+        } else if ("(),*=<>.-+".indexOf(c) >= 0) {
           out += Tok.Sym(c.toString); i += 1
         } else fail(s"unexpected character '$c'")
       }
@@ -198,6 +198,10 @@ final case class QlNum(v: Double, text: String) extends QlLit
 final case class QlStr(v: String) extends QlLit
 final case class QlDur(ns: Long) extends QlLit
 final case class QlRe(pattern: String) extends QlLit
+/** `now() ± duration` in a time predicate — resolved against the
+  * caller's clock at PLAN time (the planner refuses without one: a
+  * silently-wrong implicit clock is worse than an error). */
+final case class QlNowOffset(deltaNs: Long) extends QlLit
 
 /** One WHERE conjunct: `operand op literal`. */
 final case class QlCond(operand: String, op: String, lit: QlLit)
@@ -217,6 +221,7 @@ final case class QlSelect(
     groupStar: Boolean,
     groupTags: Seq[String],
     timeBucketNs: Option[Long],
+    timeOffsetNs: Long,
     fill: Option[QlFill],
     orderByTime: Boolean,
     orderDesc: Boolean,
@@ -381,6 +386,7 @@ object InfluxQl {
       var groupStar = false
       var groupTags = Vector.empty[String]
       var bucket: Option[Long] = None
+      var bucketOff: Long = 0L
       if (atKw("group")) {
         pos += 1; eatKw("by")
         var more = true
@@ -389,11 +395,20 @@ object InfluxQl {
             case Tok.Sym("*") => pos += 1; groupStar = true
             case Tok.Ident(n, false) if n.equalsIgnoreCase("time") =>
               pos += 1; eatSym("(")
-              bucket = Some(next() match {
-                case Tok.Dur(ns) => ns
-                case Tok.Num(t) if !t.contains('.') => t.toLong
-                case t => fail(s"time() needs a duration, got $t")
-              })
+              def dur(): Long = {
+                val neg = peek == Tok.Sym("-")
+                if (neg) pos += 1
+                val v = next() match {
+                  case Tok.Dur(ns) => ns
+                  case Tok.Num(t) if !t.contains('.') => t.toLong
+                  case t => fail(s"time() needs a duration, got $t")
+                }
+                if (neg) -v else v
+              }
+              bucket = Some(dur())
+              // time(interval, offset): shifted bucket boundaries —
+              // InfluxQL's two-argument form (negative offsets legal)
+              if (peek == Tok.Sym(",")) { pos += 1; bucketOff = dur() }
               eatSym(")")
             case Tok.Ident(_, _) => groupTags :+= ident()._1
             case t => fail(s"bad GROUP BY item $t")
@@ -440,7 +455,8 @@ object InfluxQl {
       val offset = intClause("offset")
       val slimit = intClause("slimit")
       val soffset = intClause("soffset")
-      QlSelect(fields, into, source, where, groupStar, groupTags, bucket, fill,
+      QlSelect(fields, into, source, where, groupStar, groupTags, bucket,
+        bucketOff, fill,
         orderByTime, orderDesc, limit, offset, slimit, soffset)
     }
 
@@ -519,6 +535,19 @@ object InfluxQl {
           case Tok.Dur(ns) => QlDur(ns)
           case Tok.Str(v)  => QlStr(v)
           case Tok.Re(p)   => QlRe(p)
+          case Tok.Ident(n, false) if n.equalsIgnoreCase("now") =>
+            eatSym("("); eatSym(")")
+            val delta = peek match {
+              case Tok.Sym("-") | Tok.Sym("+") =>
+                val neg = peek == Tok.Sym("-")
+                pos += 1
+                next() match {
+                  case Tok.Dur(d) => if (neg) -d else d
+                  case t => fail(s"now() ± needs a duration, got $t")
+                }
+              case _ => 0L
+            }
+            QlNowOffset(delta)
           case t           => fail(s"bad literal $t")
         }
         cs += QlCond(operand, op, lit)

@@ -39,11 +39,12 @@ final case class QlTable(name: String, df: DataFrame, timeCol: String,
   */
 object QlPlanner {
 
-  def plan(stmt: QlSelect, catalog: Seq[QlTable]): DataFrame = {
+  def plan(stmt: QlSelect, catalog: Seq[QlTable],
+      nowNs: Option[Long] = None): DataFrame = {
     require(stmt.into.isEmpty,
       "SELECT INTO writes a measurement — run it through planInto, " +
         "not plan (silently reading an INTO would drop the write)")
-    planPure(stmt, catalog)
+    planPure(stmt, catalog, nowNs)
   }
 
   /** SELECT … INTO "dst": compute the SELECT, WRITE it as the
@@ -53,16 +54,17 @@ object QlPlanner {
     * Overwrite semantics: re-running the same INTO converges
     * (InfluxQL upserts points; a deterministic SELECT rewrites the
     * identical measurement). */
-  def planInto(stmt: QlSelect, catalog: Seq[QlTable], destRoot: String)
-      : DataFrame = {
+  def planInto(stmt: QlSelect, catalog: Seq[QlTable], destRoot: String,
+      nowNs: Option[Long] = None): DataFrame = {
     val dst = stmt.into.getOrElse(throw new QlParseException(
       "planInto needs a SELECT … INTO statement"))
-    val out = planPure(stmt, catalog)
+    val out = planPure(stmt, catalog, nowNs)
     out.write.mode("overwrite").parquet(s"$destRoot/$dst.parquet")
     out.sparkSession.read.parquet(s"$destRoot/$dst.parquet")
   }
 
-  private def planPure(stmt: QlSelect, catalog: Seq[QlTable]): DataFrame =
+  private def planPure(stmt: QlSelect, catalog: Seq[QlTable],
+      nowNs: Option[Long]): DataFrame =
     stmt.source match {
       case QlSubquery(inner) =>
         // the inner result becomes a derived measurement: columns
@@ -72,7 +74,7 @@ object QlPlanner {
         // the way InfluxQL users expect
         require(inner.into.isEmpty,
           "INTO is not allowed inside a subquery")
-        val innerDf = planPure(inner, catalog)
+        val innerDf = planPure(inner, catalog, nowNs)
         require(innerDf.columns.contains("time"),
           "the outer query needs the inner to carry a time column " +
             "(raw or time-bucketed inner SELECT)")
@@ -81,12 +83,27 @@ object QlPlanner {
         val innerFields = innerDf.columns
           .filterNot(c => c == "measurement" || c == "time" ||
             innerTags.contains(c)).toSeq
-        planBody(stmt, Seq(QlTable("subquery",
+        planBody(stmt, nowNs, Seq(QlTable("subquery",
           innerDf.drop("measurement"), "time", innerTags, innerFields)))
-      case _ => planBody(stmt, resolve(stmt.source, catalog))
+      case _ => planBody(stmt, nowNs, resolve(stmt.source, catalog))
     }
 
-  private def planBody(stmt: QlSelect, matched: Seq[QlTable]): DataFrame = {
+  /** Resolve a time literal to epoch ns; `now() ± d` needs the
+    * caller's clock and refuses without one. */
+  private def nsOf(l: QlLit, nowNs: Option[Long]): Long = l match {
+    case QlDur(v) => v
+    // a bare integer in a time comparison is epoch ns (InfluxQL)
+    case QlNum(_, t) if !t.contains('.') => t.toLong
+    case QlNowOffset(d) => nowNs.map(_ + d).getOrElse(
+      throw new QlParseException(
+        "query uses now() — resolve it by passing nowNs (registry " +
+          "entries pin a fixed clock; the /query executor wires the " +
+          "wall clock)"))
+    case l2 => throw new QlParseException(s"bad time literal $l2")
+  }
+
+  private def planBody(stmt: QlSelect, nowNs: Option[Long],
+      matched: Seq[QlTable]): DataFrame = {
     val t0 = matched.head
     require(matched.forall(t => t.tags == t0.tags && t.fields == t0.fields),
       s"measurements matched by ${stmt.source} have differing schemas: " +
@@ -102,13 +119,7 @@ object QlPlanner {
       stmt.where.partition(_.operand.equalsIgnoreCase("time"))
     val df = matched.map { t =>
       val filtered = timeConds.foldLeft(t.df) { (d, c) =>
-        val ns = c.lit match {
-          case QlDur(ns0) => ns0
-          // a bare integer in a time comparison is epoch ns (InfluxQL)
-          case QlNum(_, txt) if !txt.contains('.') => txt.toLong
-          case l => throw new QlParseException(s"bad time literal $l")
-        }
-        d.filter(timeCond(d, t.timeCol, c.op, ns))
+        d.filter(timeCond(d, t.timeCol, c.op, nsOf(c.lit, nowNs)))
       }
       val normalized = filtered.select(lit(t.name).as("measurement")
         +: col(t.timeCol).cast("long").as("time")
@@ -128,7 +139,7 @@ object QlPlanner {
     val (out, seriesKeys) =
       if (nSelectors > 0) planSelector(stmt, df, tags, fields)
       else if (nTransforms > 0) planTransform(stmt, df, tags, fields)
-      else if (stmt.hasAggregates) planAgg(stmt, df, tags, fields)
+      else if (stmt.hasAggregates) planAgg(stmt, nowNs, df, tags, fields)
       else planRaw(stmt, df, tags, fields)
 
     var res = out
@@ -163,10 +174,12 @@ object QlPlanner {
     * InfluxDB 1.x query API the reference client consumes
     * (client.go:57-70). */
   def executor(spark: org.apache.spark.sql.SparkSession, root: String,
-      catalog: Seq[QlTable]): String => DataFrame =
+      catalog: Seq[QlTable],
+      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L)
+      : String => DataFrame =
     text => InfluxQl.parseStatement(text) match {
       case sh: QlShow    => planShow(sh, spark, root)
-      case sel: QlSelect => plan(sel, catalog)
+      case sel: QlSelect => plan(sel, catalog, Some(nowNs()))
     }
 
   /** Measurement name → parquet path under a root, probing the flat
@@ -192,18 +205,14 @@ object QlPlanner {
     * layout (a raw unchunked parquet has no spans to drop). */
   def planDelete(stmt: QlDelete,
       spark: org.apache.spark.sql.SparkSession, root: String,
-      timeCol: String = "ts", chunkNs: Long = 86400000000000L)
-      : DataFrame = {
+      timeCol: String = "ts", chunkNs: Long = 86400000000000L,
+      nowNs: Option[Long] = None): DataFrame = {
     val cutoff: Long =
       if (stmt.where.isEmpty) Long.MaxValue
       else stmt.where.map { c =>
         require(c.operand.equalsIgnoreCase("time"),
           s"DELETE supports time predicates only, got '${c.operand}'")
-        val ns = c.lit match {
-          case QlDur(v) => v
-          case QlNum(_, t) if !t.contains('.') => t.toLong
-          case l => throw new QlParseException(s"bad time literal $l")
-        }
+        val ns = nsOf(c.lit, nowNs)
         c.op match {
           case "<" => ns
           case "<=" =>
@@ -277,6 +286,9 @@ object QlPlanner {
     require(inner.where.isEmpty,
       "a CQ owns its refresh window (watermark + lookback); WHERE is " +
         "not supported")
+    require(inner.timeOffsetNs == 0L,
+      "CQ rollups bucket on unshifted boundaries — time(interval, " +
+        "offset) is not supported in a CQ")
     val src = inner.source match {
       case QlMeasurement(p) => p.last
       case s => throw new QlParseException(s"CQ FROM must be a bare " +
@@ -412,12 +424,9 @@ object QlPlanner {
   /** The [start, end) ns range the WHERE clause pins, when it pins
     * both sides: `>= s`/`> s` lower bounds (strict +1), `< e`/`<= e`
     * upper (inclusive +1); multiple bounds intersect. */
-  private def timeBoundsNs(stmt: QlSelect): Option[(Long, Long)] = {
-    def ns(c: QlCond): Long = c.lit match {
-      case QlDur(v) => v
-      case QlNum(_, t) if !t.contains('.') => t.toLong
-      case l => throw new QlParseException(s"bad time literal $l")
-    }
+  private def timeBoundsNs(stmt: QlSelect, nowNs: Option[Long])
+      : Option[(Long, Long)] = {
+    def ns(c: QlCond): Long = nsOf(c.lit, nowNs)
     val tc = stmt.where.filter(_.operand.equalsIgnoreCase("time"))
     val los = tc.collect {
       case c if c.op == ">=" => ns(c)
@@ -641,7 +650,8 @@ object QlPlanner {
 
   // ---------------------------------------------------------------- agg
 
-  private def planAgg(stmt: QlSelect, df: DataFrame, tags: Seq[String],
+  private def planAgg(stmt: QlSelect, nowNs: Option[Long],
+      df: DataFrame, tags: Seq[String],
       fields: Seq[String]): (DataFrame, Seq[String]) = {
     val calls: Seq[(QlCall, String)] = stmt.fields.map { f =>
       f.proj match {
@@ -666,7 +676,11 @@ object QlPlanner {
       }
     val bucketKey = stmt.timeBucketNs.map { b =>
       require(b > 0, s"time() bucket must be positive: $b")
-      expr(s"(`time` div $b) * $b").as("time")
+      val off = stmt.timeOffsetNs
+      // time(interval, offset): boundaries shift by the offset —
+      // ((t − off) div b)·b + off (div is floor here: ns epochs dwarf
+      // any offset, so t − off stays positive)
+      expr(s"((`time` - $off) div $b) * $b + $off").as("time")
     }
     val keys = (col("measurement") +: groupTags.map(col)) ++ bucketKey
     val aggCols = calls.map { case (c, name) => aggExpr(c).as(name) }
@@ -684,10 +698,12 @@ object QlPlanner {
         // grid spans the whole range per series (leading/trailing
         // cells included); unbounded queries fall back to the
         // [first, last] actual span (no range to extrapolate to)
-        val g = timeBoundsNs(stmt) match {
+        val g = timeBoundsNs(stmt, nowNs) match {
           case Some((s0, e0)) =>
+            val off = stmt.timeOffsetNs
             SeriesOps.fillGapsRange(agged, series, "time", vname,
-              stepTicks = b, startTick = (s0 / b) * b,
+              stepTicks = b,
+              startTick = Math.floorDiv(s0 - off, b) * b + off,
               endTickExclusive = e0)
           case None =>
             SeriesOps.fillGaps(agged, series, "time", vname,

@@ -272,6 +272,37 @@ object QlQueries {
         count(value)::BIGINT AS count_value FROM events"""
         .replaceAll("\\s+", " "))),
 
+    // now()-relative time predicates, resolved against an EXPLICIT
+    // clock at plan time (the registry pins now = EndNs so the oracle
+    // is deterministic; the /query executor wires the wall clock) —
+    // the `time > now() - 7d` idiom every InfluxQL dashboard runs
+    "ql_now_relative" -> QueryDef(
+      (s, dir) => QlPlanner.plan(
+        InfluxQl.parse("select count(value) from events " +
+          "where time > now() - 7d group by event_type"),
+        catalog(s, dir), nowNs = Some(EndNs)),
+      Some(s"""SELECT 'events' AS measurement, event_type,
+        count(value)::BIGINT AS count_value FROM events
+        WHERE epoch_ns(ts) > ${EndNs - 7 * DayNs}
+        GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
+    // GROUP BY time(interval, offset): shifted bucket boundaries —
+    // the two-argument time() form (daily buckets cut at 06:00)
+    "ql_time_offset" -> QueryDef(
+      (s, dir) => run(
+        s"select sum(value) from events where time >= ${StartSec}s " +
+          s"and time < ${EndSec}s group by time(1d, 6h), event_type"
+        )(s, dir)
+        .withColumn("sum_value", round(col("sum_value"), 4)),
+      Some {
+        val Off = 6 * HourNs
+        s"""SELECT 'events' AS measurement, event_type,
+          ((epoch_ns(ts) - $Off) // $DayNs) * $DayNs + $Off AS "time",
+          round(sum(value), 4) AS sum_value FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+          GROUP BY 1, 2, 3""".replaceAll("\\s+", " ")
+      }),
+
     // DELETE FROM … WHERE time < …: the text-surface point expiry,
     // mapped onto the chunk-dropping retention engine; run TWICE to
     // prove convergence, read back for the oracle compare

@@ -215,6 +215,33 @@ class InfluxQlSpec extends AnyFunSuite {
         .asInstanceOf[QlDropMeasurement], spark, root))
   }
 
+  test("time(interval, offset) shifts bucket boundaries (negative " +
+    "offsets legal); now() ± duration resolves against an explicit " +
+    "clock and refuses without one") {
+    val q = InfluxQl.parse(
+      "select sum(v) from m group by time(1h, 30m)")
+    assert(q.timeBucketNs === Some(3600000000000L))
+    assert(q.timeOffsetNs === 1800000000000L)
+    assert(InfluxQl.parse("select sum(v) from m group by time(1h, -15m)")
+      .timeOffsetNs === -900000000000L)
+    // offset buckets on the fixture: time(20ns, 5ns) → boundaries
+    // 5, 25, 45; points at 10,20 → bucket 5; 30,30 → 25; 40 → 25
+    val out = run("select sum(v) from m group by time(20ns, 5ns), g")
+      .collect().map(r => ((r.getString(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    assert(out(("a", 5L)) === 6.0 && out(("a", 25L)) === 11.0)
+    assert(out(("b", 5L)) === 4.0 && out(("b", 25L)) === 8.0)
+    // now(): parses into QlNowOffset, plans against the given clock
+    val nq = InfluxQl.parse(
+      "select count(v) from m where time > now() - 30ns group by g")
+    assert(nq.where === Seq(QlCond("time", ">", QlNowOffset(-30L))))
+    val cnt = QlPlanner.plan(nq, cat, nowNs = Some(50L))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // now=50, cutoff 20 exclusive: a keeps 30,30; b keeps 40
+    assert(cnt === Map("a" -> 2L, "b" -> 1L))
+    intercept[QlParseException](QlPlanner.plan(nq, cat).collect())
+  }
+
   test("strict parse: unknown functions, trailing garbage, and " +
     "unterminated literals all throw") {
     intercept[QlParseException](InfluxQl.parse("select maen(v) from m"))
