@@ -159,7 +159,7 @@ final case class ShowTagValues(from: Option[String], key: String)
 /** DELETE FROM "m" [WHERE time < …] — the point-expiry statement;
   * v1 supports the retention idiom (time upper bound, or no WHERE =
   * everything), which maps onto the chunk-dropping expiry engine. */
-final case class QlDelete(measurement: String, where: Seq[QlCond])
+final case class QlDelete(measurement: String, where: Seq[Seq[QlCond]])
   extends QlStatement
 
 /** DROP MEASUREMENT "m" — remove the measurement's storage. */
@@ -217,7 +217,7 @@ final case class QlSelect(
     fields: Seq[QlField],
     into: Option[String],
     source: QlSource,
-    where: Seq[QlCond],
+    where: Seq[Seq[QlCond]],
     groupStar: Boolean,
     groupTags: Seq[String],
     timeBucketNs: Option[Long],
@@ -519,10 +519,44 @@ object InfluxQl {
       case t => fail(s"bad FROM source $t")
     }
 
-    private def condList(): Seq[QlCond] = {
-      val cs = Vector.newBuilder[QlCond]
+    /** WHERE in DISJUNCTIVE NORMAL FORM: a Seq of OR-alternatives,
+      * each an AND-conjunct list (one alternative = the plain AND
+      * chain every prior round supported). AND binds tighter than OR;
+      * parentheses group; nesting distributes into DNF (alternative
+      * counts stay tiny for human-written predicates). */
+    private def condList(): Seq[Seq[QlCond]] = orExpr()
+
+    private def orExpr(): Seq[Seq[QlCond]] = {
+      var alts = andExpr()
+      while (atKw("or")) { pos += 1; alts = alts ++ andExpr() }
+      alts
+    }
+
+    private def andExpr(): Seq[Seq[QlCond]] = {
+      var alts = primaryConds()
       var more = true
       while (more) {
+        if (atKw("and")) {
+          pos += 1
+          val rhs = primaryConds()
+          // DNF conjunction distributes: (A1|A2) AND (B1|B2) →
+          // A1B1 | A1B2 | A2B1 | A2B2
+          alts = for (l <- alts; r <- rhs) yield l ++ r
+        } else more = false
+      }
+      alts
+    }
+
+    private def primaryConds(): Seq[Seq[QlCond]] = peek match {
+      case Tok.Sym("(") =>
+        pos += 1
+        val inner = orExpr()
+        eatSym(")")
+        inner
+      case _ => Seq(Seq(cond()))
+    }
+
+    private def cond(): QlCond = {
         val (operand, _) = ident()
         val op = next() match {
           case Tok.Sym(s)
@@ -550,10 +584,7 @@ object InfluxQl {
             QlNowOffset(delta)
           case t           => fail(s"bad literal $t")
         }
-        cs += QlCond(operand, op, lit)
-        if (atKw("and")) { pos += 1 } else more = false
-      }
-      cs.result()
+        QlCond(operand, op, lit)
     }
   }
 }

@@ -111,13 +111,21 @@ object QlPlanner {
     val tags = t0.tags
     val fields = t0.fields
 
-    // WHERE applies per table on the RAW frame (time predicates need
-    // the physical column / its `_raw` companion to stay pushable —
-    // see timeCond), THEN the frame normalizes to measurement, time
-    // (Long ns), tags..., fields...
-    val (timeConds, otherConds) =
-      stmt.where.partition(_.operand.equalsIgnoreCase("time"))
-    val df = matched.map { t =>
+    // WHERE applies per table on the RAW frame when it is ONE
+    // conjunction (time predicates need the physical column / its
+    // `_raw` companion to stay pushable — see timeCond), THEN the
+    // frame normalizes to measurement, time (Long ns), tags...,
+    // fields... A DISJUNCTION (OR alternatives, parsed to DNF)
+    // filters the normalized frame instead: its time comparisons run
+    // on the derived Long column, trading scan pushdown for the OR —
+    // exactly what any engine's planner does with a disjunctive
+    // range.
+    val (timeConds, otherConds) = stmt.where match {
+      case Seq(single) => single.partition(
+        _.operand.equalsIgnoreCase("time"))
+      case _ => (Seq.empty[QlCond], Seq.empty[QlCond])
+    }
+    val df0 = matched.map { t =>
       val filtered = timeConds.foldLeft(t.df) { (d, c) =>
         d.filter(timeCond(d, t.timeCol, c.op, nsOf(c.lit, nowNs)))
       }
@@ -127,6 +135,11 @@ object QlPlanner {
       otherConds.foldLeft(normalized)((d, c) =>
         d.filter(cond(c, tags, fields)))
     }.reduce(_ unionAll _)
+    val df =
+      if (stmt.where.size <= 1) df0
+      else df0.filter(stmt.where
+        .map(_.map(c => condAny(c, tags, fields, nowNs)).reduce(_ && _))
+        .reduce(_ || _))
 
     val calls = stmt.fields.collect { case QlField(c: QlCall, _) => c }
     val nTransforms = calls.count(c => TransformFns(c.fn))
@@ -207,9 +220,11 @@ object QlPlanner {
       spark: org.apache.spark.sql.SparkSession, root: String,
       timeCol: String = "ts", chunkNs: Long = 86400000000000L,
       nowNs: Option[Long] = None): DataFrame = {
+    require(stmt.where.size <= 1,
+      "DELETE WHERE supports a single conjunction (no OR)")
     val cutoff: Long =
       if (stmt.where.isEmpty) Long.MaxValue
-      else stmt.where.map { c =>
+      else stmt.where.head.map { c =>
         require(c.operand.equalsIgnoreCase("time"),
           s"DELETE supports time predicates only, got '${c.operand}'")
         val ns = nsOf(c.lit, nowNs)
@@ -427,7 +442,13 @@ object QlPlanner {
   private def timeBoundsNs(stmt: QlSelect, nowNs: Option[Long])
       : Option[(Long, Long)] = {
     def ns(c: QlCond): Long = nsOf(c.lit, nowNs)
-    val tc = stmt.where.filter(_.operand.equalsIgnoreCase("time"))
+    // bounds are only well-defined for a single conjunction — a
+    // disjunction has no shared range, so range-grid fill falls back
+    val tc = stmt.where match {
+      case Seq(single) => single.filter(
+        _.operand.equalsIgnoreCase("time"))
+      case _ => Seq.empty[QlCond]
+    }
     val los = tc.collect {
       case c if c.op == ">=" => ns(c)
       case c if c.op == ">"  => ns(c) + 1
@@ -467,6 +488,26 @@ object QlPlanner {
         s"operator $op not valid for time")
     }
   }
+
+  /** A conjunct usable ANYWHERE in a boolean tree over the
+    * NORMALIZED frame — time compares on the derived Long `time`
+    * column (no pushdown; used for OR alternatives where per-table
+    * raw-column routing cannot apply). */
+  private def condAny(c: QlCond, tags: Seq[String], fields: Seq[String],
+      nowNs: Option[Long]): Column =
+    if (c.operand.equalsIgnoreCase("time")) {
+      val ns = nsOf(c.lit, nowNs)
+      c.op match {
+        case "="  => col("time") === lit(ns)
+        case "!=" => col("time") =!= lit(ns)
+        case "<"  => col("time") < lit(ns)
+        case "<=" => col("time") <= lit(ns)
+        case ">"  => col("time") > lit(ns)
+        case ">=" => col("time") >= lit(ns)
+        case op => throw new QlParseException(
+          s"operator $op not valid for time")
+      }
+    } else cond(c, tags, fields)
 
   private def cond(c: QlCond, tags: Seq[String],
       fields: Seq[String]): Column = {

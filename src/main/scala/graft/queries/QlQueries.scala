@@ -272,6 +272,21 @@ object QlQueries {
         count(value)::BIGINT AS count_value FROM events"""
         .replaceAll("\\s+", " "))),
 
+    // OR + parentheses in WHERE (parsed to DNF): high-value clicks OR
+    // any error — the alert-style disjunction InfluxQL dashboards run
+    "ql_where_or" -> QueryDef(
+      (s, dir) => run(
+        "select count(value), sum(value) from events where " +
+          "(event_type = 'click' and value >= 100) or " +
+          "event_type = 'error' group by event_type")(s, dir)
+        .withColumn("sum_value", round(col("sum_value"), 4)),
+      Some("""SELECT 'events' AS measurement, event_type,
+        count(value)::BIGINT AS count_value,
+        round(sum(value), 4) AS sum_value FROM events
+        WHERE (event_type = 'click' AND value >= 100)
+          OR event_type = 'error'
+        GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
     // now()-relative time predicates, resolved against an EXPLICIT
     // clock at plan time (the registry pins now = EndNs so the oracle
     // is deterministic; the /query executor wires the wall clock) —

@@ -22,9 +22,9 @@ class InfluxQlSpec extends AnyFunSuite {
         "time < 1705708800s group by *")
     assert(q.fields === Seq(QlField(QlStar, None)))
     assert(q.source === QlMeasurement(Seq("m")))
-    assert(q.where === Seq(
+    assert(q.where === Seq(Seq(
       QlCond("time", ">", QlDur(1704412800000000000L)),
-      QlCond("time", "<", QlDur(1705708800000000000L))))
+      QlCond("time", "<", QlDur(1705708800000000000L)))))
     assert(q.groupStar && q.groupTags.isEmpty && q.timeBucketNs.isEmpty)
   }
 
@@ -45,12 +45,12 @@ class InfluxQlSpec extends AnyFunSuite {
     "time predicates are epoch ns") {
     val q = InfluxQl.parse("select count(v) from m where time > 5m and " +
       "time < 2h group by time(1d)")
-    assert(q.where === Seq(
+    assert(q.where === Seq(Seq(
       QlCond("time", ">", QlDur(300000000000L)),
-      QlCond("time", "<", QlDur(7200000000000L))))
+      QlCond("time", "<", QlDur(7200000000000L)))))
     assert(q.timeBucketNs === Some(86400000000000L))
     val ns = InfluxQl.parse("select count(v) from m where time >= 12345")
-    assert(ns.where === Seq(QlCond("time", ">=", QlNum(12345.0, "12345"))))
+    assert(ns.where === Seq(Seq(QlCond("time", ">=", QlNum(12345.0, "12345")))))
   }
 
   test("full clause train parses: functions, aliases, fill, order, " +
@@ -63,9 +63,9 @@ class InfluxQlSpec extends AnyFunSuite {
     assert(q.fields === Seq(
       QlField(QlCall("mean", "value", None), Some("m")),
       QlField(QlCall("percentile", "value", Some(99.9)), None)))
-    assert(q.where === Seq(
+    assert(q.where === Seq(Seq(
       QlCond("host", "=", QlStr("a")),
-      QlCond("value", ">=", QlNum(0.5, "0.5"))))
+      QlCond("value", ">=", QlNum(0.5, "0.5")))))
     assert(q.groupTags === Seq("host") && q.timeBucketNs === Some(
       1800000000000L))
     assert(q.fill === Some(FillPrevious) && q.orderByTime && q.orderDesc)
@@ -178,7 +178,7 @@ class InfluxQlSpec extends AnyFunSuite {
     "planDrop removes storage; malformed ops-plane statements refuse") {
     assert(InfluxQl.parseStatement(
       """delete from "m" where time < 100""")
-      === QlDelete("m", Seq(QlCond("time", "<", QlNum(100.0, "100")))))
+      === QlDelete("m", Seq(Seq(QlCond("time", "<", QlNum(100.0, "100"))))))
     assert(InfluxQl.parseStatement("delete from m") === QlDelete("m", Nil))
     assert(InfluxQl.parseStatement("""drop measurement "m"""")
       === QlDropMeasurement("m"))
@@ -234,12 +234,38 @@ class InfluxQlSpec extends AnyFunSuite {
     // now(): parses into QlNowOffset, plans against the given clock
     val nq = InfluxQl.parse(
       "select count(v) from m where time > now() - 30ns group by g")
-    assert(nq.where === Seq(QlCond("time", ">", QlNowOffset(-30L))))
+    assert(nq.where === Seq(Seq(QlCond("time", ">", QlNowOffset(-30L)))))
     val cnt = QlPlanner.plan(nq, cat, nowNs = Some(50L))
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     // now=50, cutoff 20 exclusive: a keeps 30,30; b keeps 40
     assert(cnt === Map("a" -> 2L, "b" -> 1L))
     intercept[QlParseException](QlPlanner.plan(nq, cat).collect())
+  }
+
+  test("WHERE OR + parentheses parse to DNF and plan as a " +
+    "disjunction; AND binds tighter; time conds inside OR work on " +
+    "the normalized frame") {
+    val q = InfluxQl.parse("select count(v) from m where " +
+      "g = 'a' and v >= 5 or g = 'b'")
+    assert(q.where === Seq(
+      Seq(QlCond("g", "=", QlStr("a")), QlCond("v", ">=", QlNum(5.0, "5"))),
+      Seq(QlCond("g", "=", QlStr("b")))))
+    // parens flip the grouping: a AND (v>=5 OR b)
+    val p = InfluxQl.parse("select count(v) from m where " +
+      "g = 'a' and (v >= 5 or g = 'b')")
+    assert(p.where === Seq(
+      Seq(QlCond("g", "=", QlStr("a")), QlCond("v", ">=", QlNum(5.0, "5"))),
+      Seq(QlCond("g", "=", QlStr("a")), QlCond("g", "=", QlStr("b")))))
+    // semantics: (g=a AND v>=5) OR g=b → a keeps {5,9}, b keeps all
+    val out = run("select count(v) from m where " +
+      "g = 'a' and v >= 5 or g = 'b' group by g")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("a" -> 2L, "b" -> 2L))
+    // a time cond inside an OR alternative evaluates too
+    val t = run("select count(v) from m where " +
+      "time >= 40 or g = 'a' group by g")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(t === Map("a" -> 4L, "b" -> 1L))
   }
 
   test("strict parse: unknown functions, trailing garbage, and " +
