@@ -11,7 +11,8 @@ object PlanDump {
     val hot = Seq("dedup_cluster_modularity", "graph_kcore",
       "dedup_keep_best", "layout_bucketed_join", "mm_phash_neardup",
       "text_bigram_logprob", "dedup_edit_distance",
-      "assoc_rules_pairs", "text_pmi_bigrams", "text_diversity")
+      "assoc_rules_pairs", "text_pmi_bigrams", "text_diversity",
+      "ql_create_cq", "sync_maintenance", "ann_lsh_multiprobe_recall")
     hot.foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect(): Unit

@@ -114,10 +114,18 @@ class PlanSpec extends AnyFunSuite {
     // exchanges) once kCorePeel/modularity adopted the dupClusters
     // cache+eager-localCheckpoint discipline — per-round work now
     // materializes once, so the FINAL plan only reads checkpoint
-    // leaves; the tight new ceilings pin that no-recompute shape
+    // leaves; the tight new ceilings pin that no-recompute shape.
+    // r11 close added the three newly-hot entries: the two
+    // write-roundtrip queries' FINAL plan is the read-back scan
+    // (ceiling 0 pins that their cost stays by-construction, not a
+    // crept-in shuffle), and the multi-probe recall meter's 11
+    // exchanges are its two bounded rank stages + the recall joins
     val budget = Map(
       "dedup_cluster_modularity" -> ((9, 3)),
       "graph_kcore" -> ((3, 1)),
+      "ql_create_cq" -> ((0, 0)),
+      "sync_maintenance" -> ((0, 0)),
+      "ann_lsh_multiprobe_recall" -> ((11, 4)),
       "dedup_keep_best" -> ((9, 5)),
       "layout_bucketed_join" -> ((2, 1)),
       "mm_phash_neardup" -> ((9, 3)),
