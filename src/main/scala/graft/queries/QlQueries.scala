@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * the result against a DuckDB oracle. One entry per clause family.
   *
   * Rounding discipline: the ql layer returns faithful doubles; the
-  * registry wrapper rounds multi-row double aggregates (sum/mean/
-  * stddev) on the engine side with the oracle rounding identically —
-  * the standard cross-engine determinism rule (Q.scala scaladoc).
+  * registry wrapper re-derives multi-row double aggregates (sum/mean/
+  * stddev) from exact integer cent moments with the oracle doing the
+  * same — NOT round(agg(),4), which flips at rounding boundaries
+  * under merge-order noise (the r11 ql_agg_star driver-gate lesson;
+  * Q.scala scaladoc has the full rule set).
   */
 object QlQueries {
   import ParityQueries.{StartNs, EndNs, HourNs, DayNs}
@@ -80,40 +82,71 @@ object QlQueries {
 
     // the full aggregate family over GROUP BY * series grouping
     "ql_agg_star" -> QueryDef(
-      (s, dir) => run(
-        s"select count(value), sum(value), mean(value), min(value), " +
-          s"max(value), spread(value), stddev(value) from events " +
-          s"where time >= ${StartNs}ns and time < ${EndNs}ns group by *"
-        )(s, dir)
-        // mean via exact integer cents + the half-up div identity, not
-        // round(avg(),4): values are exact 2-decimal, so per-series
-        // means land ON 4-decimal rounding boundaries constantly and
-        // engine round() implementations disagree there (BigDecimal
-        // HALF_UP vs C round) — the FMA-drift class. Recovering the
-        // exact cent total from the drifty double sum (drift ≪ 0.5
-        // cents) and computing half-up((cents·100)/n) in Long
-        // arithmetic is engine-independent; the final /10000.0 is one
-        // exact IEEE op.
-        .withColumn("__cents",
-          round(col("sum_value") * 100, 0).cast("long"))
-        .withColumn("mean_value",
-          expr("((200 * __cents + count_value) div (2 * count_value))" +
-            " / 10000.0"))
-        .drop("__cents")
-        .withColumn("sum_value", round(col("sum_value"), 4))
-        .withColumn("stddev_value", round(col("stddev_value"), 4)),
-      Some(s"""SELECT 'events' AS measurement, event_type, user_id,
-        count(value)::BIGINT AS count_value,
-        round(sum(value), 4) AS sum_value,
-        ((200 * CAST(round(sum(value) * 100, 0) AS BIGINT)
-          + count(value)) // (2 * count(value))) / 10000.0
-          AS mean_value,
-        min(value) AS min_value, max(value) AS max_value,
-        max(value) - min(value) AS spread_value,
-        round(stddev_samp(value), 4) AS stddev_value
-        FROM events
-        WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
-        GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
+      (s, dir) => {
+        val base = run(
+          s"select count(value), sum(value), mean(value), min(value), " +
+            s"max(value), spread(value), stddev(value) from events " +
+            s"where time >= ${StartNs}ns and time < ${EndNs}ns group by *"
+          )(s, dir)
+          // mean/sum via exact integer cents + the half-up div
+          // identity, not round(agg(),4): values are exact 2-decimal,
+          // so per-series means land ON 4-decimal rounding boundaries
+          // constantly and engine round() implementations disagree
+          // there. Recovering the exact cent total from the drifty
+          // double sum (drift ≪ 0.5 cents) and computing
+          // half-up((cents·100)/n) in Long arithmetic is
+          // engine-independent; sum = cents/100.0 is one exact IEEE op.
+          .withColumn("__cents",
+            round(col("sum_value") * 100, 0).cast("long"))
+          .withColumn("mean_value",
+            expr("((200 * __cents + count_value) div (2 * count_value))" +
+              " / 10000.0"))
+          .withColumn("sum_value", expr("__cents / 100.0"))
+          .drop("__cents")
+          // round(stddev_samp,4) is NOT deterministic: stddev is an
+          // order-dependent multi-row double aggregate, and a group
+          // whose stddev·10⁴ sits within merge-order noise of a .5
+          // boundary flips the rounded digit run-to-run (the r11
+          // driver-gate hash flip). Replaced below by the exact
+          // cent-moment identity.
+          .drop("stddev_value")
+        // Exact integer cent moments over the same scan/filter/
+        // grouping: n, S1=Σc, S2=Σc² as Longs are summation-order-
+        // independent; the combination n·S2−S1² runs in DOUBLE with a
+        // fixed operand order (doubles of exact ≤2⁵³ sums keep each
+        // step bit-identical cross-engine — the Profiling.linReg
+        // pattern, overflow-safe where pure Long n·S2 is not).
+        val ev = Tables.timeRange(
+          Tables.load(s, dir, "events"), "ts", StartNs, EndNs)
+          .withColumn("c", round(col("value") * 100, 0).cast("long"))
+        val mom = ev.groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+            sum(col("c") * col("c")).as("s2"))
+          .select(col("event_type"), col("user_id"),
+            when(col("n") > 1,
+              sqrt((col("n").cast("double") * col("s2")
+                - col("s1").cast("double") * col("s1"))
+                / (col("n") * (col("n") - lit(1.0)))) / 100.0)
+              .as("stddev_value"))
+        base.join(mom, Seq("event_type", "user_id"))
+      },
+      Some(s"""WITH c AS (SELECT event_type, user_id, value,
+          CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs),
+        m AS (SELECT event_type, user_id, count(*)::BIGINT AS n,
+          sum(c)::BIGINT AS s1, sum(c * c)::BIGINT AS s2,
+          min(value) AS mn, max(value) AS mx
+          FROM c GROUP BY 1, 2)
+        SELECT 'events' AS measurement, event_type, user_id,
+        n AS count_value,
+        s1 / 100.0 AS sum_value,
+        ((200 * s1 + n) // (2 * n)) / 10000.0 AS mean_value,
+        mn AS min_value, mx AS max_value,
+        mx - mn AS spread_value,
+        CASE WHEN n > 1 THEN
+          sqrt((n::DOUBLE * s2 - s1::DOUBLE * s1) / (n * (n - 1.0)))
+          / 100.0 END AS stddev_value
+        FROM m""".replaceAll("\\s+", " "))),
 
     // GROUP BY time(1h), * fill(previous): the InfluxQL downsampling
     // workhorse. Both time bounds are pinned, so the grid is the

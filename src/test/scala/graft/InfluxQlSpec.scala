@@ -321,6 +321,39 @@ class InfluxQlSpec extends AnyFunSuite {
     assert(out("b") === ((4.0, 8.0, 4.0, 8.0)))
   }
 
+  test("exact cent-moment stddev identity (the ql_agg_star form) " +
+    "matches true sample stddev; the ql planner's stddev agrees") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // the registry's deterministic form: n, S1=Σc, S2=Σc² as Longs,
+    // combined in fixed-order DOUBLE — must equal the textbook
+    // sqrt(Σ(x-x̄)²/(n-1)) to double precision, NOT just be stable
+    val mom = fixture()
+      .withColumn("c", round(col("v") * 100, 0).cast("long"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("g"),
+        when(col("n") > 1,
+          sqrt((col("n").cast("double") * col("s2")
+            - col("s1").cast("double") * col("s1"))
+            / (col("n") * (col("n") - lit(1.0)))) / 100.0)
+          .as("sd"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // g=a values (5,1,9,2): mean 4.25, Σdev² = 38.75, sd = √(38.75/3)
+    assert(math.abs(mom("a") - math.sqrt(38.75 / 3)) < 1e-12)
+    // g=b values (4,8): sd = √8
+    assert(math.abs(mom("b") - math.sqrt(8.0)) < 1e-12)
+    // and the ql text path computes the same statistic (merge-order
+    // noise only — this is the bound the registry wrapper replaces,
+    // not a different number)
+    val ql = run("select stddev(v) from m group by *")
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(math.abs(ql("a") - mom("a")) < 1e-9)
+    assert(math.abs(ql("b") - mom("b")) < 1e-9)
+  }
+
   test("planner: LIMIT is per-series (InfluxQL point pagination), " +
     "honoring ORDER BY time DESC") {
     val out = run("select v from m order by time desc limit 2")
