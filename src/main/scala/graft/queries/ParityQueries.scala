@@ -674,14 +674,22 @@ object ParityQueries {
     // target's day vector broadcasts (bucket-count-sized); corr()
     // partial-aggregates map-side; one exchange on the series key.
     // Undefined correlations (NaN/NULL semantics differ per engine)
-    // are dropped on both sides.
+    // are dropped on both sides. Bucket means use the exact micro-unit
+    // half-up identity (the ts_ema pattern) — the sf0.1 probe behind
+    // ts_ema showed round(avg(value),6) itself flips across engines a
+    // few ulp from the 1e-6 half-boundary, and this query fed exactly
+    // that form into corr() until round 12.
     "ts_similar_series" -> QueryDef(
       (s, dir) => SeriesOps.correlatedSeries(
         ev(s, dir)
           .groupBy(col("event_type"), col("user_id"),
             (expr("ts div 1000") - pmod(expr("ts div 1000"),
               lit(DayNs / 1000))).as("b"))
-          .agg(round(avg(col("value")), 6).as("v")),
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("__s"),
+            count(lit(1)).as("__n"))
+          .withColumn("v",
+            expr("((2 * __s * 10000 + __n) div (2 * __n)) / 1000000.0"))
+          .drop("__s", "__n"),
         seriesCols = Seq("event_type", "user_id"),
         bucketCol = "b", valueCol = "v",
         target = Map("event_type" -> "click", "user_id" -> "7"))
@@ -689,7 +697,9 @@ object ParityQueries {
           round(col("corr"), 6).as("corr_r")),
       Some(s"""WITH a AS (SELECT event_type, user_id,
           epoch_us(ts) - (epoch_us(ts) % ${DayNs / 1000}) AS b,
-          round(avg(value), 6) AS v FROM events GROUP BY 1, 2, 3),
+          ((2 * sum(CAST(round(value * 100, 0) AS BIGINT)) * 10000
+            + count(*)) // (2 * count(*))) / 1000000.0 AS v
+          FROM events GROUP BY 1, 2, 3),
         t AS (SELECT b, v AS tv FROM a
           WHERE event_type = 'click' AND user_id = 7)
         SELECT a.event_type, a.user_id, count(*)::BIGINT AS n_shared,

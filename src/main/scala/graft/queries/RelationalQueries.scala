@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.operators.{Curation, Incremental, Profiling, QuantileSketch, RuntimeFilters, SkewJoin, TemporalJoin}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,36 +30,83 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Exact TPC-H revenue: per-row cents·(100−d_hundredths) Long units
+    * summed in Decimal(38,0) — order-independent — then dollars via
+    * one correctly-rounded cast+division. Replaces
+    * round(sum(price·(1−disc)),2), whose exact value sits on a
+    * 0.01-grid in round units and flips at .5 boundaries under
+    * merge-order noise (the ql_agg_star class; see q1's note). */
+  private def exactRevenue: Column =
+    sum((round(col("l_extendedprice") * 100, 0).cast("long")
+      * (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .cast("double") / lit(10000.0)
+
+  /** The oracle twin of [[exactRevenue]] (DuckDB sums BIGINT exactly
+    * in HUGEINT; the ::DOUBLE cast is correctly rounded). */
+  private val ExactRevenueSql =
+    """sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+      * (100 - CAST(round(l_discount*100,0) AS BIGINT)))::DOUBLE
+      / 10000.0"""
+
   def defs: Map[String, QueryDef] = Map(
 
     // TPC-H Q1-style pricing summary: wide aggregate with partial/final
-    // split; sum_qty exact (integral doubles), money sums rounded.
+    // split; sum_qty exact (integral doubles). Money math runs on exact
+    // integer units — cents c, discount/tax hundredths d/t — so every
+    // sum is order-independent: disc_price terms c·(100−d) and charge
+    // terms c·(100−d)·(100+t) sum in Decimal(38,0) (overflow horizon
+    // ~1e38, far past the cents·1e4 Long bound a 100 TB corpus crosses)
+    // and convert to dollars via ONE correctly-rounded cast+division.
+    // The former round(sum(double),2) forms sat on a 0.01-grid in
+    // round units and could land exactly on a .5 boundary, where the
+    // drifty double's rounded digit flips with merge order (the
+    // ql_agg_star class). Averages use the exact half-up integer
+    // identity instead of round(avg(),k) — Long-exact through ~sf100;
+    // past that, lift the 200·Σc operand into Decimal as well.
     "q1_pricing_summary" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .withColumn("__c",
+          round(col("l_extendedprice") * 100, 0).cast("long"))
+        .withColumn("__d", round(col("l_discount") * 100, 0).cast("long"))
+        .withColumn("__t", round(col("l_tax") * 100, 0).cast("long"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).cast("long").as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          (sum(col("__c")).cast("double") / lit(100.0))
+            .as("sum_base_price"),
+          (sum((col("__c") * (lit(100L) - col("__d")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / lit(10000.0)).as("sum_disc_price"),
+          (sum((col("__c") * (lit(100L) - col("__d"))
+            * (lit(100L) + col("__t")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / lit(1000000.0)).as("sum_charge"),
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          expr("((200 * sum(__c) + count(1)) div (2 * count(1)))" +
+            " / 10000.0").as("avg_price"),
+          expr("((20000 * sum(__d) + count(1)) div (2 * count(1)))" +
+            " / 1000000.0").as("avg_disc"),
           count(lit(1)).as("count_order")),
-      Some("""SELECT l_returnflag, l_linestatus,
+      Some("""WITH b AS (SELECT l_returnflag, l_linestatus, l_quantity,
+          CAST(round(l_extendedprice*100,0) AS BIGINT) AS c,
+          CAST(round(l_discount*100,0) AS BIGINT) AS d,
+          CAST(round(l_tax*100,0) AS BIGINT) AS t
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+        SELECT l_returnflag, l_linestatus,
         sum(l_quantity)::BIGINT AS sum_qty,
-        round(sum(l_extendedprice),2) AS sum_base_price,
-        round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        sum(c)::DOUBLE / 100.0 AS sum_base_price,
+        sum(c*(100-d))::DOUBLE / 10000.0 AS sum_disc_price,
+        sum(c*(100-d)*(100+t))::DOUBLE / 1000000.0 AS sum_charge,
         sum(l_quantity)/count(*) AS avg_qty,
-        round(avg(l_extendedprice),4) AS avg_price,
-        round(avg(l_discount),6) AS avg_disc,
+        ((200*sum(c)+count(*)) // (2*count(*))) / 10000.0 AS avg_price,
+        ((20000*sum(d)+count(*)) // (2*count(*))) / 1000000.0
+          AS avg_disc,
         count(*)::BIGINT AS count_order
-        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        GROUP BY l_returnflag, l_linestatus""".replaceAll("\\s+", " "))),
+        FROM b GROUP BY l_returnflag, l_linestatus"""
+        .replaceAll("\\s+", " "))),
 
     // Q3-style: 3-way join → grouped revenue → deterministic top-10.
     "q3_topk_revenue" -> QueryDef(
@@ -75,15 +122,14 @@ object RelationalQueries {
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          .agg(exactRevenue.as("revenue"))
           .select(col("o_orderkey"), col("o_orderdate").cast("date")
             .as("o_orderdate"), col("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
       },
-      Some("""SELECT o.o_orderkey, o.o_orderdate::DATE AS o_orderdate,
-        round(sum(l.l_extendedprice*(1-l.l_discount)),2) AS revenue
+      Some(s"""SELECT o.o_orderkey, o.o_orderdate::DATE AS o_orderdate,
+        $ExactRevenueSql AS revenue
         FROM customer c JOIN orders o ON c.c_custkey=o.o_custkey
         JOIN lineitem l ON l.l_orderkey=o.o_orderkey
         WHERE c.c_mktsegment='BUILDING'
@@ -111,11 +157,10 @@ object RelationalQueries {
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"), count(lit(1)).as("n_items"))
+          .agg(exactRevenue.as("revenue"), count(lit(1)).as("n_items"))
       },
-      Some("""SELECT n_name,
-        round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      Some(s"""SELECT n_name,
+        $ExactRevenueSql AS revenue,
         count(*)::BIGINT AS n_items
         FROM lineitem JOIN orders ON l_orderkey=o_orderkey
         JOIN customer ON o_custkey=c_custkey
@@ -139,13 +184,12 @@ object RelationalQueries {
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-          .agg(round(sum(col("l_extendedprice") *
-            (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .agg(exactRevenue.as("revenue"))
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(20)
       },
-      Some("""SELECT c_custkey, c_name, n_name,
-          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      Some(s"""SELECT c_custkey, c_name, n_name,
+          $ExactRevenueSql AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -175,16 +219,21 @@ object RelationalQueries {
           ((sum(n) + count(*) - 1) // count(*))::BIGINT AS avg_ceil
         FROM k""".replaceAll("\\s+", " "))),
 
-    // Q6-style: pushed-down filter + single-row aggregate.
+    // Q6-style: pushed-down filter + single-row aggregate. Revenue
+    // Σ price·disc on exact cents·hundredths units (see q1's note).
     "q6_filtered_revenue" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
           && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
           && col("l_discount").between(0.04, 0.06)
           && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
-          .as("revenue")),
-      Some("""SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+        .agg((sum((round(col("l_extendedprice") * 100, 0).cast("long")
+          * round(col("l_discount") * 100, 0).cast("long"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / lit(10000.0)).as("revenue")),
+      Some("""SELECT sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+          * CAST(round(l_discount*100,0) AS BIGINT))::DOUBLE / 10000.0
+          AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -731,19 +780,25 @@ object RelationalQueries {
         INTERSECT SELECT o_custkey AS custkey FROM orders
         WHERE o_orderstatus='F'""".replaceAll("\\s+", " "))),
 
-    // grouped stats incl. exact distinct count.
+    // grouped stats incl. exact distinct count. avg as the half-up
+    // exact-cents identity, not round(avg(),2) — a rational mean can
+    // land exactly on the .5 boundary where engine round()s disagree.
     "agg_stats" -> QueryDef(
       (s, dir) => t(s, dir, "orders")
+        .withColumn("__c",
+          round(col("o_totalprice") * 100, 0).cast("long"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("o_custkey")).as("n_cust"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"),
-          round(avg(col("o_totalprice")), 2).as("avg_price")),
+          expr("((2 * sum(__c) + count(1)) div (2 * count(1))) / 100.0")
+            .as("avg_price")),
       Some("""SELECT o_orderpriority, count(*)::BIGINT AS n,
         count(DISTINCT o_custkey)::BIGINT AS n_cust,
         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
-        round(avg(o_totalprice),2) AS avg_price
+        ((2*sum(CAST(round(o_totalprice*100,0) AS BIGINT))+count(*))
+          // (2*count(*))) / 100.0 AS avg_price
         FROM orders GROUP BY o_orderpriority""".replaceAll("\\s+", " "))),
 
     // ANALYZE-style column profile: ONE scan, one Expand+two-phase
@@ -1985,18 +2040,21 @@ object RelationalQueries {
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).cast("long").as("l_year"))
           .agg(count(lit(1)).as("n"), sum(rev).as("rcb"))
+          // half-up to 2dp via the exact integer identity, not
+          // round(double,2): the exact dollar value sits on a 1e-4
+          // grid, so it CAN land exactly on a .5 cent boundary where
+          // Java's and C's round() of the same double disagree
           .select(col("supp_nation"), col("cust_nation"),
             col("l_year"), col("n"),
-            round(col("rcb").cast("double") / lit(1000000.0), 2)
-              .as("revenue_r"))
+            expr("((rcb + 5000) div 10000) / 100.0").as("revenue_r"))
       },
       Some("""SELECT n1.n_name AS supp_nation,
           n2.n_name AS cust_nation,
           year(l_shipdate)::BIGINT AS l_year,
           count(*)::BIGINT AS n,
-          round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+          ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
             (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)))
-            ::DOUBLE / 1000000.0, 2) AS revenue_r
+            + 5000) // 10000) / 100.0 AS revenue_r
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide lint for the rounding-boundary class (the r11
+  * `ql_agg_star` incident): `round(<order-dependent double agg>, k)`
+  * hash-matches DuckDB only while no group's exact value sits within
+  * merge-order noise of a `.5·10⁻ᵏ` boundary — a property of the
+  * FIXTURE, not the code, so it can flip at the driver's gate after
+  * every local sweep passed. House rule (Q.scala scaladoc): derive
+  * such aggregates from exact integer moments (cents / half-up div
+  * identities / fixed-order DOUBLE combines) instead.
+  *
+  * Every oracle that still rounds an order-dependent aggregate must
+  * carry an entry here naming WHY it is safe. A new registry query
+  * that ships the pattern un-allowlisted fails this spec — the class
+  * cannot ship silently again.
+  */
+class RoundingLintSpec extends AnyFunSuite {
+
+  /** Order-dependent double aggregates: summation/merge order changes
+    * the low bits of the pre-round value. min/max/count are excluded
+    * (order-independent); round() of a bare column is per-row. */
+  private val Pattern =
+    ("""round\(\s*(sum|avg|mean|stddev_samp|stddev_pop|stddev|""" +
+      """var_samp|var_pop|variance|corr|covar_samp|covar_pop)\s*\(""").r
+
+  /** name → why the rounded aggregate cannot flip (or why the residual
+    * risk is accepted and documented). Two safe shapes:
+    *
+    *  GRID — the aggregate sums exact k-decimal values and rounds at
+    *  ≥k decimals, so the exact value ·10^k is an integer multiple of
+    *  10^(k-dec) ≥ 1: the nearest .5 boundary is ≥0.5 scaled units
+    *  away while merge-order noise is ~1e-5 — provably off-boundary.
+    *
+    *  SINGLE-DIV — the pre-round value is ONE fixed-order IEEE
+    *  division of exact integer sums: bit-identical on both engines,
+    *  so only Java-vs-C round() disagreement at an EXACT .5·10⁻ᵏ
+    *  rational landing could differ (deterministic, caught by any
+    *  sweep at that fixture — unlike merge-order flips).
+    *
+    *  GENERIC — inputs are generic reals (logs, embeddings, ratios);
+    *  no exact integer form exists. Rounded at 4-6dp where noise
+    *  (~1e-12 rel) ≪ boundary spacing; residual flip probability
+    *  ~1e-6/group, accepted and documented here.
+    */
+  private val Allowlist: Map[String, String] = Map(
+    // GRID: 2-decimal sums rounded at 4dp (scaled grid multiple 100)
+    "a1_series_groupby" -> "GRID 2-dec events.value sum @4dp",
+    "cq_downsample" -> "GRID 2-dec events.value sum @4dp",
+    "ql_create_cq" -> "GRID 2-dec events.value sum @4dp",
+    "ql_select_into" -> "GRID 2-dec events.value sum @4dp",
+    "ql_tag_filter" -> "GRID 2-dec events.value sum @4dp",
+    "ql_time_offset" -> "GRID 2-dec events.value sum @4dp",
+    "ql_where_or" -> "GRID 2-dec events.value sum @4dp",
+    "ts_fill_gaps" -> "GRID 2-dec sum @4dp; v_linear per-row IEEE",
+    "ts_slimit" -> "GRID 2-dec events.value sum @4dp",
+    "win_range_time" -> "GRID 2-dec events.value window sum @4dp",
+    "win_running_total" -> "GRID 2-dec o_totalprice window sum @4dp",
+    "win_sliding" -> "GRID 2-dec events.value sum @4dp",
+    "win_tumbling" -> "GRID 2-dec events.value sum @4dp",
+    // GRID: 2-decimal sums rounded at 2dp (scaled grid multiple 1)
+    "agg_pivot" -> "GRID 2-dec o_totalprice sums @2dp",
+    "agg_unpivot" -> "GRID 2-dec l_extendedprice sum @2dp",
+    "join_broadcast_part" -> "GRID 2-dec l_extendedprice sum @2dp",
+    // SINGLE-DIV: exact integer sums, one fixed-order division
+    "q8_market_share" ->
+      "SINGLE-DIV exact cents·bp ratio @6dp (Long·1e6 would overflow)",
+    "ts_rate" ->
+      "SINGLE-DIV exact cent-sum / span_us @6dp",
+    // GENERIC: no exact integer representation exists for the input
+    "emb_dim_variance" -> "GENERIC embedding doubles @6dp",
+    "emb_drift" -> "GENERIC embedding doubles @6dp",
+    "emb_label_centroids" -> "GENERIC embedding doubles @6dp",
+    "emb_outliers" -> "GENERIC embedding doubles @6dp",
+    "emb_separation" -> "GENERIC embedding doubles @6dp",
+    "stats_chi2_assoc" -> "GENERIC expected-count ratios @4dp",
+    "stats_psi" -> "GENERIC log-ratio terms @6dp",
+    "text_bigram_logprob" -> "GENERIC avg of logs @6dp",
+    "text_unigram_logprob" -> "GENERIC avg of logs @6dp",
+    "ts_integral" -> "GENERIC trapezoid areas @4dp",
+    "ts_similar_series" ->
+      "GENERIC corr() internals @6dp (inputs exact since r12)")
+
+  test("every oracle rounding an order-dependent double aggregate is " +
+    "allowlisted with a safety argument; stddev/variance forms are " +
+    "never allowlisted (exact moment identities always exist for " +
+    "exact-decimal inputs — use them)") {
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        val funcs =
+          Pattern.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+        if (funcs.isEmpty) None else Some((name, funcs))
+    }
+    val unlisted = offenders.filterNot(o => Allowlist.contains(o._1))
+    assert(unlisted.isEmpty,
+      s"\nun-allowlisted rounded order-dependent aggregates: " +
+        s"${unlisted.mkString(", ")}\nDerive from exact integer " +
+        "moments (Q.scala rules) or add an Allowlist entry with a " +
+        "GRID / SINGLE-DIV / GENERIC argument.")
+    // the r11 incident shape specifically can never be allowlisted:
+    // stddev/variance of exact-decimal inputs always has an exact
+    // Long-moment identity (n, Σc, Σc² — the ql_agg_star fix)
+    val banned = offenders.filter(_._2.exists(f =>
+      f.startsWith("stddev") || f.startsWith("var")))
+    assert(banned.isEmpty,
+      s"rounded stddev/variance aggregates (the ql_agg_star class): " +
+        s"${banned.mkString(", ")} — use exact cent moments instead")
+    // allowlist hygiene: no dead entries masking future regressions
+    val dead = Allowlist.keySet -- offenders.map(_._1).toSet
+    assert(dead.isEmpty, s"stale allowlist entries (pattern no longer " +
+      s"matches — remove them): ${dead.mkString(", ")}")
+  }
+}
