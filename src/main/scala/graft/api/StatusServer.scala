@@ -37,6 +37,12 @@ final class StatusServer(
     // TALKS TO, client.go:57-70 queryDB — here we SERVE it); None
     // keeps the endpoint absent. The function owns parse+plan+collect
     // so the HTTP layer stays dependency-free.
+    // DELIBERATELY not behind the /api session gate: InfluxDB 1.x
+    // ships with [http] auth-enabled = false, and the reference's own
+    // client authenticates per-request with u/p params only when
+    // configured — the ops UI (login/session) and the data-plane
+    // /query are separate auth regimes. Deployments wanting a closed
+    // /query pass None and front it with their proxy.
     queryExec: Option[String => org.apache.spark.sql.DataFrame] = None,
     // /query result-row cap: past it the response is truncated and
     // marked "partial":true (InfluxDB's chunked-response analog —

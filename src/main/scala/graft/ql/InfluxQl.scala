@@ -186,9 +186,13 @@ case object QlStar extends QlProj
 final case class QlColumn(name: String) extends QlProj
 /** fn(field[, arg]) — numeric arg used by PERCENTILE(f, N) and
   * MOVING_AVERAGE(f, N); duration arg (`argNs`) by DERIVATIVE /
-  * ELAPSED units. */
+  * ELAPSED units. `inner` carries the nested transform-of-aggregate
+  * form `derivative(mean(v), 1h)` (the Grafana-default InfluxQL
+  * shape): the outer fn is a transformation, the inner call an
+  * aggregate, and the planner desugars the pair into the explicit
+  * subquery plan; `field` then names the INNER call's field. */
 final case class QlCall(fn: String, field: String, arg: Option[Double],
-    argNs: Option[Long] = None)
+    argNs: Option[Long] = None, inner: Option[QlCall] = None)
   extends QlProj
 
 final case class QlField(proj: QlProj, alias: Option[String])
@@ -228,7 +232,11 @@ final case class QlSelect(
     limit: Option[Int],
     offset: Option[Int],
     slimit: Option[Int],
-    soffset: Option[Int]) extends QlStatement {
+    soffset: Option[Int],
+    /** TZ('<zone>'): GROUP BY time() buckets align to wall-clock
+      * boundaries in this IANA zone (DST-correct via java.time /
+      * the engine's session-independent zone conversion). */
+    tz: Option[String] = None) extends QlStatement {
   def hasAggregates: Boolean = fields.exists(_.proj.isInstanceOf[QlCall])
 }
 
@@ -455,9 +463,21 @@ object InfluxQl {
       val offset = intClause("offset")
       val slimit = intClause("slimit")
       val soffset = intClause("soffset")
+      // TZ('<zone>') — last clause (InfluxQL grammar); zone names are
+      // validated at plan time against the JVM's IANA database
+      val tz: Option[String] =
+        if (atKw("tz")) {
+          pos += 1; eatSym("(")
+          val z = next() match {
+            case Tok.Str(v) => v
+            case t => fail(s"tz() needs a quoted zone name, got $t")
+          }
+          eatSym(")")
+          Some(z)
+        } else None
       QlSelect(fields, into, source, where, groupStar, groupTags, bucket,
         bucketOff, fill,
-        orderByTime, orderDesc, limit, offset, slimit, soffset)
+        orderByTime, orderDesc, limit, offset, slimit, soffset, tz)
     }
 
     private def fieldList(): Seq[QlField] = {
@@ -477,7 +497,29 @@ object InfluxQl {
           val fn = n.toLowerCase
           if (!Functions(fn)) fail(s"unknown function '$n'")
           pos += 2 // name + (
-          val (fieldName, _) = ident()
+          // nested transform-of-aggregate: fn(innerFn(field)[, N])
+          val inner: Option[QlCall] = peek match {
+            case Tok.Ident(inFn, false)
+                if toks(pos + 1) == Tok.Sym("(") =>
+              val f2 = inFn.toLowerCase
+              if (!Functions(f2)) fail(s"unknown function '$inFn'")
+              pos += 2 // name + (
+              val (inField, _) = ident()
+              var inArg: Option[Double] = None
+              if (peek == Tok.Sym(",")) {
+                pos += 1
+                next() match {
+                  case Tok.Num(t) => inArg = Some(t.toDouble)
+                  case t => fail(s"bad function argument $t")
+                }
+              }
+              if (f2 == "percentile" && inArg.isEmpty)
+                fail("percentile(field, N) needs N")
+              eatSym(")")
+              Some(QlCall(f2, inField, inArg))
+            case _ => None
+          }
+          val fieldName = inner.map(_.field).getOrElse(ident()._1)
           var arg: Option[Double] = None
           var argNs: Option[Long] = None
           if (peek == Tok.Sym(",")) {
@@ -496,7 +538,7 @@ object InfluxQl {
               !arg.exists(a => a == a.floor && a >= 1))
             fail(s"$fn(field, N) needs a positive integer N")
           eatSym(")")
-          QlCall(fn, fieldName, arg, argNs)
+          QlCall(fn, fieldName, arg, argNs, inner)
         case Tok.Ident(_, _) => QlColumn(ident()._1)
         case t => fail(s"bad select field $t")
       }
@@ -564,7 +606,15 @@ object InfluxQl {
             if (s == "<>") "!=" else s
           case t => fail(s"bad comparison operator $t")
         }
+        // negative literals: the lexer emits '-' as a standalone
+        // symbol, so a signed number/duration arrives as two tokens
+        val neg = peek == Tok.Sym("-")
+        if (neg) pos += 1
         val lit: QlLit = next() match {
+          case Tok.Num(t) if neg =>
+            QlNum(-t.toDouble, s"-$t")
+          case Tok.Dur(ns) if neg => QlDur(-ns)
+          case t if neg => fail(s"'-' needs a number/duration, got $t")
           case Tok.Num(t)  => QlNum(t.toDouble, t)
           case Tok.Dur(ns) => QlDur(ns)
           case Tok.Str(v)  => QlStr(v)

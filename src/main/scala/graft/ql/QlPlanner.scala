@@ -35,7 +35,19 @@ final case class QlTable(name: String, df: DataFrame, timeCol: String,
   *     field values. The sort_array(collect_list) form holds whole
   *     groups in memory — fine for series-grained groups (InfluxQL's
   *     own model); corpus-grained percentiles should use the
-  *     value-domain / DDSketch paths (stats_* family) instead.
+  *     value-domain / DDSketch paths (stats_* family) instead;
+  *   - `plan()` returns an UNORDERED frame even under ORDER BY time
+  *     (registry compares are order-insensitive; a global Sort would
+  *     tax every query) — [[executor]], the HTTP materialization
+  *     path, applies (series keys, time asc/desc) so /query responses
+  *     and row-cap truncation are InfluxDB-ordered;
+  *   - tz() applies to GROUP BY time() bucket alignment (wall-clock
+  *     boundaries, DST-correct); time LITERALS in WHERE stay what
+  *     they are (ns epochs / durations) — InfluxQL's tz-aware string
+  *     timestamps are not parsed;
+  *   - near a DST gap/overlap, nonexistent or ambiguous wall-clock
+  *     grid boundaries resolve by java.time rules (gap → shifted
+  *     forward, overlap → earlier offset).
   */
 object QlPlanner {
 
@@ -58,13 +70,69 @@ object QlPlanner {
       nowNs: Option[Long] = None): DataFrame = {
     val dst = stmt.into.getOrElse(throw new QlParseException(
       "planInto needs a SELECT … INTO statement"))
-    val out = planPure(stmt, catalog, nowNs)
+    val planned = planPure(stmt, catalog, nowNs)
+    // InfluxDB never WRITES null field values (a point with only null
+    // fields does not exist), so default-fill(null) grid rows — all
+    // value columns null — are dropped at the sink, not persisted
+    val tagSet = catalog.flatMap(_.tags).toSet
+    val valueCols = planned.columns.filterNot(c =>
+      c == "measurement" || c == "time" || tagSet(c))
+    val out =
+      if (valueCols.isEmpty) planned
+      else planned.filter(valueCols.map(col(_).isNotNull)
+        .reduce(_ || _))
     out.write.mode("overwrite").parquet(s"$destRoot/$dst.parquet")
     out.sparkSession.read.parquet(s"$destRoot/$dst.parquet")
   }
 
   private def planPure(stmt: QlSelect, catalog: Seq[QlTable],
-      nowNs: Option[Long]): DataFrame =
+      nowNs: Option[Long]): DataFrame = {
+    // nested transform-of-aggregate — `derivative(mean(v), 1h) …
+    // GROUP BY time(1h)` (the Grafana-default shape) — desugars to
+    // the explicit subquery plan: inner = the aggregates on the time
+    // grid (carrying WHERE/GROUP BY/fill), outer = the transforms
+    // over the inner's derived fields (carrying ORDER/LIMIT/SLIMIT)
+    val nested = stmt.fields.collect {
+      case QlField(c: QlCall, a) if c.inner.isDefined => (c, a)
+    }
+    if (nested.nonEmpty) {
+      require(nested.size == stmt.fields.size,
+        "cannot mix nested transform-of-aggregate calls with other " +
+          "projections (InfluxQL)")
+      nested.foreach { case (c, _) =>
+        require(TransformFns(c.fn),
+          s"the outer function of a nested call must be a " +
+            s"transformation (difference/derivative/…), got ${c.fn}()")
+        val in = c.inner.get
+        require(!TransformFns(in.fn) && !SelectorFns(in.fn),
+          s"the inner function of a nested call must be an " +
+            s"aggregate, got ${in.fn}()")
+      }
+      require(stmt.timeBucketNs.isDefined,
+        "a nested transform-of-aggregate needs GROUP BY time(...) — " +
+          "the aggregate defines the grid the transform walks")
+      def innerName(in: QlCall) = s"${in.fn}_${in.field}"
+      val innerFields = nested.map { case (c, _) =>
+        val in = c.inner.get
+        QlField(in.copy(inner = None), Some(innerName(in)))
+      }.distinct
+      // inner fill defaults to NONE (not the usual fill(null)): the
+      // transform walks ACTUAL buckets with real dt gaps — InfluxDB's
+      // derivative skips empty intervals. An explicit fill() is honored.
+      val innerSel = stmt.copy(fields = innerFields, into = None,
+        fill = Some(stmt.fill.getOrElse(FillNone)),
+        orderByTime = false, orderDesc = false,
+        limit = None, offset = None, slimit = None, soffset = None)
+      val outerFields = nested.map { case (c, a) =>
+        val in = c.inner.get
+        QlField(QlCall(c.fn, innerName(in), c.arg, c.argNs),
+          Some(a.getOrElse(s"${c.fn}_${in.field}")))
+      }
+      val outerSel = stmt.copy(fields = outerFields,
+        source = QlSubquery(innerSel), where = Seq.empty,
+        timeBucketNs = None, timeOffsetNs = 0L, fill = None, tz = None)
+      return planPure(outerSel, catalog, nowNs)
+    }
     stmt.source match {
       case QlSubquery(inner) =>
         // the inner result becomes a derived measurement: columns
@@ -87,6 +155,7 @@ object QlPlanner {
           innerDf.drop("measurement"), "time", innerTags, innerFields)))
       case _ => planBody(stmt, nowNs, resolve(stmt.source, catalog))
     }
+  }
 
   /** Resolve a time literal to epoch ns; `now() ± d` needs the
     * caller's clock and refuses without one. */
@@ -104,12 +173,24 @@ object QlPlanner {
 
   private def planBody(stmt: QlSelect, nowNs: Option[Long],
       matched: Seq[QlTable]): DataFrame = {
-    val t0 = matched.head
-    require(matched.forall(t => t.tags == t0.tags && t.fields == t0.fields),
-      s"measurements matched by ${stmt.source} have differing schemas: " +
-        matched.map(_.name).mkString(", "))
-    val tags = t0.tags
-    val fields = t0.fields
+    // a regex FROM may match measurements with DIFFERING field/tag
+    // sets — InfluxQL unions them NULL-filled (each series only
+    // carries its own columns). The unified schema is the ordered
+    // union; a column must have ONE type across the measurements
+    // carrying it (InfluxDB's own cross-measurement type conflict
+    // refuses too).
+    val tags = matched.flatMap(_.tags).distinct
+    val fields = matched.flatMap(_.fields).distinct
+    val colType: Map[String, org.apache.spark.sql.types.DataType] =
+      (tags ++ fields).map { c =>
+        val types = matched.filter(t =>
+            t.tags.contains(c) || t.fields.contains(c))
+          .map(t => t.df.schema(c).dataType).distinct
+        require(types.size == 1,
+          s"column '$c' has conflicting types across measurements " +
+            s"matched by ${stmt.source}: ${types.mkString(", ")}")
+        c -> types.head
+      }.toMap
 
     // WHERE applies per table on the RAW frame when it is ONE
     // conjunction (time predicates need the physical column / its
@@ -129,9 +210,11 @@ object QlPlanner {
       val filtered = timeConds.foldLeft(t.df) { (d, c) =>
         d.filter(timeCond(d, t.timeCol, c.op, nsOf(c.lit, nowNs)))
       }
+      val own = (t.tags ++ t.fields).toSet
       val normalized = filtered.select(lit(t.name).as("measurement")
         +: col(t.timeCol).cast("long").as("time")
-        +: (t.tags ++ t.fields).map(col): _*)
+        +: (tags ++ fields).map(c =>
+          if (own(c)) col(c) else lit(null).cast(colType(c)).as(c)): _*)
       otherConds.foldLeft(normalized)((d, c) =>
         d.filter(cond(c, tags, fields)))
     }.reduce(_ unionAll _)
@@ -192,7 +275,31 @@ object QlPlanner {
       : String => DataFrame =
     text => InfluxQl.parseStatement(text) match {
       case sh: QlShow    => planShow(sh, spark, root)
-      case sel: QlSelect => plan(sel, catalog, Some(nowNs()))
+      case sel: QlSelect =>
+        // InfluxDB 1.x returns points time-ordered per series, and the
+        // HTTP layer truncates at queryMaxRows — so the materialized
+        // frame MUST be ordered here (plan() leaves ordering to the
+        // consumer: registry compares are order-insensitive and a
+        // global Sort would tax every planned query). Series keys
+        // lead so truncation cuts whole series tails, time honors
+        // ORDER BY time [DESC].
+        val out = plan(sel, catalog, Some(nowNs()))
+        if (out.columns.contains("time")) {
+          val tagCols = out.columns.filter(c =>
+            c == "measurement" || catalog.exists(_.tags.contains(c)))
+          val timeOrd =
+            if (sel.orderDesc) col("time").desc else col("time").asc
+          out.orderBy(tagCols.map(col(_).asc) :+ timeOrd: _*)
+        } else out
+      case del: QlDelete => planDelete(del, spark, root,
+        nowNs = Some(nowNs()))
+      case drop: QlDropMeasurement =>
+        import spark.implicits._
+        Seq((drop.name, planDrop(drop, spark, root)))
+          .toDF("measurement", "dropped")
+      case _: QlCreateCq => throw new QlParseException(
+        "CREATE CONTINUOUS QUERY over /query needs a CQ catalog — " +
+          "register it through the agent's CQ service (planCreateCq)")
     }
 
   /** Measurement name → parquet path under a root, probing the flat
@@ -715,50 +822,128 @@ object QlPlanner {
           s"unknown GROUP BY tag '$t'"))
         stmt.groupTags
       }
+    val zone: Option[java.time.ZoneId] = stmt.tz.map { z =>
+      try java.time.ZoneId.of(z)
+      catch {
+        case e: java.time.DateTimeException =>
+          throw new QlParseException(s"unknown tz() zone '$z': " +
+            e.getMessage)
+      }
+    }
     val bucketKey = stmt.timeBucketNs.map { b =>
       require(b > 0, s"time() bucket must be positive: $b")
       val off = stmt.timeOffsetNs
-      // time(interval, offset): boundaries shift by the offset —
-      // ((t − off) div b)·b + off (div is floor here: ns epochs dwarf
-      // any offset, so t − off stays positive)
-      expr(s"((`time` - $off) div $b) * $b + $off").as("time")
+      zone match {
+        case Some(zid) =>
+          // tz(): bucket on WALL-CLOCK micros in the zone — the grid
+          // stays uniform in wall space across DST transitions (local
+          // midnight remains a boundary on 23h/25h days), which is
+          // exactly InfluxQL's calendar alignment. Converted back to
+          // epoch ns after the fill step (toEpochNs below).
+          require(b % 1000000L == 0 && off % 1000000L == 0,
+            "tz() buckets need >= 1ms granularity (zone conversion " +
+              "is µs-exact)")
+          val bUs = b / 1000; val offUs = off / 1000
+          expr(s"((unix_micros(from_utc_timestamp(timestamp_micros(" +
+            s"`time` div 1000), '${zid.getId}')) - $offUs) div $bUs)" +
+            s" * $bUs + $offUs").as("time")
+        case None =>
+          // time(interval, offset): boundaries shift by the offset —
+          // ((t − off) div b)·b + off (div is floor here: ns epochs
+          // dwarf any offset, so t − off stays positive)
+          expr(s"((`time` - $off) div $b) * $b + $off").as("time")
+      }
     }
     val keys = (col("measurement") +: groupTags.map(col)) ++ bucketKey
     val aggCols = calls.map { case (c, name) => aggExpr(c).as(name) }
     val agged = df.groupBy(keys: _*)
       .agg(aggCols.head, aggCols.tail: _*)
 
+    /** tz() bucket values are wall-clock µs during agg+fill; the
+      * result surface is epoch ns of the local bucket-start instant. */
+    def toEpochNs(d: DataFrame): DataFrame = zone match {
+      case Some(zid) => d.withColumn("time",
+        expr(s"unix_micros(to_utc_timestamp(timestamp_micros(`time`)," +
+          s" '${zid.getId}')) * 1000"))
+      case None => d
+    }
+    /** Epoch-ns instant → wall µs in the tz() zone (plan-time, for
+      * grid bounds). */
+    def wallUs(ns: Long, zid: java.time.ZoneId): Long =
+      ns / 1000 + zid.getRules
+        .getOffset(java.time.Instant.ofEpochMilli(
+          Math.floorDiv(ns, 1000000L)))
+        .getTotalSeconds * 1000000L
+
     val filled = (stmt.fill, stmt.timeBucketNs) match {
-      case (Some(FillNone), _) | (None, _) | (_, None) => agged
-      case (Some(f), Some(b)) =>
-        require(calls.size == 1,
-          "fill() supports a single aggregate projection")
-        val vname = calls.head._2
+      case (Some(FillNone), _) | (_, None) => toEpochNs(agged)
+      case (fOpt, Some(b)) =>
+        // no explicit fill() on a time() grid defaults to fill(null)
+        // — InfluxQL's documented default: empty intervals surface
+        // with null values. fill(none) opts out.
+        val f = fOpt.getOrElse(FillNull)
         val series = "measurement" +: groupTags
+        val step = if (zone.isDefined) b / 1000 else b
+        val offT =
+          if (zone.isDefined) stmt.timeOffsetNs / 1000
+          else stmt.timeOffsetNs
         // InfluxQL edge semantics: with BOTH time bounds in WHERE the
         // grid spans the whole range per series (leading/trailing
         // cells included); unbounded queries fall back to the
         // [first, last] actual span (no range to extrapolate to)
-        val g = timeBoundsNs(stmt, nowNs) match {
-          case Some((s0, e0)) =>
-            val off = stmt.timeOffsetNs
-            SeriesOps.fillGapsRange(agged, series, "time", vname,
-              stepTicks = b,
-              startTick = Math.floorDiv(s0 - off, b) * b + off,
-              endTickExclusive = e0)
-          case None =>
-            SeriesOps.fillGaps(agged, series, "time", vname,
-              stepTicks = b)
+        val boundsT = timeBoundsNs(stmt, nowNs).map { case (s0, e0) =>
+          zone match {
+            case Some(zid) => (wallUs(s0, zid), wallUs(e0, zid))
+            case None      => (s0, e0)
+          }
         }
-        val flavor = f match {
-          case FillNull     => col("v_null")
-          case FillValue(x) => coalesce(col("v_null"), lit(x))
-          case FillPrevious => col("v_prev")
-          case FillLinear   => col("v_linear")
-          case FillNone     => col("v_null") // unreachable
+        if (calls.size == 1) {
+          val vname = calls.head._2
+          val g = boundsT match {
+            case Some((s0, e0)) =>
+              SeriesOps.fillGapsRange(agged, series, "time", vname,
+                stepTicks = step,
+                startTick = Math.floorDiv(s0 - offT, step) * step + offT,
+                endTickExclusive = e0)
+            case None =>
+              SeriesOps.fillGaps(agged, series, "time", vname,
+                stepTicks = step)
+          }
+          val flavor = f match {
+            case FillNull     => col("v_null")
+            case FillValue(x) => coalesce(col("v_null"), lit(x))
+            case FillPrevious => col("v_prev")
+            case FillLinear   => col("v_linear")
+            case FillNone     => col("v_null") // unreachable
+          }
+          toEpochNs(g.select(series.map(col) :+ col("t_tick").as("time")
+            :+ flavor.as(vname): _*))
+        } else {
+          require(f == FillNull,
+            "fill(previous/linear/<value>) supports a single " +
+              "aggregate projection; fill(null)/default handles any " +
+              "number")
+          // multi-aggregate fill(null): per-series bucket grid LEFT
+          // JOIN — gap rows carry NULL in every aggregate column. The
+          // grid is sequence()-generated (bounded by range/step per
+          // series), the join key is (series, bucket) — no window.
+          val grid = boundsT match {
+            case Some((s0, e0)) =>
+              require(e0 > s0, s"empty time range [$s0, $e0)")
+              val start = Math.floorDiv(s0 - offT, step) * step + offT
+              val last = start + Math.floorDiv(e0 - 1 - start, step) * step
+              agged.select(series.map(col): _*).distinct()
+                .withColumn("time",
+                  explode(expr(s"sequence(${start}L, ${last}L, ${step}L)")))
+            case None =>
+              agged.groupBy(series.map(col): _*)
+                .agg(min(col("time")).as("__lo"), max(col("time")).as("__hi"))
+                .withColumn("time",
+                  explode(expr(s"sequence(__lo, __hi, ${step}L)")))
+                .drop("__lo", "__hi")
+          }
+          toEpochNs(grid.join(agged, series :+ "time", "left"))
         }
-        g.select(series.map(col) :+ col("t_tick").as("time")
-          :+ flavor.as(vname): _*)
     }
     (filled, "measurement" +: groupTags)
   }

@@ -335,11 +335,15 @@ object QlQueries {
         GROUP BY 1, 2""".replaceAll("\\s+", " "))),
 
     // GROUP BY time(interval, offset): shifted bucket boundaries —
-    // the two-argument time() form (daily buckets cut at 06:00)
+    // the two-argument time() form (daily buckets cut at 06:00).
+    // fill(none) opts out of the InfluxQL default fill(null) so the
+    // oracle stays grid-free (the default path has its own entries:
+    // ql_fill_default, ql_fill_default_multi)
     "ql_time_offset" -> QueryDef(
       (s, dir) => run(
         s"select sum(value) from events where time >= ${StartSec}s " +
-          s"and time < ${EndSec}s group by time(1d, 6h), event_type"
+          s"and time < ${EndSec}s group by time(1d, 6h), event_type " +
+          "fill(none)"
         )(s, dir)
         .withColumn("sum_value", round(col("sum_value"), 4)),
       Some {
@@ -480,6 +484,131 @@ object QlQueries {
         SELECT 'subquery' AS measurement, event_type,
           round(max(sv), 4) AS max_sum_value
         FROM d GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
+    // nested transform-of-aggregate — `derivative(mean(v), 1h) …
+    // GROUP BY time(1h)`, the Grafana-default InfluxQL shape —
+    // desugared by the planner into the explicit subquery plan. The
+    // inner aggregate here is count() (exact integers), so difference
+    // is integer-exact and derivative is ONE fixed-order division of
+    // exact ints per row — deterministic unrounded cross-engine.
+    "ql_nested_transform" -> QueryDef(
+      run(s"select difference(count(value)) as diff_cnt, " +
+        s"derivative(count(value), 1h) as deriv_cnt from events " +
+        s"where time >= ${StartSec}s and time < ${EndSec}s " +
+        s"group by time(1h), event_type"),
+      Some(s"""WITH a AS (SELECT event_type,
+          (epoch_ns(ts) // $HourNs) * $HourNs AS t,
+          count(value)::DOUBLE AS c FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+          GROUP BY 1, 2)
+        SELECT 'subquery' AS measurement, event_type, t AS "time",
+          c - lag(c) OVER w AS diff_cnt,
+          (c - lag(c) OVER w) /
+            (CAST(t - lag(t) OVER w AS DOUBLE) / ${HourNs}.0)
+            AS deriv_cnt
+        FROM a WINDOW w AS (PARTITION BY event_type ORDER BY t, c)"""
+        .replaceAll("\\s+", " "))),
+
+    // tz('America/New_York'): GROUP BY time(1d) buckets cut at LOCAL
+    // midnight (EST in the January window — constant-offset zone
+    // arithmetic oracled cross-engine; the DST-transition day is
+    // pinned engine-side in InfluxQlSpec, the fixture window has no
+    // transition). Oracle mirrors with session-independent DuckDB
+    // two-step timezone(): instant → wall, bucket, wall → instant.
+    "ql_tz" -> QueryDef(
+      run(s"select count(value) from events " +
+        s"where time >= ${StartSec}s and time < ${EndSec}s " +
+        s"group by time(1d), event_type fill(none) " +
+        s"tz('America/New_York')"),
+      Some(s"""WITH w AS (SELECT event_type, value,
+          (epoch_us(timezone('America/New_York',
+            timezone('UTC', ts))) // 86400000000) * 86400000000 AS wus
+          FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs)
+        SELECT 'events' AS measurement, event_type,
+          epoch_us(timezone('UTC', timezone('America/New_York',
+            make_timestamp(wus)))) * 1000 AS "time",
+          count(value)::BIGINT AS count_value
+        FROM w GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
+
+    // heterogeneous regex FROM: measurements with DIFFERING field and
+    // tag sets union NULL-filled (InfluxQL semantics) — count() over
+    // a field a measurement lacks is 0, a missing tag groups as NULL
+    "ql_regex_from_mixed" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val alt = ev.where(col("event_type") === "click")
+          .select(col("ts"), col("user_id"),
+            (col("value") * 2).as("value2"))
+        val cat2 = Seq(
+          QlTable("events", ev, "ts",
+            tags = Seq("event_type", "user_id"), fields = Seq("value")),
+          QlTable("events_alt", alt, "ts",
+            tags = Seq("user_id"), fields = Seq("value2")))
+        QlPlanner.plan(InfluxQl.parse(
+          s"select count(value), count(value2) from /^events/ " +
+            s"where time >= ${StartSec}s and time < ${EndSec}s " +
+            s"group by *"), cat2)
+      },
+      Some(s"""SELECT 'events' AS measurement, event_type, user_id,
+          count(value)::BIGINT AS count_value,
+          0::BIGINT AS count_value2 FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+          GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT 'events_alt', NULL, user_id, 0::BIGINT,
+          count(value)::BIGINT FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+            AND event_type = 'click'
+          GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
+
+    // the InfluxQL DEFAULT fill: GROUP BY time() with no fill()
+    // clause surfaces empty intervals as NULL rows (fill(null)) —
+    // single-aggregate path (range grid via fillGapsRange)
+    "ql_fill_default" -> QueryDef(
+      (s, dir) => run(s"select count(value) from events " +
+        s"where time >= ${StartSec}s and time < ${EndSec}s " +
+        s"group by time(12h), event_type")(s, dir)
+        // the single-column fill machinery carries values as DOUBLE;
+        // counts surface integral — restore the integer type
+        .withColumn("count_value", col("count_value").cast("long")),
+      Some {
+        val B = 12 * HourNs
+        s"""WITH a AS (SELECT event_type,
+            (epoch_ns(ts) // $B) * $B AS t, count(value)::BIGINT AS c
+            FROM events
+            WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+            GROUP BY 1, 2),
+          ser AS (SELECT DISTINCT event_type FROM a),
+          grid AS (SELECT event_type,
+            unnest(range($StartNs, $EndNs, $B)) AS t FROM ser)
+          SELECT 'events' AS measurement, g.event_type, g.t AS "time",
+            a.c AS count_value
+          FROM grid g LEFT JOIN a
+            ON a.event_type = g.event_type AND a.t = g.t"""
+          .replaceAll("\\s+", " ")
+      }),
+
+    // …and the MULTI-aggregate default-fill path: per-series bucket
+    // grid LEFT JOIN, every aggregate column NULL on gap rows (the
+    // flavor-specific fillGaps machinery only handles one column)
+    "ql_fill_default_multi" -> QueryDef(
+      run(s"select count(value), max(value) from events " +
+        s"where time >= ${StartSec}s and time < ${EndSec}s " +
+        s"group by time(1d), event_type"),
+      Some(s"""WITH a AS (SELECT event_type,
+          (epoch_ns(ts) // $DayNs) * $DayNs AS t,
+          count(value)::BIGINT AS c, max(value) AS mx FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+          GROUP BY 1, 2),
+        ser AS (SELECT DISTINCT event_type FROM a),
+        grid AS (SELECT event_type,
+          unnest(range($StartNs, $EndNs, $DayNs)) AS t FROM ser)
+        SELECT 'events' AS measurement, g.event_type, g.t AS "time",
+          a.c AS count_value, a.mx AS max_value
+        FROM grid g LEFT JOIN a
+          ON a.event_type = g.event_type AND a.t = g.t"""
+        .replaceAll("\\s+", " "))),
 
     // the InfluxQL transformation-function family reached FROM QUERY
     // TEXT — difference / cumulative_sum / elapsed(1ms) /

@@ -366,16 +366,40 @@ class InfluxQlSpec extends AnyFunSuite {
   }
 
   test("planner: regex FROM unions matching measurements with the " +
-    "in-band measurement column; mismatched schemas refuse") {
+    "in-band measurement column; differing schemas union NULL-filled; " +
+    "conflicting column types refuse") {
     val two = cat :+ QlTable("m2", fixture(), "t", Seq("g"), Seq("v"))
     val out = run("select count(v) from /^m/ group by *", two)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .toSet
     assert(out === Set(("m", "a", 4L), ("m", "b", 2L),
       ("m2", "a", 4L), ("m2", "b", 2L)))
-    val bad = two :+ QlTable("m3", fixture(), "t", Seq.empty, Seq("v"))
+    // heterogeneous field sets NULL-fill (InfluxQL unions differing
+    // schemas): m3 carries w but not v — count(v) skips its rows,
+    // count(w) skips m/m2's; a tag absent on a measurement groups as
+    // NULL (InfluxQL's empty-tag series)
+    val s = spark
+    import s.implicits._
+    val m3 = Seq((10L, 7.0), (20L, 8.0)).toDF("t", "w")
+    val mixed = two :+ QlTable("m3", m3, "t", Seq.empty, Seq("w"))
+    val both = run("select count(v), count(w) from /^m/ group by *",
+      mixed).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("-"),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(both === Set(("m", "a", 4L, 0L), ("m", "b", 2L, 0L),
+      ("m2", "a", 4L, 0L), ("m2", "b", 2L, 0L), ("m3", "-", 0L, 2L)))
+    // raw star over the mixed set carries the unified columns,
+    // NULL-filled where a measurement lacks them
+    val star = run("select * from /^m/", mixed)
+    assert(star.columns.toSeq ===
+      Seq("measurement", "time", "g", "v", "w"))
+    assert(star.where(col("measurement") === "m3")
+      .collect().forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    // same column with CONFLICTING types across measurements refuses
+    val m4 = Seq((10L, "not a double")).toDF("t", "v")
     intercept[IllegalArgumentException](
-      run("select count(v) from /^m/ group by *", bad))
+      run("select count(v) from /^m/ group by *",
+        mixed :+ QlTable("m4", m4, "t", Seq.empty, Seq("v"))))
     intercept[IllegalArgumentException](
       run("select count(v) from nosuch"))
   }
@@ -483,6 +507,117 @@ class InfluxQlSpec extends AnyFunSuite {
       InfluxQl.parseStatement("""show tag values from "events" """ +
         """with key = "value"""").asInstanceOf[QlShow],
       spark, SparkSpec.Sf0001))
+  }
+
+  test("planner: GROUP BY time() with no fill() defaults to " +
+    "fill(null) — empty intervals surface with nulls (InfluxQL " +
+    "default); fill(none) opts out; multi-aggregate grids null-fill " +
+    "every column") {
+    // single aggregate, bounded: grid spans [0, 50) per series
+    val one = run("select sum(v) from m where time >= 0 and " +
+      "time < 50 group by time(10ns), g")
+      .collect().map(r => ((r.getString(1), r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(one.size === 10) // 5 ticks × 2 series
+    assert(one(("a", 0L)) === None && one(("a", 40L)) === None)
+    assert(one(("a", 10L)) === Some(5.0) && one(("a", 30L)) === Some(11.0))
+    assert(one(("b", 20L)) === None && one(("b", 40L)) === Some(8.0))
+    // fill(none) drops the grid — actual buckets only
+    val none = run("select sum(v) from m where time >= 0 and " +
+      "time < 50 group by time(10ns), g fill(none)").collect()
+    assert(none.length === 5)
+    // multi-aggregate default: every aggregate column nulls on gaps
+    val multi = run("select count(v), sum(v) from m where " +
+      "time >= 10 and time < 50 group by time(20ns), g")
+      .collect().map(r => ((r.getString(1), r.getLong(2)),
+        (if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(multi.size === 6) // ticks 0,20,40 × 2 series
+    assert(multi(("a", 0L)) === ((1L, Some(5.0))))
+    assert(multi(("a", 20L)) === ((3L, Some(12.0))))
+    assert(multi(("a", 40L)) === ((-1L, None)))
+    assert(multi(("b", 20L)) === ((-1L, None)))
+    assert(multi(("b", 40L)) === ((1L, Some(8.0))))
+  }
+
+  test("planner: nested transform-of-aggregate desugars to the " +
+    "subquery plan — derivative(mean(v), 10ns) GROUP BY time(10ns) " +
+    "walks the actual aggregate buckets (fill none)") {
+    val out = run("select derivative(mean(v), 10ns) from m where " +
+      "time >= 10 and time < 50 group by time(10ns), g")
+      .collect().map(r => ((r.getString(1), r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // a buckets: 10→5, 20→1, 30→5.5 → derivs: t20 = (1-5)/1 = -4,
+    // t30 = (5.5-1)/1 = 4.5; b buckets: 10→4, 40→8 → t40 over a 30ns
+    // gap at 10ns unit = 4/3 (derivative spans real gaps)
+    assert(out(("a", 10L)) === None) // lag head
+    assert(out(("a", 20L)) === Some(-4.0))
+    assert(out(("a", 30L)) === Some(4.5))
+    assert(out(("b", 40L)) === Some(4.0 / 3.0))
+    assert(out.size === 5)
+    // output name defaults to <transform>_<field>
+    val named = run("select derivative(mean(v), 10ns) from m where " +
+      "time >= 10 and time < 50 group by time(10ns), g")
+    assert(named.columns.contains("derivative_v"))
+    // mixing nested with plain projections refuses; a nested call
+    // without a time() grid refuses
+    intercept[IllegalArgumentException](
+      run("select derivative(mean(v), 10ns), v from m " +
+        "group by time(10ns), g"))
+    intercept[IllegalArgumentException](
+      run("select derivative(mean(v), 10ns) from m group by g"))
+    // inner transform / outer aggregate both refuse (wrong nesting)
+    intercept[IllegalArgumentException](
+      run("select mean(difference(v)) from m group by time(10ns), g"))
+  }
+
+  test("planner: tz() aligns GROUP BY time(1d) buckets to wall-clock " +
+    "midnight in the zone, DST-correct — the 23h spring-forward day " +
+    "keeps its local boundary while a UTC grouping would misbin") {
+    val s = spark
+    import s.implicits._
+    def ns(iso: String): Long =
+      java.time.Instant.parse(iso).toEpochMilli * 1000000L
+    // America/New_York springs forward 2024-03-10 (EST −5 → EDT −4)
+    val rows = Seq(
+      ns("2024-03-10T04:30:00Z"), // Sat Mar 9, 23:30 EST  → local Mar 9
+      ns("2024-03-10T07:30:00Z"), // Sun Mar 10, 03:30 EDT → local Mar 10
+      ns("2024-03-11T03:30:00Z"), // Sun Mar 10, 23:30 EDT → local Mar 10
+      ns("2024-03-11T14:00:00Z")  // Mon Mar 11, 10:00 EDT → local Mar 11
+    ).map((_, 1.0)).toDF("t", "x")
+    val cat3 = Seq(QlTable("tzm", rows, "t", Seq.empty, Seq("x")))
+    val out = run("select count(x) from tzm where " +
+      s"time >= ${ns("2024-03-09T00:00:00Z")} and " +
+      s"time < ${ns("2024-03-12T00:00:00Z")} " +
+      "group by time(1d) fill(none) tz('America/New_York')", cat3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // bucket starts are LOCAL midnights as instants: Mar 9/10 at
+    // 05:00Z (EST), Mar 11 at 04:00Z (EDT — the boundary moved)
+    assert(out === Map(
+      ns("2024-03-09T05:00:00Z") -> 1L,
+      ns("2024-03-10T05:00:00Z") -> 2L,
+      ns("2024-03-11T04:00:00Z") -> 1L))
+    // a UTC day grouping puts the 23:30-EDT point in UTC Mar 11 —
+    // different binning, proving tz() changed the boundaries
+    val utc = run("select count(x) from tzm where " +
+      s"time >= ${ns("2024-03-09T00:00:00Z")} and " +
+      s"time < ${ns("2024-03-12T00:00:00Z")} " +
+      "group by time(1d) fill(none)", cat3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(utc(ns("2024-03-11T00:00:00Z")) === 2L)
+    // unknown zone refuses loudly
+    intercept[QlParseException](
+      run("select count(x) from tzm group by time(1d) " +
+        "tz('Nowhere/Invalid')", cat3))
+  }
+
+  test("WHERE accepts negative number and duration literals " +
+    "(lexed as '-' + literal, folded at parse)") {
+    val q = InfluxQl.parse("select v from m where v > -5")
+    assert(q.where === Seq(Seq(QlCond("v", ">", QlNum(-5.0, "-5")))))
+    assert(run("select v from m where v > -5").count() === 6)
+    val t = InfluxQl.parse("select v from m where time > -3h")
+    assert(t.where.head.head.lit === QlDur(-3L * 3600L * 1000000000L))
   }
 
   test("planner: unknown columns/tags and non-field aggregates refuse " +
