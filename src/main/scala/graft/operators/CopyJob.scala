@@ -6,7 +6,7 @@ import graft.model._
 import graft.plan.ChunkPlanner
 import graft.sources.Tables
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Chunked, retryable, idempotent time-windowed copy — the engine's
@@ -417,6 +417,56 @@ final class CopyJob(
       }
     }
     (dropped, trimmed, spans.size - dropped.size)
+  }
+
+  /** Predicate deletion over a copied dataset — `DELETE FROM m WHERE
+    * tag='x' [AND time …]` — the upsert-idempotence discipline applied
+    * to removal. Only chunk partitions INTERSECTING `[startNs, endNs)`
+    * are even read; each is rewritten via the crash-safe swap keeping
+    * rows NOT matching (`cond` AND in-range), becomes a whole-chunk
+    * drop if nothing survives, and — the idempotence tell — is left
+    * PHYSICALLY UNTOUCHED when nothing matches (re-running the same
+    * DELETE is a metadata-only no-op; CopyJobSpec pins file identity).
+    * SQL DELETE null semantics: a NULL predicate does not delete.
+    *
+    * Scale shape: cost is O(intersecting chunks), each bounded by one
+    * chunk of rows, with non-intersecting chunks skipped at the
+    * file-listing level — a one-day tag purge over a year of 1d chunks
+    * reads 1/365th of the files and rewrites at most that.
+    *
+    * Returns (droppedSpans, rewrittenSpans, untouchedCount). */
+  def deleteWhere(dstPath: String, cond: Column,
+      startNs: Long = Long.MinValue, endNs: Long = Long.MaxValue,
+      cfg: Config): (Seq[(Long, Long)], Seq[(Long, Long)], Int) = {
+    val spans = listBucketSpans(dstPath)
+    val conf = spark.sessionState.newHadoopConf()
+    var dropped = Seq.empty[(Long, Long)]
+    var rewritten = Seq.empty[(Long, Long)]
+    spans.foreach { case (ps, pe) =>
+      if (pe > startNs && ps < endNs) {
+        Tables.ensureNsConf(spark)
+        val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
+        val fs = partDir.getFileSystem(conf)
+        val part = spark.read.parquet(partDir.toString).cache()
+        try {
+          val inRange =
+            Tables.nsAtLeast(part, cfg.timeCol, startNs) &&
+              Tables.nsBefore(part, cfg.timeCol, endNs)
+          val toDelete = coalesce(cond && inRange, lit(false))
+          if (!part.filter(toDelete).isEmpty) {
+            val remaining = part.filter(!toDelete)
+            if (remaining.isEmpty) {
+              fs.delete(partDir, true): Unit
+              dropped :+= ((ps, pe))
+            } else {
+              swapPartitionContents(dstPath, ps, pe, remaining, "delete")
+              rewritten :+= ((ps, pe))
+            }
+          }
+        } finally { part.unpersist(): Unit }
+      }
+    }
+    (dropped, rewritten, spans.size - dropped.size - rewritten.size)
   }
 
   private def inParallel[A, B](workers: Int, items: Seq[A])(f: A => B)

@@ -313,49 +313,94 @@ object QlPlanner {
     else s"$root/$db/$rp/$m.parquet"
   }
 
-  /** DELETE FROM "m" [WHERE time < …]: the point-expiry statement
-    * mapped onto the chunk-dropping retention engine
-    * ([[graft.operators.CopyJob.enforceRetention]]) — whole expired
-    * chunk partitions are deleted at the file-listing level, only the
-    * straddling chunk is rewritten. v1 supports upper-bounded time
-    * predicates (the retention idiom) and the bare form (delete
-    * everything); tag-predicated deletes would need a rewrite path
-    * and refuse loudly. Returns the post-delete read-back frame. The
-    * measurement must be in the engine's chunk-partitioned sink
-    * layout (a raw unchunked parquet has no spans to drop). */
+  /** DELETE FROM "m" [WHERE tag='x' AND time …]: the point-expiry
+    * statement. Two physical routes, picked by the predicate shape:
+    *
+    *  - PURE upper-bounded time (the retention idiom, and the bare
+    *    form = delete everything) → the chunk-DROPPING engine
+    *    ([[graft.operators.CopyJob.enforceRetention]]): whole expired
+    *    chunks deleted at the file-listing level, only the straddling
+    *    chunk rewritten;
+    *  - tag/field predicates and/or lower time bounds → the
+    *    chunk-REWRITE engine ([[graft.operators.CopyJob.deleteWhere]]):
+    *    only chunks intersecting the time range are read, each
+    *    rewritten keeping non-matching rows (crash-safe swap), left
+    *    physically untouched when nothing matches — so re-running the
+    *    same DELETE is a metadata no-op and non-matching series
+    *    survive byte-identical.
+    *
+    * Returns the post-delete read-back frame. The measurement must be
+    * in the engine's chunk-partitioned sink layout (a raw unchunked
+    * parquet has no spans to drop). */
   def planDelete(stmt: QlDelete,
       spark: org.apache.spark.sql.SparkSession, root: String,
       timeCol: String = "ts", chunkNs: Long = 86400000000000L,
       nowNs: Option[Long] = None): DataFrame = {
     require(stmt.where.size <= 1,
       "DELETE WHERE supports a single conjunction (no OR)")
-    val cutoff: Long =
-      if (stmt.where.isEmpty) Long.MaxValue
-      else stmt.where.head.map { c =>
-        require(c.operand.equalsIgnoreCase("time"),
-          s"DELETE supports time predicates only, got '${c.operand}'")
-        val ns = nsOf(c.lit, nowNs)
-        c.op match {
-          case "<" => ns
-          case "<=" =>
-            require(ns < Long.MaxValue, "time <= Long.MaxValue")
-            ns + 1
-          case op => throw new QlParseException(
-            s"DELETE supports upper time bounds only (<, <=), got $op" +
-              " — lower-bounded deletes need a chunk-rewrite path")
-        }
-      }.min
+    val conds = stmt.where.headOption.getOrElse(Seq.empty)
+    val (timeConds, colConds) =
+      conds.partition(_.operand.equalsIgnoreCase("time"))
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    timeConds.foreach { c =>
+      val ns = nsOf(c.lit, nowNs)
+      c.op match {
+        case "<"  => hi = math.min(hi, ns)
+        case "<=" =>
+          require(ns < Long.MaxValue, "time <= Long.MaxValue")
+          hi = math.min(hi, ns + 1)
+        case ">"  =>
+          require(ns < Long.MaxValue, "time > Long.MaxValue")
+          lo = math.max(lo, ns + 1)
+        case ">=" => lo = math.max(lo, ns)
+        case "="  =>
+          require(ns < Long.MaxValue, "time = Long.MaxValue")
+          lo = math.max(lo, ns); hi = math.min(hi, ns + 1)
+        case op => throw new QlParseException(
+          s"operator $op not valid for DELETE time")
+      }
+    }
     val schema = new graft.catalog.Catalog(spark).getSchema(root)
     val hit = (for {
       d <- schema; rp <- d.rps; m <- rp.measurements
       if m.name == stmt.measurement
-    } yield (d.name, rp.name)).headOption
+    } yield (d.name, rp.name, m)).headOption
     require(hit.isDefined, s"no measurement '${stmt.measurement}'")
-    val path = measurementPath(spark, root, hit.get._1, hit.get._2,
-      stmt.measurement)
+    val (db, rp, meta) = hit.get
+    val path = measurementPath(spark, root, db, rp, stmt.measurement)
     val job = new graft.operators.CopyJob(spark)
-    job.enforceRetention(path, cutoff,
-      graft.operators.CopyJob.Config(0L, 0L, chunkNs, timeCol = timeCol))
+    val cfg =
+      graft.operators.CopyJob.Config(0L, 0L, chunkNs, timeCol = timeCol)
+    if (colConds.isEmpty && lo == Long.MinValue)
+      job.enforceRetention(path, hi, cfg)
+    else {
+      val cond = colConds.map { c =>
+        require(meta.fields.contains(c.operand),
+          s"unknown DELETE column '${c.operand}' on " +
+            s"'${stmt.measurement}' (has: " +
+            s"${meta.fields.keys.toSeq.sorted.mkString(", ")})")
+        def cmp(l: Column, r: Column): Column = c.op match {
+          case "="  => l === r
+          case "!=" => l =!= r
+          case "<"  => l < r
+          case "<=" => l <= r
+          case ">"  => l > r
+          case ">=" => l >= r
+          case op => throw new QlParseException(
+            s"operator $op not valid for DELETE ${c.operand}")
+        }
+        c.lit match {
+          case QlStr(v) => cmp(col(c.operand), lit(v))
+          case QlNum(v, _) => cmp(col(c.operand), lit(v))
+          case QlRe(p) if c.op == "=~" => col(c.operand).rlike(p)
+          case QlRe(p) if c.op == "!~" => !col(c.operand).rlike(p)
+          case l => throw new QlParseException(
+            s"bad DELETE literal $l for ${c.operand}")
+        }
+      }.reduce(_ && _)
+      job.deleteWhere(path, cond, lo, hi, cfg)
+    }
     job.readCopied(path)
   }
 

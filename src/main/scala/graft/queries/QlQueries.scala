@@ -381,6 +381,39 @@ object QlQueries {
         WHERE epoch_ns(ts) >= ${StartNs + 4 * DayNs}
           AND epoch_ns(ts) < $EndNs""".replaceAll("\\s+", " "))),
 
+    // DELETE FROM … WHERE tag='x' AND time-range: the tag-predicated
+    // chunk-REWRITE path — only the two chunks intersecting the 4-day
+    // slice are rewritten, every other chunk (and every non-click
+    // series inside the slice) survives; run TWICE to prove the
+    // re-run is a no-op (CopyJobSpec additionally pins file identity)
+    "ql_delete_tag" -> QueryDef(
+      (s, dir) => {
+        val job = new CopyJob(s)
+        val cfg = CopyJob.Config(StartNs, EndNs, chunkNs = 2 * DayNs,
+          timeCol = "ts")
+        val root = s"/tmp/graft_qldeltag_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        job.copyMeasurement(s"$dir/events.parquet",
+          s"$root/events.parquet", cfg)
+        val stmt = InfluxQl.parseStatement(
+          s"""delete from "events" where event_type = 'click' """ +
+            s"and time >= ${StartNs + 4 * DayNs} " +
+            s"and time < ${StartNs + 8 * DayNs}")
+          .asInstanceOf[graft.ql.QlDelete]
+        QlPlanner.planDelete(stmt, s, root, chunkNs = 2 * DayNs)
+        QlPlanner.planDelete(stmt, s, root, chunkNs = 2 * DayNs)
+          .select(col("event_id"), expr("ts div 1000").as("time_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+      },
+      Some(s"""SELECT event_id, epoch_us(ts) AS time_us, user_id,
+        event_type, value, props FROM events
+        WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+          AND NOT (event_type = 'click'
+            AND epoch_ns(ts) >= ${StartNs + 4 * DayNs}
+            AND epoch_ns(ts) < ${StartNs + 8 * DayNs})"""
+        .replaceAll("\\s+", " "))),
+
     // CREATE CONTINUOUS QUERY … BEGIN SELECT … INTO … END: the CQ DDL
     // routed onto the INCREMENTAL ContinuousQuery refresh — run twice
     // (second pass recomputes only the lookback bucket) and must

@@ -75,6 +75,56 @@ class CopyJobSpec extends AnyFunSuite {
     assert(job.readCopied(dst).count() === want)
   }
 
+  test("deleteWhere: tag-predicated delete rewrites ONLY intersecting " +
+    "chunks, preserves non-matching series, leaves untouched chunks " +
+    "byte-identical, and re-running is a physical no-op") {
+    val dst = freshDst()
+    val job = new CopyJob(spark)
+    job.copyMeasurement(src, dst, cfg(dst))
+    // chunks: [S,S+5d) [S+5d,S+10d) [S+10d,S+15d); delete 'click'
+    // rows inside [S+6d, S+9d) — intersects ONLY the middle chunk
+    val lo = S + 6 * Day; val hi = S + 9 * Day
+    def fileState(): Map[String, Seq[(String, Long, Long)]] =
+      Option(new java.io.File(dst).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("__bucket=")).map { d =>
+          d.getName -> Option(d.listFiles()).getOrElse(Array.empty)
+            .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+        }.toMap
+    val before = fileState()
+    val rc = job.readCopied(dst)
+    val matchCount = rc.filter(col("event_type") === "click" &&
+      Tables.nsAtLeast(rc, "ts", lo) && Tables.nsBefore(rc, "ts", hi))
+      .count()
+    assert(matchCount > 0)
+    val total = job.readCopied(dst).count()
+    val (dropped, rewritten, untouched) = job.deleteWhere(dst,
+      col("event_type") === "click", lo, hi, cfg(dst))
+    // only the middle chunk intersects; it keeps non-click rows
+    assert(dropped.isEmpty)
+    assert(rewritten === Seq((S + 5 * Day, S + 10 * Day)))
+    assert(untouched === 2)
+    val after = job.readCopied(dst)
+    assert(after.count() === total - matchCount)
+    // the deleted slice holds NO click rows but still holds others
+    val slice = Tables.timeRange(after, "ts", lo, hi)
+    assert(slice.filter(col("event_type") === "click").isEmpty)
+    assert(!slice.isEmpty)
+    // untouched chunks are byte-identical (name, size, mtime)
+    val mid = fileState()
+    for (k <- before.keys if k != s"__bucket=${S + 5 * Day}_${S + 10 * Day}")
+      assert(mid(k) === before(k), k)
+    // re-run: nothing matches anymore → physical no-op everywhere
+    val (d2, r2, u2) = job.deleteWhere(dst,
+      col("event_type") === "click", lo, hi, cfg(dst))
+    assert(d2.isEmpty && r2.isEmpty && u2 === 3)
+    assert(fileState() === mid)
+    // a predicate matching a whole chunk's rows drops the chunk at
+    // the directory level
+    val (d3, r3, _) = job.deleteWhere(dst, lit(true),
+      S + 10 * Day, E, cfg(dst))
+    assert(d3 === Seq((S + 10 * Day, S + 15 * Day)) && r3.isEmpty)
+  }
+
   test("transient failures retried within budget (try.go:15-30)") {
     val dst = freshDst()
     var fails = 2
