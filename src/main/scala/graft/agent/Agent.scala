@@ -513,6 +513,14 @@ final class Agent(
     }
   }
 
+  /** The daemon's CQ service: registrations persisted at the SLAVE
+    * root (`_cq.json` beside the replicated `_rp.json` tier), reading
+    * from the master, writing rollups beside the replica — and re-run
+    * incrementally on every hamonitor supervisor tick (InfluxDB's CQ
+    * service cadence). */
+  def cqService: graft.ql.CqService =
+    new graft.ql.CqService(spark, cfg.masterRoot, cfg.slaveRoot)
+
   def hamonitor(): HAMonitor = {
     require(initCluster(), "cluster not alive")
     initialReplicate()
@@ -521,7 +529,8 @@ final class Agent(
       slaveProbe,
       checkIntervalNs = cfg.checkIntervalMs * 1000000L,
       backfill = backfillOk,
-      nowNs = nowNs)
+      nowNs = nowNs,
+      onTick = () => cqService.runAll(): Unit)
   }
 
   /** hamonitor on the Structured Streaming plane: rate-source-driven

@@ -1,0 +1,142 @@
+package graft.ql
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The continuous-query SERVICE the reference delegates to InfluxDB
+  * itself (a syncflux deployment's CQs live in the InfluxDB it syncs;
+  * a Spark-native store must own them): a persisted registration
+  * catalog plus scheduled incremental execution.
+  *
+  *  - `CREATE CONTINUOUS QUERY … END` → [[register]]: validated by the
+  *    same [[QlPlanner.planCreateCq]] rules, persisted to `_cq.json`
+  *    at the destination root (beside the catalog's `_rp.json`
+  *    metadata tier), and refreshed once on arrival (InfluxDB runs a
+  *    new CQ at its next interval; arrival-run makes the registration
+  *    immediately observable and is idempotent anyway);
+  *  - supervisor ticks ([[graft.streaming.HAMonitor]]'s `onTick`) →
+  *    [[runAll]]: every registered CQ re-runs through the
+  *    watermark-bounded incremental refresh — each tick recomputes
+  *    ONLY the lookback buckets and advances the rollup's watermark
+  *    exactly-once (AgentSpec pins no-duplication across ticks);
+  *  - `DROP CONTINUOUS QUERY "name"` → [[drop]] (the rollup DATA
+  *    stays — that is DROP MEASUREMENT's job, matching InfluxDB);
+  *  - `SHOW CONTINUOUS QUERIES` → [[list]] via
+  *    [[QlPlanner.planShow]].
+  *
+  * The catalog file stores the original statement TEXT — re-parsed on
+  * every run, so the registration round-trips through the strict
+  * parser and survives engine upgrades that extend the AST. Records
+  * are driver-side JSON via the Hadoop FileSystem API (works against
+  * any storage URI), rewritten whole on change — CQ counts are
+  * human-scale, not data-scale.
+  */
+final class CqService(spark: SparkSession, srcRoot: String,
+    dstRoot: String, resampleNs: Long = 0L) {
+
+  private def catPath = new Path(s"$dstRoot/_cq.json")
+
+  private def fs =
+    catPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** (name, db, statement text) for every registered CQ, name-sorted. */
+  def list: Seq[(String, String, String)] = {
+    if (!fs.exists(catPath)) return Nil
+    val in = fs.open(catPath)
+    val text =
+      try {
+        val bytes = new Array[Byte](
+          fs.getFileStatus(catPath).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, StandardCharsets.UTF_8)
+      } finally in.close()
+    // escape-aware field capture: statement text contains \" (quoted
+    // identifiers), which a naive non-greedy (.*?)" would cut short
+    ("""\{"name":"((?:[^"\\]|\\.)*)","db":"((?:[^"\\]|\\.)*)",""" +
+      """"query":"((?:[^"\\]|\\.)*)"\}""").r
+      .findAllMatchIn(text)
+      .map(m => (unesc(m.group(1)), unesc(m.group(2)),
+        unesc(m.group(3))))
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Register (or replace — InfluxDB refuses duplicates, we pin
+    * last-wins overwrite as the deviation that makes re-registration
+    * idempotent) and run the first refresh. Returns the post-refresh
+    * rollup frame. */
+  def register(text: String): DataFrame = {
+    val stmt = InfluxQl.parseStatement(text) match {
+      case cq: QlCreateCq => cq
+      case other => throw new QlParseException(
+        s"not a CREATE CONTINUOUS QUERY statement: $other")
+    }
+    // validate + first refresh BEFORE persisting — a statement the
+    // planner refuses must not poison the catalog for every later tick
+    val out = QlPlanner.planCreateCq(stmt, spark, srcRoot, dstRoot,
+      resampleNs)
+    val kept = list.filterNot(_._1 == stmt.name)
+    write(kept :+ ((stmt.name, stmt.db.getOrElse("default"), text)))
+    out
+  }
+
+  /** Unregister; returns true iff the name existed. */
+  def drop(name: String): Boolean = {
+    val cur = list
+    val kept = cur.filterNot(_._1 == name)
+    if (kept.size == cur.size) false
+    else { write(kept); true }
+  }
+
+  /** One scheduled pass: every registered CQ through the incremental
+    * refresh. Returns (name, bucketsRewritten, watermarkNs) per CQ. A
+    * failing CQ reports (-1, -1) and does NOT block the others — the
+    * supervisor tick must survive one broken registration. */
+  def runAll(): Seq[(String, Long, Long)] = list.map {
+    case (name, _, text) =>
+      try {
+        val stmt = InfluxQl.parseStatement(text)
+          .asInstanceOf[QlCreateCq]
+        QlPlanner.planCreateCq(stmt, spark, srcRoot, dstRoot,
+          resampleNs)
+        // the refresh's (buckets, watermark) ride the rollup's own
+        // _cq.json watermark file; re-read it for the report
+        val wm = new graft.operators.ContinuousQuery(spark)
+        val roll = wm.readRollup(
+          s"$dstRoot/${stmt.inner.into.get}.parquet")
+        (name, roll.select("bucket_ns").distinct().count(),
+          watermarkOf(stmt.inner.into.get))
+      } catch { case _: Exception => (name, -1L, -1L) }
+  }
+
+  /** The rollup's persisted watermark (0 if never refreshed). */
+  def watermarkOf(dstMeasurement: String): Long = {
+    val p = new Path(s"$dstRoot/$dstMeasurement.parquet/_cq.json")
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        """"watermark_ns":(-?\d+)""".r
+          .findFirstMatchIn(new String(bytes, StandardCharsets.UTF_8))
+          .map(_.group(1).toLong).getOrElse(0L)
+      } finally in.close()
+    }
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private def write(rows: Seq[(String, String, String)]): Unit = {
+    val json = rows.map { case (n, d, q) =>
+      s"""{"name":"${esc(n)}","db":"${esc(d)}","query":"${esc(q)}"}"""
+    }.mkString("[", ",", "]")
+    val out = fs.create(catPath, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

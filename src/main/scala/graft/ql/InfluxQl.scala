@@ -155,6 +155,9 @@ final case class ShowTagKeys(from: Option[String]) extends QlShow
   * one tag across the measurements carrying it. */
 final case class ShowTagValues(from: Option[String], key: String)
   extends QlShow
+/** SHOW CONTINUOUS QUERIES — the registered CQ catalog
+  * ([[CqService]]'s `_cq.json`). */
+case object ShowContinuousQueries extends QlShow
 
 /** DELETE FROM "m" [WHERE time < …] — the point-expiry statement;
   * v1 supports the retention idiom (time upper bound, or no WHERE =
@@ -164,6 +167,11 @@ final case class QlDelete(measurement: String, where: Seq[Seq[QlCond]])
 
 /** DROP MEASUREMENT "m" — remove the measurement's storage. */
 final case class QlDropMeasurement(name: String) extends QlStatement
+
+/** DROP CONTINUOUS QUERY "name" [ON "db"] — unregister from the CQ
+  * catalog (the rollup data stays; DROP MEASUREMENT removes it). */
+final case class QlDropCq(name: String, db: Option[String])
+  extends QlStatement
 
 /** CREATE CONTINUOUS QUERY "name" [ON "db"] BEGIN <select-into> END —
   * the InfluxDB CQ DDL; the inner SELECT must carry INTO and a
@@ -320,6 +328,9 @@ object InfluxQl {
           eatKw("keys")
           ShowFieldKeys(
             if (atKw("from")) { pos += 1; Some(ident()._1) } else None)
+        case "continuous" =>
+          eatKw("queries")
+          ShowContinuousQueries
         case "tag" =>
           if (atKw("values")) {
             pos += 1
@@ -353,11 +364,20 @@ object InfluxQl {
       QlDelete(m, where)
     }
 
-    def drop(): QlDropMeasurement = {
-      eatKw("drop"); eatKw("measurement")
-      val m = ident()._1
-      if (peek != Tok.End) fail(s"unexpected trailing token $peek")
-      QlDropMeasurement(m)
+    def drop(): QlStatement = {
+      eatKw("drop")
+      if (atKw("continuous")) {
+        pos += 1; eatKw("query")
+        val name = ident()._1
+        val db = if (atKw("on")) { pos += 1; Some(ident()._1) } else None
+        if (peek != Tok.End) fail(s"unexpected trailing token $peek")
+        QlDropCq(name, db)
+      } else {
+        eatKw("measurement")
+        val m = ident()._1
+        if (peek != Tok.End) fail(s"unexpected trailing token $peek")
+        QlDropMeasurement(m)
+      }
     }
 
     def createCq(): QlCreateCq = {

@@ -297,10 +297,41 @@ object QlPlanner {
         import spark.implicits._
         Seq((drop.name, planDrop(drop, spark, root)))
           .toDF("measurement", "dropped")
-      case _: QlCreateCq => throw new QlParseException(
-        "CREATE CONTINUOUS QUERY over /query needs a CQ catalog — " +
-          "register it through the agent's CQ service (planCreateCq)")
+      case cq: QlCreateCq =>
+        // register + first refresh against the served root (src and
+        // rollup dst share it — the single-root /query deployment)
+        new CqService(spark, root, root)
+          .register(cq2text(cq))
+      case dropCq: QlDropCq =>
+        import spark.implicits._
+        Seq((dropCq.name,
+          new CqService(spark, root, root).drop(dropCq.name)))
+          .toDF("name", "dropped")
     }
+
+  /** A QlCreateCq arriving over /query was parsed FROM text; the
+    * service persists text, so reconstruct the canonical form. */
+  private def cq2text(cq: QlCreateCq): String = {
+    val in = cq.inner
+    val aggs = in.fields.map {
+      case QlField(c: QlCall, alias) =>
+        s"""${c.fn}("${c.field}")""" +
+          alias.map(a => s""" as "$a"""").getOrElse("")
+      case f => throw new QlParseException(s"bad CQ projection $f")
+    }.mkString(", ")
+    val tags = in.groupTags.map(t => s""", "$t"""").mkString
+    s"""create continuous query "${cq.name}"""" +
+      cq.db.map(d => s""" on "$d"""").getOrElse("") +
+      s""" begin select $aggs into "${in.into.get}"""" +
+      s""" from "${sourceName(in.source)}"""" +
+      s""" group by time(${in.timeBucketNs.get}ns)$tags end"""
+  }
+
+  private def sourceName(src: QlSource): String = src match {
+    case QlMeasurement(p) => p.last
+    case s => throw new QlParseException(
+      s"CQ FROM must be a bare measurement, got $s")
+  }
 
   /** Measurement name → parquet path under a root, probing the flat
     * layout (root/m.parquet) before assuming db/rp hierarchy. */
@@ -502,6 +533,11 @@ object QlPlanner {
     stmt match {
       case ShowDatabases =>
         schema.map(_.name).toDF("name")
+      case ShowContinuousQueries =>
+        // the registered CQ catalog (root/_cq.json via CqService);
+        // statement text included — it IS the registration
+        new CqService(spark, root, root).list
+          .toDF("name", "db", "query")
       case ShowRetentionPolicies(db) =>
         val dbs = db.map(d => schema.filter(_.name == d))
           .getOrElse(schema)

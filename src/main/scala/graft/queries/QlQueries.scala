@@ -440,6 +440,41 @@ object QlQueries {
         min(value) AS min_value, max(value) AS max_value
         FROM events GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
 
+    // the CQ CATALOG: CREATE CONTINUOUS QUERY registrations persist
+    // to _cq.json (re-registering a name is last-wins), SHOW
+    // CONTINUOUS QUERIES lists them — the daemon re-runs the list on
+    // hamonitor ticks (AgentSpec pins the exactly-once watermark)
+    "ql_show_cqs" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_qlcqs_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val svc = new graft.ql.CqService(s, dir, root,
+          resampleNs = DayNs)
+        val daily = """create continuous query "daily" begin """ +
+          """select count(value) into "cnt_rollup" from "events" """ +
+          """group by time(1d), event_type end"""
+        val hourly = """create continuous query "hourly" begin """ +
+          """select max(value) into "max_rollup" from "events" """ +
+          """group by time(6h), event_type end"""
+        svc.register(daily)
+        svc.register(hourly)
+        svc.register(daily) // duplicate name → last-wins, ONE entry
+        QlPlanner.planShow(graft.ql.ShowContinuousQueries, s, root)
+      },
+      Some {
+        val daily = """create continuous query "daily" begin """ +
+          """select count(value) into "cnt_rollup" from "events" """ +
+          """group by time(1d), event_type end"""
+        val hourly = """create continuous query "hourly" begin """ +
+          """select max(value) into "max_rollup" from "events" """ +
+          """group by time(6h), event_type end"""
+        s"""SELECT * FROM (VALUES
+          ('daily', 'default', '$daily'),
+          ('hourly', 'default', '$hourly')) t(name, db, query)"""
+          .replaceAll("\\s+", " ")
+      }),
+
     // TOP/BOTTOM selectors: the N extreme points per series WITH
     // their timestamps, via the bounded-heap TopKAgg two-phase
     // ranking (never a per-series window sort); equal-value ties

@@ -125,7 +125,13 @@ final class HAMonitor(
     backfill: ClusterFSM.RecoveryWindow => Boolean,
     // epoch ns (NOT System.nanoTime, whose arbitrary origin would put
     // recovery windows in a coordinate system matching no data)
-    nowNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
+    nowNs: () => Long = () => System.currentTimeMillis() * 1000000L,
+    // runs once per supervisor tick AFTER the FSM step — the periodic
+    // work that rides the supervisor cadence (the agent wires the CQ
+    // service's incremental re-runs here, the way InfluxDB's CQ
+    // service ticks beside its own monitors). Failures are swallowed:
+    // a broken scheduled job must not stall cluster supervision.
+    onTick: () => Unit = () => ()) {
 
   private val ref = new AtomicReference(ClusterFSM.initial(nowNs()))
   private val scheduler = new AtomicReference[
@@ -173,6 +179,7 @@ final class HAMonitor(
       case None => next
     }
     ref.set(after)
+    try onTick() catch { case _: Exception => () }
     after
   }
 

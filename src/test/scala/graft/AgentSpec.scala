@@ -276,6 +276,81 @@ class AgentSpec extends AnyFunSuite {
       .count() == directCount())
   }
 
+  test("CQ catalog: CREATE persists to _cq.json, hamonitor ticks " +
+    "re-run it incrementally (watermark advances exactly-once, no " +
+    "duplication), DROP unregisters, SHOW lists") {
+    import graft.operators.ContinuousQuery
+    import graft.ql.{InfluxQl, QlPlanner, QlShow}
+    val Day = 86400000000000L
+    // PRIVATE master copy — the new-data phase below appends to it,
+    // and the shared /root/testdata fixture is read-only
+    val master = freshRoot()
+    spark.read.parquet(s"${SparkSpec.Sf0001}/events.parquet")
+      .write.parquet(s"$master/events.parquet")
+    val dst = freshRoot()
+    var now = E
+    val agent = new Agent(spark,
+      cfg(dst).copy(masterRoot = master, initialReplication = "none"),
+      slaveProbeOpt = Some(() => true), nowNs = () => now)
+    val monitor = agent.hamonitor()
+    val svc = agent.cqService
+    svc.register("""create continuous query "daily" on "default" """ +
+      """begin select count(value), sum(value) into "daily_rollup" """ +
+      """from "events" group by time(1d), event_type end""")
+    assert(new java.io.File(s"$dst/_cq.json").exists())
+    val wm = svc.watermarkOf("daily_rollup")
+    assert(wm > 0)
+    val cq = new ContinuousQuery(spark)
+    val count0 = cq.readRollup(s"$dst/daily_rollup.parquet").count()
+    assert(count0 > 0)
+    // two supervisor ticks: each re-runs the registered CQ through
+    // the incremental refresh — only lookback buckets recompute, the
+    // watermark does NOT move (no new raw data), nothing duplicates
+    now += 20000000000L; monitor.tick()
+    now += 20000000000L; monitor.tick()
+    assert(svc.watermarkOf("daily_rollup") === wm)
+    val roll = cq.readRollup(s"$dst/daily_rollup.parquet")
+    assert(roll.count() === count0)
+    // content identity with the one-shot aggregate after the ticks
+    val ev = Tables.load(spark, master, "events")
+    val want = ev.groupBy(col("event_type"),
+        (col("ts") - pmod(col("ts"), lit(Day))).as("bucket_ns"))
+      .agg(count(lit(1)).as("n_points"))
+    val got = roll.select(col("event_type"), col("bucket_ns"),
+      col("n_points"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // new raw data → the next tick advances the watermark ONCE and
+    // integrates the late bucket incrementally
+    val extraTs = wm + Day
+    val src0 = spark.read.parquet(s"$master/events.parquet")
+    src0.limit(1) // clone one row: full schema identity guaranteed
+      .withColumn("ts",
+        expr(s"timestamp_micros(${extraTs / 1000}L)")
+          .cast(src0.schema("ts").dataType))
+      .withColumn("event_type", lit("late"))
+      .write.mode("append").parquet(s"$master/events.parquet")
+    now += 20000000000L; monitor.tick()
+    val wmExpect = (extraTs / 1000) * 1000 // µs-storage granularity
+    assert(svc.watermarkOf("daily_rollup") === wmExpect)
+    now += 20000000000L; monitor.tick() // stable again
+    assert(svc.watermarkOf("daily_rollup") === wmExpect)
+    assert(cq.readRollup(s"$dst/daily_rollup.parquet")
+      .filter(col("event_type") === "late").count() === 1)
+    // SHOW CONTINUOUS QUERIES lists the registration
+    val shown = QlPlanner.planShow(
+      InfluxQl.parseStatement("show continuous queries")
+        .asInstanceOf[QlShow], spark, dst)
+    assert(shown.select("name").collect().map(_.getString(0)).toSeq
+      === Seq("daily"))
+    // DROP unregisters (rollup DATA stays — that is DROP MEASUREMENT)
+    assert(svc.drop("daily"))
+    assert(QlPlanner.planShow(
+      InfluxQl.parseStatement("show continuous queries")
+        .asInstanceOf[QlShow], spark, dst).count() === 0)
+    assert(cq.readRollup(s"$dst/daily_rollup.parquet").count() >= count0)
+    assert(!svc.drop("daily"))
+  }
+
   test("backfillOk: an empty/absent master schema mid-recovery is " +
     "FAILURE — vacuous success would advance lastOK and forget the " +
     "outage window") {

@@ -196,9 +196,16 @@ class InfluxQlSpec extends AnyFunSuite {
     intercept[QlParseException](InfluxQl.parseStatement(
       """create continuous query c begin select sum(v) into "d" """ +
         "from m group by g end"))
-    // lower-bounded DELETE refuses (needs a chunk-rewrite path)
-    intercept[QlParseException](QlPlanner.planDelete(
-      InfluxQl.parseStatement("""delete from "events" where time > 5""")
+    // DROP/SHOW CONTINUOUS QUERY parse (CqService executes them)
+    assert(InfluxQl.parseStatement(
+      """drop continuous query "c" on "db"""") ===
+      QlDropCq("c", Some("db")))
+    assert(InfluxQl.parseStatement("show continuous queries") ===
+      ShowContinuousQueries)
+    // a DELETE predicate on a column the measurement lacks refuses
+    intercept[IllegalArgumentException](QlPlanner.planDelete(
+      InfluxQl.parseStatement(
+        """delete from "events" where nosuch = 'x'""")
         .asInstanceOf[QlDelete], spark, SparkSpec.Sf0001))
     // DROP: copy a measurement into a scratch root, drop it, gone
     val root = java.nio.file.Files
