@@ -87,7 +87,14 @@ object Bench {
     // onto different queries each round — which reads as phantom
     // per-query regressions when rounds are compared. Sorted order
     // keeps the attribution stable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run to a subset — the
+    // scale-probe path (tools/scale_probe.py) times the expensive
+    // families at sf1 without paying for the full registry
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .map { case (name, fn) =>
       def rep(): Double = {
         val t0 = System.nanoTime()
         materialize(fn(spark, sfDir))

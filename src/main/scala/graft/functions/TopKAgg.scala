@@ -27,8 +27,12 @@ object TopKAgg {
   /** One scored candidate: (score, tie-breaking id). */
   case class Scored(score: Double, id: Long)
 
-  /** Buffer/output: candidates; only `finish` guarantees sorted top-k. */
-  case class TopKItems(items: Seq[Scored])
+  /** Buffer/output: candidates; only `finish` guarantees sorted top-k.
+    * `n` tracks |items| explicitly: items is an immutable prepend list
+    * whose length()/lengthCompare() are O(n) walks — calling them per
+    * reduce() made the hot loop O(rows·cap) (the r12 sf1 scale probe
+    * caught ann_pca_topk's cap=104 shortlist at 30× its linear cost). */
+  case class TopKItems(items: Seq[Scored], n: Int)
 
   /** score DESC, id ASC — java.lang.Double.compare matches Spark's
     * SortOrder double semantics (NaN largest, -0.0 < 0.0). */
@@ -47,16 +51,18 @@ object TopKAgg {
       extends Aggregator[Scored, TopKItems, TopKItems] {
     require(k > 0, s"top-k needs k > 0, got $k")
     private val cap = math.max(2 * k, 32)
-    private def bound(xs: Seq[Scored]): TopKItems =
-      if (xs.lengthCompare(cap) <= 0) TopKItems(xs)
-      else TopKItems(xs.sorted(ord).take(k))
-    override def zero: TopKItems = TopKItems(Nil)
+    // O(1) per row: prepend + counter; the overflow trim (sort cap+1,
+    // keep k) amortizes to O(log k) per row since it frees cap−k slots
+    private def bound(xs: Seq[Scored], n: Int): TopKItems =
+      if (n <= cap) TopKItems(xs, n)
+      else TopKItems(xs.sorted(ord).take(k), k)
+    override def zero: TopKItems = TopKItems(Nil, 0)
     override def reduce(b: TopKItems, a: Scored): TopKItems =
-      bound(a +: b.items)
+      bound(a +: b.items, b.n + 1)
     override def merge(a: TopKItems, b: TopKItems): TopKItems =
-      bound(a.items ++ b.items)
+      bound(a.items ++ b.items, a.n + b.n)
     override def finish(r: TopKItems): TopKItems =
-      TopKItems(r.items.sorted(ord).take(k))
+      TopKItems(r.items.sorted(ord).take(k), math.min(r.n, k))
     override def bufferEncoder: Encoder[TopKItems] =
       Encoders.product[TopKItems]
     override def outputEncoder: Encoder[TopKItems] =
@@ -74,7 +80,7 @@ object TopKAgg {
     * per-doc terms), where squeezing the key into a Long would lose it. */
   case class ScoredKey(score: Double, key: String)
 
-  case class TopKKeyItems(items: Seq[ScoredKey])
+  case class TopKKeyItems(items: Seq[ScoredKey], n: Int)
 
   /** score DESC, key ASC — Double.compare for Spark's double SortOrder
     * semantics (NaN greatest, -0.0 < 0.0), and the key compares as
@@ -110,16 +116,17 @@ object TopKAgg {
       extends Aggregator[ScoredKey, TopKKeyItems, TopKKeyItems] {
     require(k > 0, s"top-k needs k > 0, got $k")
     private val cap = math.max(2 * k, 32)
-    private def bound(xs: Seq[ScoredKey]): TopKKeyItems =
-      if (xs.lengthCompare(cap) <= 0) TopKKeyItems(xs)
-      else TopKKeyItems(xs.sorted(keyOrd).take(k))
-    override def zero: TopKKeyItems = TopKKeyItems(Nil)
+    // same O(1)-per-row size tracking as TopKAggregator (see its note)
+    private def bound(xs: Seq[ScoredKey], n: Int): TopKKeyItems =
+      if (n <= cap) TopKKeyItems(xs, n)
+      else TopKKeyItems(xs.sorted(keyOrd).take(k), k)
+    override def zero: TopKKeyItems = TopKKeyItems(Nil, 0)
     override def reduce(b: TopKKeyItems, a: ScoredKey): TopKKeyItems =
-      bound(a +: b.items)
+      bound(a +: b.items, b.n + 1)
     override def merge(a: TopKKeyItems, b: TopKKeyItems): TopKKeyItems =
-      bound(a.items ++ b.items)
+      bound(a.items ++ b.items, a.n + b.n)
     override def finish(r: TopKKeyItems): TopKKeyItems =
-      TopKKeyItems(r.items.sorted(keyOrd).take(k))
+      TopKKeyItems(r.items.sorted(keyOrd).take(k), math.min(r.n, k))
     override def bufferEncoder: Encoder[TopKKeyItems] =
       Encoders.product[TopKKeyItems]
     override def outputEncoder: Encoder[TopKKeyItems] =

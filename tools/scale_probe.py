@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Scale probe: time the expensive query families at sf1 (10x the
+bench gate's sf0.1) and flag super-linear growth.
+
+Runs graft.Bench twice over the SPARK_GRAFT_ONLY subset — same JVM
+settings, same reps — then writes bench/sf1_probe.json with per-query
+warm medians at both SFs, the growth factor, and a flagged list of
+queries whose warm time grew super-linearly (growth > FLAG_FACTOR x
+the 10x volume ratio, with an absolute floor so fixed-overhead noise
+on sub-second queries doesn't flag).
+
+Usage: python3 tools/scale_probe.py [sf1_dir] (default /tmp/graft_sf1;
+generate it first with tools/make_sf1.py)
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
+VOLUME_RATIO = 10.0
+FLAG_FACTOR = 1.5  # growth beyond 1.5x-per-unit-volume is super-linear
+ABS_FLOOR_SEC = 1.5  # ...if the sf1 time also exceeds this
+
+PROBE = [
+    # the r11 bench top-15 (by warm median)
+    "assoc_rules_pairs", "layout_bucketed_join", "stats_mad_outliers",
+    "dedup_cluster_modularity", "ql_create_cq", "ann_binary_recall",
+    "cq_downsample", "stats_winsorized", "text_bigram_logprob",
+    "ann_pca_topk", "ann_lsh_multiprobe_recall", "mm_phash_neardup",
+    "ql_downsample_fill_prev", "pipeline_leakage_safe_split",
+    "text_pmi_bigrams",
+    # flagship family representatives
+    "q1_pricing_summary", "dedup_pipeline", "join_asof",
+    "graph_pagerank", "emb_knn_label",
+]
+
+
+def run(sf_dir):
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CPUS="32",
+        SPARK_GRAFT_REPS="3",
+        SPARK_GRAFT_ONLY=",".join(PROBE),
+    )
+    out = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    for line in out.stdout.splitlines():
+        m = re.search(r'\{"metric".*\}', line)
+        if m:
+            return json.loads(m.group(0))
+    sys.exit(f"no bench JSON for {sf_dir}\n{out.stdout[-3000:]}")
+
+
+r01 = run(SF01)
+r1 = run(SF1)
+
+rows = {}
+flagged = []
+for q in PROBE:
+    t0 = r01["queries_warm"].get(q, -1)
+    t1 = r1["queries_warm"].get(q, -1)
+    growth = round(t1 / t0, 2) if t0 and t0 > 0 and t1 > 0 else None
+    rows[q] = {"warm_sf0.1": round(t0, 3), "warm_sf1": round(t1, 3),
+               "growth": growth}
+    if (growth is not None and growth > FLAG_FACTOR * VOLUME_RATIO
+            and t1 > ABS_FLOOR_SEC):
+        flagged.append(q)
+
+report = {
+    "volume_ratio": VOLUME_RATIO,
+    "flag_threshold": f"growth > {FLAG_FACTOR}*{VOLUME_RATIO} and "
+                      f"sf1 > {ABS_FLOOR_SEC}s",
+    "queries": rows,
+    "superlinear": sorted(flagged),
+    "failed_sf01": r01.get("failed", []),
+    "failed_sf1": r1.get("failed", []),
+}
+os.makedirs("/root/repo/bench", exist_ok=True)
+with open("/root/repo/bench/sf1_probe.json", "w") as f:
+    json.dump(report, f, indent=1, sort_keys=True)
+print(json.dumps(report, indent=1, sort_keys=True))
