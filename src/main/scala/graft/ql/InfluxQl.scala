@@ -158,6 +158,9 @@ final case class ShowTagValues(from: Option[String], key: String)
 /** SHOW CONTINUOUS QUERIES — the registered CQ catalog
   * ([[CqService]]'s `_cq.json`). */
 case object ShowContinuousQueries extends QlShow
+/** SHOW SERIES [FROM m] — distinct series keys in InfluxDB's
+  * `measurement,tag=value,...` line format (tag keys sorted). */
+final case class ShowSeries(from: Option[String]) extends QlShow
 
 /** DELETE FROM "m" [WHERE time < …] — the point-expiry statement;
   * v1 supports the retention idiom (time upper bound, or no WHERE =
@@ -331,6 +334,9 @@ object InfluxQl {
         case "continuous" =>
           eatKw("queries")
           ShowContinuousQueries
+        case "series" =>
+          ShowSeries(
+            if (atKw("from")) { pos += 1; Some(ident()._1) } else None)
         case "tag" =>
           if (atKw("values")) {
             pos += 1

@@ -559,6 +559,36 @@ object QlPlanner {
           case _ => all
         }
         kept.distinct.toDF("name")
+      case ShowSeries(from) =>
+        // distinct series keys in the line format
+        // `measurement,tag=value,...` (tag keys sorted; a NULL tag is
+        // omitted from its series key, matching InfluxDB's absent-tag
+        // model). One pruned scan + map-side-combined distinct per
+        // measurement — output cardinality = series count, the same
+        // bound InfluxDB's own inverted index carries.
+        val cand = for {
+          d <- schema; rp <- d.rps; m <- rp.measurements
+          if from.forall(_ == m.name)
+        } yield (d.name, rp.name, m)
+        require(cand.nonEmpty, s"no measurement " +
+          from.getOrElse("(any)"))
+        val conf = spark.sessionState.newHadoopConf()
+        cand.map { case (db, rp, m) =>
+          val tagCols = m.fields.values.toSeq
+            .filter(_.ftype.name == "string").map(_.name).sorted
+          val path = {
+            val flat = s"$root/${m.name}.parquet"
+            val hp = new org.apache.hadoop.fs.Path(flat)
+            if (hp.getFileSystem(conf).exists(hp)) flat
+            else s"$root/$db/$rp/${m.name}.parquet"
+          }
+          val df = spark.read.parquet(path)
+          val segs = tagCols.map(t =>
+            when(col(t).isNull, lit(""))
+              .otherwise(concat(lit(s",$t="), col(t).cast("string"))))
+          df.select(concat(lit(m.name) +: segs: _*).as("key"))
+            .distinct()
+        }.reduce(_ unionAll _)
       case ShowFieldKeys(from) => keys(spark, schema, from, tags = false)
       case ShowTagKeys(from)   => keys(spark, schema, from, tags = true)
       case ShowTagValues(from, key) =>

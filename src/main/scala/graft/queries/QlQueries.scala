@@ -508,6 +508,17 @@ object QlQueries {
         'event_type' AS key, event_type AS value FROM events"""
         .replaceAll("\\s+", " "))),
 
+    // SHOW SERIES: distinct series keys in the InfluxDB line format
+    // (measurement,tag=value,... with tag keys sorted) — here over
+    // orders, whose string columns (status, priority) are its tags
+    // under the §1.2 storage type model
+    "ql_show_series" -> QueryDef(
+      runShow("""show series from "orders""""),
+      Some("""SELECT DISTINCT 'orders'
+          || ',o_orderpriority=' || o_orderpriority
+          || ',o_orderstatus=' || o_orderstatus AS key
+        FROM orders""".replaceAll("\\s+", " "))),
+
     // SELECT … INTO: the InfluxQL backfill/downsample idiom — the
     // daily rollup computed by the text query, WRITTEN as a new
     // measurement, run twice (overwrite ⇒ re-running converges, the

@@ -202,6 +202,9 @@ class InfluxQlSpec extends AnyFunSuite {
       QlDropCq("c", Some("db")))
     assert(InfluxQl.parseStatement("show continuous queries") ===
       ShowContinuousQueries)
+    assert(InfluxQl.parseStatement("""show series from "m"""") ===
+      ShowSeries(Some("m")))
+    assert(InfluxQl.parseStatement("show series") === ShowSeries(None))
     // a DELETE predicate on a column the measurement lacks refuses
     intercept[IllegalArgumentException](QlPlanner.planDelete(
       InfluxQl.parseStatement(
