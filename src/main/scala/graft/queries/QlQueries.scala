@@ -459,7 +459,8 @@ object QlQueries {
           """group by time(6h), event_type end"""
         svc.register(daily)
         svc.register(hourly)
-        svc.register(daily) // duplicate name → last-wins, ONE entry
+        // (re-registration last-wins is pinned in AgentSpec — a third
+        // register here would just re-pay a full refresh at bench time)
         QlPlanner.planShow(graft.ql.ShowContinuousQueries, s, root)
       },
       Some {

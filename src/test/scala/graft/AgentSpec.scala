@@ -294,10 +294,16 @@ class AgentSpec extends AnyFunSuite {
       slaveProbeOpt = Some(() => true), nowNs = () => now)
     val monitor = agent.hamonitor()
     val svc = agent.cqService
-    svc.register("""create continuous query "daily" on "default" """ +
+    val dailyText = """create continuous query "daily" on "default" """ +
       """begin select count(value), sum(value) into "daily_rollup" """ +
-      """from "events" group by time(1d), event_type end""")
+      """from "events" group by time(1d), event_type end"""
+    svc.register(dailyText)
     assert(new java.io.File(s"$dst/_cq.json").exists())
+    // re-registering the same name is last-wins: still exactly one
+    // catalog entry (InfluxDB refuses duplicates; overwrite is our
+    // pinned deviation — it makes re-registration idempotent)
+    svc.register(dailyText)
+    assert(svc.list.map(_._1) === Seq("daily"))
     val wm = svc.watermarkOf("daily_rollup")
     assert(wm > 0)
     val cq = new ContinuousQuery(spark)

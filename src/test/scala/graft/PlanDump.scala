@@ -12,7 +12,8 @@ object PlanDump {
       "dedup_keep_best", "layout_bucketed_join", "mm_phash_neardup",
       "text_bigram_logprob", "dedup_edit_distance",
       "assoc_rules_pairs", "text_pmi_bigrams", "text_diversity",
-      "ql_create_cq", "sync_maintenance", "ann_lsh_multiprobe_recall")
+      "ql_create_cq", "sync_maintenance", "ann_lsh_multiprobe_recall",
+      "ql_show_cqs", "stats_mad_outliers")
     hot.foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect(): Unit

@@ -120,7 +120,13 @@ class PlanSpec extends AnyFunSuite {
     // (ceiling 0 pins that their cost stays by-construction, not a
     // crept-in shuffle), and the multi-probe recall meter's 11
     // exchanges are its two bounded rank stages + the recall joins
+    // r12 close: ql_show_cqs and stats_mad_outliers entered the
+    // top-10 (both small-plan: the SHOW's final frame is a
+    // driver-side catalog list, the MAD fences are two value-domain
+    // aggregation exchanges) — ceilings from PlanDump, as always
     val budget = Map(
+      "ql_show_cqs" -> ((0, 0)),
+      "stats_mad_outliers" -> ((2, 0)),
       "dedup_cluster_modularity" -> ((9, 3)),
       "graph_kcore" -> ((3, 1)),
       "ql_create_cq" -> ((0, 0)),
