@@ -170,15 +170,21 @@ object Profiling {
       pairs.map { case (a, b) =>
         sum(col(a).cast("long") * col(b).cast("long")).as(s"p_${a}_$b") }
     val sums = df.agg(sumCols.head, sumCols.tail: _*)
+    // combination in DOUBLE with fixed operand order (the linReg
+    // pattern): n·p in LONG overflows once n·Σxy crosses 2⁶³ — it did
+    // at the r12 sf1 scale probe (6e6 rows × 6e12 product sums under
+    // ANSI = ARITHMETIC_OVERFLOW). Doubles of exact ≤2⁵³ sums keep
+    // every step bit-identical cross-engine; the oracle mirrors the
+    // identical op order.
+    def d(c: String) = col(c).cast("double")
     pairs.map { case (a, b) =>
-      val num = col("n") * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b")
-      val da = col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")
-      val db = col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")
+      val num = d("n") * d(s"p_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+      val da = d("n") * d(s"q_$a") - d(s"s_$a") * d(s"s_$a")
+      val db = d("n") * d(s"q_$b") - d(s"s_$b") * d(s"s_$b")
       sums.select(lit(a).as("col_a"), lit(b).as("col_b"),
         col("n"),
         when(da > 0 && db > 0,
-          round(num.cast("double") /
-            (sqrt(da.cast("double")) * sqrt(db.cast("double"))), 4))
+          round(num / (sqrt(da) * sqrt(db)), 4))
           .as("corr"))
     }.reduce(_ unionAll _)
   }

@@ -882,20 +882,23 @@ object RelationalQueries {
           sum(x*y)::BIGINT AS pxy, sum(x*z)::BIGINT AS pxz,
           sum(y*z)::BIGINT AS pyz FROM b)
         SELECT 'qty' AS col_a, 'disc_bp' AS col_b, n,
-          CASE WHEN (n*qx - sx*sx) > 0 AND (n*qy - sy*sy) > 0 THEN
-            round((n*pxy - sx*sy)::DOUBLE /
-              (sqrt((n*qx - sx*sx)::DOUBLE) *
-               sqrt((n*qy - sy*sy)::DOUBLE)), 4) END AS corr FROM sm
+          CASE WHEN (n::DOUBLE*qx - sx::DOUBLE*sx) > 0
+               AND (n::DOUBLE*qy - sy::DOUBLE*sy) > 0 THEN
+            round((n::DOUBLE*pxy - sx::DOUBLE*sy) /
+              (sqrt(n::DOUBLE*qx - sx::DOUBLE*sx) *
+               sqrt(n::DOUBLE*qy - sy::DOUBLE*sy)), 4) END AS corr FROM sm
         UNION ALL SELECT 'qty', 'tax_bp', n,
-          CASE WHEN (n*qx - sx*sx) > 0 AND (n*qz - sz*sz) > 0 THEN
-            round((n*pxz - sx*sz)::DOUBLE /
-              (sqrt((n*qx - sx*sx)::DOUBLE) *
-               sqrt((n*qz - sz*sz)::DOUBLE)), 4) END FROM sm
+          CASE WHEN (n::DOUBLE*qx - sx::DOUBLE*sx) > 0
+               AND (n::DOUBLE*qz - sz::DOUBLE*sz) > 0 THEN
+            round((n::DOUBLE*pxz - sx::DOUBLE*sz) /
+              (sqrt(n::DOUBLE*qx - sx::DOUBLE*sx) *
+               sqrt(n::DOUBLE*qz - sz::DOUBLE*sz)), 4) END FROM sm
         UNION ALL SELECT 'disc_bp', 'tax_bp', n,
-          CASE WHEN (n*qy - sy*sy) > 0 AND (n*qz - sz*sz) > 0 THEN
-            round((n*pyz - sy*sz)::DOUBLE /
-              (sqrt((n*qy - sy*sy)::DOUBLE) *
-               sqrt((n*qz - sz*sz)::DOUBLE)), 4) END FROM sm"""
+          CASE WHEN (n::DOUBLE*qy - sy::DOUBLE*sy) > 0
+               AND (n::DOUBLE*qz - sz::DOUBLE*sz) > 0 THEN
+            round((n::DOUBLE*pyz - sy::DOUBLE*sz) /
+              (sqrt(n::DOUBLE*qy - sy::DOUBLE*sy) *
+               sqrt(n::DOUBLE*qz - sz::DOUBLE*sz)), 4) END FROM sm"""
         .replaceAll("\\s+", " "))),
 
     // two-sample Kolmogorov–Smirnov drift test between the click and
