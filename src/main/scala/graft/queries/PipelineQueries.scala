@@ -2151,11 +2151,17 @@ object PipelineQueries {
     // id), floats only inside the threshold compare whose
     // ascending-index fold both engines share bit-for-bit (the
     // dedup_semantic convention).
+    // The benchmark side is additionally pinned to vec_id < 2000 —
+    // vacuous at the gates, binding at larger probe SFs: a real
+    // decontamination run holds the BENCHMARK fixed while the train
+    // corpus grows, so train×bench work must scale linearly in train
+    // size (the r12 sf1 probe caught the unpinned form growing 17×).
     "decontaminate_embedding" -> QueryDef(
       (s, dir) => {
         val e = emb(s, dir).withColumn("b", splitBucket(col("vec_id")))
         Similarity.decontaminateEmbedding(
-          e.filter(col("b") < 80), e.filter(col("b") >= 90),
+          e.filter(col("b") < 80),
+          e.filter(col("b") >= 90 && col("vec_id") < 2000),
           "vec_id", "embedding", threshold = 0.3)
       },
       Some("""WITH sp AS (SELECT vec_id,
@@ -2165,7 +2171,7 @@ object PipelineQueries {
         c AS (SELECT v.vec_id, v.v FROM v JOIN sp USING (vec_id)
           WHERE sp.b < 80),
         bn AS (SELECT v.vec_id, v.v FROM v JOIN sp USING (vec_id)
-          WHERE sp.b >= 90),
+          WHERE sp.b >= 90 AND v.vec_id < 2000),
         p AS (SELECT c.vec_id AS id, bn.vec_id AS bench_id,
           list_reduce(list_transform(generate_series(1,64),
             i -> c.v[i]*bn.v[i]), (x,y) -> x+y) AS dot,
@@ -3264,11 +3270,18 @@ object PipelineQueries {
     // cosine ≥ threshold. Multi-cluster recall (the 100 TB shape) is
     // pinned in SimilaritySpec's planted-duplicate + >2048-cluster
     // distributed-training specs.
+    // The nClusters=1 corner is ALL-PAIRS by construction (that is
+    // what makes it oracle-able), so its input is pinned to the
+    // oracle-sized slice vec_id < 2000 — vacuous at the gates (the
+    // sf0.1 fixture tops out at 2000 vectors) and binding at larger
+    // probe SFs, where unbounded all-pairs would grow quadratically.
+    // The SCALE configuration is dedup_semantic_scaled below.
     "dedup_semantic" -> QueryDef(
-      (s, dir) => Similarity.semanticDedup(emb(s, dir), "vec_id",
+      (s, dir) => Similarity.semanticDedup(
+        emb(s, dir).filter(col("vec_id") < 2000), "vec_id",
         "embedding", threshold = 0.3, nClusters = 1),
       Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        FROM embeddings),
+        FROM embeddings WHERE vec_id < 2000),
         p AS (SELECT a.vec_id AS id,
           list_reduce(list_transform(generate_series(1,64),
             i -> a.v[i]*b.v[i]), (x,y) -> x+y) AS dot,
@@ -3282,6 +3295,24 @@ object PipelineQueries {
           (dropped.id IS NULL) AS keep
         FROM v LEFT JOIN dropped ON v.vec_id = dropped.id"""
         .replaceAll("\\s+", " "))),
+
+    // SemDeDup at its SCALE configuration: nClusters grows with the
+    // corpus (ceil(n/512) — the SemDeDup-paper shape, k ∝ n), so
+    // within-cluster pair work stays O(n·clusterSize) = linear while
+    // the degenerate-exact twin above pins correctness. k-means is
+    // not oracle-able → rows-only; the nClusters=1 ≡ all-pairs
+    // differential and planted-duplicate recall live in
+    // SimilaritySpec, and the r12 sf1 probe pins this config's growth
+    // (the unbounded all-pairs form measured 40× at 10× volume).
+    "dedup_semantic_scaled" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val n = e.count()
+        Similarity.semanticDedup(e, "vec_id", "embedding",
+          threshold = 0.3,
+          nClusters = math.max(4, ((n + 511) / 512).toInt))
+      },
+      None),
 
     // multimodal: metadata/describe pass over binary payloads. The
     // width/height/channels/img_format columns are the REAL

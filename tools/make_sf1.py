@@ -10,11 +10,20 @@ key cardinalities scale with volume, while fixed-cardinality dims
 shifted — 10x the traffic inside the same window, which is what a
 10x-bigger deployment looks like to the window-bounded queries.
 
-Content perturbation keeps work character realistic:
-  - documents: per-copy suffix on text (within-copy duplicate
-    structure preserved; no artificial 10x cross-copy exact-dup blowup)
-  - embeddings: first component shifted by k*1e-3 (same: near-dup and
-    ANN structure per copy, no identical-vector explosion)
+Content perturbation keeps work character realistic — the first
+version of this script appended a tiny suffix to text and shifted one
+vector component by 1e-3, which left cross-copy items ~99.9% similar
+and inflated near-dup candidate pairs ~100x (a workload NO real 10x
+corpus has; it mis-flagged every pair-generating dedup op as
+super-linear). Now:
+  - documents: copy k>0 splices THIRDS of three different same-lang
+    docs (offsets vary per copy), so cross-copy Jaccard <= 1/3 —
+    below banding thresholds — while within-copy token statistics and
+    dup structure stay real;
+  - embeddings: copy k rotates components by 7k mod 64 — an isometry,
+    so within-copy pairwise geometry (ANN/near-dup structure) is
+    EXACTLY preserved, while rotated vectors decorrelate across
+    copies.
 
 Usage: python3 tools/make_sf1.py [src=/root/testdata/sf0.1] [dst=/tmp/graft_sf1]
 """
@@ -94,17 +103,49 @@ emit("events", lambda k: f"""
          user_id + {k * KU} AS user_id, event_type, value, props
   FROM '{SRC}/events.parquet'""")
 
-emit("documents", lambda k: f"""
-  SELECT doc_id + {k * KD} AS doc_id,
-         text || {("' copy" + "%d'" % k) if k else "''"} AS text,
-         lang, source,
-         n_chars + {len(" copy0") if k else 0} AS n_chars
-  FROM '{SRC}/documents.parquet'""")
+def doc_copy(k):
+    if k == 0:
+        return f"""SELECT doc_id, text, lang, source, n_chars
+          FROM '{SRC}/documents.parquet'"""
+    a_off = k * 7 + 1
+    b_off = k * 13 + 3
+    return f"""
+      SELECT doc_id + {k * KD} AS doc_id, text, lang, source,
+             length(text)::BIGINT AS n_chars
+      FROM (
+        WITH d AS (SELECT doc_id, text, lang, source,
+            row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+            count(*) OVER (PARTITION BY lang) AS nl
+          FROM '{SRC}/documents.parquet')
+        SELECT a.doc_id,
+          substr(a.text, 1, greatest(length(a.text)//3, 1)) ||
+          substr(b.text, greatest(length(b.text)//3, 1) + 1,
+                 greatest(length(b.text)//3, 1)) ||
+          substr(c.text, 2 * greatest(length(c.text)//3, 1) + 1)
+            AS text,
+          a.lang, a.source
+        FROM d a
+        JOIN d b ON b.lang = a.lang
+          AND b.rn = (a.rn - 1 + {a_off}) % a.nl + 1
+        JOIN d c ON c.lang = a.lang
+          AND c.rn = (a.rn - 1 + {b_off}) % a.nl + 1)"""
 
-emit("embeddings", lambda k: f"""
-  SELECT vec_id + {k * KV} AS vec_id,
-         list_concat([(embedding[1] + {k} * 0.001)::FLOAT],
-                     embedding[2:]) AS embedding,
-         label FROM '{SRC}/embeddings.parquet'""")
+
+emit("documents", doc_copy)
+
+
+def emb_copy(k):
+    rot = (7 * k) % 64
+    if rot == 0:
+        return f"""SELECT vec_id + {k * KV} AS vec_id, embedding, label
+          FROM '{SRC}/embeddings.parquet'"""
+    return f"""
+      SELECT vec_id + {k * KV} AS vec_id,
+             list_concat(embedding[{rot + 1}:], embedding[1:{rot}])
+               AS embedding,
+             label FROM '{SRC}/embeddings.parquet'"""
+
+
+emit("embeddings", emb_copy)
 
 print("done:", DST)

@@ -35,6 +35,11 @@ PROBE = [
     # flagship family representatives
     "q1_pricing_summary", "dedup_pipeline", "join_asof",
     "graph_pagerank", "emb_knn_label",
+    # the r12 full-registry probe's findings, kept under watch:
+    # output-sensitive candidate chains and the re-shaped entries
+    "dedup_edit_distance", "dedup_semantic", "dedup_semantic_scaled",
+    "decontaminate_embedding", "decontaminate_fuzzy",
+    "dedup_simhash_pairs", "stats_corr_matrix",
 ]
 
 
