@@ -79,6 +79,15 @@ for q in PROBE:
 
 report = {
     "volume_ratio": VOLUME_RATIO,
+    "notes": {
+        "dedup_edit_distance":
+            "output-sensitive by design: LSH candidate generation work "
+            "tracks the true candidate-pair count (256 -> 103k here, "
+            "403x — the sf1 splice synthesis carries deliberate "
+            "1/3-overlap structure), while per-candidate cost stays "
+            "constant (banded levenshtein O(len*K)). Production lever: "
+            "more rows per band as corpora densify (collision p = "
+            "s^rows per band). See SURVEY round-12 third wave."},
     "flag_threshold": f"growth > {FLAG_FACTOR}*{VOLUME_RATIO} and "
                       f"sf1 > {ABS_FLOOR_SEC}s",
     "queries": rows,
