@@ -49,8 +49,18 @@ private object QlLexer {
     "h" -> 3600L * 1000000000L, "d" -> 86400L * 1000000000L,
     "w" -> 7L * 86400L * 1000000000L)
 
+  /** Unquoted keywords after which a `/` opens a REGEX literal (value
+    * position); after anything value-ending — a number, duration,
+    * quoted identifier, `)`, or any other bare identifier — `/` is
+    * DIVISION. The same prev-token heuristic JS lexers use for the
+    * identical ambiguity; InfluxQL resolves it with scanner modes. */
+  private val RegexPosKw =
+    Set("from", "where", "and", "or", "select")
+
   def lex(in: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
+    var prev: Tok = null
+    def emit(t: Tok): Unit = { prev = t; out += t }
     var i = 0
     val n = in.length
     def fail(msg: String) =
@@ -68,7 +78,7 @@ private object QlLexer {
           } else { sb += in(i); i += 1 }
         }
         if (!closed) fail("unterminated quoted identifier")
-        out += Tok.Ident(sb.toString, quoted = true)
+        emit(Tok.Ident(sb.toString, quoted = true))
       }
       else if (c == '\'') {
         val sb = new StringBuilder; i += 1
@@ -82,19 +92,29 @@ private object QlLexer {
           } else { sb += in(i); i += 1 }
         }
         if (!closed) fail("unterminated string literal")
-        out += Tok.Str(sb.toString)
+        emit(Tok.Str(sb.toString))
       }
       else if (c == '/') {
-        val sb = new StringBuilder; i += 1
-        var closed = false
-        while (i < n && !closed) {
-          if (in(i) == '\\' && i + 1 < n && in(i + 1) == '/') {
-            sb += '/'; i += 2
-          } else if (in(i) == '/') { closed = true; i += 1 }
-          else { sb += in(i); i += 1 }
+        val valueEnd = prev match {
+          case Tok.Num(_) | Tok.Dur(_) => true
+          case Tok.Ident(_, true)      => true
+          case Tok.Ident(w, false)     => !RegexPosKw(w.toLowerCase)
+          case Tok.Sym(")")            => true
+          case _                       => false
         }
-        if (!closed) fail("unterminated /regex/ literal")
-        out += Tok.Re(sb.toString)
+        if (valueEnd) { emit(Tok.Sym("/")); i += 1 }
+        else {
+          val sb = new StringBuilder; i += 1
+          var closed = false
+          while (i < n && !closed) {
+            if (in(i) == '\\' && i + 1 < n && in(i + 1) == '/') {
+              sb += '/'; i += 2
+            } else if (in(i) == '/') { closed = true; i += 1 }
+            else { sb += in(i); i += 1 }
+          }
+          if (!closed) fail("unterminated /regex/ literal")
+          emit(Tok.Re(sb.toString))
+        }
       }
       else if (c.isDigit) {
         val start = i
@@ -108,24 +128,24 @@ private object QlLexer {
         val us = i
         while (i < n && (in(i).isLetter || in(i) == 'µ')) i += 1
         val unit = in.substring(us, i).toLowerCase
-        if (unit.isEmpty) out += Tok.Num(numText)
+        if (unit.isEmpty) emit(Tok.Num(numText))
         else if (isFloat) fail(s"duration needs an integer count: $numText$unit")
         else unitNs.get(unit) match {
-          case Some(ns) => out += Tok.Dur(numText.toLong * ns)
+          case Some(ns) => emit(Tok.Dur(numText.toLong * ns))
           case None     => fail(s"unknown duration unit '$unit'")
         }
       }
       else if (c.isLetter || c == '_') {
         val start = i
         while (i < n && (in(i).isLetterOrDigit || in(i) == '_')) i += 1
-        out += Tok.Ident(in.substring(start, i), quoted = false)
+        emit(Tok.Ident(in.substring(start, i), quoted = false))
       }
       else {
         val two = if (i + 1 < n) in.substring(i, i + 2) else ""
         if (Set("!=", "<>", "<=", ">=", "=~", "!~")(two)) {
-          out += Tok.Sym(two); i += 2
+          emit(Tok.Sym(two)); i += 2
         } else if ("(),*=<>.-+".indexOf(c) >= 0) {
-          out += Tok.Sym(c.toString); i += 1
+          emit(Tok.Sym(c.toString)); i += 1
         } else fail(s"unexpected character '$c'")
       }
     }
@@ -206,6 +226,27 @@ final case class QlCall(fn: String, field: String, arg: Option[Double],
     argNs: Option[Long] = None, inner: Option[QlCall] = None)
   extends QlProj
 
+/** Arithmetic projection expression — `value * 2 + 1`,
+  * `max(v) - min(v)` (the Grafana math-box surface). Operands are
+  * numeric literals, bare field columns (raw queries), or function
+  * calls (aggregate queries); InfluxQL refuses mixing raw fields with
+  * aggregates and so do we. */
+sealed trait QlAExpr
+final case class ANum(v: Double) extends QlAExpr
+final case class ACol(name: String) extends QlAExpr
+final case class ACall(call: QlCall) extends QlAExpr
+final case class ABin(op: String, l: QlAExpr, r: QlAExpr) extends QlAExpr
+object QlAExpr {
+  def hasCall(e: QlAExpr): Boolean = e match {
+    case _: ACall      => true
+    case ABin(_, l, r) => hasCall(l) || hasCall(r)
+    case _             => false
+  }
+}
+/** A computed projection (always needs an AS alias — InfluxQL's
+  * auto-generated expression names are not reproduced). */
+final case class QlExpr(e: QlAExpr) extends QlProj
+
 final case class QlField(proj: QlProj, alias: Option[String])
 
 sealed trait QlLit
@@ -248,7 +289,14 @@ final case class QlSelect(
       * boundaries in this IANA zone (DST-correct via java.time /
       * the engine's session-independent zone conversion). */
     tz: Option[String] = None) extends QlStatement {
-  def hasAggregates: Boolean = fields.exists(_.proj.isInstanceOf[QlCall])
+  /** Call projections and expressions CONTAINING calls route to the
+    * aggregate planner; call-free expressions (`value * 2`) are raw
+    * per-row projections. */
+  def hasAggregates: Boolean = fields.exists(f => f.proj match {
+    case _: QlCall  => true
+    case e: QlExpr  => QlAExpr.hasCall(e.e)
+    case _          => false
+  })
 }
 
 // ---------------------------------------------------------------- parser
@@ -519,58 +567,112 @@ object InfluxQl {
     private def field(): QlField = {
       val proj: QlProj = peek match {
         case Tok.Sym("*") => pos += 1; QlStar
-        case Tok.Ident(n, false) if toks(pos + 1) == Tok.Sym("(") =>
-          val fn = n.toLowerCase
-          if (!Functions(fn)) fail(s"unknown function '$n'")
-          pos += 2 // name + (
-          // nested transform-of-aggregate: fn(innerFn(field)[, N])
-          val inner: Option[QlCall] = peek match {
-            case Tok.Ident(inFn, false)
-                if toks(pos + 1) == Tok.Sym("(") =>
-              val f2 = inFn.toLowerCase
-              if (!Functions(f2)) fail(s"unknown function '$inFn'")
-              pos += 2 // name + (
-              val (inField, _) = ident()
-              var inArg: Option[Double] = None
-              if (peek == Tok.Sym(",")) {
-                pos += 1
-                next() match {
-                  case Tok.Num(t) => inArg = Some(t.toDouble)
-                  case t => fail(s"bad function argument $t")
-                }
-              }
-              if (f2 == "percentile" && inArg.isEmpty)
-                fail("percentile(field, N) needs N")
-              eatSym(")")
-              Some(QlCall(f2, inField, inArg))
-            case _ => None
-          }
-          val fieldName = inner.map(_.field).getOrElse(ident()._1)
-          var arg: Option[Double] = None
-          var argNs: Option[Long] = None
-          if (peek == Tok.Sym(",")) {
-            pos += 1
-            next() match {
-              case Tok.Num(t)  => arg = Some(t.toDouble)
-              case Tok.Dur(ns) => argNs = Some(ns)
-              case t => fail(s"bad function argument $t")
-            }
-          }
-          if (fn == "percentile" && arg.isEmpty)
-            fail("percentile(field, N) needs N")
-          if (fn == "moving_average" && !arg.exists(a => a == a.floor))
-            fail("moving_average(field, N) needs an integer N")
-          if ((fn == "top" || fn == "bottom") &&
-              !arg.exists(a => a == a.floor && a >= 1))
-            fail(s"$fn(field, N) needs a positive integer N")
-          eatSym(")")
-          QlCall(fn, fieldName, arg, argNs, inner)
-        case Tok.Ident(_, _) => QlColumn(ident()._1)
-        case t => fail(s"bad select field $t")
+        case _ => addExpr() match {
+          // a single bare column / call keeps its first-class node
+          // (the planners dispatch on them); only genuine arithmetic
+          // becomes a QlExpr
+          case ACol(nm)  => QlColumn(nm)
+          case ACall(c)  => c
+          case _: ANum   => fail("a bare numeric literal is not a " +
+            "projection")
+          case e         => QlExpr(e)
+        }
       }
       val alias =
         if (atKw("as")) { pos += 1; Some(ident()._1) } else None
       QlField(proj, alias)
+    }
+
+    // ------------- projection arithmetic (value * 2, max(v) - min(v))
+    private def addExpr(): QlAExpr = {
+      var l = mulExpr()
+      while (peek == Tok.Sym("+") || peek == Tok.Sym("-")) {
+        val Tok.Sym(op) = next(): @unchecked
+        l = ABin(op, l, mulExpr())
+      }
+      l
+    }
+
+    private def mulExpr(): QlAExpr = {
+      var l = unaryExpr()
+      while (peek == Tok.Sym("*") || peek == Tok.Sym("/")) {
+        val Tok.Sym(op) = next(): @unchecked
+        l = ABin(op, l, unaryExpr())
+      }
+      l
+    }
+
+    private def unaryExpr(): QlAExpr = peek match {
+      case Tok.Sym("-") =>
+        pos += 1
+        unaryExpr() match {
+          case ANum(v) => ANum(-v)
+          case e       => ABin("-", ANum(0), e)
+        }
+      case _ => primaryExpr()
+    }
+
+    private def primaryExpr(): QlAExpr = peek match {
+      case Tok.Sym("(") =>
+        pos += 1
+        val e = addExpr()
+        eatSym(")")
+        e
+      case Tok.Num(t) => pos += 1; ANum(t.toDouble)
+      case Tok.Ident(n, false) if toks(pos + 1) == Tok.Sym("(") =>
+        ACall(parseCall(n))
+      case Tok.Ident(_, _) => ACol(ident()._1)
+      case t => fail(s"bad select expression token $t")
+    }
+
+    /** fn(field[, arg]) incl. the nested transform-of-aggregate form;
+      * expects pos at the function-name identifier. */
+    private def parseCall(n: String): QlCall = {
+      val fn = n.toLowerCase
+      if (!Functions(fn)) fail(s"unknown function '$n'")
+      pos += 2 // name + (
+      // nested transform-of-aggregate: fn(innerFn(field)[, N])
+      val inner: Option[QlCall] = peek match {
+        case Tok.Ident(inFn, false)
+            if toks(pos + 1) == Tok.Sym("(") =>
+          val f2 = inFn.toLowerCase
+          if (!Functions(f2)) fail(s"unknown function '$inFn'")
+          pos += 2 // name + (
+          val (inField, _) = ident()
+          var inArg: Option[Double] = None
+          if (peek == Tok.Sym(",")) {
+            pos += 1
+            next() match {
+              case Tok.Num(t) => inArg = Some(t.toDouble)
+              case t => fail(s"bad function argument $t")
+            }
+          }
+          if (f2 == "percentile" && inArg.isEmpty)
+            fail("percentile(field, N) needs N")
+          eatSym(")")
+          Some(QlCall(f2, inField, inArg))
+        case _ => None
+      }
+      val fieldName = inner.map(_.field).getOrElse(ident()._1)
+      var arg: Option[Double] = None
+      var argNs: Option[Long] = None
+      if (peek == Tok.Sym(",")) {
+        pos += 1
+        next() match {
+          case Tok.Num(t)  => arg = Some(t.toDouble)
+          case Tok.Dur(ns) => argNs = Some(ns)
+          case t => fail(s"bad function argument $t")
+        }
+      }
+      if (fn == "percentile" && arg.isEmpty)
+        fail("percentile(field, N) needs N")
+      if (fn == "moving_average" && !arg.exists(a => a == a.floor))
+        fail("moving_average(field, N) needs an integer N")
+      if ((fn == "top" || fn == "bottom") &&
+          !arg.exists(a => a == a.floor && a >= 1))
+        fail(s"$fn(field, N) needs a positive integer N")
+      eatSym(")")
+      QlCall(fn, fieldName, arg, argNs, inner)
     }
 
     private def fromSource(): QlSource = peek match {

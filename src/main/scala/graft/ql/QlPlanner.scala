@@ -761,6 +761,36 @@ object QlPlanner {
 
   // ---------------------------------------------------------------- raw
 
+  /** Integral numeric literals surface as LONG so integer expressions
+    * (`count(v) * 10 + 1`) keep their integer type; anything
+    * fractional is DOUBLE. */
+  private def numLit(v: Double): Column =
+    if (v == math.floor(v) && math.abs(v) < 9.007199254740992e15)
+      lit(v.toLong)
+    else lit(v)
+
+  /** Per-row arithmetic over FIELDS (tags are strings — arithmetic on
+    * one refuses loudly). Division is always floating-point — a
+    * pinned deviation from InfluxQL 1.x's truncating int/int. */
+  private def rawExpr(e: QlAExpr, fields: Seq[String]): Column = e match {
+    case ANum(v)  => numLit(v)
+    case ACol(n)  =>
+      require(fields.contains(n),
+        s"arithmetic needs a numeric field, got '$n'")
+      col(n)
+    case ACall(c) => throw new QlParseException(
+      s"cannot mix ${c.fn}() with raw projections (InfluxQL)")
+    case ABin(op, l, r) =>
+      val (lc, rc) = (rawExpr(l, fields), rawExpr(r, fields))
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc.cast("double") / rc
+        case o   => throw new QlParseException(s"bad operator $o")
+      }
+  }
+
   private def planRaw(stmt: QlSelect, df: DataFrame, tags: Seq[String],
       fields: Seq[String]): (DataFrame, Seq[String]) = {
     val wanted: Seq[String] = stmt.fields.flatMap { f =>
@@ -770,9 +800,17 @@ object QlPlanner {
           require(tags.contains(n) || fields.contains(n),
             s"unknown column '$n'")
           Seq(n)
+        case _: QlExpr => Seq.empty // projected via `computed` below
         case _: QlCall => Seq.empty // unreachable (hasAggregates)
       }
     }.distinct
+    val computed: Seq[Column] = stmt.fields.collect {
+      case QlField(e: QlExpr, alias) =>
+        rawExpr(e.e, fields).as(alias.getOrElse(
+          throw new QlParseException(
+            "alias computed projections with AS (InfluxQL " +
+              "auto-generated expression names are not reproduced)")))
+    }
     // raw results ALWAYS carry the series identity (measurement + all
     // tags) in-band: InfluxQL attaches it as out-of-band series
     // metadata even when unprojected, and per-series LIMIT pagination
@@ -781,7 +819,7 @@ object QlPlanner {
     // flat relation.
     val fieldCols = wanted.filter(fields.contains)
     (df.select(col("measurement") +: col("time")
-      +: (tags ++ fieldCols).map(col): _*),
+      +: ((tags ++ fieldCols).map(col) ++ computed): _*),
       "measurement" +: tags)
   }
 
@@ -912,20 +950,53 @@ object QlPlanner {
   private def planAgg(stmt: QlSelect, nowNs: Option[Long],
       df: DataFrame, tags: Seq[String],
       fields: Seq[String]): (DataFrame, Seq[String]) = {
-    val calls: Seq[(QlCall, String)] = stmt.fields.map { f =>
+    // each projection is a bare aggregate call or an arithmetic
+    // expression OVER aggregate calls (`max(v) - min(v)`, `sum(v)/2`);
+    // bare fields inside an aggregate query refuse (InfluxQL)
+    def validateAggExpr(e: QlAExpr): Unit = e match {
+      case ACall(c) =>
+        require(!TransformFns(c.fn) && !SelectorFns(c.fn),
+          s"arithmetic over ${c.fn}() is not supported — " +
+            "transformation/selector functions stand alone")
+        require(fields.contains(c.field),
+          s"${c.fn}() needs a field, got '${c.field}'")
+      case ACol(n) => throw new QlParseException(
+        s"cannot mix raw field '$n' with aggregates (InfluxQL)")
+      case ABin(_, l, r) => validateAggExpr(l); validateAggExpr(r)
+      case _: ANum => ()
+    }
+    def aggExprOf(e: QlAExpr): Column = e match {
+      case ANum(v)  => numLit(v)
+      case ACall(c) => aggExpr(c)
+      case ACol(n)  => throw new QlParseException(s"bare field '$n'")
+      case ABin(op, l, r) =>
+        val (lc, rc) = (aggExprOf(l), aggExprOf(r))
+        op match {
+          case "+" => lc + rc
+          case "-" => lc - rc
+          case "*" => lc * rc
+          case "/" => lc.cast("double") / rc
+          case o   => throw new QlParseException(s"bad operator $o")
+        }
+    }
+    val calls: Seq[(Column, String)] = stmt.fields.map { f =>
       f.proj match {
         case c: QlCall =>
-          c -> f.alias.getOrElse(s"${c.fn}_${c.field}")
+          require(fields.contains(c.field),
+            s"${c.fn}() needs a field, got '${c.field}'")
+          aggExpr(c) -> f.alias.getOrElse(s"${c.fn}_${c.field}")
+        case e: QlExpr =>
+          validateAggExpr(e.e)
+          aggExprOf(e.e) -> f.alias.getOrElse(
+            throw new QlParseException(
+              "alias computed projections with AS (InfluxQL " +
+                "auto-generated expression names are not reproduced)"))
         case p => throw new QlParseException(
           s"cannot mix raw projection $p with aggregates (InfluxQL)")
       }
     }
     require(calls.map(_._2).distinct.size == calls.size,
       "duplicate output names — alias repeated aggregates with AS")
-    calls.foreach { case (c, _) =>
-      require(fields.contains(c.field),
-        s"${c.fn}() needs a field, got '${c.field}'")
-    }
     val groupTags: Seq[String] =
       if (stmt.groupStar) tags
       else {
@@ -966,7 +1037,7 @@ object QlPlanner {
       }
     }
     val keys = (col("measurement") +: groupTags.map(col)) ++ bucketKey
-    val aggCols = calls.map { case (c, name) => aggExpr(c).as(name) }
+    val aggCols = calls.map { case (c, name) => c.as(name) }
     val agged = df.groupBy(keys: _*)
       .agg(aggCols.head, aggCols.tail: _*)
 

@@ -565,6 +565,35 @@ object QlQueries {
           round(max(sv), 4) AS max_sum_value
         FROM d GROUP BY 1, 2""".replaceAll("\\s+", " "))),
 
+    // projection ARITHMETIC (the Grafana math-box surface): per-row
+    // field math on a raw query. ×2 is exact (power of two), −1 and
+    // /4 are single correctly-rounded IEEE ops on exact-decimal
+    // inputs — deterministic unrounded cross-engine. The '/' here
+    // also exercises the lexer's division-vs-regex position heuristic.
+    "ql_field_math" -> QueryDef(
+      run(s"select value, value * 2 - 1 as v2, value / 4 as vq " +
+        s"from events where time >= ${StartSec}s and " +
+        s"time < ${EndSec}s"),
+      Some(s"""SELECT 'events' AS measurement, epoch_ns(ts) AS "time",
+        event_type, user_id, value,
+        value * 2 - 1 AS v2, value / 4 AS vq FROM events
+        WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs"""
+        .replaceAll("\\s+", " "))),
+
+    // …and arithmetic over AGGREGATE calls per series/bucket — exact
+    // operands only (max/min/count), so every step is deterministic
+    "ql_agg_math" -> QueryDef(
+      run(s"select max(value) * 2 - min(value) as rng2, " +
+        s"count(value) * 10 + 1 as c10 from events " +
+        s"where time >= ${StartSec}s and time < ${EndSec}s " +
+        s"group by time(1d), event_type fill(none)"),
+      Some(s"""SELECT 'events' AS measurement, event_type,
+        (epoch_ns(ts) // $DayNs) * $DayNs AS "time",
+        max(value) * 2 - min(value) AS rng2,
+        count(value) * 10 + 1 AS c10 FROM events
+        WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+        GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
+
     // nested transform-of-aggregate — `derivative(mean(v), 1h) …
     // GROUP BY time(1h)`, the Grafana-default InfluxQL shape —
     // desugared by the planner into the explicit subquery plan. The

@@ -621,6 +621,44 @@ class InfluxQlSpec extends AnyFunSuite {
         "tz('Nowhere/Invalid')", cat3))
   }
 
+  test("projection arithmetic: raw field math and aggregate math " +
+    "with standard precedence; '/' after a value token is division " +
+    "(regex position heuristic); computed projections need AS") {
+    // raw per-row math incl. division (the lexer's '/' dual role)
+    val raw = run("select v, v * 2 - 1 as v2, v / 4 as vq from m")
+      .collect().map(r => (r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))).toSet
+    assert(raw.contains((5.0, 9.0, 1.25)))
+    assert(raw.contains((1.0, 1.0, 0.25)))
+    // precedence: * binds tighter than +, parens override
+    // (output layout: measurement, time, g, np, p)
+    val precRow = run(
+      "select v + 1 * 2 as np, (v + 1) * 2 as p from m")
+      .collect().map(r => (r.getDouble(3), r.getDouble(4))).toSet
+    assert(precRow.contains((7.0, 12.0))) // v=5
+    // aggregate math: expressions over aggregate calls per group
+    val agg = run("select max(v) * 2 - min(v) as r2, " +
+      "count(v) + 0.5 as ch from m group by g")
+      .collect().map(r => r.getString(1) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(agg("a") === ((17.0, 4.5))) // max 9*2 - min 1; count 4
+    assert(agg("b") === ((12.0, 2.5))) // max 8*2 - min 4; count 2
+    // nested-call arithmetic keeps working beside it: unary minus
+    val neg = run("select -min(v) as nm from m group by g")
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(neg("a") === -1.0 && neg("b") === -4.0)
+    // regex FROM still lexes after the division heuristic
+    assert(run("select count(v) from /^m$/ group by *").count() === 2)
+    // refusals: bare number, missing alias, raw×agg mix, transforms
+    intercept[QlParseException](InfluxQl.parse("select 5 from m"))
+    intercept[QlParseException](run("select v * 2 from m"))
+    intercept[QlParseException](run("select v + max(v) as x from m"))
+    intercept[IllegalArgumentException](
+      run("select difference(v) * 2 as x from m group by g"))
+    // arithmetic on a TAG refuses (tags are strings)
+    intercept[IllegalArgumentException](run("select g * 2 as x from m"))
+  }
+
   test("WHERE accepts negative number and duration literals " +
     "(lexed as '-' + literal, folded at parse)") {
     val q = InfluxQl.parse("select v from m where v > -5")
