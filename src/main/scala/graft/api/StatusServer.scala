@@ -180,7 +180,8 @@ final class StatusServer(
     * when present — the flat-relation face of InfluxQL's out-of-band
     * series metadata), columns in frame order, row cap marked by
     * "partial". */
-  def queryJson(df: org.apache.spark.sql.DataFrame): String = {
+  def queryJson(df: org.apache.spark.sql.DataFrame,
+      epochDivNs: Long = 1L): String = {
     val cols = df.columns
     val taken = df.take(queryMaxRows + 1)
     val partial = taken.length > queryMaxRows
@@ -190,8 +191,17 @@ final class StatusServer(
         rows.head.getString(0)
       else "results"
     val colJson = cols.map(jstr).mkString("[", ",", "]")
+    // ?epoch=<h|m|s|ms|u|ns> rescales the time column (InfluxDB 1.x
+    // API parameter; engine-canonical time is Long ns)
+    val timeIdx = cols.indexOf("time")
+    def cell(r: org.apache.spark.sql.Row, i: Int): String =
+      r.get(i) match {
+        case t: Long if i == timeIdx && epochDivNs > 1L =>
+          jval(t / epochDivNs)
+        case v => jval(v)
+      }
     val valJson = rows.iterator
-      .map(r => (0 until r.length).map(i => jval(r.get(i)))
+      .map(r => (0 until r.length).map(i => cell(r, i))
         .mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     val partialJson = if (partial) ""","partial":true""" else ""
@@ -199,20 +209,33 @@ final class StatusServer(
       s""""columns":$colJson,"values":$valJson$partialJson}]}]}"""
   }
 
+  private val EpochDiv: Map[String, Long] = Map(
+    "ns" -> 1L, "u" -> 1000L, "µ" -> 1000L, "ms" -> 1000000L,
+    "s" -> 1000000000L, "m" -> 60L * 1000000000L,
+    "h" -> 3600L * 1000000000L)
+
   private def handleQuery(ex: HttpExchange, exec: String =>
       org.apache.spark.sql.DataFrame): Unit = {
-    // q from the query string (GET, client.go:60) or a form body (POST)
-    def param(s: String): Option[String] =
-      s.split('&').collectFirst {
-        case kv if kv.startsWith("q=") =>
-          java.net.URLDecoder.decode(kv.drop(2), "UTF-8")
-      }
-    val q = Option(ex.getRequestURI.getRawQuery).flatMap(param)
-      .orElse(Some(bodyOf(ex)).filter(_.nonEmpty).flatMap(param))
-    q match {
-      case None => respond(ex, 400, """{"error":"missing q parameter"}""")
-      case Some(text) =>
-        try respond(ex, 200, queryJson(exec(text)))
+    // params from the query string (GET, client.go:60) or a form body
+    // (POST); body wins per-key only when the URI lacks it
+    def parse(s: String): Map[String, String] =
+      s.split('&').toSeq.flatMap(_.split("=", 2) match {
+        case Array(k, v) =>
+          Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }).toMap
+    val params =
+      parse(Option(bodyOf(ex)).getOrElse("")) ++
+        parse(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+    (params.get("q"), params.get("epoch")) match {
+      case (None, _) =>
+        respond(ex, 400, """{"error":"missing q parameter"}""")
+      case (_, Some(ep)) if !EpochDiv.contains(ep) =>
+        respond(ex, 400,
+          s"""{"error":${jstr(s"bad epoch '$ep' (h|m|s|ms|u|ns)")}}""")
+      case (Some(text), ep) =>
+        try respond(ex, 200, queryJson(exec(text),
+          ep.map(EpochDiv).getOrElse(1L)))
         catch {
           case e: Exception =>
             respond(ex, 400, s"""{"error":${jstr(

@@ -71,6 +71,21 @@ class StatusServerSpec extends AnyFunSuite {
       val dbs = get("show databases")
       assert(dbs.statusCode() == 200)
       assert(dbs.body().contains("\"values\":[[\"default\"]]"))
+      // ?epoch= rescales time (InfluxDB API parameter): raw points at
+      // t=10,20 ns → epoch=ns unchanged; an unknown unit → 400
+      def getEp(q: String, ep: String) = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv.boundPort}/query?epoch=$ep&q=" +
+            java.net.URLEncoder.encode(q, "UTF-8"))).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val epNs = getEp("select v from cpu where host = 'h2'", "ns")
+      assert(epNs.body().contains("[\"cpu\",10,\"h2\",4.0]"),
+        epNs.body())
+      // u = ns/1000 → t=10 ns floors to 0 µs
+      val epU = getEp("select v from cpu where host = 'h2'", "u")
+      assert(epU.body().contains("[\"cpu\",0,\"h2\",4.0]"), epU.body())
+      assert(getEp("select v from cpu", "fortnights").statusCode()
+        == 400)
       // parse error → 400 with the parser's message
       val bad = get("select maen(v) from cpu")
       assert(bad.statusCode() == 400)
