@@ -206,6 +206,9 @@ sealed trait QlSource
 /** Dotted measurement path; the LAST segment is the measurement
   * (db/rp prefixes are resolution hints the planner may ignore). */
 final case class QlMeasurement(path: Seq[String]) extends QlSource
+/** FROM m1, m2, … — a measurement list, unioned like a regex match
+  * (heterogeneous schemas NULL-fill). */
+final case class QlSourceList(names: Seq[String]) extends QlSource
 /** Unanchored regex over measurement names (README.md:395 `cpu.*`). */
 final case class QlSourceRegex(pattern: String) extends QlSource
 /** FROM (SELECT …) — an InfluxQL subquery; the outer query reads the
@@ -683,9 +686,18 @@ object InfluxQl {
         QlSubquery(inner)
       case Tok.Re(p) => pos += 1; QlSourceRegex(p)
       case Tok.Ident(_, _) =>
-        var path = Vector(ident()._1)
-        while (peek == Tok.Sym(".")) { pos += 1; path :+= ident()._1 }
-        QlMeasurement(path)
+        def one(): Seq[String] = {
+          var path = Vector(ident()._1)
+          while (peek == Tok.Sym(".")) { pos += 1; path :+= ident()._1 }
+          path
+        }
+        val first = one()
+        if (peek != Tok.Sym(",")) QlMeasurement(first)
+        else {
+          var names = Vector(first.last)
+          while (peek == Tok.Sym(",")) { pos += 1; names :+= one().last }
+          QlSourceList(names)
+        }
       case t => fail(s"bad FROM source $t")
     }
 

@@ -643,6 +643,11 @@ object QlPlanner {
   private def resolve(src: QlSource, catalog: Seq[QlTable]): Seq[QlTable] = {
     val matched = src match {
       case QlMeasurement(path) => catalog.filter(_.name == path.last)
+      case QlSourceList(names) =>
+        names.foreach(n => require(catalog.exists(_.name == n),
+          s"no measurement '$n' " +
+            s"(catalog: ${catalog.map(_.name).mkString(", ")})"))
+        catalog.filter(t => names.contains(t.name))
       case QlSourceRegex(p) =>
         val re = java.util.regex.Pattern.compile(p)
         catalog.filter(t => re.matcher(t.name).find())

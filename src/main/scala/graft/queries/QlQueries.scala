@@ -671,6 +671,39 @@ object QlQueries {
             AND event_type = 'click'
           GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
 
+    // comma-separated FROM list: the named union (same NULL-fill
+    // semantics as a regex match, explicit member selection)
+    "ql_from_list" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val alt = ev.where(col("event_type") === "view")
+          .select(col("ts"), col("user_id"),
+            (col("value") + 1).as("value1"))
+        val cat2 = Seq(
+          QlTable("events", ev, "ts",
+            tags = Seq("event_type", "user_id"), fields = Seq("value")),
+          QlTable("events_plus", alt, "ts",
+            tags = Seq("user_id"), fields = Seq("value1")),
+          QlTable("events_other", ev, "ts",
+            tags = Seq("event_type"), fields = Seq("value")))
+        // the list picks events + events_plus; events_other stays out
+        QlPlanner.plan(InfluxQl.parse(
+          s"select count(value), count(value1) from events, " +
+            s"events_plus where time >= ${StartSec}s and " +
+            s"time < ${EndSec}s group by *"), cat2)
+      },
+      Some(s"""SELECT 'events' AS measurement, event_type, user_id,
+          count(value)::BIGINT AS count_value,
+          0::BIGINT AS count_value1 FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+          GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT 'events_plus', NULL, user_id, 0::BIGINT,
+          count(value)::BIGINT FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+            AND event_type = 'view'
+          GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
+
     // the InfluxQL DEFAULT fill: GROUP BY time() with no fill()
     // clause surfaces empty intervals as NULL rows (fill(null)) —
     // single-aggregate path (range grid via fillGapsRange)

@@ -405,6 +405,13 @@ class InfluxQlSpec extends AnyFunSuite {
       Seq("measurement", "time", "g", "v", "w"))
     assert(star.where(col("measurement") === "m3")
       .collect().forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    // comma-separated FROM lists union exactly the NAMED measurements
+    // (same NULL-fill semantics as regex); unknown names refuse
+    val listed = run("select count(v), count(w) from m, m3 group by *",
+      mixed).collect().map(r => r.getString(0)).toSet
+    assert(listed === Set("m", "m3"))
+    intercept[IllegalArgumentException](
+      run("select count(v) from m, nosuch", mixed))
     // same column with CONFLICTING types across measurements refuses
     val m4 = Seq((10L, "not a double")).toDF("t", "v")
     intercept[IllegalArgumentException](
