@@ -13,7 +13,7 @@ object PlanDump {
       "text_bigram_logprob", "dedup_edit_distance",
       "assoc_rules_pairs", "text_pmi_bigrams", "text_diversity",
       "ql_create_cq", "sync_maintenance", "ann_lsh_multiprobe_recall",
-      "ql_show_cqs", "stats_mad_outliers")
+      "ql_show_cqs", "stats_mad_outliers", "pipeline_dedup_report")
     hot.foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect(): Unit

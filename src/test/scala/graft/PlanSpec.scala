@@ -127,6 +127,7 @@ class PlanSpec extends AnyFunSuite {
     val budget = Map(
       "ql_show_cqs" -> ((0, 0)),
       "stats_mad_outliers" -> ((2, 0)),
+      "pipeline_dedup_report" -> ((8, 4)),
       "dedup_cluster_modularity" -> ((9, 3)),
       "graph_kcore" -> ((3, 1)),
       "ql_create_cq" -> ((0, 0)),
