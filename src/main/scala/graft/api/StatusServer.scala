@@ -47,7 +47,12 @@ final class StatusServer(
     // /query result-row cap: past it the response is truncated and
     // marked "partial":true (InfluxDB's chunked-response analog —
     // an unbounded collect() behind an HTTP GET is a driver OOM)
-    queryMaxRows: Int = 10000) {
+    queryMaxRows: Int = 10000,
+    // wired → POST /write ingests a line-protocol batch (the write
+    // half of the InfluxDB 1.x API; see api.WriteService) and
+    // returns 204; None keeps the endpoint absent. Same auth regime
+    // as /query (see its note).
+    writeExec: Option[String => Long] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // token → expiry epoch-ms; pruned on every login/validation so a
@@ -268,6 +273,17 @@ final class StatusServer(
     queryExec.foreach(exec =>
       server.createContext("/query",
         (ex: HttpExchange) => handleQuery(ex, exec)))
+    writeExec.foreach(wr =>
+      server.createContext("/write", (ex: HttpExchange) =>
+        try {
+          wr(bodyOf(ex)): Unit
+          ex.sendResponseHeaders(204, -1) // InfluxDB: 204 No Content
+          ex.close()
+        } catch {
+          case e: Exception =>
+            respond(ex, 400, s"""{"error":${jstr(
+              Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+        }))
     // static UI at the root (webserver.go:81-87 serves the built HTML
     // dir the same way); "/" is the longest-prefix fallback, so the
     // /api/* and /login|/logout contexts above still win

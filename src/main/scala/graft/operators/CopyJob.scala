@@ -469,6 +469,106 @@ final class CopyJob(
     (dropped, rewritten, spans.size - dropped.size - rewritten.size)
   }
 
+  /** InfluxDB-style point UPSERT into a chunk-partitioned measurement:
+    * last write wins per (series key, timestamp) — the write-side twin
+    * of the sink's idempotent re-copy. `incoming` carries the
+    * measurement's columns plus `orderCol` (the batch line index:
+    * later lines of one batch override earlier, InfluxDB's own
+    * behavior); existing rows rank below any incoming row.
+    *
+    * Scale shape: only the chunk partitions the batch TOUCHES are
+    * read+rewritten (crash-safe swap, one chunk of rows each);
+    * batch-only chunks are plain writes; everything else is untouched
+    * at the file-listing level. A clamped/irregular existing span
+    * overlapping a touched grid bucket merges into the union span —
+    * the same span-truthfulness discipline retention uses.
+    *
+    * Returns (createdSpans, rewrittenSpans). */
+  def upsertPoints(dstPath: String, incoming: DataFrame, cfg: Config,
+      keyCols: Seq[String], orderCol: String = "__line")
+      : (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+    require(keyCols.nonEmpty, "upsert needs series key columns")
+    Tables.ensureNsConf(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val spans = listBucketSpans(dstPath)
+    // the grid continues the EXISTING layout's phase (copy layouts
+    // tile from the window start, not epoch-absolute) — anchored
+    // buckets land exactly on existing chunk boundaries, so an
+    // in-window point touches precisely its containing chunk
+    val anchor = spans.map(_._1).minOption.getOrElse(0L)
+    val t = Tables.nsCol(incoming, cfg.timeCol)
+    val withB = incoming
+      .withColumn("__bs",
+        (t - pmod(t - lit(anchor), lit(cfg.chunkNs))).cast("long"))
+      .cache()
+    try {
+      val buckets = withB.select(col("__bs")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      var created = Seq.empty[(Long, Long)]
+      var rewritten = Seq.empty[(Long, Long)]
+      val fullKey = keyCols :+ cfg.timeCol
+      def lastWins(df: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(fullKey.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", orderCol)
+      }
+      // grid buckets overlapped by one merge group coalesce, so an
+      // irregular span straddling two batch buckets is read ONCE
+      var remaining = buckets.toList
+      while (remaining.nonEmpty) {
+        val bs = remaining.head
+        var group = Seq(bs)
+        var (ts0, te0) = (bs, bs + cfg.chunkNs)
+        var overlapped = spans.filter { case (s, e) => s < te0 && e > ts0 }
+        var grew = true
+        while (grew) {
+          val ts1 = math.min(ts0, overlapped.map(_._1).minOption.getOrElse(ts0))
+          val te1 = math.max(te0, overlapped.map(_._2).maxOption.getOrElse(te0))
+          val more = remaining.tail.filter(b => b < te1 && b + cfg.chunkNs > ts1)
+            .filterNot(group.contains)
+          grew = ts1 != ts0 || te1 != te0 || more.nonEmpty
+          ts0 = ts1; te0 = te1; group = (group ++ more).distinct
+          overlapped = spans.filter { case (s, e) => s < te0 && e > ts0 }
+        }
+        remaining = remaining.filterNot(group.contains)
+        val slice = withB.filter(col("__bs").isin(group: _*)).drop("__bs")
+        if (overlapped.isEmpty) {
+          lastWins(slice).write.mode("overwrite")
+            .parquet(s"$dstPath/__bucket=${ts0}_$te0")
+          created :+= ((ts0, te0))
+        } else {
+          val existing = overlapped.map { case (s, e) =>
+            spark.read.parquet(s"$dstPath/__bucket=${s}_$e")
+          }.reduce(_ unionByName _)
+            .withColumn(orderCol, lit(-1L)) // below any incoming line
+          val merged = lastWins(existing.unionByName(
+            slice.withColumn(orderCol, col(orderCol).cast("long"))))
+          // crash-safe: write tmp, move EVERY overlapped dir aside,
+          // promote, then drop the backups
+          val tmp = new Path(s"$dstPath/.upsert_${ts0}_$te0")
+          val fs = tmp.getFileSystem(conf)
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          val baks = overlapped.zipWithIndex.map { case ((s, e), i) =>
+            val src = new Path(s"$dstPath/__bucket=${s}_$e")
+            val bak = new Path(s"$dstPath/.bak_upsert_${i}_${s}_$e")
+            fs.delete(bak, true)
+            require(fs.rename(src, bak), s"upsert: cannot move $src")
+            bak
+          }
+          require(fs.rename(tmp,
+            new Path(s"$dstPath/__bucket=${ts0}_$te0")),
+            s"upsert: cannot promote $tmp (rows preserved in backups)")
+          baks.foreach(fs.delete(_, true))
+          rewritten :+= ((ts0, te0))
+        }
+      }
+      (created, rewritten)
+    } finally withB.unpersist(): Unit
+  }
+
   private def inParallel[A, B](workers: Int, items: Seq[A])(f: A => B)
       : Seq[B] = {
     if (items.size <= 1 || workers <= 1) return items.map(f)

@@ -414,6 +414,65 @@ object QlQueries {
             AND epoch_ns(ts) < ${StartNs + 8 * DayNs})"""
         .replaceAll("\\s+", " "))),
 
+    // the /write plane: a line-protocol batch upserted into a
+    // chunk-partitioned copy — overrides the two smallest in-window
+    // event_ids (full-row replacement: unset columns go NULL, the
+    // InfluxDB point model) and inserts two new points (one inside
+    // the window, one in a brand-new chunk past it). Written TWICE:
+    // the upsert converges (last-write-wins by (event_id, ts))
+    "sync_write_upsert" -> QueryDef(
+      (s, dir) => {
+        val job = new CopyJob(s)
+        val cfg = CopyJob.Config(StartNs, EndNs, chunkNs = 5 * DayNs,
+          timeCol = "ts")
+        val root = s"/tmp/graft_wr_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        job.copyMeasurement(s"$dir/events.parquet",
+          s"$root/events.parquet", cfg)
+        val targets = job.readCopied(s"$root/events.parquet")
+          .select(col("event_id"), col("ts"))
+          .orderBy(col("event_id")).limit(2).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val ws = new graft.api.WriteService(s, root,
+          seriesCols = Map("events" -> Seq("event_id")),
+          chunkNs = 5 * DayNs)
+        val overrides = targets.map { case (id, ts) =>
+          s"events,event_type=override,user_id=999 " +
+            s"event_id=${id}i,value=42.25 $ts"
+        }
+        val batch = (overrides ++ Seq(
+          s"events,event_type=apiwrite,user_id=7 " +
+            s"event_id=888888801i,value=1.5 ${StartNs + DayNs}",
+          s"events,event_type=apiwrite,user_id=8 " +
+            s"event_id=888888802i,value=2.5 ${EndNs + DayNs}"))
+          .mkString("\n")
+        ws.write(batch)
+        ws.write(batch) // converges
+        job.readCopied(s"$root/events.parquet")
+          .select(col("event_id"), expr("ts div 1000").as("time_us"),
+            col("user_id"), col("event_type"), col("value"),
+            col("props"))
+      },
+      Some(s"""WITH w AS (SELECT * FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs),
+        t AS (SELECT event_id FROM w ORDER BY event_id LIMIT 2)
+        SELECT event_id, epoch_us(ts) AS time_us, user_id, event_type,
+          value, props FROM w
+          WHERE event_id NOT IN (SELECT event_id FROM t)
+        UNION ALL
+        SELECT event_id, epoch_us(ts), 999::BIGINT, 'override',
+          42.25::DOUBLE, NULL::VARCHAR FROM w
+          WHERE event_id IN (SELECT event_id FROM t)
+        UNION ALL
+        SELECT * FROM (VALUES
+          (888888801::BIGINT, ${(StartNs + DayNs) / 1000}::BIGINT,
+            7::BIGINT, 'apiwrite', 1.5::DOUBLE, NULL::VARCHAR),
+          (888888802::BIGINT, ${(EndNs + DayNs) / 1000}::BIGINT,
+            8::BIGINT, 'apiwrite', 2.5::DOUBLE, NULL::VARCHAR))
+          v(event_id, time_us, user_id, event_type, value, props)"""
+        .replaceAll("\\s+", " "))),
+
     // CREATE CONTINUOUS QUERY … BEGIN SELECT … INTO … END: the CQ DDL
     // routed onto the INCREMENTAL ContinuousQuery refresh — run twice
     // (second pass recomputes only the lookback bucket) and must

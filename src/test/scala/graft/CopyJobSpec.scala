@@ -125,6 +125,70 @@ class CopyJobSpec extends AnyFunSuite {
     assert(d3 === Seq((S + 10 * Day, S + 15 * Day)) && r3.isEmpty)
   }
 
+  test("upsertPoints: last-write-wins per (key, ts); touched chunks " +
+    "rewritten, new chunks created, untouched chunks byte-identical; " +
+    "re-run converges") {
+    val dst = freshDst()
+    val job = new CopyJob(spark)
+    job.copyMeasurement(src, dst, cfg(dst))
+    val total = job.readCopied(dst).count()
+    def fileState(): Map[String, Seq[(String, Long, Long)]] =
+      Option(new java.io.File(dst).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("__bucket=")).map { d =>
+          d.getName -> Option(d.listFiles()).getOrElse(Array.empty)
+            .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+        }.toMap
+    val before = fileState()
+    // batch: override TWO existing points in the middle chunk (new
+    // value), within-batch duplicate for one of them (later line
+    // wins), plus one brand-new point in a chunk past the window
+    val midChunk = s"$dst/__bucket=${S + 5 * Day}_${S + 10 * Day}"
+    val seed = spark.read.parquet(midChunk)
+      .orderBy(col("event_id")).limit(2).cache()
+    val over1 = seed.withColumn("value", lit(111.25))
+      .withColumn("__line", lit(0L))
+    val over2 = seed.limit(1).withColumn("value", lit(222.5))
+      .withColumn("__line", lit(5L)) // later duplicate of row 1 wins
+    val fresh = seed.limit(1)
+      .withColumn("event_id", lit(999999999L))
+      .withColumn("ts",
+        expr(s"timestamp_micros(${(E + Day) / 1000}L)")
+          .cast(seed.schema("ts").dataType))
+      .withColumn("value", lit(7.75))
+      .withColumn("__line", lit(2L))
+    val batch = over1.unionByName(over2).unionByName(fresh)
+    val (created, rewritten) = job.upsertPoints(dst, batch, cfg(dst),
+      keyCols = Seq("event_id"))
+    // the grid continues the copy layout's phase: the fresh point at
+    // E+1d lands in the next tile [S+15d, S+20d)
+    assert(created === Seq((S + 15 * Day, S + 20 * Day)))
+    assert(rewritten === Seq((S + 5 * Day, S + 10 * Day)))
+    val after = job.readCopied(dst)
+    assert(after.count() === total + 1)
+    val ids = seed.collect().map(_.getAs[Long]("event_id"))
+    val vals = after.filter(col("event_id").isin(ids: _*))
+      .orderBy(col("event_id"))
+      .collect().map(_.getAs[Double]("value")).toSeq
+    // row 1: overridden twice in-batch → the later line (222.5) wins
+    assert(vals === Seq(222.5, 111.25))
+    assert(after.filter(col("event_id") === 999999999L)
+      .collect().map(_.getAs[Double]("value")).toSeq === Seq(7.75))
+    // untouched chunks byte-identical
+    val mid = fileState()
+    for (k <- before.keys
+         if k != s"__bucket=${S + 5 * Day}_${S + 10 * Day}"
+         && before.contains(k))
+      assert(mid(k) === before(k), k)
+    // re-run the same batch: content converges (counts + values)
+    job.upsertPoints(dst, batch, cfg(dst), keyCols = Seq("event_id"))
+    assert(job.readCopied(dst).count() === total + 1)
+    assert(job.readCopied(dst).filter(col("event_id").isin(ids: _*))
+      .orderBy(col("event_id"))
+      .collect().map(_.getAs[Double]("value")).toSeq ===
+      Seq(222.5, 111.25))
+    seed.unpersist(): Unit
+  }
+
   test("transient failures retried within budget (try.go:15-30)") {
     val dst = freshDst()
     var fails = 2

@@ -5,6 +5,7 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
 import graft.api.StatusServer
 import graft.model.ClusterStatus
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** /api/health + /api/queryactive per /root/reference/pkg/webui/api.go. */
@@ -98,6 +99,71 @@ class StatusServerSpec extends AnyFunSuite {
           s"http://127.0.0.1:${srv.boundPort}/query")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(noq.statusCode() == 400)
+    } finally srv.stop()
+  }
+
+  test("/write ingests line protocol with InfluxDB semantics: 204 on " +
+    "success, upsert by (series, ts), 400 on malformed lines and " +
+    "unknown measurements") {
+    val spark = SparkSpec.spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_write").toString
+    val S = 1704412800000000000L
+    val E = 1705708800000000000L
+    val job = new graft.operators.CopyJob(spark)
+    val cfg = graft.operators.CopyJob.Config(S, E,
+      chunkNs = 5 * 86400000000000L, timeCol = "ts")
+    job.copyMeasurement(s"${SparkSpec.Sf0001}/events.parquet",
+      s"$root/events.parquet", cfg)
+    val total = job.readCopied(s"$root/events.parquet").count()
+    val ws = new graft.api.WriteService(spark, root,
+      seriesCols = Map("events" -> Seq("event_id")),
+      chunkNs = 5 * 86400000000000L)
+    val status = ClusterStatus("OK", 0L, 0L, masterState = true,
+      masterLastOkNs = 1L, slaveState = true, slaveLastOkNs = 1L)
+    val srv = new StatusServer(0, () => status, () => Nil,
+      writeExec = Some(ws.write))
+    srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(body: String): java.net.http.HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv.boundPort}/write"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      // two new points (one tag-routed key, one field-routed) + one
+      // within-batch duplicate — the later line wins
+      val ts1 = S + 86400000000000L
+      val wr = post(
+        s"events,event_type=apiwrite,user_id=7 event_id=888888801i," +
+          s"value=1.5 $ts1\n" +
+        s"events,event_type=apiwrite event_id=888888802i,user_id=8i," +
+          s"value=2.5 $ts1\n" +
+        s"events,event_type=apiwrite,user_id=7 event_id=888888801i," +
+          s"value=9.5 $ts1\n")
+      assert(wr.statusCode() == 204, wr.body())
+      val after = job.readCopied(s"$root/events.parquet")
+      assert(after.count() === total + 2)
+      val got = after.filter(col("event_type") === "apiwrite")
+        .orderBy(col("event_id"))
+        .collect().map(r => (r.getAs[Long]("event_id"),
+          r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+      assert(got.toSeq ===
+        Seq((888888801L, 7L, 9.5), (888888802L, 8L, 2.5)))
+      // re-writing the SAME point upserts (count stable, value moves)
+      assert(post(s"events,event_type=apiwrite,user_id=7 " +
+        s"event_id=888888801i,value=4.25 $ts1\n").statusCode() == 204)
+      val again = job.readCopied(s"$root/events.parquet")
+      assert(again.count() === total + 2)
+      assert(again.filter(col("event_id") === 888888801L)
+        .head().getAs[Double]("value") === 4.25)
+      // strict batch: one malformed line refuses the whole write
+      assert(post("events value=1.0 123\nnot a line\n")
+        .statusCode() == 400)
+      // unknown measurement refuses (schema-first, no auto-create)
+      val unk = post(s"nosuch,h=a v=1.0 $ts1")
+      assert(unk.statusCode() == 400 &&
+        unk.body().contains("unknown measurement"))
     } finally srv.stop()
   }
 
