@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{BehaviorQueries, ParityQueries, PipelineQueries, Q, QlQueries, QueryDef, RelationalQueries}
+import graft.queries.{BehaviorQueries, ParityQueries, PipelineQueries, ProbeQueries, Q, QlQueries, QueryDef, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +14,7 @@ object SparkEntry {
 
   val all: Map[String, QueryDef] = Q.merge(
     ParityQueries.defs, RelationalQueries.defs, PipelineQueries.defs,
-    BehaviorQueries.defs, QlQueries.defs)
+    BehaviorQueries.defs, QlQueries.defs, ProbeQueries.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0: the reference's workhorse — a chunked time-range scan of the

@@ -52,61 +52,44 @@ object RelationalQueries {
   def defs: Map[String, QueryDef] = Map(
 
     // TPC-H Q1-style pricing summary: wide aggregate with partial/final
-    // split; sum_qty exact (integral doubles). Money math runs on exact
-    // integer units — cents c, discount/tax hundredths d/t — so every
-    // sum is order-independent: disc_price terms c·(100−d) and charge
-    // terms c·(100−d)·(100+t) sum in Decimal(38,0) (overflow horizon
-    // ~1e38, far past the cents·1e4 Long bound a 100 TB corpus crosses)
-    // and convert to dollars via ONE correctly-rounded cast+division.
-    // The former round(sum(double),2) forms sat on a 0.01-grid in
-    // round units and could land exactly on a .5 boundary, where the
-    // drifty double's rounded digit flips with merge order (the
-    // ql_agg_star class). Averages use the exact half-up integer
-    // identity instead of round(avg(),k) — Long-exact through ~sf100;
-    // past that, lift the 200·Σc operand into Decimal as well.
+    // split; sum_qty exact (integral doubles), money sums rounded.
+    //
+    // FORMULATION HISTORY (driver-gate bisection, r13): this is the
+    // r11 formulation, driver-green in CORRECTNESS_r10 AND r11. The
+    // r12 "exact integer cents" rewrite (Decimal(38,0) sums + half-up
+    // div identities, commit acb2941) went driver-RED on hash while
+    // passing the identical local gate — evidence of a
+    // driver-DuckDB-version divergence in one of the rewrite's
+    // constructs, not of rounding-boundary noise in THIS form. The
+    // suspect constructs are isolated in ProbeQueries.scala
+    // (probe_*); do not rewrite this query again without a red probe
+    // row naming the construct.
     "q1_pricing_summary" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-        .withColumn("__c",
-          round(col("l_extendedprice") * 100, 0).cast("long"))
-        .withColumn("__d", round(col("l_discount") * 100, 0).cast("long"))
-        .withColumn("__t", round(col("l_tax") * 100, 0).cast("long"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).cast("long").as("sum_qty"),
-          (sum(col("__c")).cast("double") / lit(100.0))
-            .as("sum_base_price"),
-          (sum((col("__c") * (lit(100L) - col("__d")))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .cast("double") / lit(10000.0)).as("sum_disc_price"),
-          (sum((col("__c") * (lit(100L) - col("__d"))
-            * (lit(100L) + col("__t")))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .cast("double") / lit(1000000.0)).as("sum_charge"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-          expr("((200 * sum(__c) + count(1)) div (2 * count(1)))" +
-            " / 10000.0").as("avg_price"),
-          expr("((20000 * sum(__d) + count(1)) div (2 * count(1)))" +
-            " / 1000000.0").as("avg_disc"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order")),
-      Some("""WITH b AS (SELECT l_returnflag, l_linestatus, l_quantity,
-          CAST(round(l_extendedprice*100,0) AS BIGINT) AS c,
-          CAST(round(l_discount*100,0) AS BIGINT) AS d,
-          CAST(round(l_tax*100,0) AS BIGINT) AS t
-          FROM lineitem
-          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
-        SELECT l_returnflag, l_linestatus,
+      Some("""SELECT l_returnflag, l_linestatus,
         sum(l_quantity)::BIGINT AS sum_qty,
-        sum(c)::DOUBLE / 100.0 AS sum_base_price,
-        sum(c*(100-d))::DOUBLE / 10000.0 AS sum_disc_price,
-        sum(c*(100-d)*(100+t))::DOUBLE / 1000000.0 AS sum_charge,
+        round(sum(l_extendedprice),2) AS sum_base_price,
+        round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
         sum(l_quantity)/count(*) AS avg_qty,
-        ((200*sum(c)+count(*)) // (2*count(*))) / 10000.0 AS avg_price,
-        ((20000*sum(d)+count(*)) // (2*count(*))) / 1000000.0
-          AS avg_disc,
+        round(avg(l_extendedprice),4) AS avg_price,
+        round(avg(l_discount),6) AS avg_disc,
         count(*)::BIGINT AS count_order
-        FROM b GROUP BY l_returnflag, l_linestatus"""
-        .replaceAll("\\s+", " "))),
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""".replaceAll("\\s+", " "))),
 
     // Q3-style: 3-way join → grouped revenue → deterministic top-10.
     "q3_topk_revenue" -> QueryDef(
@@ -780,25 +763,25 @@ object RelationalQueries {
         INTERSECT SELECT o_custkey AS custkey FROM orders
         WHERE o_orderstatus='F'""".replaceAll("\\s+", " "))),
 
-    // grouped stats incl. exact distinct count. avg as the half-up
-    // exact-cents identity, not round(avg(),2) — a rational mean can
-    // land exactly on the .5 boundary where engine round()s disagree.
+    // grouped stats incl. exact distinct count.
+    //
+    // FORMULATION HISTORY (driver-gate bisection, r13): r11 form,
+    // driver-green r10+r11; the r12 half-up exact-cents rewrite went
+    // driver-RED (see q1_pricing_summary's note). The rewrite's
+    // construct — uncast integer `//` quotient divided by a decimal
+    // literal — is isolated in probe_halfup_uncast/probe_halfup_*.
     "agg_stats" -> QueryDef(
       (s, dir) => t(s, dir, "orders")
-        .withColumn("__c",
-          round(col("o_totalprice") * 100, 0).cast("long"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("o_custkey")).as("n_cust"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"),
-          expr("((2 * sum(__c) + count(1)) div (2 * count(1))) / 100.0")
-            .as("avg_price")),
+          round(avg(col("o_totalprice")), 2).as("avg_price")),
       Some("""SELECT o_orderpriority, count(*)::BIGINT AS n,
         count(DISTINCT o_custkey)::BIGINT AS n_cust,
         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
-        ((2*sum(CAST(round(o_totalprice*100,0) AS BIGINT))+count(*))
-          // (2*count(*))) / 100.0 AS avg_price
+        round(avg(o_totalprice),2) AS avg_price
         FROM orders GROUP BY o_orderpriority""".replaceAll("\\s+", " "))),
 
     // ANALYZE-style column profile: ONE scan, one Expand+two-phase
@@ -2043,21 +2026,23 @@ object RelationalQueries {
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).cast("long").as("l_year"))
           .agg(count(lit(1)).as("n"), sum(rev).as("rcb"))
-          // half-up to 2dp via the exact integer identity, not
-          // round(double,2): the exact dollar value sits on a 1e-4
-          // grid, so it CAN land exactly on a .5 cent boundary where
-          // Java's and C's round() of the same double disagree
+          // FORMULATION HISTORY (r13 bisection): r11 form — one
+          // fixed-order ::DOUBLE division then round, driver-green in
+          // r11; the r12 `(rcb+5000) div 10000 / 100.0` half-up
+          // identity went driver-RED (uncast `//` quotient over a
+          // decimal literal — isolated in probe_q7_halfup).
           .select(col("supp_nation"), col("cust_nation"),
             col("l_year"), col("n"),
-            expr("((rcb + 5000) div 10000) / 100.0").as("revenue_r"))
+            round(col("rcb").cast("double") / lit(1000000.0), 2)
+              .as("revenue_r"))
       },
       Some("""SELECT n1.n_name AS supp_nation,
           n2.n_name AS cust_nation,
           year(l_shipdate)::BIGINT AS l_year,
           count(*)::BIGINT AS n,
-          ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+          round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
             (10000 - CAST(round(l_discount * 10000, 0) AS BIGINT)))
-            + 5000) // 10000) / 100.0 AS revenue_r
+            ::DOUBLE / 1000000.0, 2) AS revenue_r
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
