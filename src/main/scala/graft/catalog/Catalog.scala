@@ -117,13 +117,29 @@ final class Catalog(spark: SparkSession) {
             val rpDirs = listDirs(s"$root/$db")
               .filter(rp => rpRe.findFirstIn(rp).isDefined) // hacluster.go:108-121
               .sorted
-            val rps = rpDirs.map { rp =>
-              RetentionPolicy(rp, 0L, 0L, 1,
-                isDefault = rp == rpDirs.head,
+            // RP attributes come from the `_rp.json` metadata tier
+            // when present (written by SchemaReplicator / the /query
+            // DDL plane); bare directories keep the legacy defaults
+            // with first-dir-is-default.
+            val repl = new graft.operators.SchemaReplicator(
+              spark.sessionState.newHadoopConf())
+            val rps0 = rpDirs.map { rp =>
+              val meta = repl.readRp(root, db, rp)
+              RetentionPolicy(rp,
+                meta.map(_.durationNs).getOrElse(0L),
+                meta.map(_.shardGroupDurationNs).getOrElse(0L),
+                meta.map(_.nReplicas).getOrElse(1),
+                isDefault = meta.exists(_.isDefault),
                 measurementsOf(s"$root/$db/$rp"))
             }
+            val rps =
+              if (rps0.exists(_.isDefault)) rps0
+              else rps0.zipWithIndex.map { case (r, i) =>
+                r.copy(isDefault = i == 0)
+              }
             if (rps.isEmpty) None
-            else Some(DbSchema(db, "", rps.head.name, "", rps))
+            else Some(DbSchema(db, "",
+              rps.find(_.isDefault).get.name, "", rps))
           }
       }
 

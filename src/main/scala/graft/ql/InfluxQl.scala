@@ -202,6 +202,38 @@ final case class QlDropCq(name: String, db: Option[String])
 final case class QlCreateCq(name: String, db: Option[String],
     inner: QlSelect) extends QlStatement
 
+/** Retention-policy attribute bundle shared by the schema DDL
+  * statements — the clauses the reference's replicaschema plane emits
+  * verbatim (client.go:90 CREATE DATABASE … WITH DURATION …
+  * REPLICATION … SHARD DURATION … NAME …; client.go:112 CREATE
+  * RETENTION POLICY; client.go:137 ALTER … DEFAULT). `durationNs == 0`
+  * is infinite retention (INF / Go's "0s"). */
+final case class QlRpSpec(
+    name: Option[String],
+    durationNs: Option[Long],
+    replication: Option[Int],
+    shardDurationNs: Option[Long],
+    default: Boolean)
+
+/** CREATE DATABASE "db" [WITH [DURATION d] [REPLICATION n]
+  * [SHARD DURATION d] [NAME "rp"]] — client.go:90's emitted shape. */
+final case class QlCreateDatabase(name: String, rp: QlRpSpec)
+  extends QlStatement
+
+/** DROP DATABASE "db" — remove the database directory tree. */
+final case class QlDropDatabase(name: String) extends QlStatement
+
+/** CREATE RETENTION POLICY "rp" ON "db" DURATION d REPLICATION n
+  * [SHARD DURATION d] [DEFAULT] — client.go:112's emitted shape. */
+final case class QlCreateRp(name: String, db: String, spec: QlRpSpec)
+  extends QlStatement
+
+/** ALTER RETENTION POLICY "rp" ON "db" [DURATION d] [REPLICATION n]
+  * [SHARD DURATION d] [DEFAULT] — client.go:137 emits the
+  * DEFAULT-only form. */
+final case class QlAlterRp(name: String, db: String, spec: QlRpSpec)
+  extends QlStatement
+
 sealed trait QlSource
 /** Dotted measurement path; the LAST segment is the measurement
   * (db/rp prefixes are resolution hints the planner may ignore). */
@@ -327,7 +359,9 @@ object InfluxQl {
       case Some(Tok.Ident(n, false)) if n.equalsIgnoreCase("drop") =>
         new P(toks, text).drop()
       case Some(Tok.Ident(n, false)) if n.equalsIgnoreCase("create") =>
-        new P(toks, text).createCq()
+        new P(toks, text).create()
+      case Some(Tok.Ident(n, false)) if n.equalsIgnoreCase("alter") =>
+        new P(toks, text).alterRp()
       case _ => new P(toks, text).select()
     }
   }
@@ -429,6 +463,11 @@ object InfluxQl {
         val db = if (atKw("on")) { pos += 1; Some(ident()._1) } else None
         if (peek != Tok.End) fail(s"unexpected trailing token $peek")
         QlDropCq(name, db)
+      } else if (atKw("database")) {
+        pos += 1
+        val name = ident()._1
+        if (peek != Tok.End) fail(s"unexpected trailing token $peek")
+        QlDropDatabase(name)
       } else {
         eatKw("measurement")
         val m = ident()._1
@@ -437,8 +476,93 @@ object InfluxQl {
       }
     }
 
-    def createCq(): QlCreateCq = {
-      eatKw("create"); eatKw("continuous"); eatKw("query")
+    def create(): QlStatement = {
+      eatKw("create")
+      if (atKw("continuous")) createCq()
+      else if (atKw("database")) {
+        pos += 1
+        val name = ident()._1
+        val spec =
+          if (atKw("with")) { pos += 1; rpSpec(allowName = true) }
+          else QlRpSpec(None, None, None, None, default = false)
+        if (peek != Tok.End) fail(s"unexpected trailing token $peek")
+        QlCreateDatabase(name, spec)
+      } else if (atKw("retention")) {
+        pos += 1; eatKw("policy")
+        val name = ident()._1
+        eatKw("on")
+        val db = ident()._1
+        val spec = rpSpec(allowName = false)
+        // InfluxDB 1.x requires both on CREATE RP (DEFAULT optional)
+        if (spec.durationNs.isEmpty)
+          fail("CREATE RETENTION POLICY needs DURATION")
+        if (spec.replication.isEmpty)
+          fail("CREATE RETENTION POLICY needs REPLICATION")
+        if (peek != Tok.End) fail(s"unexpected trailing token $peek")
+        QlCreateRp(name, db, spec)
+      } else fail("expected CONTINUOUS, DATABASE or RETENTION")
+    }
+
+    def alterRp(): QlAlterRp = {
+      eatKw("alter"); eatKw("retention"); eatKw("policy")
+      val name = ident()._1
+      eatKw("on")
+      val db = ident()._1
+      val spec = rpSpec(allowName = false)
+      if (spec.durationNs.isEmpty && spec.replication.isEmpty &&
+        spec.shardDurationNs.isEmpty && !spec.default)
+        fail("ALTER RETENTION POLICY needs at least one clause")
+      if (peek != Tok.End) fail(s"unexpected trailing token $peek")
+      QlAlterRp(name, db, spec)
+    }
+
+    /** The WITH/attribute tail of the schema DDL statements. Order-
+      * insensitive like InfluxDB's parser; each clause at most once. */
+    private def rpSpec(allowName: Boolean): QlRpSpec = {
+      var dur: Option[Long] = None
+      var rep: Option[Int] = None
+      var shard: Option[Long] = None
+      var nm: Option[String] = None
+      var default = false
+      var more = true
+      while (more) {
+        if (atKw("duration") && dur.isEmpty) {
+          pos += 1; dur = Some(durationLit())
+        } else if (atKw("replication") && rep.isEmpty) {
+          pos += 1
+          next() match {
+            case Tok.Num(t) => rep = Some(t.toInt)
+            case t          => fail(s"REPLICATION needs an integer, got $t")
+          }
+        } else if (atKw("shard") && shard.isEmpty) {
+          pos += 1; eatKw("duration"); shard = Some(durationLit())
+        } else if (allowName && atKw("name") && nm.isEmpty) {
+          pos += 1; nm = Some(ident()._1)
+        } else if (atKw("default") && !default) {
+          pos += 1; default = true
+        } else more = false
+      }
+      QlRpSpec(nm, dur, rep, shard, default)
+    }
+
+    /** A DDL duration: consecutive Dur tokens SUM (Go's
+      * time.Duration.String() emits compound "168h0m0s" and the lexer
+      * splits it into three Dur tokens); INF and bare 0 mean infinite
+      * retention (durationNs = 0, client.go:24-38). */
+    private def durationLit(): Long = peek match {
+      case Tok.Ident(n, false) if n.equalsIgnoreCase("inf") =>
+        pos += 1; 0L
+      case Tok.Num("0") => pos += 1; 0L
+      case Tok.Dur(_) =>
+        var total = 0L
+        while (peek.isInstanceOf[Tok.Dur])
+          total += next().asInstanceOf[Tok.Dur].ns
+        total
+      case t => fail(s"expected a duration, got $t")
+    }
+
+    private def createCq(): QlCreateCq = {
+      eatKw("continuous"); eatKw("query")
       val name = ident()._1
       val db = if (atKw("on")) { pos += 1; Some(ident()._1) } else None
       eatKw("begin")

@@ -271,9 +271,24 @@ object QlPlanner {
     * (client.go:57-70). */
   def executor(spark: org.apache.spark.sql.SparkSession, root: String,
       catalog: Seq[QlTable],
-      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L)
+      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L,
+      // /query and /write sit OUTSIDE the ops-UI session gate
+      // (InfluxDB 1.x ships auth-disabled and the reference client
+      // authenticates per-request only when configured), so the
+      // DESTRUCTIVE statement families — DELETE, DROP, CREATE/DROP
+      // CONTINUOUS QUERY, and the schema DDL — are opt-in: an
+      // unauthenticated GET must not be able to delete data by
+      // default. The Agent's replication plane and tests that
+      // exercise the write path pass true explicitly.
+      allowMutations: Boolean = false)
       : String => DataFrame =
     text => InfluxQl.parseStatement(text) match {
+      case m @ (_: QlDelete | _: QlDropMeasurement | _: QlCreateCq |
+        _: QlDropCq | _: QlCreateDatabase | _: QlDropDatabase |
+        _: QlCreateRp | _: QlAlterRp) if !allowMutations =>
+        throw new IllegalArgumentException(
+          s"mutating statement refused (allowMutations=false): " +
+            m.getClass.getSimpleName)
       case sh: QlShow    => planShow(sh, spark, root)
       case sel: QlSelect =>
         // InfluxDB 1.x returns points time-ordered per series, and the
@@ -307,7 +322,45 @@ object QlPlanner {
         Seq((dropCq.name,
           new CqService(spark, root, root).drop(dropCq.name)))
           .toDF("name", "dropped")
+      // ---- schema DDL over /query: the replicaschema statements the
+      // reference POSTs verbatim (client.go:90,112,137) land on the
+      // same FS catalog SchemaReplicator writes. InfluxDB's DDL
+      // responses are empty result sets; we return one-row status
+      // frames (the /query JSON encoder renders them as a series).
+      case cd: QlCreateDatabase =>
+        import spark.implicits._
+        val repl = ddl(spark)
+        val rp = graft.model.RetentionPolicy(
+          cd.rp.name.getOrElse("autogen"),
+          cd.rp.durationNs.getOrElse(0L),
+          cd.rp.shardDurationNs.getOrElse(0L),
+          cd.rp.replication.getOrElse(1), isDefault = true)
+        val created = repl.createDatabase(root, cd.name, rp)
+        Seq((cd.name, created)).toDF("name", "created")
+      case dd: QlDropDatabase =>
+        import spark.implicits._
+        val existed = ddl(spark).dropDatabase(root, dd.name)
+        require(existed, s"database not found: ${dd.name}")
+        Seq((dd.name, true)).toDF("name", "dropped")
+      case cr: QlCreateRp =>
+        import spark.implicits._
+        ddl(spark).createRp(root, cr.db, graft.model.RetentionPolicy(
+          cr.name, cr.spec.durationNs.get,
+          cr.spec.shardDurationNs.getOrElse(0L),
+          cr.spec.replication.get, isDefault = cr.spec.default))
+        Seq((cr.db, cr.name, true)).toDF("db", "name", "created")
+      case ar: QlAlterRp =>
+        import spark.implicits._
+        val next = ddl(spark).alterRp(root, ar.db, ar.name,
+          ar.spec.durationNs, ar.spec.replication,
+          ar.spec.shardDurationNs, ar.spec.default)
+        Seq((ar.db, ar.name, next.isDefault))
+          .toDF("db", "name", "is_default")
     }
+
+  private def ddl(spark: org.apache.spark.sql.SparkSession) =
+    new graft.operators.SchemaReplicator(
+      spark.sessionState.newHadoopConf())
 
   /** A QlCreateCq arriving over /query was parsed FROM text; the
     * service persists text, so reconstruct the canonical form. */

@@ -962,6 +962,64 @@ object QlQueries {
         1::BIGINT AS replica_n, true AS is_default"""
         .replaceAll("\\s+", " "))),
 
+    // the replicaschema DDL plane over /query text — the EXACT
+    // statements the reference's schema replication POSTs
+    // (client.go:90 CREATE DATABASE … WITH DURATION 168h0m0s
+    // REPLICATION 1 SHARD DURATION 24h0m0s NAME …; Go compound
+    // duration strings and all). Creates two dbs (one fully
+    // specified, one bare-defaults), proves idempotent re-create and
+    // DROP DATABASE, and reads the catalog back through SHOW
+    // RETENTION POLICIES — all through the same executor the HTTP
+    // endpoint serves, with the mutation gate opened explicitly.
+    "ql_create_db" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_qlddl_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val exec = QlPlanner.executor(s, root, Nil,
+          allowMutations = true)
+        exec("""CREATE DATABASE "telegraf" WITH DURATION 168h0m0s """ +
+          """REPLICATION 1 SHARD DURATION 24h0m0s NAME "rp_week"""")
+        exec("""CREATE DATABASE "telegraf"""") // idempotent no-op
+        exec("""CREATE DATABASE "metrics"""")  // bare → autogen/INF
+        exec("""CREATE DATABASE "scratch"""")
+        exec("""DROP DATABASE "scratch"""")
+        exec("show retention policies")
+      },
+      Some("""SELECT * FROM (VALUES
+        ('metrics', 'autogen', 0::BIGINT, 0::BIGINT, 1::BIGINT, true),
+        ('telegraf', 'rp_week', 604800000000000::BIGINT,
+          86400000000000::BIGINT, 1::BIGINT, true))
+        t(db, name, duration_ns, shard_duration_ns, replica_n,
+          is_default)""".replaceAll("\\s+", " "))),
+
+    // CREATE RETENTION POLICY + ALTER … DEFAULT (client.go:112,137):
+    // a second RP lands beside the db's default, then takes the
+    // default flag over — exclusively (the previous default's flag
+    // must drop, SetDefaultRP semantics).
+    "ql_create_rp" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_qlrp_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val exec = QlPlanner.executor(s, root, Nil,
+          allowMutations = true)
+        exec("""CREATE DATABASE "graphite" WITH DURATION 24h0m0s """ +
+          """REPLICATION 1 SHARD DURATION 1h0m0s NAME "rp_day"""")
+        exec("""CREATE RETENTION POLICY "rp_month" ON "graphite" """ +
+          """DURATION 720h0m0s REPLICATION 2 SHARD DURATION 168h0m0s""")
+        exec("""ALTER RETENTION POLICY "rp_month" ON "graphite" """ +
+          """DEFAULT""")
+        exec("""show retention policies on "graphite"""")
+      },
+      Some("""SELECT * FROM (VALUES
+        ('graphite', 'rp_day', 86400000000000::BIGINT,
+          3600000000000::BIGINT, 1::BIGINT, false),
+        ('graphite', 'rp_month', 2592000000000000::BIGINT,
+          604800000000000::BIGINT, 2::BIGINT, true))
+        t(db, name, duration_ns, shard_duration_ns, replica_n,
+          is_default)""".replaceAll("\\s+", " "))),
+
     "ql_show_measurements" -> QueryDef(
       runShow("show measurements with measurement =~ /s$/"),
       Some("""SELECT name FROM (VALUES ('orders'), ('events'),

@@ -686,4 +686,56 @@ class InfluxQlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       run("select sum(v) from m offset 2"))
   }
+
+  test("schema DDL statements parse: the reference's emitted shapes " +
+    "(client.go:90,112,137) with Go compound durations, INF, clause " +
+    "order freedom, and the required-clause refusals") {
+    import graft.ql._
+    // client.go:90 verbatim shape
+    InfluxQl.parseStatement(
+      """CREATE DATABASE "db0" WITH DURATION 168h0m0s REPLICATION 1 """ +
+        """SHARD DURATION 24h0m0s NAME "rp0"""") match {
+      case QlCreateDatabase("db0", spec) =>
+        assert(spec.name.contains("rp0"))
+        assert(spec.durationNs.contains(168L * 3600 * 1000000000L))
+        assert(spec.shardDurationNs.contains(24L * 3600 * 1000000000L))
+        assert(spec.replication.contains(1) && !spec.default)
+      case other => fail(s"$other")
+    }
+    // bare create; INF duration; clause order swapped
+    assert(InfluxQl.parseStatement("""CREATE DATABASE "d2"""") ==
+      QlCreateDatabase("d2", QlRpSpec(None, None, None, None, false)))
+    InfluxQl.parseStatement(
+      """CREATE DATABASE "d3" WITH NAME "r" DURATION INF""") match {
+      case QlCreateDatabase("d3", spec) =>
+        assert(spec.durationNs.contains(0L) && spec.name.contains("r"))
+      case other => fail(s"$other")
+    }
+    // client.go:112 + DEFAULT
+    InfluxQl.parseStatement(
+      """CREATE RETENTION POLICY "rp1" ON "db0" DURATION 720h0m0s """ +
+        """REPLICATION 2 SHARD DURATION 168h0m0s DEFAULT""") match {
+      case QlCreateRp("rp1", "db0", spec) =>
+        assert(spec.durationNs.contains(720L * 3600 * 1000000000L))
+        assert(spec.replication.contains(2) && spec.default)
+      case other => fail(s"$other")
+    }
+    // client.go:137 verbatim
+    assert(InfluxQl.parseStatement(
+      """ALTER RETENTION POLICY "rp1" ON "db0" DEFAULT""") ==
+      QlAlterRp("rp1", "db0", QlRpSpec(None, None, None, None, true)))
+    assert(InfluxQl.parseStatement("""DROP DATABASE "db0"""") ==
+      QlDropDatabase("db0"))
+    // required clauses: CREATE RP without DURATION or REPLICATION
+    intercept[QlParseException](InfluxQl.parseStatement(
+      """CREATE RETENTION POLICY "r" ON "d" REPLICATION 1"""))
+    intercept[QlParseException](InfluxQl.parseStatement(
+      """CREATE RETENTION POLICY "r" ON "d" DURATION 1h"""))
+    // empty ALTER is refused
+    intercept[QlParseException](InfluxQl.parseStatement(
+      """ALTER RETENTION POLICY "r" ON "d""""))
+    // trailing garbage refused
+    intercept[QlParseException](InfluxQl.parseStatement(
+      """CREATE DATABASE "x" nonsense"""))
+  }
 }

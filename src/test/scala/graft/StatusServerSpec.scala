@@ -252,4 +252,73 @@ class StatusServerSpec extends AnyFunSuite {
       assert(get("/%2e%2e/%2e%2e/etc/passwd").statusCode() == 404)
     } finally srv.stop()
   }
+
+  test("a reference-shaped replicaschema runs through HTTP /query " +
+    "alone: the exact CREATE DATABASE / CREATE RETENTION POLICY / " +
+    "ALTER … DEFAULT statements client.go:90,112,137 POST, read back " +
+    "via SHOW; the mutation gate (default) refuses all of it") {
+    val spark = SparkSpec.spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ddl_http").toString + "/cat"
+    val status = ClusterStatus("OK", 0L, 0L, masterState = true,
+      masterLastOkNs = 1L, slaveState = true, slaveLastOkNs = 1L)
+    val srv = new StatusServer(0, () => status, () => Nil,
+      queryExec = Some(graft.ql.QlPlanner.executor(spark, root, Nil,
+        allowMutations = true)))
+    val closed = new StatusServer(0, () => status, () => Nil,
+      queryExec = Some(graft.ql.QlPlanner.executor(spark, root, Nil)))
+    srv.start(); closed.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(port: Int, q: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            "q=" + java.net.URLEncoder.encode(q, "UTF-8")))
+          .build(), HttpResponse.BodyHandlers.ofString())
+
+      // the replicaschema sequence, verbatim Go-emitted shapes
+      // (compound durations, doubled quotes): db + default RP, a
+      // second RP, then the default flip
+      assert(post(srv.boundPort,
+        """CREATE DATABASE "telegraf" WITH DURATION 168h0m0s """ +
+          """REPLICATION 1 SHARD DURATION 24h0m0s NAME "rp_w"""")
+        .statusCode() == 200)
+      assert(post(srv.boundPort,
+        """CREATE RETENTION POLICY "rp_month" ON "telegraf" """ +
+          """DURATION 720h0m0s REPLICATION 1 SHARD DURATION """ +
+          """168h0m0s""").statusCode() == 200)
+      assert(post(srv.boundPort,
+        """ALTER RETENTION POLICY "rp_month" ON "telegraf" DEFAULT""")
+        .statusCode() == 200)
+      val shown = post(srv.boundPort,
+        """SHOW RETENTION POLICIES ON "telegraf"""").body()
+      assert(shown.contains("rp_w") && shown.contains("rp_month"),
+        shown)
+      assert(shown.contains("604800000000000"), shown) // 168h
+      assert(shown.contains("2592000000000000"), shown) // 720h
+      // default moved exclusively: rp_month true, rp_w false
+      assert(shown.contains("[\"telegraf\",\"rp_month\"," +
+        "2592000000000000,604800000000000,1,true]"), shown)
+      assert(shown.contains("[\"telegraf\",\"rp_w\"," +
+        "604800000000000,86400000000000,1,false]"), shown)
+      // DROP DATABASE closes the loop
+      assert(post(srv.boundPort, """DROP DATABASE "telegraf"""")
+        .statusCode() == 200)
+      assert(post(srv.boundPort, """DROP DATABASE "telegraf"""")
+        .statusCode() == 400) // second drop: database not found
+      // the default-closed executor refuses every mutating family
+      // with a 400, including the DDL (ADVICE r12: an unauthenticated
+      // GET must not delete data unless the operator opted in)
+      for (stmt <- Seq(
+        """CREATE DATABASE "x"""",
+        """DROP DATABASE "x"""",
+        """DELETE FROM "events"""",
+        """DROP MEASUREMENT "events"""")) {
+        val r = post(closed.boundPort, stmt)
+        assert(r.statusCode() == 400 &&
+          r.body().contains("allowMutations"), s"$stmt -> ${r.body()}")
+      }
+    } finally { srv.stop(); closed.stop() }
+  }
 }
