@@ -470,11 +470,13 @@ final class CopyJob(
   }
 
   /** InfluxDB-style point UPSERT into a chunk-partitioned measurement:
-    * last write wins per (series key, timestamp) — the write-side twin
-    * of the sink's idempotent re-copy. `incoming` carries the
-    * measurement's columns plus `orderCol` (the batch line index:
-    * later lines of one batch override earlier, InfluxDB's own
-    * behavior); existing rows rank below any incoming row.
+    * duplicate points merge as a FIELD-SET UNION per (series key,
+    * timestamp) — InfluxDB 1.x semantics: a field absent from the new
+    * point keeps its stored value; only conflicting fields take the
+    * newest write (per column: latest non-null wins). `incoming`
+    * carries the measurement's columns plus `orderCol` (the batch
+    * line index: later lines of one batch override earlier, InfluxDB's
+    * own behavior); existing rows rank below any incoming row.
     *
     * Scale shape: only the chunk partitions the batch TOUCHES are
     * read+rewritten (crash-safe swap, one chunk of rows each);
@@ -507,11 +509,23 @@ final class CopyJob(
       var created = Seq.empty[(Long, Long)]
       var rewritten = Seq.empty[(Long, Long)]
       val fullKey = keyCols :+ cfg.timeCol
+      // per-column latest-non-null over the duplicate group (field-set
+      // union): ONE shuffle on the high-cardinality (series, ts) key,
+      // K window projections inside it — same exchange budget as the
+      // former whole-row row_number, InfluxDB's merge semantics on top
       def lastWins(df: DataFrame): DataFrame = {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(fullKey.map(col): _*)
           .orderBy(col(orderCol).desc)
-        df.withColumn("__rn", row_number().over(w))
+        val wAll = w.rowsBetween(org.apache.spark.sql.expressions
+          .Window.unboundedPreceding, org.apache.spark.sql.expressions
+          .Window.unboundedFollowing)
+        val valueCols = df.columns
+          .filterNot(c => fullKey.contains(c) || c == orderCol)
+        val merged = valueCols.foldLeft(df) { (d, c) =>
+          d.withColumn(c, first(col(c), ignoreNulls = true).over(wAll))
+        }
+        merged.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .drop("__rn", orderCol)
       }

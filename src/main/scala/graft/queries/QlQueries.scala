@@ -503,10 +503,12 @@ object QlQueries {
 
     // the /write plane: a line-protocol batch upserted into a
     // chunk-partitioned copy — overrides the two smallest in-window
-    // event_ids (full-row replacement: unset columns go NULL, the
-    // InfluxDB point model) and inserts two new points (one inside
-    // the window, one in a brand-new chunk past it). Written TWICE:
-    // the upsert converges (last-write-wins by (event_id, ts))
+    // event_ids (FIELD-SET MERGE, the InfluxDB duplicate-point model:
+    // fields absent from the new point — props here — keep their
+    // stored values; conflicting fields take the newest write) and
+    // inserts two new points (one inside the window, one in a
+    // brand-new chunk past it). Written TWICE: the upsert converges
+    // (per-field latest-non-null by (event_id, ts))
     "sync_write_upsert" -> QueryDef(
       (s, dir) => {
         val job = new CopyJob(s)
@@ -549,7 +551,7 @@ object QlQueries {
           WHERE event_id NOT IN (SELECT event_id FROM t)
         UNION ALL
         SELECT event_id, epoch_us(ts), 999::BIGINT, 'override',
-          42.25::DOUBLE, NULL::VARCHAR FROM w
+          42.25::DOUBLE, props FROM w
           WHERE event_id IN (SELECT event_id FROM t)
         UNION ALL
         SELECT * FROM (VALUES

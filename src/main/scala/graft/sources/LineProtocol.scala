@@ -112,7 +112,12 @@ object LineProtocol {
       measurement: String,
       tags: Map[String, String],
       fields: Map[String, String],
-      timeNs: Long)
+      timeNs: Long,
+      /** False when the line carried NO timestamp — valid LP that
+        * InfluxDB stamps with server receive time; consumers that
+        * cannot stamp (the strict /write plane) must refuse instead
+        * of letting the 0L default collapse a batch onto epoch 0. */
+      hasTime: Boolean = true)
 
   /** Parse one line. Hand-rolled scanner (escape- and quote-aware; a
     * regex/split pipeline cannot handle spaces inside quoted string
@@ -166,9 +171,11 @@ object LineProtocol {
       if (i < n && line.charAt(i) == ',') i += 1 else done = true
     }
     val ts =
-      if (i < n && line.charAt(i) == ' ') line.substring(i + 1).trim.toLong
-      else 0L
-    LinePoint(measurement, tags, fields, ts)
+      if (i < n && line.charAt(i) == ' ')
+        Some(line.substring(i + 1).trim.toLong)
+      else None
+    LinePoint(measurement, tags, fields, ts.getOrElse(0L),
+      hasTime = ts.isDefined)
   }
 
   /** Typed coercion of one raw field value, per the declared Influx type —

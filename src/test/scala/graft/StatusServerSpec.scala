@@ -118,7 +118,8 @@ class StatusServerSpec extends AnyFunSuite {
     val total = job.readCopied(s"$root/events.parquet").count()
     val ws = new graft.api.WriteService(spark, root,
       seriesCols = Map("events" -> Seq("event_id")),
-      chunkNs = 5 * 86400000000000L)
+      chunkNs = 5 * 86400000000000L,
+      autoCreate = false) // this test pins the schema-first refusal
     val status = ClusterStatus("OK", 0L, 0L, masterState = true,
       masterLastOkNs = 1L, slaveState = true, slaveLastOkNs = 1L)
     val srv = new StatusServer(0, () => status, () => Nil,
@@ -164,7 +165,69 @@ class StatusServerSpec extends AnyFunSuite {
       val unk = post(s"nosuch,h=a v=1.0 $ts1")
       assert(unk.statusCode() == 400 &&
         unk.body().contains("unknown measurement"))
+      // ATOMIC strict batch: a batch touching KNOWN 'events' plus an
+      // unknown 'zzz' must leave 'events' untouched — measurement
+      // existence is validated before any write, not mid-loop
+      val before = job.readCopied(s"$root/events.parquet").count()
+      val mixed = post(
+        s"events,event_type=apiwrite,user_id=7 event_id=888888809i," +
+          s"value=3.5 $ts1\nzzz,h=a v=1.0 $ts1")
+      assert(mixed.statusCode() == 400)
+      assert(job.readCopied(s"$root/events.parquet").count() == before)
+      // timestampless line refuses (no server-time stamping under
+      // last-write-wins — the whole batch would collapse onto t=0)
+      val noTs = post("events,event_type=apiwrite,user_id=7 " +
+        "event_id=888888810i,value=1.0")
+      assert(noTs.statusCode() == 400 &&
+        noTs.body().contains("no timestamp"), noTs.body())
+      // FIELD-SET MERGE (InfluxDB duplicate-point semantics): a
+      // partial point carrying only `value` keeps the stored row's
+      // other fields instead of nulling them
+      assert(post(s"events,event_type=apiwrite event_id=888888801i," +
+        s"value=7.75 $ts1\n").statusCode() == 204)
+      val mergedRow = job.readCopied(s"$root/events.parquet")
+        .filter(col("event_id") === 888888801L).head()
+      assert(mergedRow.getAs[Double]("value") === 7.75)
+      assert(mergedRow.getAs[Long]("user_id") === 7L) // survived merge
+      assert(mergedRow.getAs[String]("event_type") === "apiwrite")
     } finally srv.stop()
+  }
+
+  test("/write auto-creates unknown measurements with inferred LP " +
+    "types (InfluxDB 1.x semantics: the plane a fresh slave exercises " +
+    "before replicaschema runs)") {
+    val spark = SparkSpec.spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_write_ac").toString
+    val ws = new graft.api.WriteService(spark, root,
+      chunkNs = 86400000000000L)
+    val t0 = 1704412800000000000L
+    ws.write(
+      s"cpu,host=h1,region=eu usage=0.52,cores=8i,online=t $t0\n" +
+        s"cpu,host=h2,region=us usage=0.11,cores=4i,online=f," +
+        s"note=${"\"warm\""} ${t0 + 1000000000L}\n")
+    val df = spark.read.parquet(s"$root/cpu.parquet")
+    import org.apache.spark.sql.types._
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("host") == StringType && types("region") == StringType)
+    assert(types("usage") == DoubleType)
+    assert(types("cores") == LongType)
+    assert(types("online") == BooleanType)
+    assert(types("note") == StringType)
+    assert(types("ts") == LongType) // canonical ns epoch
+    assert(df.count() == 2)
+    val h1 = df.filter(col("host") === "h1").head()
+    assert(h1.getAs[Double]("usage") === 0.52 &&
+      h1.getAs[Long]("cores") === 8L &&
+      h1.getAs[Boolean]("online"))
+    // second write UPSERTS against the created measurement (series
+    // key = tag set): same (host,region,ts) merges, count stable
+    ws.write(s"cpu,host=h1,region=eu usage=0.99 $t0\n")
+    val again = spark.read.parquet(s"$root/cpu.parquet")
+    assert(again.count() == 2)
+    val h1b = again.filter(col("host") === "h1").head()
+    assert(h1b.getAs[Double]("usage") === 0.99)
+    assert(h1b.getAs[Long]("cores") === 8L) // field-set merge kept it
   }
 
   test("login/session/action endpoints (webserver.go:173-208, " +
