@@ -258,7 +258,10 @@ final case class QlColumn(name: String) extends QlProj
   * aggregate, and the planner desugars the pair into the explicit
   * subquery plan; `field` then names the INNER call's field. */
 final case class QlCall(fn: String, field: String, arg: Option[Double],
-    argNs: Option[Long] = None, inner: Option[QlCall] = None)
+    argNs: Option[Long] = None, inner: Option[QlCall] = None,
+    /** second numeric argument — HOLT_WINTERS(mean(f), N, S)'s
+      * seasonal pattern length. */
+    arg2: Option[Double] = None)
   extends QlProj
 
 /** Arithmetic projection expression — `value * 2 + 1`,
@@ -342,6 +345,7 @@ object InfluxQl {
     * loudly (a typo'd `maen(v)` must not silently project a column). */
   val Functions: Set[String] = Set("count", "sum", "mean", "min", "max",
     "median", "spread", "stddev", "percentile", "first", "last",
+    "mode", "distinct", "integral", "sample", "holt_winters",
     "difference", "derivative", "non_negative_derivative",
     "cumulative_sum", "elapsed", "moving_average", "top", "bottom")
 
@@ -783,6 +787,7 @@ object InfluxQl {
       val fieldName = inner.map(_.field).getOrElse(ident()._1)
       var arg: Option[Double] = None
       var argNs: Option[Long] = None
+      var arg2: Option[Double] = None
       if (peek == Tok.Sym(",")) {
         pos += 1
         next() match {
@@ -790,16 +795,35 @@ object InfluxQl {
           case Tok.Dur(ns) => argNs = Some(ns)
           case t => fail(s"bad function argument $t")
         }
+        // HOLT_WINTERS(mean(f), N, S) carries a second numeric arg
+        if (peek == Tok.Sym(",")) {
+          pos += 1
+          next() match {
+            case Tok.Num(t) => arg2 = Some(t.toDouble)
+            case t => fail(s"bad function argument $t")
+          }
+        }
       }
       if (fn == "percentile" && arg.isEmpty)
         fail("percentile(field, N) needs N")
       if (fn == "moving_average" && !arg.exists(a => a == a.floor))
         fail("moving_average(field, N) needs an integer N")
-      if ((fn == "top" || fn == "bottom") &&
+      if ((fn == "top" || fn == "bottom" || fn == "sample") &&
           !arg.exists(a => a == a.floor && a >= 1))
         fail(s"$fn(field, N) needs a positive integer N")
+      if (fn == "holt_winters") {
+        if (inner.isEmpty) fail(
+          "holt_winters(<aggregate>(field), N, S) needs an inner " +
+            "aggregate over GROUP BY time(...)")
+        if (!arg.exists(a => a == a.floor && a >= 1)) fail(
+          "holt_winters needs a positive integer N (points to predict)")
+        if (!arg2.exists(a => a == a.floor && a >= 2)) fail(
+          "holt_winters needs an integer seasonal pattern S >= 2")
+      }
+      if (arg2.isDefined && fn != "holt_winters")
+        fail(s"$fn() takes at most one argument")
       eatSym(")")
-      QlCall(fn, fieldName, arg, argNs, inner)
+      QlCall(fn, fieldName, arg, argNs, inner, arg2)
     }
 
     private def fromSource(): QlSource = peek match {

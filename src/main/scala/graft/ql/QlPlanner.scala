@@ -85,8 +85,31 @@ object QlPlanner {
     out.sparkSession.read.parquet(s"$destRoot/$dst.parquet")
   }
 
-  private def planPure(stmt: QlSelect, catalog: Seq[QlTable],
+  private def planPure(stmt0: QlSelect, catalog: Seq[QlTable],
       nowNs: Option[Long]): DataFrame = {
+    // COUNT(DISTINCT(f)) desugars to one exact distinct aggregate —
+    // it then mixes freely with the other aggregates in planAgg
+    // (InfluxQL allows `count(distinct(v)), mean(v)`)
+    val stmt = stmt0.copy(fields = stmt0.fields.map {
+      case QlField(c: QlCall, a)
+          if c.fn == "count" && c.inner.exists(_.fn == "distinct") =>
+        QlField(QlCall("count_distinct", c.field, None), a)
+      case f => f
+    })
+    // HOLT_WINTERS(agg(f), N, S): its own nested plan — the inner
+    // aggregate builds the time grid, the fixed-coefficient
+    // Holt-Winters recursion runs per series, and the OUTPUT is the N
+    // future points (InfluxQL's contract, unlike the transforms which
+    // re-emit the grid)
+    stmt.fields match {
+      case Seq(QlField(c: QlCall, a)) if c.fn == "holt_winters" =>
+        return planHoltWinters(stmt, c, a, catalog, nowNs)
+      case _ =>
+        require(!stmt.fields.exists {
+          case QlField(c: QlCall, _) => c.fn == "holt_winters"
+          case _ => false
+        }, "holt_winters() stands alone in a SELECT (InfluxQL)")
+    }
     // nested transform-of-aggregate — `derivative(mean(v), 1h) …
     // GROUP BY time(1h)` (the Grafana-default shape) — desugars to
     // the explicit subquery plan: inner = the aggregates on the time
@@ -155,6 +178,89 @@ object QlPlanner {
           innerDf.drop("measurement"), "time", innerTags, innerFields)))
       case _ => planBody(stmt, nowNs, resolve(stmt.source, catalog))
     }
+  }
+
+  /** HOLT_WINTERS(agg(f), N, S) — the N-step additive Holt-Winters
+    * forecast over the inner aggregate's time grid (InfluxQL's
+    * predictive function). Deviation pinned for determinism: InfluxDB
+    * fits α/β/γ per query with Nelder-Mead (results drift across its
+    * own releases); we run [[SeriesOps.holtWintersFixed]] with the
+    * rational coefficients 1/4,1/4,1/4 in exact integer micro-units,
+    * so the whole recursion is bit-stable on any cluster. Values
+    * quantize at 1e-6 of the field unit on entry; forecasts are
+    * f(h) = level + h·trend + seasonal[(i_last+h−1) mod S], the
+    * standard additive multi-step form and exactly how the
+    * aggregator's own one-step forecast column extrapolates.
+    *
+    * Scale shape: the inner agg is the usual grouped scan; the
+    * recursion is one [[graft.functions]] -style Aggregator pass per
+    * series (bounded by buckets-per-series); the future-point
+    * synthesis is two small per-series aggregates + one explode of N
+    * rows — no shuffle beyond the series key. */
+  private def planHoltWinters(stmt: QlSelect, c: QlCall,
+      alias: Option[String], catalog: Seq[QlTable],
+      nowNs: Option[Long]): DataFrame = {
+    val in = c.inner.get
+    require(!TransformFns(in.fn) && !SelectorFns(in.fn) &&
+      !StandaloneFns(in.fn),
+      s"holt_winters' inner function must be an aggregate, " +
+        s"got ${in.fn}()")
+    require(stmt.timeBucketNs.isDefined,
+      "holt_winters needs GROUP BY time(...) — the aggregate grid " +
+        "is the series the forecast extends")
+    require(stmt.tz.isEmpty,
+      "holt_winters over tz() wall-clock grids is not supported")
+    val n = c.arg.get.toInt
+    val season = c.arg2.get.toInt
+    val bucketNs = stmt.timeBucketNs.get
+    val name = alias.getOrElse(s"holt_winters_${in.field}")
+    // inner grid: actual buckets only (fill(none) default, like the
+    // transform desugar — the recursion walks rows, and InfluxDB's
+    // own HW skips empty intervals unless fill() says otherwise)
+    val innerSel = stmt.copy(
+      fields = Seq(QlField(in.copy(inner = None), Some("__hw_in"))),
+      into = None, fill = Some(stmt.fill.getOrElse(FillNone)),
+      orderByTime = false, orderDesc = false,
+      limit = None, offset = None, slimit = None, soffset = None)
+    val grid = planPure(innerSel, catalog, nowNs)
+    val seriesKeys = grid.columns.filter(cn =>
+      cn == "measurement" || catalog.exists(_.tags.contains(cn))).toSeq
+    // 1e-6 quantization into the aggregator's integer micro-units
+    val quant = grid.where(col("__hw_in").isNotNull)
+      .withColumn("__vu",
+        round(col("__hw_in") * 1000000, 0).cast("long"))
+    val hw = SeriesOps.holtWintersFixed(quant, seriesKeys, "time",
+      "__vu", aNum = 1L, aDen = 4L, bNum = 1L, bDen = 4L,
+      gNum = 1L, gDen = 4L, season = season)
+    val w = Window.partitionBy(seriesKeys.map(col): _*)
+      .orderBy(col("time").asc)
+    val rn = hw.withColumn("__rn", row_number().over(w))
+    // aggregator slot convention: row i (1-based) updates slot
+    // (i−1) mod S for i ≥ 2; row 1 seeds level only
+    val latestSeas = rn.filter(col("__rn") >= 2)
+      .withColumn("__slot", ((col("__rn") - 1) % season).cast("long"))
+      .groupBy((seriesKeys :+ "__slot").map(col): _*)
+      .agg(max_by(col("seasonal"), col("__rn")).as("__sv"))
+      .groupBy(seriesKeys.map(col): _*)
+      .agg(map_from_entries(collect_list(
+        struct(col("__slot"), col("__sv")))).as("__seas"))
+    val finals = rn.groupBy(seriesKeys.map(col): _*)
+      .agg(max(col("__rn")).cast("long").as("__ilast"),
+        max(col("time")).as("__blast"),
+        max_by(col("level"), col("__rn")).as("__l"),
+        max_by(col("trend"), col("__rn")).as("__t"))
+    val joined =
+      if (seriesKeys.isEmpty) finals.crossJoin(latestSeas)
+      else finals.join(latestSeas, seriesKeys, "left")
+    joined
+      .withColumn("__h",
+        explode(sequence(lit(1L), lit(n.toLong))))
+      .select(seriesKeys.map(col) ++ Seq(
+        (col("__blast") + col("__h") * lit(bucketNs)).as("time"),
+        ((col("__l") + col("__h") * col("__t") +
+          coalesce(element_at(col("__seas"),
+            pmod(col("__ilast") + col("__h") - 1, lit(season.toLong))),
+            lit(0L))).cast("double") / lit(1000000.0)).as(name)): _*)
   }
 
   /** Resolve a time literal to epoch ns; `now() ± d` needs the
@@ -227,13 +333,22 @@ object QlPlanner {
     val calls = stmt.fields.collect { case QlField(c: QlCall, _) => c }
     val nTransforms = calls.count(c => TransformFns(c.fn))
     val nSelectors = calls.count(c => SelectorFns(c.fn))
+    val nStandalone = calls.count(c => StandaloneFns(c.fn))
     require(nTransforms == 0 || nTransforms == calls.size,
       "cannot mix transformation functions (difference/derivative/…) " +
         "with aggregates in one SELECT (InfluxQL)")
     require(nSelectors == 0 || calls.size == 1,
       "TOP/BOTTOM stands alone in a SELECT (InfluxQL)")
+    require(nStandalone == 0 ||
+      (calls.size == 1 && stmt.fields.size == 1),
+      "DISTINCT/SAMPLE/INTEGRAL stands alone in a SELECT")
     val (out, seriesKeys) =
       if (nSelectors > 0) planSelector(stmt, df, tags, fields)
+      else if (nStandalone > 0) calls.head.fn match {
+        case "distinct" => planDistinct(stmt, df, tags, fields)
+        case "sample"   => planSample(stmt, df, tags, fields)
+        case _          => planIntegral(stmt, df, tags, fields)
+      }
       else if (nTransforms > 0) planTransform(stmt, df, tags, fields)
       else if (stmt.hasAggregates) planAgg(stmt, nowNs, df, tags, fields)
       else planRaw(stmt, df, tags, fields)
@@ -928,6 +1043,103 @@ object QlPlanner {
       value.as(name)): _*), keys)
   }
 
+  // --------------------------------------------- standalone functions
+
+  /** Functions whose output shape is neither one-row-per-group (agg)
+    * nor one-row-per-point (transform) — each plans its own frame and
+    * must be the SELECT's only projection. */
+  private val StandaloneFns = Set("distinct", "sample", "integral")
+
+  /** Series identity of a stand-alone/selector query: GROUP BY * →
+    * every tag, otherwise the named tags (validated). */
+  private def groupTagsOf(stmt: QlSelect, tags: Seq[String])
+      : Seq[String] =
+    if (stmt.groupStar) tags
+    else {
+      stmt.groupTags.foreach(t => require(tags.contains(t),
+        s"unknown GROUP BY tag '$t'"))
+      stmt.groupTags
+    }
+
+  /** SELECT DISTINCT(f): the distinct field values per series — a
+    * map-side-combined distinct, output cardinality = value domain. */
+  private def planDistinct(stmt: QlSelect, df: DataFrame,
+      tags: Seq[String], fields: Seq[String])
+      : (DataFrame, Seq[String]) = {
+    val (c, name) = singleCall(stmt, fields)
+    require(stmt.timeBucketNs.isEmpty && stmt.fill.isEmpty,
+      "DISTINCT(f) applies to raw points — no time() bucket / fill()")
+    val keys = "measurement" +: groupTagsOf(stmt, tags)
+    (df.where(col(c.field).isNotNull)
+      .select(keys.map(col) :+ col(c.field).as(name): _*)
+      .distinct(), keys)
+  }
+
+  /** SELECT SAMPLE(f, N): N points per series. InfluxDB samples with
+    * a random reservoir; we pin a DETERMINISTIC uniform hash over the
+    * point timestamp (multiplicative hash mod a prime) so results are
+    * reproducible and oracle-checkable — same distributional intent,
+    * no run-to-run flips. Rank via one series-partitioned window over
+    * the hash order. */
+  private def planSample(stmt: QlSelect, df: DataFrame,
+      tags: Seq[String], fields: Seq[String])
+      : (DataFrame, Seq[String]) = {
+    val (c, name) = singleCall(stmt, fields)
+    require(stmt.timeBucketNs.isEmpty && stmt.fill.isEmpty,
+      "SAMPLE(f, N) applies to raw points — no time() bucket / fill()")
+    val n = c.arg.get.toInt
+    val keys = "measurement" +: groupTagsOf(stmt, tags)
+    // Knuth multiplicative on the ns timestamp, folded through a
+    // prime below 2^31 so the product stays well inside Long range
+    // and the SQL is replayable verbatim in any engine
+    val score = pmod(col("time"), lit(1000000007L)) *
+      lit(2654435761L) % lit(1000000007L)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(score.asc, col("time").asc)
+    (df.where(col(c.field).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .select(keys.map(col) ++ Seq(col("time"),
+        col(c.field).as(name)): _*), keys)
+  }
+
+  /** SELECT INTEGRAL(f[, unit]): the area under the per-series curve
+    * — trapezoids between consecutive points, in field·unit units
+    * (default 1s, InfluxQL's default). One per-series window for the
+    * lags, one aggregate for the sum. */
+  private def planIntegral(stmt: QlSelect, df: DataFrame,
+      tags: Seq[String], fields: Seq[String])
+      : (DataFrame, Seq[String]) = {
+    val (c, name) = singleCall(stmt, fields)
+    require(stmt.timeBucketNs.isEmpty && stmt.fill.isEmpty,
+      "INTEGRAL is supported over raw series (no time() bucket); " +
+        "downsample first via a subquery if bucketed areas are needed")
+    val unitNs = c.argNs.getOrElse(1000000000L)
+    val keys = "measurement" +: groupTagsOf(stmt, tags)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("time").asc, col(c.field).asc)
+    val v = col(c.field).cast("double")
+    val area = (v + lag(v, 1).over(w)) / 2 *
+      ((col("time") - lag(col("time"), 1).over(w)).cast("double") /
+        lit(unitNs.toDouble))
+    (df.where(col(c.field).isNotNull)
+      .select(keys.map(col) :+ area.as("__area"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__area")).as(name)), keys)
+  }
+
+  private def singleCall(stmt: QlSelect, fields: Seq[String])
+      : (QlCall, String) = {
+    val (c, name) = stmt.fields.head match {
+      case QlField(cc: QlCall, alias) =>
+        (cc, alias.getOrElse(s"${cc.fn}_${cc.field}"))
+      case p => throw new QlParseException(s"unexpected projection $p")
+    }
+    require(fields.contains(c.field),
+      s"${c.fn}() needs a field, got '${c.field}'")
+    (c, name)
+  }
+
   // ---------------------------------------------------------- transform
 
   private val TransformFns = Set("difference", "derivative",
@@ -1195,12 +1407,16 @@ object QlPlanner {
     val v = col(c.field)
     c.fn match {
       case "count"  => count(v)
+      case "count_distinct" => countDistinct(v) // count(distinct(f))
       case "sum"    => sum(v)
       case "mean"   => avg(v)
       case "min"    => min(v)
       case "max"    => max(v)
       case "spread" => max(v) - min(v)
       case "stddev" => stddev_samp(v)
+      // most frequent value; ties pinned to the SMALLEST value
+      // (deterministic — InfluxQL's tie order is undocumented)
+      case "mode"   => mode(v, deterministic = true)
       case "median" => nearestRank(v, 50.0)
       case "percentile" =>
         val p = c.arg.get

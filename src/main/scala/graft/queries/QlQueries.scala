@@ -235,6 +235,139 @@ object QlQueries {
           / 100.0 END AS stddev_value
         FROM m""".replaceAll("\\s+", " "))),
 
+    // ---- the InfluxQL function tail (r12 VERDICT #4): integral /
+    // distinct / mode / sample / holt_winters reachable from query
+    // TEXT, each against its own DuckDB oracle.
+
+    // DISTINCT(f): per-series distinct field values
+    "ql_distinct" -> QueryDef(
+      run(s"select distinct(value) from events " +
+        s"where time >= ${StartNs}ns and time < ${EndNs}ns " +
+        s"group by event_type"),
+      Some(s"""SELECT DISTINCT 'events' AS measurement, event_type,
+        value AS distinct_value FROM events
+        WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs"""
+        .replaceAll("\\s+", " "))),
+
+    // COUNT(DISTINCT(f)) desugars into the aggregate family and mixes
+    // with other aggregates in one SELECT
+    "ql_count_distinct" -> QueryDef(
+      run(s"select count(distinct(value)), count(value) from events " +
+        s"where time >= ${StartNs}ns and time < ${EndNs}ns " +
+        s"group by *"),
+      Some(s"""SELECT 'events' AS measurement, event_type, user_id,
+        count(DISTINCT value)::BIGINT AS count_distinct_value,
+        count(value)::BIGINT AS count_value FROM events
+        WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+        GROUP BY event_type, user_id""".replaceAll("\\s+", " "))),
+
+    // MODE(f): most frequent value, ties pinned to the SMALLEST value
+    // on BOTH sides (InfluxQL leaves tie order undocumented; DuckDB's
+    // own mode() is tie-arbitrary, so the oracle ranks explicitly)
+    "ql_mode" -> QueryDef(
+      run(s"select mode(value) from events " +
+        s"where time >= ${StartNs}ns and time < ${EndNs}ns " +
+        s"group by *"),
+      Some(s"""WITH f AS (SELECT event_type, user_id, value,
+          count(*) AS n FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+          GROUP BY 1, 2, 3),
+        r AS (SELECT event_type, user_id, value, row_number() OVER (
+          PARTITION BY event_type, user_id
+          ORDER BY n DESC, value ASC) AS rk FROM f)
+        SELECT 'events' AS measurement, event_type, user_id,
+          value AS mode_value FROM r WHERE rk = 1"""
+        .replaceAll("\\s+", " "))),
+
+    // SAMPLE(f, N): N points per series — InfluxDB reservoir-samples
+    // randomly; we pin a deterministic multiplicative hash on the
+    // timestamp (reproducible + oracle-checkable, same uniform
+    // intent). The oracle replays the identical hash rank.
+    "ql_sample" -> QueryDef(
+      run(s"select sample(value, 3) from events " +
+        s"where time >= ${StartNs}ns and time < ${EndNs}ns " +
+        s"group by *"),
+      Some(s"""WITH s AS (SELECT event_type, user_id,
+          epoch_ns(ts) AS t, value,
+          row_number() OVER (PARTITION BY event_type, user_id
+            ORDER BY (epoch_ns(ts) % 1000000007) * 2654435761 %
+              1000000007, epoch_ns(ts)) AS rk
+          FROM events WHERE value IS NOT NULL
+            AND epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs)
+        SELECT 'events' AS measurement, event_type, user_id,
+          t AS "time", value AS sample_value FROM s WHERE rk <= 3"""
+        .replaceAll("\\s+", " "))),
+
+    // INTEGRAL(f, unit): per-series trapezoid area. Areas are per-row
+    // fixed-operand IEEE products but their SUM is order-dependent →
+    // rounded @4dp both sides (the ts_integral convention; GENERIC
+    // allowlist entry in RoundingLintSpec).
+    "ql_integral" -> QueryDef(
+      (s, dir) => run(s"select integral(value, 1s) from events " +
+        s"where time >= ${StartNs}ns and time < ${EndNs}ns " +
+        s"group by event_type")(s, dir)
+        .withColumn("integral_value",
+          round(col("integral_value"), 4)),
+      Some(s"""WITH s AS (SELECT event_type, epoch_ns(ts) AS t, value
+          FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs),
+        w AS (SELECT event_type,
+          (value + lag(value) OVER win) / 2 *
+            (CAST(t - lag(t) OVER win AS DOUBLE) / 1000000000.0)
+            AS area
+          FROM s WINDOW win AS
+            (PARTITION BY event_type ORDER BY t, value))
+        SELECT 'events' AS measurement, event_type,
+          round(sum(area), 4) AS integral_value
+        FROM w GROUP BY event_type""".replaceAll("\\s+", " "))),
+
+    // HOLT_WINTERS(count(f), N, S): the N future points of the
+    // fixed-coefficient (1/4,1/4,1/4) additive recursion over the
+    // daily count grid — exact integer micro-units end to end, one
+    // final /1e6 (the ts_holt_winters convention + the multi-step
+    // extension f(h) = l + h·t + seas[(i+h−1) mod S]).
+    "ql_holt_winters" -> QueryDef(
+      run(s"select holt_winters(count(value), 4, 3) from events " +
+        s"where time >= ${StartNs}ns and time < ${EndNs}ns " +
+        s"group by time(1d), event_type"),
+      Some {
+        val B = DayNs
+        val slot = "((n.rn - 1) % 3) + 1"
+        val l2 = s"((n.vu - r.seas[$slot]) + 3 * (r.l + r.t) + 2) // 4"
+        val sN = s"((n.vu - ($l2)) + 3 * r.seas[$slot] + 2) // 4"
+        s"""WITH RECURSIVE a AS (SELECT event_type,
+            ((epoch_ns(ts) - $StartNs) // $B) * $B + $StartNs AS b,
+            count(value) * 1000000 AS vu FROM events
+            WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+            GROUP BY 1, 2),
+          n AS (SELECT event_type, b, vu, row_number() OVER
+            (PARTITION BY event_type ORDER BY b) AS rn FROM a),
+          r AS (SELECT event_type, b, vu, rn, vu AS l,
+              CAST(0 AS BIGINT) AS t,
+              list_transform(generate_series(1, 3),
+                x -> CAST(0 AS BIGINT)) AS seas
+            FROM n WHERE rn = 1
+            UNION ALL
+            SELECT n.event_type, n.b, n.vu, n.rn,
+              $l2 AS l,
+              ((($l2) - r.l) + 3 * r.t + 2) // 4 AS t,
+              list_transform(generate_series(1, 3), j ->
+                CASE WHEN j = $slot THEN $sN ELSE r.seas[j] END) AS seas
+            FROM n JOIN r ON n.event_type = r.event_type
+              AND n.rn = r.rn + 1),
+          fin AS (SELECT event_type, b, rn, l, t, seas FROM r
+            QUALIFY row_number() OVER (PARTITION BY event_type
+              ORDER BY rn DESC) = 1)
+          SELECT 'events' AS measurement, fin.event_type,
+            fin.b + h.h * $B AS "time",
+            (fin.l + h.h * fin.t +
+              coalesce(fin.seas[((fin.rn + h.h - 1) % 3) + 1], 0))
+              ::DOUBLE / 1000000.0 AS holt_winters_value
+          FROM fin CROSS JOIN
+            (SELECT unnest(generate_series(1, 4)) AS h) h"""
+          .replaceAll("\\s+", " ")
+      }),
+
     // GROUP BY time(1h), * fill(previous): the InfluxQL downsampling
     // workhorse. Both time bounds are pinned, so the grid is the
     // WHOLE RANGE per series (true InfluxQL edge semantics —

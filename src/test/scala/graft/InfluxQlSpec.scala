@@ -687,6 +687,41 @@ class InfluxQlSpec extends AnyFunSuite {
       run("select sum(v) from m offset 2"))
   }
 
+  test("function-tail arg shapes: sample/holt_winters validation, " +
+    "count(distinct()) nesting, arg2 restricted to holt_winters") {
+    import graft.ql._
+    // sample needs a positive integer N
+    intercept[QlParseException](
+      InfluxQl.parse("select sample(v) from m"))
+    intercept[QlParseException](
+      InfluxQl.parse("select sample(v, 0) from m"))
+    // holt_winters needs an inner aggregate + integer N and S >= 2
+    intercept[QlParseException](
+      InfluxQl.parse("select holt_winters(v, 3, 4) from m"))
+    intercept[QlParseException](
+      InfluxQl.parse("select holt_winters(mean(v), 3) from m"))
+    intercept[QlParseException](
+      InfluxQl.parse("select holt_winters(mean(v), 3, 1) from m"))
+    val hw = InfluxQl.parse(
+      "select holt_winters(mean(v), 3, 4) from m group by time(1h)")
+    hw.fields.head.proj match {
+      case c: QlCall =>
+        assert(c.fn == "holt_winters" && c.arg.contains(3.0) &&
+          c.arg2.contains(4.0) && c.inner.exists(_.fn == "mean"))
+      case p => fail(s"$p")
+    }
+    // a second numeric arg anywhere else refuses
+    intercept[QlParseException](
+      InfluxQl.parse("select percentile(v, 50, 2) from m"))
+    // count(distinct(f)) parses as the nested form
+    InfluxQl.parse("select count(distinct(v)) from m")
+      .fields.head.proj match {
+      case c: QlCall =>
+        assert(c.fn == "count" && c.inner.exists(_.fn == "distinct"))
+      case p => fail(s"$p")
+    }
+  }
+
   test("schema DDL statements parse: the reference's emitted shapes " +
     "(client.go:90,112,137) with Go compound durations, INF, clause " +
     "order freedom, and the required-clause refusals") {

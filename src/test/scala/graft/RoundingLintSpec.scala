@@ -98,6 +98,7 @@ class RoundingLintSpec extends AnyFunSuite {
     "text_bigram_logprob" -> "GENERIC avg of logs @6dp",
     "text_unigram_logprob" -> "GENERIC avg of logs @6dp",
     "ts_integral" -> "GENERIC trapezoid areas @4dp",
+    "ql_integral" -> "GENERIC trapezoid areas @4dp (ts_integral twin)",
     "ts_similar_series" ->
       "GENERIC corr() internals @6dp (inputs exact since r12)")
 
