@@ -81,6 +81,27 @@ final class CqService(spark: SparkSession, srcRoot: String,
     out
   }
 
+  /** Register WITHOUT the arrival refresh: statement-level validation
+    * only (strict parse + the CQ shape requires). The rollup
+    * materializes on the next supervisor tick instead of immediately
+    * — the InfluxDB behavior, in fact (a new CQ first runs at its
+    * next interval); [[register]]'s arrival-run remains the default
+    * because it makes registrations immediately observable. Listing/
+    * catalog paths use this to avoid paying a full refresh for a
+    * metadata operation (the r12 bench-head lesson: SHOW CONTINUOUS
+    * QUERIES was the most expensive query in the bench because its
+    * setup refreshed twice). Tick-driven convergence is pinned by
+    * AgentSpec's E2E. */
+  def registerOnly(text: String): Unit = {
+    val stmt = InfluxQl.parseStatement(text) match {
+      case cq: QlCreateCq => cq
+      case other => throw new QlParseException(
+        s"not a CREATE CONTINUOUS QUERY statement: $other")
+    }
+    val kept = list.filterNot(_._1 == stmt.name)
+    write(kept :+ ((stmt.name, stmt.db.getOrElse("default"), text)))
+  }
+
   /** Unregister; returns true iff the name existed. */
   def drop(name: String): Boolean = {
     val cur = list
