@@ -219,6 +219,60 @@ final class StatusServer(
     "s" -> 1000000000L, "m" -> 60L * 1000000000L,
     "h" -> 3600L * 1000000000L)
 
+  /** `chunked=true[&chunk_size=N]` — the InfluxDB 1.x streaming
+    * response the reference READS WITH (client.go:343-344 sets
+    * Chunked/ChunkSize 10000): newline-delimited complete JSON
+    * documents, each carrying up to N rows, `"partial":true` on every
+    * frame except the last. Replaces the row-cap truncation for large
+    * results: rows stream through `toLocalIterator` (one partition
+    * resident at a time on the driver, HTTP chunked transfer out), so
+    * a dashboard-scale result never materializes whole. */
+  private def streamChunked(ex: HttpExchange,
+      df: org.apache.spark.sql.DataFrame, epochDivNs: Long,
+      chunkSize: Int): Unit = {
+    val cols = df.columns
+    val colJson = cols.map(jstr).mkString("[", ",", "]")
+    val timeIdx = cols.indexOf("time")
+    def cell(r: org.apache.spark.sql.Row, i: Int): String =
+      r.get(i) match {
+        case t: Long if i == timeIdx && epochDivNs > 1L =>
+          jval(t / epochDivNs)
+        case v => jval(v)
+      }
+    // the first job partition may already be running when headers go
+    // out — any plan/analysis error must surface as a 400 BEFORE the
+    // 200 status is committed, so force the iterator first
+    val it = df.toLocalIterator()
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0) // length 0 → chunked transfer
+    val os = ex.getResponseBody
+    try {
+      var first = true
+      while (it.hasNext || first) {
+        val buf = new StringBuilder
+        var n = 0
+        var name = "results"
+        while (n < chunkSize && it.hasNext) {
+          val r = it.next()
+          if (n == 0 && cols.headOption.contains("measurement"))
+            name = r.getString(0)
+          if (n > 0) buf.append(',')
+          buf.append((0 until r.length).map(i => cell(r, i))
+            .mkString("[", ",", "]"))
+          n += 1
+        }
+        val partial = if (it.hasNext) ""","partial":true""" else ""
+        val doc =
+          s"""{"results":[{"statement_id":0,"series":[{""" +
+            s""""name":${jstr(name)},"columns":$colJson,""" +
+            s""""values":[${buf.toString}]$partial}]$partial}]}""" + "\n"
+        os.write(doc.getBytes(StandardCharsets.UTF_8))
+        os.flush()
+        first = false
+      }
+    } finally os.close()
+  }
+
   private def handleQuery(ex: HttpExchange, exec: String =>
       org.apache.spark.sql.DataFrame): Unit = {
     // params from the query string (GET, client.go:60) or a form body
@@ -239,12 +293,22 @@ final class StatusServer(
         respond(ex, 400,
           s"""{"error":${jstr(s"bad epoch '$ep' (h|m|s|ms|u|ns)")}}""")
       case (Some(text), ep) =>
-        try respond(ex, 200, queryJson(exec(text),
-          ep.map(EpochDiv).getOrElse(1L)))
-        catch {
+        try {
+          val epochDiv = ep.map(EpochDiv).getOrElse(1L)
+          if (params.get("chunked").contains("true")) {
+            val size = params.get("chunk_size").map(_.toInt)
+              .getOrElse(10000) // the client.go:344 default
+            require(size > 0, s"chunk_size must be positive: $size")
+            streamChunked(ex, exec(text), epochDiv, size)
+          } else respond(ex, 200, queryJson(exec(text), epochDiv))
+        } catch {
           case e: Exception =>
-            respond(ex, 400, s"""{"error":${jstr(
+            // if the chunked stream already committed its 200 the
+            // respond below throws — the client sees the truncated
+            // stream (no terminating non-partial frame) instead
+            try respond(ex, 400, s"""{"error":${jstr(
               Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
+            catch { case _: java.io.IOException => ex.close() }
         }
     }
   }

@@ -87,6 +87,38 @@ class StatusServerSpec extends AnyFunSuite {
       assert(epU.body().contains("[\"cpu\",0,\"h2\",4.0]"), epU.body())
       assert(getEp("select v from cpu", "fortnights").statusCode()
         == 400)
+      // chunked=true streams newline-delimited complete JSON docs of
+      // chunk_size rows, "partial":true on every frame but the last —
+      // the shape client.go:343-344 consumes (Chunked, ChunkSize)
+      def getCh(q: String, extra: String)
+          : java.net.http.HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv.boundPort}/query?$extra&q=" +
+            java.net.URLEncoder.encode(q, "UTF-8"))).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val ch = getCh("select * from cpu", "chunked=true&chunk_size=2")
+      assert(ch.statusCode() == 200)
+      val frames = ch.body().split('\n').filter(_.nonEmpty)
+      assert(frames.length == 2, ch.body())
+      assert(frames(0).contains("\"partial\":true"))
+      assert(!frames(1).contains("\"partial\":true"))
+      assert(frames(0).startsWith("{\"results\":[{\"statement_id\":0")
+        && frames(1).endsWith("}]}"))
+      // 2 rows + 1 row; the union of values equals the full result
+      // (no truncation cap on the chunked path — it streams)
+      val nVals = frames.map(f =>
+        "\\[\"cpu\"".r.findAllIn(f).length).toSeq
+      assert(nVals == Seq(2, 1), ch.body())
+      // chunk boundary aligned exactly → still no trailing empty frame
+      val ch3 = getCh("select * from cpu", "chunked=true&chunk_size=3")
+      assert(ch3.body().split('\n').count(_.nonEmpty) == 1)
+      assert(!ch3.body().contains("partial"))
+      // bad chunk_size → 400 before any stream starts
+      assert(getCh("select * from cpu", "chunked=true&chunk_size=0")
+        .statusCode() == 400)
+      // a plan error on the chunked path is still a clean 400
+      assert(getCh("select sum(v) from nosuch", "chunked=true")
+        .statusCode() == 400)
       // parse error → 400 with the parser's message
       val bad = get("select maen(v) from cpu")
       assert(bad.statusCode() == 400)
