@@ -92,17 +92,21 @@ object QlQueries {
           // identity, not round(agg(),4): values are exact 2-decimal,
           // so per-series means land ON 4-decimal rounding boundaries
           // constantly and engine round() implementations disagree
-          // there. Recovering the exact cent total from the drifty
-          // double sum (drift ≪ 0.5 cents) and computing
-          // half-up((cents·100)/n) in Long arithmetic is
-          // engine-independent; sum = cents/100.0 is one exact IEEE op.
+          // there. The mean stays a PURE BIGINT `mean_e4` = half-up
+          // (mean·10⁴): the r13 probe battery proved the `//`-quotient-
+          // divided-by-decimal-literal form diverges at the driver's
+          // DuckDB (red uncast AND with ::DOUBLE on the quotient —
+          // probe_halfup_uncast / _cast_double), while the identical
+          // quotient emitted as BIGINT (probe_halfup_cast_bigint) and a
+          // plain sum divided by a literal (probe_uncast_sum_div) are
+          // green. sum = cents/100.0 is one exact IEEE op on a sum, the
+          // empirically-green class.
           .withColumn("__cents",
             round(col("sum_value") * 100, 0).cast("long"))
-          .withColumn("mean_value",
-            expr("((200 * __cents + count_value) div (2 * count_value))" +
-              " / 10000.0"))
+          .withColumn("mean_e4",
+            expr("(200 * __cents + count_value) div (2 * count_value)"))
           .withColumn("sum_value", expr("__cents / 100.0"))
-          .drop("__cents")
+          .drop("__cents", "mean_value")
           // round(stddev_samp,4) is NOT deterministic: stddev is an
           // order-dependent multi-row double aggregate, and a group
           // whose stddev·10⁴ sits within merge-order noise of a .5
@@ -140,7 +144,7 @@ object QlQueries {
         SELECT 'events' AS measurement, event_type, user_id,
         n AS count_value,
         s1::DOUBLE / 100.0 AS sum_value,
-        ((200 * s1 + n) // (2 * n))::DOUBLE / 10000.0 AS mean_value,
+        CAST((200 * s1 + n) // (2 * n) AS BIGINT) AS mean_e4,
         mn AS min_value, mx AS max_value,
         mx - mn AS spread_value,
         CASE WHEN n > 1 THEN
@@ -184,9 +188,10 @@ object QlQueries {
         )(s, dir)
         .withColumn("__cents",
           round(col("sum_value") * 100, 0).cast("long"))
-        .withColumn("mean_value",
-          expr("((200 * __cents + count_value) div (2 * count_value))" +
-            " / 10000.0"))
+        // pure-BIGINT mean_e4 (probe_halfup_cast_bigint form): the
+        // quotient-÷-literal float forms are driver-red, see composite.
+        .withColumn("mean_e4",
+          expr("(200 * __cents + count_value) div (2 * count_value)"))
         .drop("__cents", "sum_value", "count_value"),
       Some(s"""WITH m AS (SELECT event_type, user_id,
           count(*)::BIGINT AS n,
@@ -195,7 +200,7 @@ object QlQueries {
           WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
           GROUP BY 1, 2)
         SELECT 'events' AS measurement, event_type, user_id,
-        ((200 * s1 + n) // (2 * n))::DOUBLE / 10000.0 AS mean_value
+        CAST((200 * s1 + n) // (2 * n) AS BIGINT) AS mean_e4
         FROM m""".replaceAll("\\s+", " "))),
     "ql_agg_star_minmax" -> QueryDef(
       run(s"select min(value), max(value), spread(value) from events " +
