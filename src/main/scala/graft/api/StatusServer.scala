@@ -48,11 +48,23 @@ final class StatusServer(
     // marked "partial":true (InfluxDB's chunked-response analog —
     // an unbounded collect() behind an HTTP GET is a driver OOM)
     queryMaxRows: Int = 10000,
-    // wired → POST /write ingests a line-protocol batch (the write
-    // half of the InfluxDB 1.x API; see api.WriteService) and
+    // wired → POST /write?db=… ingests a line-protocol batch (the
+    // write half of the InfluxDB 1.x API; see api.WriteService — the
+    // db param routes auto-created measurements like InfluxDB) and
     // returns 204; None keeps the endpoint absent. Same auth regime
     // as /query (see its note).
-    writeExec: Option[String => Long] = None) {
+    writeExec: Option[(String, Option[String]) => Long] = None,
+    // InfluxDB 1.x `[http] auth-enabled` analog for the DATA plane:
+    // non-empty → every /query and /write request must carry matching
+    // `u`/`p` query params (exactly what the reference's client sends
+    // when credentials are configured, client.go:46-56) or it is
+    // refused 401 — which is how `allowMutations` composes with auth:
+    // with credentials set, the mutating surface (DDL/DELETE over
+    // /query, POST /write) is reachable only by an authenticated
+    // caller. Empty (default) keeps the credential-blind InfluxDB
+    // default (auth-enabled = false).
+    dataUser: String = "",
+    dataPassword: String = "") {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // token → expiry epoch-ms; pruned on every login/validation so a
@@ -246,22 +258,36 @@ final class StatusServer(
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(200, 0) // length 0 → chunked transfer
     val os = ex.getResponseBody
+    // one-row pushback so a frame can close EARLY at a series
+    // boundary: InfluxDB 1.x breaks chunks where the series changes,
+    // and labeling a frame with its first row's measurement while
+    // other measurements' rows ride along mid-chunk would mislabel
+    // them (a multi-measurement regex-FROM result is measurement-
+    // contiguous, so the boundary split keeps every frame honest).
+    val measIdx = if (cols.headOption.contains("measurement")) 0 else -1
+    var pending: org.apache.spark.sql.Row =
+      if (it.hasNext) it.next() else null
     try {
       var first = true
-      while (it.hasNext || first) {
+      while (pending != null || first) {
         val buf = new StringBuilder
         var n = 0
-        var name = "results"
-        while (n < chunkSize && it.hasNext) {
-          val r = it.next()
-          if (n == 0 && cols.headOption.contains("measurement"))
-            name = r.getString(0)
-          if (n > 0) buf.append(',')
-          buf.append((0 until r.length).map(i => cell(r, i))
-            .mkString("[", ",", "]"))
-          n += 1
+        val name =
+          if (pending != null && measIdx >= 0) pending.getString(measIdx)
+          else "results"
+        var boundary = false
+        while (!boundary && n < chunkSize && pending != null) {
+          if (measIdx >= 0 && pending.getString(measIdx) != name)
+            boundary = true
+          else {
+            if (n > 0) buf.append(',')
+            buf.append((0 until pending.length)
+              .map(i => cell(pending, i)).mkString("[", ",", "]"))
+            n += 1
+            pending = if (it.hasNext) it.next() else null
+          }
         }
-        val partial = if (it.hasNext) ""","partial":true""" else ""
+        val partial = if (pending != null) ""","partial":true""" else ""
         val doc =
           s"""{"results":[{"statement_id":0,"series":[{""" +
             s""""name":${jstr(name)},"columns":$colJson,""" +
@@ -273,19 +299,31 @@ final class StatusServer(
     } finally os.close()
   }
 
+  private def parseParams(s: String): Map[String, String] =
+    s.split('&').toSeq.flatMap(_.split("=", 2) match {
+      case Array(k, v) =>
+        Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+      case _ => None
+    }).toMap
+
+  /** Data-plane auth (InfluxDB 1.x auth-enabled): `u`/`p` request
+    * params against the configured credentials, constant-time. Always
+    * true when no dataUser is configured (auth-enabled = false). */
+  private def dataAuthOk(params: Map[String, String]): Boolean =
+    dataUser.isEmpty ||
+      (params.get("u").exists(ctEquals(_, dataUser)) &&
+        params.get("p").exists(ctEquals(_, dataPassword)))
+
   private def handleQuery(ex: HttpExchange, exec: String =>
       org.apache.spark.sql.DataFrame): Unit = {
     // params from the query string (GET, client.go:60) or a form body
     // (POST); body wins per-key only when the URI lacks it
-    def parse(s: String): Map[String, String] =
-      s.split('&').toSeq.flatMap(_.split("=", 2) match {
-        case Array(k, v) =>
-          Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
-        case _ => None
-      }).toMap
     val params =
-      parse(Option(bodyOf(ex)).getOrElse("")) ++
-        parse(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      parseParams(Option(bodyOf(ex)).getOrElse("")) ++
+        parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+    if (!dataAuthOk(params)) {
+      respond(ex, 401, """{"error":"authorization failed"}"""); return
+    }
     (params.get("q"), params.get("epoch")) match {
       case (None, _) =>
         respond(ex, 400, """{"error":"missing q parameter"}""")
@@ -338,16 +376,23 @@ final class StatusServer(
       server.createContext("/query",
         (ex: HttpExchange) => handleQuery(ex, exec)))
     writeExec.foreach(wr =>
-      server.createContext("/write", (ex: HttpExchange) =>
-        try {
-          wr(bodyOf(ex)): Unit
+      server.createContext("/write", (ex: HttpExchange) => {
+        // /write params live in the URI ONLY — the POST body is the
+        // line-protocol batch, never a form
+        val params = parseParams(
+          Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+        if (!dataAuthOk(params))
+          respond(ex, 401, """{"error":"authorization failed"}""")
+        else try {
+          wr(bodyOf(ex), params.get("db")): Unit
           ex.sendResponseHeaders(204, -1) // InfluxDB: 204 No Content
           ex.close()
         } catch {
           case e: Exception =>
             respond(ex, 400, s"""{"error":${jstr(
               Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
-        }))
+        }
+      }))
     // static UI at the root (webserver.go:81-87 serves the built HTML
     // dir the same way); "/" is the longest-prefix fallback, so the
     // /api/* and /login|/logout contexts above still win

@@ -1,7 +1,7 @@
 package graft.api
 
-import graft.model.FieldType
-import graft.sources.{LineProtocol, Tables}
+import graft.model.{DbSchema, FieldType}
+import graft.sources.LineProtocol
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -25,8 +25,9 @@ import org.apache.spark.sql.types._
   *    write (a pinned deviation from InfluxDB's partial-write 400 —
   *    silently persisting half a batch is how replicas diverge), and
   *    EVERY batch-level precondition (line shape, timestamps,
-  *    measurement existence, sink layout) is validated BEFORE the
-  *    first point persists — a refused batch leaves storage untouched;
+  *    measurement existence, sink layout — including the auto-create
+  *    target's) is validated BEFORE the first point persists — a
+  *    refused batch leaves storage untouched;
   *  - timestampless lines refuse: valid LP that InfluxDB stamps with
   *    server receive time, but under last-write-wins upsert the 0L
   *    default would silently collapse the batch onto epoch 0 — a
@@ -35,13 +36,26 @@ import org.apache.spark.sql.types._
   *    semantics, the plane the reference's copy loop exercises on a
   *    fresh slave): tags become string columns, fields take the LP
   *    literal's type (`i`→long, `u`→uint64 decimal, t/f→boolean,
-  *    numeric→double, else string — client.go:430-459 in reverse),
-  *    time lands as the canonical ns-epoch Long, and the series key
-  *    is the line's tag set (InfluxDB's own series identity).
+  *    numeric→double, QUOTED literal→string regardless of content —
+  *    InfluxDB types quoted values as strings, client.go:430-459 in
+  *    reverse), time lands as the canonical ns-epoch Long, and the
+  *    series key is the line's tag set (InfluxDB's own series
+  *    identity). In a hierarchical root the new measurement is
+  *    created under the target database's DEFAULT retention policy
+  *    (honoring /write's `db` param like InfluxDB — `db` must name an
+  *    existing database, "database not found" otherwise), so it is
+  *    immediately visible to [[graft.catalog.Catalog.getSchema]] and
+  *    /query; flat roots keep the flat `root/<m>.parquet` layout.
   *    `autoCreate = false` restores the schema-first refusal for
   *    deployments that prefer declared schemas over first-line type
-  *    inference (a quoted "123" infers float — the quote marks are
-  *    consumed by the scanner).
+  *    inference.
+  *
+  * Cost contract: the catalog walk (directory listing + parquet
+  * footers) runs ONCE and is cached across batches — at production
+  * write rates a per-batch storage walk is the write plane's scale
+  * killer (the r13 sync_write_upsert 1.7× regression). The cache is
+  * invalidated whenever this service itself changes the catalog
+  * (auto-create); out-of-band catalog edits need [[invalidateSchema]].
   */
 final class WriteService(
     spark: SparkSession,
@@ -53,8 +67,32 @@ final class WriteService(
     timeCol: String = "ts",
     autoCreate: Boolean = true) {
 
-  /** Write one line-protocol batch; returns points written. */
-  def write(body: String): Long = {
+  private val catalog = new graft.catalog.Catalog(spark)
+
+  /** Cached getSchema walk (see cost contract above). `null` = stale. */
+  @volatile private var schemaCache: Seq[DbSchema] = null
+
+  /** Drop the cached catalog walk — call after out-of-band DDL/copy
+    * changes the storage tree underneath a long-lived service. */
+  def invalidateSchema(): Unit = schemaCache = null
+
+  private def schema(): Seq[DbSchema] = {
+    var s = schemaCache
+    if (s == null) { s = catalog.getSchema(root); schemaCache = s }
+    s
+  }
+
+  private def fs() = {
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sessionState.newHadoopConf())
+  }
+
+  /** Write one line-protocol batch; returns points written.
+    * @param db target database for auto-created measurements (the
+    *   /write `db` query param). Required when the root is
+    *   hierarchical and the batch carries an unknown measurement;
+    *   ignored for writes into known measurements of a flat root. */
+  def write(body: String, db: Option[String] = None): Long = {
     val lines = body.split('\n').map(_.stripSuffix("\r"))
       .filter(_.trim.nonEmpty).toSeq
     require(lines.nonEmpty, "empty write body")
@@ -68,41 +106,104 @@ final class WriteService(
         s"last-write-wins): $l")
       p -> i.toLong
     }
-    val schema = new graft.catalog.Catalog(spark).getSchema(root)
     val byMeasurement = points.groupBy(_._1.measurement).toSeq
       .sortBy(_._1)
     // resolve + validate EVERY measurement before writing ANY: the
     // strict-batch contract is atomic refusal, so an unknown 'zzz'
     // must not leave 'aaa' half-persisted (per-measurement writes are
-    // ordered by name — the require would otherwise fire mid-batch)
+    // ordered by name — the require would otherwise fire mid-batch).
+    // Resolution order: flat `root/<m>.parquet` by ONE existence
+    // check (the production copy-loop path never pays a catalog
+    // walk — not even the cached one's first fill), then the
+    // hierarchical catalog, then auto-create.
     val resolved = byMeasurement.map { case (m, pts) =>
-      val known = (for {
-        d <- schema; rp <- d.rps; mm <- rp.measurements
-        if mm.name == m
-      } yield (d.name, rp.name)).headOption
-      require(known.isDefined || autoCreate,
-        s"unknown measurement '$m' — create it first (schema-first " +
-          "writes; autoCreate disabled)")
-      val path = known.map { case (db, rp) =>
-        measurementPath(db, rp, m)
+      val flat = s"$root/$m.parquet"
+      if (fs().exists(new org.apache.hadoop.fs.Path(flat))) {
+        requireChunkLayout(m, flat) // pre-validate, all-or-none
+        (m, flat, pts, false)
+      } else {
+        val known = (for {
+          d <- schema() if db.forall(_ == d.name)
+          rp <- d.rps; mm <- rp.measurements
+          if mm.name == m
+        } yield (d.name, rp.name)).headOption
+        known match {
+          case Some((kdb, krp)) =>
+            val path = s"$root/$kdb/$krp/$m.parquet"
+            requireChunkLayout(m, path)
+            (m, path, pts, false)
+          case None =>
+            require(autoCreate,
+              s"unknown measurement '$m' — create it first " +
+                "(schema-first writes; autoCreate disabled)")
+            val path = autoCreatePath(m, db)
+            // the auto-create target gets the SAME pre-validation as a
+            // known sink: a flat part-file parquet already sitting at
+            // the target would be corrupted by __bucket= dirs.
+            requireChunkLayout(m, path)
+            (m, path, pts, true)
+        }
       }
-      path.foreach(requireChunkLayout(m, _)) // pre-validate, all-or-none
-      (m, path, pts)
     }
     resolved.foreach {
-      case (m, Some(path), pts) => writeMeasurement(m, path, pts)
-      case (m, None, pts)       => createMeasurement(m, pts)
+      case (m, path, pts, false) => writeMeasurement(m, path, pts)
+      case (m, path, pts, true)  => createMeasurement(m, path, pts)
     }
     points.size.toLong
   }
 
-  private def measurementPath(db: String, rp: String, m: String)
-      : String = {
-    val conf = spark.sessionState.newHadoopConf()
-    val flat = s"$root/$m.parquet"
-    val hp = new org.apache.hadoop.fs.Path(flat)
-    if (hp.getFileSystem(conf).exists(hp)) flat
-    else s"$root/$db/$rp/$m.parquet"
+  /** Where a new measurement lands: under the target db's default RP
+    * in a hierarchical root (InfluxDB semantics — the db must already
+    * exist), flat `root/<m>.parquet` otherwise. */
+  private def autoCreatePath(m: String, db: Option[String]): String =
+    if (!catalog.isHierarchical(root)) s"$root/$m.parquet"
+    else {
+      val name = db.getOrElse(throw new IllegalArgumentException(
+        s"auto-create of '$m' in a hierarchical root needs the " +
+          "db query param (InfluxDB: /write?db=...)"))
+      val target = schema().find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"database not found: $name"))
+      val rp = target.rps.find(_.isDefault)
+        .getOrElse(target.rps.head).name
+      s"$root/$name/$rp/$m.parquet"
+    }
+
+  /** The auto-create series identity survives restarts in a
+    * `_series.json` sidecar INSIDE the measurement dir (Spark's file
+    * index skips underscore-prefixed files, the `_cq.json` precedent):
+    * once string FIELDS exist (quoted LP literals), "all string
+    * columns" no longer recovers the tag set, and keying an upsert on
+    * a string field would fork the series whenever a later point
+    * omits that field. */
+  private def seriesMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_series.json")
+
+  private def writeSeriesMeta(path: String, key: Seq[String]): Unit = {
+    val out = fs().create(seriesMetaPath(path), true)
+    try out.write(key.map(k => "\"" + k + "\"")
+      .mkString("""{"series_key":[""", ",", "]}")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSeriesMeta(path: String): Option[Seq[String]] = {
+    val p = seriesMetaPath(path)
+    if (!fs().exists(p)) None
+    else {
+      val in = fs().open(p)
+      try {
+        val bytes =
+          new Array[Byte](fs().getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        val txt = new String(bytes,
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"series_key":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+          .map(_.group(1).split(',').toSeq
+            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty))
+      } finally in.close()
+    }
   }
 
   private def ftypeOf(dt: DataType): FieldType = dt match {
@@ -117,11 +218,11 @@ final class WriteService(
   /** The upsert needs the chunk-partitioned sink layout (mixing
     * __bucket dirs into a flat parquet dir would corrupt partition
     * discovery). Separated from the write so the batch pre-pass can
-    * validate all targets before any of them is touched. */
+    * validate all targets — including auto-create's — before any of
+    * them is touched. */
   private def requireChunkLayout(m: String, path: String): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(hp) || !fs.listStatus(hp).exists(st =>
+    require(!fs().exists(hp) || !fs().listStatus(hp).exists(st =>
         st.isFile && st.getPath.getName.startsWith("part-")),
       s"measurement '$m' is a flat parquet — /write needs the " +
         "chunk-partitioned sink layout (copy/replicate it first)")
@@ -129,10 +230,12 @@ final class WriteService(
 
   /** First write to an unknown measurement: infer the schema from the
     * batch (InfluxDB 1.x auto-create). Tags → string columns; each
-    * field takes its LP literal type from the FIRST line carrying it;
-    * time is the canonical ns Long. Created flat (`root/<m>.parquet`)
-    * in the chunk-partitioned layout, series key = the tag set. */
-  private def createMeasurement(m: String,
+    * field takes its LP literal type from the FIRST line carrying it
+    * (quoted literals are strings regardless of content); time is the
+    * canonical ns Long. Created at `path` (db-default-RP dir in
+    * hierarchical roots, flat otherwise) in the chunk-partitioned
+    * layout, series key = the tag set. */
+  private def createMeasurement(m: String, path: String,
       pts: Seq[(LineProtocol.LinePoint, Long)]): Unit = {
     import spark.implicits._
     val tagKeys = pts.flatMap(_._1.tags.keys).distinct.sorted
@@ -141,9 +244,10 @@ final class WriteService(
     require(!tagKeys.contains(timeCol) && !fieldKeys.contains(timeCol),
       s"auto-create: '$timeCol' collides with the time column")
     val fieldTypes: Map[String, FieldType] = fieldKeys.map { k =>
-      val raw = pts.iterator.map(_._1.fields.get(k))
-        .collectFirst { case Some(v) => v }.get
-      k -> inferFieldType(raw)
+      val first = pts.iterator
+        .collectFirst { case (p, _) if p.fields.contains(k) => p }.get
+      k -> inferFieldType(first.fields(k),
+        quoted = first.quotedFields.contains(k))
     }.toMap
     val df0 = pts.map { case (p, i) =>
       (p.tags, p.fields, p.timeNs, i)
@@ -157,17 +261,21 @@ final class WriteService(
     val key = seriesCols.getOrElse(m,
       if (tagKeys.nonEmpty) tagKeys else fieldKeys.take(1))
     val job = new graft.operators.CopyJob(spark)
-    job.upsertPoints(s"$root/$m.parquet", df0.select(cols: _*),
+    job.upsertPoints(path, df0.select(cols: _*),
       graft.operators.CopyJob.Config(0L, 0L, chunkNs,
         timeCol = timeCol),
       keyCols = key): Unit
+    writeSeriesMeta(path, key) // series identity survives restarts
+    invalidateSchema() // the walk no longer reflects storage
   }
 
   /** LP literal → stored type (the client.go:430-459 coercion matrix
-    * in reverse): `NNNi` integer, `NNNu` unsigned, t/f/true/false
-    * boolean, bare numeric float, anything else string. */
-  private def inferFieldType(raw: String): FieldType =
-    if (raw.matches("-?\\d+i")) FieldType.Integer
+    * in reverse): quoted → string (whatever the content — InfluxDB
+    * types `v="123"` as a string), `NNNi` integer, `NNNu` unsigned,
+    * t/f/true/false boolean, bare numeric float, else string. */
+  private def inferFieldType(raw: String, quoted: Boolean): FieldType =
+    if (quoted) FieldType.Str
+    else if (raw.matches("-?\\d+i")) FieldType.Integer
     else if (raw.matches("\\d+u")) FieldType.Unsigned
     else if (Set("t", "true", "f", "false")(raw.toLowerCase))
       FieldType.Bool
@@ -201,9 +309,14 @@ final class WriteService(
       }
     } :+ col("__line")
     val decoded = df0.select(cols: _*)
+    // key precedence: explicit config → the `_series.json` the
+    // auto-create wrote (the line's tag set, InfluxDB's own series
+    // identity) → all string columns (the pre-sidecar convention,
+    // correct only while no string FIELDS exist)
     val key = seriesCols.getOrElse(m,
-      target.schema.fields.toSeq
-        .filter(_.dataType == StringType).map(_.name))
+      readSeriesMeta(path).getOrElse(
+        target.schema.fields.toSeq
+          .filter(_.dataType == StringType).map(_.name)))
     val job = new graft.operators.CopyJob(spark)
     job.upsertPoints(path, decoded,
       graft.operators.CopyJob.Config(0L, 0L, chunkNs,

@@ -47,6 +47,11 @@ final class Catalog(spark: SparkSession) {
   private def dbDirs(root: String): Seq[String] =
     listDirs(root).filterNot(_.endsWith(".parquet"))
 
+  /** Whether the root is the hierarchical `db/rp/<m>.parquet` tree (vs
+    * the flat default/autogen layout) — the layout decision every
+    * writer into the tree must agree on with this catalog. */
+  def isHierarchical(root: String): Boolean = dbDirs(root).nonEmpty
+
   /** SHOW MEASUREMENTS analog: parquet tables under a (db, rp) dir, or the
     * flat root (client.go:271-310). */
   def measurements(dir: String): Seq[String] = {

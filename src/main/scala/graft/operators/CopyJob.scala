@@ -530,7 +530,15 @@ final class CopyJob(
           .drop("__rn", orderCol)
       }
       // grid buckets overlapped by one merge group coalesce, so an
-      // irregular span straddling two batch buckets is read ONCE
+      // irregular span straddling two batch buckets is read ONCE.
+      // Pass 1 builds the disjoint groups; pass 2 executes them IN
+      // PARALLEL — each group is one independent chunk rewrite (its
+      // own shuffle + swap), and running them sequentially charges
+      // the batch one full Spark-job latency per touched chunk (the
+      // r13 write-plane regression's real cost at bench scale; at
+      // 100 TB the concurrency is what keeps a wide batch's wall
+      // time at max-of-chunks, not sum-of-chunks)
+      var groups = Seq.empty[(Seq[Long], Long, Long, Seq[(Long, Long)])]
       var remaining = buckets.toList
       while (remaining.nonEmpty) {
         val bs = remaining.head
@@ -548,11 +556,15 @@ final class CopyJob(
           overlapped = spans.filter { case (s, e) => s < te0 && e > ts0 }
         }
         remaining = remaining.filterNot(group.contains)
+        groups :+= ((group, ts0, te0, overlapped))
+      }
+      val results = inParallel(4, groups) {
+        case (group, ts0, te0, overlapped) =>
         val slice = withB.filter(col("__bs").isin(group: _*)).drop("__bs")
         if (overlapped.isEmpty) {
           lastWins(slice).write.mode("overwrite")
             .parquet(s"$dstPath/__bucket=${ts0}_$te0")
-          created :+= ((ts0, te0))
+          Left((ts0, te0))
         } else {
           val existing = overlapped.map { case (s, e) =>
             spark.read.parquet(s"$dstPath/__bucket=${s}_$e")
@@ -576,8 +588,12 @@ final class CopyJob(
             new Path(s"$dstPath/__bucket=${ts0}_$te0")),
             s"upsert: cannot promote $tmp (rows preserved in backups)")
           baks.foreach(fs.delete(_, true))
-          rewritten :+= ((ts0, te0))
+          Right((ts0, te0))
         }
+      }
+      results.foreach {
+        case Left(span)  => created :+= span
+        case Right(span) => rewritten :+= span
       }
       (created, rewritten)
     } finally withB.unpersist(): Unit

@@ -287,6 +287,20 @@ object QlPlanner {
     // refuses too).
     val tags = matched.flatMap(_.tags).distinct
     val fields = matched.flatMap(_.fields).distinct
+    // a name that is a TAG in one matched measurement and a FIELD in
+    // another would land in both seqs, get selected twice, and every
+    // later col() reference would die with an ambiguous-reference
+    // AnalysisException deep in the plan — refuse at the planner with
+    // the column named (InfluxDB's dual-role `key` / `key_1` renaming
+    // has no analog in one unified frame)
+    val dualRole = tags.intersect(fields)
+    require(dualRole.isEmpty,
+      s"column${if (dualRole.size > 1) "s" else ""} " +
+        s"${dualRole.mkString("'", "', '", "'")} " +
+        s"appear${if (dualRole.size > 1) "" else "s"} as a tag in one " +
+        s"measurement matched by ${stmt.source} and as a field in " +
+        "another — a dual-role name cannot be unioned into one frame; " +
+        "query the measurements separately")
     val colType: Map[String, org.apache.spark.sql.types.DataType] =
       (tags ++ fields).map { c =>
         val types = matched.filter(t =>

@@ -1117,9 +1117,11 @@ object QlQueries {
     // endpoint serves, with the mutation gate opened explicitly.
     "ql_create_db" -> QueryDef(
       (s, dir) => {
-        val root = s"/tmp/graft_qlddl_${math.abs(dir.hashCode)}"
-        val p = new org.apache.hadoop.fs.Path(root)
-        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        // per-invocation unique root: a fixed hash-named /tmp path
+        // races concurrent runs over the same data dir mid-sequence
+        // (and Int hashCode collides across dirs) — ADVICE r13
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_qlddl_").toString
         val exec = QlPlanner.executor(s, root, Nil,
           allowMutations = true)
         exec("""CREATE DATABASE "telegraf" WITH DURATION 168h0m0s """ +
@@ -1143,9 +1145,9 @@ object QlQueries {
     // must drop, SetDefaultRP semantics).
     "ql_create_rp" -> QueryDef(
       (s, dir) => {
-        val root = s"/tmp/graft_qlrp_${math.abs(dir.hashCode)}"
-        val p = new org.apache.hadoop.fs.Path(root)
-        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        // per-invocation unique root (see ql_create_db)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_qlrp_").toString
         val exec = QlPlanner.executor(s, root, Nil,
           allowMutations = true)
         exec("""CREATE DATABASE "graphite" WITH DURATION 24h0m0s """ +

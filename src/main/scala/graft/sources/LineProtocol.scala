@@ -117,7 +117,14 @@ object LineProtocol {
         * InfluxDB stamps with server receive time; consumers that
         * cannot stamp (the strict /write plane) must refuse instead
         * of letting the 0L default collapse a batch onto epoch 0. */
-      hasTime: Boolean = true)
+      hasTime: Boolean = true,
+      /** Field keys whose value arrived double-quoted on the wire.
+        * The scanner consumes the quote marks, so without this flag a
+        * quoted numeric/boolean literal (`v="123"`, `v="true"`) is
+        * indistinguishable from the bare one — and InfluxDB types
+        * quoted values as STRINGS (client.go:453-461). Auto-create
+        * type inference must consult this, not the raw text. */
+      quotedFields: Seq[String] = Nil)
 
   /** Parse one line. Hand-rolled scanner (escape- and quote-aware; a
     * regex/split pipeline cannot handle spaces inside quoted string
@@ -160,12 +167,14 @@ object LineProtocol {
     require(i < n && line.charAt(i) == ' ', s"malformed line: $line")
     i += 1
     var fields = Map.empty[String, String]
+    var quoted = List.empty[String]
     var done = false
     while (!done) {
       val k = scanUntil(Set('='))
       require(i < n && line.charAt(i) == '=',
         s"malformed field set (no '='): $line")
       i += 1
+      if (i < n && line.charAt(i) == '"') quoted ::= k
       val v = scanUntil(Set(',', ' '), inQuotes = true)
       fields += (k -> v)
       if (i < n && line.charAt(i) == ',') i += 1 else done = true
@@ -175,7 +184,7 @@ object LineProtocol {
         Some(line.substring(i + 1).trim.toLong)
       else None
     LinePoint(measurement, tags, fields, ts.getOrElse(0L),
-      hasTime = ts.isDefined)
+      hasTime = ts.isDefined, quotedFields = quoted.reverse)
   }
 
   /** Typed coercion of one raw field value, per the declared Influx type —

@@ -419,6 +419,17 @@ class InfluxQlSpec extends AnyFunSuite {
         mixed :+ QlTable("m4", m4, "t", Seq.empty, Seq("v"))))
     intercept[IllegalArgumentException](
       run("select count(v) from nosuch"))
+    // a DUAL-ROLE name — tag in one matched measurement, field in
+    // another — refuses at the planner naming the column, instead of
+    // selecting it twice and dying later with an ambiguous-reference
+    // AnalysisException (ADVICE r13)
+    val m5 = Seq((10L, "x", 1.0)).toDF("t", "v", "w")
+    val dual = intercept[IllegalArgumentException](
+      run("select count(w) from /^m/ group by *",
+        mixed :+ QlTable("m5", m5, "t", Seq("v"), Seq("w"))))
+    assert(dual.getMessage.contains("'v'") &&
+      dual.getMessage.contains("tag") &&
+      dual.getMessage.contains("field"), dual.getMessage)
   }
 
   test("planner: GROUP BY time buckets floor to the bucket start; " +

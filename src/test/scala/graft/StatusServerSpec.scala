@@ -235,7 +235,8 @@ class StatusServerSpec extends AnyFunSuite {
       chunkNs = 86400000000000L)
     val t0 = 1704412800000000000L
     ws.write(
-      s"cpu,host=h1,region=eu usage=0.52,cores=8i,online=t $t0\n" +
+      s"cpu,host=h1,region=eu usage=0.52,cores=8i,online=t," +
+        s"""qnum="123" $t0\n""" +
         s"cpu,host=h2,region=us usage=0.11,cores=4i,online=f," +
         s"note=${"\"warm\""} ${t0 + 1000000000L}\n")
     val df = spark.read.parquet(s"$root/cpu.parquet")
@@ -246,6 +247,10 @@ class StatusServerSpec extends AnyFunSuite {
     assert(types("cores") == LongType)
     assert(types("online") == BooleanType)
     assert(types("note") == StringType)
+    // a QUOTED numeric literal is a string (InfluxDB types quoted
+    // values as strings; the scanner consumes the quote marks, so the
+    // parser's quotedFields flag — not the raw text — must drive this)
+    assert(types("qnum") == StringType)
     assert(types("ts") == LongType) // canonical ns epoch
     assert(df.count() == 2)
     val h1 = df.filter(col("host") === "h1").head()
@@ -415,5 +420,179 @@ class StatusServerSpec extends AnyFunSuite {
           r.body().contains("allowMutations"), s"$stmt -> ${r.body()}")
       }
     } finally { srv.stop(); closed.stop() }
+  }
+
+  test("data-plane u=/p= credentials (the InfluxDB 1.x auth-enabled " +
+    "analog, client.go:46-56): /query and /write refuse credential-" +
+    "less and wrong-credential requests with 401 and accept matching " +
+    "params — so the mutating surface (DDL over /query, POST /write) " +
+    "composes with allowMutations: reachable only authenticated") {
+    val spark = SparkSpec.spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_auth_cat").toString + "/cat"
+    val wroot = java.nio.file.Files
+      .createTempDirectory("graft_auth_w").toString
+    val ws = new graft.api.WriteService(spark, wroot)
+    val status = ClusterStatus("OK", 0L, 0L, masterState = true,
+      masterLastOkNs = 1L, slaveState = true, slaveLastOkNs = 1L)
+    val srv = new StatusServer(0, () => status, () => Nil,
+      queryExec = Some(graft.ql.QlPlanner.executor(spark, root, Nil,
+        allowMutations = true)),
+      writeExec = Some(ws.write),
+      dataUser = "graft", dataPassword = "s3cret")
+    srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      def getQ(q: String, cred: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(
+          s"$base/query?$cred&q=" +
+            java.net.URLEncoder.encode(q, "UTF-8"))).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      def postW(body: String, cred: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(
+          s"$base/write?$cred"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+          .build(), HttpResponse.BodyHandlers.ofString())
+
+      val ok = "u=graft&p=s3cret"
+      // reads: 401 without or with wrong credentials, 200 with them
+      val anon = getQ("show databases", "x=1")
+      assert(anon.statusCode() == 401 &&
+        anon.body().contains("authorization failed"), anon.body())
+      assert(getQ("show databases", "u=graft&p=wrong")
+        .statusCode() == 401)
+      assert(getQ("show databases", ok).statusCode() == 200)
+      // the mutating families: credential-less is a 401 BEFORE the
+      // allowMutations gate even sees the statement; authenticated,
+      // the reference-shaped replicaschema DDL runs end-to-end
+      assert(getQ("""CREATE DATABASE "telegraf" WITH DURATION """ +
+        """168h0m0s REPLICATION 1 NAME "rp_w"""", "z=1")
+        .statusCode() == 401)
+      assert(getQ("""CREATE DATABASE "telegraf" WITH DURATION """ +
+        """168h0m0s REPLICATION 1 NAME "rp_w"""", ok)
+        .statusCode() == 200)
+      val shown = getQ("""SHOW RETENTION POLICIES ON "telegraf"""", ok)
+      assert(shown.statusCode() == 200 &&
+        shown.body().contains("rp_w"), shown.body())
+      // writes: 401 leaves storage untouched (no auto-create), 204
+      // with credentials persists
+      val t0 = 1704412800000000000L
+      val lp = s"cpu,host=h1 v=0.5 $t0"
+      assert(postW(lp, "nope=1").statusCode() == 401)
+      assert(!new java.io.File(s"$wroot/cpu.parquet").exists())
+      assert(postW(lp, ok).statusCode() == 204)
+      assert(new java.io.File(s"$wroot/cpu.parquet").exists())
+    } finally srv.stop()
+  }
+
+  test("/write db param routes hierarchical auto-create under the " +
+    "target db's default RP (catalog-visible, InfluxDB semantics), " +
+    "refuses db-less and unknown-db auto-creates, refuses flat " +
+    "part-file targets, and repeat writes resolve the stored schema") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_write_h").toString
+    assert(new java.io.File(s"$root/mydb/rp0").mkdirs())
+    val ws = new graft.api.WriteService(spark, root,
+      chunkNs = 86400000000000L)
+    val t0 = 1704412800000000000L
+    // hierarchical + no db param → refusal naming the param
+    val e1 = intercept[IllegalArgumentException](
+      ws.write(s"cpu,host=h1 v=1.0 $t0"))
+    assert(e1.getMessage.contains("db query param"), e1.getMessage)
+    // unknown db → InfluxDB's own refusal
+    val e2 = intercept[IllegalArgumentException](
+      ws.write(s"cpu,host=h1 v=1.0 $t0", Some("nodb")))
+    assert(e2.getMessage.contains("database not found"), e2.getMessage)
+    assert(!new java.io.File(s"$root/cpu.parquet").exists())
+    // with db: lands under mydb's default RP and the catalog walk
+    // surfaces it (the pre-r14 flat layout was invisible to
+    // hierarchical getSchema — every batch re-entered auto-create)
+    ws.write(s"cpu,host=h1 v=1.0 $t0", Some("mydb"))
+    assert(new java.io.File(s"$root/mydb/rp0/cpu.parquet").exists())
+    val sch = new graft.catalog.Catalog(spark).getSchema(root)
+    assert(sch.exists(d => d.name == "mydb" &&
+      d.rps.exists(r => r.name == "rp0" &&
+        r.measurements.exists(_.name == "cpu"))), sch.toString)
+    // the second write resolves the measurement as KNOWN (the cached
+    // schema was invalidated by the create): upsert, count stable
+    ws.write(s"cpu,host=h1 v=2.0 $t0", Some("mydb"))
+    val df = spark.read.parquet(s"$root/mydb/rp0/cpu.parquet")
+    assert(df.count() == 1)
+    assert(df.head().getAs[Double]("v") === 2.0)
+    // a flat part-file parquet at the root (df.write.parquet output)
+    // refuses the write BEFORE anything persists — upserting __bucket=
+    // dirs into it would corrupt partition discovery (ADVICE r13)
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$root/junk.parquet")
+    val e3 = intercept[IllegalArgumentException](
+      ws.write(s"junk,h=a v=1.0 $t0", Some("mydb")))
+    assert(e3.getMessage.contains("flat parquet"), e3.getMessage)
+  }
+
+  test("chunked /query breaks frames at series boundaries (InfluxDB " +
+    "1.x chunking) and streams a large result in bounded frames " +
+    "through toLocalIterator — never one driver-resident collect") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val cpu = Seq(("h1", 10L, 1.0), ("h1", 20L, 2.0))
+      .toDF("host", "t", "v")
+    val mem = Seq(("h1", 10L, 3.0)).toDF("host", "t", "v")
+    val cat = Seq(
+      graft.ql.QlTable("cpu", cpu, "t", Seq("host"), Seq("v")),
+      graft.ql.QlTable("mem", mem, "t", Seq("host"), Seq("v")))
+    // 25k ordered rows: 10000+10000+5000 at the client.go:344 default
+    // chunk size — the registry-scale shape (ql_downsample_fill_prev
+    // is 270k rows through this same path at sf0.01)
+    val big = spark.range(25000).coalesce(4).selectExpr(
+      "'big' AS measurement", "id AS time", "id * 2 AS v")
+    val ex0 = graft.ql.QlPlanner.executor(spark, SparkSpec.Sf0001, cat)
+    val exec: String => org.apache.spark.sql.DataFrame = {
+      case "big" => big
+      case q     => ex0(q)
+    }
+    val status = ClusterStatus("OK", 0L, 0L, masterState = true,
+      masterLastOkNs = 1L, slaveState = true, slaveLastOkNs = 1L)
+    val srv = new StatusServer(0, () => status, () => Nil,
+      queryExec = Some(exec))
+    srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def getCh(q: String, extra: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv.boundPort}/query?$extra&q=" +
+            java.net.URLEncoder.encode(q, "UTF-8"))).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      // regex FROM spans two measurements; chunk_size would fit all 3
+      // rows in one frame, but the frame must close at the cpu→mem
+      // boundary so no frame carries rows mislabeled with the other
+      // measurement's name
+      val ch = getCh("select * from /cpu|mem/",
+        "chunked=true&chunk_size=100")
+      assert(ch.statusCode() == 200)
+      val frames = ch.body().split('\n').filter(_.nonEmpty)
+      assert(frames.length == 2, ch.body())
+      assert(frames(0).contains("\"name\":\"cpu\"") &&
+        "\\[\"cpu\"".r.findAllIn(frames(0)).length == 2, frames(0))
+      assert(frames(1).contains("\"name\":\"mem\"") &&
+        "\\[\"mem\"".r.findAllIn(frames(1)).length == 1, frames(1))
+      assert(frames(0).contains("\"partial\":true"))
+      assert(!frames(1).contains("\"partial\":true"))
+      // the large result: 3 frames of 10000/10000/5000 values, only
+      // the last non-partial; toLocalIterator keeps at most one
+      // partition of the 4 driver-resident at a time (the pin this
+      // test exists for — a future "optimization" reintroducing a
+      // full collect would still pass the small cases above)
+      val bigResp = getCh("big", "chunked=true&chunk_size=10000")
+      assert(bigResp.statusCode() == 200)
+      val bigFrames = bigResp.body().split('\n').filter(_.nonEmpty)
+      assert(bigFrames.length == 3, s"${bigFrames.length} frames")
+      val counts = bigFrames.map(f =>
+        "\\[\"big\"".r.findAllIn(f).length).toSeq
+      assert(counts == Seq(10000, 10000, 5000), counts.toString)
+      assert(bigFrames.init.forall(_.contains("\"partial\":true")))
+      assert(!bigFrames.last.contains("\"partial\":true"))
+    } finally srv.stop()
   }
 }

@@ -40,6 +40,10 @@ PROBE = [
     "dedup_edit_distance", "dedup_semantic", "dedup_semantic_scaled",
     "decontaminate_embedding", "decontaminate_fuzzy",
     "dedup_simhash_pairs", "stats_corr_matrix",
+    # the r13 write plane (verdict r13 item 2 / r12 item 8): the
+    # /write upsert path — field-merge windows + the once-cached
+    # catalog walk — must stay sub-linear as the stored table grows
+    "sync_write_upsert",
 ]
 
 
