@@ -192,6 +192,22 @@ object ProbeQueries {
           sqrt((n::DOUBLE * s2 - s1::DOUBLE * s1) / (n * (n - 1.0)))
           / 100.0 AS v FROM m""".replaceAll("\\s+", " "))),
 
+    // P13 (r15): the candidate float-sum form for the ql_agg_star
+    // composite — a BIGINT sum explicitly cast ::DOUBLE, THEN divided
+    // by the 100.0 decimal literal. Sits in the gap the r14 verdict
+    // named: P2 proves `//`-quotient::DOUBLE/literal red, P7 proves
+    // HUGEINT-sum::DOUBLE/literal green; this pins BIGINT-sum::DOUBLE/
+    // literal. The composite ships NO float sum until this reads green
+    // at the driver (round 15 it ships pure-BIGINT sum_c100 instead).
+    "probe_bigint_cast_double_div" -> QueryDef(
+      (s, dir) => t(s, dir, "orders").withColumn("__c", cents)
+        .groupBy(col("o_orderpriority"))
+        .agg((sum(col("__c")).cast("double") / lit(100.0)).as("v")),
+      Some("""SELECT o_orderpriority,
+        sum(CAST(round(o_totalprice*100,0) AS BIGINT))::BIGINT::DOUBLE
+          / 100.0 AS v
+        FROM orders GROUP BY o_orderpriority""".replaceAll("\\s+", " "))),
+
     // P12: epoch_ns parity per physical time type — events.ts and
     // lineitem.l_shipdate both reduced to BIGINT min/max (no floats).
     "probe_epoch_ns_types" -> QueryDef(

@@ -99,14 +99,20 @@ object QlQueries {
           // probe_halfup_uncast / _cast_double), while the identical
           // quotient emitted as BIGINT (probe_halfup_cast_bigint) and a
           // plain sum divided by a literal (probe_uncast_sum_div) are
-          // green. sum = cents/100.0 is one exact IEEE op on a sum, the
-          // empirically-green class.
+          // green. The sum is likewise a PURE BIGINT `sum_c100`
+          // (cents): the float form `s1::DOUBLE / 100.0` sat in the
+          // same ::DOUBLE-then-decimal-literal shape the probe battery
+          // proves driver-red (r14 verdict — the last red column after
+          // all five siblings went green; exactly the edit that turned
+          // mean_e4 green). No float emission without a green probe
+          // naming its form first — probe_bigint_cast_double_div now
+          // covers the candidate float shape for a future round.
           .withColumn("__cents",
             round(col("sum_value") * 100, 0).cast("long"))
           .withColumn("mean_e4",
             expr("(200 * __cents + count_value) div (2 * count_value)"))
-          .withColumn("sum_value", expr("__cents / 100.0"))
-          .drop("__cents", "mean_value")
+          .withColumn("sum_c100", col("__cents"))
+          .drop("__cents", "mean_value", "sum_value")
           // round(stddev_samp,4) is NOT deterministic: stddev is an
           // order-dependent multi-row double aggregate, and a group
           // whose stddev·10⁴ sits within merge-order noise of a .5
@@ -137,13 +143,13 @@ object QlQueries {
       Some(s"""WITH c AS (SELECT event_type, user_id, value,
           CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
           WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs),
-        m AS (SELECT event_type, user_id, count(*)::BIGINT AS n,
+        m AS (SELECT event_type, user_id, count(value)::BIGINT AS n,
           sum(c)::BIGINT AS s1, sum(c * c)::BIGINT AS s2,
           min(value) AS mn, max(value) AS mx
           FROM c GROUP BY 1, 2)
         SELECT 'events' AS measurement, event_type, user_id,
         n AS count_value,
-        s1::DOUBLE / 100.0 AS sum_value,
+        s1 AS sum_c100,
         CAST((200 * s1 + n) // (2 * n) AS BIGINT) AS mean_e4,
         mn AS min_value, mx AS max_value,
         mx - mn AS spread_value,
