@@ -65,6 +65,16 @@ final case class AgentConfig(
     httpPort: Int = 0,
     adminUser: String = "admin",
     adminPassword: String = "admin",
+    // data-plane credentials for the served /query + /write (InfluxDB
+    // 1.x auth-enabled: clients send u=/p= or Authorization: Basic on
+    // every request). Empty dataUser = auth disabled, the InfluxDB
+    // default. [http] data-user / data-passwd.
+    dataUser: String = "",
+    dataPassword: String = "",
+    // opt-in for the DESTRUCTIVE /query families (DELETE, DROP,
+    // CREATE/DROP CQ, schema DDL) on the served plane — see
+    // QlPlanner.executor. [http] allow-mutations.
+    allowMutations: Boolean = false,
     // `-action stream` (continuous replication; north-star mode with no
     // reference analog — the reference only syncs in batch on recovery):
     // tag keys and field schema of the line-protocol stream landing
@@ -577,6 +587,47 @@ final class Agent(
     StreamIngest.toParquet(deduped, cfg.slaveRoot, cfg.checkpointDir)
   }
 
+  /** The hamonitor daemon's HTTP server (not yet started) — beyond the
+    * reference's ops-only UI (webserver.go), the daemon is an InfluxDB
+    * 1.x API stand-in: /query plans InfluxQL against the LIVE storage
+    * catalog of the slave root, /write upserts line protocol, both
+    * behind the configured data credentials ([http] data-user /
+    * data-passwd; u=/p= params or Authorization: Basic — both forms
+    * the reference's own client sends, client.go:42-56). The ql
+    * catalog is cached and invalidated on EITHER side's mutation hook
+    * (DDL over /query ↔ auto-create over /write), with a
+    * check-interval TTL so measurements landed by the copy plane (not
+    * through this server) appear without a restart. */
+  private[graft] def statusServer(
+      status: () => graft.model.ClusterStatus): graft.api.StatusServer = {
+    val catTtlMs = math.max(cfg.checkIntervalMs, 1000L)
+    var qlCat: Seq[graft.ql.QlTable] = null
+    var qlCatAt = 0L
+    val catLock = new Object
+    def liveCatalog(): Seq[graft.ql.QlTable] = catLock.synchronized {
+      val now = System.currentTimeMillis()
+      if (qlCat == null || now - qlCatAt > catTtlMs) {
+        qlCat = graft.ql.QlPlanner.storageCatalog(
+          spark, cfg.slaveRoot, cfg.timeCol)
+        qlCatAt = now
+      }
+      qlCat
+    }
+    def dropCatalog(): Unit = catLock.synchronized { qlCat = null }
+    val ws = new graft.api.WriteService(spark, cfg.slaveRoot,
+      chunkNs = chunkNs, timeCol = cfg.timeCol,
+      onCatalogChange = () => dropCatalog())
+    val exec = graft.ql.QlPlanner.executor(spark, cfg.slaveRoot,
+      liveCatalog(), allowMutations = cfg.allowMutations,
+      onMutation = () => { dropCatalog(); ws.invalidateSchema() })
+    new graft.api.StatusServer(cfg.httpPort, status,
+      () => Seq("master" -> masterProbe(), "slave" -> slaveProbe()),
+      cfg.adminUser, cfg.adminPassword, cfg.staticDir,
+      queryExec = Some(exec),
+      writeExec = Some(ws.write),
+      dataUser = cfg.dataUser, dataPassword = cfg.dataPassword)
+  }
+
   def dispatch(action: String): Unit = action match {
     case "copy"          => copy(): Unit
     case "fullcopy"      => fullCopy(): Unit
@@ -594,12 +645,7 @@ final class Agent(
       }.mkString("; "))
     case "hamonitor" | "" =>
       def serve(status: () => graft.model.ClusterStatus): Unit =
-        if (cfg.httpPort > 0) {
-          val srv = new graft.api.StatusServer(cfg.httpPort, status,
-            () => Seq("master" -> masterProbe(), "slave" -> slaveProbe()),
-            cfg.adminUser, cfg.adminPassword, cfg.staticDir)
-          srv.start()
-        }
+        if (cfg.httpPort > 0) statusServer(status).start()
       if (cfg.checkpointDir.nonEmpty) {
         val m = hamonitorStreaming()
         val q = m.start(cfg.minSyncIntervalMs)

@@ -144,6 +144,14 @@ object AgentConfigFile {
     parsed.http.get("admin-user").foreach(v => c = c.copy(adminUser = v))
     parsed.http.get("admin-passwd").foreach(v =>
       c = c.copy(adminPassword = v))
+    // engine extension: the served data plane's credentials + the
+    // destructive-statement opt-in (the reference's hamonitor serves
+    // only the ops UI; this engine also serves /query + /write)
+    parsed.http.get("data-user").foreach(v => c = c.copy(dataUser = v))
+    parsed.http.get("data-passwd").foreach(v =>
+      c = c.copy(dataPassword = v))
+    parsed.http.get("allow-mutations").foreach(v =>
+      c = c.copy(allowMutations = v.toBoolean))
     c
   }
 }

@@ -306,13 +306,45 @@ final class StatusServer(
       case _ => None
     }).toMap
 
-  /** Data-plane auth (InfluxDB 1.x auth-enabled): `u`/`p` request
-    * params against the configured credentials, constant-time. Always
+  /** Credentials a data-plane request presents: `u`/`p` request params
+    * (the curl/query-string form) or an `Authorization: Basic` header —
+    * the form the reference's own client sends (influxdb1-client
+    * HTTPConfig Username/Password, client.go:42-48); InfluxDB 1.x
+    * accepts both. Params win when both `u` and `p` are present. */
+  private def presentedCreds(ex: HttpExchange,
+      params: Map[String, String]): (String, String) =
+    (params.get("u"), params.get("p")) match {
+      case (Some(u), Some(p)) => (u, p)
+      case _ =>
+        Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .filter(_.startsWith("Basic "))
+          .flatMap { h =>
+            try {
+              val dec = new String(java.util.Base64.getDecoder
+                .decode(h.drop(6).trim), StandardCharsets.UTF_8)
+              dec.split(":", 2) match {
+                case Array(u, p) => Some((u, p))
+                case _           => None
+              }
+            } catch { case _: IllegalArgumentException => None }
+          }
+          .getOrElse(("", ""))
+    }
+
+  /** Data-plane auth (InfluxDB 1.x auth-enabled): presented
+    * credentials against the configured ones, constant-time. Always
     * true when no dataUser is configured (auth-enabled = false). */
-  private def dataAuthOk(params: Map[String, String]): Boolean =
-    dataUser.isEmpty ||
-      (params.get("u").exists(ctEquals(_, dataUser)) &&
-        params.get("p").exists(ctEquals(_, dataPassword)))
+  private def dataAuthOk(ex: HttpExchange,
+      params: Map[String, String]): Boolean =
+    dataUser.isEmpty || {
+      val (u, p) = presentedCreds(ex, params)
+      // both compares run unconditionally — short-circuiting on a
+      // username miss reintroduces the username-validity timing
+      // oracle handleLogin closes the same way
+      val uOk = ctEquals(u, dataUser)
+      val pOk = ctEquals(p, dataPassword)
+      uOk && pOk
+    }
 
   private def handleQuery(ex: HttpExchange, exec: String =>
       org.apache.spark.sql.DataFrame): Unit = {
@@ -321,7 +353,7 @@ final class StatusServer(
     val params =
       parseParams(Option(bodyOf(ex)).getOrElse("")) ++
         parseParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-    if (!dataAuthOk(params)) {
+    if (!dataAuthOk(ex, params)) {
       respond(ex, 401, """{"error":"authorization failed"}"""); return
     }
     (params.get("q"), params.get("epoch")) match {
@@ -381,7 +413,7 @@ final class StatusServer(
         // line-protocol batch, never a form
         val params = parseParams(
           Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-        if (!dataAuthOk(params))
+        if (!dataAuthOk(ex, params))
           respond(ex, 401, """{"error":"authorization failed"}""")
         else try {
           wr(bodyOf(ex), params.get("db")): Unit

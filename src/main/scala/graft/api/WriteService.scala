@@ -55,8 +55,11 @@ import org.apache.spark.sql.types._
   * write rates a per-batch storage walk is the write plane's scale
   * killer (the r13 sync_write_upsert 1.7× regression). The cache is
   * invalidated whenever this service itself changes the catalog
-  * (auto-create); out-of-band catalog edits need [[invalidateSchema]].
-  */
+  * (auto-create), and a resolution MISS triggers one fresh re-walk
+  * before refusing — so out-of-band DDL (CREATE DATABASE over /query,
+  * a copy landing on the same root) is picked up without a restart;
+  * [[invalidateSchema]] remains the explicit hook for callers that
+  * know they changed storage. */
 final class WriteService(
     spark: SparkSession,
     root: String,
@@ -65,20 +68,52 @@ final class WriteService(
     seriesCols: Map[String, Seq[String]] = Map.empty,
     chunkNs: Long = 86400000000000L,
     timeCol: String = "ts",
-    autoCreate: Boolean = true) {
+    autoCreate: Boolean = true,
+    /** Fires after an auto-create changes the storage tree — the hook
+      * a co-served /query catalog hangs its own invalidation on (the
+      * mirror of QlPlanner.executor's onMutation). */
+    onCatalogChange: () => Unit = () => ()) {
 
   private val catalog = new graft.catalog.Catalog(spark)
 
   /** Cached getSchema walk (see cost contract above). `null` = stale. */
   @volatile private var schemaCache: Seq[DbSchema] = null
 
+  /** Cost-contract instrumentation: FULL catalog walks paid so far.
+    * Test tripwire — the r13 write regression was one walk PER BATCH;
+    * writes into known measurements must add ZERO walks. */
+  private[graft] var schemaWalks: Int = 0
+
   /** Drop the cached catalog walk — call after out-of-band DDL/copy
     * changes the storage tree underneath a long-lived service. */
   def invalidateSchema(): Unit = schemaCache = null
 
+  /** Per-measurement MINIMUM timestamp landed since the last drain —
+    * the signal the CQ tick uses to rewind a rollup's recompute
+    * window when /write backfilled points BEHIND the watermark
+    * lookback (see ContinuousQuery.refresh rewindToNs). Drained (read
+    * + cleared) atomically once per supervisor tick. */
+  private val lowWaterLock = new Object
+  private var writeLowWater: Map[String, Long] = Map.empty
+
+  def drainWriteLowWater(): Map[String, Long] =
+    lowWaterLock.synchronized {
+      val r = writeLowWater; writeLowWater = Map.empty; r
+    }
+
+  private def noteWrites(mins: Seq[(String, Long)]): Unit =
+    lowWaterLock.synchronized {
+      mins.foreach { case (m, ts) =>
+        writeLowWater += m ->
+          math.min(writeLowWater.getOrElse(m, Long.MaxValue), ts)
+      }
+    }
+
   private def schema(): Seq[DbSchema] = {
     var s = schemaCache
-    if (s == null) { s = catalog.getSchema(root); schemaCache = s }
+    if (s == null) {
+      s = catalog.getSchema(root); schemaCache = s; schemaWalks += 1
+    }
     s
   }
 
@@ -122,11 +157,18 @@ final class WriteService(
         requireChunkLayout(m, flat) // pre-validate, all-or-none
         (m, flat, pts, false)
       } else {
-        val known = (for {
+        def lookup() = (for {
           d <- schema() if db.forall(_ == d.name)
           rp <- d.rps; mm <- rp.measurements
           if mm.name == m
         } yield (d.name, rp.name)).headOption
+        // a miss may just be a STALE cache: DDL over /query (CREATE
+        // DATABASE/RP) or an out-of-band copy lands on the same root
+        // without passing through this service, and a long-lived
+        // server must not keep refusing /write?db=newdb until restart.
+        // Misses are rare (first write of a measurement), so one fresh
+        // walk before concluding new-or-error costs nothing at rate.
+        val known = lookup().orElse { invalidateSchema(); lookup() }
         known match {
           case Some((kdb, krp)) =>
             val path = s"$root/$kdb/$krp/$m.parquet"
@@ -149,6 +191,12 @@ final class WriteService(
       case (m, path, pts, false) => writeMeasurement(m, path, pts)
       case (m, path, pts, true)  => createMeasurement(m, path, pts)
     }
+    // record per-measurement low-water marks AFTER the batch persists
+    // (a refused batch leaves storage untouched and must not rewind
+    // anyone's rollup window)
+    noteWrites(byMeasurement.map { case (m, pts) =>
+      m -> pts.map(_._1.timeNs).min
+    })
     points.size.toLong
   }
 
@@ -161,8 +209,11 @@ final class WriteService(
       val name = db.getOrElse(throw new IllegalArgumentException(
         s"auto-create of '$m' in a hierarchical root needs the " +
           "db query param (InfluxDB: /write?db=...)"))
-      val target = schema().find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
+      // same stale-cache fallback as the measurement lookup: re-walk
+      // once before refusing a database that out-of-band DDL created
+      def find() = schema().find(_.name == name)
+      val target = find().orElse { invalidateSchema(); find() }
+        .getOrElse(throw new IllegalArgumentException(
           s"database not found: $name"))
       val rp = target.rps.find(_.isDefault)
         .getOrElse(target.rps.head).name
@@ -179,12 +230,62 @@ final class WriteService(
   private def seriesMetaPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_series.json")
 
+  /** JSON string escaping for the sidecar — tag keys may legally
+    * contain '"', '\', ',' or ']' (all reachable through escaped line
+    * protocol), and an unescaped write would corrupt the sidecar into
+    * a silently-WRONG recovered key, forking or merging series on
+    * later upserts. */
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   private def writeSeriesMeta(path: String, key: Seq[String]): Unit = {
     val out = fs().create(seriesMetaPath(path), true)
-    try out.write(key.map(k => "\"" + k + "\"")
+    try out.write(key.map(k => "\"" + jsonEscape(k) + "\"")
       .mkString("""{"series_key":[""", ",", "]}")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Escape-aware reader for the sidecar's string array (the dual of
+    * [[jsonEscape]]) — a regex split on ',' mis-parses exactly the
+    * keys the writer now escapes. */
+  private def parseSeriesKey(txt: String): Option[Seq[String]] = {
+    val at = txt.indexOf("\"series_key\"")
+    if (at < 0) return None
+    var i = txt.indexOf('[', at + 12)
+    if (i < 0) return None
+    i += 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var done = false
+    while (!done && i < txt.length) {
+      val c = txt.charAt(i)
+      if (inStr) c match {
+        case '\\' if i + 1 < txt.length =>
+          txt.charAt(i + 1) match {
+            case 'u' if i + 5 < txt.length =>
+              sb.append(Integer.parseInt(
+                txt.substring(i + 2, i + 6), 16).toChar)
+              i += 4
+            case other => sb.append(other)
+          }
+          i += 1
+        case '"'   => out += sb.toString; sb.clear(); inStr = false
+        case other => sb.append(other)
+      } else c match {
+        case '"' => inStr = true
+        case ']' => done = true
+        case _   => ()
+      }
+      i += 1
+    }
+    if (done) Some(out.toSeq) else None
   }
 
   private def readSeriesMeta(path: String): Option[Seq[String]] = {
@@ -196,12 +297,8 @@ final class WriteService(
         val bytes =
           new Array[Byte](fs().getFileStatus(p).getLen.toInt)
         in.readFully(bytes)
-        val txt = new String(bytes,
-          java.nio.charset.StandardCharsets.UTF_8)
-        """"series_key":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
-          .map(_.group(1).split(',').toSeq
-            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-            .filter(_.nonEmpty))
+        parseSeriesKey(new String(bytes,
+          java.nio.charset.StandardCharsets.UTF_8))
       } finally in.close()
     }
   }
@@ -267,6 +364,7 @@ final class WriteService(
       keyCols = key): Unit
     writeSeriesMeta(path, key) // series identity survives restarts
     invalidateSchema() // the walk no longer reflects storage
+    onCatalogChange()
   }
 
   /** LP literal → stored type (the client.go:430-459 coercion matrix

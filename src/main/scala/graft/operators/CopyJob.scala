@@ -558,7 +558,7 @@ final class CopyJob(
         remaining = remaining.filterNot(group.contains)
         groups :+= ((group, ts0, te0, overlapped))
       }
-      val results = inParallel(4, groups) {
+      val results = inParallel(cfg.numWorkers, groups) {
         case (group, ts0, te0, overlapped) =>
         val slice = withB.filter(col("__bs").isin(group: _*)).drop("__bs")
         if (overlapped.isEmpty) {
@@ -609,7 +609,16 @@ final class CopyJob(
       val tasks = items.map { a =>
         new java.util.concurrent.Callable[B] { def call(): B = f(a) }
       }
-      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+      // unwrap ExecutionException: a task's require(...) refusal must
+      // surface to callers with its ORIGINAL type and message (the
+      // /write 400 body renders e.getMessage; the wrapper's is noise)
+      pool.invokeAll(tasks.asJava).asScala.map { fut =>
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }.toSeq
     } finally pool.shutdown()
   }
 

@@ -393,13 +393,56 @@ object QlPlanner {
     res
   }
 
+  /** Build the SELECT catalog from a storage root: every measurement
+    * the FS catalog discovers becomes a [[QlTable]] — tags are its
+    * string columns (InfluxDB's tags-are-strings mapping, the same
+    * split SHOW TAG/FIELD KEYS serves), fields everything else but
+    * the time column. Chunk-partitioned sinks read whole (their
+    * `__bucket` partition column stays out of the query surface);
+    * reads are LAZY — construction costs one catalog walk + footer
+    * schemas, no data scan. A measurement name appearing under
+    * several RPs resolves to the DEFAULT RP's instance (InfluxDB's
+    * unqualified-FROM rule). */
+  def storageCatalog(spark: org.apache.spark.sql.SparkSession,
+      root: String, timeCol: String = "ts"): Seq[QlTable] = {
+    val cat = new graft.catalog.Catalog(spark)
+    val hier = cat.isHierarchical(root)
+    graft.sources.Tables.ensureNsConf(spark)
+    val all = for {
+      d <- cat.getSchema(root)
+      rp <- d.rps.sortBy(!_.isDefault) // default RP wins name clashes
+      m <- rp.measurements
+    } yield {
+      val path =
+        if (hier) s"$root/${d.name}/${rp.name}/${m.name}.parquet"
+        else s"$root/${m.name}.parquet"
+      val df0 = spark.read.parquet(path)
+      val df = graft.sources.Tables.withNsTime(
+        if (df0.columns.contains("__bucket")) df0.drop("__bucket")
+        else df0, timeCol)
+      val tags = df.schema.fields.toSeq
+        .filter(f =>
+          f.dataType == org.apache.spark.sql.types.StringType &&
+            f.name != "measurement")
+        .map(_.name)
+      val fields = df.columns.toSeq
+        .filterNot(c =>
+          tags.contains(c) || c == timeCol || c == "measurement")
+      QlTable(m.name, df, timeCol, tags, fields)
+    }
+    all.distinctBy(_.name)
+  }
+
   /** The standard HTTP /query executor: SHOW statements discover the
     * catalog at `root`, SELECTs plan against the measurement catalog —
     * the one-liner that makes [[graft.api.StatusServer]] serve the
     * InfluxDB 1.x query API the reference client consumes
     * (client.go:57-70). */
   def executor(spark: org.apache.spark.sql.SparkSession, root: String,
-      catalog: Seq[QlTable],
+      // by-name: a served deployment passes a LIVE view (re-evaluated
+      // per statement) so measurements created after server start are
+      // queryable; plain Seq literals work unchanged
+      catalog: => Seq[QlTable],
       nowNs: () => Long = () => System.currentTimeMillis() * 1000000L,
       // /query and /write sit OUTSIDE the ops-UI session gate
       // (InfluxDB 1.x ships auth-disabled and the reference client
@@ -409,9 +452,23 @@ object QlPlanner {
       // unauthenticated GET must not be able to delete data by
       // default. The Agent's replication plane and tests that
       // exercise the write path pass true explicitly.
-      allowMutations: Boolean = false)
+      allowMutations: Boolean = false,
+      // invoked AFTER a mutating statement executes — the hook a
+      // co-served WriteService hangs its schema-cache invalidation on
+      // (DDL here changes the same storage tree its cached walk
+      // describes; without the hook a stale POSITIVE — /write into a
+      // database dropped over /query — resolves against dead paths)
+      onMutation: () => Unit = () => ())
       : String => DataFrame =
-    text => InfluxQl.parseStatement(text) match {
+    text => {
+      val parsed = InfluxQl.parseStatement(text)
+      val mutating = parsed match {
+        case _: QlDelete | _: QlDropMeasurement | _: QlCreateCq |
+          _: QlDropCq | _: QlCreateDatabase | _: QlDropDatabase |
+          _: QlCreateRp | _: QlAlterRp => true
+        case _ => false
+      }
+      val out = parsed match {
       case m @ (_: QlDelete | _: QlDropMeasurement | _: QlCreateCq |
         _: QlDropCq | _: QlCreateDatabase | _: QlDropDatabase |
         _: QlCreateRp | _: QlAlterRp) if !allowMutations =>
@@ -485,6 +542,12 @@ object QlPlanner {
           ar.spec.shardDurationNs, ar.spec.default)
         Seq((ar.db, ar.name, next.isDefault))
           .toDF("db", "name", "is_default")
+      }
+      // the DDL/DELETE/CQ cases above execute EAGERLY (the returned
+      // frame is a small status row), so the storage tree has already
+      // changed by the time the hook fires
+      if (mutating) onMutation()
+      out
     }
 
   private def ddl(spark: org.apache.spark.sql.SparkSession) =
@@ -646,7 +709,10 @@ object QlPlanner {
     * the requested columns. */
   def planCreateCq(stmt: QlCreateCq,
       spark: org.apache.spark.sql.SparkSession, srcRoot: String,
-      dstRoot: String, resampleNs: Long = 0L): DataFrame = {
+      dstRoot: String, resampleNs: Long = 0L,
+      // backfill rewind for the /write plane — see
+      // ContinuousQuery.refresh's rewindToNs
+      rewindToNs: Option[Long] = None): DataFrame = {
     val inner = stmt.inner
     val allowed = Map("count" -> "n_points", "sum" -> "sum_value",
       "min" -> "min_value", "max" -> "max_value")
@@ -687,7 +753,8 @@ object QlPlanner {
     val field = calls.head._1.field
     val cq = new graft.operators.ContinuousQuery(spark)
     cq.refresh(srcPath, dstPath, inner.groupTags, field,
-      bucketNs = inner.timeBucketNs.get, resampleNs = resampleNs)
+      bucketNs = inner.timeBucketNs.get, resampleNs = resampleNs,
+      rewindToNs = rewindToNs)
     val roll = cq.readRollup(dstPath)
     roll.select(lit(dstName).as("measurement")
       +: inner.groupTags.map(col)

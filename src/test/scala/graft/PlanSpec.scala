@@ -132,6 +132,12 @@ class PlanSpec extends AnyFunSuite {
       "graph_kcore" -> ((3, 1)),
       "ql_create_cq" -> ((0, 0)),
       "sync_maintenance" -> ((0, 0)),
+      // r15 (VERDICT r14 #7): the /write upsert round trip — its
+      // FINAL plan is the read-back scan; ceiling 0 pins that the
+      // write plane's cost stays in its own bounded jobs (cached
+      // catalog + parallel disjoint chunk groups), with the walk
+      // count itself pinned by the WriteService cost-contract test
+      "sync_write_upsert" -> ((0, 0)),
       "ann_lsh_multiprobe_recall" -> ((11, 4)),
       "dedup_keep_best" -> ((9, 5)),
       "layout_bucketed_join" -> ((2, 1)),

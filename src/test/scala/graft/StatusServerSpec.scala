@@ -595,4 +595,125 @@ class StatusServerSpec extends AnyFunSuite {
       assert(!bigFrames.last.contains("\"partial\":true"))
     } finally srv.stop()
   }
+
+  test("write-plane cost contract: batches into KNOWN measurements " +
+    "pay ZERO catalog walks (the r13 regression was one walk per " +
+    "batch); an auto-create pays a bounded constant (fill + the " +
+    "stale-cache re-walk) and later batches stay walk-free") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_walks").toString
+    val t0 = 1704412800000000000L
+    val ws = new graft.api.WriteService(spark, root, chunkNs = 86400000000000L)
+    // first write auto-creates (flat root): the resolution miss pays
+    // the cache fill + one stale-cache re-walk, never more
+    ws.write(s"cpu,host=h1 v=1.0 $t0"): Unit
+    val afterCreate = ws.schemaWalks
+    assert(afterCreate <= 2, s"auto-create paid $afterCreate walks")
+    // known-measurement batches resolve by the flat single existence
+    // check — zero additional walks however many batches arrive
+    (1 to 3).foreach(i =>
+      ws.write(s"cpu,host=h1 v=$i.5 ${t0 + i * 1000L}"): Unit)
+    assert(ws.schemaWalks == afterCreate,
+      s"known-measurement batches paid ${ws.schemaWalks - afterCreate} " +
+        "walks — the r13 per-batch-walk regression is back")
+  }
+
+  test("E2E from TOML config to 401/200: the hamonitor daemon's server " +
+    "built from AgentConfigFile credentials ([http] data-user/" +
+    "data-passwd/allow-mutations) refuses anonymous /query and /write, " +
+    "accepts u=/p= params AND Authorization: Basic (the form the " +
+    "reference's client sends, client.go:42-48), and the authenticated " +
+    "workflow runs end to end: CREATE DATABASE over /query, /write " +
+    "into it (the DDL invalidates the write plane's cached walk), " +
+    "then SELECT the written point back through the live catalog") {
+    val spark = SparkSpec.spark
+    val slave = java.nio.file.Files
+      .createTempDirectory("graft_toml_auth").toString
+    val toml =
+      s"""
+      [general]
+      master-db = "m"
+      slave-db = "s"
+      check-interval = "10s"
+      [http]
+      bind-addr = "0.0.0.0:0"
+      admin-user = "ops"
+      admin-passwd = "opspw"
+      data-user = "graft"
+      data-passwd = "s3cret" # comment after value
+      allow-mutations = true
+      [[influxdb]]
+      name = "m"
+      location = "$slave"
+      [[influxdb]]
+      name = "s"
+      location = "$slave"
+      """
+    val cfg = graft.agent.AgentConfigFile.apply(
+      graft.agent.AgentConfigFile.parse(toml),
+      graft.agent.AgentConfig("", ""))
+    assert(cfg.dataUser == "graft" && cfg.dataPassword == "s3cret")
+    assert(cfg.allowMutations && cfg.adminUser == "ops")
+    assert(cfg.slaveRoot == slave)
+    val status = ClusterStatus("OK", 0L, 0L, masterState = true,
+      masterLastOkNs = 1L, slaveState = true, slaveLastOkNs = 1L)
+    val agent = new graft.agent.Agent(spark, cfg,
+      masterProbeOpt = Some(() => true))
+    val srv = agent.statusServer(() => status)
+    srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      def getQ(q: String, cred: String, hdr: Seq[String] = Nil)
+          : HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(URI.create(
+          s"$base/query?$cred&q=" +
+            java.net.URLEncoder.encode(q, "UTF-8"))).GET()
+        val wh = if (hdr.isEmpty) b else b.headers(hdr: _*)
+        client.send(wh.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      def postW(body: String, cred: String, hdr: Seq[String] = Nil)
+          : HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(URI.create(s"$base/write?$cred"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+        val wh = if (hdr.isEmpty) b else b.headers(hdr: _*)
+        client.send(wh.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      val basic = "Basic " + java.util.Base64.getEncoder.encodeToString(
+        "graft:s3cret".getBytes("UTF-8"))
+      // anonymous and wrong-credential: 401 on both endpoints
+      assert(getQ("show databases", "x=1").statusCode() == 401)
+      assert(getQ("show databases", "u=graft&p=nope").statusCode() == 401)
+      assert(postW("cpu,h=a v=1 1704412800000000000", "x=1")
+        .statusCode() == 401)
+      // wrong Basic password: 401 (header path exercises the compare)
+      val badBasic = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("graft:wrong".getBytes("UTF-8"))
+      assert(getQ("show databases", "x=1",
+        Seq("Authorization", badBasic)).statusCode() == 401)
+      // u=/p= params and Authorization: Basic both authenticate reads
+      assert(getQ("show databases", "u=graft&p=s3cret")
+        .statusCode() == 200)
+      assert(getQ("show databases", "x=1", Seq("Authorization", basic))
+        .statusCode() == 200)
+      // the reference-shaped workflow, all through the Basic header
+      // (what its client sends on EVERY query and write): DDL, write
+      // into the new db, select the point back
+      assert(getQ("""CREATE DATABASE "telegraf" WITH DURATION """ +
+        """168h0m0s REPLICATION 1 NAME "rp_w"""", "x=1",
+        Seq("Authorization", basic)).statusCode() == 200)
+      val t0 = 1704412800000000000L
+      val w = postW(s"cpu,host=h1 busy=0.75 $t0", "db=telegraf",
+        Seq("Authorization", basic))
+      assert(w.statusCode() == 204, w.body())
+      assert(new java.io.File(s"$slave/telegraf/rp_w/cpu.parquet")
+        .exists())
+      val sel = getQ("select busy from cpu", "x=1",
+        Seq("Authorization", basic))
+      assert(sel.statusCode() == 200 && sel.body().contains("0.75"),
+        sel.body())
+    } finally srv.stop()
+  }
 }
