@@ -34,7 +34,14 @@ import org.apache.spark.sql.functions._
   * loses it). */
 final class ContinuousQuery(spark: SparkSession) {
 
-  /** One refresh pass. Returns (bucketsRewritten, watermarkNs). */
+  /** One refresh pass. Returns (bucketsRewritten, watermarkNs).
+    * @param rewindToNs when a writer landed points BEHIND the
+    *   watermark-lookback window since the last refresh (the /write
+    *   backfill case — InfluxQL's `RESAMPLE FOR` drops such points
+    *   forever), clamp the recompute window down to this timestamp's
+    *   bucket: the dynamic-partition-overwrite rewrite is idempotent
+    *   per bucket, so folding old buckets back in is exactly-once by
+    *   construction. The watermark itself never moves backwards. */
   def refresh(
       srcPath: String,
       dstPath: String,
@@ -42,14 +49,20 @@ final class ContinuousQuery(spark: SparkSession) {
       valueCol: String,
       bucketNs: Long,
       timeCol: String = "ts",
-      resampleNs: Long = 0L): (Long, Long) = {
+      resampleNs: Long = 0L,
+      rewindToNs: Option[Long] = None): (Long, Long) = {
     require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
     require(resampleNs >= 0, s"resampleNs must be >= 0: $resampleNs")
     Tables.ensureNsConf(spark)
     val prev = readWatermark(dstPath)
-    val fromNs =
+    val lookbackFrom =
       if (prev == 0L) Long.MinValue
       else floorBucket(math.max(prev - resampleNs, 0L), bucketNs)
+    val fromNs = rewindToNs match {
+      case Some(r) if lookbackFrom != Long.MinValue =>
+        math.min(lookbackFrom, floorBucket(math.max(r, 0L), bucketNs))
+      case _ => lookbackFrom
+    }
     val raw = spark.read.parquet(srcPath)
     val t = Tables.nsCol(raw, timeCol)
     val recent = raw.filter(

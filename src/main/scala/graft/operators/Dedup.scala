@@ -509,6 +509,70 @@ object Dedup {
       .distinct()
   }
 
+  /** Signature-estimated similarity for cross-frame candidates — the
+    * confirm stage of the GROWING-index path that never re-reads
+    * stored TEXT: per candidate (new_id, old_id), the count of EQUAL
+    * minhash components between the batch's fresh signature and the
+    * signature ALREADY IN THE INDEX (the unbiased MinHash estimator:
+    * E[matches/k] = Jaccard). Output (new_id, old_id, matches), exact
+    * integers.
+    *
+    * Scale shape: two id-keyed hash joins against signature frames of
+    * k longs per doc (index-resident metadata, never corpus text)
+    * over LSH-bounded candidates; the per-pair count is a codegen'd
+    * zip_with/aggregate projection — no explode, no shuffle beyond
+    * the joins. */
+  def signatureMatchesAcross(pairs: DataFrame, newSigs: DataFrame,
+      storedSigs: DataFrame): DataFrame =
+    pairs
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("__sa")),
+        "new_id")
+      .join(storedSigs.select(col("id").as("old_id"),
+        col("sig").as("__sb")), "old_id")
+      .select(col("new_id"), col("old_id"),
+        expr("""aggregate(zip_with(__sa, __sb,
+          (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, v) -> a + v)""")
+          .as("matches"))
+
+  /** One maintenance step of a GROWING MinHash-LSH index — dedup the
+    * arriving batch against the store and compute the index DELTA,
+    * WITHOUT re-signing the corpus: the store contributes only its
+    * persisted (id, band, band_hash) and (id, sig) frames (what
+    * [[lshBandsFromSig]] / [[minhashSignatures]] wrote when each past
+    * batch arrived), never its documents. The daily-increment shape:
+    * sign the new batch once, bucket-join its bands against the index
+    * ([[lshCandidatePairsAcross]]), confirm candidates by the
+    * signature-match estimator ([[signatureMatchesAcross]]), and
+    * append only the NON-duplicates' band rows — a duplicate must not
+    * enter the index, or every later copy of a template chains to a
+    * dup instead of the canonical.
+    *
+    * Returns (marks, delta): marks = (id, is_dup) for every signed
+    * new doc; delta = the (id, band, band_hash) rows to append.
+    * The signature delta is `newSigs` anti-joined the same way —
+    * callers persisting both frames keep the index self-contained.
+    *
+    * 100 TB posture: per step the store-side work is one bucket join
+    * on (band, band_hash) (bounded by true collisions) and one
+    * id-keyed join against the signature table; nothing rescans or
+    * re-hashes stored documents, so step cost tracks the BATCH size
+    * while the store grows unbounded. */
+  def lshIndexIngest(newSigs: DataFrame, storedBands: DataFrame,
+      storedSigs: DataFrame, bands: Int, numHashes: Int,
+      minMatches: Int): (DataFrame, DataFrame) = {
+    val newBands = lshBandsFromSig(newSigs, bands, numHashes)
+    val conf = signatureMatchesAcross(
+      lshCandidatePairsAcross(newBands, storedBands),
+      newSigs, storedSigs)
+    val dupIds = conf.filter(col("matches") >= minMatches)
+      .select(col("new_id").as("id")).distinct()
+    val marks = newSigs.select(col("id"))
+      .join(dupIds.withColumn("is_dup", lit(true)), Seq("id"), "left")
+      .na.fill(false, Seq("is_dup"))
+    val delta = newBands.join(dupIds, Seq("id"), "left_anti")
+    (marks, delta)
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ threshold.
     * All-pairs form — oracle-sized data / differential tests only;
     * `embeddingNearDupLsh` is the scale path. */

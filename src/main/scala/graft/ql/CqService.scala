@@ -113,14 +113,37 @@ final class CqService(spark: SparkSession, srcRoot: String,
   /** One scheduled pass: every registered CQ through the incremental
     * refresh. Returns (name, bucketsRewritten, watermarkNs) per CQ. A
     * failing CQ reports (-1, -1) and does NOT block the others — the
-    * supervisor tick must survive one broken registration. */
-  def runAll(): Seq[(String, Long, Long)] = list.map {
+    * supervisor tick must survive one broken registration.
+    *
+    * @param writeRewinds per-SOURCE-measurement low-water marks of
+    *   points landed by the /write plane since the last tick (drained
+    *   from [[graft.api.WriteService.drainWriteLowWater]]): a CQ whose
+    *   source got a backfill BEHIND its watermark-lookback rewinds its
+    *   recompute window to cover it — the streaming-parity contract
+    *   that /write-landed points reach the rollups the same as copied
+    *   batches, however late they arrive.
+    *
+    * Source resolution per CQ: the configured srcRoot first; a source
+    * measurement absent there but present under dstRoot refreshes
+    * against dstRoot — the daemon serves /write into its own root, so
+    * CQs registered over served measurements must read the served
+    * plane, while replication CQs keep reading the master. */
+  def runAll(writeRewinds: Map[String, Long] = Map.empty)
+      : Seq[(String, Long, Long)] = list.map {
     case (name, _, text) =>
       try {
         val stmt = InfluxQl.parseStatement(text)
           .asInstanceOf[QlCreateCq]
-        QlPlanner.planCreateCq(stmt, spark, srcRoot, dstRoot,
-          resampleNs)
+        val srcMeas = stmt.inner.source match {
+          case QlMeasurement(p) => p.last
+          case _ => ""
+        }
+        val root =
+          if (srcRoot == dstRoot || hasMeasurement(srcRoot, srcMeas) ||
+              !hasMeasurement(dstRoot, srcMeas)) srcRoot
+          else dstRoot
+        QlPlanner.planCreateCq(stmt, spark, root, dstRoot,
+          resampleNs, rewindToNs = writeRewinds.get(srcMeas))
         // the refresh's (buckets, watermark) ride the rollup's own
         // _cq.json watermark file; re-read it for the report
         val wm = new graft.operators.ContinuousQuery(spark)
@@ -130,6 +153,17 @@ final class CqService(spark: SparkSession, srcRoot: String,
           watermarkOf(stmt.inner.into.get))
       } catch { case _: Exception => (name, -1L, -1L) }
   }
+
+  /** Whether a measurement is visible under a root — the flat
+    * single-existence check first (never pays a walk on the common
+    * path), then the hierarchical catalog. */
+  private def hasMeasurement(root: String, m: String): Boolean =
+    m.nonEmpty && {
+      val p = new Path(s"$root/$m.parquet")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p) ||
+        new graft.catalog.Catalog(spark).getSchema(root).exists(d =>
+          d.rps.exists(_.measurements.exists(_.name == m)))
+    }
 
   /** The rollup's persisted watermark (0 if never refreshed). */
   def watermarkOf(dstMeasurement: String): Long = {

@@ -2309,6 +2309,112 @@ object PipelineQueries {
         JOIN sp x ON a.id = x.doc_id JOIN sp y ON b.id = y.doc_id
         WHERE x.b >= 80 AND y.b < 80""".replaceAll("\\s+", " "))),
 
+    // GROWING-index maintenance, stage 1 — signature-estimated
+    // similarity across frames: per (new, old) candidate, the count of
+    // EQUAL minhash components between the batch's fresh signature and
+    // the one ALREADY IN THE INDEX (E[matches/k] = Jaccard) — the
+    // confirm stage that never re-reads stored text. Exact integers.
+    "dedup_inc_sigmatch" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        def sigsOf(part: DataFrame) = Dedup.minhashSignatures(
+          part, "doc_id", "text", MinhashK, ShingleLen)
+        val newSigs = sigsOf(d.filter(splitBucket(col("doc_id")) >= 80))
+        val oldSigs = sigsOf(d.filter(splitBucket(col("doc_id")) < 80))
+        Dedup.signatureMatchesAcross(
+          Dedup.lshCandidatePairsAcross(
+            Dedup.lshBandsFromSig(newSigs, 4, MinhashK),
+            Dedup.lshBandsFromSig(oldSigs, 4, MinhashK)),
+          newSigs, oldSigs)
+      },
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
+        sp AS (SELECT doc_id,
+          ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS b
+          FROM documents),
+        ca AS (SELECT DISTINCT a.id AS new_id, b.id AS old_id
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+          JOIN sp x ON a.id = x.doc_id JOIN sp y ON b.id = y.doc_id
+          WHERE x.b >= 80 AND y.b < 80)
+        SELECT ca.new_id, ca.old_id,
+          sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0
+            END)::BIGINT AS matches
+        FROM ca JOIN sig sa ON sa.id = ca.new_id
+        JOIN sig sb ON sb.id = ca.old_id AND sb.seed = sa.seed
+        GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
+    // GROWING-index maintenance, stage 2 — the ingest decision: every
+    // signed new doc marked is_dup iff some stored candidate matches
+    // >= 4 of 8 signature components (J ≈ 0.5).
+    "dedup_inc_marks" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        def sigsOf(part: DataFrame) = Dedup.minhashSignatures(
+          part, "doc_id", "text", MinhashK, ShingleLen)
+        val newSigs = sigsOf(d.filter(splitBucket(col("doc_id")) >= 80))
+        val oldSigs = sigsOf(d.filter(splitBucket(col("doc_id")) < 80))
+        Dedup.lshIndexIngest(newSigs,
+          Dedup.lshBandsFromSig(oldSigs, 4, MinhashK), oldSigs,
+          4, MinhashK, minMatches = 4)._1
+      },
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
+        sp AS (SELECT doc_id,
+          ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS b
+          FROM documents),
+        ca AS (SELECT DISTINCT a.id AS new_id, b.id AS old_id
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+          JOIN sp x ON a.id = x.doc_id JOIN sp y ON b.id = y.doc_id
+          WHERE x.b >= 80 AND y.b < 80),
+        mt AS (SELECT ca.new_id,
+          sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0
+            END)::BIGINT AS matches
+          FROM ca JOIN sig sa ON sa.id = ca.new_id
+          JOIN sig sb ON sb.id = ca.old_id AND sb.seed = sa.seed
+          GROUP BY ca.new_id, ca.old_id)
+        SELECT DISTINCT sig.id,
+          (sig.id IN (SELECT new_id FROM mt WHERE matches >= 4))
+            AS is_dup
+        FROM sig JOIN sp ON sig.id = sp.doc_id
+        WHERE sp.b >= 80""".replaceAll("\\s+", " "))),
+
+    // GROWING-index maintenance, stage 3 — the index DELTA: band rows
+    // of the NON-duplicate new docs (what a persisting caller appends;
+    // duplicates stay out so later copies chain to the canonical).
+    "dedup_inc_index_delta" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        def sigsOf(part: DataFrame) = Dedup.minhashSignatures(
+          part, "doc_id", "text", MinhashK, ShingleLen)
+        val newSigs = sigsOf(d.filter(splitBucket(col("doc_id")) >= 80))
+        val oldSigs = sigsOf(d.filter(splitBucket(col("doc_id")) < 80))
+        Dedup.lshIndexIngest(newSigs,
+          Dedup.lshBandsFromSig(oldSigs, 4, MinhashK), oldSigs,
+          4, MinhashK, minMatches = 4)._2
+          .select(col("id"), col("band").cast("long").as("band"),
+            col("band_hash"))
+      },
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
+        sp AS (SELECT doc_id,
+          ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS b
+          FROM documents),
+        ca AS (SELECT DISTINCT a.id AS new_id, b.id AS old_id
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+          JOIN sp x ON a.id = x.doc_id JOIN sp y ON b.id = y.doc_id
+          WHERE x.b >= 80 AND y.b < 80),
+        mt AS (SELECT ca.new_id,
+          sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0
+            END)::BIGINT AS matches
+          FROM ca JOIN sig sa ON sa.id = ca.new_id
+          JOIN sig sb ON sb.id = ca.old_id AND sb.seed = sa.seed
+          GROUP BY ca.new_id, ca.old_id)
+        SELECT band.id, band.band::BIGINT AS band, band.band_hash
+        FROM band JOIN sp ON band.id = sp.doc_id
+        WHERE sp.b >= 80 AND band.id NOT IN
+          (SELECT new_id FROM mt WHERE matches >= 4)"""
+        .replaceAll("\\s+", " "))),
+
     // TF-IDF top-5 terms per doc (keyword extraction for topical
     // routing). Ranking happens ON the 1e-6-rounded score so the order,
     // not just the printed value, is engine-portable; the rank window

@@ -734,6 +734,51 @@ object QlQueries {
         min(value) AS min_value, max(value) AS max_value
         FROM events GROUP BY 1, 2, 3""".replaceAll("\\s+", " "))),
 
+    // /write → CQ streaming parity: a rollup refreshed to its
+    // watermark, then a /write BACKFILL lands BEHIND the lookback
+    // window (InfluxQL's RESAMPLE FOR would drop it forever); the
+    // next supervisor tick drains the write plane's low-water mark
+    // and REWINDS the recompute window (CqService.runAll →
+    // ContinuousQuery.refresh rewindToNs — idempotent per bucket by
+    // dynamic-partition overwrite), converging to the one-shot
+    // aggregate the oracle computes over base + injected point.
+    // Without the rewind the second refresh recomputes only the
+    // watermark bucket and this hash-mismatches.
+    "cq_write_backfill" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_cqwb_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val job = new CopyJob(s)
+        job.copyMeasurement(s"$dir/events.parquet",
+          s"$root/events.parquet",
+          CopyJob.Config(StartNs, EndNs, chunkNs = 5 * DayNs,
+            timeCol = "ts"))
+        val svc = new graft.ql.CqService(s, root, root)
+        svc.register(
+          """create continuous query "daily" begin """ +
+            """select count(value), sum(value) into "wb_rollup" """ +
+            """from "events" group by time(1d), event_type end"""): Unit
+        val ws = new graft.api.WriteService(s, root,
+          seriesCols = Map("events" -> Seq("event_id")),
+          chunkNs = 5 * DayNs)
+        ws.write(s"events,event_type=backfill,user_id=5 " +
+          s"event_id=777777701i,value=3.25 ${StartNs + HourNs}"): Unit
+        svc.runAll(ws.drainWriteLowWater()): Unit
+        new graft.operators.ContinuousQuery(s)
+          .readRollup(s"$root/wb_rollup.parquet")
+          .select(col("event_type"), col("bucket_ns"), col("n_points"),
+            round(col("sum_value"), 4).as("sum_value"))
+      },
+      Some(s"""WITH base AS (
+          SELECT event_type, epoch_ns(ts) AS t, value FROM events
+          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
+          UNION ALL SELECT 'backfill', ${StartNs + HourNs}, 3.25)
+        SELECT event_type, (t // $DayNs) * $DayNs AS bucket_ns,
+          count(value)::BIGINT AS n_points,
+          round(sum(value), 4) AS sum_value
+        FROM base GROUP BY 1, 2""".replaceAll("\\s+", " "))),
+
     // the CQ CATALOG: CREATE CONTINUOUS QUERY registrations persist
     // to _cq.json (re-registering a name is last-wins), SHOW
     // CONTINUOUS QUERIES lists them — the daemon re-runs the list on

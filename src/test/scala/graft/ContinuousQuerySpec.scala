@@ -79,4 +79,33 @@ class ContinuousQuerySpec extends AnyFunSuite {
       bucketNs = Day, resampleNs = Day)
     assert(gotRollup(cq, dst) === before)
   }
+
+  test("rewindToNs folds a too-late backfill back in (the /write " +
+    "parity path): the same point the plain lookback refresh ignores " +
+    "IS rolled up when the refresh rewinds to its timestamp, the " +
+    "rollup converges to the full aggregate, the watermark never " +
+    "moves backwards, and a re-run without rewind is idempotent") {
+    val src = Files.createTempDirectory("graft_cqrw_src").toString + "/m"
+    val dst = Files.createTempDirectory("graft_cqrw_dst").toString + "/m1d"
+    val cq = new ContinuousQuery(spark)
+    eventsSlice(S, S + 4 * Day).write.mode("overwrite").parquet(src)
+    val (_, wm1) = cq.refresh(src, dst, Seq("event_type"), "value",
+      bucketNs = Day, resampleNs = Day)
+    // a backfill lands in day 0 — far behind watermark − lookback
+    eventsSlice(S, S + 1 * Day).limit(1).write.mode("append").parquet(src)
+    // plain refresh: contract says it is ignored
+    cq.refresh(src, dst, Seq("event_type"), "value",
+      bucketNs = Day, resampleNs = Day)
+    assert(gotRollup(cq, dst) !== fullRollup(src))
+    // rewound refresh: folded in exactly-once, watermark unchanged
+    // (the backfill is older than everything seen)
+    val (_, wm2) = cq.refresh(src, dst, Seq("event_type"), "value",
+      bucketNs = Day, resampleNs = Day, rewindToNs = Some(S))
+    assert(wm2 === wm1, "watermark moved on an old-point rewind")
+    assert(gotRollup(cq, dst) === fullRollup(src))
+    // idempotent after the fold
+    cq.refresh(src, dst, Seq("event_type"), "value",
+      bucketNs = Day, resampleNs = Day)
+    assert(gotRollup(cq, dst) === fullRollup(src))
+  }
 }

@@ -438,6 +438,57 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((10L, 1L))) // identical text → all bands
   }
 
+  test("lshIndexIngest: growing-index step marks dups by signature " +
+    "matches (never re-reading stored text), keeps dups OUT of the " +
+    "delta, and signatureMatchesAcross equals the exploded per-seed " +
+    "equality count") {
+    val store = df((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"))
+    val nw = df(
+      (10L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (11L, "completely different words here now"), // novel
+      (12L, "one two three four six")) // near 2 (one word off)
+    def sigs(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(d, "doc_id", "text", 8, 3)
+    val storeSigs = sigs(store)
+    val storeBands = Dedup.lshBandsFromSig(storeSigs, 4, 8)
+    val (marks, delta) = Dedup.lshIndexIngest(sigs(nw), storeBands,
+      storeSigs, 4, 8, minMatches = 4)
+    val m = marks.collect().map(r => r.getLong(0) -> r.getBoolean(1))
+      .toMap
+    assert(m(10L), "exact dup not flagged")
+    assert(!m(11L), "novel doc flagged")
+    val deltaIds = delta.select("id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(!deltaIds.contains(10L), "dup entered the index")
+    assert(deltaIds.contains(11L), "novel doc missing from the delta")
+    assert(delta.filter(col("id") === 11L).count() == 4L,
+      "novel doc must contribute one row per band")
+    // marks ∪ nothing-else: exactly the signed new docs
+    assert(m.keySet == Set(10L, 11L, 12L))
+    // differential: the fused zip_with/aggregate count equals the
+    // exploded (id, seed, minhash) per-seed equality count
+    val cand = Dedup.lshCandidatePairsAcross(
+      Dedup.lshBandsFromSig(sigs(nw), 4, 8), storeBands)
+    val fused = Dedup.signatureMatchesAcross(cand, sigs(nw), storeSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val rowsNw = Dedup.minhash(nw, "doc_id", "text", 8, 3)
+    val rowsSt = Dedup.minhash(store, "doc_id", "text", 8, 3)
+    val exploded = cand
+      .join(rowsNw.select(col("id").as("new_id"), col("seed"),
+        col("minhash").as("ha")), "new_id")
+      .join(rowsSt.select(col("id").as("old_id"), col("seed"),
+        col("minhash").as("hb")), Seq("old_id", "seed"))
+      .groupBy("new_id", "old_id")
+      .agg(org.apache.spark.sql.functions.sum(
+        when(col("ha") === col("hb"), 1L).otherwise(0L)).as("matches"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(fused == exploded, s"$fused vs $exploded")
+    assert(fused((10L, 1L)) == 8L) // identical text → all 8 match
+  }
+
   test("property: shingle kernels == Column trees on random unicode " +
     "text (multi-space runs, non-BMP chars, n ∈ {1,2,3,5})") {
     import org.apache.spark.sql.functions.{conv, md5, substring, transform}

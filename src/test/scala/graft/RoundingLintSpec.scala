@@ -67,6 +67,7 @@ class RoundingLintSpec extends AnyFunSuite {
     // GRID: 2-decimal sums rounded at 4dp (scaled grid multiple 100)
     "a1_series_groupby" -> "GRID 2-dec events.value sum @4dp",
     "cq_downsample" -> "GRID 2-dec events.value sum @4dp",
+    "cq_write_backfill" -> "GRID 2-dec events.value sum @4dp",
     "ql_create_cq" -> "GRID 2-dec events.value sum @4dp",
     "ql_select_into" -> "GRID 2-dec events.value sum @4dp",
     "ql_tag_filter" -> "GRID 2-dec events.value sum @4dp",
