@@ -559,13 +559,31 @@ object Dedup {
     * while the store grows unbounded. */
   def lshIndexIngest(newSigs: DataFrame, storedBands: DataFrame,
       storedSigs: DataFrame, bands: Int, numHashes: Int,
-      minMatches: Int): (DataFrame, DataFrame) = {
+      minMatches: Int,
+      /** also catch duplicates WITHIN the arriving batch (two copies
+        * of a novel template in one increment would otherwise both
+        * enter the index): a new doc is a dup if it matches the store
+        * OR an earlier (smaller-id) batch sibling — the deterministic
+        * arrival-order rule, same tie-break as [[exact]]'s min-id
+        * canonical. */
+      withinBatch: Boolean = false): (DataFrame, DataFrame) = {
     val newBands = lshBandsFromSig(newSigs, bands, numHashes)
     val conf = signatureMatchesAcross(
       lshCandidatePairsAcross(newBands, storedBands),
       newSigs, storedSigs)
-    val dupIds = conf.filter(col("matches") >= minMatches)
-      .select(col("new_id").as("id")).distinct()
+    val storeDups = conf.filter(col("matches") >= minMatches)
+      .select(col("new_id").as("id"))
+    val dupIds = (if (!withinBatch) storeDups else {
+      // self-candidates within the batch: the LATER (larger-id) side
+      // of each matching pair is the dup — exactly one canonical per
+      // within-batch duplicate group survives into the index
+      val selfPairs = lshCandidatePairs(newBands)
+        .select(col("id_b").as("new_id"), col("id_a").as("old_id"))
+      val selfDups = signatureMatchesAcross(selfPairs, newSigs, newSigs)
+        .filter(col("matches") >= minMatches)
+        .select(col("new_id").as("id"))
+      storeDups.unionAll(selfDups)
+    }).distinct()
     val marks = newSigs.select(col("id"))
       .join(dupIds.withColumn("is_dup", lit(true)), Seq("id"), "left")
       .na.fill(false, Seq("is_dup"))

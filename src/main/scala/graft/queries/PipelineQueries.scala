@@ -2194,11 +2194,18 @@ object PipelineQueries {
           MinhashK, ShingleLen)
         val cand =
           Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
-        val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
-          JaccardThreshold, candidates = Some(cand))
         val (ba, bb) = (splitBucket(col("id_a")), splitBucket(col("id_b")))
+        // cross-split restriction BEFORE the shared-shingle confirm
+        // join, not after: only train x test candidates (~16% of all
+        // pairs at this split) ever need the exact-jaccard stage — the
+        // filter commutes with the confirm, and the r12 sf1 probe
+        // showed the candidate chain is where the super-linear growth
+        // lives (9.3x at 10x volume when confirming ALL pairs)
+        val cross = cand.filter((ba < 80 && bb >= 90) ||
+          (ba >= 90 && bb < 80))
+        val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
+          JaccardThreshold, candidates = Some(cross))
         pairs
-          .filter((ba < 80 && bb >= 90) || (ba >= 90 && bb < 80))
           .select(
             when(ba < 80, col("id_a")).otherwise(col("id_b"))
               .as("train_id"),
@@ -2414,6 +2421,55 @@ object PipelineQueries {
         WHERE sp.b >= 80 AND band.id NOT IN
           (SELECT new_id FROM mt WHERE matches >= 4)"""
         .replaceAll("\\s+", " "))),
+
+    // GROWING-index maintenance, within-batch rule: a new doc is a dup
+    // if it matches the store OR an earlier (smaller-id) batch sibling
+    // — two copies of a novel template arriving in ONE increment must
+    // not both enter the index. Deterministic arrival-order tie-break.
+    "dedup_inc_marks_within" -> QueryDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        def sigsOf(part: DataFrame) = Dedup.minhashSignatures(
+          part, "doc_id", "text", MinhashK, ShingleLen)
+        val newSigs = sigsOf(d.filter(splitBucket(col("doc_id")) >= 80))
+        val oldSigs = sigsOf(d.filter(splitBucket(col("doc_id")) < 80))
+        Dedup.lshIndexIngest(newSigs,
+          Dedup.lshBandsFromSig(oldSigs, 4, MinhashK), oldSigs,
+          4, MinhashK, minMatches = 4, withinBatch = true)._1
+      },
+      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
+        sp AS (SELECT doc_id,
+          ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS b
+          FROM documents),
+        ca AS (SELECT DISTINCT a.id AS new_id, b.id AS old_id
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+          JOIN sp x ON a.id = x.doc_id JOIN sp y ON b.id = y.doc_id
+          WHERE x.b >= 80 AND y.b < 80),
+        mt AS (SELECT ca.new_id,
+          sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0
+            END)::BIGINT AS matches
+          FROM ca JOIN sig sa ON sa.id = ca.new_id
+          JOIN sig sb ON sb.id = ca.old_id AND sb.seed = sa.seed
+          GROUP BY ca.new_id, ca.old_id),
+        cw AS (SELECT DISTINCT b.id AS new_id, a.id AS old_id
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.id < b.id
+          JOIN sp x ON a.id = x.doc_id JOIN sp y ON b.id = y.doc_id
+          WHERE x.b >= 80 AND y.b >= 80),
+        mw AS (SELECT cw.new_id,
+          sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0
+            END)::BIGINT AS matches
+          FROM cw JOIN sig sa ON sa.id = cw.new_id
+          JOIN sig sb ON sb.id = cw.old_id AND sb.seed = sa.seed
+          GROUP BY cw.new_id, cw.old_id)
+        SELECT DISTINCT sig.id,
+          (sig.id IN (SELECT new_id FROM mt WHERE matches >= 4)
+            OR sig.id IN (SELECT new_id FROM mw WHERE matches >= 4))
+            AS is_dup
+        FROM sig JOIN sp ON sig.id = sp.doc_id
+        WHERE sp.b >= 80""".replaceAll("\\s+", " "))),
 
     // TF-IDF top-5 terms per doc (keyword extraction for topical
     // routing). Ranking happens ON the 1e-6-rounded score so the order,

@@ -487,6 +487,18 @@ class DedupSpec extends AnyFunSuite {
       .toMap
     assert(fused == exploded, s"$fused vs $exploded")
     assert(fused((10L, 1L)) == 8L) // identical text → all 8 match
+    // within-batch rule: two copies of a NOVEL doc in one increment —
+    // the later (larger-id) copy is the dup, the earlier one enters
+    // the index as the canonical
+    val nw2 = df((13L, "brand new template words appear"),
+      (14L, "brand new template words appear"))
+    val (m2, d2) = Dedup.lshIndexIngest(sigs(nw2), storeBands,
+      storeSigs, 4, 8, minMatches = 4, withinBatch = true)
+    val mm2 = m2.collect().map(r => r.getLong(0) -> r.getBoolean(1))
+      .toMap
+    assert(mm2 == Map(13L -> false, 14L -> true), mm2.toString)
+    assert(d2.select("id").distinct().collect().map(_.getLong(0))
+      .toSet == Set(13L))
   }
 
   test("property: shingle kernels == Column trees on random unicode " +

@@ -44,6 +44,9 @@ PROBE = [
     # /write upsert path — field-merge windows + the once-cached
     # catalog walk — must stay sub-linear as the stored table grows
     "sync_write_upsert",
+    # r15: growing-index maintenance (candidate-chain output-sensitive
+    # like dedup_edit_distance) and the /write -> CQ rewind path
+    "dedup_inc_sigmatch", "dedup_inc_index_delta", "cq_write_backfill",
 ]
 
 
