@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.model.FieldSch
+import graft.operators.Dedup
 import graft.sources.LineProtocol
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -911,4 +912,75 @@ object StreamIngest {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .start()
+
+  /** Continuous growing-index dedup — the streaming face of
+    * [[graft.operators.Dedup.lshIndexIngest]]: each micro-batch signs
+    * its documents ONCE, marks them against the ON-DISK banded index,
+    * and appends the non-duplicates' band + signature rows — so the
+    * state the stream grows IS the shared persistent index
+    * (restart-safe, readable mid-stream, shared with batch ingests),
+    * never executor memory: corpus-scale dedup state does not fit a
+    * streaming state store and does not need to — the index is
+    * storage-resident by design.
+    *
+    * Exactly-once: every frame a micro-batch writes lands under its
+    * own `batch=<id>` partition and is rewritten WHOLE on a replay
+    * (the foreachBatch retry contract), so a crashed batch cannot
+    * double-append index rows; the within-batch arrival-order rule
+    * makes the re-marking itself deterministic. */
+  def lshIndexIngestStream(docs: DataFrame, idCol: String,
+      textCol: String, indexDir: String, marksDir: String,
+      checkpointDir: String, numHashes: Int = 8, bands: Int = 4,
+      shingleLen: Int = 3, minMatches: Int = 4): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lshIngestBatch(batch, idCol, textCol, indexDir, marksDir,
+          batchId, numHashes, bands, shingleLen, minMatches)
+      }
+      .start()
+
+  /** One micro-batch of the growing-index ingest (the foreachBatch
+    * body, callable directly for batch replays/backfills). */
+  def lshIngestBatch(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, marksDir: String, batchId: Long,
+      numHashes: Int, bands: Int, shingleLen: Int,
+      minMatches: Int): Unit = {
+    val spark = batch.sparkSession
+    val sigs = Dedup.minhashSignatures(batch, idCol, textCol,
+      numHashes, shingleLen).cache()
+    try {
+      val (storedBands, storedSigs) = readLshIndex(spark, indexDir)
+      val (marks, delta) = Dedup.lshIndexIngest(sigs, storedBands,
+        storedSigs, bands, numHashes, minMatches, withinBatch = true)
+      val keepSigs = sigs.join(delta.select("id").distinct(),
+        Seq("id"), "left_semi")
+      delta.write.mode("overwrite")
+        .parquet(s"$indexDir/bands/batch=$batchId")
+      keepSigs.write.mode("overwrite")
+        .parquet(s"$indexDir/sigs/batch=$batchId")
+      marks.write.mode("overwrite")
+        .parquet(s"$marksDir/batch=$batchId")
+    } finally sigs.unpersist(): Unit
+  }
+
+  /** The persistent banded index's two frames — (bands, signatures);
+    * empty (right-schema) frames before the first batch lands. The
+    * `batch=<id>` partition column rides along harmlessly (the ingest
+    * operators project id/band/band_hash/sig only). */
+  def readLshIndex(spark: SparkSession, indexDir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    def readOr(path: String, empty: => DataFrame): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        spark.read.parquet(path)
+      else empty
+    }
+    (readOr(s"$indexDir/bands",
+      Seq.empty[(Long, Int, String)].toDF("id", "band", "band_hash")),
+      readOr(s"$indexDir/sigs",
+        Seq.empty[(Long, Array[Long])].toDF("id", "sig")))
+  }
 }

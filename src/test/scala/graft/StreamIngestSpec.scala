@@ -931,4 +931,69 @@ class StreamIngestSpec extends AnyFunSuite {
     val p99 = r.getAs[Double]("p99_r")
     assert(math.abs(p99 - 396.0) / 396.0 <= 0.02 + 1e-6, s"p99=$p99")
   }
+
+  test("growing-index dedup stream: micro-batches mark against and " +
+    "extend the ON-DISK banded index (state is the shared persistent " +
+    "index, not executor memory); batch-mode ingest of the same " +
+    "increments produces identical marks, and duplicates never enter " +
+    "the index") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_lsh_in").toString
+    val idx = Files.createTempDirectory("graft_lsh_idx").toString
+    val marks = Files.createTempDirectory("graft_lsh_mk").toString
+    val ckpt = Files.createTempDirectory("graft_lsh_ck").toString
+    def doc(id: Long, text: String) =
+      s"""{"id": $id, "text": "$text"}"""
+    // batch 0: two novel docs
+    Files.write(Paths.get(in, "b0.json"), Seq(
+      doc(1, "alpha beta gamma delta epsilon"),
+      doc(2, "one two three four five")).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8)): Unit
+    val src = spark.readStream
+      .schema("id LONG, text STRING").json(in)
+    val q = StreamIngest.lshIndexIngestStream(src, "id", "text",
+      idx, marks, ckpt)
+    try {
+      q.processAllAvailable()
+      // batch 1: a dup of doc 1, a novel doc, and a within-batch
+      // duplicate pair (12, 13)
+      Files.write(Paths.get(in, "b1.json"), Seq(
+        doc(10, "alpha beta gamma delta epsilon"),
+        doc(11, "completely different words here now"),
+        doc(12, "brand new template words appear"),
+        doc(13, "brand new template words appear")).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8)): Unit
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = spark.read.parquet(marks).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup")).toMap
+    assert(m === Map(1L -> false, 2L -> false, 10L -> true,
+      11L -> false, 12L -> false, 13L -> true), m.toString)
+    // the index holds exactly the canonicals, 4 band rows each
+    val (bandsDf, sigsDf) = StreamIngest.readLshIndex(spark, idx)
+    val ids = bandsDf.select("id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 11L, 12L), ids.toString)
+    assert(bandsDf.count() === 16L)
+    assert(sigsDf.select("id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 11L, 12L))
+    // differential: batch-mode sequential ingest of the same two
+    // increments yields the same final decision for the second batch
+    def sigsOf(rows: Seq[(Long, String)]) =
+      graft.operators.Dedup.minhashSignatures(
+        rows.toDF("doc_id", "text"), "doc_id", "text", 8, 3)
+    val storeSigs = sigsOf(Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five"))
+    val (bMarks, _) = graft.operators.Dedup.lshIndexIngest(
+      sigsOf(Seq(10L -> "alpha beta gamma delta epsilon",
+        11L -> "completely different words here now",
+        12L -> "brand new template words appear",
+        13L -> "brand new template words appear")),
+      graft.operators.Dedup.lshBandsFromSig(storeSigs, 4, 8),
+      storeSigs, 4, 8, minMatches = 4, withinBatch = true)
+    val bm = bMarks.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(bm === m.filter(_._1 >= 10L), s"$bm vs $m")
+  }
 }

@@ -94,7 +94,16 @@ report = {
             "1/3-overlap structure), while per-candidate cost stays "
             "constant (banded levenshtein O(len*K)). Production lever: "
             "more rows per band as corpora densify (collision p = "
-            "s^rows per band). See SURVEY round-12 third wave."},
+            "s^rows per band). See SURVEY round-12 third wave.",
+        "decontaminate_fuzzy":
+            "same output-sensitive class (r15 measured): the sf1 "
+            "splice synthesis grows true LSH candidates 403x, and the "
+            "~9x residual is the sign+band+bucket-join CANDIDATE stage "
+            "tracking that collision count — r15 moved the cross-split "
+            "restriction BEFORE the exact-jaccard confirm (only "
+            "train-x-test pairs confirm now), so the confirm no "
+            "longer contributes; the candidate stage shares "
+            "dedup_edit_distance's rows-per-band production lever."},
     "flag_threshold": f"growth > {FLAG_FACTOR}*{VOLUME_RATIO} and "
                       f"sf1 > {ABS_FLOOR_SEC}s",
     "queries": rows,
