@@ -964,6 +964,50 @@ object StreamIngest {
     } finally sigs.unpersist(): Unit
   }
 
+  /** Compact the growing index's per-batch partitions into one epoch —
+    * the small-files counter-measure the streaming ingest needs at
+    * continuous rates: [[lshIngestBatch]] appends one `batch=<id>`
+    * dir per micro-batch, so after N batches every ingest's bucket
+    * join pays N-partition listing + tiny-file open costs. Compaction
+    * rewrites bands/ and sigs/ as a single `batch=-1` epoch partition
+    * (foreachBatch ids are >= 0, so the epoch can never collide with
+    * a live batch, and repeated compactions fold prior epochs in),
+    * coalesced to `targetFiles`, and swaps crash-safely (write tmp,
+    * move the old dirs aside, promote, drop backups). Contents are
+    * row-identical before and after.
+    *
+    * Single-writer contract: run from the same maintenance plane that
+    * owns the ingest stream (e.g. the hamonitor tick), between
+    * micro-batches — the index is read only inside a batch, so a
+    * quiesced stream never observes the swap.
+    *
+    * Returns (band rows, signature rows) after compaction. */
+  def compactLshIndex(spark: SparkSession, indexDir: String,
+      targetFiles: Int = 8): (Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    def compactDir(sub: String): Long = {
+      val path = s"$indexDir/$sub"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p) || fs.listStatus(p).isEmpty) return 0L
+      val df = spark.read.parquet(path)
+      val dataCols = df.columns.filterNot(_ == "batch").map(col)
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.compact_$sub")
+      fs.delete(tmp, true): Unit
+      df.select(dataCols: _*).coalesce(targetFiles)
+        .write.parquet(s"$tmp/batch=-1")
+      val n = spark.read.parquet(tmp.toString).count()
+      val bak = new org.apache.hadoop.fs.Path(s"$indexDir/.bak_$sub")
+      fs.delete(bak, true): Unit
+      require(fs.rename(p, bak), s"compact: cannot move $p aside")
+      require(fs.rename(tmp, p),
+        s"compact: cannot promote $tmp (rows preserved in $bak)")
+      fs.delete(bak, true): Unit
+      n
+    }
+    (compactDir("bands"), compactDir("sigs"))
+  }
+
   /** The persistent banded index's two frames — (bands, signatures);
     * empty (right-schema) frames before the first batch lands. The
     * `batch=<id>` partition column rides along harmlessly (the ingest

@@ -996,4 +996,44 @@ class StreamIngestSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(bm === m.filter(_._1 >= 10L), s"$bm vs $m")
   }
+
+  test("compactLshIndex folds per-batch partitions into one epoch: " +
+    "row-identical contents, one partition dir left, and a later " +
+    "ingest still dedups against the compacted index") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_lshc_idx").toString
+    val marks = Files.createTempDirectory("graft_lshc_mk").toString
+    def batchDf(rows: (Long, String)*) = rows.toDF("id", "text")
+    StreamIngest.lshIngestBatch(
+      batchDf(1L -> "alpha beta gamma delta epsilon"),
+      "id", "text", idx, marks, 0L, 8, 4, 3, 4)
+    StreamIngest.lshIngestBatch(
+      batchDf(2L -> "one two three four five"),
+      "id", "text", idx, marks, 1L, 8, 4, 3, 4)
+    def bandSet = {
+      val (b, _) = StreamIngest.readLshIndex(spark, idx)
+      b.select("id", "band", "band_hash").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    }
+    val before = bandSet
+    assert(before.size == 8)
+    val (nb, ns) = StreamIngest.compactLshIndex(spark, idx,
+      targetFiles = 1)
+    assert(nb == 8L && ns == 2L, s"($nb, $ns)")
+    assert(bandSet === before, "compaction changed the index contents")
+    val dirs = new java.io.File(s"$idx/bands").listFiles()
+      .count(_.getName.startsWith("batch="))
+    assert(dirs == 1, s"$dirs partition dirs after compaction")
+    // a later micro-batch still marks against the compacted epoch
+    StreamIngest.lshIngestBatch(
+      batchDf(10L -> "alpha beta gamma delta epsilon",
+        11L -> "novel unseen words entirely fresh"),
+      "id", "text", idx, marks, 2L, 8, 4, 3, 4)
+    val m = spark.read.parquet(marks)
+      .filter(col("batch") === 2).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup")).toMap
+    assert(m === Map(10L -> true, 11L -> false), m.toString)
+    // the dup stayed out; the novel doc joined the compacted epoch
+    assert(bandSet.map(_._1) === Set(1L, 2L, 11L))
+  }
 }
