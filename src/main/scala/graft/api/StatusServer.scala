@@ -52,8 +52,10 @@ final class StatusServer(
     // write half of the InfluxDB 1.x API; see api.WriteService — the
     // db param routes auto-created measurements like InfluxDB) and
     // returns 204; None keeps the endpoint absent. Same auth regime
-    // as /query (see its note).
-    writeExec: Option[(String, Option[String]) => Long] = None,
+    // as /query (see its note). The third argument is the timestamp
+    // multiplier to ns from `?precision=` (the param the reference's
+    // own client sends — Precision "ns", client.go:342,351,511).
+    writeExec: Option[(String, Option[String], Long) => Long] = None,
     // InfluxDB 1.x `[http] auth-enabled` analog for the DATA plane:
     // non-empty → every /query and /write request must carry matching
     // `u`/`p` query params (exactly what the reference's client sends
@@ -111,8 +113,18 @@ final class StatusServer(
     names.collect { case (n, true) => jstr(n) }
       .mkString("[", ",", "]")
 
-  private def bodyOf(ex: HttpExchange): String =
-    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+  /** Request body, decompressing `Content-Encoding: gzip` — the form
+    * telegraf POSTs /write batches in by default (InfluxDB 1.x
+    * accepts gzip on both /write and /query form bodies). */
+  private def bodyOf(ex: HttpExchange): String = {
+    val raw = ex.getRequestBody
+    val in =
+      if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+          .exists(_.toLowerCase.contains("gzip")))
+        new java.util.zip.GZIPInputStream(raw)
+      else raw
+    new String(in.readAllBytes(), StandardCharsets.UTF_8)
+  }
 
   /** Extract a JSON string field without a JSON dependency (login bodies
     * are tiny fixed shapes, UserLogin analog webserver.go:190). */
@@ -192,13 +204,12 @@ final class StatusServer(
     case other => jstr(other.toString)
   }
 
-  /** InfluxDB 1.x /query response for one executed statement: the
-    * result rows as one series (name = the in-band measurement column
-    * when present — the flat-relation face of InfluxQL's out-of-band
-    * series metadata), columns in frame order, row cap marked by
-    * "partial". */
-  def queryJson(df: org.apache.spark.sql.DataFrame,
-      epochDivNs: Long = 1L): String = {
+  /** One statement's results entry: the result rows as one series
+    * (name = the in-band measurement column when present — the
+    * flat-relation face of InfluxQL's out-of-band series metadata),
+    * columns in frame order, row cap marked by "partial". */
+  private def resultJson(df: org.apache.spark.sql.DataFrame,
+      epochDivNs: Long, statementId: Int): String = {
     val cols = df.columns
     val taken = df.take(queryMaxRows + 1)
     val partial = taken.length > queryMaxRows
@@ -222,9 +233,15 @@ final class StatusServer(
         .mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     val partialJson = if (partial) ""","partial":true""" else ""
-    s"""{"results":[{"statement_id":0,"series":[{"name":${jstr(name)},""" +
-      s""""columns":$colJson,"values":$valJson$partialJson}]}]}"""
+    s"""{"statement_id":$statementId,"series":[{"name":${jstr(name)},""" +
+      s""""columns":$colJson,"values":$valJson$partialJson}]}"""
   }
+
+  /** InfluxDB 1.x /query response — one results entry per executed
+    * statement (multi-statement `q` payloads get ordinal ids). */
+  def queryJson(df: org.apache.spark.sql.DataFrame,
+      epochDivNs: Long = 1L): String =
+    s"""{"results":[${resultJson(df, epochDivNs, 0)}]}"""
 
   private val EpochDiv: Map[String, Long] = Map(
     "ns" -> 1L, "u" -> 1000L, "µ" -> 1000L, "ms" -> 1000000L,
@@ -240,63 +257,99 @@ final class StatusServer(
     * resident at a time on the driver, HTTP chunked transfer out), so
     * a dashboard-scale result never materializes whole. */
   private def streamChunked(ex: HttpExchange,
-      df: org.apache.spark.sql.DataFrame, epochDivNs: Long,
+      dfs: Seq[org.apache.spark.sql.DataFrame], epochDivNs: Long,
       chunkSize: Int): Unit = {
-    val cols = df.columns
-    val colJson = cols.map(jstr).mkString("[", ",", "]")
-    val timeIdx = cols.indexOf("time")
-    def cell(r: org.apache.spark.sql.Row, i: Int): String =
-      r.get(i) match {
-        case t: Long if i == timeIdx && epochDivNs > 1L =>
-          jval(t / epochDivNs)
-        case v => jval(v)
-      }
     // the first job partition may already be running when headers go
     // out — any plan/analysis error must surface as a 400 BEFORE the
-    // 200 status is committed, so force the iterator first
-    val it = df.toLocalIterator()
+    // 200 status is committed, so force every statement's iterator
+    // first (statements execute eagerly in request order, matching
+    // the buffered path)
+    val its = dfs.map(df => (df.columns, df.toLocalIterator()))
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(200, 0) // length 0 → chunked transfer
     val os = ex.getResponseBody
-    // one-row pushback so a frame can close EARLY at a series
-    // boundary: InfluxDB 1.x breaks chunks where the series changes,
-    // and labeling a frame with its first row's measurement while
-    // other measurements' rows ride along mid-chunk would mislabel
-    // them (a multi-measurement regex-FROM result is measurement-
-    // contiguous, so the boundary split keeps every frame honest).
-    val measIdx = if (cols.headOption.contains("measurement")) 0 else -1
-    var pending: org.apache.spark.sql.Row =
-      if (it.hasNext) it.next() else null
     try {
-      var first = true
-      while (pending != null || first) {
-        val buf = new StringBuilder
-        var n = 0
-        val name =
-          if (pending != null && measIdx >= 0) pending.getString(measIdx)
-          else "results"
-        var boundary = false
-        while (!boundary && n < chunkSize && pending != null) {
-          if (measIdx >= 0 && pending.getString(measIdx) != name)
-            boundary = true
-          else {
-            if (n > 0) buf.append(',')
-            buf.append((0 until pending.length)
-              .map(i => cell(pending, i)).mkString("[", ",", "]"))
-            n += 1
-            pending = if (it.hasNext) it.next() else null
+      its.zipWithIndex.foreach { case ((cols, it), sid) =>
+        val colJson = cols.map(jstr).mkString("[", ",", "]")
+        val timeIdx = cols.indexOf("time")
+        def cell(r: org.apache.spark.sql.Row, i: Int): String =
+          r.get(i) match {
+            case t: Long if i == timeIdx && epochDivNs > 1L =>
+              jval(t / epochDivNs)
+            case v => jval(v)
           }
+        // one-row pushback so a frame can close EARLY at a series
+        // boundary: InfluxDB 1.x breaks chunks where the series
+        // changes, and labeling a frame with its first row's
+        // measurement while other measurements' rows ride along
+        // mid-chunk would mislabel them (a multi-measurement
+        // regex-FROM result is measurement-contiguous, so the
+        // boundary split keeps every frame honest).
+        val measIdx =
+          if (cols.headOption.contains("measurement")) 0 else -1
+        var pending: org.apache.spark.sql.Row =
+          if (it.hasNext) it.next() else null
+        var first = true
+        while (pending != null || first) {
+          val buf = new StringBuilder
+          var n = 0
+          val name =
+            if (pending != null && measIdx >= 0)
+              pending.getString(measIdx)
+            else "results"
+          var boundary = false
+          while (!boundary && n < chunkSize && pending != null) {
+            if (measIdx >= 0 && pending.getString(measIdx) != name)
+              boundary = true
+            else {
+              if (n > 0) buf.append(',')
+              buf.append((0 until pending.length)
+                .map(i => cell(pending, i)).mkString("[", ",", "]"))
+              n += 1
+              pending = if (it.hasNext) it.next() else null
+            }
+          }
+          val partial =
+            if (pending != null) ""","partial":true""" else ""
+          val doc =
+            s"""{"results":[{"statement_id":$sid,"series":[{""" +
+              s""""name":${jstr(name)},"columns":$colJson,""" +
+              s""""values":[${buf.toString}]$partial}]$partial}]}""" + "\n"
+          os.write(doc.getBytes(StandardCharsets.UTF_8))
+          os.flush()
+          first = false
         }
-        val partial = if (pending != null) ""","partial":true""" else ""
-        val doc =
-          s"""{"results":[{"statement_id":0,"series":[{""" +
-            s""""name":${jstr(name)},"columns":$colJson,""" +
-            s""""values":[${buf.toString}]$partial}]$partial}]}""" + "\n"
-        os.write(doc.getBytes(StandardCharsets.UTF_8))
-        os.flush()
-        first = false
       }
     } finally os.close()
+  }
+
+  /** Quote-aware split of a /query `q` payload into its statements:
+    * InfluxDB 1.x accepts multiple ';'-separated statements per
+    * request and answers with one results entry per statement
+    * (ordinal statement_id). ';' inside single-quoted string literals
+    * or double-quoted identifiers is data; backslash escapes inside
+    * quotes are honored. */
+  private[graft] def splitStatements(q: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (quote != 0) {
+        sb.append(c)
+        if (c == '\\' && i + 1 < q.length) {
+          sb.append(q.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c; sb.append(c)
+        case ';'        => out += sb.toString; sb.clear(): Unit
+        case _          => sb.append(c)
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   private def parseParams(s: String): Map[String, String] =
@@ -365,12 +418,23 @@ final class StatusServer(
       case (Some(text), ep) =>
         try {
           val epochDiv = ep.map(EpochDiv).getOrElse(1L)
+          val stmts = splitStatements(text)
+          require(stmts.nonEmpty, "empty query text")
           if (params.get("chunked").contains("true")) {
             val size = params.get("chunk_size").map(_.toInt)
               .getOrElse(10000) // the client.go:344 default
             require(size > 0, s"chunk_size must be positive: $size")
-            streamChunked(ex, exec(text), epochDiv, size)
-          } else respond(ex, 200, queryJson(exec(text), epochDiv))
+            streamChunked(ex, stmts.map(exec), epochDiv, size)
+          } else {
+            // statements execute in request order; each contributes
+            // one ordinal results entry (the InfluxDB multi-statement
+            // response shape)
+            val entries = stmts.zipWithIndex.map { case (s, i) =>
+              resultJson(exec(s), epochDiv, i)
+            }
+            respond(ex, 200,
+              s"""{"results":[${entries.mkString(",")}]}""")
+          }
         } catch {
           case e: Exception =>
             // if the chunked stream already committed its 200 the
@@ -416,7 +480,16 @@ final class StatusServer(
         if (!dataAuthOk(ex, params))
           respond(ex, 401, """{"error":"authorization failed"}""")
         else try {
-          wr(bodyOf(ex), params.get("db")): Unit
+          // ?precision=[n|ns|u|ms|s|m|h]: the unit of the lines'
+          // timestamps (InfluxDB /write API; default ns). "n" is the
+          // API's own spelling, "ns" the client libraries' — accept
+          // both.
+          val mul = params.get("precision").map { p =>
+            EpochDiv.getOrElse(if (p == "n") "ns" else p,
+              throw new IllegalArgumentException(
+                s"bad precision '$p' (n|ns|u|ms|s|m|h)"))
+          }.getOrElse(1L)
+          wr(bodyOf(ex), params.get("db"), mul): Unit
           ex.sendResponseHeaders(204, -1) // InfluxDB: 204 No Content
           ex.close()
         } catch {

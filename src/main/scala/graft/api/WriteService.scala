@@ -126,19 +126,28 @@ final class WriteService(
     * @param db target database for auto-created measurements (the
     *   /write `db` query param). Required when the root is
     *   hierarchical and the batch carries an unknown measurement;
-    *   ignored for writes into known measurements of a flat root. */
-  def write(body: String, db: Option[String] = None): Long = {
+    *   ignored for writes into known measurements of a flat root.
+    * @param timeMulNs multiplier from the lines' timestamp unit to
+    *   ns — the /write `precision` param (1 = ns, the InfluxDB
+    *   default and what the reference's client sends). Timestamps
+    *   are scaled ONCE at parse, so every downstream consumer
+    *   (upsert grid, series low-water marks) sees canonical ns. */
+  def write(body: String, db: Option[String] = None,
+      timeMulNs: Long = 1L): Long = {
+    require(timeMulNs > 0, s"timeMulNs must be positive: $timeMulNs")
     val lines = body.split('\n').map(_.stripSuffix("\r"))
       .filter(_.trim.nonEmpty).toSeq
     require(lines.nonEmpty, "empty write body")
     val points = lines.zipWithIndex.map { case (l, i) =>
-      val p = LineProtocol.parseLineOpt(l).getOrElse(
+      val p0 = LineProtocol.parseLineOpt(l).getOrElse(
         throw new IllegalArgumentException(
           s"malformed line protocol at line ${i + 1}: $l"))
-      require(p.hasTime, s"line ${i + 1} has no timestamp — the " +
+      require(p0.hasTime, s"line ${i + 1} has no timestamp — the " +
         "strict /write plane does not stamp server time (a " +
         "timestampless batch would collapse onto epoch 0 under " +
         s"last-write-wins): $l")
+      val p = if (timeMulNs == 1L) p0
+        else p0.copy(timeNs = math.multiplyExact(p0.timeNs, timeMulNs))
       p -> i.toLong
     }
     val byMeasurement = points.groupBy(_._1.measurement).toSeq

@@ -620,6 +620,69 @@ class StatusServerSpec extends AnyFunSuite {
         "walks — the r13 per-batch-walk regression is back")
   }
 
+  test("InfluxDB 1.x API compat: /write honors ?precision= and gzip'd " +
+    "bodies (telegraf's default transport), /query executes " +
+    "';'-separated multi-statement payloads with ordinal " +
+    "statement_ids, and the statement splitter is quote-aware") {
+    val spark = SparkSpec.spark
+    val wroot = java.nio.file.Files
+      .createTempDirectory("graft_compat_w").toString
+    val ws = new graft.api.WriteService(spark, wroot)
+    val status = ClusterStatus("OK", 0L, 0L, masterState = true,
+      masterLastOkNs = 1L, slaveState = true, slaveLastOkNs = 1L)
+    val srv = new StatusServer(0, () => status, () => Nil,
+      queryExec = Some(graft.ql.QlPlanner.executor(spark, wroot, Nil)),
+      writeExec = Some(ws.write))
+    srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val t0s = 1704412800L // SECONDS since epoch
+      // precision=s: the line's timestamp is in seconds; stored time
+      // must land on the canonical ns epoch
+      val w1 = client.send(HttpRequest.newBuilder(URI.create(
+        s"$base/write?precision=s"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"cpu,host=h1 v=1.0 $t0s")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(w1.statusCode() == 204, w1.body())
+      val ts = spark.read.parquet(s"$wroot/cpu.parquet")
+        .select("ts").collect().map(_.getLong(0)).toSeq
+      assert(ts == Seq(t0s * 1000000000L), ts.toString)
+      // bad precision refuses with 400 before touching storage
+      assert(client.send(HttpRequest.newBuilder(URI.create(
+        s"$base/write?precision=fortnight"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"cpu,host=h1 v=9.0 $t0s")).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
+      // gzip'd body + precision=s together
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s"cpu,host=h2 v=2.0 ${t0s + 60}".getBytes("UTF-8"))
+      gz.close()
+      val w2 = client.send(HttpRequest.newBuilder(URI.create(
+        s"$base/write?precision=s"))
+        .header("Content-Encoding", "gzip")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(w2.statusCode() == 204, w2.body())
+      assert(spark.read.parquet(s"$wroot/cpu.parquet").count() == 2L)
+      // multi-statement /query: two ordinal results entries
+      val q = client.send(HttpRequest.newBuilder(URI.create(
+        s"$base/query?q=" + java.net.URLEncoder.encode(
+          "show databases ; show measurements", "UTF-8"))).GET()
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(q.statusCode() == 200, q.body())
+      assert(q.body().contains("\"statement_id\":0") &&
+        q.body().contains("\"statement_id\":1"), q.body())
+      assert(q.body().contains("cpu"), q.body())
+      // the splitter: ';' inside quoted literals/identifiers is data
+      assert(srv // accessible: private[graft]
+        .splitStatements("""select 'a;b' from "m;n" ; show databases""")
+        == Seq("""select 'a;b' from "m;n"""", "show databases"))
+    } finally srv.stop()
+  }
+
   test("E2E from TOML config to 401/200: the hamonitor daemon's server " +
     "built from AgentConfigFile credentials ([http] data-user/" +
     "data-passwd/allow-mutations) refuses anonymous /query and /write, " +
