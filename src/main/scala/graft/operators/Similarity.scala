@@ -329,6 +329,65 @@ object Similarity {
         col("col.id").as("neighbor_id"), col("col.score").as(scoreOut))
   }
 
+  /** IVF coarse assignment against a FIXED index-resident codebook —
+    * the maintenance half of a persistent IVF index (the ANN twin of
+    * the growing MinHash-LSH index): new embeddings join an existing
+    * index by nearest-anchor assignment alone, with NO re-clustering
+    * and NO scan of the stored corpus. The k anchor vectors ride into
+    * the plan as literals and the argmax is ONE codegen'd projection
+    * per row — zero shuffle, so ingest cost tracks the batch size
+    * while the store grows unbounded (re-train the codebook
+    * out-of-band when drift warrants, as production IVF systems do).
+    *
+    * Determinism contract (what the DuckDB oracle mirrors, unlike the
+    * trained-codebook [[ivfTopK]] whose quality is recall-floored):
+    * similarity = round(cosine, 6), ties break to the SMALLEST list
+    * id, zero-norm vectors are excluded (no defined similarity). */
+  def ivfAssignFixed(emb: DataFrame, idCol: String, vecCol: String,
+      anchors: Seq[(Int, Array[Double])]): DataFrame = {
+    require(anchors.nonEmpty, "ivfAssignFixed: empty codebook")
+    val prepped = prep(emb, idCol, vecCol, "vec_id", "v", "vn")
+      .filter(col("vn") > 0)
+    val scored = anchors.sortBy(_._1).map { case (listId, a) =>
+      val an = math.sqrt(a.map(x => x * x).sum)
+      require(an > 0, s"ivfAssignFixed: zero-norm anchor $listId")
+      val c = round(
+        vecDot(col("v"), typedLit(a.toSeq)) / (col("vn") * lit(an)), 6)
+      struct(c.as("c"), lit(listId.toLong).as("l"))
+    }
+    // strict > keeps the earlier (smaller-list) candidate on a tie —
+    // the same ordering the oracle's (cos_r DESC, list ASC) rank uses
+    val best = scored.reduceLeft((acc, s) =>
+      when(s.getField("c") > acc.getField("c"), s).otherwise(acc))
+    prepped.select(col("vec_id"),
+      best.getField("l").as("list"), best.getField("c").as("cos_r"))
+  }
+
+  /** nProbe=1 IVF query over the fixed codebook: each query searches
+    * ONLY its own list's members — the index-resident probe path,
+    * deterministic end to end (assignment and ranking both on the
+    * 6dp contract), so it is hash-checked rather than
+    * recall-floored. The list join shuffles each side once on the
+    * list id; per-list work is corpus/k, never all-pairs. */
+  def ivfTopKFixed(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      anchors: Seq[(Int, Array[Double])], k: Int): DataFrame = {
+    val qa = ivfAssignFixed(queries, idCol, vecCol, anchors)
+      .select(col("vec_id").as("query_id"), col("list"))
+    val ca = ivfAssignFixed(corpus, idCol, vecCol, anchors)
+      .select(col("vec_id").as("neighbor_id"), col("list"))
+    val q = prep(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val c = prep(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    // zero-norm rows never appear: the assignment frames exclude them
+    val scored = qa.join(q, "query_id")
+      .join(ca.join(c, "neighbor_id"), "list")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** k-NN label assignment: classify each query embedding by MAJORITY
     * VOTE over its k nearest corpus neighbors' labels (cosine ranking,
     * the [[bruteForceTopK]] contract — rounded-score DESC, neighbor id

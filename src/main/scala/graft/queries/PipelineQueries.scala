@@ -55,6 +55,17 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** The incremental-IVF entries' FIXED codebook: the four smallest
+    * vec_ids' embeddings as deterministic anchors (list id = vec_id) —
+    * the stand-in for a persisted trained codebook, chosen so the
+    * DuckDB oracle can name the identical vectors. */
+  private def fixedAnchors(e: DataFrame): Seq[(Int, Array[Double])] =
+    e.filter(col("vec_id") < 4)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .toSeq.sortBy(_._1)
+
   /** THE basis-point split hash (md5-prefix of the id, mod 100) shared
     * by every split-based query (pipeline_split, decontaminate_*,
     * dedup_incremental_*) — one definition, so the train/test split
@@ -950,6 +961,92 @@ object PipelineQueries {
             col("neighbor_id"), col("cosine_r"))
       },
       Some(AnnExactOracle)),
+
+    // INCREMENTAL IVF — the persistent-index maintenance pair (the ANN
+    // twin of dedup_inc_*): a FIXED codebook (the four smallest
+    // vec_ids as deterministic anchors, standing in for the persisted
+    // centroids) lets new embeddings join the index by nearest-anchor
+    // assignment alone — no re-clustering, no stored-corpus scan, and
+    // the whole path is hash-checked (unlike trained-codebook IVF,
+    // whose quality is recall-floored). Assignment: the new batch
+    // (vec_id % 10 = 9) against the codebook.
+    "ann_ivf_inc_assign" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.ivfAssignFixed(
+          e.filter(pmod(col("vec_id"), lit(10)) === 9),
+          "vec_id", "embedding", fixedAnchors(e))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        a AS (SELECT vec_id AS list, v AS av FROM v WHERE vec_id < 4),
+        nb AS (SELECT vec_id, v FROM v WHERE vec_id % 10 = 9
+          AND list_reduce(list_transform(v, x -> x*x),
+            (x,y) -> x+y) > 0),
+        s0 AS (SELECT nb.vec_id, a.list,
+          round(list_reduce(list_transform(generate_series(1,64),
+            i -> nb.v[i]*a.av[i]), (x,y) -> x+y)
+            / (sqrt(list_reduce(list_transform(nb.v, x -> x*x),
+                (x,y) -> x+y))
+             * sqrt(list_reduce(list_transform(a.av, x -> x*x),
+                (x,y) -> x+y))), 6) AS cos_r
+          FROM nb, a),
+        r AS (SELECT vec_id, list, cos_r, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos_r DESC, list) AS rk
+          FROM s0)
+        SELECT vec_id, list::BIGINT AS list, cos_r FROM r
+        WHERE rk = 1""".replaceAll("\\s+", " "))),
+
+    // the probe half: nProbe=1 queries over the fixed codebook — each
+    // query ranks ONLY its own list's members (corpus/k per list,
+    // never all-pairs), deterministic and hash-checked end to end.
+    "ann_ivf_inc_topk" -> QueryDef(
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.ivfTopKFixed(e.filter(col("vec_id") < 16), e,
+          "vec_id", "embedding", fixedAnchors(e), 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine_r"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        a AS (SELECT vec_id AS list, v AS av FROM v WHERE vec_id < 4),
+        nz AS (SELECT vec_id, v FROM v
+          WHERE list_reduce(list_transform(v, x -> x*x),
+            (x,y) -> x+y) > 0),
+        s0 AS (SELECT nz.vec_id, a.list,
+          round(list_reduce(list_transform(generate_series(1,64),
+            i -> nz.v[i]*a.av[i]), (x,y) -> x+y)
+            / (sqrt(list_reduce(list_transform(nz.v, x -> x*x),
+                (x,y) -> x+y))
+             * sqrt(list_reduce(list_transform(a.av, x -> x*x),
+                (x,y) -> x+y))), 6) AS cos_r
+          FROM nz, a),
+        asg AS (SELECT vec_id, list FROM (SELECT vec_id, list,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos_r DESC, list) AS rk FROM s0) WHERE rk = 1),
+        qs AS (SELECT nz.vec_id AS qid, nz.v AS qv, asg.list
+          FROM nz JOIN asg ON nz.vec_id = asg.vec_id
+          WHERE nz.vec_id < 16),
+        cs AS (SELECT nz.vec_id AS nid, nz.v AS cv, asg.list
+          FROM nz JOIN asg ON nz.vec_id = asg.vec_id),
+        sc0 AS (SELECT qs.qid AS query_id, cs.nid AS neighbor_id,
+          list_reduce(list_transform(generate_series(1,64),
+            i -> qs.qv[i]*cs.cv[i]), (x,y) -> x+y) AS dot,
+          (sqrt(list_reduce(list_transform(qs.qv, x -> x*x),
+            (x,y) -> x+y)) *
+           sqrt(list_reduce(list_transform(cs.cv, x -> x*x),
+            (x,y) -> x+y))) AS nn
+          FROM qs JOIN cs ON qs.list = cs.list
+          WHERE cs.nid != qs.qid),
+        sc AS (SELECT query_id, neighbor_id,
+          CASE WHEN nn > 0 THEN dot / nn END AS cos FROM sc0)
+        SELECT query_id, rank, neighbor_id, cosine_r FROM (
+          SELECT query_id, neighbor_id, round(cos,6) AS cosine_r,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY round(cos,6) DESC, neighbor_id) AS rank FROM sc
+          WHERE cos IS NOT NULL)
+        WHERE rank <= 5""".replaceAll("\\s+", " "))),
 
     // Product-quantization ANN (ADC shortlist over an 8-byte code table
     // + exact re-rank) — the memory-bound scale path: the corpus-wide

@@ -453,4 +453,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2L) === ((1L, 0L, 0L)))
     assert(out(3L) === ((1L, 1L, 10000L)))
   }
+
+  test("ivfAssignFixed: the zero-shuffle argmax equals the exploded " +
+    "crossJoin ranking (ties to the smallest list, zero-norm rows " +
+    "excluded); ivfTopKFixed returns only same-list neighbors") {
+    val anchors = Seq(
+      0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0))
+    val pts = Seq(
+      (10L, Seq(0.9f, 0.1f)),  // → list 0
+      (11L, Seq(0.2f, 0.8f)),  // → list 1
+      (12L, Seq(1.0f, 1.0f)),  // exact tie → SMALLEST list (0)
+      (13L, Seq(0.0f, 0.0f)),  // zero-norm → excluded
+      (14L, Seq(0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfAssignFixed(pts, "vec_id", "embedding",
+      anchors).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 0L, 11L -> 1L, 12L -> 0L, 14L -> 0L),
+      got.toString)
+    // exploded reference: crossJoin every (point, anchor), rank by
+    // (round(cos,6) DESC, list ASC), keep rank 1
+    val a = anchors.toSeq.map { case (l, v) => (l.toLong, v.toSeq) }
+      .toDF("list", "av")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("c").desc, col("list").asc)
+    // ANSI division: exclude the zero-norm row from the exploded
+    // reference up front (the operator excludes it by its norm guard)
+    val ref = pts.filter(col("vec_id") =!= 13L).crossJoin(a)
+      .select(col("vec_id"), col("list"),
+        round(Similarity.cosine(Similarity.asDouble(col("embedding")),
+          col("av")), 6).as("c"))
+      .where(!isnan(col("c")) && col("c").isNotNull)
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref, s"$got vs $ref")
+    // probe path: every returned neighbor shares the query's list
+    val topk = Similarity.ivfTopKFixed(
+      pts.filter(col("vec_id") === 10L), pts, "vec_id", "embedding",
+      anchors, k = 5).collect()
+      .map(r => r.getAs[Long]("neighbor_id")).toSet
+    assert(topk === Set(12L, 14L), topk.toString) // list-0 members only
+  }
 }
