@@ -466,6 +466,16 @@ final class StatusServer(
       // session-gated action stub (api.go:54-61)
       if (signedIn(ex)) respond(ex, 200, jstr("hola"))
       else respond(ex, 401, jstr("unauthorized")))
+    // GET /ping → 204 + version header: the liveness probe every
+    // InfluxDB 1.x client calls before use — the reference's monitor
+    // gates its whole FSM on it (InfluxMonitor.Ping reads the
+    // duration AND the version string, influxmonitor.go:115-127).
+    // Unauthenticated even with auth on, like InfluxDB's own /ping.
+    server.createContext("/ping", (ex: HttpExchange) => {
+      ex.getResponseHeaders.set("X-Influxdb-Version", "1.8-graft")
+      ex.sendResponseHeaders(204, -1)
+      ex.close()
+    })
     server.createContext("/login", handleLogin _)
     server.createContext("/logout", handleLogout _)
     queryExec.foreach(exec =>

@@ -667,6 +667,14 @@ class StatusServerSpec extends AnyFunSuite {
         .build(), HttpResponse.BodyHandlers.ofString())
       assert(w2.statusCode() == 204, w2.body())
       assert(spark.read.parquet(s"$wroot/cpu.parquet").count() == 2L)
+      // /ping: 204 + version header, reachable without credentials
+      // (the probe every client calls first, influxmonitor.go:115)
+      val ping = client.send(HttpRequest.newBuilder(URI.create(
+        s"$base/ping")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ping.statusCode() == 204)
+      assert(ping.headers().firstValue("X-Influxdb-Version")
+        .orElse("") == "1.8-graft")
       // multi-statement /query: two ordinal results entries
       val q = client.send(HttpRequest.newBuilder(URI.create(
         s"$base/query?q=" + java.net.URLEncoder.encode(
