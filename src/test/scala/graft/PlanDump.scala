@@ -13,7 +13,11 @@ object PlanDump {
       "text_bigram_logprob", "dedup_edit_distance",
       "assoc_rules_pairs", "text_pmi_bigrams", "text_diversity",
       "ql_create_cq", "sync_maintenance", "ann_lsh_multiprobe_recall",
-      "ql_show_cqs", "stats_mad_outliers", "pipeline_dedup_report")
+      "ql_show_cqs", "stats_mad_outliers", "pipeline_dedup_report",
+      // r15 incremental families + the write→CQ roundtrip
+      "ann_ivf_inc_assign", "ann_ivf_inc_topk", "dedup_inc_sigmatch",
+      "dedup_inc_marks_within", "dedup_inc_index_delta",
+      "cq_write_backfill", "sync_write_upsert")
     hot.foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect(): Unit

@@ -138,6 +138,17 @@ class PlanSpec extends AnyFunSuite {
       // catalog + parallel disjoint chunk groups), with the walk
       // count itself pinned by the WriteService cost-contract test
       "sync_write_upsert" -> ((0, 0)),
+      // r15 incremental families (ceilings from PlanDump): the IVF
+      // assignment MUST stay a zero-shuffle projection (its whole
+      // scale story), the LSH-index stages keep their bucket-join +
+      // broadcast shape, the write→CQ roundtrip's final plan is the
+      // rollup read-back
+      "ann_ivf_inc_assign" -> ((0, 0)),
+      "ann_ivf_inc_topk" -> ((6, 3)),
+      "dedup_inc_sigmatch" -> ((4, 3)),
+      "dedup_inc_marks_within" -> ((13, 7)),
+      "dedup_inc_index_delta" -> ((7, 4)),
+      "cq_write_backfill" -> ((0, 0)),
       "ann_lsh_multiprobe_recall" -> ((11, 4)),
       "dedup_keep_best" -> ((9, 5)),
       "layout_bucketed_join" -> ((2, 1)),
