@@ -103,4 +103,23 @@ class AgentConfigFileSpec extends AnyFunSuite {
     assert(c.chunk == "30m")               // flag overrides file's 5m
     assert(c.initialReplication == "both")
   }
+
+  test("the shipped conf/sample.graft.toml parses and lands every " +
+    "documented key (the sample cannot drift from the loader)") {
+    val text = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("conf/sample.graft.toml")),
+      StandardCharsets.UTF_8)
+    val p = AgentConfigFile.parse(text)
+    assert(p.servers.map(_.name) == Seq("influxdb01", "influxdb02"))
+    val c = AgentConfigFile.apply(p, AgentConfig("", ""))
+    assert(c.masterRoot == "/var/lib/graft/master")
+    assert(c.slaveRoot == "/var/lib/graft/slave")
+    assert(c.httpPort == 4090)
+    assert(c.adminUser == "admin" && c.checkIntervalMs == 10000L)
+    assert(c.chunk == "60m" && c.numWorkers == 4)
+    // the data-plane keys ship commented out (auth-disabled default);
+    // uncommented they land (pinned by the TOML auth E2E); here pin
+    // the DEFAULTS the sample documents
+    assert(c.dataUser.isEmpty && !c.allowMutations)
+  }
 }
