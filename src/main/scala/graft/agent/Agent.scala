@@ -617,13 +617,13 @@ final class Agent(
     val ws = new graft.api.WriteService(spark, cfg.slaveRoot,
       chunkNs = chunkNs, timeCol = cfg.timeCol,
       onCatalogChange = () => dropCatalog())
-    val exec = graft.ql.QlPlanner.executor(spark, cfg.slaveRoot,
+    val exec = graft.ql.QlPlanner.executorScoped(spark, cfg.slaveRoot,
       liveCatalog(), allowMutations = cfg.allowMutations,
       onMutation = () => { dropCatalog(); ws.invalidateSchema() })
     new graft.api.StatusServer(cfg.httpPort, status,
       () => Seq("master" -> masterProbe(), "slave" -> slaveProbe()),
       cfg.adminUser, cfg.adminPassword, cfg.staticDir,
-      queryExec = Some(exec),
+      queryExecScoped = Some(exec),
       writeExec = Some(ws.write),
       dataUser = cfg.dataUser, dataPassword = cfg.dataPassword)
   }

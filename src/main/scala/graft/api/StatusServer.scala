@@ -66,7 +66,14 @@ final class StatusServer(
     // caller. Empty (default) keeps the credential-blind InfluxDB
     // default (auth-enabled = false).
     dataUser: String = "",
-    dataPassword: String = "") {
+    dataPassword: String = "",
+    // db-aware /query executor (the `db=` request param as the
+    // database scope — QlPlanner.executorScoped); when present it
+    // wins over queryExec, which serves the whole root regardless of
+    // db. Separate parameter so existing single-root wirings stay
+    // source-compatible.
+    queryExecScoped: Option[(String, Option[String]) =>
+      org.apache.spark.sql.DataFrame] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // token → expiry epoch-ms; pruned on every login/validation so a
@@ -399,8 +406,8 @@ final class StatusServer(
       uOk && pOk
     }
 
-  private def handleQuery(ex: HttpExchange, exec: String =>
-      org.apache.spark.sql.DataFrame): Unit = {
+  private def handleQuery(ex: HttpExchange, exec: (String,
+      Option[String]) => org.apache.spark.sql.DataFrame): Unit = {
     // params from the query string (GET, client.go:60) or a form body
     // (POST); body wins per-key only when the URI lacks it
     val params =
@@ -420,17 +427,18 @@ final class StatusServer(
           val epochDiv = ep.map(EpochDiv).getOrElse(1L)
           val stmts = splitStatements(text)
           require(stmts.nonEmpty, "empty query text")
+          val db = params.get("db")
           if (params.get("chunked").contains("true")) {
             val size = params.get("chunk_size").map(_.toInt)
               .getOrElse(10000) // the client.go:344 default
             require(size > 0, s"chunk_size must be positive: $size")
-            streamChunked(ex, stmts.map(exec), epochDiv, size)
+            streamChunked(ex, stmts.map(exec(_, db)), epochDiv, size)
           } else {
             // statements execute in request order; each contributes
             // one ordinal results entry (the InfluxDB multi-statement
             // response shape)
             val entries = stmts.zipWithIndex.map { case (s, i) =>
-              resultJson(exec(s), epochDiv, i)
+              resultJson(exec(s, db), epochDiv, i)
             }
             respond(ex, 200,
               s"""{"results":[${entries.mkString(",")}]}""")
@@ -478,9 +486,12 @@ final class StatusServer(
     })
     server.createContext("/login", handleLogin _)
     server.createContext("/logout", handleLogout _)
-    queryExec.foreach(exec =>
-      server.createContext("/query",
-        (ex: HttpExchange) => handleQuery(ex, exec)))
+    queryExecScoped
+      .orElse(queryExec.map(f =>
+        (t: String, _: Option[String]) => f(t)))
+      .foreach(exec =>
+        server.createContext("/query",
+          (ex: HttpExchange) => handleQuery(ex, exec)))
     writeExec.foreach(wr =>
       server.createContext("/write", (ex: HttpExchange) => {
         // /write params live in the URI ONLY — the POST body is the

@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
   * nanoseconds — the engine-wide canonical time ([[graft.sources
   * .Tables]] normalizes any physical parquet time type to it). */
 final case class QlTable(name: String, df: DataFrame, timeCol: String,
-    tags: Seq[String], fields: Seq[String])
+    tags: Seq[String], fields: Seq[String],
+    /** Owning database ("" = unscoped): the served /query `db=` param
+      * restricts SELECT resolution to matching (or unscoped) tables —
+      * how colliding measurement names across databases resolve
+      * deterministically (InfluxDB's own request-scoping). */
+    db: String = "")
 
 /** Plans a parsed [[QlSelect]] onto the existing DataFrame surface —
   * the text front-end stays a THIN layer: scans/filters land on the
@@ -428,9 +433,10 @@ object QlPlanner {
       val fields = df.columns.toSeq
         .filterNot(c =>
           tags.contains(c) || c == timeCol || c == "measurement")
-      QlTable(m.name, df, timeCol, tags, fields)
+      QlTable(m.name, df, timeCol, tags, fields,
+        db = if (hier) d.name else "")
     }
-    all.distinctBy(_.name)
+    all.distinctBy(t => (t.db, t.name))
   }
 
   /** The standard HTTP /query executor: SHOW statements discover the
@@ -459,8 +465,29 @@ object QlPlanner {
       // describes; without the hook a stale POSITIVE — /write into a
       // database dropped over /query — resolves against dead paths)
       onMutation: () => Unit = () => ())
-      : String => DataFrame =
-    text => {
+      : String => DataFrame = {
+    val scoped = executorScoped(spark, root, catalog, nowNs,
+      allowMutations, onMutation)
+    text => scoped(text, None)
+  }
+
+  /** [[executor]] with the /query `db=` request parameter as the
+    * database context (InfluxDB 1.x scoping): SELECT resolves only
+    * measurements of the named database (unscoped `db=""` tables stay
+    * visible — fixture catalogs), SHOW discovery restricts to it, and
+    * an unknown name surfaces as the planner's own resolution error.
+    * No db → the whole-root behavior. */
+  def executorScoped(spark: org.apache.spark.sql.SparkSession,
+      root: String, catalog: => Seq[QlTable],
+      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L,
+      allowMutations: Boolean = false,
+      onMutation: () => Unit = () => ())
+      : (String, Option[String]) => DataFrame =
+    (text, dbScope) => {
+      def scopedCatalog: Seq[QlTable] = dbScope match {
+        case Some(d) => catalog.filter(t => t.db.isEmpty || t.db == d)
+        case None    => catalog
+      }
       val parsed = InfluxQl.parseStatement(text)
       val mutating = parsed match {
         case _: QlDelete | _: QlDropMeasurement | _: QlCreateCq |
@@ -475,7 +502,7 @@ object QlPlanner {
         throw new IllegalArgumentException(
           s"mutating statement refused (allowMutations=false): " +
             m.getClass.getSimpleName)
-      case sh: QlShow    => planShow(sh, spark, root)
+      case sh: QlShow    => planShow(sh, spark, root, dbScope)
       case sel: QlSelect =>
         // InfluxDB 1.x returns points time-ordered per series, and the
         // HTTP layer truncates at queryMaxRows — so the materialized
@@ -484,10 +511,11 @@ object QlPlanner {
         // global Sort would tax every planned query). Series keys
         // lead so truncation cuts whole series tails, time honors
         // ORDER BY time [DESC].
-        val out = plan(sel, catalog, Some(nowNs()))
+        val cat = scopedCatalog
+        val out = plan(sel, cat, Some(nowNs()))
         if (out.columns.contains("time")) {
           val tagCols = out.columns.filter(c =>
-            c == "measurement" || catalog.exists(_.tags.contains(c)))
+            c == "measurement" || cat.exists(_.tags.contains(c)))
           val timeOrd =
             if (sel.orderDesc) col("time").desc else col("time").asc
           out.orderBy(tagCols.map(col(_).asc) :+ timeOrd: _*)
@@ -774,14 +802,22 @@ object QlPlanner {
     * The canonical time column appears among the integer fields, the
     * same §1.2 mapping `catalog_schema` pins. */
   def planShow(stmt: QlShow,
-      spark: org.apache.spark.sql.SparkSession, root: String)
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      // the /query `db=` request scope: discovery restricted to one
+      // database (SHOW DATABASES and the CQ catalog stay root-wide,
+      // matching InfluxDB)
+      dbScope: Option[String] = None)
       : DataFrame = {
     import spark.implicits._
     val cat = new graft.catalog.Catalog(spark)
-    lazy val schema = cat.getSchema(root)
+    lazy val fullSchema = cat.getSchema(root)
+    lazy val schema = dbScope match {
+      case Some(d) => fullSchema.filter(_.name == d)
+      case None    => fullSchema
+    }
     stmt match {
       case ShowDatabases =>
-        schema.map(_.name).toDF("name")
+        fullSchema.map(_.name).toDF("name")
       case ShowContinuousQueries =>
         // the registered CQ catalog (root/_cq.json via CqService);
         // statement text included — it IS the registration

@@ -785,6 +785,23 @@ class StatusServerSpec extends AnyFunSuite {
         Seq("Authorization", basic))
       assert(sel.statusCode() == 200 && sel.body().contains("0.75"),
         sel.body())
+      // db= scoping (InfluxDB request semantics): the measurement
+      // resolves inside its database and is INVISIBLE outside it
+      val inDb = getQ("select busy from cpu", "db=telegraf",
+        Seq("Authorization", basic))
+      assert(inDb.statusCode() == 200 && inDb.body().contains("0.75"),
+        inDb.body())
+      val wrongDb = getQ("select busy from cpu", "db=nosuchdb",
+        Seq("Authorization", basic))
+      assert(wrongDb.statusCode() == 400, wrongDb.body())
+      // scoped SHOW discovery restricts to the named db
+      val sm = getQ("show measurements", "db=telegraf",
+        Seq("Authorization", basic))
+      assert(sm.statusCode() == 200 && sm.body().contains("cpu"))
+      val smEmpty = getQ("show measurements", "db=nosuchdb",
+        Seq("Authorization", basic))
+      assert(smEmpty.statusCode() == 200 &&
+        !smEmpty.body().contains("cpu"), smEmpty.body())
     } finally srv.stop()
   }
 }
