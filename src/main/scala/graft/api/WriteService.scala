@@ -60,6 +60,18 @@ import org.apache.spark.sql.types._
   * a copy landing on the same root) is picked up without a restart;
   * [[invalidateSchema]] remains the explicit hook for callers that
   * know they changed storage. */
+object WriteService {
+  /** Per-target-path write monitors (see write()'s serialization
+    * note) — keyed by the resolved measurement path and shared across
+    * service instances in one JVM, so two services over the same root
+    * still serialize. Unbounded only in the number of DISTINCT
+    * measurements ever written (human-scale, like the catalog). */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[api] def lockFor(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
+}
+
 final class WriteService(
     spark: SparkSession,
     root: String,
@@ -196,9 +208,22 @@ final class WriteService(
         }
       }
     }
+    // Per-measurement serialization: the upsert's crash-safe rewrite
+    // is a tmp-write + rename/promote sequence, and the HTTP server
+    // dispatches requests CONCURRENTLY — two simultaneous batches
+    // into one measurement would race each other's renames (InfluxDB
+    // serializes through its WAL; this is the FS-sink equivalent).
+    // Batches into DISJOINT measurements still run fully parallel:
+    // the monitor is per-target-path, and a multi-measurement batch
+    // takes its locks in sorted-path order (byMeasurement is
+    // name-sorted, so paths are acquired in a global order — no
+    // deadlock between overlapping batches).
     resolved.foreach {
-      case (m, path, pts, false) => writeMeasurement(m, path, pts)
-      case (m, path, pts, true)  => createMeasurement(m, path, pts)
+      case (m, path, pts, create) =>
+        WriteService.lockFor(path).synchronized {
+          if (create) createMeasurement(m, path, pts)
+          else writeMeasurement(m, path, pts)
+        }
     }
     // record per-measurement low-water marks AFTER the batch persists
     // (a refused batch leaves storage untouched and must not rewind

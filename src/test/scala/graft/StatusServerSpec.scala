@@ -620,6 +620,40 @@ class StatusServerSpec extends AnyFunSuite {
         "walks — the r13 per-batch-walk regression is back")
   }
 
+  test("concurrent /write batches into ONE measurement serialize on " +
+    "the per-path monitor: every point lands exactly once (the " +
+    "crash-safe rename/promote sequence must never race itself)") {
+    val spark = SparkSpec.spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_conc_w").toString
+    val ws = new graft.api.WriteService(spark, root,
+      seriesCols = Map("cpu" -> Seq("host")),
+      chunkNs = 86400000000000L)
+    val t0 = 1704412800000000000L
+    // seed the measurement so every thread takes the upsert path
+    ws.write(s"cpu,host=seed v=0.0 $t0"): Unit
+    val threads = 4
+    val perThread = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val tasks = (0 until threads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            // distinct series per line; timestamps collide ACROSS
+            // threads (same chunk) — the rewrite-race hot spot
+            (0 until perThread).map(i => ws.write(
+              s"cpu,host=h${t}_$i v=${t}.$i ${t0 + i * 1000L}")).sum
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    val got = spark.read.parquet(s"$root/cpu.parquet")
+    assert(got.count() == 1L + threads * perThread,
+      s"expected ${1 + threads * perThread} points, got ${got.count()}")
+    assert(got.select("host").distinct().count() ==
+      1L + threads * perThread)
+  }
+
   test("InfluxDB 1.x API compat: /write honors ?precision= and gzip'd " +
     "bodies (telegraf's default transport), /query executes " +
     "';'-separated multi-statement payloads with ordinal " +
