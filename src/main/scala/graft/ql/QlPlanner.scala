@@ -927,7 +927,15 @@ object QlPlanner {
 
   private def resolve(src: QlSource, catalog: Seq[QlTable]): Seq[QlTable] = {
     val matched = src match {
-      case QlMeasurement(path) => catalog.filter(_.name == path.last)
+      case QlMeasurement(path) =>
+        val byName = catalog.filter(_.name == path.last)
+        // fully-qualified FROM "db"."rp"."m": the db qualifier scopes
+        // resolution (unscoped db="" tables stay visible — fixture
+        // catalogs); the rp part has no catalog-level identity here
+        // (the default-RP instance already won name dedup)
+        if (path.length >= 3)
+          byName.filter(t => t.db.isEmpty || t.db == path.head)
+        else byName
       case QlSourceList(names) =>
         names.foreach(n => require(catalog.exists(_.name == n),
           s"no measurement '$n' " +

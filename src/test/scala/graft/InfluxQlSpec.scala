@@ -784,4 +784,25 @@ class InfluxQlSpec extends AnyFunSuite {
     intercept[QlParseException](InfluxQl.parseStatement(
       """CREATE DATABASE "x" nonsense"""))
   }
+
+  test("fully-qualified FROM \"db\".\"rp\".\"m\" scopes resolution to " +
+    "the db qualifier; a db-less FROM over colliding names unions " +
+    "the whole-root view") {
+    val s = spark
+    import s.implicits._
+    val c1 = Seq(("h1", 10L, 1.0)).toDF("g", "t", "v")
+    val c2 = Seq(("h2", 10L, 2.0)).toDF("g", "t", "v")
+    val dbl = Seq(
+      QlTable("cpu", c1, "t", Seq("g"), Seq("v"), db = "db1"),
+      QlTable("cpu", c2, "t", Seq("g"), Seq("v"), db = "db2"))
+    val scoped = run("""select v from "db2"."rp"."cpu"""", dbl)
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(scoped == Seq(2.0), scoped.toString)
+    val both = run("select v from cpu", dbl)
+      .select("v").collect().map(_.getDouble(0)).toSet
+    assert(both == Set(1.0, 2.0), both.toString)
+    // unknown qualifier → the planner's own resolution error
+    intercept[IllegalArgumentException](
+      run("""select v from "nodb"."rp"."cpu"""", dbl))
+  }
 }
