@@ -388,6 +388,31 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** [[ivfTopKFixed]] over a PRE-ASSIGNED corpus — the index-resident
+    * probe: the stored index already carries each vector's list (from
+    * its ingest-time [[ivfAssignFixed]]), so the query pays its own
+    * assignment projection plus ONE list-keyed join into the index —
+    * the stored corpus is never re-assigned, the other lists' vectors
+    * are never scored. `assigned` = (vec_id, list, `vecCol`). */
+  def ivfTopKPreAssigned(queries: DataFrame, assigned: DataFrame,
+      idCol: String, vecCol: String,
+      anchors: Seq[(Int, Array[Double])], k: Int): DataFrame = {
+    val qa = ivfAssignFixed(queries, idCol, vecCol, anchors)
+      .select(col("vec_id").as("query_id"), col("list"))
+    val q = prep(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val c = assigned
+      .select(col("vec_id").cast("long").as("neighbor_id"),
+        col("list"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(vecNormSq(col("cv"))))
+      .filter(col("cn") > 0)
+    val scored = qa.join(q, "query_id").join(c, "list")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** k-NN label assignment: classify each query embedding by MAJORITY
     * VOTE over its k nearest corpus neighbors' labels (cosine ranking,
     * the [[bruteForceTopK]] contract — rounded-score DESC, neighbor id

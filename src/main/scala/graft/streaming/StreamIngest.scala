@@ -1008,6 +1008,74 @@ object StreamIngest {
     (compactDir("bands"), compactDir("sigs"))
   }
 
+  /** Initialize a persistent IVF index at `indexDir`: persist the
+    * FIXED codebook once (centroids.parquet — list id + vector).
+    * Ingest and query read it back, so every party assigns against
+    * the SAME anchors however long the index lives; re-training is an
+    * explicit out-of-band re-init + re-ingest, as in production IVF
+    * systems. */
+  def ivfIndexInit(spark: SparkSession, indexDir: String,
+      anchors: Seq[(Int, Array[Double])]): Unit = {
+    import spark.implicits._
+    anchors.toDF("list", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids.parquet")
+  }
+
+  /** The persisted codebook, in [[graft.operators.Similarity
+    * .ivfAssignFixed]]'s anchor form. */
+  def readIvfCentroids(spark: SparkSession, indexDir: String)
+      : Seq[(Int, Array[Double])] =
+    spark.read.parquet(s"$indexDir/centroids.parquet")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .toSeq.sortBy(_._1)
+
+  /** Continuous IVF index growth — the ANN face of
+    * [[lshIndexIngestStream]]: each micro-batch assigns its
+    * embeddings against the persisted codebook (a zero-shuffle
+    * projection) and appends (vec_id, list, vec) under its own
+    * `batch=<id>` partition (replay rewrites whole — exactly-once);
+    * the stored corpus is never re-assigned or re-scanned, so ingest
+    * cost tracks the batch while the index grows unbounded. */
+  def ivfIngestStream(emb: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, checkpointDir: String): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfIngestBatch(batch, idCol, vecCol, indexDir, batchId)
+      }
+      .start()
+
+  /** One micro-batch of the IVF ingest (callable for batch
+    * backfills). */
+  def ivfIngestBatch(batch: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val anchors = readIvfCentroids(spark, indexDir)
+    val rows = graft.operators.Similarity
+      .ivfAssignFixed(batch, idCol, vecCol, anchors)
+      .select(col("vec_id"), col("list"))
+      .join(batch.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("vec")), "vec_id")
+    rows.write.mode("overwrite")
+      .parquet(s"$indexDir/assign/batch=$batchId")
+  }
+
+  /** The grown index's assignment frame (vec_id, list, vec; the
+    * `batch=<id>` partition column rides along harmlessly). */
+  def readIvfIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/assign")
+
+  /** nProbe=1 top-k served FROM the index: queries assign against the
+    * persisted codebook and rank only their own list's stored
+    * vectors ([[graft.operators.Similarity.ivfTopKPreAssigned]]). */
+  def ivfIndexTopK(spark: SparkSession, queries: DataFrame,
+      idCol: String, vecCol: String, indexDir: String, k: Int)
+      : DataFrame =
+    graft.operators.Similarity.ivfTopKPreAssigned(queries,
+      readIvfIndex(spark, indexDir).withColumnRenamed("vec", vecCol),
+      idCol, vecCol, readIvfCentroids(spark, indexDir), k)
+
   /** The persistent banded index's two frames — (bands, signatures);
     * empty (right-schema) frames before the first batch lands. The
     * `batch=<id>` partition column rides along harmlessly (the ingest

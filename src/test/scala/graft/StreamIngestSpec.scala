@@ -997,6 +997,56 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(bm === m.filter(_._1 >= 10L), s"$bm vs $m")
   }
 
+  test("IVF index stream: micro-batches assign against the persisted " +
+    "codebook and grow the on-disk index; the index-served nProbe=1 " +
+    "top-k equals the batch ivfTopKFixed over the same corpus " +
+    "(stored assignments are never recomputed)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_ivf_in").toString
+    val idx = Files.createTempDirectory("graft_ivf_idx").toString
+    val ckpt = Files.createTempDirectory("graft_ivf_ck").toString
+    val anchors = Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0))
+    StreamIngest.ivfIndexInit(spark, idx, anchors)
+    assert(StreamIngest.readIvfCentroids(spark, idx) != null)
+    def doc(id: Long, x: Double, y: Double) =
+      s"""{"id": $id, "vec": [$x, $y]}"""
+    Files.write(Paths.get(in, "b0.json"), Seq(
+      doc(1, 0.9, 0.1), doc(2, 0.1, 0.9)).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8)): Unit
+    val src = spark.readStream
+      .schema("id LONG, vec ARRAY<DOUBLE>").json(in)
+    val q = StreamIngest.ivfIngestStream(src, "id", "vec", idx, ckpt)
+    try {
+      q.processAllAvailable()
+      Files.write(Paths.get(in, "b1.json"), Seq(
+        doc(3, 0.8, 0.2), doc(4, 0.2, 0.8), doc(5, 0.7, 0.7))
+        .mkString("\n").getBytes(StandardCharsets.UTF_8)): Unit
+      q.processAllAvailable()
+    } finally q.stop()
+    val index = StreamIngest.readIvfIndex(spark, idx)
+    assert(index.count() == 5L)
+    // stored assignments match the operator's rule
+    val lists = index.select("vec_id", "list").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lists === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L,
+      5L -> 0L), lists.toString) // tie at 5 → smallest list
+    // differential: index-served top-k == batch ivfTopKFixed over the
+    // same corpus frame
+    val corpus = Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.9)),
+      (3L, Seq(0.8, 0.2)), (4L, Seq(0.2, 0.8)), (5L, Seq(0.7, 0.7)))
+      .toDF("id", "vec")
+    val queries = corpus.filter(col("id") <= 2L)
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    val served = asRows(StreamIngest.ivfIndexTopK(spark, queries,
+      "id", "vec", idx, k = 3))
+    val batchMode = asRows(graft.operators.Similarity.ivfTopKFixed(
+      queries, corpus, "id", "vec", anchors, k = 3))
+    assert(served === batchMode, s"$served vs $batchMode")
+    assert(served.nonEmpty)
+  }
+
   test("compactLshIndex folds per-batch partitions into one epoch: " +
     "row-identical contents, one partition dir left, and a later " +
     "ingest still dedups against the compacted index") {
