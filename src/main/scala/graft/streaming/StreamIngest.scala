@@ -983,29 +983,42 @@ object StreamIngest {
     *
     * Returns (band rows, signature rows) after compaction. */
   def compactLshIndex(spark: SparkSession, indexDir: String,
-      targetFiles: Int = 8): (Long, Long) = {
+      targetFiles: Int = 8): (Long, Long) =
+    (compactBatchDir(spark, s"$indexDir/bands", targetFiles),
+      compactBatchDir(spark, s"$indexDir/sigs", targetFiles))
+
+  /** Same epoch-fold for the IVF index's `assign/` partitions —
+    * identical single-writer contract. Returns the row count. */
+  def compactIvfIndex(spark: SparkSession, indexDir: String,
+      targetFiles: Int = 8): Long =
+    compactBatchDir(spark, s"$indexDir/assign", targetFiles)
+
+  /** Fold a `batch=<id>`-partitioned dir into one `batch=-1` epoch:
+    * the shared small-files countermeasure of the growing indexes
+    * (crash-safe tmp/backup/promote swap; row-identical contents). */
+  private def compactBatchDir(spark: SparkSession, path: String,
+      targetFiles: Int): Long = {
     val conf = spark.sessionState.newHadoopConf()
-    def compactDir(sub: String): Long = {
-      val path = s"$indexDir/$sub"
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p) || fs.listStatus(p).isEmpty) return 0L
-      val df = spark.read.parquet(path)
-      val dataCols = df.columns.filterNot(_ == "batch").map(col)
-      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.compact_$sub")
-      fs.delete(tmp, true): Unit
-      df.select(dataCols: _*).coalesce(targetFiles)
-        .write.parquet(s"$tmp/batch=-1")
-      val n = spark.read.parquet(tmp.toString).count()
-      val bak = new org.apache.hadoop.fs.Path(s"$indexDir/.bak_$sub")
-      fs.delete(bak, true): Unit
-      require(fs.rename(p, bak), s"compact: cannot move $p aside")
-      require(fs.rename(tmp, p),
-        s"compact: cannot promote $tmp (rows preserved in $bak)")
-      fs.delete(bak, true): Unit
-      n
-    }
-    (compactDir("bands"), compactDir("sigs"))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) return 0L
+    val df = spark.read.parquet(path)
+    val dataCols = df.columns.filterNot(_ == "batch").map(col)
+    // dot-prefixed siblings: invisible to Spark's file index
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".compact_${p.getName}")
+    fs.delete(tmp, true): Unit
+    df.select(dataCols: _*).coalesce(targetFiles)
+      .write.parquet(s"$tmp/batch=-1")
+    val n = spark.read.parquet(tmp.toString).count()
+    val bak = new org.apache.hadoop.fs.Path(
+      p.getParent, s".bak_${p.getName}")
+    fs.delete(bak, true): Unit
+    require(fs.rename(p, bak), s"compact: cannot move $p aside")
+    require(fs.rename(tmp, p),
+      s"compact: cannot promote $tmp (rows preserved in $bak)")
+    fs.delete(bak, true): Unit
+    n
   }
 
   /** Initialize a persistent IVF index at `indexDir`: persist the

@@ -1045,6 +1045,12 @@ class StreamIngestSpec extends AnyFunSuite {
       queries, corpus, "id", "vec", anchors, k = 3))
     assert(served === batchMode, s"$served vs $batchMode")
     assert(served.nonEmpty)
+    // epoch compaction: row-identical index, identical served answers
+    assert(StreamIngest.compactIvfIndex(spark, idx,
+      targetFiles = 1) == 5L)
+    assert(StreamIngest.readIvfIndex(spark, idx).count() == 5L)
+    assert(asRows(StreamIngest.ivfIndexTopK(spark, queries,
+      "id", "vec", idx, k = 3)) === batchMode)
   }
 
   test("compactLshIndex folds per-batch partitions into one epoch: " +
