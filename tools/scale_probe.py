@@ -47,6 +47,9 @@ PROBE = [
     # r15: growing-index maintenance (candidate-chain output-sensitive
     # like dedup_edit_distance) and the /write -> CQ rewind path
     "dedup_inc_sigmatch", "dedup_inc_index_delta", "cq_write_backfill",
+    # r15 wave 2: fixed-codebook IVF (assignment is a zero-shuffle
+    # projection; the probe join is per-list work, linear in corpus)
+    "ann_ivf_inc_assign", "ann_ivf_inc_topk", "dedup_inc_marks_within",
 ]
 
 
