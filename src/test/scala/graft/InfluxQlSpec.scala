@@ -805,4 +805,35 @@ class InfluxQlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       run("""select v from "nodb"."rp"."cpu"""", dbl))
   }
+
+  test("storageCatalog: flat roots yield unscoped tables, " +
+    "hierarchical roots tag each table with its database, the " +
+    "tag/field split follows the string-columns rule, and name " +
+    "clashes across databases BOTH survive (db-scoping resolves " +
+    "them)") {
+    val s = spark
+    import s.implicits._
+    val flat = java.nio.file.Files
+      .createTempDirectory("graft_cat_flat").toString
+    Seq(("h1", 10L, 1.5)).toDF("host", "ts", "v")
+      .write.parquet(s"$flat/cpu.parquet")
+    val fc = QlPlanner.storageCatalog(s, flat)
+    assert(fc.map(t => (t.name, t.db)) == Seq(("cpu", "")))
+    assert(fc.head.tags == Seq("host") && fc.head.fields == Seq("v"))
+    assert(fc.head.timeCol == "ts")
+    val hier = java.nio.file.Files
+      .createTempDirectory("graft_cat_hier").toString
+    Seq(("h1", 10L, 1.0)).toDF("host", "ts", "v")
+      .write.parquet(s"$hier/db1/rp0/cpu.parquet")
+    Seq(("h2", 10L, 2.0)).toDF("host", "ts", "v")
+      .write.parquet(s"$hier/db2/rp0/cpu.parquet")
+    val hc = QlPlanner.storageCatalog(s, hier)
+    assert(hc.map(t => (t.db, t.name)).toSet ==
+      Set(("db1", "cpu"), ("db2", "cpu")), hc.map(_.db).toString)
+    // scoped resolution picks exactly one side
+    val v = QlPlanner.plan(InfluxQl.parse("select v from cpu"),
+      hc.filter(_.db == "db2"))
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(v == Seq(2.0))
+  }
 }
