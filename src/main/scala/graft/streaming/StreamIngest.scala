@@ -941,7 +941,15 @@ object StreamIngest {
       .start()
 
   /** One micro-batch of the growing-index ingest (the foreachBatch
-    * body, callable directly for batch replays/backfills). */
+    * body, callable directly for batch replays/backfills).
+    *
+    * Replay safety: the stored frames are filtered to `batch !=
+    * batchId` before the dedup — a retried micro-batch (the
+    * foreachBatch at-least-once contract) must NOT see the rows its
+    * own failed attempt wrote, or every doc would match itself, be
+    * marked dup, and the empty delta's overwrite would erase the
+    * prior attempt's index rows. The epoch partition is `batch=-1`
+    * and live ids are >= 0, so the filter never drops epoch rows. */
   def lshIngestBatch(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, marksDir: String, batchId: Long,
       numHashes: Int, bands: Int, shingleLen: Int,
@@ -950,7 +958,8 @@ object StreamIngest {
     val sigs = Dedup.minhashSignatures(batch, idCol, textCol,
       numHashes, shingleLen).cache()
     try {
-      val (storedBands, storedSigs) = readLshIndex(spark, indexDir)
+      val (storedBands, storedSigs) =
+        readLshIndex(spark, indexDir, excludeBatch = Some(batchId))
       val (marks, delta) = Dedup.lshIndexIngest(sigs, storedBands,
         storedSigs, bands, numHashes, minMatches, withinBatch = true)
       val keepSigs = sigs.join(delta.select("id").distinct(),
@@ -1092,16 +1101,24 @@ object StreamIngest {
   /** The persistent banded index's two frames — (bands, signatures);
     * empty (right-schema) frames before the first batch lands. The
     * `batch=<id>` partition column rides along harmlessly (the ingest
-    * operators project id/band/band_hash/sig only). */
-  def readLshIndex(spark: SparkSession, indexDir: String)
-      : (DataFrame, DataFrame) = {
+    * operators project id/band/band_hash/sig only).
+    * `excludeBatch` prunes that batch's partition at the scan (replay
+    * safety for [[lshIngestBatch]] — partition-pruned, not a
+    * post-scan filter). */
+  def readLshIndex(spark: SparkSession, indexDir: String,
+      excludeBatch: Option[Long] = None): (DataFrame, DataFrame) = {
     import spark.implicits._
     def readOr(path: String, empty: => DataFrame): DataFrame = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-        spark.read.parquet(path)
-      else empty
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+        val df = spark.read.parquet(path)
+        excludeBatch match {
+          case Some(b) if df.columns.contains("batch") =>
+            df.filter(col("batch") =!= lit(b))
+          case _ => df
+        }
+      } else empty
     }
     (readOr(s"$indexDir/bands",
       Seq.empty[(Long, Int, String)].toDF("id", "band", "band_hash")),

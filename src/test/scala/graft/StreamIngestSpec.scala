@@ -1092,4 +1092,39 @@ class StreamIngestSpec extends AnyFunSuite {
     // the dup stayed out; the novel doc joined the compacted epoch
     assert(bandSet.map(_._1) === Set(1L, 2L, 11L))
   }
+
+  test("lshIngestBatch replay (same batchId) is idempotent: the " +
+    "retry never matches the batch against its own prior attempt's " +
+    "rows, so marks and index contents equal the first attempt's " +
+    "(the foreachBatch at-least-once contract)") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_lshr_idx").toString
+    val marks = Files.createTempDirectory("graft_lshr_mk").toString
+    def batchDf(rows: (Long, String)*) = rows.toDF("id", "text")
+    StreamIngest.lshIngestBatch(
+      batchDf(1L -> "alpha beta gamma delta epsilon"),
+      "id", "text", idx, marks, 0L, 8, 4, 3, 4)
+    val b1 = Seq(10L -> "alpha beta gamma delta epsilon",
+      11L -> "novel unseen words entirely fresh")
+    def marksOf(batch: Long) = spark.read.parquet(marks)
+      .filter(col("batch") === batch).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup")).toMap
+    def indexIds = {
+      val (b, s) = StreamIngest.readLshIndex(spark, idx)
+      (b.select("id").distinct().collect().map(_.getLong(0)).toSet,
+        s.select("id").distinct().collect().map(_.getLong(0)).toSet)
+    }
+    StreamIngest.lshIngestBatch(batchDf(b1: _*),
+      "id", "text", idx, marks, 1L, 8, 4, 3, 4)
+    val firstMarks = marksOf(1L)
+    val firstIndex = indexIds
+    assert(firstMarks === Map(10L -> true, 11L -> false), firstMarks)
+    assert(firstIndex === (Set(1L, 11L), Set(1L, 11L)), firstIndex)
+    // replay the SAME batchId — pre-fix this marked 10 AND 11 dup
+    // (self-match against the prior attempt) and erased 11's rows
+    StreamIngest.lshIngestBatch(batchDf(b1: _*),
+      "id", "text", idx, marks, 1L, 8, 4, 3, 4)
+    assert(marksOf(1L) === firstMarks, marksOf(1L))
+    assert(indexIds === firstIndex, indexIds)
+  }
 }
