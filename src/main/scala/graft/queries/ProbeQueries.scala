@@ -40,34 +40,18 @@ object ProbeQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
-    // P1: the exact red agg_stats-r12 construct — half-up `//` with an
-    // EXPRESSION divisor, quotient divided by a decimal literal with
-    // NO cast (HUGEINT/100.0 at the oracle, Long/100.0 in Spark).
-    "probe_halfup_uncast" -> QueryDef(
-      (s, dir) => t(s, dir, "orders").withColumn("__c", cents)
-        .groupBy(col("o_orderpriority"))
-        .agg(expr(
-          "((2 * sum(__c) + count(1)) div (2 * count(1))) / 100.0")
-          .as("v")),
-      Some("""SELECT o_orderpriority,
-        ((2*sum(CAST(round(o_totalprice*100,0) AS BIGINT))+count(*))
-          // (2*count(*))) / 100.0 AS v
-        FROM orders GROUP BY o_orderpriority""".replaceAll("\\s+", " "))),
+    // P1/P2/P4 — the three deliberately-red probes (half-up `//`
+    // quotient divided by a bare decimal literal, uncast and ::DOUBLE,
+    // and the q7 literal-divisor form) — RETIRED in r16 once the r15
+    // composite read green at the driver (the r14-stated condition):
+    // their red rows had served their purpose naming the diverging
+    // construct, and a permanently-red gate row is a reader trap. The
+    // findings they pinned live on in the green canaries below and in
+    // the composite queries' comments (no float emission without a
+    // green probe naming its form first).
 
-    // P2: same identity, quotient explicitly ::DOUBLE before the
-    // literal division — the hardening applied to ql_agg_star in r13.
-    "probe_halfup_cast_double" -> QueryDef(
-      (s, dir) => t(s, dir, "orders").withColumn("__c", cents)
-        .groupBy(col("o_orderpriority"))
-        .agg(expr(
-          "((2 * sum(__c) + count(1)) div (2 * count(1))) / 100.0")
-          .as("v")),
-      Some("""SELECT o_orderpriority,
-        ((2*sum(CAST(round(o_totalprice*100,0) AS BIGINT))+count(*))
-          // (2*count(*)))::DOUBLE / 100.0 AS v
-        FROM orders GROUP BY o_orderpriority""".replaceAll("\\s+", " "))),
-
-    // P3: same identity with the quotient kept as a BIGINT column and
+    // P3: the half-up `//` identity with the quotient kept as a BIGINT
+    // column and
     // no floating-point at all — the form the ~150 green oracles use.
     "probe_halfup_cast_bigint" -> QueryDef(
       (s, dir) => t(s, dir, "orders").withColumn("__c", cents)
@@ -78,22 +62,6 @@ object ProbeQueries {
         CAST((2*sum(CAST(round(o_totalprice*100,0) AS BIGINT))+count(*))
           // (2*count(*)) AS BIGINT) AS vc
         FROM orders GROUP BY o_orderpriority""".replaceAll("\\s+", " "))),
-
-    // P4: the exact red q7-r12 construct — LITERAL divisor `// 10000`
-    // on a HUGEINT sum, quotient divided uncast by 100.0.
-    "probe_q7_halfup" -> QueryDef(
-      (s, dir) => t(s, dir, "lineitem")
-        .withColumn("__u",
-          round(col("l_extendedprice") * 100, 0).cast("long") *
-            (lit(10000L) -
-              round(col("l_discount") * 10000, 0).cast("long")))
-        .groupBy(col("l_returnflag"))
-        .agg(expr("((sum(__u) + 5000) div 10000) / 100.0").as("v")),
-      Some("""SELECT l_returnflag,
-        ((sum(CAST(round(l_extendedprice*100,0) AS BIGINT) *
-          (10000 - CAST(round(l_discount*10000,0) AS BIGINT)))
-          + 5000) // 10000) / 100.0 AS v
-        FROM lineitem GROUP BY l_returnflag""".replaceAll("\\s+", " "))),
 
     // P5: the ql_agg_star-r12 sum_value construct — BIGINT sum divided
     // uncast by the 100.0 literal (no `//` involved at all).

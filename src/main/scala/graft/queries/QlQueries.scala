@@ -157,94 +157,12 @@ object QlQueries {
           sqrt((n::DOUBLE * s2 - s1::DOUBLE * s1) / (n * (n - 1.0)))
           / 100.0 END AS stddev_value
         FROM m""".replaceAll("\\s+", " "))),
-    // ---- ql_agg_star PER-COLUMN DIAGNOSTICS (r13 driver-gate
-    // bisection). ql_agg_star has been driver-red on hash for three
-    // rounds under two unrelated formulations while green at the
-    // identical local gate (DuckDB 1.0.0) — a driver-DuckDB-version
-    // divergence. The r13 hardening: every integer-typed oracle
-    // numerator now carries an explicit ::DOUBLE cast so no division
-    // binds as INTEGER-over-DECIMAL-literal (result type/scale of
-    // that form is version-dependent; DuckDB 1.0 gives DOUBLE, newer
-    // releases may give DECIMAL whose pandas float64 conversion can
-    // double-round — see ProbeQueries). These five siblings each pin
-    // ONE column family of the same scan+grouping, so CORRECTNESS_r13
-    // names the diverging column even if the composite stays red.
-    "ql_agg_star_count" -> QueryDef(
-      run(s"select count(value) from events " +
-        s"where time >= ${StartNs}ns and time < ${EndNs}ns group by *"),
-      Some(s"""SELECT 'events' AS measurement, event_type, user_id,
-        count(value)::BIGINT AS count_value FROM events
-        WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
-        GROUP BY event_type, user_id""".replaceAll("\\s+", " "))),
-    "ql_agg_star_sum" -> QueryDef(
-      (s, dir) => run(
-        s"select sum(value) from events where time >= ${StartNs}ns " +
-          s"and time < ${EndNs}ns group by *")(s, dir)
-        .withColumn("sum_value",
-          round(col("sum_value") * 100, 0).cast("long")),
-      Some(s"""SELECT 'events' AS measurement, event_type, user_id,
-        sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS sum_value
-        FROM events
-        WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
-        GROUP BY event_type, user_id""".replaceAll("\\s+", " "))),
-    "ql_agg_star_mean" -> QueryDef(
-      (s, dir) => run(
-        s"select count(value), sum(value) from events " +
-          s"where time >= ${StartNs}ns and time < ${EndNs}ns group by *"
-        )(s, dir)
-        .withColumn("__cents",
-          round(col("sum_value") * 100, 0).cast("long"))
-        // pure-BIGINT mean_e4 (probe_halfup_cast_bigint form): the
-        // quotient-÷-literal float forms are driver-red, see composite.
-        .withColumn("mean_e4",
-          expr("(200 * __cents + count_value) div (2 * count_value)"))
-        .drop("__cents", "sum_value", "count_value"),
-      Some(s"""WITH m AS (SELECT event_type, user_id,
-          count(*)::BIGINT AS n,
-          sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS s1
-          FROM events
-          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
-          GROUP BY 1, 2)
-        SELECT 'events' AS measurement, event_type, user_id,
-        CAST((200 * s1 + n) // (2 * n) AS BIGINT) AS mean_e4
-        FROM m""".replaceAll("\\s+", " "))),
-    "ql_agg_star_minmax" -> QueryDef(
-      run(s"select min(value), max(value), spread(value) from events " +
-        s"where time >= ${StartNs}ns and time < ${EndNs}ns group by *"),
-      Some(s"""SELECT 'events' AS measurement, event_type, user_id,
-        min(value) AS min_value, max(value) AS max_value,
-        max(value) - min(value) AS spread_value FROM events
-        WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
-        GROUP BY event_type, user_id""".replaceAll("\\s+", " "))),
-    "ql_agg_star_stddev" -> QueryDef(
-      (s, dir) => {
-        val ev = Tables.timeRange(
-          Tables.load(s, dir, "events"), "ts", StartNs, EndNs)
-          .withColumn("c", round(col("value") * 100, 0).cast("long"))
-        ev.groupBy("event_type", "user_id")
-          .agg(count(lit(1)).as("n"), sum("c").as("s1"),
-            sum(col("c") * col("c")).as("s2"))
-          .select(lit("events").as("measurement"),
-            col("event_type"), col("user_id"),
-            when(col("n") > 1,
-              sqrt((col("n").cast("double") * col("s2")
-                - col("s1").cast("double") * col("s1"))
-                / (col("n") * (col("n") - lit(1.0)))) / 100.0)
-              .as("stddev_value"))
-      },
-      Some(s"""WITH m AS (SELECT event_type, user_id,
-          count(*)::BIGINT AS n,
-          sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS s1,
-          sum(CAST(round(value * 100, 0) AS BIGINT)
-            * CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS s2
-          FROM events
-          WHERE epoch_ns(ts) >= $StartNs AND epoch_ns(ts) < $EndNs
-          GROUP BY 1, 2)
-        SELECT 'events' AS measurement, event_type, user_id,
-        CASE WHEN n > 1 THEN
-          sqrt((n::DOUBLE * s2 - s1::DOUBLE * s1) / (n * (n - 1.0)))
-          / 100.0 END AS stddev_value
-        FROM m""".replaceAll("\\s+", " "))),
+    // The five ql_agg_star_* per-column diagnostics (r13 driver-gate
+    // bisection) were RETIRED in r16: the composite above has been
+    // driver-green since r15 (pure-BIGINT sum_c100/mean_e4 + exact
+    // cent-moment stddev), so the per-column pins no longer earn
+    // their gate rows. Their findings are preserved in the composite's
+    // column comments and the ProbeQueries green canaries.
 
     // ---- the InfluxQL function tail (r12 VERDICT #4): integral /
     // distinct / mode / sample / holt_winters reachable from query

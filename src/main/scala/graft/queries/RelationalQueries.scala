@@ -769,7 +769,8 @@ object RelationalQueries {
     // driver-green r10+r11; the r12 half-up exact-cents rewrite went
     // driver-RED (see q1_pricing_summary's note). The rewrite's
     // construct — uncast integer `//` quotient divided by a decimal
-    // literal — is isolated in probe_halfup_uncast/probe_halfup_*.
+    // literal — was isolated in the probe_halfup_* battery (the red
+    // probes were retired in r16 after the composite gate went green).
     "agg_stats" -> QueryDef(
       (s, dir) => t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -2030,7 +2031,8 @@ object RelationalQueries {
           // fixed-order ::DOUBLE division then round, driver-green in
           // r11; the r12 `(rcb+5000) div 10000 / 100.0` half-up
           // identity went driver-RED (uncast `//` quotient over a
-          // decimal literal — isolated in probe_q7_halfup).
+          // decimal literal — was isolated in probe_q7_halfup,
+          // retired r16 with the rest of the red probe battery).
           .select(col("supp_nation"), col("cust_nation"),
             col("l_year"), col("n"),
             round(col("rcb").cast("double") / lit(1000000.0), 2)
