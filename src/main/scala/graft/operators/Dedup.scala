@@ -571,7 +571,20 @@ object Dedup {
     val conf = signatureMatchesAcross(
       lshCandidatePairsAcross(newBands, storedBands),
       newSigs, storedSigs)
-    val storeDups = conf.filter(col("matches") >= minMatches)
+    lshIndexIngestFrom(newSigs, newBands, conf, minMatches, withinBatch)
+  }
+
+  /** The decision half of [[lshIndexIngest]], split out so callers
+    * that PRUNE the store reads (the two-tier persistent index in
+    * [[graft.streaming.StreamIngest]] — bucket-pruned epoch scans plus
+    * a bloom prefilter) can supply their own store-confirm frame
+    * `storeConf` = (new_id, old_id, matches) while sharing the exact
+    * marks/delta semantics: a pruned read is only legitimate if the
+    * decision logic is IDENTICAL to the unpruned one's. */
+  def lshIndexIngestFrom(newSigs: DataFrame, newBands: DataFrame,
+      storeConf: DataFrame, minMatches: Int,
+      withinBatch: Boolean): (DataFrame, DataFrame) = {
+    val storeDups = storeConf.filter(col("matches") >= minMatches)
       .select(col("new_id").as("id"))
     val dupIds = (if (!withinBatch) storeDups else {
       // self-candidates within the batch: the LATER (larger-id) side

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.model.FieldSch
-import graft.operators.Dedup
+import graft.operators.{Dedup, RuntimeFilters}
 import graft.sources.LineProtocol
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -940,16 +940,66 @@ object StreamIngest {
       }
       .start()
 
+  // ------------------------------------------------------------------
+  // Two-tier persistent index layout: hot `batch=<id>` tail + compacted
+  // epoch laid out for PRUNING. The r15 flat layout scanned the whole
+  // stored index per ingest step (correct, but an unpruned-scan pattern
+  // at the 100x criterion); the epoch now carries partition keys the
+  // probe can derive from ITS OWN side (band-hash buckets / id buckets /
+  // the IVF list id), so per-step store I/O is bounded by touched
+  // buckets, not store size.
+  // ------------------------------------------------------------------
+
+  /** Epoch bucket count compaction writes and probes re-derive. The
+    * actual count used by a given epoch travels in its `_layout`
+    * descriptor — a probe never assumes, it reads. */
+  val DefaultIndexBuckets = 64
+
+  /** The banded index's joint join key, hashed into `buckets` partition
+    * dirs — the layout contract shared by [[compactLshIndex]] (writer)
+    * and [[prunedEpochBands]] (reader). */
+  private def bandBucket(buckets: Int): Column =
+    pmod(xxhash64(col("band"), col("band_hash")), lit(buckets.toLong))
+      .cast("int")
+
+  /** Signature-store partition key: id mod buckets (candidate old-ids
+    * are collision-bounded, so their bucket set is small). */
+  private def idBucket(id: Column, buckets: Int): Column =
+    pmod(id, lit(buckets.toLong)).cast("int")
+
+  /** One string key per band row for the bloom prefilter (band is a
+    * small int and the hash hex, so the \u0001 separator is
+    * collision-free). */
+  private def bandKey: Column =
+    concat_ws("\u0001", col("band"), col("band_hash"))
+
   /** One micro-batch of the growing-index ingest (the foreachBatch
     * body, callable directly for batch replays/backfills).
     *
-    * Replay safety: the stored frames are filtered to `batch !=
-    * batchId` before the dedup — a retried micro-batch (the
-    * foreachBatch at-least-once contract) must NOT see the rows its
-    * own failed attempt wrote, or every doc would match itself, be
-    * marked dup, and the empty delta's overwrite would erase the
-    * prior attempt's index rows. The epoch partition is `batch=-1`
-    * and live ids are >= 0, so the filter never drops epoch rows. */
+    * Probe-path pruning (the two-tier layout contract): the stored
+    * index is a hot tail of `batch=<id>` partitions plus a compacted
+    * epoch ([[compactLshIndex]]) laid out for pruning. The band probe
+    * lists ONLY the epoch partitions the batch's own band hashes
+    * touch and drops non-colliding rows inside the scan with a bloom
+    * prefilter built from the batch side; the signature confirm first
+    * materializes the candidate pairs (collision-bounded, cached) and
+    * then lists only the id-buckets holding candidate ids. Per-step
+    * STORE I/O is therefore bounded by the batch's touched buckets
+    * and true candidates — flat in store size for a fixed batch (the
+    * hot tail still scans, but its size is bounded by the compaction
+    * cadence, and bloom false positives only cost the exact join that
+    * follows, so results are IDENTICAL to the unpruned read:
+    * [[graft.operators.Dedup.lshIndexIngestFrom]] is the shared
+    * decision logic).
+    *
+    * Replay safety: hot reads exclude the `batch=<batchId>` dir at
+    * the LISTING — a retried micro-batch (the foreachBatch
+    * at-least-once contract) must not see the rows its own failed
+    * attempt wrote, or every doc would match itself, be marked dup,
+    * and the empty delta's overwrite would erase the prior attempt's
+    * index rows. The single-writer contract extends to replays:
+    * compaction must not run between a failed attempt and its retry
+    * (the failed rows would already sit in the epoch). */
   def lshIngestBatch(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, marksDir: String, batchId: Long,
       numHashes: Int, bands: Int, shingleLen: Int,
@@ -957,77 +1007,274 @@ object StreamIngest {
     val spark = batch.sparkSession
     val sigs = Dedup.minhashSignatures(batch, idCol, textCol,
       numHashes, shingleLen).cache()
+    val newBands = Dedup.lshBandsFromSig(sigs, bands, numHashes).cache()
     try {
-      val (storedBands, storedSigs) =
-        readLshIndex(spark, indexDir, excludeBatch = Some(batchId))
-      val (marks, delta) = Dedup.lshIndexIngest(sigs, storedBands,
-        storedSigs, bands, numHashes, minMatches, withinBatch = true)
-      val keepSigs = sigs.join(delta.select("id").distinct(),
-        Seq("id"), "left_semi")
-      delta.write.mode("overwrite")
-        .parquet(s"$indexDir/bands/batch=$batchId")
-      keepSigs.write.mode("overwrite")
-        .parquet(s"$indexDir/sigs/batch=$batchId")
-      marks.write.mode("overwrite")
-        .parquet(s"$marksDir/batch=$batchId")
-    } finally sigs.unpersist(): Unit
+      val (hotBands, hotSigs) =
+        readLshHot(spark, indexDir, excludeBatch = Some(batchId))
+      val storedBands = tiersUnion(
+        hotBands.toSeq ++ prunedEpochBands(spark, indexDir, newBands),
+        emptyBands(spark))
+      val pairs = Dedup.lshCandidatePairsAcross(newBands, storedBands)
+        .persist()
+      try {
+        val storedSigs = tiersUnion(
+          hotSigs.toSeq ++ prunedEpochSigs(spark, indexDir, pairs),
+          emptySigs(spark))
+        val storeConf =
+          Dedup.signatureMatchesAcross(pairs, sigs, storedSigs)
+        val (marks, delta) = Dedup.lshIndexIngestFrom(sigs, newBands,
+          storeConf, minMatches, withinBatch = true)
+        val keepSigs = sigs.join(delta.select("id").distinct(),
+          Seq("id"), "left_semi")
+        delta.write.mode("overwrite")
+          .parquet(s"$indexDir/bands/batch=$batchId")
+        keepSigs.write.mode("overwrite")
+          .parquet(s"$indexDir/sigs/batch=$batchId")
+        marks.write.mode("overwrite")
+          .parquet(s"$marksDir/batch=$batchId")
+      } finally pairs.unpersist(): Unit
+    } finally {
+      newBands.unpersist(): Unit
+      sigs.unpersist(): Unit
+    }
   }
 
-  /** Compact the growing index's per-batch partitions into one epoch —
-    * the small-files counter-measure the streaming ingest needs at
-    * continuous rates: [[lshIngestBatch]] appends one `batch=<id>`
-    * dir per micro-batch, so after N batches every ingest's bucket
-    * join pays N-partition listing + tiny-file open costs. Compaction
-    * rewrites bands/ and sigs/ as a single `batch=-1` epoch partition
-    * (foreachBatch ids are >= 0, so the epoch can never collide with
-    * a live batch, and repeated compactions fold prior epochs in),
-    * coalesced to `targetFiles`, and swaps crash-safely (write tmp,
-    * move the old dirs aside, promote, drop backups). Contents are
-    * row-identical before and after.
+  /** The epoch band rows a batch's probe can possibly collide with:
+    * partition-pruned to the batch's own (band, band_hash) buckets —
+    * the directory listing shrinks BEFORE any file opens — plus a
+    * bloom prefilter from the batch side that drops non-colliding
+    * rows inside the scan's codegen stage. Exact: the bucket set is
+    * derived with the SAME bucket count compaction wrote (read from
+    * the epoch's `_layout` descriptor, never assumed) and a bloom has
+    * no false negatives. None when no epoch exists yet. */
+  private[graft] def prunedEpochBands(spark: SparkSession,
+      indexDir: String, newBands: DataFrame): Option[DataFrame] =
+    readLayout(spark, s"$indexDir/bands_epoch").map { layout =>
+      val touched = newBands
+        .select(bandBucket(layout.buckets).as("bb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val bloom = RuntimeFilters.buildBloom(
+        newBands.select(bandKey.as("__k")), "__k")
+      spark.read.parquet(s"$indexDir/bands_epoch")
+        .filter(col("bb").isin(touched: _*))
+        .filter(RuntimeFilters.mightContain(bloom, bandKey))
+        .select(col("id"), col("band"), col("band_hash"))
+    }
+
+  /** The epoch signature partitions holding candidate old-ids:
+    * candidates are collision-bounded (and persisted by the caller),
+    * so collecting their DISTINCT id-buckets is a driver-sized int
+    * list (≤ the layout's bucket count) — the confirm stage then
+    * lists only those partitions instead of the whole signature
+    * store. None when no epoch exists yet. */
+  private[graft] def prunedEpochSigs(spark: SparkSession,
+      indexDir: String, pairs: DataFrame): Option[DataFrame] =
+    readLayout(spark, s"$indexDir/sigs_epoch").map { layout =>
+      val touched = pairs
+        .select(idBucket(col("old_id"), layout.buckets).as("ib"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      spark.read.parquet(s"$indexDir/sigs_epoch")
+        .filter(col("ib").isin(touched: _*))
+        .select(col("id"), col("sig"))
+    }
+
+  /** Compact the growing index — fold the hot `batch=<id>` tail into
+    * the PRUNED epoch layout. (The earlier epoch fold collapsed
+    * everything into one `batch=-1` partition, which fixed small
+    * files but ERASED pruning.) Bands land partitioned by
+    * `bb = pmod(xxhash64(band, band_hash), buckets)` and sorted by
+    * the join key within files; signatures by `ib = pmod(id,
+    * buckets)` sorted by id — so a probe's epoch I/O is bounded by
+    * its touched buckets ([[prunedEpochBands]]/[[prunedEpochSigs]]),
+    * per-bucket files stay row-group-skippable, and small files stay
+    * solved (≈1 file per bucket per fold).
     *
-    * Single-writer contract: run from the same maintenance plane that
-    * owns the ingest stream (e.g. the hamonitor tick), between
-    * micro-batches — the index is read only inside a batch, so a
-    * quiesced stream never observes the swap.
+    * Crash safety: the new epoch is written to a dot-tmp sibling with
+    * its `_layout` descriptor (watermark = highest folded batch id +
+    * the bucket count) and promoted by rename; folded hot dirs are
+    * deleted LAST, and every reader lists the hot tail only ABOVE the
+    * watermark — a crash between promote and delete leaves duplicate
+    * bytes on disk, never duplicate rows in a read (the next
+    * compaction clears the leftovers without re-folding them).
+    *
+    * Single-writer contract: run from the maintenance plane that owns
+    * the ingest stream, between acknowledged micro-batches.
     *
     * Returns (band rows, signature rows) after compaction. */
   def compactLshIndex(spark: SparkSession, indexDir: String,
-      targetFiles: Int = 8): (Long, Long) =
-    (compactBatchDir(spark, s"$indexDir/bands", targetFiles),
-      compactBatchDir(spark, s"$indexDir/sigs", targetFiles))
+      buckets: Int = DefaultIndexBuckets): (Long, Long) =
+    (relayoutEpoch(spark, s"$indexDir/bands", s"$indexDir/bands_epoch",
+      buckets,
+      df => df.select(col("id").cast("long").as("id"),
+        col("band").cast("int").as("band"), col("band_hash")),
+      Some(bandBucket(buckets)), "bb", Seq("band", "band_hash")),
+      relayoutEpoch(spark, s"$indexDir/sigs", s"$indexDir/sigs_epoch",
+        buckets,
+        df => df.select(col("id").cast("long").as("id"), col("sig")),
+        Some(idBucket(col("id"), buckets)), "ib", Seq("id")))
 
-  /** Same epoch-fold for the IVF index's `assign/` partitions —
-    * identical single-writer contract. Returns the row count. */
-  def compactIvfIndex(spark: SparkSession, indexDir: String,
-      targetFiles: Int = 8): Long =
-    compactBatchDir(spark, s"$indexDir/assign", targetFiles)
+  /** Same fold for the IVF index: `assign/batch=<id>` hot dirs land in
+    * `assign_epoch/` partitioned by the PROBE KEY ITSELF (`list`) and
+    * sorted by vec_id — nProbe=1 queries then list only their probed
+    * lists' partitions ([[ivfIndexTopK]]). Returns the row count. */
+  def compactIvfIndex(spark: SparkSession, indexDir: String): Long =
+    relayoutEpoch(spark, s"$indexDir/assign", s"$indexDir/assign_epoch",
+      buckets = 0,
+      df => df.select(col("vec_id").cast("long").as("vec_id"),
+        col("list").cast("long").as("list"), col("vec")),
+      None, "list", Seq("vec_id"))
 
-  /** Fold a `batch=<id>`-partitioned dir into one `batch=-1` epoch:
-    * the shared small-files countermeasure of the growing indexes
-    * (crash-safe tmp/backup/promote swap; row-identical contents). */
-  private def compactBatchDir(spark: SparkSession, path: String,
-      targetFiles: Int): Long = {
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p) || fs.listStatus(p).isEmpty) return 0L
-    val df = spark.read.parquet(path)
-    val dataCols = df.columns.filterNot(_ == "batch").map(col)
-    // dot-prefixed siblings: invisible to Spark's file index
-    val tmp = new org.apache.hadoop.fs.Path(
-      p.getParent, s".compact_${p.getName}")
+  /** Shared epoch re-layout: fold the not-yet-folded hot dirs plus the
+    * prior epoch into a fresh partitioned epoch, swap crash-safely,
+    * then clear folded hot dirs. `project` normalizes both tiers to
+    * the epoch's data schema; `derive` adds a synthetic partition key
+    * (None when the key is already a data column). */
+  private def relayoutEpoch(spark: SparkSession, hotPath: String,
+      epochPath: String, buckets: Int, project: DataFrame => DataFrame,
+      derive: Option[Column], partCol: String,
+      sortCols: Seq[String]): Long = {
+    val hp = new org.apache.hadoop.fs.Path(hotPath)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = readLayout(spark, epochPath)
+    val wm0 = prior.map(_.wm).getOrElse(Long.MinValue)
+    val hotDirs = listBatchDirs(fs, hp)
+    // crash leftovers at/below the watermark are already in the epoch:
+    // cleared, never re-folded
+    val fold = hotDirs.filter { case (id, _) => id > wm0 }
+    if (fold.isEmpty) {
+      hotDirs.foreach { case (_, d) => fs.delete(d, true): Unit }
+      return prior.map(_ => spark.read.parquet(epochPath).count())
+        .getOrElse(0L)
+    }
+    val wm1 = math.max(fold.map(_._1).max, math.max(wm0, -1L))
+    val hot = project(spark.read.option("basePath", hotPath)
+      .parquet(fold.map(_._2.toString): _*))
+    val all = prior match {
+      case Some(_) =>
+        hot.unionByName(project(spark.read.parquet(epochPath)))
+      case None => hot
+    }
+    val out = derive match {
+      case Some(c) => all.withColumn(partCol, c)
+      case None => all
+    }
+    val ep = new org.apache.hadoop.fs.Path(epochPath)
+    val tmp = new org.apache.hadoop.fs.Path(ep.getParent,
+      s".compact_${ep.getName}")
     fs.delete(tmp, true): Unit
-    df.select(dataCols: _*).coalesce(targetFiles)
-      .write.parquet(s"$tmp/batch=-1")
+    // sorting by (partCol, sortCols...) satisfies the writer's
+    // required partition ordering as a prefix, so the within-file
+    // sort SURVIVES into row-group min/max envelopes
+    out.repartition(col(partCol))
+      .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+      .write.partitionBy(partCol).parquet(tmp.toString)
+    writeLayout(fs, tmp, wm1, buckets)
     val n = spark.read.parquet(tmp.toString).count()
-    val bak = new org.apache.hadoop.fs.Path(
-      p.getParent, s".bak_${p.getName}")
+    val bak = new org.apache.hadoop.fs.Path(ep.getParent,
+      s".bak_${ep.getName}")
     fs.delete(bak, true): Unit
-    require(fs.rename(p, bak), s"compact: cannot move $p aside")
-    require(fs.rename(tmp, p),
-      s"compact: cannot promote $tmp (rows preserved in $bak)")
+    if (fs.exists(ep))
+      require(fs.rename(ep, bak), s"compact: cannot move $ep aside")
+    require(fs.rename(tmp, ep),
+      s"compact: cannot promote $tmp (prior epoch preserved in $bak)")
     fs.delete(bak, true): Unit
+    hotDirs.filter(_._1 <= wm1)
+      .foreach { case (_, d) => fs.delete(d, true): Unit }
     n
+  }
+
+  /** An epoch's layout descriptor (`_layout` — underscore-prefixed,
+    * invisible to parquet readers): watermark = highest folded batch
+    * id (readers list the hot tail only ABOVE it — the crash-safety
+    * contract) + the bucket count probes MUST reuse to derive
+    * partition filters. None = no epoch yet. */
+  private[graft] case class IndexLayout(wm: Long, buckets: Int)
+
+  private[graft] def readLayout(spark: SparkSession, epochPath: String)
+      : Option[IndexLayout] = {
+    val p = new org.apache.hadoop.fs.Path(s"$epochPath/_layout")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val kv = txt.linesIterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      Some(IndexLayout(kv("wm").toLong, kv("buckets").toInt))
+    }
+  }
+
+  private def writeLayout(fs: org.apache.hadoop.fs.FileSystem,
+      epochDir: org.apache.hadoop.fs.Path, wm: Long,
+      buckets: Int): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(epochDir, "_layout"), true)
+    try out.write(s"wm=$wm\nbuckets=$buckets\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def listBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory &&
+          st.getPath.getName.startsWith("batch=") =>
+        (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath)
+    }
+
+  /** Hot-tail frame: the `batch=<id>` dirs ABOVE the epoch watermark,
+    * minus `excludeBatch` — both exclusions happen at the directory
+    * LISTING, not as row filters. None when no live dirs remain. */
+  private def hotFrame(spark: SparkSession, hotPath: String,
+      epochPath: String, excludeBatch: Option[Long])
+      : Option[DataFrame] = {
+    val hp = new org.apache.hadoop.fs.Path(hotPath)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val wm = readLayout(spark, epochPath).map(_.wm)
+      .getOrElse(Long.MinValue)
+    val dirs = listBatchDirs(fs, hp).filter { case (id, _) =>
+      id > wm && !excludeBatch.contains(id)
+    }
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", hotPath)
+      .parquet(dirs.map(_._2.toString): _*))
+  }
+
+  private def readLshHot(spark: SparkSession, indexDir: String,
+      excludeBatch: Option[Long])
+      : (Option[DataFrame], Option[DataFrame]) =
+    (hotFrame(spark, s"$indexDir/bands", s"$indexDir/bands_epoch",
+      excludeBatch)
+      .map(_.select(col("id"), col("band"), col("band_hash"))),
+      hotFrame(spark, s"$indexDir/sigs", s"$indexDir/sigs_epoch",
+        excludeBatch).map(_.select(col("id"), col("sig"))))
+
+  /** Union the existing tiers, or the right-schema empty frame when
+    * none exist (keeps empty-frame encoders out of real unions, where
+    * a float[]-vs-double[] element mismatch would fail resolution). */
+  private def tiersUnion(tiers: Seq[DataFrame],
+      empty: => DataFrame): DataFrame =
+    tiers match {
+      case Seq() => empty
+      case ts => ts.reduce(_.unionByName(_))
+    }
+
+  private def emptyBands(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Int, String)].toDF("id", "band", "band_hash")
+  }
+
+  private def emptySigs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Array[Long])].toDF("id", "sig")
+  }
+
+  private def emptyAssign(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Array[Double])].toDF("vec_id", "list", "vec")
   }
 
   /** Initialize a persistent IVF index at `indexDir`: persist the
@@ -1083,46 +1330,67 @@ object StreamIngest {
       .parquet(s"$indexDir/assign/batch=$batchId")
   }
 
-  /** The grown index's assignment frame (vec_id, list, vec; the
-    * `batch=<id>` partition column rides along harmlessly). */
-  def readIvfIndex(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/assign")
+  /** The grown index's assignment frame (vec_id, list, vec) — the
+    * compacted epoch plus the hot tail above its watermark. */
+  def readIvfIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    def norm(df: DataFrame) =
+      df.select(col("vec_id").cast("long").as("vec_id"),
+        col("list").cast("long").as("list"), col("vec"))
+    val hot = hotFrame(spark, s"$indexDir/assign",
+      s"$indexDir/assign_epoch", None).map(norm)
+    val epoch = readLayout(spark, s"$indexDir/assign_epoch")
+      .map(_ => norm(spark.read.parquet(s"$indexDir/assign_epoch")))
+    tiersUnion(hot.toSeq ++ epoch.toSeq, emptyAssign(spark))
+  }
 
-  /** nProbe=1 top-k served FROM the index: queries assign against the
-    * persisted codebook and rank only their own list's stored
-    * vectors ([[graft.operators.Similarity.ivfTopKPreAssigned]]). */
+  /** nProbe=1 top-k served FROM the index, partition-pruned: queries
+    * assign against the persisted codebook, and the epoch scan lists
+    * ONLY the probed lists' partitions (`list` is the epoch's
+    * partition key — the listing shrinks before any file opens; the
+    * probed-list set is ≤ nlist ints, driver-sized however large the
+    * query batch). The hot tail gets the same filter post-scan (its
+    * size is bounded by the compaction cadence). Results are
+    * identical to the unpruned read: non-probed lists can never
+    * contribute to an nProbe=1 answer by definition. */
   def ivfIndexTopK(spark: SparkSession, queries: DataFrame,
       idCol: String, vecCol: String, indexDir: String, k: Int)
-      : DataFrame =
+      : DataFrame = {
+    val anchors = readIvfCentroids(spark, indexDir)
+    val probed = graft.operators.Similarity
+      .ivfAssignFixed(queries, idCol, vecCol, anchors)
+      .select("list").distinct().collect().map(_.getLong(0)).toSeq
+    def norm(df: DataFrame) =
+      df.select(col("vec_id").cast("long").as("vec_id"),
+        col("list").cast("long").as("list"), col("vec"))
+    val hot = hotFrame(spark, s"$indexDir/assign",
+      s"$indexDir/assign_epoch", None)
+      .map(df => norm(df.filter(col("list").isin(probed: _*))))
+    val epoch = readLayout(spark, s"$indexDir/assign_epoch").map { _ =>
+      norm(spark.read.parquet(s"$indexDir/assign_epoch")
+        .filter(col("list").isin(probed.map(_.toInt): _*)))
+    }
+    val assigned = tiersUnion(hot.toSeq ++ epoch.toSeq,
+      emptyAssign(spark))
     graft.operators.Similarity.ivfTopKPreAssigned(queries,
-      readIvfIndex(spark, indexDir).withColumnRenamed("vec", vecCol),
-      idCol, vecCol, readIvfCentroids(spark, indexDir), k)
+      assigned.withColumnRenamed("vec", vecCol),
+      idCol, vecCol, anchors, k)
+  }
 
-  /** The persistent banded index's two frames — (bands, signatures);
-    * empty (right-schema) frames before the first batch lands. The
-    * `batch=<id>` partition column rides along harmlessly (the ingest
-    * operators project id/band/band_hash/sig only).
-    * `excludeBatch` prunes that batch's partition at the scan (replay
-    * safety for [[lshIngestBatch]] — partition-pruned, not a
-    * post-scan filter). */
+  /** The persistent banded index's two frames — (bands, signatures):
+    * the compacted epoch plus the hot `batch=<id>` tail above its
+    * watermark; empty (right-schema) frames before the first batch
+    * lands. `excludeBatch` drops that hot partition at the LISTING
+    * (replay safety for [[lshIngestBatch]]). */
   def readLshIndex(spark: SparkSession, indexDir: String,
       excludeBatch: Option[Long] = None): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    def readOr(path: String, empty: => DataFrame): DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
-        val df = spark.read.parquet(path)
-        excludeBatch match {
-          case Some(b) if df.columns.contains("batch") =>
-            df.filter(col("batch") =!= lit(b))
-          case _ => df
-        }
-      } else empty
-    }
-    (readOr(s"$indexDir/bands",
-      Seq.empty[(Long, Int, String)].toDF("id", "band", "band_hash")),
-      readOr(s"$indexDir/sigs",
-        Seq.empty[(Long, Array[Long])].toDF("id", "sig")))
+    val (hb, hs) = readLshHot(spark, indexDir, excludeBatch)
+    val eb = readLayout(spark, s"$indexDir/bands_epoch").map(_ =>
+      spark.read.parquet(s"$indexDir/bands_epoch")
+        .select(col("id"), col("band"), col("band_hash")))
+    val es = readLayout(spark, s"$indexDir/sigs_epoch").map(_ =>
+      spark.read.parquet(s"$indexDir/sigs_epoch")
+        .select(col("id"), col("sig")))
+    (tiersUnion(hb.toSeq ++ eb.toSeq, emptyBands(spark)),
+      tiersUnion(hs.toSeq ++ es.toSeq, emptySigs(spark)))
   }
 }

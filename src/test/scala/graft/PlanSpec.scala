@@ -483,4 +483,98 @@ class PlanSpec extends AnyFunSuite {
       .filter(_.contains("ReadSchema")).mkString("\n")
     assert(!scan.contains("text"), scan)
   }
+
+  test("growing-index probe path is PRUNED (r16, the r15 weak): the " +
+    "epoch band scan lists only the batch's touched bb= partitions " +
+    "behind a bloom prefilter, the signature confirm lists only " +
+    "candidate ib= partitions, and the IVF serve scan lists only " +
+    "probed list= partitions — per-step store I/O is bounded by the " +
+    "BATCH's key sets, never the store's size") {
+    import spark.implicits._
+    import graft.streaming.StreamIngest
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // AQE hides subtrees behind wrapper nodes — unwrap them so the
+    // scan metrics are reachable
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans)
+    }
+    def scanFiles(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      df.collect(): Unit
+      val plan = df.queryExecution.executedPlan
+      val ss = scans(plan)
+      assert(ss.nonEmpty, s"no FileSourceScan found:\n${plan.toString.take(2000)}")
+      (ss.map(_.metrics("numFiles").value).sum, plan.toString)
+    }
+    // ---- LSH: 40-doc store compacted into the epoch; 2-doc batch
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_pp_idx").toString
+    val marks = java.nio.file.Files
+      .createTempDirectory("graft_pp_mk").toString
+    val store = (1L to 40L).map(i => (i,
+      s"store document $i alpha$i beta$i gamma$i delta$i epsilon$i"))
+      .toDF("id", "text")
+    StreamIngest.lshIngestBatch(store, "id", "text", idx, marks, 0L,
+      8, 4, 3, 4)
+    StreamIngest.compactLshIndex(spark, idx)
+    val totalBandFiles = new java.io.File(s"$idx/bands_epoch")
+      .listFiles().count(_.getName.startsWith("bb="))
+    val batch = Seq(
+      (100L, "store document 7 alpha7 beta7 gamma7 delta7 epsilon7"),
+      (101L, "an entirely novel text never before seen anywhere"))
+      .toDF("id", "text")
+    val sigs = Dedup.minhashSignatures(batch, "id", "text", 8, 3)
+    val nb = Dedup.lshBandsFromSig(sigs, 4, 8)
+    val eb = StreamIngest.prunedEpochBands(spark, idx, nb).get
+    val (bandFiles, bandPlan) = scanFiles(eb)
+    val bandPf = bandPlan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(bandPf.contains("bb"), bandPf + "\n" + bandPlan.take(2000))
+    assert(bandPlan.contains("might_contain"), bandPlan.take(2000))
+    // 2 docs × 4 bands probe ≤ 8 of the store's occupied buckets
+    assert(bandFiles <= 8 && bandFiles < totalBandFiles,
+      s"band probe read $bandFiles of $totalBandFiles bucket files")
+    // ---- signature confirm: candidates' id-buckets only
+    val pairs = Dedup.lshCandidatePairsAcross(nb, eb).persist()
+    try {
+      val es = StreamIngest.prunedEpochSigs(spark, idx, pairs).get
+      val (sigFiles, sigPlan) = scanFiles(es)
+      val totalSigFiles = new java.io.File(s"$idx/sigs_epoch")
+        .listFiles().count(_.getName.startsWith("ib="))
+      val sigPf = sigPlan.linesIterator
+        .filter(_.contains("PartitionFilters")).mkString("\n")
+      assert(sigPf.contains("ib"), sigPf + "\n" + sigPlan.take(2000))
+      assert(sigFiles < totalSigFiles,
+        s"sig confirm read $sigFiles of $totalSigFiles bucket files")
+    } finally pairs.unpersist(): Unit
+    // ---- IVF: 4-list epoch; queries probe ONE list's partition
+    val ivf = java.nio.file.Files
+      .createTempDirectory("graft_pp_ivf").toString
+    StreamIngest.ivfIndexInit(spark, ivf, Seq(
+      0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0),
+      2 -> Array(-1.0, 0.0), 3 -> Array(0.0, -1.0)))
+    val emb = (0 until 40).map { i =>
+      val a = i % 4 * (math.Pi / 2) + 0.2
+      (i.toLong, Seq(math.cos(a), math.sin(a)))
+    }.toDF("id", "vec")
+    StreamIngest.ivfIngestBatch(emb, "id", "vec", ivf, 0L)
+    StreamIngest.compactIvfIndex(spark, ivf)
+    val queries = Seq((1000L, Seq(0.95, 0.05))).toDF("id", "vec")
+    val served = StreamIngest.ivfIndexTopK(spark, queries, "id", "vec",
+      ivf, 3)
+    val (ivfFiles, ivfPlan) = scanFiles(served)
+    val totalListFiles = new java.io.File(s"$ivf/assign_epoch")
+      .listFiles().count(_.getName.startsWith("list="))
+    val ivfPf = ivfPlan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(ivfPf.contains("list"), ivfPf + "\n" + ivfPlan.take(2000))
+    assert(totalListFiles == 4 && ivfFiles == 1,
+      s"IVF probe read $ivfFiles of $totalListFiles list partitions")
+  }
 }

@@ -1046,8 +1046,7 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(served === batchMode, s"$served vs $batchMode")
     assert(served.nonEmpty)
     // epoch compaction: row-identical index, identical served answers
-    assert(StreamIngest.compactIvfIndex(spark, idx,
-      targetFiles = 1) == 5L)
+    assert(StreamIngest.compactIvfIndex(spark, idx) == 5L)
     assert(StreamIngest.readIvfIndex(spark, idx).count() == 5L)
     assert(asRows(StreamIngest.ivfIndexTopK(spark, queries,
       "id", "vec", idx, k = 3)) === batchMode)
@@ -1073,13 +1072,20 @@ class StreamIngestSpec extends AnyFunSuite {
     }
     val before = bandSet
     assert(before.size == 8)
-    val (nb, ns) = StreamIngest.compactLshIndex(spark, idx,
-      targetFiles = 1)
+    val (nb, ns) = StreamIngest.compactLshIndex(spark, idx)
     assert(nb == 8L && ns == 2L, s"($nb, $ns)")
     assert(bandSet === before, "compaction changed the index contents")
-    val dirs = new java.io.File(s"$idx/bands").listFiles()
-      .count(_.getName.startsWith("batch="))
-    assert(dirs == 1, s"$dirs partition dirs after compaction")
+    // hot tail cleared; epoch carries the pruned layout (bb= dirs +
+    // _layout descriptor with the watermark and bucket count)
+    val hotLeft = Option(new java.io.File(s"$idx/bands").listFiles())
+      .map(_.count(_.getName.startsWith("batch="))).getOrElse(0)
+    assert(hotLeft == 0, s"$hotLeft hot dirs left after compaction")
+    val epochDirs = new java.io.File(s"$idx/bands_epoch").listFiles()
+      .count(_.getName.startsWith("bb="))
+    assert(epochDirs >= 1, s"$epochDirs bb= partitions in the epoch")
+    val layout = StreamIngest.readLayout(spark, s"$idx/bands_epoch")
+    assert(layout.contains(StreamIngest.IndexLayout(1L,
+      StreamIngest.DefaultIndexBuckets)), layout.toString)
     // a later micro-batch still marks against the compacted epoch
     StreamIngest.lshIngestBatch(
       batchDf(10L -> "alpha beta gamma delta epsilon",
