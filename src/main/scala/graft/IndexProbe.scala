@@ -1,0 +1,147 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Store-flatness probe for the growing indexes (r16 — the evidence
+  * behind the pruned two-tier layout): ingest the SAME small batch
+  * against stores of growing size (documents/embeddings replicated
+  * 1x, 4x, 8x with disjoint ids, each compacted into the pruned
+  * epoch) and time the per-step cost. The r15 flat layout paid an
+  * O(store) scan per step; with bucket-pruned epoch listings + the
+  * batch-side bloom prefilter the step cost should be ~flat in store
+  * size (growth << the store ratio). Prints ONE JSON line:
+  *
+  * {"metric":"index_probe","unit":"sec","batch_rows":B,
+  *  "lsh":{"store_rows":[..],"step_sec":[..],"growth":g},
+  *  "ivf":{...}, "flagged":[..]}
+  *
+  * growth = step_sec(max store) / step_sec(min store); flagged when
+  * growth exceeds half the store ratio (i.e. clearly tracking the
+  * store, not the batch) AND the absolute time exceeds 1s.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.IndexProbe"
+  * (defaults to /root/testdata/sf0.1; wall times are local[N]
+  * medians of 3 reps after 1 warm-up). */
+object IndexProbe {
+
+  private val Mults = Seq(1, 4, 8)
+  private val Reps = 3
+
+  private def timeIt(f: => Unit): Double = {
+    f // warm-up (JIT + codegen caches; files are fresh per rep below)
+    val ts = (1 to Reps).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.sorted
+    ts(Reps / 2)
+  }
+
+  /** `docs` replicated `mult` times with disjoint id spaces (offset
+    * stride chosen far above any fixture id) and texts salted per
+    * replica so replicas are NOT near-dups of each other — the store
+    * grows in unique content, as a real corpus does. */
+  private def replicate(docs: DataFrame, idCol: String, mult: Int,
+      salt: Boolean): DataFrame =
+    (0 until mult).map { k =>
+      val d = docs.withColumn(idCol,
+        col(idCol) + lit(k.toLong * 100000000L))
+      if (salt && k > 0)
+        d.withColumn("text",
+          concat_ws(" ", col("text"), lit(s"replica_salt_$k"),
+            col(idCol).cast("string")))
+      else d
+    }.reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = Bench.session()
+    val root = "/tmp/graft_index_probe"
+    val fsRoot = new org.apache.hadoop.fs.Path(root)
+    val fs = fsRoot.getFileSystem(spark.sessionState.newHadoopConf())
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+    val batch = docs.orderBy(col("id")).limit(200)
+      .withColumn("id", col("id") + lit(900000000L))
+      .withColumn("text",
+        concat_ws(" ", col("text"), lit("probe_batch_tail")))
+      .cache()
+    val batchRows = batch.count()
+
+    def lshStep(mult: Int): (Long, Double) = {
+      val idx = s"$root/lsh_$mult/idx"
+      val marks = s"$root/lsh_$mult/marks"
+      val store = replicate(docs, "id", mult, salt = true)
+      val sigs = Dedup.minhashSignatures(store, "id", "text", 8, 3)
+      Dedup.lshBandsFromSig(sigs, 4, 8)
+        .write.mode("overwrite").parquet(s"$idx/bands/batch=0")
+      sigs.write.mode("overwrite").parquet(s"$idx/sigs/batch=0")
+      StreamIngest.compactLshIndex(spark, idx)
+      val storeRows = spark.read.parquet(s"$idx/sigs_epoch").count()
+      val sec = timeIt {
+        StreamIngest.lshIngestBatch(batch, "id", "text", idx, marks,
+          1L, 8, 4, 3, 4)
+        // drop the step's own delta so every rep probes the SAME store
+        val p = new org.apache.hadoop.fs.Path(s"$idx/bands/batch=1")
+        fs.delete(p, true): Unit
+        fs.delete(new org.apache.hadoop.fs.Path(s"$idx/sigs/batch=1"),
+          true): Unit
+      }
+      (storeRows, sec)
+    }
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"),
+        graft.operators.Similarity.asDouble(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .toSeq.sortBy(_._1)
+    val queries = emb.filter(col("vec_id") < 16).cache()
+    queries.count(): Unit
+
+    def ivfStep(mult: Int): (Long, Double) = {
+      val idx = s"$root/ivf_$mult/idx"
+      StreamIngest.ivfIndexInit(spark, idx, anchors)
+      StreamIngest.ivfIngestBatch(
+        replicate(emb, "vec_id", mult, salt = false),
+        "vec_id", "embedding", idx, 0L)
+      StreamIngest.compactIvfIndex(spark, idx)
+      val storeRows = spark.read.parquet(s"$idx/assign_epoch").count()
+      val sec = timeIt {
+        StreamIngest.ivfIndexTopK(spark, queries, "vec_id",
+          "embedding", idx, 5).collect(): Unit
+      }
+      (storeRows, sec)
+    }
+
+    fs.delete(fsRoot, true): Unit
+    val lsh = Mults.map(lshStep)
+    val ivf = Mults.map(ivfStep)
+    fs.delete(fsRoot, true): Unit
+
+    def block(rs: Seq[(Long, Double)]): (String, Double, Double) = {
+      val growth = rs.last._2 / rs.head._2
+      val js = s"""{"store_rows":[${rs.map(_._1).mkString(",")}],""" +
+        s""""step_sec":[${rs.map(r => f"${r._2}%.3f").mkString(",")}],""" +
+        f""""growth":$growth%.2f}"""
+      (js, growth, rs.last._2)
+    }
+    val (lshJs, lg, lt) = block(lsh)
+    val (ivfJs, ig, it) = block(ivf)
+    val storeRatio = Mults.last.toDouble / Mults.head
+    val flagged = Seq(
+      ("lsh_ingest_step", lg, lt), ("ivf_probe_step", ig, it))
+      .collect { case (n, g, t) if g > storeRatio / 2 && t > 1.0 => n }
+    println(s"""{"metric":"index_probe","unit":"sec",""" +
+      s""""sf":"$sfDir","batch_rows":$batchRows,""" +
+      s""""store_ratio":$storeRatio,"lsh":$lshJs,"ivf":$ivfJs,""" +
+      s""""flagged":[${flagged.map(f => s""""$f"""").mkString(",")}]}""")
+    spark.stop()
+  }
+}

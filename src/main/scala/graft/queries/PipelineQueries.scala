@@ -66,6 +66,91 @@ object PipelineQueries {
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
       .toSeq.sortBy(_._1)
 
+  /** Shared DuckDB oracle of dedup_inc_marks_within AND
+    * dedup_inc_pruned_marks — ONE definition, so the in-memory and
+    * persisted-pruned paths can never drift: store = docs with split
+    * bucket < 80, batch = >= 80, is_dup iff >= 4/8 signature
+    * components match a store doc or an earlier batch sibling. */
+  private lazy val IncMarksWithinSql: String =
+    s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
+        sp AS (SELECT doc_id,
+          ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS b
+          FROM documents),
+        ca AS (SELECT DISTINCT a.id AS new_id, b.id AS old_id
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+          JOIN sp x ON a.id = x.doc_id JOIN sp y ON b.id = y.doc_id
+          WHERE x.b >= 80 AND y.b < 80),
+        mt AS (SELECT ca.new_id,
+          sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0
+            END)::BIGINT AS matches
+          FROM ca JOIN sig sa ON sa.id = ca.new_id
+          JOIN sig sb ON sb.id = ca.old_id AND sb.seed = sa.seed
+          GROUP BY ca.new_id, ca.old_id),
+        cw AS (SELECT DISTINCT b.id AS new_id, a.id AS old_id
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.id < b.id
+          JOIN sp x ON a.id = x.doc_id JOIN sp y ON b.id = y.doc_id
+          WHERE x.b >= 80 AND y.b >= 80),
+        mw AS (SELECT cw.new_id,
+          sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0
+            END)::BIGINT AS matches
+          FROM cw JOIN sig sa ON sa.id = cw.new_id
+          JOIN sig sb ON sb.id = cw.old_id AND sb.seed = sa.seed
+          GROUP BY cw.new_id, cw.old_id)
+        SELECT DISTINCT sig.id,
+          (sig.id IN (SELECT new_id FROM mt WHERE matches >= 4)
+            OR sig.id IN (SELECT new_id FROM mw WHERE matches >= 4))
+            AS is_dup
+        FROM sig JOIN sp ON sig.id = sp.doc_id
+        WHERE sp.b >= 80""".replaceAll("\\s+", " ")
+
+  /** Shared DuckDB oracle of ann_ivf_inc_topk AND
+    * ann_ivf_inc_pruned_topk — one definition, so the in-memory and
+    * persisted-pruned IVF probe paths can never drift. */
+  private lazy val IvfIncTopKSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        a AS (SELECT vec_id AS list, v AS av FROM v WHERE vec_id < 4),
+        nz AS (SELECT vec_id, v FROM v
+          WHERE list_reduce(list_transform(v, x -> x*x),
+            (x,y) -> x+y) > 0),
+        s0 AS (SELECT nz.vec_id, a.list,
+          round(list_reduce(list_transform(generate_series(1,64),
+            i -> nz.v[i]*a.av[i]), (x,y) -> x+y)
+            / (sqrt(list_reduce(list_transform(nz.v, x -> x*x),
+                (x,y) -> x+y))
+             * sqrt(list_reduce(list_transform(a.av, x -> x*x),
+                (x,y) -> x+y))), 6) AS cos_r
+          FROM nz, a),
+        asg AS (SELECT vec_id, list FROM (SELECT vec_id, list,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos_r DESC, list) AS rk FROM s0) WHERE rk = 1),
+        qs AS (SELECT nz.vec_id AS qid, nz.v AS qv, asg.list
+          FROM nz JOIN asg ON nz.vec_id = asg.vec_id
+          WHERE nz.vec_id < 16),
+        cs AS (SELECT nz.vec_id AS nid, nz.v AS cv, asg.list
+          FROM nz JOIN asg ON nz.vec_id = asg.vec_id),
+        sc0 AS (SELECT qs.qid AS query_id, cs.nid AS neighbor_id,
+          list_reduce(list_transform(generate_series(1,64),
+            i -> qs.qv[i]*cs.cv[i]), (x,y) -> x+y) AS dot,
+          (sqrt(list_reduce(list_transform(qs.qv, x -> x*x),
+            (x,y) -> x+y)) *
+           sqrt(list_reduce(list_transform(cs.cv, x -> x*x),
+            (x,y) -> x+y))) AS nn
+          FROM qs JOIN cs ON qs.list = cs.list
+          WHERE cs.nid != qs.qid),
+        sc AS (SELECT query_id, neighbor_id,
+          CASE WHEN nn > 0 THEN dot / nn END AS cos FROM sc0)
+        SELECT query_id, rank, neighbor_id, cosine_r FROM (
+          SELECT query_id, neighbor_id, round(cos,6) AS cosine_r,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY round(cos,6) DESC, neighbor_id) AS rank FROM sc
+          WHERE cos IS NOT NULL)
+        WHERE rank <= 5""".replaceAll("\\s+", " ")
+
+
   /** THE basis-point split hash (md5-prefix of the id, mod 100) shared
     * by every split-based query (pipeline_split, decontaminate_*,
     * dedup_incremental_*) — one definition, so the train/test split
@@ -1008,45 +1093,33 @@ object PipelineQueries {
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("neighbor_id"), col("cosine_r"))
       },
-      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
-          FROM embeddings),
-        a AS (SELECT vec_id AS list, v AS av FROM v WHERE vec_id < 4),
-        nz AS (SELECT vec_id, v FROM v
-          WHERE list_reduce(list_transform(v, x -> x*x),
-            (x,y) -> x+y) > 0),
-        s0 AS (SELECT nz.vec_id, a.list,
-          round(list_reduce(list_transform(generate_series(1,64),
-            i -> nz.v[i]*a.av[i]), (x,y) -> x+y)
-            / (sqrt(list_reduce(list_transform(nz.v, x -> x*x),
-                (x,y) -> x+y))
-             * sqrt(list_reduce(list_transform(a.av, x -> x*x),
-                (x,y) -> x+y))), 6) AS cos_r
-          FROM nz, a),
-        asg AS (SELECT vec_id, list FROM (SELECT vec_id, list,
-          row_number() OVER (PARTITION BY vec_id
-            ORDER BY cos_r DESC, list) AS rk FROM s0) WHERE rk = 1),
-        qs AS (SELECT nz.vec_id AS qid, nz.v AS qv, asg.list
-          FROM nz JOIN asg ON nz.vec_id = asg.vec_id
-          WHERE nz.vec_id < 16),
-        cs AS (SELECT nz.vec_id AS nid, nz.v AS cv, asg.list
-          FROM nz JOIN asg ON nz.vec_id = asg.vec_id),
-        sc0 AS (SELECT qs.qid AS query_id, cs.nid AS neighbor_id,
-          list_reduce(list_transform(generate_series(1,64),
-            i -> qs.qv[i]*cs.cv[i]), (x,y) -> x+y) AS dot,
-          (sqrt(list_reduce(list_transform(qs.qv, x -> x*x),
-            (x,y) -> x+y)) *
-           sqrt(list_reduce(list_transform(cs.cv, x -> x*x),
-            (x,y) -> x+y))) AS nn
-          FROM qs JOIN cs ON qs.list = cs.list
-          WHERE cs.nid != qs.qid),
-        sc AS (SELECT query_id, neighbor_id,
-          CASE WHEN nn > 0 THEN dot / nn END AS cos FROM sc0)
-        SELECT query_id, rank, neighbor_id, cosine_r FROM (
-          SELECT query_id, neighbor_id, round(cos,6) AS cosine_r,
-          row_number() OVER (PARTITION BY query_id
-            ORDER BY round(cos,6) DESC, neighbor_id) AS rank FROM sc
-          WHERE cos IS NOT NULL)
-        WHERE rank <= 5""".replaceAll("\\s+", " "))),
+      Some(IvfIncTopKSql)),
+
+    // the SAME probe served from the PERSISTED two-tier index (r16):
+    // codebook persisted, corpus ingested as a batch, epoch compacted
+    // into list= partitions, then ivfIndexTopK lists ONLY the probed
+    // lists' partitions (the PlanSpec-pinned shape). One oracle with
+    // ann_ivf_inc_topk — hash-matching it proves partition pruning
+    // never changes the answer.
+    "ann_ivf_inc_pruned_topk" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_ivfpp_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(p, true): Unit
+        val e = emb(s, dir)
+        val idx = s"$root/idx"
+        graft.streaming.StreamIngest.ivfIndexInit(s, idx,
+          fixedAnchors(e))
+        graft.streaming.StreamIngest.ivfIngestBatch(e, "vec_id",
+          "embedding", idx, 0L)
+        graft.streaming.StreamIngest.compactIvfIndex(s, idx)
+        graft.streaming.StreamIngest.ivfIndexTopK(s,
+          e.filter(col("vec_id") < 16), "vec_id", "embedding", idx, 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine_r"))
+      },
+      Some(IvfIncTopKSql)),
 
     // Product-quantization ANN (ADC shortlist over an 8-byte code table
     // + exact re-rank) — the memory-bound scale path: the corpus-wide
@@ -2534,39 +2607,43 @@ object PipelineQueries {
           Dedup.lshBandsFromSig(oldSigs, 4, MinhashK), oldSigs,
           4, MinhashK, minMatches = 4, withinBatch = true)._1
       },
-      Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
-        sp AS (SELECT doc_id,
-          ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS b
-          FROM documents),
-        ca AS (SELECT DISTINCT a.id AS new_id, b.id AS old_id
-          FROM band a JOIN band b
-            ON a.band = b.band AND a.band_hash = b.band_hash
-          JOIN sp x ON a.id = x.doc_id JOIN sp y ON b.id = y.doc_id
-          WHERE x.b >= 80 AND y.b < 80),
-        mt AS (SELECT ca.new_id,
-          sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0
-            END)::BIGINT AS matches
-          FROM ca JOIN sig sa ON sa.id = ca.new_id
-          JOIN sig sb ON sb.id = ca.old_id AND sb.seed = sa.seed
-          GROUP BY ca.new_id, ca.old_id),
-        cw AS (SELECT DISTINCT b.id AS new_id, a.id AS old_id
-          FROM band a JOIN band b
-            ON a.band = b.band AND a.band_hash = b.band_hash
-            AND a.id < b.id
-          JOIN sp x ON a.id = x.doc_id JOIN sp y ON b.id = y.doc_id
-          WHERE x.b >= 80 AND y.b >= 80),
-        mw AS (SELECT cw.new_id,
-          sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0
-            END)::BIGINT AS matches
-          FROM cw JOIN sig sa ON sa.id = cw.new_id
-          JOIN sig sb ON sb.id = cw.old_id AND sb.seed = sa.seed
-          GROUP BY cw.new_id, cw.old_id)
-        SELECT DISTINCT sig.id,
-          (sig.id IN (SELECT new_id FROM mt WHERE matches >= 4)
-            OR sig.id IN (SELECT new_id FROM mw WHERE matches >= 4))
-            AS is_dup
-        FROM sig JOIN sp ON sig.id = sp.doc_id
-        WHERE sp.b >= 80""".replaceAll("\\s+", " "))),
+      Some(IncMarksWithinSql)),
+
+    // GROWING-index maintenance through the PERSISTED two-tier layout
+    // (r16): the same store/batch split and decision rule as
+    // dedup_inc_marks_within — one oracle, zero drift — but exercised
+    // END-TO-END through the pruned on-disk path: the store's
+    // band/sig frames are written as an index, compacted into the
+    // bucket-partitioned epoch, and the batch is ingested via
+    // lshIngestBatch (bucket-pruned epoch listing + bloom prefilter,
+    // the PlanSpec-pinned shapes). Hash-matching the unpruned
+    // oracle IS the proof that pruning never changes results.
+    "dedup_inc_pruned_marks" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_lshpp_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(p, true): Unit
+        val d = docs(s, dir)
+        val storeSigs = Dedup.minhashSignatures(
+          d.filter(splitBucket(col("doc_id")) < 80),
+          "doc_id", "text", MinhashK, ShingleLen)
+        // seed the index with the existing corpus (no self-dedup on
+        // seed: the oracle's store is ALL old docs' bands)
+        Dedup.lshBandsFromSig(storeSigs, 4, MinhashK)
+          .write.mode("overwrite").parquet(s"$root/idx/bands/batch=0")
+        storeSigs.write.mode("overwrite")
+          .parquet(s"$root/idx/sigs/batch=0")
+        graft.streaming.StreamIngest.compactLshIndex(s, s"$root/idx")
+        graft.streaming.StreamIngest.lshIngestBatch(
+          d.filter(splitBucket(col("doc_id")) >= 80)
+            .select(col("doc_id").as("id"), col("text")),
+          "id", "text", s"$root/idx", s"$root/marks", 1L,
+          MinhashK, 4, ShingleLen, 4)
+        s.read.parquet(s"$root/marks")
+          .select(col("id"), col("is_dup"))
+      },
+      Some(IncMarksWithinSql)),
 
     // TF-IDF top-5 terms per doc (keyword extraction for topical
     // routing). Ranking happens ON the 1e-6-rounded score so the order,

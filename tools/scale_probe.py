@@ -50,6 +50,11 @@ PROBE = [
     # r15 wave 2: fixed-codebook IVF (assignment is a zero-shuffle
     # projection; the probe join is per-list work, linear in corpus)
     "ann_ivf_inc_assign", "ann_ivf_inc_topk", "dedup_inc_marks_within",
+    # r16: the PERSISTED two-tier pruned index paths (seed + compact +
+    # bucket-pruned ingest / list-pruned serve, end to end); the
+    # store-FLATNESS axis (fixed batch, growing store) is the separate
+    # graft.IndexProbe -> bench/index_probe.json artifact
+    "dedup_inc_pruned_marks", "ann_ivf_inc_pruned_topk",
 ]
 
 
