@@ -540,7 +540,9 @@ final class Agent(
       checkIntervalNs = cfg.checkIntervalMs * 1000000L,
       backfill = backfillOk,
       nowNs = nowNs,
-      onTick = () => cqService.runAll(): Unit)
+      // the tick owns the CQ cadence AND the /write→rewind drain —
+      // shared WriteService, so served-plane backfills reach rollups
+      onTick = () => daemonPlane.cqTick())
   }
 
   /** hamonitor on the Structured Streaming plane: rate-source-driven
@@ -555,7 +557,8 @@ final class Agent(
       checkIntervalNs = cfg.checkIntervalMs * 1000000L,
       backfill = backfillOk,
       checkpointDir = cfg.checkpointDir,
-      nowNs = nowNs)
+      nowNs = nowNs,
+      onTick = () => daemonPlane.cqTick())
   }
 
   /** The reference's action switch (main.go:293-306). Batch actions
@@ -598,12 +601,17 @@ final class Agent(
     * (DDL over /query ↔ auto-create over /write), with a
     * check-interval TTL so measurements landed by the copy plane (not
     * through this server) appear without a restart. */
-  private[graft] def statusServer(
-      status: () => graft.model.ClusterStatus): graft.api.StatusServer = {
-    val catTtlMs = math.max(cfg.checkIntervalMs, 1000L)
-    var qlCat: Seq[graft.ql.QlTable] = null
-    var qlCatAt = 0L
-    val catLock = new Object
+  /** The daemon's shared data plane — ONE instance across the status
+    * server AND the supervisor tick (r16, r15 ADVICE): the tick
+    * drains the write low-water marks this WriteService recorded, so
+    * a /write backfill behind a CQ's lookback rewinds the rollup in
+    * the SERVED deployment, not only in tests; and the ql catalog
+    * cache lives here so BOTH planes invalidate the same entry. */
+  private[graft] final class DaemonPlane {
+    private val catTtlMs = math.max(cfg.checkIntervalMs, 1000L)
+    private var qlCat: Seq[graft.ql.QlTable] = null
+    private var qlCatAt = 0L
+    private val catLock = new Object
     def liveCatalog(): Seq[graft.ql.QlTable] = catLock.synchronized {
       val now = System.currentTimeMillis()
       if (qlCat == null || now - qlCatAt > catTtlMs) {
@@ -617,14 +625,40 @@ final class Agent(
     val ws = new graft.api.WriteService(spark, cfg.slaveRoot,
       chunkNs = chunkNs, timeCol = cfg.timeCol,
       onCatalogChange = () => dropCatalog())
+    /** /write with write-THROUGH invalidation (r15 ADVICE): an upsert
+      * into an EXISTING measurement rewrites chunk part-files without
+      * firing onCatalogChange (only auto-create does), and a /query
+      * inside the TTL window would execute a plan whose file index
+      * references the deleted parts (FileNotFoundException) or serve
+      * stale rows — so EVERY successful write drops the cache. */
+    def write(body: String, db: Option[String],
+        timeMulNs: Long): Long = {
+      val n = ws.write(body, db, timeMulNs)
+      dropCatalog()
+      n
+    }
+    /** The supervisor-tick CQ pass: refresh every registration with
+      * the drained /write low-water rewinds; marks a failed CQ could
+      * not consume are RE-QUEUED so the rollup catches the backfill
+      * once it recovers (r15 ADVICE low). */
+    def cqTick(): Unit =
+      cqService.runAll(ws.drainWriteLowWater(),
+        requeueRewinds = ws.requeueWriteLowWater): Unit
+  }
+
+  private[graft] lazy val daemonPlane = new DaemonPlane
+
+  private[graft] def statusServer(
+      status: () => graft.model.ClusterStatus): graft.api.StatusServer = {
+    val dp = daemonPlane
     val exec = graft.ql.QlPlanner.executorScoped(spark, cfg.slaveRoot,
-      liveCatalog(), allowMutations = cfg.allowMutations,
-      onMutation = () => { dropCatalog(); ws.invalidateSchema() })
+      dp.liveCatalog(), allowMutations = cfg.allowMutations,
+      onMutation = () => { dp.dropCatalog(); dp.ws.invalidateSchema() })
     new graft.api.StatusServer(cfg.httpPort, status,
       () => Seq("master" -> masterProbe(), "slave" -> slaveProbe()),
       cfg.adminUser, cfg.adminPassword, cfg.staticDir,
       queryExecScoped = Some(exec),
-      writeExec = Some(ws.write),
+      writeExec = Some(dp.write),
       dataUser = cfg.dataUser, dataPassword = cfg.dataPassword)
   }
 

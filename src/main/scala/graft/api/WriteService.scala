@@ -113,6 +113,13 @@ final class WriteService(
       val r = writeLowWater; writeLowWater = Map.empty; r
     }
 
+  /** Re-queue rewind marks a FAILED CQ refresh could not consume —
+    * min-merged exactly like fresh writes, so the next tick's drain
+    * retries the rewind instead of losing the backfill forever (the
+    * [[graft.ql.CqService.runAll]] requeueRewinds contract). */
+  def requeueWriteLowWater(marks: Map[String, Long]): Unit =
+    noteWrites(marks.toSeq)
+
   private def noteWrites(mins: Seq[(String, Long)]): Unit =
     lowWaterLock.synchronized {
       mins.foreach { case (m, ts) =>

@@ -128,9 +128,25 @@ final class CqService(spark: SparkSession, srcRoot: String,
     * against dstRoot — the daemon serves /write into its own root, so
     * CQs registered over served measurements must read the served
     * plane, while replication CQs keep reading the master. */
-  def runAll(writeRewinds: Map[String, Long] = Map.empty)
-      : Seq[(String, Long, Long)] = list.map {
-    case (name, _, text) =>
+  def runAll(writeRewinds: Map[String, Long] = Map.empty,
+      /** Receives the rewind marks whose CQs FAILED this pass (r15
+        * ADVICE low): runAll consumes the drained map, so without a
+        * re-queue a rollup would permanently miss its backfilled
+        * points once the CQ recovers on a later tick. The daemon
+        * plumbs [[graft.api.WriteService.requeueWriteLowWater]] here.
+        * A mark whose source feeds BOTH a failed and a succeeded CQ
+        * is re-queued whole — the succeeded one just re-covers an
+        * already-idempotent window next tick. */
+      requeueRewinds: Map[String, Long] => Unit = _ => ())
+      : Seq[(String, Long, Long)] = {
+    val failedSrcs = scala.collection.mutable.Set.empty[String]
+    def srcOf(text: String): String =
+      try InfluxQl.parseStatement(text)
+        .asInstanceOf[QlCreateCq].inner.source match {
+        case QlMeasurement(p) => p.last
+        case _ => ""
+      } catch { case _: Exception => "" }
+    val out = list.map { case (name, _, text) =>
       try {
         val stmt = InfluxQl.parseStatement(text)
           .asInstanceOf[QlCreateCq]
@@ -151,7 +167,17 @@ final class CqService(spark: SparkSession, srcRoot: String,
           s"$dstRoot/${stmt.inner.into.get}.parquet")
         (name, roll.select("bucket_ns").distinct().count(),
           watermarkOf(stmt.inner.into.get))
-      } catch { case _: Exception => (name, -1L, -1L) }
+      } catch {
+        case _: Exception =>
+          failedSrcs += srcOf(text)
+          (name, -1L, -1L)
+      }
+    }
+    val unconsumed = writeRewinds.filter {
+      case (m, _) => failedSrcs.contains(m)
+    }
+    if (unconsumed.nonEmpty) requeueRewinds(unconsumed)
+    out
   }
 
   /** Whether a measurement is visible under a root — the flat

@@ -108,7 +108,11 @@ final class StreamingMonitor(
     // reverts to CHECK_SLAVE_DOWN so the window is re-emitted
     backfill: ClusterFSM.RecoveryWindow => Boolean,
     checkpointDir: String,
-    nowNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
+    nowNs: () => Long = () => System.currentTimeMillis() * 1000000L,
+    // per-tick maintenance hook (CQ refresh + /write-rewind drain in
+    // the daemon) — exceptions swallowed so a broken registration
+    // cannot take the supervisor down, same as HAMonitor's onTick
+    onTick: () => Unit = () => ()) {
 
   private val store = new FsmStateStore(
     spark.sessionState.newHadoopConf(), checkpointDir)
@@ -130,6 +134,7 @@ final class StreamingMonitor(
     * at-least-once, made exactly-once-effective by the sink's
     * upsert-idempotent re-copy. */
   def tick(): ClusterFSM.FsmState = {
+    try onTick() catch { case _: Exception => () }
     val (mUp, sUp) = (masterProbe(), slaveProbe())
     val t = nowNs()
     val (next, win) = ClusterFSM.step(ref.get(), t, mUp, sUp, checkIntervalNs)

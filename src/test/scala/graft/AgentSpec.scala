@@ -566,4 +566,99 @@ class AgentSpec extends AnyFunSuite {
     assert(c.curateDedupe && c.curateSplit)
     assert(c.curateSample === "30/100")
   }
+
+  test("r16 daemon rewind wiring: a /write backfill through the " +
+    "daemon's SHARED data plane reaches the rollup on the next " +
+    "supervisor tick alone — hamonitor's onTick drains the same " +
+    "WriteService the status server writes through") {
+    import graft.operators.ContinuousQuery
+    val Day = 86400000000000L
+    val master = freshRoot()
+    spark.read.parquet(s"${SparkSpec.Sf0001}/events.parquet")
+      .write.parquet(s"$master/events.parquet")
+    val dst = freshRoot()
+    var now = E
+    val agent = new Agent(spark,
+      cfg(dst).copy(masterRoot = master, initialReplication = "none"),
+      slaveProbeOpt = Some(() => true), nowNs = () => now)
+    val monitor = agent.hamonitor()
+    val dp = agent.daemonPlane
+    // a SERVED measurement: born via /write, lives only under dst —
+    // runAll's source resolution reads the served plane for it
+    val t1 = S + 20 * Day
+    assert(dp.write(s"served,host=h1 value=1.5 $t1", None, 1L) == 1L)
+    // registerOnly: statement validation now, first materialization
+    // on the tick (register() would refresh against the master root,
+    // where the served measurement does not exist)
+    agent.cqService.registerOnly(
+      """create continuous query "sc" begin select count(value) """ +
+        """into "served_rollup" from "served" group by time(1d) end""")
+    now += 20000000000L; monitor.tick()
+    val cq = new ContinuousQuery(spark)
+    def buckets = cq.readRollup(s"$dst/served_rollup.parquet")
+      .select("bucket_ns").collect().map(_.getLong(0)).toSet
+    assert(buckets === Set(t1 - t1 % Day))
+    // backfill TEN DAYS behind the watermark — far outside any
+    // lookback; without the tick-side drain this bucket never appears
+    val tOld = t1 - 10 * Day
+    assert(dp.write(s"served,host=h1 value=2.5 $tOld", None, 1L) == 1L)
+    assert(!buckets.contains(tOld - tOld % Day),
+      "backfill bucket must not appear before the tick")
+    now += 20000000000L; monitor.tick()
+    assert(buckets === Set(t1 - t1 % Day, tOld - tOld % Day))
+    // the drain is exactly-once: a further tick changes nothing
+    now += 20000000000L; monitor.tick()
+    assert(buckets === Set(t1 - t1 % Day, tOld - tOld % Day))
+  }
+
+  test("r16 write-through invalidation: an upsert into an EXISTING " +
+    "measurement drops the cached ql catalog inside the TTL window " +
+    "(the stale cache held file indexes of rewritten chunk parts)") {
+    val Day = 86400000000000L
+    val master = freshRoot()
+    spark.read.parquet(s"${SparkSpec.Sf0001}/events.parquet")
+      .write.parquet(s"$master/events.parquet")
+    val dst = freshRoot()
+    val agent = new Agent(spark,
+      cfg(dst).copy(masterRoot = master, initialReplication = "none",
+        checkIntervalMs = 3600000L), // 1h TTL: no refresh-by-timeout
+      slaveProbeOpt = Some(() => true))
+    val dp = agent.daemonPlane
+    assert(dp.write(s"m1,host=a value=1 ${S + Day}", None, 1L) == 1L)
+    val cat1 = dp.liveCatalog()
+    assert(cat1.exists(_.name == "m1"))
+    assert(dp.liveCatalog() eq cat1, "TTL cache must hold between reads")
+    // upsert into the EXISTING measurement (no auto-create involved)
+    assert(dp.write(s"m1,host=a value=2 ${S + 2 * Day}", None, 1L) == 1L)
+    val cat2 = dp.liveCatalog()
+    assert(cat2 ne cat1,
+      "write into an existing measurement must invalidate the cache")
+    assert(cat2.find(_.name == "m1").get.df.count() == 2L)
+  }
+
+  test("r16 rewind re-queue: marks a FAILED CQ could not consume go " +
+    "back into the WriteService, so the rollup catches the backfill " +
+    "when the CQ recovers on a later tick") {
+    import graft.ql.CqService
+    val root = freshRoot()
+    spark.read.parquet(s"${SparkSpec.Sf0001}/events.parquet")
+      .write.parquet(s"$root/events.parquet")
+    val svc = new CqService(spark, root, root)
+    // a registration whose refresh THROWS: source measurement absent
+    svc.registerOnly(
+      """create continuous query "broken" begin select count(value) """ +
+        """into "b_roll" from "ghost" group by time(1d) end""")
+    val ws = new graft.api.WriteService(spark, root,
+      seriesCols = Map("events" -> Seq("event_id")))
+    val rewinds = Map("ghost" -> (S + 1L), "ghost_unused" -> S)
+    var requeued = Map.empty[String, Long]
+    val out = svc.runAll(rewinds, requeueRewinds = m => requeued = m)
+    assert(out === Seq(("broken", -1L, -1L)))
+    // ONLY the failed CQ's source mark comes back; unrelated marks
+    // were consumed (or never belonged to a CQ) and stay drained
+    assert(requeued === Map("ghost" -> (S + 1L)))
+    // and the daemon plumbing round-trips it through the service
+    ws.requeueWriteLowWater(requeued)
+    assert(ws.drainWriteLowWater() === Map("ghost" -> (S + 1L)))
+  }
 }
