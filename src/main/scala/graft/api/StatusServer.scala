@@ -436,9 +436,23 @@ final class StatusServer(
           } else {
             // statements execute in request order; each contributes
             // one ordinal results entry (the InfluxDB multi-statement
-            // response shape)
+            // response shape). In a MULTI-statement batch a failing
+            // statement contributes its own {"statement_id":i,
+            // "error":...} entry and the others still serve under a
+            // 200 (the 1.x per-statement contract — a batching
+            // client must not lose every result to one bad
+            // statement); a SINGLE-statement request keeps the crisp
+            // 400-with-error contract the reference's client consumes
+            // (client.go:57-70), and 400 stays for request-level
+            // problems (missing q, bad epoch/chunk_size, empty text)
             val entries = stmts.zipWithIndex.map { case (s, i) =>
-              resultJson(exec(s, db), epochDiv, i)
+              if (stmts.size == 1) resultJson(exec(s, db), epochDiv, i)
+              else try resultJson(exec(s, db), epochDiv, i)
+              catch {
+                case e: Exception =>
+                  s"""{"statement_id":$i,"error":${jstr(
+                    Option(e.getMessage).getOrElse(e.getClass.getName))}}"""
+              }
             }
             respond(ex, 200,
               s"""{"results":[${entries.mkString(",")}]}""")

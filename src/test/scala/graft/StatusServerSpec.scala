@@ -718,6 +718,26 @@ class StatusServerSpec extends AnyFunSuite {
       assert(q.body().contains("\"statement_id\":0") &&
         q.body().contains("\"statement_id\":1"), q.body())
       assert(q.body().contains("cpu"), q.body())
+      // per-statement errors (r16, InfluxDB 1.x contract): one bad
+      // statement yields its own {"statement_id":i,"error":...} entry
+      // and the OTHERS still serve under a 200 — a batching client
+      // must not lose every result to one typo
+      val qe = client.send(HttpRequest.newBuilder(URI.create(
+        s"$base/query?q=" + java.net.URLEncoder.encode(
+          "show databases ; select v from no_such_meas ; " +
+            "show measurements", "UTF-8"))).GET()
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(qe.statusCode() == 200, qe.body())
+      assert(qe.body().contains("\"statement_id\":0") &&
+        qe.body().contains("\"statement_id\":2") &&
+        qe.body().contains("\"statement_id\":1,\"error\":"), qe.body())
+      assert(qe.body().contains("cpu"), qe.body())
+      // request-level problems keep the 400: bad epoch unit
+      val qb = client.send(HttpRequest.newBuilder(URI.create(
+        s"$base/query?epoch=xx&q=" + java.net.URLEncoder.encode(
+          "show databases", "UTF-8"))).GET()
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(qb.statusCode() == 400, qb.body())
       // the splitter: ';' inside quoted literals/identifiers is data
       assert(srv // accessible: private[graft]
         .splitStatements("""select 'a;b' from "m;n" ; show databases""")
