@@ -71,7 +71,11 @@ object PipelineQueries {
     * persisted-pruned paths can never drift: store = docs with split
     * bucket < 80, batch = >= 80, is_dup iff >= 4/8 signature
     * components match a store doc or an earlier batch sibling. */
-  private lazy val IncMarksWithinSql: String =
+  /** `storeMax` = the split-bucket upper bound of the STORE side —
+    * 80 for the full store, lower after a retention pass expired the
+    * [storeMax, 80) slice (the r16 expiry entry computes its oracle
+    * over the POST-delete corpus this way). */
+  private def incMarksWithinSql(storeMax: Int): String =
     s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
         sp AS (SELECT doc_id,
           ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 100 AS b
@@ -80,7 +84,7 @@ object PipelineQueries {
           FROM band a JOIN band b
             ON a.band = b.band AND a.band_hash = b.band_hash
           JOIN sp x ON a.id = x.doc_id JOIN sp y ON b.id = y.doc_id
-          WHERE x.b >= 80 AND y.b < 80),
+          WHERE x.b >= 80 AND y.b < $storeMax),
         mt AS (SELECT ca.new_id,
           sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0
             END)::BIGINT AS matches
@@ -106,10 +110,15 @@ object PipelineQueries {
         FROM sig JOIN sp ON sig.id = sp.doc_id
         WHERE sp.b >= 80""".replaceAll("\\s+", " ")
 
+  private lazy val IncMarksWithinSql: String = incMarksWithinSql(80)
+
   /** Shared DuckDB oracle of ann_ivf_inc_topk AND
     * ann_ivf_inc_pruned_topk — one definition, so the in-memory and
     * persisted-pruned IVF probe paths can never drift. */
-  private lazy val IvfIncTopKSql: String =
+  /** `corpusPred` restricts the CORPUS (neighbor) side — "TRUE" for
+    * the full table; the r16 expiry entry passes the live-id
+    * predicate so the oracle ranks only surviving neighbors. */
+  private def ivfIncTopKSql(corpusPred: String): String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
           FROM embeddings),
         a AS (SELECT vec_id AS list, v AS av FROM v WHERE vec_id < 4),
@@ -131,7 +140,8 @@ object PipelineQueries {
           FROM nz JOIN asg ON nz.vec_id = asg.vec_id
           WHERE nz.vec_id < 16),
         cs AS (SELECT nz.vec_id AS nid, nz.v AS cv, asg.list
-          FROM nz JOIN asg ON nz.vec_id = asg.vec_id),
+          FROM nz JOIN asg ON nz.vec_id = asg.vec_id
+          WHERE $corpusPred),
         sc0 AS (SELECT qs.qid AS query_id, cs.nid AS neighbor_id,
           list_reduce(list_transform(generate_series(1,64),
             i -> qs.qv[i]*cs.cv[i]), (x,y) -> x+y) AS dot,
@@ -149,6 +159,8 @@ object PipelineQueries {
             ORDER BY round(cos,6) DESC, neighbor_id) AS rank FROM sc
           WHERE cos IS NOT NULL)
         WHERE rank <= 5""".replaceAll("\\s+", " ")
+
+  private lazy val IvfIncTopKSql: String = ivfIncTopKSql("TRUE")
 
 
   /** THE basis-point split hash (md5-prefix of the id, mod 100) shared
@@ -1120,6 +1132,32 @@ object PipelineQueries {
             col("neighbor_id"), col("cosine_r"))
       },
       Some(IvfIncTopKSql)),
+
+    // INDEX RETENTION, ANN face (r16): the retention fold drops
+    // expired vec_ids' assignments; the served top-k then ranks only
+    // SURVIVORS — oracle computed over the post-delete corpus (every
+    // vec_id % 10 == 7 deleted; queries stay vec_id < 16).
+    "ann_ivf_expired_topk" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_ivfex_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(p, true): Unit
+        val e = emb(s, dir)
+        val idx = s"$root/idx"
+        graft.streaming.StreamIngest.ivfIndexInit(s, idx,
+          fixedAnchors(e))
+        graft.streaming.StreamIngest.ivfIngestBatch(e, "vec_id",
+          "embedding", idx, 0L)
+        graft.streaming.StreamIngest.compactIvfIndex(s, idx,
+          liveIds = Some(e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+            .select(col("vec_id"))))
+        graft.streaming.StreamIngest.ivfIndexTopK(s,
+          e.filter(col("vec_id") < 16), "vec_id", "embedding", idx, 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine_r"))
+      },
+      Some(ivfIncTopKSql(corpusPred = "nz.vec_id % 10 != 7"))),
 
     // Product-quantization ANN (ADC shortlist over an 8-byte code table
     // + exact re-rank) — the memory-bound scale path: the corpus-wide
@@ -2644,6 +2682,44 @@ object PipelineQueries {
           .select(col("id"), col("is_dup"))
       },
       Some(IncMarksWithinSql)),
+
+    // INDEX RETENTION (r16): expiring documents must leave the index,
+    // or a late duplicate of an EXPIRED canonical is marked dup
+    // against a document that no longer exists (ghost entries). Here
+    // the store's [40, 80) split slice is deleted after seeding; the
+    // retention fold (compactLshIndex liveIds) drops its rows, and
+    // the batch ingests against the SURVIVING store — the oracle is
+    // the same decision rule computed over the POST-delete corpus
+    // (store = b < 40). The reference's whole catalog is
+    // retention-scoped the same way (pkg/agent/sync.go:122-126).
+    "dedup_inc_expired_marks" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_lshex_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(p, true): Unit
+        val d = docs(s, dir)
+        val storeSigs = Dedup.minhashSignatures(
+          d.filter(splitBucket(col("doc_id")) < 80),
+          "doc_id", "text", MinhashK, ShingleLen)
+        Dedup.lshBandsFromSig(storeSigs, 4, MinhashK)
+          .write.mode("overwrite").parquet(s"$root/idx/bands/batch=0")
+        storeSigs.write.mode("overwrite")
+          .parquet(s"$root/idx/sigs/batch=0")
+        graft.streaming.StreamIngest.compactLshIndex(s, s"$root/idx")
+        // retention pass: only b < 40 survives the delete
+        graft.streaming.StreamIngest.compactLshIndex(s, s"$root/idx",
+          liveIds = Some(d.filter(splitBucket(col("doc_id")) < 40)
+            .select(col("doc_id"))))
+        graft.streaming.StreamIngest.lshIngestBatch(
+          d.filter(splitBucket(col("doc_id")) >= 80)
+            .select(col("doc_id").as("id"), col("text")),
+          "id", "text", s"$root/idx", s"$root/marks", 1L,
+          MinhashK, 4, ShingleLen, 4)
+        s.read.parquet(s"$root/marks")
+          .select(col("id"), col("is_dup"))
+      },
+      Some(incMarksWithinSql(storeMax = 40))),
 
     // TF-IDF top-5 terms per doc (keyword extraction for topical
     // routing). Ranking happens ON the 1e-6-rounded score so the order,

@@ -1102,27 +1102,45 @@ object StreamIngest {
     *
     * Returns (band rows, signature rows) after compaction. */
   def compactLshIndex(spark: SparkSession, indexDir: String,
-      buckets: Int = DefaultIndexBuckets): (Long, Long) =
+      buckets: Int = DefaultIndexBuckets,
+      /** Retention/expiry (r16): when set, the fold DROPS index rows
+        * whose id is not in this one-column live-id frame — the
+        * growing index otherwise accretes ghost entries forever as
+        * the corpus runs deletes/retention, and a late duplicate of
+        * an EXPIRED canonical would be marked dup against a document
+        * that no longer exists. Marks semantics after expiry: the
+        * next arriving copy of an expired canonical's content is NOT
+        * a dup — it becomes the new canonical and enters the index
+        * (the successor rule; spec-pinned). Same retention-scoped
+        * posture as the measurement catalog (the reference clamps
+        * every query to the RP window, pkg/agent/sync.go:122-126). */
+      liveIds: Option[DataFrame] = None): (Long, Long) =
     (relayoutEpoch(spark, s"$indexDir/bands", s"$indexDir/bands_epoch",
       buckets,
       df => df.select(col("id").cast("long").as("id"),
         col("band").cast("int").as("band"), col("band_hash")),
-      Some(bandBucket(buckets)), "bb", Seq("band", "band_hash")),
+      Some(bandBucket(buckets)), "bb", Seq("band", "band_hash"),
+      retain = liveIds.map(_ -> "id")),
       relayoutEpoch(spark, s"$indexDir/sigs", s"$indexDir/sigs_epoch",
         buckets,
         df => df.select(col("id").cast("long").as("id"), col("sig")),
-        Some(idBucket(col("id"), buckets)), "ib", Seq("id")))
+        Some(idBucket(col("id"), buckets)), "ib", Seq("id"),
+        retain = liveIds.map(_ -> "id")))
 
   /** Same fold for the IVF index: `assign/batch=<id>` hot dirs land in
     * `assign_epoch/` partitioned by the PROBE KEY ITSELF (`list`) and
     * sorted by vec_id — nProbe=1 queries then list only their probed
     * lists' partitions ([[ivfIndexTopK]]). Returns the row count. */
-  def compactIvfIndex(spark: SparkSession, indexDir: String): Long =
+  def compactIvfIndex(spark: SparkSession, indexDir: String,
+      /** Retention/expiry: drop assignments whose vec_id is not in
+        * this live-id frame (see [[compactLshIndex]]'s liveIds). */
+      liveIds: Option[DataFrame] = None): Long =
     relayoutEpoch(spark, s"$indexDir/assign", s"$indexDir/assign_epoch",
       buckets = 0,
       df => df.select(col("vec_id").cast("long").as("vec_id"),
         col("list").cast("long").as("list"), col("vec")),
-      None, "list", Seq("vec_id"))
+      None, "list", Seq("vec_id"),
+      retain = liveIds.map(_ -> "vec_id"))
 
   /** Shared epoch re-layout: fold the not-yet-folded hot dirs plus the
     * prior epoch into a fresh partitioned epoch, swap crash-safely,
@@ -1131,8 +1149,8 @@ object StreamIngest {
     * (None when the key is already a data column). */
   private def relayoutEpoch(spark: SparkSession, hotPath: String,
       epochPath: String, buckets: Int, project: DataFrame => DataFrame,
-      derive: Option[Column], partCol: String,
-      sortCols: Seq[String]): Long = {
+      derive: Option[Column], partCol: String, sortCols: Seq[String],
+      retain: Option[(DataFrame, String)] = None): Long = {
     val hp = new org.apache.hadoop.fs.Path(hotPath)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = readLayout(spark, epochPath)
@@ -1141,18 +1159,32 @@ object StreamIngest {
     // crash leftovers at/below the watermark are already in the epoch:
     // cleared, never re-folded
     val fold = hotDirs.filter { case (id, _) => id > wm0 }
-    if (fold.isEmpty) {
+    // an expiry pass must rewrite even with nothing new to fold
+    if (fold.isEmpty && retain.isEmpty) {
       hotDirs.foreach { case (_, d) => fs.delete(d, true): Unit }
       return prior.map(_ => spark.read.parquet(epochPath).count())
         .getOrElse(0L)
     }
-    val wm1 = math.max(fold.map(_._1).max, math.max(wm0, -1L))
-    val hot = project(spark.read.option("basePath", hotPath)
-      .parquet(fold.map(_._2.toString): _*))
-    val all = prior match {
-      case Some(_) =>
-        hot.unionByName(project(spark.read.parquet(epochPath)))
-      case None => hot
+    if (fold.isEmpty && prior.isEmpty) return 0L
+    val wm1 = math.max(
+      if (fold.isEmpty) Long.MinValue else fold.map(_._1).max,
+      math.max(wm0, -1L))
+    val hot =
+      if (fold.isEmpty) None
+      else Some(project(spark.read.option("basePath", hotPath)
+        .parquet(fold.map(_._2.toString): _*)))
+    val epoch = prior.map(_ => project(spark.read.parquet(epochPath)))
+    val all0 = (hot.toSeq ++ epoch.toSeq).reduce(_.unionByName(_))
+    // retention: one id-keyed semi join against the live-id set —
+    // expired documents' rows leave the index at the fold, the same
+    // pass that owns the layout (no separate delete job to schedule)
+    val all = retain match {
+      case Some((live, idCol)) =>
+        all0.join(
+          live.toDF(idCol).select(col(idCol).cast("long").as(idCol))
+            .distinct(),
+          Seq(idCol), "left_semi")
+      case None => all0
     }
     val out = derive match {
       case Some(c) => all.withColumn(partCol, c)

@@ -1133,4 +1133,65 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(marksOf(1L) === firstMarks, marksOf(1L))
     assert(indexIds === firstIndex, indexIds)
   }
+
+  test("index retention (r16): an expiry fold drops expired ids from " +
+    "bands+sigs, a copy of the EXPIRED canonical's content is NOT a " +
+    "dup (it becomes the new canonical and enters the index), and " +
+    "later copies chain to the successor") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_lshex_idx").toString
+    val marks = Files.createTempDirectory("graft_lshex_mk").toString
+    def batchDf(rows: (Long, String)*) = rows.toDF("id", "text")
+    val textA = "alpha beta gamma delta epsilon zeta"
+    val textB = "one two three four five six"
+    StreamIngest.lshIngestBatch(batchDf(1L -> textA, 2L -> textB),
+      "id", "text", idx, marks, 0L, 8, 4, 3, 4)
+    StreamIngest.compactLshIndex(spark, idx)
+    // canonical 1 alive: its copy is a dup and stays OUT of the index
+    StreamIngest.lshIngestBatch(batchDf(20L -> textA),
+      "id", "text", idx, marks, 1L, 8, 4, 3, 4)
+    def marksOf(b: Long) = spark.read.parquet(marks)
+      .filter(col("batch") === b).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup")).toMap
+    assert(marksOf(1L) === Map(20L -> true))
+    // retention: id 1 expires; the fold drops its rows from BOTH frames
+    StreamIngest.compactLshIndex(spark, idx,
+      liveIds = Some(Seq(2L).toDF("id")))
+    val (b, sg) = StreamIngest.readLshIndex(spark, idx)
+    assert(b.select("id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(2L))
+    assert(sg.select("id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(2L))
+    // successor rule: the next copy of A is NOT a dup — it becomes
+    // the new canonical and enters the index
+    StreamIngest.lshIngestBatch(batchDf(21L -> textA),
+      "id", "text", idx, marks, 2L, 8, 4, 3, 4)
+    assert(marksOf(2L) === Map(21L -> false))
+    // and later copies chain to the SUCCESSOR, not the ghost
+    StreamIngest.lshIngestBatch(batchDf(22L -> textA),
+      "id", "text", idx, marks, 3L, 8, 4, 3, 4)
+    assert(marksOf(3L) === Map(22L -> true))
+    val ids = StreamIngest.readLshIndex(spark, idx)._1
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L, 21L), ids.toString)
+  }
+
+  test("IVF index retention (r16): the expiry fold drops expired " +
+    "vec_ids and the served top-k ranks only survivors") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_ivfex_idx").toString
+    StreamIngest.ivfIndexInit(spark, idx, Seq(
+      0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0)))
+    val corpus = Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.8, 0.2)),
+      (3L, Seq(0.7, 0.3)), (4L, Seq(0.1, 0.9))).toDF("id", "vec")
+    StreamIngest.ivfIngestBatch(corpus, "id", "vec", idx, 0L)
+    // vec 2 expires
+    assert(StreamIngest.compactIvfIndex(spark, idx,
+      liveIds = Some(Seq(1L, 3L, 4L).toDF("vec_id"))) == 3L)
+    val queries = Seq((100L, Seq(0.95, 0.05))).toDF("id", "vec")
+    val got = StreamIngest.ivfIndexTopK(spark, queries, "id", "vec",
+      idx, 5).select("neighbor_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L), got.toString) // list-0 survivors only
+  }
 }
