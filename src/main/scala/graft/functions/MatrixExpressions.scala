@@ -367,6 +367,82 @@ object MatrixExpressions {
     v
   }
 
+  /** IVF fixed-codebook assignment on the 6dp DETERMINISM contract —
+    * the kernel form of the `when`-chain Similarity.ivfAssignFixed
+    * composed from per-anchor typedLit structs (O(nlist) plan nodes;
+    * at production nlist ≈ √n the PLAN became the bottleneck — the
+    * exact literal-array pattern this file exists to eliminate).
+    * Unlike the raw-dot kernels above, the comparison key is
+    * round(cos, 6): the oracle contract ranks the ROUNDED cosine
+    * (ties to the smallest list id), so the quotient and rounding
+    * must happen per anchor BEFORE the max. Bit-identity with the
+    * chain (differential-tested in MatrixExpressionsSpec):
+    *  - dot = strict ascending fold (VecDot's contract);
+    *  - vnorm = sqrt(ascending Σx²), same as the prep column; the
+    *    caller still excludes zero-norm rows (no defined similarity);
+    *  - anchor norms precomputed with the same scala fold the old
+    *    code ran per plan;
+    *  - round = scala BigDecimal HALF_UP at scale 6 — exactly
+    *    Spark Round's double path (java BigDecimal.valueOf);
+    *  - strict `>` keeps the earlier (smaller-list) anchor on ties,
+    *    identical to the chain's when(s.c > acc.c). */
+  case class IvfAssign6(child: Expression, mat: Array[Array[Double]],
+      lists: Array[Long])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(mat.nonEmpty && mat.length == lists.length,
+      s"IvfAssign6: ${mat.length} anchors vs ${lists.length} lists")
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(ArrayType(DoubleType))
+    override def dataType: DataType = org.apache.spark.sql.types
+      .StructType(Seq(
+        org.apache.spark.sql.types.StructField("list",
+          LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cos_r",
+          DoubleType, nullable = false)))
+    @transient private lazy val anorms: Array[Double] =
+      mat.map(row => math.sqrt(row.map(x => x * x).sum))
+    private def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def compute(a: ArrayData)
+        : org.apache.spark.sql.catalyst.InternalRow = {
+      val n = a.numElements()
+      var nsq = 0.0
+      var i = 0
+      while (i < n) { val x = a.getDouble(i); nsq += x * x; i += 1 }
+      val vn = math.sqrt(nsq)
+      var best = 0
+      var bestC = Double.NegativeInfinity
+      var c = 0
+      while (c < mat.length) {
+        val row = mat(c)
+        val len = math.min(n, row.length)
+        var s = 0.0
+        var j = 0
+        while (j < len) { s += a.getDouble(j) * row(j); j += 1 }
+        val cr = round6(s / (vn * anorms(c)))
+        if (cr > bestC) { bestC = cr; best = c }
+        c += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](lists(best), bestC))
+    }
+    override def nullSafeEval(a: Any): Any =
+      compute(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val ref = ctx.addReferenceObj("ivfAssign6", this,
+        classOf[IvfAssign6].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def ivfAssign6(vec: Column, mat: Array[Array[Double]],
+      lists: Array[Long]): Column =
+    GraftShim.column(IvfAssign6(GraftShim.expression(vec), mat, lists))
+
   def matRank(vec: Column, mat: Array[Array[Double]]): Column =
     GraftShim.column(MatRank(GraftShim.expression(vec), mat))
   def matArgmax(vec: Column, mat: Array[Array[Double]]): Column =

@@ -348,19 +348,24 @@ object Similarity {
     require(anchors.nonEmpty, "ivfAssignFixed: empty codebook")
     val prepped = prep(emb, idCol, vecCol, "vec_id", "v", "vn")
       .filter(col("vn") > 0)
-    val scored = anchors.sortBy(_._1).map { case (listId, a) =>
-      val an = math.sqrt(a.map(x => x * x).sum)
-      require(an > 0, s"ivfAssignFixed: zero-norm anchor $listId")
-      val c = round(
-        vecDot(col("v"), typedLit(a.toSeq)) / (col("vn") * lit(an)), 6)
-      struct(c.as("c"), lit(listId.toLong).as("l"))
+    // ONE kernel node regardless of nlist (r16): the previous form
+    // folded one typedLit struct per anchor through a when-chain —
+    // O(nlist) plan nodes, the literal-array pattern that becomes the
+    // bottleneck at production nlist ≈ √n. IvfAssign6 honors the same
+    // determinism contract (round(cos,6), strict > ⇒ tie to the
+    // smallest list id — the oracle's (cos_r DESC, list ASC) rank),
+    // differential-pinned bit-identical in MatrixExpressionsSpec.
+    val sorted = anchors.sortBy(_._1)
+    sorted.foreach { case (listId, a) =>
+      require(a.exists(_ != 0.0),
+        s"ivfAssignFixed: zero-norm anchor $listId")
     }
-    // strict > keeps the earlier (smaller-list) candidate on a tie —
-    // the same ordering the oracle's (cos_r DESC, list ASC) rank uses
-    val best = scored.reduceLeft((acc, s) =>
-      when(s.getField("c") > acc.getField("c"), s).otherwise(acc))
-    prepped.select(col("vec_id"),
-      best.getField("l").as("list"), best.getField("c").as("cos_r"))
+    val assign = graft.functions.MatrixExpressions.ivfAssign6(
+      col("v"), sorted.map(_._2).toArray,
+      sorted.map(_._1.toLong).toArray)
+    prepped.select(col("vec_id"), assign.as("__a"))
+      .select(col("vec_id"), col("__a.list").as("list"),
+        col("__a.cos_r").as("cos_r"))
   }
 
   /** nProbe=1 IVF query over the fixed codebook: each query searches

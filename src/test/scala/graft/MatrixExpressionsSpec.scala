@@ -172,4 +172,50 @@ class MatrixExpressionsSpec extends AnyFunSuite {
     val z = rows.find(_.getLong(0) == 40L).get
     assert(z.getLong(1) == (1L << planes.length) - 1)
   }
+
+  test("IvfAssign6 == the retired when-chain bit-for-bit: per-anchor " +
+    "round(cos,6) BEFORE the max, strict greater-than (tie to the smallest " +
+    "list), same fold/norm orders — on random vectors, duplicate " +
+    "anchors (exact rounded ties), and non-contiguous list ids") {
+    // non-contiguous list ids + a DUPLICATED anchor row: the rounded
+    // cosines tie exactly, so the smaller list id must win
+    val anchors: Seq[(Int, Array[Double])] =
+      Seq(3 -> mat(0), 7 -> matRow, 11 -> matRow.clone(), 20 -> mat(4))
+    val sorted = anchors.sortBy(_._1)
+    val withNorm = df.filter(col("id") =!= 40L) // zero-norm excluded
+      .withColumn("vn", sqrt(vecNormSq(col("v"))))
+    // the RETIRED chain, reconstructed verbatim (Similarity r15 form)
+    val scored = sorted.map { case (listId, a) =>
+      val an = math.sqrt(a.map(x => x * x).sum)
+      val c = round(
+        vecDot(col("v"), typedLit(a.toSeq)) / (col("vn") * lit(an)), 6)
+      struct(c.as("c"), lit(listId.toLong).as("l"))
+    }
+    val best = scored.reduceLeft((acc, s) =>
+      when(s.getField("c") > acc.getField("c"), s).otherwise(acc))
+    val want = withNorm.select(col("id"),
+      best.getField("l").as("list"), best.getField("c").as("cos_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val kernel = graft.functions.MatrixExpressions.ivfAssign6(
+      col("v"), sorted.map(_._2).toArray,
+      sorted.map(_._1.toLong).toArray)
+    val got = withNorm.select(col("id"), kernel.as("__a"))
+      .select(col("id"), col("__a.list"), col("__a.cos_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === want)
+    // the duplicate-anchor tie resolved to the SMALLER list id (7)
+    // for at least every vector whose best anchor is the dup row
+    assert(!got.exists(_._2 == 11L),
+      "rounded tie must keep the earlier (smaller) list id")
+    // and the plan is ONE kernel node regardless of nlist: a 256-
+    // anchor codebook must not grow the expression tree
+    val bigAnchors = (0 until 256).map(i => i -> mat(i % mat.length))
+    val bigPlan = graft.operators.Similarity.ivfAssignFixed(
+      df.withColumnRenamed("id", "vec_id"), "vec_id", "v", bigAnchors)
+      .queryExecution.optimizedPlan.toString
+    assert(bigPlan.linesIterator.size < 30,
+      s"plan grew with nlist:\n${bigPlan.take(1500)}")
+  }
 }
