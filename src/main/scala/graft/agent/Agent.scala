@@ -101,7 +101,16 @@ final case class AgentConfig(
     curateLangs: String = "",
     curateDedupe: Boolean = false,
     curateSample: String = "",
-    curateSplit: Boolean = false)
+    curateSplit: Boolean = false,
+    // growing-index maintenance (engine extension, r16): comma-
+    // separated roots of persistent LSH/IVF indexes the daemon owns —
+    // each hamonitor tick applies the compaction cadence policy
+    // (fold past indexMaxHotBatches live batch dirs), so a long-lived
+    // ingest stream never needs an operator to remember the epoch
+    // fold. Single-writer contract: list a root here ONLY if this
+    // daemon is the plane that owns its ingest.
+    indexDirs: String = "",
+    indexMaxHotBatches: Int = 8)
 
 /** The agent — one object composing catalog discovery, schema DDL, the
   * chunked copy plane, and the HA monitor into the reference's four
@@ -640,10 +649,19 @@ final class Agent(
     /** The supervisor-tick CQ pass: refresh every registration with
       * the drained /write low-water rewinds; marks a failed CQ could
       * not consume are RE-QUEUED so the rollup catches the backfill
-      * once it recovers (r15 ADVICE low). */
-    def cqTick(): Unit =
+      * once it recovers (r15 ADVICE low). The tick also runs the
+      * growing-index compaction cadence over the configured roots
+      * (r16) — the single-writer maintenance plane the fold's
+      * contract requires. */
+    def cqTick(): Unit = {
       cqService.runAll(ws.drainWriteLowWater(),
         requeueRewinds = ws.requeueWriteLowWater): Unit
+      val dirs = cfg.indexDirs.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      if (dirs.nonEmpty)
+        StreamIngest.maintainIndexes(spark, dirs,
+          cfg.indexMaxHotBatches): Unit
+    }
   }
 
   private[graft] lazy val daemonPlane = new DaemonPlane
@@ -778,7 +796,8 @@ object AgentCli {
     "-db", "-rp", "-meas", "-newdb", "-newrp", "-chunk", "-start",
     "-end", "-checkpoint", "-tags", "-fields", "-watermark", "-static",
     "-pidfile", "-curate-minchars", "-curate-maxchars",
-    "-curate-langs", "-curate-sample")
+    "-curate-langs", "-curate-sample", "-indexdirs",
+    "-index-maxhot")
   private def versionRequested(args: Array[String]): Boolean = {
     var i = 0
     while (i < args.length) {
@@ -862,6 +881,9 @@ object AgentCli {
         case "-curate-sample"   => c = c.copy(curateSample = v)
         case "-curate-dedupe"   => c = c.copy(curateDedupe = true)
         case "-curate-split"    => c = c.copy(curateSplit = true)
+        case "-indexdirs"       => c = c.copy(indexDirs = v)
+        case "-index-maxhot"    =>
+          c = c.copy(indexMaxHotBatches = v.toInt)
         case other =>
           throw new IllegalArgumentException(s"unknown flag: $other")
       }

@@ -1215,6 +1215,61 @@ object StreamIngest {
     n
   }
 
+  /** Cadence policy for the daemon tick: fold when the hot tail has
+    * grown past `maxHotBatches` live `batch=<id>` dirs — so a
+    * long-running stream never needs an operator to remember the
+    * epoch fold (every un-folded batch adds listing + tiny-file open
+    * cost to each ingest's hot-tail scan). Honors the single-writer
+    * contract by construction ONLY when called from the maintenance
+    * plane that owns the ingest, between acknowledged micro-batches —
+    * the hamonitor tick in the daemon. Returns true iff a fold ran. */
+  def maybeCompactLshIndex(spark: SparkSession, indexDir: String,
+      maxHotBatches: Int = 8,
+      buckets: Int = DefaultIndexBuckets): Boolean =
+    liveHotCount(spark, s"$indexDir/bands",
+      s"$indexDir/bands_epoch") > maxHotBatches && {
+      compactLshIndex(spark, indexDir, buckets): Unit
+      true
+    }
+
+  /** IVF face of [[maybeCompactLshIndex]] — same cadence contract. */
+  def maybeCompactIvfIndex(spark: SparkSession, indexDir: String,
+      maxHotBatches: Int = 8): Boolean =
+    liveHotCount(spark, s"$indexDir/assign",
+      s"$indexDir/assign_epoch") > maxHotBatches && {
+      compactIvfIndex(spark, indexDir): Unit
+      true
+    }
+
+  /** Tick-side maintenance over a set of index roots: detects each
+    * root's face(s) by layout (bands/ → LSH, assign/ → IVF — one root
+    * can host both) and applies the cadence policy. The daemon wires
+    * this into the hamonitor tick next to the CQ pass. */
+  def maintainIndexes(spark: SparkSession, indexDirs: Seq[String],
+      maxHotBatches: Int = 8): Seq[(String, Boolean)] =
+    indexDirs.map { dir =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def has(sub: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+      val lsh = (has("bands") || has("bands_epoch")) &&
+        maybeCompactLshIndex(spark, dir, maxHotBatches)
+      val ivf = (has("assign") || has("assign_epoch")) &&
+        maybeCompactIvfIndex(spark, dir, maxHotBatches)
+      dir -> (lsh || ivf)
+    }
+
+  /** Live (above-watermark) hot dirs — the quantity the cadence
+    * policy bounds; folded crash leftovers don't count. */
+  private def liveHotCount(spark: SparkSession, hotPath: String,
+      epochPath: String): Int = {
+    val hp = new org.apache.hadoop.fs.Path(hotPath)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val wm = readLayout(spark, epochPath).map(_.wm)
+      .getOrElse(Long.MinValue)
+    listBatchDirs(fs, hp).count(_._1 > wm)
+  }
+
   /** An epoch's layout descriptor (`_layout` — underscore-prefixed,
     * invisible to parquet readers): watermark = highest folded batch
     * id (readers list the hot tail only ABOVE it — the crash-safety

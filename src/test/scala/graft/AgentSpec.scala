@@ -661,4 +661,36 @@ class AgentSpec extends AnyFunSuite {
     ws.requeueWriteLowWater(requeued)
     assert(ws.drainWriteLowWater() === Map("ghost" -> (S + 1L)))
   }
+
+  test("r16 tick-side index maintenance: hamonitor folds a configured " +
+    "index root past the hot-batch threshold — no operator has to " +
+    "remember the epoch fold") {
+    import graft.streaming.StreamIngest
+    val master = freshRoot()
+    spark.read.parquet(s"${SparkSpec.Sf0001}/events.parquet")
+      .write.parquet(s"$master/events.parquet")
+    val dst = freshRoot()
+    val idx = freshRoot() + "/lshidx"
+    val marks = freshRoot() + "/marks"
+    import spark.implicits._
+    for (b <- 0 until 3)
+      StreamIngest.lshIngestBatch(
+        Seq((10L * b + 1, s"doc of batch $b alpha$b")).toDF("id", "text"),
+        "id", "text", idx, marks, b.toLong, 8, 4, 3, 4)
+    def hotDirs = Option(new java.io.File(s"$idx/bands").listFiles())
+      .map(_.count(_.getName.startsWith("batch="))).getOrElse(0)
+    assert(hotDirs == 3)
+    var now = E
+    val agent = new Agent(spark,
+      cfg(dst).copy(masterRoot = master, initialReplication = "none",
+        indexDirs = s" $idx ,", indexMaxHotBatches = 2),
+      slaveProbeOpt = Some(() => true), nowNs = () => now)
+    val monitor = agent.hamonitor()
+    now += 20000000000L; monitor.tick()
+    assert(hotDirs == 0, "tick must fold past the threshold")
+    assert(new java.io.File(s"$idx/bands_epoch").exists())
+    // and the folded index still answers
+    val (b, _) = StreamIngest.readLshIndex(spark, idx)
+    assert(b.select("id").distinct().count() == 3L)
+  }
 }

@@ -1176,6 +1176,60 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(ids === Set(2L, 21L), ids.toString)
   }
 
+  test("compaction cadence (r16): a LIVE ingest stream grows hot " +
+    "batch dirs; the tick-side policy folds past the threshold " +
+    "(below it: no-op), and served dedup decisions are identical " +
+    "before and after the fold") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_cad_in").toString
+    val idx = Files.createTempDirectory("graft_cad_idx").toString
+    val marks = Files.createTempDirectory("graft_cad_mk").toString
+    val ckpt = Files.createTempDirectory("graft_cad_ck").toString
+    def doc(id: Long, text: String) =
+      s"""{"id": $id, "text": "$text"}"""
+    val src = spark.readStream
+      .schema("id LONG, text STRING").json(in)
+    val q = StreamIngest.lshIndexIngestStream(src, "id", "text",
+      idx, marks, ckpt)
+    try {
+      for (b <- 0 until 3) {
+        Files.write(Paths.get(in, s"b$b.json"), Seq(
+          doc(10L * b + 1, s"unique batch $b words alpha$b beta$b"),
+          doc(10L * b + 2, s"other batch $b words gamma$b delta$b"))
+          .mkString("\n").getBytes(StandardCharsets.UTF_8)): Unit
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def hotDirs = Option(new java.io.File(s"$idx/bands").listFiles())
+      .map(_.count(_.getName.startsWith("batch="))).getOrElse(0)
+    assert(hotDirs == 3)
+    // served decision BEFORE the fold: a dup of batch 0's doc
+    val probe = Seq(100L -> "unique batch 0 words alpha0 beta0")
+      .toDF("id", "text")
+    def decide(): Map[Long, Boolean] = {
+      val sigs = graft.operators.Dedup.minhashSignatures(
+        probe, "id", "text", 8, 3)
+      val (sb, ss) = StreamIngest.readLshIndex(spark, idx)
+      graft.operators.Dedup.lshIndexIngest(sigs, sb, ss, 4, 8, 4)._1
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    val before = decide()
+    assert(before === Map(100L -> true))
+    // below threshold: no-op (the stream is quiesced — the contract)
+    assert(!StreamIngest.maybeCompactLshIndex(spark, idx,
+      maxHotBatches = 3))
+    assert(hotDirs == 3)
+    // past threshold: the tick folds, hot tail clears, decisions hold
+    assert(StreamIngest.maybeCompactLshIndex(spark, idx,
+      maxHotBatches = 2))
+    assert(hotDirs == 0)
+    assert(new java.io.File(s"$idx/bands_epoch").exists())
+    assert(decide() === before)
+    // maintainIndexes detects the face from the layout alone
+    assert(StreamIngest.maintainIndexes(spark, Seq(idx),
+      maxHotBatches = 2) === Seq(idx -> false)) // freshly folded
+  }
+
   test("IVF index retention (r16): the expiry fold drops expired " +
     "vec_ids and the served top-k ranks only survivors") {
     import spark.implicits._
