@@ -1077,6 +1077,67 @@ object Similarity {
     * verdict; cluster-local comparison already makes recall approximate.
     * With nClusters=1 the verdicts are EXACT all-pairs keep-first
     * (differential-tested in SimilaritySpec). */
+  /** INCREMENTAL SemDeDup — the third face of the persistent IVF
+    * index (beside ingest and top-k): dedup an ARRIVING batch against
+    * the grown index without re-clustering. Batch embeddings assign
+    * against the FIXED codebook ([[ivfAssignFixed]] — zero-norm rows
+    * have no assignment and are excluded, as everywhere in the
+    * family); each is a duplicate iff some STORED vector of the SAME
+    * list reaches the cosine threshold (the SemDeDup within-cluster
+    * rule, never across lists), or — `withinBatch` — an earlier
+    * (smaller-id) batch sibling in its list does (the arrival-order
+    * rule, same tie-break as the LSH index ingest). Returns
+    * (marks = (vec_id, is_dup) per assigned batch vector,
+    * delta = (vec_id, list) of the NON-duplicates — what a persisting
+    * caller appends, so later copies chain to the canonical).
+    *
+    * `assigned` = the stored index's (vec_id, list, `vecCol`) —
+    * callers prune it to the batch's own lists before passing
+    * (non-probed lists cannot produce a verdict by definition;
+    * [[graft.streaming.StreamIngest.semanticIngestBatch]] reads the
+    * epoch list-pruned).
+    *
+    * 100 TB posture: per step the store contributes only its probed
+    * lists' vectors; pair work is batch×(per-list occupancy), never
+    * corpus², and nothing re-clusters or re-scans stored texts. */
+  def semanticDedupIngest(newEmb: DataFrame, idCol: String,
+      vecCol: String, assigned: DataFrame,
+      anchors: Seq[(Int, Array[Double])], threshold: Double,
+      withinBatch: Boolean = true): (DataFrame, DataFrame) = {
+    val na = ivfAssignFixed(newEmb, idCol, vecCol, anchors)
+      .select(col("vec_id"), col("list"))
+    val q = prep(newEmb, idCol, vecCol, "vec_id", "qv", "qn")
+    val newSide = na.join(q, "vec_id")
+    val st = assigned
+      .select(col("vec_id").cast("long").as("old_id"),
+        col("list").cast("long").as("list"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(vecNormSq(col("cv"))))
+      .filter(col("cn") > 0)
+    val storeDups = newSide.join(st, "list")
+      .filter(safeCosine(vecDot(col("qv"), col("cv")), col("qn"),
+        col("cn")) >= threshold)
+      .select(col("vec_id")).distinct()
+    val dupIds = (if (!withinBatch) storeDups else {
+      val a = newSide.select(col("list"), col("vec_id").as("id_a"),
+        col("qv").as("va"), col("qn").as("nna"))
+      val b = newSide.select(col("list"), col("vec_id").as("id_b"),
+        col("qv").as("vb"), col("qn").as("nnb"))
+      val selfDups = a.join(b, Seq("list"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(safeCosine(vecDot(col("va"), col("vb")), col("nna"),
+          col("nnb")) >= threshold)
+        .select(col("id_b").as("vec_id"))
+      storeDups.unionAll(selfDups)
+    }).distinct()
+    val marks = na.select(col("vec_id"))
+      .join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"),
+        "left")
+      .na.fill(false, Seq("is_dup"))
+    val delta = na.join(dupIds, Seq("vec_id"), "left_anti")
+    (marks, delta)
+  }
+
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nClusters: Int = 16, iters: Int = 5,
       sampleN: Int = 2048): DataFrame = {

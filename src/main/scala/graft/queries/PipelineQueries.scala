@@ -1159,6 +1159,80 @@ object PipelineQueries {
       },
       Some(ivfIncTopKSql(corpusPred = "nz.vec_id % 10 != 7"))),
 
+    // INCREMENTAL SemDeDup over the persistent IVF index (r16) — the
+    // index's third face: the stored corpus (vec_id % 10 != 9) is
+    // ingested and compacted once; the arriving batch (% 10 == 9)
+    // assigns against the SAME persisted codebook and takes its
+    // semantic-duplicate verdicts against ONLY its own lists' stored
+    // vectors (epoch scan list-pruned), plus the earlier-sibling rule
+    // within the batch — no re-clustering, no corpus re-scan. The
+    // oracle computes the identical within-list rule in DuckDB
+    // (degenerate-exact: raw single-division cosines, threshold away
+    // from any boundary — the dedup_semantic convention).
+    "dedup_semantic_inc" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_semin_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(p, true): Unit
+        val e = emb(s, dir)
+        val idx = s"$root/idx"
+        graft.streaming.StreamIngest.ivfIndexInit(s, idx,
+          fixedAnchors(e))
+        graft.streaming.StreamIngest.ivfIngestBatch(
+          e.filter(pmod(col("vec_id"), lit(10)) =!= 9), "vec_id",
+          "embedding", idx, 0L)
+        graft.streaming.StreamIngest.compactIvfIndex(s, idx)
+        graft.streaming.StreamIngest.semanticIngestBatch(
+          e.filter(pmod(col("vec_id"), lit(10)) === 9), "vec_id",
+          "embedding", idx, s"$root/marks", 1L, threshold = 0.3)
+        s.read.parquet(s"$root/marks")
+          .select(col("vec_id"), col("is_dup"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        a AS (SELECT vec_id AS list, v AS av FROM v WHERE vec_id < 4),
+        nz AS (SELECT vec_id, v FROM v
+          WHERE list_reduce(list_transform(v, x -> x*x),
+            (x,y) -> x+y) > 0),
+        s0 AS (SELECT nz.vec_id, a.list,
+          round(list_reduce(list_transform(generate_series(1,64),
+            i -> nz.v[i]*a.av[i]), (x,y) -> x+y)
+            / (sqrt(list_reduce(list_transform(nz.v, x -> x*x),
+                (x,y) -> x+y))
+             * sqrt(list_reduce(list_transform(a.av, x -> x*x),
+                (x,y) -> x+y))), 6) AS cos_r
+          FROM nz, a),
+        asg AS (SELECT vec_id, list FROM (SELECT vec_id, list,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos_r DESC, list) AS rk FROM s0) WHERE rk = 1),
+        st AS (SELECT nz.vec_id AS sid, nz.v AS sv, asg.list
+          FROM nz JOIN asg ON nz.vec_id = asg.vec_id
+          WHERE nz.vec_id % 10 != 9),
+        nb AS (SELECT nz.vec_id AS nid, nz.v AS nv, asg.list
+          FROM nz JOIN asg ON nz.vec_id = asg.vec_id
+          WHERE nz.vec_id % 10 = 9),
+        pd AS (SELECT DISTINCT nb.nid FROM nb JOIN st
+            ON nb.list = st.list
+          WHERE list_reduce(list_transform(generate_series(1,64),
+              i -> nb.nv[i]*st.sv[i]), (x,y) -> x+y)
+            / (sqrt(list_reduce(list_transform(nb.nv, x -> x*x),
+                (x,y) -> x+y))
+             * sqrt(list_reduce(list_transform(st.sv, x -> x*x),
+                (x,y) -> x+y))) >= 0.3),
+        pw AS (SELECT DISTINCT y.nid FROM nb x JOIN nb y
+            ON x.list = y.list AND x.nid < y.nid
+          WHERE list_reduce(list_transform(generate_series(1,64),
+              i -> x.nv[i]*y.nv[i]), (x2,y2) -> x2+y2)
+            / (sqrt(list_reduce(list_transform(x.nv, x2 -> x2*x2),
+                (x2,y2) -> x2+y2))
+             * sqrt(list_reduce(list_transform(y.nv, x2 -> x2*x2),
+                (x2,y2) -> x2+y2))) >= 0.3)
+        SELECT nb.nid AS vec_id,
+          (nb.nid IN (SELECT nid FROM pd)
+            OR nb.nid IN (SELECT nid FROM pw)) AS is_dup
+        FROM nb""".replaceAll("\\s+", " "))),
+
     // Product-quantization ANN (ADC shortlist over an 8-byte code table
     // + exact re-rank) — the memory-bound scale path: the corpus-wide
     // frame holds codes, never float vectors. Registry config is the

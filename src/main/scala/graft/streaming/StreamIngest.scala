@@ -1446,21 +1446,74 @@ object StreamIngest {
     val probed = graft.operators.Similarity
       .ivfAssignFixed(queries, idCol, vecCol, anchors)
       .select("list").distinct().collect().map(_.getLong(0)).toSeq
+    graft.operators.Similarity.ivfTopKPreAssigned(queries,
+      readIvfPruned(spark, indexDir, probed, None)
+        .withColumnRenamed("vec", vecCol),
+      idCol, vecCol, anchors, k)
+  }
+
+  /** The stored IVF assignments restricted to `lists` — epoch scan
+    * PARTITION-pruned (list= is the epoch's partition key), hot tail
+    * filtered post-scan; `excludeBatch` drops that hot partition at
+    * the listing (replay safety for [[semanticIngestBatch]]). */
+  private def readIvfPruned(spark: SparkSession, indexDir: String,
+      lists: Seq[Long], excludeBatch: Option[Long]): DataFrame = {
     def norm(df: DataFrame) =
       df.select(col("vec_id").cast("long").as("vec_id"),
         col("list").cast("long").as("list"), col("vec"))
     val hot = hotFrame(spark, s"$indexDir/assign",
-      s"$indexDir/assign_epoch", None)
-      .map(df => norm(df.filter(col("list").isin(probed: _*))))
+      s"$indexDir/assign_epoch", excludeBatch)
+      .map(df => norm(df.filter(col("list").isin(lists: _*))))
     val epoch = readLayout(spark, s"$indexDir/assign_epoch").map { _ =>
       norm(spark.read.parquet(s"$indexDir/assign_epoch")
-        .filter(col("list").isin(probed.map(_.toInt): _*)))
+        .filter(col("list").isin(lists.map(_.toInt): _*)))
     }
-    val assigned = tiersUnion(hot.toSeq ++ epoch.toSeq,
-      emptyAssign(spark))
-    graft.operators.Similarity.ivfTopKPreAssigned(queries,
-      assigned.withColumnRenamed("vec", vecCol),
-      idCol, vecCol, anchors, k)
+    tiersUnion(hot.toSeq ++ epoch.toSeq, emptyAssign(spark))
+  }
+
+  /** Continuous SemDeDup — the THIRD face of the persistent IVF
+    * index: each micro-batch assigns against the persisted codebook,
+    * takes its semantic-duplicate verdicts against ONLY its own
+    * lists' stored vectors ([[graft.operators.Similarity
+    * .semanticDedupIngest]]; the epoch scan is list-pruned), and
+    * appends the non-duplicates under `batch=<id>` — so the index a
+    * dedup stream grows is the SAME index [[ivfIndexTopK]] serves,
+    * and no batch ever re-clusters or re-scans the corpus.
+    * Exactly-once: replay rewrites the whole batch partition, and the
+    * stored read excludes the current batch at the listing. */
+  def semanticDedupStream(emb: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, marksDir: String,
+      checkpointDir: String, threshold: Double): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semanticIngestBatch(batch, idCol, vecCol, indexDir, marksDir,
+          batchId, threshold)
+      }
+      .start()
+
+  /** One micro-batch of the SemDeDup ingest (the foreachBatch body,
+    * callable directly for batch backfills). */
+  def semanticIngestBatch(batch: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, marksDir: String,
+      batchId: Long, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val anchors = readIvfCentroids(spark, indexDir)
+    val lists = graft.operators.Similarity
+      .ivfAssignFixed(batch, idCol, vecCol, anchors)
+      .select("list").distinct().collect().map(_.getLong(0)).toSeq
+    val stored = readIvfPruned(spark, indexDir, lists,
+      excludeBatch = Some(batchId)).withColumnRenamed("vec", vecCol)
+    val (marks, delta) = graft.operators.Similarity
+      .semanticDedupIngest(batch, idCol, vecCol, stored, anchors,
+        threshold)
+    val rows = delta.select(col("vec_id"), col("list"))
+      .join(batch.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("vec")), "vec_id")
+    rows.write.mode("overwrite")
+      .parquet(s"$indexDir/assign/batch=$batchId")
+    marks.write.mode("overwrite")
+      .parquet(s"$marksDir/batch=$batchId")
   }
 
   /** The persistent banded index's two frames — (bands, signatures):

@@ -968,7 +968,7 @@ class StreamIngestSpec extends AnyFunSuite {
     val m = spark.read.parquet(marks).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup")).toMap
     assert(m === Map(1L -> false, 2L -> false, 10L -> true,
-      11L -> false, 12L -> false, 13L -> true), m.toString)
+      11L -> false, 12L -> true, 13L -> true), m.toString)
     // the index holds exactly the canonicals, 4 band rows each
     val (bandsDf, sigsDf) = StreamIngest.readLshIndex(spark, idx)
     val ids = bandsDf.select("id").distinct().collect()
@@ -1174,6 +1174,77 @@ class StreamIngestSpec extends AnyFunSuite {
     val ids = StreamIngest.readLshIndex(spark, idx)._1
       .select("id").distinct().collect().map(_.getLong(0)).toSet
     assert(ids === Set(2L, 21L), ids.toString)
+  }
+
+  test("streaming SemDeDup over the persistent IVF index (r16): " +
+    "micro-batches take within-list verdicts against the GROWN index " +
+    "(no re-clustering), non-dups extend the same index top-k " +
+    "serves, and batch-mode ingest of the same increments produces " +
+    "identical marks — incl. the within-batch earlier-sibling rule " +
+    "and same-batchId replay idempotence") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_sem_in").toString
+    val idx = Files.createTempDirectory("graft_sem_idx").toString
+    val marks = Files.createTempDirectory("graft_sem_mk").toString
+    val ckpt = Files.createTempDirectory("graft_sem_ck").toString
+    val anchors = Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0))
+    StreamIngest.ivfIndexInit(spark, idx, anchors)
+    def doc(id: Long, x: Double, y: Double) =
+      s"""{"id": $id, "vec": [$x, $y]}"""
+    // batch 0: two canonicals, one per list
+    Files.write(Paths.get(in, "b0.json"), Seq(
+      doc(1, 1.0, 0.05), doc(2, 0.05, 1.0)).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8)): Unit
+    val src = spark.readStream
+      .schema("id LONG, vec ARRAY<DOUBLE>").json(in)
+    val q = StreamIngest.semanticDedupStream(src, "id", "vec", idx,
+      marks, ckpt, threshold = 0.95)
+    try {
+      q.processAllAvailable()
+      // batch 1: a near-copy of 1 (dup), a diagonal newcomer in
+      // list 0 (novel), and 12/13: 12 is a within-batch near-dup of
+      // 11 (cos ~ 0.965) AND 13 of 12 -- the earlier-sibling chain
+      Files.write(Paths.get(in, "b1.json"), Seq(
+        doc(10, 0.99, 0.08), doc(11, 0.75, 0.66),
+        doc(12, 0.9, 0.44), doc(13, 0.89, 0.45)).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8)): Unit
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = spark.read.parquet(marks).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Boolean]("is_dup")).toMap
+    assert(m === Map(1L -> false, 2L -> false, 10L -> true,
+      11L -> false, 12L -> true, 13L -> true), m.toString)
+    // the index holds exactly the canonicals — and SERVES them
+    val index = StreamIngest.readIvfIndex(spark, idx)
+    assert(index.select("vec_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 11L))
+    val served = StreamIngest.ivfIndexTopK(spark,
+      Seq((100L, Seq(1.0, 0.0))).toDF("id", "vec"), "id", "vec",
+      idx, 2).select("neighbor_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(served === Set(1L, 11L), served.toString)
+    // batch-mode differential: the same increments through
+    // semanticDedupIngest give the SAME batch-1 decisions
+    val stored = Seq((1L, 0L, Seq(1.0, 0.05)), (2L, 1L, Seq(0.05, 1.0)))
+      .toDF("vec_id", "list", "vec")
+    val b1 = Seq((10L, Seq(0.99, 0.08)), (11L, Seq(0.75, 0.66)),
+      (12L, Seq(0.9, 0.44)), (13L, Seq(0.89, 0.45))).toDF("id", "vec")
+    val (bm, _) = graft.operators.Similarity.semanticDedupIngest(
+      b1, "id", "vec", stored, anchors, threshold = 0.95)
+    assert(bm.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      === m.filter(_._1 >= 10L))
+    // replay (foreachBatch at-least-once): same batchId, same result
+    StreamIngest.semanticIngestBatch(b1.withColumnRenamed("id", "vid")
+      .select(col("vid").as("id"), col("vec")), "id", "vec", idx,
+      marks, 1L, threshold = 0.95)
+    val m2 = spark.read.parquet(marks).filter(col("batch") === 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Boolean]("is_dup")).toMap
+    assert(m2 === m.filter(_._1 >= 10L), m2.toString)
+    assert(StreamIngest.readIvfIndex(spark, idx)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 11L))
   }
 
   test("compaction cadence (r16): a LIVE ingest stream grows hot " +
