@@ -968,7 +968,7 @@ class StreamIngestSpec extends AnyFunSuite {
     val m = spark.read.parquet(marks).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup")).toMap
     assert(m === Map(1L -> false, 2L -> false, 10L -> true,
-      11L -> false, 12L -> true, 13L -> true), m.toString)
+      11L -> false, 12L -> false, 13L -> true), m.toString)
     // the index holds exactly the canonicals, 4 band rows each
     val (bandsDf, sigsDf) = StreamIngest.readLshIndex(spark, idx)
     val ids = bandsDf.select("id").distinct().collect()
