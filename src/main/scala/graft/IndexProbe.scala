@@ -79,7 +79,8 @@ object IndexProbe {
       Dedup.lshBandsFromSig(sigs, 4, 8)
         .write.mode("overwrite").parquet(s"$idx/bands/batch=0")
       sigs.write.mode("overwrite").parquet(s"$idx/sigs/batch=0")
-      StreamIngest.compactLshIndex(spark, idx)
+      StreamIngest.compactLshIndex(spark, idx,
+        buckets = StreamIngest.DefaultIndexBuckets)
       val storeRows = spark.read.parquet(s"$idx/sigs_epoch").count()
       val sec = timeIt {
         StreamIngest.lshIngestBatch(batch, "id", "text", idx, marks,

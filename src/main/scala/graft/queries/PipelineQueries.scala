@@ -2746,7 +2746,8 @@ object PipelineQueries {
           .write.mode("overwrite").parquet(s"$root/idx/bands/batch=0")
         storeSigs.write.mode("overwrite")
           .parquet(s"$root/idx/sigs/batch=0")
-        graft.streaming.StreamIngest.compactLshIndex(s, s"$root/idx")
+        graft.streaming.StreamIngest.compactLshIndex(s, s"$root/idx",
+          buckets = 8)
         graft.streaming.StreamIngest.lshIngestBatch(
           d.filter(splitBucket(col("doc_id")) >= 80)
             .select(col("doc_id").as("id"), col("text")),
@@ -2780,9 +2781,11 @@ object PipelineQueries {
           .write.mode("overwrite").parquet(s"$root/idx/bands/batch=0")
         storeSigs.write.mode("overwrite")
           .parquet(s"$root/idx/sigs/batch=0")
-        graft.streaming.StreamIngest.compactLshIndex(s, s"$root/idx")
-        // retention pass: only b < 40 survives the delete
+        // retention rides the fold itself (the production cadence:
+        // expiry applies at the next compaction) -- one pass seeds
+        // the epoch AND drops the deleted [40, 80) slice
         graft.streaming.StreamIngest.compactLshIndex(s, s"$root/idx",
+          buckets = 8,
           liveIds = Some(d.filter(splitBucket(col("doc_id")) < 40)
             .select(col("doc_id"))))
         graft.streaming.StreamIngest.lshIngestBatch(

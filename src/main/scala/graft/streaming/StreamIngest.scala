@@ -950,9 +950,21 @@ object StreamIngest {
   // buckets, not store size.
   // ------------------------------------------------------------------
 
-  /** Epoch bucket count compaction writes and probes re-derive. The
-    * actual count used by a given epoch travels in its `_layout`
-    * descriptor — a probe never assumes, it reads. */
+  /** Target bytes per epoch bucket when the bucket count is
+    * AUTO-SIZED (buckets = 0, the default): the fold counts the
+    * store's bytes (FS metadata, no scan) and sizes buckets to ~this
+    * — so bucket GRANULARITY (hence probe pruning selectivity) stays
+    * constant as the store grows. A fixed count would degrade both
+    * ways: 64 buckets at a 100 TB store are 25 GB each (a "pruned"
+    * probe still reads gigabytes), and 64 buckets over a 2 MB test
+    * store are pathological small files. The count actually used
+    * travels in the epoch's `_layout` descriptor — a probe never
+    * assumes, it reads. */
+  val DefaultBucketBytes: Long = 32L << 20
+
+  /** Explicit-bucket default for callers that want the production
+    * probe SHAPE at small fixtures (plan pins, the store-flatness
+    * probe). */
   val DefaultIndexBuckets = 64
 
   /** The banded index's joint join key, hashed into `buckets` partition
@@ -1102,7 +1114,10 @@ object StreamIngest {
     *
     * Returns (band rows, signature rows) after compaction. */
   def compactLshIndex(spark: SparkSession, indexDir: String,
-      buckets: Int = DefaultIndexBuckets,
+      /** 0 (default) = auto-size from store bytes
+        * ([[DefaultBucketBytes]] per bucket); explicit for callers
+        * pinning a shape. */
+      buckets: Int = 0,
       /** Retention/expiry (r16): when set, the fold DROPS index rows
         * whose id is not in this one-column live-id frame — the
         * growing index otherwise accretes ghost entries forever as
@@ -1119,12 +1134,12 @@ object StreamIngest {
       buckets,
       df => df.select(col("id").cast("long").as("id"),
         col("band").cast("int").as("band"), col("band_hash")),
-      Some(bandBucket(buckets)), "bb", Seq("band", "band_hash"),
+      Some(bandBucket), "bb", Seq("band", "band_hash"),
       retain = liveIds.map(_ -> "id")),
       relayoutEpoch(spark, s"$indexDir/sigs", s"$indexDir/sigs_epoch",
         buckets,
         df => df.select(col("id").cast("long").as("id"), col("sig")),
-        Some(idBucket(col("id"), buckets)), "ib", Seq("id"),
+        Some(idBucket(col("id"), _)), "ib", Seq("id"),
         retain = liveIds.map(_ -> "id")))
 
   /** Same fold for the IVF index: `assign/batch=<id>` hot dirs land in
@@ -1136,7 +1151,7 @@ object StreamIngest {
         * this live-id frame (see [[compactLshIndex]]'s liveIds). */
       liveIds: Option[DataFrame] = None): Long =
     relayoutEpoch(spark, s"$indexDir/assign", s"$indexDir/assign_epoch",
-      buckets = 0,
+      bucketsReq = 0,
       df => df.select(col("vec_id").cast("long").as("vec_id"),
         col("list").cast("long").as("list"), col("vec")),
       None, "list", Seq("vec_id"),
@@ -1148,8 +1163,10 @@ object StreamIngest {
     * the epoch's data schema; `derive` adds a synthetic partition key
     * (None when the key is already a data column). */
   private def relayoutEpoch(spark: SparkSession, hotPath: String,
-      epochPath: String, buckets: Int, project: DataFrame => DataFrame,
-      derive: Option[Column], partCol: String, sortCols: Seq[String],
+      epochPath: String, bucketsReq: Int,
+      project: DataFrame => DataFrame,
+      derive: Option[Int => Column], partCol: String,
+      sortCols: Seq[String],
       retain: Option[(DataFrame, String)] = None): Long = {
     val hp = new org.apache.hadoop.fs.Path(hotPath)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1186,8 +1203,21 @@ object StreamIngest {
           Seq(idCol), "left_semi")
       case None => all0
     }
+    // auto-size the bucket count from store BYTES (FS metadata, no
+    // scan): granularity stays ~DefaultBucketBytes as the store grows
+    val buckets = derive match {
+      case None => 0
+      case Some(_) if bucketsReq > 0 => bucketsReq
+      case Some(_) =>
+        val bytes = (fold.map(_._2) ++
+          prior.map(_ => new org.apache.hadoop.fs.Path(epochPath)))
+          .filter(fs.exists)
+          .map(p => fs.getContentSummary(p).getLength).sum
+        math.max(1L, math.min(4096L,
+          (bytes + DefaultBucketBytes - 1) / DefaultBucketBytes)).toInt
+    }
     val out = derive match {
-      case Some(c) => all.withColumn(partCol, c)
+      case Some(f) => all.withColumn(partCol, f(buckets))
       case None => all
     }
     val ep = new org.apache.hadoop.fs.Path(epochPath)
@@ -1224,8 +1254,7 @@ object StreamIngest {
     * plane that owns the ingest, between acknowledged micro-batches —
     * the hamonitor tick in the daemon. Returns true iff a fold ran. */
   def maybeCompactLshIndex(spark: SparkSession, indexDir: String,
-      maxHotBatches: Int = 8,
-      buckets: Int = DefaultIndexBuckets): Boolean =
+      maxHotBatches: Int = 8, buckets: Int = 0): Boolean =
     liveHotCount(spark, s"$indexDir/bands",
       s"$indexDir/bands_epoch") > maxHotBatches && {
       compactLshIndex(spark, indexDir, buckets): Unit

@@ -522,7 +522,10 @@ class PlanSpec extends AnyFunSuite {
       .toDF("id", "text")
     StreamIngest.lshIngestBatch(store, "id", "text", idx, marks, 0L,
       8, 4, 3, 4)
-    StreamIngest.compactLshIndex(spark, idx)
+    // explicit bucket count: the pin wants the PRODUCTION probe shape
+    // (auto-sizing would give one bucket at this fixture's bytes)
+    StreamIngest.compactLshIndex(spark, idx,
+      buckets = StreamIngest.DefaultIndexBuckets)
     val totalBandFiles = new java.io.File(s"$idx/bands_epoch")
       .listFiles().count(_.getName.startsWith("bb="))
     val batch = Seq(

@@ -1084,8 +1084,10 @@ class StreamIngestSpec extends AnyFunSuite {
       .count(_.getName.startsWith("bb="))
     assert(epochDirs >= 1, s"$epochDirs bb= partitions in the epoch")
     val layout = StreamIngest.readLayout(spark, s"$idx/bands_epoch")
-    assert(layout.contains(StreamIngest.IndexLayout(1L,
-      StreamIngest.DefaultIndexBuckets)), layout.toString)
+    // watermark = highest folded batch; bucket count auto-sized from
+    // bytes (tiny fixture -> 1) and recorded for the probes
+    assert(layout.contains(StreamIngest.IndexLayout(1L, 1)),
+      layout.toString)
     // a later micro-batch still marks against the compacted epoch
     StreamIngest.lshIngestBatch(
       batchDf(10L -> "alpha beta gamma delta epsilon",
