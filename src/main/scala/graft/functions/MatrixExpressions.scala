@@ -443,6 +443,90 @@ object MatrixExpressions {
       lists: Array[Long]): Column =
     GraftShim.column(IvfAssign6(GraftShim.expression(vec), mat, lists))
 
+  /** The first `n` lists of [[IvfAssign6]]'s ranking — deterministic
+    * MULTI-probe selection on the same 6dp contract: per anchor
+    * round(cos, 6), ranked DESC with ties to the SMALLEST list id
+    * (stable bounded insertion, shift only on strictly-greater — the
+    * array form of IvfAssign6's strict `>`), emitted as an array of
+    * (list, cos_r) structs in probe order. n = 1 reproduces
+    * IvfAssign6's pick exactly (differential-pinned). */
+  case class IvfProbe6(child: Expression, mat: Array[Array[Double]],
+      lists: Array[Long], n: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(mat.nonEmpty && mat.length == lists.length && n >= 1,
+      s"IvfProbe6: ${mat.length} anchors, ${lists.length} lists, n=$n")
+    override def inputTypes = // inferred: AbstractDataType is private[sql]
+      Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("list",
+          LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cos_r",
+          DoubleType, nullable = false))), containsNull = false)
+    @transient private lazy val anorms: Array[Double] =
+      mat.map(row => math.sqrt(row.map(x => x * x).sum))
+    private def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def compute(a: ArrayData): ArrayData = {
+      val len0 = a.numElements()
+      var nsq = 0.0
+      var i = 0
+      while (i < len0) { val x = a.getDouble(i); nsq += x * x; i += 1 }
+      val vn = math.sqrt(nsq)
+      val m = mat.length
+      val cap = math.min(n, m)
+      val kd = new Array[Double](cap)
+      val ki = new Array[Int](cap)
+      var size = 0
+      var c = 0
+      while (c < m) {
+        val row = mat(c)
+        val dl = math.min(len0, row.length)
+        var s = 0.0
+        var j = 0
+        while (j < dl) { s += a.getDouble(j) * row(j); j += 1 }
+        val cr = round6(s / (vn * anorms(c)))
+        if (size < cap) {
+          var pos = size
+          while (pos > 0 && kd(pos - 1) < cr) {
+            kd(pos) = kd(pos - 1); ki(pos) = ki(pos - 1); pos -= 1
+          }
+          kd(pos) = cr; ki(pos) = c; size += 1
+        } else if (kd(cap - 1) < cr) {
+          var pos = cap - 1
+          while (pos > 0 && kd(pos - 1) < cr) {
+            kd(pos) = kd(pos - 1); ki(pos) = ki(pos - 1); pos -= 1
+          }
+          kd(pos) = cr; ki(pos) = c
+        }
+        c += 1
+      }
+      val out = new Array[Any](size)
+      var k = 0
+      while (k < size) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](lists(ki(k)), kd(k)))
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override def nullSafeEval(a: Any): Any =
+      compute(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val ref = ctx.addReferenceObj("ivfProbe6", this,
+        classOf[IvfProbe6].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def ivfProbe6(vec: Column, mat: Array[Array[Double]],
+      lists: Array[Long], n: Int): Column =
+    GraftShim.column(IvfProbe6(GraftShim.expression(vec), mat, lists, n))
+
   def matRank(vec: Column, mat: Array[Array[Double]]): Column =
     GraftShim.column(MatRank(GraftShim.expression(vec), mat))
   def matArgmax(vec: Column, mat: Array[Array[Double]]): Column =

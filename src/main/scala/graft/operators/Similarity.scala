@@ -368,6 +368,63 @@ object Similarity {
         col("__a.cos_r").as("cos_r"))
   }
 
+  /** Deterministic MULTI-probe selection over the fixed codebook: per
+    * query the nProbe best lists on the 6dp contract (round(cos,6)
+    * DESC, ties to the smallest list — [[ivfAssignFixed]]'s exact
+    * ranking extended past rank 1; one kernel node regardless of
+    * nlist), exploded to (vec_id, list, cos_r) rows in probe order.
+    * nProbe = 1 reproduces ivfAssignFixed's pick bit-for-bit. */
+  def ivfProbeFixed(emb: DataFrame, idCol: String, vecCol: String,
+      anchors: Seq[(Int, Array[Double])], nProbe: Int): DataFrame = {
+    require(anchors.nonEmpty, "ivfProbeFixed: empty codebook")
+    require(nProbe >= 1, s"ivfProbeFixed: nProbe=$nProbe")
+    val prepped = prep(emb, idCol, vecCol, "vec_id", "v", "vn")
+      .filter(col("vn") > 0)
+    val sorted = anchors.sortBy(_._1)
+    sorted.foreach { case (listId, a) =>
+      require(a.exists(_ != 0.0),
+        s"ivfProbeFixed: zero-norm anchor $listId")
+    }
+    val probes = graft.functions.MatrixExpressions.ivfProbe6(
+      col("v"), sorted.map(_._2).toArray,
+      sorted.map(_._1.toLong).toArray, nProbe)
+    prepped.select(col("vec_id"), explode(probes).as("__p"))
+      .select(col("vec_id"), col("__p.list").as("list"),
+        col("__p.cos_r").as("cos_r"))
+  }
+
+  /** [[ivfTopKPreAssigned]] at nProbe ≥ 1 — the multi-probe
+    * index-resident serve, the standard IVF recall lever: each query
+    * scores the UNION of its nProbe probed lists' stored vectors. A
+    * stored vector lives in exactly ONE list and a query's probed
+    * lists are distinct, so no dedup pass is needed; per-query work
+    * is nProbe·(corpus/nlist), still never all-pairs, and the
+    * stored-side I/O stays bounded by the probed partitions
+    * ([[graft.streaming.StreamIngest.ivfIndexTopK]] prunes the epoch
+    * listing to the union of probed lists). Deterministic end to end
+    * (probe selection AND ranking on the 6dp contract) — hash-checked
+    * like the nProbe=1 face, not recall-floored. */
+  def ivfTopKPreAssignedMulti(queries: DataFrame, assigned: DataFrame,
+      idCol: String, vecCol: String,
+      anchors: Seq[(Int, Array[Double])], k: Int,
+      nProbe: Int): DataFrame = {
+    val qa = ivfProbeFixed(queries, idCol, vecCol, anchors, nProbe)
+      .select(col("vec_id").as("query_id"), col("list"))
+    val q = prep(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val c = assigned
+      .select(col("vec_id").cast("long").as("neighbor_id"),
+        col("list").cast("long").as("list"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(vecNormSq(col("cv"))))
+      .filter(col("cn") > 0)
+    val scored = qa.join(q, "query_id").join(c, "list")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** nProbe=1 IVF query over the fixed codebook: each query searches
     * ONLY its own list's members — the index-resident probe path,
     * deterministic end to end (assignment and ranking both on the

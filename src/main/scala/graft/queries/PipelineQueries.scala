@@ -118,7 +118,8 @@ object PipelineQueries {
   /** `corpusPred` restricts the CORPUS (neighbor) side — "TRUE" for
     * the full table; the r16 expiry entry passes the live-id
     * predicate so the oracle ranks only surviving neighbors. */
-  private def ivfIncTopKSql(corpusPred: String): String =
+  private def ivfIncTopKSql(corpusPred: String,
+      nProbe: Int = 1): String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
           FROM embeddings),
         a AS (SELECT vec_id AS list, v AS av FROM v WHERE vec_id < 4),
@@ -136,8 +137,12 @@ object PipelineQueries {
         asg AS (SELECT vec_id, list FROM (SELECT vec_id, list,
           row_number() OVER (PARTITION BY vec_id
             ORDER BY cos_r DESC, list) AS rk FROM s0) WHERE rk = 1),
-        qs AS (SELECT nz.vec_id AS qid, nz.v AS qv, asg.list
-          FROM nz JOIN asg ON nz.vec_id = asg.vec_id
+        qasg AS (SELECT vec_id, list FROM (SELECT vec_id, list,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos_r DESC, list) AS rk FROM s0)
+          WHERE rk <= $nProbe),
+        qs AS (SELECT nz.vec_id AS qid, nz.v AS qv, qasg.list
+          FROM nz JOIN qasg ON nz.vec_id = qasg.vec_id
           WHERE nz.vec_id < 16),
         cs AS (SELECT nz.vec_id AS nid, nz.v AS cv, asg.list
           FROM nz JOIN asg ON nz.vec_id = asg.vec_id
@@ -1158,6 +1163,34 @@ object PipelineQueries {
             col("neighbor_id"), col("cosine_r"))
       },
       Some(ivfIncTopKSql(corpusPred = "nz.vec_id % 10 != 7"))),
+
+    // MULTI-probe serve over the persistent index (r16): nProbe=2 —
+    // each query scores the UNION of its two best lists' stored
+    // vectors (the standard IVF recall lever), still deterministic
+    // end to end (probe selection AND ranking on the 6dp contract,
+    // IvfProbe6 kernel) and still partition-pruned to the probed
+    // lists — so it is hash-checked like the nProbe=1 face, never
+    // recall-floored.
+    "ann_ivf_inc_multiprobe_topk" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_ivfmp_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(p, true): Unit
+        val e = emb(s, dir)
+        val idx = s"$root/idx"
+        graft.streaming.StreamIngest.ivfIndexInit(s, idx,
+          fixedAnchors(e))
+        graft.streaming.StreamIngest.ivfIngestBatch(e, "vec_id",
+          "embedding", idx, 0L)
+        graft.streaming.StreamIngest.compactIvfIndex(s, idx)
+        graft.streaming.StreamIngest.ivfIndexTopK(s,
+          e.filter(col("vec_id") < 16), "vec_id", "embedding", idx, 5,
+          nProbe = 2)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine_r"))
+      },
+      Some(ivfIncTopKSql(corpusPred = "TRUE", nProbe = 2))),
 
     // INCREMENTAL SemDeDup over the persistent IVF index (r16) — the
     // index's third face: the stored corpus (vec_id % 10 != 9) is

@@ -1469,16 +1469,31 @@ object StreamIngest {
     * identical to the unpruned read: non-probed lists can never
     * contribute to an nProbe=1 answer by definition. */
   def ivfIndexTopK(spark: SparkSession, queries: DataFrame,
-      idCol: String, vecCol: String, indexDir: String, k: Int)
-      : DataFrame = {
+      idCol: String, vecCol: String, indexDir: String, k: Int,
+      /** ≥ 2 probes the union of each query's best lists — the
+        * standard IVF recall lever, still deterministic (probe
+        * selection AND ranking on the 6dp contract) and still
+        * partition-pruned: the epoch listing shrinks to the union of
+        * probed lists (≤ nProbe·|queries| distinct, ≤ nlist). */
+      nProbe: Int = 1): DataFrame = {
     val anchors = readIvfCentroids(spark, indexDir)
-    val probed = graft.operators.Similarity
-      .ivfAssignFixed(queries, idCol, vecCol, anchors)
-      .select("list").distinct().collect().map(_.getLong(0)).toSeq
-    graft.operators.Similarity.ivfTopKPreAssigned(queries,
-      readIvfPruned(spark, indexDir, probed, None)
-        .withColumnRenamed("vec", vecCol),
-      idCol, vecCol, anchors, k)
+    if (nProbe <= 1) {
+      val probed = graft.operators.Similarity
+        .ivfAssignFixed(queries, idCol, vecCol, anchors)
+        .select("list").distinct().collect().map(_.getLong(0)).toSeq
+      graft.operators.Similarity.ivfTopKPreAssigned(queries,
+        readIvfPruned(spark, indexDir, probed, None)
+          .withColumnRenamed("vec", vecCol),
+        idCol, vecCol, anchors, k)
+    } else {
+      val probed = graft.operators.Similarity
+        .ivfProbeFixed(queries, idCol, vecCol, anchors, nProbe)
+        .select("list").distinct().collect().map(_.getLong(0)).toSeq
+      graft.operators.Similarity.ivfTopKPreAssignedMulti(queries,
+        readIvfPruned(spark, indexDir, probed, None)
+          .withColumnRenamed("vec", vecCol),
+        idCol, vecCol, anchors, k, nProbe)
+    }
   }
 
   /** The stored IVF assignments restricted to `lists` — epoch scan

@@ -218,4 +218,49 @@ class MatrixExpressionsSpec extends AnyFunSuite {
     assert(bigPlan.linesIterator.size < 30,
       s"plan grew with nlist:\n${bigPlan.take(1500)}")
   }
+
+  test("IvfProbe6: n=1 reproduces IvfAssign6's pick exactly; larger n " +
+    "is the prefix of the full rounded ranking (cos_r DESC, tie to " +
+    "the smaller list — stable bounded insertion)") {
+    val anchors: Seq[(Int, Array[Double])] =
+      Seq(3 -> mat(0), 7 -> matRow, 11 -> matRow.clone(), 20 -> mat(4))
+    val sorted = anchors.sortBy(_._1)
+    val m2 = sorted.map(_._2).toArray
+    val ls = sorted.map(_._1.toLong).toArray
+    val nz = df.filter(col("id") =!= 40L)
+    // n = 1 == IvfAssign6 bit-for-bit
+    val one = nz.select(col("id"),
+      graft.functions.MatrixExpressions.ivfAssign6(col("v"), m2, ls)
+        .as("__a"),
+      graft.functions.MatrixExpressions.ivfProbe6(col("v"), m2, ls, 1)
+        .as("__p"))
+      .select(col("id"), col("__a.list").as("al"),
+        col("__a.cos_r").as("ac"),
+        element_at(col("__p"), 1).getField("list").as("pl"),
+        element_at(col("__p"), 1).getField("cos_r").as("pc"))
+      .collect()
+    one.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3) &&
+        r.getDouble(2) == r.getDouble(4), s"id=${r.getLong(0)}")
+    }
+    // full-n probe order == the brute rounded ranking computed in Scala
+    val rows = nz.select(col("id"), col("v"),
+      graft.functions.MatrixExpressions
+        .ivfProbe6(col("v"), m2, ls, sorted.size).as("__p"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = sorted.map { case (l, a) =>
+        val an = math.sqrt(a.map(x => x * x).sum)
+        val dot = v.zip(a).map { case (x, y) => x * y }.sum
+        (l.toLong, r6(dot / (vn * an)))
+      }.sortBy { case (l, c) => (-c, l) }
+      val got = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(p => (p.getLong(0), p.getDouble(1)))
+      assert(got == want, s"id=${r.getLong(0)}: $got vs $want")
+    }
+  }
 }

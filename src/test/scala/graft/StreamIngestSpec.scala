@@ -1321,4 +1321,49 @@ class StreamIngestSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(got === Set(1L, 3L), got.toString) // list-0 survivors only
   }
+
+  test("multi-probe index serve (r16): nProbe=2 recalls a cross-list " +
+    "true neighbor nProbe=1 misses; nProbe=nlist equals brute-force " +
+    "over the stored index (exhaustive differential); the serve stays " +
+    "deterministic end to end") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_mp_idx").toString
+    // anchors 45 degrees apart on the circle: a query BETWEEN lists
+    // has near neighbors in its second-best list too
+    StreamIngest.ivfIndexInit(spark, idx, Seq(
+      0 -> Array(1.0, 0.0), 1 -> Array(math.sqrt(0.5), math.sqrt(0.5)),
+      2 -> Array(0.0, 1.0)))
+    def v(a: Double) = Seq(math.cos(a), math.sin(a))
+    val corpus = Seq(
+      (1L, v(0.05)), (2L, v(0.30)),          // list 0
+      (3L, v(0.55)), (4L, v(0.80)),          // list 1
+      (5L, v(1.35)), (6L, v(1.50)))          // list 2
+      .toDF("id", "vec")
+    StreamIngest.ivfIngestBatch(corpus, "id", "vec", idx, 0L)
+    StreamIngest.compactIvfIndex(spark, idx)
+    // query at 0.35 rad: best list 1 wait -- assignment picks its own
+    // best anchor; its TRUE 2-NN straddle the list-0/list-1 boundary
+    val q = Seq((100L, v(0.40))).toDF("id", "vec")
+    def serve(nProbe: Int) = StreamIngest.ivfIndexTopK(spark, q,
+      "id", "vec", idx, 2, nProbe)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val one = serve(1)
+    val two = serve(2)
+    // true 2-NN of 0.40 are 2 (0.30) and 3 (0.55) -- different lists;
+    // nProbe=1 can only see ONE list's side, nProbe=2 sees both
+    assert(two === Set(2L, 3L), two.toString)
+    assert(one !== two, s"nProbe=1 $one should miss a cross-list NN")
+    // exhaustive differential: nProbe = nlist == brute force over the
+    // stored index (same rounded ranking, same exclusions)
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine_r"))).toSet
+    val all = asRows(StreamIngest.ivfIndexTopK(spark, q, "id", "vec",
+      idx, 4, nProbe = 3))
+    val brute = asRows(graft.operators.Similarity.bruteForceTopK(
+      q.toDF("vec_id", "embedding"),
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", 4))
+    assert(all === brute, s"$all vs $brute")
+  }
 }
