@@ -136,6 +136,13 @@ object AgentConfigFile {
     g.get("curate-sample").foreach(v => c = c.copy(curateSample = v))
     g.get("curate-split").foreach(v =>
       c = c.copy(curateSplit = v.toBoolean))
+    // engine extension: growing-index maintenance roots — the daemon
+    // tick folds each root's hot tail past the threshold (single-
+    // writer contract: list a root only if THIS daemon owns its
+    // ingest). CLI twins: -indexdirs / -index-maxhot.
+    g.get("index-dirs").foreach(v => c = c.copy(indexDirs = v))
+    g.get("index-max-hot-batches").foreach(v =>
+      c = c.copy(indexMaxHotBatches = v.toInt))
     // [http]: bind-addr port + admin credentials (mainconfig.go:39-44)
     parsed.http.get("bind-addr").foreach { ba =>
       ba.split(':').lastOption.flatMap(p => scala.util.Try(p.toInt).toOption)

@@ -121,5 +121,27 @@ class AgentConfigFileSpec extends AnyFunSuite {
     // uncommented they land (pinned by the TOML auth E2E); here pin
     // the DEFAULTS the sample documents
     assert(c.dataUser.isEmpty && !c.allowMutations)
+    // index-maintenance keys ship commented out too (no roots owned)
+    assert(c.indexDirs.isEmpty && c.indexMaxHotBatches == 8)
+  }
+
+  test("index-maintenance keys land from [general] (r16: index-dirs, " +
+    "index-max-hot-batches — the daemon tick's compaction cadence)") {
+    val p = AgentConfigFile.parse("""
+      |[general]
+      | master-db = "m"
+      | slave-db = "s"
+      | index-dirs = "/idx/a,/idx/b"
+      | index-max-hot-batches = 3
+      |[[influxdb]]
+      | name = "m"
+      | location = "/m"
+      |[[influxdb]]
+      | name = "s"
+      | location = "/s"
+      |""".stripMargin)
+    val c = AgentConfigFile.apply(p, AgentConfig("", ""))
+    assert(c.indexDirs == "/idx/a,/idx/b")
+    assert(c.indexMaxHotBatches == 3)
   }
 }
