@@ -17,7 +17,12 @@ object PlanDump {
       // r15 incremental families + the write→CQ roundtrip
       "ann_ivf_inc_assign", "ann_ivf_inc_topk", "dedup_inc_sigmatch",
       "dedup_inc_marks_within", "dedup_inc_index_delta",
-      "cq_write_backfill", "sync_write_upsert")
+      "cq_write_backfill", "sync_write_upsert",
+      // r16 persisted-index families (E2E entries: final plan is the
+      // read-back or the pruned serve)
+      "dedup_inc_pruned_marks", "dedup_inc_expired_marks",
+      "dedup_semantic_inc", "ann_ivf_inc_pruned_topk",
+      "ann_ivf_inc_multiprobe_topk", "ann_ivf_expired_topk")
     hot.foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect(): Unit

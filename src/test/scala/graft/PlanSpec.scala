@@ -149,6 +149,18 @@ class PlanSpec extends AnyFunSuite {
       "dedup_inc_marks_within" -> ((13, 7)),
       "dedup_inc_index_delta" -> ((7, 4)),
       "cq_write_backfill" -> ((0, 0)),
+      // r16 persisted-index families (PlanDump-measured): the three
+      // marks pipelines' FINAL plan is the marks read-back (their
+      // pruned-probe work runs in bounded imperative jobs, with the
+      // pruned SHAPES pinned by the dedicated scan test below); the
+      // pruned/multiprobe/expired serves keep the list-pruned
+      // 3-exchange probe shape with both broadcasts intact
+      "dedup_inc_pruned_marks" -> ((0, 0)),
+      "dedup_inc_expired_marks" -> ((0, 0)),
+      "dedup_semantic_inc" -> ((0, 0)),
+      "ann_ivf_inc_pruned_topk" -> ((3, 2)),
+      "ann_ivf_inc_multiprobe_topk" -> ((3, 2)),
+      "ann_ivf_expired_topk" -> ((3, 2)),
       "ann_lsh_multiprobe_recall" -> ((11, 4)),
       "dedup_keep_best" -> ((9, 5)),
       "layout_bucketed_join" -> ((2, 1)),
