@@ -264,19 +264,28 @@ final class StatusServer(
     * resident at a time on the driver, HTTP chunked transfer out), so
     * a dashboard-scale result never materializes whole. */
   private def streamChunked(ex: HttpExchange,
-      dfs: Seq[org.apache.spark.sql.DataFrame], epochDivNs: Long,
-      chunkSize: Int): Unit = {
-    // the first job partition may already be running when headers go
-    // out — any plan/analysis error must surface as a 400 BEFORE the
-    // 200 status is committed, so force every statement's iterator
-    // first (statements execute eagerly in request order, matching
-    // the buffered path)
-    val its = dfs.map(df => (df.columns, df.toLocalIterator()))
+      /** Per statement: Right((columns, row iterator)) prepared
+        * EAGERLY by the caller, or Left(error) for a statement that
+        * failed to plan in a MULTI-statement batch — it becomes its
+        * own {"statement_id":i,"error":...} frame and the other
+        * statements still stream (the 1.x per-statement contract).
+        * Single-statement plan errors never reach here: the caller
+        * lets them throw so the request stays a clean 400 BEFORE the
+        * 200 is committed. */
+      dfs: Seq[Either[String,
+        (Array[String], java.util.Iterator[org.apache.spark.sql.Row])]],
+      epochDivNs: Long, chunkSize: Int): Unit = {
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(200, 0) // length 0 → chunked transfer
     val os = ex.getResponseBody
     try {
-      its.zipWithIndex.foreach { case ((cols, it), sid) =>
+      dfs.zipWithIndex.foreach {
+        case (Left(err), sid) =>
+          os.write((s"""{"results":[{"statement_id":$sid,""" +
+            s""""error":${jstr(err)}}]}""" + "\n")
+            .getBytes(StandardCharsets.UTF_8))
+          os.flush()
+        case (Right((cols, it)), sid) =>
         val colJson = cols.map(jstr).mkString("[", ",", "]")
         val timeIdx = cols.indexOf("time")
         def cell(r: org.apache.spark.sql.Row, i: Int): String =
@@ -432,7 +441,26 @@ final class StatusServer(
             val size = params.get("chunk_size").map(_.toInt)
               .getOrElse(10000) // the client.go:344 default
             require(size > 0, s"chunk_size must be positive: $size")
-            streamChunked(ex, stmts.map(exec(_, db)), epochDiv, size)
+            // force every statement's iterator BEFORE the 200 commits
+            // (the first job partition may already run as headers go
+            // out). Single statement: a plan error THROWS → clean
+            // 400. Multi-statement: a failing statement becomes its
+            // own error frame and the others still stream — the same
+            // per-statement contract as the buffered path.
+            val prepared = stmts.map { st =>
+              def force = {
+                val df = exec(st, db)
+                (df.columns, df.toLocalIterator())
+              }
+              if (stmts.size == 1) Right(force)
+              else
+                try Right(force)
+                catch {
+                  case e: Exception => Left(Option(e.getMessage)
+                    .getOrElse(e.getClass.getName))
+                }
+            }
+            streamChunked(ex, prepared, epochDiv, size)
           } else {
             // statements execute in request order; each contributes
             // one ordinal results entry (the InfluxDB multi-statement

@@ -738,6 +738,22 @@ class StatusServerSpec extends AnyFunSuite {
           "show databases", "UTF-8"))).GET()
         .build(), HttpResponse.BodyHandlers.ofString())
       assert(qb.statusCode() == 400, qb.body())
+      // the CHUNKED path honors the same per-statement contract
+      // (r16): bad middle statement → its own error frame, the other
+      // statements' frames still stream under the committed 200
+      val qc = client.send(HttpRequest.newBuilder(URI.create(
+        s"$base/query?chunked=true&chunk_size=2&q=" +
+          java.net.URLEncoder.encode(
+            "show databases ; select v from no_such_meas ; " +
+              "show measurements", "UTF-8"))).GET()
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(qc.statusCode() == 200, qc.body())
+      val frames2 = qc.body().split('\n').filter(_.nonEmpty)
+      assert(frames2.exists(f => f.contains("\"statement_id\":1") &&
+        f.contains("\"error\":")), qc.body())
+      assert(frames2.exists(_.contains("\"statement_id\":0")) &&
+        frames2.exists(f => f.contains("\"statement_id\":2") &&
+          f.contains("cpu")), qc.body())
       // the splitter: ';' inside quoted literals/identifiers is data
       assert(srv // accessible: private[graft]
         .splitStatements("""select 'a;b' from "m;n" ; show databases""")
