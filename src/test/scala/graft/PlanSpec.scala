@@ -538,8 +538,15 @@ class PlanSpec extends AnyFunSuite {
     // (auto-sizing would give one bucket at this fixture's bytes)
     StreamIngest.compactLshIndex(spark, idx,
       buckets = StreamIngest.DefaultIndexBuckets)
-    val totalBandFiles = new java.io.File(s"$idx/bands_epoch")
-      .listFiles().count(_.getName.startsWith("bb="))
+    // bucket dirs live inside the epoch's SEGMENT dirs (r17 tiering)
+    def bucketDirs(epoch: String, prefix: String): Int =
+      Option(new java.io.File(epoch).listFiles()).toSeq.flatten
+        .filter(_.isDirectory).map { d =>
+          if (d.getName.startsWith(prefix)) 1
+          else Option(d.listFiles()).toSeq.flatten
+            .count(f => f.isDirectory && f.getName.startsWith(prefix))
+        }.sum
+    val totalBandFiles = bucketDirs(s"$idx/bands_epoch", "bb=")
     val batch = Seq(
       (100L, "store document 7 alpha7 beta7 gamma7 delta7 epsilon7"),
       (101L, "an entirely novel text never before seen anywhere"))
@@ -560,8 +567,7 @@ class PlanSpec extends AnyFunSuite {
     try {
       val es = StreamIngest.prunedEpochSigs(spark, idx, pairs).get
       val (sigFiles, sigPlan) = scanFiles(es)
-      val totalSigFiles = new java.io.File(s"$idx/sigs_epoch")
-        .listFiles().count(_.getName.startsWith("ib="))
+      val totalSigFiles = bucketDirs(s"$idx/sigs_epoch", "ib=")
       val sigPf = sigPlan.linesIterator
         .filter(_.contains("PartitionFilters")).mkString("\n")
       assert(sigPf.contains("ib"), sigPf + "\n" + sigPlan.take(2000))
@@ -584,8 +590,7 @@ class PlanSpec extends AnyFunSuite {
     val served = StreamIngest.ivfIndexTopK(spark, queries, "id", "vec",
       ivf, 3)
     val (ivfFiles, ivfPlan) = scanFiles(served)
-    val totalListFiles = new java.io.File(s"$ivf/assign_epoch")
-      .listFiles().count(_.getName.startsWith("list="))
+    val totalListFiles = bucketDirs(s"$ivf/assign_epoch", "list=")
     val ivfPf = ivfPlan.linesIterator
       .filter(_.contains("PartitionFilters")).mkString("\n")
     assert(ivfPf.contains("list"), ivfPf + "\n" + ivfPlan.take(2000))

@@ -1080,14 +1080,19 @@ class StreamIngestSpec extends AnyFunSuite {
     val hotLeft = Option(new java.io.File(s"$idx/bands").listFiles())
       .map(_.count(_.getName.startsWith("batch="))).getOrElse(0)
     assert(hotLeft == 0, s"$hotLeft hot dirs left after compaction")
-    val epochDirs = new java.io.File(s"$idx/bands_epoch").listFiles()
-      .count(_.getName.startsWith("bb="))
+    val epochDirs = Option(
+      new java.io.File(s"$idx/bands_epoch").listFiles()).toSeq.flatten
+      .filter(_.isDirectory)
+      .map(d => Option(d.listFiles()).toSeq.flatten
+        .count(_.getName.startsWith("bb=")))
+      .sum
     assert(epochDirs >= 1, s"$epochDirs bb= partitions in the epoch")
     val layout = StreamIngest.readLayout(spark, s"$idx/bands_epoch")
     // watermark = highest folded batch; bucket count auto-sized from
-    // bytes (tiny fixture -> 1) and recorded for the probes
-    assert(layout.contains(StreamIngest.IndexLayout(1L, 1)),
-      layout.toString)
+    // bytes (tiny fixture -> 1) and recorded per segment for the
+    // probes; both folded batches landed in ONE segment
+    assert(layout.exists(l => l.wm == 1L && l.segs.nonEmpty &&
+      l.segs.forall(_.buckets == 1)), layout.toString)
     // a later micro-batch still marks against the compacted epoch
     StreamIngest.lshIngestBatch(
       batchDf(10L -> "alpha beta gamma delta epsilon",
@@ -1365,5 +1370,184 @@ class StreamIngestSpec extends AnyFunSuite {
       q.toDF("vec_id", "embedding"),
       corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", 4))
     assert(all === brute, s"$all vs $brute")
+  }
+
+  test("LSM-tiered epoch (r17): a fold with a small hot tail leaves " +
+    "the big bottom segment UNTOUCHED (O(hot), not O(store)); " +
+    "same-size segments merge geometrically; contents and dedup " +
+    "decisions are identical throughout") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_lsm_idx").toString
+    val marks = Files.createTempDirectory("graft_lsm_mk").toString
+    def batchDf(rows: (Long, String)*) = rows.toDF("id", "text")
+    def segNames = StreamIngest
+      .readLayout(spark, s"$idx/bands_epoch").toSeq
+      .flatMap(_.segs.map(s => (s.name, s.bytes)))
+    // a BIG bottom segment (big enough that parquet's per-file
+    // metadata floor can't bring a one-doc tail within the merge
+    // ratio of it): 300 docs folded once
+    val store = (1L to 300L).map(i =>
+      (i, s"stored document $i alpha$i beta$i gamma$i delta$i"))
+    StreamIngest.lshIngestBatch(batchDf(store: _*), "id", "text",
+      idx, marks, 0L, 8, 4, 3, 4)
+    StreamIngest.compactLshIndex(spark, idx)
+    val bottom = segNames
+    assert(bottom.length == 1, bottom.toString)
+    def allIds = StreamIngest.readLshIndex(spark, idx)._1
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    val idsAfterBottom = allIds
+    // ONE tiny hot batch folds -> a NEW small segment; the bottom
+    // segment survives BY NAME with IDENTICAL bytes (never re-read,
+    // never rewritten — the r16 weak was rewriting it every fold)
+    StreamIngest.lshIngestBatch(
+      batchDf(1001L -> "tiny novel tail document epsilon zeta eta"),
+      "id", "text", idx, marks, 1L, 8, 4, 3, 4)
+    StreamIngest.compactLshIndex(spark, idx)
+    val twoTiers = segNames
+    assert(twoTiers.length == 2 && twoTiers.head == bottom.head,
+      s"bottom segment must be untouched: $bottom -> $twoTiers")
+    assert(allIds === idsAfterBottom + 1001L)
+    // similar-size tails MERGE (the log policy) instead of accreting
+    // unbounded segments: fold several more tiny batches — the stack
+    // never exceeds bottom + O(log) small segments, and the newest
+    // two always satisfy the geometric invariant
+    for (b <- 2L to 6L) {
+      StreamIngest.lshIngestBatch(
+        batchDf((1000L + b) -> s"tail doc $b theta$b iota$b kappa$b"),
+        "id", "text", idx, marks, b, 8, 4, 3, 4)
+      StreamIngest.compactLshIndex(spark, idx)
+      val segs = segNames
+      assert(segs.head == bottom.head, s"bottom rewritten: $segs")
+      assert(segs.length <= 4, s"stack must stay logarithmic: $segs")
+    }
+    assert(allIds === idsAfterBottom ++ (1001L to 1006L).toSet)
+    // and the probe still dedups against every tier
+    StreamIngest.lshIngestBatch(
+      batchDf(2000L -> "stored document 7 alpha7 beta7 gamma7 delta7",
+        2001L -> "tiny novel tail document epsilon zeta eta",
+        2002L -> "fresh unseen content nothing matches this"),
+      "id", "text", idx, marks, 7L, 8, 4, 3, 4)
+    val m = spark.read.parquet(marks).filter(col("batch") === 7)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup"))
+      .toMap
+    assert(m === Map(2000L -> true, 2001L -> true, 2002L -> false), m)
+  }
+
+  test("single-writer gate (r17): an _inflight_ marker (a batch that " +
+    "failed mid-write) stops the fold at the stalled batch — its " +
+    "rows never reach the epoch, the watermark never passes it, and " +
+    "the successful retry clears the stall so the next fold " +
+    "proceeds") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_gate_idx").toString
+    val marks = Files.createTempDirectory("graft_gate_mk").toString
+    def batchDf(rows: (Long, String)*) = rows.toDF("id", "text")
+    StreamIngest.lshIngestBatch(
+      batchDf(1L -> "alpha beta gamma delta epsilon"),
+      "id", "text", idx, marks, 0L, 8, 4, 3, 4)
+    // batch 1 "fails mid-write": its bands/sigs landed but the marks
+    // write didn't — simulated as the on-disk state such a failure
+    // leaves: batch=1 dirs present AND the _inflight_1 marker present
+    StreamIngest.lshIngestBatch(
+      batchDf(10L -> "novel words entirely fresh content"),
+      "id", "text", idx, marks, 1L, 8, 4, 3, 4)
+    val markerPath = java.nio.file.Paths.get(idx, "_inflight_1")
+    java.nio.file.Files.createFile(markerPath): Unit
+    // batch 2 succeeds after the stall
+    StreamIngest.lshIngestBatch(
+      batchDf(20L -> "another later acknowledged batch text"),
+      "id", "text", idx, marks, 2L, 8, 4, 3, 4)
+    // the fold must stop BELOW batch 1: folding batch 2 past the
+    // stall would advance the watermark over it and make the retry's
+    // rewritten batch=1 dir invisible to every reader
+    StreamIngest.compactLshIndex(spark, idx)
+    val l1 = StreamIngest.readLayout(spark, s"$idx/bands_epoch").get
+    assert(l1.wm == 0L, s"fold passed an in-flight batch: $l1")
+    assert(new java.io.File(s"$idx/bands/batch=1").exists())
+    assert(new java.io.File(s"$idx/bands/batch=2").exists())
+    // every reader still sees all three batches exactly once
+    assert(StreamIngest.readLshIndex(spark, idx)._1
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(1L, 10L, 20L))
+    // the retry rewrites batch 1 whole and clears the marker; the
+    // next fold folds everything
+    StreamIngest.lshIngestBatch(
+      batchDf(10L -> "novel words entirely fresh content"),
+      "id", "text", idx, marks, 1L, 8, 4, 3, 4)
+    assert(!java.nio.file.Files.exists(markerPath),
+      "successful retry must clear its in-flight marker")
+    StreamIngest.compactLshIndex(spark, idx)
+    val l2 = StreamIngest.readLayout(spark, s"$idx/bands_epoch").get
+    assert(l2.wm == 2L, l2.toString)
+    assert(StreamIngest.readLshIndex(spark, idx)._1
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(1L, 10L, 20L))
+  }
+
+  test("empty expiry fold (r17): retention that drops EVERY row " +
+    "commits an empty epoch (no crash on the empty write), clears " +
+    "the hot tail, and the index restarts cleanly from the next " +
+    "ingest") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_empty_idx").toString
+    val marks = Files.createTempDirectory("graft_empty_mk").toString
+    def batchDf(rows: (Long, String)*) = rows.toDF("id", "text")
+    StreamIngest.lshIngestBatch(
+      batchDf(1L -> "alpha beta gamma delta epsilon",
+        2L -> "one two three four five"),
+      "id", "text", idx, marks, 0L, 8, 4, 3, 4)
+    // liveIds disjoint from the index: everything expires — r16 threw
+    // 'Unable to infer schema' reading back the fileless empty epoch
+    val (nb, ns) = StreamIngest.compactLshIndex(spark, idx,
+      liveIds = Some(Seq(999L).toDF("id")))
+    assert(nb == 0L && ns == 0L, s"($nb, $ns)")
+    val (b, sg) = StreamIngest.readLshIndex(spark, idx)
+    assert(b.count() == 0L && sg.count() == 0L)
+    val hotLeft = Option(new java.io.File(s"$idx/bands").listFiles())
+      .map(_.count(_.getName.startsWith("batch="))).getOrElse(0)
+    assert(hotLeft == 0, s"$hotLeft hot dirs after the empty fold")
+    // the next copy of an expired canonical is the new canonical
+    StreamIngest.lshIngestBatch(
+      batchDf(30L -> "alpha beta gamma delta epsilon"),
+      "id", "text", idx, marks, 1L, 8, 4, 3, 4)
+    val m = spark.read.parquet(marks).filter(col("batch") === 1)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_dup"))
+      .toMap
+    assert(m === Map(30L -> false), m.toString)
+    // and a fold AFTER the restart works (wm advances past the void)
+    StreamIngest.compactLshIndex(spark, idx)
+    assert(StreamIngest.readLshIndex(spark, idx)._1
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(30L))
+  }
+
+  test("manifest crash recovery (r17): a crash between the manifest " +
+    "delete and the tmp rename leaves only _layout.tmp — readers " +
+    "recover it as the committed state (no silent empty-index " +
+    "window; the r16 two-rename epoch swap had an unrecoverable " +
+    "gap)") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_rec_idx").toString
+    val marks = Files.createTempDirectory("graft_rec_mk").toString
+    StreamIngest.lshIngestBatch(
+      Seq((1L, "alpha beta gamma delta epsilon")).toDF("id", "text"),
+      "id", "text", idx, marks, 0L, 8, 4, 3, 4)
+    StreamIngest.compactLshIndex(spark, idx)
+    val layout = java.nio.file.Paths.get(idx, "bands_epoch", "_layout")
+    val tmp = java.nio.file.Paths.get(idx, "bands_epoch", "_layout.tmp")
+    // simulate the crash window: the new manifest was fully written
+    // as tmp, the old was deleted, the rename never ran
+    java.nio.file.Files.move(layout, tmp): Unit
+    val recovered = StreamIngest
+      .readLayout(spark, s"$idx/bands_epoch")
+    assert(recovered.exists(_.wm == 0L), recovered.toString)
+    assert(java.nio.file.Files.exists(layout) &&
+      !java.nio.file.Files.exists(tmp),
+      "recovery must promote the tmp manifest")
+    assert(StreamIngest.readLshIndex(spark, idx)._1
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(1L))
   }
 }
