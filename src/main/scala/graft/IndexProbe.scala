@@ -5,22 +5,25 @@ import graft.streaming.StreamIngest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Store-flatness probe for the growing indexes (r16 — the evidence
-  * behind the pruned two-tier layout): ingest the SAME small batch
-  * against stores of growing size (documents/embeddings replicated
-  * 1x, 4x, 8x with disjoint ids, each compacted into the pruned
-  * epoch) and time the per-step cost. The r15 flat layout paid an
-  * O(store) scan per step; with bucket-pruned epoch listings + the
-  * batch-side bloom prefilter the step cost should be ~flat in store
-  * size (growth << the store ratio). Prints ONE JSON line:
+/** Store-flatness probe for the growing indexes: ingest the SAME
+  * small batch against stores of growing size (documents/embeddings
+  * replicated 1x, 4x, 8x with disjoint ids, each compacted into the
+  * pruned epoch) and time (a) the per-step ingest/probe cost (r16 —
+  * the evidence behind the pruned layout) and (b) the per-tick FOLD
+  * cost (r17 — the evidence behind the LSM tiering: the r16 fold
+  * rewrote the ENTIRE store every compaction, linear by
+  * construction; the tiered fold writes the hot tail as one small
+  * segment and only merges geometrically, so a small-tail fold must
+  * be ~flat in store size). Prints ONE JSON line:
   *
   * {"metric":"index_probe","unit":"sec","batch_rows":B,
-  *  "lsh":{"store_rows":[..],"step_sec":[..],"growth":g},
+  *  "lsh":{"store_rows":[..],"step_sec":[..],"growth":g,
+  *         "fold_sec":[..],"fold_growth":g2},
   *  "ivf":{...}, "flagged":[..]}
   *
-  * growth = step_sec(max store) / step_sec(min store); flagged when
-  * growth exceeds half the store ratio (i.e. clearly tracking the
-  * store, not the batch) AND the absolute time exceeds 1s.
+  * growth = sec(max store) / sec(min store); flagged when growth
+  * exceeds half the store ratio (i.e. clearly tracking the store,
+  * not the batch) AND the absolute time exceeds 1s.
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.IndexProbe"
   * (defaults to /root/testdata/sf0.1; wall times are local[N]
@@ -71,7 +74,7 @@ object IndexProbe {
       .cache()
     val batchRows = batch.count()
 
-    def lshStep(mult: Int): (Long, Double) = {
+    def lshStep(mult: Int): (Long, Double, Double) = {
       val idx = s"$root/lsh_$mult/idx"
       val marks = s"$root/lsh_$mult/marks"
       val store = replicate(docs, "id", mult, salt = true)
@@ -81,7 +84,7 @@ object IndexProbe {
       sigs.write.mode("overwrite").parquet(s"$idx/sigs/batch=0")
       StreamIngest.compactLshIndex(spark, idx,
         buckets = StreamIngest.DefaultIndexBuckets)
-      val storeRows = spark.read.parquet(s"$idx/sigs_epoch").count()
+      val storeRows = StreamIngest.readLshIndex(spark, idx)._2.count()
       val sec = timeIt {
         StreamIngest.lshIngestBatch(batch, "id", "text", idx, marks,
           1L, 8, 4, 3, 4)
@@ -91,7 +94,26 @@ object IndexProbe {
         fs.delete(new org.apache.hadoop.fs.Path(s"$idx/sigs/batch=1"),
           true): Unit
       }
-      (storeRows, sec)
+      // FOLD cost with a small hot tail (the per-tick maintenance
+      // event): each rep ingests a FRESH 200-doc batch (salted —
+      // dups would empty the delta and fold nothing) and times the
+      // compaction. r16 re-folded the whole store here (linear);
+      // the LSM fold writes one tail segment + at most a small
+      // geometric merge, so this must stay ~flat as mult grows.
+      val foldTs = (1 to Reps + 1).map { k =>
+        val b = batch
+          .withColumn("id", col("id") + lit(1000000L * k))
+          .withColumn("text", concat_ws(" ", col("text"),
+            lit(s"fold_salt_$k"), col("id").cast("string")))
+        StreamIngest.lshIngestBatch(b, "id", "text", idx, marks,
+          (k + 1).toLong, 8, 4, 3, 4)
+        val t0 = System.nanoTime()
+        StreamIngest.compactLshIndex(spark, idx,
+          buckets = StreamIngest.DefaultIndexBuckets)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val foldSec = foldTs.drop(1).sorted.apply(Reps / 2)
+      (storeRows, sec, foldSec)
     }
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -106,42 +128,83 @@ object IndexProbe {
     val queries = emb.filter(col("vec_id") < 16).cache()
     queries.count(): Unit
 
-    def ivfStep(mult: Int): (Long, Double) = {
+    def ivfStep(mult: Int): (Long, Double, Double) = {
       val idx = s"$root/ivf_$mult/idx"
       StreamIngest.ivfIndexInit(spark, idx, anchors)
       StreamIngest.ivfIngestBatch(
         replicate(emb, "vec_id", mult, salt = false),
         "vec_id", "embedding", idx, 0L)
       StreamIngest.compactIvfIndex(spark, idx)
-      val storeRows = spark.read.parquet(s"$idx/assign_epoch").count()
+      val storeRows = StreamIngest.readIvfIndex(spark, idx).count()
       val sec = timeIt {
         StreamIngest.ivfIndexTopK(spark, queries, "vec_id",
           "embedding", idx, 5).collect(): Unit
       }
-      (storeRows, sec)
+      // fold cost with a small hot tail (see lshStep)
+      val foldTs = (1 to Reps + 1).map { k =>
+        val b = queries
+          .withColumn("vec_id", col("vec_id") + lit(1000000L * k))
+        StreamIngest.ivfIngestBatch(b, "vec_id", "embedding", idx,
+          k.toLong)
+        val t0 = System.nanoTime()
+        StreamIngest.compactIvfIndex(spark, idx)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val foldSec = foldTs.drop(1).sorted.apply(Reps / 2)
+      (storeRows, sec, foldSec)
     }
 
     fs.delete(fsRoot, true): Unit
     val lsh = Mults.map(lshStep)
     val ivf = Mults.map(ivfStep)
+
+    // PQ/codes face size (r17): the SAME max-mult store ingested into
+    // the raw-vector face and the codes face — the stored-index byte
+    // ratio is the "index no longer corpus-sized" evidence (assign/
+    // holds dim float64s per row, codes/ holds numSub small ints)
+    val sIdx = s"$root/size/idx"
+    StreamIngest.ivfIndexInit(spark, sIdx, anchors)
+    StreamIngest.pqBooksInit(spark, sIdx, graft.operators.Similarity
+      .trainPqBooks(emb, "vec_id", "embedding"))
+    val store8 = replicate(emb, "vec_id", Mults.last, salt = false)
+    StreamIngest.ivfIngestBatch(store8, "vec_id", "embedding",
+      sIdx, 0L)
+    StreamIngest.ivfPqIngestBatch(store8, "vec_id", "embedding",
+      sIdx, 1L)
+    StreamIngest.compactIvfIndex(spark, sIdx)
+    def epochBytes(sub: String): Long =
+      fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$sIdx/$sub")).getLength
+    val vecBytes = epochBytes("assign_epoch")
+    val codeBytes = epochBytes("codes_epoch")
+
     fs.delete(fsRoot, true): Unit
 
-    def block(rs: Seq[(Long, Double)]): (String, Double, Double) = {
+    def block(rs: Seq[(Long, Double, Double)])
+        : (String, Seq[(String, Double, Double)]) = {
       val growth = rs.last._2 / rs.head._2
+      val foldGrowth = rs.last._3 / rs.head._3
       val js = s"""{"store_rows":[${rs.map(_._1).mkString(",")}],""" +
         s""""step_sec":[${rs.map(r => f"${r._2}%.3f").mkString(",")}],""" +
-        f""""growth":$growth%.2f}"""
-      (js, growth, rs.last._2)
+        f""""growth":$growth%.2f,""" +
+        s""""fold_sec":[${rs.map(r => f"${r._3}%.3f").mkString(",")}],""" +
+        f""""fold_growth":$foldGrowth%.2f}"""
+      (js, Seq(("step", growth, rs.last._2),
+        ("fold", foldGrowth, rs.last._3)))
     }
-    val (lshJs, lg, lt) = block(lsh)
-    val (ivfJs, ig, it) = block(ivf)
+    val (lshJs, lshG) = block(lsh)
+    val (ivfJs, ivfG) = block(ivf)
     val storeRatio = Mults.last.toDouble / Mults.head
-    val flagged = Seq(
-      ("lsh_ingest_step", lg, lt), ("ivf_probe_step", ig, it))
+    val flagged = (lshG.map { case (n, g, t) =>
+      (s"lsh_${if (n == "step") "ingest_step" else "fold"}", g, t) } ++
+      ivfG.map { case (n, g, t) =>
+        (s"ivf_${if (n == "step") "probe_step" else "fold"}", g, t) })
       .collect { case (n, g, t) if g > storeRatio / 2 && t > 1.0 => n }
     println(s"""{"metric":"index_probe","unit":"sec",""" +
       s""""sf":"$sfDir","batch_rows":$batchRows,""" +
       s""""store_ratio":$storeRatio,"lsh":$lshJs,"ivf":$ivfJs,""" +
+      s""""pq_bytes":{"vec":$vecBytes,"codes":$codeBytes,""" +
+      f""""shrink":${vecBytes.toDouble / codeBytes}%.1f},""" +
       s""""flagged":[${flagged.map(f => s""""$f"""").mkString(",")}]}""")
     spark.stop()
   }

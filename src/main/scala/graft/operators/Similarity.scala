@@ -942,6 +942,76 @@ object Similarity {
     exactReRank(candidates, q, corpus, idCol, vecCol, k)
   }
 
+  /** Coarse IVF codebook trained on the deterministic hash-ordered
+    * sample, in [[ivfAssignFixed]] anchor form (list id = centroid
+    * index) — public for the persistent index's RE-CLUSTER
+    * maintenance op: drift re-training uses the same trainer the
+    * batch operators use (driver Lloyd ≤ [[DriverLloydMaxK]],
+    * distributed past it), so a re-clustered index behaves exactly
+    * like a freshly trained one. */
+  def trainIvfAnchors(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, iters: Int = 5,
+      sampleN: Int = 2048): Seq[(Int, Array[Double])] =
+    trainCentroids(corpus, idCol, vecCol, nlist, iters, sampleN,
+      "trainIvfAnchors").zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+
+  /** PQ codebooks trained on the deterministic hash-ordered sample
+    * (the exact trainer [[pqTopK]]/[[ivfPqTopK]] use, public for the
+    * PERSISTENT index face: the books are trained once at index init,
+    * persisted next to the coarse codebook, and every later ingest /
+    * serve reads them back — so codes stay comparable however long
+    * the index lives). */
+  def trainPqBooks(corpus: DataFrame, idCol: String, vecCol: String,
+      numSub: Int = 8, ksub: Int = 16, iters: Int = 5,
+      sampleN: Int = 2048): Array[Array[Array[Double]]] =
+    pqCodebooks(sampleVectors(corpus, idCol, vecCol,
+      math.max(sampleN, MinPointsPerCentroid * ksub), "trainPqBooks"),
+      numSub, ksub, iters)
+
+  /** IVFADC serve over a PERSISTED codes-only frame — the
+    * memory-bound face of the grown IVF index: `codeRows` is
+    * (vec_id, list, codes) read from the index (numSub small ints
+    * per vector instead of dim floats — the ~dim·8/numSub× smaller
+    * frame that makes a 100 TB index storable), scoring is ADC
+    * (per-query LUT + numSub lookups), and the float vectors are
+    * fetched from the CORPUS parquet only for the k·refine
+    * shortlist's exact re-rank — the index never stores a raw
+    * vector. Deterministic skeleton end to end: probe selection on
+    * [[ivfProbeFixed]]'s 6dp contract, final ranking on
+    * [[topKPerQuery]]'s round(cos, 6) — so the exhaustive corner
+    * (nProbe = nlist, k·refine ≥ |corpus|) equals brute force
+    * EXACTLY whatever the codebook quality (the shortlist keeps
+    * everything, the re-rank is exact), which is what the registry
+    * oracle pins; production configs trade refine/nProbe for recall
+    * like every IVFADC system. */
+  def ivfPqServe(queries: DataFrame, codeRows: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      anchors: Seq[(Int, Array[Double])],
+      books: Array[Array[Array[Double]]], k: Int, nProbe: Int = 1,
+      refine: Int = 4, excludeSelfMatches: Boolean = true)
+      : DataFrame = {
+    val dsub = books.head.head.length
+    val q = broadcast(
+      prep(queries, idCol, vecCol, "query_id", "qv", "qn")
+        .select(col("query_id"), col("qv"), col("qn"),
+          pqLut(col("qv"), books, dsub).as("lut")))
+    // per-query probed lists (NOT the union across queries — a
+    // query must never ADC-score a list it did not probe)
+    val probes = ivfProbeFixed(queries, idCol, vecCol, anchors,
+      nProbe)
+      .select(col("vec_id").as("query_id"), col("list"))
+      .join(q.select(col("query_id"), col("lut")), "query_id")
+    val joined = codeRows
+      .select(col("vec_id").cast("long").as("neighbor_id"),
+        col("list").cast("long").as("list"), col("codes"))
+      .join(broadcast(probes), Seq("list"))
+      .filter(if (excludeSelfMatches)
+        col("query_id") =!= col("neighbor_id") else lit(true))
+    val candidates = adcShortlist(joined, books, k * refine)
+    exactReRank(candidates, q, corpus, idCol, vecCol, k)
+  }
+
   /** PCA-reduced approximate top-k: fit a kDim-component PCA on the
     * corpus ([[Pca.fit]] — one sufficient-statistics pass), shortlist
     * each query's k·refine nearest candidates by SQUARED L2 DISTANCE in

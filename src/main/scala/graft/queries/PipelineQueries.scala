@@ -1192,6 +1192,45 @@ object PipelineQueries {
       },
       Some(ivfIncTopKSql(corpusPred = "TRUE", nProbe = 2))),
 
+    // PQ/CODES face of the persistent IVF index (r17): the index
+    // stores (vec_id, list, codes) — numSub small ints per vector
+    // instead of dim floats (the assign/ face is corpus-sized in
+    // float64s; at 100 TB the codes face is the one that still
+    // fits) — and the serve is IVFADC: ADC shortlist over the probed
+    // lists' stored codes, exact re-rank against the CORPUS parquet
+    // (the index never stores a raw vector). Registry config is the
+    // DEGENERATE-EXACT corner (nProbe = nlist = 4 so every list is
+    // probed; k·refine = 5000 ≥ |embeddings| ≤ 2000 so the ADC
+    // shortlist keeps every candidate and the exact re-rank sees
+    // them all — exactness holds whatever the codebook quality), so
+    // the full persisted path — books init, codes ingest, list=
+    // fold, pruned serve — is DuckDB-oracled against the brute-force
+    // ranking. Production recall/cost at lower nProbe/refine is the
+    // ann_ivfpq_recall meter's job.
+    "ann_ivfpq_inc_topk" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_ivfpqi_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(p, true): Unit
+        val e = emb(s, dir)
+        val idx = s"$root/idx"
+        graft.streaming.StreamIngest.ivfIndexInit(s, idx,
+          fixedAnchors(e))
+        graft.streaming.StreamIngest.pqBooksInit(s, idx,
+          Similarity.trainPqBooks(e, "vec_id", "embedding",
+            numSub = 8, ksub = 16))
+        graft.streaming.StreamIngest.ivfPqIngestBatch(e, "vec_id",
+          "embedding", idx, 0L)
+        graft.streaming.StreamIngest.compactIvfIndex(s, idx)
+        graft.streaming.StreamIngest.ivfPqIndexTopK(s,
+          e.filter(col("vec_id") < 16), "vec_id", "embedding", idx,
+          corpus = e, k = 5, nProbe = 4, refine = 1000)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine_r"))
+      },
+      Some(AnnExactOracle)),
+
     // INCREMENTAL SemDeDup over the persistent IVF index (r16) — the
     // index's third face: the stored corpus (vec_id % 10 != 9) is
     // ingested and compacted once; the arriving batch (% 10 == 9)

@@ -1281,13 +1281,33 @@ object StreamIngest {
         * this live-id frame (see [[compactLshIndex]]'s liveIds). */
       liveIds: Option[DataFrame] = None): Long =
     withIndexLock(indexDir) {
-      relayoutEpoch(spark, s"$indexDir/assign",
-        s"$indexDir/assign_epoch", bucketsReq = 0,
-        df => df.select(col("vec_id").cast("long").as("vec_id"),
-          col("list").cast("long").as("list"), col("vec")),
-        None, "list", Seq("vec_id"),
-        retain = liveIds.map(_ -> "vec_id"),
-        inflight = inflightIds(spark, indexDir))
+      val inflight = inflightIds(spark, indexDir)
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def face(sub: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$sub"))
+      val assign =
+        if (face("assign") || face("assign_epoch"))
+          relayoutEpoch(spark, s"$indexDir/assign",
+            s"$indexDir/assign_epoch", bucketsReq = 0,
+            df => df.select(col("vec_id").cast("long").as("vec_id"),
+              col("list").cast("long").as("list"), col("vec")),
+            None, "list", Seq("vec_id"),
+            retain = liveIds.map(_ -> "vec_id"), inflight = inflight)
+        else 0L
+      // the codes face folds under the same watermark discipline —
+      // same layout (list= partitions, vec_id sort), ~numSub ints
+      // per row instead of dim doubles
+      val codes =
+        if (face("codes") || face("codes_epoch"))
+          relayoutEpoch(spark, s"$indexDir/codes",
+            s"$indexDir/codes_epoch", bucketsReq = 0,
+            df => df.select(col("vec_id").cast("long").as("vec_id"),
+              col("list").cast("long").as("list"), col("codes")),
+            None, "list", Seq("vec_id"),
+            retain = liveIds.map(_ -> "vec_id"), inflight = inflight)
+        else 0L
+      assign + codes
     }
 
   /** Shared tiered-epoch fold. `project` normalizes every tier to the
@@ -1359,39 +1379,13 @@ object StreamIngest {
         new org.apache.hadoop.fs.Path(segPath(epochPath, s)))
         .getLength
 
-    // one partitioned, sorted, row-counted segment from `df`; None
-    // when the input folded down to zero rows (an expiry that drops
-    // everything must still commit — as an EMPTY manifest, not a
-    // crash on an unreadable empty dir)
     def writeSeg(df: DataFrame, buckets: Int): Option[SegRef] = {
-      val name = freshName()
-      val dir = s"$epochPath/$name"
       val out = derive match {
         case Some(f) => df.withColumn(partCol, f(buckets))
         case None => df
       }
-      val obs = org.apache.spark.sql.Observation()
-      // sorting by (partCol, sortCols...) satisfies the writer's
-      // required partition ordering as a prefix, so the within-file
-      // sort SURVIVES into row-group min/max envelopes
-      out.observe(obs, count(lit(1)).as("rows"))
-        .repartition(col(partCol))
-        .sortWithinPartitions((partCol +: sortCols).map(col): _*)
-        .write.mode("overwrite").partitionBy(partCol)
-        .parquet(dir)
-      // a missing key means PropagateEmptyRelation collapsed a
-      // PROVABLY-empty plan (e.g. an expiry that drops every row) and
-      // took the CollectMetrics node with it — the only way the
-      // metric can vanish, so absent ⇒ 0 rows
-      val rows = obs.get.get("rows")
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      if (rows == 0L) {
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true): Unit
-        None
-      } else Some(SegRef(name,
-        if (derive.isEmpty) 0 else buckets,
-        fs.getContentSummary(new org.apache.hadoop.fs.Path(dir))
-          .getLength, rows))
+      writeSegment(fs, epochPath, freshName(), out,
+        if (derive.isEmpty) 0 else buckets, partCol, sortCols)
     }
 
     // retention: one id-keyed semi join against the live-id set —
@@ -1449,21 +1443,61 @@ object StreamIngest {
     }
 
     // the commit point: everything above is invisible until this swap
-    writeLayout(fs, epochPath, IndexLayout(wm1,
+    commitEpoch(fs, epochPath, IndexLayout(wm1,
       newSegs.lastOption.map(_.buckets)
         .getOrElse(prior.map(_.buckets).getOrElse(0)),
       newSegs, prior.flatMap(_.codebook)))
-    // clear merged-away inputs + folded hot dirs (and any garbage
-    // from crashed folds) — failure here leaves dead bytes, not
-    // wrong reads
-    val live = newSegs.map(_.name).toSet
+    hotDirs.filter(_._1 <= wm1)
+      .foreach { case (_, d) => fs.delete(d, true): Unit }
+    newSegs.map(_.rows).sum
+  }
+
+  /** One partitioned, sorted, row-counted segment from `df` (which
+    * must already carry `partCol`); None when the input folded down
+    * to zero rows (an expiry that drops everything must still commit
+    * — as an EMPTY manifest, not a crash on an unreadable empty
+    * dir). The dir is invisible garbage until a manifest references
+    * it. */
+  private def writeSegment(fs: org.apache.hadoop.fs.FileSystem,
+      epochPath: String, name: String, out: DataFrame,
+      buckets: Int, partCol: String, sortCols: Seq[String])
+      : Option[SegRef] = {
+    val dir = s"$epochPath/$name"
+    val obs = org.apache.spark.sql.Observation()
+    // sorting by (partCol, sortCols...) satisfies the writer's
+    // required partition ordering as a prefix, so the within-file
+    // sort SURVIVES into row-group min/max envelopes
+    out.observe(obs, count(lit(1)).as("rows"))
+      .repartition(col(partCol))
+      .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(dir)
+    // a missing key means PropagateEmptyRelation collapsed a
+    // PROVABLY-empty plan (e.g. an expiry that drops every row) and
+    // took the CollectMetrics node with it — the only way the
+    // metric can vanish, so absent ⇒ 0 rows
+    val rows = obs.get.get("rows")
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (rows == 0L) {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true): Unit
+      None
+    } else Some(SegRef(name, buckets,
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(dir))
+        .getLength, rows))
+  }
+
+  /** Swap the manifest (the single commit point), then clear every
+    * segment dir the new manifest no longer references — merged-away
+    * inputs and crashed-fold garbage alike. A failure after the swap
+    * leaves dead bytes, never wrong reads. */
+  private def commitEpoch(fs: org.apache.hadoop.fs.FileSystem,
+      epochPath: String, layout: IndexLayout): Unit = {
+    writeLayout(fs, epochPath, layout)
+    val live = layout.segs.map(_.name).toSet
     if (fs.exists(new org.apache.hadoop.fs.Path(epochPath)))
       fs.listStatus(new org.apache.hadoop.fs.Path(epochPath)).toSeq
         .filter(st => st.isDirectory && !live(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true): Unit)
-    hotDirs.filter(_._1 <= wm1)
-      .foreach { case (_, d) => fs.delete(d, true): Unit }
-    newSegs.map(_.rows).sum
   }
 
   /** Total epoch rows from the manifest alone; falls back to one
@@ -1499,11 +1533,16 @@ object StreamIngest {
       true
     }
 
-  /** IVF face of [[maybeCompactLshIndex]] — same cadence contract. */
+  /** IVF face of [[maybeCompactLshIndex]] — same cadence contract,
+    * over whichever of the assign/codes tiers the root hosts. */
   def maybeCompactIvfIndex(spark: SparkSession, indexDir: String,
       maxHotBatches: Int = 8): Boolean =
-    liveHotCount(spark, s"$indexDir/assign",
-      s"$indexDir/assign_epoch") > maxHotBatches && {
+    math.max(
+      liveHotCount(spark, s"$indexDir/assign",
+        s"$indexDir/assign_epoch"),
+      liveHotCount(spark, s"$indexDir/codes",
+        s"$indexDir/codes_epoch")
+    ) > maxHotBatches && {
       compactIvfIndex(spark, indexDir): Unit
       true
     }
@@ -1521,7 +1560,8 @@ object StreamIngest {
         fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
       val lsh = (has("bands") || has("bands_epoch")) &&
         maybeCompactLshIndex(spark, dir, maxHotBatches)
-      val ivf = (has("assign") || has("assign_epoch")) &&
+      val ivf = (has("assign") || has("assign_epoch") ||
+        has("codes") || has("codes_epoch")) &&
         maybeCompactIvfIndex(spark, dir, maxHotBatches)
       dir -> (lsh || ivf)
     }
@@ -1695,12 +1735,20 @@ object StreamIngest {
     Seq.empty[(Long, Long, Array[Double])].toDF("vec_id", "list", "vec")
   }
 
+  private def emptyCodes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Array[Int])]
+      .toDF("vec_id", "list", "codes")
+  }
+
   /** Initialize a persistent IVF index at `indexDir`: persist the
     * FIXED codebook once (centroids.parquet — list id + vector).
     * Ingest and query read it back, so every party assigns against
-    * the SAME anchors however long the index lives; re-training is an
-    * explicit out-of-band re-init + re-ingest, as in production IVF
-    * systems. */
+    * the SAME anchors however long the index lives; when drift
+    * warrants, [[reclusterIvfIndex]] retrains and swaps a VERSIONED
+    * codebook atomically with the re-assigned epoch (the manifest's
+    * `codebook=` pointer), so no reader ever pairs new lists with
+    * old anchors or vice versa. */
   def ivfIndexInit(spark: SparkSession, indexDir: String,
       anchors: Seq[(Int, Array[Double])]): Unit = {
     import spark.implicits._
@@ -1709,13 +1757,148 @@ object StreamIngest {
   }
 
   /** The persisted codebook, in [[graft.operators.Similarity
-    * .ivfAssignFixed]]'s anchor form. */
+    * .ivfAssignFixed]]'s anchor form — resolved through the epoch
+    * manifest's `codebook=` pointer when a re-cluster has swapped a
+    * versioned file in (assign face first, codes face for
+    * codes-only indexes), falling back to the init-time
+    * centroids.parquet. */
   def readIvfCentroids(spark: SparkSession, indexDir: String)
-      : Seq[(Int, Array[Double])] =
-    spark.read.parquet(s"$indexDir/centroids.parquet")
+      : Seq[(Int, Array[Double])] = {
+    val file = readLayout(spark, s"$indexDir/assign_epoch")
+      .flatMap(_.codebook)
+      .orElse(readLayout(spark, s"$indexDir/codes_epoch")
+        .flatMap(_.codebook))
+      .getOrElse("centroids.parquet")
+    spark.read.parquet(s"$indexDir/$file")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .toSeq.sortBy(_._1)
+  }
+
+  /** Per-list row counts over the WHOLE stored index (epoch + hot) —
+    * a column-pruned scan (the parquet reader materializes only the
+    * small `list` ints, a sliver of the index's bytes), so the drift
+    * check stays cheap enough for the maintenance tick. */
+  def ivfListHistogram(spark: SparkSession, indexDir: String)
+      : Map[Long, Long] =
+    readIvfIndex(spark, indexDir).groupBy("list").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** List-size skew = largest list / mean list size over the FULL
+    * codebook (an emptied list pulls the mean down — both hot-list
+    * growth and list starvation raise it). 0 for an empty index;
+    * 1.0 = perfectly balanced. The drift trigger
+    * [[maybeReclusterIvfIndex]] compares this against its
+    * threshold. */
+  def ivfListSkew(spark: SparkSession, indexDir: String): Double = {
+    val hist = ivfListHistogram(spark, indexDir)
+    if (hist.isEmpty) 0.0
+    else {
+      val nlist = readIvfCentroids(spark, indexDir).length
+      hist.values.max.toDouble /
+        (hist.values.sum.toDouble / math.max(1, nlist))
+    }
+  }
+
+  /** Re-train the coarse codebook on the stored vectors and re-assign
+    * the epoch — the drift repair a 100 TB index needs eventually: a
+    * frozen codebook over a drifting corpus grows hot lists unbounded
+    * and probe pruning degrades with them. Mechanics: quiesce (fold
+    * the hot tail; refuse if any `_inflight_` batch exists), retrain
+    * via [[graft.operators.Similarity.trainIvfAnchors]] on the
+    * epoch's deterministic sample, re-assign the whole epoch in ONE
+    * [[graft.functions.MatrixExpressions.ivfAssign6]] pass (a
+    * projection — the only full rewrite, inherent to re-clustering),
+    * write the new codebook VERSIONED + the re-assigned segment, and
+    * commit both through the single manifest swap (`codebook=`
+    * pointer) — crash-safe: until the swap, readers pair the old
+    * epoch with the old codebook; after it, the new with the new. A
+    * coexisting codes face is re-labeled with the new lists in the
+    * same commit (PQ books are codebook-independent — codes
+    * themselves don't change).
+    *
+    * Requires the assign (raw-vector) face — a codes-only index has
+    * nothing to retrain on; re-ingest it from the corpus instead.
+    * Returns true iff a re-cluster committed. */
+  def reclusterIvfIndex(spark: SparkSession, indexDir: String,
+      nlist: Int = 0, iters: Int = 5, sampleN: Int = 2048): Boolean =
+    withIndexLock(indexDir) {
+      import spark.implicits._
+      if (inflightIds(spark, indexDir).nonEmpty) false
+      else {
+        compactIvfIndex(spark, indexDir): Unit
+        val assignEpoch = s"$indexDir/assign_epoch"
+        val prior = readLayout(spark, assignEpoch)
+        val stored = readEpochFrame(spark, assignEpoch)
+        if (prior.isEmpty || stored.isEmpty) false
+        else {
+          val fs = new org.apache.hadoop.fs.Path(indexDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val vecs = stored.get
+            .select(col("vec_id").cast("long").as("vec_id"),
+              col("vec")).cache()
+          try {
+            val k =
+              if (nlist > 0) nlist
+              else readIvfCentroids(spark, indexDir).length
+            val anchors = graft.operators.Similarity
+              .trainIvfAnchors(vecs, "vec_id", "vec", k, iters,
+                sampleN)
+            val ver = prior.flatMap(_.codebook) match {
+              case Some(CodebookVer(n)) => n.toLong + 1
+              case _ => 2L
+            }
+            val cbFile = s"centroids_v$ver.parquet"
+            anchors.toDF("list", "cvec").coalesce(1)
+              .write.mode("overwrite")
+              .parquet(s"$indexDir/$cbFile")
+            val reassigned = graft.operators.Similarity
+              .ivfAssignFixed(vecs, "vec_id", "vec", anchors)
+              .select(col("vec_id"), col("list"))
+            val nextAssign = 1L + prior.get.segs
+              .flatMap(s => segIdOf(s.name)).foldLeft(0L)(math.max)
+            val seg = writeSegment(fs, assignEpoch,
+              s"seg_$nextAssign",
+              reassigned.join(vecs, "vec_id")
+                .select(col("vec_id"), col("list"), col("vec")),
+              0, "list", Seq("vec_id"))
+            // codes face (if present): same rows, new list labels
+            val codesEpoch = s"$indexDir/codes_epoch"
+            val codesPrior = readLayout(spark, codesEpoch)
+            val codesSeg = codesPrior.flatMap { cl =>
+              readEpochFrame(spark, codesEpoch).flatMap { cdf =>
+                val nextC = 1L + cl.segs
+                  .flatMap(s => segIdOf(s.name))
+                  .foldLeft(0L)(math.max)
+                writeSegment(fs, codesEpoch, s"seg_$nextC",
+                  cdf.select(col("vec_id").cast("long")
+                    .as("vec_id"), col("codes"))
+                    .join(reassigned, "vec_id")
+                    .select(col("vec_id"), col("list"),
+                      col("codes")),
+                  0, "list", Seq("vec_id"))
+              }
+            }
+            // ONE commit point per face; assign swaps first (it
+            // carries the codebook pointer every reader resolves)
+            commitEpoch(fs, assignEpoch, IndexLayout(prior.get.wm,
+              0, seg.toSeq, Some(cbFile)))
+            codesPrior.foreach(cl => commitEpoch(fs, codesEpoch,
+              IndexLayout(cl.wm, 0, codesSeg.toSeq, Some(cbFile))))
+            true
+          } finally vecs.unpersist(): Unit
+        }
+      }
+    }
+
+  private val CodebookVer = "centroids_v(\\d+)\\.parquet".r
+
+  /** Drift trigger for the maintenance plane: re-cluster when the
+    * list-size skew crosses `maxSkew` (disabled at 0). */
+  def maybeReclusterIvfIndex(spark: SparkSession, indexDir: String,
+      maxSkew: Double): Boolean =
+    maxSkew > 0 && ivfListSkew(spark, indexDir) > maxSkew &&
+      reclusterIvfIndex(spark, indexDir)
 
   /** Continuous IVF index growth — the ANN face of
     * [[lshIndexIngestStream]]: each micro-batch assigns its
@@ -1823,6 +2006,108 @@ object StreamIngest {
       .map(df =>
         norm(df.filter(col("list").cast("long").isin(lists: _*))))
     tiersUnion(hot.toSeq ++ epoch.toSeq, emptyAssign(spark))
+  }
+
+  // ---- PQ/codes face of the persistent IVF index (r17) -------------
+  // The assign/ tiers store RAW vectors — corpus-sized in float64s,
+  // which at 100 TB makes the INDEX as big as the corpus. The codes
+  // face stores numSub small ints per vector instead (the IVFADC
+  // posture, [[graft.operators.Similarity.ivfPqTopK]]'s batch shape
+  // given a persistent home): ingest assigns + encodes in one
+  // zero-shuffle projection, the fold lays codes out by list= exactly
+  // like assign/, and the serve ADC-scans only the probed lists'
+  // codes then exact-re-ranks the shortlist against the CORPUS
+  // parquet — the index never stores a raw vector.
+
+  /** Persist the PQ codebooks next to the coarse codebook: one row
+    * per (sub-space m, code, centroid sub-vector). Trained once
+    * (e.g. [[graft.operators.Similarity.trainPqBooks]]) at index
+    * init; every later ingest/serve reads the SAME books, so codes
+    * stay comparable for the index's whole life. */
+  def pqBooksInit(spark: SparkSession, indexDir: String,
+      books: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, m) =>
+      book.zipWithIndex.map { case (cent, c) => (m, c, cent.toSeq) }
+    }.toSeq.toDF("m", "code", "subvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/pq_books.parquet")
+  }
+
+  /** The persisted PQ codebooks, in trainer form (driver-sized:
+    * numSub × ksub × dsub doubles). */
+  def readPqBooks(spark: SparkSession, indexDir: String)
+      : Array[Array[Array[Double]]] =
+    spark.read.parquet(s"$indexDir/pq_books.parquet")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+      .toArray
+
+  /** One micro-batch of the codes-face ingest: assign against the
+    * persisted coarse codebook + PQ-encode against the persisted
+    * books — both literal-codebook projections, zero shuffle — and
+    * append (vec_id, list, codes) under `batch=<id>`. The index
+    * grows by ~numSub ints per vector; no raw vector is stored. */
+  def ivfPqIngestBatch(batch: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, batchId: Long): Unit =
+    withIndexLock(indexDir) {
+      val spark = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      markInflight(fs, indexDir, batchId)
+      val anchors = readIvfCentroids(spark, indexDir)
+      val books = readPqBooks(spark, indexDir)
+      val dsub = books.head.head.length
+      val rows = graft.operators.Similarity
+        .ivfAssignFixed(batch, idCol, vecCol, anchors)
+        .select(col("vec_id"), col("list"))
+        .join(batch.select(col(idCol).cast("long").as("vec_id"),
+          graft.operators.Similarity.asDouble(col(vecCol)).as("__v")),
+          "vec_id")
+        .select(col("vec_id"), col("list"),
+          graft.functions.MatrixExpressions
+            .pqEncode(col("__v"), books, dsub).as("codes"))
+      rows.write.mode("overwrite")
+        .parquet(s"$indexDir/codes/batch=$batchId")
+      clearInflight(fs, indexDir, batchId)
+    }
+
+  /** The stored codes restricted to `lists` — epoch scan
+    * partition-pruned per segment, hot tail filtered post-scan. */
+  private def readCodesPruned(spark: SparkSession, indexDir: String,
+      lists: Seq[Long]): DataFrame = {
+    def norm(df: DataFrame) =
+      df.select(col("vec_id").cast("long").as("vec_id"),
+        col("list").cast("long").as("list"), col("codes"))
+    val hot = hotFrame(spark, s"$indexDir/codes",
+      s"$indexDir/codes_epoch", None)
+      .map(df => norm(df.filter(col("list").isin(lists: _*))))
+    val epoch = readEpochFrame(spark, s"$indexDir/codes_epoch")
+      .map(df =>
+        norm(df.filter(col("list").cast("long").isin(lists: _*))))
+    tiersUnion(hot.toSeq ++ epoch.toSeq, emptyCodes(spark))
+  }
+
+  /** IVFADC top-k served FROM the codes face: probe selection against
+    * the persisted coarse codebook, ADC over the probed lists' stored
+    * codes (epoch listing pruned to those list= partitions), exact
+    * re-rank of the k·refine shortlist against the CORPUS parquet.
+    * The exhaustive corner (nProbe = nlist, k·refine ≥ |corpus|)
+    * equals brute force exactly — the registry oracle's pin. */
+  def ivfPqIndexTopK(spark: SparkSession, queries: DataFrame,
+      idCol: String, vecCol: String, indexDir: String,
+      corpus: DataFrame, k: Int, nProbe: Int = 1,
+      refine: Int = 4): DataFrame = {
+    val anchors = readIvfCentroids(spark, indexDir)
+    val books = readPqBooks(spark, indexDir)
+    val probed = graft.operators.Similarity
+      .ivfProbeFixed(queries, idCol, vecCol, anchors, nProbe)
+      .select("list").distinct().collect().map(_.getLong(0)).toSeq
+    graft.operators.Similarity.ivfPqServe(queries,
+      readCodesPruned(spark, indexDir, probed), corpus, idCol,
+      vecCol, anchors, books, k, nProbe, refine)
   }
 
   /** Continuous SemDeDup — the THIRD face of the persistent IVF

@@ -22,7 +22,9 @@ object PlanDump {
       // read-back or the pruned serve)
       "dedup_inc_pruned_marks", "dedup_inc_expired_marks",
       "dedup_semantic_inc", "ann_ivf_inc_pruned_topk",
-      "ann_ivf_inc_multiprobe_topk", "ann_ivf_expired_topk")
+      "ann_ivf_inc_multiprobe_topk", "ann_ivf_expired_topk",
+      // r17 PQ/codes face: final plan is the IVFADC serve
+      "ann_ivfpq_inc_topk")
     hot.foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect(): Unit

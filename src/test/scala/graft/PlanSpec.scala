@@ -161,6 +161,9 @@ class PlanSpec extends AnyFunSuite {
       "ann_ivf_inc_pruned_topk" -> ((3, 2)),
       "ann_ivf_inc_multiprobe_topk" -> ((3, 2)),
       "ann_ivf_expired_topk" -> ((3, 2)),
+      // r17 PQ/codes face: the IVFADC serve — probe broadcast + the
+      // bounded ADC-shortlist agg + re-rank joins (PlanDump: 3/1)
+      "ann_ivfpq_inc_topk" -> ((3, 1)),
       "ann_lsh_multiprobe_recall" -> ((11, 4)),
       "dedup_keep_best" -> ((9, 5)),
       "layout_bucketed_join" -> ((2, 1)),

