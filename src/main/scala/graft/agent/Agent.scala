@@ -110,7 +110,12 @@ final case class AgentConfig(
     // fold. Single-writer contract: list a root here ONLY if this
     // daemon is the plane that owns its ingest.
     indexDirs: String = "",
-    indexMaxHotBatches: Int = 8)
+    indexMaxHotBatches: Int = 8,
+    // IVF drift repair (r18): re-cluster an assign-face root when its
+    // list-size skew (largest list / mean list) crosses this on the
+    // tick; 0 disables — re-clustering rewrites the epoch (inherent
+    // to re-training), so it is strictly operator-opt-in.
+    indexMaxSkew: Double = 0.0)
 
 /** The agent — one object composing catalog discovery, schema DDL, the
   * chunked copy plane, and the HA monitor into the reference's four
@@ -660,7 +665,7 @@ final class Agent(
         .filter(_.nonEmpty).toSeq
       if (dirs.nonEmpty)
         StreamIngest.maintainIndexes(spark, dirs,
-          cfg.indexMaxHotBatches): Unit
+          cfg.indexMaxHotBatches, cfg.indexMaxSkew): Unit
     }
   }
 
@@ -884,6 +889,8 @@ object AgentCli {
         case "-indexdirs"       => c = c.copy(indexDirs = v)
         case "-index-maxhot"    =>
           c = c.copy(indexMaxHotBatches = v.toInt)
+        case "-index-maxskew"   =>
+          c = c.copy(indexMaxSkew = v.toDouble)
         case other =>
           throw new IllegalArgumentException(s"unknown flag: $other")
       }

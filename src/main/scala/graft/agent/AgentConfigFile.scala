@@ -143,6 +143,10 @@ object AgentConfigFile {
     g.get("index-dirs").foreach(v => c = c.copy(indexDirs = v))
     g.get("index-max-hot-batches").foreach(v =>
       c = c.copy(indexMaxHotBatches = v.toInt))
+    // IVF drift repair: list-skew threshold for the tick's
+    // re-cluster policy; 0 = disabled. CLI twin: -index-maxskew.
+    g.get("index-max-skew").foreach(v =>
+      c = c.copy(indexMaxSkew = v.toDouble))
     // [http]: bind-addr port + admin credentials (mainconfig.go:39-44)
     parsed.http.get("bind-addr").foreach { ba =>
       ba.split(':').lastOption.flatMap(p => scala.util.Try(p.toInt).toOption)

@@ -204,6 +204,19 @@ object PipelineQueries {
         WHERE cos IS NOT NULL)
       WHERE rank <= 5""".replaceAll("\\s+", " ")
 
+  // ann_ivf_recluster_topk oracle: both post-re-cluster serves run at
+  // the degenerate-exact corner (nProbe = the re-trained nlist, so
+  // every list is probed; k·refine ≥ |corpus|), so whatever codebook
+  // the re-train produced, each face must reproduce the brute-force
+  // ranking — AnnExactOracle tagged per served face.
+  private lazy val ReclusterOracle: String =
+    s"""WITH base AS ($AnnExactOracle)
+        SELECT 'assign' AS face, query_id, rank, neighbor_id,
+          cosine_r FROM base
+        UNION ALL
+        SELECT 'codes' AS face, query_id, rank, neighbor_id,
+          cosine_r FROM base""".replaceAll("\\s+", " ")
+
   // ann_lsh_topk registry config — interpolated into BOTH the engine
   // call and the oracle SQL, so the two cannot drift
   final val LshTables = 2
@@ -1230,6 +1243,53 @@ object PipelineQueries {
             col("neighbor_id"), col("cosine_r"))
       },
       Some(AnnExactOracle)),
+
+    // CODEBOOK DRIFT REPAIR (r18): grow BOTH persisted faces under
+    // the fixed 4-anchor codebook, fold, then reclusterIvfIndex —
+    // retrain the coarse codebook on the stored vectors, re-assign
+    // the epoch in one IvfAssign6 pass, RE-LABEL the codes face, and
+    // swap each face's manifest (codes first, assign last; per-face
+    // `codebook=` resolution). Both serves run AFTER the swap at the
+    // degenerate-exact corner (nProbe = the re-trained nlist = 4,
+    // k·refine ≥ |corpus|), so the re-assigned epoch AND the
+    // re-labeled codes face must each reproduce the brute-force
+    // ranking exactly — the re-cluster may change the layout, never
+    // the answer. Production skew triggering lives on the daemon
+    // tick (maintainIndexes + index-max-skew; StreamIngestSpec pins
+    // the skew detect → re-cluster → balanced-lists path).
+    "ann_ivf_recluster_topk" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_ivfrc_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(p, true): Unit
+        val e = emb(s, dir)
+        val idx = s"$root/idx"
+        graft.streaming.StreamIngest.ivfIndexInit(s, idx,
+          fixedAnchors(e))
+        graft.streaming.StreamIngest.pqBooksInit(s, idx,
+          Similarity.trainPqBooks(e, "vec_id", "embedding",
+            numSub = 8, ksub = 16))
+        graft.streaming.StreamIngest.ivfIngestBatch(e, "vec_id",
+          "embedding", idx, 0L)
+        graft.streaming.StreamIngest.ivfPqIngestBatch(e, "vec_id",
+          "embedding", idx, 1L)
+        graft.streaming.StreamIngest.compactIvfIndex(s, idx)
+        require(graft.streaming.StreamIngest.reclusterIvfIndex(s,
+          idx, nlist = 4), "re-cluster did not commit")
+        val qs = e.filter(col("vec_id") < 16)
+        val served = graft.streaming.StreamIngest.ivfIndexTopK(s,
+          qs, "vec_id", "embedding", idx, 5, nProbe = 4)
+          .withColumn("face", lit("assign"))
+          .unionByName(graft.streaming.StreamIngest.ivfPqIndexTopK(
+            s, qs, "vec_id", "embedding", idx, corpus = e, k = 5,
+            nProbe = 4, refine = 1000)
+            .withColumn("face", lit("codes")))
+        served.select(col("face"), col("query_id"),
+          col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine_r"))
+      },
+      Some(ReclusterOracle)),
 
     // INCREMENTAL SemDeDup over the persistent IVF index (r16) — the
     // index's third face: the stored corpus (vec_id % 10 != 9) is

@@ -1549,10 +1549,17 @@ object StreamIngest {
 
   /** Tick-side maintenance over a set of index roots: detects each
     * root's face(s) by layout (bands/ → LSH, assign/ → IVF — one root
-    * can host both) and applies the cadence policy. The daemon wires
-    * this into the hamonitor tick next to the CQ pass. */
+    * can host both) and applies the cadence policy, then (when
+    * `maxSkew` > 0) the drift policy: an assign-face root whose
+    * list-size skew has crossed the threshold is re-clustered
+    * ([[maybeReclusterIvfIndex]]) — the repair that keeps probe
+    * pruning alive as the corpus drifts away from a frozen codebook.
+    * The daemon wires this into the hamonitor tick next to the CQ
+    * pass (TOML `index-max-skew` / CLI `-index-maxskew`; 0 =
+    * disabled, like the cadence threshold's default-off posture). */
   def maintainIndexes(spark: SparkSession, indexDirs: Seq[String],
-      maxHotBatches: Int = 8): Seq[(String, Boolean)] =
+      maxHotBatches: Int = 8, maxSkew: Double = 0.0)
+      : Seq[(String, Boolean)] =
     indexDirs.map { dir =>
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -1563,7 +1570,10 @@ object StreamIngest {
       val ivf = (has("assign") || has("assign_epoch") ||
         has("codes") || has("codes_epoch")) &&
         maybeCompactIvfIndex(spark, dir, maxHotBatches)
-      dir -> (lsh || ivf)
+      val reclustered = maxSkew > 0 &&
+        (has("assign") || has("assign_epoch")) &&
+        maybeReclusterIvfIndex(spark, dir, maxSkew)
+      dir -> (lsh || ivf || reclustered)
     }
 
   /** Live (above-watermark) hot dirs — the quantity the cadence
@@ -1615,8 +1625,11 @@ object StreamIngest {
     // leaves only the tmp, which IS the committed state (it was
     // written whole before the old manifest was dropped)
     val tmp = new org.apache.hadoop.fs.Path(s"$epochPath/_layout.tmp")
-    if (!fs.exists(p) && fs.exists(tmp))
-      require(fs.rename(tmp, p), s"layout recovery failed: $tmp")
+    // the rename may lose a race against the writer (or another
+    // reader) completing the same promotion — losing is fine as long
+    // as `_layout` exists afterwards
+    if (!fs.exists(p) && fs.exists(tmp) && !fs.rename(tmp, p))
+      require(fs.exists(p), s"layout recovery failed: $tmp")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -1661,7 +1674,12 @@ object StreamIngest {
     try out.write(body.toString.getBytes("UTF-8"))
     finally out.close()
     fs.delete(p, false): Unit
-    require(fs.rename(tmp, p), s"layout commit failed: $tmp -> $p")
+    // a reader's crash-recovery ([[readLayout]]) can race this rename
+    // between the delete and the rename and promote the tmp itself —
+    // the commit is then already durable, so the writer succeeds iff
+    // `_layout` exists, whoever performed the final rename
+    if (!fs.rename(tmp, p))
+      require(fs.exists(p), s"layout commit failed: $tmp -> $p")
   }
 
   /** All live epoch segments as one frame, or None when no epoch (or
@@ -1757,23 +1775,32 @@ object StreamIngest {
   }
 
   /** The persisted codebook, in [[graft.operators.Similarity
-    * .ivfAssignFixed]]'s anchor form — resolved through the epoch
-    * manifest's `codebook=` pointer when a re-cluster has swapped a
-    * versioned file in (assign face first, codes face for
-    * codes-only indexes), falling back to the init-time
-    * centroids.parquet. */
-  def readIvfCentroids(spark: SparkSession, indexDir: String)
-      : Seq[(Int, Array[Double])] = {
-    val file = readLayout(spark, s"$indexDir/assign_epoch")
+    * .ivfAssignFixed]]'s anchor form, for ONE face: resolved through
+    * THAT face's epoch manifest `codebook=` pointer, falling back to
+    * the init-time centroids.parquet. Per-face resolution is the
+    * crash-consistency contract (r18): a re-cluster swaps the two
+    * faces' manifests as two renames, and a crash between them must
+    * leave EACH face pairing its own rows with the anchors they were
+    * labeled with — resolving the codes face through the assign
+    * manifest (the r17 shape) made the window wrong, not just stale:
+    * v2 anchors would prune the ADC scan to v1-labeled `list=`
+    * partitions and silently drop true neighbors. */
+  private[graft] def readIvfCentroidsFace(spark: SparkSession,
+      indexDir: String, face: String): Seq[(Int, Array[Double])] = {
+    val file = readLayout(spark, s"$indexDir/${face}_epoch")
       .flatMap(_.codebook)
-      .orElse(readLayout(spark, s"$indexDir/codes_epoch")
-        .flatMap(_.codebook))
       .getOrElse("centroids.parquet")
     spark.read.parquet(s"$indexDir/$file")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .toSeq.sortBy(_._1)
   }
+
+  /** Assign-face codebook — the resolution every raw-vector consumer
+    * (ingest/serve/SemDeDup/skew) uses. */
+  def readIvfCentroids(spark: SparkSession, indexDir: String)
+      : Seq[(Int, Array[Double])] =
+    readIvfCentroidsFace(spark, indexDir, "assign")
 
   /** Per-list row counts over the WHOLE stored index (epoch + hot) —
     * a column-pruned scan (the parquet reader materializes only the
@@ -1810,12 +1837,24 @@ object StreamIngest {
     * [[graft.functions.MatrixExpressions.ivfAssign6]] pass (a
     * projection — the only full rewrite, inherent to re-clustering),
     * write the new codebook VERSIONED + the re-assigned segment, and
-    * commit both through the single manifest swap (`codebook=`
-    * pointer) — crash-safe: until the swap, readers pair the old
-    * epoch with the old codebook; after it, the new with the new. A
-    * coexisting codes face is re-labeled with the new lists in the
-    * same commit (PQ books are codebook-independent — codes
-    * themselves don't change).
+    * commit each face through ITS OWN manifest swap (`codebook=`
+    * pointer) — crash-safe because every consumer resolves the
+    * codebook from the manifest of the face it reads
+    * ([[readIvfCentroidsFace]]): until a face's swap, its readers
+    * pair its old rows with its old anchors; after it, new with new.
+    * A coexisting codes face is re-labeled with the new lists (PQ
+    * books are codebook-independent — codes themselves don't change)
+    * and commits FIRST, the assign face last — a crash between the
+    * two leaves both faces self-consistent, merely one codebook
+    * version apart, and the next re-cluster converges them. Codebook
+    * files are versioned across BOTH faces (max+1) and never
+    * overwritten, so a lock-free concurrent serve can never read a
+    * half-swapped file. Codes rows whose vec_id is absent from the
+    * assign face (a codes-only ingest interleaved with an assign
+    * ingest) are NOT dropped: their vectors are reconstructed from
+    * the PQ books (decode = the codes' own centroid sub-vectors) and
+    * assigned against the new anchors — the standard ADC
+    * reconstruction, exact enough for list placement.
     *
     * Requires the assign (raw-vector) face — a codes-only index has
     * nothing to retrain on; re-ingest it from the corpus instead.
@@ -1844,10 +1883,18 @@ object StreamIngest {
             val anchors = graft.operators.Similarity
               .trainIvfAnchors(vecs, "vec_id", "vec", k, iters,
                 sampleN)
-            val ver = prior.flatMap(_.codebook) match {
-              case Some(CodebookVer(n)) => n.toLong + 1
-              case _ => 2L
-            }
+            // version across BOTH faces: after a crash between the
+            // two face commits the faces sit one version apart, and
+            // reusing either number would overwrite a file a live
+            // manifest still points at
+            def verOf(l: Option[IndexLayout]): Long =
+              l.flatMap(_.codebook) match {
+                case Some(CodebookVer(n)) => n.toLong
+                case _ => 1L
+              }
+            val codesEpoch = s"$indexDir/codes_epoch"
+            val codesPrior = readLayout(spark, codesEpoch)
+            val ver = math.max(verOf(prior), verOf(codesPrior)) + 1
             val cbFile = s"centroids_v$ver.parquet"
             anchors.toDF("list", "cvec").coalesce(1)
               .write.mode("overwrite")
@@ -1862,29 +1909,52 @@ object StreamIngest {
               reassigned.join(vecs, "vec_id")
                 .select(col("vec_id"), col("list"), col("vec")),
               0, "list", Seq("vec_id"))
-            // codes face (if present): same rows, new list labels
-            val codesEpoch = s"$indexDir/codes_epoch"
-            val codesPrior = readLayout(spark, codesEpoch)
+            // codes face (if present): same rows, new list labels;
+            // rows absent from the assign face re-assign on their
+            // PQ-RECONSTRUCTED vector instead of being dropped
             val codesSeg = codesPrior.flatMap { cl =>
               readEpochFrame(spark, codesEpoch).flatMap { cdf =>
+                val codes0 = cdf.select(
+                  col("vec_id").cast("long").as("vec_id"),
+                  col("codes"))
+                val joined = codes0
+                  .join(reassigned, Seq("vec_id"), "left")
+                val matched = joined.filter(col("list").isNotNull)
+                  .select(col("vec_id"), col("list"), col("codes"))
+                val orphans = joined.filter(col("list").isNull)
+                  .select(col("vec_id"), col("codes"))
+                val books = readPqBooks(spark, indexDir)
+                val booksLit = typedLit(
+                  books.map(_.map(_.toSeq).toSeq).toSeq)
+                val decoded = orphans.withColumn("__v",
+                  flatten(transform(col("codes"), (c, m) =>
+                    element_at(
+                      element_at(booksLit, m.cast("int") + 1),
+                      c + 1))))
+                val orphanRows = graft.operators.Similarity
+                  .ivfAssignFixed(decoded, "vec_id", "__v", anchors)
+                  .select(col("vec_id"), col("list"))
+                  .join(orphans, "vec_id")
+                  .select(col("vec_id"), col("list"), col("codes"))
                 val nextC = 1L + cl.segs
                   .flatMap(s => segIdOf(s.name))
                   .foldLeft(0L)(math.max)
                 writeSegment(fs, codesEpoch, s"seg_$nextC",
-                  cdf.select(col("vec_id").cast("long")
-                    .as("vec_id"), col("codes"))
-                    .join(reassigned, "vec_id")
-                    .select(col("vec_id"), col("list"),
-                      col("codes")),
+                  matched.unionByName(orphanRows),
                   0, "list", Seq("vec_id"))
               }
             }
-            // ONE commit point per face; assign swaps first (it
-            // carries the codebook pointer every reader resolves)
-            commitEpoch(fs, assignEpoch, IndexLayout(prior.get.wm,
-              0, seg.toSeq, Some(cbFile)))
+            // per-face commit points; codes FIRST, assign LAST — a
+            // crash between them leaves each face self-consistent
+            // (its own rows with its own manifest's codebook), one
+            // version apart until the next re-cluster converges them
             codesPrior.foreach(cl => commitEpoch(fs, codesEpoch,
               IndexLayout(cl.wm, 0, codesSeg.toSeq, Some(cbFile))))
+            if (reclusterCrashBeforeAssignCommit)
+              sys.error("injected crash: between the codes-face and " +
+                "assign-face manifest commits")
+            commitEpoch(fs, assignEpoch, IndexLayout(prior.get.wm,
+              0, seg.toSeq, Some(cbFile)))
             true
           } finally vecs.unpersist(): Unit
         }
@@ -1892,6 +1962,13 @@ object StreamIngest {
     }
 
   private val CodebookVer = "centroids_v(\\d+)\\.parquet".r
+
+  /** Test seam: when set, [[reclusterIvfIndex]] dies between the two
+    * face commits — the kill-between-commits spec drives the crash
+    * window's contract (each face stays self-consistent under
+    * per-face codebook resolution, and the next re-cluster converges
+    * the versions) through it. Never set outside tests. */
+  private[graft] var reclusterCrashBeforeAssignCommit = false
 
   /** Drift trigger for the maintenance plane: re-cluster when the
     * list-size skew crosses `maxSkew` (disabled at 0). */
@@ -2057,7 +2134,9 @@ object StreamIngest {
       val fs = new org.apache.hadoop.fs.Path(indexDir)
         .getFileSystem(spark.sessionState.newHadoopConf())
       markInflight(fs, indexDir, batchId)
-      val anchors = readIvfCentroids(spark, indexDir)
+      // codes-face resolution: new codes must be labeled with the
+      // anchors the STORED codes carry, even mid-recluster-crash
+      val anchors = readIvfCentroidsFace(spark, indexDir, "codes")
       val books = readPqBooks(spark, indexDir)
       val dsub = books.head.head.length
       val rows = graft.operators.Similarity
@@ -2100,7 +2179,10 @@ object StreamIngest {
       idCol: String, vecCol: String, indexDir: String,
       corpus: DataFrame, k: Int, nProbe: Int = 1,
       refine: Int = 4): DataFrame = {
-    val anchors = readIvfCentroids(spark, indexDir)
+    // probe with the anchors the stored codes were LABELED with (the
+    // codes face's own manifest) — never the assign face's, which may
+    // be one re-cluster commit ahead or behind
+    val anchors = readIvfCentroidsFace(spark, indexDir, "codes")
     val books = readPqBooks(spark, indexDir)
     val probed = graft.operators.Similarity
       .ivfProbeFixed(queries, idCol, vecCol, anchors, nProbe)

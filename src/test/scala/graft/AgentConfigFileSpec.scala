@@ -126,13 +126,16 @@ class AgentConfigFileSpec extends AnyFunSuite {
   }
 
   test("index-maintenance keys land from [general] (r16: index-dirs, " +
-    "index-max-hot-batches — the daemon tick's compaction cadence)") {
+    "index-max-hot-batches — the daemon tick's compaction cadence; " +
+    "r18: index-max-skew — the tick's drift re-cluster threshold, " +
+    "default-disabled)") {
     val p = AgentConfigFile.parse("""
       |[general]
       | master-db = "m"
       | slave-db = "s"
       | index-dirs = "/idx/a,/idx/b"
       | index-max-hot-batches = 3
+      | index-max-skew = 2.5
       |[[influxdb]]
       | name = "m"
       | location = "/m"
@@ -143,5 +146,9 @@ class AgentConfigFileSpec extends AnyFunSuite {
     val c = AgentConfigFile.apply(p, AgentConfig("", ""))
     assert(c.indexDirs == "/idx/a,/idx/b")
     assert(c.indexMaxHotBatches == 3)
+    assert(c.indexMaxSkew == 2.5)
+    // absent key keeps the drift policy OFF (re-clustering rewrites
+    // the epoch — strictly operator-opt-in)
+    assert(AgentConfig("", "").indexMaxSkew == 0.0)
   }
 }

@@ -24,7 +24,9 @@ object PlanDump {
       "dedup_semantic_inc", "ann_ivf_inc_pruned_topk",
       "ann_ivf_inc_multiprobe_topk", "ann_ivf_expired_topk",
       // r17 PQ/codes face: final plan is the IVFADC serve
-      "ann_ivfpq_inc_topk")
+      "ann_ivfpq_inc_topk",
+      // r18 drift repair: final plan is the two-face serve union
+      "ann_ivf_recluster_topk")
     hot.foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect(): Unit

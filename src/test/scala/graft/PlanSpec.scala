@@ -164,6 +164,10 @@ class PlanSpec extends AnyFunSuite {
       // r17 PQ/codes face: the IVFADC serve — probe broadcast + the
       // bounded ADC-shortlist agg + re-rank joins (PlanDump: 3/1)
       "ann_ivfpq_inc_topk" -> ((3, 1)),
+      // r18 drift repair: the final plan UNIONS the post-re-cluster
+      // assign serve (3 exchanges) and IVFADC serve (3) — the
+      // re-cluster itself runs in its own bounded jobs
+      "ann_ivf_recluster_topk" -> ((6, 3)),
       "ann_lsh_multiprobe_recall" -> ((11, 4)),
       "dedup_keep_best" -> ((9, 5)),
       "layout_bucketed_join" -> ((2, 1)),

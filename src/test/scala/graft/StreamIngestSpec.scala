@@ -1600,4 +1600,149 @@ class StreamIngestSpec extends AnyFunSuite {
       .select("id").distinct().collect().map(_.getLong(0)).toSet
       === Set(1L))
   }
+
+  // ---- codebook drift repair (r18) ---------------------------------
+
+  /** Drift fixture: two clean clusters that BOTH assign to list 0
+    * under the stale 2-anchor codebook ([1,0] / [0,1]) — cluster A
+    * hugs [1, 0], cluster B hugs [0.8, 0.6] (cos 0.8 vs 0.6 against
+    * the stale anchors → list 0 for all) — so the stored index is
+    * maximally skewed (skew = 2.0) and a k=2 re-train must separate
+    * them (balanced lists, skew 1.0). */
+  private def driftCorpus = {
+    import spark.implicits._
+    val a = (0 until 7).map(i => (10L + i, Seq(1.0, 0.01 * i)))
+    val b = (0 until 7).map(i => (20L + i, Seq(0.8, 0.6 + 0.01 * i)))
+    (a ++ b).toDF("id", "vec")
+  }
+
+  private def staleAnchors =
+    Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0))
+
+  private def asTopkRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "rank", "neighbor_id", "cosine_r")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+  test("codebook drift repair (r18): a skewed stream crosses the " +
+    "index-max-skew threshold on the tick, maintainIndexes " +
+    "re-clusters (re-trained codebook, re-assigned epoch, re-labeled " +
+    "codes face, per-face versioned manifests), lists come out " +
+    "balanced, and BOTH faces' serves still equal brute force " +
+    "across the swap") {
+    val idx = Files.createTempDirectory("graft_drift_idx").toString
+    val corpus = driftCorpus
+    StreamIngest.ivfIndexInit(spark, idx, staleAnchors)
+    StreamIngest.pqBooksInit(spark, idx,
+      graft.operators.Similarity.trainPqBooks(corpus, "id", "vec",
+        numSub = 2, ksub = 4))
+    StreamIngest.ivfIngestBatch(corpus, "id", "vec", idx, 0L)
+    StreamIngest.ivfPqIngestBatch(corpus, "id", "vec", idx, 1L)
+    assert(StreamIngest.compactIvfIndex(spark, idx) == 28L)
+    // every vector crowded into list 0 under the stale codebook
+    val skew0 = StreamIngest.ivfListSkew(spark, idx)
+    assert(skew0 > 1.9, s"fixture must be skewed, got $skew0")
+    // below the threshold: the tick does NOT re-cluster
+    assert(StreamIngest.maintainIndexes(spark, Seq(idx),
+      maxHotBatches = 8, maxSkew = 2.5).forall(!_._2))
+    assert(StreamIngest.ivfListSkew(spark, idx) == skew0)
+    // above it: the tick re-clusters
+    val ticked = StreamIngest.maintainIndexes(spark, Seq(idx),
+      maxHotBatches = 8, maxSkew = 1.5)
+    assert(ticked.forall(_._2), ticked.toString)
+    // lists balanced: the two real clusters separated (skew 1.0)
+    val skew1 = StreamIngest.ivfListSkew(spark, idx)
+    assert(skew1 < 1.2, s"re-cluster must balance lists, got $skew1")
+    // BOTH faces committed the same versioned codebook
+    for (face <- Seq("assign", "codes")) {
+      val l = StreamIngest.readLayout(spark, s"$idx/${face}_epoch")
+      assert(l.flatMap(_.codebook)
+        === Some("centroids_v2.parquet"), s"$face: $l")
+    }
+    // serves across the swap still equal brute force at the
+    // degenerate-exact corner (nProbe = nlist = 2, shortlist ≥ all)
+    val queries = corpus.filter(col("id").isin(10L, 20L, 15L))
+    val brute = asTopkRows(graft.operators.Similarity
+      .bruteForceTopK(queries, corpus, "id", "vec", 3))
+    assert(brute.nonEmpty)
+    assert(asTopkRows(StreamIngest.ivfIndexTopK(spark, queries,
+      "id", "vec", idx, 3, nProbe = 2)) === brute, "assign serve")
+    assert(asTopkRows(StreamIngest.ivfPqIndexTopK(spark, queries,
+      "id", "vec", idx, corpus, 3, nProbe = 2, refine = 10))
+      === brute, "codes serve")
+    // a re-cluster with NO codes face also works (assign-only root)
+    val idx2 = Files.createTempDirectory("graft_drift2_idx").toString
+    StreamIngest.ivfIndexInit(spark, idx2, staleAnchors)
+    StreamIngest.ivfIngestBatch(corpus, "id", "vec", idx2, 0L)
+    StreamIngest.compactIvfIndex(spark, idx2): Unit
+    assert(StreamIngest.reclusterIvfIndex(spark, idx2))
+    assert(asTopkRows(StreamIngest.ivfIndexTopK(spark, queries,
+      "id", "vec", idx2, 3, nProbe = 2)) === brute)
+  }
+
+  test("re-cluster kill between the two face commits (r18): the " +
+    "codes face lands on the new codebook, the assign face stays on " +
+    "the old — BOTH serves stay correct (per-face codebook " +
+    "resolution pairs each face's rows with its own anchors), a new " +
+    "codes ingest labels against the CODES manifest's anchors, and " +
+    "the next re-cluster converges the versions") {
+    val idx = Files.createTempDirectory("graft_kill_idx").toString
+    val corpus = driftCorpus
+    StreamIngest.ivfIndexInit(spark, idx, staleAnchors)
+    StreamIngest.pqBooksInit(spark, idx,
+      graft.operators.Similarity.trainPqBooks(corpus, "id", "vec",
+        numSub = 2, ksub = 4))
+    StreamIngest.ivfIngestBatch(corpus, "id", "vec", idx, 0L)
+    StreamIngest.ivfPqIngestBatch(corpus, "id", "vec", idx, 1L)
+    StreamIngest.compactIvfIndex(spark, idx): Unit
+    StreamIngest.reclusterCrashBeforeAssignCommit = true
+    try intercept[RuntimeException] {
+      StreamIngest.reclusterIvfIndex(spark, idx)
+    } finally StreamIngest.reclusterCrashBeforeAssignCommit = false
+    // the crash window: faces one codebook version apart...
+    assert(StreamIngest.readLayout(spark, s"$idx/codes_epoch")
+      .flatMap(_.codebook) === Some("centroids_v2.parquet"))
+    assert(StreamIngest.readLayout(spark, s"$idx/assign_epoch")
+      .flatMap(_.codebook) === None, "assign must still be stale")
+    // ...but each self-consistent: both serves still equal brute
+    // force (the r17 shape resolved the codes face through the
+    // ASSIGN manifest and served wrong pruned answers here)
+    val queries = corpus.filter(col("id").isin(10L, 20L, 15L))
+    val brute = asTopkRows(graft.operators.Similarity
+      .bruteForceTopK(queries, corpus, "id", "vec", 3))
+    assert(asTopkRows(StreamIngest.ivfIndexTopK(spark, queries,
+      "id", "vec", idx, 3, nProbe = 2)) === brute,
+      "assign serve in the crash window")
+    assert(asTopkRows(StreamIngest.ivfPqIndexTopK(spark, queries,
+      "id", "vec", idx, corpus, 3, nProbe = 2, refine = 10))
+      === brute, "codes serve in the crash window")
+    // a NEW codes ingest inside the window labels with the CODES
+    // manifest's (new) anchors, keeping the face self-consistent
+    import spark.implicits._
+    val late = Seq((30L, Seq(0.81, 0.59))).toDF("id", "vec")
+    StreamIngest.ivfPqIngestBatch(late, "id", "vec", idx, 2L)
+    val v2 = StreamIngest.readIvfCentroidsFace(spark, idx, "codes")
+    val expected = graft.operators.Similarity
+      .ivfAssignFixed(late, "id", "vec", v2)
+      .select("vec_id", "list").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored = spark.read
+      .parquet(s"$idx/codes/batch=2")
+      .select("vec_id", "list").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored === expected, s"$stored vs $expected")
+    // recovery: the next re-cluster converges both faces (v3) and
+    // serves stay exact (corpus now includes the late row)
+    assert(StreamIngest.reclusterIvfIndex(spark, idx))
+    for (face <- Seq("assign", "codes"))
+      assert(StreamIngest.readLayout(spark, s"$idx/${face}_epoch")
+        .flatMap(_.codebook) === Some("centroids_v3.parquet"), face)
+    val corpus2 = corpus.unionByName(late)
+    val brute2 = asTopkRows(graft.operators.Similarity
+      .bruteForceTopK(queries, corpus2, "id", "vec", 3))
+    assert(asTopkRows(StreamIngest.ivfPqIndexTopK(spark, queries,
+      "id", "vec", idx, corpus2, 3, nProbe = 2, refine = 10))
+      === brute2, "codes serve after recovery")
+  }
 }
