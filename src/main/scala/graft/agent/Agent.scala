@@ -677,12 +677,19 @@ final class Agent(
     val exec = graft.ql.QlPlanner.executorScoped(spark, cfg.slaveRoot,
       dp.liveCatalog(), allowMutations = cfg.allowMutations,
       onMutation = () => { dp.dropCatalog(); dp.ws.invalidateSchema() })
+    val statsDirs = cfg.indexDirs.split(',').map(_.trim)
+      .filter(_.nonEmpty).toSeq
     new graft.api.StatusServer(cfg.httpPort, status,
       () => Seq("master" -> masterProbe(), "slave" -> slaveProbe()),
       cfg.adminUser, cfg.adminPassword, cfg.staticDir,
       queryExecScoped = Some(exec),
       writeExec = Some(dp.write),
-      dataUser = cfg.dataUser, dataPassword = cfg.dataPassword)
+      dataUser = cfg.dataUser, dataPassword = cfg.dataPassword,
+      indexStatsJson =
+        if (statsDirs.isEmpty) None
+        else Some(() => StreamIngest
+          .indexStats(spark, statsDirs)
+          .toJSON.collect().mkString("[", ",", "]")))
   }
 
   def dispatch(action: String): Unit = action match {

@@ -73,7 +73,15 @@ final class StatusServer(
     // db. Separate parameter so existing single-root wirings stay
     // source-compatible.
     queryExecScoped: Option[(String, Option[String]) =>
-      org.apache.spark.sql.DataFrame] = None) {
+      org.apache.spark.sql.DataFrame] = None,
+    // wired → GET /api/indexstats serves the growing-index
+    // observability frame (graft.streaming.StreamIngest.indexStats)
+    // as a JSON array — watermark, tiers, hot depth, live _inflight_
+    // stalls with age, list skew. Same ops-counter posture as
+    // /api/health (the reference exposes its cluster state there,
+    // pkg/webui/api.go:15-45); None keeps the endpoint absent (no
+    // index roots owned).
+    indexStatsJson: Option[() => String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // token → expiry epoch-ms; pruned on every login/validation so a
@@ -512,6 +520,9 @@ final class StatusServer(
       else respond(ex, 200, healthJson(status())))
     server.createContext("/api/queryactive",
       (ex: HttpExchange) => respond(ex, 200, queryActiveJson(serverNames())))
+    indexStatsJson.foreach(stats =>
+      server.createContext("/api/indexstats", (ex: HttpExchange) =>
+        respond(ex, 200, stats())))
     server.createContext("/api/action", (ex: HttpExchange) =>
       // session-gated action stub (api.go:54-61)
       if (signedIn(ex)) respond(ex, 200, jstr("hola"))

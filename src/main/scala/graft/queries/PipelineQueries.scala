@@ -217,6 +217,45 @@ object PipelineQueries {
         SELECT 'codes' AS face, query_id, rank, neighbor_id,
           cosine_r FROM base""".replaceAll("\\s+", " ")
 
+  // index_stats oracle: recompute every deterministic stat of the
+  // entry's grown index from the embeddings table — the epoch
+  // segment holds all non-zero-norm vectors (batch 0, folded at
+  // wm=0), the hot tail is the vec_id<100 re-ingest (batch 1), and
+  // the skew reconstructs the fixed-anchor assignment (the shared
+  // ivfIncTopKSql CTE shape) over epoch+hot, max list / (total /
+  // nlist=4), rounded like the engine's single-division contract.
+  private lazy val IndexStatsSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        a AS (SELECT vec_id AS list, v AS av FROM v WHERE vec_id < 4),
+        nz AS (SELECT vec_id, v FROM v
+          WHERE list_reduce(list_transform(v, x -> x*x),
+            (x,y) -> x+y) > 0),
+        s0 AS (SELECT nz.vec_id, a.list,
+          round(list_reduce(list_transform(generate_series(1,64),
+            i -> nz.v[i]*a.av[i]), (x,y) -> x+y)
+            / (sqrt(list_reduce(list_transform(nz.v, x -> x*x),
+                (x,y) -> x+y))
+             * sqrt(list_reduce(list_transform(a.av, x -> x*x),
+                (x,y) -> x+y))), 6) AS cos_r
+          FROM nz, a),
+        asg AS (SELECT vec_id, list FROM (SELECT vec_id, list,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos_r DESC, list) AS rk FROM s0) WHERE rk = 1),
+        tot AS (SELECT list, count(*) AS c FROM (
+            SELECT list FROM asg
+            UNION ALL
+            SELECT list FROM asg WHERE vec_id < 100)
+          GROUP BY list)
+        SELECT 'assign' AS tier, 0::BIGINT AS wm, 1::BIGINT AS segments,
+          (SELECT count(*) FROM nz) AS seg_rows,
+          1::BIGINT AS hot_batches,
+          (SELECT count(*) FROM nz WHERE vec_id < 100) AS hot_rows,
+          0::BIGINT AS inflight,
+          'centroids.parquet' AS codebook,
+          (SELECT round(max(c) / (sum(c) / 4.0), 6) FROM tot)
+            AS list_skew""".replaceAll("\\s+", " ")
+
   // ann_lsh_topk registry config — interpolated into BOTH the engine
   // call and the oracle SQL, so the two cannot drift
   final val LshTables = 2
@@ -1290,6 +1329,47 @@ object PipelineQueries {
           col("neighbor_id"), col("cosine_r"))
       },
       Some(ReclusterOracle)),
+
+    // INDEX OBSERVABILITY (r18): the SHOW-style stats frame over a
+    // deterministically grown index — one folded epoch (wm=0, one
+    // segment holding every non-zero-norm embedding) plus one live
+    // hot batch (the vec_id < 100 re-ingest), zero in-flight
+    // markers, init codebook, and the list-size skew the drift
+    // trigger compares against. The oracle recomputes every count
+    // (and the skew, via the shared fixed-anchor assignment CTEs)
+    // from the embeddings table alone — everything indexStats reads
+    // from manifests and listings must equal what the data implies.
+    // Byte sizes and marker ages are real but non-reproducible in
+    // SQL, so the entry selects the deterministic columns; the spec
+    // covers the rest (incl. live-stall reporting). Served at GET
+    // /api/indexstats for operators (StatusServerSpec E2E).
+    "index_stats" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_idxst_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(p, true): Unit
+        val e = emb(s, dir)
+        val idx = s"$root/idx"
+        graft.streaming.StreamIngest.ivfIndexInit(s, idx,
+          fixedAnchors(e))
+        graft.streaming.StreamIngest.ivfIngestBatch(e, "vec_id",
+          "embedding", idx, 0L)
+        graft.streaming.StreamIngest.compactIvfIndex(s, idx): Unit
+        graft.streaming.StreamIngest.ivfIngestBatch(
+          e.filter(col("vec_id") < 100), "vec_id", "embedding",
+          idx, 1L)
+        graft.streaming.StreamIngest.indexStats(s, Seq(idx))
+          .select(col("tier"), col("wm"),
+            col("segments").cast("long").as("segments"),
+            col("seg_rows"),
+            col("hot_batches").cast("long").as("hot_batches"),
+            col("hot_rows"),
+            col("inflight").cast("long").as("inflight"),
+            col("codebook"),
+            round(col("list_skew"), 6).as("list_skew"))
+      },
+      Some(IndexStatsSql)),
 
     // INCREMENTAL SemDeDup over the persistent IVF index (r16) — the
     // index's third face: the stored corpus (vec_id % 10 != 9) is

@@ -1573,8 +1573,98 @@ object StreamIngest {
       val reclustered = maxSkew > 0 &&
         (has("assign") || has("assign_epoch")) &&
         maybeReclusterIvfIndex(spark, dir, maxSkew)
+      // the gate's safe failure mode made visible: a live _inflight_
+      // marker (an abandoned or mid-crash stream) stalls this root's
+      // fold at that batch FOREVER by design — once the hot tail has
+      // outgrown the cadence threshold with markers live, say so
+      // loudly instead of silently re-skipping every tick
+      val inflight = inflightIds(spark, dir)
+      if (inflight.nonEmpty) {
+        val hot = Seq("bands", "sigs", "assign", "codes").map(t =>
+          liveHotCount(spark, s"$dir/$t", s"$dir/${t}_epoch")).max
+        if (hot > maxHotBatches)
+          System.err.println(s"[graft] WARNING: index $dir has live " +
+            s"_inflight_ markers (batch " +
+            s"${inflight.toSeq.sorted.mkString(",")}) stalling " +
+            s"compaction past the cadence threshold ($hot hot " +
+            s"batches > $maxHotBatches). If the owning stream is " +
+            "gone, its batch partitions are a failed attempt — " +
+            "inspect and clear the marker. See /api/indexstats.")
+      }
       dir -> (lsh || ivf || reclustered)
     }
+
+  // ---- index observability (r18) ------------------------------------
+
+  /** Per-(root, tier) stats of the growing indexes — everything the
+    * `_layout` manifests and one directory listing already know:
+    * epoch watermark, live segment count/bytes/rows (manifest-only),
+    * hot-tail depth (batch dirs AND rows), live `_inflight_` markers
+    * with the oldest marker's age, the face's resolved codebook, and
+    * the assign-face list-size skew (the [[maybeReclusterIvfIndex]]
+    * trigger input). This is the surface the single-writer gate's
+    * safe failure mode depends on: a marker left by an abandoned
+    * stream stalls its root's compaction FOREVER by design, and
+    * without this frame the operator experience would be "hot tail
+    * grows unbounded, every ingest slows, no signal anywhere".
+    * Served at GET /api/indexstats (ops-counter posture:
+    * /root/reference/pkg/webui/api.go:15-45 exposes the reference's
+    * equivalent cluster state) and oracled as the `index_stats`
+    * registry entry.
+    *
+    * Cheap by construction: segments come from the manifest (no data
+    * scan), hot rows from parquet footers only, skew from a
+    * `list`-column-pruned scan (skipped when `withSkew` = false). */
+  def indexStats(spark: SparkSession, indexDirs: Seq[String],
+      withSkew: Boolean = true,
+      nowMs: () => Long = () => System.currentTimeMillis())
+      : DataFrame = {
+    import spark.implicits._
+    val rows = indexDirs.flatMap { dir =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def has(sub: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+      val inflight = inflightIds(spark, dir)
+      val oldestAgeMs: Option[Long] =
+        if (inflight.isEmpty) None
+        else Some(inflight.toSeq.map(id => nowMs() -
+          fs.getFileStatus(inflightMarker(dir, id))
+            .getModificationTime).max)
+      val skew: Option[Double] =
+        if (withSkew && (has("assign") || has("assign_epoch")))
+          Some(ivfListSkew(spark, dir))
+        else None
+      Seq("bands", "sigs", "assign", "codes").flatMap { tier =>
+        if (!has(tier) && !has(s"${tier}_epoch")) None
+        else {
+          val layout = readLayout(spark, s"$dir/${tier}_epoch")
+          val segs = layout.map(_.segs).getOrElse(Seq.empty)
+          val wm = layout.map(_.wm).getOrElse(Long.MinValue)
+          val hotDirs =
+            listBatchDirs(fs, new org.apache.hadoop.fs.Path(
+              s"$dir/$tier")).filter(_._1 > wm)
+          val hotRows =
+            if (hotDirs.isEmpty) 0L
+            else spark.read.option("basePath", s"$dir/$tier")
+              .parquet(hotDirs.map(_._2.toString): _*).count()
+          val codebook =
+            if (tier == "assign" || tier == "codes")
+              Some(layout.flatMap(_.codebook)
+                .getOrElse("centroids.parquet"))
+            else None
+          Some((dir, tier, layout.map(_.wm), segs.length,
+            segs.map(s => math.max(0L, s.bytes)).sum,
+            segs.map(s => math.max(0L, s.rows)).sum,
+            hotDirs.length, hotRows, inflight.size, oldestAgeMs,
+            codebook, if (tier == "assign") skew else None))
+        }
+      }
+    }
+    rows.toDF("index", "tier", "wm", "segments", "seg_bytes",
+      "seg_rows", "hot_batches", "hot_rows", "inflight",
+      "oldest_inflight_ms", "codebook", "list_skew")
+  }
 
   /** Live (above-watermark) hot dirs — the quantity the cadence
     * policy bounds; folded crash leftovers don't count. */

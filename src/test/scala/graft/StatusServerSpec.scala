@@ -35,6 +35,51 @@ class StatusServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("/api/indexstats serves the growing-index observability frame " +
+    "(r18): tiers, watermark, segment state, hot depth, and live " +
+    "_inflight_ stalls with age — the gate's safe failure mode made " +
+    "operator-visible (ops-counter posture of /api/health)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_stats_idx").toString
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.9, 0.1))).toDF("id", "vec")
+    graft.streaming.StreamIngest.ivfIndexInit(spark, idx,
+      Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0)))
+    graft.streaming.StreamIngest.ivfIngestBatch(corpus, "id", "vec",
+      idx, 0L)
+    graft.streaming.StreamIngest.compactIvfIndex(spark, idx): Unit
+    // an abandoned stream's marker: written, never cleared
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(idx, "_inflight_7")): Unit
+    val status = ClusterStatus("OK", 0L, 0L, masterState = true,
+      masterLastOkNs = 1L, slaveState = true, slaveLastOkNs = 1L)
+    val srv = new StatusServer(0, () => status, () => Nil,
+      indexStatsJson = Some(() => graft.streaming.StreamIngest
+        .indexStats(spark, Seq(idx))
+        .toJSON.collect().mkString("[", ",", "]")))
+    srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      val body = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv.boundPort}/api/indexstats"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(body.startsWith("[") && body.endsWith("]"), body)
+      assert(body.contains("\"tier\":\"assign\""), body)
+      assert(body.contains("\"wm\":0"), body)
+      assert(body.contains("\"segments\":1"), body)
+      assert(body.contains("\"seg_rows\":3"), body)
+      assert(body.contains("\"hot_batches\":0"), body)
+      assert(body.contains("\"inflight\":1"), body)
+      assert(body.contains("\"oldest_inflight_ms\""), body)
+      assert(body.contains("\"codebook\":\"centroids.parquet\""), body)
+      assert(body.contains("\"list_skew\""), body)
+    } finally srv.stop()
+  }
+
   test("/query serves the InfluxDB 1.x query API over the ql " +
     "front-end: SELECT aggregates, SHOW discovery, row-cap partial " +
     "marker, and 400 on parse errors (the API client.go:57-70 consumes)") {

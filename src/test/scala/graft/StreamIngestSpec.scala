@@ -1681,6 +1681,67 @@ class StreamIngestSpec extends AnyFunSuite {
       "id", "vec", idx2, 3, nProbe = 2)) === brute)
   }
 
+  test("index observability (r18): indexStats reports per-tier " +
+    "manifest state, hot depth, and live _inflight_ stalls; a " +
+    "stalled root past the cadence threshold WARNS on the tick " +
+    "instead of silently re-skipping forever") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_obs_idx").toString
+    val marks = Files.createTempDirectory("graft_obs_mk").toString
+    StreamIngest.lshIngestBatch(
+      Seq((1L, "alpha beta gamma delta epsilon")).toDF("id", "text"),
+      "id", "text", idx, marks, 0L, 8, 4, 3, 4)
+    StreamIngest.compactLshIndex(spark, idx): Unit
+    StreamIngest.lshIngestBatch(
+      Seq((2L, "one two three four five")).toDF("id", "text"),
+      "id", "text", idx, marks, 1L, 8, 4, 3, 4)
+    val st = StreamIngest.indexStats(spark, Seq(idx))
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(st.keySet === Set("bands", "sigs"), st.keySet.toString)
+    val b = st("bands")
+    assert(b.getLong(b.fieldIndex("wm")) == 0L)
+    assert(b.getInt(b.fieldIndex("segments")) == 1)
+    assert(b.getLong(b.fieldIndex("seg_rows")) == 4L) // 4 bands/doc
+    assert(b.getLong(b.fieldIndex("seg_bytes")) > 0L)
+    assert(b.getInt(b.fieldIndex("hot_batches")) == 1)
+    assert(b.getLong(b.fieldIndex("hot_rows")) == 4L)
+    assert(b.getInt(b.fieldIndex("inflight")) == 0)
+    assert(b.isNullAt(b.fieldIndex("codebook")), "LSH tier: no book")
+    assert(b.isNullAt(b.fieldIndex("list_skew")))
+    // an abandoned stream's marker (written, never cleared) stalls
+    // the fold at batch 1 — the stats surface it with an age
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(idx, "_inflight_1")): Unit
+    val st2 = StreamIngest.indexStats(spark, Seq(idx)).collect()
+    assert(st2.forall(r => r.getInt(r.fieldIndex("inflight")) == 1))
+    assert(st2.forall(r =>
+      r.getLong(r.fieldIndex("oldest_inflight_ms")) >= 0L))
+    // the tick refuses to fold past the marker AND warns once the
+    // hot tail has outgrown the cadence threshold
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+    try StreamIngest.maintainIndexes(spark, Seq(idx),
+      maxHotBatches = 0): Unit
+    finally System.setErr(old)
+    val warned = buf.toString("UTF-8")
+    assert(warned.contains("stalling compaction") &&
+      warned.contains(idx), warned)
+    assert(StreamIngest.indexStats(spark, Seq(idx)).collect()
+      .find(_.getString(1) == "bands")
+      .exists(r => r.getInt(r.fieldIndex("hot_batches")) == 1))
+    // marker cleared (operator action) -> the next tick folds
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(idx, "_inflight_1"))
+    StreamIngest.maintainIndexes(spark, Seq(idx),
+      maxHotBatches = 0): Unit
+    val b3 = StreamIngest.indexStats(spark, Seq(idx)).collect()
+      .find(_.getString(1) == "bands").get
+    assert(b3.getLong(b3.fieldIndex("wm")) == 1L)
+    assert(b3.getInt(b3.fieldIndex("hot_batches")) == 0)
+    assert(b3.getLong(b3.fieldIndex("seg_rows")) == 8L)
+  }
+
   test("re-cluster kill between the two face commits (r18): the " +
     "codes face lands on the new codebook, the assign face stays on " +
     "the old — BOTH serves stay correct (per-face codebook " +
