@@ -74,7 +74,7 @@ object IndexProbe {
       .cache()
     val batchRows = batch.count()
 
-    def lshStep(mult: Int): (Long, Double, Double) = {
+    def lshStep(mult: Int): (Long, Double, Double, Double) = {
       val idx = s"$root/lsh_$mult/idx"
       val marks = s"$root/lsh_$mult/marks"
       val store = replicate(docs, "id", mult, salt = true)
@@ -113,7 +113,21 @@ object IndexProbe {
         (System.nanoTime() - t0) / 1e9
       }
       val foldSec = foldTs.drop(1).sorted.apply(Reps / 2)
-      (storeRows, sec, foldSec)
+      // RETENTION fold cost (r18 tombstones): expire a small fixed
+      // sliver of ids — the pass is an id-column-pruned scan plus an
+      // O(expired) tombstone write, never the r17 store rewrite, so
+      // it must stay far from linear in store size
+      val retSec = {
+        val live = StreamIngest.readLshIndex(spark, idx)._2
+          .select(col("id")).distinct()
+          .filter(pmod(col("id"), lit(1000L)) =!= 0L)
+        val t0 = System.nanoTime()
+        StreamIngest.compactLshIndex(spark, idx,
+          buckets = StreamIngest.DefaultIndexBuckets,
+          liveIds = Some(live))
+        (System.nanoTime() - t0) / 1e9
+      }
+      (storeRows, sec, foldSec, retSec)
     }
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -128,7 +142,7 @@ object IndexProbe {
     val queries = emb.filter(col("vec_id") < 16).cache()
     queries.count(): Unit
 
-    def ivfStep(mult: Int): (Long, Double, Double) = {
+    def ivfStep(mult: Int): (Long, Double, Double, Double) = {
       val idx = s"$root/ivf_$mult/idx"
       StreamIngest.ivfIndexInit(spark, idx, anchors)
       StreamIngest.ivfIngestBatch(
@@ -151,7 +165,17 @@ object IndexProbe {
         (System.nanoTime() - t0) / 1e9
       }
       val foldSec = foldTs.drop(1).sorted.apply(Reps / 2)
-      (storeRows, sec, foldSec)
+      // retention fold cost (r18 tombstones; see lshStep)
+      val retSec = {
+        val live = StreamIngest.readIvfIndex(spark, idx)
+          .select(col("vec_id")).distinct()
+          .filter(pmod(col("vec_id"), lit(1000L)) =!= 0L)
+        val t0 = System.nanoTime()
+        StreamIngest.compactIvfIndex(spark, idx,
+          liveIds = Some(live))
+        (System.nanoTime() - t0) / 1e9
+      }
+      (storeRows, sec, foldSec, retSec)
     }
 
     fs.delete(fsRoot, true): Unit
@@ -180,25 +204,27 @@ object IndexProbe {
 
     fs.delete(fsRoot, true): Unit
 
-    def block(rs: Seq[(Long, Double, Double)])
+    def block(rs: Seq[(Long, Double, Double, Double)],
+        prefix: String, stepName: String)
         : (String, Seq[(String, Double, Double)]) = {
       val growth = rs.last._2 / rs.head._2
       val foldGrowth = rs.last._3 / rs.head._3
+      val retGrowth = rs.last._4 / rs.head._4
       val js = s"""{"store_rows":[${rs.map(_._1).mkString(",")}],""" +
         s""""step_sec":[${rs.map(r => f"${r._2}%.3f").mkString(",")}],""" +
         f""""growth":$growth%.2f,""" +
         s""""fold_sec":[${rs.map(r => f"${r._3}%.3f").mkString(",")}],""" +
-        f""""fold_growth":$foldGrowth%.2f}"""
-      (js, Seq(("step", growth, rs.last._2),
-        ("fold", foldGrowth, rs.last._3)))
+        f""""fold_growth":$foldGrowth%.2f,""" +
+        s""""ret_sec":[${rs.map(r => f"${r._4}%.3f").mkString(",")}],""" +
+        f""""ret_growth":$retGrowth%.2f}"""
+      (js, Seq((s"${prefix}_$stepName", growth, rs.last._2),
+        (s"${prefix}_fold", foldGrowth, rs.last._3),
+        (s"${prefix}_retention", retGrowth, rs.last._4)))
     }
-    val (lshJs, lshG) = block(lsh)
-    val (ivfJs, ivfG) = block(ivf)
+    val (lshJs, lshG) = block(lsh, "lsh", "ingest_step")
+    val (ivfJs, ivfG) = block(ivf, "ivf", "probe_step")
     val storeRatio = Mults.last.toDouble / Mults.head
-    val flagged = (lshG.map { case (n, g, t) =>
-      (s"lsh_${if (n == "step") "ingest_step" else "fold"}", g, t) } ++
-      ivfG.map { case (n, g, t) =>
-        (s"ivf_${if (n == "step") "probe_step" else "fold"}", g, t) })
+    val flagged = (lshG ++ ivfG)
       .collect { case (n, g, t) if g > storeRatio / 2 && t > 1.0 => n }
     println(s"""{"metric":"index_probe","unit":"sec",""" +
       s""""sf":"$sfDir","batch_rows":$batchRows,""" +

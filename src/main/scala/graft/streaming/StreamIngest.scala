@@ -1166,7 +1166,8 @@ object StreamIngest {
         val bloom = RuntimeFilters.buildBloom(
           newBands.select(bandKey.as("__k")), "__k")
         Some(layout.segs.map { s =>
-          spark.read.parquet(segPath(s"$indexDir/bands_epoch", s))
+          readSegLive(spark, s"$indexDir/bands_epoch", s,
+            layout.tombs, "id")
             .filter(col("bb").isin(touched(s.buckets): _*))
             .filter(RuntimeFilters.mightContain(bloom, bandKey))
             .select(col("id"), col("band"), col("band_hash"))
@@ -1189,7 +1190,8 @@ object StreamIngest {
           idBucket(col("old_id"), _),
           layout.segs.map(_.buckets).distinct)
         Some(layout.segs.map { s =>
-          spark.read.parquet(segPath(s"$indexDir/sigs_epoch", s))
+          readSegLive(spark, s"$indexDir/sigs_epoch", s,
+            layout.tombs, "id")
             .filter(col("ib").isin(touched(s.buckets): _*))
             .select(col("id"), col("sig"))
         }.reduce(_.unionByName(_)))
@@ -1249,9 +1251,12 @@ object StreamIngest {
         * that no longer exists. Marks semantics after expiry: the
         * next arriving copy of an expired canonical's content is NOT
         * a dup — it becomes the new canonical and enters the index
-        * (the successor rule; spec-pinned). An expiry fold merges
-        * ALL segments (the expired ids can sit anywhere) — the one
-        * inherently O(store) pass, paid only when retention runs.
+        * (the successor rule; spec-pinned). An expiry fold writes a
+        * TOMBSTONE segment (r18): O(expired) bytes plus one
+        * id-column-pruned scan, never a store rewrite — readers
+        * anti-join live tombstones and the geometric merges drop the
+        * rows physically when they were going to rewrite those
+        * segments anyway.
         * Same retention-scoped posture as the measurement catalog
         * (the reference clamps every query to the RP window,
         * pkg/agent/sync.go:122-126). */
@@ -1262,13 +1267,13 @@ object StreamIngest {
         s"$indexDir/bands_epoch", buckets,
         df => df.select(col("id").cast("long").as("id"),
           col("band").cast("int").as("band"), col("band_hash")),
-        Some(bandBucket), "bb", Seq("band", "band_hash"),
-        retain = liveIds.map(_ -> "id"), inflight = inflight),
+        Some(bandBucket), "bb", Seq("band", "band_hash"), "id",
+        retain = liveIds, inflight = inflight),
         relayoutEpoch(spark, s"$indexDir/sigs", s"$indexDir/sigs_epoch",
           buckets,
           df => df.select(col("id").cast("long").as("id"), col("sig")),
-          Some(idBucket(col("id"), _)), "ib", Seq("id"),
-          retain = liveIds.map(_ -> "id"), inflight = inflight))
+          Some(idBucket(col("id"), _)), "ib", Seq("id"), "id",
+          retain = liveIds, inflight = inflight))
     }
 
   /** Same fold for the IVF index: `assign/batch=<id>` hot dirs land in
@@ -1292,8 +1297,8 @@ object StreamIngest {
             s"$indexDir/assign_epoch", bucketsReq = 0,
             df => df.select(col("vec_id").cast("long").as("vec_id"),
               col("list").cast("long").as("list"), col("vec")),
-            None, "list", Seq("vec_id"),
-            retain = liveIds.map(_ -> "vec_id"), inflight = inflight)
+            None, "list", Seq("vec_id"), "vec_id",
+            retain = liveIds, inflight = inflight)
         else 0L
       // the codes face folds under the same watermark discipline —
       // same layout (list= partitions, vec_id sort), ~numSub ints
@@ -1304,33 +1309,41 @@ object StreamIngest {
             s"$indexDir/codes_epoch", bucketsReq = 0,
             df => df.select(col("vec_id").cast("long").as("vec_id"),
               col("list").cast("long").as("list"), col("codes")),
-            None, "list", Seq("vec_id"),
-            retain = liveIds.map(_ -> "vec_id"), inflight = inflight)
+            None, "list", Seq("vec_id"), "vec_id",
+            retain = liveIds, inflight = inflight)
         else 0L
       assign + codes
     }
 
   /** Shared tiered-epoch fold. `project` normalizes every tier to the
     * epoch's data schema; `derive` adds a synthetic partition key
-    * (None when the key is already a data column).
+    * (None when the key is already a data column); `idCol` is the
+    * face's id column (the retention/tombstone key).
     *
     * Phases: (1) the foldable hot dirs (above the watermark, strictly
     * below the lowest in-flight batch) become ONE new segment —
-    * O(hot); (2) a retention pass instead merges EVERYTHING with the
-    * live-id semi join riding the merge; (3) the logarithmic merge
-    * policy runs the stack: while the newest segment is within
-    * 1/[[LevelMergeFactor]] of its predecessor's bytes, the two merge
-    * (possibly cascading to a full merge — that's the geometric
-    * schedule). The manifest swap is the only commit point; inputs
-    * are deleted after it. Row counts ride the writes as
-    * `Observation`s — no post-write re-read (the r16 fold re-read
-    * the whole new epoch for a count). Returns total epoch rows. */
+    * O(hot), with the live-id semi join riding the fold on a
+    * retention pass; (1b, retention only, r18) the expired ids
+    * already stored in the epoch are written as ONE tombstone
+    * segment — O(expired) write plus an id-column-pruned scan,
+    * instead of the r17 full-store rewrite; readers anti-join live
+    * tombstones ([[readSegLive]]) and geometric merges drop the rows
+    * physically; (2) the logarithmic merge policy runs the stack:
+    * while the newest segment is within 1/[[LevelMergeFactor]] of
+    * its predecessor's bytes, the two merge (possibly cascading to a
+    * full merge — that's the geometric schedule), with applicable
+    * tombstones applied inside the merge read (the merged segment's
+    * fresh id lifts them off it). Spent tombstones (no covered live
+    * segment left) drop at the commit. The manifest swap is the only
+    * commit point; inputs are deleted after it. Row counts ride the
+    * writes as `Observation`s — no post-write re-read. Returns LIVE
+    * epoch rows (manifest-only unless tombstones are live). */
   private def relayoutEpoch(spark: SparkSession, hotPath: String,
       epochPath: String, bucketsReq: Int,
       project: DataFrame => DataFrame,
       derive: Option[Int => Column], partCol: String,
-      sortCols: Seq[String],
-      retain: Option[(DataFrame, String)] = None,
+      sortCols: Seq[String], idCol: String,
+      retain: Option[DataFrame] = None,
       inflight: Set[Long] = Set.empty): Long = {
     val hp = new org.apache.hadoop.fs.Path(hotPath)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1348,7 +1361,8 @@ object StreamIngest {
     if (fold.isEmpty && retain.isEmpty) {
       hotDirs.filter(_._1 <= wm0)
         .foreach { case (_, d) => fs.delete(d, true): Unit }
-      return prior.map(totalRows(spark, epochPath, _)).getOrElse(0L)
+      return prior.map(liveTotal(spark, epochPath, _, idCol))
+        .getOrElse(0L)
     }
     if (fold.isEmpty && prior.isEmpty) return 0L
     val wm1 = math.max(
@@ -1388,11 +1402,11 @@ object StreamIngest {
         if (derive.isEmpty) 0 else buckets, partCol, sortCols)
     }
 
-    // retention: one id-keyed semi join against the live-id set —
-    // expired rows leave the index inside whichever merge pass runs,
-    // never as a separate delete job
+    // retention: one id-keyed semi join against the live-id set — it
+    // rides the hot fold (which is O(hot) anyway); the STORED side is
+    // handled by a tombstone, never a rewrite
     def retained(df: DataFrame): DataFrame = retain match {
-      case Some((live, idCol)) =>
+      case Some(live) =>
         df.join(
           live.toDF(idCol).select(col(idCol).cast("long").as(idCol))
             .distinct(),
@@ -1400,9 +1414,7 @@ object StreamIngest {
       case None => df
     }
 
-    def readSegs(ss: Seq[SegRef]): Seq[DataFrame] =
-      ss.map(s => project(
-        spark.read.parquet(segPath(epochPath, s))))
+    val tombs0 = prior.map(_.tombs).getOrElse(Seq.empty)
 
     val hot =
       if (fold.isEmpty) None
@@ -1411,45 +1423,66 @@ object StreamIngest {
     val hotBytes = fold.map { case (_, d) =>
       fs.getContentSummary(d).getLength }.sum
 
-    val newSegs: Seq[SegRef] = retain match {
-      case Some(_) =>
-        // expiry merges EVERYTHING (expired ids can sit anywhere)
-        val inputs = hot.toSeq ++ legacy.toSeq ++ readSegs(realSegs)
-        val bytes = hotBytes + realSegs.map(bytesOf).sum +
-          legacySegs.headOption.map(bytesOf).sum
-        inputs.reduceOption(_.unionByName(_))
-          .flatMap(all => writeSeg(retained(all), sizeBuckets(bytes)))
-          .toSeq
-      case None =>
-        // phase 1: hot tail (+ one-time legacy upgrade) -> ONE segment
-        val fresh = (hot.toSeq ++ legacy.toSeq)
-          .reduceOption(_.unionByName(_)).flatMap { df =>
-            writeSeg(df, sizeBuckets(hotBytes +
-              legacySegs.headOption.map(bytesOf).sum))
-          }
-        // phase 2: logarithmic merge — cascade while the newest
-        // segment has caught up to 1/F of its predecessor
-        var segs = realSegs ++ fresh.toSeq
-        while (segs.length >= 2 &&
-            segs.last.bytes * LevelMergeFactor >=
-              segs(segs.length - 2).bytes) {
-          val pair = segs.takeRight(2)
-          val merged = writeSeg(
-            readSegs(pair).reduce(_.unionByName(_)),
-            sizeBuckets(pair.map(bytesOf).sum))
-          segs = segs.dropRight(2) ++ merged.toSeq
-        }
-        segs
+    // phase 1: hot tail (+ one-time legacy upgrade) -> ONE segment;
+    // a retention pass semi-joins the live ids into this fold
+    val fresh = (hot.toSeq ++ legacy.toSeq)
+      .reduceOption(_.unionByName(_)).flatMap { df =>
+        writeSeg(retained(df), sizeBuckets(hotBytes +
+          legacySegs.headOption.map(bytesOf).sum))
+      }
+
+    // phase 1b (retention): expired ids stored in the epoch -> ONE
+    // tombstone segment. O(expired) bytes; the scan that finds them
+    // materializes only the id column. `covers` = the current top
+    // data-segment id, so the fresh segment (and any later one,
+    // successor-rule re-adds included) is never suppressed by it.
+    val tombNew: Option[TombRef] = retain.flatMap { live =>
+      if (realSegs.isEmpty) None
+      else {
+        val stored = realSegs.map(s => spark.read
+          .parquet(segPath(epochPath, s))
+          .select(col(idCol).cast("long").as("id")))
+          .reduce(_.unionByName(_)).distinct()
+        val liveN = live.toDF(idCol)
+          .select(col(idCol).cast("long").as("id")).distinct()
+        val nextTomb = tombs0.flatMap(t =>
+          t.name.stripPrefix("tomb_").toLongOption)
+          .foldLeft(0L)(math.max) + 1
+        writeTombstone(fs, epochPath, s"tomb_$nextTomb",
+          stored.join(liveN, Seq("id"), "left_anti"),
+          covers = realSegs.map(segIdNum).max)
+      }
     }
+    val tombsAll = tombs0 ++ tombNew.toSeq
+
+    // phase 2: logarithmic merge — cascade while the newest segment
+    // has caught up to 1/F of its predecessor; applicable tombstones
+    // drop their rows physically inside the merge read
+    var segs = realSegs ++ fresh.toSeq
+    while (segs.length >= 2 &&
+        segs.last.bytes * LevelMergeFactor >=
+          segs(segs.length - 2).bytes) {
+      val pair = segs.takeRight(2)
+      val merged = writeSeg(
+        pair.map(s => project(
+          readSegLive(spark, epochPath, s, tombsAll, idCol)))
+          .reduce(_.unionByName(_)),
+        sizeBuckets(pair.map(bytesOf).sum))
+      segs = segs.dropRight(2) ++ merged.toSeq
+    }
+    // a tombstone with no covered live segment left is spent
+    val tombsLive = tombsAll.filter(t =>
+      segs.exists(s => segIdNum(s) <= t.covers))
 
     // the commit point: everything above is invisible until this swap
-    commitEpoch(fs, epochPath, IndexLayout(wm1,
-      newSegs.lastOption.map(_.buckets)
+    val layout = IndexLayout(wm1,
+      segs.lastOption.map(_.buckets)
         .getOrElse(prior.map(_.buckets).getOrElse(0)),
-      newSegs, prior.flatMap(_.codebook)))
+      segs, prior.flatMap(_.codebook), tombsLive)
+    commitEpoch(fs, epochPath, layout)
     hotDirs.filter(_._1 <= wm1)
       .foreach { case (_, d) => fs.delete(d, true): Unit }
-    newSegs.map(_.rows).sum
+    liveTotal(spark, epochPath, layout, idCol)
   }
 
   /** One partitioned, sorted, row-counted segment from `df` (which
@@ -1493,23 +1526,75 @@ object StreamIngest {
   private def commitEpoch(fs: org.apache.hadoop.fs.FileSystem,
       epochPath: String, layout: IndexLayout): Unit = {
     writeLayout(fs, epochPath, layout)
-    val live = layout.segs.map(_.name).toSet
+    val live = layout.segs.map(_.name).toSet ++
+      layout.tombs.map(_.name)
     if (fs.exists(new org.apache.hadoop.fs.Path(epochPath)))
       fs.listStatus(new org.apache.hadoop.fs.Path(epochPath)).toSeq
         .filter(st => st.isDirectory && !live(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true): Unit)
   }
 
-  /** Total epoch rows from the manifest alone; falls back to one
-    * count only for a legacy manifest that predates per-segment row
-    * counts. */
-  private def totalRows(spark: SparkSession, epochPath: String,
-      l: IndexLayout): Long =
-    if (l.segs.forall(_.rows >= 0)) l.segs.map(_.rows).sum
-    else l.segs.map { s =>
-      if (s.rows >= 0) s.rows
-      else spark.read.parquet(segPath(epochPath, s)).count()
-    }.sum
+  private def segIdNum(s: SegRef): Long = segIdOf(s.name).getOrElse(0L)
+
+  /** Union of the given tombstones' expired-id frames (one `id`
+    * column, long). */
+  private def tombIds(spark: SparkSession, epochPath: String,
+      tombs: Seq[TombRef]): DataFrame =
+    tombs.map(t => spark.read.parquet(s"$epochPath/${t.name}")
+      .select(col("id").cast("long").as("id")))
+      .reduce(_.unionByName(_))
+
+  /** One data segment with its applicable tombstones suppressed — the
+    * read-side half of tombstone retention. `idCol` is the face's id
+    * column ("id" for bands/sigs, "vec_id" for assign/codes). A
+    * segment younger than every tombstone reads raw (the common
+    * case: no join node at all); the anti-join's right side is the
+    * expired-id frame, broadcastable when small. */
+  private def readSegLive(spark: SparkSession, epochPath: String,
+      s: SegRef, tombs: Seq[TombRef], idCol: String): DataFrame = {
+    val df = spark.read.parquet(segPath(epochPath, s))
+    val app = tombs.filter(_.covers >= segIdNum(s))
+    if (app.isEmpty) df
+    else df.join(
+      tombIds(spark, epochPath, app)
+        .withColumnRenamed("id", "__tomb_id"),
+      col(idCol).cast("long") === col("__tomb_id"), "left_anti")
+  }
+
+  /** Write one tombstone segment (the expired-id frame); None when
+    * nothing expired. Invisible garbage until a manifest references
+    * it, like every data segment. */
+  private def writeTombstone(fs: org.apache.hadoop.fs.FileSystem,
+      epochPath: String, name: String, expired: DataFrame,
+      covers: Long): Option[TombRef] = {
+    val dir = s"$epochPath/$name"
+    val obs = org.apache.spark.sql.Observation()
+    expired.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(dir)
+    val rows = obs.get.get("rows")
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (rows == 0L) {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true): Unit
+      None
+    } else Some(TombRef(name,
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(dir))
+        .getLength, rows, covers))
+  }
+
+  /** LIVE epoch rows: manifest-only (no scan) when no tombstones are
+    * live; with tombstones, one id-column-pruned count of the
+    * suppressed view (paid only on retention-scoped paths). Falls
+    * back to a count for a legacy manifest that predates per-segment
+    * row counts. */
+  private def liveTotal(spark: SparkSession, epochPath: String,
+      l: IndexLayout, idCol: String): Long =
+    if (l.tombs.isEmpty && l.segs.forall(_.rows >= 0))
+      l.segs.map(_.rows).sum
+    else l.segs
+      .map(s => readSegLive(spark, epochPath, s, l.tombs, idCol)
+        .select(col(idCol)))
+      .reduceOption(_.unionByName(_))
+      .map(_.count()).getOrElse(0L)
 
   /** Cadence policy for the daemon tick: fold when the hot tail has
     * grown past `maxHotBatches` live `batch=<id>` dirs — so a
@@ -1653,17 +1738,20 @@ object StreamIngest {
               Some(layout.flatMap(_.codebook)
                 .getOrElse("centroids.parquet"))
             else None
+          val tombs = layout.map(_.tombs).getOrElse(Seq.empty)
           Some((dir, tier, layout.map(_.wm), segs.length,
             segs.map(s => math.max(0L, s.bytes)).sum,
             segs.map(s => math.max(0L, s.rows)).sum,
+            tombs.length, tombs.map(_.rows).sum,
             hotDirs.length, hotRows, inflight.size, oldestAgeMs,
             codebook, if (tier == "assign") skew else None))
         }
       }
     }
     rows.toDF("index", "tier", "wm", "segments", "seg_bytes",
-      "seg_rows", "hot_batches", "hot_rows", "inflight",
-      "oldest_inflight_ms", "codebook", "list_skew")
+      "seg_rows", "tombstones", "tomb_rows", "hot_batches",
+      "hot_rows", "inflight", "oldest_inflight_ms", "codebook",
+      "list_skew")
   }
 
   /** Live (above-watermark) hot dirs — the quantity the cadence
@@ -1687,17 +1775,32 @@ object StreamIngest {
   private[graft] case class SegRef(name: String, buckets: Int,
       bytes: Long, rows: Long)
 
+  /** One tombstone segment (r18): the EXPIRED ids a retention pass
+    * wrote — O(expired) bytes instead of the r17 full-store rewrite.
+    * `covers` = the highest data-segment id live when the tombstone
+    * committed: readers anti-join it against exactly the data
+    * segments with id ≤ covers (a YOUNGER segment may legitimately
+    * re-use an expired id — the successor rule — and must not be
+    * suppressed), geometric merges drop suppressed rows physically
+    * (the merged segment's fresh id > covers lifts the tombstone off
+    * it for free), and a tombstone with no covered live segment left
+    * is dropped at the next commit. */
+  private[graft] case class TombRef(name: String, bytes: Long,
+      rows: Long, covers: Long)
+
   /** An epoch's manifest (`_layout` — underscore-prefixed, invisible
     * to parquet readers): watermark = highest folded batch id
     * (readers list the hot tail only ABOVE it — the crash-safety
     * contract), the newest segment's bucket count (informational),
     * the live segment list OLDEST FIRST (the merge-policy stack
-    * order), and the codebook file the IVF faces must read (swapped
-    * atomically with a re-clustered epoch — see reclusterIvfIndex).
-    * The manifest swap is the ONLY commit point for every fold/merge
-    * /re-cluster: segment dirs not in it are invisible garbage. */
+    * order), the codebook file the IVF faces must read (swapped
+    * atomically with a re-clustered epoch — see reclusterIvfIndex),
+    * and the live tombstones (r18 retention). The manifest swap is
+    * the ONLY commit point for every fold/merge/re-cluster/expiry:
+    * segment dirs not in it are invisible garbage. */
   private[graft] case class IndexLayout(wm: Long, buckets: Int,
-      segs: Seq[SegRef], codebook: Option[String] = None)
+      segs: Seq[SegRef], codebook: Option[String] = None,
+      tombs: Seq[TombRef] = Seq.empty)
 
   private[graft] def segPath(epochPath: String, s: SegRef): String =
     if (s.name == ".") epochPath else s"$epochPath/${s.name}"
@@ -1736,6 +1839,13 @@ object StreamIngest {
           case bad => sys.error(s"bad seg line in $p: ${bad.mkString}")
         }
       }
+      val tombs = lines.filter(_.startsWith("tomb=")).map { l =>
+        l.stripPrefix("tomb=").split(":") match {
+          case Array(n, by, r, c) =>
+            TombRef(n, by.toLong, r.toLong, c.toLong)
+          case bad => sys.error(s"bad tomb line in $p: ${bad.mkString}")
+        }
+      }
       val buckets = kv("buckets").toInt
       // legacy r16 manifest: no seg= lines, bucket dirs live directly
       // under the epoch root — modeled as the single "." segment
@@ -1743,7 +1853,7 @@ object StreamIngest {
         if (segs.nonEmpty || kv.contains("segs")) segs
         else Seq(SegRef(".", buckets, -1L, -1L))
       Some(IndexLayout(kv("wm").toLong, buckets, eff,
-        kv.get("codebook")))
+        kv.get("codebook"), tombs))
     }
   }
 
@@ -1760,6 +1870,8 @@ object StreamIngest {
     l.codebook.foreach(c => body.append(s"codebook=$c\n"))
     l.segs.foreach(s => body.append(
       s"seg=${s.name}:${s.buckets}:${s.bytes}:${s.rows}\n"))
+    l.tombs.foreach(t => body.append(
+      s"tomb=${t.name}:${t.bytes}:${t.rows}:${t.covers}\n"))
     val out = fs.create(tmp, true)
     try out.write(body.toString.getBytes("UTF-8"))
     finally out.close()
@@ -1772,12 +1884,13 @@ object StreamIngest {
       require(fs.exists(p), s"layout commit failed: $tmp -> $p")
   }
 
-  /** All live epoch segments as one frame, or None when no epoch (or
-    * an all-expired empty one) exists. */
+  /** All live epoch segments as one frame — tombstone-suppressed on
+    * `idCol` — or None when no epoch (or an all-expired empty one)
+    * exists. */
   private def readEpochFrame(spark: SparkSession,
-      epochPath: String): Option[DataFrame] =
+      epochPath: String, idCol: String): Option[DataFrame] =
     readLayout(spark, epochPath).flatMap { l =>
-      l.segs.map(s => spark.read.parquet(segPath(epochPath, s)))
+      l.segs.map(s => readSegLive(spark, epochPath, s, l.tombs, idCol))
         .reduceOption(_.unionByName(_))
     }
 
@@ -1958,7 +2071,7 @@ object StreamIngest {
         compactIvfIndex(spark, indexDir): Unit
         val assignEpoch = s"$indexDir/assign_epoch"
         val prior = readLayout(spark, assignEpoch)
-        val stored = readEpochFrame(spark, assignEpoch)
+        val stored = readEpochFrame(spark, assignEpoch, "vec_id")
         if (prior.isEmpty || stored.isEmpty) false
         else {
           val fs = new org.apache.hadoop.fs.Path(indexDir)
@@ -2003,7 +2116,7 @@ object StreamIngest {
             // rows absent from the assign face re-assign on their
             // PQ-RECONSTRUCTED vector instead of being dropped
             val codesSeg = codesPrior.flatMap { cl =>
-              readEpochFrame(spark, codesEpoch).flatMap { cdf =>
+              readEpochFrame(spark, codesEpoch, "vec_id").flatMap { cdf =>
                 val codes0 = cdf.select(
                   col("vec_id").cast("long").as("vec_id"),
                   col("codes"))
@@ -2112,7 +2225,8 @@ object StreamIngest {
     val hot = hotFrame(spark, s"$indexDir/assign",
       s"$indexDir/assign_epoch", None).map(norm)
     val epoch =
-      readEpochFrame(spark, s"$indexDir/assign_epoch").map(norm)
+      readEpochFrame(spark, s"$indexDir/assign_epoch", "vec_id")
+      .map(norm)
     tiersUnion(hot.toSeq ++ epoch.toSeq, emptyAssign(spark))
   }
 
@@ -2169,7 +2283,8 @@ object StreamIngest {
     // filter still references only the partition attribute, so the
     // listing prunes, and a list id past Int range can never
     // silently truncate to the wrong (empty) partition set
-    val epoch = readEpochFrame(spark, s"$indexDir/assign_epoch")
+    val epoch = readEpochFrame(spark, s"$indexDir/assign_epoch",
+      "vec_id")
       .map(df =>
         norm(df.filter(col("list").cast("long").isin(lists: _*))))
     tiersUnion(hot.toSeq ++ epoch.toSeq, emptyAssign(spark))
@@ -2253,7 +2368,8 @@ object StreamIngest {
     val hot = hotFrame(spark, s"$indexDir/codes",
       s"$indexDir/codes_epoch", None)
       .map(df => norm(df.filter(col("list").isin(lists: _*))))
-    val epoch = readEpochFrame(spark, s"$indexDir/codes_epoch")
+    val epoch = readEpochFrame(spark, s"$indexDir/codes_epoch",
+      "vec_id")
       .map(df =>
         norm(df.filter(col("list").cast("long").isin(lists: _*))))
     tiersUnion(hot.toSeq ++ epoch.toSeq, emptyCodes(spark))
@@ -2340,9 +2456,9 @@ object StreamIngest {
   def readLshIndex(spark: SparkSession, indexDir: String,
       excludeBatch: Option[Long] = None): (DataFrame, DataFrame) = {
     val (hb, hs) = readLshHot(spark, indexDir, excludeBatch)
-    val eb = readEpochFrame(spark, s"$indexDir/bands_epoch")
+    val eb = readEpochFrame(spark, s"$indexDir/bands_epoch", "id")
       .map(_.select(col("id"), col("band"), col("band_hash")))
-    val es = readEpochFrame(spark, s"$indexDir/sigs_epoch")
+    val es = readEpochFrame(spark, s"$indexDir/sigs_epoch", "id")
       .map(_.select(col("id"), col("sig")))
     (tiersUnion(hb.toSeq ++ eb.toSeq, emptyBands(spark)),
       tiersUnion(hs.toSeq ++ es.toSeq, emptySigs(spark)))

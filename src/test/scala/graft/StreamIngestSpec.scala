@@ -1601,6 +1601,128 @@ class StreamIngestSpec extends AnyFunSuite {
       === Set(1L))
   }
 
+  test("tombstone retention (r18): an expiry fold writes O(expired) " +
+    "tombstones instead of rewriting the store — data segments stay " +
+    "byte-identical on disk, reads suppress expired ids, an id " +
+    "re-added AFTER the tombstone is NOT suppressed (covers " +
+    "scoping), and the next geometric merge drops the dead rows " +
+    "physically and retires the spent tombstone") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_tomb_idx").toString
+    val marks = Files.createTempDirectory("graft_tomb_mk").toString
+    def batchDf(rows: (Long, String)*) = rows.toDF("id", "text")
+    StreamIngest.lshIngestBatch(batchDf(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five"),
+      "id", "text", idx, marks, 0L, 8, 4, 3, 4)
+    StreamIngest.compactLshIndex(spark, idx)
+    def segState(seg: String) = Option(new java.io.File(
+      s"$idx/bands_epoch/$seg").listFiles()).toSeq.flatten
+      .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+      .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    val seg1Before = segState("seg_1")
+    assert(seg1Before.nonEmpty)
+    // expiry: id 1 dies — O(expired) tombstone, NOT a store rewrite
+    val (nb, ns) = StreamIngest.compactLshIndex(spark, idx,
+      liveIds = Some(Seq(2L).toDF("id")))
+    assert(nb == 4L && ns == 1L, s"live rows after expiry: ($nb, $ns)")
+    val l1 = StreamIngest.readLayout(spark, s"$idx/bands_epoch").get
+    assert(l1.tombs.map(t => (t.rows, t.covers)) === Seq((1L, 1L)),
+      l1.toString)
+    assert(l1.segs.map(_.name) === Seq("seg_1"), l1.toString)
+    assert(l1.segs.head.rows == 8L, "physical rows untouched")
+    assert(segState("seg_1") === seg1Before,
+      "expiry must not rewrite the data segment")
+    // reads suppress the expired id everywhere
+    val (b1, s1) = StreamIngest.readLshIndex(spark, idx)
+    assert(b1.select("id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(2L))
+    assert(s1.select("id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(2L))
+    // the stats frame sees the tombstone
+    val st = StreamIngest.indexStats(spark, Seq(idx)).collect()
+      .find(_.getString(1) == "bands").get
+    assert(st.getInt(st.fieldIndex("tombstones")) == 1)
+    assert(st.getLong(st.fieldIndex("tomb_rows")) == 1L)
+    // id 1 re-added with NEW content: younger than the tombstone's
+    // coverage, so it must NOT be suppressed (the successor rule
+    // extends to id re-use) — visible from the hot tail...
+    StreamIngest.lshIngestBatch(batchDf(
+      1L -> "fresh successor content entirely new",
+      3L -> "nine ten eleven twelve thirteen"),
+      "id", "text", idx, marks, 1L, 8, 4, 3, 4)
+    assert(StreamIngest.readLshIndex(spark, idx)._1
+      .select("id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // ...and after the fold: similar segment sizes force the
+    // geometric merge, which drops the dead rows PHYSICALLY and
+    // retires the spent tombstone
+    StreamIngest.compactLshIndex(spark, idx)
+    val l2 = StreamIngest.readLayout(spark, s"$idx/bands_epoch").get
+    assert(l2.tombs.isEmpty,
+      s"merged-away coverage must retire the tombstone: $l2")
+    assert(l2.segs.map(_.rows).sum == 12L,
+      s"dead rows must be physically gone: $l2")
+    assert(StreamIngest.readLshIndex(spark, idx)._1
+      .select("id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("LSM merge policy under adversarial shapes (r18): many tiny " +
+    "batches keep the stack logarithmic (cascades run), a giant " +
+    "batch lands cleanly, expiry interleaves without breaking " +
+    "either, and a kill mid-cascade (orphan segment dirs) never " +
+    "changes a read and is cleaned by the next fold's commit") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_casc_idx").toString
+    val marks = Files.createTempDirectory("graft_casc_mk").toString
+    def doc(id: Long) = (id,
+      (1 to 8).map(k => s"w${id}_$k").mkString(" "))
+    var batch = 0L
+    def ingest(ids: Seq[Long]): Unit = {
+      StreamIngest.lshIngestBatch(ids.map(doc).toDF("id", "text"),
+        "id", "text", idx, marks, batch, 8, 4, 3, 4)
+      batch += 1
+    }
+    // 12 tiny batches, folding after each: the stack must stay
+    // logarithmic in fold count, never one segment per batch
+    (0 until 12).foreach { k =>
+      ingest((k * 3 until (k + 1) * 3).map(_.toLong))
+      StreamIngest.compactLshIndex(spark, idx)
+      val l = StreamIngest.readLayout(spark, s"$idx/bands_epoch").get
+      val bound = math.ceil(math.log(k + 2.0) / math.log(2.0)).toInt + 1
+      assert(l.segs.length <= bound,
+        s"fold $k: ${l.segs.length} segments > O(log) bound $bound")
+    }
+    assert(StreamIngest.readLshIndex(spark, idx)._1.count() == 144L)
+    // giant batch: 3x everything so far in ONE micro-batch
+    ingest((100L until 208L))
+    StreamIngest.compactLshIndex(spark, idx)
+    assert(StreamIngest.readLshIndex(spark, idx)._1.count() == 576L)
+    // interleaved expiry (every id % 3 == 0 dies) over the stack
+    val live = ((0L until 36L) ++ (100L until 208L))
+      .filter(_ % 3 != 0)
+    StreamIngest.compactLshIndex(spark, idx,
+      liveIds = Some(live.toDF("id")))
+    def liveIdSet = StreamIngest.readLshIndex(spark, idx)._1
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(liveIdSet === live.toSet)
+    assert(StreamIngest.readLshIndex(spark, idx)._1.count() ==
+      live.length * 4L)
+    // kill mid-cascade: a crashed cascade leaves fully-written but
+    // UNCOMMITTED segment dirs — readers must ignore them and the
+    // next fold's commit must clean them
+    Seq(1L, 2L).toDF("id")
+      .write.parquet(s"$idx/bands_epoch/seg_999")
+    assert(liveIdSet === live.toSet,
+      "an uncommitted segment must be invisible")
+    ingest(Seq(300L, 301L))
+    StreamIngest.compactLshIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/bands_epoch/seg_999").exists(),
+      "the next commit must clear crashed-cascade garbage")
+    assert(liveIdSet === live.toSet ++ Set(300L, 301L))
+  }
+
   // ---- codebook drift repair (r18) ---------------------------------
 
   /** Drift fixture: two clean clusters that BOTH assign to list 0
