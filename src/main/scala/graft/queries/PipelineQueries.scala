@@ -1647,6 +1647,42 @@ object PipelineQueries {
       },
       None),
 
+    // The SAME production corner served from the PERSISTENT codes
+    // face (r18): trained nlist=16 codebook persisted at init, codes
+    // ingested and folded into list= segments, IVFADC served at
+    // nProbe=4/refine=8 over the GROWN index. The degenerate-exact
+    // oracle (ann_ivfpq_inc_topk) proves the plumbing; this meter
+    // watches serving QUALITY where pruning is real, so a codes-face
+    // regression (mislabeled lists, stale books, wrong partition
+    // pruning) surfaces as a recall drop even when it cannot break
+    // the exhaustive corner. Rows-only registry check; floor pinned
+    // in SimilaritySpec next to the batch meter's.
+    "ann_ivfpq_inc_recall" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_ivfpqr_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(p, true): Unit
+        val e = emb(s, dir)
+        val idx = s"$root/idx"
+        graft.streaming.StreamIngest.ivfIndexInit(s, idx,
+          Similarity.trainIvfAnchors(e, "vec_id", "embedding", 16))
+        graft.streaming.StreamIngest.pqBooksInit(s, idx,
+          Similarity.trainPqBooks(e, "vec_id", "embedding",
+            numSub = 8, ksub = 16))
+        graft.streaming.StreamIngest.ivfPqIngestBatch(e, "vec_id",
+          "embedding", idx, 0L)
+        graft.streaming.StreamIngest.compactIvfIndex(s, idx): Unit
+        val q = e.filter(col("vec_id") < 16)
+        Similarity.recallAtK(
+          graft.streaming.StreamIngest.ivfPqIndexTopK(s, q,
+            "vec_id", "embedding", idx, corpus = e, k = 5,
+            nProbe = 4, refine = 8),
+          Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5),
+          k = 5)
+      },
+      None),
+
     // RAKE keyword extraction: maximal stopword-free word runs (≤ 4
     // words — the standard cap; score grows with run length, so
     // uncapped extraction degenerates to the longest stretch) scored

@@ -391,6 +391,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh >= 2000.0, s"LSH mean recall_bp = $lsh")
     val ivfpq = meanRecallBp("ann_ivfpq_recall")
     assert(ivfpq >= 2000.0, s"IVFPQ mean recall_bp = $ivfpq")
+    // the PERSISTENT codes face at the same production corner
+    // (r18: measured 3750, same as the batch operator — the grown
+    // index serves no worse than the in-memory path)
+    val ivfpqInc = meanRecallBp("ann_ivfpq_inc_recall")
+    assert(ivfpqInc >= 2000.0,
+      s"persistent IVFPQ mean recall_bp = $ivfpqInc")
     // 1-bit sign quantization on ISOTROPIC vectors is the crudest
     // stage (real embeddings cluster and fare far better) — measured
     // 1125 bp; the floor guards regression, not aspiration

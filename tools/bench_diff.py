@@ -27,8 +27,16 @@ Reports, in order:
   * improvements under the mirrored (deflated) threshold;
   * queries added/removed between the rounds.
 
-Exit status is 1 when any regression crosses the threshold, so the
-verify workflow can gate on it.
+The floor itself is BOUNDED (r18): deflation assumes the common
+factor is box drift, but a code change that slows every query by the
+same factor (a session-config or codegen regression) produces the
+same signature. A floor outside [FLOOR_MIN, FLOOR_MAX] — far past any
+drift this box has measured — is therefore NOT trusted: deflation is
+disabled (floor treated as 1.0) and the exit is non-zero, forcing a
+human to attribute the uniform shift before the round closes.
+
+Exit status is 1 when any regression crosses the threshold (or the
+floor left the trusted band), so the verify workflow can gate on it.
 """
 import json
 import os
@@ -37,6 +45,11 @@ import sys
 
 REG_RATIO = 1.5
 REG_ABS_SEC = 0.5
+# trusted box-drift band: the r16 close measured the SAME binary at
+# 182-218 s back to back (~1.2x); anything past ~1.3x either way is
+# not plausibly thermal/background drift on this box
+FLOOR_MIN = 0.7
+FLOOR_MAX = 1.3
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -89,11 +102,20 @@ def main(argv):
     # slowdowns (this query moved, the fleet didn't) can flag
     ratios = sorted(nq[q] / oq[q] for q in common if oq[q] > 0)
     floor = statistics.median(ratios) if ratios else 1.0
+    floor_suspect = not (FLOOR_MIN <= floor <= FLOOR_MAX)
     if ratios:
         p90 = ratios[min(len(ratios) - 1, int(0.9 * len(ratios)))]
         print(f"noise floor: median ratio {floor:.3f}x over "
               f"{len(ratios)} common queries (p90 {p90:.3f}x) — "
               f"per-query thresholds applied after deflating by it")
+    if floor_suspect:
+        # a uniform shift this large is indistinguishable from a
+        # code-level everything-slowed regression — do NOT absorb it
+        print(f"!! noise floor {floor:.3f}x is OUTSIDE the trusted "
+              f"drift band [{FLOOR_MIN}, {FLOOR_MAX}] — deflation "
+              "DISABLED; attribute the uniform shift (rerun on a "
+              "quiet box, or find the code change) before closing")
+        floor = 1.0
 
     regressions, improvements = [], []
     for q in common:
@@ -129,7 +151,7 @@ def main(argv):
     for q, t in slowest:
         print(f"  {q:<36} {fmt(t)}")
 
-    return 1 if regressions else 0
+    return 1 if regressions or floor_suspect else 0
 
 
 if __name__ == "__main__":
