@@ -186,7 +186,9 @@ object RelationalQueries {
     // reduced to exact integers (key count, row count, hottest key's
     // share in basis points). One map-side-combined groupBy; the
     // profile aggregate runs on the key-cardinality frame.
-    "stats_key_skew" -> QueryDef(
+    // (Companion to stats_key_skew, which returns the top-10 hottest
+    // keys; this one is the single-row whole-table profile.)
+    "stats_key_skew_profile" -> QueryDef(
       (s, dir) => t(s, dir, "orders")
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),

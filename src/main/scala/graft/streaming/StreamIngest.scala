@@ -1514,9 +1514,55 @@ object StreamIngest {
     if (rows == 0L) {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true): Unit
       None
-    } else Some(SegRef(name, buckets,
-      fs.getContentSummary(new org.apache.hadoop.fs.Path(dir))
-        .getLength, rows))
+    } else {
+      // IVF faces (list= layouts) get a per-list row-count sidecar so
+      // the drift check never has to scan the store (see writeHist)
+      if (partCol == "list") writeHist(fs, dir, out.sparkSession)
+      Some(SegRef(name, buckets,
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(dir))
+          .getLength, rows))
+    }
+  }
+
+  /** Persist the per-`list` row counts of ONE just-written segment as
+    * a `_hist` sidecar inside the segment dir. Costs one footer-only
+    * read-back of the NEW segment (the projected column is the
+    * partition key, so no data pages open); buys [[ivfListHistogram]]
+    * — the [[maybeReclusterIvfIndex]] drift trigger's input, run on
+    * every maintenance tick when `index-max-skew` is enabled — an
+    * O(segments + hot) read instead of an O(store-files) footer scan:
+    * at 100 TB with ~32 MiB buckets that is a handful of tiny text
+    * files versus millions of parquet footer opens per tick. The
+    * sidecar is immutable segment state (travels and dies with its
+    * dir; `_`-prefixed, so parquet readers ignore it); a segment
+    * without one (pre-r18) falls back to the scan. */
+  private def writeHist(fs: org.apache.hadoop.fs.FileSystem,
+      segDir: String, spark: SparkSession): Unit = {
+    val counts = spark.read.parquet(segDir)
+      .groupBy(col("list").cast("long").as("list")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val p = new org.apache.hadoop.fs.Path(s"$segDir/_hist")
+    val out = fs.create(p, true)
+    try out.write(counts.map { case (k, n) => s"$k:$n" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The `_hist` sidecar of one segment dir, if present. */
+  private def readHist(fs: org.apache.hadoop.fs.FileSystem,
+      segDir: String): Option[Map[Long, Long]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$segDir/_hist")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(txt.linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(k, n) = l.split(":", 2)
+        k.toLong -> n.toLong
+      }.toMap)
+    }
   }
 
   /** Swap the manifest (the single commit point), then clear every
@@ -1698,8 +1744,9 @@ object StreamIngest {
     * registry entry.
     *
     * Cheap by construction: segments come from the manifest (no data
-    * scan), hot rows from parquet footers only, skew from a
-    * `list`-column-pruned scan (skipped when `withSkew` = false). */
+    * scan), hot rows from parquet footers only, skew from the
+    * per-segment `_hist` sidecars plus an O(hot) tail read
+    * (skipped when `withSkew` = false). */
   def indexStats(spark: SparkSession, indexDirs: Seq[String],
       withSkew: Boolean = true,
       nowMs: () => Long = () => System.currentTimeMillis())
@@ -2005,14 +2052,42 @@ object StreamIngest {
       : Seq[(Int, Array[Double])] =
     readIvfCentroidsFace(spark, indexDir, "assign")
 
-  /** Per-list row counts over the WHOLE stored index (epoch + hot) —
-    * a column-pruned scan (the parquet reader materializes only the
-    * small `list` ints, a sliver of the index's bytes), so the drift
-    * check stays cheap enough for the maintenance tick. */
+  /** Per-list LIVE row counts over the WHOLE stored index (epoch +
+    * hot). Epoch segments are answered from their `_hist` sidecars
+    * (O(segments) tiny reads, no data or footer opens — see
+    * [[writeHist]]); only the hot tail (O(hot) by the compaction
+    * cadence), tombstone-covered segments (transient — the next
+    * geometric merge drops the suppressed rows and the rewritten
+    * segment gets a fresh exact sidecar), and pre-r18 segments
+    * without a sidecar pay a scan. Identical result to a full live
+    * scan on every path. */
   def ivfListHistogram(spark: SparkSession, indexDir: String)
-      : Map[Long, Long] =
-    readIvfIndex(spark, indexDir).groupBy("list").count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      : Map[Long, Long] = {
+    val epochPath = s"$indexDir/assign_epoch"
+    val fs = new org.apache.hadoop.fs.Path(epochPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def scan(df: DataFrame): Map[Long, Long] =
+      df.groupBy(col("list").cast("long").as("list")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val layout = readLayout(spark, epochPath)
+    val segCounts = layout.toSeq.flatMap { l =>
+      l.segs.map { s =>
+        val dir = segPath(epochPath, s)
+        if (l.tombs.exists(_.covers >= segIdNum(s)))
+          scan(readSegLive(spark, epochPath, s, l.tombs, "vec_id"))
+        else readHist(fs, dir)
+          .getOrElse(scan(spark.read.parquet(dir)))
+      }
+    }
+    val hotCounts = hotFrame(spark, s"$indexDir/assign", epochPath,
+      None).map(scan).toSeq
+    (segCounts ++ hotCounts)
+      .foldLeft(Map.empty[Long, Long]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (k, n)) =>
+          a.updated(k, a.getOrElse(k, 0L) + n)
+        }
+      }
+  }
 
   /** List-size skew = largest list / mean list size over the FULL
     * codebook (an emptied list pulls the mean down — both hot-list

@@ -1928,4 +1928,56 @@ class StreamIngestSpec extends AnyFunSuite {
       "id", "vec", idx, corpus2, 3, nProbe = 2, refine = 10))
       === brute2, "codes serve after recovery")
   }
+
+  test("ivfListHistogram (r18): answered from per-segment _hist " +
+    "sidecars — sidecar-exact vs a live scan, hot tail rides on " +
+    "top, a missing sidecar falls back to the scan, and a live " +
+    "tombstone's segment counts LIVE rows only") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_hist_idx").toString
+    // two real lists under the stale anchors: ids 0-9 -> list 0,
+    // ids 100-105 -> list 1
+    val b0 = ((0 until 10).map(i => (i.toLong, Seq(1.0, 0.01 * i))) ++
+      (0 until 6).map(i => (100L + i, Seq(0.01 * i, 1.0))))
+      .toDF("id", "vec")
+    StreamIngest.ivfIndexInit(spark, idx, staleAnchors)
+    StreamIngest.ivfIngestBatch(b0, "id", "vec", idx, 0L)
+    assert(StreamIngest.compactIvfIndex(spark, idx) == 16L)
+    def bruteHist = StreamIngest.readIvfIndex(spark, idx)
+      .groupBy("list").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val layout0 = StreamIngest.readLayout(spark, s"$idx/assign_epoch")
+      .get
+    assert(layout0.segs.nonEmpty)
+    for (s <- layout0.segs)
+      assert(new java.io.File(
+        s"$idx/assign_epoch/${s.name}/_hist").exists(),
+        s"segment ${s.name} must carry a _hist sidecar")
+    assert(StreamIngest.ivfListHistogram(spark, idx) === bruteHist)
+    assert(bruteHist === Map(0L -> 10L, 1L -> 6L))
+    // hot tail (unfolded batch) rides on top of the sidecar answers
+    val b1 = (0 until 4).map(i => (200L + i, Seq(0.01 * i, 1.0)))
+      .toDF("id", "vec")
+    StreamIngest.ivfIngestBatch(b1, "id", "vec", idx, 1L)
+    assert(StreamIngest.ivfListHistogram(spark, idx) === bruteHist)
+    assert(StreamIngest.ivfListHistogram(spark, idx)(1L) == 10L)
+    // a segment without a sidecar (pre-r18 store) scans instead
+    for (s <- layout0.segs)
+      new java.io.File(s"$idx/assign_epoch/${s.name}/_hist").delete()
+    assert(StreamIngest.ivfListHistogram(spark, idx) === bruteHist)
+    // fold, then expire every even id WITHOUT new hot rows: the
+    // expiry is a tombstone (no segment rewrite) and the histogram
+    // must count live rows only
+    assert(StreamIngest.compactIvfIndex(spark, idx) == 20L)
+    val live = ((0L until 10L) ++ (100L until 106L) ++
+      (200L until 204L)).filter(_ % 2 == 1)
+    StreamIngest.compactIvfIndex(spark, idx,
+      liveIds = Some(live.toDF("id"))): Unit
+    val lt = StreamIngest.readLayout(spark, s"$idx/assign_epoch").get
+    assert(lt.tombs.nonEmpty,
+      "the expiry must have committed a live tombstone")
+    assert(StreamIngest.ivfListHistogram(spark, idx) === bruteHist)
+    assert(StreamIngest.ivfListHistogram(spark, idx)
+      .values.sum == live.length)
+  }
 }
