@@ -142,7 +142,7 @@ object IndexProbe {
     val queries = emb.filter(col("vec_id") < 16).cache()
     queries.count(): Unit
 
-    def ivfStep(mult: Int): (Long, Double, Double, Double) = {
+    def ivfStep(mult: Int): (Long, Double, Double, Double, Double) = {
       val idx = s"$root/ivf_$mult/idx"
       StreamIngest.ivfIndexInit(spark, idx, anchors)
       StreamIngest.ivfIngestBatch(
@@ -153,6 +153,12 @@ object IndexProbe {
       val sec = timeIt {
         StreamIngest.ivfIndexTopK(spark, queries, "vec_id",
           "embedding", idx, 5).collect(): Unit
+      }
+      // DRIFT-CHECK cost (r18 _hist sidecars): the maintenance tick's
+      // skew read must be answered from per-segment sidecars —
+      // O(segments), ~flat in store size — not a store scan
+      val skewSec = timeIt {
+        StreamIngest.ivfListSkew(spark, idx): Unit
       }
       // fold cost with a small hot tail (see lshStep)
       val foldTs = (1 to Reps + 1).map { k =>
@@ -175,12 +181,14 @@ object IndexProbe {
           liveIds = Some(live))
         (System.nanoTime() - t0) / 1e9
       }
-      (storeRows, sec, foldSec, retSec)
+      (storeRows, sec, foldSec, retSec, skewSec)
     }
 
     fs.delete(fsRoot, true): Unit
     val lsh = Mults.map(lshStep)
-    val ivf = Mults.map(ivfStep)
+    val ivfR = Mults.map(ivfStep)
+    val ivf = ivfR.map(r => (r._1, r._2, r._3, r._4))
+    val skews = ivfR.map(_._5)
 
     // PQ/codes face size (r17): the SAME max-mult store ingested into
     // the raw-vector face and the codes face — the stored-index byte
@@ -222,7 +230,12 @@ object IndexProbe {
         (s"${prefix}_retention", retGrowth, rs.last._4)))
     }
     val (lshJs, lshG) = block(lsh, "lsh", "ingest_step")
-    val (ivfJs, ivfG) = block(ivf, "ivf", "probe_step")
+    val (ivfJs0, ivfG0) = block(ivf, "ivf", "probe_step")
+    val skewGrowth = skews.last / skews.head
+    val ivfJs = ivfJs0.dropRight(1) +
+      s""","skew_sec":[${skews.map(s => f"$s%.3f").mkString(",")}],""" +
+      f""""skew_growth":$skewGrowth%.2f}"""
+    val ivfG = ivfG0 :+ (("ivf_skew_check", skewGrowth, skews.last))
     val storeRatio = Mults.last.toDouble / Mults.head
     val flagged = (lshG ++ ivfG)
       .collect { case (n, g, t) if g > storeRatio / 2 && t > 1.0 => n }

@@ -389,6 +389,67 @@ object Curation {
           .as("clean_text"))
   }
 
+  /** Maximal CROSS-document repeated token spans — the exact-substring
+    * view of duplication (the suffix-array dedup family popularized by
+    * "Deduplicating Training Data Makes Language Models Better"),
+    * complementing [[removeRepeatedSpans]] (which only reports per-doc
+    * covered mass): one row per (doc pair, alignment) giving WHERE the
+    * shared span starts in each doc and how long it runs. Every span
+    * of ≥ n shared tokens appears exactly once, maximally extended —
+    * two n-gram anchors that overlap or touch on the same alignment
+    * diagonal (pa − pb) merge into one row.
+    *
+    * Mechanics: per-position 60-bit n-gram hashes (the
+    * [[graft.functions.MinHash.NgramHash60]] kernel — no gram string
+    * is materialized, anchors shuffle as 8-byte keys), hash self-join
+    * (id_a < id_b), then gaps-and-islands per (pair, diagonal):
+    * island = pa − row_number(), span length = max(pa) − min(pa) + n.
+    * All-integer output — position/length arithmetic has no float
+    * anywhere, so the oracle hash-matches bit-for-bit.
+    *
+    * Plan shape for 100 TB: ONE shuffle on the 8-byte gram hash for
+    * the self-join (output bounded by true duplicated mass — an
+    * n-gram unique in the corpus joins nothing), then ONE partitioned
+    * window + partial-aggregated groupBy per (pair, diag) — never a
+    * cartesian, never an all-pairs compare. `maxDf` caps the postings
+    * of degenerate ultra-common grams (boilerplate headers shared by
+    * millions of docs would otherwise emit quadratic anchor pairs);
+    * it is None in the oracled registry entry (exactness) and should
+    * be set on adversarial corpora — capped grams are DROPPED from
+    * anchoring, shortening only spans those grams alone support. */
+  def crossDocSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Option[Int] = None): DataFrame = {
+    require(n > 0, s"span anchor length must be positive: $n")
+    val wins = df.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(ngramHashes(col(textCol), n)))
+      .select(col("id"), col("pos").as("p"), col("col").as("g"))
+    val pruned = maxDf match {
+      case Some(cap) =>
+        val ok = wins.select(col("id"), col("g")).distinct()
+          .groupBy(col("g")).agg(count(lit(1)).as("docs"))
+          .where(col("docs") <= cap).select(col("g"))
+        wins.join(ok, "g")
+      case None => wins
+    }
+    val m = pruned.select(col("id").as("id_a"), col("p").as("pa"),
+        col("g"))
+      .join(pruned.select(col("id").as("id_b"), col("p").as("pb"),
+        col("g")), Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val wn = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pa"))
+    m.withColumn("isl", col("pa") - row_number().over(wn))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
+      .agg(min(col("pa")).as("pa0"), min(col("pb")).as("pb0"),
+        (max(col("pa")) - min(col("pa")) + lit(n)).as("len0"))
+      .select(col("id_a"), col("id_b"),
+        col("pa0").cast("long").as("pos_a"),
+        col("pb0").cast("long").as("pos_b"),
+        col("len0").cast("long").as("len_tokens"))
+  }
+
   /** Deterministic global shuffle + balanced shard assignment — the
     * last step before a training run reads the corpus: examples must
     * arrive in an order decorrelated from ingest order (a corpus

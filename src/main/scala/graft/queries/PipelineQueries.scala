@@ -1860,6 +1860,32 @@ object PipelineQueries {
     // untouched — every branch of the operator exercises. The oracle
     // dedups on gram STRINGS where the engine joins 60-bit hashes
     // (equivalent modulo md5 collisions).
+    // maximal CROSS-document repeated spans (the exact-substring dedup
+    // family): one all-integer row per (doc pair, alignment) — where
+    // the shared run starts in each doc and its token length, n-gram
+    // anchors merged along the alignment diagonal (gaps-and-islands).
+    // Complements dedup_repeated_spans (per-doc covered mass only).
+    "dedup_cross_spans" -> QueryDef(
+      (s, dir) => Curation.crossDocSpans(docs(s, dir), "doc_id",
+        "text", n = 6),
+      Some("""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+          FROM documents WHERE text IS NOT NULL),
+        g AS (SELECT doc_id, p - 1 AS p,
+          array_to_string(a[p:p+5], ' ') AS gram
+          FROM arr, unnest(generate_series(1, len(a)-5)) AS t(p)),
+        m AS (SELECT g1.doc_id AS id_a, g2.doc_id AS id_b,
+          g1.p AS pa, g2.p AS pb
+          FROM g g1 JOIN g g2 ON g1.gram = g2.gram
+          AND g1.doc_id < g2.doc_id),
+        i AS (SELECT id_a, id_b, pa, pb, pa - pb AS diag,
+          pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+            ORDER BY pa) AS isl FROM m)
+        SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+          min(pa)::BIGINT AS pos_a, min(pb)::BIGINT AS pos_b,
+          (max(pa) - min(pa) + 6)::BIGINT AS len_tokens
+        FROM i GROUP BY id_a, id_b, diag, isl"""
+        .replaceAll("\\s+", " "))),
+
     "dedup_repeated_spans" -> QueryDef(
       (s, dir) => Curation.removeRepeatedSpans(docs(s, dir), "doc_id",
         "text", n = 4, minDocs = 2),

@@ -794,4 +794,35 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("integral"))
   }
+
+  test("crossDocSpans: maximal cross-doc spans — overlapping anchors " +
+    "merge along the diagonal, one row per (pair, alignment), " +
+    "repeats inside a doc yield one row per alignment, maxDf drops " +
+    "over-common anchors (shortening only the spans they support)") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x x c d e f g h i j"), // shares c..j (8 tokens) at (2,2)
+      (3L, "c d e f g h z z z z"), // shares c..h (6) at (2,0)/(2,0)
+      (4L, "p q r s t u p q r s t u"), // "p q r s t u" twice
+      (5L, "p q r s t u v w x y0 y1 y2")
+    ).toDF("doc_id", "text")
+    def rows(maxDf: Option[Int]) =
+      Curation.crossDocSpans(docs, "doc_id", "text", n = 6, maxDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    assert(rows(None) === Set(
+      (1L, 2L, 2L, 2L, 8L), // three anchors (2,3,4) merged, diag 0
+      (1L, 3L, 2L, 0L, 6L),
+      (2L, 3L, 2L, 0L, 6L),
+      (4L, 5L, 0L, 0L, 6L), // the repeat: one row per alignment
+      (4L, 5L, 6L, 0L, 6L)))
+    // "c d e f g h" anchors 3 docs -> dropped at maxDf=2: the 1-2
+    // span loses its first anchor (shrinks to d..j, 7 tokens at
+    // (3,3)), the anchor-only 1-3/2-3 spans vanish, 4-5 survives
+    assert(rows(Some(2)) === Set(
+      (1L, 2L, 3L, 3L, 7L),
+      (4L, 5L, 0L, 0L, 6L),
+      (4L, 5L, 6L, 0L, 6L)))
+  }
 }
