@@ -1376,8 +1376,12 @@ object StreamIngest {
       prior.map(_.segs).getOrElse(Seq.empty).partition(_.name == ".")
     val legacy = legacySegs.headOption
       .map(s => project(spark.read.parquet(segPath(epochPath, s))))
-    var nextId = realSegs
-      .flatMap(s => segIdOf(s.name)).foldLeft(0L)(math.max) + 1
+    // fresh ids must also clear the RETIRED dirs still on grace —
+    // re-using a retired name would overwrite bytes a concurrent
+    // reader may be holding (the grace guarantee)
+    val retiredNames = prior.toSeq.flatMap(_.retired)
+    var nextId = (realSegs.flatMap(s => segIdOf(s.name)) ++
+      retiredNames.flatMap(segIdOf)).foldLeft(0L)(math.max) + 1
 
     def freshName(): String = { val n = s"seg_$nextId"; nextId += 1; n }
 
@@ -1445,8 +1449,9 @@ object StreamIngest {
           .reduce(_.unionByName(_)).distinct()
         val liveN = live.toDF(idCol)
           .select(col(idCol).cast("long").as("id")).distinct()
-        val nextTomb = tombs0.flatMap(t =>
-          t.name.stripPrefix("tomb_").toLongOption)
+        val nextTomb = (tombs0.map(_.name) ++ retiredNames)
+          .filter(_.startsWith("tomb_"))
+          .flatMap(_.stripPrefix("tomb_").toLongOption)
           .foldLeft(0L)(math.max) + 1
         writeTombstone(fs, epochPath, s"tomb_$nextTomb",
           stored.join(liveN, Seq("id"), "left_anti"),
@@ -1565,18 +1570,35 @@ object StreamIngest {
     }
   }
 
-  /** Swap the manifest (the single commit point), then clear every
-    * segment dir the new manifest no longer references — merged-away
-    * inputs and crashed-fold garbage alike. A failure after the swap
-    * leaves dead bytes, never wrong reads. */
+  /** Swap the manifest (the single commit point), then clean — with a
+    * ONE-FOLD GRACE for anything a concurrent reader could be holding:
+    * dirs that were live in the PRIOR manifest but not in this one
+    * (merged-away inputs, spent tombstones, a re-cluster's old face)
+    * are recorded as `retired=` and deleted only at the NEXT commit,
+    * so a lock-free read that resolved the prior manifest before this
+    * swap can still open every file it listed for a full fold cycle
+    * (the VACUUM posture; instant deletion made that read fail the
+    * moment the swap landed). Never-committed dirs — crashed folds and
+    * cascades — were never visible to any reader and are cleared
+    * immediately, as are the previous commit's retirees. The window is
+    * BOUNDED, not eliminated: a reader slower than one full
+    * maintenance cycle must re-resolve the manifest. (The one-time
+    * legacy "." upgrade keeps eager deletion — its bucket dirs sit at
+    * the epoch root and cannot be name-tracked.) A failure after the
+    * swap leaves dead bytes, never wrong reads. */
   private def commitEpoch(fs: org.apache.hadoop.fs.FileSystem,
       epochPath: String, layout: IndexLayout): Unit = {
-    writeLayout(fs, epochPath, layout)
+    val priorLive = readLayoutFs(fs, epochPath).toSeq.flatMap(pl =>
+      pl.segs.map(_.name).filterNot(_ == ".") ++
+        pl.tombs.map(_.name)).toSet
     val live = layout.segs.map(_.name).toSet ++
       layout.tombs.map(_.name)
+    val retired = (priorLive -- live).toSeq.sorted
+    writeLayout(fs, epochPath, layout.copy(retired = retired))
+    val keep = live ++ retired
     if (fs.exists(new org.apache.hadoop.fs.Path(epochPath)))
       fs.listStatus(new org.apache.hadoop.fs.Path(epochPath)).toSeq
-        .filter(st => st.isDirectory && !live(st.getPath.getName))
+        .filter(st => st.isDirectory && !keep(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true): Unit)
   }
 
@@ -1847,7 +1869,13 @@ object StreamIngest {
     * segment dirs not in it are invisible garbage. */
   private[graft] case class IndexLayout(wm: Long, buckets: Int,
       segs: Seq[SegRef], codebook: Option[String] = None,
-      tombs: Seq[TombRef] = Seq.empty)
+      tombs: Seq[TombRef] = Seq.empty,
+      /** Dirs retired by THIS commit (merged-away inputs, spent
+        * tombstones, pre-re-cluster faces) — still on disk for one
+        * fold cycle so a concurrent reader that resolved the PRIOR
+        * manifest can finish opening their files; deleted at the
+        * next commit. Never read; bookkeeping only. */
+      retired: Seq[String] = Seq.empty)
 
   private[graft] def segPath(epochPath: String, s: SegRef): String =
     if (s.name == ".") epochPath else s"$epochPath/${s.name}"
@@ -1857,9 +1885,15 @@ object StreamIngest {
     else None
 
   private[graft] def readLayout(spark: SparkSession, epochPath: String)
-      : Option[IndexLayout] = {
+      : Option[IndexLayout] =
+    readLayoutFs(new org.apache.hadoop.fs.Path(s"$epochPath/_layout")
+      .getFileSystem(spark.sessionState.newHadoopConf()), epochPath)
+
+  /** Session-free manifest read — the commit path resolves the PRIOR
+    * manifest with the FileSystem it already holds. */
+  private[graft] def readLayoutFs(fs: org.apache.hadoop.fs.FileSystem,
+      epochPath: String): Option[IndexLayout] = {
     val p = new org.apache.hadoop.fs.Path(s"$epochPath/_layout")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     // crash recovery: the writer creates `_layout.tmp` complete, then
     // deletes `_layout`, then renames — a crash between the last two
     // leaves only the tmp, which IS the committed state (it was
@@ -1894,13 +1928,15 @@ object StreamIngest {
         }
       }
       val buckets = kv("buckets").toInt
+      val retired = lines.filter(_.startsWith("retired="))
+        .map(_.stripPrefix("retired="))
       // legacy r16 manifest: no seg= lines, bucket dirs live directly
       // under the epoch root — modeled as the single "." segment
       val eff =
         if (segs.nonEmpty || kv.contains("segs")) segs
         else Seq(SegRef(".", buckets, -1L, -1L))
       Some(IndexLayout(kv("wm").toLong, buckets, eff,
-        kv.get("codebook"), tombs))
+        kv.get("codebook"), tombs, retired))
     }
   }
 
@@ -1919,6 +1955,7 @@ object StreamIngest {
       s"seg=${s.name}:${s.buckets}:${s.bytes}:${s.rows}\n"))
     l.tombs.foreach(t => body.append(
       s"tomb=${t.name}:${t.bytes}:${t.rows}:${t.covers}\n"))
+    l.retired.foreach(r => body.append(s"retired=$r\n"))
     val out = fs.create(tmp, true)
     try out.write(body.toString.getBytes("UTF-8"))
     finally out.close()
@@ -2180,8 +2217,9 @@ object StreamIngest {
             val reassigned = graft.operators.Similarity
               .ivfAssignFixed(vecs, "vec_id", "vec", anchors)
               .select(col("vec_id"), col("list"))
-            val nextAssign = 1L + prior.get.segs
-              .flatMap(s => segIdOf(s.name)).foldLeft(0L)(math.max)
+            val nextAssign = 1L + (prior.get.segs.map(_.name) ++
+              prior.get.retired)
+              .flatMap(segIdOf).foldLeft(0L)(math.max)
             val seg = writeSegment(fs, assignEpoch,
               s"seg_$nextAssign",
               reassigned.join(vecs, "vec_id")
@@ -2214,8 +2252,8 @@ object StreamIngest {
                   .select(col("vec_id"), col("list"))
                   .join(orphans, "vec_id")
                   .select(col("vec_id"), col("list"), col("codes"))
-                val nextC = 1L + cl.segs
-                  .flatMap(s => segIdOf(s.name))
+                val nextC = 1L + (cl.segs.map(_.name) ++ cl.retired)
+                  .flatMap(segIdOf)
                   .foldLeft(0L)(math.max)
                 writeSegment(fs, codesEpoch, s"seg_$nextC",
                   matched.unionByName(orphanRows),

@@ -1929,6 +1929,53 @@ class StreamIngestSpec extends AnyFunSuite {
       === brute2, "codes serve after recovery")
   }
 
+  test("retirement grace (r18): a commit RETIRES the prior manifest's " +
+    "merged-away segments instead of deleting them — a concurrent " +
+    "reader holding that manifest can still open its files for one " +
+    "fold cycle — the NEXT commit deletes them, and fresh ids never " +
+    "re-use a name still on grace") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_grace_idx").toString
+    def batch(off: Long) = (0 until 16)
+      .map(i => (off + i, Seq(1.0, 0.01 * i))).toDF("id", "vec")
+    StreamIngest.ivfIndexInit(spark, idx,
+      Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0)))
+    StreamIngest.ivfIngestBatch(batch(0L), "id", "vec", idx, 0L)
+    StreamIngest.compactIvfIndex(spark, idx): Unit
+    val l1 = StreamIngest.readLayout(spark, s"$idx/assign_epoch").get
+    assert(l1.segs.map(_.name) === Seq("seg_1") && l1.retired.isEmpty)
+    // a second same-sized fold cascades: seg_2 (the tail) merges with
+    // seg_1 into seg_3. seg_1 was COMMITTED (a reader could hold it)
+    // -> retired; seg_2 never reached any manifest (no reader could
+    // ever list it) -> deleted immediately
+    StreamIngest.ivfIngestBatch(batch(100L), "id", "vec", idx, 1L)
+    StreamIngest.compactIvfIndex(spark, idx): Unit
+    val l2 = StreamIngest.readLayout(spark, s"$idx/assign_epoch").get
+    assert(l2.segs.map(_.name) === Seq("seg_3"), l2.toString)
+    assert(l2.retired === Seq("seg_1"), l2.toString)
+    assert(!new java.io.File(s"$idx/assign_epoch/seg_2").exists(),
+      "a never-committed intermediate must not linger")
+    for (n <- l2.retired)
+      assert(new java.io.File(s"$idx/assign_epoch/$n").exists(),
+        s"$n must stay on disk for the grace cycle")
+    // the stale reader's view: the PRIOR manifest's segment is still
+    // fully readable after the swap
+    assert(spark.read.parquet(s"$idx/assign_epoch/seg_1").count()
+      == 16L)
+    // the next commit clears the grace generation
+    StreamIngest.ivfIngestBatch(batch(200L), "id", "vec", idx, 2L)
+    StreamIngest.compactIvfIndex(spark, idx): Unit
+    val l3 = StreamIngest.readLayout(spark, s"$idx/assign_epoch").get
+    assert(!new java.io.File(s"$idx/assign_epoch/seg_1").exists(),
+      "seg_1 must be deleted one commit later")
+    // fresh ids cleared the retired names at every step: no live
+    // segment ever re-used a name that was on grace when it was born
+    assert(l3.segs.map(_.name).toSet.intersect(l2.retired.toSet)
+      .isEmpty, l3.toString)
+    assert((l3.segs.map(_.name) ++ l3.retired).distinct.length ==
+      l3.segs.length + l3.retired.length)
+  }
+
   test("ivfListHistogram (r18): answered from per-segment _hist " +
     "sidecars — sidecar-exact vs a live scan, hot tail rides on " +
     "top, a missing sidecar falls back to the scan, and a live " +

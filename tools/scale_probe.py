@@ -55,6 +55,15 @@ PROBE = [
     # store-FLATNESS axis (fixed batch, growing store) is the separate
     # graft.IndexProbe -> bench/index_probe.json artifact
     "dedup_inc_pruned_marks", "ann_ivf_inc_pruned_topk",
+    # r17: the persisted PQ/codes face (IVFADC serve over the grown
+    # index) — the memory-bound face a 100 TB index actually stores
+    "ann_ivfpq_inc_topk",
+    # r18: drift repair across a live re-cluster, tombstone-based
+    # retention (expiry must stay O(expired), not a store rewrite),
+    # index observability, and the cross-doc exact-substring spans
+    # (output-sensitive anchor chain like dedup_edit_distance)
+    "ann_ivf_recluster_topk", "dedup_inc_expired_marks",
+    "ann_ivf_expired_topk", "index_stats", "dedup_cross_spans",
 ]
 
 
