@@ -1709,7 +1709,16 @@ object StreamIngest {
     * pruning alive as the corpus drifts away from a frozen codebook.
     * The daemon wires this into the hamonitor tick next to the CQ
     * pass (TOML `index-max-skew` / CLI `-index-maxskew`; 0 =
-    * disabled, like the cadence threshold's default-off posture). */
+    * disabled, like the cadence threshold's default-off posture).
+    *
+    * Per-root FAULT ISOLATION: a root whose maintenance throws (a
+    * corrupted store, a permissions change, a mid-write kill's
+    * garbage) is logged and reported `false` — it must NOT abort the
+    * tick for every other root: with many roots on one daemon, one
+    * poisoned store would otherwise silently freeze ALL compaction
+    * (the same invisible-stall class the `_inflight_` warning below
+    * exists for). The failed root retries next tick; every commit it
+    * already made is manifest-atomic, so a partial tick is safe. */
   def maintainIndexes(spark: SparkSession, indexDirs: Seq[String],
       maxHotBatches: Int = 8, maxSkew: Double = 0.0)
       : Seq[(String, Boolean)] =
@@ -1718,32 +1727,45 @@ object StreamIngest {
         .getFileSystem(spark.sessionState.newHadoopConf())
       def has(sub: String) =
         fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+      def guarded(stage: String)(work: => Boolean): Boolean =
+        try work
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] WARNING: index $dir " +
+              s"$stage maintenance failed (will retry next tick, " +
+              s"other roots unaffected): $e")
+            false
+        }
       val lsh = (has("bands") || has("bands_epoch")) &&
-        maybeCompactLshIndex(spark, dir, maxHotBatches)
+        guarded("lsh")(maybeCompactLshIndex(spark, dir, maxHotBatches))
       val ivf = (has("assign") || has("assign_epoch") ||
         has("codes") || has("codes_epoch")) &&
-        maybeCompactIvfIndex(spark, dir, maxHotBatches)
+        guarded("ivf")(maybeCompactIvfIndex(spark, dir, maxHotBatches))
       val reclustered = maxSkew > 0 &&
         (has("assign") || has("assign_epoch")) &&
-        maybeReclusterIvfIndex(spark, dir, maxSkew)
+        guarded("re-cluster")(
+          maybeReclusterIvfIndex(spark, dir, maxSkew))
       // the gate's safe failure mode made visible: a live _inflight_
       // marker (an abandoned or mid-crash stream) stalls this root's
       // fold at that batch FOREVER by design — once the hot tail has
       // outgrown the cadence threshold with markers live, say so
       // loudly instead of silently re-skipping every tick
-      val inflight = inflightIds(spark, dir)
-      if (inflight.nonEmpty) {
-        val hot = Seq("bands", "sigs", "assign", "codes").map(t =>
-          liveHotCount(spark, s"$dir/$t", s"$dir/${t}_epoch")).max
-        if (hot > maxHotBatches)
-          System.err.println(s"[graft] WARNING: index $dir has live " +
-            s"_inflight_ markers (batch " +
-            s"${inflight.toSeq.sorted.mkString(",")}) stalling " +
-            s"compaction past the cadence threshold ($hot hot " +
-            s"batches > $maxHotBatches). If the owning stream is " +
-            "gone, its batch partitions are a failed attempt — " +
-            "inspect and clear the marker. See /api/indexstats.")
-      }
+      guarded("stall-check") {
+        val inflight = inflightIds(spark, dir)
+        if (inflight.nonEmpty) {
+          val hot = Seq("bands", "sigs", "assign", "codes").map(t =>
+            liveHotCount(spark, s"$dir/$t", s"$dir/${t}_epoch")).max
+          if (hot > maxHotBatches)
+            System.err.println(s"[graft] WARNING: index $dir has " +
+              s"live _inflight_ markers (batch " +
+              s"${inflight.toSeq.sorted.mkString(",")}) stalling " +
+              s"compaction past the cadence threshold ($hot hot " +
+              s"batches > $maxHotBatches). If the owning stream is " +
+              "gone, its batch partitions are a failed attempt — " +
+              "inspect and clear the marker. See /api/indexstats.")
+        }
+        true
+      }: Unit
       dir -> (lsh || ivf || reclustered)
     }
 

@@ -1929,6 +1929,32 @@ class StreamIngestSpec extends AnyFunSuite {
       === brute2, "codes serve after recovery")
   }
 
+  test("maintainIndexes fault isolation (r18): a poisoned root " +
+    "(unparseable manifest) is logged and reported false — it does " +
+    "NOT abort the tick for the healthy roots behind it") {
+    import spark.implicits._
+    val bad = Files.createTempDirectory("graft_badroot_idx").toString
+    val good = Files.createTempDirectory("graft_goodroot_idx").toString
+    // poison: a manifest whose wm= is not a number
+    new java.io.File(s"$bad/assign_epoch").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bad/assign_epoch/_layout"),
+      "wm=notanumber\nbuckets=2\nsegs=0\n".getBytes("UTF-8"))
+    val corpus = (0 until 8).map(i => (i.toLong, Seq(1.0, 0.01 * i)))
+      .toDF("id", "vec")
+    StreamIngest.ivfIndexInit(spark, good,
+      Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0)))
+    StreamIngest.ivfIngestBatch(corpus, "id", "vec", good, 0L)
+    // the bad root is FIRST in the list: its failure must not stop
+    // the good root's fold
+    val out = StreamIngest.maintainIndexes(spark, Seq(bad, good),
+      maxHotBatches = 0).toMap
+    assert(out(bad) === false)
+    assert(out(good) === true, out.toString)
+    assert(StreamIngest.readLayout(spark, s"$good/assign_epoch")
+      .exists(_.wm == 0L), "the healthy root must have folded")
+  }
+
   test("retirement grace (r18): a commit RETIRES the prior manifest's " +
     "merged-away segments instead of deleting them — a concurrent " +
     "reader holding that manifest can still open its files for one " +
