@@ -1016,12 +1016,108 @@ object StreamIngest {
 
   private val indexLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val leaseDepth =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[graft] val jvmLeaseId =
+    java.util.UUID.randomUUID().toString
 
-  /** Serialize ingest/fold/maintenance for one index root within this
-    * JVM (reentrant — maintainIndexes → compact* nests fine). */
-  private[graft] def withIndexLock[T](indexDir: String)(f: => T): T =
+  /** How stale (mod-time age) an on-disk `_maint_lease` must be
+    * before another process may BREAK it — longer than any plausible
+    * single fold, so a crashed owner self-heals within the hour while
+    * a live one is never preempted mid-commit. Mod-time based:
+    * clock skew between writers eats into the margin (document it
+    * when deploying across machines). */
+  val LeaseBreakMs: Long = 60L * 60L * 1000L
+
+  private def leasePath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/_maint_lease")
+
+  /** Take the cross-PROCESS half of the single-writer contract: an
+    * atomic create-no-overwrite of `_maint_lease` (atomic on HDFS and
+    * local filesystems; object stores need an external coordinator —
+    * their create is not exclusive). The JVM lock alone serialized
+    * writers INSIDE one process, so two daemons misconfigured to own
+    * the same root could interleave folds — and one interleaving
+    * (writer B lists hot dirs while writer A's post-commit cleanup
+    * deletes them mid-listing) folds a PARTIAL batch and commits it:
+    * silent row loss, not just wasted work. Contention with a LIVE
+    * foreign lease fails fast (the contract allows one maintenance
+    * owner per root — this is a deployment error, and the tick's
+    * per-root fault isolation logs and retries it); a lease older
+    * than [[LeaseBreakMs]] is broken loudly (crashed owner). */
+  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Unit = {
+    val p = leasePath(indexDir)
+    var attempt = 0
+    while (true) {
+      try {
+        val out = fs.create(p, false)
+        try out.write(jvmLeaseId.getBytes("UTF-8"))
+        finally out.close()
+        return
+      } catch {
+        case _: java.io.IOException =>
+          val age =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(p).getModificationTime
+            catch {
+              // released between our create and stat — retry at once
+              case _: java.io.FileNotFoundException => -1L
+            }
+          if (age > LeaseBreakMs) {
+            System.err.println(s"[graft] WARNING: breaking stale " +
+              s"maintenance lease on $indexDir (age ${age}ms > " +
+              s"$LeaseBreakMs ms): its owner crashed without " +
+              "releasing")
+            fs.delete(p, false): Unit
+          } else if (age >= 0 && attempt >= 3) {
+            sys.error(s"index $indexDir is being maintained by " +
+              "another process (live _maint_lease, age " + age +
+              " ms); the single-writer contract allows ONE " +
+              "maintenance owner per root — check the daemon " +
+              "configuration")
+          } else if (age >= 0) Thread.sleep(50L * (attempt + 1))
+          attempt += 1
+      }
+    }
+  }
+
+  /** Release only OUR lease: if it was broken (we overran the stale
+    * window and another process took over), leave theirs alone. */
+  private def releaseLease(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Unit = {
+    val p = leasePath(indexDir)
+    try {
+      val in = fs.open(p)
+      val owner =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (owner == jvmLeaseId) fs.delete(p, false): Unit
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Serialize ingest/fold/maintenance for one index root — within
+    * this JVM (monitor, reentrant: maintainIndexes → compact* nests
+    * fine) AND across processes (the `_maint_lease` file, acquired at
+    * the outermost entry and released on exit, success or failure). */
+  private[graft] def withIndexLock[T](spark: SparkSession,
+      indexDir: String)(f: => T): T =
     indexLocks.computeIfAbsent(indexDir, _ => new Object)
-      .synchronized(f)
+      .synchronized {
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val depth: Int = leaseDepth.getOrDefault(indexDir, 0)
+        if (depth == 0) acquireLease(fs, indexDir)
+        leaseDepth.put(indexDir, depth + 1)
+        try f
+        finally {
+          val d = leaseDepth.get(indexDir) - 1
+          if (d == 0) {
+            leaseDepth.remove(indexDir)
+            releaseLease(fs, indexDir)
+          } else leaseDepth.put(indexDir, d)
+        }
+      }
 
   private def inflightMarker(indexDir: String, batchId: Long) =
     new org.apache.hadoop.fs.Path(s"$indexDir/_inflight_$batchId")
@@ -1102,7 +1198,8 @@ object StreamIngest {
   def lshIngestBatch(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, marksDir: String, batchId: Long,
       numHashes: Int, bands: Int, shingleLen: Int,
-      minMatches: Int): Unit = withIndexLock(indexDir) {
+      minMatches: Int): Unit =
+    withIndexLock(batch.sparkSession, indexDir) {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -1261,7 +1358,7 @@ object StreamIngest {
         * (the reference clamps every query to the RP window,
         * pkg/agent/sync.go:122-126). */
       liveIds: Option[DataFrame] = None): (Long, Long) =
-    withIndexLock(indexDir) {
+    withIndexLock(spark, indexDir) {
       val inflight = inflightIds(spark, indexDir)
       (relayoutEpoch(spark, s"$indexDir/bands",
         s"$indexDir/bands_epoch", buckets,
@@ -1285,7 +1382,7 @@ object StreamIngest {
       /** Retention/expiry: drop assignments whose vec_id is not in
         * this live-id frame (see [[compactLshIndex]]'s liveIds). */
       liveIds: Option[DataFrame] = None): Long =
-    withIndexLock(indexDir) {
+    withIndexLock(spark, indexDir) {
       val inflight = inflightIds(spark, indexDir)
       val fs = new org.apache.hadoop.fs.Path(indexDir)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -2198,7 +2295,7 @@ object StreamIngest {
     * Returns true iff a re-cluster committed. */
   def reclusterIvfIndex(spark: SparkSession, indexDir: String,
       nlist: Int = 0, iters: Int = 5, sampleN: Int = 2048): Boolean =
-    withIndexLock(indexDir) {
+    withIndexLock(spark, indexDir) {
       import spark.implicits._
       if (inflightIds(spark, indexDir).nonEmpty) false
       else {
@@ -2335,7 +2432,7 @@ object StreamIngest {
     * backfills). */
   def ivfIngestBatch(batch: DataFrame, idCol: String, vecCol: String,
       indexDir: String, batchId: Long): Unit =
-    withIndexLock(indexDir) {
+    withIndexLock(batch.sparkSession, indexDir) {
       val spark = batch.sparkSession
       val fs = new org.apache.hadoop.fs.Path(indexDir)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -2469,7 +2566,7 @@ object StreamIngest {
     * grows by ~numSub ints per vector; no raw vector is stored. */
   def ivfPqIngestBatch(batch: DataFrame, idCol: String,
       vecCol: String, indexDir: String, batchId: Long): Unit =
-    withIndexLock(indexDir) {
+    withIndexLock(batch.sparkSession, indexDir) {
       val spark = batch.sparkSession
       val fs = new org.apache.hadoop.fs.Path(indexDir)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -2559,7 +2656,7 @@ object StreamIngest {
   def semanticIngestBatch(batch: DataFrame, idCol: String,
       vecCol: String, indexDir: String, marksDir: String,
       batchId: Long, threshold: Double): Unit =
-    withIndexLock(indexDir) {
+    withIndexLock(batch.sparkSession, indexDir) {
       val spark = batch.sparkSession
       val fs = new org.apache.hadoop.fs.Path(indexDir)
         .getFileSystem(spark.sessionState.newHadoopConf())

@@ -1929,6 +1929,56 @@ class StreamIngestSpec extends AnyFunSuite {
       === brute2, "codes serve after recovery")
   }
 
+  test("cross-process single-writer lease (r18): a LIVE foreign " +
+    "_maint_lease fails maintenance fast, a STALE one is broken and " +
+    "work proceeds, and the lease is released on success AND on " +
+    "failure") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_lease_idx").toString
+    val corpus = (0 until 8).map(i => (i.toLong, Seq(1.0, 0.01 * i)))
+      .toDF("id", "vec")
+    StreamIngest.ivfIndexInit(spark, idx,
+      Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0)))
+    StreamIngest.ivfIngestBatch(corpus, "id", "vec", idx, 0L)
+    // success path: no residue
+    assert(StreamIngest.compactIvfIndex(spark, idx) == 8L)
+    val lease = new java.io.File(s"$idx/_maint_lease")
+    assert(!lease.exists(), "lease must be released after success")
+    // a LIVE foreign lease (fresh mtime, different owner id): the
+    // single-writer contract fails the op fast instead of running two
+    // writers' folds interleaved
+    StreamIngest.ivfIngestBatch(corpus
+      .withColumn("id", col("id") + lit(100L)), "id", "vec", idx, 1L)
+    java.nio.file.Files.write(lease.toPath,
+      "some-other-process".getBytes("UTF-8"))
+    val e = intercept[RuntimeException] {
+      StreamIngest.compactIvfIndex(spark, idx)
+    }
+    assert(e.getMessage.contains("another process"), e.getMessage)
+    assert(lease.exists() &&
+      new String(java.nio.file.Files.readAllBytes(lease.toPath),
+        "UTF-8") == "some-other-process",
+      "a live foreign lease must never be deleted")
+    // STALE foreign lease (its owner crashed): broken, work proceeds,
+    // and the new owner's release leaves nothing behind
+    assert(lease.setLastModified(System.currentTimeMillis() -
+      StreamIngest.LeaseBreakMs - 60000L))
+    assert(StreamIngest.compactIvfIndex(spark, idx) == 16L)
+    assert(!lease.exists(), "broken-then-reacquired lease must be " +
+      "released after the fold")
+    // failure path: a poisoned manifest makes the fold throw AFTER
+    // lease acquisition — the lease must still be released
+    StreamIngest.ivfIngestBatch(corpus
+      .withColumn("id", col("id") + lit(200L)), "id", "vec", idx, 2L)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$idx/assign_epoch/_layout"),
+      "wm=notanumber\nbuckets=2\nsegs=0\n".getBytes("UTF-8"))
+    intercept[Exception] {
+      StreamIngest.compactIvfIndex(spark, idx)
+    }
+    assert(!lease.exists(), "lease must be released after a failure")
+  }
+
   test("maintainIndexes fault isolation (r18): a poisoned root " +
     "(unparseable manifest) is logged and reported false — it does " +
     "NOT abort the tick for the healthy roots behind it") {
