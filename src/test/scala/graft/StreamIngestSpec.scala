@@ -1929,6 +1929,35 @@ class StreamIngestSpec extends AnyFunSuite {
       === brute2, "codes serve after recovery")
   }
 
+  test("_hist sidecars survive a re-cluster (r18): the re-assigned " +
+    "segment carries a fresh sidecar labeled with the NEW lists, so " +
+    "the drift trigger keeps reading O(segments) after the swap it " +
+    "itself caused") {
+    val idx = Files.createTempDirectory("graft_histrc_idx").toString
+    val corpus = driftCorpus
+    StreamIngest.ivfIndexInit(spark, idx, staleAnchors)
+    StreamIngest.ivfIngestBatch(corpus, "id", "vec", idx, 0L)
+    StreamIngest.compactIvfIndex(spark, idx): Unit
+    // all 14 vectors crowd list 0 under the stale codebook
+    assert(StreamIngest.ivfListHistogram(spark, idx)
+      === Map(0L -> 14L))
+    assert(StreamIngest.reclusterIvfIndex(spark, idx))
+    val l = StreamIngest.readLayout(spark, s"$idx/assign_epoch").get
+    for (s <- l.segs)
+      assert(new java.io.File(
+        s"$idx/assign_epoch/${s.name}/_hist").exists(),
+        s"re-clustered segment ${s.name} must carry a sidecar")
+    // sidecar answers equal a live scan AND reflect the new balance
+    val hist = StreamIngest.ivfListHistogram(spark, idx)
+    val brute = StreamIngest.readIvfIndex(spark, idx)
+      .groupBy("list").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist === brute)
+    assert(hist.values.toSeq.sorted === Seq(7L, 7L),
+      s"re-cluster must separate the two true clusters: $hist")
+    assert(StreamIngest.ivfListSkew(spark, idx) === 1.0)
+  }
+
   test("cross-process single-writer lease (r18): a LIVE foreign " +
     "_maint_lease fails maintenance fast, a STALE one is broken and " +
     "work proceeds, and the lease is released on success AND on " +
