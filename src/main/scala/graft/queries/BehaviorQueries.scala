@@ -27,7 +27,7 @@ object BehaviorQueries {
   private val DayNs = 86400L * 1000000000L
   private val DayUs = 86400L * 1000000L
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = Q.m(
 
     // time-to-convert PERCENTILES per signup-week cohort: exact
     // p50/p90 of each user's first-signup → first-subsequent-purchase

@@ -47,7 +47,7 @@ object ParityQueries {
     col("event_id"), expr("ts div 1000").as("time_us"), col("user_id"),
     col("event_type"), col("value"), col("props"))
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = Q.m(
 
     // S5/P2: the main data scan — time-range full scan with the
     // reference's doubly-exclusive bounds (sync.go:162).

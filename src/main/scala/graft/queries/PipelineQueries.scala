@@ -450,7 +450,7 @@ object PipelineQueries {
         SELECT ed.dst AS id, reach.label FROM reach
         JOIN ed ON ed.src = reach.id)"""
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = Q.m(
 
     // exact dedup by content hash.
     "dedup_exact" -> QueryDef(

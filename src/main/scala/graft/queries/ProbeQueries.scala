@@ -38,7 +38,7 @@ object ProbeQueries {
   private def cents: Column =
     round(col("o_totalprice") * 100, 0).cast("long")
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = Q.m(
 
     // P1/P2/P4 — the three deliberately-red probes (half-up `//`
     // quotient divided by a bare decimal literal, uncast and ::DOUBLE,

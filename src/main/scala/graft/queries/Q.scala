@@ -25,7 +25,32 @@ final case class QueryDef(
     oracle: Option[String])
 
 object Q {
-  /** Registry helper: name → QueryDef maps merged by SparkEntry. */
-  def merge(ms: Map[String, QueryDef]*): Map[String, QueryDef] =
+  /** Registry helper: name → QueryDef maps merged by SparkEntry.
+    *
+    * Throws on duplicate names: a plain `++` silently keeps the last
+    * definition, which once hid a defined-but-never-verified query
+    * (`stats_key_skew` shadowed its sibling for several rounds). The
+    * registry is the correctness gate's source of truth, so a collision
+    * is a build error, not a quiet overwrite.
+    */
+  def merge(ms: Map[String, QueryDef]*): Map[String, QueryDef] = {
+    val names = ms.flatMap(_.keys)
+    val dups = names.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate query names across registry maps: ${dups.toSeq.sorted.mkString(", ")}")
     ms.reduce(_ ++ _)
+  }
+
+  /** Duplicate-checking `Map(...)` for the per-file registries. A Scala
+    * `Map` literal collapses repeated keys at construction (last wins),
+    * which `merge` can never observe — entries must flow through varargs
+    * of pairs to be countable before dedup.
+    */
+  def m(entries: (String, QueryDef)*): Map[String, QueryDef] = {
+    val dups = entries.map(_._1).groupBy(identity)
+      .collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate query names within a registry map: ${dups.toSeq.sorted.mkString(", ")}")
+    entries.toMap
+  }
 }

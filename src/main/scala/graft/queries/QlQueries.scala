@@ -67,7 +67,7 @@ object QlQueries {
       WHERE $TypeCase $cmp 'string'""".replaceAll("\\s+", " ")
   }
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = Q.m(
 
     // the reference's OWN emitted query, verbatim shape (sync.go:162:
     // `select * from  "%v" where time  > %vs and time < %vs group by *`

@@ -49,7 +49,7 @@ object RelationalQueries {
       * (100 - CAST(round(l_discount*100,0) AS BIGINT)))::DOUBLE
       / 10000.0"""
 
-  def defs: Map[String, QueryDef] = Map(
+  def defs: Map[String, QueryDef] = Q.m(
 
     // TPC-H Q1-style pricing summary: wide aggregate with partial/final
     // split; sum_qty exact (integral doubles), money sums rounded.
