@@ -1022,62 +1022,208 @@ object StreamIngest {
     java.util.UUID.randomUUID().toString
 
   /** How stale (mod-time age) an on-disk `_maint_lease` must be
-    * before another process may BREAK it — longer than any plausible
-    * single fold, so a crashed owner self-heals within the hour while
-    * a live one is never preempted mid-commit. Mod-time based:
-    * clock skew between writers eats into the margin (document it
-    * when deploying across machines). */
+    * before another process may BREAK it — longer than the HEARTBEAT
+    * interval with wide margin, so a crashed owner self-heals within
+    * the hour while a live one is never preempted: the holder
+    * refreshes the lease mtime every [[LeaseHeartbeatMs]] for the
+    * whole held span, so even a multi-hour fold keeps its age far
+    * under the break window (pre-r19 the mtime was written once —
+    * any op longer than the window had its LIVE lease broken).
+    * Mod-time based: clock skew between writers eats into the margin
+    * (document it when deploying across machines). */
   val LeaseBreakMs: Long = 60L * 60L * 1000L
+
+  /** Lease mtime refresh cadence while held — ≪ [[LeaseBreakMs]]. */
+  val LeaseHeartbeatMs: Long = LeaseBreakMs / 6
 
   private def leasePath(indexDir: String) =
     new org.apache.hadoop.fs.Path(s"$indexDir/_maint_lease")
 
-  /** Take the cross-PROCESS half of the single-writer contract: an
-    * atomic create-no-overwrite of `_maint_lease` (atomic on HDFS and
-    * local filesystems; object stores need an external coordinator —
-    * their create is not exclusive). The JVM lock alone serialized
-    * writers INSIDE one process, so two daemons misconfigured to own
-    * the same root could interleave folds — and one interleaving
-    * (writer B lists hot dirs while writer A's post-commit cleanup
-    * deletes them mid-listing) folds a PARTIAL batch and commits it:
-    * silent row loss, not just wasted work. Contention with a LIVE
-    * foreign lease fails fast (the contract allows one maintenance
-    * owner per root — this is a deployment error, and the tick's
-    * per-root fault isolation logs and retries it); a lease older
-    * than [[LeaseBreakMs]] is broken loudly (crashed owner). */
-  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
-      indexDir: String): Unit = {
-    val p = leasePath(indexDir)
-    var attempt = 0
-    while (true) {
+  /** The cross-process lease primitive, injectable for deployments
+    * whose filesystem cannot give the required atomicity. The
+    * CONTRACT: `tryCreate` must be atomic create-no-overwrite (two
+    * concurrent callers → exactly one true), and `breakLease` must
+    * elect at most one winner among concurrent breakers. HDFS and
+    * local filesystems satisfy both natively ([[FsLeaseProvider]],
+    * the default); object stores without conditional writes satisfy
+    * NEITHER — deploying there requires a coordinator-backed
+    * provider (e.g. a DynamoDB/ZK conditional put behind this
+    * trait), and a provider that declares itself non-atomic is
+    * REFUSED at acquire time rather than silently downgrading the
+    * single-writer guarantee to a race. */
+  trait LeaseProvider {
+    /** True iff this provider's create/break really are atomic —
+      * checked before every acquire; `false` refuses loudly. */
+    def isAtomic: Boolean
+    /** Create the lease with `body` iff absent. True = acquired;
+      * false = a lease exists. Throws on environmental failure
+      * (permissions, read-only FS) — the caller counts those. */
+    def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path, body: String): Boolean
+    def readBody(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Option[String]
+    def ageMs(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Option[Long]
+    /** Refresh the lease's mtime (heartbeat). */
+    def touch(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Unit
+    /** Remove a lease believed dead so the breaker can re-create.
+      * Must elect ONE winner among concurrent breakers — true iff
+      * this caller won. A delete here would reinstate the race the
+      * election exists to close: two breakers both stat the stale
+      * lease, A deletes + re-creates, B's pending delete then
+      * removes A's FRESH lease. */
+    def breakLease(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Boolean
+    def delete(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Unit
+  }
+
+  /** Default provider: HDFS/local-FS semantics. Breaking renames the
+    * lease to a breaker-unique name (rename is atomic and fails for
+    * every breaker but one — the winner then deletes its private
+    * copy), never deletes in place. */
+  object FsLeaseProvider extends LeaseProvider {
+    def isAtomic = true
+    def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path, body: String): Boolean =
       try {
         val out = fs.create(p, false)
-        try out.write(jvmLeaseId.getBytes("UTF-8"))
+        try out.write(body.getBytes("UTF-8"))
         finally out.close()
-        return
+        true
       } catch {
-        case _: java.io.IOException =>
-          val age =
-            try System.currentTimeMillis() -
-              fs.getFileStatus(p).getModificationTime
-            catch {
-              // released between our create and stat — retry at once
-              case _: java.io.FileNotFoundException => -1L
-            }
-          if (age > LeaseBreakMs) {
-            System.err.println(s"[graft] WARNING: breaking stale " +
-              s"maintenance lease on $indexDir (age ${age}ms > " +
-              s"$LeaseBreakMs ms): its owner crashed without " +
-              "releasing")
-            fs.delete(p, false): Unit
-          } else if (age >= 0 && attempt >= 3) {
+        case e: java.io.IOException =>
+          // create-vs-exists is the one IOException that means
+          // "held", not "broken environment"
+          if (fs.exists(p)) false else throw e
+      }
+    def readBody(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Option[String] =
+      try {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+    def ageMs(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Option[Long] =
+      try Some(System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    def touch(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Unit =
+      fs.setTimes(p, System.currentTimeMillis(), -1)
+    def breakLease(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Boolean = {
+      val grave = new org.apache.hadoop.fs.Path(
+        s"$p.broken.${java.util.UUID.randomUUID()}")
+      val won = try fs.rename(p, grave)
+        catch { case _: java.io.IOException => false }
+      if (won) fs.delete(grave, false): Unit
+      won
+    }
+    def delete(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Unit =
+      fs.delete(p, false): Unit
+  }
+
+  /** The active provider — swap for a coordinator-backed impl on
+    * object stores (also the test seam for the atomicity refusal and
+    * fault-injection specs). */
+  @volatile private[graft] var leaseProvider: LeaseProvider =
+    FsLeaseProvider
+
+  private def leaseBody(): String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.io.IOException => "unknown" }
+    s"$jvmLeaseId\nhost=$host\npid=${ProcessHandle.current.pid}"
+  }
+
+  /** True when `body` names a holder on THIS host whose pid is no
+    * longer alive — a crashed-and-restarted daemon can reclaim its
+    * own root immediately instead of blocking every write (ingest
+    * batches take this lock too) for the full break window. */
+  private def ownerDead(body: String): Boolean = {
+    val kv = body.linesIterator.flatMap(_.split("=", 2) match {
+      case Array(k, v) => Some(k -> v); case _ => None
+    }).toMap
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.io.IOException => return false }
+    (kv.get("host"), kv.get("pid").flatMap(_.toLongOption)) match {
+      case (Some(h), Some(pid)) if h == host =>
+        ProcessHandle.of(pid)
+          .map[Boolean](ph => !ph.isAlive).orElse(true)
+      case _ => false
+    }
+  }
+
+  /** Take the cross-PROCESS half of the single-writer contract via
+    * [[leaseProvider]] (atomic create-no-overwrite of
+    * `_maint_lease`). The JVM lock alone serialized writers INSIDE
+    * one process, so two daemons misconfigured to own the same root
+    * could interleave folds — and one interleaving (writer B lists
+    * hot dirs while writer A's post-commit cleanup deletes them
+    * mid-listing) folds a PARTIAL batch and commits it: silent row
+    * loss, not just wasted work. Contention with a LIVE foreign
+    * lease fails fast (the contract allows one maintenance owner per
+    * root — a deployment error; the tick's per-root fault isolation
+    * logs and retries it). A lease is broken — via the provider's
+    * one-winner election, never a delete — when it is older than
+    * [[LeaseBreakMs]] (crashed owner, heartbeat stopped) or its
+    * recorded owner is a dead pid on this host (instant same-host
+    * restart reclaim). Environmental create failures (permissions,
+    * read-only FS) are COUNTED and rethrown after a few tries — age
+    * probes returning "no lease" must not turn them into a silent
+    * infinite busy-loop the tick's fault isolation can never see. */
+  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Unit = {
+    require(leaseProvider.isAtomic,
+      s"lease provider ${leaseProvider.getClass.getSimpleName} " +
+        "declares non-atomic create: the cross-process single-writer " +
+        "guarantee cannot hold on this filesystem. Inject a " +
+        "coordinator-backed LeaseProvider (conditional put) instead " +
+        "of silently racing.")
+    val p = leasePath(indexDir)
+    var liveAttempts = 0
+    var createFailures = 0
+    while (true) {
+      val acquired =
+        try {
+          val ok = leaseProvider.tryCreate(fs, p, leaseBody())
+          createFailures = 0
+          ok
+        } catch {
+          case e: java.io.IOException =>
+            createFailures += 1
+            if (createFailures >= 5) throw e
+            Thread.sleep(50L * createFailures)
+            false
+        }
+      if (acquired) return
+      leaseProvider.ageMs(fs, p) match {
+        case None => () // released under us — retry the create
+        case Some(age) =>
+          val dead = leaseProvider.readBody(fs, p).exists(ownerDead)
+          if (age > LeaseBreakMs || dead) {
+            System.err.println(s"[graft] WARNING: breaking " +
+              s"maintenance lease on $indexDir (" +
+              (if (dead) "owner pid dead on this host"
+               else s"stale: age ${age}ms > $LeaseBreakMs ms") +
+              "): its owner crashed without releasing")
+            leaseProvider.breakLease(fs, p): Unit
+          } else if (liveAttempts >= 3) {
             sys.error(s"index $indexDir is being maintained by " +
               "another process (live _maint_lease, age " + age +
               " ms); the single-writer contract allows ONE " +
               "maintenance owner per root — check the daemon " +
               "configuration")
-          } else if (age >= 0) Thread.sleep(50L * (attempt + 1))
-          attempt += 1
+          } else {
+            Thread.sleep(50L * (liveAttempts + 1))
+            liveAttempts += 1
+          }
       }
     }
   }
@@ -1088,18 +1234,52 @@ object StreamIngest {
       indexDir: String): Unit = {
     val p = leasePath(indexDir)
     try {
-      val in = fs.open(p)
-      val owner =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      if (owner == jvmLeaseId) fs.delete(p, false): Unit
+      if (leaseProvider.readBody(fs, p)
+          .exists(_.startsWith(jvmLeaseId)))
+        leaseProvider.delete(fs, p)
     } catch { case _: java.io.IOException => () }
   }
+
+  private lazy val leaseHeartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-lease-heartbeat")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Start the held-lease heartbeat: refresh the mtime every
+    * [[LeaseHeartbeatMs]] so a long fold/re-cluster never ages into
+    * the break window while its owner is alive. Guarded by an
+    * ownership re-read — if our lease WAS broken (we stalled past
+    * the window and another writer took over), we must not refresh
+    * the usurper's clock; the worst race is one harmless refresh. */
+  /** One heartbeat tick (factored out so the spec can drive it
+    * without waiting out the cadence): true iff we still owned the
+    * lease and refreshed it. */
+  private[graft] def heartbeatOnce(
+      fs: org.apache.hadoop.fs.FileSystem, indexDir: String)
+      : Boolean =
+    try {
+      val p = leasePath(indexDir)
+      val mine = leaseProvider.readBody(fs, p)
+        .exists(_.startsWith(jvmLeaseId))
+      if (mine) leaseProvider.touch(fs, p)
+      mine
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  private def startHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): java.util.concurrent.ScheduledFuture[_] =
+    leaseHeartbeats.scheduleAtFixedRate(
+      () => { heartbeatOnce(fs, indexDir): Unit },
+      LeaseHeartbeatMs, LeaseHeartbeatMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
 
   /** Serialize ingest/fold/maintenance for one index root — within
     * this JVM (monitor, reentrant: maintainIndexes → compact* nests
     * fine) AND across processes (the `_maint_lease` file, acquired at
-    * the outermost entry and released on exit, success or failure). */
+    * the outermost entry, heartbeated while held, released on exit,
+    * success or failure). */
   private[graft] def withIndexLock[T](spark: SparkSession,
       indexDir: String)(f: => T): T =
     indexLocks.computeIfAbsent(indexDir, _ => new Object)
@@ -1107,13 +1287,19 @@ object StreamIngest {
         val fs = new org.apache.hadoop.fs.Path(indexDir)
           .getFileSystem(spark.sessionState.newHadoopConf())
         val depth: Int = leaseDepth.getOrDefault(indexDir, 0)
-        if (depth == 0) acquireLease(fs, indexDir)
+        var beat: Option[java.util.concurrent.ScheduledFuture[_]] =
+          None
+        if (depth == 0) {
+          acquireLease(fs, indexDir)
+          beat = Some(startHeartbeat(fs, indexDir))
+        }
         leaseDepth.put(indexDir, depth + 1)
         try f
         finally {
           val d = leaseDepth.get(indexDir) - 1
           if (d == 0) {
             leaseDepth.remove(indexDir)
+            beat.foreach(_.cancel(false): Unit)
             releaseLease(fs, indexDir)
           } else leaseDepth.put(indexDir, d)
         }
