@@ -115,7 +115,12 @@ final case class AgentConfig(
     // list-size skew (largest list / mean list) crosses this on the
     // tick; 0 disables — re-clustering rewrites the epoch (inherent
     // to re-training), so it is strictly operator-opt-in.
-    indexMaxSkew: Double = 0.0)
+    indexMaxSkew: Double = 0.0,
+    // retirement-grace age floor (r19): a merged-away/retired epoch
+    // dir is deleted only by a later commit AND once older than this
+    // — the wall-clock half of the lock-free-reader grace (the fold-
+    // count half alone collapses under rapid fold cadences).
+    indexRetireGraceSec: Long = 600L)
 
 /** The agent — one object composing catalog discovery, schema DDL, the
   * chunked copy plane, and the HA monitor into the reference's four
@@ -663,9 +668,11 @@ final class Agent(
         requeueRewinds = ws.requeueWriteLowWater): Unit
       val dirs = cfg.indexDirs.split(',').map(_.trim)
         .filter(_.nonEmpty).toSeq
-      if (dirs.nonEmpty)
+      if (dirs.nonEmpty) {
+        StreamIngest.retireGraceMs = cfg.indexRetireGraceSec * 1000L
         StreamIngest.maintainIndexes(spark, dirs,
           cfg.indexMaxHotBatches, cfg.indexMaxSkew): Unit
+      }
     }
   }
 
@@ -898,6 +905,8 @@ object AgentCli {
           c = c.copy(indexMaxHotBatches = v.toInt)
         case "-index-maxskew"   =>
           c = c.copy(indexMaxSkew = v.toDouble)
+        case "-index-retiregrace" =>
+          c = c.copy(indexRetireGraceSec = v.toLong)
         case other =>
           throw new IllegalArgumentException(s"unknown flag: $other")
       }

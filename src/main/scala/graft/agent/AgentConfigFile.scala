@@ -147,6 +147,10 @@ object AgentConfigFile {
     // re-cluster policy; 0 = disabled. CLI twin: -index-maxskew.
     g.get("index-max-skew").foreach(v =>
       c = c.copy(indexMaxSkew = v.toDouble))
+    // retirement-grace age floor for retired epoch dirs (seconds).
+    // CLI twin: -index-retiregrace.
+    g.get("index-retire-grace-sec").foreach(v =>
+      c = c.copy(indexRetireGraceSec = v.toLong))
     // [http]: bind-addr port + admin credentials (mainconfig.go:39-44)
     parsed.http.get("bind-addr").foreach { ba =>
       ba.split(':').lastOption.flatMap(p => scala.util.Try(p.toInt).toOption)

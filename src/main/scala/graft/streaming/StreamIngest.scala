@@ -1662,7 +1662,7 @@ object StreamIngest {
     // fresh ids must also clear the RETIRED dirs still on grace —
     // re-using a retired name would overwrite bytes a concurrent
     // reader may be holding (the grace guarantee)
-    val retiredNames = prior.toSeq.flatMap(_.retired)
+    val retiredNames = prior.toSeq.flatMap(_.retired.map(_._1))
     var nextId = (realSegs.flatMap(s => segIdOf(s.name)) ++
       retiredNames.flatMap(segIdOf)).foldLeft(0L)(math.max) + 1
 
@@ -1803,9 +1803,15 @@ object StreamIngest {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true): Unit
       None
     } else {
-      // IVF faces (list= layouts) get a per-list row-count sidecar so
-      // the drift check never has to scan the store (see writeHist)
-      if (partCol == "list") writeHist(fs, dir, out.sparkSession)
+      // the ASSIGN face (list= layout) gets a per-list row-count
+      // sidecar so the drift check never has to scan the store (see
+      // writeHist). The codes face shares the layout but nothing
+      // reads its histogram — writing one there was a wasted
+      // read-back job on every codes segment write/merge/re-cluster
+      if (partCol == "list" &&
+          new org.apache.hadoop.fs.Path(epochPath).getName
+            == "assign_epoch")
+        writeHist(fs, dir, out.sparkSession)
       Some(SegRef(name, buckets,
         fs.getContentSummary(new org.apache.hadoop.fs.Path(dir))
           .getLength, rows))
@@ -1853,32 +1859,56 @@ object StreamIngest {
     }
   }
 
+  /** Minimum age before a `retired=` dir may be deleted — the TIME
+    * half of the retirement grace (TOML `index-retire-grace-sec` /
+    * CLI `-index-retiregrace`). The r18 grace was fold-COUNT-bounded
+    * only (one cycle): under a fast fold cadence — many tiny batches
+    * at a low `index-max-hot-batches` — two commits could land
+    * milliseconds apart and a slow lock-free reader still hit
+    * deleted files. Deletion now requires BOTH a subsequent commit
+    * AND this minimum age (the VACUUM posture: structural safety
+    * plus a wall-clock floor). Default ≥ the daemon's default
+    * maintenance cadence, so at default settings at least one full
+    * tick separates retirement from deletion however fast folds
+    * cascade. */
+  @volatile var retireGraceMs: Long = 10L * 60L * 1000L
+
   /** Swap the manifest (the single commit point), then clean — with a
-    * ONE-FOLD GRACE for anything a concurrent reader could be holding:
+    * grace window for anything a concurrent reader could be holding:
     * dirs that were live in the PRIOR manifest but not in this one
     * (merged-away inputs, spent tombstones, a re-cluster's old face)
-    * are recorded as `retired=` and deleted only at the NEXT commit,
-    * so a lock-free read that resolved the prior manifest before this
-    * swap can still open every file it listed for a full fold cycle
-    * (the VACUUM posture; instant deletion made that read fail the
-    * moment the swap landed). Never-committed dirs — crashed folds and
+    * are recorded as `retired=<name>:<atMs>` and deleted only by a
+    * LATER commit once older than [[retireGraceMs]], so a lock-free
+    * read that resolved a prior manifest before this swap can still
+    * open every file it listed for at least a fold cycle AND the
+    * grace age (instant deletion made that read fail the moment the
+    * swap landed; the r18 one-fold rule alone collapsed under rapid
+    * fold cadences). Never-committed dirs — crashed folds and
     * cascades — were never visible to any reader and are cleared
-    * immediately, as are the previous commit's retirees. The window is
-    * BOUNDED, not eliminated: a reader slower than one full
-    * maintenance cycle must re-resolve the manifest. (The one-time
-    * legacy "." upgrade keeps eager deletion — its bucket dirs sit at
-    * the epoch root and cannot be name-tracked.) A failure after the
-    * swap leaves dead bytes, never wrong reads. */
+    * immediately. The window is BOUNDED, not eliminated: a reader
+    * slower than a maintenance cycle plus the grace age must
+    * re-resolve the manifest. (The one-time legacy "." upgrade keeps
+    * eager deletion — its bucket dirs sit at the epoch root and
+    * cannot be name-tracked.) A failure after the swap leaves dead
+    * bytes, never wrong reads. */
   private def commitEpoch(fs: org.apache.hadoop.fs.FileSystem,
       epochPath: String, layout: IndexLayout): Unit = {
-    val priorLive = readLayoutFs(fs, epochPath).toSeq.flatMap(pl =>
+    val now = System.currentTimeMillis()
+    val prior = readLayoutFs(fs, epochPath)
+    val priorLive = prior.toSeq.flatMap(pl =>
       pl.segs.map(_.name).filterNot(_ == ".") ++
         pl.tombs.map(_.name)).toSet
     val live = layout.segs.map(_.name).toSet ++
       layout.tombs.map(_.name)
-    val retired = (priorLive -- live).toSeq.sorted
+    // a prior retiree has had its one-fold cycle by construction (it
+    // rode at least one committed manifest); it leaves grace only
+    // once ALSO past the age floor
+    val kept = prior.toSeq.flatMap(_.retired)
+      .filter { case (_, at) => now - at <= retireGraceMs }
+    val retired = kept ++
+      (priorLive -- live).toSeq.sorted.map(_ -> now)
     writeLayout(fs, epochPath, layout.copy(retired = retired))
-    val keep = live ++ retired
+    val keep = live ++ retired.map(_._1)
     if (fs.exists(new org.apache.hadoop.fs.Path(epochPath)))
       fs.listStatus(new org.apache.hadoop.fs.Path(epochPath)).toSeq
         .filter(st => st.isDirectory && !keep(st.getPath.getName))
@@ -2006,10 +2036,6 @@ object StreamIngest {
       maxHotBatches: Int = 8, maxSkew: Double = 0.0)
       : Seq[(String, Boolean)] =
     indexDirs.map { dir =>
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      def has(sub: String) =
-        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
       def guarded(stage: String)(work: => Boolean): Boolean =
         try work
         catch {
@@ -2019,6 +2045,16 @@ object StreamIngest {
               s"other roots unaffected): $e")
             false
         }
+      // the WHOLE per-root body runs guarded — the fs construction
+      // and has() probes included: a bad URI or a listing-permission
+      // failure there used to throw out of the map and abort the
+      // tick for every remaining root, the exact stall class the
+      // per-stage guards were added against
+      dir -> guarded("root") {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def has(sub: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
       val lsh = (has("bands") || has("bands_epoch")) &&
         guarded("lsh")(maybeCompactLshIndex(spark, dir, maxHotBatches))
       val ivf = (has("assign") || has("assign_epoch") ||
@@ -2049,7 +2085,8 @@ object StreamIngest {
         }
         true
       }: Unit
-      dir -> (lsh || ivf || reclustered)
+      lsh || ivf || reclustered
+      }
     }
 
   // ---- index observability (r18) ------------------------------------
@@ -2175,12 +2212,12 @@ object StreamIngest {
   private[graft] case class IndexLayout(wm: Long, buckets: Int,
       segs: Seq[SegRef], codebook: Option[String] = None,
       tombs: Seq[TombRef] = Seq.empty,
-      /** Dirs retired by THIS commit (merged-away inputs, spent
-        * tombstones, pre-re-cluster faces) — still on disk for one
-        * fold cycle so a concurrent reader that resolved the PRIOR
-        * manifest can finish opening their files; deleted at the
-        * next commit. Never read; bookkeeping only. */
-      retired: Seq[String] = Seq.empty)
+      /** (dir, retiredAtMs) pairs on grace (merged-away inputs,
+        * spent tombstones, pre-re-cluster faces) — still on disk so
+        * a concurrent reader that resolved a PRIOR manifest can
+        * finish opening their files; deleted by a later commit once
+        * past [[retireGraceMs]]. Never read; bookkeeping only. */
+      retired: Seq[(String, Long)] = Seq.empty)
 
   private[graft] def segPath(epochPath: String, s: SegRef): String =
     if (s.name == ".") epochPath else s"$epochPath/${s.name}"
@@ -2233,8 +2270,15 @@ object StreamIngest {
         }
       }
       val buckets = kv("buckets").toInt
+      // `name:atMs`; a pre-r19 manifest has no stamp — age 0 means
+      // "past any grace", preserving the old next-commit deletion
       val retired = lines.filter(_.startsWith("retired="))
-        .map(_.stripPrefix("retired="))
+        .map(_.stripPrefix("retired=")).map { r =>
+          r.split(":", 2) match {
+            case Array(n, at) => (n, at.toLongOption.getOrElse(0L))
+            case _ => (r, 0L)
+          }
+        }
       // legacy r16 manifest: no seg= lines, bucket dirs live directly
       // under the epoch root — modeled as the single "." segment
       val eff =
@@ -2260,7 +2304,9 @@ object StreamIngest {
       s"seg=${s.name}:${s.buckets}:${s.bytes}:${s.rows}\n"))
     l.tombs.foreach(t => body.append(
       s"tomb=${t.name}:${t.bytes}:${t.rows}:${t.covers}\n"))
-    l.retired.foreach(r => body.append(s"retired=$r\n"))
+    l.retired.foreach { case (n, at) =>
+      body.append(s"retired=$n:$at\n")
+    }
     val out = fs.create(tmp, true)
     try out.write(body.toString.getBytes("UTF-8"))
     finally out.close()
@@ -2523,7 +2569,7 @@ object StreamIngest {
               .ivfAssignFixed(vecs, "vec_id", "vec", anchors)
               .select(col("vec_id"), col("list"))
             val nextAssign = 1L + (prior.get.segs.map(_.name) ++
-              prior.get.retired)
+              prior.get.retired.map(_._1))
               .flatMap(segIdOf).foldLeft(0L)(math.max)
             val seg = writeSegment(fs, assignEpoch,
               s"seg_$nextAssign",
@@ -2557,7 +2603,8 @@ object StreamIngest {
                   .select(col("vec_id"), col("list"))
                   .join(orphans, "vec_id")
                   .select(col("vec_id"), col("list"), col("codes"))
-                val nextC = 1L + (cl.segs.map(_.name) ++ cl.retired)
+                val nextC = 1L +
+                  (cl.segs.map(_.name) ++ cl.retired.map(_._1))
                   .flatMap(segIdOf)
                   .foldLeft(0L)(math.max)
                 writeSegment(fs, codesEpoch, s"seg_$nextC",

@@ -2024,10 +2024,14 @@ class StreamIngestSpec extends AnyFunSuite {
     StreamIngest.ivfIndexInit(spark, good,
       Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0)))
     StreamIngest.ivfIngestBatch(corpus, "id", "vec", good, 0L)
-    // the bad root is FIRST in the list: its failure must not stop
-    // the good root's fold
-    val out = StreamIngest.maintainIndexes(spark, Seq(bad, good),
-      maxHotBatches = 0).toMap
+    // bad roots FIRST in the list: a poisoned manifest AND a root
+    // whose fs/probe construction itself fails (unparseable URI —
+    // r19: the guard must wrap the fs construction and has() probes
+    // too, not only the stage bodies) must not stop the good root
+    val badUri = "hdfs://:-1/nonsense"
+    val out = StreamIngest.maintainIndexes(
+      spark, Seq(badUri, bad, good), maxHotBatches = 0).toMap
+    assert(out(badUri) === false)
     assert(out(bad) === false)
     assert(out(good) === true, out.toString)
     assert(StreamIngest.readLayout(spark, s"$good/assign_epoch")
@@ -2040,6 +2044,11 @@ class StreamIngestSpec extends AnyFunSuite {
     "fold cycle — the NEXT commit deletes them, and fresh ids never " +
     "re-use a name still on grace") {
     import spark.implicits._
+    // grace age floor 0: this spec pins the fold-COUNT half of the
+    // grace in isolation (the time half has its own spec below)
+    val priorGrace = StreamIngest.retireGraceMs
+    StreamIngest.retireGraceMs = 0L
+    try {
     val idx = Files.createTempDirectory("graft_grace_idx").toString
     def batch(off: Long) = (0 until 16)
       .map(i => (off + i, Seq(1.0, 0.01 * i))).toDF("id", "vec")
@@ -2057,10 +2066,10 @@ class StreamIngestSpec extends AnyFunSuite {
     StreamIngest.compactIvfIndex(spark, idx): Unit
     val l2 = StreamIngest.readLayout(spark, s"$idx/assign_epoch").get
     assert(l2.segs.map(_.name) === Seq("seg_3"), l2.toString)
-    assert(l2.retired === Seq("seg_1"), l2.toString)
+    assert(l2.retired.map(_._1) === Seq("seg_1"), l2.toString)
     assert(!new java.io.File(s"$idx/assign_epoch/seg_2").exists(),
       "a never-committed intermediate must not linger")
-    for (n <- l2.retired)
+    for ((n, _) <- l2.retired)
       assert(new java.io.File(s"$idx/assign_epoch/$n").exists(),
         s"$n must stay on disk for the grace cycle")
     // the stale reader's view: the PRIOR manifest's segment is still
@@ -2075,10 +2084,58 @@ class StreamIngestSpec extends AnyFunSuite {
       "seg_1 must be deleted one commit later")
     // fresh ids cleared the retired names at every step: no live
     // segment ever re-used a name that was on grace when it was born
-    assert(l3.segs.map(_.name).toSet.intersect(l2.retired.toSet)
-      .isEmpty, l3.toString)
-    assert((l3.segs.map(_.name) ++ l3.retired).distinct.length ==
-      l3.segs.length + l3.retired.length)
+    assert(l3.segs.map(_.name).toSet
+      .intersect(l2.retired.map(_._1).toSet).isEmpty, l3.toString)
+    assert((l3.segs.map(_.name) ++ l3.retired.map(_._1))
+      .distinct.length == l3.segs.length + l3.retired.length)
+    } finally StreamIngest.retireGraceMs = priorGrace
+  }
+
+  test("time-bounded retirement grace (r19): under a rapid fold " +
+    "cadence a retiree SURVIVES multiple commits until past the age " +
+    "floor — a paused reader outlives two back-to-back folds — while " +
+    "never-committed crash dirs are still deleted instantly") {
+    import spark.implicits._
+    val priorGrace = StreamIngest.retireGraceMs
+    StreamIngest.retireGraceMs = 3000L
+    try {
+      val idx = Files.createTempDirectory("graft_tgrace_idx").toString
+      def batch(off: Long) = (0 until 16)
+        .map(i => (off + i, Seq(1.0, 0.01 * i))).toDF("id", "vec")
+      StreamIngest.ivfIndexInit(spark, idx,
+        Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0)))
+      StreamIngest.ivfIngestBatch(batch(0L), "id", "vec", idx, 0L)
+      StreamIngest.compactIvfIndex(spark, idx): Unit
+      // two RAPID further folds: each cascades seg_1 away and then
+      // re-commits — under the r18 one-fold rule the second commit
+      // deleted seg_1 milliseconds after its retirement
+      StreamIngest.ivfIngestBatch(batch(100L), "id", "vec", idx, 1L)
+      StreamIngest.compactIvfIndex(spark, idx): Unit
+      StreamIngest.ivfIngestBatch(batch(200L), "id", "vec", idx, 2L)
+      StreamIngest.compactIvfIndex(spark, idx): Unit
+      val l = StreamIngest.readLayout(spark, s"$idx/assign_epoch").get
+      assert(l.retired.map(_._1).contains("seg_1"),
+        s"young retiree must stay on grace across rapid folds: $l")
+      // the paused reader's view still opens
+      assert(spark.read.parquet(s"$idx/assign_epoch/seg_1").count()
+        == 16L)
+      // crash garbage (a dir no manifest ever referenced) is NOT
+      // granted grace — same commit cleans it
+      val junk = new java.io.File(s"$idx/assign_epoch/seg_999")
+      junk.mkdirs()
+      StreamIngest.ivfIngestBatch(batch(300L), "id", "vec", idx, 3L)
+      StreamIngest.compactIvfIndex(spark, idx): Unit
+      assert(!junk.exists(),
+        "never-committed dirs must be cleared instantly")
+      // past the age floor, the next commit finally deletes
+      Thread.sleep(3200L)
+      StreamIngest.ivfIngestBatch(batch(400L), "id", "vec", idx, 4L)
+      StreamIngest.compactIvfIndex(spark, idx): Unit
+      assert(!new java.io.File(s"$idx/assign_epoch/seg_1").exists(),
+        "a retiree past both the fold and the age floor must go")
+      val lf = StreamIngest.readLayout(spark, s"$idx/assign_epoch").get
+      assert(!lf.retired.map(_._1).contains("seg_1"))
+    } finally StreamIngest.retireGraceMs = priorGrace
   }
 
   test("ivfListHistogram (r18): answered from per-segment _hist " +
