@@ -184,11 +184,52 @@ object IndexProbe {
       (storeRows, sec, foldSec, retSec, skewSec)
     }
 
+    // PER-LIST REPAIR cost (r19 splitIvfLists): a ~fixed-size planted
+    // hot list (3000 rows around one real embedding direction, two
+    // separable sub-clusters) over a base store growing 8x. The
+    // repair reads partition-pruned and rewrites one delta segment +
+    // manifest ltomb, so its cost must track the planted rows, not
+    // the store (the r18 reclusterIvfIndex axis was O(store) by
+    // construction — the judged gap this probe pins the fix for).
+    val pAnchor = emb.filter(col("vec_id") === 8L)
+      .select(graft.operators.Similarity.asDouble(col("embedding"))
+        .as("v"))
+      .head().getSeq[Double](0).toArray
+    def repairStep(mult: Int): (Long, Long, Double) = {
+      val idx = s"$root/rep_$mult/idx"
+      StreamIngest.ivfIndexInit(spark, idx,
+        anchors :+ (8 -> pAnchor))
+      val base = replicate(emb, "vec_id", mult, salt = false)
+      val planted = spark.range(3000)
+        .select((col("id") + 500000000L).as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            element_at(typedLit(pAnchor.toSeq), i + 1) +
+              when(pmod(col("id"), lit(2)) === 0, lit(0.0))
+                .otherwise(lit(0.5)) *
+              when(i === lit(0), lit(1.0)).otherwise(lit(0.0)))
+            .cast("array<float>").as("embedding"))
+      StreamIngest.ivfIngestBatch(base, "vec_id", "embedding",
+        idx, 0L)
+      StreamIngest.ivfIngestBatch(planted, "vec_id", "embedding",
+        idx, 1L)
+      StreamIngest.compactIvfIndex(spark, idx)
+      val hist = StreamIngest.ivfListHistogram(spark, idx)
+      val storeRows = hist.values.sum
+      val skewedRows = hist.getOrElse(8L, 0L)
+      val t0 = System.nanoTime()
+      require(StreamIngest.splitIvfLists(spark, idx, maxSkew = 1.2),
+        s"repair probe mult=$mult: split did not trigger " +
+          s"(hist=$hist)")
+      val sec = (System.nanoTime() - t0) / 1e9
+      (storeRows, skewedRows, sec)
+    }
+
     fs.delete(fsRoot, true): Unit
     val lsh = Mults.map(lshStep)
     val ivfR = Mults.map(ivfStep)
     val ivf = ivfR.map(r => (r._1, r._2, r._3, r._4))
     val skews = ivfR.map(_._5)
+    val repairs = Mults.map(repairStep)
 
     // PQ/codes face size (r17): the SAME max-mult store ingested into
     // the raw-vector face and the codes face — the stored-index byte
@@ -232,10 +273,17 @@ object IndexProbe {
     val (lshJs, lshG) = block(lsh, "lsh", "ingest_step")
     val (ivfJs0, ivfG0) = block(ivf, "ivf", "probe_step")
     val skewGrowth = skews.last / skews.head
+    val repairGrowth = repairs.last._3 / repairs.head._3
     val ivfJs = ivfJs0.dropRight(1) +
       s""","skew_sec":[${skews.map(s => f"$s%.3f").mkString(",")}],""" +
-      f""""skew_growth":$skewGrowth%.2f}"""
-    val ivfG = ivfG0 :+ (("ivf_skew_check", skewGrowth, skews.last))
+      f""""skew_growth":$skewGrowth%.2f,""" +
+      s""""repair_store_rows":[${repairs.map(_._1).mkString(",")}],""" +
+      s""""repair_skewed_rows":[${repairs.map(_._2).mkString(",")}],""" +
+      s""""repair_sec":[${repairs.map(r => f"${r._3}%.3f")
+        .mkString(",")}],""" +
+      f""""repair_growth":$repairGrowth%.2f}"""
+    val ivfG = ivfG0 :+ (("ivf_skew_check", skewGrowth, skews.last)) :+
+      (("ivf_split_repair", repairGrowth, repairs.last._3))
     val storeRatio = Mults.last.toDouble / Mults.head
     val flagged = (lshG ++ ivfG)
       .collect { case (n, g, t) if g > storeRatio / 2 && t > 1.0 => n }

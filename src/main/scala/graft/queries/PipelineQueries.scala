@@ -1330,6 +1330,55 @@ object PipelineQueries {
       },
       Some(ReclusterOracle)),
 
+    // PER-LIST INCREMENTAL DRIFT REPAIR (r19): same two-face grown
+    // index, but the maintenance-plane repair — splitIvfLists — is
+    // the one that runs: ONLY the over-threshold lists' rows move
+    // (partition-pruned read, sub-centroids trained on those rows
+    // alone, one delta segment + list-tombstone per face, starved
+    // anchors pruned); untouched lists keep their segments
+    // byte-for-byte. Served after the repair at the degenerate-exact
+    // corner (nProbe = the post-repair nlist, k·refine ≥ |corpus|),
+    // so whatever sub-codebook the split produced, BOTH faces must
+    // still reproduce the brute-force ranking — the repair may
+    // change the layout, never the answer. IO locality, crash
+    // convergence, and the clone guard are StreamIngestSpec-pinned;
+    // repair-cost-vs-store-size is an IndexProbe axis.
+    "ann_ivf_split_topk" -> QueryDef(
+      (s, dir) => {
+        val root = s"/tmp/graft_ivfsp_${math.abs(dir.hashCode)}"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf())
+          .delete(p, true): Unit
+        val e = emb(s, dir)
+        val idx = s"$root/idx"
+        graft.streaming.StreamIngest.ivfIndexInit(s, idx,
+          fixedAnchors(e))
+        graft.streaming.StreamIngest.pqBooksInit(s, idx,
+          Similarity.trainPqBooks(e, "vec_id", "embedding",
+            numSub = 8, ksub = 16))
+        graft.streaming.StreamIngest.ivfIngestBatch(e, "vec_id",
+          "embedding", idx, 0L)
+        graft.streaming.StreamIngest.ivfPqIngestBatch(e, "vec_id",
+          "embedding", idx, 1L)
+        graft.streaming.StreamIngest.compactIvfIndex(s, idx)
+        require(graft.streaming.StreamIngest.splitIvfLists(s, idx,
+          maxSkew = 1.01), "split repair did not commit")
+        val nAll = graft.streaming.StreamIngest
+          .readIvfCentroids(s, idx).length
+        val qs = e.filter(col("vec_id") < 16)
+        val served = graft.streaming.StreamIngest.ivfIndexTopK(s,
+          qs, "vec_id", "embedding", idx, 5, nProbe = nAll)
+          .withColumn("face", lit("assign"))
+          .unionByName(graft.streaming.StreamIngest.ivfPqIndexTopK(
+            s, qs, "vec_id", "embedding", idx, corpus = e, k = 5,
+            nProbe = nAll, refine = 1000)
+            .withColumn("face", lit("codes")))
+        served.select(col("face"), col("query_id"),
+          col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine_r"))
+      },
+      Some(ReclusterOracle)),
+
     // INDEX OBSERVABILITY (r18): the SHOW-style stats frame over a
     // deterministically grown index — one folded epoch (wm=0, one
     // segment holding every non-zero-norm embedding) plus one live

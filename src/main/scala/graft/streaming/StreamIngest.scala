@@ -1450,7 +1450,7 @@ object StreamIngest {
           newBands.select(bandKey.as("__k")), "__k")
         Some(layout.segs.map { s =>
           readSegLive(spark, s"$indexDir/bands_epoch", s,
-            layout.tombs, "id")
+            layout.tombs, "id", layout.ltombs)
             .filter(col("bb").isin(touched(s.buckets): _*))
             .filter(RuntimeFilters.mightContain(bloom, bandKey))
             .select(col("id"), col("band"), col("band_hash"))
@@ -1474,7 +1474,7 @@ object StreamIngest {
           layout.segs.map(_.buckets).distinct)
         Some(layout.segs.map { s =>
           readSegLive(spark, s"$indexDir/sigs_epoch", s,
-            layout.tombs, "id")
+            layout.tombs, "id", layout.ltombs)
             .filter(col("ib").isin(touched(s.buckets): _*))
             .select(col("id"), col("sig"))
         }.reduce(_.unionByName(_)))
@@ -1702,6 +1702,7 @@ object StreamIngest {
     }
 
     val tombs0 = prior.map(_.tombs).getOrElse(Seq.empty)
+    val ltombs0 = prior.map(_.ltombs).getOrElse(Seq.empty)
 
     val hot =
       if (fold.isEmpty) None
@@ -1726,9 +1727,9 @@ object StreamIngest {
     val tombNew: Option[TombRef] = retain.flatMap { live =>
       if (realSegs.isEmpty) None
       else {
-        val stored = realSegs.map(s => spark.read
-          .parquet(segPath(epochPath, s))
-          .select(col(idCol).cast("long").as("id")))
+        val stored = realSegs.map(s =>
+          readSegLive(spark, epochPath, s, Seq.empty, idCol, ltombs0)
+            .select(col(idCol).cast("long").as("id")))
           .reduce(_.unionByName(_)).distinct()
         val liveN = live.toDF(idCol)
           .select(col(idCol).cast("long").as("id")).distinct()
@@ -1753,7 +1754,8 @@ object StreamIngest {
       val pair = segs.takeRight(2)
       val merged = writeSeg(
         pair.map(s => project(
-          readSegLive(spark, epochPath, s, tombsAll, idCol)))
+          readSegLive(spark, epochPath, s, tombsAll, idCol,
+            ltombs0)))
           .reduce(_.unionByName(_)),
         sizeBuckets(pair.map(bytesOf).sum))
       segs = segs.dropRight(2) ++ merged.toSeq
@@ -1761,12 +1763,15 @@ object StreamIngest {
     // a tombstone with no covered live segment left is spent
     val tombsLive = tombsAll.filter(t =>
       segs.exists(s => segIdNum(s) <= t.covers))
+    val ltombsLive = ltombs0.filter(t =>
+      segs.exists(s => segIdNum(s) <= t.covers))
 
     // the commit point: everything above is invisible until this swap
     val layout = IndexLayout(wm1,
       segs.lastOption.map(_.buckets)
         .getOrElse(prior.map(_.buckets).getOrElse(0)),
-      segs, prior.flatMap(_.codebook), tombsLive)
+      segs, prior.flatMap(_.codebook), tombsLive,
+      ltombs = ltombsLive)
     commitEpoch(fs, epochPath, layout)
     hotDirs.filter(_._1 <= wm1)
       .foreach { case (_, d) => fs.delete(d, true): Unit }
@@ -1803,15 +1808,14 @@ object StreamIngest {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true): Unit
       None
     } else {
-      // the ASSIGN face (list= layout) gets a per-list row-count
-      // sidecar so the drift check never has to scan the store (see
-      // writeHist). The codes face shares the layout but nothing
-      // reads its histogram — writing one there was a wasted
-      // read-back job on every codes segment write/merge/re-cluster
-      if (partCol == "list" &&
-          new org.apache.hadoop.fs.Path(epochPath).getName
-            == "assign_epoch")
-        writeHist(fs, dir, out.sparkSession)
+      // BOTH IVF faces (list= layouts) carry a per-list row-count
+      // sidecar: the assign one feeds the drift check
+      // (ivfListHistogram — O(segments) instead of an O(store)
+      // footer scan per tick), and both feed liveTotal's
+      // ltomb-subtraction path — without the codes sidecar every
+      // fold's return value on a split-repaired codes face would
+      // cost an O(store) count for as long as the ltomb lives
+      if (partCol == "list") writeHist(fs, dir, out.sparkSession)
       Some(SegRef(name, buckets,
         fs.getContentSummary(new org.apache.hadoop.fs.Path(dir))
           .getLength, rows))
@@ -1930,10 +1934,19 @@ object StreamIngest {
     * column ("id" for bands/sigs, "vec_id" for assign/codes). A
     * segment younger than every tombstone reads raw (the common
     * case: no join node at all); the anti-join's right side is the
-    * expired-id frame, broadcastable when small. */
+    * expired-id frame, broadcastable when small. List tombstones
+    * (the per-list drift repair's suppression) apply as a NOT-IN
+    * filter on the `list` partition key — the directory listing
+    * shrinks before any file opens; no join node at all. */
   private def readSegLive(spark: SparkSession, epochPath: String,
-      s: SegRef, tombs: Seq[TombRef], idCol: String): DataFrame = {
-    val df = spark.read.parquet(segPath(epochPath, s))
+      s: SegRef, tombs: Seq[TombRef], idCol: String,
+      ltombs: Seq[LTombRef] = Seq.empty): DataFrame = {
+    val df0 = spark.read.parquet(segPath(epochPath, s))
+    val dead = ltombs.filter(_.covers >= segIdNum(s))
+      .flatMap(_.lists).distinct
+    val df =
+      if (dead.isEmpty) df0
+      else df0.filter(!col("list").cast("long").isin(dead: _*))
     val app = tombs.filter(_.covers >= segIdNum(s))
     if (app.isEmpty) df
     else df.join(
@@ -1963,19 +1976,48 @@ object StreamIngest {
   }
 
   /** LIVE epoch rows: manifest-only (no scan) when no tombstones are
-    * live; with tombstones, one id-column-pruned count of the
-    * suppressed view (paid only on retention-scoped paths). Falls
-    * back to a count for a legacy manifest that predates per-segment
-    * row counts. */
+    * live; with only LIST tombstones, manifest + `_hist` sidecar
+    * subtraction (tiny text reads — a fold's return value must not
+    * cost an O(store) count while a repair's suppression is live);
+    * with id tombstones or missing sidecars, one id-column-pruned
+    * count of the suppressed view. Falls back to a count for a
+    * legacy manifest that predates per-segment row counts. */
   private def liveTotal(spark: SparkSession, epochPath: String,
       l: IndexLayout, idCol: String): Long =
-    if (l.tombs.isEmpty && l.segs.forall(_.rows >= 0))
+    if (l.tombs.isEmpty && l.ltombs.isEmpty &&
+        l.segs.forall(_.rows >= 0))
       l.segs.map(_.rows).sum
-    else l.segs
-      .map(s => readSegLive(spark, epochPath, s, l.tombs, idCol)
-        .select(col(idCol)))
-      .reduceOption(_.unionByName(_))
-      .map(_.count()).getOrElse(0L)
+    else {
+      val viaSidecars =
+        if (l.tombs.isEmpty && l.segs.forall(_.rows >= 0)) {
+          val fs = new org.apache.hadoop.fs.Path(epochPath)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          suppressedByLtombs(fs, epochPath, l)
+            .map(supp => l.segs.map(_.rows).sum - supp)
+        } else None
+      viaSidecars.getOrElse(l.segs
+        .map(s =>
+          readSegLive(spark, epochPath, s, l.tombs, idCol, l.ltombs)
+            .select(col(idCol)))
+        .reduceOption(_.unionByName(_))
+        .map(_.count()).getOrElse(0L))
+    }
+
+  /** Total rows the live ltombs suppress, answered purely from
+    * `_hist` sidecars — None when any covered segment lacks one
+    * (legacy layout; the caller scans instead). */
+  private def suppressedByLtombs(
+      fs: org.apache.hadoop.fs.FileSystem, epochPath: String,
+      l: IndexLayout): Option[Long] = {
+    val per = l.segs.map { s =>
+      val dead = l.ltombs.filter(_.covers >= segIdNum(s))
+        .flatMap(_.lists).distinct
+      if (dead.isEmpty) Some(0L)
+      else readHist(fs, segPath(epochPath, s))
+        .map(h => dead.map(h.getOrElse(_, 0L)).sum)
+    }
+    if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+  }
 
   /** Cadence policy for the daemon tick: fold when the hot tail has
     * grown past `maxHotBatches` live `batch=<id>` dirs — so a
@@ -2199,6 +2241,20 @@ object StreamIngest {
   private[graft] case class TombRef(name: String, bytes: Long,
       rows: Long, covers: Long)
 
+  /** A LIST tombstone (r19): suppresses ENTIRE `list=` partitions of
+    * the data segments with id ≤ `covers` — the read-side half of the
+    * per-list drift repair ([[splitIvfLists]]), which relocates a
+    * skewed list's rows into a fresh delta segment under new list
+    * ids. Pure manifest metadata: no data files, and the read-side
+    * cost is a partition FILTER on the `list` key (the listing
+    * shrinks — never an anti-join), so suppressing a million rows
+    * costs the same as suppressing ten. Same lifecycle as id
+    * tombstones: younger segments are unaffected (their fresh id >
+    * covers — the repair's own delta included), geometric merges
+    * drop the suppressed partitions physically, and an ltomb with no
+    * covered live segment left is dropped at the next commit. */
+  private[graft] case class LTombRef(covers: Long, lists: Seq[Long])
+
   /** An epoch's manifest (`_layout` — underscore-prefixed, invisible
     * to parquet readers): watermark = highest folded batch id
     * (readers list the hot tail only ABOVE it — the crash-safety
@@ -2217,7 +2273,9 @@ object StreamIngest {
         * a concurrent reader that resolved a PRIOR manifest can
         * finish opening their files; deleted by a later commit once
         * past [[retireGraceMs]]. Never read; bookkeeping only. */
-      retired: Seq[(String, Long)] = Seq.empty)
+      retired: Seq[(String, Long)] = Seq.empty,
+      /** Live list tombstones (r19) — see [[LTombRef]]. */
+      ltombs: Seq[LTombRef] = Seq.empty)
 
   private[graft] def segPath(epochPath: String, s: SegRef): String =
     if (s.name == ".") epochPath else s"$epochPath/${s.name}"
@@ -2269,6 +2327,15 @@ object StreamIngest {
           case bad => sys.error(s"bad tomb line in $p: ${bad.mkString}")
         }
       }
+      val ltombs = lines.filter(_.startsWith("ltomb=")).map { l =>
+        l.stripPrefix("ltomb=").split(":", 2) match {
+          case Array(c, ls) =>
+            LTombRef(c.toLong,
+              ls.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+          case bad =>
+            sys.error(s"bad ltomb line in $p: ${bad.mkString}")
+        }
+      }
       val buckets = kv("buckets").toInt
       // `name:atMs`; a pre-r19 manifest has no stamp — age 0 means
       // "past any grace", preserving the old next-commit deletion
@@ -2285,7 +2352,7 @@ object StreamIngest {
         if (segs.nonEmpty || kv.contains("segs")) segs
         else Seq(SegRef(".", buckets, -1L, -1L))
       Some(IndexLayout(kv("wm").toLong, buckets, eff,
-        kv.get("codebook"), tombs, retired))
+        kv.get("codebook"), tombs, retired, ltombs))
     }
   }
 
@@ -2304,6 +2371,8 @@ object StreamIngest {
       s"seg=${s.name}:${s.buckets}:${s.bytes}:${s.rows}\n"))
     l.tombs.foreach(t => body.append(
       s"tomb=${t.name}:${t.bytes}:${t.rows}:${t.covers}\n"))
+    l.ltombs.foreach(t => body.append(
+      s"ltomb=${t.covers}:${t.lists.mkString(",")}\n"))
     l.retired.foreach { case (n, at) =>
       body.append(s"retired=$n:$at\n")
     }
@@ -2325,7 +2394,8 @@ object StreamIngest {
   private def readEpochFrame(spark: SparkSession,
       epochPath: String, idCol: String): Option[DataFrame] =
     readLayout(spark, epochPath).flatMap { l =>
-      l.segs.map(s => readSegLive(spark, epochPath, s, l.tombs, idCol))
+      l.segs.map(s =>
+        readSegLive(spark, epochPath, s, l.tombs, idCol, l.ltombs))
         .reduceOption(_.unionByName(_))
     }
 
@@ -2461,10 +2531,20 @@ object StreamIngest {
     val segCounts = layout.toSeq.flatMap { l =>
       l.segs.map { s =>
         val dir = segPath(epochPath, s)
+        val dead = l.ltombs.filter(_.covers >= segIdNum(s))
+          .flatMap(_.lists).toSet
         if (l.tombs.exists(_.covers >= segIdNum(s)))
-          scan(readSegLive(spark, epochPath, s, l.tombs, "vec_id"))
+          scan(readSegLive(spark, epochPath, s, l.tombs, "vec_id",
+            l.ltombs))
         else readHist(fs, dir)
-          .getOrElse(scan(spark.read.parquet(dir)))
+          // ltomb suppression is EXACT on the sidecar: it removes
+          // whole lists, so the live histogram is the raw one minus
+          // those keys — no scan however many rows were suppressed
+          .map(h => if (dead.isEmpty) h else h.view
+            .filterKeys(k => !dead(k)).toMap)
+          .getOrElse(scan(
+            readSegLive(spark, epochPath, s, Seq.empty, "vec_id",
+              l.ltombs)))
       }
     }
     val hotCounts = hotFrame(spark, s"$indexDir/assign", epochPath,
@@ -2549,18 +2629,9 @@ object StreamIngest {
             val anchors = graft.operators.Similarity
               .trainIvfAnchors(vecs, "vec_id", "vec", k, iters,
                 sampleN)
-            // version across BOTH faces: after a crash between the
-            // two face commits the faces sit one version apart, and
-            // reusing either number would overwrite a file a live
-            // manifest still points at
-            def verOf(l: Option[IndexLayout]): Long =
-              l.flatMap(_.codebook) match {
-                case Some(CodebookVer(n)) => n.toLong
-                case _ => 1L
-              }
             val codesEpoch = s"$indexDir/codes_epoch"
             val codesPrior = readLayout(spark, codesEpoch)
-            val ver = math.max(verOf(prior), verOf(codesPrior)) + 1
+            val ver = nextCodebookVer(prior, codesPrior)
             val cbFile = s"centroids_v$ver.parquet"
             anchors.toDF("list", "cvec").coalesce(1)
               .write.mode("overwrite")
@@ -2584,31 +2655,13 @@ object StreamIngest {
                 val codes0 = cdf.select(
                   col("vec_id").cast("long").as("vec_id"),
                   col("codes"))
-                val joined = codes0
-                  .join(reassigned, Seq("vec_id"), "left")
-                val matched = joined.filter(col("list").isNotNull)
-                  .select(col("vec_id"), col("list"), col("codes"))
-                val orphans = joined.filter(col("list").isNull)
-                  .select(col("vec_id"), col("codes"))
-                val books = readPqBooks(spark, indexDir)
-                val booksLit = typedLit(
-                  books.map(_.map(_.toSeq).toSeq).toSeq)
-                val decoded = orphans.withColumn("__v",
-                  flatten(transform(col("codes"), (c, m) =>
-                    element_at(
-                      element_at(booksLit, m.cast("int") + 1),
-                      c + 1))))
-                val orphanRows = graft.operators.Similarity
-                  .ivfAssignFixed(decoded, "vec_id", "__v", anchors)
-                  .select(col("vec_id"), col("list"))
-                  .join(orphans, "vec_id")
-                  .select(col("vec_id"), col("list"), col("codes"))
                 val nextC = 1L +
                   (cl.segs.map(_.name) ++ cl.retired.map(_._1))
                   .flatMap(segIdOf)
                   .foldLeft(0L)(math.max)
                 writeSegment(fs, codesEpoch, s"seg_$nextC",
-                  matched.unionByName(orphanRows),
+                  relabelCodesRows(spark, indexDir, codes0,
+                    reassigned, anchors),
                   0, "list", Seq("vec_id"))
               }
             }
@@ -2631,19 +2684,241 @@ object StreamIngest {
 
   private val CodebookVer = "centroids_v(\\d+)\\.parquet".r
 
-  /** Test seam: when set, [[reclusterIvfIndex]] dies between the two
-    * face commits — the kill-between-commits spec drives the crash
-    * window's contract (each face stays self-consistent under
-    * per-face codebook resolution, and the next re-cluster converges
-    * the versions) through it. Never set outside tests. */
+  /** Next codebook version across BOTH faces: after a crash between
+    * the two face commits the faces sit one version apart, and
+    * reusing either number would overwrite a file a live manifest
+    * still points at. */
+  private def nextCodebookVer(assignL: Option[IndexLayout],
+      codesL: Option[IndexLayout]): Long = {
+    def verOf(l: Option[IndexLayout]): Long =
+      l.flatMap(_.codebook) match {
+        case Some(CodebookVer(n)) => n.toLong
+        case _ => 1L
+      }
+    math.max(verOf(assignL), verOf(codesL)) + 1
+  }
+
+  /** Re-label a codes frame (vec_id, codes) with new list ids: rows
+    * whose vec_id the assign repair re-assigned take that label;
+    * ORPHANS (a codes-only ingest interleaved with an assign ingest)
+    * are NOT dropped — their vectors are reconstructed from the PQ
+    * books (decode = the codes' own centroid sub-vectors) and
+    * assigned against `anchors`, the standard ADC reconstruction,
+    * exact enough for list placement. */
+  private def relabelCodesRows(spark: SparkSession, indexDir: String,
+      codes0: DataFrame, reassigned: DataFrame,
+      anchors: Seq[(Int, Array[Double])]): DataFrame = {
+    val joined = codes0.join(reassigned, Seq("vec_id"), "left")
+    val matched = joined.filter(col("list").isNotNull)
+      .select(col("vec_id"), col("list"), col("codes"))
+    val orphans = joined.filter(col("list").isNull)
+      .select(col("vec_id"), col("codes"))
+    val books = readPqBooks(spark, indexDir)
+    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val decoded = orphans.withColumn("__v",
+      flatten(transform(col("codes"), (c, m) =>
+        element_at(
+          element_at(booksLit, m.cast("int") + 1),
+          c + 1))))
+    val orphanRows = graft.operators.Similarity
+      .ivfAssignFixed(decoded, "vec_id", "__v", anchors)
+      .select(col("vec_id"), col("list"))
+      .join(orphans, "vec_id")
+      .select(col("vec_id"), col("list"), col("codes"))
+    matched.unionByName(orphanRows)
+  }
+
+  /** Test seam: when set, [[reclusterIvfIndex]] and
+    * [[splitIvfLists]] die between the two face commits — the
+    * kill-between-commits specs drive the crash window's contract
+    * (each face stays self-consistent under per-face codebook
+    * resolution, and the next repair converges the versions)
+    * through it. Never set outside tests. */
   private[graft] var reclusterCrashBeforeAssignCommit = false
 
-  /** Drift trigger for the maintenance plane: re-cluster when the
-    * list-size skew crosses `maxSkew` (disabled at 0). */
+  /** Per-list INCREMENTAL drift repair (r19) — the scale-safe form
+    * of [[reclusterIvfIndex]]: a skew repair at a 100 TB store must
+    * not be an O(store) job when the `_hist` sidecars already
+    * localize the skew per list (the same principle as the
+    * reference's recovery plane, which re-syncs only the outage
+    * window, never the full history —
+    * /root/reference/pkg/agent/hacluster.go:305-342).
+    *
+    * Splits ONLY the over-threshold lists (count > maxSkew × mean,
+    * the exact per-list form of the [[ivfListSkew]] trigger): their
+    * rows are read PARTITION-PRUNED (the listing shrinks to the
+    * skewed `list=` dirs before any file opens), sub-centroids are
+    * trained on those rows alone (k ∝ list size, clamped to
+    * [2, maxSplitPerList]), the rows re-assign against the full new
+    * codebook in one projection, and each face commits ONE delta
+    * segment plus a [[LTombRef]] suppressing the split lists in the
+    * covered segments — pure manifest metadata, so the repair's
+    * write AND read cost track the skewed lists' rows, never the
+    * store. Untouched lists keep their ids, labels, segments, and
+    * sidecars byte-for-byte.
+    *
+    * Also prunes STARVED lists (zero rows on every present face)
+    * from the codebook: they cost each query a probe candidate that
+    * can never return a neighbor, and they drag the skew mean down,
+    * re-triggering the repair forever.
+    *
+    * Guards: lists whose rows hold < 2 distinct vectors are
+    * unsplittable (k-means cannot separate clones; re-splitting one
+    * every tick would grow the codebook unbounded) — skipped with a
+    * warning. Crash-consistency is the r18 re-cluster contract
+    * verbatim: versioned codebooks across both faces, codes face
+    * commits FIRST, assign LAST, per-face codebook resolution keeps
+    * every reader self-consistent in the window between them.
+    *
+    * Returns true iff a repair committed. */
+  def splitIvfLists(spark: SparkSession, indexDir: String,
+      maxSkew: Double, iters: Int = 5, sampleN: Int = 2048,
+      maxSplitPerList: Int = 16): Boolean =
+    withIndexLock(spark, indexDir) {
+      import spark.implicits._
+      if (inflightIds(spark, indexDir).nonEmpty) false
+      else {
+        compactIvfIndex(spark, indexDir): Unit
+        val assignEpoch = s"$indexDir/assign_epoch"
+        val codesEpoch = s"$indexDir/codes_epoch"
+        val prior = readLayout(spark, assignEpoch)
+        val hist = ivfListHistogram(spark, indexDir)
+        val anchors = readIvfCentroids(spark, indexDir)
+        if (prior.isEmpty || prior.get.segs.isEmpty ||
+            anchors.isEmpty || hist.values.sum == 0L) false
+        else {
+          val mean = hist.values.sum.toDouble / anchors.length
+          val over = hist.collect {
+            case (l, n) if n > maxSkew * mean => l
+          }.toSeq.sorted
+          if (over.isEmpty) false
+          else {
+            val fs = new org.apache.hadoop.fs.Path(indexDir)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            val rows = readIvfPruned(spark, indexDir, over, None)
+              .cache()
+            try {
+              val distinctVecs = rows.groupBy(col("list"))
+                .agg(count_distinct(col("vec")).as("d"))
+                .collect()
+                .map(r => r.getLong(0) -> r.getLong(1)).toMap
+              val split =
+                over.filter(l => distinctVecs.getOrElse(l, 0L) >= 2L)
+              over.filterNot(split.contains).foreach(l =>
+                System.err.println(s"[graft] WARNING: index " +
+                  s"$indexDir list $l is over the skew threshold " +
+                  s"(${hist(l)} rows) but holds < 2 distinct " +
+                  "vectors — unsplittable (duplicate-heavy " +
+                  "corpus); consider semantic dedup upstream"))
+              if (split.isEmpty) false
+              else {
+                val splitSet = split.toSet
+                val trainRows =
+                  rows.filter(col("list").isin(split: _*))
+                val kNew = split.map(l => math.min(maxSplitPerList,
+                  math.max(2, math.ceil(hist(l) / mean).toInt))).sum
+                val subs = graft.operators.Similarity
+                  .trainIvfAnchors(trainRows, "vec_id", "vec", kNew,
+                    iters, sampleN)
+                // fresh ids above every id the codebook or store has
+                // ever seen — an old suppressed label must never
+                // alias a new sub-list
+                val base = (anchors.map(_._1.toLong) ++ hist.keys)
+                  .foldLeft(-1L)(math.max) + 1
+                val subAnchors = subs.map { case (i, v) =>
+                  ((base + i).toInt, v)
+                }
+                // starvation pruning: a list empty on the assign
+                // face may still hold codes-only rows — dropping it
+                // then would strand them unreachable (probes never
+                // select a list the codebook lacks)
+                val starvedA = anchors.map(_._1.toLong).filter(l =>
+                  !splitSet(l) && hist.getOrElse(l, 0L) == 0L)
+                val hasCodes = readLayout(spark, codesEpoch)
+                  .exists(_.segs.nonEmpty) ||
+                  fs.exists(new org.apache.hadoop.fs.Path(
+                    s"$indexDir/codes"))
+                val starved: Set[Long] =
+                  if (starvedA.isEmpty) Set.empty
+                  else if (!hasCodes) starvedA.toSet
+                  else {
+                    val codeCounts = readCodesPruned(spark, indexDir,
+                      starvedA).groupBy(col("list")).count()
+                      .collect().map(_.getLong(0)).toSet
+                    starvedA.filterNot(codeCounts).toSet
+                  }
+                val newAnchors = anchors.filter { case (i, _) =>
+                  !splitSet(i.toLong) && !starved(i.toLong)
+                } ++ subAnchors
+                val codesPrior = readLayout(spark, codesEpoch)
+                val ver = nextCodebookVer(prior, codesPrior)
+                val cbFile = s"centroids_v$ver.parquet"
+                newAnchors.toDF("list", "cvec").coalesce(1)
+                  .write.mode("overwrite")
+                  .parquet(s"$indexDir/$cbFile")
+                val reassigned = graft.operators.Similarity
+                  .ivfAssignFixed(trainRows, "vec_id", "vec",
+                    newAnchors)
+                  .select(col("vec_id"), col("list"))
+                // codes face FIRST (the r18 commit order): delta =
+                // the split lists' codes re-labeled, suppressed via
+                // an ltomb over its own covered segments
+                codesPrior.foreach { cl =>
+                  val codes0 = readCodesPruned(spark, indexDir,
+                    split).select(col("vec_id"), col("codes"))
+                  val nextC = 1L +
+                    (cl.segs.map(_.name) ++ cl.retired.map(_._1))
+                      .flatMap(segIdOf).foldLeft(0L)(math.max)
+                  val deltaC = writeSegment(fs, codesEpoch,
+                    s"seg_$nextC",
+                    relabelCodesRows(spark, indexDir, codes0,
+                      reassigned, newAnchors),
+                    0, "list", Seq("vec_id"))
+                  val coversC = cl.segs.map(segIdNum)
+                    .foldLeft(0L)(math.max)
+                  commitEpoch(fs, codesEpoch, IndexLayout(cl.wm,
+                    cl.buckets, cl.segs ++ deltaC.toSeq,
+                    Some(cbFile), cl.tombs,
+                    ltombs = cl.ltombs :+
+                      LTombRef(coversC, split)))
+                }
+                if (reclusterCrashBeforeAssignCommit)
+                  sys.error("injected crash: between the codes-face" +
+                    " and assign-face manifest commits")
+                val pl = prior.get
+                val nextA = 1L +
+                  (pl.segs.map(_.name) ++ pl.retired.map(_._1))
+                    .flatMap(segIdOf).foldLeft(0L)(math.max)
+                val deltaA = writeSegment(fs, assignEpoch,
+                  s"seg_$nextA",
+                  reassigned.join(trainRows
+                    .select(col("vec_id"), col("vec")), "vec_id")
+                    .select(col("vec_id"), col("list"), col("vec")),
+                  0, "list", Seq("vec_id"))
+                val coversA = pl.segs.map(segIdNum)
+                  .foldLeft(0L)(math.max)
+                commitEpoch(fs, assignEpoch, IndexLayout(pl.wm,
+                  pl.buckets, pl.segs ++ deltaA.toSeq,
+                  Some(cbFile), pl.tombs,
+                  ltombs = pl.ltombs :+ LTombRef(coversA, split)))
+                true
+              }
+            } finally rows.unpersist(): Unit
+          }
+        }
+      }
+    }
+
+  /** Drift trigger for the maintenance plane: repair when the
+    * list-size skew crosses `maxSkew` (disabled at 0). The repair is
+    * the PER-LIST split ([[splitIvfLists]]) — O(skewed rows), the
+    * only form a 100 TB maintenance tick can afford; the global
+    * retrain ([[reclusterIvfIndex]]) remains the operator-invoked
+    * escape hatch for corpus-wide drift. */
   def maybeReclusterIvfIndex(spark: SparkSession, indexDir: String,
       maxSkew: Double): Boolean =
     maxSkew > 0 && ivfListSkew(spark, indexDir) > maxSkew &&
-      reclusterIvfIndex(spark, indexDir)
+      splitIvfLists(spark, indexDir, maxSkew)
 
   /** Continuous IVF index growth — the ANN face of
     * [[lshIndexIngestStream]]: each micro-batch assigns its

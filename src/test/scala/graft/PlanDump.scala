@@ -26,7 +26,7 @@ object PlanDump {
       // r17 PQ/codes face: final plan is the IVFADC serve
       "ann_ivfpq_inc_topk",
       // r18 drift repair: final plan is the two-face serve union
-      "ann_ivf_recluster_topk")
+      "ann_ivf_recluster_topk", "ann_ivf_split_topk")
     hot.foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect(): Unit

@@ -168,6 +168,9 @@ class PlanSpec extends AnyFunSuite {
       // assign serve (3 exchanges) and IVFADC serve (3) — the
       // re-cluster itself runs in its own bounded jobs
       "ann_ivf_recluster_topk" -> ((6, 3)),
+      // r19 per-list repair: same union-of-serves final plan; the
+      // split itself runs in its own bounded, partition-pruned jobs
+      "ann_ivf_split_topk" -> ((6, 3)),
       "ann_lsh_multiprobe_recall" -> ((11, 4)),
       "dedup_keep_best" -> ((9, 5)),
       "layout_bucketed_join" -> ((2, 1)),

@@ -1747,12 +1747,13 @@ class StreamIngestSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         r.getDouble(3))).toSet
 
-  test("codebook drift repair (r18): a skewed stream crosses the " +
-    "index-max-skew threshold on the tick, maintainIndexes " +
-    "re-clusters (re-trained codebook, re-assigned epoch, re-labeled " +
-    "codes face, per-face versioned manifests), lists come out " +
-    "balanced, and BOTH faces' serves still equal brute force " +
-    "across the swap") {
+  test("codebook drift repair on the tick (r18, r19 per-list): a " +
+    "skewed stream crosses the index-max-skew threshold, " +
+    "maintainIndexes runs the INCREMENTAL repair (splitIvfLists: " +
+    "sub-centroids for the skewed list only, delta segments + " +
+    "ltombs, starved-anchor pruning, per-face versioned manifests), " +
+    "lists come out balanced, and BOTH faces' serves still equal " +
+    "brute force across the swap") {
     val idx = Files.createTempDirectory("graft_drift_idx").toString
     val corpus = driftCorpus
     StreamIngest.ivfIndexInit(spark, idx, staleAnchors)
@@ -2188,5 +2189,206 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(StreamIngest.ivfListHistogram(spark, idx) === bruteHist)
     assert(StreamIngest.ivfListHistogram(spark, idx)
       .values.sum == live.length)
+  }
+
+  // ---- per-list incremental drift repair (r19) ----------------------
+
+  /** 20 rows crowding list 0 as two separable true clusters, 6 rows
+    * honestly in list 1; anchor 2 is starved (nothing ever lands
+    * there). */
+  private def splitCorpus = {
+    import spark.implicits._
+    val c1 = (0 until 12).map(i => (10L + i, Seq(1.0, 0.01 * i)))
+    val c2 = (0 until 8).map(i => (30L + i, Seq(0.85, 0.5 + 0.01 * i)))
+    val b = (0 until 6).map(i => (50L + i, Seq(0.05 * i, 1.0)))
+    (c1 ++ c2 ++ b).toDF("id", "vec")
+  }
+
+  private def splitAnchors = Seq(
+    0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0),
+    2 -> Array(-1.0, -1.0))
+
+  test("splitIvfLists (r19): ONLY the over-threshold list is split " +
+    "— its rows land in a fresh delta segment under new sub-list " +
+    "ids, an ltomb suppresses the old partitions, untouched lists " +
+    "keep their segments byte-for-byte, the starved anchor is " +
+    "pruned, the histogram stays sidecar-exact, and both faces' " +
+    "serves still equal brute force") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_split_idx").toString
+    val corpus = splitCorpus
+    StreamIngest.ivfIndexInit(spark, idx, splitAnchors)
+    StreamIngest.pqBooksInit(spark, idx,
+      graft.operators.Similarity.trainPqBooks(corpus, "id", "vec",
+        numSub = 2, ksub = 4))
+    StreamIngest.ivfIngestBatch(corpus, "id", "vec", idx, 0L)
+    StreamIngest.ivfPqIngestBatch(corpus, "id", "vec", idx, 1L)
+    StreamIngest.compactIvfIndex(spark, idx): Unit
+    val pre = StreamIngest.readLayout(spark, s"$idx/assign_epoch").get
+    val preHist = StreamIngest.ivfListHistogram(spark, idx)
+    assert(preHist === Map(0L -> 20L, 1L -> 6L))
+    val skew0 = StreamIngest.ivfListSkew(spark, idx)
+
+    assert(StreamIngest.splitIvfLists(spark, idx, maxSkew = 1.3))
+
+    val post = StreamIngest.readLayout(spark, s"$idx/assign_epoch").get
+    // old segments survive untouched (same names AND bytes) — the
+    // repair never rewrites the store
+    for (s <- pre.segs)
+      assert(post.segs.exists(p =>
+        p.name == s.name && p.bytes == s.bytes),
+        s"pre-split segment ${s.name} must survive byte-for-byte")
+    assert(post.segs.length == pre.segs.length + 1,
+      "exactly one delta segment")
+    assert(post.ltombs.map(_.lists) === Seq(Seq(0L)),
+      s"one ltomb over the split list: ${post.ltombs}")
+    // codebook: list 0 split away, starved anchor 2 pruned, list 1
+    // kept, two fresh sub-lists (base = 3)
+    // k = ceil(20 / mean(26/3)) = 3 sub-lists at base id 3
+    val cb = StreamIngest.readIvfCentroids(spark, idx).map(_._1)
+    assert(cb === Seq(1, 3, 4, 5), cb.toString)
+    // live rows: same vec_ids, list-1 rows bit-identical, split rows
+    // relabeled into the sub-lists
+    val live = StreamIngest.readIvfIndex(spark, idx)
+    val brute = live.groupBy("list").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(brute(1L) == 6L)
+    assert(brute.values.sum == 26L)
+    val subs = brute.filter(_._1 >= 3L)
+    assert(subs.values.sum == 20L,
+      s"every split row must land in a sub-list: $brute")
+    assert(subs.size >= 2 && subs.values.max < 20L,
+      s"the crowded list must really split: $brute")
+    val keptRows = live.filter(col("list") === 1L)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(keptRows === (50L until 56L).toArray)
+    // histogram: sidecar-subtraction path equals the live scan
+    assert(StreamIngest.ivfListHistogram(spark, idx) === brute)
+    assert(StreamIngest.ivfListSkew(spark, idx) < skew0)
+    // fold return (liveTotal) is exact under live ltombs on BOTH
+    // faces (assign 26 + codes 26)
+    assert(StreamIngest.compactIvfIndex(spark, idx) == 52L)
+    // serves at the exhaustive corner equal brute force
+    val queries = corpus.filter(col("id").isin(10L, 30L, 50L))
+    val bf = asTopkRows(graft.operators.Similarity
+      .bruteForceTopK(queries, corpus, "id", "vec", 3))
+    val nAll = cb.length
+    assert(asTopkRows(StreamIngest.ivfIndexTopK(spark, queries,
+      "id", "vec", idx, 3, nProbe = nAll)) === bf, "assign serve")
+    assert(asTopkRows(StreamIngest.ivfPqIndexTopK(spark, queries,
+      "id", "vec", idx, corpus, 3, nProbe = nAll, refine = 10))
+      === bf, "codes serve")
+    // both faces on the same fresh codebook version
+    for (face <- Seq("assign", "codes"))
+      assert(StreamIngest.readLayout(spark, s"$idx/${face}_epoch")
+        .flatMap(_.codebook) === Some("centroids_v2.parquet"), face)
+  }
+
+  test("splitIvfLists IO pruning (r19): the repair reads ONLY the " +
+    "skewed lists' partitions — with every OTHER list's data file " +
+    "corrupted on disk, the repair still succeeds (touching one of " +
+    "them would throw)") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_splitio_idx").toString
+    val corpus = splitCorpus
+    StreamIngest.ivfIndexInit(spark, idx, splitAnchors)
+    StreamIngest.ivfIngestBatch(corpus, "id", "vec", idx, 0L)
+    StreamIngest.compactIvfIndex(spark, idx): Unit
+    // corrupt every parquet under list=1 in every assign segment:
+    // any read of a non-skewed partition now fails loudly
+    val epoch = new java.io.File(s"$idx/assign_epoch")
+    val poisoned = epoch.listFiles().filter(_.isDirectory).flatMap {
+      seg =>
+        val l1 = new java.io.File(seg, "list=1")
+        if (!l1.exists()) Array.empty[java.io.File]
+        else l1.listFiles().filter(_.getName.endsWith(".parquet"))
+    }
+    assert(poisoned.nonEmpty, "fixture must have list=1 files")
+    for (f <- poisoned)
+      java.nio.file.Files.write(f.toPath,
+        "not a parquet file".getBytes("UTF-8"))
+    assert(StreamIngest.splitIvfLists(spark, idx, maxSkew = 1.3),
+      "repair must succeed without opening non-skewed partitions")
+    // and the split lists really did move
+    assert(StreamIngest.ivfListHistogram(spark, idx)
+      .filterNot(_._1 == 1L).values.sum == 20L)
+  }
+
+  test("splitIvfLists crash between the face commits (r19): codes " +
+    "lands on the new codebook, assign stays stale, BOTH serves " +
+    "stay correct in the window, and re-running the repair " +
+    "CONVERGES the faces (deterministic sub-anchors: same ids, same " +
+    "content, bumped version) with no codes row stranded") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_splitkill_idx").toString
+    val corpus = splitCorpus
+    StreamIngest.ivfIndexInit(spark, idx, splitAnchors)
+    StreamIngest.pqBooksInit(spark, idx,
+      graft.operators.Similarity.trainPqBooks(corpus, "id", "vec",
+        numSub = 2, ksub = 4))
+    StreamIngest.ivfIngestBatch(corpus, "id", "vec", idx, 0L)
+    StreamIngest.ivfPqIngestBatch(corpus, "id", "vec", idx, 1L)
+    StreamIngest.compactIvfIndex(spark, idx): Unit
+    StreamIngest.reclusterCrashBeforeAssignCommit = true
+    try intercept[RuntimeException] {
+      StreamIngest.splitIvfLists(spark, idx, maxSkew = 1.3)
+    } finally StreamIngest.reclusterCrashBeforeAssignCommit = false
+    assert(StreamIngest.readLayout(spark, s"$idx/codes_epoch")
+      .flatMap(_.codebook) === Some("centroids_v2.parquet"))
+    assert(StreamIngest.readLayout(spark, s"$idx/assign_epoch")
+      .flatMap(_.codebook) === None, "assign must still be stale")
+    // each face self-consistent in the window
+    val queries = corpus.filter(col("id").isin(10L, 30L, 50L))
+    val bf = asTopkRows(graft.operators.Similarity
+      .bruteForceTopK(queries, corpus, "id", "vec", 3))
+    // window nlists: assign still v1 (3 anchors), codes on v2 (4)
+    assert(asTopkRows(StreamIngest.ivfIndexTopK(spark, queries,
+      "id", "vec", idx, 3, nProbe = 3)) === bf,
+      "assign serve in the crash window")
+    assert(asTopkRows(StreamIngest.ivfPqIndexTopK(spark, queries,
+      "id", "vec", idx, corpus, 3, nProbe = 4, refine = 10))
+      === bf, "codes serve in the crash window")
+    // recovery: the repair re-derives the SAME sub-anchors from the
+    // unchanged assign face, so the codes rows labeled by v2 stay
+    // addressable under v3
+    assert(StreamIngest.splitIvfLists(spark, idx, maxSkew = 1.3))
+    for (face <- Seq("assign", "codes"))
+      assert(StreamIngest.readLayout(spark, s"$idx/${face}_epoch")
+        .flatMap(_.codebook) === Some("centroids_v3.parquet"), face)
+    val cbIds = StreamIngest.readIvfCentroids(spark, idx)
+      .map(_._1.toLong).toSet
+    val codesLists = StreamIngest
+      .readLayout(spark, s"$idx/codes_epoch").get.segs
+    assert(codesLists.nonEmpty)
+    val codeRows = spark.read.option("basePath", s"$idx/codes_epoch")
+      .parquet(s"$idx/codes_epoch/${codesLists.last.name}")
+      .select(col("list").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(codeRows.subsetOf(cbIds),
+      s"no codes row may sit in a list the codebook lacks: " +
+        s"$codeRows vs $cbIds")
+    assert(asTopkRows(StreamIngest.ivfPqIndexTopK(spark, queries,
+      "id", "vec", idx, corpus, 3, nProbe = cbIds.size,
+      refine = 10)) === bf, "codes serve after convergence")
+  }
+
+  test("splitIvfLists guards (r19): a clone-heavy list (<2 distinct " +
+    "vectors) is reported unsplittable, not split forever; below " +
+    "the threshold nothing commits") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_splitdup_idx").toString
+    val clones = (0 until 20).map(i => (10L + i, Seq(1.0, 0.0)))
+    val b = (0 until 6).map(i => (50L + i, Seq(0.05 * i, 1.0)))
+    val corpus = (clones ++ b).toDF("id", "vec")
+    StreamIngest.ivfIndexInit(spark, idx,
+      Seq(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0)))
+    StreamIngest.ivfIngestBatch(corpus, "id", "vec", idx, 0L)
+    StreamIngest.compactIvfIndex(spark, idx): Unit
+    // over threshold but all-clones: refuses, commits nothing
+    assert(!StreamIngest.splitIvfLists(spark, idx, maxSkew = 1.3))
+    assert(StreamIngest.readLayout(spark, s"$idx/assign_epoch")
+      .get.ltombs.isEmpty)
+    // below threshold: no-op
+    assert(!StreamIngest.splitIvfLists(spark, idx, maxSkew = 10.0))
   }
 }
