@@ -2102,6 +2102,10 @@ object StreamIngest {
       val ivf = (has("assign") || has("assign_epoch") ||
         has("codes") || has("codes_epoch")) &&
         guarded("ivf")(maybeCompactIvfIndex(spark, dir, maxHotBatches))
+      // sidecar backfill BEFORE the drift check, so a pre-r18 store
+      // converges to manifest+sidecar-only reads on its first tick
+      val backfilled = (has("assign_epoch") || has("codes_epoch")) &&
+        guarded("hist-backfill")(backfillHists(spark, dir) > 0)
       val reclustered = maxSkew > 0 &&
         (has("assign") || has("assign_epoch")) &&
         guarded("re-cluster")(
@@ -2127,8 +2131,36 @@ object StreamIngest {
         }
         true
       }: Unit
-      lsh || ivf || reclustered
+      lsh || ivf || backfilled || reclustered
       }
+    }
+
+  /** One-shot `_hist` backfill (r19): write the sidecar for any IVF
+    * epoch segment that predates it (pre-r18 layout, or a sidecar
+    * lost to manual surgery), so the drift check and liveTotal
+    * converge to manifest+sidecar-only reads on ANY store age
+    * instead of paying a footer scan on every tick forever. Each
+    * missing sidecar costs one footer-only job, once; a store with
+    * full sidecars costs one directory listing. (The transient
+    * legacy "." segment is skipped — its first fold rewrites it into
+    * a named segment that gets a sidecar on the way.) Returns the
+    * number of sidecars written. */
+  def backfillHists(spark: SparkSession, indexDir: String): Int =
+    withIndexLock(spark, indexDir) {
+      Seq("assign_epoch", "codes_epoch").map { face =>
+        val epochPath = s"$indexDir/$face"
+        val fs = new org.apache.hadoop.fs.Path(epochPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        readLayout(spark, epochPath).toSeq.flatMap(_.segs)
+          .filterNot(_.name == ".")
+          .count { seg =>
+            val dir = segPath(epochPath, seg)
+            val missing = !fs.exists(
+              new org.apache.hadoop.fs.Path(s"$dir/_hist"))
+            if (missing) writeHist(fs, dir, spark)
+            missing
+          }
+      }.sum
     }
 
   // ---- index observability (r18) ------------------------------------

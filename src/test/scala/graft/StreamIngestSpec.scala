@@ -2372,6 +2372,51 @@ class StreamIngestSpec extends AnyFunSuite {
       refine = 10)) === bf, "codes serve after convergence")
   }
 
+  test("_hist backfill (r19): a pre-r18 store (segments without " +
+    "sidecars) gets them written by ONE maintenance tick, after " +
+    "which the histogram is answered WITHOUT opening any data file " +
+    "— proven by moving the data partitions aside and asking again") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_backfill_idx").toString
+    val corpus = splitCorpus
+    StreamIngest.ivfIndexInit(spark, idx, splitAnchors)
+    StreamIngest.ivfIngestBatch(corpus, "id", "vec", idx, 0L)
+    StreamIngest.compactIvfIndex(spark, idx): Unit
+    val expected = StreamIngest.ivfListHistogram(spark, idx)
+    assert(expected === Map(0L -> 20L, 1L -> 6L))
+    // simulate the pre-sidecar layout
+    val epoch = new java.io.File(s"$idx/assign_epoch")
+    val sidecars = epoch.listFiles().filter(_.isDirectory)
+      .map(d => new java.io.File(d, "_hist")).filter(_.exists())
+    assert(sidecars.nonEmpty)
+    sidecars.foreach(f => assert(f.delete()))
+    // one tick backfills (and reports the root as changed)
+    val out = StreamIngest.maintainIndexes(spark, Seq(idx),
+      maxHotBatches = 8).toMap
+    assert(out(idx) === true, "backfill must report a change")
+    for (f <- sidecars)
+      assert(f.exists(), s"sidecar ${f.getPath} must be rewritten")
+    // second tick: nothing left to do
+    assert(StreamIngest.maintainIndexes(spark, Seq(idx),
+      maxHotBatches = 8).toMap.apply(idx) === false)
+    // the no-data-open proof: with every data partition moved aside,
+    // the histogram still answers exactly (a data open would throw)
+    val moved = epoch.listFiles().filter(_.isDirectory).flatMap(seg =>
+      seg.listFiles().filter(d =>
+        d.isDirectory && d.getName.startsWith("list=")).map { d =>
+        val dst = new java.io.File(d.getParentFile,
+          s"moved_${d.getName}")
+        assert(d.renameTo(dst)); (dst, d)
+      })
+    assert(moved.nonEmpty)
+    try
+      assert(StreamIngest.ivfListHistogram(spark, idx) === expected,
+        "sidecar-only answer must survive without data files")
+    finally moved.foreach { case (dst, orig) =>
+      assert(dst.renameTo(orig))
+    }
+  }
+
   test("splitIvfLists guards (r19): a clone-heavy list (<2 distinct " +
     "vectors) is reported unsplittable, not split forever; below " +
     "the threshold nothing commits") {
