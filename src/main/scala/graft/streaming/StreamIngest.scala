@@ -2229,14 +2229,20 @@ object StreamIngest {
             segs.map(s => math.max(0L, s.rows)).sum,
             tombs.length, tombs.map(_.rows).sum,
             hotDirs.length, hotRows, inflight.size, oldestAgeMs,
-            codebook, if (tier == "assign") skew else None))
+            codebook, if (tier == "assign") skew else None,
+            // r19: live list tombstones (per-list repair residue
+            // awaiting merge-out) and dirs on retirement grace —
+            // both pure manifest state, both things an operator
+            // watching a repaired root wants to see drain
+            layout.map(_.ltombs.length).getOrElse(0),
+            layout.map(_.retired.length).getOrElse(0)))
         }
       }
     }
     rows.toDF("index", "tier", "wm", "segments", "seg_bytes",
       "seg_rows", "tombstones", "tomb_rows", "hot_batches",
       "hot_rows", "inflight", "oldest_inflight_ms", "codebook",
-      "list_skew")
+      "list_skew", "ltombs", "retired")
   }
 
   /** Live (above-watermark) hot dirs — the quantity the cadence

@@ -2282,6 +2282,13 @@ class StreamIngestSpec extends AnyFunSuite {
     for (face <- Seq("assign", "codes"))
       assert(StreamIngest.readLayout(spark, s"$idx/${face}_epoch")
         .flatMap(_.codebook) === Some("centroids_v2.parquet"), face)
+    // observability: the repair residue is visible per tier
+    val st = StreamIngest.indexStats(spark, Seq(idx)).collect()
+      .map(r => r.getString(1) ->
+        (r.getInt(r.fieldIndex("ltombs")),
+          r.getInt(r.fieldIndex("retired")))).toMap
+    assert(st("assign")._1 == 1 && st("codes")._1 == 1,
+      s"each face must report its live ltomb: $st")
   }
 
   test("splitIvfLists IO pruning (r19): the repair reads ONLY the " +
@@ -2370,6 +2377,101 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(asTopkRows(StreamIngest.ivfPqIndexTopK(spark, queries,
       "id", "vec", idx, corpus, 3, nProbe = cbIds.size,
       refine = 10)) === bf, "codes serve after convergence")
+  }
+
+  test("ltomb lifecycle (r19): the split composes with an id " +
+    "tombstone (retention before repair), a SECOND split stacks its " +
+    "own ltomb, and a cascading fold merges the suppressed " +
+    "partitions OUT physically — the spent ltombs fall off the " +
+    "manifest and no suppressed list survives on disk") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_ltlife_idx").toString
+    val corpus = splitCorpus
+    StreamIngest.ivfIndexInit(spark, idx, splitAnchors)
+    StreamIngest.ivfIngestBatch(corpus, "id", "vec", idx, 0L)
+    StreamIngest.compactIvfIndex(spark, idx): Unit
+    // retention first: expire half of list 1 (ids 50,52,54) — an id
+    // tombstone now covers the segment the split will also suppress
+    val live = corpus.select(col("id"))
+      .filter(col("id") < 50L || pmod(col("id"), lit(2)) === 1L)
+    StreamIngest.compactIvfIndex(spark, idx,
+      liveIds = Some(live)): Unit
+    assert(StreamIngest.readLayout(spark, s"$idx/assign_epoch")
+      .get.tombs.nonEmpty, "fixture needs a live id tombstone")
+    def brute = StreamIngest.readIvfIndex(spark, idx)
+      .groupBy("list").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(brute === Map(0L -> 20L, 1L -> 3L))
+    // split over the tombstoned store: exact through both mechanisms
+    assert(StreamIngest.splitIvfLists(spark, idx, maxSkew = 1.3))
+    assert(StreamIngest.ivfListHistogram(spark, idx) === brute)
+    assert(brute.values.sum == 23L)
+    val l1 = StreamIngest.readLayout(spark, s"$idx/assign_epoch").get
+    assert(l1.ltombs.map(_.lists) === Seq(Seq(0L)))
+    // SECOND split: crowd one surviving sub-list with fresh separable
+    // rows, fold, repair again — its ltomb stacks on the first
+    val hist1 = StreamIngest.ivfListHistogram(spark, idx)
+    val hot = hist1.filterNot(_._1 == 1L).maxBy(_._2)._1
+    val anchors1 = StreamIngest.readIvfCentroids(spark, idx)
+    val target = anchors1.find(_._1.toLong == hot).get._2
+    val flood = (0 until 40).map { i =>
+      val v = target.clone()
+      v(0) = v(0) + (if (i % 2 == 0) 0.0 else 0.15)
+      (900L + i, v.toSeq)
+    }.toDF("id", "vec")
+    StreamIngest.ivfIngestBatch(flood, "id", "vec", idx, 1L)
+    StreamIngest.compactIvfIndex(spark, idx): Unit
+    assert(StreamIngest.splitIvfLists(spark, idx, maxSkew = 1.5))
+    val l2 = StreamIngest.readLayout(spark, s"$idx/assign_epoch").get
+    assert(l2.ltombs.length == 2, l2.ltombs.toString)
+    assert(l2.ltombs.flatMap(_.lists).contains(hot))
+    val full = brute
+    assert(StreamIngest.ivfListHistogram(spark, idx) === full)
+    assert(full.values.sum == 63L)
+    assert(!full.keySet.contains(hot) && !full.keySet.contains(0L),
+      s"split lists must be empty in the live view: $full")
+    // serve exact at the exhaustive corner over the stacked state
+    val all = StreamIngest.readIvfIndex(spark, idx)
+      .select(col("vec_id").as("id"), col("vec"))
+    val queries = all.filter(col("id").isin(10L, 51L, 900L))
+    val bf = asTopkRows(graft.operators.Similarity
+      .bruteForceTopK(queries, all, "id", "vec", 3))
+    assert(asTopkRows(StreamIngest.ivfIndexTopK(spark, queries,
+      "id", "vec", idx, 3,
+      nProbe = StreamIngest.readIvfCentroids(spark, idx).length))
+      === bf)
+    // cascade: grow fresh batches until the geometric merge consumes
+    // every covered segment — suppressed partitions drop PHYSICALLY,
+    // spent ltombs fall off the manifest (the merge policy is
+    // byte-ratio-driven, so the batch doubles until the stack folds)
+    var bulkRows = 0L
+    var batchId = 2L
+    var n = 80
+    while (StreamIngest.readLayout(spark, s"$idx/assign_epoch")
+        .get.ltombs.nonEmpty && batchId < 10L) {
+      val bulk = (0 until n).map(i =>
+        (100000L * batchId + i, Seq(0.02 * (i % 7), 1.0)))
+        .toDF("id", "vec")
+      StreamIngest.ivfIngestBatch(bulk, "id", "vec", idx, batchId)
+      StreamIngest.compactIvfIndex(spark, idx): Unit
+      bulkRows += n; batchId += 1; n *= 2
+    }
+    val l3 = StreamIngest.readLayout(spark, s"$idx/assign_epoch").get
+    assert(l3.ltombs.isEmpty,
+      s"ltombs with no covered live segment must drop: $l3")
+    assert(l3.tombs.isEmpty, "the id tombstone must also be spent")
+    val suppressed = Set("list=0", s"list=$hot")
+    for (seg <- l3.segs) {
+      val segDir = new java.io.File(s"$idx/assign_epoch/${seg.name}")
+      val lists = Option(segDir.listFiles()).toSeq.flatten
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(lists.intersect(suppressed).isEmpty,
+        s"merged segment ${seg.name} must not carry suppressed " +
+          s"partitions: $lists")
+    }
+    // and nothing was lost in the cascade
+    assert(StreamIngest.readIvfIndex(spark, idx).count()
+      == 63L + bulkRows)
   }
 
   test("_hist backfill (r19): a pre-r18 store (segments without " +
