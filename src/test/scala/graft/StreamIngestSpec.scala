@@ -2319,6 +2319,24 @@ class StreamIngestSpec extends AnyFunSuite {
     // and the split lists really did move
     assert(StreamIngest.ivfListHistogram(spark, idx)
       .filterNot(_._1 == 1L).values.sum == 20L)
+    // the read-side half of the same proof, pinned at the PLAN: the
+    // ltomb suppression must reach the covered segment's scan as a
+    // PartitionFilter (pruned at the file listing), never as a
+    // post-scan row filter. (Corruption can't prove this half —
+    // schema inference legitimately opens one footer per segment
+    // dir — so the pin is on the physical plan, PlanSpec-style.)
+    val live = StreamIngest.readIvfIndex(spark, idx)
+    val plan = live.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("seg_1"))
+      .toSeq
+    assert(scans.nonEmpty, s"covered-segment scan not found:\n$plan")
+    assert(scans.forall(l => l.contains("PartitionFilters") &&
+      l.replaceAll(".*PartitionFilters", "").contains("list")),
+      "the ltomb NOT-IN must be a PartitionFilter on the covered " +
+        s"segment's scan:\n${scans.mkString("\n")}")
+    // and the data really is gone from the live view
+    assert(live.filter(col("list").cast("long") === 0L).count() == 0L)
   }
 
   test("splitIvfLists crash between the face commits (r19): codes " +
