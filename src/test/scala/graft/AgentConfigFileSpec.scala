@@ -127,8 +127,9 @@ class AgentConfigFileSpec extends AnyFunSuite {
 
   test("index-maintenance keys land from [general] (r16: index-dirs, " +
     "index-max-hot-batches — the daemon tick's compaction cadence; " +
-    "r18: index-max-skew — the tick's drift re-cluster threshold, " +
-    "default-disabled)") {
+    "r18: index-max-skew — the tick's drift-repair threshold, " +
+    "default-disabled; r19: index-retire-grace-sec — the retirement " +
+    "age floor, default 600)") {
     val p = AgentConfigFile.parse("""
       |[general]
       | master-db = "m"
@@ -136,6 +137,7 @@ class AgentConfigFileSpec extends AnyFunSuite {
       | index-dirs = "/idx/a,/idx/b"
       | index-max-hot-batches = 3
       | index-max-skew = 2.5
+      | index-retire-grace-sec = 45
       |[[influxdb]]
       | name = "m"
       | location = "/m"
@@ -147,8 +149,10 @@ class AgentConfigFileSpec extends AnyFunSuite {
     assert(c.indexDirs == "/idx/a,/idx/b")
     assert(c.indexMaxHotBatches == 3)
     assert(c.indexMaxSkew == 2.5)
-    // absent key keeps the drift policy OFF (re-clustering rewrites
-    // the epoch — strictly operator-opt-in)
+    assert(c.indexRetireGraceSec == 45L)
+    // absent key keeps the drift policy OFF (a repair moves data —
+    // strictly operator-opt-in) and the grace at its safe default
     assert(AgentConfig("", "").indexMaxSkew == 0.0)
+    assert(AgentConfig("", "").indexRetireGraceSec == 600L)
   }
 }
