@@ -368,6 +368,35 @@ object Similarity {
         col("__a.cos_r").as("cos_r"))
   }
 
+  /** [[ivfAssignFixed]] KEEPING the original vector column — ONE
+    * zero-shuffle projection producing (vec_id, list, vec), for the
+    * writers that store the assignment next to the vector (the index
+    * ingest and per-list repair paths): the assign-then-join-back
+    * form those paths previously used shuffled both sides on vec_id
+    * to re-attach a column the kernel's input row already carried.
+    * Same determinism contract and zero-norm exclusion as
+    * [[ivfAssignFixed]]. */
+  def ivfAssignFixedKeep(emb: DataFrame, idCol: String,
+      vecCol: String, anchors: Seq[(Int, Array[Double])])
+      : DataFrame = {
+    require(anchors.nonEmpty, "ivfAssignFixedKeep: empty codebook")
+    val sorted = anchors.sortBy(_._1)
+    sorted.foreach { case (listId, a) =>
+      require(a.exists(_ != 0.0),
+        s"ivfAssignFixedKeep: zero-norm anchor $listId")
+    }
+    val prepped = emb.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("vec"),
+        asDouble(col(vecCol)).as("__v"))
+      .withColumn("__vn", sqrt(vecNormSq(col("__v"))))
+      .filter(col("__vn") > 0)
+    val assign = graft.functions.MatrixExpressions.ivfAssign6(
+      col("__v"), sorted.map(_._2).toArray,
+      sorted.map(_._1.toLong).toArray)
+    prepped.select(col("vec_id"), assign.as("__a"), col("vec"))
+      .select(col("vec_id"), col("__a.list").as("list"), col("vec"))
+  }
+
   /** Deterministic MULTI-probe selection over the fixed codebook: per
     * query the nProbe best lists on the 6dp contract (round(cos,6)
     * DESC, ties to the smallest list — [[ivfAssignFixed]]'s exact

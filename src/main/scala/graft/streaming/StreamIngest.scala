@@ -2674,16 +2674,15 @@ object StreamIngest {
             anchors.toDF("list", "cvec").coalesce(1)
               .write.mode("overwrite")
               .parquet(s"$indexDir/$cbFile")
-            val reassigned = graft.operators.Similarity
-              .ivfAssignFixed(vecs, "vec_id", "vec", anchors)
+            val reassignedKeep = graft.operators.Similarity
+              .ivfAssignFixedKeep(vecs, "vec_id", "vec", anchors)
+            val reassigned = reassignedKeep
               .select(col("vec_id"), col("list"))
             val nextAssign = 1L + (prior.get.segs.map(_.name) ++
               prior.get.retired.map(_._1))
               .flatMap(segIdOf).foldLeft(0L)(math.max)
             val seg = writeSegment(fs, assignEpoch,
-              s"seg_$nextAssign",
-              reassigned.join(vecs, "vec_id")
-                .select(col("vec_id"), col("list"), col("vec")),
+              s"seg_$nextAssign", reassignedKeep,
               0, "list", Seq("vec_id"))
             // codes face (if present): same rows, new list labels;
             // rows absent from the assign face re-assign on their
@@ -2894,9 +2893,10 @@ object StreamIngest {
                 newAnchors.toDF("list", "cvec").coalesce(1)
                   .write.mode("overwrite")
                   .parquet(s"$indexDir/$cbFile")
-                val reassigned = graft.operators.Similarity
-                  .ivfAssignFixed(trainRows, "vec_id", "vec",
+                val reassignedKeep = graft.operators.Similarity
+                  .ivfAssignFixedKeep(trainRows, "vec_id", "vec",
                     newAnchors)
+                val reassigned = reassignedKeep
                   .select(col("vec_id"), col("list"))
                 // codes face FIRST (the r18 commit order): delta =
                 // the split lists' codes re-labeled, suppressed via
@@ -2928,10 +2928,7 @@ object StreamIngest {
                   (pl.segs.map(_.name) ++ pl.retired.map(_._1))
                     .flatMap(segIdOf).foldLeft(0L)(math.max)
                 val deltaA = writeSegment(fs, assignEpoch,
-                  s"seg_$nextA",
-                  reassigned.join(trainRows
-                    .select(col("vec_id"), col("vec")), "vec_id")
-                    .select(col("vec_id"), col("list"), col("vec")),
+                  s"seg_$nextA", reassignedKeep,
                   0, "list", Seq("vec_id"))
                 val coversA = pl.segs.map(segIdNum)
                   .foldLeft(0L)(math.max)
@@ -2984,11 +2981,11 @@ object StreamIngest {
         .getFileSystem(spark.sessionState.newHadoopConf())
       markInflight(fs, indexDir, batchId)
       val anchors = readIvfCentroids(spark, indexDir)
+      // one zero-shuffle projection: assignment + the stored vector
+      // come out of the same kernel input row (the r19 keep variant
+      // removed the join-back shuffle this path used to pay)
       val rows = graft.operators.Similarity
-        .ivfAssignFixed(batch, idCol, vecCol, anchors)
-        .select(col("vec_id"), col("list"))
-        .join(batch.select(col(idCol).cast("long").as("vec_id"),
-          col(vecCol).as("vec")), "vec_id")
+        .ivfAssignFixedKeep(batch, idCol, vecCol, anchors)
       rows.write.mode("overwrite")
         .parquet(s"$indexDir/assign/batch=$batchId")
       clearInflight(fs, indexDir, batchId)
