@@ -149,9 +149,23 @@ object Similarity {
     * surrogate (e.g. monotonically_increasing_id) first. */
   private def prep(df: DataFrame, idCol: String, vecCol: String,
       idAs: String, vAs: String, nAs: String): DataFrame = {
-    // case-insensitive field lookup, matching Spark's default column
-    // resolution; ambiguous/missing names fall through to Spark's own
-    // resolution error rather than a misleading contract message
+    requireIntegralId(df, idCol)
+    df.select(col(idCol).cast("long").as(idAs),
+        asDouble(col(vecCol)).as(vAs))
+      .withColumn(nAs, sqrt(vecNormSq(col(vAs))))
+  }
+
+  /** The integral-id contract shared by every BIGINT-id projection —
+    * [[prep]] and the vector-keeping writer projection
+    * [[ivfAssignFixedKeep]] alike: a direct cast would throw
+    * CAST_INVALID_INPUT mid-query under ANSI mode or (ANSI off) null
+    * the ids silently, and a double id would TRUNCATE. Checked before
+    * the cast so a bad id column fails loudly on every face, not just
+    * the ones that happen to route through [[prep]]. Case-insensitive
+    * field lookup, matching Spark's default column resolution;
+    * ambiguous/missing names fall through to Spark's own resolution
+    * error rather than a misleading contract message. */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit =
     df.schema.fields.filter(_.name.equalsIgnoreCase(idCol)) match {
       case Array(f) =>
         require(Seq(org.apache.spark.sql.types.ByteType,
@@ -163,10 +177,6 @@ object Similarity {
             "for string-keyed corpora")
       case _ => ()
     }
-    df.select(col(idCol).cast("long").as(idAs),
-        asDouble(col(vecCol)).as(vAs))
-      .withColumn(nAs, sqrt(vecNormSq(col(vAs))))
-  }
 
   /** Quantizer training wants at least this many sample points per
     * centroid (the FAISS train-set rule of thumb) — `sampleN` is a
@@ -380,6 +390,9 @@ object Similarity {
       vecCol: String, anchors: Seq[(Int, Array[Double])])
       : DataFrame = {
     require(anchors.nonEmpty, "ivfAssignFixedKeep: empty codebook")
+    requireIntegralId(emb, idCol) // the [[prep]] contract — a raw
+    // cast would truncate double ids on THIS face while the codes
+    // face (routed through prep) refuses, corrupting one face only
     val sorted = anchors.sortBy(_._1)
     sorted.foreach { case (listId, a) =>
       require(a.exists(_ != 0.0),

@@ -1134,17 +1134,37 @@ object StreamIngest {
   @volatile private[graft] var leaseProvider: LeaseProvider =
     FsLeaseProvider
 
+  /** Pid-namespace discriminator for the dead-owner fast path: two
+    * containerized daemons can SHARE a hostname while living in
+    * different pid namespaces, where `ProcessHandle.of(otherPid)`
+    * is meaningless — a live foreign holder would look "dead" and
+    * its lease would be broken instantly, silently defeating the
+    * single-writer fail-fast. On Linux the namespace identity is the
+    * `/proc/self/ns/pid` symlink target (`pid:[inode]`); elsewhere
+    * (or when unreadable) "na", which [[ownerDead]] treats as
+    * "cannot verify → fall back to the age-based break". */
+  private[graft] lazy val pidNsToken: String =
+    try java.nio.file.Files.readSymbolicLink(
+      java.nio.file.Paths.get("/proc/self/ns/pid")).toString
+    catch { case scala.util.control.NonFatal(_) => "na" }
+
   private def leaseBody(): String = {
     val host =
       try java.net.InetAddress.getLocalHost.getHostName
       catch { case _: java.io.IOException => "unknown" }
-    s"$jvmLeaseId\nhost=$host\npid=${ProcessHandle.current.pid}"
+    s"$jvmLeaseId\nhost=$host\npid=${ProcessHandle.current.pid}" +
+      s"\nns=$pidNsToken"
   }
 
-  /** True when `body` names a holder on THIS host whose pid is no
-    * longer alive — a crashed-and-restarted daemon can reclaim its
-    * own root immediately instead of blocking every write (ingest
-    * batches take this lock too) for the full break window. */
+  /** True when `body` names a holder on THIS host, in THIS pid
+    * namespace, whose pid is no longer alive — a
+    * crashed-and-restarted daemon can reclaim its own root
+    * immediately instead of blocking every write (ingest batches
+    * take this lock too) for the full break window. The namespace
+    * token must MATCH (and be verifiable on both sides) before the
+    * pid liveness probe is trusted: a lease written by a process in
+    * another pid namespace — or by a pre-token binary — falls back
+    * to the age-based break, never the fast path. */
   private def ownerDead(body: String): Boolean = {
     val kv = body.linesIterator.flatMap(_.split("=", 2) match {
       case Array(k, v) => Some(k -> v); case _ => None
@@ -1152,8 +1172,9 @@ object StreamIngest {
     val host =
       try java.net.InetAddress.getLocalHost.getHostName
       catch { case _: java.io.IOException => return false }
+    val sameNs = kv.get("ns").exists(n => n != "na" && n == pidNsToken)
     (kv.get("host"), kv.get("pid").flatMap(_.toLongOption)) match {
-      case (Some(h), Some(pid)) if h == host =>
+      case (Some(h), Some(pid)) if h == host && sameNs =>
         ProcessHandle.of(pid)
           .map[Boolean](ph => !ph.isAlive).orElse(true)
       case _ => false
@@ -1240,6 +1261,17 @@ object StreamIngest {
     } catch { case _: java.io.IOException => () }
   }
 
+  /** Heartbeat scheduling is decoupled from heartbeat EXECUTION: the
+    * scheduler thread only dispatches; each tick's FS work (touch/
+    * readBody) runs on its own cached daemon thread, guarded by a
+    * per-root in-flight flag. One touch hung on a degraded filesystem
+    * therefore (a) never occupies the scheduler — heartbeats for
+    * every OTHER held root keep firing on their own threads — and
+    * (b) accumulates at most ONE stuck thread per root (ticks that
+    * find the previous one still in flight are skipped, not queued).
+    * The failure this prevents: a shared single-thread executor let
+    * one stuck root starve all heartbeats, aging unrelated LIVE
+    * leases past LeaseBreakMs while their owners were still working. */
   private lazy val leaseHeartbeats =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => {
@@ -1247,6 +1279,21 @@ object StreamIngest {
         t.setDaemon(true)
         t
       })
+
+  private lazy val leaseHeartbeatWorkers = {
+    val n = new java.util.concurrent.atomic.AtomicLong()
+    java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => {
+        val t = new Thread(r,
+          s"graft-lease-heartbeat-worker-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      })
+  }
+
+  private val heartbeatInFlight =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicBoolean]()
 
   /** Start the held-lease heartbeat: refresh the mtime every
     * [[LeaseHeartbeatMs]] so a long fold/re-cluster never ages into
@@ -1268,10 +1315,29 @@ object StreamIngest {
       mine
     } catch { case scala.util.control.NonFatal(_) => false }
 
+  /** One scheduler tick: hand the root's FS heartbeat to a worker
+    * thread unless the PREVIOUS one is still in flight (hung FS) —
+    * skipped, not queued, so a stuck root accumulates at most one
+    * stuck thread. Returns true iff a worker was dispatched (the
+    * spec's seam for the no-pileup and no-starvation proofs). */
+  private[graft] def dispatchHeartbeat(
+      fs: org.apache.hadoop.fs.FileSystem, indexDir: String)
+      : Boolean = {
+    val busy = heartbeatInFlight.computeIfAbsent(indexDir,
+      _ => new java.util.concurrent.atomic.AtomicBoolean(false))
+    val dispatch = busy.compareAndSet(false, true)
+    if (dispatch)
+      leaseHeartbeatWorkers.execute { () =>
+        try { heartbeatOnce(fs, indexDir): Unit }
+        finally busy.set(false)
+      }
+    dispatch
+  }
+
   private def startHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
       indexDir: String): java.util.concurrent.ScheduledFuture[_] =
     leaseHeartbeats.scheduleAtFixedRate(
-      () => { heartbeatOnce(fs, indexDir): Unit },
+      () => { dispatchHeartbeat(fs, indexDir): Unit },
       LeaseHeartbeatMs, LeaseHeartbeatMs,
       java.util.concurrent.TimeUnit.MILLISECONDS)
 
@@ -2327,6 +2393,14 @@ object StreamIngest {
     readLayoutFs(new org.apache.hadoop.fs.Path(s"$epochPath/_layout")
       .getFileSystem(spark.sessionState.newHadoopConf()), epochPath)
 
+  /** `_layout` format version this binary writes and the NEWEST it
+    * will read. History: v1 = legacy flat epoch (no seg= lines,
+    * bucket dirs under the root — still readable, no key written);
+    * v2 = tiered segs + unstamped `retired=<name>` (r18, no key);
+    * v3 = stamped `retired=<name>:<atMs>` + `ltomb=` lines (r19;
+    * the key itself lands in r20). Bump on any line-format change. */
+  private[graft] val LayoutFormatVersion = 3
+
   /** Session-free manifest read — the commit path resolves the PRIOR
     * manifest with the FileSystem it already holds. */
   private[graft] def readLayoutFs(fs: org.apache.hadoop.fs.FileSystem,
@@ -2351,6 +2425,22 @@ object StreamIngest {
       val lines = txt.linesIterator.toSeq
       val kv = lines.map(_.split("=", 2))
         .collect { case Array(k, v) => k -> v }.toMap
+      // format-version gate (r20): a binary reading a manifest NEWER
+      // than it understands must refuse loudly, not misparse — the
+      // r18→r19 `retired=<name>` → `retired=<name>:<atMs>` change was
+      // forward-compatible but not rollback-safe (a pre-r19 binary
+      // treats 'seg_5:1723…' as a dir name, silently weakening the
+      // grace and id-reuse guards). Pre-r20 manifests carry no key
+      // (implicitly ≤ current); the one-way upgrade from the unstamped
+      // retired format is documented in SURVEY's known-limits ledger.
+      kv.get("manifest").foreach { v =>
+        val ver = v.toIntOption.getOrElse(Int.MaxValue)
+        require(ver <= LayoutFormatVersion,
+          s"index manifest $p is format v$v, newer than this " +
+            s"binary's v$LayoutFormatVersion — upgrade the binary " +
+            "before maintaining this index (downgraded binaries " +
+            "misparse newer manifests)")
+      }
       val segs = lines.filter(_.startsWith("seg=")).map { l =>
         l.stripPrefix("seg=").split(":") match {
           case Array(n, b, by, r) =>
@@ -2399,6 +2489,7 @@ object StreamIngest {
     val p = new org.apache.hadoop.fs.Path(s"$epochPath/_layout")
     val tmp = new org.apache.hadoop.fs.Path(s"$epochPath/_layout.tmp")
     val body = new StringBuilder()
+      .append(s"manifest=$LayoutFormatVersion\n")
       .append(s"wm=${l.wm}\nbuckets=${l.buckets}\n")
       // `segs=` marks the tiered format even with ZERO live segments
       // (an expiry that dropped everything) — without it a reader

@@ -77,10 +77,11 @@ class LeaseSpec extends AnyFunSuite {
     val lease = new java.io.File(s"$dir/_maint_lease")
     val host = java.net.InetAddress.getLocalHost.getHostName
     // a pid far past any live process: ProcessHandle resolves empty,
-    // which the reclaim treats as dead
+    // which the reclaim treats as dead. The body carries OUR pid-ns
+    // token — the restarted-daemon case the fast path exists for.
     java.nio.file.Files.write(lease.toPath,
-      s"dead-owner-uuid\nhost=$host\npid=999999999"
-        .getBytes("UTF-8"))
+      (s"dead-owner-uuid\nhost=$host\npid=999999999" +
+        s"\nns=${StreamIngest.pidNsToken}").getBytes("UTF-8"))
     val t0 = System.nanoTime()
     var ran = false
     StreamIngest.withIndexLock(spark, dir) { ran = true }
@@ -89,6 +90,32 @@ class LeaseSpec extends AnyFunSuite {
     assert(ms < 30000, s"reclaim took ${ms}ms — it must not wait " +
       "out LeaseBreakMs")
     assert(!lease.exists(), "reclaimed lease must be released")
+  }
+
+  test("a dead-pid lease WITHOUT a matching pid-namespace token is " +
+    "NOT fast-reclaimed — two containers sharing a hostname must " +
+    "fall back to the age-based break, never break a live holder " +
+    "whose pid is merely invisible in this namespace") {
+    val dir = tmp()
+    val lease = new java.io.File(s"$dir/_maint_lease")
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    for (body <- Seq(
+        // pre-token lease (r19 binary wrote no ns= line)
+        s"foreign-uuid\nhost=$host\npid=999999999",
+        // token from a DIFFERENT pid namespace
+        s"foreign-uuid\nhost=$host\npid=999999999\nns=pid:[4026530000]",
+        // unverifiable token (non-Linux holder)
+        s"foreign-uuid\nhost=$host\npid=999999999\nns=na")) {
+      java.nio.file.Files.write(lease.toPath, body.getBytes("UTF-8"))
+      val e = intercept[RuntimeException] {
+        StreamIngest.withIndexLock(spark, dir)(())
+      }
+      assert(e.getMessage.contains("another process"),
+        s"body '$body' must NOT be fast-reclaimed: ${e.getMessage}")
+      assert(lease.exists())
+      StreamIngest.FsLeaseProvider.delete(hfs(dir),
+        new Path(s"$dir/_maint_lease"))
+    }
   }
 
   test("a live FOREIGN lease with an alive pid still fails fast " +
@@ -127,6 +154,51 @@ class LeaseSpec extends AnyFunSuite {
     StreamIngest.FsLeaseProvider.delete(fs, p)
     assert(!StreamIngest.FsLeaseProvider.breakLease(fs, p),
       "breaking a missing lease must lose the election")
+  }
+
+  test("heartbeat isolation (r20): a touch hung on one root's " +
+    "degraded filesystem neither starves other roots' heartbeats " +
+    "nor piles up threads — subsequent ticks for the stuck root are " +
+    "skipped while other roots keep refreshing") {
+    val dirA = tmp(); val dirB = tmp()
+    val fs = hfs(dirA)
+    val old = System.currentTimeMillis() - 600000L
+    for (d <- Seq(dirA, dirB)) {
+      val f = new java.io.File(s"$d/_maint_lease")
+      java.nio.file.Files.write(f.toPath,
+        s"${StreamIngest.jvmLeaseId}\nhost=h\npid=1".getBytes("UTF-8"))
+      assert(f.setLastModified(old))
+    }
+    val hang = new java.util.concurrent.CountDownLatch(1)
+    withProvider(new Delegate {
+      override def touch(tfs: FileSystem, p: Path): Unit = {
+        if (p.toString.contains(dirA)) hang.await() // degraded FS
+        else d.touch(tfs, p)
+      }
+    }) {
+      try {
+        assert(StreamIngest.dispatchHeartbeat(fs, dirA),
+          "first tick dispatches")
+        Thread.sleep(100) // let the worker reach the hung touch
+        assert(!StreamIngest.dispatchHeartbeat(fs, dirA),
+          "a tick finding the previous heartbeat in flight skips")
+        // the OTHER root's heartbeat proceeds on its own worker
+        assert(StreamIngest.dispatchHeartbeat(fs, dirB))
+        val p = new Path(s"$dirB/_maint_lease")
+        val deadline = System.currentTimeMillis() + 10000
+        while (fs.getFileStatus(p).getModificationTime <= old &&
+            System.currentTimeMillis() < deadline) Thread.sleep(20)
+        assert(fs.getFileStatus(p).getModificationTime > old,
+          "root B's lease must refresh while root A hangs")
+      } finally hang.countDown()
+    }
+    // drained: once the hung touch returns, the root dispatches again
+    val deadline = System.currentTimeMillis() + 10000
+    var again = StreamIngest.dispatchHeartbeat(fs, dirA)
+    while (!again && System.currentTimeMillis() < deadline) {
+      Thread.sleep(20); again = StreamIngest.dispatchHeartbeat(fs, dirA)
+    }
+    assert(again, "the stuck root must dispatch again after draining")
   }
 
   test("heartbeat refreshes an OWNED lease's mtime and refuses to " +

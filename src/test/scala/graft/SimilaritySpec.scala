@@ -191,6 +191,15 @@ class SimilaritySpec extends AnyFunSuite {
         k = 1, kDim = 1)
     }
     assert(exPca.getMessage.contains("must be integral"))
+    // the vector-keeping writer projection shares the contract (r20):
+    // pre-guard it raw-cast the ids, so the assign-face ingest
+    // silently truncated double ids while the codes face refused —
+    // one corrupted face, one loud error, from one bad id column
+    val exKeep = intercept[IllegalArgumentException] {
+      Similarity.ivfAssignFixedKeep(stringIds, "vec_id", "embedding",
+        Seq((0, Array(1.0))))
+    }
+    assert(exKeep.getMessage.contains("must be integral"))
   }
 
   test("LSH ANN achieves reasonable recall@5 vs brute force") {

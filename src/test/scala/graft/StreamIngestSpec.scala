@@ -1601,6 +1601,42 @@ class StreamIngestSpec extends AnyFunSuite {
       === Set(1L))
   }
 
+  test("manifest format-version gate (r20): a manifest NEWER than " +
+    "this binary refuses loudly instead of misparsing (the r18→r19 " +
+    "retired-stamp change showed silent downgrade misparses weaken " +
+    "the grace and id-reuse guards); current and key-less manifests " +
+    "read fine") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_ver_idx").toString
+    val marks = Files.createTempDirectory("graft_ver_mk").toString
+    StreamIngest.lshIngestBatch(
+      Seq((1L, "alpha beta gamma delta epsilon")).toDF("id", "text"),
+      "id", "text", idx, marks, 0L, 8, 4, 3, 4)
+    StreamIngest.compactLshIndex(spark, idx)
+    val layout = java.nio.file.Paths.get(idx, "bands_epoch", "_layout")
+    val txt = new String(java.nio.file.Files.readAllBytes(layout),
+      "UTF-8")
+    assert(txt.startsWith("manifest=3\n"),
+      s"this binary must stamp its format version: $txt")
+    // out-of-band rewrites must drop the local-FS checksum sidecar
+    def rewrite(body: String): Unit = {
+      java.nio.file.Files.write(layout, body.getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(
+        layout.resolveSibling("._layout.crc")): Unit
+    }
+    // current version reads
+    assert(StreamIngest.readLayout(spark, s"$idx/bands_epoch").nonEmpty)
+    // a key-less (pre-r20) manifest reads — the key is opt-in history
+    rewrite(txt.stripPrefix("manifest=3\n"))
+    assert(StreamIngest.readLayout(spark, s"$idx/bands_epoch").nonEmpty)
+    // a NEWER version refuses loudly
+    rewrite("manifest=99\n" + txt.stripPrefix("manifest=3\n"))
+    val e = intercept[IllegalArgumentException] {
+      StreamIngest.readLayout(spark, s"$idx/bands_epoch")
+    }
+    assert(e.getMessage.contains("format v99"), e.getMessage)
+  }
+
   test("tombstone retention (r18): an expiry fold writes O(expired) " +
     "tombstones instead of rewriting the store — data segments stay " +
     "byte-identical on disk, reads suppress expired ids, an id " +
