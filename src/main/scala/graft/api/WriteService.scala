@@ -62,14 +62,15 @@ import org.apache.spark.sql.types._
   * know they changed storage. */
 object WriteService {
   /** Per-target-path write monitors (see write()'s serialization
-    * note) — keyed by the resolved measurement path and shared across
-    * service instances in one JVM, so two services over the same root
-    * still serialize. Unbounded only in the number of DISTINCT
-    * measurements ever written (human-scale, like the catalog). */
-  private val locks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    * note) — keyed by the resolved measurement path. ONE registry
+    * with every other manifested chunk mutator
+    * ([[graft.operators.ChunkManifest.lockFor]]): a ql DELETE or a
+    * retention pass on the same measurement serializes against
+    * /write batches through the same monitor, so manifest
+    * read-modify-write commits never interleave. Reentrant — the
+    * upsert's own manifested lock nests free under this one. */
   private[api] def lockFor(path: String): Object =
-    locks.computeIfAbsent(path, _ => new Object)
+    graft.operators.ChunkManifest.lockFor(path)
 }
 
 final class WriteService(
@@ -402,7 +403,7 @@ final class WriteService(
     job.upsertPoints(path, df0.select(cols: _*),
       graft.operators.CopyJob.Config(0L, 0L, chunkNs,
         timeCol = timeCol),
-      keyCols = key): Unit
+      keyCols = key, serveSnapshot = true): Unit
     writeSeriesMeta(path, key) // series identity survives restarts
     invalidateSchema() // the walk no longer reflects storage
     onCatalogChange()
@@ -425,7 +426,10 @@ final class WriteService(
   private def writeMeasurement(m: String, path: String,
       pts: Seq[(LineProtocol.LinePoint, Long)]): Unit = {
     import spark.implicits._
-    val target = spark.read.parquet(path).drop("__bucket")
+    // schema resolution only — but through the manifest when present,
+    // so a racing reader's generation residue never skews the read
+    val target = graft.operators.ChunkManifest.snapshotRead(spark, path)
+      .getOrElse(spark.read.parquet(path)).drop("__bucket")
     val df0 = pts.map { case (p, i) =>
       (p.tags, p.fields, p.timeNs, i)
     }.toDF("tags", "fields", "timeNs", "__line")
@@ -460,6 +464,6 @@ final class WriteService(
     job.upsertPoints(path, decoded,
       graft.operators.CopyJob.Config(0L, 0L, chunkNs,
         timeCol = timeCol),
-      keyCols = key): Unit
+      keyCols = key, serveSnapshot = true): Unit
   }
 }

@@ -63,7 +63,15 @@ final class ContinuousQuery(spark: SparkSession) {
         math.min(lookbackFrom, floorBucket(math.max(r, 0L), bucketNs))
       case _ => lookbackFrom
     }
-    val raw = spark.read.parquet(srcPath)
+    // the raw measurement may be snapshot-managed (the /write plane
+    // bootstraps a ChunkManifest): resolve the manifest so a refresh
+    // racing a concurrent upsert reads a pinned LIVE-generation
+    // listing — exact under grace, never FILE_NOT_EXIST. The /write
+    // that triggered a rewind committed its manifest before
+    // returning, so the drained backfill is always visible here.
+    val raw = ChunkManifest.snapshotRead(spark, srcPath)
+      .map(_.drop("__bucket"))
+      .getOrElse(spark.read.parquet(srcPath))
     val t = Tables.nsCol(raw, timeCol)
     val recent = raw.filter(
       if (fromNs == Long.MinValue) lit(true)

@@ -51,7 +51,14 @@ object CopyJob {
       // many small files hurt at scale; set it when a downstream
       // consumer needs bounded write units like the reference's HTTP
       // batches.
-      maxPointsPerWrite: Long = 0L)
+      maxPointsPerWrite: Long = 0L,
+      // retirement grace for snapshot-managed measurements
+      // ([[ChunkManifest]]): a replaced chunk generation stays on disk
+      // this long after its manifest retirement, so every reader whose
+      // pinned listing is younger than the grace finishes cleanly.
+      // Size to the longest served query (the index epochs'
+      // retire-grace contract).
+      chunkGraceMs: Long = 300000L)
 
   /** Destination RP name after the default-RP rename (README.md:259-261:
     * only the default RP can be renamed). The ONE place the rule lives —
@@ -249,8 +256,41 @@ final class CopyJob(
     * order-independent checksum). Returns (compacted spans, files
     * before, files after). */
   def compact(dstPath: String, targetRowsPerFile: Long = 1000000L,
-      maxFilesPerPartition: Int = 1): Seq[((Long, Long), Int, Int)] = {
+      maxFilesPerPartition: Int = 1,
+      chunkGraceMs: Long = 300000L): Seq[((Long, Long), Int, Int)] = {
     val conf = spark.sessionState.newHadoopConf()
+    val fs0 = hadoopFs(dstPath)
+    if (ChunkManifest.exists(fs0, dstPath))
+      return ChunkManifest.lockFor(dstPath).synchronized {
+        val st = ChunkManifest.read(fs0, dstPath).get
+        var gen = st.gen
+        var retiredDirs = Seq.empty[String]
+        var newRefs = Seq.empty[ChunkManifest.ChunkRef]
+        val out = st.live.flatMap { r =>
+          val partDir = new Path(s"$dstPath/${r.dir}")
+          def files(p: Path): Int = fs0.listStatus(p).count(s =>
+            s.isFile && s.getPath.getName.endsWith(".parquet"))
+          val before = files(partDir)
+          if (before <= maxFilesPerPartition) None
+          else {
+            Tables.ensureNsConf(spark)
+            val rows = spark.read.parquet(partDir.toString)
+            val nOut = math.max(1L, math.ceil(
+              rows.count().toDouble / targetRowsPerFile).toLong)
+            gen += 1
+            val nd = ChunkManifest.dirName(r.startNs, r.endNs, gen)
+            rows.coalesce(nOut.toInt).write.mode("overwrite")
+              .parquet(s"$dstPath/$nd")
+            newRefs :+= ChunkManifest.ChunkRef(nd, r.startNs, r.endNs)
+            retiredDirs :+= r.dir
+            Some(((r.startNs, r.endNs), before,
+              files(new Path(s"$dstPath/$nd"))))
+          }
+        }
+        commitChunkMutation(dstPath, st, gen, newRefs, retiredDirs,
+          chunkGraceMs)
+        out
+      }
     listBucketSpans(dstPath).flatMap { case (ps, pe) =>
       val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
       val fs = partDir.getFileSystem(conf)
@@ -275,6 +315,19 @@ final class CopyJob(
       dstPath: String,
       chunks: Seq[ChunkSpec],
       cfg: Config): SyncReport = {
+    // the batch copy sink addresses partitions by SPAN VALUE (dynamic
+    // overwrite) — on a snapshot-managed measurement that would split
+    // the layout across two naming schemes the manifest no longer
+    // describes. Restore the plain layout first (stop-the-world; a
+    // full re-copy is outage repair, where the reference itself is
+    // not serving — SURVEY known-limits).
+    if (chunks.nonEmpty) {
+      val fs = hadoopFs(dstPath)
+      if (ChunkManifest.exists(fs, dstPath))
+        ChunkManifest.lockFor(dstPath).synchronized {
+          ChunkManifest.demanifest(fs, dstPath)
+        }
+    }
     val preexisting = listBucketSpans(dstPath)
     // newest-first submission over a bounded worker pool — the Spark
     // scheduler interleaves the per-chunk jobs, replacing the reference's
@@ -295,6 +348,9 @@ final class CopyJob(
     SyncReport(srcPath, dstPath, all)
   }
 
+  private def hadoopFs(path: String): org.apache.hadoop.fs.FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
   private def listBucketSpans(dstPath: String): Seq[(Long, Long)] = {
     val dir = new Path(dstPath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -305,6 +361,39 @@ final class CopyJob(
         case Array(s, e) => Try((s.toLong, e.toLong)).toOption
         case _           => None
       })
+  }
+
+  /** The measurement's live chunk refs: the manifest's when
+    * snapshot-managed ([[ChunkManifest]]), the plain `__bucket=<s>_<e>`
+    * listing otherwise (dir name = span, the pre-manifest layout). */
+  private def liveChunkRefs(dstPath: String)
+      : Seq[ChunkManifest.ChunkRef] =
+    ChunkManifest.read(hadoopFs(dstPath), dstPath) match {
+      case Some(st) => st.live
+      case None => listBucketSpans(dstPath).map { case (s, e) =>
+        ChunkManifest.ChunkRef(s"__bucket=${s}_$e", s, e)
+      }
+    }
+
+  /** Commit one mutation's manifest delta under the measurement lock
+    * (held by the caller): retire `retiredDirs` in place (grace-
+    * stamped, physically deleted by a later commit's sweep), publish
+    * `newRefs`, advance the generation counter, and sweep expired
+    * residue + crashed-write orphans. */
+  private def commitChunkMutation(dstPath: String,
+      st: ChunkManifest.State, gen: Long,
+      newRefs: Seq[ChunkManifest.ChunkRef],
+      retiredDirs: Seq[String], graceMs: Long): Unit = {
+    val fs = hadoopFs(dstPath)
+    val now = System.currentTimeMillis()
+    val retired = retiredDirs.toSet
+    val next = ChunkManifest.State(
+      gen = gen,
+      live = st.live.filterNot(r => retired.contains(r.dir)) ++ newRefs,
+      retired = st.retired ++
+        retiredDirs.map(ChunkManifest.Retired(_, now)))
+    ChunkManifest.write(fs, dstPath,
+      ChunkManifest.sweep(fs, dstPath, next, graceMs, now))
   }
 
   /** Post-pass of copyMeasurement (driver-sequential, so it cannot race
@@ -388,6 +477,38 @@ final class CopyJob(
     * Returns (droppedSpans, trimmedSpans, keptCount). */
   def enforceRetention(dstPath: String, cutoffNs: Long, cfg: Config)
       : (Seq[(Long, Long)], Seq[(Long, Long)], Int) = {
+    val fs0 = hadoopFs(dstPath)
+    if (ChunkManifest.exists(fs0, dstPath))
+      return ChunkManifest.lockFor(dstPath).synchronized {
+        val st = ChunkManifest.read(fs0, dstPath).get
+        var gen = st.gen
+        var retiredDirs = Seq.empty[String]
+        var newRefs = Seq.empty[ChunkManifest.ChunkRef]
+        val (below, rest) = st.live.partition(_.endNs <= cutoffNs)
+        retiredDirs ++= below.map(_.dir) // expiry = manifest retire
+        var dropped = below.map(r => (r.startNs, r.endNs))
+        var trimmed = Seq.empty[(Long, Long)]
+        rest.filter(_.startNs < cutoffNs).foreach { r =>
+          Tables.ensureNsConf(spark)
+          val part = spark.read.parquet(s"$dstPath/${r.dir}")
+          val remaining =
+            part.filter(Tables.nsAtLeast(part, cfg.timeCol, cutoffNs))
+          if (remaining.isEmpty) {
+            retiredDirs :+= r.dir
+            dropped :+= ((r.startNs, r.endNs))
+          } else {
+            gen += 1
+            val nd = ChunkManifest.dirName(cutoffNs, r.endNs, gen)
+            remaining.write.mode("overwrite").parquet(s"$dstPath/$nd")
+            newRefs :+= ChunkManifest.ChunkRef(nd, cutoffNs, r.endNs)
+            retiredDirs :+= r.dir
+            trimmed :+= ((r.startNs, r.endNs))
+          }
+        }
+        commitChunkMutation(dstPath, st, gen, newRefs, retiredDirs,
+          cfg.chunkGraceMs)
+        (dropped, trimmed, st.live.size - dropped.size)
+      }
     val spans = listBucketSpans(dstPath)
     val conf = spark.sessionState.newHadoopConf()
     val (below, rest) = spans.partition { case (_, pe) => pe <= cutoffNs }
@@ -438,6 +559,53 @@ final class CopyJob(
   def deleteWhere(dstPath: String, cond: Column,
       startNs: Long = Long.MinValue, endNs: Long = Long.MaxValue,
       cfg: Config): (Seq[(Long, Long)], Seq[(Long, Long)], Int) = {
+    val fs0 = hadoopFs(dstPath)
+    if (ChunkManifest.exists(fs0, dstPath))
+      return ChunkManifest.lockFor(dstPath).synchronized {
+        val st = ChunkManifest.read(fs0, dstPath).get
+        var gen = st.gen
+        var retiredDirs = Seq.empty[String]
+        var newRefs = Seq.empty[ChunkManifest.ChunkRef]
+        var dropped = Seq.empty[(Long, Long)]
+        var rewritten = Seq.empty[(Long, Long)]
+        st.live.foreach { r =>
+          if (r.endNs > startNs && r.startNs < endNs) {
+            Tables.ensureNsConf(spark)
+            val part =
+              spark.read.parquet(s"$dstPath/${r.dir}").cache()
+            try {
+              val inRange =
+                Tables.nsAtLeast(part, cfg.timeCol, startNs) &&
+                  Tables.nsBefore(part, cfg.timeCol, endNs)
+              val toDelete = coalesce(cond && inRange, lit(false))
+              // the idempotence tell survives snapshot mode: a chunk
+              // with NO matching rows keeps its generation dir
+              // byte-identical (no rewrite, no retire)
+              if (!part.filter(toDelete).isEmpty) {
+                val remaining = part.filter(!toDelete)
+                if (remaining.isEmpty) {
+                  retiredDirs :+= r.dir
+                  dropped :+= ((r.startNs, r.endNs))
+                } else {
+                  gen += 1
+                  val nd =
+                    ChunkManifest.dirName(r.startNs, r.endNs, gen)
+                  remaining.write.mode("overwrite")
+                    .parquet(s"$dstPath/$nd")
+                  newRefs :+=
+                    ChunkManifest.ChunkRef(nd, r.startNs, r.endNs)
+                  retiredDirs :+= r.dir
+                  rewritten :+= ((r.startNs, r.endNs))
+                }
+              }
+            } finally { part.unpersist(): Unit }
+          }
+        }
+        commitChunkMutation(dstPath, st, gen, newRefs, retiredDirs,
+          cfg.chunkGraceMs)
+        (dropped, rewritten,
+          st.live.size - dropped.size - rewritten.size)
+      }
     val spans = listBucketSpans(dstPath)
     val conf = spark.sessionState.newHadoopConf()
     var dropped = Seq.empty[(Long, Long)]
@@ -487,12 +655,45 @@ final class CopyJob(
     *
     * Returns (createdSpans, rewrittenSpans). */
   def upsertPoints(dstPath: String, incoming: DataFrame, cfg: Config,
-      keyCols: Seq[String], orderCol: String = "__line")
+      keyCols: Seq[String], orderCol: String = "__line",
+      // true = adopt snapshot management on first write (bootstrap a
+      // [[ChunkManifest]] over the existing layout) — the serve
+      // plane's flag (WriteService passes it); a measurement already
+      // carrying a manifest is snapshot-managed regardless
+      serveSnapshot: Boolean = false)
       : (Seq[(Long, Long)], Seq[(Long, Long)]) = {
     require(keyCols.nonEmpty, "upsert needs series key columns")
     Tables.ensureNsConf(spark)
+    val fs0 = hadoopFs(dstPath)
+    if (serveSnapshot || ChunkManifest.exists(fs0, dstPath))
+      // ONE writer per measurement across every manifested mutator
+      // (reentrant under WriteService's own per-path lock — it is the
+      // same monitor registry)
+      ChunkManifest.lockFor(dstPath).synchronized {
+        val st = ChunkManifest.read(fs0, dstPath)
+          .getOrElse(ChunkManifest.bootstrap(fs0, dstPath))
+        upsertInto(dstPath, incoming, cfg, keyCols, orderCol,
+          st.live, Some(st))
+      }
+    else upsertInto(dstPath, incoming, cfg, keyCols, orderCol,
+      liveChunkRefs(dstPath), None)
+  }
+
+  /** The upsert body over a resolved live-chunk set. Plain mode
+    * (state = None): chunk dirs are span-named and rewrites use the
+    * crash-safe move-aside swap — byte-identical to the pre-manifest
+    * behavior. Snapshot mode: every write lands in a FRESH generation
+    * dir, replaced dirs are NOT touched (retired by the single
+    * manifest commit at the end), so concurrent manifest-pinned
+    * readers never lose a file under grace. */
+  private def upsertInto(dstPath: String, incoming: DataFrame,
+      cfg: Config, keyCols: Seq[String], orderCol: String,
+      refs: Seq[ChunkManifest.ChunkRef],
+      state: Option[ChunkManifest.State])
+      : (Seq[(Long, Long)], Seq[(Long, Long)]) = {
     val conf = spark.sessionState.newHadoopConf()
-    val spans = listBucketSpans(dstPath)
+    val spans = refs.map(r => (r.startNs, r.endNs))
+    val refBySpan = refs.map(r => (r.startNs, r.endNs) -> r).toMap
     // the grid continues the EXISTING layout's phase (copy layouts
     // tile from the window start, not epoch-absolute) — anchored
     // buckets land exactly on existing chunk boundaries, so an
@@ -558,42 +759,70 @@ final class CopyJob(
         remaining = remaining.filterNot(group.contains)
         groups :+= ((group, ts0, te0, overlapped))
       }
-      val results = inParallel(cfg.numWorkers, groups) {
-        case (group, ts0, te0, overlapped) =>
+      val genBase = state.map(_.gen).getOrElse(0L)
+      // per group: (span, isCreate, new manifest ref, retired dirs)
+      val results = inParallel(cfg.numWorkers, groups.zipWithIndex) {
+        case ((group, ts0, te0, overlapped), gi) =>
         val slice = withB.filter(col("__bs").isin(group: _*)).drop("__bs")
+        // snapshot mode: every write gets a fresh generation dir —
+        // invisible to readers until the manifest commit below, so no
+        // tmp/rename dance is needed; a crash strands an orphan the
+        // next commit's sweep removes
+        val newDir = state.map(_ =>
+          ChunkManifest.dirName(ts0, te0, genBase + gi + 1))
         if (overlapped.isEmpty) {
+          val target = newDir.getOrElse(s"__bucket=${ts0}_$te0")
           lastWins(slice).write.mode("overwrite")
-            .parquet(s"$dstPath/__bucket=${ts0}_$te0")
-          Left((ts0, te0))
+            .parquet(s"$dstPath/$target")
+          ((ts0, te0), true,
+            newDir.map(ChunkManifest.ChunkRef(_, ts0, te0)),
+            Seq.empty[String])
         } else {
-          val existing = overlapped.map { case (s, e) =>
-            spark.read.parquet(s"$dstPath/__bucket=${s}_$e")
+          val existing = overlapped.map { sp =>
+            spark.read.parquet(s"$dstPath/${refBySpan(sp).dir}")
           }.reduce(_ unionByName _)
             .withColumn(orderCol, lit(-1L)) // below any incoming line
           val merged = lastWins(existing.unionByName(
             slice.withColumn(orderCol, col(orderCol).cast("long"))))
-          // crash-safe: write tmp, move EVERY overlapped dir aside,
-          // promote, then drop the backups
-          val tmp = new Path(s"$dstPath/.upsert_${ts0}_$te0")
-          val fs = tmp.getFileSystem(conf)
-          merged.write.mode("overwrite").parquet(tmp.toString)
-          val baks = overlapped.zipWithIndex.map { case ((s, e), i) =>
-            val src = new Path(s"$dstPath/__bucket=${s}_$e")
-            val bak = new Path(s"$dstPath/.bak_upsert_${i}_${s}_$e")
-            fs.delete(bak, true)
-            require(fs.rename(src, bak), s"upsert: cannot move $src")
-            bak
+          newDir match {
+            case Some(d) =>
+              // replaced generations stay AT THEIR PATHS (retired by
+              // the commit, deleted only past grace) — the whole
+              // point: a pinned reader's listing never goes stale
+              merged.write.mode("overwrite").parquet(s"$dstPath/$d")
+              ((ts0, te0), false,
+                Some(ChunkManifest.ChunkRef(d, ts0, te0)),
+                overlapped.map(sp => refBySpan(sp).dir))
+            case None =>
+              // plain mode — crash-safe: write tmp, move EVERY
+              // overlapped dir aside, promote, then drop the backups
+              val tmp = new Path(s"$dstPath/.upsert_${ts0}_$te0")
+              val fs = tmp.getFileSystem(conf)
+              merged.write.mode("overwrite").parquet(tmp.toString)
+              val baks = overlapped.zipWithIndex.map { case ((s, e), i) =>
+                val src = new Path(s"$dstPath/__bucket=${s}_$e")
+                val bak = new Path(s"$dstPath/.bak_upsert_${i}_${s}_$e")
+                fs.delete(bak, true)
+                require(fs.rename(src, bak), s"upsert: cannot move $src")
+                bak
+              }
+              require(fs.rename(tmp,
+                new Path(s"$dstPath/__bucket=${ts0}_$te0")),
+                s"upsert: cannot promote $tmp (rows preserved in backups)")
+              baks.foreach(fs.delete(_, true))
+              ((ts0, te0), false, None, Seq.empty[String])
           }
-          require(fs.rename(tmp,
-            new Path(s"$dstPath/__bucket=${ts0}_$te0")),
-            s"upsert: cannot promote $tmp (rows preserved in backups)")
-          baks.foreach(fs.delete(_, true))
-          Right((ts0, te0))
         }
       }
-      results.foreach {
-        case Left(span)  => created :+= span
-        case Right(span) => rewritten :+= span
+      results.foreach { case (span, isCreate, _, _) =>
+        if (isCreate) created :+= span else rewritten :+= span
+      }
+      // ONE atomic manifest commit for the whole batch: readers see
+      // either every group's new generation or none
+      state.foreach { st =>
+        commitChunkMutation(dstPath, st, genBase + groups.size,
+          results.flatMap(_._3), results.flatMap(_._4),
+          cfg.chunkGraceMs)
       }
       (created, rewritten)
     } finally withB.unpersist(): Unit
@@ -638,7 +867,13 @@ final class CopyJob(
     * as [[Tables.load]] — so copy and source present one time schema. */
   def readCopied(path: String): DataFrame = {
     Tables.ensureNsConf(spark)
-    Tables.withNsTime(spark.read.parquet(path).drop("__bucket"))
+    // snapshot-managed measurements resolve through the manifest: the
+    // pinned listing names only LIVE generation dirs, which stay at
+    // their paths for the grace window however many upserts land —
+    // the plain listing would also see graced (replaced) generations
+    val base = ChunkManifest.snapshotRead(spark, path)
+      .getOrElse(spark.read.parquet(path))
+    Tables.withNsTime(base.drop("__bucket"))
   }
 
   /** Time-range read of a copied dataset with CHUNK-PARTITION pruning.
@@ -658,12 +893,28 @@ final class CopyJob(
       endNs: Long,
       timeCol: String = "ts"): DataFrame = {
     Tables.ensureNsConf(spark)
-    val span = split(col("__bucket"), "_")
-    val pruned = spark.read.parquet(path)
-      .filter(span.getItem(0).cast("long") < endNs &&
-        span.getItem(1).cast("long") > startNs)
-    Tables.withNsTime(
-      Tables.timeRange(pruned, timeCol, startNs, endNs).drop("__bucket"))
+    ChunkManifest.snapshotRefs(spark, path) match {
+      case Some(refs) =>
+        // snapshot mode prunes at the REF level — non-overlapping
+        // generations never reach the file listing at all, strictly
+        // earlier than the PartitionFilters the plain path relies on
+        val hit = refs.filter(r => r.startNs < endNs && r.endNs > startNs)
+        // a range overlapping NO live chunk is schema-preserving
+        // empty (one generation dir read, zero rows), never an error
+        val frame =
+          if (hit.nonEmpty) ChunkManifest.snapshotFrame(spark, path, hit)
+          else ChunkManifest.snapshotFrame(spark, path, refs.take(1))
+            .where(lit(false))
+        Tables.withNsTime(Tables.timeRange(frame, timeCol,
+          startNs, endNs).drop("__bucket"))
+      case None =>
+        val span = split(col("__bucket"), "_")
+        val pruned = spark.read.parquet(path)
+          .filter(span.getItem(0).cast("long") < endNs &&
+            span.getItem(1).cast("long") > startNs)
+        Tables.withNsTime(Tables.timeRange(pruned, timeCol, startNs,
+          endNs).drop("__bucket"))
+    }
   }
 
   /** Per-chunk source↔dest checksum verification — stronger than the

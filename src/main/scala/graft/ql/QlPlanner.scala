@@ -421,7 +421,13 @@ object QlPlanner {
       val path =
         if (hier) s"$root/${d.name}/${rp.name}/${m.name}.parquet"
         else s"$root/${m.name}.parquet"
-      val df0 = spark.read.parquet(path)
+      // manifest-pinned when the /write plane manages the measurement
+      // ([[graft.operators.ChunkManifest]]): the statement executes
+      // against a LISTING SNAPSHOT of live chunk generations, so a
+      // concurrent upsert can never yank a file from under the plan
+      // (the r19 soak's transient FILE_NOT_EXIST)
+      val df0 = graft.operators.ChunkManifest.snapshotRead(spark, path)
+        .getOrElse(spark.read.parquet(path))
       val df = graft.sources.Tables.withNsTime(
         if (df0.columns.contains("__bucket")) df0.drop("__bucket")
         else df0, timeCol)
@@ -867,7 +873,9 @@ object QlPlanner {
             if (hp.getFileSystem(conf).exists(hp)) flat
             else s"$root/$db/$rp/${m.name}.parquet"
           }
-          val df = spark.read.parquet(path)
+          val df = graft.operators.ChunkManifest
+            .snapshotRead(spark, path)
+            .getOrElse(spark.read.parquet(path))
           val segs = tagCols.map(t =>
             when(col(t).isNull, lit(""))
               .otherwise(concat(lit(s",$t="), col(t).cast("string"))))
@@ -898,7 +906,8 @@ object QlPlanner {
           val path =
             if (hp.getFileSystem(conf).exists(hp)) flatPath
             else s"$root/$db/$rp/$m.parquet"
-          spark.read.parquet(path)
+          graft.operators.ChunkManifest.snapshotRead(spark, path)
+            .getOrElse(spark.read.parquet(path))
             .select(lit(m).as("measurement"), lit(key).as("key"),
               col(key).cast("string").as("value"))
             .where(col("value").isNotNull)

@@ -284,7 +284,8 @@ class StatusServerSpec extends AnyFunSuite {
         s"""qnum="123" $t0\n""" +
         s"cpu,host=h2,region=us usage=0.11,cores=4i,online=f," +
         s"note=${"\"warm\""} ${t0 + 1000000000L}\n")
-    val df = spark.read.parquet(s"$root/cpu.parquet")
+    val df = new graft.operators.CopyJob(spark)
+      .readCopied(s"$root/cpu.parquet")
     import org.apache.spark.sql.types._
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     assert(types("host") == StringType && types("region") == StringType)
@@ -305,7 +306,8 @@ class StatusServerSpec extends AnyFunSuite {
     // second write UPSERTS against the created measurement (series
     // key = tag set): same (host,region,ts) merges, count stable
     ws.write(s"cpu,host=h1,region=eu usage=0.99 $t0\n")
-    val again = spark.read.parquet(s"$root/cpu.parquet")
+    val again = new graft.operators.CopyJob(spark)
+      .readCopied(s"$root/cpu.parquet")
     assert(again.count() == 2)
     val h1b = again.filter(col("host") === "h1").head()
     assert(h1b.getAs[Double]("usage") === 0.99)
@@ -564,7 +566,8 @@ class StatusServerSpec extends AnyFunSuite {
     // the second write resolves the measurement as KNOWN (the cached
     // schema was invalidated by the create): upsert, count stable
     ws.write(s"cpu,host=h1 v=2.0 $t0", Some("mydb"))
-    val df = spark.read.parquet(s"$root/mydb/rp0/cpu.parquet")
+    val df = new graft.operators.CopyJob(spark)
+      .readCopied(s"$root/mydb/rp0/cpu.parquet")
     assert(df.count() == 1)
     assert(df.head().getAs[Double]("v") === 2.0)
     // a flat part-file parquet at the root (df.write.parquet output)
@@ -692,7 +695,8 @@ class StatusServerSpec extends AnyFunSuite {
       }
       tasks.foreach(_.get())
     } finally pool.shutdown()
-    val got = spark.read.parquet(s"$root/cpu.parquet")
+    val got = new graft.operators.CopyJob(spark)
+      .readCopied(s"$root/cpu.parquet")
     assert(got.count() == 1L + threads * perThread,
       s"expected ${1 + threads * perThread} points, got ${got.count()}")
     assert(got.select("host").distinct().count() ==
@@ -725,7 +729,8 @@ class StatusServerSpec extends AnyFunSuite {
           s"cpu,host=h1 v=1.0 $t0s")).build(),
         HttpResponse.BodyHandlers.ofString())
       assert(w1.statusCode() == 204, w1.body())
-      val ts = spark.read.parquet(s"$wroot/cpu.parquet")
+      val ts = new graft.operators.CopyJob(spark)
+        .readCopied(s"$wroot/cpu.parquet")
         .select("ts").collect().map(_.getLong(0)).toSeq
       assert(ts == Seq(t0s * 1000000000L), ts.toString)
       // bad precision refuses with 400 before touching storage
@@ -745,7 +750,8 @@ class StatusServerSpec extends AnyFunSuite {
         .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray))
         .build(), HttpResponse.BodyHandlers.ofString())
       assert(w2.statusCode() == 204, w2.body())
-      assert(spark.read.parquet(s"$wroot/cpu.parquet").count() == 2L)
+      assert(new graft.operators.CopyJob(spark)
+        .readCopied(s"$wroot/cpu.parquet").count() == 2L)
       // /ping: 204 + version header, reachable without credentials
       // (the probe every client calls first, influxmonitor.go:115)
       val ping = client.send(HttpRequest.newBuilder(URI.create(
