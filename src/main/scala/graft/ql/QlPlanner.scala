@@ -417,31 +417,59 @@ object QlPlanner {
       d <- cat.getSchema(root)
       rp <- d.rps.sortBy(!_.isDefault) // default RP wins name clashes
       m <- rp.measurements
-    } yield {
-      val path =
-        if (hier) s"$root/${d.name}/${rp.name}/${m.name}.parquet"
-        else s"$root/${m.name}.parquet"
-      // manifest-pinned when the /write plane manages the measurement
-      // ([[graft.operators.ChunkManifest]]): the statement executes
-      // against a LISTING SNAPSHOT of live chunk generations, so a
-      // concurrent upsert can never yank a file from under the plan
-      // (the r19 soak's transient FILE_NOT_EXIST)
-      val df0 = graft.operators.ChunkManifest.snapshotRead(spark, path)
-        .getOrElse(spark.read.parquet(path))
-      val df = graft.sources.Tables.withNsTime(
-        if (df0.columns.contains("__bucket")) df0.drop("__bucket")
-        else df0, timeCol)
-      val tags = df.schema.fields.toSeq
-        .filter(f =>
-          f.dataType == org.apache.spark.sql.types.StringType &&
-            f.name != "measurement")
-        .map(_.name)
-      val fields = df.columns.toSeq
-        .filterNot(c =>
-          tags.contains(c) || c == timeCol || c == "measurement")
-      QlTable(m.name, df, timeCol, tags, fields,
-        db = if (hier) d.name else "")
-    }
+      t <- {
+        val path =
+          if (hier) s"$root/${d.name}/${rp.name}/${m.name}.parquet"
+          else s"$root/${m.name}.parquet"
+        // manifest-pinned when the /write plane manages the
+        // measurement ([[graft.operators.ChunkManifest]]): the
+        // statement executes against a LISTING SNAPSHOT of live chunk
+        // generations, so a concurrent upsert can never yank a file
+        // from under the plan (the r19 soak's transient
+        // FILE_NOT_EXIST)
+        try {
+          val df0 = graft.operators.ChunkManifest
+            .snapshotRead(spark, path)
+            .getOrElse(spark.read.parquet(path))
+          val df = graft.sources.Tables.withNsTime(
+            if (df0.columns.contains("__bucket")) df0.drop("__bucket")
+            else df0, timeCol)
+          val tags = df.schema.fields.toSeq
+            .filter(f =>
+              f.dataType == org.apache.spark.sql.types.StringType &&
+                f.name != "measurement")
+            .map(_.name)
+          val fields = df.columns.toSeq
+            .filterNot(c =>
+              tags.contains(c) || c == timeCol || c == "measurement")
+          Some(QlTable(m.name, df, timeCol, tags, fields,
+            db = if (hier) d.name else ""))
+        } catch {
+          // a measurement MID-CREATION or MID-REWRITE is not yet
+          // discoverable THIS walk — skip it; the next walk (TTL or
+          // write-through invalidation) picks it up. The race is
+          // structural for non-manifested sinks (a CQ's first rollup
+          // commit, any dynamic partition overwrite): Spark's schema
+          // inference launches a distributed footer job over a file
+          // it just listed, so the dir can be footerless
+          // (UNABLE_TO_INFER_SCHEMA) or the listed file already
+          // replaced (task-level FileNotFound). Observed live by the
+          // DaemonSoakSpec reader racing the CQ's first refresh; a
+          // skipped walk beats a served 500 (README Known limits #5).
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+            None
+          case e: Throwable if {
+            var c: Throwable = e; var hit = false
+            while (c != null && !hit) {
+              hit = c.isInstanceOf[java.io.FileNotFoundException]
+              c = if (c.getCause ne c) c.getCause else null
+            }
+            hit
+          } => None
+        }
+      }
+    } yield t
     all.distinctBy(t => (t.db, t.name))
   }
 

@@ -250,12 +250,18 @@ class ChunkManifestSpec extends AnyFunSuite {
     val total = job.readCopied(dst).count()
     val ids = overrideBatch(job, dst, 0.5)
       .select("event_id").collect().map(_.getLong(0)).toSeq
+    // failures ATTRIBUTABLE to the write plane (missing file under a
+    // rewritten chunk) — the shared session can see unrelated
+    // task-kill events from neighboring suites' teardown
     val failedTasks = new java.util.concurrent.atomic.AtomicLong()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.reason != org.apache.spark.Success)
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val r = String.valueOf(te.reason)
+        if (te.reason != org.apache.spark.Success &&
+            (r.contains("FileNotFound") || r.contains("FILE_NOT_EXIST")))
           failedTasks.incrementAndGet(): Unit
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     val writes = 6

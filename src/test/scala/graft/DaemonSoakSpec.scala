@@ -70,6 +70,35 @@ class DaemonSoakSpec extends AnyFunSuite {
     }
 
     val writes = 12
+    // the SERVED /query plane, wired exactly as the daemon wires the
+    // status server (r20): a concurrent reader races every /write
+    // batch through the chunk snapshot manifest — the criterion is
+    // ZERO task failures (no FILE_NOT_EXIST, no retries attributable
+    // to the write plane) and every read seeing a committed count
+    val qlExec = graft.ql.QlPlanner.executorScoped(spark, dst,
+      dp.liveCatalog())
+    // seed the measurement (first-day bucket, its own series) so the
+    // reader never races auto-create itself
+    assert(dp.write(s"soaked,host=seed value=0.5 ${S + 20 * Day}",
+      None, 1L) == 1L)
+    // count task failures ATTRIBUTABLE TO THE WRITE PLANE (the r19
+    // transient's signature: a missing file under a rewritten chunk).
+    // The session is shared across the whole sbt suite run, so a
+    // blanket != Success filter would also catch e.g. tasks killed
+    // when an earlier suite's leaked stream winds down — noise the
+    // criterion is not about.
+    val failedTasks = new java.util.concurrent.atomic.AtomicLong()
+    val taskListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val r = String.valueOf(te.reason)
+        if (te.reason != org.apache.spark.Success &&
+            (r.contains("FileNotFound") || r.contains("FILE_NOT_EXIST")))
+          failedTasks.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(taskListener)
+    val readerStop = new java.util.concurrent.atomic.AtomicBoolean()
     val lshBatches = 6
     val ivfBatches = 6
     // the injected kill: every drift-repair attempt dies between the
@@ -115,8 +144,33 @@ class DaemonSoakSpec extends AnyFunSuite {
           Thread.sleep(60L)
         }
       }
+      // STRICT reader — no tolerated exception classes: the catalog
+      // walk skips mid-rewrite measurements (the rollup racing its
+      // own CQ refresh used to 500 a /query here; storageCatalog now
+      // defers them to the next walk), and 'soaked' itself is
+      // manifest-pinned, so every read must succeed with a committed
+      // count
+      val reader = runner("soak-reader") {
+        while (!readerStop.get()) {
+          val n = qlExec("select count(value) from soaked", None)
+            .collect().head.getLong(1)
+          // committed-state-only: the seed plus 0..writes batches —
+          // never a torn or duplicated view of a mid-rewrite chunk
+          assert(n >= 1L && n <= (writes + 1).toLong,
+            s"served count $n outside any committed state")
+          Thread.sleep(10L)
+        }
+      }
       Seq(writer, lsher, ivfer, ticker).foreach(_.join(120000L))
-    } finally StreamIngest.reclusterCrashBeforeAssignCommit = false
+      readerStop.set(true); reader.join(60000L)
+    } finally {
+      StreamIngest.reclusterCrashBeforeAssignCommit = false
+      readerStop.set(true)
+      spark.sparkContext.removeSparkListener(taskListener)
+    }
+    assert(failedTasks.get() == 0L,
+      s"${failedTasks.get()} failed tasks — the /write plane must " +
+        "not cost the served readers (or any plane) retries")
     assert(failures.get().isEmpty,
       s"no plane may fail during the soak: ${failures.get()}")
 
@@ -174,7 +228,11 @@ class DaemonSoakSpec extends AnyFunSuite {
     assert(roll.select("bucket_ns").collect().map(_.getLong(0)).toSet
       === expected, "every written day must reach the rollup")
     assert(roll.agg(sum(col("n_points"))).head().getLong(0)
-      == writes.toLong)
+      == (writes + 1).toLong) // + the served-reader seed point
+    // 5b. the served /query answer settles on the fully-committed
+    // state the reader raced toward
+    assert(qlExec("select count(value) from soaked", None)
+      .collect().head.getLong(1) == (writes + 1).toLong)
     // 6. folds kept up: hot tails are back under the cadence bound
     for ((root, tier) <- Seq((lshIdx, "bands"), (ivfIdx, "assign"))) {
       val hot = Option(new java.io.File(s"$root/$tier").listFiles())
