@@ -178,22 +178,37 @@ object ChunkManifest {
     State(0L, live, Seq.empty)
   }
 
-  /** Drop expired retired generations and any gen-named orphan dir a
-    * crashed write left behind; returns the surviving retired set.
-    * Runs inside a commit (lock held), so no manifested writer races
-    * the deletes; snapshot readers within grace never see them. */
-  def sweep(fs: FileSystem, dst: String, st: State,
-      graceMs: Long, nowMs: Long): State = {
+  /** Sweep, split into PLAN (pure) and DELETE (physical) halves so a
+    * commit can write the new manifest FIRST and delete after: the
+    * old single-pass sweep deleted expired retired dirs before
+    * [[write]] committed, so a crash between the deletes and the
+    * write left the old manifest listing dirs that no longer exist
+    * (r20 adviser, low) — the schema fallback in [[snapshotFrame]]
+    * could then FileNotFound instead of serving an empty frame.
+    * Re-deleting an already-gone dir on the next sweep is idempotent,
+    * so commit-then-delete is strictly safer. */
+  def sweepPlan(st: State, graceMs: Long, nowMs: Long)
+      : (State, Seq[String]) = {
     val (expired, kept) =
       st.retired.partition(r => nowMs - r.atMs > graceMs)
-    expired.foreach { r =>
-      fs.delete(new Path(s"$dst/${r.dir}"), true): Unit
+    (st.copy(retired = kept), expired.map(_.dir))
+  }
+
+  /** Physical half of the sweep — call AFTER [[write]] committed the
+    * planned state. Drops the expired retired dirs plus any gen-named
+    * orphan a crashed write left behind (dirs neither live nor
+    * retired in the COMMITTED state are invisible to every reader;
+    * plain-named unknowns are left alone — an out-of-band copy is
+    * the de-manifest path's business). Lock held by the caller, so
+    * no manifested writer races the deletes; snapshot readers within
+    * grace never see them. */
+  def sweepDeletes(fs: FileSystem, dst: String, committed: State,
+      expiredDirs: Seq[String]): Unit = {
+    expiredDirs.foreach { d =>
+      fs.delete(new Path(s"$dst/$d"), true): Unit
     }
-    // gen-named dirs neither live nor retired were written by a
-    // writer that crashed before its commit — invisible to every
-    // reader, safe to drop. Plain-named unknowns are left alone
-    // (an out-of-band copy is the de-manifest path's business).
-    val known = (st.live.map(_.dir) ++ kept.map(_.dir)).toSet
+    val known =
+      (committed.live.map(_.dir) ++ committed.retired.map(_.dir)).toSet
     val dirP = new Path(dst)
     if (fs.exists(dirP)) fs.listStatus(dirP).foreach { s =>
       val n = s.getPath.getName
@@ -201,7 +216,6 @@ object ChunkManifest {
           n.contains("_g") && !known.contains(n))
         fs.delete(s.getPath, true): Unit
     }
-    st.copy(retired = kept)
   }
 
   /** Restore the plain layout (stop-the-world, caller-locked): drop
@@ -263,6 +277,10 @@ object ChunkManifest {
     else {
       val fs = hfs(spark, path)
       val retired = read(fs, path).map(_.retired).getOrElse(Seq.empty)
+        // a retired dir can be physically gone while still listed
+        // (crash between a commit's deletes and the next sweep) —
+        // only an EXISTING dir can serve as the schema anchor
+        .filter(r => fs.exists(new Path(s"$path/${r.dir}")))
       retired.headOption match {
         case Some(r) =>
           spark.read.parquet(s"$path/${r.dir}").where(lit(false))

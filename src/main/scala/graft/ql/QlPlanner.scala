@@ -408,6 +408,15 @@ object QlPlanner {
     * schemas, no data scan. A measurement name appearing under
     * several RPs resolves to the DEFAULT RP's instance (InfluxDB's
     * unqualified-FROM rule). */
+  /** One WARN per measurement skipped by a catalog walk — transient
+    * mid-rewrite skips self-heal on the next walk, but a persistent
+    * one (corrupt footer, permissions, fully-expired manifest) must
+    * leave an operator-visible trail. */
+  private def warnSkip(path: String, e: Throwable): Unit =
+    System.err.println(s"[graft] WARNING: catalog walk skipped " +
+      s"$path (${e.getClass.getSimpleName}: " +
+      s"${Option(e.getMessage).getOrElse("").take(200)})")
+
   def storageCatalog(spark: org.apache.spark.sql.SparkSession,
       root: String, timeCol: String = "ts"): Seq[QlTable] = {
     val cat = new graft.catalog.Catalog(spark)
@@ -456,9 +465,25 @@ object QlPlanner {
           // replaced (task-level FileNotFound). Observed live by the
           // DaemonSoakSpec reader racing the CQ's first refresh; a
           // skipped walk beats a served 500 (README Known limits #5).
+          // Every skip is WARN-logged (path + exception class): a
+          // PERSISTENTLY broken measurement (corrupt footer on a
+          // crashed non-manifested sink, permissions) must be
+          // operator-distinguishable from a transient mid-rewrite
+          // skip instead of silently vanishing from SHOW MEASUREMENTS
+          // walk after walk (r20 verdict residual #1).
           case e: org.apache.spark.sql.AnalysisException
               if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
-            None
+            warnSkip(path, e); None
+          // a fully-expired snapshot-managed measurement (live=[] and
+          // grace residue already swept) has no schema to serve —
+          // skip THAT measurement; before this catch the
+          // IllegalStateException failed the ENTIRE catalog walk
+          // (every /query against the root 500'd until a new write
+          // landed — r20 adviser, high)
+          case e: IllegalStateException
+              if e.getMessage != null &&
+                e.getMessage.contains("no live chunks") =>
+            warnSkip(path, e); None
           case e: Throwable if {
             var c: Throwable = e; var hit = false
             while (c != null && !hit) {
@@ -466,7 +491,7 @@ object QlPlanner {
               c = if (c.getCause ne c) c.getCause else null
             }
             hit
-          } => None
+          } => warnSkip(path, e); None
         }
       }
     } yield t

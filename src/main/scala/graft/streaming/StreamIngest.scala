@@ -1371,6 +1371,31 @@ object StreamIngest {
         }
       }
 
+  /** Run two INDEPENDENT index-face mutations concurrently (guide
+    * §2.6: actions are only sequential because the driver calls them
+    * sequentially — two faces touching disjoint dirs can overlap, so
+    * the fold's wall time is max-of-faces, not sum-of-faces; the
+    * Spark scheduler interleaves their small jobs). The caller holds
+    * the index lock; the faces share nothing but the session. */
+  private def inParallelFaces[A, B](fa: => A, fb: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[A] {
+        def call(): A = fa
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = fb
+      })
+      def get[T](f: java.util.concurrent.Future[T]): T =
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      (get(f1), get(f2))
+    } finally pool.shutdown()
+  }
+
   private def inflightMarker(indexDir: String, batchId: Long) =
     new org.apache.hadoop.fs.Path(s"$indexDir/_inflight_$batchId")
 
@@ -1612,12 +1637,15 @@ object StreamIngest {
       liveIds: Option[DataFrame] = None): (Long, Long) =
     withIndexLock(spark, indexDir) {
       val inflight = inflightIds(spark, indexDir)
-      (relayoutEpoch(spark, s"$indexDir/bands",
-        s"$indexDir/bands_epoch", buckets,
-        df => df.select(col("id").cast("long").as("id"),
-          col("band").cast("int").as("band"), col("band_hash")),
-        Some(bandBucket), "bb", Seq("band", "band_hash"), "id",
-        retain = liveIds, inflight = inflight),
+      // bands and sigs are independent faces (disjoint dirs) — fold
+      // them concurrently (max-of-faces wall time, guide §2.6)
+      inParallelFaces(
+        relayoutEpoch(spark, s"$indexDir/bands",
+          s"$indexDir/bands_epoch", buckets,
+          df => df.select(col("id").cast("long").as("id"),
+            col("band").cast("int").as("band"), col("band_hash")),
+          Some(bandBucket), "bb", Seq("band", "band_hash"), "id",
+          retain = liveIds, inflight = inflight),
         relayoutEpoch(spark, s"$indexDir/sigs", s"$indexDir/sigs_epoch",
           buckets,
           df => df.select(col("id").cast("long").as("id"), col("sig")),
@@ -1640,7 +1668,12 @@ object StreamIngest {
         .getFileSystem(spark.sessionState.newHadoopConf())
       def face(sub: String) =
         fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$sub"))
-      val assign =
+      // assign and codes are independent faces (disjoint dirs) —
+      // fold them concurrently (max-of-faces wall time, guide §2.6).
+      // The codes face folds under the same watermark discipline —
+      // same layout (list= partitions, vec_id sort), ~numSub ints
+      // per row instead of dim doubles
+      val (assign, codes) = inParallelFaces(
         if (face("assign") || face("assign_epoch"))
           relayoutEpoch(spark, s"$indexDir/assign",
             s"$indexDir/assign_epoch", bucketsReq = 0,
@@ -1648,11 +1681,7 @@ object StreamIngest {
               col("list").cast("long").as("list"), col("vec")),
             None, "list", Seq("vec_id"), "vec_id",
             retain = liveIds, inflight = inflight)
-        else 0L
-      // the codes face folds under the same watermark discipline —
-      // same layout (list= partitions, vec_id sort), ~numSub ints
-      // per row instead of dim doubles
-      val codes =
+        else 0L,
         if (face("codes") || face("codes_epoch"))
           relayoutEpoch(spark, s"$indexDir/codes",
             s"$indexDir/codes_epoch", bucketsReq = 0,
@@ -1660,7 +1689,7 @@ object StreamIngest {
               col("list").cast("long").as("list"), col("codes")),
             None, "list", Seq("vec_id"), "vec_id",
             retain = liveIds, inflight = inflight)
-        else 0L
+        else 0L)
       assign + codes
     }
 

@@ -125,6 +125,37 @@ class CopyJobSpec extends AnyFunSuite {
     assert(d3 === Seq((S + 10 * Day, S + 15 * Day)) && r3.isEmpty)
   }
 
+  test("deleteWhere classifies every intersecting chunk in O(1) Spark " +
+    "jobs (single probe), not O(chunks) — wide-DELETE scale shape") {
+    val dst = freshDst()
+    val job = new CopyJob(spark)
+    // 15 one-day chunks: the pre-r21 shape ran TWO driver-sequential
+    // jobs per intersecting chunk (isEmpty probe + remaining probe),
+    // so a nothing-matches DELETE over the full window cost ≥30 jobs;
+    // the single-probe shape costs one aggregate query (a handful of
+    // AQE stage-jobs at most)
+    val c = CopyJob.Config(S, E, chunkNs = Day, timeCol = "ts")
+    job.copyMeasurement(src, dst, c)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (d, r, u) = job.deleteWhere(dst,
+        col("event_type") === "__no_such_type", S, E, c)
+      assert(d.isEmpty && r.isEmpty && u === 15)
+      // async listener bus — let it drain before counting
+      Thread.sleep(1500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val n = jobs.get()
+    assert(n <= 6, s"probe ran $n jobs for 15 intersecting chunks — " +
+      "expected O(1) (single probe aggregate), not O(chunks)")
+  }
+
   test("upsertPoints: last-write-wins per (key, ts); touched chunks " +
     "rewritten, new chunks created, untouched chunks byte-identical; " +
     "re-run converges") {
