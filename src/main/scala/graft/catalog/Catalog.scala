@@ -28,6 +28,14 @@ import org.apache.spark.sql.types._
   */
 final class Catalog(spark: SparkSession) {
 
+  /** One WARN per measurement skipped by a schema walk — transient
+    * mid-write skips self-heal on the next walk; a persistent one
+    * (corrupt footer, permissions) must leave an operator trail. */
+  private def warnSkip(path: String, e: Throwable): Unit =
+    System.err.println(s"[graft] WARNING: schema walk skipped " +
+      s"$path (${e.getClass.getSimpleName}: " +
+      s"${Option(e.getMessage).getOrElse("").take(200)})")
+
   private def fsFor(path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
@@ -107,7 +115,30 @@ final class Catalog(spark: SparkSession) {
     def measurementsOf(dir: String): Seq[MeasurementSch] =
       measurements(dir)
         .filter(m => measRe.findFirstIn(m).isDefined) // hacluster.go:140-143
-        .map(m => MeasurementSch(m, fields(s"$dir/$m.parquet")))
+        .flatMap { m =>
+          // a measurement MID-CREATION is not yet discoverable THIS
+          // walk — its dir can be footerless (a sink's staging phase)
+          // or a just-listed file already replaced. Skip it with a
+          // WARN and let the next walk pick it up: the same
+          // discovery-only eventual consistency the /query catalog
+          // walk applies (QlPlanner.storageCatalog) — without this,
+          // one mid-write dir failed the ENTIRE schema walk (and any
+          // plane calling it), observed live by the DaemonSoak reader
+          try Some(MeasurementSch(m, fields(s"$dir/$m.parquet")))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+              warnSkip(s"$dir/$m.parquet", e); None
+            case e: Throwable if {
+              var c: Throwable = e; var hit = false
+              while (c != null && !hit) {
+                hit = c.isInstanceOf[java.io.FileNotFoundException]
+                c = if (c.getCause ne c) c.getCause else null
+              }
+              hit
+            } => warnSkip(s"$dir/$m.parquet", e); None
+          }
+        }
 
     val dbs =
       if (!hierarchical) {

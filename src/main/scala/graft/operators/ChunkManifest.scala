@@ -218,6 +218,28 @@ object ChunkManifest {
     }
   }
 
+  /** Commit one mutation's manifest delta (caller holds [[lockFor]]):
+    * retire `retiredDirs` in place (grace-stamped, physically deleted
+    * by a later commit's sweep), publish `newRefs`, advance the
+    * generation counter — manifest committed FIRST, physical deletes
+    * after (see [[sweepPlan]]). The ONE commit body every manifested
+    * mutator shares (CopyJob's chunk mutations, the CQ rollup
+    * refresh). Returns the committed state. */
+  def commitMutation(fs: FileSystem, dst: String, st: State,
+      gen: Long, newRefs: Seq[ChunkRef], retiredDirs: Seq[String],
+      graceMs: Long): State = {
+    val now = System.currentTimeMillis()
+    val retired = retiredDirs.toSet
+    val next = State(
+      gen = gen,
+      live = st.live.filterNot(r => retired.contains(r.dir)) ++ newRefs,
+      retired = st.retired ++ retiredDirs.map(Retired(_, now)))
+    val (planned, expiredDirs) = sweepPlan(next, graceMs, now)
+    write(fs, dst, planned)
+    sweepDeletes(fs, dst, planned, expiredDirs)
+    planned
+  }
+
   /** Restore the plain layout (stop-the-world, caller-locked): drop
     * retired dirs, rename gen-named live dirs to their plain span
     * names, remove the manifest. The batch copy plane calls this

@@ -25,13 +25,25 @@ import org.apache.spark.sql.functions._
   * Scale shape: the raw scan is PRUNED to `ts >= bucketFloor` (pushed
   * predicate — steady-state cost is one bucket's worth of rows, not
   * the measurement); the rollup is a partial/final hash aggregate; the
-  * sink overwrites only the recomputed bucket partitions (dynamic
-  * partition overwrite on `__cq_bucket`, same idempotent-upsert layout
-  * as CopyJob's chunk sink). Re-running a refresh with no new data
-  * rewrites the same final bucket to the same content — idempotent.
-  * The watermark persists in `_cq.json` beside the data and is written
-  * AFTER the data commit (a crash between the two re-does work, never
-  * loses it). */
+  * sink rewrites only the recomputed buckets. Re-running a refresh
+  * with no new data recomputes the same buckets to the same content —
+  * idempotent. The watermark persists in `_cq.json` beside the data
+  * and is written AFTER the data commit (a crash between the two
+  * re-does work, never loses it).
+  *
+  * Snapshot-managed sink (r21): the rollup was the ONE served relation
+  * still written by plain dynamic-partition-overwrite (README Known
+  * limits #5) — a /query SELECT or a catalog walk racing a refresh
+  * could hit a footerless dir (UNABLE_TO_INFER_SCHEMA) or a replaced
+  * part file (task FileNotFound + retry); the DaemonSoak reader
+  * observed both live. The sink now commits through [[ChunkManifest]]
+  * like every other served mutator: each refresh writes the recomputed
+  * buckets as span-named generation dirs (`__bucket=<s>_<e>_g<n>`,
+  * span = one CQ bucket) inside a dot-staging dir invisible to
+  * listings, promotes them with atomic renames, and retires the
+  * replaced generations in place under grace — readers resolve the
+  * manifest and never see a torn layout. A legacy `__cq_bucket=<v>`
+  * layout is adopted once via metadata-only renames. */
 final class ContinuousQuery(spark: SparkSession) {
 
   /** One refresh pass. Returns (bucketsRewritten, watermarkNs).
@@ -50,7 +62,10 @@ final class ContinuousQuery(spark: SparkSession) {
       bucketNs: Long,
       timeCol: String = "ts",
       resampleNs: Long = 0L,
-      rewindToNs: Option[Long] = None): (Long, Long) = {
+      rewindToNs: Option[Long] = None,
+      // retirement grace for replaced bucket generations — size to
+      // the longest served query, like every ChunkManifest writer
+      graceMs: Long = 300000L): (Long, Long) = {
     require(bucketNs > 0, s"bucketNs must be positive: $bucketNs")
     require(resampleNs >= 0, s"resampleNs must be >= 0: $resampleNs")
     Tables.ensureNsConf(spark)
@@ -99,24 +114,95 @@ final class ContinuousQuery(spark: SparkSession) {
         if (stats.isNullAt(2)) prev
         else math.max(prev, stats.getLong(2))
       if (stats.getLong(0) > 0) {
-        rolled.drop("__cq_max_ts").write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__cq_bucket")
-          .parquet(dstPath)
+        val fs = new Path(dstPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        // one writer per rollup across refresh/backfill callers —
+        // the same monitor registry every served mutator uses
+        ChunkManifest.lockFor(dstPath).synchronized {
+          adoptLegacyLayout(fs, dstPath, bucketNs)
+          val st = ChunkManifest.read(fs, dstPath)
+            .getOrElse(ChunkManifest.bootstrap(fs, dstPath))
+          val g = st.gen + 1
+          val stage = new Path(s"$dstPath/.cq_stage")
+          fs.delete(stage, true): Unit
+          // ONE job writes every recomputed bucket as its own
+          // generation dir under the dot-staging dir (invisible to
+          // every listing reader until the renames below)
+          rolled.drop("__cq_max_ts")
+            .withColumn("__bucket", concat(
+              col("__cq_bucket").cast("string"), lit("_"),
+              (col("__cq_bucket") + bucketNs).cast("string"),
+              lit(s"_g$g")))
+            .drop("__cq_bucket")
+            .write.mode("overwrite").partitionBy("__bucket")
+            .parquet(stage.toString)
+          // promote each staged generation dir (atomic renames — a
+          // crash strands gen-named orphans the next commit's sweep
+          // removes), then ONE manifest commit swaps readers from
+          // the replaced generations to the new ones
+          val newRefs = fs.listStatus(stage).toSeq
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("__bucket="))
+            .flatMap { s =>
+              val n = s.getPath.getName
+              ChunkManifest.spanOf(n).map { case (bs, be) =>
+                require(fs.rename(s.getPath, new Path(s"$dstPath/$n")),
+                  s"cq refresh: cannot promote ${s.getPath}")
+                ChunkManifest.ChunkRef(n, bs, be)
+              }
+            }
+          fs.delete(stage, true): Unit
+          val spans = newRefs.map(r => (r.startNs, r.endNs)).toSet
+          val replaced = st.live
+            .filter(r => spans.contains((r.startNs, r.endNs)))
+          ChunkManifest.commitMutation(fs, dstPath, st, g, newRefs,
+            replaced.map(_.dir), graceMs): Unit
+        }
       }
       writeWatermark(dstPath, newWatermark)
       (stats.getLong(1), newWatermark)
     } finally rolled.unpersist(): Unit
   }
 
+  /** One-time adoption of a pre-r21 rollup layout: every legacy
+    * `__cq_bucket=<v>` partition dir becomes a span-named gen-0 dir
+    * `__bucket=<v>_<v+bucketNs>` (metadata-only renames, no data
+    * moves — the partition value was never stored in the files), so
+    * [[ChunkManifest.bootstrap]] adopts it. Idempotent. */
+  private def adoptLegacyLayout(fs: org.apache.hadoop.fs.FileSystem,
+      dstPath: String, bucketNs: Long): Unit = {
+    val dir = new Path(dstPath)
+    if (!fs.exists(dir) || ChunkManifest.exists(fs, dstPath)) return
+    fs.listStatus(dir).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith("__cq_bucket=")) {
+        n.stripPrefix("__cq_bucket=").toLongOption.foreach { v =>
+          val to = new Path(s"$dstPath/__bucket=${v}_${v + bucketNs}")
+          require(fs.rename(s.getPath, to),
+            s"cq layout adoption: cannot rename ${s.getPath} -> $to")
+        }
+      }
+    }
+  }
+
   /** Read the downsampled measurement (one row per bucket × series;
-    * `bucket_ns` = the bucket's start). */
+    * `bucket_ns` = the bucket's start). Snapshot-managed rollups
+    * resolve through the manifest (pinned listing — a concurrent
+    * refresh can never yank a file from under the read); the legacy
+    * plain `__cq_bucket=` layout reads as before. */
   def readRollup(dstPath: String): DataFrame = {
     Tables.ensureNsConf(spark)
-    spark.read.parquet(dstPath)
-      .withColumn("bucket_ns", col("__cq_bucket").cast("long"))
-      .drop("__cq_bucket")
+    val base = ChunkManifest.snapshotRead(spark, dstPath)
+      .getOrElse(spark.read.parquet(dstPath))
+    if (base.columns.contains("__bucket"))
+      // generation dirs are span-named `<s>_<e>_g<n>`: the bucket
+      // start is the first `_`-token of the partition value
+      base.withColumn("bucket_ns",
+        split(col("__bucket"), "_").getItem(0).cast("long"))
+        .drop("__bucket")
+    else
+      base.withColumn("bucket_ns", col("__cq_bucket").cast("long"))
+        .drop("__cq_bucket")
   }
 
   private def floorBucket(ns: Long, bucketNs: Long): Long =

@@ -388,23 +388,9 @@ final class CopyJob(
   private def commitChunkMutation(dstPath: String,
       st: ChunkManifest.State, gen: Long,
       newRefs: Seq[ChunkManifest.ChunkRef],
-      retiredDirs: Seq[String], graceMs: Long): Unit = {
-    val fs = hadoopFs(dstPath)
-    val now = System.currentTimeMillis()
-    val retired = retiredDirs.toSet
-    val next = ChunkManifest.State(
-      gen = gen,
-      live = st.live.filterNot(r => retired.contains(r.dir)) ++ newRefs,
-      retired = st.retired ++
-        retiredDirs.map(ChunkManifest.Retired(_, now)))
-    // commit FIRST, physical deletes after: a crash between them
-    // leaves only already-unreferenced dirs for the next sweep to
-    // re-delete (idempotent), never a manifest naming deleted dirs
-    val (planned, expiredDirs) =
-      ChunkManifest.sweepPlan(next, graceMs, now)
-    ChunkManifest.write(fs, dstPath, planned)
-    ChunkManifest.sweepDeletes(fs, dstPath, planned, expiredDirs)
-  }
+      retiredDirs: Seq[String], graceMs: Long): Unit =
+    ChunkManifest.commitMutation(hadoopFs(dstPath), dstPath, st, gen,
+      newRefs, retiredDirs, graceMs): Unit
 
   /** Post-pass of copyMeasurement (driver-sequential, so it cannot race
     * with the parallel chunk writes): every pre-existing partition that a
