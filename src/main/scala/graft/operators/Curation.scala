@@ -120,6 +120,10 @@ object Curation {
     * double aggregates). */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
       vocabBounded: Boolean = true): DataFrame = {
+    // NOT fanned out (unlike bigramLogProb): the unigram kernel is a
+    // bare split — measured 0.32 s single-task vs 0.74 s with the
+    // round-robin exchange added (the exchange cost exceeds the
+    // kernel's; r21 A/B)
     val w = df.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("w"))
     val counts = w.groupBy(col("w")).agg(count(lit(1)).as("n"))
@@ -159,9 +163,13 @@ object Curation {
     require(lambda >= 0 && lambda <= 1, s"need 0 <= lambda <= 1, got $lambda")
     def hint(v: DataFrame): DataFrame =
       if (vocabBounded) broadcast(v) else v
-    val bg = df.select(col(idCol).as("id"),
+    // fan the shingle/tokenize kernels out across cores on
+    // under-partitioned input (single-row-group bench files; no-op at
+    // scale) — both passes share the one exchange (AQE reuse)
+    val src = graft.sources.Tables.fanOutForKernel(df)
+    val bg = src.select(col(idCol).as("id"),
       explode(Dedup.shingles(col(textCol), 2)).as("b"))
-    val uniCounts = df.select(
+    val uniCounts = src.select(
         explode(split(col(textCol), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val uni = uniCounts.crossJoin(broadcast(

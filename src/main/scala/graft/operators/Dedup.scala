@@ -100,7 +100,12 @@ object Dedup {
     // and the whole signature is computed TWICE per row (observed in
     // the executed plan; ~2× the dominant cost). Null texts fail the
     // predicate (size(null) = -1).
-    df.filter(size(split(col(textCol), " ")) >= shingleLen)
+    // fan the signature kernel out across cores when the scan gave
+    // fewer partitions than the session can run (single-row-group
+    // bench files → ONE task otherwise; no-op at scale) — the
+    // exchange moves (id, text) before signatures exist
+    graft.sources.Tables.fanOutForKernel(
+      df.filter(size(split(col(textCol), " ")) >= shingleLen))
       .select(col(idCol).as("id"),
         MinHash.minhashSig(col(textCol), numHashes, shingleLen).as("sig"))
 
@@ -169,8 +174,8 @@ object Dedup {
     * codegen'd two-pointer merge) beats the exploded co-shingle join. */
   private def candidateSharedCounts(df: DataFrame, idCol: String,
       textCol: String, shingleLen: Int, c: DataFrame): DataFrame = {
-    val arr = df
-      .filter(size(split(col(textCol), " ")) >= shingleLen)
+    val arr = graft.sources.Tables.fanOutForKernel(df
+      .filter(size(split(col(textCol), " ")) >= shingleLen))
       .select(col(idCol).as("id"),
         MinHash.sortedShingleSetCol(col(textCol), shingleLen).as("arr"))
     c.dropDuplicates("id_a", "id_b")
@@ -237,9 +242,10 @@ object Dedup {
         withJaccard(
           candidateSharedCounts(df, idCol, textCol, shingleLen, c))
       case None =>
-        val docSh = df.select(col(idCol).as("id"),
-          explode(array_distinct(shingles(col(textCol), shingleLen)))
-            .as("sh"))
+        val docSh = graft.sources.Tables.fanOutForKernel(df)
+          .select(col(idCol).as("id"),
+            explode(array_distinct(shingles(col(textCol), shingleLen)))
+              .as("sh"))
         val sizes = docSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
         val a = docSh.select(col("id").as("id_a"), col("sh"))
         val b = docSh.select(col("id").as("id_b"), col("sh"))
@@ -262,7 +268,10 @@ object Dedup {
     * no shuffle at all (the old formulation shuffled |words| rows into a
     * 60-vote aggregate). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.filter(col(textCol).isNotNull) // exploded form dropped null texts
+    // fan the one-pass kernel out across cores on under-partitioned
+    // input (single-row-group bench files; no-op at scale)
+    graft.sources.Tables.fanOutForKernel(
+      df.filter(col(textCol).isNotNull)) // exploded form dropped nulls
       .select(col(idCol).as("id"),
         MinHash.simhashCol(col(textCol)).as("simhash"))
 

@@ -160,6 +160,11 @@ object Multimodal {
     } catch { case NonFatal(_) => None }
   }
 
+  // NOT marked non-deterministic (unlike the pixel/PCM codecs below):
+  // header-only decode is cheap and the ND barrier blocks other
+  // filters from reordering past it — measured 0.47 s → 2.6 s on
+  // mm_image_meta when marked (r21 A/B); guide §4.4 says expensive
+  // UDFs only, not blanket
   private val sniffImageUdf =
     udf { bytes: Array[Byte] => readImageHeader(bytes) }
 
@@ -202,7 +207,7 @@ object Multimodal {
         Some(hash)
       }
     } catch { case NonFatal(_) => None }
-  }
+  }.asNondeterministic() /* §4.4: stop the optimizer substituting this codec into pushed filters (it was computed twice, below the fan-out exchange) */
 
   /** Perceptual-hash projection over an asset table: (asset_id,
     * phash), null phash for undecodable payloads. Partition-parallel
@@ -262,7 +267,7 @@ object Multimodal {
     val bos = new ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
-  }
+  }.asNondeterministic() /* §4.4: stop the optimizer substituting this codec into pushed filters (it was computed twice, below the fan-out exchange) */
 
   /** Synthesize real PNG assets (one per input row) with the given
     * per-row dimensions: the planted-fixture generator for the real
@@ -270,7 +275,10 @@ object Multimodal {
   def synthPngAssets(df: DataFrame, idCol: String, widthCol: Column,
       heightCol: Column): DataFrame = {
     val id = col(idCol).cast(LongType)
-    df.select(
+    // fan the PNG-encode kernel out across cores on under-partitioned
+    // input (single-row-group bench files → ONE task otherwise; no-op
+    // at scale) — the exchange moves (id, dims) BEFORE payloads exist
+    graft.sources.Tables.fanOutForKernel(df).select(
       coalesce(id, xxhash64(col(idCol)).bitwiseAND(lit(Long.MaxValue)))
         .as("asset_id"),
       lit("image").as("media_type"),
@@ -378,7 +386,7 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
-  }
+  }.asNondeterministic() /* §4.4: stop the optimizer substituting this codec into pushed filters (it was computed twice, below the fan-out exchange) */
 
   /** Synthesize real WAV assets (one per input row) with the given
     * per-row frame counts — the audio twin of [[synthPngAssets]].
@@ -387,7 +395,9 @@ object Multimodal {
       framesCol: Column): DataFrame = {
     val id = col(idCol).cast(LongType)
     val frames = framesCol.cast(IntegerType)
-    df.select(
+    // same fan-out as synthPngAssets: PCM synthesis is the kernel,
+    // payloads are created above the exchange and never shuffle
+    graft.sources.Tables.fanOutForKernel(df).select(
       coalesce(id, xxhash64(col(idCol)).bitwiseAND(lit(Long.MaxValue)))
         .as("asset_id"),
       lit("audio").as("media_type"),
@@ -437,7 +447,7 @@ object Multimodal {
           Some((fmt.getSampleRate.toLong, n.toLong, sum, energy, peak))
         }
       } catch { case NonFatal(_) => None }
-    }
+    }.asNondeterministic() /* §4.4: stop the optimizer substituting this codec into pushed filters (it was computed twice, below the fan-out exchange) */
     assets
       .select(col("asset_id"), statsUdf(col("payload")).as("st"))
       .filter(col("st").isNotNull)
@@ -492,7 +502,7 @@ object Multimodal {
           }
         }
       } catch { case NonFatal(_) => None }
-    }
+    }.asNondeterministic() /* §4.4: stop the optimizer substituting this codec into pushed filters (it was computed twice, below the fan-out exchange) */
     assets
       .select(col("asset_id"), resampleUdf(col("payload")).as("sm"))
       .filter(col("sm").isNotNull)

@@ -324,10 +324,14 @@ object TextAnalysis {
       minCount: Int, vocabBounded: Boolean = true): DataFrame = {
     def hint(v: DataFrame): DataFrame =
       if (vocabBounded) broadcast(v) else v
-    val uni = df.select(explode(words(col(textCol))).as("w"))
+    // fan the tokenize/shingle kernels out across cores on
+    // under-partitioned input (single-row-group bench files; no-op at
+    // scale) — both passes share the one exchange (AQE reuse)
+    val src = graft.sources.Tables.fanOutForKernel(df)
+    val uni = src.select(explode(words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val totalWords = uni.agg(sum(col("c")).as("w_total"))
-    val bg = df.select(explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
+    val bg = src.select(explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
       .withColumn("wa", split(col("bigram"), " ")(0))

@@ -2126,7 +2126,7 @@ object PipelineQueries {
     // hot-key risk of a dominant bigram is exactly what SkewJoin's
     // salted two-phase agg addresses at 100 TB.
     "text_top_ngrams" -> QueryDef(
-      (s, dir) => docs(s, dir)
+      (s, dir) => Tables.fanOutForKernel(docs(s, dir))
         .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
         .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))
@@ -2212,7 +2212,7 @@ object PipelineQueries {
       // instead of count(DISTINCT)+count in one agg — the single-agg
       // form plans an Expand that doubles every bigram row before a
       // SortAggregate (the stats_column_profile lesson)
-      (s, dir) => docs(s, dir)
+      (s, dir) => Tables.fanOutForKernel(docs(s, dir))
         .select(col("source"),
           explode(Dedup.shingles(col("text"), 2)).as("g"))
         .groupBy(col("source"), col("g"))

@@ -145,6 +145,29 @@ object Tables {
     }
   }
 
+  /** Fan a compute-heavy narrow stage out to the session's cores when
+    * the upstream produced fewer partitions than the session can run
+    * (optimization guide §2.5, the unsplittable-input case: the bench
+    * SFs are single-row-group parquet files, so every scan is ONE
+    * task and any per-row kernel above it — image/audio synthesis and
+    * decode, shingling, MinHash — would run single-threaded while 31
+    * cores idle; measured 2.5 s single-task stages at sf0.1).
+    * Decided at PLAN time from the physical partition count: at scale
+    * the scan already yields >= parallelism splits and NO exchange is
+    * added, so this cannot pessimize a real deployment. When it
+    * fires, the round-robin exchange moves only the kernel's INPUT
+    * columns — call it before payload synthesis / fingerprinting and
+    * after source filters (which stay pushed at the scan, below the
+    * exchange). Row-to-partition assignment is deterministic under
+    * retries (sort-before-repartition, the Spark default); callers
+    * must be order-insensitive downstream (aggregates/joins/maps —
+    * every use here), never first()-without-order. */
+  def fanOutForKernel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.min(target, 16)) df
+    else df.repartition(target)
+  }
+
   /** Read `<dir>/<name>.parquet`. Any timestamp-typed `ts` column is
     * normalized to the authoritative Long ns epoch, with the raw
     * physical column kept as `ts_raw` so [[timeRange]] predicates still
