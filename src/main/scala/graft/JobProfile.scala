@@ -28,7 +28,9 @@ object JobProfile {
           : Unit = {
         val desc = Option(js.properties)
           .flatMap(p => Option(p.getProperty(
-            "spark.job.description"))).getOrElse("")
+            "spark.job.description")))
+          .orElse(js.stageInfos.lastOption.map(_.name))
+          .getOrElse("")
         jobs.put(js.jobId,
           (js.time, desc.take(120),
             js.stageInfos.map(_.numTasks).sum)): Unit

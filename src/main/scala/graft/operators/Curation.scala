@@ -121,9 +121,9 @@ object Curation {
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
       vocabBounded: Boolean = true): DataFrame = {
     // NOT fanned out (unlike bigramLogProb): the unigram kernel is a
-    // bare split — measured 0.32 s single-task vs 0.74 s with the
-    // round-robin exchange added (the exchange cost exceeds the
-    // kernel's; r21 A/B)
+    // bare split with the corpus rows consumed twice (count + join) —
+    // the round-robin exchange costs more than the kernel (r21 A/B:
+    // the fanned form measured ~2× slower same-session)
     val w = df.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("w"))
     val counts = w.groupBy(col("w")).agg(count(lit(1)).as("n"))

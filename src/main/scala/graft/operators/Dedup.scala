@@ -100,12 +100,15 @@ object Dedup {
     // and the whole signature is computed TWICE per row (observed in
     // the executed plan; ~2× the dominant cost). Null texts fail the
     // predicate (size(null) = -1).
-    // fan the signature kernel out across cores when the scan gave
-    // fewer partitions than the session can run (single-row-group
-    // bench files → ONE task otherwise; no-op at scale) — the
-    // exchange moves (id, text) before signatures exist
-    graft.sources.Tables.fanOutForKernel(
-      df.filter(size(split(col(textCol), " ")) >= shingleLen))
+    // NOT fanned out (r21): MinHashSig is a fused one-pass kernel
+    // with no row explosion (~0.15 s single-task over the whole bench
+    // corpus), the dedup chains consume the sig subtree several
+    // times (each reference would re-pay the exchange), and the
+    // index-ingest path writes sigs to hot batch dirs whose file
+    // count must stay bounded. The heavy EXPLODING kernels (shingle
+    // explodes, media codecs) are the ones that fan out
+    // (Tables.fanOutForKernel).
+    df.filter(size(split(col(textCol), " ")) >= shingleLen)
       .select(col(idCol).as("id"),
         MinHash.minhashSig(col(textCol), numHashes, shingleLen).as("sig"))
 
@@ -174,8 +177,10 @@ object Dedup {
     * codegen'd two-pointer merge) beats the exploded co-shingle join. */
   private def candidateSharedCounts(df: DataFrame, idCol: String,
       textCol: String, shingleLen: Int, c: DataFrame): DataFrame = {
-    val arr = graft.sources.Tables.fanOutForKernel(df
-      .filter(size(split(col(textCol), " ")) >= shingleLen))
+    // NOT fanned out — same A/B rationale as [[minhashSignatures]]:
+    // fused one-pass set builder, consumed by two joins
+    val arr = df
+      .filter(size(split(col(textCol), " ")) >= shingleLen)
       .select(col(idCol).as("id"),
         MinHash.sortedShingleSetCol(col(textCol), shingleLen).as("arr"))
     c.dropDuplicates("id_a", "id_b")
@@ -268,10 +273,9 @@ object Dedup {
     * no shuffle at all (the old formulation shuffled |words| rows into a
     * 60-vote aggregate). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    // fan the one-pass kernel out across cores on under-partitioned
-    // input (single-row-group bench files; no-op at scale)
-    graft.sources.Tables.fanOutForKernel(
-      df.filter(col(textCol).isNotNull)) // exploded form dropped nulls
+    // NOT fanned out — same A/B rationale as [[minhashSignatures]]:
+    // fused one-pass kernel, no row explosion
+    df.filter(col(textCol).isNotNull) // exploded form dropped nulls
       .select(col(idCol).as("id"),
         MinHash.simhashCol(col(textCol)).as("simhash"))
 

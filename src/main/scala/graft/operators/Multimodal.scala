@@ -162,9 +162,9 @@ object Multimodal {
 
   // NOT marked non-deterministic (unlike the pixel/PCM codecs below):
   // header-only decode is cheap and the ND barrier blocks other
-  // filters from reordering past it — measured 0.47 s → 2.6 s on
-  // mm_image_meta when marked (r21 A/B); guide §4.4 says expensive
-  // UDFs only, not blanket
+  // filters from reordering past it — mm_image_meta measured ~2×
+  // slower same-session when marked (r21 A/B); the guide's rule is
+  // expensive UDFs only, not blanket
   private val sniffImageUdf =
     udf { bytes: Array[Byte] => readImageHeader(bytes) }
 

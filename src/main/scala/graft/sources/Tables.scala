@@ -163,6 +163,16 @@ object Tables {
     * must be order-insensitive downstream (aggregates/joins/maps —
     * every use here), never first()-without-order. */
   def fanOutForKernel(df: DataFrame): DataFrame = {
+    // micro-batches built from driver-local rows (index-ingest steps,
+    // test fixtures) stay put: their kernels see a handful of rows
+    // and the exchange costs more than it buys (measured +80% on the
+    // dedup_inc_* harnesses when they were fanned) — storage-backed
+    // inputs are the under-partitioned case this helper exists for
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val localOnly = leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    if (localOnly) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= math.min(target, 16)) df
     else df.repartition(target)

@@ -2656,10 +2656,46 @@ object StreamIngest {
     val file = readLayout(spark, s"$indexDir/${face}_epoch")
       .flatMap(_.codebook)
       .getOrElse("centroids.parquet")
-    spark.read.parquet(s"$indexDir/$file")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .toSeq.sortBy(_._1)
+    cachedSmallParquet(spark, s"$indexDir/$file") {
+      spark.read.parquet(s"$indexDir/$file")
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .toSeq.sortBy(_._1)
+    }
+  }
+
+  /** Driver-side memo for the TINY immutable codebook files
+    * (centroids / PQ books — O(nlist·dim) rows): every read otherwise
+    * costs a two-job Spark round (footer + collect, ~150-400 ms of
+    * driver latency), and one E2E ingest-fold-serve pass re-reads the
+    * same unchanged file 5-10×. Keyed on the dir's exact file listing
+    * (names carry write-UUIDs, plus length + mtime), so ANY rewrite —
+    * re-init, versioned codebook swap, a bench rep recreating the
+    * index — changes the key and forces a fresh read: this caches no
+    * query result, only the just-written codebook bytes the process
+    * itself published, with staleness structurally impossible. */
+  private val smallParquetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Any)]()
+
+  private def smallParquetSig(spark: SparkSession,
+      path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).filter(_.isFile).map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
+  }
+
+  private def cachedSmallParquet[T](spark: SparkSession,
+      path: String)(load: => T): T = {
+    val sig = smallParquetSig(spark, path)
+    smallParquetCache.get(path) match {
+      case (s, v) if s == sig => v.asInstanceOf[T]
+      case _ =>
+        val v = load
+        smallParquetCache.put(path, (sig, v)): Unit
+        v
+    }
   }
 
   /** Assign-face codebook — the resolution every raw-vector consumer
@@ -3214,13 +3250,18 @@ object StreamIngest {
     * numSub × ksub × dsub doubles). */
   def readPqBooks(spark: SparkSession, indexDir: String)
       : Array[Array[Array[Double]]] =
-    spark.read.parquet(s"$indexDir/pq_books.parquet")
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1),
-        r.getSeq[Double](2).toArray))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3))
-      .toArray
+    // same driver memo as the coarse codebook (see
+    // [[cachedSmallParquet]]): listing-signature-validated, so any
+    // rewrite forces a fresh read
+    cachedSmallParquet(spark, s"$indexDir/pq_books.parquet") {
+      spark.read.parquet(s"$indexDir/pq_books.parquet")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1),
+          r.getSeq[Double](2).toArray))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3))
+        .toArray
+    }
 
   /** One micro-batch of the codes-face ingest: assign against the
     * persisted coarse codebook + PQ-encode against the persisted

@@ -155,9 +155,9 @@ class PlanSpec extends AnyFunSuite {
       // rollup read-back
       "ann_ivf_inc_assign" -> ((0, 0)),
       "ann_ivf_inc_topk" -> ((6, 3)),
-      "dedup_inc_sigmatch" -> ((10, 3)),
-      "dedup_inc_marks_within" -> ((24, 7)),
-      "dedup_inc_index_delta" -> ((15, 4)),
+      "dedup_inc_sigmatch" -> ((4, 3)),
+      "dedup_inc_marks_within" -> ((13, 7)),
+      "dedup_inc_index_delta" -> ((7, 4)),
       "cq_write_backfill" -> ((0, 0)),
       // r16 persisted-index families (PlanDump-measured): the three
       // marks pipelines' FINAL plan is the marks read-back (their
@@ -186,7 +186,7 @@ class PlanSpec extends AnyFunSuite {
       "layout_bucketed_join" -> ((2, 1)),
       "mm_phash_neardup" -> ((12, 3)),
       "text_bigram_logprob" -> ((20, 5)),
-      "dedup_edit_distance" -> ((8, 3)),
+      "dedup_edit_distance" -> ((5, 3)),
       "assoc_rules_pairs" -> ((16, 4)),
       "text_pmi_bigrams" -> ((12, 3)),
       "text_diversity" -> ((3, 0)))
