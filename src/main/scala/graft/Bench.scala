@@ -134,7 +134,26 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val warmFailedJson =
       warmFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_warm":$qw,"total_warm":$totalWarm,"reps":$reps,"failed":$failedJson,"warm_failed":$warmFailedJson,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_warm":$qw,"total_warm":$totalWarm,"reps":$reps,"failed":$failedJson,"warm_failed":$warmFailedJson,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The full per-query line above is ~22 KB for the 356-query
+    // registry; a log consumer that keeps only a tail (the driver
+    // keeps 2000 chars) loses its start and cannot parse it — which
+    // left every round's per-query PERF table empty (r21 verdict,
+    // next-round item 2). Additions only: the full line keeps its
+    // historical place, is ALSO persisted to a fixed path, and a
+    // compact (<500 char) summary goes out as the FINAL stdout line
+    // so any tail window contains one complete parseable JSON object.
+    try {
+      val dir = new java.io.File("bench")
+      if (dir.isDirectory) {
+        val w = new java.io.PrintWriter(
+          new java.io.File(dir, "bench_last.json"), "UTF-8")
+        try w.println(fullLine) finally w.close()
+      }
+    } catch { case _: Throwable => () }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"n":${results.size},"reps":$reps,"failed":${failed.size},"warm_failed":${warmFailed.size},"cpus":$cpus,"sf":"$sfDir","queries_file":"bench/bench_last.json"}""")
     spark.stop()
   }
 }

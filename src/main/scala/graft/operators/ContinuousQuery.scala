@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import graft.sources.Tables
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** InfluxDB 1.x continuous-query analog: periodically roll recent raw
@@ -123,45 +123,143 @@ final class ContinuousQuery(spark: SparkSession) {
           val st = ChunkManifest.read(fs, dstPath)
             .getOrElse(ChunkManifest.bootstrap(fs, dstPath))
           val g = st.gen + 1
-          val stage = new Path(s"$dstPath/.cq_stage")
-          fs.delete(stage, true): Unit
-          // ONE job writes every recomputed bucket as its own
-          // generation dir under the dot-staging dir (invisible to
-          // every listing reader until the renames below)
-          rolled.drop("__cq_max_ts")
-            .withColumn("__bucket", concat(
-              col("__cq_bucket").cast("string"), lit("_"),
-              (col("__cq_bucket") + bucketNs).cast("string"),
-              lit(s"_g$g")))
-            .drop("__cq_bucket")
-            .write.mode("overwrite").partitionBy("__bucket")
-            .parquet(stage.toString)
-          // promote each staged generation dir (atomic renames — a
-          // crash strands gen-named orphans the next commit's sweep
-          // removes), then ONE manifest commit swaps readers from
-          // the replaced generations to the new ones
-          val newRefs = fs.listStatus(stage).toSeq
-            .filter(s => s.isDirectory &&
-              s.getPath.getName.startsWith("__bucket="))
-            .flatMap { s =>
-              val n = s.getPath.getName
-              ChunkManifest.spanOf(n).map { case (bs, be) =>
-                require(fs.rename(s.getPath, new Path(s"$dstPath/$n")),
-                  s"cq refresh: cannot promote ${s.getPath}")
-                ChunkManifest.ChunkRef(n, bs, be)
+          // UNCHANGED-bucket short-circuit (r22, guide §1.2 "don't
+          // compute things you throw away"): a steady-state refresh
+          // recomputes every bucket in the lookback window, but only
+          // buckets with NEW raw rows produce different content — the
+          // rest would be rewritten byte-equivalent and their old
+          // generations retired for nothing (at 100 TB: an O(buckets)
+          // write + rename + retire churn per refresh). Compare each
+          // recomputed bucket against its live generation by row
+          // count + order-insensitive content hash over the exact
+          // output columns; buckets that PROVABLY match keep their
+          // live generation (readers see identical rows either way).
+          // A hash mismatch merely rewrites — never wrong, only
+          // unsaved; a match (same count, same xxhash64-XOR) is
+          // content identity modulo collision.
+          val outCols = seriesCols :+ "n_points" :+ "sum_value" :+
+            "min_value" :+ "max_value"
+          def bucketSums(df: DataFrame, bucket: Column)
+              : Map[Long, (Long, Long)] =
+            df.groupBy(bucket.as("__b"))
+              .agg(count(lit(1)).as("c"),
+                coalesce(expr("bit_xor(__h)"), lit(0L)).as("h"))
+              .collect()
+              .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+              .toMap
+          val rolledHashed = rolled.withColumn("__h",
+            xxhash64(outCols.map(col): _*))
+          val liveBySpan = st.live.groupBy(r => (r.startNs, r.endNs))
+          val unchanged: Set[Long] =
+            if (st.live.isEmpty) Set.empty
+            else {
+              val recomputed = bucketSums(rolledHashed,
+                col("__cq_bucket"))
+              // live generations covering exactly the recomputed
+              // spans (a span with duplicate live refs — impossible
+              // by commit construction — is conservatively rewritten)
+              val matchRefs = recomputed.keySet.toSeq.sorted.flatMap {
+                b => liveBySpan.get((b, b + bucketNs))
+                  .collect { case Seq(one) => one }
+              }
+              if (matchRefs.isEmpty) Set.empty
+              else {
+                val existing = ChunkManifest.snapshotFrame(spark,
+                  dstPath, matchRefs)
+                val existingSums = bucketSums(
+                  existing.withColumn("__h",
+                    xxhash64(outCols.map(col): _*)),
+                  split(col("__bucket"), "_").getItem(0).cast("long"))
+                recomputed.keySet.filter(b =>
+                  existingSums.get(b).contains(recomputed(b)))
               }
             }
-          fs.delete(stage, true): Unit
-          val spans = newRefs.map(r => (r.startNs, r.endNs)).toSet
-          val replaced = st.live
-            .filter(r => spans.contains((r.startNs, r.endNs)))
-          ChunkManifest.commitMutation(fs, dstPath, st, g, newRefs,
-            replaced.map(_.dir), graceMs): Unit
+          val changed = rolledHashed.drop("__h")
+            .filter(if (unchanged.isEmpty) lit(true)
+              else !col("__cq_bucket")
+                .isin(unchanged.toSeq.sorted: _*))
+          val anyChanged = stats.getLong(1) > unchanged.size
+          if (anyChanged) {
+            val stage = new Path(s"$dstPath/.cq_stage")
+            fs.delete(stage, true): Unit
+            // ONE job writes every CHANGED bucket as its own
+            // generation dir under the dot-staging dir (invisible to
+            // every listing reader until the renames below)
+            changed.drop("__cq_max_ts")
+              .withColumn("__bucket", concat(
+                col("__cq_bucket").cast("string"), lit("_"),
+                (col("__cq_bucket") + bucketNs).cast("string"),
+                lit(s"_g$g")))
+              .drop("__cq_bucket")
+              .write.mode("overwrite").partitionBy("__bucket")
+              .parquet(stage.toString)
+            // promote each staged generation dir (atomic renames — a
+            // crash strands gen-named orphans the next commit's sweep
+            // removes), then ONE manifest commit swaps readers from
+            // the replaced generations to the new ones. Renames run
+            // over a bounded pool (r22): they are independent
+            // metadata ops on distinct names, and a backfill's
+            // O(buckets) driver-sequential rename loop is pure
+            // latency stacking on a remote FS.
+            val staged = fs.listStatus(stage).toSeq
+              .filter(s => s.isDirectory &&
+                s.getPath.getName.startsWith("__bucket="))
+            val newRefs = inPool(math.min(8, staged.size), staged) {
+              s =>
+                val n = s.getPath.getName
+                ChunkManifest.spanOf(n).map { case (bs, be) =>
+                  // a crash AFTER some promotes but BEFORE
+                  // commitMutation leaves gen-named orphans at exactly
+                  // these targets (g never advanced, the retry
+                  // recomputes the same g) — and the commit-time sweep
+                  // runs AFTER these renames, so it cannot clean them
+                  // first. g > st.gen guarantees an existing target is
+                  // such an uncommitted orphan no reader references:
+                  // drop it, or the rename nests/fails and every
+                  // subsequent refresh wedges (r21 adviser).
+                  val dst = new Path(s"$dstPath/$n")
+                  if (fs.exists(dst)) fs.delete(dst, true): Unit
+                  require(fs.rename(s.getPath, dst),
+                    s"cq refresh: cannot promote ${s.getPath}")
+                  ChunkManifest.ChunkRef(n, bs, be)
+                }
+            }.flatten
+            fs.delete(stage, true): Unit
+            val spans = newRefs.map(r => (r.startNs, r.endNs)).toSet
+            val replaced = st.live
+              .filter(r => spans.contains((r.startNs, r.endNs)))
+            ChunkManifest.commitMutation(fs, dstPath, st, g, newRefs,
+              replaced.map(_.dir), graceMs): Unit
+          }
         }
       }
       writeWatermark(dstPath, newWatermark)
       (stats.getLong(1), newWatermark)
     } finally rolled.unpersist(): Unit
+  }
+
+  /** Bounded-pool map over independent FS operations (the CopyJob
+    * worker-pool discipline): used for the promote renames, which
+    * touch distinct names and stack pure metadata latency when run
+    * driver-sequentially on a remote FS. */
+  private def inPool[A, B](workers: Int, items: Seq[A])(f: A => B)
+      : Seq[B] = {
+    if (items.size <= 1 || workers <= 1) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(workers, items.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = items.map { a =>
+        new java.util.concurrent.Callable[B] { def call(): B = f(a) }
+      }
+      pool.invokeAll(tasks.asJava).asScala.map { fut =>
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }.toSeq
+    } finally pool.shutdown()
   }
 
   /** One-time adoption of a pre-r21 rollup layout: every legacy

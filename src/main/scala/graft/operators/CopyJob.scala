@@ -392,14 +392,25 @@ final class CopyJob(
     ChunkManifest.commitMutation(hadoopFs(dstPath), dstPath, st, gen,
       newRefs, retiredDirs, graceMs): Unit
 
-  /** Post-pass of copyMeasurement (driver-sequential, so it cannot race
-    * with the parallel chunk writes): every pre-existing partition that a
-    * newly-written span overlaps — but is not identical to — is rewritten
-    * keeping only rows outside all written spans (deleted if none
-    * remain). Runs only over `written` = spans whose copy SUCCEEDED, so a
-    * failed chunk never causes data loss in old partitions. Bounded work:
-    * only partitions at the window boundary or of a different chunk
-    * granularity qualify, and each is at most one chunk of rows. */
+  /** Post-pass of copyMeasurement (runs AFTER the parallel chunk
+    * writes complete, so it cannot race them): every pre-existing
+    * partition that a newly-written span overlaps — but is not
+    * identical to — is rewritten keeping only rows outside all written
+    * spans (deleted if none remain; left byte-identical when every row
+    * already lies outside — a rewrite would replace identical
+    * content). Runs only over `written` = spans whose copy SUCCEEDED,
+    * so a failed chunk never causes data loss in old partitions.
+    * Bounded work: only partitions at the window boundary or of a
+    * different chunk granularity qualify, and each is at most one
+    * chunk of rows.
+    *
+    * Scale shape (r22, guide §2.4/§2.6 — the deleteWhere treatment):
+    * ONE classification job counts (remaining, total) rows per
+    * qualifying dir via `input_file_name`; rewrites run over the
+    * bounded worker pool (disjoint dirs). Was: a driver-SEQUENTIAL
+    * isEmpty probe + rewrite per partition — a pathological
+    * all-overlapping re-copy serialized O(partitions) two-job
+    * rounds. */
   private def trimOverlappingStalePartitions(
       dstPath: String,
       preexisting: Seq[(Long, Long)],
@@ -407,29 +418,52 @@ final class CopyJob(
       cfg: Config): Unit = {
     if (written.isEmpty) return
     val writtenSet = written.toSet
-    val conf = spark.sessionState.newHadoopConf()
-    preexisting.foreach { case (ps, pe) =>
-      val overlaps = written.exists { case (ws, we) => ws < pe && ps < we }
-      if (!writtenSet.contains((ps, pe)) && overlaps) {
-        val partDir = new Path(s"$dstPath/__bucket=${ps}_$pe")
-        val fs = partDir.getFileSystem(conf)
-        if (fs.exists(partDir)) { // may be gone via contained-drop already
-          Tables.ensureNsConf(spark)
-          val part = spark.read.parquet(partDir.toString)
-          val outside = written.map { case (ws, we) =>
-            if (cfg.strictReferenceBounds)
-              !(Tables.nsAfter(part, cfg.timeCol, ws) &&
-                Tables.nsBefore(part, cfg.timeCol, we))
-            else
-              !(Tables.nsAtLeast(part, cfg.timeCol, ws) &&
-                Tables.nsBefore(part, cfg.timeCol, we))
-          }.reduce(_ && _)
-          val remaining = part.filter(outside)
-          if (remaining.isEmpty) fs.delete(partDir, true): Unit
-          else swapPartitionContents(dstPath, ps, pe, remaining, "trim")
-        }
-      }
+    val fs = hadoopFs(dstPath)
+    val qualifying = preexisting.filter { case (ps, pe) =>
+      !writtenSet.contains((ps, pe)) &&
+        written.exists { case (ws, we) => ws < pe && ps < we } &&
+        // may be gone via contained-drop already
+        fs.exists(new Path(s"$dstPath/__bucket=${ps}_$pe"))
     }
+    if (qualifying.isEmpty) return
+    Tables.ensureNsConf(spark)
+    def outsideOf(part: DataFrame): Column =
+      written.map { case (ws, we) =>
+        if (cfg.strictReferenceBounds)
+          !(Tables.nsAfter(part, cfg.timeCol, ws) &&
+            Tables.nsBefore(part, cfg.timeCol, we))
+        else
+          !(Tables.nsAtLeast(part, cfg.timeCol, ws) &&
+            Tables.nsBefore(part, cfg.timeCol, we))
+      }.reduce(_ && _)
+    val all = spark.read.parquet(qualifying.map { case (ps, pe) =>
+      s"$dstPath/__bucket=${ps}_$pe" }: _*)
+    val counts = all
+      .groupBy(element_at(split(input_file_name(), "/"), -2)
+        .as("__dir"))
+      .agg(sum(when(outsideOf(all), 1L).otherwise(0L)).as("r"),
+        count(lit(1)).as("t"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // a dir absent from the counts held zero rows — nothing remains
+    def cls(ps: Long, pe: Long): (Long, Long) =
+      counts.getOrElse(s"__bucket=${ps}_$pe", (0L, 0L))
+    val toDelete = qualifying.filter { case (ps, pe) =>
+      cls(ps, pe)._1 == 0L
+    }
+    val toRewrite = qualifying.filter { case (ps, pe) =>
+      val (r, t) = cls(ps, pe); r > 0L && r < t
+    }
+    toDelete.foreach { case (ps, pe) =>
+      fs.delete(new Path(s"$dstPath/__bucket=${ps}_$pe"), true): Unit
+    }
+    inParallel(cfg.numWorkers, toRewrite) { case (ps, pe) =>
+      Tables.ensureNsConf(spark)
+      val part = spark.read.parquet(s"$dstPath/__bucket=${ps}_$pe")
+      swapPartitionContents(dstPath, ps, pe,
+        part.filter(outsideOf(part)), "trim")
+    }: Unit
   }
 
   /** Crash-safe partition rewrite: write tmp, move current aside,

@@ -183,7 +183,17 @@ object Multimodal {
     * (simhashHammingPairs operates on any Long fingerprint). */
   private val phashUdf = udf { bytes: Array[Byte] =>
     try {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      // memory-backed stream, like the header sniffer above:
+      // ImageIO.read(InputStream) defaults to a DISK-cached wrapper
+      // (useCache=true → one temp file created+deleted per row on
+      // executor local disk). Decoded payloads here are row-sized;
+      // the temp-file churn is pure overhead and contends with
+      // co-resident writers under load (r22 item-1 adjudication: the
+      // mm rows inflated 3-4× only in full-suite context — shared
+      // /tmp churn — while isolated runs stayed flat)
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(bytes)))
       if (img == null) None
       else {
         val w = img.getWidth
@@ -265,7 +275,15 @@ object Multimodal {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // memory-backed output stream: ImageIO.write(img, fmt,
+    // OutputStream) defaults to a DISK-cached wrapper (useCache=true
+    // → one temp file created+deleted per encode on executor local
+    // disk) — pure overhead for row-sized payloads, and the churn
+    // contends with co-resident writers under load (see phashUdf)
+    val ios =
+      new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios)
+    finally ios.close()
     bos.toByteArray
   }.asNondeterministic() /* §4.4: stop the optimizer substituting this codec into pushed filters (it was computed twice, below the fan-out exchange) */
 

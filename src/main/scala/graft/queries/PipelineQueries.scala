@@ -30,6 +30,21 @@ object PipelineQueries {
   final val ContainmentThreshold = 0.6
   final val MinhashK = 8
   final val ShingleLen = 3
+  /** LSH band count for the whole minhash chain (collision
+    * p = s^(MinhashK/bands) per band). THE documented production
+    * lever for output-sensitive candidate growth on densifying
+    * corpora (SURVEY r12 third wave; bench/sf1_probe.json notes on
+    * dedup_edit_distance / decontaminate_fuzzy): fewer bands = more
+    * rows per band = superlinearly fewer spurious band collisions.
+    * Env `SPARK_GRAFT_LSH_BANDS` (must divide MinhashK), default 4 —
+    * the declared-query contract is the default; the oracle SQL
+    * ([[BandCte]]) interpolates the SAME value, so a densified
+    * setting stays oracle-exact end to end. */
+  final val LshBands: Int =
+    sys.env.get("SPARK_GRAFT_LSH_BANDS").flatMap(_.toIntOption)
+      .filter(b => b >= 1 && b <= MinhashK && MinhashK % b == 0)
+      .getOrElse(4)
+  private val LshRowsPerBand: Int = MinhashK / LshBands
 
   /** The deterministic garbage planted beside the JSONL export by
     * `source_jsonl_quarantine` — every line is SYNTAX-invalid JSON
@@ -335,10 +350,10 @@ object PipelineQueries {
   // LSH band hashes + candidate pairs — shared by lsh_pairs / jaccard /
   // clusters so the band-hash definition lives in ONE place
   private val BandCte =
-    s"""band AS (SELECT id, seed//2 AS band,
+    s"""band AS (SELECT id, seed//$LshRowsPerBand AS band,
         md5(string_agg(seed::VARCHAR||'|'||minhash::VARCHAR, ','
           ORDER BY seed::VARCHAR||'|'||minhash::VARCHAR)) AS band_hash
-        FROM sig GROUP BY id, seed//2)"""
+        FROM sig GROUP BY id, seed//$LshRowsPerBand)"""
   private val CandCte =
     """cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM band a
         JOIN band b ON a.band=b.band AND a.band_hash=b.band_hash
@@ -354,7 +369,7 @@ object PipelineQueries {
     val sig = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text",
       MinhashK, ShingleLen)
     val pairs =
-      Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+      Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, LshBands, MinhashK))
     pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
   }
@@ -477,7 +492,7 @@ object PipelineQueries {
       (s, dir) => {
         val sig = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text",
           MinhashK, ShingleLen)
-        Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+        Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, LshBands, MinhashK))
       },
       Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte, $CandCte
         SELECT id_a, id_b FROM cand""".replaceAll("\\s+", " "))),
@@ -497,7 +512,7 @@ object PipelineQueries {
         val sig = Dedup.minhashSignatures(d, "doc_id", "text",
           MinhashK, ShingleLen)
         val cand =
-          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, LshBands, MinhashK))
         cand
           .join(d.select(col("doc_id").as("id_a"),
             col("text").as("t_a")), "id_a")
@@ -696,7 +711,7 @@ object PipelineQueries {
         val sig = Dedup.minhashSignatures(d, "doc_id", "text",
           MinhashK, ShingleLen)
         val cand =
-          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, LshBands, MinhashK))
         Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
           JaccardThreshold, candidates = Some(cand))
       },
@@ -727,7 +742,7 @@ object PipelineQueries {
         val sig = Dedup.minhashSignatures(d, "doc_id", "text",
           MinhashK, ShingleLen)
         val cand =
-          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, LshBands, MinhashK))
         val confirmed = Dedup.ngramJaccard(d, "doc_id", "text",
           ShingleLen, JaccardThreshold, candidates = Some(cand))
         d.agg(count(lit(1)).as("n_docs"))
@@ -775,7 +790,7 @@ object PipelineQueries {
         val sig = Dedup.minhashSignatures(d, "doc_id", "text",
           MinhashK, ShingleLen)
         val cand =
-          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, LshBands, MinhashK))
         Dedup.ngramContainment(d, "doc_id", "text", ShingleLen,
           ContainmentThreshold, candidates = cand)
       },
@@ -803,7 +818,7 @@ object PipelineQueries {
         val sig = Dedup.minhashSignatures(d, "doc_id", "text",
           MinhashK, ShingleLen)
         val cand =
-          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, LshBands, MinhashK))
         val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
           JaccardThreshold, candidates = Some(cand))
           .select(col("id_a"), col("id_b"))
@@ -838,7 +853,7 @@ object PipelineQueries {
         // build). Checkpointing pins the ~|candidates|-row frame once;
         // every consumer reads materialized blocks.
         val cand =
-          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, LshBands, MinhashK))
             .localCheckpoint(true)
         val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
           JaccardThreshold, candidates = Some(cand))
@@ -910,7 +925,7 @@ object PipelineQueries {
         val sig = Dedup.minhashSignatures(d, "doc_id", "text",
           MinhashK, ShingleLen)
         val cand =
-          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, LshBands, MinhashK))
         val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
           JaccardThreshold, candidates = Some(cand))
           .select(col("id_a"), col("id_b"))
@@ -944,7 +959,7 @@ object PipelineQueries {
         val sig = Dedup.minhashSignatures(d, "doc_id", "text",
           MinhashK, ShingleLen)
         val cand =
-          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, LshBands, MinhashK))
         val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
           JaccardThreshold, candidates = Some(cand))
           .select(col("id_a"), col("id_b"))
@@ -1309,10 +1324,11 @@ object PipelineQueries {
         graft.streaming.StreamIngest.pqBooksInit(s, idx,
           Similarity.trainPqBooks(e, "vec_id", "embedding",
             numSub = 8, ksub = 16))
-        graft.streaming.StreamIngest.ivfIngestBatch(e, "vec_id",
-          "embedding", idx, 0L)
-        graft.streaming.StreamIngest.ivfPqIngestBatch(e, "vec_id",
-          "embedding", idx, 1L)
+        // both faces grown under ONE lock pass, writes overlapped
+        // (r22, guide §2.6) — identical layout to the sequential
+        // ivfIngestBatch + ivfPqIngestBatch calls this replaces
+        graft.streaming.StreamIngest.ivfIngestBothFaces(e, "vec_id",
+          "embedding", idx, 0L, 1L)
         graft.streaming.StreamIngest.compactIvfIndex(s, idx)
         require(graft.streaming.StreamIngest.reclusterIvfIndex(s,
           idx, nlist = 4), "re-cluster did not commit")
@@ -1356,10 +1372,11 @@ object PipelineQueries {
         graft.streaming.StreamIngest.pqBooksInit(s, idx,
           Similarity.trainPqBooks(e, "vec_id", "embedding",
             numSub = 8, ksub = 16))
-        graft.streaming.StreamIngest.ivfIngestBatch(e, "vec_id",
-          "embedding", idx, 0L)
-        graft.streaming.StreamIngest.ivfPqIngestBatch(e, "vec_id",
-          "embedding", idx, 1L)
+        // both faces grown under ONE lock pass, writes overlapped
+        // (r22, guide §2.6) — identical layout to the sequential
+        // ivfIngestBatch + ivfPqIngestBatch calls this replaces
+        graft.streaming.StreamIngest.ivfIngestBothFaces(e, "vec_id",
+          "embedding", idx, 0L, 1L)
         graft.streaming.StreamIngest.compactIvfIndex(s, idx)
         require(graft.streaming.StreamIngest.splitIvfLists(s, idx,
           maxSkew = 1.01), "split repair did not commit")
@@ -2179,7 +2196,7 @@ object PipelineQueries {
         val sig = Dedup.minhashSignatures(d, "doc_id", "text",
           MinhashK, ShingleLen)
         val cand =
-          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, LshBands, MinhashK))
         val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
           JaccardThreshold, candidates = Some(cand))
           .select(col("id_a"), col("id_b"))
@@ -2798,7 +2815,7 @@ object PipelineQueries {
         val sig = Dedup.minhashSignatures(d, "doc_id", "text",
           MinhashK, ShingleLen)
         val cand =
-          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, LshBands, MinhashK))
         val (ba, bb) = (splitBucket(col("id_a")), splitBucket(col("id_b")))
         // cross-split restriction BEFORE the shared-shingle confirm
         // join, not after: only train x test candidates (~16% of all
@@ -2906,7 +2923,7 @@ object PipelineQueries {
         val d = docs(s, dir)
         def bandsOf(part: DataFrame) = Dedup.lshBandsFromSig(
           Dedup.minhashSignatures(part, "doc_id", "text", MinhashK,
-            ShingleLen), 4, MinhashK)
+            ShingleLen), LshBands, MinhashK)
         Dedup.lshCandidatePairsAcross(
           bandsOf(d.filter(splitBucket(col("doc_id")) >= 80)),
           bandsOf(d.filter(splitBucket(col("doc_id")) < 80)))
@@ -2935,8 +2952,8 @@ object PipelineQueries {
         val oldSigs = sigsOf(d.filter(splitBucket(col("doc_id")) < 80))
         Dedup.signatureMatchesAcross(
           Dedup.lshCandidatePairsAcross(
-            Dedup.lshBandsFromSig(newSigs, 4, MinhashK),
-            Dedup.lshBandsFromSig(oldSigs, 4, MinhashK)),
+            Dedup.lshBandsFromSig(newSigs, LshBands, MinhashK),
+            Dedup.lshBandsFromSig(oldSigs, LshBands, MinhashK)),
           newSigs, oldSigs)
       },
       Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
@@ -2966,7 +2983,7 @@ object PipelineQueries {
         val newSigs = sigsOf(d.filter(splitBucket(col("doc_id")) >= 80))
         val oldSigs = sigsOf(d.filter(splitBucket(col("doc_id")) < 80))
         Dedup.lshIndexIngest(newSigs,
-          Dedup.lshBandsFromSig(oldSigs, 4, MinhashK), oldSigs,
+          Dedup.lshBandsFromSig(oldSigs, LshBands, MinhashK), oldSigs,
           4, MinhashK, minMatches = 4)._1
       },
       Some(s"""WITH $WordsCte, $ShingleCte, $SigCte, $BandCte,
@@ -3001,7 +3018,7 @@ object PipelineQueries {
         val newSigs = sigsOf(d.filter(splitBucket(col("doc_id")) >= 80))
         val oldSigs = sigsOf(d.filter(splitBucket(col("doc_id")) < 80))
         Dedup.lshIndexIngest(newSigs,
-          Dedup.lshBandsFromSig(oldSigs, 4, MinhashK), oldSigs,
+          Dedup.lshBandsFromSig(oldSigs, LshBands, MinhashK), oldSigs,
           4, MinhashK, minMatches = 4)._2
           .select(col("id"), col("band").cast("long").as("band"),
             col("band_hash"))
@@ -3039,7 +3056,7 @@ object PipelineQueries {
         val newSigs = sigsOf(d.filter(splitBucket(col("doc_id")) >= 80))
         val oldSigs = sigsOf(d.filter(splitBucket(col("doc_id")) < 80))
         Dedup.lshIndexIngest(newSigs,
-          Dedup.lshBandsFromSig(oldSigs, 4, MinhashK), oldSigs,
+          Dedup.lshBandsFromSig(oldSigs, LshBands, MinhashK), oldSigs,
           4, MinhashK, minMatches = 4, withinBatch = true)._1
       },
       Some(IncMarksWithinSql)),
@@ -3064,18 +3081,24 @@ object PipelineQueries {
           d.filter(splitBucket(col("doc_id")) < 80),
           "doc_id", "text", MinhashK, ShingleLen)
         // seed the index with the existing corpus (no self-dedup on
-        // seed: the oracle's store is ALL old docs' bands)
-        Dedup.lshBandsFromSig(storeSigs, 4, MinhashK)
-          .write.mode("overwrite").parquet(s"$root/idx/bands/batch=0")
+        // seed: the oracle's store is ALL old docs' bands). Sigs land
+        // FIRST and bands derive from the WRITTEN sigs (r22, guide
+        // §1.2): the shingle-explode + minhash kernel — the seed's
+        // dominant cost — runs ONCE, not once per face; the bands
+        // face is a cheap group-by over the tiny persisted sigs
         storeSigs.write.mode("overwrite")
           .parquet(s"$root/idx/sigs/batch=0")
+        Dedup.lshBandsFromSig(
+          s.read.parquet(s"$root/idx/sigs/batch=0"), LshBands,
+          MinhashK)
+          .write.mode("overwrite").parquet(s"$root/idx/bands/batch=0")
         graft.streaming.StreamIngest.compactLshIndex(s, s"$root/idx",
           buckets = 8)
         graft.streaming.StreamIngest.lshIngestBatch(
           d.filter(splitBucket(col("doc_id")) >= 80)
             .select(col("doc_id").as("id"), col("text")),
           "id", "text", s"$root/idx", s"$root/marks", 1L,
-          MinhashK, 4, ShingleLen, 4)
+          MinhashK, LshBands, ShingleLen, 4)
         s.read.parquet(s"$root/marks")
           .select(col("id"), col("is_dup"))
       },
@@ -3100,10 +3123,15 @@ object PipelineQueries {
         val storeSigs = Dedup.minhashSignatures(
           d.filter(splitBucket(col("doc_id")) < 80),
           "doc_id", "text", MinhashK, ShingleLen)
-        Dedup.lshBandsFromSig(storeSigs, 4, MinhashK)
-          .write.mode("overwrite").parquet(s"$root/idx/bands/batch=0")
+        // sigs FIRST, bands from the written sigs — one minhash
+        // kernel pass per seed, not one per face (r22, guide §1.2;
+        // same shape as dedup_inc_pruned_marks above)
         storeSigs.write.mode("overwrite")
           .parquet(s"$root/idx/sigs/batch=0")
+        Dedup.lshBandsFromSig(
+          s.read.parquet(s"$root/idx/sigs/batch=0"), LshBands,
+          MinhashK)
+          .write.mode("overwrite").parquet(s"$root/idx/bands/batch=0")
         // retention rides the fold itself (the production cadence:
         // expiry applies at the next compaction) -- one pass seeds
         // the epoch AND drops the deleted [40, 80) slice
@@ -3115,7 +3143,7 @@ object PipelineQueries {
           d.filter(splitBucket(col("doc_id")) >= 80)
             .select(col("doc_id").as("id"), col("text")),
           "id", "text", s"$root/idx", s"$root/marks", 1L,
-          MinhashK, 4, ShingleLen, 4)
+          MinhashK, LshBands, ShingleLen, 4)
         s.read.parquet(s"$root/marks")
           .select(col("id"), col("is_dup"))
       },
@@ -3743,7 +3771,7 @@ object PipelineQueries {
         val sig = Dedup.minhashSignatures(d, "doc_id", "text",
           MinhashK, ShingleLen)
         val cand =
-          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, 4, MinhashK))
+          Dedup.lshCandidatePairs(Dedup.lshBandsFromSig(sig, LshBands, MinhashK))
         val pairs = Dedup.ngramJaccard(d, "doc_id", "text", ShingleLen,
           JaccardThreshold, candidates = Some(cand))
           .select(col("id_a"), col("id_b"))

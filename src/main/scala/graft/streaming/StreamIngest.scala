@@ -1386,13 +1386,27 @@ object StreamIngest {
       val f2 = pool.submit(new java.util.concurrent.Callable[B] {
         def call(): B = fb
       })
-      def get[T](f: java.util.concurrent.Future[T]): T =
-        try f.get()
+      // BOTH futures are awaited before any rethrow: the caller holds
+      // the index lock/lease, and an early rethrow on face 1's failure
+      // would let face 2 keep mutating its dirs AFTER the lock scope
+      // unwinds and the lease releases (r21 adviser) — no face may
+      // outlive the lock. The first failure wins; the other face's
+      // failure (if any) rides along as suppressed.
+      def outcome[T](f: java.util.concurrent.Future[T])
+          : Either[Throwable, T] =
+        try Right(f.get())
         catch {
           case e: java.util.concurrent.ExecutionException =>
-            throw Option(e.getCause).getOrElse(e)
+            Left(Option(e.getCause).getOrElse(e))
+          case e: Throwable => Left(e)
         }
-      (get(f1), get(f2))
+      (outcome(f1), outcome(f2)) match {
+        case (Right(a), Right(b)) => (a, b)
+        case (Left(t), other) =>
+          other.left.foreach { o => if (o ne t) t.addSuppressed(o) }
+          throw t
+        case (_, Left(t)) => throw t
+      }
     } finally pool.shutdown()
   }
 
@@ -2837,27 +2851,35 @@ object StreamIngest {
             val nextAssign = 1L + (prior.get.segs.map(_.name) ++
               prior.get.retired.map(_._1))
               .flatMap(segIdOf).foldLeft(0L)(math.max)
-            val seg = writeSegment(fs, assignEpoch,
-              s"seg_$nextAssign", reassignedKeep,
-              0, "list", Seq("vec_id"))
-            // codes face (if present): same rows, new list labels;
-            // rows absent from the assign face re-assign on their
-            // PQ-RECONSTRUCTED vector instead of being dropped
-            val codesSeg = codesPrior.flatMap { cl =>
-              readEpochFrame(spark, codesEpoch, "vec_id").flatMap { cdf =>
-                val codes0 = cdf.select(
-                  col("vec_id").cast("long").as("vec_id"),
-                  col("codes"))
-                val nextC = 1L +
-                  (cl.segs.map(_.name) ++ cl.retired.map(_._1))
-                  .flatMap(segIdOf)
-                  .foldLeft(0L)(math.max)
-                writeSegment(fs, codesEpoch, s"seg_$nextC",
-                  relabelCodesRows(spark, indexDir, codes0,
-                    reassigned, anchors),
-                  0, "list", Seq("vec_id"))
-              }
-            }
+            // the two face segment WRITES are independent (disjoint
+            // epoch dirs; the codes re-label depends only on the
+            // `reassigned` FRAME, not on the assign write landing) —
+            // overlap them (guide §2.6); the ordered per-face
+            // COMMITS below are untouched, so the crash contract
+            // (codes first, assign last) is identical
+            val (seg, codesSeg) = inParallelFaces(
+              writeSegment(fs, assignEpoch,
+                s"seg_$nextAssign", reassignedKeep,
+                0, "list", Seq("vec_id")),
+              // codes face (if present): same rows, new list labels;
+              // rows absent from the assign face re-assign on their
+              // PQ-RECONSTRUCTED vector instead of being dropped
+              codesPrior.flatMap { cl =>
+                readEpochFrame(spark, codesEpoch, "vec_id")
+                  .flatMap { cdf =>
+                    val codes0 = cdf.select(
+                      col("vec_id").cast("long").as("vec_id"),
+                      col("codes"))
+                    val nextC = 1L +
+                      (cl.segs.map(_.name) ++ cl.retired.map(_._1))
+                      .flatMap(segIdOf)
+                      .foldLeft(0L)(math.max)
+                    writeSegment(fs, codesEpoch, s"seg_$nextC",
+                      relabelCodesRows(spark, indexDir, codes0,
+                        reassigned, anchors),
+                      0, "list", Seq("vec_id"))
+                  }
+              })
             // per-face commit points; codes FIRST, assign LAST — a
             // crash between them leaves each face self-consistent
             // (its own rows with its own manifest's codebook), one
@@ -3054,20 +3076,39 @@ object StreamIngest {
                     newAnchors)
                 val reassigned = reassignedKeep
                   .select(col("vec_id"), col("list"))
-                // codes face FIRST (the r18 commit order): delta =
-                // the split lists' codes re-labeled, suppressed via
-                // an ltomb over its own covered segments
-                codesPrior.foreach { cl =>
-                  val codes0 = readCodesPruned(spark, indexDir,
-                    split).select(col("vec_id"), col("codes"))
-                  val nextC = 1L +
-                    (cl.segs.map(_.name) ++ cl.retired.map(_._1))
-                      .flatMap(segIdOf).foldLeft(0L)(math.max)
-                  val deltaC = writeSegment(fs, codesEpoch,
-                    s"seg_$nextC",
-                    relabelCodesRows(spark, indexDir, codes0,
-                      reassigned, newAnchors),
-                    0, "list", Seq("vec_id"))
+                val pl = prior.get
+                val nextA = 1L +
+                  (pl.segs.map(_.name) ++ pl.retired.map(_._1))
+                    .flatMap(segIdOf).foldLeft(0L)(math.max)
+                // both face delta WRITES overlapped (guide §2.6 —
+                // independent jobs on disjoint epoch dirs; the r21
+                // shape ran assign's write only after the codes
+                // commit, stacking the two job latencies). The
+                // per-face COMMIT order below is unchanged: codes
+                // first, assign last (the r18 crash contract). An
+                // uncommitted seg dir stranded by a crash between
+                // write and commit is the already-tolerated recluster
+                // state: readers resolve manifests only, and the
+                // retry recomputes the same seg id and overwrites.
+                val (deltaA, codesWritten) = inParallelFaces(
+                  writeSegment(fs, assignEpoch,
+                    s"seg_$nextA", reassignedKeep,
+                    0, "list", Seq("vec_id")),
+                  // codes delta = the split lists' codes re-labeled,
+                  // suppressed via an ltomb over covered segments
+                  codesPrior.map { cl =>
+                    val codes0 = readCodesPruned(spark, indexDir,
+                      split).select(col("vec_id"), col("codes"))
+                    val nextC = 1L +
+                      (cl.segs.map(_.name) ++ cl.retired.map(_._1))
+                        .flatMap(segIdOf).foldLeft(0L)(math.max)
+                    (cl, writeSegment(fs, codesEpoch,
+                      s"seg_$nextC",
+                      relabelCodesRows(spark, indexDir, codes0,
+                        reassigned, newAnchors),
+                      0, "list", Seq("vec_id")))
+                  })
+                codesWritten.foreach { case (cl, deltaC) =>
                   val coversC = cl.segs.map(segIdNum)
                     .foldLeft(0L)(math.max)
                   commitEpoch(fs, codesEpoch, IndexLayout(cl.wm,
@@ -3079,13 +3120,6 @@ object StreamIngest {
                 if (reclusterCrashBeforeAssignCommit)
                   sys.error("injected crash: between the codes-face" +
                     " and assign-face manifest commits")
-                val pl = prior.get
-                val nextA = 1L +
-                  (pl.segs.map(_.name) ++ pl.retired.map(_._1))
-                    .flatMap(segIdOf).foldLeft(0L)(math.max)
-                val deltaA = writeSegment(fs, assignEpoch,
-                  s"seg_$nextA", reassignedKeep,
-                  0, "list", Seq("vec_id"))
                 val coversA = pl.segs.map(segIdNum)
                   .foldLeft(0L)(math.max)
                 commitEpoch(fs, assignEpoch, IndexLayout(pl.wm,
@@ -3132,19 +3166,46 @@ object StreamIngest {
   def ivfIngestBatch(batch: DataFrame, idCol: String, vecCol: String,
       indexDir: String, batchId: Long): Unit =
     withIndexLock(batch.sparkSession, indexDir) {
-      val spark = batch.sparkSession
-      val fs = new org.apache.hadoop.fs.Path(indexDir)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      markInflight(fs, indexDir, batchId)
-      val anchors = readIvfCentroids(spark, indexDir)
-      // one zero-shuffle projection: assignment + the stored vector
-      // come out of the same kernel input row (the r19 keep variant
-      // removed the join-back shuffle this path used to pay)
-      val rows = graft.operators.Similarity
-        .ivfAssignFixedKeep(batch, idCol, vecCol, anchors)
-      rows.write.mode("overwrite")
-        .parquet(s"$indexDir/assign/batch=$batchId")
-      clearInflight(fs, indexDir, batchId)
+      ivfIngestAssignFace(batch, idCol, vecCol, indexDir, batchId)
+    }
+
+  /** Assign-face ingest body; caller holds the index lock. */
+  private def ivfIngestAssignFace(batch: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    spark.sparkContext
+      .setJobDescription(s"ivf ingest assign batch=$batchId")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    markInflight(fs, indexDir, batchId)
+    val anchors = readIvfCentroids(spark, indexDir)
+    // one zero-shuffle projection: assignment + the stored vector
+    // come out of the same kernel input row (the r19 keep variant
+    // removed the join-back shuffle this path used to pay)
+    val rows = graft.operators.Similarity
+      .ivfAssignFixedKeep(batch, idCol, vecCol, anchors)
+    rows.write.mode("overwrite")
+      .parquet(s"$indexDir/assign/batch=$batchId")
+    clearInflight(fs, indexDir, batchId)
+    spark.sparkContext.setJobDescription(null)
+  }
+
+  /** Grow BOTH persisted faces from one micro-batch under ONE lock
+    * acquisition, the two face writes overlapped (guide §2.6 — they
+    * are independent single-action jobs on disjoint dirs, exactly the
+    * [[compactIvfIndex]] fold shape; the r21 harnesses ran them
+    * driver-sequentially, stacking two full job latencies). Identical
+    * on-disk layout to calling [[ivfIngestBatch]] then
+    * [[ivfPqIngestBatch]]: same batch dirs, same rows. */
+  def ivfIngestBothFaces(batch: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, assignBatchId: Long,
+      codesBatchId: Long): Unit =
+    withIndexLock(batch.sparkSession, indexDir) {
+      inParallelFaces(
+        ivfIngestAssignFace(batch, idCol, vecCol, indexDir,
+          assignBatchId),
+        ivfIngestCodesFace(batch, idCol, vecCol, indexDir,
+          codesBatchId)): Unit
     }
 
   /** The grown index's assignment frame (vec_id, list, vec) — the
@@ -3271,28 +3332,37 @@ object StreamIngest {
   def ivfPqIngestBatch(batch: DataFrame, idCol: String,
       vecCol: String, indexDir: String, batchId: Long): Unit =
     withIndexLock(batch.sparkSession, indexDir) {
-      val spark = batch.sparkSession
-      val fs = new org.apache.hadoop.fs.Path(indexDir)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      markInflight(fs, indexDir, batchId)
-      // codes-face resolution: new codes must be labeled with the
-      // anchors the STORED codes carry, even mid-recluster-crash
-      val anchors = readIvfCentroidsFace(spark, indexDir, "codes")
-      val books = readPqBooks(spark, indexDir)
-      val dsub = books.head.head.length
-      val rows = graft.operators.Similarity
-        .ivfAssignFixed(batch, idCol, vecCol, anchors)
-        .select(col("vec_id"), col("list"))
-        .join(batch.select(col(idCol).cast("long").as("vec_id"),
-          graft.operators.Similarity.asDouble(col(vecCol)).as("__v")),
-          "vec_id")
-        .select(col("vec_id"), col("list"),
-          graft.functions.MatrixExpressions
-            .pqEncode(col("__v"), books, dsub).as("codes"))
-      rows.write.mode("overwrite")
-        .parquet(s"$indexDir/codes/batch=$batchId")
-      clearInflight(fs, indexDir, batchId)
+      ivfIngestCodesFace(batch, idCol, vecCol, indexDir, batchId)
     }
+
+  /** Codes-face ingest body; caller holds the index lock. */
+  private def ivfIngestCodesFace(batch: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    spark.sparkContext
+      .setJobDescription(s"ivf ingest codes batch=$batchId")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    markInflight(fs, indexDir, batchId)
+    // codes-face resolution: new codes must be labeled with the
+    // anchors the STORED codes carry, even mid-recluster-crash
+    val anchors = readIvfCentroidsFace(spark, indexDir, "codes")
+    val books = readPqBooks(spark, indexDir)
+    val dsub = books.head.head.length
+    val rows = graft.operators.Similarity
+      .ivfAssignFixed(batch, idCol, vecCol, anchors)
+      .select(col("vec_id"), col("list"))
+      .join(batch.select(col(idCol).cast("long").as("vec_id"),
+        graft.operators.Similarity.asDouble(col(vecCol)).as("__v")),
+        "vec_id")
+      .select(col("vec_id"), col("list"),
+        graft.functions.MatrixExpressions
+          .pqEncode(col("__v"), books, dsub).as("codes"))
+    rows.write.mode("overwrite")
+      .parquet(s"$indexDir/codes/batch=$batchId")
+    clearInflight(fs, indexDir, batchId)
+    spark.sparkContext.setJobDescription(null)
+  }
 
   /** The stored codes restricted to `lists` — epoch scan
     * partition-pruned per segment, hot tail filtered post-scan. */

@@ -148,12 +148,69 @@ class CopyJobSpec extends AnyFunSuite {
       val (d, r, u) = job.deleteWhere(dst,
         col("event_type") === "__no_such_type", S, E, c)
       assert(d.isEmpty && r.isEmpty && u === 15)
-      // async listener bus — let it drain before counting
-      Thread.sleep(1500)
+      // async listener bus — poll until the count is stable instead
+      // of one fixed sleep (a late-draining bus under load would
+      // otherwise under-count and falsely pass) — r21 adviser
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while (jobs.get() != last && System.nanoTime() < deadline) {
+        last = jobs.get()
+        Thread.sleep(300)
+      }
     } finally spark.sparkContext.removeSparkListener(listener)
     val n = jobs.get()
-    assert(n <= 6, s"probe ran $n jobs for 15 intersecting chunks — " +
+    // ceiling well below the old 2-jobs-per-chunk shape (≥30), not a
+    // tight AQE-stage-count pin — AQE job splits vary across Spark
+    // versions/configs and must not flake this spec (r21 adviser)
+    assert(n < 15, s"probe ran $n jobs for 15 intersecting chunks — " +
       "expected O(1) (single probe aggregate), not O(chunks)")
+  }
+
+  test("trim pass classifies every overlapping stale partition in O(1) " +
+    "Spark jobs (single probe), not O(partitions) — re-copy scale shape") {
+    val dst = freshDst()
+    val job = new CopyJob(spark)
+    // first copy: 15 one-day partitions; the re-copy below at 5-day
+    // granularity overlaps ALL of them (none span-identical), so every
+    // one qualifies for the trim pass. Pre-r22 shape: one
+    // driver-sequential isEmpty probe job PER partition (≥15 jobs for
+    // the trim alone); the single-probe shape classifies all 15 in one
+    // aggregate job and here drops them all (every row lies inside a
+    // rewritten span) with no rewrites at all.
+    job.copyMeasurement(src, dst, CopyJob.Config(S, E, chunkNs = Day,
+      timeCol = "ts"))
+    val total = job.readCopied(dst).count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      job.copyMeasurement(src, dst, CopyJob.Config(S, E,
+        chunkNs = 5 * Day, timeCol = "ts"))
+      // poll until the async listener bus drains (count stable)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while (jobs.get() != last && System.nanoTime() < deadline) {
+        last = jobs.get()
+        Thread.sleep(300)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // idempotent: same rows, now in 3 five-day partitions
+    assert(job.readCopied(dst).count() === total)
+    assert(new java.io.File(dst).listFiles()
+      .count(_.getName.startsWith("__bucket=")) === 3)
+    val n = jobs.get()
+    // whole re-copy budget: 3 chunk copies + ONE trim probe (plus AQE
+    // stage-jobs) — far under the old 15-probe trim shape alone; the
+    // ceiling is deliberately loose so AQE job-count drift cannot
+    // flake it while still failing the O(partitions) shape
+    assert(n < 15, s"re-copy ran $n jobs over 15 stale partitions — " +
+      "expected O(1) trim classification (single probe), not " +
+      "O(partitions)")
   }
 
   test("upsertPoints: last-write-wins per (key, ts); touched chunks " +
