@@ -1333,13 +1333,18 @@ object PipelineQueries {
         require(graft.streaming.StreamIngest.reclusterIvfIndex(s,
           idx, nlist = 4), "re-cluster did not commit")
         val qs = e.filter(col("vec_id") < 16)
-        val served = graft.streaming.StreamIngest.ivfIndexTopK(s,
-          qs, "vec_id", "embedding", idx, 5, nProbe = 4)
-          .withColumn("face", lit("assign"))
-          .unionByName(graft.streaming.StreamIngest.ivfPqIndexTopK(
+        // the two serve frames are read-only and independent — their
+        // CONSTRUCTION (each pays probe-selection collect() driver
+        // round-trips) overlaps too (guide §2.6); the union is
+        // unchanged
+        val (sa, sc) = graft.streaming.StreamIngest.inParallelFaces(
+          graft.streaming.StreamIngest.ivfIndexTopK(s,
+            qs, "vec_id", "embedding", idx, 5, nProbe = 4),
+          graft.streaming.StreamIngest.ivfPqIndexTopK(
             s, qs, "vec_id", "embedding", idx, corpus = e, k = 5,
-            nProbe = 4, refine = 1000)
-            .withColumn("face", lit("codes")))
+            nProbe = 4, refine = 1000))
+        val served = sa.withColumn("face", lit("assign"))
+          .unionByName(sc.withColumn("face", lit("codes")))
         served.select(col("face"), col("query_id"),
           col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine_r"))
@@ -1383,13 +1388,16 @@ object PipelineQueries {
         val nAll = graft.streaming.StreamIngest
           .readIvfCentroids(s, idx).length
         val qs = e.filter(col("vec_id") < 16)
-        val served = graft.streaming.StreamIngest.ivfIndexTopK(s,
-          qs, "vec_id", "embedding", idx, 5, nProbe = nAll)
-          .withColumn("face", lit("assign"))
-          .unionByName(graft.streaming.StreamIngest.ivfPqIndexTopK(
+        // serve-frame construction overlapped — same shape as
+        // ann_ivf_recluster_topk above (guide §2.6)
+        val (sa, sc) = graft.streaming.StreamIngest.inParallelFaces(
+          graft.streaming.StreamIngest.ivfIndexTopK(s,
+            qs, "vec_id", "embedding", idx, 5, nProbe = nAll),
+          graft.streaming.StreamIngest.ivfPqIndexTopK(
             s, qs, "vec_id", "embedding", idx, corpus = e, k = 5,
-            nProbe = nAll, refine = 1000)
-            .withColumn("face", lit("codes")))
+            nProbe = nAll, refine = 1000))
+        val served = sa.withColumn("face", lit("assign"))
+          .unionByName(sc.withColumn("face", lit("codes")))
         served.select(col("face"), col("query_id"),
           col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine_r"))

@@ -1377,7 +1377,8 @@ object StreamIngest {
     * the fold's wall time is max-of-faces, not sum-of-faces; the
     * Spark scheduler interleaves their small jobs). The caller holds
     * the index lock; the faces share nothing but the session. */
-  private def inParallelFaces[A, B](fa: => A, fb: => B): (A, B) = {
+  private[graft] def inParallelFaces[A, B](fa: => A, fb: => B)
+      : (A, B) = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     try {
       val f1 = pool.submit(new java.util.concurrent.Callable[A] {
@@ -2700,17 +2701,26 @@ object StreamIngest {
       .sorted.mkString(",")
   }
 
+  // per-path load lock: concurrent faces (inParallelFaces) resolving
+  // the SAME codebook would otherwise both miss and both pay the
+  // two-job read — one waits, then hits the filled memo; different
+  // paths stay fully parallel
+  private val smallParquetLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def cachedSmallParquet[T](spark: SparkSession,
-      path: String)(load: => T): T = {
-    val sig = smallParquetSig(spark, path)
-    smallParquetCache.get(path) match {
-      case (s, v) if s == sig => v.asInstanceOf[T]
-      case _ =>
-        val v = load
-        smallParquetCache.put(path, (sig, v)): Unit
-        v
-    }
-  }
+      path: String)(load: => T): T =
+    smallParquetLocks.computeIfAbsent(path, _ => new Object)
+      .synchronized {
+        val sig = smallParquetSig(spark, path)
+        smallParquetCache.get(path) match {
+          case (s, v) if s == sig => v.asInstanceOf[T]
+          case _ =>
+            val v = load
+            smallParquetCache.put(path, (sig, v)): Unit
+            v
+        }
+      }
 
   /** Assign-face codebook — the resolution every raw-vector consumer
     * (ingest/serve/SemDeDup/skew) uses. */
